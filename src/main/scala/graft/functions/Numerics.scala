@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame}
+
+/** Numeric utilities mirroring reference `Henbun/tf_wraps.py`. */
+object Numerics {
+
+  /** Clip to [−rmax, rmax]; reference `tf_wraps.py:33-39` (default bound
+    * ±50, globally off unless enabled — `henbunrc:12-14`). */
+  def clip(c: Column, rmax: Double = 50.0): Column =
+    greatest(least(c, lit(rmax)), lit(-rmax))
+
+  def clip(x: Double, rmax: Double): Double =
+    math.max(math.min(x, rmax), -rmax)
+
+  /** Stable softplus column (shared with Transforms). */
+  def softplus(c: Column): Column = Transforms.softplusCol(c)
+
+  /** Max-stabilized log-sum-exp across a group, as a grouped DataFrame
+    * op: lse = max(x) + ln Σ exp(x − max(x)) (reference
+    * `tf_wraps.py:42-48`, axis-reduction form).
+    *
+    * Two-pass via a window max then a single hash aggregate — both
+    * stages are partial-aggregated map-side, so at scale this is one
+    * shuffle on the group keys.
+    */
+  def logSumExp(df: DataFrame, groupCols: Seq[String], x: Column,
+                out: String): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+    val mx = max(x).over(w)
+    df.withColumn("__lse_mx", mx)
+      .groupBy(groupCols.map(col): _*)
+      .agg((first(col("__lse_mx")) +
+        log(sum(exp(x - col("__lse_mx"))))).as(out))
+  }
+
+  /** Analytic KL(N(μ, σ²) ‖ N(0,1)) per element, parameterized by the
+    * log-scale `qSqrt` (logdet = 2·qSqrt), matching the diagonal-Normal
+    * variational fast path (reference `Henbun/variationals.py:178-186,
+    * 225-230`; oracle `testing/test_variationals.py:326-347`):
+    * 0.5·(−logdet − 1 + e^{logdet} + μ²). */
+  def klDiagNormal(mu: Column, qSqrt: Column): Column = {
+    val logdet = lit(2.0) * qSqrt
+    lit(0.5) * (-logdet - lit(1.0) + exp(logdet) + mu * mu)
+  }
+
+  def klDiagNormal(mu: Double, qSqrt: Double): Double = {
+    val logdet = 2.0 * qSqrt
+    0.5 * (-logdet - 1.0 + math.exp(logdet) + mu * mu)
+  }
+
+  /** Stable pairwise LSE of two columns. */
+  def logSumExp2(a: Column, b: Column): Column = {
+    val m = greatest(a, b)
+    m + log(exp(a - m) + exp(b - m))
+  }
+}
