@@ -287,6 +287,25 @@ object OracleQueries {
       "round(avg(-ln(2*pi()) - ln(2.0) - ln(1.5) - 0.5*(a1*a1 + a2*a2)), 5) AS avg_logp " +
       "FROM t GROUP BY l_returnflag ORDER BY l_returnflag")
 
+  // ------------------------------------------------- model-style queries
+
+  // Deterministic ELBO data term at FIXED posterior means (draws = 0):
+  // the Bayesian-linear-regression likelihood from the minimum
+  // end-to-end slice (notebooks/Henbun_structure2.ipynb) evaluated as a
+  // single scan+aggregate. Constants: a=0.2, b=0.1, noise σ²=1.5.
+  private val modelLoglik = Q("q_model_loglik",
+    (s, d) => {
+      val x = (col("l_quantity") - lit(25.5)) / lit(14.4)
+      val y = (col("l_extendedprice") / lit(10000.0) - lit(3.8)) / lit(2.5)
+      val fit = lit(0.2) + lit(0.1) * x
+      grouped(table(s, d, "lineitem"),
+        Densities.gaussian(y, fit, lit(1.5)), "avg_logp")
+    },
+    groupedSql(
+      "-0.5*ln(2*pi()) - 0.5*ln(1.5) - 0.5*pow((0.2 + 0.1*((l_quantity - 25.5)/14.4)) " +
+        "- ((l_extendedprice/10000.0 - 3.8)/2.5), 2)/1.5",
+      "avg_logp"))
+
   // --------------------------------------------------------- split counts
 
   /** 90/10 split sizing policy (reference `model.py:134-145`): test =
@@ -307,7 +326,7 @@ object OracleQueries {
     logjacExp, logjacLog1pe, logjacLogistic,
     lse, clipQ,
     kernSqdist, kernRbf, kernCsym, kernCsymDiag,
-    klDiagNormal, mvnLogp, splitCount)
+    klDiagNormal, mvnLogp, modelLoglik, splitCount)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.spark).toMap

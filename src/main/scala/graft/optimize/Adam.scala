@@ -1,0 +1,31 @@
+package graft.optimize
+
+/** Adam (Kingma & Ba, 2015) in ASCENT form over a flat parameter
+  * vector, with a collection mask for partial optimization (reference
+  * optimizes `-loss` with tf.train.AdamOptimizer over a selected
+  * collection, `Henbun/model.py:206-230`). Defaults match the
+  * reference's usage (lr 0.01 in its tests). */
+final class Adam(n: Int, var lr: Double = 0.01, beta1: Double = 0.9,
+                 beta2: Double = 0.999, eps: Double = 1e-8) {
+  private val m = new Array[Double](n)
+  private val v = new Array[Double](n)
+  private var t = 0
+
+  /** One ascent step: θ ← θ + lr·m̂/(√v̂+ε) where grad is ∇ELBO.
+    * Slots with mask=false are frozen. */
+  def step(theta: Array[Double], grad: Array[Double],
+           mask: Array[Boolean]): Unit = {
+    t += 1
+    val bc1 = 1.0 - math.pow(beta1, t)
+    val bc2 = 1.0 - math.pow(beta2, t)
+    var i = 0
+    while (i < n) {
+      if (mask(i)) {
+        m(i) = beta1 * m(i) + (1.0 - beta1) * grad(i)
+        v(i) = beta2 * v(i) + (1.0 - beta2) * grad(i) * grad(i)
+        theta(i) += lr * (m(i) / bc1) / (math.sqrt(v(i) / bc2) + eps)
+      }
+      i += 1
+    }
+  }
+}

@@ -1,0 +1,314 @@
+package graft.optimize
+
+import breeze.linalg.DenseVector
+import graft.autodiff._
+import graft.core._
+import graft.data.DataSet
+import org.apache.spark.sql.functions.col
+
+/** The ELBO engine: compiles a user model (per-row log-likelihood over
+  * the parameter tree) + the automatic ΣKL term into autodiff tapes,
+  * then trains with distributed gradient ascent.
+  *
+  * Mirrors the reference's `@AutoOptimize` compile/optimize lifecycle
+  * (`Henbun/model.py:155-269`): the loss graph is built ONCE; each
+  * step draws fresh reparameterization noise, samples a minibatch, and
+  * updates the selected parameter collection.
+  *
+  * Execution model (SURVEY §4): per-row (logp, ∇logp) evaluate inside
+  * `treeAggregate` against a per-step broadcast θ — partial Breeze-style
+  * accumulators per partition, tree-reduced; the KL term and its
+  * gradient evaluate on the driver (param-sized). This is exactly the
+  * MLlib `LogisticRegression` scaling pattern: no driver-side data, no
+  * shuffle, O(params) driver state — it holds unchanged at 100 TB /
+  * 1000 executors.
+  */
+final class Elbo(
+    val module: Module,
+    val dataset: DataSet,
+    val inputCols: Seq[String],
+    loglik: Elbo.Ctx => Expr,
+    seed: Long = 0L) extends Serializable {
+
+  // ---- slot layout: full flat θ over sortedParams (deterministic order)
+  private val paramSeq: Seq[(String, Param)] = module.sortedParams
+  private val offsets: Map[String, Int] = {
+    var off = 0
+    paramSeq.map { case (n, p) => val o = off; off += p.size; (n, o) }.toMap
+  }
+  val nSlots: Int = paramSeq.map(_._2.size).sum
+
+  // ---- draw layout over variationals
+  private val varSeq: Seq[(String, Variational)] = module.variationals
+  private val drawOffsets: Map[String, Int] = {
+    var off = 0
+    varSeq.map { case (n, v) => val o = off; off += v.size; (n, o) }.toMap
+  }
+  val nDraws: Int = varSeq.map(_._2.size).sum
+
+  private val nameOf: Map[Param, String] =
+    paramSeq.map { case (n, p) => (p: Param) -> n }.toMap
+  private val vnameOf: Map[Variational, String] =
+    varSeq.map { case (n, v) => (v: Variational) -> n }.toMap
+
+  private val ctx = new Elbo.Ctx(inputCols, offsets, drawOffsets,
+    nameOf, vnameOf)
+
+  private val rowTape: CompiledExpr =
+    CompiledExpr.compile(loglik(ctx), inputCols.length, nSlots, nDraws)
+  private val klTape: CompiledExpr =
+    CompiledExpr.compile(Expr.sum(varSeq.map { case (n, v) => ctx.klExpr(v) }),
+      0, nSlots, nDraws)
+
+  // ---- θ <-> tree sync
+  def thetaFromTree(): Array[Double] = {
+    val t = new Array[Double](nSlots)
+    paramSeq.foreach { case (n, p) =>
+      val f = p.freeValue; val o = offsets(n)
+      var i = 0; while (i < p.size) { t(o + i) = f(i); i += 1 }
+    }
+    t
+  }
+  def thetaToTree(theta: Array[Double]): Unit =
+    paramSeq.foreach { case (n, p) =>
+      val o = offsets(n)
+      p.setFree(DenseVector(java.util.Arrays.copyOfRange(theta, o, o + p.size)))
+    }
+
+  private def collectionMask(collection: String): Array[Boolean] = {
+    val m = new Array[Boolean](nSlots)
+    paramSeq.foreach { case (n, p) =>
+      if (p.collection == collection) {
+        val o = offsets(n)
+        var i = 0; while (i < p.size) { m(o + i) = true; i += 1 }
+      }
+    }
+    m
+  }
+
+  private def freshDraws(step: Int): Array[Double] = {
+    val r = new scala.util.Random(seed * 2654435761L + step)
+    Array.fill(nDraws)(r.nextGaussian())
+  }
+
+  /** Distributed Σ over rows of (logp, ∇logp) via treeAggregate. */
+  private def rowGrad(df: org.apache.spark.sql.DataFrame,
+                      theta: Array[Double], draws: Array[Double])
+      : (Double, Array[Double], Long) = {
+    val tape = rowTape
+    val nS = nSlots
+    val cols = inputCols
+    val sc = df.sparkSession.sparkContext
+    val bTheta = sc.broadcast(theta)
+    val bDraws = sc.broadcast(draws)
+    val rdd = df.select(cols.map(col): _*).rdd
+    val depth = math.max(2, (math.log(math.max(rdd.getNumPartitions, 2)) /
+      math.log(4)).ceil.toInt)
+    val (loss, grad, cnt) = rdd.treeAggregate(
+      (0.0, new Array[Double](nS), 0L))(
+      seqOp = { case ((l, g, n), row) =>
+        val in = new Array[Double](cols.length)
+        var i = 0
+        while (i < cols.length) {
+          in(i) = row.get(i) match {
+            case d: java.lang.Double => d.doubleValue()
+            case f: java.lang.Float => f.toDouble
+            case l2: java.lang.Long => l2.toDouble
+            case i2: java.lang.Integer => i2.toDouble
+            case other => throw new IllegalArgumentException(
+              s"non-numeric input ${cols(i)}: $other")
+          }
+          i += 1
+        }
+        // scratch arrays are reused via thread-local to stay
+        // allocation-free over millions of rows
+        val scratch = Elbo.scratchFor(tape)
+        val v = tape.evalGrad(in, bTheta.value, bDraws.value,
+          scratch._1, scratch._2, g)
+        (l + v, g, n + 1)
+      },
+      combOp = { case ((l1, g1, n1), (l2, g2, n2)) =>
+        var i = 0
+        while (i < nS) { g1(i) += g2(i); i += 1 }
+        (l1 + l2, g1, n1 + n2)
+      }, depth)
+    bTheta.destroy(); bDraws.destroy()
+    (loss, grad, cnt)
+  }
+
+  /** ELBO value on full train data (or a test batch), fresh draw
+    * (reference `Optimizer.run`, `model.py:232-253`). */
+  def run(minibatchSize: Int = -1, training: Boolean = true,
+          step: Int = 0): Double = {
+    val theta = thetaFromTree()
+    val draws = freshDraws(step)
+    val df =
+      if (minibatchSize <= 0) { if (training) dataset.train else dataset.test }
+      else if (training) dataset.minibatch(minibatchSize, step)
+      else dataset.testBatch(minibatchSize, step)
+    val total = if (training) dataset.trainCount else dataset.testCount
+    val (loss, _, cnt) = rowGrad(df, theta, draws)
+    val scale = if (cnt == 0) 0.0 else total.toDouble / cnt
+    val vals = klTape.newValues
+    val kl = klTape.eval(Array.empty, theta, draws, vals)
+    loss * scale - kl
+  }
+
+  /** `maxiter` × (fresh draws → minibatch → ∇ELBO → Adam ascent)
+    * (reference `Optimizer.optimize`, `model.py:255-269`). Returns the
+    * last ELBO estimate. Pass `minibatchSize = -1` for full-batch. */
+  def optimize(maxiter: Int, minibatchSize: Int = -1, lr: Double = 0.01,
+               collection: String = Collections.Variables,
+               verboseEvery: Int = 0): Double = {
+    val theta = thetaFromTree()
+    val mask = collectionMask(collection)
+    val adam = new Adam(nSlots, lr)
+    val total = dataset.trainCount
+    var lastElbo = 0.0
+    var it = 0
+    while (it < maxiter) {
+      val draws = freshDraws(it)
+      val df = if (minibatchSize <= 0) dataset.train
+        else dataset.minibatch(minibatchSize, it)
+      val (loss, grad, cnt) = rowGrad(df, theta, draws)
+      val scale = if (cnt == 0) 0.0 else total.toDouble / cnt
+      // KL value + gradient on driver (param-sized)
+      val vals = klTape.newValues
+      val adjKl = klTape.newValues
+      val gradKl = new Array[Double](nSlots)
+      val kl = klTape.evalGrad(Array.empty, theta, draws, vals, adjKl, gradKl)
+      var i = 0
+      while (i < nSlots) { grad(i) = grad(i) * scale - gradKl(i); i += 1 }
+      lastElbo = loss * scale - kl
+      adam.step(theta, grad, mask)
+      if (verboseEvery > 0 && (it % verboseEvery == 0))
+        println(f"[elbo] iter $it%6d elbo=$lastElbo%.4f")
+      it += 1
+    }
+    thetaToTree(theta)
+    module.initialize()
+    lastElbo
+  }
+}
+
+object Elbo {
+
+  private val scratch =
+    new ThreadLocal[(Array[Double], Array[Double], CompiledExpr)]()
+
+  private[optimize] def scratchFor(tape: CompiledExpr)
+      : (Array[Double], Array[Double]) = {
+    val cur = scratch.get()
+    if (cur == null || (cur._3 ne tape)) {
+      val fresh = (tape.newValues, tape.newValues, tape)
+      scratch.set(fresh)
+      (fresh._1, fresh._2)
+    } else (cur._1, cur._2)
+  }
+
+  /** Model-building context handed to the user's log-likelihood
+    * builder — the analog of writing TF ops under `tf_mode`
+    * (reference `model.py:23-41`). */
+  final class Ctx private[optimize] (
+      inputCols: Seq[String],
+      offsets: Map[String, Int],
+      drawOffsets: Map[String, Int],
+      nameOf: Map[Param, String],
+      vnameOf: Map[Variational, String]) {
+
+    /** Per-row input column. */
+    def in(name: String): Expr = {
+      val i = inputCols.indexOf(name)
+      require(i >= 0, s"input '$name' not in $inputCols")
+      In(i)
+    }
+
+    /** Constrained-space value elements of a plain Param. */
+    def read(p: Param): IndexedSeq[Expr] = {
+      val o = offsets(nameOf(p))
+      (0 until p.size).map(i => ExprFns.forward(p.transform, P(o + i)))
+    }
+    def read1(p: Param): Expr = { require(p.size == 1); read(p).head }
+
+    /** Raw (pre-transform, pre-scale) reparameterized sample. */
+    private def rawSample(v: Variational): IndexedSeq[Expr] = {
+      val name = vnameOf(v)
+      val muO = offsets(s"$name/q_mu")
+      val sqO = offsets(s"$name/q_sqrt")
+      val dO = drawOffsets(name)
+      v.qShape match {
+        case QShape.Diagonal =>
+          (0 until v.size).map(i =>
+            P(muO + i) + Expr.exp(P(sqO + i)) * Dr(dO + i))
+        case QShape.FullRank =>
+          (0 until v.size).map { i =>
+            // row-major lower-triangle matmul against the draw vector
+            val terms = (0 to i).map(j => P(sqO + i * v.size + j) * Dr(dO + j))
+            P(muO + i) + Expr.sum(terms)
+          }
+      }
+    }
+
+    /** Transformed, scaled sample — what the model reads (mirrors
+      * `Variational.tensor()` incl. the Gaussian/OffsetGaussian scale
+      * and offset wrapping, reference `variationals.py:112-119,
+      * 290-291, 313-314`). */
+    def sample(v: Variational): IndexedSeq[Expr] = {
+      val base = rawSample(v).map(ExprFns.forward(v.transform, _))
+      v match {
+        case og: Variational.OffsetGaussian =>
+          val s = read1(og.scale); val o = read1(og.offset)
+          base.map(e => e * s + o)
+        case g: Variational.Gaussian =>
+          val s = read1(g.scale)
+          base.map(e => e * s)
+        case _ => base
+      }
+    }
+    def sample1(v: Variational): Expr = { require(v.size == 1); sample(v).head }
+
+    /** Per-variational KL(q‖p) as an Expr over (θ, u) — matches
+      * `Variational._KL` / `Normal._KL` / `Beta._KL`
+      * (reference `variationals.py:188-230,369-381`). */
+    private[optimize] def klExpr(v: Variational): Expr = {
+      val name = vnameOf(v)
+      val sqO = offsets(s"$name/q_sqrt")
+      val dO = drawOffsets(name)
+      val logdet: IndexedSeq[Expr] = v.qShape match {
+        case QShape.Diagonal =>
+          (0 until v.size).map(i => Expr.c(2.0) * P(sqO + i))
+        case QShape.FullRank =>
+          (0 until v.size).map(i => Expr.log(P(sqO + i * v.size + i).sq))
+      }
+      val raw = rawSample(v)
+      val us = (0 until v.size).map(i => Dr(dO + i))
+      v match {
+        case b: Variational.Beta =>
+          val a = read1(b.alpha); val bb = read1(b.beta)
+          val ent = Expr.sum((0 until v.size).map(i =>
+            Expr.c(-0.5) * (Expr.c(math.log(2 * math.Pi)) + logdet(i) +
+              us(i).sq)))
+          val pr = Expr.sum(raw.map { r =>
+            ExprFns.beta(a, bb, ExprFns.forward(b.transform, r)) +
+              ExprFns.logJacobian(b.transform, r)
+          })
+          ent - pr
+        case _: Variational.Normal => // Normal/Gaussian/OffsetGaussian
+          Expr.sum((0 until v.size).map(i =>
+            Expr.c(-0.5) * (logdet(i) + us(i).sq - raw(i).sq)))
+        case _ =>
+          val ent = Expr.sum((0 until v.size).map(i =>
+            Expr.c(-0.5) * (Expr.c(math.log(2 * math.Pi)) + logdet(i) +
+              us(i).sq)))
+          val pr = v.prior match {
+            case Some(p) => Expr.sum(raw.map { r =>
+              ExprFns.priorLogp(p, ExprFns.forward(v.transform, r)) +
+                ExprFns.logJacobian(v.transform, r)
+            })
+            case None => Expr.zero
+          }
+          ent - pr
+      }
+    }
+  }
+}

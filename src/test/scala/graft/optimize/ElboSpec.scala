@@ -1,0 +1,98 @@
+package graft.optimize
+
+import graft.SparkTestSession
+import graft.autodiff.ExprFns
+import graft.core._
+import graft.data.DataSet
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end training mirrors:
+  *  - quadratic-loss convergence (reference `testing/test_model.py:21-29`)
+  *  - collection-scoped optimization moves only selected params
+  *    (`test_model.py:61-74`)
+  *  - the variational Bayesian linear regression demo — the minimum
+  *    end-to-end slice of SURVEY §7 (`notebooks/Henbun_structure2.ipynb`)
+  *    — run against the driver testdata. */
+class ElboSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("quadratic loss drives params to the data mean (ref test_model.py:21-29)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select((col("l_quantity") / 10.0).as("x")).limit(512)
+    val root = new Module
+    val p = root.add("p", new Param(Seq(1), initMean = 3.0, initStddev = 0.01))
+    val ds = new DataSet(li, seed = 0)
+    val elbo = new Elbo(root, ds, Seq("x"),
+      ctx => -(ctx.read1(p) - ctx.in("x")).sq)
+    elbo.optimize(maxiter = 200, lr = 0.05)
+    val mean = ds.train.agg(avg("x")).head.getDouble(0)
+    assert(math.abs(p.value(0) - mean) < 0.05,
+      s"got ${p.value(0)}, want ≈ $mean")
+    ds.unpersist()
+  }
+
+  test("collection-scoped optimization moves only the selected collection " +
+    "(ref test_model.py:61-74)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select((col("l_quantity") / 10.0).as("x")).limit(256)
+    val root = new Module
+    val a = root.add("a", new Param(Seq(1), initMean = 3.0, initStddev = 0.01))
+    val b = root.add("b", new Param(Seq(1), initMean = 3.0, initStddev = 0.01,
+      collection = "frozen"))
+    val ds = new DataSet(li, seed = 0)
+    val elbo = new Elbo(root, ds, Seq("x"),
+      ctx => -(ctx.read1(a) - ctx.in("x")).sq - (ctx.read1(b) - ctx.in("x")).sq)
+    val b0 = b.value(0)
+    elbo.optimize(maxiter = 50, lr = 0.05, collection = Collections.Variables)
+    assert(math.abs(b.value(0) - b0) < 1e-12, "frozen param moved")
+    assert(math.abs(a.value(0) - 3.0) > 0.1, "selected param did not move")
+    ds.unpersist()
+  }
+
+  test("variational Bayesian linear regression on lineitem converges " +
+    "(minimum end-to-end slice, ref Henbun_structure2.ipynb)") {
+    // y ≈ a + b·x with centered x (decorrelates intercept/slope so the
+    // test converges in hundreds rather than the reference demo's 50k
+    // iterations); posterior means must land near the OLS solution.
+    // standardized features — the parameters then live near the Adam
+    // init and the demo's 50k-iteration budget shrinks to hundreds
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(((col("l_quantity") - 25.5) / 14.4).as("x"),
+        ((col("l_extendedprice") / 10000.0 - 3.8) / 2.5).as("y"))
+    val root = new Module
+    val a = root.add("a", new Variational.Normal(Seq(1)))
+    val b = root.add("b", new Variational.Normal(Seq(1)))
+    val cv = root.add("c", new Variational.Normal(Seq(1)))
+    val ds = new DataSet(li, seed = 0)
+    val elbo = new Elbo(root, ds, Seq("x", "y"), ctx => {
+      val fit = ctx.sample1(a) + ctx.sample1(b) * ctx.in("x")
+      ExprFns.gaussian(ctx.in("y"), fit, graft.autodiff.Expr.exp(ctx.sample1(cv)))
+    }, seed = 0)
+
+    val before = elbo.run(training = true)
+    val after = elbo.optimize(maxiter = 400, lr = 0.1)
+    assert(after > before, s"ELBO did not improve: $before -> $after")
+
+    // OLS oracle computed in-engine
+    val stats = ds.train.agg(avg("x"), avg("y"), avg(col("x") * col("y")),
+      avg(col("x") * col("x"))).head
+    val (mx, my, mxy, mxx) = (stats.getDouble(0), stats.getDouble(1),
+      stats.getDouble(2), stats.getDouble(3))
+    val slope = (mxy - mx * my) / (mxx - mx * mx)
+    val inter = my - slope * mx
+    val (aHat, bHat) = (a.qMu.value(0), b.qMu.value(0))
+    assert(math.abs(bHat - slope) < 0.15, s"slope $bHat vs OLS $slope")
+    assert(math.abs(aHat - inter) < 0.15, s"intercept $aHat vs OLS $inter")
+    // posterior noise matches residual variance in order of magnitude
+    val resid = ds.train.select(
+      pow(col("y") - (lit(inter) + lit(slope) * col("x")), 2).as("r2"))
+      .agg(avg("r2")).head.getDouble(0)
+    val noise = math.exp(cv.qMu.value(0))
+    assert(noise > resid / 10 && noise < resid * 10,
+      s"noise $noise vs residual var $resid")
+    ds.unpersist()
+  }
+}
