@@ -258,6 +258,46 @@ object OracleQueries {
       "round(avg(1.0 + exp(-2.0*(pow(a.u1/2.0, 2) + pow(a.u2/2.0, 2)))), 5) AS avg_kdiag " +
       s"FROM $supSqlPts a GROUP BY a.nat ORDER BY a.nat")
 
+  // ------------------------------------------------- sparse GP (Nyström)
+
+  // Deterministic check of the DISTRIBUTED sparse-GP path: the Nyström
+  // residual diag(Knn − Knm Kmm⁻¹ Kmn) over the supplier feature points
+  // with m=2 fixed inducing points z=[(0,0),(1,1)], lengthscale 2. The
+  // Spark side runs the real SparseGP per-partition gram/gemm kernel;
+  // the SQL literals (Lm⁻¹ entries) are generated from the same Breeze
+  // Cholesky at query-build time, so both sides share identical
+  // constants to full double precision.
+  private val gpNystrom: Q = {
+    import breeze.linalg.{DenseMatrix => BDM, DenseVector => BDV}
+    val zfix = BDM((0.0, 0.0), (1.0, 1.0))
+    val sgp = new graft.gp.SparseGP(
+      graft.gp.Kernels.UnitRBF(BDV(2.0)), zfix)
+    val li = sgp.lmInv // [2,2] lower-tri inverse
+    def lit17(v: Double): String = "%.17g".format(v)
+    val k1Sql = "exp(-0.5*(pow(u1/2.0, 2) + pow(u2/2.0, 2)))"
+    val k2Sql = "exp(-0.5*(pow((u1 - 1.0)/2.0, 2) + pow((u2 - 1.0)/2.0, 2)))"
+    Q("q_gp_nystrom",
+      (s, d) => {
+        val pts = table(s, d, "supplier").select(
+          col("s_nationkey"),
+          (col("s_acctbal") / lit(1000.0)).as("u1"),
+          (col("s_suppkey") % 7).cast("double").as("u2"))
+        sgp.nystromResidualColumn(pts, Seq("u1", "u2"))
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("gp_resid")), 5).as("avg_resid"))
+          .orderBy("s_nationkey")
+      },
+      "WITH pts AS (SELECT s_nationkey, s_acctbal/1000.0 AS u1, " +
+        "cast(s_suppkey % 7 AS DOUBLE) AS u2 FROM supplier), " +
+        s"t AS (SELECT s_nationkey, $k1Sql AS k1, $k2Sql AS k2 FROM pts), " +
+        s"w AS (SELECT s_nationkey, (${lit17(li(0, 0))})*k1 AS w1, " +
+        s"(${lit17(li(1, 0))})*k1 + (${lit17(li(1, 1))})*k2 AS w2 FROM t) " +
+        "SELECT s_nationkey, count(*) AS n, " +
+        "round(avg(1.0 - (w1*w1 + w2*w2)), 5) AS avg_resid " +
+        "FROM w GROUP BY s_nationkey ORDER BY s_nationkey")
+  }
+
   // ------------------------------------------------------------ KL / MVN
 
   private val klDiagNormal = Q("q_kl_diag_normal",
@@ -325,7 +365,7 @@ object OracleQueries {
     transExp, transLog1pe, transLogistic,
     logjacExp, logjacLog1pe, logjacLogistic,
     lse, clipQ,
-    kernSqdist, kernRbf, kernCsym, kernCsymDiag,
+    kernSqdist, kernRbf, kernCsym, kernCsymDiag, gpNystrom,
     klDiagNormal, mvnLogp, modelLoglik, splitCount)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,108 @@
+package graft.gp
+
+import breeze.linalg.{DenseMatrix, DenseVector, cholesky}
+
+/** GP kernels (reference `Henbun/gp/kernels.py:28-131`), Breeze form.
+  *
+  * These operate on MODEL-sized matrices: inducing/training blocks of
+  * at most a few thousand points, held on the driver or inside one
+  * executor partition. The DATA-sized path (kernel rows against a 100
+  * TB coordinate table) lives in [[SparseGP.samples]], which evaluates
+  * `K(z, x_block)` per partition against broadcast z — these Breeze
+  * kernels are the per-block compute it calls.
+  *
+  * The lengthscale is a positive scalar-or-ARD vector exactly as the
+  * reference (`gp/kernels.py:37-51`); batched ([N,n,d]) variants take
+  * a sequence of matrices.
+  */
+sealed trait Kernel extends Serializable {
+  def lengthscales: DenseVector[Double]
+
+  /** Scaled coordinates x/ℓ (ARD broadcast across columns). */
+  protected def scale(x: DenseMatrix[Double]): DenseMatrix[Double] = {
+    val l = lengthscales
+    require(l.length == 1 || l.length == x.cols,
+      s"ARD lengthscale dim ${l.length} != ${x.cols}")
+    DenseMatrix.tabulate(x.rows, x.cols)((i, j) =>
+      x(i, j) / (if (l.length == 1) l(0) else l(j)))
+  }
+
+  /** Pairwise ‖x/ℓ − x2/ℓ‖² via the −2XX2ᵀ + ‖x‖² + ‖x2‖² expansion
+    * (reference `square_dist`, `gp/kernels.py:54-84`). */
+  final def squareDist(x: DenseMatrix[Double],
+                       x2: DenseMatrix[Double]): DenseMatrix[Double] = {
+    val a = scale(x); val b = scale(x2)
+    val g = a * b.t // [n,n2]
+    val as = DenseVector.tabulate(a.rows)(i => {
+      var s = 0.0; var j = 0
+      while (j < a.cols) { val v = a(i, j); s += v * v; j += 1 }; s
+    })
+    val bs = DenseVector.tabulate(b.rows)(i => {
+      var s = 0.0; var j = 0
+      while (j < b.cols) { val v = b(i, j); s += v * v; j += 1 }; s
+    })
+    DenseMatrix.tabulate(a.rows, b.rows)((i, j) => -2.0 * g(i, j) + as(i) + bs(j))
+  }
+
+  def squareDist(x: DenseMatrix[Double]): DenseMatrix[Double] = squareDist(x, x)
+
+  /** sqrt(sqdist + 1e-12) (reference `euclid_dist`). */
+  final def euclidDist(x: DenseMatrix[Double],
+                       x2: DenseMatrix[Double]): DenseMatrix[Double] =
+    squareDist(x, x2).map(v => math.sqrt(v + 1e-12))
+
+  def k(x: DenseMatrix[Double], x2: DenseMatrix[Double]): DenseMatrix[Double]
+  def k(x: DenseMatrix[Double]): DenseMatrix[Double] = k(x, x)
+  def kdiag(x: DenseMatrix[Double]): DenseVector[Double]
+
+  /** cholesky(K(X) + jitter·I), jitter 1e-5 (reference `Cholesky`,
+    * `gp/kernels.py:93-101`, `henbunrc:11`). */
+  final def choleskyK(x: DenseMatrix[Double],
+                      jitter: Double = Kernels.JitterLevel): DenseMatrix[Double] = {
+    val kk = k(x)
+    var i = 0
+    while (i < kk.rows) { kk(i, i) += jitter; i += 1 }
+    cholesky(kk)
+  }
+
+  /** Batched [N,n,d] form: per-batch-element application (the reference
+    * tiles through tf batch ops; semantics identical). */
+  final def kBatch(xs: Seq[DenseMatrix[Double]]): Seq[DenseMatrix[Double]] =
+    xs.map(k(_))
+  final def choleskyKBatch(xs: Seq[DenseMatrix[Double]]): Seq[DenseMatrix[Double]] =
+    xs.map(choleskyK(_))
+}
+
+object Kernels {
+  val JitterLevel = 1e-5
+
+  /** K = exp(−½·sqdist), unit variance (reference `UnitRBF`,
+    * `gp/kernels.py:103-111`). */
+  final case class UnitRBF(lengthscales: DenseVector[Double] = DenseVector(1.0))
+      extends Kernel {
+    def k(x: DenseMatrix[Double], x2: DenseMatrix[Double]): DenseMatrix[Double] =
+      squareDist(x, x2).map(d => math.exp(-0.5 * d))
+    def kdiag(x: DenseMatrix[Double]): DenseVector[Double] =
+      DenseVector.ones[Double](x.rows)
+  }
+
+  /** Cylindrically-symmetric RBF: K(x,x2) + K(x,−x2); Kdiag =
+    * 1 + exp(−2‖x/ℓ‖²) (reference `UnitCsymRBF`,
+    * `gp/kernels.py:113-131`). */
+  final case class UnitCsymRBF(lengthscales: DenseVector[Double] = DenseVector(1.0))
+      extends Kernel {
+    def k(x: DenseMatrix[Double], x2: DenseMatrix[Double]): DenseMatrix[Double] = {
+      val a = squareDist(x, x2).map(d => math.exp(-0.5 * d))
+      val b = squareDist(x, x2 * -1.0).map(d => math.exp(-0.5 * d))
+      a + b
+    }
+    def kdiag(x: DenseMatrix[Double]): DenseVector[Double] = {
+      val s = scale(x)
+      DenseVector.tabulate(x.rows) { i =>
+        var ss = 0.0; var j = 0
+        while (j < s.cols) { val v = s(i, j); ss += v * v; j += 1 }
+        1.0 + math.exp(-2.0 * ss)
+      }
+    }
+  }
+}
