@@ -28,7 +28,13 @@ final class Elbo(
     val dataset: DataSet,
     val inputCols: Seq[String],
     loglik: Elbo.Ctx => Expr,
-    seed: Long = 0L) extends Serializable {
+    seed: Long = 0L,
+    /** Applied to each step's batch before evaluation — e.g. append a
+      * fresh per-row `randn(seed + step)` column as the LOCAL-posterior
+      * reparameterization noise (the Spark analog of the reference
+      * re-drawing `tf.random_normal` per `session.run`). */
+    augment: (org.apache.spark.sql.DataFrame, Int) =>
+      org.apache.spark.sql.DataFrame = (df, _) => df) extends Serializable {
 
   // ---- slot layout: full flat θ over sortedParams (deterministic order)
   private val paramSeq: Seq[(String, Param)] = module.sortedParams
@@ -147,7 +153,7 @@ final class Elbo(
       else if (training) dataset.minibatch(minibatchSize, step)
       else dataset.testBatch(minibatchSize, step)
     val total = if (training) dataset.trainCount else dataset.testCount
-    val (loss, _, cnt) = rowGrad(df, theta, draws)
+    val (loss, _, cnt) = rowGrad(augment(df, step), theta, draws)
     val scale = if (cnt == 0) 0.0 else total.toDouble / cnt
     val vals = klTape.newValues
     val kl = klTape.eval(Array.empty, theta, draws, vals)
@@ -170,7 +176,7 @@ final class Elbo(
       val draws = freshDraws(it)
       val df = if (minibatchSize <= 0) dataset.train
         else dataset.minibatch(minibatchSize, it)
-      val (loss, grad, cnt) = rowGrad(df, theta, draws)
+      val (loss, grad, cnt) = rowGrad(augment(df, it), theta, draws)
       val scale = if (cnt == 0) 0.0 else total.toDouble / cnt
       // KL value + gradient on driver (param-sized)
       val vals = klTape.newValues
