@@ -1,0 +1,275 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Oracle corpus for the beyond-reference training-data-pipeline
+  * operators (dedup, similarity search, text analysis, multimodal) —
+  * first-class per BASELINE.json. Same conventions as
+  * [[OracleQueries]]: grouped aggregates, ORDER BY, round(…, 5), and
+  * DuckDB SQL generated from the SAME constants (hash coefficients,
+  * hyperplane recurrences, stopword lists) the Scala operators use, so
+  * both engines compute bit-identical results end to end.
+  */
+object PipelineQueries {
+  import OracleQueries.Q
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  private val P = Dedup.P
+
+  // ------------------------------------------------------------ dedup
+
+  private val dedupExact = Q("q_dedup_exact",
+    (s, d) => docs(s, d).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_unique"))
+      .orderBy("source"),
+    "SELECT source, count(*) AS n_docs, " +
+      "count(DISTINCT md5(text)) AS n_unique " +
+      "FROM documents GROUP BY source ORDER BY source")
+
+  /** Shared SQL CTEs: distinct tokens + portable 60-bit hash. */
+  private val tokSql =
+    "toks AS (SELECT doc_id, source, " +
+      "unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents), " +
+      "h AS (SELECT doc_id, source, " +
+      s"${TextAnalysis.TokenHashSql("tok")} AS th FROM toks)"
+
+  private val dedupMinhash = Q("q_dedup_minhash",
+    (s, d) => {
+      val cand = Dedup.minhashCandidates(docs(s, d), "text", "doc_id")
+      cand.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("est_jaccard") >= 0.5, 1L).otherwise(0L)).as("n_dups"),
+        round(avg(col("est_jaccard")), 5).as("avg_est"))
+    }, {
+      val sigExprs = (0 until Dedup.NumPerms).map(i =>
+        s"min((${Dedup.MinhashAs(i)} * (th % $P) + ${Dedup.MinhashBs(i)}) % $P) AS sig$i")
+        .mkString(", ")
+      val rows = Dedup.NumPerms / Dedup.NumBands
+      val bandSelects = (0 until Dedup.NumBands).map { b =>
+        val key = (0 until rows).map(r => s"sig${b * rows + r}::VARCHAR")
+          .mkString(" || '_' || ")
+        s"SELECT doc_id, $b AS band, $key AS band_key FROM sigs"
+      }.mkString(" UNION ALL ")
+      val agree = (0 until Dedup.NumPerms).map(i =>
+        s"(CASE WHEN sa.sig$i = sb.sig$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"WITH $tokSql, " +
+        s"sigs AS (SELECT doc_id, $sigExprs FROM h GROUP BY doc_id), " +
+        s"bands AS ($bandSelects), " +
+        "pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b " +
+        "FROM bands x JOIN bands y ON x.band = y.band " +
+        "AND x.band_key = y.band_key AND x.doc_id < y.doc_id), " +
+        s"scored AS (SELECT id_a, id_b, ($agree)/8.0 AS ej FROM pairs " +
+        "JOIN sigs sa ON id_a = sa.doc_id JOIN sigs sb ON id_b = sb.doc_id) " +
+        "SELECT count(*) AS n_pairs, " +
+        "CAST(sum(CASE WHEN ej >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups, " +
+        "round(avg(ej), 5) AS avg_est FROM scored"
+    })
+
+  private val dedupSimhash = Q("q_dedup_simhash",
+    (s, d) => {
+      val sims = Dedup.simhash16(docs(s, d), "text", "doc_id")
+      docs(s, d).select("doc_id", "source").join(sims, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("simhash")).as("n_distinct"),
+          sum(bit_count(col("simhash")).cast("long")).as("sum_bits"))
+        .orderBy("source")
+    }, {
+      val bitSums = (0 until 16).map(b =>
+        s"sum(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS bs$b")
+        .mkString(", ")
+      val simExpr = (0 until 16).map(b =>
+        s"(CASE WHEN bs$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"WITH $tokSql, " +
+        s"bits AS (SELECT doc_id, source, $bitSums FROM h GROUP BY doc_id, source), " +
+        s"sim AS (SELECT doc_id, source, $simExpr AS simhash FROM bits) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "count(DISTINCT simhash) AS n_distinct, " +
+        "CAST(sum(bit_count(CAST(simhash AS BIGINT))) AS BIGINT) AS sum_bits " +
+        "FROM sim GROUP BY source ORDER BY source"
+    })
+
+  private val dedupNgram = Q("q_dedup_ngram_jaccard",
+    (s, d) => {
+      val a = docs(s, d).select(col("doc_id").as("id_a"),
+        col("source"), col("text").as("text_a"))
+      val b = docs(s, d).select(col("doc_id").as("id_b"),
+        col("source"), col("text").as("text_b"))
+      a.join(b, Seq("source"))
+        .where(col("id_a") < col("id_b"))
+        .withColumn("j", Dedup.ngramJaccard(col("text_a"), col("text_b"), 3))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("j") >= 0.3, 1L).otherwise(0L)).as("n_dups"),
+          round(avg(col("j")), 5).as("avg_j"))
+        .orderBy("source")
+    },
+    "WITH g AS (SELECT doc_id, source, list_distinct(" +
+      "[ws[i] || '_' || ws[i+1] || '_' || ws[i+2] " +
+      "for i in range(1, len(ws) - 1)]) AS gr " +
+      "FROM (SELECT doc_id, source, string_split(text, ' ') AS ws " +
+      "FROM documents)), " +
+      "pairs AS (SELECT a.source, " +
+      "len(list_intersect(a.gr, b.gr))::DOUBLE / " +
+      "len(list_distinct(list_concat(a.gr, b.gr)))::DOUBLE AS j " +
+      "FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id) " +
+      "SELECT source, count(*) AS n_pairs, " +
+      "CAST(sum(CASE WHEN j >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups, " +
+      "round(avg(j), 5) AS avg_j FROM pairs GROUP BY source ORDER BY source")
+
+  // ------------------------------------------------- similarity search
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) " +
+      s"for i in generate_series(1, len($a))])"
+
+  private val embedTop1 = Q("q_embed_top1",
+    (s, d) => {
+      val top1 = Similarity.cosineTop1(embs(s, d), "vec_id", "embedding")
+      embs(s, d).select(col("vec_id").as("id_a"), col("label"))
+        .join(top1, "id_a")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), round(avg(col("top1_cos")), 5).as("avg_top1"))
+        .orderBy("label")
+    },
+    "WITH e AS (SELECT vec_id, label, embedding AS emb, " +
+      s"sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings), " +
+      "top1 AS (SELECT a.vec_id, a.label, " +
+      s"max(${dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm)) AS top1_cos " +
+      "FROM e a JOIN e b ON a.vec_id <> b.vec_id " +
+      "GROUP BY a.vec_id, a.label) " +
+      "SELECT label, count(*) AS n, round(avg(top1_cos), 5) AS avg_top1 " +
+      "FROM top1 GROUP BY label ORDER BY label")
+
+  private val embedAnnLsh = Q("q_embed_ann_lsh",
+    (s, d) => Similarity.lshBuckets(embs(s, d), "vec_id", "embedding")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("nb"))
+      .agg(count(lit(1)).as("n_buckets"), max(col("nb")).as("max_bucket"),
+        sum(col("nb")).as("n_vecs")),
+    {
+      val dots = (0 until 8).map { b =>
+        s"list_sum([CAST(embedding[i] AS DOUBLE) * " +
+          s"((((${b * 7 + 3} * i * 2654435761) % 97) - 48) / 48.0) " +
+          "for i in generate_series(1, len(embedding))])"
+      }
+      val bucket = dots.zipWithIndex.map { case (dt, b) =>
+        s"(CASE WHEN ($dt) > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"WITH bk AS (SELECT vec_id, ($bucket) AS bucket FROM embeddings), " +
+        "sizes AS (SELECT bucket, count(*) AS nb FROM bk GROUP BY bucket) " +
+        "SELECT count(*) AS n_buckets, max(nb) AS max_bucket, " +
+        "CAST(sum(nb) AS BIGINT) AS n_vecs FROM sizes"
+    })
+
+  // ------------------------------------------------------ text analysis
+
+  private def stopSql(lang: String): String = {
+    val lst = TextAnalysis.Stopwords(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(ws, w -> list_contains([$lst], w)))"
+  }
+
+  private val textLangid = Q("q_text_langid",
+    (s, d) => docs(s, d)
+      .withColumn("pred", TextAnalysis.langId(col("text")))
+      .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred"),
+    {
+      val scores = TextAnalysis.LangPriority.map(l => s"${stopSql(l)} AS s_$l")
+        .mkString(", ")
+      val maxS = TextAnalysis.LangPriority.map(l => s"s_$l").mkString(", ")
+      val cases = TextAnalysis.LangPriority.map(l =>
+        s"WHEN s_$l = m AND m > 0 THEN '$l'").mkString(" ")
+      "WITH t AS (SELECT lang, string_split(text, ' ') AS ws FROM documents), " +
+        s"sc AS (SELECT lang, $scores FROM t), " +
+        s"p AS (SELECT lang, greatest($maxS) AS m, * FROM sc), " +
+        s"pred AS (SELECT lang, CASE $cases ELSE 'und' END AS pred FROM p) " +
+        "SELECT lang, pred, count(*) AS n FROM pred " +
+        "GROUP BY lang, pred ORDER BY lang, pred"
+    })
+
+  private val textQuality = Q("q_text_quality",
+    (s, d) => docs(s, d).groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        round(avg(TextAnalysis.qualityScore(col("text"))), 5).as("avg_q"),
+        round(avg(TextAnalysis.punctRatio(col("text"))), 5).as("avg_punct"),
+        round(avg(TextAnalysis.stopwordRatio(col("text"))), 5).as("avg_stop"))
+      .orderBy("lang"),
+    {
+      val stopSum = TextAnalysis.LangPriority.map(stopSql).mkString(" + ")
+      val wc = "(length(text) - length(replace(text, ' ', '')) + 1)"
+      val punct = "len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::DOUBLE / " +
+        "greatest(length(replace(text, ' ', ''))::DOUBLE, 1.0)"
+      "WITH t AS (SELECT lang, text, string_split(text, ' ') AS ws " +
+        "FROM documents), " +
+        s"m AS (SELECT lang, ($punct) AS punct, " +
+        s"($stopSum)::DOUBLE / $wc::DOUBLE AS stop, " +
+        "least(length(text)::DOUBLE / 200.0, 1.0) AS lenscore FROM t) " +
+        "SELECT lang, count(*) AS n, " +
+        "round(avg(least(greatest(0.4*lenscore + 0.3*(1.0 - punct) + " +
+        "0.3*least(stop*5.0, 1.0), 0.0), 1.0)), 5) AS avg_q, " +
+        "round(avg(punct), 5) AS avg_punct, " +
+        "round(avg(stop), 5) AS avg_stop " +
+        "FROM m GROUP BY lang ORDER BY lang"
+    })
+
+  private val textTokens = Q("q_text_tokens",
+    (s, d) => docs(s, d).groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(TextAnalysis.wordCount(col("text")).cast("long")).as("sum_words"),
+        sum(TextAnalysis.bpeishCount(col("text")).cast("long")).as("sum_bpeish"))
+      .orderBy("source"),
+    "SELECT source, count(*) AS n, " +
+      "CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) " +
+      "AS sum_words, " +
+      s"CAST(sum(len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}'))) " +
+      "AS BIGINT) AS sum_bpeish " +
+      "FROM documents GROUP BY source ORDER BY source")
+
+  private val textFingerprint = Q("q_text_fingerprint",
+    (s, d) => docs(s, d).groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_distinct"),
+        min(TextAnalysis.fingerprint(col("text"))).as("min_fp"))
+      .orderBy("source"),
+    "WITH fp AS (SELECT source, list_reduce(" +
+      "list_prepend(CAST(0 AS BIGINT), " +
+      "[CAST(ascii(c) AS BIGINT) for c in string_split(substr(text, 1, 64), '')]), " +
+      "(a, b) -> (a * 31 + b) % 1000000007) AS f FROM documents) " +
+      "SELECT source, count(*) AS n, count(DISTINCT f) AS n_distinct, " +
+      "min(f) AS min_fp FROM fp GROUP BY source ORDER BY source")
+
+  // -------------------------------------------------------- multimodal
+
+  private val multimodalMeta = Q("q_multimodal_meta",
+    (s, d) => Multimodal.asMedia(docs(s, d), "text", "text-as-bytes")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(col("meta.n_bytes")).as("sum_bytes"),
+        countDistinct(col("meta.sha")).as("n_sha"),
+        sum(Multimodal.frameSampleChecksum("text", 16, 64)).as("sum_fsc"))
+      .orderBy("source"),
+    "SELECT source, count(*) AS n, " +
+      "CAST(sum(length(text)) AS BIGINT) AS sum_bytes, " +
+      "count(DISTINCT sha256(text)) AS n_sha, " +
+      "CAST(sum(list_sum([CASE WHEN length(text) >= p " +
+      "THEN ascii(substr(text, p, 1)) ELSE 0 END " +
+      "for p in range(1, 65, 16)])) AS BIGINT) AS sum_fsc " +
+      "FROM documents GROUP BY source ORDER BY source")
+
+  // ---------------------------------------------------------------- export
+
+  val all: Vector[Q] = Vector(
+    dedupExact, dedupMinhash, dedupSimhash, dedupNgram,
+    embedTop1, embedAnnLsh,
+    textLangid, textQuality, textTokens, textFingerprint,
+    multimodalMeta)
+}

@@ -31,10 +31,14 @@ object SparkEntry {
       (n, v.qMu.value(0), math.exp(v.qSqrt.value(0)), last)
     }.toDF("param", "post_mean", "post_scale", "elbo")
   }
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 (+ the
+    * beyond-reference pipeline operators). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    OracleQueries.queries
+    OracleQueries.queries ++
+      PipelineQueries.all.map(q => q.name -> q.spark).toMap
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = OracleQueries.oracleSql
+  def oracleSql: Map[String, String] =
+    OracleQueries.oracleSql ++
+      PipelineQueries.all.map(q => q.name -> q.sql).toMap
 }

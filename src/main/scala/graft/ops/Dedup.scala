@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines — exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard. Everything is built from
+  * deterministic portable hashes ([[TextAnalysis.tokenHash]]) so the
+  * full pipelines are cross-engine verifiable, and everything is
+  * expressed as DataFrame ops whose shuffles are on dedup keys only:
+  *
+  *  - exact: one hash-aggregate on md5 (map-side combine).
+  *  - MinHash: explode(distinct tokens) → per-doc min-aggregate per
+  *    permutation (partial aggregation makes this one shuffle of
+  *    [doc, k] rows), then LSH banding → bucket self-join restricted to
+  *    bucket collisions — the candidate set is tiny vs n², which is
+  *    the entire point of LSH at 100 TB.
+  *  - SimHash: one scan computing a 16-bit signature per doc from
+  *    token-hash bit sums, then a bucket aggregate.
+  *  - n-gram Jaccard: array intersections over candidate pairs only.
+  */
+object Dedup {
+
+  /** Mersenne-ish prime modulus for the permutation universe (fits
+    * multiplications in int64 on any engine). */
+  val P: Long = 2147483647L
+  /** Fixed permutation coefficients (hash_i = (a_i·x + b_i) mod P). */
+  val MinhashAs: Seq[Long] = Seq(1103515245L % P, 214013L, 69069L, 1664525L,
+    22695477L, 134775813L, 214903917L % P, 48271L)
+  val MinhashBs: Seq[Long] = Seq(12345L, 2531011L, 362437L, 1013904223L,
+    1L, 1L, 777L, 0L)
+  val NumPerms: Int = 8
+  /** 4 bands × 2 rows. */
+  val NumBands: Int = 4
+
+  /** Exact duplicate groups: one row per distinct text hash with its
+    * representative (min id) and multiplicity. */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Per-document MinHash signature columns sig0..sig{k−1} over the
+    * DISTINCT whitespace-token set. */
+  def minhashSignatures(df: DataFrame, textCol: String,
+                        idCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
+      .withColumn("h", TextAnalysis.tokenHash(col("tok")) % lit(P))
+    val aggs = (0 until NumPerms).map(i =>
+      min((lit(MinhashAs(i)) * col("h") + lit(MinhashBs(i))) % lit(P))
+        .as(s"sig$i"))
+    toks.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: one row per (doc, band) with the band key — docs
+    * sharing a band key are candidate duplicates. */
+  def lshBands(sigs: DataFrame, idCol: String): DataFrame = {
+    val rows = NumPerms / NumBands
+    val bands = (0 until NumBands).map { b =>
+      val key = concat_ws("_",
+        (0 until rows).map(r => col(s"sig${b * rows + r}")): _*)
+      sigs.select(col(idCol), lit(b).as("band"), key.as("band_key"))
+    }
+    bands.reduce(_ unionByName _)
+  }
+
+  /** Distinct candidate pairs (a < b) from bucket collisions, with the
+    * fraction of agreeing signature components (the MinHash Jaccard
+    * estimate). */
+  def minhashCandidates(df: DataFrame, textCol: String,
+                        idCol: String): DataFrame = {
+    val sigs = minhashSignatures(df, textCol, idCol).cache()
+    val bands = lshBands(sigs, idCol)
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+    val sa = sigs.toDF(sigs.columns.map(c => s"a_$c"): _*)
+    val sb = sigs.toDF(sigs.columns.map(c => s"b_$c"): _*)
+    val agree = (0 until NumPerms).map(i =>
+      when(col(s"a_sig$i") === col(s"b_sig$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(sa, col("id_a") === col(s"a_$idCol"))
+      .join(sb, col("id_b") === col(s"b_$idCol"))
+      .select(col("id_a"), col("id_b"),
+        (agree.cast("double") / lit(NumPerms.toDouble)).as("est_jaccard"))
+  }
+
+  /** 16-bit SimHash from token-hash bit sums over the distinct token
+    * set: bit b set iff Σ_tokens (±1 by bit b of h) > 0. */
+  def simhash16(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
+      .withColumn("h", TextAnalysis.tokenHash(col("tok")))
+    val bitSums = (0 until 16).map(b =>
+      sum(when(shiftright(col("h"), b) % 2 === 1, 1).otherwise(-1))
+        .as(s"bs$b"))
+    val sums = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 16).map(b =>
+      when(col(s"bs$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    sums.select(col(idCol), sim.as("simhash"))
+  }
+
+  /** Word n-gram array (adjacent tokens joined with '_'). Spark's
+    * sequence(1, 0) counts DOWN, so short texts need an explicit empty
+    * guard. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val ws = TextAnalysis.tokens(text)
+    when(size(ws) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(ws) - lit(n - 1)),
+        i => concat_ws("_", (0 until n).map(k => element_at(ws, i + lit(k))): _*)))
+  }
+
+  /** Jaccard similarity of distinct word n-gram sets. */
+  def ngramJaccard(textA: Column, textB: Column, n: Int): Column = {
+    val (ga, gb) = (array_distinct(wordNgrams(textA, n)),
+      array_distinct(wordNgrams(textB, n)))
+    size(array_intersect(ga, gb)).cast("double") /
+      size(array_union(ga, gb)).cast("double")
+  }
+}

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: opaque `binary` media + typed metadata,
+  * with decode/feature-extraction as partition-local batch transforms.
+  *
+  * The Spark-side machinery — schema, partitioning, batch shape,
+  * column contracts — is real and tested; the actual codec call is
+  * STUBBED (this environment ships no image/audio libraries) behind
+  * [[decodeStub]], clearly marked, producing deterministic fake
+  * features so pipelines are end-to-end testable. At 100 TB the shape
+  * is the right one: media bytes never leave their partition, decode
+  * is a batched mapPartitions (exactly where a JNI/FFmpeg/JPEG codec
+  * batch call would sit), and metadata-only queries never touch the
+  * bytes column thanks to Parquet column pruning.
+  */
+object Multimodal {
+
+  val MetaType: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("sha", StringType, nullable = false)))
+
+  /** Wrap a source column as a media column with typed metadata. */
+  def asMedia(df: DataFrame, srcCol: String, kind: String,
+              mediaCol: String = "media",
+              metaCol: String = "meta"): DataFrame = {
+    val bin = col(srcCol).cast("binary")
+    df.withColumn(mediaCol, bin)
+      .withColumn(metaCol, struct(
+        lit(kind).as("kind"),
+        length(bin).cast("long").as("n_bytes"),
+        sha2(bin, 256).as("sha")))
+  }
+
+  /** Deterministic frame/sample positions: 1, 1+stride, … ≤ maxLen.
+    * The character code at each position (0 past end-of-media) is
+    * summed — the cheap "frame sample checksum" used to verify
+    * sampling plumbing without a codec. Takes the column NAME so the
+    * identical formula can be emitted for the SQL oracle. */
+  def frameSampleChecksum(textColName: String, stride: Int,
+                          maxLen: Int): Column =
+    expr(s"aggregate(transform(sequence(1, $maxLen, $stride), " +
+      s"p -> CASE WHEN length($textColName) >= p " +
+      s"THEN ascii(substring($textColName, p, 1)) ELSE 0 END), " +
+      "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+
+  /** STUB decode: where a real implementation would batch-decode media
+    * bytes (JPEG/PNG/audio PCM) via a native library inside
+    * mapPartitions, this produces a deterministic fake feature vector
+    * from the bytes themselves (length-salted rolling hash per
+    * feature). Signature, batching, and schema are the real contract.
+    */
+  def decodeStub(df: DataFrame, mediaCol: String, featDim: Int = 4,
+                 outCol: String = "features",
+                 blockSize: Int = 1024): DataFrame = {
+    val schema = df.schema.add(outCol, ArrayType(DoubleType, false))
+    val idx = df.schema.fieldIndex(mediaCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(blockSize).flatMap { rows =>
+        // >>> real codec batch call would go here (e.g. JNI decode of
+        // rows(i).getAs[Array[Byte]](idx)) — STUBBED deterministically <<<
+        rows.iterator.map { row =>
+          val bytes = row.getAs[Array[Byte]](idx)
+          val feats = new Array[Double](featDim)
+          var f = 0
+          while (f < featDim) {
+            var acc = (f + 1).toLong
+            var i = f
+            while (i < bytes.length) {
+              acc = (acc * 31 + (bytes(i) & 0xff)) % 1000000007L
+              i += featDim
+            }
+            feats(f) = acc.toDouble / 1000000007.0
+            f += 1
+          }
+          Row.fromSeq(row.toSeq :+ (feats.toSeq: Seq[Double]))
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All are
+  * single-scan Column expressions (whole-stage codegen'd, no UDFs, no
+  * shuffle) — at 100 TB each is a map-only pass over the corpus.
+  *
+  * Every operator has a deterministic, DuckDB-checkable definition;
+  * the `...Sql` builders in [[graft.OracleQueries]] mirror these
+  * formulas exactly.
+  */
+object TextAnalysis {
+
+  /** Portable 60-bit token hash: first 15 hex digits of md5, parsed as
+    * an unsigned integer. Chosen because both Spark (`conv`) and
+    * standard SQL engines (hex cast) compute it identically — the
+    * foundation for cross-engine-verifiable MinHash/SimHash. */
+  def tokenHash(token: Column): Column =
+    conv(substring(md5(token), 1, 15), 16, 10).cast("long")
+
+  val TokenHashSql: String => String = col =>
+    s"(('0x' || substr(md5($col), 1, 15))::BIGINT)"
+
+  /** Whitespace tokens (the corpus convention: single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count by pure arithmetic (length difference) —
+    * identical semantics in any engine, no regex dialects involved. */
+  def wordCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, " ", "")) + lit(1)
+
+  /** BPE-ish token count: alpha runs, single digits, or single
+    * non-alphanumeric marks — the standard coarse proxy for subword
+    * token counts. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+  def bpeishCount(text: Column): Column = regexp_count(text, lit(BpeishPattern))
+
+  /** Stopword lists per language for the n-gram/stopword language-ID
+    * heuristic. Deterministic and tiny by design. */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "on"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "en"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不"))
+  /** Deterministic argmax priority when scores tie. */
+  val LangPriority: Seq[String] = Seq("en", "de", "fr", "es", "zh")
+
+  def stopwordCount(text: Column, lang: String): Column =
+    size(filter(tokens(text), t =>
+      array_contains(lit(Stopwords(lang).toArray), t)))
+
+  /** Predicted language: the highest-scoring stopword list, ties broken
+    * by [[LangPriority]]; all-zero scores → "und". */
+  def langId(text: Column): Column = {
+    val scores = LangPriority.map(l => l -> stopwordCount(text, l))
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === maxScore && maxScore > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Punctuation ratio over non-space characters. */
+  def punctRatio(text: Column): Column =
+    regexp_count(text, lit("[^A-Za-z0-9 ]")).cast("double") /
+      greatest(length(regexp_replace(text, " ", "")).cast("double"), lit(1.0))
+
+  def stopwordRatio(text: Column): Column =
+    LangPriority.map(l => stopwordCount(text, l)).reduce(_ + _).cast("double") /
+      wordCount(text).cast("double")
+
+  /** Composite quality score in [0,1]: length band + low punctuation +
+    * stopword presence — the standard cheap-heuristics recipe. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(200.0), lit(1.0))
+    val punct = punctRatio(text)
+    val stop = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    least(greatest(lit(0.4) * lenScore + lit(0.3) * (lit(1.0) - punct) +
+      lit(0.3) * stop, lit(0.0)), lit(1.0))
+  }
+
+  /** Rolling-hash fingerprint of the first `prefixLen` characters:
+    * fold (acc·31 + ascii(c)) mod 1e9+7 — a polynomial fingerprint
+    * computable in one pass in any engine. */
+  def fingerprint(text: Column, prefixLen: Int = 64): Column = {
+    val codes = transform(
+      filter(split(substring(text, 1, prefixLen), ""), c => c =!= ""),
+      c => ascii(c).cast("long"))
+    aggregate(codes, lit(0L),
+      (acc, c) => (acc * lit(31L) + c) % lit(1000000007L))
+  }
+}

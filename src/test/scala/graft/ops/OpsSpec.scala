@@ -1,0 +1,144 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral checks for the pipeline operators: known duplicates are
+  * found, similarity estimates track ground truth, approximate results
+  * bound exact ones. (Cross-engine numeric parity is covered by the
+  * DuckDB oracle corpus.) */
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docsWithDups = {
+    val base = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    // inject exact + near duplicates with known ids
+    val rows = base.limit(5).collect().map(r =>
+      (r.getLong(0), r.getString(1)))
+    val exact = rows.map { case (id, t) => (id + 10000L, t) }
+    val near = rows.map { case (id, t) =>
+      (id + 20000L, t.split(" ").dropRight(1).mkString(" ") + " zzz")
+    }
+    base.unionByName((exact ++ near).toSeq.toDF("doc_id", "text"))
+  }
+
+  test("exactGroups finds injected exact duplicates with min-id keeper") {
+    val groups = Dedup.exactGroups(docsWithDups, "text", "doc_id")
+    val dups = groups.filter(col("n_copies") > 1).collect()
+    assert(dups.length == 5)
+    assert(dups.forall(_.getLong(1) < 10000L)) // keeper is the original
+  }
+
+  test("minhash est_jaccard is 1.0 for exact dups and high for near dups") {
+    val cand = Dedup.minhashCandidates(docsWithDups, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // every injected exact duplicate pair must be a candidate with est 1.0
+    (0 until 5).foreach { i =>
+      val hit = cand.find { case (a, b, _) => b - a == 10000L }
+      assert(hit.nonEmpty, "exact dup pair missed by LSH")
+    }
+    val exactPairs = cand.filter { case (a, b, _) => b - a == 10000L }
+    assert(exactPairs.forall(_._3 == 1.0))
+  }
+
+  test("simhash of near-identical docs is close in hamming distance") {
+    val sims = Dedup.simhash16(docsWithDups, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 5).foreach { _ => () }
+    sims.keys.filter(_ < 10000L).take(5).foreach { id =>
+      sims.get(id + 10000L).foreach { dup =>
+        assert(sims(id) == dup, "exact dup must have identical simhash")
+      }
+      sims.get(id + 20000L).foreach { near =>
+        val ham = java.lang.Long.bitCount(sims(id) ^ near)
+        assert(ham <= 6, s"near-dup hamming $ham too large")
+      }
+    }
+  }
+
+  test("ngramJaccard: identical → 1.0, disjoint → 0.0, near-dup high") {
+    val df = Seq(
+      ("a b c d e f g h", "a b c d e f g h", "identical"),
+      ("a b c d e f g h", "p q r s t u v w", "disjoint"),
+      ("a b c d e f g h i j k l", "a b c d e f g h i j k x", "near"))
+      .toDF("ta", "tb", "kind")
+    val got = df.select(col("kind"),
+      Dedup.ngramJaccard(col("ta"), col("tb"), 3).as("j"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("identical") == 1.0)
+    assert(got("disjoint") == 0.0)
+    assert(got("near") > 0.6 && got("near") < 1.0)
+  }
+
+  test("cosineTop1 matches a driver-side brute force") {
+    val embDf = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(60).cache()
+    val got = Similarity.cosineTop1(embDf, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val vecs = embDf.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    vecs.foreach { case (id, v) =>
+      val want = vecs.filter(_._1 != id).map(o => cos(v, o._2)).max
+      assert(math.abs(got(id) - want) < 1e-9, s"vec $id")
+    }
+  }
+
+  test("annTop1 is bounded by the exact top1 and hits on bucket collisions") {
+    val embDf = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val exact = Similarity.cosineTop1(embDf, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ann = Similarity.annTop1(embDf, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ann.nonEmpty)
+    ann.foreach { case (id, c) =>
+      assert(c <= exact(id) + 1e-9, s"ann beat exact for $id")
+    }
+  }
+
+  test("multimodal: metadata typed, decode stub deterministic, " +
+    "frame checksum computed") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(20)
+    val media = Multimodal.asMedia(df, "text", "text-as-bytes")
+    val meta = media.select(col("meta.kind"), col("meta.n_bytes"),
+      col("meta.sha")).collect()
+    meta.foreach { r =>
+      assert(r.getString(0) == "text-as-bytes")
+      assert(r.getLong(1) > 0)
+      assert(r.getString(2).length == 64)
+    }
+    val f1 = Multimodal.decodeStub(media, "media")
+      .select("doc_id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val f2 = Multimodal.decodeStub(media.repartition(3), "media")
+      .select("doc_id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(f1 == f2, "decode stub must be partition-layout independent")
+    assert(f1.values.forall(v => v.length == 4 && v.forall(x => x >= 0 && x < 1)))
+    val fsc = media.select(
+      Multimodal.frameSampleChecksum("text", 16, 64).as("c")).collect()
+    fsc.foreach(r => assert(r.getLong(0) > 0))
+  }
+
+  test("langId returns a label from the priority set and is deterministic") {
+    val preds = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(TextAnalysis.langId(col("text")).as("p")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(TextAnalysis.LangPriority.toSet + "und"))
+  }
+}
