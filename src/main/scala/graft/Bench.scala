@@ -16,10 +16,41 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // minimum-slice ELBO training loop (BASELINE.md bench plan):
+    // variational Bayesian linear regression, minibatch SGD at sfDir
+    // scale; reported as iterations and wall-seconds.
+    val elboIters = 30
+    val elboSecs = try {
+      import graft.autodiff.ExprFns
+      import graft.core._
+      import graft.data.DataSet
+      import graft.optimize.Elbo
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(((col("l_quantity") - 25.5) / 14.4).as("x"),
+          ((col("l_extendedprice") / 10000.0 - 3.8) / 2.5).as("y"))
+      val root = new Module
+      val a = root.add("a", new Variational.Normal(Seq(1)))
+      val b = root.add("b", new Variational.Normal(Seq(1)))
+      val c = root.add("c", new Variational.Normal(Seq(1)))
+      val ds = new DataSet(li, seed = 0)
+      val elbo = new Elbo(root, ds, Seq("x", "y"), ctx => {
+        val fit = ctx.sample1(a) + ctx.sample1(b) * ctx.in("x")
+        ExprFns.gaussian(ctx.in("y"), fit,
+          graft.autodiff.Expr.exp(ctx.sample1(c)))
+      }, seed = 0)
+      ds.trainCount // materialize split outside the timed region
+      val t0 = System.nanoTime()
+      elbo.optimize(maxiter = elboIters, minibatchSize = 65536, lr = 0.05)
+      val s = (System.nanoTime() - t0) / 1e9
+      ds.unpersist(); s
+    } catch { case _: Throwable => -1.0 }
+    val allResults = results ++ Map(s"elbo_train_${elboIters}it" -> elboSecs)
+    val qs = allResults.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = allResults.values.filter(_ > 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","elbo_iters_per_sec":${
+      if (elboSecs > 0) elboIters / elboSecs else -1.0}}""")
     spark.stop()
   }
 }

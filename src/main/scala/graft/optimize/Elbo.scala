@@ -34,7 +34,13 @@ final class Elbo(
       * reparameterization noise (the Spark analog of the reference
       * re-drawing `tf.random_normal` per `session.run`). */
     augment: (org.apache.spark.sql.DataFrame, Int) =>
-      org.apache.spark.sql.DataFrame = (df, _) => df) extends Serializable {
+      org.apache.spark.sql.DataFrame = Elbo.NoAugment,
+    /** Row-count ceiling below which the (augment-free) training data is
+      * collected once and gradient steps run driver-local, skipping
+      * per-iteration job-scheduling latency. Semantics are identical —
+      * same tape, same seeded draws; this is pure adaptivity: tiny
+      * problems iterate at memory speed, big ones scale out. */
+    localThreshold: Long = 8000000L) extends Serializable {
 
   // ---- slot layout: full flat θ over sortedParams (deterministic order)
   private val paramSeq: Seq[(String, Param)] = module.sortedParams
@@ -97,37 +103,80 @@ final class Elbo(
     Array.fill(nDraws)(r.nextGaussian())
   }
 
-  /** Distributed Σ over rows of (logp, ∇logp) via treeAggregate. */
-  private def rowGrad(df: org.apache.spark.sql.DataFrame,
+  private val augmentIsDefault: Boolean =
+    augment.asInstanceOf[AnyRef] eq Elbo.NoAugment
+
+  /** Input columns projected ONCE to a persisted vector RDD — gradient
+    * steps then skip Catalyst planning and Row decoding entirely
+    * (augment-free models only; augmented batches change per step). */
+  @transient private lazy val trainVecs = {
+    val f = Elbo.vecOf(inputCols)
+    dataset.train.select(inputCols.map(col): _*).rdd.map(f)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+  @transient private lazy val testVecs = {
+    val f = Elbo.vecOf(inputCols)
+    dataset.test.select(inputCols.map(col): _*).rdd.map(f)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  private def useLocal: Boolean = augmentIsDefault &&
+    dataset.trainCount * math.max(1, inputCols.length) <= localThreshold
+  @transient private lazy val localTrain: Array[Array[Double]] = trainVecs.collect()
+  @transient private lazy val localTest: Array[Array[Double]] = testVecs.collect()
+
+  /** Driver-local Σ (logp, ∇logp) — multithreaded chunked tape walk. */
+  private def localGrad(rows: Array[Array[Double]], idx: Array[Int],
+                        theta: Array[Double], draws: Array[Double])
+      : (Double, Array[Double], Long) = {
+    val n = if (idx == null) rows.length else idx.length
+    val nThreads = math.min(Runtime.getRuntime.availableProcessors(),
+      math.max(1, n / 2048))
+    val chunk = (n + nThreads - 1) / math.max(1, nThreads)
+    val losses = new Array[Double](nThreads)
+    val grads = Array.fill(nThreads)(new Array[Double](nSlots))
+    val tape = rowTape
+    java.util.stream.IntStream.range(0, nThreads).parallel().forEach { t =>
+      val vals = tape.newValues; val adj = tape.newValues
+      val g = grads(t)
+      var l = 0.0
+      var i = t * chunk
+      val end = math.min(n, (t + 1) * chunk)
+      while (i < end) {
+        val row = if (idx == null) rows(i) else rows(idx(i))
+        l += tape.evalGrad(row, theta, draws, vals, adj, g)
+        i += 1
+      }
+      losses(t) = l
+    }
+    val grad = new Array[Double](nSlots)
+    var t = 0
+    while (t < nThreads) {
+      var i = 0
+      while (i < nSlots) { grad(i) += grads(t)(i); i += 1 }
+      t += 1
+    }
+    (losses.sum, grad, n.toLong)
+  }
+
+  /** Distributed Σ over rows of (logp, ∇logp) via treeAggregate — the
+    * MLlib pattern: per-partition partial accumulators against a
+    * per-step broadcast θ, tree-reduced. */
+  private def rddGrad(rdd: org.apache.spark.rdd.RDD[Array[Double]],
                       theta: Array[Double], draws: Array[Double])
       : (Double, Array[Double], Long) = {
     val tape = rowTape
     val nS = nSlots
-    val cols = inputCols
-    val sc = df.sparkSession.sparkContext
+    val sc = rdd.sparkContext
     val bTheta = sc.broadcast(theta)
     val bDraws = sc.broadcast(draws)
-    val rdd = df.select(cols.map(col): _*).rdd
     val depth = math.max(2, (math.log(math.max(rdd.getNumPartitions, 2)) /
       math.log(4)).ceil.toInt)
     val (loss, grad, cnt) = rdd.treeAggregate(
       (0.0, new Array[Double](nS), 0L))(
-      seqOp = { case ((l, g, n), row) =>
-        val in = new Array[Double](cols.length)
-        var i = 0
-        while (i < cols.length) {
-          in(i) = row.get(i) match {
-            case d: java.lang.Double => d.doubleValue()
-            case f: java.lang.Float => f.toDouble
-            case l2: java.lang.Long => l2.toDouble
-            case i2: java.lang.Integer => i2.toDouble
-            case other => throw new IllegalArgumentException(
-              s"non-numeric input ${cols(i)}: $other")
-          }
-          i += 1
-        }
-        // scratch arrays are reused via thread-local to stay
-        // allocation-free over millions of rows
+      seqOp = { case ((l, g, n), in) =>
+        // scratch arrays reused via thread-local: allocation-free over
+        // millions of rows
         val scratch = Elbo.scratchFor(tape)
         val v = tape.evalGrad(in, bTheta.value, bDraws.value,
           scratch._1, scratch._2, g)
@@ -142,18 +191,48 @@ final class Elbo(
     (loss, grad, cnt)
   }
 
+  /** One batch evaluation, choosing the cheapest valid path:
+    * driver-local (tiny data), persisted-vector RDD (no augment), or
+    * full DataFrame (augmented). */
+  private def batchGrad(step: Int, minibatchSize: Int, training: Boolean,
+                        theta: Array[Double], draws: Array[Double])
+      : (Double, Array[Double], Long) = {
+    if (useLocal) {
+      val rows = if (training) localTrain else localTest
+      val idx = if (minibatchSize <= 0 || minibatchSize >= rows.length) null
+      else {
+        val r = new scala.util.Random(seed + 7919L * (step + 1) +
+          (if (training) 0 else 104729L))
+        Array.fill(minibatchSize)(r.nextInt(rows.length))
+      }
+      localGrad(rows, idx, theta, draws)
+    } else if (augmentIsDefault) {
+      val base = if (training) trainVecs else testVecs
+      val total = if (training) dataset.trainCount else dataset.testCount
+      val rdd = if (minibatchSize <= 0) base
+      else base.sample(withReplacement = true,
+        math.min(1.0, minibatchSize.toDouble / math.max(1L, total)),
+        seed + 7919L * (step + 1))
+      rddGrad(rdd, theta, draws)
+    } else {
+      val df =
+        if (minibatchSize <= 0) { if (training) dataset.train else dataset.test }
+        else if (training) dataset.minibatch(minibatchSize, step)
+        else dataset.testBatch(minibatchSize, step)
+      val f = Elbo.vecOf(inputCols)
+      val rdd = augment(df, step).select(inputCols.map(col): _*).rdd.map(f)
+      rddGrad(rdd, theta, draws)
+    }
+  }
+
   /** ELBO value on full train data (or a test batch), fresh draw
     * (reference `Optimizer.run`, `model.py:232-253`). */
   def run(minibatchSize: Int = -1, training: Boolean = true,
           step: Int = 0): Double = {
     val theta = thetaFromTree()
     val draws = freshDraws(step)
-    val df =
-      if (minibatchSize <= 0) { if (training) dataset.train else dataset.test }
-      else if (training) dataset.minibatch(minibatchSize, step)
-      else dataset.testBatch(minibatchSize, step)
     val total = if (training) dataset.trainCount else dataset.testCount
-    val (loss, _, cnt) = rowGrad(augment(df, step), theta, draws)
+    val (loss, _, cnt) = batchGrad(step, minibatchSize, training, theta, draws)
     val scale = if (cnt == 0) 0.0 else total.toDouble / cnt
     val vals = klTape.newValues
     val kl = klTape.eval(Array.empty, theta, draws, vals)
@@ -174,9 +253,8 @@ final class Elbo(
     var it = 0
     while (it < maxiter) {
       val draws = freshDraws(it)
-      val df = if (minibatchSize <= 0) dataset.train
-        else dataset.minibatch(minibatchSize, it)
-      val (loss, grad, cnt) = rowGrad(augment(df, it), theta, draws)
+      val (loss, grad, cnt) = batchGrad(it, minibatchSize, training = true,
+        theta, draws)
       val scale = if (cnt == 0) 0.0 else total.toDouble / cnt
       // KL value + gradient on driver (param-sized)
       val vals = klTape.newValues
@@ -198,6 +276,36 @@ final class Elbo(
 }
 
 object Elbo {
+
+  /** Default no-op augment marker (identity). Kept as a named object so
+    * the engine can detect "no per-step columns" and use the persisted
+    * vector / driver-local fast paths. */
+  val NoAugment: (org.apache.spark.sql.DataFrame, Int) =>
+    org.apache.spark.sql.DataFrame = (df, _) => df
+
+  /** Serializable Row → Array[Double] projector (kept off the Elbo
+    * instance so RDD closures don't capture the engine). */
+  private[optimize] def vecOf(names: Seq[String])
+      : org.apache.spark.sql.Row => Array[Double] = {
+    val n = names.length
+    val namesArr = names.toArray
+    row => {
+      val in = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        in(i) = row.get(i) match {
+          case d: java.lang.Double => d.doubleValue()
+          case f: java.lang.Float => f.toDouble
+          case l2: java.lang.Long => l2.toDouble
+          case i2: java.lang.Integer => i2.toDouble
+          case other => throw new IllegalArgumentException(
+            s"non-numeric input ${namesArr(i)}: $other")
+        }
+        i += 1
+      }
+      in
+    }
+  }
 
   private val scratch =
     new ThreadLocal[(Array[Double], Array[Double], CompiledExpr)]()
