@@ -99,7 +99,12 @@ final class Elbo(
   }
 
   private def freshDraws(step: Int): Array[Double] = {
-    val r = new scala.util.Random(seed * 2654435761L + step)
+    // splitmix64 scramble: consecutive-step seeds fed straight into
+    // java.util.Random give correlated first draws
+    var z = seed + 0x9e3779b97f4a7c15L * (step + 1)
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    val r = new scala.util.Random(z ^ (z >>> 31))
     Array.fill(nDraws)(r.nextGaussian())
   }
 

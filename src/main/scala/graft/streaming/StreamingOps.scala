@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+
+/** Structured-Streaming extensions (beyond the reference surface — it
+  * has no streaming; SURVEY §2 marks the absence and §2/§7 scope this
+  * as the natural incremental form of its minibatch processing).
+  *
+  * Two shapes:
+  *  - [[densityWindowAgg]]: watermarked event-time windows accumulating
+  *    the ELBO data term (Σ log-density) incrementally — the streaming
+  *    analog of `Optimizer.run`'s full-data evaluation.
+  *  - [[runningLogpStats]]: per-key online sufficient statistics
+  *    (count, Σ logp, Σ logp²) via mapGroupsWithState — the state a
+  *    streaming optimizer consumes.
+  *
+  * Both are standard watermark+state patterns: partial aggregation
+  * map-side, state sharded by key, no driver accumulation — unchanged
+  * at production stream rates.
+  */
+object StreamingOps {
+
+  /** Event-time windowed Σ of an arbitrary log-density column.
+    * `tsNanos` is the long-nanos event time (the testdata convention);
+    * watermark/window sizes are caller-chosen. */
+  def densityWindowAgg(events: DataFrame, tsNanos: Column, logp: Column,
+                       keyCol: Column, watermark: String = "10 minutes",
+                       windowLen: String = "5 minutes"): DataFrame =
+    events
+      .withColumn("event_ts", (tsNanos / lit(1e9)).cast("timestamp"))
+      .withColumn("logp", logp)
+      .withWatermark("event_ts", watermark)
+      .groupBy(window(col("event_ts"), windowLen), keyCol)
+      .agg(count(lit(1)).as("n"), sum(col("logp")).as("sum_logp"))
+
+  final case class LogpStats(key: String, n: Long, sumLogp: Double,
+                             sumLogp2: Double)
+
+  /** Per-key running (n, Σlogp, Σlogp²) with explicit state — emits the
+    * updated statistics on every trigger. Input: (key, logp) rows. */
+  def runningLogpStats(pairs: Dataset[(String, Double)])
+      : Dataset[LogpStats] = {
+    import pairs.sparkSession.implicits._
+    pairs.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Double)],
+         state: GroupState[LogpStats]) =>
+          var s = state.getOption.getOrElse(LogpStats(key, 0L, 0.0, 0.0))
+          rows.foreach { case (_, lp) =>
+            s = LogpStats(key, s.n + 1, s.sumLogp + lp, s.sumLogp2 + lp * lp)
+          }
+          state.update(s)
+          s
+      }
+  }
+
+  /** Convenience: run a streaming query over a parquet directory to a
+    * memory sink and block until the backlog is processed — the local
+    * smoke-test harness for streaming ops. Returns the sink table name.
+    */
+  def runToMemorySink(out: DataFrame, name: String,
+                      outputMode: OutputMode = OutputMode.Append()): String = {
+    val q = out.writeStream.outputMode(outputMode)
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    name
+  }
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.functions.Densities
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming == batch equivalence: the watermarked windowed density
+  * aggregation over the events table must produce the same totals as
+  * the equivalent batch query; stateful running stats must match a
+  * driver-side fold. */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("windowed density aggregation: streaming equals batch") {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the testdata ships single parquet FILES; the file-stream source
+    // wants a directory, so stream the sf dir filtered to the one file
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val logp = Densities.laplace(lit(100.0), lit(50.0), col("value"))
+    val out = StreamingOps.densityWindowAgg(stream, col("ts"), logp,
+      col("event_type"), watermark = "1 hour", windowLen = "6 hours")
+    // Complete mode so the trailing windows (which the watermark would
+    // hold in state awaiting later data) are visible at end-of-stream
+    StreamingOps.runToMemorySink(out, "win_agg",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    val got = spark.table("win_agg")
+      .groupBy("event_type")
+      .agg(sum("n").as("n"), sum("sum_logp").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6))).toSet
+    val want = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(logp).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6))).toSet
+    assert(got.map(t => (t._1, t._2)) == want.map(t => (t._1, t._2)))
+    // totals agree to 1e-6 (different add orders)
+    val gm = got.map(t => t._1 -> t._3).toMap
+    want.foreach { case (k, _, s) =>
+      assert(math.abs(gm(k) - s) <= 1, s"$k")
+    }
+  }
+
+  test("stateful running logp stats match a driver fold") {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"),
+        Densities.laplace(lit(100.0), lit(50.0), col("value")).as("lp"))
+      .as[(String, Double)].collect().toSeq
+    val ds = rows.toDS()
+    val got = StreamingOps.runningLogpStats(ds)
+      .collect().map(s => s.key -> s).toMap
+    val want = rows.groupBy(_._1).map { case (k, vs) =>
+      k -> (vs.length.toLong, vs.map(_._2).sum)
+    }
+    want.foreach { case (k, (n, s)) =>
+      assert(got(k).n == n)
+      assert(math.abs(got(k).sumLogp - s) < 1e-6 * math.max(1.0, math.abs(s)))
+    }
+  }
+}
