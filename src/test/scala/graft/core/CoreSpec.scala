@@ -137,6 +137,29 @@ class CoreSpec extends AnyFunSuite {
     assert(b.alpha.value(0) > 0 && b.beta.value(0) > 0)
   }
 
+  test("ParamList: indexed access, append, flatten ordering " +
+    "(ref param.py:605-674)") {
+    val root = new Module
+    val pl = root.add("layers", new ParamList(Seq(
+      new Param(Seq(2)), new Param(Seq(3)))))
+    pl.append(new Param(Seq(1)))
+    assert(pl.length == 3)
+    assert(root.sortedParams.map(_._1) ==
+      Seq("layers/0", "layers/1", "layers/2"))
+    val replacement = new Param(Seq(3))
+    pl(1) = replacement
+    assert(root.sortedParams(1)._2 eq replacement)
+  }
+
+  test("Settings: stack-based temporary override (ref _settings.py:120-149)") {
+    assert(Settings.current.jitterLevel == 1e-5)
+    val got = Settings.withSettings(Settings(clipping = true, clipMax = 10)) {
+      Settings.current.clipping
+    }
+    assert(got)
+    assert(!Settings.current.clipping)
+  }
+
   test("checkpoint save/restore roundtrip (ref test_model.py:76-105)") {
     val spark = SparkTestSession.spark
     def build(): Module = {
