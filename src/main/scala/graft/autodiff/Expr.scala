@@ -52,6 +52,8 @@ final case class Relu(a: Expr) extends Expr
 final case class LgammaE(a: Expr) extends Expr
 /** Stable log(e^a + e^b); gradients are the softmax weights. */
 final case class Lse2(a: Expr, b: Expr) extends Expr
+final case class SinE(a: Expr) extends Expr
+final case class CosE(a: Expr) extends Expr
 
 object Expr {
   val zero: Expr = Const(0.0)
@@ -68,6 +70,8 @@ object Expr {
   def relu(a: Expr): Expr = Relu(a)
   def lgamma(a: Expr): Expr = LgammaE(a)
   def lse2(a: Expr, b: Expr): Expr = Lse2(a, b)
+  def sin(a: Expr): Expr = SinE(a)
+  def cos(a: Expr): Expr = CosE(a)
   def sum(es: Iterable[Expr]): Expr =
     es.foldLeft(zero)(_ + _)
 }
@@ -111,6 +115,8 @@ final class CompiledExpr private (
         case OpRelu => math.max(0.0, vals(c0(i)))
         case OpLgamma => MathFns.lgamma(vals(c0(i)))
         case OpLse2 => MathFns.logSumExp2(vals(c0(i)), vals(c1(i)))
+        case OpSin => math.sin(vals(c0(i)))
+        case OpCos => math.cos(vals(c0(i)))
       }
       vals(i) = v
       i += 1
@@ -164,6 +170,8 @@ final class CompiledExpr private (
             val w0 = math.exp(vals(c0(i)) - vals(i))
             val w1 = math.exp(vals(c1(i)) - vals(i))
             adj(c0(i)) += a * w0; adj(c1(i)) += a * w1
+          case OpSin => adj(c0(i)) += a * math.cos(vals(c0(i)))
+          case OpCos => adj(c0(i)) -= a * math.sin(vals(c0(i)))
         }
       }
       i -= 1
@@ -180,6 +188,7 @@ object CompiledExpr {
   final val OpAbs = 12; final val OpPow = 13; final val OpSigmoid = 14
   final val OpSoftplus = 15; final val OpTanh = 16; final val OpRelu = 17
   final val OpLgamma = 18; final val OpLse2 = 19
+  final val OpSin = 20; final val OpCos = 21
 
   /** Compile with structural common-subexpression elimination. */
   def compile(e: Expr, nIn: Int, nSlots: Int, nDraws: Int): CompiledExpr = {
@@ -216,6 +225,8 @@ object CompiledExpr {
       case Relu(a) => emit(OpRelu, go(a), -1, 0, -1)
       case LgammaE(a) => emit(OpLgamma, go(a), -1, 0, -1)
       case Lse2(a, b) => val (i, j) = (go(a), go(b)); emit(OpLse2, i, j, 0, -1)
+      case SinE(a) => emit(OpSin, go(a), -1, 0, -1)
+      case CosE(a) => emit(OpCos, go(a), -1, 0, -1)
     })
 
     val root = go(e)

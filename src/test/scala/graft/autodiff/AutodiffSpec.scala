@@ -39,6 +39,7 @@ class AutodiffSpec extends AnyFunSuite {
     checkGrads(relu(P(0)) + relu(P(1)) * P(2), 3, theta = t)
     checkGrads(lgamma(P(2) + c(1.5)), 3, theta = t)
     checkGrads(lse2(P(0), P(1) * c(2.0)), 3, theta = t)
+    checkGrads(sin(P(0)) * cos(P(1) * P(2)), 3, theta = t)
   }
 
   test("density builders' gradients match finite differences") {

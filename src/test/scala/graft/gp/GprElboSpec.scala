@@ -1,0 +1,76 @@
+package graft.gp
+
+import breeze.linalg.DenseVector
+import graft.SparkTestSession
+import graft.autodiff.{CompiledExpr, Expr, ExprFns}
+import graft.core._
+import graft.data.DataSet
+import graft.optimize.Elbo
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sparse-GP regression trained end-to-end through the ELBO engine —
+  * the Spark-first form of the reference's GPR demo
+  * (`notebooks/GaussianProcess.ipynb`; whitened inducing-point
+  * parameterization from `gp/gp.py:99-143`). The synthetic testdata
+  * has a flat conditional mean, so correctness = the GP learns (and
+  * does not overfit away from) that flat function. */
+class GprElboSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  test("whitened features match the Breeze effectiveLT at sample points") {
+    val z = Seq(-1.5, -0.5, 0.5, 1.5)
+    val feats = GpExpr.whitenedFeatures1d(graft.autodiff.In(0), z, 0.8)
+    val xs = Seq(-1.2, 0.0, 0.7, 2.0)
+    val want = {
+      val zm = new breeze.linalg.DenseMatrix(z.length, 1, z.toArray)
+      val sgp = new SparseGP(Kernels.UnitRBF(DenseVector(0.8)), zm)
+      sgp.effectiveLT(new breeze.linalg.DenseMatrix(xs.length, 1, xs.toArray))
+    }
+    feats.zipWithIndex.foreach { case (f, j) =>
+      val tape = CompiledExpr.compile(f, 1, 0, 0)
+      xs.zipWithIndex.foreach { case (x, i) =>
+        val got = tape.eval(Array(x), Array.empty, Array.empty, tape.newValues)
+        assert(math.abs(got - want(j, i)) < 1e-10, s"phi_$j($x)")
+      }
+    }
+  }
+
+  test("sparse-GP regression ELBO improves and predictive mean tracks the " +
+    "(flat) conditional mean without overfitting") {
+    val z = Seq(-1.6, -0.8, 0.0, 0.8, 1.6)
+    val lengthscale = 0.8
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(((col("l_quantity") - 25.5) / 14.4).as("x"),
+        ((col("l_extendedprice") / 10000.0 - 3.8) / 2.5).as("y"))
+    val root = new Module
+    val u = root.add("u", new Variational.Normal(Seq(z.length)))
+    val noise = root.add("noise", new Variational.Normal(Seq(1)))
+    val ds = new DataSet(li, seed = 0)
+    val elbo = new Elbo(root, ds, Seq("x", "y"), ctx => {
+      val phi = GpExpr.whitenedFeatures1d(ctx.in("x"), z, lengthscale)
+      val us = ctx.sample(u)
+      val f = Expr.sum(phi.indices.map(j => us(j) * phi(j)))
+      ExprFns.gaussian(ctx.in("y"), f, Expr.exp(ctx.sample1(noise)))
+    }, seed = 0)
+    val before = elbo.run(training = true)
+    val after = elbo.optimize(maxiter = 400, lr = 0.1)
+    assert(after > before, s"ELBO did not improve: $before -> $after")
+
+    val my = ds.train.agg(avg("y")).head.getDouble(0)
+    val pred = GpExpr.predictiveMean1d(Seq(-1.2, -0.5, 0.0, 0.5, 1.2), z,
+      lengthscale, u.qMu.value)
+    pred.foreach { p =>
+      assert(math.abs(p - my) < 0.2,
+        s"predictive $p strays from conditional mean $my")
+    }
+    // test-set ELBO should be close to train (no overfit)
+    val testElbo = elbo.run(training = false)
+    val trainElbo = elbo.run(training = true)
+    val perRowGap = math.abs(testElbo / ds.testCount -
+      trainElbo / ds.trainCount)
+    assert(perRowGap < 0.3, s"per-row train/test gap $perRowGap")
+    ds.unpersist()
+  }
+}
