@@ -54,4 +54,35 @@ object ExprNN {
     val logdet = c(2.0) * logScale
     c(0.5) * (-logdet - one + exp(logdet) + mu.sq)
   }
+
+  /** Per-row FULLRANK local posterior sample (SURVEY hard-part (b)):
+    * x = μ + tril(L)·ε with `lPacked` the row-major lower-triangle
+    * packing (s·(s+1)/2 encoder outputs) and ε per-row N(0,1) input
+    * columns. Mirrors the reference's fullrank `_sample`
+    * (`variationals.py:141-147`); the diag is raw (unconstrained),
+    * logdet = log diag², as upstream. */
+  def localFullrankSample(mu: IndexedSeq[Expr], lPacked: IndexedSeq[Expr],
+                          eps: IndexedSeq[Expr]): IndexedSeq[Expr] = {
+    val s = mu.length
+    require(lPacked.length == s * (s + 1) / 2,
+      s"need ${s * (s + 1) / 2} packed entries, got ${lPacked.length}")
+    require(eps.length == s)
+    def lAt(i: Int, j: Int): Expr = lPacked(i * (i + 1) / 2 + j)
+    (0 until s).map { i =>
+      mu(i) + Expr.sum((0 to i).map(j => lAt(i, j) * eps(j)))
+    }
+  }
+
+  /** Per-row single-draw MC KL for a fullrank local Normal posterior
+    * with unit-Normal prior (the specialized `Normal._KL` form,
+    * reference `variationals.py:225-230`):
+    * −½Σ(logdet_i + ε_i² − x_i²). */
+  def klFullrankNormalMc(lPacked: IndexedSeq[Expr], eps: IndexedSeq[Expr],
+                         sample: IndexedSeq[Expr]): Expr = {
+    val s = eps.length
+    def diag(i: Int): Expr = lPacked(i * (i + 1) / 2 + i)
+    Expr.sum((0 until s).map { i =>
+      c(-0.5) * (Expr.log(diag(i).sq) + eps(i).sq - sample(i).sq)
+    })
+  }
 }

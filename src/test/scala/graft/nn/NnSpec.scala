@@ -93,6 +93,34 @@ class NnSpec extends AnyFunSuite {
     }
   }
 
+  test("local fullrank sample matches Breeze tril multiply and KL is the " +
+    "specialized Normal form (ref variationals.py:141-147,225-230)") {
+    val s = 3
+    val mu = Array(0.5, -1.0, 2.0)
+    val lp = Array(1.2, 0.4, 0.9, -0.3, 0.7, 1.5) // row-major lower tri
+    val eps = Array(0.3, -0.8, 1.1)
+    val muE = (0 until 3).map(i => graft.autodiff.P(i): Expr)
+    val lpE = (0 until 6).map(i => graft.autodiff.P(3 + i): Expr)
+    val epE = (0 until 3).map(i => graft.autodiff.P(9 + i): Expr)
+    val theta = mu ++ lp ++ eps
+    val sample = ExprNN.localFullrankSample(muE, lpE, epE)
+    val lmat = DenseMatrix((1.2, 0.0, 0.0), (0.4, 0.9, 0.0), (-0.3, 0.7, 1.5))
+    val want = DenseVector(mu) + lmat * DenseVector(eps)
+    sample.zipWithIndex.foreach { case (e, i) =>
+      val tape = CompiledExpr.compile(e, 0, 12, 0)
+      val got = tape.eval(Array.empty, theta, Array.empty, tape.newValues)
+      assert(math.abs(got - want(i)) < 1e-12, s"x_$i")
+    }
+    val kl = ExprNN.klFullrankNormalMc(lpE, epE, sample)
+    val tape = CompiledExpr.compile(kl, 0, 12, 0)
+    val got = tape.eval(Array.empty, theta, Array.empty, tape.newValues)
+    val wantKl = (0 until s).map { i =>
+      val d = lmat(i, i)
+      -0.5 * (math.log(d * d) + eps(i) * eps(i) - want(i) * want(i))
+    }.sum
+    assert(math.abs(got - wantKl) < 1e-12)
+  }
+
   test("amortized inference: encoder-driven local Normal posterior trains " +
     "(local feed path, ref variationals.py:121-129)") {
     val spark = SparkTestSession.spark

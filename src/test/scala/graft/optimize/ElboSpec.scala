@@ -52,6 +52,29 @@ class ElboSpec extends AnyFunSuite {
     ds.unpersist()
   }
 
+  test("robust Student-t likelihood trains (ref GaussianProcess.ipynb " +
+    "robust GPR, densities.py:52-59)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(((col("l_quantity") - 25.5) / 14.4).as("x"),
+        ((col("l_extendedprice") / 10000.0 - 3.8) / 2.5).as("y"))
+    val root = new Module
+    val a = root.add("a", new Variational.Normal(Seq(1)))
+    val b = root.add("b", new Variational.Normal(Seq(1)))
+    val sc = root.add("s", new Variational.Normal(Seq(1)))
+    val ds = new DataSet(li, seed = 0)
+    val elbo = new Elbo(root, ds, Seq("x", "y"), ctx => {
+      val fit = ctx.sample1(a) + ctx.sample1(b) * ctx.in("x")
+      ExprFns.studentT(ctx.in("y"), fit,
+        graft.autodiff.Expr.exp(ctx.sample1(sc)), graft.autodiff.Expr.c(4.0))
+    }, seed = 0)
+    val before = elbo.run(training = true)
+    val after = elbo.optimize(maxiter = 300, lr = 0.1)
+    assert(after > before)
+    // flat truth: slope near zero, intercept near mean of y
+    assert(math.abs(b.qMu.value(0)) < 0.2, s"slope ${b.qMu.value(0)}")
+    ds.unpersist()
+  }
+
   test("variational Bayesian linear regression on lineitem converges " +
     "(minimum end-to-end slice, ref Henbun_structure2.ipynb)") {
     // y ≈ a + b·x with centered x (decorrelates intercept/slope so the
