@@ -71,9 +71,14 @@ class Variational(
   }
 
   /** Transformed (constrained-space) sample — what the model reads
-    * (reference `tensor()`, `variationals.py:112-119`). */
-  def sample(u: DenseVector[Double]): DenseVector[Double] =
-    sampleRaw(u).map(transform.forward)
+    * (reference `tensor()`, `variationals.py:112-119`, which wraps in
+    * the global clip — off by default, `tf_wraps.py:33-39`). */
+  def sample(u: DenseVector[Double]): DenseVector[Double] = {
+    val s = sampleRaw(u).map(transform.forward)
+    val cfg = Settings.current
+    if (cfg.clipping) s.map(v => graft.functions.Numerics.clip(v, cfg.clipMax))
+    else s
+  }
 
   /** Elementwise log-determinant contribution (reference `logdet`,
     * `variationals.py:178-186`): diagonal 2·q_sqrt; fullrank

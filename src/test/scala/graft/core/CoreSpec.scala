@@ -160,6 +160,19 @@ class CoreSpec extends AnyFunSuite {
     assert(!Settings.current.clipping)
   }
 
+  test("sample clipping follows Settings (ref tf_wraps.py:33-39, " +
+    "variationals.py:112-119)") {
+    val v = new Variational(Seq(1))
+    v.qMu.assign(DenseVector(100.0))
+    v.qSqrt.assign(DenseVector(-5.0))
+    val root = new Module; root.add("v", v); root.initialize()
+    val u = DenseVector(0.0)
+    assert(v.sample(u)(0) > 50.0) // clipping off by default
+    Settings.withSettings(Settings(clipping = true)) {
+      assert(v.sample(u)(0) == 50.0)
+    }
+  }
+
   test("checkpoint save/restore roundtrip (ref test_model.py:76-105)") {
     val spark = SparkTestSession.spark
     def build(): Module = {

@@ -37,6 +37,39 @@ class GprElboSpec extends AnyFunSuite {
     }
   }
 
+  test("expert mixture of two GPs with a GP gate trains " +
+    "(ref Expert_GPR.ipynb: experts + bimixture gating)") {
+    val z = Seq(-1.5, 0.0, 1.5)
+    val l = 1.0
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(((col("l_quantity") - 25.5) / 14.4).as("x"),
+        ((col("l_extendedprice") / 10000.0 - 3.8) / 2.5).as("y"))
+      .limit(2000)
+    val root = new Module
+    val u1 = root.add("u1", new Variational.Normal(Seq(z.length)))
+    val u2 = root.add("u2", new Variational.Normal(Seq(z.length)))
+    val g = root.add("g", new Variational.Normal(Seq(z.length)))
+    val s1 = root.add("s1", new Variational.Normal(Seq(1)))
+    val s2 = root.add("s2", new Variational.Normal(Seq(1)))
+    val ds = new DataSet(li, seed = 0)
+    val elbo = new Elbo(root, ds, Seq("x", "y"), ctx => {
+      val phi = GpExpr.whitenedFeatures1d(ctx.in("x"), z, l)
+      def gpMean(us: IndexedSeq[Expr]) =
+        Expr.sum(phi.indices.map(j => us(j) * phi(j)))
+      val gate = Expr.sigmoid(gpMean(ctx.sample(g)))
+      ExprFns.bimixture(gate,
+        ExprFns.gaussian(ctx.in("y"), gpMean(ctx.sample(u1)),
+          Expr.exp(ctx.sample1(s1))),
+        ExprFns.gaussian(ctx.in("y"), gpMean(ctx.sample(u2)),
+          Expr.exp(ctx.sample1(s2))))
+    }, seed = 0)
+    val before = elbo.run(training = true)
+    val after = elbo.optimize(maxiter = 250, lr = 0.1)
+    assert(after > before, s"mixture ELBO did not improve: $before -> $after")
+    assert(!after.isNaN && !after.isInfinite)
+    ds.unpersist()
+  }
+
   test("sparse-GP regression ELBO improves and predictive mean tracks the " +
     "(flat) conditional mean without overfitting") {
     val z = Seq(-1.6, -0.8, 0.0, 0.8, 1.6)
