@@ -40,6 +40,17 @@ object ExprNN {
       dense(h, weights(l), biases(l), activations(l)))
   }
 
+  /** Offset-bookkeeping fan-out of an encoder output vector into
+    * per-child slices (reference `Parameterized.feed`,
+    * `param.py:516-537`: one [..., Σfeed_size] tensor split across
+    * children in declaration order). */
+  def split(enc: IndexedSeq[Expr], sizes: Seq[Int]): Seq[IndexedSeq[Expr]] = {
+    require(sizes.sum == enc.length,
+      s"feed sizes ${sizes.sum} != encoder width ${enc.length}")
+    val offsets = sizes.scanLeft(0)(_ + _)
+    sizes.indices.map(i => enc.slice(offsets(i), offsets(i + 1)))
+  }
+
   /** Per-row reparameterized sample of a LOCAL diagonal-Normal
     * posterior: μ + e^{logScale}·ε, where μ/logScale are encoder
     * outputs and ε is a per-row N(0,1) input column (supply it with

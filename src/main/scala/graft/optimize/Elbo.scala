@@ -63,7 +63,7 @@ final class Elbo(
   private val vnameOf: Map[Variational, String] =
     varSeq.map { case (n, v) => (v: Variational) -> n }.toMap
 
-  private val ctx = new Elbo.Ctx(inputCols, offsets, drawOffsets,
+  private[optimize] val ctx = new Elbo.Ctx(inputCols, offsets, drawOffsets,
     nameOf, vnameOf)
 
   private val rowTape: CompiledExpr =

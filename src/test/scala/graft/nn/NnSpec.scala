@@ -155,4 +155,15 @@ class NnSpec extends AnyFunSuite {
     assert(after > before, s"amortized ELBO did not improve: $before -> $after")
     ds.unpersist()
   }
+
+  test("ExprNN.split fans an encoder vector into per-child slices by " +
+    "declaration order (ref param.py:516-537)") {
+    val enc = IndexedSeq.tabulate(6)(i => Expr.c(i.toDouble))
+    val parts = ExprNN.split(enc, Seq(1, 3, 2))
+    assert(parts.map(_.length) == Seq(1, 3, 2))
+    assert(parts(0) == enc.slice(0, 1))
+    assert(parts(1) == enc.slice(1, 4))
+    assert(parts(2) == enc.slice(4, 6))
+    assertThrows[IllegalArgumentException](ExprNN.split(enc, Seq(2, 2)))
+  }
 }
