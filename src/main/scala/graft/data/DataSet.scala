@@ -42,7 +42,47 @@ final class DataSet(df: DataFrame, seed: Long = 0L,
     test.sample(withReplacement = true, frac, seed + 104729L * (step + 1))
   }
 
+  // ---- projected-vector caches, keyed by column list. Multiple Elbo
+  // builds over the same data (e.g. hyperparameter re-linearization
+  // rounds, GpExpr.trainSparse1d) share one persisted projection / one
+  // driver collect instead of redoing them per build.
+  private val vecCache = scala.collection.mutable.Map
+    .empty[(Seq[String], Boolean), org.apache.spark.rdd.RDD[Array[Double]]]
+  private val localCache = scala.collection.mutable.Map
+    .empty[(Seq[String], Boolean), Array[Array[Double]]]
+
+  private def vectors(cols: Seq[String], training: Boolean) =
+    vecCache.synchronized {
+      vecCache.getOrElseUpdate((cols, training), {
+        val src = if (training) train else test
+        src.select(cols.map(org.apache.spark.sql.functions.col): _*)
+          .rdd.map(RowVec.of(cols))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      })
+    }
+
+  /** Input columns projected once to a persisted Array[Double] RDD. */
+  def trainVectors(cols: Seq[String]): org.apache.spark.rdd.RDD[Array[Double]] =
+    vectors(cols, training = true)
+  def testVectors(cols: Seq[String]): org.apache.spark.rdd.RDD[Array[Double]] =
+    vectors(cols, training = false)
+
+  /** Driver-collected vectors (tiny-data fast path; caller gates on
+    * row count). MUST NOT be mutated. */
+  def localTrain(cols: Seq[String]): Array[Array[Double]] =
+    localCache.synchronized {
+      localCache.getOrElseUpdate((cols, true), trainVectors(cols).collect())
+    }
+  def localTest(cols: Seq[String]): Array[Array[Double]] =
+    localCache.synchronized {
+      localCache.getOrElseUpdate((cols, false), testVectors(cols).collect())
+    }
+
   def unpersist(): Unit = {
     data.unpersist(); train.unpersist(); test.unpersist()
+    vecCache.synchronized {
+      vecCache.values.foreach(_.unpersist()); vecCache.clear()
+    }
+    localCache.synchronized(localCache.clear())
   }
 }

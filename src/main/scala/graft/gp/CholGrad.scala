@@ -1,0 +1,79 @@
+package graft.gp
+
+import breeze.linalg.DenseMatrix
+
+/** Forward-mode differentiation through the Cholesky factorization —
+  * the driver-side piece that makes kernel hyperparameters learnable.
+  *
+  * Standard result (I. Murray, "Differentiation of the Cholesky
+  * decomposition", arXiv:1602.07527 §2): for K = LLᵀ and a symmetric
+  * perturbation dK,
+  *
+  *     dL = L · Φ(L⁻¹ · dK · L⁻ᵀ)
+  *
+  * where Φ keeps the strict lower triangle and halves the diagonal.
+  * From dL, the inverse-factor sensitivity is d(L⁻¹) = −L⁻¹·dL·L⁻¹.
+  * All matrices are MODEL-sized ([m,m] inducing blocks), so this runs
+  * on the driver in O(m³) — nothing distributed depends on it. The
+  * reference has no analog (TF autodiffs its batch Cholesky for it;
+  * Spark has no autodiff, hence this explicit forward mode).
+  */
+object CholGrad {
+
+  /** Φ: strict lower triangle kept, diagonal halved, upper zeroed. */
+  private def phi(a: DenseMatrix[Double]): DenseMatrix[Double] =
+    DenseMatrix.tabulate(a.rows, a.cols) { (i, j) =>
+      if (i > j) a(i, j) else if (i == j) 0.5 * a(i, j) else 0.0
+    }
+
+  /** Explicit inverse of a lower-triangular matrix by forward
+    * substitution on the identity (the [[SparseGP.lmInv]] algorithm). */
+  def lowerInv(l: DenseMatrix[Double]): DenseMatrix[Double] = {
+    val m = l.rows
+    val inv = DenseMatrix.zeros[Double](m, m)
+    var c = 0
+    while (c < m) {
+      var i = c
+      while (i < m) {
+        var s = if (i == c) 1.0 else 0.0
+        var j = c
+        while (j < i) { s -= l(i, j) * inv(j, c); j += 1 }
+        inv(i, c) = s / l(i, i)
+        i += 1
+      }
+      c += 1
+    }
+    inv
+  }
+
+  /** dL for L = chol(K) under symmetric perturbation dK. */
+  def dCholesky(l: DenseMatrix[Double], lInv: DenseMatrix[Double],
+                dK: DenseMatrix[Double]): DenseMatrix[Double] =
+    l * phi(lInv * dK * lInv.t)
+
+  /** d(L⁻¹) given L⁻¹ and dL. */
+  def dLowerInv(lInv: DenseMatrix[Double],
+                dL: DenseMatrix[Double]): DenseMatrix[Double] =
+    -(lInv * dL * lInv)
+
+  /** (Lm⁻¹, d(Lm⁻¹)/dℓ) for a 1-d UnitRBF inducing block at
+    * lengthscale ℓ: K_ij = exp(−(z_i−z_j)²/(2ℓ²)) + jitter·δ_ij, so
+    * dK_ij/dℓ = K°_ij·(z_i−z_j)²/ℓ³ (jitter is ℓ-independent). */
+  def rbf1dLmInvAndGrad(z: Seq[Double], ell: Double)
+      : (DenseMatrix[Double], DenseMatrix[Double]) = {
+    val m = z.length
+    val k0 = DenseMatrix.tabulate(m, m) { (i, j) =>
+      val d = z(i) - z(j); math.exp(-0.5 * d * d / (ell * ell))
+    }
+    val k = k0.copy
+    var i = 0
+    while (i < m) { k(i, i) += Kernels.JitterLevel; i += 1 }
+    val dK = DenseMatrix.tabulate(m, m) { (i, j) =>
+      val d = z(i) - z(j); k0(i, j) * d * d / (ell * ell * ell)
+    }
+    val l = breeze.linalg.cholesky(k)
+    val lInv = lowerInv(l)
+    val dL = dCholesky(l, lInv, dK)
+    (lInv, dLowerInv(lInv, dL))
+  }
+}

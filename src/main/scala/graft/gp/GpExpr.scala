@@ -16,9 +16,14 @@ import graft.autodiff.Expr
   * distributed, with gradients flowing through the reparameterized
   * posterior exactly as the reference's GPR notebooks do.
   *
-  * (Kernel-hyperparameter learning needs matrix-valued autodiff
-  * through the Cholesky — out of scope; the reference's own sparse
-  * demos mostly fix z and lengthscales too.)
+  * Kernel-hyperparameter learning (ℓ as a trainable Param) works by
+  * splitting the ℓ-dependence: the kernel row k(z_j, x; ℓ) depends on
+  * ℓ exactly inside the scalar tape, while the matrix part Lm⁻¹(ℓ) is
+  * linearized at the current ℓ₀ with the exact driver-side derivative
+  * d(Lm⁻¹)/dℓ from [[CholGrad]] (forward mode through the Cholesky).
+  * Gradients are therefore exact AT ℓ₀; [[GpExpr.trainSparse1d]]
+  * re-linearizes every round while carrying Adam state across the
+  * tape rebuilds, so the approximation never drifts far.
   */
 object GpExpr {
 
@@ -35,6 +40,75 @@ object GpExpr {
     z.indices.map { j =>
       Expr.sum((0 to j).map(r => Expr.c(lmInv(j, r)) * ks(r)))
     }
+  }
+
+  /** φ_j(x; ℓ) with ℓ a live expression (a positive-transformed Param
+    * read): exact ℓ-dependence through the kernel rows, first-order
+    * ℓ-dependence through Lm⁻¹ around `ell0`. Equals
+    * [[whitenedFeatures1d]] when ℓ = ell0. */
+  def whitenedFeatures1dLearnable(x: Expr, ell: Expr, ell0: Double,
+                                  z: Seq[Double]): IndexedSeq[Expr] = {
+    val (a0, dA) = CholGrad.rbf1dLmInvAndGrad(z, ell0)
+    val dl = ell - Expr.c(ell0)
+    val ks = z.map(zj =>
+      Expr.exp(Expr.c(-0.5) * ((x - Expr.c(zj)) / ell).sq))
+    z.indices.map { j =>
+      Expr.sum((0 to j).map(r =>
+        (Expr.c(a0(j, r)) + Expr.c(dA(j, r)) * dl) * ks(r)))
+    }
+  }
+
+  /** Trained sparse-GP regression handle. */
+  final case class SparseGpFit(module: graft.core.Module,
+      u: graft.core.Variational.Normal, noiseVar: graft.core.Param,
+      ell: graft.core.Param, z: Seq[Double], elbo: Double) {
+    def lengthscale: Double = ell.value(0)
+    def predictiveMean(xs: Seq[Double]): Seq[Double] =
+      predictiveMean1d(xs, z, lengthscale, u.qMu.value)
+  }
+
+  /** End-to-end 1-d sparse-GP regression y ~ GP(x) + N(0, σ²) with
+    * learnable lengthscale, noise variance, and whitened inducing
+    * weights — the full `notebooks/GaussianProcess.ipynb` workflow
+    * incl. the hyperparameter training the reference gets from TF
+    * autodiff. Runs `rounds` × `stepsPerRound` Adam steps, rebuilding
+    * the tape each round at the current ℓ (constants re-linearized)
+    * while the DataSet's projected-vector cache and a shared Adam keep
+    * rebuilds cheap and the trajectory smooth. */
+  def trainSparse1d(ds: graft.data.DataSet, xCol: String, yCol: String,
+      z: Seq[Double], ell0: Double = 1.0, learnEll: Boolean = true,
+      rounds: Int = 8, stepsPerRound: Int = 100, lr: Double = 0.05,
+      minibatchSize: Int = -1, seed: Long = 0L): SparseGpFit = {
+    import graft.core._
+    import graft.optimize.{Adam, Elbo}
+    val root = new Module
+    val u = root.add("u", new Variational.Normal(Seq(z.length)))
+    val noise = root.add("noise", new Param(Seq(1),
+      transform = graft.functions.Transforms.Log1pe(), initMean = 0.1,
+      initStddev = 0.0))
+    val ell = root.add("ell", new Param(Seq(1),
+      transform = graft.functions.Transforms.Log1pe(), initMean = ell0,
+      initStddev = 0.0,
+      collection = if (learnEll) Collections.Variables else "fixed_hyper"))
+    def mkElbo(ellLin: Double) = new Elbo(root, ds, Seq(xCol, yCol), ctx => {
+      val phi = whitenedFeatures1dLearnable(ctx.in(xCol), ctx.read1(ell),
+        ellLin, z)
+      val us = ctx.sample(u)
+      val f = Expr.sum(z.indices.map(j => us(j) * phi(j)))
+      graft.autodiff.ExprFns.gaussian(ctx.in(yCol), f, ctx.read1(noise))
+    }, seed = seed)
+    var elbo = mkElbo(ell.value(0))
+    val adam = new Adam(elbo.nSlots, lr)
+    var last = 0.0
+    var r = 0
+    while (r < rounds) {
+      last = elbo.optimize(stepsPerRound, minibatchSize, lr,
+        adamState = adam)
+      r += 1
+      // re-linearize Lm⁻¹ at the moved ℓ (no-op when ℓ is frozen)
+      if (r < rounds && learnEll) elbo = mkElbo(ell.value(0))
+    }
+    SparseGpFit(root, u, noise, ell, z, last)
   }
 
   /** Driver-side predictive mean at points `xs` for trained whitened

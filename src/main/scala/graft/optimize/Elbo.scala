@@ -113,22 +113,18 @@ final class Elbo(
 
   /** Input columns projected ONCE to a persisted vector RDD — gradient
     * steps then skip Catalyst planning and Row decoding entirely
-    * (augment-free models only; augmented batches change per step). */
-  @transient private lazy val trainVecs = {
-    val f = Elbo.vecOf(inputCols)
-    dataset.train.select(inputCols.map(col): _*).rdd.map(f)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
-  @transient private lazy val testVecs = {
-    val f = Elbo.vecOf(inputCols)
-    dataset.test.select(inputCols.map(col): _*).rdd.map(f)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
+    * (augment-free models only; augmented batches change per step).
+    * Cached on the DataSet so successive Elbo builds over the same
+    * data (hyperparameter re-linearization) share the projection. */
+  @transient private lazy val trainVecs = dataset.trainVectors(inputCols)
+  @transient private lazy val testVecs = dataset.testVectors(inputCols)
 
   private def useLocal: Boolean = augmentIsDefault &&
     dataset.trainCount * math.max(1, inputCols.length) <= localThreshold
-  @transient private lazy val localTrain: Array[Array[Double]] = trainVecs.collect()
-  @transient private lazy val localTest: Array[Array[Double]] = testVecs.collect()
+  @transient private lazy val localTrain: Array[Array[Double]] =
+    dataset.localTrain(inputCols)
+  @transient private lazy val localTest: Array[Array[Double]] =
+    dataset.localTest(inputCols)
 
   /** Driver-local Σ (logp, ∇logp) — multithreaded chunked tape walk. */
   private def localGrad(rows: Array[Array[Double]], idx: Array[Int],
@@ -249,10 +245,14 @@ final class Elbo(
     * last ELBO estimate. Pass `minibatchSize = -1` for full-batch. */
   def optimize(maxiter: Int, minibatchSize: Int = -1, lr: Double = 0.01,
                collection: String = Collections.Variables,
-               verboseEvery: Int = 0): Double = {
+               verboseEvery: Int = 0,
+               /** Pass a shared instance (same module ⇒ same slot
+                 * layout) to carry Adam moments across tape rebuilds —
+                 * the re-linearization loop in [[graft.gp.GpExpr]]. */
+               adamState: Adam = null): Double = {
     val theta = thetaFromTree()
     val mask = collectionMask(collection)
-    val adam = new Adam(nSlots, lr)
+    val adam = if (adamState != null) adamState else new Adam(nSlots, lr)
     val total = dataset.trainCount
     var lastElbo = 0.0
     var it = 0
@@ -291,26 +291,7 @@ object Elbo {
   /** Serializable Row → Array[Double] projector (kept off the Elbo
     * instance so RDD closures don't capture the engine). */
   private[optimize] def vecOf(names: Seq[String])
-      : org.apache.spark.sql.Row => Array[Double] = {
-    val n = names.length
-    val namesArr = names.toArray
-    row => {
-      val in = new Array[Double](n)
-      var i = 0
-      while (i < n) {
-        in(i) = row.get(i) match {
-          case d: java.lang.Double => d.doubleValue()
-          case f: java.lang.Float => f.toDouble
-          case l2: java.lang.Long => l2.toDouble
-          case i2: java.lang.Integer => i2.toDouble
-          case other => throw new IllegalArgumentException(
-            s"non-numeric input ${namesArr(i)}: $other")
-        }
-        i += 1
-      }
-      in
-    }
-  }
+      : org.apache.spark.sql.Row => Array[Double] = graft.data.RowVec.of(names)
 
   private val scratch =
     new ThreadLocal[(Array[Double], Array[Double], CompiledExpr)]()

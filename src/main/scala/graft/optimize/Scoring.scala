@@ -28,7 +28,6 @@ object Scoring {
       elbo.nSlots, elbo.nDraws)
     val theta = elbo.thetaFromTree()
     val dr = if (draws == null) new Array[Double](elbo.nDraws) else draws
-    val proj = Elbo.vecOf(elbo.inputCols)
     val idx = elbo.inputCols.map(df.schema.fieldIndex)
     val schema = df.schema.add(outCol, DoubleType)
     val rdd = df.rdd.mapPartitions { it =>
