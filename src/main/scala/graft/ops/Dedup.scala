@@ -66,26 +66,35 @@ object Dedup {
 
   /** Distinct candidate pairs (a < b) from bucket collisions, with the
     * fraction of agreeing signature components (the MinHash Jaccard
-    * estimate). */
+    * estimate).
+    *
+    * The signature vector rides along on each band row (8 longs —
+    * negligible shuffle weight), so the bucket self-join yields both
+    * signatures directly and the estimate is a `zip_with` over the two
+    * arrays: one aggregation + one self-join total, no signature
+    * re-join and no cache. A pair colliding in several bands gets the
+    * same estimate each time, so the final `distinct` still dedups. */
   def minhashCandidates(df: DataFrame, textCol: String,
                         idCol: String): DataFrame = {
-    val sigs = minhashSignatures(df, textCol, idCol).cache()
-    val bands = lshBands(sigs, idCol)
-    val pairs = bands.as("x").join(bands.as("y"),
+    val sigs = minhashSignatures(df, textCol, idCol)
+    val rows = NumPerms / NumBands
+    val bandKeys = array((0 until NumBands).map { b =>
+      struct(lit(b).as("band"), concat_ws("_",
+        (0 until rows).map(r => col(s"sig${b * rows + r}")): _*).as("band_key"))
+    }: _*)
+    val bands = sigs.select(col(idCol),
+      array((0 until NumPerms).map(i => col(s"sig$i")): _*).as("sig"),
+      explode(bandKeys).as("bk"))
+      .select(col(idCol), col("sig"), col("bk.band"), col("bk.band_key"))
+    val agree = size(filter(
+      zip_with(col("x.sig"), col("y.sig"), (a, b) => a === b), w => w))
+    bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_key") === col("y.band_key") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
-      .distinct()
-    val sa = sigs.toDF(sigs.columns.map(c => s"a_$c"): _*)
-    val sb = sigs.toDF(sigs.columns.map(c => s"b_$c"): _*)
-    val agree = (0 until NumPerms).map(i =>
-      when(col(s"a_sig$i") === col(s"b_sig$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    pairs.join(sa, col("id_a") === col(s"a_$idCol"))
-      .join(sb, col("id_b") === col(s"b_$idCol"))
-      .select(col("id_a"), col("id_b"),
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
         (agree.cast("double") / lit(NumPerms.toDouble)).as("est_jaccard"))
+      .distinct()
   }
 
   /** 16-bit SimHash from token-hash bit sums over the distinct token
