@@ -170,6 +170,71 @@ object PipelineQueries {
         "CAST(sum(nb) AS BIGINT) AS n_vecs FROM sizes"
     })
 
+  /** Bucket arithmetic shared with [[Similarity.lshBucket]] (same
+    * constants → bit-identical buckets in DuckDB). */
+  private def bucketSql: String = {
+    val dots = (0 until 8).map { b =>
+      s"list_sum([CAST(embedding[i] AS DOUBLE) * " +
+        s"((((${b * 7 + 3} * i * 2654435761) % 97) - 48) / 48.0) " +
+        "for i in generate_series(1, len(embedding))])"
+    }
+    dots.zipWithIndex.map { case (dt, b) =>
+      s"(CASE WHEN ($dt) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
+  private val embedNearDup = Q("q_dedup_embed",
+    (s, d) => Similarity
+      .cosineNearDups(embs(s, d), "vec_id", "embedding", 0.25, exact = false)
+      .agg(count(lit(1)).as("n_dups"),
+        round(avg(col("cos")), 5).as("avg_cos"),
+        round(max(col("cos")), 5).as("max_cos")),
+    s"WITH e AS (SELECT vec_id, embedding AS emb, ($bucketSql) AS bucket, " +
+      s"sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings), " +
+      "p AS (SELECT a.vec_id AS ia, b.vec_id AS ib, " +
+      s"${dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm) AS cos " +
+      "FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
+      "SELECT count(*) AS n_dups, round(avg(cos), 5) AS avg_cos, " +
+      "round(max(cos), 5) AS max_cos FROM p WHERE cos >= 0.25")
+
+  private def l2Sql(a: String, b: String): String =
+    s"list_sum([(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) " +
+      s"for i in generate_series(1, len($a))])"
+
+  private val embedIvf = Q("q_embed_ivf",
+    (s, d) => {
+      val e = embs(s, d)
+      val cents = e.orderBy("vec_id").limit(16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      val top1 = Similarity.ivfTop1(e, "vec_id", "embedding", cents)
+      val cells = Similarity.assignCells(e, "vec_id", "embedding", cents)
+      val cellStats = cells.groupBy("cell").agg(count(lit(1)).as("cn"))
+        .agg(count(lit(1)).as("n_cells"), max(col("cn")).as("max_cell"))
+      cellStats.crossJoin(top1.agg(count(lit(1)).as("n_hit"),
+        round(avg(col("ivf_top1_cos")), 5).as("avg_ivf_top1")))
+    },
+    "WITH c AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings " +
+      "ORDER BY vec_id LIMIT 16), " +
+      "d AS (SELECT e.vec_id, e.embedding, c.cid, " +
+      s"${l2Sql("e.embedding", "c.cemb")} AS dist " +
+      "FROM embeddings e CROSS JOIN c), " +
+      "md AS (SELECT vec_id, min(dist) AS md FROM d GROUP BY vec_id), " +
+      "cell AS (SELECT d.vec_id, min(d.cid) AS cell FROM d " +
+      "JOIN md ON d.vec_id = md.vec_id AND d.dist = md.md GROUP BY d.vec_id), " +
+      "e2 AS (SELECT e.vec_id, e.embedding AS emb, cell.cell, " +
+      s"sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm " +
+      "FROM embeddings e JOIN cell ON e.vec_id = cell.vec_id), " +
+      "top1 AS (SELECT a.vec_id, " +
+      s"max(${dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm)) AS t " +
+      "FROM e2 a JOIN e2 b ON a.cell = b.cell AND a.vec_id <> b.vec_id " +
+      "GROUP BY a.vec_id), " +
+      "cs AS (SELECT count(*) AS n_cells, max(cn) AS max_cell FROM " +
+      "(SELECT cell, count(*) AS cn FROM cell GROUP BY cell)) " +
+      "SELECT cs.n_cells, cs.max_cell, ts.n_hit, ts.avg_ivf_top1 FROM cs " +
+      "CROSS JOIN (SELECT count(*) AS n_hit, round(avg(t), 5) AS " +
+      "avg_ivf_top1 FROM top1) ts")
+
   // ------------------------------------------------------ text analysis
 
   private def stopSql(lang: String): String = {
@@ -269,7 +334,7 @@ object PipelineQueries {
 
   val all: Vector[Q] = Vector(
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram,
-    embedTop1, embedAnnLsh,
+    embedTop1, embedAnnLsh, embedNearDup, embedIvf,
     textLangid, textQuality, textTokens, textFingerprint,
     multimodalMeta)
 }

@@ -110,6 +110,53 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF assignment matches driver brute force and ivfTop1 is " +
+    "bounded by exact top1") {
+    val embDf = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val cents = embDf.orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val cells = Similarity.assignCells(embDf, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = embDf.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray))
+    val cvecs = vecs.filter(_._1 < 8)
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    vecs.foreach { case (id, v) =>
+      // min distance, ties to smallest centroid id
+      val want = cvecs.map { case (cid, c) => (l2(v, c), cid) }.min._2
+      assert(cells(id) == want, s"vec $id: got ${cells(id)}, want $want")
+    }
+    val exact = Similarity.cosineTop1(embDf, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = Similarity.ivfTop1(embDf, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (id, c) =>
+      assert(c <= exact(id) + 1e-9, s"ivf beat exact for $id")
+    }
+  }
+
+  test("cosineNearDups exact vs LSH-bucketed: bucketed is a subset with " +
+    "identical cosines") {
+    val embDf = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").limit(120).cache()
+    val ex = Similarity.cosineNearDups(embDf, "vec_id", "embedding", 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.cosineNearDups(embDf, "vec_id", "embedding", 0.2,
+      exact = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh.nonEmpty, "no bucketed near-dup pairs at tau=0.2")
+    lsh.foreach { case (pair, c) =>
+      assert(ex.contains(pair), s"bucketed pair $pair not in exact set")
+      assert(math.abs(ex(pair) - c) < 1e-12)
+    }
+  }
+
   test("multimodal: metadata typed, decode stub deterministic, " +
     "frame checksum computed") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
