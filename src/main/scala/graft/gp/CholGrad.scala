@@ -61,19 +61,40 @@ object CholGrad {
     * dK_ij/dℓ = K°_ij·(z_i−z_j)²/ℓ³ (jitter is ℓ-independent). */
   def rbf1dLmInvAndGrad(z: Seq[Double], ell: Double)
       : (DenseMatrix[Double], DenseMatrix[Double]) = {
-    val m = z.length
+    val (lInv, grads) = rbfArdLmInvAndGrad(
+      new DenseMatrix(z.length, 1, z.toArray),
+      breeze.linalg.DenseVector(ell))
+    (lInv, grads.head)
+  }
+
+  /** ARD generalization: z is [m,d], `ell` has one entry per dimension
+    * (reference ARD lengthscales, `gp/kernels.py:37-51`). Returns Lm⁻¹
+    * and its sensitivity to EACH ℓ_k:
+    * ∂K_ij/∂ℓ_k = K°_ij·(z_ik−z_jk)²/ℓ_k³. */
+  def rbfArdLmInvAndGrad(z: DenseMatrix[Double],
+                         ell: breeze.linalg.DenseVector[Double])
+      : (DenseMatrix[Double], Seq[DenseMatrix[Double]]) = {
+    val m = z.rows; val d = z.cols
+    require(ell.length == d, s"ARD dim ${ell.length} != ${d}")
     val k0 = DenseMatrix.tabulate(m, m) { (i, j) =>
-      val d = z(i) - z(j); math.exp(-0.5 * d * d / (ell * ell))
+      var s = 0.0; var c = 0
+      while (c < d) {
+        val dd = (z(i, c) - z(j, c)) / ell(c); s += dd * dd; c += 1
+      }
+      math.exp(-0.5 * s)
     }
     val k = k0.copy
     var i = 0
     while (i < m) { k(i, i) += Kernels.JitterLevel; i += 1 }
-    val dK = DenseMatrix.tabulate(m, m) { (i, j) =>
-      val d = z(i) - z(j); k0(i, j) * d * d / (ell * ell * ell)
-    }
     val l = breeze.linalg.cholesky(k)
     val lInv = lowerInv(l)
-    val dL = dCholesky(l, lInv, dK)
-    (lInv, dLowerInv(lInv, dL))
+    val grads = (0 until d).map { c =>
+      val dK = DenseMatrix.tabulate(m, m) { (i, j) =>
+        val dd = z(i, c) - z(j, c)
+        k0(i, j) * dd * dd / (ell(c) * ell(c) * ell(c))
+      }
+      dLowerInv(lInv, dCholesky(l, lInv, dK))
+    }
+    (lInv, grads)
   }
 }

@@ -58,6 +58,86 @@ object GpExpr {
     }
   }
 
+  /** ARD d-dimensional generalization of
+    * [[whitenedFeatures1dLearnable]]: `xs` are the d input-coordinate
+    * expressions, `ells` the d (positive-transformed) lengthscale
+    * reads, `ell0` the linearization point. */
+  def whitenedFeaturesArdLearnable(xs: IndexedSeq[Expr],
+      ells: IndexedSeq[Expr], ell0: DenseVector[Double],
+      z: DenseMatrix[Double]): IndexedSeq[Expr] = {
+    val d = z.cols
+    require(xs.length == d && ells.length == d,
+      s"inputs ${xs.length}/lengthscales ${ells.length} != z dims $d")
+    val (a0, dA) = CholGrad.rbfArdLmInvAndGrad(z, ell0)
+    val dls = (0 until d).map(c => ells(c) - Expr.c(ell0(c)))
+    val ks = (0 until z.rows).map { r =>
+      val sq = Expr.sum((0 until d).map(c =>
+        ((xs(c) - Expr.c(z(r, c))) / ells(c)).sq))
+      Expr.exp(Expr.c(-0.5) * sq)
+    }
+    (0 until z.rows).map { j =>
+      Expr.sum((0 to j).map { r =>
+        val lin = (0 until d).map(c => Expr.c(dA(c)(j, r)) * dls(c))
+        (Expr.c(a0(j, r)) + Expr.sum(lin)) * ks(r)
+      })
+    }
+  }
+
+  /** Trained ARD sparse-GP regression handle. */
+  final case class SparseGpArdFit(module: graft.core.Module,
+      u: graft.core.Variational.Normal, noiseVar: graft.core.Param,
+      ell: graft.core.Param, z: DenseMatrix[Double], elbo: Double) {
+    def lengthscales: DenseVector[Double] = ell.value
+    /** Predictive mean at rows of `xs` [n,d] (driver Breeze mirror). */
+    def predictiveMean(xs: DenseMatrix[Double]): Seq[Double] = {
+      val sgp = new SparseGP(Kernels.UnitRBF(lengthscales), z)
+      (sgp.effectiveLT(xs).t * u.qMu.value).toScalaVector
+    }
+  }
+
+  /** d-dimensional ARD sparse-GP regression with learnable per-dim
+    * lengthscales — the reference's ARD kernel surface
+    * (`gp/kernels.py:37-51`) made trainable. Same alternating
+    * re-linearization scheme as [[trainSparse1d]]. */
+  def trainSparseArd(ds: graft.data.DataSet, xCols: Seq[String],
+      yCol: String, z: DenseMatrix[Double],
+      ell0: DenseVector[Double], learnEll: Boolean = true,
+      rounds: Int = 8, stepsPerRound: Int = 100, lr: Double = 0.05,
+      minibatchSize: Int = -1, seed: Long = 0L): SparseGpArdFit = {
+    import graft.core._
+    import graft.optimize.{Adam, Elbo}
+    val d = z.cols
+    val root = new Module
+    val u = root.add("u", new Variational.Normal(Seq(z.rows)))
+    val noise = root.add("noise", new Param(Seq(1),
+      transform = graft.functions.Transforms.Log1pe(), initMean = 0.1,
+      initStddev = 0.0))
+    val ell = root.add("ell", new Param(Seq(d),
+      transform = graft.functions.Transforms.Log1pe(),
+      initMean = 1.0, initStddev = 0.0,
+      collection = if (learnEll) Collections.Variables else "fixed_hyper"))
+    ell.assign(ell0.copy); root.initialize()
+    def mkElbo(ellLin: DenseVector[Double]) =
+      new Elbo(root, ds, xCols :+ yCol, ctx => {
+        val phi = whitenedFeaturesArdLearnable(
+          xCols.toIndexedSeq.map(ctx.in), ctx.read(ell), ellLin, z)
+        val us = ctx.sample(u)
+        val f = Expr.sum((0 until z.rows).map(j => us(j) * phi(j)))
+        graft.autodiff.ExprFns.gaussian(ctx.in(yCol), f, ctx.read1(noise))
+      }, seed = seed)
+    var elbo = mkElbo(ell.value)
+    val adam = new Adam(elbo.nSlots, lr)
+    var last = 0.0
+    var r = 0
+    while (r < rounds) {
+      last = elbo.optimize(stepsPerRound, minibatchSize, lr,
+        adamState = adam)
+      r += 1
+      if (r < rounds && learnEll) elbo = mkElbo(ell.value)
+    }
+    SparseGpArdFit(root, u, noise, ell, z, last)
+  }
+
   /** Trained sparse-GP regression handle. */
   final case class SparseGpFit(module: graft.core.Module,
       u: graft.core.Variational.Normal, noiseVar: graft.core.Param,

@@ -79,4 +79,77 @@ class GpLearnSpec extends AnyFunSuite {
     }
     dsL.unpersist()
   }
+
+  test("ARD features at ℓ0 match the Breeze effectiveLT and the 1-d path") {
+    import breeze.linalg.{DenseMatrix, DenseVector}
+    val zm = new DenseMatrix(4, 2,
+      Array(-1.5, -0.5, 0.5, 1.5, 0.3, -0.4, 1.1, -1.2))
+    val ell = DenseVector(0.8, 1.3)
+    val feats = GpExpr.whitenedFeaturesArdLearnable(
+      IndexedSeq(In(0), In(1)), IndexedSeq(P(0), P(1)), ell, zm)
+    val xs = Seq((-1.2, 0.5), (0.0, -0.9), (0.7, 1.4))
+    val xm = new DenseMatrix(xs.length, 2,
+      xs.map(_._1).toArray ++ xs.map(_._2).toArray)
+    val want = new SparseGP(Kernels.UnitRBF(ell), zm).effectiveLT(xm)
+    feats.zipWithIndex.foreach { case (f, j) =>
+      val t = CompiledExpr.compile(f, 2, 2, 0)
+      xs.zipWithIndex.foreach { case ((x1, x2), i) =>
+        val got = t.eval(Array(x1, x2), Array(ell(0), ell(1)), Array.empty,
+          t.newValues)
+        assert(math.abs(got - want(j, i)) < 1e-10, s"phi_$j($x1,$x2)")
+      }
+    }
+  }
+
+  test("ARD per-dimension ℓ-gradients match finite differences") {
+    import breeze.linalg.{DenseMatrix, DenseVector}
+    val zm = new DenseMatrix(4, 2,
+      Array(-1.5, -0.5, 0.5, 1.5, 0.3, -0.4, 1.1, -1.2))
+    val ell = DenseVector(0.8, 1.3)
+    val h = 1e-5
+    val x = Array(-0.7, 0.4)
+    (0 until 4).foreach { j =>
+      val learn = GpExpr.whitenedFeaturesArdLearnable(
+        IndexedSeq(In(0), In(1)), IndexedSeq(P(0), P(1)), ell, zm)(j)
+      val t = CompiledExpr.compile(learn, 2, 2, 0)
+      val g = new Array[Double](2)
+      t.evalGrad(x, Array(ell(0), ell(1)), Array.empty,
+        t.newValues, t.newValues, g)
+      (0 until 2).foreach { c =>
+        def at(e: DenseVector[Double]): Double = {
+          val f = GpExpr.whitenedFeaturesArdLearnable(
+            IndexedSeq(In(0), In(1)), IndexedSeq(P(0), P(1)), e, zm)(j)
+          val tt = CompiledExpr.compile(f, 2, 2, 0)
+          tt.eval(x, Array(e(0), e(1)), Array.empty, tt.newValues)
+        }
+        val ep = ell.copy; ep(c) += h
+        val em = ell.copy; em(c) -= h
+        val fd = (at(ep) - at(em)) / (2 * h)
+        assert(math.abs(g(c) - fd) < 1e-4 * (1 + fd.abs),
+          s"dphi_$j/dl$c: tape ${g(c)} vs fd $fd")
+      }
+    }
+  }
+
+  test("ARD learns to suppress an irrelevant input dimension") {
+    import breeze.linalg.{DenseMatrix, DenseVector}
+    val spark = SparkTestSession.spark
+    // y = sin(2·x1); x2 is decoy noise → ARD should drive ℓ2 ≫ ℓ1
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(((col("l_quantity") - 25.5) / 7.2).as("x1"),
+        ((col("l_partkey") % 17).cast("double") / 4.25 - 2.0).as("x2"))
+      .withColumn("y", sin(col("x1") * 2.0))
+    val g = for (a <- Seq(-2.25, -0.75, 0.75, 2.25);
+                 b <- Seq(-1.5, 0.0, 1.5)) yield (a, b)
+    val zm = new DenseMatrix(g.length, 2,
+      g.map(_._1).toArray ++ g.map(_._2).toArray)
+    val ds = new DataSet(li, seed = 0)
+    val fit = GpExpr.trainSparseArd(ds, Seq("x1", "x2"), "y", zm,
+      DenseVector(1.5, 1.5), rounds = 10, stepsPerRound = 120, lr = 0.05)
+    val ls = fit.lengthscales
+    assert(ls(0) < ls(1),
+      s"ARD did not separate dims: l1=${ls(0)} l2=${ls(1)}")
+    assert(ls(0) < 1.2, s"relevant-dim lengthscale barely moved: ${ls(0)}")
+    ds.unpersist()
+  }
 }
