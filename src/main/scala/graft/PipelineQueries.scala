@@ -73,6 +73,29 @@ object PipelineQueries {
         "round(avg(ej), 5) AS avg_est FROM scored"
     })
 
+  private val dedupMinhashGroups = Q("q_dedup_minhash_groups",
+    (s, d) => {
+      val g = Dedup.minhashGroups(docs(s, d), "text", "doc_id")
+      g.agg(count(lit(1)).as("n_groups"),
+        max(col("n_copies")).as("max_group"),
+        sum(col("n_copies")).as("n_docs"),
+        sum(when(col("n_copies") > 1, col("n_copies") - 1L).otherwise(0L))
+          .as("n_redundant"))
+    }, {
+      val sigExprs = (0 until Dedup.NumPerms).map(i =>
+        s"min((${Dedup.MinhashAs(i)} * (th % $P) + ${Dedup.MinhashBs(i)}) % $P) AS sig$i")
+        .mkString(", ")
+      val sigList = (0 until Dedup.NumPerms).map(i => s"sig$i").mkString(", ")
+      s"WITH $tokSql, " +
+        s"sigs AS (SELECT doc_id, $sigExprs FROM h GROUP BY doc_id), " +
+        s"g AS (SELECT $sigList, min(doc_id) AS keep_id, count(*) AS n " +
+        s"FROM sigs GROUP BY $sigList) " +
+        "SELECT count(*) AS n_groups, max(n) AS max_group, " +
+        "CAST(sum(n) AS BIGINT) AS n_docs, " +
+        "CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_redundant FROM g"
+    })
+
   private val dedupSimhash = Q("q_dedup_simhash",
     (s, d) => {
       val sims = Dedup.simhash16(docs(s, d), "text", "doc_id")
@@ -333,7 +356,7 @@ object PipelineQueries {
   // ---------------------------------------------------------------- export
 
   val all: Vector[Q] = Vector(
-    dedupExact, dedupMinhash, dedupSimhash, dedupNgram,
+    dedupExact, dedupMinhash, dedupMinhashGroups, dedupSimhash, dedupNgram,
     embedTop1, embedAnnLsh, embedNearDup, embedIvf,
     textLangid, textQuality, textTokens, textFingerprint,
     multimodalMeta)

@@ -39,17 +39,37 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_md5"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Distinct-token hash list h = tokenHash(tok) mod P, per row. */
+  private def tokenHashes(text: Column): Column =
+    transform(array_distinct(TextAnalysis.tokens(text)),
+      t => TextAnalysis.tokenHash(t) % lit(P))
+
   /** Per-document MinHash signature columns sig0..sig{k−1} over the
-    * DISTINCT whitespace-token set. */
-  def minhashSignatures(df: DataFrame, textCol: String,
-                        idCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
-      .withColumn("h", TextAnalysis.tokenHash(col("tok")) % lit(P))
-    val aggs = (0 until NumPerms).map(i =>
-      min((lit(MinhashAs(i)) * col("h") + lit(MinhashBs(i))) % lit(P))
-        .as(s"sig$i"))
-    toks.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    * DISTINCT whitespace-token set.
+    *
+    * Computed per ROW with array expressions (`array_min` over the
+    * permuted token-hash list) — no explode, no shuffle: the signature
+    * stage is a pure map, so it scales with the scan and also works
+    * statelessly on a stream. Documents with no tokens are dropped
+    * (same as the former explode+groupBy form, which produced no
+    * group for them). */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        keep: Seq[String] = Nil): DataFrame = {
+    // one fold over the token hashes with a struct-of-8-mins
+    // accumulator: each hash is permuted and min-merged in place
+    val acc0 = struct((0 until NumPerms).map(i => lit(P).as(s"sig$i")): _*)
+    val folded = aggregate(col("hs"), acc0, (acc, h) =>
+      struct((0 until NumPerms).map(i =>
+        least(acc.getField(s"sig$i"),
+          (lit(MinhashAs(i)) * h + lit(MinhashBs(i))) % lit(P))
+          .as(s"sig$i")): _*))
+    val sigs = (0 until NumPerms).map(i =>
+      col("mh").getField(s"sig$i").as(s"sig$i"))
+    df.select((col(idCol) +: keep.map(col)) :+
+        tokenHashes(col(textCol)).as("hs"): _*)
+      .where(size(col("hs")) > 0)
+      .select((col(idCol) +: keep.map(col)) :+ folded.as("mh"): _*)
+      .select((col(idCol) +: keep.map(col)) ++ sigs: _*)
   }
 
   /** LSH banding: one row per (doc, band) with the band key — docs
@@ -97,19 +117,37 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-duplicate GROUPS by full MinHash signature: one row per
+    * signature with the representative (min id) and multiplicity.
+    *
+    * This — not pair enumeration — is the 100 TB dedup path: corpora
+    * with large template families make the candidate-PAIR set
+    * quadratic in group size (the sf0.1 testdata already yields ~10M
+    * pairs from 5k docs), while the group view is one hash aggregation,
+    * linear in documents, exactly like [[exactGroups]]. Use
+    * [[minhashCandidates]] when the pair list itself is the product
+    * (e.g. audit sampling), with a similarity floor to keep it small. */
+  def minhashGroups(df: DataFrame, textCol: String,
+                    idCol: String): DataFrame = {
+    val sigs = minhashSignatures(df, textCol, idCol)
+    sigs.groupBy((0 until NumPerms).map(i => col(s"sig$i")): _*)
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
   /** 16-bit SimHash from token-hash bit sums over the distinct token
-    * set: bit b set iff Σ_tokens (±1 by bit b of h) > 0. */
+    * set: bit b set iff Σ_tokens (±1 by bit b of h) > 0. Per-row array
+    * fold — no explode, no shuffle (see [[minhashSignatures]]). */
   def simhash16(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
-      .withColumn("h", TextAnalysis.tokenHash(col("tok")))
-    val bitSums = (0 until 16).map(b =>
-      sum(when(shiftright(col("h"), b) % 2 === 1, 1).otherwise(-1))
-        .as(s"bs$b"))
-    val sums = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 16).map(b =>
-      when(col(s"bs$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    sums.select(col(idCol), sim.as("simhash"))
+    val hs = transform(array_distinct(TextAnalysis.tokens(col(textCol))),
+      t => TextAnalysis.tokenHash(t))
+    val sim = (0 until 16).map { b =>
+      val bs = aggregate(col("hs"), lit(0L), (acc, h) =>
+        acc + when(shiftright(h, b) % 2 === 1, 1L).otherwise(-1L))
+      when(bs > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.select(col(idCol), hs.as("hs"))
+      .where(size(col("hs")) > 0)
+      .select(col(idCol), sim.as("simhash"))
   }
 
   /** Word n-gram array (adjacent tokens joined with '_'). Spark's

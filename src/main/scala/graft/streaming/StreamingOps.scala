@@ -56,6 +56,24 @@ object StreamingOps {
       }
   }
 
+  /** Streaming near-duplicate suppression: keep the first document per
+    * full MinHash signature seen within the watermark horizon. The
+    * signature is a pure per-row map ([[graft.ops.Dedup
+    * .minhashSignatures]] — no explode, no aggregation), so the only
+    * stateful operator is the signature-keyed dedup itself; state is
+    * sharded by signature and evicted at the watermark, which is the
+    * shape that survives production stream rates. `eventTime` must be
+    * a timestamp column name on `docs`. */
+  def signatureDedup(docs: DataFrame, textCol: String, idCol: String,
+                     eventTime: String,
+                     watermark: String = "10 minutes"): DataFrame = {
+    val sigCols = (0 until graft.ops.Dedup.NumPerms).map(i => s"sig$i")
+    graft.ops.Dedup.minhashSignatures(docs, textCol, idCol,
+        keep = Seq(eventTime))
+      .withWatermark(eventTime, watermark)
+      .dropDuplicatesWithinWatermark(sigCols)
+  }
+
   /** Convenience: run a streaming query over a parquet directory to a
     * memory sink and block until the backlog is processed — the local
     * smoke-test harness for streaming ops. Returns the sink table name.

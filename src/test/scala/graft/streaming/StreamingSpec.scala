@@ -63,4 +63,24 @@ class StreamingSpec extends AnyFunSuite {
       assert(math.abs(got(k).sumLogp - s) < 1e-6 * math.max(1.0, math.abs(s)))
     }
   }
+
+  test("streaming signature dedup keeps one doc per MinHash signature") {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .withColumn("event_ts",
+        timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    val out = StreamingOps.signatureDedup(stream, "text", "doc_id",
+      "event_ts", watermark = "1 hour")
+    StreamingOps.runToMemorySink(out, "sig_dedup")
+    val got = spark.table("sig_dedup").count()
+    val batch = graft.ops.Dedup.minhashSignatures(
+        spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
+      .select((0 until graft.ops.Dedup.NumPerms).map(i => col(s"sig$i")): _*)
+      .distinct().count()
+    assert(got == batch,
+      s"streaming kept $got docs, batch has $batch distinct signatures")
+    assert(got > 0)
+  }
 }
