@@ -278,6 +278,50 @@ final class Elbo(
     module.initialize()
     lastElbo
   }
+
+  /** `steps` Adam ascent steps against an EXTERNAL batch (a streaming
+    * micro-batch, or any ad-hoc sample) instead of the DataSet — the
+    * online-inference entry point ([[graft.streaming.StreamingOps
+    * .onlineElbo]]). `totalRows` is the (estimated) population size
+    * scaling the data term against the KL, exactly as minibatch
+    * training scales by N/batch. θ syncs back to the module tree after
+    * the steps, so parameters are readable between micro-batches.
+    * Returns the last ELBO estimate. */
+  def stepOnBatch(df: org.apache.spark.sql.DataFrame, firstStep: Int,
+                  adam: Adam, totalRows: Long, steps: Int = 1,
+                  collection: String = Collections.Variables): Double = {
+    val theta = thetaFromTree()
+    val mask = collectionMask(collection)
+    val rdd = df.select(inputCols.map(col): _*)
+      .rdd.map(Elbo.vecOf(inputCols))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = rdd.count()
+    val local = n * math.max(1, inputCols.length) <= localThreshold
+    val rows = if (local) rdd.collect() else null
+    var lastElbo = 0.0
+    var it = 0
+    while (it < steps) {
+      val step = firstStep + it
+      val draws = freshDraws(step)
+      val (loss, grad, cnt) =
+        if (local) localGrad(rows, null, theta, draws)
+        else rddGrad(rdd, theta, draws)
+      val scale = if (cnt == 0) 0.0 else totalRows.toDouble / cnt
+      val vals = klTape.newValues
+      val adjKl = klTape.newValues
+      val gradKl = new Array[Double](nSlots)
+      val kl = klTape.evalGrad(Array.empty, theta, draws, vals, adjKl, gradKl)
+      var i = 0
+      while (i < nSlots) { grad(i) = grad(i) * scale - gradKl(i); i += 1 }
+      lastElbo = loss * scale - kl
+      adam.step(theta, grad, mask)
+      it += 1
+    }
+    rdd.unpersist()
+    thetaToTree(theta)
+    module.initialize()
+    lastElbo
+  }
 }
 
 object Elbo {

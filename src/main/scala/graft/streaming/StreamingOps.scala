@@ -74,6 +74,33 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(sigCols)
   }
 
+  /** Online variational inference: `stepsPerBatch` Adam ascent steps
+    * per micro-batch via foreachBatch — the streaming form of the
+    * reference's minibatch SGD loop (`model.py:255-269`), with
+    * optimizer state (Adam moments + the module tree's θ) carried
+    * across micro-batches on the driver. `totalRows` is the population
+    * size estimate that scales the data term against the KL (the
+    * streaming analog of N/batch). Parameters are readable from the
+    * module tree at any trigger boundary. Blocks until the current
+    * backlog is drained, then returns the number of micro-batches
+    * processed. */
+  def onlineElbo(elbo: graft.optimize.Elbo, stream: DataFrame,
+                 adam: graft.optimize.Adam, totalRows: Long,
+                 stepsPerBatch: Int = 1): Long = {
+    val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        elbo.stepOnBatch(batch, (id * stepsPerBatch).toInt, adam,
+          totalRows, stepsPerBatch)
+        nBatches.incrementAndGet()
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    nBatches.get()
+  }
+
   /** Convenience: run a streaming query over a parquet directory to a
     * memory sink and block until the backlog is processed — the local
     * smoke-test harness for streaming ops. Returns the sink table name.

@@ -83,4 +83,33 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming kept $got docs, batch has $batch distinct signatures")
     assert(got > 0)
   }
+
+  test("online ELBO: micro-batch training converges to the data mean") {
+    import graft.core._
+    import graft.data.DataSet
+    import graft.optimize.{Adam, Elbo}
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select((col("l_quantity") / 10.0).as("x"))
+    // stream the same rows as many small files (the micro-batch feed)
+    val inDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_in").toString
+    li.repartition(8).write.mode("overwrite").parquet(inDir)
+    val total = li.count()
+    val root = new Module
+    val p = root.add("p", new Param(Seq(1), initMean = 3.0,
+      initStddev = 0.01))
+    val ds = new DataSet(li, seed = 0)
+    val elbo = new Elbo(root, ds, Seq("x"),
+      ctx => -(ctx.read1(p) - ctx.in("x")).sq)
+    val adam = new Adam(elbo.nSlots, lr = 0.05)
+    val stream = spark.readStream.schema(li.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val nBatches = StreamingOps.onlineElbo(elbo, stream, adam, total,
+      stepsPerBatch = 30)
+    assert(nBatches >= 8, s"expected >= 8 micro-batches, got $nBatches")
+    val mean = li.agg(avg("x")).head.getDouble(0)
+    assert(math.abs(p.value(0) - mean) < 0.05,
+      s"online fit ${p.value(0)} vs mean $mean")
+    ds.unpersist()
+  }
 }
