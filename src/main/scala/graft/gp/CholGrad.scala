@@ -67,6 +67,32 @@ object CholGrad {
     (lInv, grads.head)
   }
 
+  /** Sensitivities of Lm⁻¹ to EACH 1-d inducing location z_r (the
+    * reference trains z as a Variable, `gp/gp.py:86-97`):
+    * ∂K_ij/∂z_r = K°_ij·(−(z_i−z_j)/ℓ²)·(δ_ir − δ_jr). One O(m³)
+    * Cholesky-forward pass per inducing point — O(m⁴) total, driver
+    * side, fine for the m ≤ a-few-hundred regime sparse GPs live in. */
+  def rbf1dLmInvZGrads(z: Seq[Double], ell: Double)
+      : Seq[DenseMatrix[Double]] = {
+    val m = z.length
+    val k0 = DenseMatrix.tabulate(m, m) { (i, j) =>
+      val d = z(i) - z(j); math.exp(-0.5 * d * d / (ell * ell))
+    }
+    val k = k0.copy
+    var i = 0
+    while (i < m) { k(i, i) += Kernels.JitterLevel; i += 1 }
+    val l = breeze.linalg.cholesky(k)
+    val lInv = lowerInv(l)
+    (0 until m).map { r =>
+      val dK = DenseMatrix.tabulate(m, m) { (i, j) =>
+        val di = if (i == r) 1.0 else 0.0
+        val dj = if (j == r) 1.0 else 0.0
+        k0(i, j) * (-(z(i) - z(j)) / (ell * ell)) * (di - dj)
+      }
+      dLowerInv(lInv, dCholesky(l, lInv, dK))
+    }
+  }
+
   /** ARD generalization: z is [m,d], `ell` has one entry per dimension
     * (reference ARD lengthscales, `gp/kernels.py:37-51`). Returns Lm⁻¹
     * and its sensitivity to EACH ℓ_k:

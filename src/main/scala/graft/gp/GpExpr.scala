@@ -58,6 +58,33 @@ object GpExpr {
     }
   }
 
+  /** φ_j(x; ℓ, z) with BOTH the lengthscale and the m inducing
+    * locations live (the reference's trainable z, `gp/gp.py:86-97`):
+    * exact (ℓ, z_r) dependence through the kernel rows, first-order
+    * dependence through Lm⁻¹ around (ell0, z0). Equals
+    * [[whitenedFeatures1d]] at the linearization point. */
+  def whitenedFeatures1dLearnableZ(x: Expr, ell: Expr,
+      zExprs: IndexedSeq[Expr], ell0: Double,
+      z0: Seq[Double]): IndexedSeq[Expr] = {
+    val m = z0.length
+    require(zExprs.length == m)
+    val (a0, dAl) = CholGrad.rbf1dLmInvAndGrad(z0, ell0)
+    val dAz = CholGrad.rbf1dLmInvZGrads(z0, ell0)
+    val dl = ell - Expr.c(ell0)
+    val dz = (0 until m).map(r => zExprs(r) - Expr.c(z0(r)))
+    val ks = (0 until m).map(r =>
+      Expr.exp(Expr.c(-0.5) * ((x - zExprs(r)) / ell).sq))
+    (0 until m).map { j =>
+      Expr.sum((0 to j).map { r =>
+        val zTerms = (0 until m).filter(s => dAz(s)(j, r) != 0.0)
+          .map(s => Expr.c(dAz(s)(j, r)) * dz(s))
+        val lin = Expr.c(a0(j, r)) + Expr.c(dAl(j, r)) * dl +
+          Expr.sum(zTerms)
+        lin * ks(r)
+      })
+    }
+  }
+
   /** ARD d-dimensional generalization of
     * [[whitenedFeatures1dLearnable]]: `xs` are the d input-coordinate
     * expressions, `ells` the d (positive-transformed) lengthscale
@@ -138,7 +165,8 @@ object GpExpr {
     SparseGpArdFit(root, u, noise, ell, z, last)
   }
 
-  /** Trained sparse-GP regression handle. */
+  /** Trained sparse-GP regression handle. `z` is the FINAL inducing
+    * configuration (learned when `learnZ`). */
   final case class SparseGpFit(module: graft.core.Module,
       u: graft.core.Variational.Normal, noiseVar: graft.core.Param,
       ell: graft.core.Param, z: Seq[Double], elbo: Double) {
@@ -148,47 +176,74 @@ object GpExpr {
   }
 
   /** End-to-end 1-d sparse-GP regression y ~ GP(x) + N(0, σ²) with
-    * learnable lengthscale, noise variance, and whitened inducing
-    * weights — the full `notebooks/GaussianProcess.ipynb` workflow
-    * incl. the hyperparameter training the reference gets from TF
-    * autodiff. Runs `rounds` × `stepsPerRound` Adam steps, rebuilding
-    * the tape each round at the current ℓ (constants re-linearized)
-    * while the DataSet's projected-vector cache and a shared Adam keep
-    * rebuilds cheap and the trajectory smooth. */
+    * learnable lengthscale, noise variance, whitened inducing weights,
+    * and (optionally) the inducing locations themselves — the full
+    * `notebooks/GaussianProcess.ipynb` workflow incl. the
+    * hyperparameter training the reference gets from TF autodiff.
+    * Runs `rounds` × `stepsPerRound` Adam steps, rebuilding the tape
+    * each round at the current (ℓ, z) (constants re-linearized) while
+    * the DataSet's projected-vector cache and shared Adam states keep
+    * rebuilds cheap and the trajectory smooth. z-refinement is a LOCAL
+    * search (alternating, small-lr): initialize z sensibly (quantiles
+    * / k-means of x), as the reference demos do, and let gradients
+    * fine-tune placement. */
   def trainSparse1d(ds: graft.data.DataSet, xCol: String, yCol: String,
       z: Seq[Double], ell0: Double = 1.0, learnEll: Boolean = true,
+      learnZ: Boolean = false,
       rounds: Int = 8, stepsPerRound: Int = 100, lr: Double = 0.05,
       minibatchSize: Int = -1, seed: Long = 0L): SparseGpFit = {
     import graft.core._
     import graft.optimize.{Adam, Elbo}
+    val m = z.length
     val root = new Module
-    val u = root.add("u", new Variational.Normal(Seq(z.length)))
+    val u = root.add("u", new Variational.Normal(Seq(m)))
     val noise = root.add("noise", new Param(Seq(1),
       transform = graft.functions.Transforms.Log1pe(), initMean = 0.1,
       initStddev = 0.0))
+    // ℓ trains JOINTLY with the variational parameters (smooth, and
+    // empirically stable). The inducing locations z are different:
+    // Adam's normalized updates would walk them far outside the Lm⁻¹
+    // linearization's trust region within one round, so they sit in
+    // their own collection and get smaller alternating steps capped at
+    // ~0.3·spacing per round (the classic small-hyper-lr practice —
+    // the reference's Expert notebook also drops lr for refinement).
+    val hyper = "hyper"
     val ell = root.add("ell", new Param(Seq(1),
       transform = graft.functions.Transforms.Log1pe(), initMean = ell0,
       initStddev = 0.0,
       collection = if (learnEll) Collections.Variables else "fixed_hyper"))
-    def mkElbo(ellLin: Double) = new Elbo(root, ds, Seq(xCol, yCol), ctx => {
-      val phi = whitenedFeatures1dLearnable(ctx.in(xCol), ctx.read1(ell),
-        ellLin, z)
-      val us = ctx.sample(u)
-      val f = Expr.sum(z.indices.map(j => us(j) * phi(j)))
-      graft.autodiff.ExprFns.gaussian(ctx.in(yCol), f, ctx.read1(noise))
-    }, seed = seed)
-    var elbo = mkElbo(ell.value(0))
-    val adam = new Adam(elbo.nSlots, lr)
+    val zp = root.add("z", new Param(Seq(m), initMean = 0.0,
+      initStddev = 0.0,
+      collection = if (learnZ) hyper else "fixed_hyper"))
+    zp.assign(breeze.linalg.DenseVector(z.toArray)); root.initialize()
+    def mkElbo(ellLin: Double, zLin: Seq[Double]) =
+      new Elbo(root, ds, Seq(xCol, yCol), ctx => {
+        val phi = whitenedFeatures1dLearnableZ(ctx.in(xCol),
+          ctx.read1(ell), ctx.read(zp), ellLin, zLin)
+        val us = ctx.sample(u)
+        val f = Expr.sum((0 until m).map(j => us(j) * phi(j)))
+        graft.autodiff.ExprFns.gaussian(ctx.in(yCol), f, ctx.read1(noise))
+      }, seed = seed)
+    var elbo = mkElbo(ell.value(0), zp.value.toScalaVector)
+    val adamVar = new Adam(elbo.nSlots, lr)
+    val adamHyp = new Adam(elbo.nSlots, lr / 5)
+    val hyperSteps = math.max(10, stepsPerRound / 4)
+    val learnHyper = learnEll || learnZ
     var last = 0.0
     var r = 0
     while (r < rounds) {
       last = elbo.optimize(stepsPerRound, minibatchSize, lr,
-        adamState = adam)
+        adamState = adamVar)
+      if (learnZ) {
+        last = elbo.optimize(hyperSteps, minibatchSize, lr / 5,
+          collection = hyper, adamState = adamHyp)
+      }
       r += 1
-      // re-linearize Lm⁻¹ at the moved ℓ (no-op when ℓ is frozen)
-      if (r < rounds && learnEll) elbo = mkElbo(ell.value(0))
+      // re-linearize Lm⁻¹ at the moved hyperparameters
+      if (r < rounds && learnHyper)
+        elbo = mkElbo(ell.value(0), zp.value.toScalaVector)
     }
-    SparseGpFit(root, u, noise, ell, z, last)
+    SparseGpFit(root, u, noise, ell, zp.value.toScalaVector, last)
   }
 
   /** Driver-side predictive mean at points `xs` for trained whitened
