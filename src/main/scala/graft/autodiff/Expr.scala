@@ -88,6 +88,30 @@ final class CompiledExpr private (
 
   def newValues: Array[Double] = new Array[Double](ops.length)
 
+  /** Janino-generated straight-line form ([[TapeCodegen]]); null when
+    * the tape is too large or compilation failed — compiled lazily per
+    * JVM and cached process-wide by tape content, so per-task
+    * deserialization on executors never recompiles. */
+  @transient lazy val fastFn: TapeFn = TapeCodegen.cachedCompile(this)
+
+  /** [[eval]] through the generated code when available. */
+  def evalFast(in: Array[Double], theta: Array[Double],
+               draws: Array[Double], vals: Array[Double]): Double = {
+    val f = fastFn
+    if (f != null) f.eval(in, theta, draws)
+    else eval(in, theta, draws, vals)
+  }
+
+  /** [[evalGrad]] through the generated code when available. */
+  def evalGradFast(in: Array[Double], theta: Array[Double],
+                   draws: Array[Double], vals: Array[Double],
+                   adj: Array[Double], gradTheta: Array[Double],
+                   gradDraws: Array[Double] = null): Double = {
+    val f = fastFn
+    if (f != null) f.evalGrad(in, theta, draws, gradTheta, gradDraws)
+    else evalGrad(in, theta, draws, vals, adj, gradTheta, gradDraws)
+  }
+
   /** Forward pass; returns the root value. */
   def eval(in: Array[Double], theta: Array[Double], draws: Array[Double],
            vals: Array[Double]): Double = {

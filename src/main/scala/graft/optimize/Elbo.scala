@@ -145,7 +145,7 @@ final class Elbo(
       val end = math.min(n, (t + 1) * chunk)
       while (i < end) {
         val row = if (idx == null) rows(i) else rows(idx(i))
-        l += tape.evalGrad(row, theta, draws, vals, adj, g)
+        l += tape.evalGradFast(row, theta, draws, vals, adj, g)
         i += 1
       }
       losses(t) = l
@@ -179,7 +179,7 @@ final class Elbo(
         // scratch arrays reused via thread-local: allocation-free over
         // millions of rows
         val scratch = Elbo.scratchFor(tape)
-        val v = tape.evalGrad(in, bTheta.value, bDraws.value,
+        val v = tape.evalGradFast(in, bTheta.value, bDraws.value,
           scratch._1, scratch._2, g)
         (l + v, g, n + 1)
       },

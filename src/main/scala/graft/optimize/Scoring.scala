@@ -46,7 +46,7 @@ object Scoring {
           }
           i += 1
         }
-        Row.fromSeq(row.toSeq :+ tape.eval(in, theta, dr, vals))
+        Row.fromSeq(row.toSeq :+ tape.evalFast(in, theta, dr, vals))
       }
     }
     df.sparkSession.createDataFrame(rdd, schema)
