@@ -48,6 +48,38 @@ object Multimodal {
       s"THEN ascii(substring($textColName, p, 1)) ELSE 0 END), " +
       "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
 
+  /** STUB resize: where a real implementation would batch re-encode
+    * media at a lower resolution (JPEG downscale, audio resample)
+    * inside mapPartitions, this keeps every `factor`-th byte — a
+    * deterministic stand-in with the real contract: a new media column
+    * whose metadata (n_bytes, sha) is recomputed, bytes never leaving
+    * the partition. */
+  def resizeStub(df: DataFrame, mediaCol: String, factor: Int,
+                 outCol: String = "media_small",
+                 blockSize: Int = 1024): DataFrame = {
+    require(factor >= 1)
+    val schema = df.schema.add(outCol, BinaryType)
+    val idx = df.schema.fieldIndex(mediaCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(blockSize).flatMap { rows =>
+        // >>> real batched re-encode would go here — STUBBED as a
+        // byte subsample <<<
+        rows.iterator.map { row =>
+          val bytes = row.getAs[Array[Byte]](idx)
+          val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+          var i = 0
+          while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+          Row.fromSeq(row.toSeq :+ out)
+        }
+      }
+    }
+    val resized = df.sparkSession.createDataFrame(rdd, schema)
+    resized.withColumn(outCol + "_meta", struct(
+      lit("resized").as("kind"),
+      length(col(outCol)).cast("long").as("n_bytes"),
+      sha2(col(outCol), 256).as("sha")))
+  }
+
   /** STUB decode: where a real implementation would batch-decode media
     * bytes (JPEG/PNG/audio PCM) via a native library inside
     * mapPartitions, this produces a deterministic fake feature vector

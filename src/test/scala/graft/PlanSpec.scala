@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression net over the whole oracle corpus: no
+  * accidental Cartesian products (broadcast nested-loop cross joins
+  * are the intended pattern for model-sized sides), and every lineitem
+  * scan stays column-pruned — a scan reading the full 16-column table
+  * for a 2-column density is a 100 TB bug even when sf0.01 hides it. */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("no CartesianProduct in any corpus query; lineitem scans pruned") {
+    val scanCols = "ReadSchema: struct<([^>]*)>".r
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      df.collect() // let AQE finalize the plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name: CartesianProduct in plan")
+      scanCols.findAllMatchIn(plan).map(_.group(1)).foreach { cols =>
+        val n = cols.count(_ == ',') + 1
+        assert(n <= 6, s"$name: scan reads $n columns ($cols)")
+      }
+    }
+  }
+}

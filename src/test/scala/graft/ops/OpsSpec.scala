@@ -182,6 +182,31 @@ class OpsSpec extends AnyFunSuite {
     fsc.foreach(r => assert(r.getLong(0) > 0))
   }
 
+  test("resizeStub shrinks media by the factor, recomputes metadata, " +
+    "and is partition-invariant") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(40)
+    val media = Multimodal.asMedia(df, "text", "text-as-bytes")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Multimodal.resizeStub(d, "media", factor = 4)
+        .select(col("doc_id"), col("media_small"),
+          col("media_small_meta.n_bytes"), col("media_small_meta.sha"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getAs[Array[Byte]](1).toSeq, r.getLong(2), r.getString(3)))
+        .toMap
+    val a = run(media)
+    val b = run(media.repartition(5))
+    assert(a == b, "resize depends on partitioning")
+    val orig = media.select(col("doc_id"), col("meta.n_bytes")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    a.foreach { case (id, (bytes, n, sha)) =>
+      assert(n == (orig(id) + 3) / 4, s"doc $id size")
+      assert(bytes.length.toLong == n)
+      assert(sha.length == 64)
+    }
+  }
+
   test("langId returns a label from the priority set and is deterministic") {
     val preds = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(TextAnalysis.langId(col("text")).as("p")).distinct()
