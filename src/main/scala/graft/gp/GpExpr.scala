@@ -173,6 +173,26 @@ object GpExpr {
     def lengthscale: Double = ell.value(0)
     def predictiveMean(xs: Seq[Double]): Seq[Double] =
       predictiveMean1d(xs, z, lengthscale, u.qMu.value)
+
+    /** DISTRIBUTED posterior predictive: appends `outCol`, an array of
+      * `k` GP-posterior samples per row (draws u ~ q, then the sparse
+      * sampling path with the learned hyperparameters and diagonal
+      * Nyström correction) — the trained-model analog of the reference
+      * EP3 loop `[m.run(op) for _ in range(k)]`. One scan; z and Lm⁻¹
+      * travel in the closure. */
+    def posteriorSampleColumn(df: org.apache.spark.sql.DataFrame,
+        xCol: String, k: Int, seed: Long = 0L,
+        outCol: String = "gp_sample"): org.apache.spark.sql.DataFrame = {
+      val m = z.length
+      val zm = new DenseMatrix(m, 1, z.toArray)
+      val sgp = new SparseGP(Kernels.UnitRBF(DenseVector(lengthscale)), zm)
+      val mu = u.qMu.value
+      val sd = u.qSqrt.value.map(math.exp)
+      val rng = new scala.util.Random(seed)
+      val uDraws = DenseMatrix.tabulate(k, m)((_, j) =>
+        mu(j) + sd(j) * rng.nextGaussian())
+      sgp.sampleColumn(df, Seq(xCol), uDraws, seed = seed, outCol = outCol)
+    }
   }
 
   /** End-to-end 1-d sparse-GP regression y ~ GP(x) + N(0, σ²) with

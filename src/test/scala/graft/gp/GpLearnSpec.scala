@@ -80,6 +80,32 @@ class GpLearnSpec extends AnyFunSuite {
     dsL.unpersist()
   }
 
+  test("posterior predictive samples from a trained fit track the mean " +
+    "and carry spread") {
+    val spark = SparkTestSession.spark
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(((col("l_quantity") - 25.5) / 7.2).as("x"))
+      .withColumn("y", sin(col("x") * 2.0))
+    val zs = Seq(-3.0, -2.25, -1.5, -0.75, 0.0, 0.75, 1.5, 2.25, 3.0)
+    val ds = new DataSet(li, seed = 0)
+    val fit = GpExpr.trainSparse1d(ds, "x", "y", zs, ell0 = 0.8,
+      learnEll = false, rounds = 4, stepsPerRound = 150, lr = 0.05)
+    val sampled = fit.posteriorSampleColumn(li.limit(64), "x", k = 30,
+      seed = 7)
+    val rows = sampled.select("x", "gp_sample").collect()
+    assert(rows.length == 64)
+    val meanAt = fit.predictiveMean(rows.map(_.getDouble(0)).toSeq)
+    rows.zip(meanAt).foreach { case (r, mm) =>
+      val samples = r.getSeq[Double](1)
+      assert(samples.length == 30)
+      val avg = samples.sum / samples.length
+      // 30-draw mean is near the predictive mean; spread is nonzero
+      assert(math.abs(avg - mm) < 0.5, s"x=${r.getDouble(0)}: $avg vs $mm")
+      assert(samples.distinct.length > 1, "no posterior spread")
+    }
+    ds.unpersist()
+  }
+
   test("ARD features at ℓ0 match the Breeze effectiveLT and the 1-d path") {
     import breeze.linalg.{DenseMatrix, DenseVector}
     val zm = new DenseMatrix(4, 2,
