@@ -93,6 +93,39 @@ object CholGrad {
     }
   }
 
+  /** ARD inducing-location sensitivities: d(Lm⁻¹)/dz(r,c) for every
+    * inducing point r and coordinate c (m·d Cholesky-forward passes,
+    * driver side):
+    * ∂K_ij/∂z_rc = K°_ij·(−(z_ic−z_jc)/ℓ_c²)·(δ_ir − δ_jr). */
+  def rbfArdLmInvZGrads(z: DenseMatrix[Double],
+                        ell: breeze.linalg.DenseVector[Double])
+      : IndexedSeq[IndexedSeq[DenseMatrix[Double]]] = {
+    val m = z.rows; val d = z.cols
+    require(ell.length == d)
+    val k0 = DenseMatrix.tabulate(m, m) { (i, j) =>
+      var s = 0.0; var c = 0
+      while (c < d) {
+        val dd = (z(i, c) - z(j, c)) / ell(c); s += dd * dd; c += 1
+      }
+      math.exp(-0.5 * s)
+    }
+    val k = k0.copy
+    var i = 0
+    while (i < m) { k(i, i) += Kernels.JitterLevel; i += 1 }
+    val l = breeze.linalg.cholesky(k)
+    val lInv = lowerInv(l)
+    (0 until m).map { r =>
+      (0 until d).map { c =>
+        val dK = DenseMatrix.tabulate(m, m) { (i, j) =>
+          val di = if (i == r) 1.0 else 0.0
+          val dj = if (j == r) 1.0 else 0.0
+          k0(i, j) * (-(z(i, c) - z(j, c)) / (ell(c) * ell(c))) * (di - dj)
+        }
+        dLowerInv(lInv, dCholesky(l, lInv, dK))
+      }
+    }
+  }
+
   /** ARD generalization: z is [m,d], `ell` has one entry per dimension
     * (reference ARD lengthscales, `gp/kernels.py:37-51`). Returns Lm⁻¹
     * and its sensitivity to EACH ℓ_k:

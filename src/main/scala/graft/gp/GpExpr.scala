@@ -110,6 +110,36 @@ object GpExpr {
     }
   }
 
+  /** ARD features with live lengthscales AND live inducing locations
+    * (`zExprs(r)(c)` is point r, coordinate c). */
+  def whitenedFeaturesArdLearnableZ(xs: IndexedSeq[Expr],
+      ells: IndexedSeq[Expr], zExprs: IndexedSeq[IndexedSeq[Expr]],
+      ell0: DenseVector[Double], z0: DenseMatrix[Double]): IndexedSeq[Expr] = {
+    val m = z0.rows; val d = z0.cols
+    require(xs.length == d && ells.length == d && zExprs.length == m)
+    val (a0, dAl) = CholGrad.rbfArdLmInvAndGrad(z0, ell0)
+    val dAz = CholGrad.rbfArdLmInvZGrads(z0, ell0)
+    val dls = (0 until d).map(c => ells(c) - Expr.c(ell0(c)))
+    val dzs = (0 until m).map(r =>
+      (0 until d).map(c => zExprs(r)(c) - Expr.c(z0(r, c))))
+    val ks = (0 until m).map { r =>
+      val sq = Expr.sum((0 until d).map(c =>
+        ((xs(c) - zExprs(r)(c)) / ells(c)).sq))
+      Expr.exp(Expr.c(-0.5) * sq)
+    }
+    (0 until m).map { j =>
+      Expr.sum((0 to j).map { r =>
+        val lTerms = (0 until d).filter(c => dAl(c)(j, r) != 0.0)
+          .map(c => Expr.c(dAl(c)(j, r)) * dls(c))
+        val zTerms = for {
+          s <- 0 until m; c <- 0 until d
+          if dAz(s)(c)(j, r) != 0.0
+        } yield Expr.c(dAz(s)(c)(j, r)) * dzs(s)(c)
+        (Expr.c(a0(j, r)) + Expr.sum(lTerms) + Expr.sum(zTerms)) * ks(r)
+      })
+    }
+  }
+
   /** Trained ARD sparse-GP regression handle. */
   final case class SparseGpArdFit(module: graft.core.Module,
       u: graft.core.Variational.Normal, noiseVar: graft.core.Param,
@@ -123,19 +153,23 @@ object GpExpr {
   }
 
   /** d-dimensional ARD sparse-GP regression with learnable per-dim
-    * lengthscales — the reference's ARD kernel surface
-    * (`gp/kernels.py:37-51`) made trainable. Same alternating
-    * re-linearization scheme as [[trainSparse1d]]. */
+    * lengthscales and (optionally) inducing locations — the
+    * reference's ARD kernel surface (`gp/kernels.py:37-51`) plus its
+    * trainable z (`gp/gp.py:86-97`). Same scheme as
+    * [[trainSparse1d]]: ℓ joint, z alternating small-lr, Lm⁻¹
+    * re-linearized per round. */
   def trainSparseArd(ds: graft.data.DataSet, xCols: Seq[String],
       yCol: String, z: DenseMatrix[Double],
       ell0: DenseVector[Double], learnEll: Boolean = true,
+      learnZ: Boolean = false,
       rounds: Int = 8, stepsPerRound: Int = 100, lr: Double = 0.05,
       minibatchSize: Int = -1, seed: Long = 0L): SparseGpArdFit = {
     import graft.core._
     import graft.optimize.{Adam, Elbo}
-    val d = z.cols
+    val m = z.rows; val d = z.cols
+    val hyper = "hyper"
     val root = new Module
-    val u = root.add("u", new Variational.Normal(Seq(z.rows)))
+    val u = root.add("u", new Variational.Normal(Seq(m)))
     val noise = root.add("noise", new Param(Seq(1),
       transform = graft.functions.Transforms.Log1pe(), initMean = 0.1,
       initStddev = 0.0))
@@ -143,26 +177,47 @@ object GpExpr {
       transform = graft.functions.Transforms.Log1pe(),
       initMean = 1.0, initStddev = 0.0,
       collection = if (learnEll) Collections.Variables else "fixed_hyper"))
-    ell.assign(ell0.copy); root.initialize()
-    def mkElbo(ellLin: DenseVector[Double]) =
+    val zp = root.add("z", new Param(Seq(m, d), initMean = 0.0,
+      initStddev = 0.0,
+      collection = if (learnZ) hyper else "fixed_hyper"))
+    ell.assign(ell0.copy)
+    // flat layout r*d+c (matches the grouping of ctx.read below)
+    zp.assign(DenseVector.tabulate(m * d)(i => z(i / d, i % d)))
+    root.initialize()
+    def zMat(): DenseMatrix[Double] = {
+      val v = zp.value
+      DenseMatrix.tabulate(m, d)((r, c) => v(r * d + c))
+    }
+    def mkElbo(ellLin: DenseVector[Double], zLin: DenseMatrix[Double]) =
       new Elbo(root, ds, xCols :+ yCol, ctx => {
-        val phi = whitenedFeaturesArdLearnable(
-          xCols.toIndexedSeq.map(ctx.in), ctx.read(ell), ellLin, z)
+        val zFlat = ctx.read(zp)
+        val zExprs = (0 until m).map(r =>
+          (0 until d).map(c => zFlat(r * d + c)).toIndexedSeq)
+        val phi = whitenedFeaturesArdLearnableZ(
+          xCols.toIndexedSeq.map(ctx.in), ctx.read(ell), zExprs,
+          ellLin, zLin)
         val us = ctx.sample(u)
-        val f = Expr.sum((0 until z.rows).map(j => us(j) * phi(j)))
+        val f = Expr.sum((0 until m).map(j => us(j) * phi(j)))
         graft.autodiff.ExprFns.gaussian(ctx.in(yCol), f, ctx.read1(noise))
       }, seed = seed)
-    var elbo = mkElbo(ell.value)
-    val adam = new Adam(elbo.nSlots, lr)
+    var elbo = mkElbo(ell.value, zMat())
+    val adamVar = new Adam(elbo.nSlots, lr)
+    val adamHyp = new Adam(elbo.nSlots, lr / 5)
+    val hyperSteps = math.max(10, stepsPerRound / 4)
+    val learnHyper = learnEll || learnZ
     var last = 0.0
     var r = 0
     while (r < rounds) {
       last = elbo.optimize(stepsPerRound, minibatchSize, lr,
-        adamState = adam)
+        adamState = adamVar)
+      if (learnZ) {
+        last = elbo.optimize(hyperSteps, minibatchSize, lr / 5,
+          collection = hyper, adamState = adamHyp)
+      }
       r += 1
-      if (r < rounds && learnEll) elbo = mkElbo(ell.value)
+      if (r < rounds && learnHyper) elbo = mkElbo(ell.value, zMat())
     }
-    SparseGpArdFit(root, u, noise, ell, z, last)
+    SparseGpArdFit(root, u, noise, ell, zMat(), last)
   }
 
   /** Trained sparse-GP regression handle. `z` is the FINAL inducing

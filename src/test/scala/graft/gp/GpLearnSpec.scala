@@ -205,6 +205,43 @@ class GpLearnSpec extends AnyFunSuite {
     ds.unpersist()
   }
 
+  test("ARD z-gradients match finite differences of the exact features") {
+    import breeze.linalg.{DenseMatrix, DenseVector}
+    val zm = new DenseMatrix(4, 2,
+      Array(-1.5, -0.5, 0.5, 1.5, 0.3, -0.4, 1.1, -1.2))
+    val ell = DenseVector(0.9, 1.2)
+    val h = 1e-5
+    val x = Array(-0.6, 0.7)
+    // params: 2 ells then 8 z entries (flat r*d+c)
+    val ellExprs = IndexedSeq(P(0), P(1))
+    val zExprs = (0 until 4).map(r => (0 until 2).map(c => P(2 + r * 2 + c)))
+    val theta = Array(ell(0), ell(1)) ++
+      (0 until 8).map(i => zm(i / 2, i % 2))
+    def exactAt(z: DenseMatrix[Double], j: Int): Double = {
+      val zE = (0 until 4).map(r => (0 until 2).map(c => P(2 + r * 2 + c)))
+      val f = GpExpr.whitenedFeaturesArdLearnableZ(
+        IndexedSeq(In(0), In(1)), ellExprs, zE, ell, z)(j)
+      val t = CompiledExpr.compile(f, 2, 10, 0)
+      val th = Array(ell(0), ell(1)) ++
+        (0 until 8).map(i => z(i / 2, i % 2))
+      t.eval(x, th, Array.empty, t.newValues)
+    }
+    (0 until 4).foreach { j =>
+      val f = GpExpr.whitenedFeaturesArdLearnableZ(
+        IndexedSeq(In(0), In(1)), ellExprs, zExprs, ell, zm)(j)
+      val t = CompiledExpr.compile(f, 2, 10, 0)
+      val g = new Array[Double](10)
+      t.evalGrad(x, theta, Array.empty, t.newValues, t.newValues, g)
+      for (r <- 0 until 4; c <- 0 until 2) {
+        val zp = zm.copy; zp(r, c) += h
+        val zq = zm.copy; zq(r, c) -= h
+        val fd = (exactAt(zp, j) - exactAt(zq, j)) / (2 * h)
+        assert(math.abs(g(2 + r * 2 + c) - fd) < 1e-4 * (1 + fd.abs),
+          s"dphi_$j/dz($r,$c): tape ${g(2 + r * 2 + c)} vs fd $fd")
+      }
+    }
+  }
+
   test("ARD learns to suppress an irrelevant input dimension") {
     import breeze.linalg.{DenseMatrix, DenseVector}
     val spark = SparkTestSession.spark
