@@ -141,6 +141,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe IVF: top1 is monotone in probes and bounded by exact") {
+    val embDf = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val cents = embDf.orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val exact = Similarity.cosineTop1(embDf, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val p1 = Similarity.ivfTop1(embDf, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val p3 = Similarity.ivfTop1(embDf, "vec_id", "embedding", cents,
+      probes = 3).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(p3.size >= p1.size)
+    p1.foreach { case (id, c1) =>
+      assert(p3(id) >= c1 - 1e-12, s"probe expansion lost recall for $id")
+      assert(p3(id) <= exact(id) + 1e-9, s"ivf beat exact for $id")
+    }
+    // with 8 cells over ~100 vecs, 3 probes must strictly help someone
+    assert(p1.exists { case (id, c1) => p3(id) > c1 + 1e-12 },
+      "3-probe search never improved on 1-probe")
+  }
+
   test("cosineNearDups exact vs LSH-bucketed: bucketed is a subset with " +
     "identical cosines") {
     val embDf = spark.read
