@@ -46,19 +46,43 @@ class TapeCodegenSpec extends AnyFunSuite {
     }
   }
 
-  test("oversized tapes fall back to the interpreter") {
-    // wide tree (not deep — deep chains also break case-class
-    // hashCode recursion) exceeding the codegen op ceiling
-    val terms = (0 until 120).map { i =>
-      var t: Expr = In(0) + Expr.c(i + 1.0)
-      (0 until 10).foreach(_ => t = Expr.sqrt(t))
+  /** Balanced sum: keeps expression DEPTH logarithmic (deep chains
+    * break case-class hashCode recursion). */
+  private def balancedSum(es: Seq[Expr]): Expr =
+    if (es.length == 1) es.head
+    else balancedSum(es.grouped(2).map(_.reduce(_ + _)).toSeq)
+
+  test("tapes past the single-method limit compile CHUNKED and stay " +
+    "bit-exact; past the chunked limit they fall back") {
+    // ~1.5k ops: single-method would blow the 64KB method limit
+    val terms = (0 until 150).map { i =>
+      var t: Expr = In(0) * P(0) + Expr.c(i + 1.0)
+      (0 until 8).foreach(_ => t = Expr.sqrt(t))
       t
     }
-    val e = Expr.sum(terms)
-    val tape = CompiledExpr.compile(e, 1, 0, 0)
-    assert(tape.ops.length > TapeCodegen.MaxOps)
-    assert(tape.fastFn == null)
-    val v = tape.evalFast(Array(2.0), Array.empty, Array.empty, tape.newValues)
+    val mid = CompiledExpr.compile(balancedSum(terms), 1, 1, 0)
+    assert(mid.ops.length > TapeCodegen.MaxOps &&
+      mid.ops.length <= TapeCodegen.MaxChunkedOps)
+    assert(mid.fastFn != null, "chunked codegen failed")
+    val in = Array(2.0); val th = Array(1.3)
+    val vals = mid.newValues; val adj = mid.newValues
+    val gi = new Array[Double](1)
+    val vi = mid.evalGrad(in, th, Array.empty, vals, adj, gi)
+    val gc = new Array[Double](1)
+    val vc = mid.fastFn.evalGrad(in, th, Array.empty, gc, null)
+    assert(java.lang.Double.compare(vi, vc) == 0)
+    assert(java.lang.Double.compare(gi(0), gc(0)) == 0)
+
+    // past the chunked ceiling: interpreter fallback
+    val huge = (0 until 2200).map { i =>
+      var t: Expr = In(0) + Expr.c(i + 1.0)
+      (0 until 9).foreach(_ => t = Expr.sqrt(t))
+      t
+    }
+    val big = CompiledExpr.compile(balancedSum(huge), 1, 0, 0)
+    assert(big.ops.length > TapeCodegen.MaxChunkedOps)
+    assert(big.fastFn == null)
+    val v = big.evalFast(Array(2.0), Array.empty, Array.empty, big.newValues)
     assert(!v.isNaN)
   }
 
