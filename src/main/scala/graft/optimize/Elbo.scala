@@ -63,6 +63,17 @@ final class Elbo(
   private val vnameOf: Map[Variational, String] =
     varSeq.map { case (n, v) => (v: Variational) -> n }.toMap
 
+  // reference `Model.validate` (`model.py:98-117`): fail at build time,
+  // not first action, when the model references columns the data
+  // doesn't carry (augment-added columns are only present per batch,
+  // so only the augment-free case is checkable here)
+  if (augment.asInstanceOf[AnyRef] eq Elbo.NoAugment) {
+    val have = dataset.data.columns.toSet
+    val missing = inputCols.filterNot(have)
+    require(missing.isEmpty,
+      s"input columns $missing not in data (${have.toSeq.sorted})")
+  }
+
   private[optimize] val ctx = new Elbo.Ctx(inputCols, offsets, drawOffsets,
     nameOf, vnameOf)
 
