@@ -26,6 +26,7 @@ object Bench {
     // variational Bayesian linear regression, minibatch SGD at sfDir
     // scale; reported as iterations and wall-seconds.
     val elboIters = 30
+    var distSecs = -1.0
     val elboSecs = try {
       import graft.autodiff.ExprFns
       import graft.core._
@@ -53,14 +54,28 @@ object Bench {
       val t0 = System.nanoTime()
       elbo.optimize(maxiter = elboIters, minibatchSize = 65536, lr = 0.05)
       val s = (System.nanoTime() - t0) / 1e9
+
+      // same model FORCED onto the distributed treeAggregate path
+      // (localThreshold = 0) — the per-step rate a real cluster runs at
+      val elboD = new Elbo(root, ds, Seq("x", "y"), ctx => {
+        val fit = ctx.sample1(a) + ctx.sample1(b) * ctx.in("x")
+        ExprFns.gaussian(ctx.in("y"), fit,
+          graft.autodiff.Expr.exp(ctx.sample1(c)))
+      }, seed = 0, localThreshold = 0L)
+      elboD.optimize(maxiter = 1, minibatchSize = 65536, lr = 0.05)
+      val t1 = System.nanoTime()
+      elboD.optimize(maxiter = elboIters, minibatchSize = 65536, lr = 0.05)
+      distSecs = (System.nanoTime() - t1) / 1e9
       ds.unpersist(); s
     } catch { case _: Throwable => -1.0 }
-    val allResults = results ++ Map(s"elbo_train_${elboIters}it" -> elboSecs)
+    val allResults = results ++ Map(s"elbo_train_${elboIters}it" -> elboSecs,
+      s"elbo_dist_${elboIters}it" -> distSecs)
     val qs = allResults.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = allResults.values.filter(_ > 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","elbo_iters_per_sec":${
-      if (elboSecs > 0) elboIters / elboSecs else -1.0}}""")
+      if (elboSecs > 0) elboIters / elboSecs else -1.0},"elbo_dist_iters_per_sec":${
+      if (distSecs > 0) elboIters / distSecs else -1.0}}""")
     spark.stop()
   }
 }

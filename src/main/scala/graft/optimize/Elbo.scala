@@ -180,8 +180,14 @@ final class Elbo(
     val tape = rowTape
     val nS = nSlots
     val sc = rdd.sparkContext
-    val bTheta = sc.broadcast(theta)
-    val bDraws = sc.broadcast(draws)
+    // small θ rides in the task closure (one serialization, no
+    // broadcast create/destroy round-trip per step); broadcast only
+    // pays off once θ is large enough that per-task re-send hurts
+    val useBroadcast = nSlots + nDraws > 65536
+    val bTheta = if (useBroadcast) sc.broadcast(theta) else null
+    val bDraws = if (useBroadcast) sc.broadcast(draws) else null
+    val cTheta = if (useBroadcast) null else theta
+    val cDraws = if (useBroadcast) null else draws
     val depth = math.max(2, (math.log(math.max(rdd.getNumPartitions, 2)) /
       math.log(4)).ceil.toInt)
     val (loss, grad, cnt) = rdd.treeAggregate(
@@ -190,8 +196,9 @@ final class Elbo(
         // scratch arrays reused via thread-local: allocation-free over
         // millions of rows
         val scratch = Elbo.scratchFor(tape)
-        val v = tape.evalGradFast(in, bTheta.value, bDraws.value,
-          scratch._1, scratch._2, g)
+        val th = if (cTheta != null) cTheta else bTheta.value
+        val dr = if (cDraws != null) cDraws else bDraws.value
+        val v = tape.evalGradFast(in, th, dr, scratch._1, scratch._2, g)
         (l + v, g, n + 1)
       },
       combOp = { case ((l1, g1, n1), (l2, g2, n2)) =>
@@ -199,7 +206,7 @@ final class Elbo(
         while (i < nS) { g1(i) += g2(i); i += 1 }
         (l1 + l2, g1, n1 + n2)
       }, depth)
-    bTheta.destroy(); bDraws.destroy()
+    if (useBroadcast) { bTheta.destroy(); bDraws.destroy() }
     (loss, grad, cnt)
   }
 
