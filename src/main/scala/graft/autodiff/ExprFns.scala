@@ -18,6 +18,11 @@ object ExprFns {
   def lognormal(x: Expr, mu: Expr, v: Expr): Expr =
     gaussian(log(x), mu, v) - log(x)
 
+  /** y ∈ {0,1}: y·log p + (1−y)·log(1−p) — the differentiable form of
+    * `densities.bernoulli` (reference `densities.py:35-36`). */
+  def bernoulli(p: Expr, y: Expr): Expr =
+    y * log(p) + (one - y) * log(one - p)
+
   def poisson(lamb: Expr, y: Expr): Expr =
     y * log(lamb) - lamb - lgamma(y + one)
 

@@ -75,6 +75,27 @@ class ElboSpec extends AnyFunSuite {
     ds.unpersist()
   }
 
+  test("Beta posterior over a Bernoulli rate trains to the empirical " +
+    "frequency (ref variationals.py:316-381 end-to-end)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(when(col("l_quantity") > 25, 1.0).otherwise(0.0).as("y"))
+    val root = new Module
+    val p = root.add("p", new Variational.Beta(Seq(1)))
+    val ds = new DataSet(li, seed = 0)
+    val elbo = new Elbo(root, ds, Seq("y"),
+      ctx => graft.autodiff.ExprFns.bernoulli(ctx.sample1(p), ctx.in("y")),
+      seed = 0)
+    val before = elbo.run(training = true)
+    val after = elbo.optimize(maxiter = 400, lr = 0.05)
+    assert(after > before, s"Beta-Bernoulli ELBO did not improve")
+    val rate = ds.train.agg(avg("y")).head.getDouble(0)
+    // posterior center (logistic of q_mu) ≈ empirical success rate
+    val center = 1.0 / (1.0 + math.exp(-p.qMu.value(0)))
+    assert(math.abs(center - rate) < 0.05,
+      s"posterior center $center vs empirical rate $rate")
+    ds.unpersist()
+  }
+
   test("variational Bayesian linear regression on lineitem converges " +
     "(minimum end-to-end slice, ref Henbun_structure2.ipynb)") {
     // y ≈ a + b·x with centered x (decorrelates intercept/slope so the
