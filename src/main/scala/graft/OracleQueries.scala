@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -178,12 +177,16 @@ object OracleQueries {
 
   // ----------------------------------------------------------- LSE / clip
 
+  // Two hash aggregates + broadcast join-back of the per-group maxes
+  // (see Numerics.logSumExp): both passes are map-side partial, no
+  // Window (a partitionBy Window would funnel whole groups onto single
+  // tasks — a scale-killer at 100 TB with low-cardinality keys).
   private val lse = Q("q_lse",
     (s, d) => {
-      val w = Window.partitionBy(col("l_returnflag"))
-      table(s, d, "lineitem")
+      val base = table(s, d, "lineitem")
         .select(col("l_returnflag"), xq.as("x"))
-        .withColumn("mx", max(col("x")).over(w))
+      val maxes = base.groupBy("l_returnflag").agg(max(col("x")).as("mx"))
+      base.join(broadcast(maxes), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           round(max(col("mx")) + log(sum(exp(col("x") - col("mx")))), 5).as("lse"))

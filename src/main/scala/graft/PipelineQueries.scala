@@ -41,6 +41,39 @@ object PipelineQueries {
       "h AS (SELECT doc_id, source, " +
       s"${TextAnalysis.TokenHashSql("tok")} AS th FROM toks)"
 
+  /** Shared minhash SQL fragments (same constants as [[Dedup]]). */
+  private val sigSql = (0 until Dedup.NumPerms).map(i =>
+    s"min((${Dedup.MinhashAs(i)} * (th % $P) + ${Dedup.MinhashBs(i)}) % $P) AS sig$i")
+    .mkString(", ")
+  private val bandsSql: String = {
+    val rows = Dedup.NumPerms / Dedup.NumBands
+    (0 until Dedup.NumBands).map { b =>
+      val key = (0 until rows).map(r => s"sig${b * rows + r}::VARCHAR")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $key AS band_key FROM sigs"
+    }.mkString(" UNION ALL ")
+  }
+  private val agreeSql = (0 until Dedup.NumPerms).map(i =>
+    s"(CASE WHEN sa.sig$i = sb.sig$i THEN 1 ELSE 0 END)").mkString(" + ")
+  /** CTE chain up to `bands` (tok hashes → signatures → LSH band rows). */
+  private val minhashCtes =
+    s"$tokSql, sigs AS (SELECT doc_id, $sigSql FROM h GROUP BY doc_id), " +
+      s"bands AS ($bandsSql)"
+  /** Candidate pairs from buckets of size ≤ cap (cap ≤ 0: uncapped). */
+  private def pairsSql(cap: Int): String =
+    if (cap <= 0)
+      "pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b " +
+        "FROM bands x JOIN bands y ON x.band = y.band " +
+        "AND x.band_key = y.band_key AND x.doc_id < y.doc_id)"
+    else
+      "bsz AS (SELECT band, band_key, count(*) AS bn FROM bands " +
+        "GROUP BY band, band_key), " +
+        "el AS (SELECT b.doc_id, b.band, b.band_key FROM bands b " +
+        s"JOIN bsz USING (band, band_key) WHERE bsz.bn <= $cap), " +
+        "pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b " +
+        "FROM el x JOIN el y ON x.band = y.band " +
+        "AND x.band_key = y.band_key AND x.doc_id < y.doc_id)"
+
   private val dedupMinhash = Q("q_dedup_minhash",
     (s, d) => {
       val cand = Dedup.minhashCandidates(docs(s, d), "text", "doc_id")
@@ -48,30 +81,41 @@ object PipelineQueries {
         count(lit(1)).as("n_pairs"),
         sum(when(col("est_jaccard") >= 0.5, 1L).otherwise(0L)).as("n_dups"),
         round(avg(col("est_jaccard")), 5).as("avg_est"))
-    }, {
-      val sigExprs = (0 until Dedup.NumPerms).map(i =>
-        s"min((${Dedup.MinhashAs(i)} * (th % $P) + ${Dedup.MinhashBs(i)}) % $P) AS sig$i")
-        .mkString(", ")
-      val rows = Dedup.NumPerms / Dedup.NumBands
-      val bandSelects = (0 until Dedup.NumBands).map { b =>
-        val key = (0 until rows).map(r => s"sig${b * rows + r}::VARCHAR")
-          .mkString(" || '_' || ")
-        s"SELECT doc_id, $b AS band, $key AS band_key FROM sigs"
-      }.mkString(" UNION ALL ")
-      val agree = (0 until Dedup.NumPerms).map(i =>
-        s"(CASE WHEN sa.sig$i = sb.sig$i THEN 1 ELSE 0 END)").mkString(" + ")
-      s"WITH $tokSql, " +
-        s"sigs AS (SELECT doc_id, $sigExprs FROM h GROUP BY doc_id), " +
-        s"bands AS ($bandSelects), " +
-        "pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b " +
-        "FROM bands x JOIN bands y ON x.band = y.band " +
-        "AND x.band_key = y.band_key AND x.doc_id < y.doc_id), " +
-        s"scored AS (SELECT id_a, id_b, ($agree)/8.0 AS ej FROM pairs " +
-        "JOIN sigs sa ON id_a = sa.doc_id JOIN sigs sb ON id_b = sb.doc_id) " +
-        "SELECT count(*) AS n_pairs, " +
-        "CAST(sum(CASE WHEN ej >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups, " +
-        "round(avg(ej), 5) AS avg_est FROM scored"
-    })
+    },
+    s"WITH $minhashCtes, ${pairsSql(0)}, " +
+      s"scored AS (SELECT id_a, id_b, ($agreeSql)/8.0 AS ej FROM pairs " +
+      "JOIN sigs sa ON id_a = sa.doc_id JOIN sigs sb ON id_b = sb.doc_id) " +
+      "SELECT count(*) AS n_pairs, " +
+      "CAST(sum(CASE WHEN ej >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups, " +
+      "round(avg(ej), 5) AS avg_est FROM scored")
+
+  /** Bucket-size bound for pair generation at the correctness scale:
+    * chosen so the synthetic template families (~320-doc buckets at
+    * sf0.01, ~3k at sf0.1) are demonstrably diverted — uncapped, sf0.1
+    * yields 9.9M pairs; capped at 50 it yields 13k. */
+  private val MinhashCap = 50
+
+  private val dedupMinhashCapped = Q("q_dedup_minhash_capped",
+    (s, d) => {
+      val cand = Dedup.minhashCandidates(docs(s, d), "text", "doc_id",
+        maxBucket = MinhashCap, numBands = Dedup.NumBands)
+      val os = Dedup.oversizeBuckets(docs(s, d), "text", "doc_id", MinhashCap)
+      cand.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("est_jaccard") >= 0.5, 1L).otherwise(0L)).as("n_dups"),
+        round(avg(col("est_jaccard")), 5).as("avg_est"))
+        .crossJoin(os.agg(count(lit(1)).as("n_oversize"),
+          sum(col("n_docs")).as("n_diverted")))
+    },
+    s"WITH $minhashCtes, ${pairsSql(MinhashCap)}, " +
+      s"scored AS (SELECT id_a, id_b, ($agreeSql)/8.0 AS ej FROM pairs " +
+      "JOIN sigs sa ON id_a = sa.doc_id JOIN sigs sb ON id_b = sb.doc_id), " +
+      "agg AS (SELECT count(*) AS n_pairs, " +
+      "CAST(sum(CASE WHEN ej >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups, " +
+      "round(avg(ej), 5) AS avg_est FROM scored), " +
+      s"os AS (SELECT count(*) AS n_oversize, CAST(sum(bn) AS BIGINT) " +
+      s"AS n_diverted FROM bsz WHERE bn > $MinhashCap) " +
+      "SELECT agg.*, os.* FROM agg CROSS JOIN os")
 
   private val dedupMinhashGroups = Q("q_dedup_minhash_groups",
     (s, d) => {
@@ -120,33 +164,43 @@ object PipelineQueries {
         "FROM sim GROUP BY source ORDER BY source"
     })
 
+  /** N-gram Jaccard VERIFICATION over the MinHash candidate set — the
+    * scale plan: per-doc trigram sets are computed once (one scan), the
+    * capped candidate pairs (see [[dedupMinhashCapped]]) join them back
+    * by id, and exact Jaccard re-scores only those pairs. The former
+    * all-pairs-per-source join was O(n² per source) — correct but a
+    * scale-killer; candidates → exact-verify is how the operator is
+    * meant to compose at 100 TB. */
   private val dedupNgram = Q("q_dedup_ngram_jaccard",
     (s, d) => {
-      val a = docs(s, d).select(col("doc_id").as("id_a"),
-        col("source"), col("text").as("text_a"))
-      val b = docs(s, d).select(col("doc_id").as("id_b"),
-        col("source"), col("text").as("text_b"))
-      a.join(b, Seq("source"))
-        .where(col("id_a") < col("id_b"))
-        .withColumn("j", Dedup.ngramJaccard(col("text_a"), col("text_b"), 3))
-        .groupBy("source")
+      val grams = docs(s, d).select(col("doc_id"),
+        array_distinct(Dedup.wordNgrams(col("text"), 3)).as("gr"))
+      val cand = Dedup.minhashCandidates(docs(s, d), "text", "doc_id",
+        maxBucket = MinhashCap, numBands = Dedup.NumBands)
+        .select("id_a", "id_b")
+      val j = size(array_intersect(col("gr_a"), col("gr_b"))).cast("double") /
+        size(array_union(col("gr_a"), col("gr_b"))).cast("double")
+      cand
+        .join(grams.select(col("doc_id").as("id_a"), col("gr").as("gr_a")), "id_a")
+        .join(grams.select(col("doc_id").as("id_b"), col("gr").as("gr_b")), "id_b")
+        .select(j.as("j"))
         .agg(count(lit(1)).as("n_pairs"),
           sum(when(col("j") >= 0.3, 1L).otherwise(0L)).as("n_dups"),
           round(avg(col("j")), 5).as("avg_j"))
-        .orderBy("source")
     },
-    "WITH g AS (SELECT doc_id, source, list_distinct(" +
+    s"WITH $minhashCtes, ${pairsSql(MinhashCap)}, " +
+      "g AS (SELECT doc_id, list_distinct(" +
       "[ws[i] || '_' || ws[i+1] || '_' || ws[i+2] " +
       "for i in range(1, len(ws) - 1)]) AS gr " +
-      "FROM (SELECT doc_id, source, string_split(text, ' ') AS ws " +
+      "FROM (SELECT doc_id, string_split(text, ' ') AS ws " +
       "FROM documents)), " +
-      "pairs AS (SELECT a.source, " +
-      "len(list_intersect(a.gr, b.gr))::DOUBLE / " +
+      "jj AS (SELECT len(list_intersect(a.gr, b.gr))::DOUBLE / " +
       "len(list_distinct(list_concat(a.gr, b.gr)))::DOUBLE AS j " +
-      "FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id) " +
-      "SELECT source, count(*) AS n_pairs, " +
+      "FROM pairs JOIN g a ON pairs.id_a = a.doc_id " +
+      "JOIN g b ON pairs.id_b = b.doc_id) " +
+      "SELECT count(*) AS n_pairs, " +
       "CAST(sum(CASE WHEN j >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups, " +
-      "round(avg(j), 5) AS avg_j FROM pairs GROUP BY source ORDER BY source")
+      "round(avg(j), 5) AS avg_j FROM jj")
 
   // ------------------------------------------------- similarity search
 
@@ -172,33 +226,13 @@ object PipelineQueries {
       "SELECT label, count(*) AS n, round(avg(top1_cos), 5) AS avg_top1 " +
       "FROM top1 GROUP BY label ORDER BY label")
 
-  private val embedAnnLsh = Q("q_embed_ann_lsh",
-    (s, d) => Similarity.lshBuckets(embs(s, d), "vec_id", "embedding")
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("nb"))
-      .agg(count(lit(1)).as("n_buckets"), max(col("nb")).as("max_bucket"),
-        sum(col("nb")).as("n_vecs")),
-    {
-      val dots = (0 until 8).map { b =>
-        s"list_sum([CAST(embedding[i] AS DOUBLE) * " +
-          s"((((${b * 7 + 3} * i * 2654435761) % 97) - 48) / 48.0) " +
-          "for i in generate_series(1, len(embedding))])"
-      }
-      val bucket = dots.zipWithIndex.map { case (dt, b) =>
-        s"(CASE WHEN ($dt) > 0 THEN ${1L << b} ELSE 0 END)"
-      }.mkString(" + ")
-      s"WITH bk AS (SELECT vec_id, ($bucket) AS bucket FROM embeddings), " +
-        "sizes AS (SELECT bucket, count(*) AS nb FROM bk GROUP BY bucket) " +
-        "SELECT count(*) AS n_buckets, max(nb) AS max_bucket, " +
-        "CAST(sum(nb) AS BIGINT) AS n_vecs FROM sizes"
-    })
-
-  /** Bucket arithmetic shared with [[Similarity.lshBucket]] (same
-    * constants → bit-identical buckets in DuckDB). */
-  private def bucketSql: String = {
-    val dots = (0 until 8).map { b =>
+  /** Bucket arithmetic shared with [[Similarity.lshBucket]]: the
+    * hyperplane formula comes from [[Similarity.hyperplaneSql]] (same
+    * constants as the Column form → bit-identical buckets in DuckDB). */
+  private def bucketSql(nBits: Int): String = {
+    val dots = (0 until nBits).map { b =>
       s"list_sum([CAST(embedding[i] AS DOUBLE) * " +
-        s"((((${b * 7 + 3} * i * 2654435761) % 97) - 48) / 48.0) " +
+        s"(${Similarity.hyperplaneSql(b, "i")}) " +
         "for i in generate_series(1, len(embedding))])"
     }
     dots.zipWithIndex.map { case (dt, b) =>
@@ -206,19 +240,93 @@ object PipelineQueries {
     }.mkString(" + ")
   }
 
+  private def lshStatsQ(name: String, nBits: Int): Q = Q(name,
+    (s, d) => Similarity.lshBuckets(embs(s, d), "vec_id", "embedding", nBits)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("nb"))
+      .agg(count(lit(1)).as("n_buckets"), max(col("nb")).as("max_bucket"),
+        sum(col("nb")).as("n_vecs")),
+    s"WITH bk AS (SELECT vec_id, (${bucketSql(nBits)}) AS bucket FROM embeddings), " +
+      "sizes AS (SELECT bucket, count(*) AS nb FROM bk GROUP BY bucket) " +
+      "SELECT count(*) AS n_buckets, max(nb) AS max_bucket, " +
+      "CAST(sum(nb) AS BIGINT) AS n_vecs FROM sizes")
+
+  private val embedAnnLsh = lshStatsQ("q_embed_ann_lsh", 8)
+  /** Parameterized-nBits entry: the bucket space must be SIZED to the
+    * corpus ([[Similarity.nBitsFor]]) — same operator at 12 bits. */
+  private val embedLshSized = lshStatsQ("q_embed_lsh_sized", 12)
+
+  /** Salted within-bucket ANN top-1: salt=4 spreads each bucket's work
+    * over 4 tasks; the oracle proves the salted join is result-
+    * identical to the plain within-bucket top-1. */
+  private val embedAnnTop1 = Q("q_embed_ann_top1",
+    (s, d) => {
+      val top1 = Similarity.annTop1(embs(s, d), "vec_id", "embedding",
+        nBits = 8, salt = 4)
+      embs(s, d).select(col("vec_id").as("id_a"), col("label"))
+        .join(top1, "id_a")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("ann_top1_cos")), 5).as("avg_ann_top1"))
+        .orderBy("label")
+    },
+    s"WITH e AS (SELECT vec_id, label, embedding AS emb, " +
+      s"(${bucketSql(8)}) AS bucket, " +
+      s"sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings), " +
+      "top1 AS (SELECT a.vec_id, a.label, " +
+      s"max(${dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm)) AS t " +
+      "FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id " +
+      "GROUP BY a.vec_id, a.label) " +
+      "SELECT label, count(*) AS n, round(avg(t), 5) AS avg_ann_top1 " +
+      "FROM top1 GROUP BY label ORDER BY label")
+
   private val embedNearDup = Q("q_dedup_embed",
     (s, d) => Similarity
       .cosineNearDups(embs(s, d), "vec_id", "embedding", 0.25, exact = false)
       .agg(count(lit(1)).as("n_dups"),
         round(avg(col("cos")), 5).as("avg_cos"),
         round(max(col("cos")), 5).as("max_cos")),
-    s"WITH e AS (SELECT vec_id, embedding AS emb, ($bucketSql) AS bucket, " +
+    s"WITH e AS (SELECT vec_id, embedding AS emb, (${bucketSql(8)}) AS bucket, " +
       s"sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings), " +
       "p AS (SELECT a.vec_id AS ia, b.vec_id AS ib, " +
       s"${dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm) AS cos " +
       "FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
       "SELECT count(*) AS n_dups, round(avg(cos), 5) AS avg_cos, " +
       "round(max(cos), 5) AS max_cos FROM p WHERE cos >= 0.25")
+
+  /** Capped-bucket near-dup pass at a coarser bucket space (6 bits →
+    * buckets big enough that the cap binds: 2 oversize buckets diverted
+    * at sf0.01). Oversize buckets ARE duplicate clusters — handled as
+    * groups, not pair-enumerated. */
+  private val EmbedCapBits = 6
+  private val EmbedCap = 30
+  private val embedNearDupCapped = Q("q_dedup_embed_capped",
+    (s, d) => {
+      val dups = Similarity.cosineNearDups(embs(s, d), "vec_id", "embedding",
+        0.25, exact = false, nBits = EmbedCapBits, maxBucket = EmbedCap)
+      val os = Similarity.lshBuckets(embs(s, d), "vec_id", "embedding",
+        EmbedCapBits)
+        .groupBy("bucket").agg(count(lit(1)).as("bn"))
+        .where(col("bn") > EmbedCap)
+      dups.agg(count(lit(1)).as("n_dups"),
+        round(avg(col("cos")), 5).as("avg_cos"))
+        .crossJoin(os.agg(count(lit(1)).as("n_oversize"),
+          sum(col("bn")).as("n_diverted")))
+    },
+    s"WITH e AS (SELECT vec_id, embedding AS emb, " +
+      s"(${bucketSql(EmbedCapBits)}) AS bucket, " +
+      s"sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings), " +
+      "bsz AS (SELECT bucket, count(*) AS bn FROM e GROUP BY bucket), " +
+      "el AS (SELECT e.* FROM e JOIN bsz USING (bucket) " +
+      s"WHERE bsz.bn <= $EmbedCap), " +
+      "p AS (SELECT " +
+      s"${dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm) AS cos " +
+      "FROM el a JOIN el b ON a.bucket = b.bucket AND a.vec_id < b.vec_id), " +
+      "agg AS (SELECT count(*) AS n_dups, round(avg(cos), 5) AS avg_cos " +
+      "FROM p WHERE cos >= 0.25), " +
+      s"os AS (SELECT count(*) AS n_oversize, CAST(sum(bn) AS BIGINT) " +
+      s"AS n_diverted FROM bsz WHERE bn > $EmbedCap) " +
+      "SELECT agg.*, os.* FROM agg CROSS JOIN os")
 
   private def l2Sql(a: String, b: String): String =
     s"list_sum([(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
@@ -228,10 +336,14 @@ object PipelineQueries {
   private val embedIvf = Q("q_embed_ivf",
     (s, d) => {
       val e = embs(s, d)
-      val cents = e.orderBy("vec_id").limit(16)
-        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
-      val top1 = Similarity.ivfTop1(e, "vec_id", "embedding", cents)
-      val cells = Similarity.assignCells(e, "vec_id", "embedding", cents)
+      // fused IVF pipeline: ONE centroid collect, ONE cell-assignment
+      // plan reused by both the bucket stats and the top-1 probe (the
+      // former 3×collect/3×scan composition was pure overhead)
+      val cents = Similarity.collectCentroids(
+        e.orderBy("vec_id").limit(16)
+          .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
+      val cells = Similarity.cellAssignments(e, "vec_id", "embedding", cents)
+      val top1 = Similarity.ivfTop1From(cells, "vec_id", "embedding")
       val cellStats = cells.groupBy("cell").agg(count(lit(1)).as("cn"))
         .agg(count(lit(1)).as("n_cells"), max(col("cn")).as("max_cell"))
       cellStats.crossJoin(top1.agg(count(lit(1)).as("n_hit"),
@@ -356,8 +468,10 @@ object PipelineQueries {
   // ---------------------------------------------------------------- export
 
   val all: Vector[Q] = Vector(
-    dedupExact, dedupMinhash, dedupMinhashGroups, dedupSimhash, dedupNgram,
-    embedTop1, embedAnnLsh, embedNearDup, embedIvf,
+    dedupExact, dedupMinhash, dedupMinhashCapped, dedupMinhashGroups,
+    dedupSimhash, dedupNgram,
+    embedTop1, embedAnnLsh, embedLshSized, embedAnnTop1, embedNearDup,
+    embedNearDupCapped, embedIvf,
     textLangid, textQuality, textTokens, textFingerprint,
     multimodalMeta)
 }

@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame}
 
@@ -23,17 +22,21 @@ object Numerics {
     * op: lse = max(x) + ln Σ exp(x − max(x)) (reference
     * `tf_wraps.py:42-48`, axis-reduction form).
     *
-    * Two-pass via a window max then a single hash aggregate — both
-    * stages are partial-aggregated map-side, so at scale this is one
-    * shuffle on the group keys.
+    * Two hash aggregates, no Window: pass 1 computes the per-group max
+    * (partial-agg'd map-side, result is group-cardinality-sized →
+    * broadcast), pass 2 joins the max back and aggregates the shifted
+    * exp sum (also partial-agg'd). A `max(x).over(Window.partitionBy)`
+    * would instead shuffle EVERY row of a group onto one task — with a
+    * handful of groups at 100 TB that is a few-reducer scale-killer;
+    * this shape keeps both stages map-side partial.
     */
   def logSumExp(df: DataFrame, groupCols: Seq[String], x: Column,
                 out: String): DataFrame = {
-    val w = Window.partitionBy(groupCols.map(col): _*)
-    val mx = max(x).over(w)
-    df.withColumn("__lse_mx", mx)
-      .groupBy(groupCols.map(col): _*)
-      .agg((first(col("__lse_mx")) +
+    val keys = groupCols.map(col)
+    val maxes = df.groupBy(keys: _*).agg(max(x).as("__lse_mx"))
+    df.join(broadcast(maxes), groupCols)
+      .groupBy(keys: _*)
+      .agg((max(col("__lse_mx")) +
         log(sum(exp(x - col("__lse_mx"))))).as(out))
   }
 

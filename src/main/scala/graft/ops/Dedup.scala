@@ -73,10 +73,14 @@ object Dedup {
   }
 
   /** LSH banding: one row per (doc, band) with the band key — docs
-    * sharing a band key are candidate duplicates. */
-  def lshBands(sigs: DataFrame, idCol: String): DataFrame = {
-    val rows = NumPerms / NumBands
-    val bands = (0 until NumBands).map { b =>
+    * sharing a band key are candidate duplicates. `numBands` trades
+    * recall (more bands → more, looser buckets) against precision and
+    * must divide [[NumPerms]]. */
+  def lshBands(sigs: DataFrame, idCol: String,
+               numBands: Int = NumBands): DataFrame = {
+    require(NumPerms % numBands == 0, s"numBands must divide $NumPerms")
+    val rows = NumPerms / numBands
+    val bands = (0 until numBands).map { b =>
       val key = concat_ws("_",
         (0 until rows).map(r => col(s"sig${b * rows + r}")): _*)
       sigs.select(col(idCol), lit(b).as("band"), key.as("band_key"))
@@ -94,21 +98,56 @@ object Dedup {
     * arrays: one aggregation + one self-join total, no signature
     * re-join and no cache. A pair colliding in several bands gets the
     * same estimate each time, so the final `distinct` still dedups. */
-  def minhashCandidates(df: DataFrame, textCol: String,
-                        idCol: String): DataFrame = {
+  /** Band rows (id, sig[8], band, band_key), shared by the pair join
+    * and the bucket-size accounting. */
+  private def bandRows(df: DataFrame, textCol: String, idCol: String,
+                       numBands: Int): DataFrame = {
+    require(NumPerms % numBands == 0, s"numBands must divide $NumPerms")
     val sigs = minhashSignatures(df, textCol, idCol)
-    val rows = NumPerms / NumBands
-    val bandKeys = array((0 until NumBands).map { b =>
+    val rows = NumPerms / numBands
+    val bandKeys = array((0 until numBands).map { b =>
       struct(lit(b).as("band"), concat_ws("_",
         (0 until rows).map(r => col(s"sig${b * rows + r}")): _*).as("band_key"))
     }: _*)
-    val bands = sigs.select(col(idCol),
+    sigs.select(col(idCol),
       array((0 until NumPerms).map(i => col(s"sig$i")): _*).as("sig"),
       explode(bandKeys).as("bk"))
       .select(col(idCol), col("sig"), col("bk.band"), col("bk.band_key"))
+  }
+
+  def minhashCandidates(df: DataFrame, textCol: String,
+                        idCol: String): DataFrame =
+    minhashCandidates(df, textCol, idCol, maxBucket = 0, NumBands)
+
+  /** As above, with the skew bound that makes pair generation safe at
+    * 100 TB: `maxBucket > 0` drops buckets holding more than that many
+    * docs from the pair join. A template family of B near-identical
+    * docs otherwise collides into ONE band bucket and explodes into
+    * B²/2 pairs in a single task; with the cap, pair cost is bounded by
+    * O(#buckets · maxBucket²) and the diverted family is still deduped
+    * linearly by [[minhashGroups]] (route [[oversizeBuckets]] members
+    * there — a bucket that large is a template family by construction,
+    * not a borderline near-dup case needing pairwise scores).
+    *
+    * The bucket-size filter is one extra hash aggregate over the band
+    * rows (map-side partial, output is bucket-cardinality-sized) joined
+    * back on the same key the self-join shuffles on, so the exchange is
+    * shared — no extra shuffle of the data. */
+  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
+                        maxBucket: Int, numBands: Int): DataFrame = {
+    val bands = bandRows(df, textCol, idCol, numBands)
+    val eligible =
+      if (maxBucket <= 0) bands
+      else {
+        val small = bands.groupBy("band", "band_key")
+          .agg(count(lit(1)).as("__bn"))
+          .where(col("__bn") <= maxBucket)
+          .select("band", "band_key")
+        bands.join(small, Seq("band", "band_key"))
+      }
     val agree = size(filter(
       zip_with(col("x.sig"), col("y.sig"), (a, b) => a === b), w => w))
-    bands.as("x").join(bands.as("y"),
+    eligible.as("x").join(eligible.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_key") === col("y.band_key") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
@@ -116,6 +155,18 @@ object Dedup {
         (agree.cast("double") / lit(NumPerms.toDouble)).as("est_jaccard"))
       .distinct()
   }
+
+  /** Buckets larger than `maxBucket` — the ones [[minhashCandidates]]
+    * diverts. One row per (band, band_key) with its size; members are
+    * recovered by joining back on the key, and deduped linearly via
+    * [[minhashGroups]]. */
+  def oversizeBuckets(df: DataFrame, textCol: String, idCol: String,
+                      maxBucket: Int,
+                      numBands: Int = NumBands): DataFrame =
+    bandRows(df, textCol, idCol, numBands)
+      .groupBy("band", "band_key")
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") > maxBucket)
 
   /** Near-duplicate GROUPS by full MinHash signature: one row per
     * signature with the representative (min id) and multiplicity.

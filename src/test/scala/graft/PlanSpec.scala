@@ -26,4 +26,19 @@ class PlanSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q_lse uses hash aggregates, not a partitionBy Window") {
+    // A Window.partitionBy(max) funnels every row of a group onto one
+    // task — with low-cardinality keys at 100 TB that's a few-reducer
+    // bottleneck. The scale shape is two hash aggregates (both
+    // map-side partial) with the tiny per-group maxes broadcast back.
+    val df = SparkEntry.queries("q_lse")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "q_lse: Window in plan")
+    assert(plan.contains("HashAggregate"), "q_lse: expected HashAggregates")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      "q_lse: expected broadcast join of per-group maxes")
+  }
 }

@@ -228,6 +228,94 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash pair-gen cap bounds a template-family blowup; the " +
+    "diverted family is still deduped linearly by minhashGroups") {
+    // skew fixture: one 300-doc template family (identical text → all
+    // 4 band buckets hold 300 rows) plus distinct singletons
+    val family = (0 until 300).map(i =>
+      (100000L + i, "common template boilerplate text shared by every " +
+        "member of this synthetic family of documents"))
+    val unique = (0 until 50).map(i =>
+      (200000L + i, s"unique document number $i with tokens " +
+        s"u${i}alpha u${i}beta u${i}gamma u${i}delta u${i}epsilon"))
+    val df = (family ++ unique).toDF("doc_id", "text")
+
+    val uncapped = Dedup.minhashCandidates(df, "text", "doc_id").count()
+    assert(uncapped >= 300L * 299 / 2, s"fixture not quadratic: $uncapped")
+
+    val capped = Dedup.minhashCandidates(df, "text", "doc_id",
+      maxBucket = 50, numBands = Dedup.NumBands).count()
+    assert(capped < 1000, s"cap failed to bound pairs: $capped")
+
+    val os = Dedup.oversizeBuckets(df, "text", "doc_id", 50).collect()
+    assert(os.length == 4, s"expected the family in all 4 bands: ${os.length}")
+    assert(os.forall(_.getAs[Long]("n_docs") == 300L))
+
+    val g = Dedup.minhashGroups(df, "text", "doc_id")
+      .filter(col("n_copies") > 1).collect()
+    assert(g.exists(_.getAs[Long]("n_copies") == 300L),
+      "diverted family not recovered by linear group dedup")
+  }
+
+  test("cosineNearDups bucket cap: capped pairs are the subset from " +
+    "small buckets only") {
+    val embDf = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val nBits = 4
+    val sizes = Similarity.lshBuckets(embDf, "vec_id", "embedding", nBits)
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cap = (sizes.values.max - 1).toInt // the biggest bucket must divert
+    val buckets = Similarity.lshBuckets(embDf, "vec_id", "embedding", nBits)
+      .collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("bucket"))).toMap
+    val un = Similarity.cosineNearDups(embDf, "vec_id", "embedding", 0.1,
+      exact = false, nBits = nBits)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Similarity.cosineNearDups(embDf, "vec_id", "embedding", 0.1,
+      exact = false, nBits = nBits, maxBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(un))
+    val want = un.filter { case (a, _) => sizes(buckets(a)) <= cap }
+    assert(capped == want, "capped set is not exactly the small-bucket pairs")
+    assert(capped.size < un.size, "cap never bound — fixture too uniform")
+  }
+
+  test("salted annTop1 is result-identical to the unsalted join") {
+    val embDf = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val plain = Similarity.annTop1(embDf, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val salted = Similarity.annTop1(embDf, "vec_id", "embedding",
+      nBits = 8, salt = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(salted == plain, "salting changed ANN results")
+  }
+
+  test("multi-table LSH recall@1 vs brute force clears a floor; " +
+    "nBitsFor sizes buckets to the corpus") {
+    val embDf = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val n = embDf.count()
+    val exact = Similarity.cosineTop1(embDf, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // single-table recall at a corpus-sized bucket space
+    val nBits = Similarity.nBitsFor(n, 64L)
+    def recallOf(tables: Int): Double = {
+      val ann = Similarity.annTop1(embDf, "vec_id", "embedding",
+        nBits = nBits, tables = tables)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      exact.count { case (id, c) =>
+        ann.get(id).exists(_ >= c - 1e-9)
+      }.toDouble / exact.size
+    }
+    val r1 = recallOf(1)
+    val r4 = recallOf(4)
+    assert(r4 >= 0.5, s"4-table recall@1 $r4 below floor")
+    assert(r4 > r1, s"amplification didn't help: 1-table $r1, 4-table $r4")
+    assert(Similarity.nBitsFor(1000000000L, 1024L) == 20)
+    assert(Similarity.nBitsFor(500L, 1024L) == 1)
+  }
+
   test("langId returns a label from the priority set and is deterministic") {
     val preds = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(TextAnalysis.langId(col("text")).as("p")).distinct()
