@@ -27,6 +27,7 @@ object Bench {
     // scale; reported as iterations and wall-seconds.
     val elboIters = 30
     var distSecs = -1.0
+    var distOneSecs = -1.0
     val elboSecs = try {
       import graft.autodiff.ExprFns
       import graft.core._
@@ -56,7 +57,9 @@ object Bench {
       val s = (System.nanoTime() - t0) / 1e9
 
       // same model FORCED onto the distributed treeAggregate path
-      // (localThreshold = 0) — the per-step rate a real cluster runs at
+      // (localThreshold = 0) — the per-step rate a real cluster runs
+      // at. stepsPerBatch=5 fuses 5 Adam sub-steps per sampled
+      // minibatch, amortizing the ~50 ms/job scheduling floor.
       val elboD = new Elbo(root, ds, Seq("x", "y"), ctx => {
         val fit = ctx.sample1(a) + ctx.sample1(b) * ctx.in("x")
         ExprFns.gaussian(ctx.in("y"), fit,
@@ -64,15 +67,24 @@ object Bench {
       }, seed = 0, localThreshold = 0L)
       elboD.optimize(maxiter = 1, minibatchSize = 65536, lr = 0.05)
       val t1 = System.nanoTime()
-      elboD.optimize(maxiter = elboIters, minibatchSize = 65536, lr = 0.05)
+      elboD.optimize(maxiter = elboIters, minibatchSize = 65536, lr = 0.05,
+        stepsPerBatch = 5)
       distSecs = (System.nanoTime() - t1) / 1e9
+      // unfused rate kept for comparison (one job per step)
+      val t2 = System.nanoTime()
+      elboD.optimize(maxiter = elboIters, minibatchSize = 65536, lr = 0.05)
+      distOneSecs = (System.nanoTime() - t2) / 1e9
       ds.unpersist(); s
     } catch { case _: Throwable => -1.0 }
     val allResults = results ++ Map(s"elbo_train_${elboIters}it" -> elboSecs,
-      s"elbo_dist_${elboIters}it" -> distSecs)
+      s"elbo_dist_${elboIters}it" -> distSecs,
+      s"elbo_dist_unfused_${elboIters}it" -> distOneSecs)
     val qs = allResults.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = allResults.values.filter(_ > 0).sum
+    // the unfused-dist rate is a diagnostic, not workload — keep the
+    // headline total comparable across rounds
+    val total = (allResults - s"elbo_dist_unfused_${elboIters}it")
+      .values.filter(_ > 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","elbo_iters_per_sec":${
       if (elboSecs > 0) elboIters / elboSecs else -1.0},"elbo_dist_iters_per_sec":${
       if (distSecs > 0) elboIters / distSecs else -1.0}}""")

@@ -93,6 +93,32 @@ object CholGrad {
     }
   }
 
+  /** (Lm⁻¹, d(Lm⁻¹)/dℓ) for a 1-d UnitCsymRBF inducing block
+    * (reference `gp/kernels.py:113-131`, learnable ℓ `gp/kernels.py:
+    * 37-51`): K_ij = K⁻_ij + K⁺_ij + jitter·δ_ij with
+    * K∓_ij = exp(−(z_i ∓ z_j)²/(2ℓ²)), so
+    * dK_ij/dℓ = K⁻_ij·(z_i−z_j)²/ℓ³ + K⁺_ij·(z_i+z_j)²/ℓ³. */
+  def csym1dLmInvAndGrad(z: Seq[Double], ell: Double)
+      : (DenseMatrix[Double], DenseMatrix[Double]) = {
+    val m = z.length
+    val km = DenseMatrix.tabulate(m, m) { (i, j) =>
+      val d = z(i) - z(j); math.exp(-0.5 * d * d / (ell * ell))
+    }
+    val kp = DenseMatrix.tabulate(m, m) { (i, j) =>
+      val d = z(i) + z(j); math.exp(-0.5 * d * d / (ell * ell))
+    }
+    val k = km + kp
+    var i = 0
+    while (i < m) { k(i, i) += Kernels.JitterLevel; i += 1 }
+    val l = breeze.linalg.cholesky(k)
+    val lInv = lowerInv(l)
+    val dK = DenseMatrix.tabulate(m, m) { (i, j) =>
+      val dm = z(i) - z(j); val dp = z(i) + z(j)
+      (km(i, j) * dm * dm + kp(i, j) * dp * dp) / (ell * ell * ell)
+    }
+    (lInv, dLowerInv(lInv, dCholesky(l, lInv, dK)))
+  }
+
   /** ARD inducing-location sensitivities: d(Lm⁻¹)/dz(r,c) for every
     * inducing point r and coordinate c (m·d Cholesky-forward passes,
     * driver side):

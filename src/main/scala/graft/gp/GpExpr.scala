@@ -58,6 +58,43 @@ object GpExpr {
     }
   }
 
+  /** φ_j(x) for a 1-d UnitCsymRBF sparse GP (reference
+    * `gp/kernels.py:113-131`): kernel rows k_r(x) =
+    * exp(−(x−z_r)²/2ℓ²) + exp(−(x+z_r)²/2ℓ²), Lm⁻¹ from the same
+    * Breeze Cholesky the runtime csym GP path uses. */
+  def whitenedFeaturesCsym1d(x: Expr, z: Seq[Double],
+                             lengthscale: Double): IndexedSeq[Expr] = {
+    val zm = new DenseMatrix(z.length, 1, z.toArray)
+    val sgp = new SparseGP(Kernels.UnitCsymRBF(DenseVector(lengthscale)), zm)
+    val lmInv = sgp.lmInv
+    val inv2l2 = -0.5 / (lengthscale * lengthscale)
+    val ks = z.map(zj =>
+      Expr.exp(Expr.c(inv2l2) * (x - Expr.c(zj)).sq) +
+        Expr.exp(Expr.c(inv2l2) * (x + Expr.c(zj)).sq))
+    z.indices.map { j =>
+      Expr.sum((0 to j).map(r => Expr.c(lmInv(j, r)) * ks(r)))
+    }
+  }
+
+  /** φ_j(x; ℓ) for UnitCsymRBF with ℓ live: exact ℓ-dependence through
+    * the (symmetrized) kernel rows, first-order through Lm⁻¹ around
+    * `ell0` via [[CholGrad.csym1dLmInvAndGrad]]. Equals
+    * [[whitenedFeaturesCsym1d]] when ℓ = ell0 — same scheme as the RBF
+    * path, so CsymRBF users can fit ℓ too (the surface the reference
+    * gets from TF autodiff for ANY kernel). */
+  def whitenedFeaturesCsym1dLearnable(x: Expr, ell: Expr, ell0: Double,
+                                      z: Seq[Double]): IndexedSeq[Expr] = {
+    val (a0, dA) = CholGrad.csym1dLmInvAndGrad(z, ell0)
+    val dl = ell - Expr.c(ell0)
+    val ks = z.map(zj =>
+      Expr.exp(Expr.c(-0.5) * ((x - Expr.c(zj)) / ell).sq) +
+        Expr.exp(Expr.c(-0.5) * ((x + Expr.c(zj)) / ell).sq))
+    z.indices.map { j =>
+      Expr.sum((0 to j).map(r =>
+        (Expr.c(a0(j, r)) + Expr.c(dA(j, r)) * dl) * ks(r)))
+    }
+  }
+
   /** φ_j(x; ℓ, z) with BOTH the lengthscale and the m inducing
     * locations live (the reference's trainable z, `gp/gp.py:86-97`):
     * exact (ℓ, z_r) dependence through the kernel rows, first-order
@@ -319,6 +356,62 @@ object GpExpr {
         elbo = mkElbo(ell.value(0), zp.value.toScalaVector)
     }
     SparseGpFit(root, u, noise, ell, zp.value.toScalaVector, last)
+  }
+
+  /** Trained csym sparse-GP regression handle. */
+  final case class SparseGpCsymFit(module: graft.core.Module,
+      u: graft.core.Variational.Normal, noiseVar: graft.core.Param,
+      ell: graft.core.Param, z: Seq[Double], elbo: Double) {
+    def lengthscale: Double = ell.value(0)
+    def predictiveMean(xs: Seq[Double]): Seq[Double] = {
+      val zm = new DenseMatrix(z.length, 1, z.toArray)
+      val sgp = new SparseGP(
+        Kernels.UnitCsymRBF(DenseVector(lengthscale)), zm)
+      val xm = new DenseMatrix(xs.length, 1, xs.toArray)
+      (sgp.effectiveLT(xm).t * u.qMu.value).toScalaVector
+    }
+  }
+
+  /** 1-d sparse-GP regression under the cylindrically-symmetric RBF
+    * with learnable ℓ — same re-linearized scheme as
+    * [[trainSparse1d]] (ℓ joint, Lm⁻¹ re-linearized per round, Adam
+    * state carried across tape rebuilds). */
+  def trainSparseCsym1d(ds: graft.data.DataSet, xCol: String, yCol: String,
+      z: Seq[Double], ell0: Double = 1.0, learnEll: Boolean = true,
+      rounds: Int = 8, stepsPerRound: Int = 100, lr: Double = 0.05,
+      minibatchSize: Int = -1, seed: Long = 0L): SparseGpCsymFit = {
+    import graft.core._
+    import graft.optimize.{Adam, Elbo}
+    val m = z.length
+    val root = new Module
+    val u = root.add("u", new Variational.Normal(Seq(m)))
+    val noise = root.add("noise", new Param(Seq(1),
+      transform = graft.functions.Transforms.Log1pe(), initMean = 0.1,
+      initStddev = 0.0))
+    val ell = root.add("ell", new Param(Seq(1),
+      transform = graft.functions.Transforms.Log1pe(), initMean = ell0,
+      initStddev = 0.0,
+      collection = if (learnEll) Collections.Variables else "fixed_hyper"))
+    root.initialize()
+    def mkElbo(ellLin: Double) =
+      new Elbo(root, ds, Seq(xCol, yCol), ctx => {
+        val phi = whitenedFeaturesCsym1dLearnable(ctx.in(xCol),
+          ctx.read1(ell), ellLin, z)
+        val us = ctx.sample(u)
+        val f = Expr.sum((0 until m).map(j => us(j) * phi(j)))
+        graft.autodiff.ExprFns.gaussian(ctx.in(yCol), f, ctx.read1(noise))
+      }, seed = seed)
+    var elbo = mkElbo(ell.value(0))
+    val adamVar = new Adam(elbo.nSlots, lr)
+    var last = 0.0
+    var r = 0
+    while (r < rounds) {
+      last = elbo.optimize(stepsPerRound, minibatchSize, lr,
+        adamState = adamVar)
+      r += 1
+      if (r < rounds && learnEll) elbo = mkElbo(ell.value(0))
+    }
+    SparseGpCsymFit(root, u, noise, ell, z, last)
   }
 
   /** Driver-side predictive mean at points `xs` for trained whitened

@@ -260,24 +260,35 @@ final class Elbo(
 
   /** `maxiter` × (fresh draws → minibatch → ∇ELBO → Adam ascent)
     * (reference `Optimizer.optimize`, `model.py:255-269`). Returns the
-    * last ELBO estimate. Pass `minibatchSize = -1` for full-batch. */
+    * last ELBO estimate. Pass `minibatchSize = -1` for full-batch.
+    *
+    * `stepsPerBatch = k > 1` fuses k Adam sub-steps onto ONE sampled
+    * minibatch: the batch is materialized once (collected to the
+    * driver when it fits the local budget — a minibatch is
+    * memory-bounded BY CONSTRUCTION, so this holds at any corpus
+    * scale — else persisted as a cached RDD) and the k sub-steps each
+    * draw fresh reparameterization noise against it. On the
+    * distributed path this divides the ~50 ms/step job-scheduling
+    * floor by k; statistically it is plain minibatch reuse (same
+    * estimator, k-fold-correlated batches), standard practice when
+    * sampling dominates step cost. */
   def optimize(maxiter: Int, minibatchSize: Int = -1, lr: Double = 0.01,
                collection: String = Collections.Variables,
                verboseEvery: Int = 0,
                /** Pass a shared instance (same module ⇒ same slot
                  * layout) to carry Adam moments across tape rebuilds —
                  * the re-linearization loop in [[graft.gp.GpExpr]]. */
-               adamState: Adam = null): Double = {
+               adamState: Adam = null,
+               stepsPerBatch: Int = 1): Double = {
     val theta = thetaFromTree()
     val mask = collectionMask(collection)
     val adam = if (adamState != null) adamState else new Adam(nSlots, lr)
     val total = dataset.trainCount
     var lastElbo = 0.0
-    var it = 0
-    while (it < maxiter) {
-      val draws = freshDraws(it)
-      val (loss, grad, cnt) = batchGrad(it, minibatchSize, training = true,
-        theta, draws)
+
+    // one Adam ascent sub-step from a computed (loss, grad, cnt)
+    def applyStep(loss: Double, grad: Array[Double], cnt: Long,
+                  draws: Array[Double], it: Int): Unit = {
       val scale = if (cnt == 0) 0.0 else total.toDouble / cnt
       // KL value + gradient on driver (param-sized)
       val vals = klTape.newValues
@@ -290,7 +301,62 @@ final class Elbo(
       adam.step(theta, grad, mask)
       if (verboseEvery > 0 && (it % verboseEvery == 0))
         println(f"[elbo] iter $it%6d elbo=$lastElbo%.4f")
-      it += 1
+    }
+
+    // fusing only helps where a batch is expensive to produce: the
+    // distributed minibatch paths (local data re-indexes for free;
+    // full-batch reuses the same persisted RDD every step already)
+    val fuse = stepsPerBatch > 1 && !useLocal && minibatchSize > 0
+    var it = 0
+    while (it < maxiter) {
+      if (!fuse) {
+        val draws = freshDraws(it)
+        val (loss, grad, cnt) = batchGrad(it, minibatchSize,
+          training = true, theta, draws)
+        applyStep(loss, grad, cnt, draws, it)
+        it += 1
+      } else {
+        val k = math.min(stepsPerBatch, maxiter - it)
+        val collectable = augmentIsDefault &&
+          minibatchSize.toLong * math.max(1, inputCols.length) <= localThreshold
+        var rows: Array[Array[Double]] = null
+        var rdd: org.apache.spark.rdd.RDD[Array[Double]] = null
+        var df: org.apache.spark.sql.DataFrame = null
+        if (augmentIsDefault) {
+          val frac = math.min(1.0,
+            minibatchSize.toDouble / math.max(1L, total))
+          val sampled = trainVecs.sample(withReplacement = true, frac,
+            seed + 7919L * (it + 1))
+          if (collectable) rows = sampled.collect()
+          else {
+            rdd = sampled.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            rdd.count()
+          }
+        } else {
+          df = dataset.minibatch(minibatchSize, it)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          df.count()
+        }
+        var s = 0
+        while (s < k) {
+          val step = it + s
+          val draws = freshDraws(step)
+          val (loss, grad, cnt) =
+            if (rows != null) localGrad(rows, null, theta, draws)
+            else if (rdd != null) rddGrad(rdd, theta, draws)
+            else {
+              val f = Elbo.vecOf(inputCols)
+              rddGrad(augment(df, step).select(inputCols.map(col): _*)
+                .rdd.map(f), theta, draws)
+            }
+          applyStep(loss, grad, cnt, draws, step)
+          s += 1
+        }
+        if (rdd != null) rdd.unpersist(false)
+        if (df != null) df.unpersist(false)
+        it += k
+      }
     }
     thetaToTree(theta)
     module.initialize()

@@ -242,6 +242,77 @@ class GpLearnSpec extends AnyFunSuite {
     }
   }
 
+  test("csym learnable features equal fixed csym features at ℓ = ℓ0") {
+    val fixed = GpExpr.whitenedFeaturesCsym1d(In(0), z, ell0)
+    val learn = GpExpr.whitenedFeaturesCsym1dLearnable(In(0), P(0), ell0, z)
+    val xs = Seq(-1.7, -0.2, 0.9, 2.8)
+    z.indices.foreach { j =>
+      val tf = CompiledExpr.compile(fixed(j), 1, 0, 0)
+      val tl = CompiledExpr.compile(learn(j), 1, 1, 0)
+      xs.foreach { x =>
+        val a = tf.eval(Array(x), Array.empty, Array.empty, tf.newValues)
+        val b = tl.eval(Array(x), Array(ell0), Array.empty, tl.newValues)
+        assert(math.abs(a - b) < 1e-12, s"csym phi_$j($x): $a vs $b")
+      }
+    }
+  }
+
+  test("csym tape ℓ-gradient at ℓ0 matches finite differences of the " +
+    "exact csym features") {
+    val h = 1e-5
+    val xs = Seq(-1.7, -0.2, 0.9, 2.8)
+    z.indices.foreach { j =>
+      val learn = GpExpr.whitenedFeaturesCsym1dLearnable(
+        In(0), P(0), ell0, z)(j)
+      val tl = CompiledExpr.compile(learn, 1, 1, 0)
+      val tp = CompiledExpr.compile(
+        GpExpr.whitenedFeaturesCsym1d(In(0), z, ell0 + h)(j), 1, 0, 0)
+      val tm = CompiledExpr.compile(
+        GpExpr.whitenedFeaturesCsym1d(In(0), z, ell0 - h)(j), 1, 0, 0)
+      xs.foreach { x =>
+        val g = new Array[Double](1)
+        tl.evalGrad(Array(x), Array(ell0), Array.empty,
+          tl.newValues, tl.newValues, g)
+        val fd = (tp.eval(Array(x), Array.empty, Array.empty, tp.newValues) -
+          tm.eval(Array(x), Array.empty, Array.empty, tm.newValues)) / (2 * h)
+        assert(math.abs(g(0) - fd) < 1e-4 * (1 + fd.abs),
+          s"csym dphi_$j/dl($x): tape ${g(0)} vs fd $fd")
+      }
+    }
+  }
+
+  test("trainSparseCsym1d recovers a short lengthscale on wiggly even " +
+    "data and beats the fixed-ℓ fit") {
+    val spark = SparkTestSession.spark
+    // y = cos(2x): even in x — the csym kernel's symmetry matches; a
+    // long initial ℓ=2.0 cannot fit the wiggles, ℓ must shrink
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(((col("l_quantity") - 25.5) / 7.2).as("x"))
+      .withColumn("y", cos(col("x") * 2.0))
+    val zs = Seq(0.2, 0.6, 1.0, 1.5, 2.0, 2.5, 3.0)
+    val ds = new DataSet(li, seed = 0)
+    val learned = GpExpr.trainSparseCsym1d(ds, "x", "y", zs, ell0 = 2.0,
+      learnEll = true, rounds = 10, stepsPerRound = 120, lr = 0.05)
+    val fixed = GpExpr.trainSparseCsym1d(ds, "x", "y", zs, ell0 = 2.0,
+      learnEll = false, rounds = 10, stepsPerRound = 120, lr = 0.05)
+    assert(learned.lengthscale < 1.3,
+      s"csym lengthscale barely moved: ${learned.lengthscale}")
+    assert(learned.elbo > fixed.elbo,
+      s"learned ELBO ${learned.elbo} <= fixed ${fixed.elbo}")
+    // predictive mean tracks cos(2x) and inherits the kernel symmetry
+    val px = Seq(-1.5, -0.75, 0.75, 1.5)
+    val pred = learned.predictiveMean(px)
+    px.zip(pred).foreach { case (x, p) =>
+      assert(math.abs(p - math.cos(2 * x)) < 0.35,
+        s"pred($x)=$p vs ${math.cos(2 * x)}")
+    }
+    val pNeg = learned.predictiveMean(Seq(-1.1))
+    val pPos = learned.predictiveMean(Seq(1.1))
+    assert(math.abs(pNeg.head - pPos.head) < 1e-9,
+      "csym predictive mean not symmetric in x")
+    ds.unpersist()
+  }
+
   test("ARD learns to suppress an irrelevant input dimension") {
     import breeze.linalg.{DenseMatrix, DenseVector}
     val spark = SparkTestSession.spark

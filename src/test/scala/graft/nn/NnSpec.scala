@@ -156,6 +156,47 @@ class NnSpec extends AnyFunSuite {
     ds.unpersist()
   }
 
+  test("Bayesian NN: Variational weights through ExprNN.dense train " +
+    "end-to-end — ELBO improves and weight posteriors shrink " +
+    "(ref nn.py:34-87, weights may be Variational)") {
+    val spark = SparkTestSession.spark
+    import graft.core._
+    import graft.data.DataSet
+    import graft.optimize.Elbo
+    import org.apache.spark.sql.functions._
+    // 1-hidden-layer Bayesian MLP 1 -> 4 -> 1 on a smooth regression
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(((col("l_quantity") - 25.5) / 14.4).as("x"))
+      .withColumn("y", sin(col("x") * 2.0) * 0.8)
+      .limit(512)
+    val root = new Module
+    val w1 = root.add("w1", new Variational.Normal(Seq(1, 4), stddev = 1.0))
+    val b1 = root.add("b1", new Variational.Normal(Seq(4), stddev = 1.0))
+    val w2 = root.add("w2", new Variational.Normal(Seq(4, 1), stddev = 1.0))
+    val b2 = root.add("b2", new Variational.Normal(Seq(1), stddev = 1.0))
+    val ds = new DataSet(li, seed = 0)
+    val elbo = new Elbo(root, ds, Seq("x", "y"), ctx => {
+      // every weight read is a fresh reparameterized posterior draw —
+      // the Bayesian-NN composition the reference allows in NeuralNet
+      val h = ExprNN.dense(IndexedSeq(ctx.in("x")),
+        ctx.sample(w1), ctx.sample(b1), Expr.tanh)
+      val out = ExprNN.dense(h, ctx.sample(w2), ctx.sample(b2),
+        identity[Expr])
+      graft.autodiff.ExprFns.gaussian(ctx.in("y"), out(0), Expr.c(0.05))
+    }, seed = 0)
+    val before = elbo.run(training = true)
+    val after = elbo.optimize(maxiter = 250, lr = 0.05)
+    assert(after > before, s"Bayesian-NN ELBO did not improve: $before -> $after")
+    // posterior scales start at exp(q_sqrt) ≈ 1.0; data must shrink
+    // them (weights become informed)
+    val scales = Seq(w1, b1, w2, b2).flatMap(v =>
+      v.qSqrt.value.toScalaVector.map(math.exp))
+    val meanScale = scales.sum / scales.size
+    assert(meanScale < 0.7,
+      s"weight posteriors did not shrink: mean scale $meanScale")
+    ds.unpersist()
+  }
+
   test("ExprNN.split fans an encoder vector into per-child slices by " +
     "declaration order (ref param.py:516-537)") {
     val enc = IndexedSeq.tabulate(6)(i => Expr.c(i.toDouble))

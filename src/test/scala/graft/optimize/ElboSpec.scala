@@ -139,4 +139,33 @@ class ElboSpec extends AnyFunSuite {
       s"noise $noise vs residual var $resid")
     ds.unpersist()
   }
+
+  test("fused multi-step (stepsPerBatch) on the forced-distributed path " +
+    "converges to the same optimum as per-step sampling") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(((col("l_quantity") - 25.5) / 14.4).as("x"),
+        ((col("l_extendedprice") / 10000.0 - 3.8) / 2.5).as("y"))
+    def fit(stepsPerBatch: Int): (Double, Double, Double) = {
+      val root = new Module
+      val a = root.add("a", new Variational.Normal(Seq(1)))
+      val b = root.add("b", new Variational.Normal(Seq(1)))
+      val ds = new DataSet(li, seed = 0)
+      // localThreshold = 0 forces the distributed treeAggregate path —
+      // the one the fusion exists for
+      val elbo = new Elbo(root, ds, Seq("x", "y"), ctx => {
+        val f = ctx.sample1(a) + ctx.sample1(b) * ctx.in("x")
+        ExprFns.gaussian(ctx.in("y"), f, graft.autodiff.Expr.c(1.0))
+      }, seed = 0, localThreshold = 0L)
+      val last = elbo.optimize(maxiter = 120, minibatchSize = 2048,
+        lr = 0.1, stepsPerBatch = stepsPerBatch)
+      val out = (a.qMu.value(0), b.qMu.value(0), last)
+      ds.unpersist(); out
+    }
+    val (a1, b1, e1) = fit(1)
+    val (a5, b5, e5) = fit(5)
+    assert(math.abs(a5 - a1) < 0.1, s"intercepts diverged: $a1 vs $a5")
+    assert(math.abs(b5 - b1) < 0.1, s"slopes diverged: $b1 vs $b5")
+    assert(e5 > e1 - 500.0,
+      s"fused ELBO collapsed: $e5 vs per-step $e1")
+  }
 }
