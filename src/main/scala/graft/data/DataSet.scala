@@ -16,6 +16,12 @@ import org.apache.spark.storage.StorageLevel
 final class DataSet(df: DataFrame, seed: Long = 0L,
                     testFraction: Double = 0.1) {
 
+  /** Float width sampled at construction (reference: data cast to the
+    * current `float_type` at feed, `param.py:689-699`). Float32 mode
+    * truncates projected vectors to float32-representable values. */
+  private val narrowF32: Boolean =
+    graft.core.Settings.current.floatType eq graft.core.Settings.Float32
+
   /** Cached full data (reference `Data`: fed whole each run). */
   val data: DataFrame = df.persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -56,10 +62,15 @@ final class DataSet(df: DataFrame, seed: Long = 0L,
       vecCache.getOrElseUpdate((cols, training), {
         val src = if (training) train else test
         src.select(cols.map(org.apache.spark.sql.functions.col): _*)
-          .rdd.map(RowVec.of(cols))
+          .rdd.map(RowVec.of(cols, narrowF32))
           .persist(StorageLevel.MEMORY_AND_DISK)
       })
     }
+
+  /** Row projector honoring this DataSet's float width (for callers
+    * building their own RDD paths, e.g. the augmented-batch loop). */
+  def rowVec(cols: Seq[String]): org.apache.spark.sql.Row => Array[Double] =
+    RowVec.of(cols, narrowF32)
 
   /** Input columns projected once to a persisted Array[Double] RDD. */
   def trainVectors(cols: Seq[String]): org.apache.spark.rdd.RDD[Array[Double]] =

@@ -238,7 +238,7 @@ final class Elbo(
         if (minibatchSize <= 0) { if (training) dataset.train else dataset.test }
         else if (training) dataset.minibatch(minibatchSize, step)
         else dataset.testBatch(minibatchSize, step)
-      val f = Elbo.vecOf(inputCols)
+      val f = dataset.rowVec(inputCols)
       val rdd = augment(df, step).select(inputCols.map(col): _*).rdd.map(f)
       rddGrad(rdd, theta, draws)
     }
@@ -317,8 +317,14 @@ final class Elbo(
         it += 1
       } else {
         val k = math.min(stepsPerBatch, maxiter - it)
+        // a minibatch is memory-bounded BY CONSTRUCTION (the user chose
+        // its size), so collecting it for driver-local sub-steps is
+        // gated on its own fixed budget — NOT on localThreshold, which
+        // governs whether the whole DATASET may live on the driver
+        // (and is 0 when forcing the distributed path for benching)
         val collectable = augmentIsDefault &&
-          minibatchSize.toLong * math.max(1, inputCols.length) <= localThreshold
+          minibatchSize.toLong * math.max(1, inputCols.length) <=
+            Elbo.FusedCollectBudget
         var rows: Array[Array[Double]] = null
         var rdd: org.apache.spark.rdd.RDD[Array[Double]] = null
         var df: org.apache.spark.sql.DataFrame = null
@@ -346,7 +352,7 @@ final class Elbo(
             if (rows != null) localGrad(rows, null, theta, draws)
             else if (rdd != null) rddGrad(rdd, theta, draws)
             else {
-              val f = Elbo.vecOf(inputCols)
+              val f = dataset.rowVec(inputCols)
               rddGrad(augment(df, step).select(inputCols.map(col): _*)
                 .rdd.map(f), theta, draws)
             }
@@ -377,7 +383,7 @@ final class Elbo(
     val theta = thetaFromTree()
     val mask = collectionMask(collection)
     val rdd = df.select(inputCols.map(col): _*)
-      .rdd.map(Elbo.vecOf(inputCols))
+      .rdd.map(dataset.rowVec(inputCols))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = rdd.count()
     val local = n * math.max(1, inputCols.length) <= localThreshold
@@ -409,6 +415,11 @@ final class Elbo(
 }
 
 object Elbo {
+
+  /** Max minibatch doubles (rows × input cols ≈ 32 MB) collected to
+    * the driver for fused multi-step groups; larger batches stay a
+    * cached RDD and sub-steps run as jobs. */
+  val FusedCollectBudget: Long = 4000000L
 
   /** Default no-op augment marker (identity). Kept as a named object so
     * the engine can detect "no per-step columns" and use the persisted
