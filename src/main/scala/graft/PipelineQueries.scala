@@ -343,6 +343,7 @@ object PipelineQueries {
         e.orderBy("vec_id").limit(16)
           .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
       val cells = Similarity.cellAssignments(e, "vec_id", "embedding", cents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val top1 = Similarity.ivfTop1From(cells, "vec_id", "embedding")
       val cellStats = cells.groupBy("cell").agg(count(lit(1)).as("cn"))
         .agg(count(lit(1)).as("n_cells"), max(col("cn")).as("max_cell"))

@@ -316,6 +316,39 @@ class OpsSpec extends AnyFunSuite {
     assert(Similarity.nBitsFor(500L, 1024L) == 1)
   }
 
+  test("codegen'd vector kernels are bit-identical to their composable " +
+    "higher-order-function specs") {
+    val embDf = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100).cache()
+    val a = embDf.select(col("vec_id"), col("embedding"),
+      Similarity.asDouble(col("embedding")).as("embd"))
+    // dot: native vs spec (both forward-order sums)
+    val dots = a.select(
+      Similarity.dot(col("embedding"), col("embedding")).as("fast"),
+      Similarity.dotSpec(col("embd"), col("embd")).as("spec")).collect()
+    dots.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"dot mismatch: ${r.getDouble(0)} vs ${r.getDouble(1)}"))
+    // lshBucket: native single-pass vs per-bit aggregate spec, incl. a
+    // nonzero table offset
+    Seq((8, 0), (6, 0), (4, 12)).foreach { case (nBits, off) =>
+      val b = a.select(
+        Similarity.lshBucket(col("embedding"), nBits, off).as("fast"),
+        Similarity.lshBucketSpec(col("embedding"), nBits, off).as("spec"))
+        .collect()
+      b.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"bucket mismatch at nBits=$nBits off=$off"))
+    }
+    // l2sq against a literal centroid (the IVF assignment shape)
+    val c0 = embDf.orderBy("vec_id").limit(1)
+      .collect()(0).getSeq[Float](1).map(_.toDouble)
+    val l2 = a.select(
+      Similarity.l2sq(col("embedding"), typedLit(c0)).as("fast"),
+      aggregate(zip_with(col("embd"), typedLit(c0),
+        (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v).as("spec")).collect()
+    l2.foreach(r => assert(r.getDouble(0) == r.getDouble(1), "l2sq mismatch"))
+  }
+
   test("langId returns a label from the priority set and is deterministic") {
     val preds = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(TextAnalysis.langId(col("text")).as("p")).distinct()
