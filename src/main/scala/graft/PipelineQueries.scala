@@ -251,6 +251,34 @@ object PipelineQueries {
       "SELECT count(*) AS n_buckets, max(nb) AS max_bucket, " +
       "CAST(sum(nb) AS BIGINT) AS n_vecs FROM sizes")
 
+  /** Exact top-3 via the bounded [[graft.ops.TopKAgg]] imperative
+    * aggregate (O(k) state, partial-agg'd) — the oracle verifies the
+    * top-k SCORES (tie id order is engine-dependent; score sets are
+    * not). */
+  private val embedTopK = Q("q_embed_topk",
+    (s, d) => {
+      val tk = Similarity.cosineTopK(embs(s, d), "vec_id", "embedding", 3)
+      val meanTop = aggregate(
+        transform(col("topk"), x => x.getField("score")),
+        lit(0.0), (a, v) => a + v) / size(col("topk")).cast("double")
+      embs(s, d).select(col("vec_id").as("id_a"), col("label"))
+        .join(tk, "id_a")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), round(avg(meanTop), 5).as("avg_top3"))
+        .orderBy("label")
+    },
+    "WITH e AS (SELECT vec_id, label, embedding AS emb, " +
+      s"sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings), " +
+      "p AS (SELECT a.vec_id, a.label, " +
+      s"${dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm) AS cos " +
+      "FROM e a JOIN e b ON a.vec_id <> b.vec_id), " +
+      "r AS (SELECT vec_id, label, cos, row_number() OVER " +
+      "(PARTITION BY vec_id ORDER BY cos DESC) AS rn FROM p), " +
+      "t AS (SELECT vec_id, label, sum(cos)/count(*) AS mean_top " +
+      "FROM r WHERE rn <= 3 GROUP BY vec_id, label) " +
+      "SELECT label, count(*) AS n, round(avg(mean_top), 5) AS avg_top3 " +
+      "FROM t GROUP BY label ORDER BY label")
+
   private val embedAnnLsh = lshStatsQ("q_embed_ann_lsh", 8)
   /** Parameterized-nBits entry: the bucket space must be SIZED to the
     * corpus ([[Similarity.nBitsFor]]) — same operator at 12 bits. */
@@ -371,6 +399,53 @@ object PipelineQueries {
       "CROSS JOIN (SELECT count(*) AS n_hit, round(avg(t), 5) AS " +
       "avg_ivf_top1 FROM top1) ts")
 
+  /** One Lloyd's round of coarse-quantizer TRAINING, then assignment
+    * stats: assign(c0) → fixed-point centroid update → assign(c1) →
+    * (n_cells, avg inertia). The 2²⁴ fixed-point sums make the updated
+    * centroids bit-identical across engines and partitionings (int64
+    * sums are exact), so the second assignment — and therefore the
+    * whole query — hash-matches a serial DuckDB replay. */
+  private val embedKmeans = Q("q_embed_kmeans",
+    (s, d) => {
+      val e = embs(s, d)
+      val c0 = Similarity.collectCentroids(
+        e.orderBy("vec_id").limit(16)
+          .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
+      val c1 = Similarity.kmeansIterate(e, "vec_id", "embedding", c0, 1)
+      Similarity.cellAssignmentsWithDist(e, "vec_id", "embedding", c1)
+        .agg(countDistinct(col("cell")).as("n_cells"),
+          round(avg(col("dist")), 5).as("avg_inertia"))
+    }, {
+      val fx = "16777216.0"
+      "WITH c0 AS (SELECT vec_id AS cid, embedding AS cemb " +
+        "FROM embeddings ORDER BY vec_id LIMIT 16), " +
+        "d0 AS (SELECT e.vec_id, c.cid, " +
+        s"${l2Sql("e.embedding", "c.cemb")} AS dist " +
+        "FROM embeddings e CROSS JOIN c0 c), " +
+        "m0 AS (SELECT vec_id, min(dist) AS md FROM d0 GROUP BY vec_id), " +
+        "a0 AS (SELECT d0.vec_id, min(d0.cid) AS cell FROM d0 " +
+        "JOIN m0 ON d0.vec_id = m0.vec_id AND d0.dist = m0.md " +
+        "GROUP BY d0.vec_id), " +
+        "n0 AS (SELECT cell, count(*) AS n FROM a0 GROUP BY cell), " +
+        "s0 AS (SELECT a0.cell, t.i, " +
+        s"sum(CAST(round(CAST(e.embedding[t.i] AS DOUBLE) * $fx) " +
+        "AS BIGINT)) AS s " +
+        "FROM a0 JOIN embeddings e ON a0.vec_id = e.vec_id " +
+        "CROSS JOIN range(1, 65) t(i) GROUP BY a0.cell, t.i), " +
+        s"c1 AS (SELECT s0.cell AS cid, list(s0.s / $fx / n0.n " +
+        "ORDER BY s0.i) AS cemb FROM s0 JOIN n0 ON s0.cell = n0.cell " +
+        "GROUP BY s0.cell, n0.n), " +
+        "d1 AS (SELECT e.vec_id, c.cid, " +
+        s"${l2Sql("e.embedding", "c.cemb")} AS dist " +
+        "FROM embeddings e CROSS JOIN c1 c), " +
+        "m1 AS (SELECT vec_id, min(dist) AS md FROM d1 GROUP BY vec_id), " +
+        "a1 AS (SELECT d1.vec_id, min(d1.cid) AS cell FROM d1 " +
+        "JOIN m1 ON d1.vec_id = m1.vec_id AND d1.dist = m1.md " +
+        "GROUP BY d1.vec_id) " +
+        "SELECT (SELECT count(DISTINCT cell) FROM a1) AS n_cells, " +
+        "(SELECT round(avg(md), 5) FROM m1) AS avg_inertia"
+    })
+
   // ------------------------------------------------------ text analysis
 
   private def stopSql(lang: String): String = {
@@ -448,6 +523,46 @@ object PipelineQueries {
       "SELECT source, count(*) AS n, count(DISTINCT f) AS n_distinct, " +
       "min(f) AS min_fp FROM fp GROUP BY source ORDER BY source")
 
+  /** End-to-end corpus curation — the composition a training-data
+    * pipeline actually runs: quality-floor filter → MinHash group
+    * dedup over the survivors (keep min-id representative) →
+    * per-source survivor counts. One quality scan, one signature
+    * aggregate, one id join back: every stage is the scale shape its
+    * standalone operator verified. */
+  private val curation = Q("q_pipeline_curation",
+    (s, d) => {
+      val d0 = docs(s, d)
+      val kept = d0.where(TextAnalysis.qualityScore(col("text")) >= 0.7)
+      val keepIds = Dedup.minhashGroups(kept, "text", "doc_id")
+        .select(col("keep_id").as("doc_id"))
+      d0.join(keepIds, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("source")
+    }, {
+      val stopSum = TextAnalysis.LangPriority.map(stopSql).mkString(" + ")
+      val wc = "(length(text) - length(replace(text, ' ', '')) + 1)"
+      val punct = "len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::DOUBLE / " +
+        "greatest(length(replace(text, ' ', ''))::DOUBLE, 1.0)"
+      val qs = "least(greatest(0.4*least(length(text)::DOUBLE / 200.0, 1.0) " +
+        s"+ 0.3*(1.0 - ($punct)) " +
+        s"+ 0.3*least((($stopSum)::DOUBLE / $wc::DOUBLE)*5.0, 1.0), 0.0), 1.0)"
+      val sigList = (0 until Dedup.NumPerms).map(i => s"sig$i").mkString(", ")
+      "WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws " +
+        "FROM documents), " +
+        s"q AS (SELECT doc_id, text, $qs AS qs FROM t), " +
+        "toksF AS (SELECT doc_id, " +
+        "unnest(list_distinct(string_split(text, ' '))) AS tok " +
+        "FROM q WHERE qs >= 0.7), " +
+        "hF AS (SELECT doc_id, " +
+        s"${TextAnalysis.TokenHashSql("tok")} AS th FROM toksF), " +
+        s"sigs AS (SELECT doc_id, $sigSql FROM hF GROUP BY doc_id), " +
+        s"g AS (SELECT min(doc_id) AS keep_id FROM sigs GROUP BY $sigList) " +
+        "SELECT d.source, count(*) AS n_kept FROM g " +
+        "JOIN documents d ON g.keep_id = d.doc_id " +
+        "GROUP BY d.source ORDER BY d.source"
+    })
+
   // -------------------------------------------------------- multimodal
 
   private val multimodalMeta = Q("q_multimodal_meta",
@@ -471,8 +586,8 @@ object PipelineQueries {
   val all: Vector[Q] = Vector(
     dedupExact, dedupMinhash, dedupMinhashCapped, dedupMinhashGroups,
     dedupSimhash, dedupNgram,
-    embedTop1, embedAnnLsh, embedLshSized, embedAnnTop1, embedNearDup,
-    embedNearDupCapped, embedIvf,
+    embedTop1, embedTopK, embedAnnLsh, embedLshSized, embedAnnTop1,
+    embedNearDup, embedNearDupCapped, embedIvf, embedKmeans,
     textLangid, textQuality, textTokens, textFingerprint,
-    multimodalMeta)
+    multimodalMeta, curation)
 }

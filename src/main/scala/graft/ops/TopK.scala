@@ -1,0 +1,121 @@
+package graft.ops
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+
+/** Bounded top-k aggregation state: the k best (score, id) pairs seen,
+  * kept in a simple insertion-sorted pair of arrays (k is small — this
+  * beats a heap until k is in the hundreds). */
+final class TopKBuffer(val k: Int) {
+  val scores = new Array[Double](k)
+  val ids = new Array[Long](k)
+  var n = 0
+
+  def insert(score: Double, id: Long): Unit = {
+    if (n < k || score > scores(n - 1)) {
+      var i = math.min(n, k - 1)
+      while (i > 0 && scores(i - 1) < score) {
+        scores(i) = scores(i - 1); ids(i) = ids(i - 1); i -= 1
+      }
+      scores(i) = score; ids(i) = id
+      if (n < k) n += 1
+    }
+  }
+
+  def mergeFrom(o: TopKBuffer): Unit = {
+    var i = 0
+    while (i < o.n) { insert(o.scores(i), o.ids(i)); i += 1 }
+  }
+}
+
+/** Top-k (score, id) per group as a TypedImperativeAggregate — the
+  * scale-correct top-k: O(k) state per group, map-side partial
+  * aggregation, mergeable buffers. The usual alternatives break at
+  * 100 TB: `collect_list` + sort holds the whole group in the
+  * aggregation buffer, and `Window.partitionBy` + rank funnels each
+  * group through one task. Returns array<struct<score double,
+  * id bigint>> sorted by descending score (ties keep first-inserted —
+  * deterministic given a deterministic input order, so oracle queries
+  * aggregate the returned scores rather than id order).
+  */
+case class TopKAgg(scoreExpr: Expression, idExpr: Expression, k: Int,
+                   mutableAggBufferOffset: Int = 0,
+                   inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKBuffer] {
+
+  require(k > 0 && k <= 1024, s"k=$k out of range")
+
+  override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(b: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val s = scoreExpr.eval(input)
+    val id = idExpr.eval(input)
+    if (s != null && id != null)
+      b.insert(s.asInstanceOf[Double], id.asInstanceOf[Long])
+    b
+  }
+
+  override def merge(b: TopKBuffer, o: TopKBuffer): TopKBuffer = {
+    b.mergeFrom(o); b
+  }
+
+  override def eval(b: TopKBuffer): Any = {
+    val rows = new Array[Any](b.n)
+    var i = 0
+    while (i < b.n) {
+      rows(i) = InternalRow(b.scores(i), b.ids(i)); i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(b: TopKBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * b.n)
+    bb.putInt(b.n)
+    var i = 0
+    while (i < b.n) { bb.putDouble(b.scores(i)); bb.putLong(b.ids(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val b = new TopKBuffer(k)
+    var i = 0
+    while (i < n) {
+      val s = bb.getDouble; val id = bb.getLong
+      b.scores(i) = s; b.ids(i) = id; i += 1
+    }
+    b.n = n
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): TopKAgg =
+    copy(scoreExpr = cs(0), idExpr = cs(1))
+  override def prettyName: String = "top_k"
+}
+
+object TopK {
+  /** `top_k(score, id, k)` aggregate Column: array of the k highest
+    * (score, id) structs, descending. */
+  def topK(score: Column, id: Column, k: Int): Column =
+    bridge.toColumn(TopKAgg(bridge.toExpression(score),
+      bridge.toExpression(id), k).toAggregateExpression())
+}

@@ -349,6 +349,71 @@ class OpsSpec extends AnyFunSuite {
     l2.foreach(r => assert(r.getDouble(0) == r.getDouble(1), "l2sq mismatch"))
   }
 
+  test("bounded TopKAgg matches driver brute force and is partition-" +
+    "invariant (mergeable partial buffers)") {
+    val embDf = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(80).cache()
+    val vecs = embDf.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0); var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.cosineTopK(df, "vec_id", "embedding", 3)
+        .collect().map { r =>
+          r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+            .map(s => (s.getDouble(0), s.getLong(1)))
+        }.toMap
+    val got = run(embDf)
+    val gotRep = run(embDf.repartition(7))
+    vecs.foreach { case (id, v) =>
+      val want = vecs.filter(_._1 != id)
+        .map(o => (cos(v, o._2), o._1)).sortBy(-_._1).take(3)
+      val g = got(id)
+      assert(g.length == 3, s"vec $id: ${g.length} results")
+      g.zip(want).foreach { case ((gs, _), (ws, _)) =>
+        assert(math.abs(gs - ws) < 1e-12, s"vec $id score $gs vs $ws")
+      }
+      // partition layout must not change the scores
+      gotRep(id).zip(g).foreach { case ((a, _), (b, _)) =>
+        assert(a == b, s"vec $id: partition-dependent topk")
+      }
+    }
+  }
+
+  test("kmeansIterate reduces inertia and the fixed-point centroid " +
+    "update is partition-invariant") {
+    val embDf = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val c0 = Similarity.collectCentroids(
+      embDf.orderBy("vec_id").limit(8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
+    def inertia(cents: Array[(Long, Seq[Double])]): Double =
+      Similarity.cellAssignmentsWithDist(embDf, "vec_id", "embedding", cents)
+        .agg(avg(col("dist"))).head.getDouble(0)
+    val i0 = inertia(c0)
+    val c1 = Similarity.kmeansIterate(embDf, "vec_id", "embedding", c0, 1)
+    val i1 = inertia(c1)
+    val c2 = Similarity.kmeansIterate(embDf, "vec_id", "embedding", c0, 2)
+    val i2 = inertia(c2)
+    assert(i1 < i0, s"one Lloyd round did not reduce inertia: $i0 -> $i1")
+    assert(i2 <= i1 + 1e-12, s"second round regressed: $i1 -> $i2")
+    // exact int64 sums → bit-identical centroids under any partitioning
+    val c1rep = Similarity.kmeansIterate(embDf.repartition(13),
+      "vec_id", "embedding", c0, 1)
+    assert(c1.map(_._1).toSeq == c1rep.map(_._1).toSeq)
+    c1.zip(c1rep).foreach { case ((_, a), (_, b)) =>
+      a.zip(b).foreach { case (x, y) =>
+        assert(x == y, "partition-dependent centroid")
+      }
+    }
+  }
+
   test("langId returns a label from the priority set and is deterministic") {
     val preds = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(TextAnalysis.langId(col("text")).as("p")).distinct()
