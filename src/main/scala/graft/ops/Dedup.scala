@@ -47,16 +47,29 @@ object Dedup {
   /** Per-document MinHash signature columns sig0..sig{k−1} over the
     * DISTINCT whitespace-token set.
     *
-    * Computed per ROW with array expressions (`array_min` over the
-    * permuted token-hash list) — no explode, no shuffle: the signature
-    * stage is a pure map, so it scales with the scan and also works
-    * statelessly on a stream. Documents with no tokens are dropped
-    * (same as the former explode+groupBy form, which produced no
-    * group for them). */
+    * Computed per ROW in one pass by the native codegen'd
+    * [[MinhashSigsExpr]] (tokenize → md5 → permuted min-fold in a
+    * tight loop) — no explode, no shuffle: the signature stage is a
+    * pure map, so it scales with the scan and also works statelessly
+    * on a stream. [[minhashSignaturesSpec]] is the composable
+    * array-expression form it is equivalence-tested against.
+    * Documents with no tokens are dropped (all-P sentinel; P itself is
+    * unreachable as a signature since x mod P < P). */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         keep: Seq[String] = Nil): DataFrame = {
-    // one fold over the token hashes with a struct-of-8-mins
-    // accumulator: each hash is permuted and min-merged in place
+    val sigCols = (0 until NumPerms).map(i =>
+      element_at(col("__mh"), i + 1).as(s"sig$i"))
+    df.select((col(idCol) +: keep.map(col)) :+
+        TextHashExpressions.minhashSigs(col(textCol)).as("__mh"): _*)
+      .where(element_at(col("__mh"), 1) < lit(P))
+      .select((col(idCol) +: keep.map(col)) ++ sigCols: _*)
+  }
+
+  /** Composable higher-order-function form of [[minhashSignatures]]
+    * (the executable spec: `aggregate` min-fold with a
+    * struct-of-8-mins accumulator over the token-hash list). */
+  def minhashSignaturesSpec(df: DataFrame, textCol: String, idCol: String,
+                            keep: Seq[String] = Nil): DataFrame = {
     val acc0 = struct((0 until NumPerms).map(i => lit(P).as(s"sig$i")): _*)
     val folded = aggregate(col("hs"), acc0, (acc, h) =>
       struct((0 until NumPerms).map(i =>
@@ -186,9 +199,16 @@ object Dedup {
   }
 
   /** 16-bit SimHash from token-hash bit sums over the distinct token
-    * set: bit b set iff Σ_tokens (±1 by bit b of h) > 0. Per-row array
-    * fold — no explode, no shuffle (see [[minhashSignatures]]). */
-  def simhash16(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    * set: bit b set iff Σ_tokens (±1 by bit b of h) > 0. Native
+    * one-pass kernel ([[Simhash16Expr]]); no explode, no shuffle.
+    * [[simhash16Spec]] is the composable form it is pinned to. */
+  def simhash16(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+        TextHashExpressions.simhash16(col(textCol)).as("simhash"))
+      .where(col("simhash") >= 0)
+
+  /** Composable 16-aggregate form of [[simhash16]] (executable spec). */
+  def simhash16Spec(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val hs = transform(array_distinct(TextAnalysis.tokens(col(textCol))),
       t => TextAnalysis.tokenHash(t))
     val sim = (0 until 16).map { b =>

@@ -1,0 +1,142 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native one-pass kernels for the per-document signature folds.
+  *
+  * The composable forms (split → array_distinct → transform(md5/conv)
+  * → `aggregate` min-fold per permutation) walk Catalyst's interpreted
+  * lambda machinery over every token several times per document — and
+  * the dedup queries evaluate the signature pipeline up to three times
+  * (bucket sizes + both self-join sides). These expressions do
+  * tokenize → md5 → fold in ONE tight loop inside whole-stage codegen.
+  *
+  * Parity: tokenization is `split(text, " ", -1)` (Java `Pattern
+  * .split`, exactly Spark's `split` builtin — trailing empties kept,
+  * the empty token hashed like any other, matching DuckDB
+  * `string_split`); the 60-bit token hash is the first 15 hex chars of
+  * md5 (== `conv(substring(md5(t),1,15),16,10)` ==
+  * `('0x'||substr(md5(t),1,15))::BIGINT`); min-folds are
+  * order-independent, so HashSet iteration order is immaterial.
+  * [[Dedup.minhashSignatures]]' former composable pipeline remains in
+  * the test suite as the executable spec these are pinned to.
+  */
+object TextHashFns {
+
+  private val mdLocal = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
+  /** 60-bit token hash: first 15 hex chars of md5 == first 7 bytes +
+    * the high nibble of byte 7. */
+  def tokenHash60(t: String): Long = {
+    val md = mdLocal.get()
+    md.reset()
+    val dig = md.digest(t.getBytes(StandardCharsets.UTF_8))
+    var h = 0L
+    var b = 0
+    while (b < 7) { h = (h << 8) | (dig(b) & 0xffL); b += 1 }
+    (h << 4) | ((dig(7) & 0xf0L) >> 4)
+  }
+
+  /** MinHash signature array (size [[Dedup.NumPerms]]) over the
+    * DISTINCT token set; all entries == [[Dedup.P]] iff the text has
+    * no tokens (P is unreachable as a real signature: x mod P < P). */
+  def minhashSigs(text: UTF8String): GenericArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val seen = new java.util.HashSet[String]()
+    val nPerms = Dedup.NumPerms
+    val sigs = new Array[Long](nPerms)
+    java.util.Arrays.fill(sigs, Dedup.P)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (seen.add(t)) {
+        val th = tokenHash60(t) % Dedup.P
+        var p = 0
+        while (p < nPerms) {
+          val v = (Dedup.MinhashAs(p) * th + Dedup.MinhashBs(p)) % Dedup.P
+          if (v < sigs(p)) sigs(p) = v
+          p += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sigs)
+  }
+
+  /** 16-bit SimHash over the distinct token set: bit b set iff
+    * Σ_tokens (±1 by bit b of the 60-bit hash) > 0. Returns −1 for a
+    * token-less text (callers filter; bit-sums of zero tokens are all
+    * 0 → simhash 0 is reachable, so a sentinel outside [0, 2¹⁶) is
+    * needed). */
+  def simhash16(text: UTF8String): Long = {
+    val toks = text.toString.split(" ", -1)
+    val seen = new java.util.HashSet[String]()
+    val bitSums = new Array[Int](16)
+    var any = false
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (seen.add(t)) {
+        any = true
+        val h = tokenHash60(t)
+        var b = 0
+        while (b < 16) {
+          if (((h >> b) & 1L) == 1L) bitSums(b) += 1 else bitSums(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) return -1L
+    var sim = 0L
+    var b = 0
+    while (b < 16) {
+      if (bitSums(b) > 0) sim |= (1L << b)
+      b += 1
+    }
+    sim
+  }
+}
+
+case class MinhashSigsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextHashFns.minhashSigs(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.TextHashFns.minhashSigs($c)")
+  override protected def withNewChildInternal(c: Expression): MinhashSigsExpr =
+    copy(c)
+  override def prettyName: String = "minhash_sigs"
+}
+
+case class Simhash16Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    TextHashFns.simhash16(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.TextHashFns.simhash16($c)")
+  override protected def withNewChildInternal(c: Expression): Simhash16Expr =
+    copy(c)
+  override def prettyName: String = "simhash16"
+}
+
+object TextHashExpressions {
+  def minhashSigs(text: Column): Column =
+    bridge.toColumn(MinhashSigsExpr(bridge.toExpression(text)))
+  def simhash16(text: Column): Column =
+    bridge.toColumn(Simhash16Expr(bridge.toExpression(text)))
+}

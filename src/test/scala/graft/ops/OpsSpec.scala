@@ -349,6 +349,29 @@ class OpsSpec extends AnyFunSuite {
     l2.foreach(r => assert(r.getDouble(0) == r.getDouble(1), "l2sq mismatch"))
   }
 
+  test("native minhash/simhash kernels are bit-identical to their " +
+    "composable specs (incl. empty and repeated-token texts)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+      .unionByName(Seq((900001L, ""), (900002L, "a a a"),
+        (900003L, "  leading and  double  spaces "))
+        .toDF("doc_id", "text"))
+      .cache()
+    val fast = Dedup.minhashSignatures(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (0 until Dedup.NumPerms).map(i => r.getLong(1 + i))).toMap
+    val spec = Dedup.minhashSignaturesSpec(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (0 until Dedup.NumPerms).map(i => r.getLong(1 + i))).toMap
+    assert(fast == spec, "minhash signature mismatch")
+    val fastS = Dedup.simhash16(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val specS = Dedup.simhash16Spec(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fastS == specS, "simhash mismatch")
+  }
+
   test("bounded TopKAgg matches driver brute force and is partition-" +
     "invariant (mergeable partial buffers)") {
     val embDf = spark.read
