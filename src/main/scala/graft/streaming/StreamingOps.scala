@@ -74,6 +74,19 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(sigCols)
   }
 
+  /** Streaming corpus curation — the incremental form of the batch
+    * quality-floor → dedup composition (q_pipeline_curation): the
+    * quality score is a stateless per-row map, so the only stateful
+    * operator remains the signature-keyed dedup; state stays sharded
+    * by signature and watermark-bounded. */
+  def streamingCuration(docs: DataFrame, textCol: String, idCol: String,
+                        eventTime: String, minQuality: Double,
+                        watermark: String = "10 minutes"): DataFrame =
+    signatureDedup(
+      docs.where(graft.ops.TextAnalysis.qualityScore(col(textCol)) >=
+        lit(minQuality)),
+      textCol, idCol, eventTime, watermark)
+
   /** Online variational inference: `stepsPerBatch` Adam ascent steps
     * per micro-batch via foreachBatch — the streaming form of the
     * reference's minibatch SGD loop (`model.py:255-269`), with

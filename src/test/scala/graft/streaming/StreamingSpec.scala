@@ -84,6 +84,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got > 0)
   }
 
+  test("streaming curation (quality floor + signature dedup) equals " +
+    "the batch composition") {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .withColumn("event_ts",
+        timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    val out = StreamingOps.streamingCuration(stream, "text", "doc_id",
+      "event_ts", minQuality = 0.7, watermark = "1 hour")
+    StreamingOps.runToMemorySink(out, "curation")
+    val got = spark.table("curation").count()
+    val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .where(graft.ops.TextAnalysis.qualityScore(col("text")) >= 0.7)
+    val batch = graft.ops.Dedup.minhashSignatures(batchDocs, "text", "doc_id")
+      .select((0 until graft.ops.Dedup.NumPerms).map(i => col(s"sig$i")): _*)
+      .distinct().count()
+    assert(got == batch,
+      s"streaming curation kept $got docs, batch composition has $batch")
+    assert(got > 0)
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(got < total, "curation dropped nothing — threshold has no teeth")
+  }
+
   test("online ELBO: micro-batch training converges to the data mean") {
     import graft.core._
     import graft.data.DataSet
