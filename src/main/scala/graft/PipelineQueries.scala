@@ -510,6 +510,19 @@ object PipelineQueries {
       "AS BIGINT) AS sum_bpeish " +
       "FROM documents GROUP BY source ORDER BY source")
 
+  private val textNormalize = Q("q_text_normalize",
+    (s, d) => docs(s, d).groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(TextAnalysis.normalize(col("text"))).as("n_norm"),
+        sum(length(TextAnalysis.normalize(col("text"))).cast("long"))
+          .as("sum_len"))
+      .orderBy("source"),
+    s"WITH t AS (SELECT source, ${TextAnalysis.NormalizeSql("text")} " +
+      "AS nt FROM documents) " +
+      "SELECT source, count(*) AS n, count(DISTINCT nt) AS n_norm, " +
+      "CAST(sum(length(nt)) AS BIGINT) AS sum_len " +
+      "FROM t GROUP BY source ORDER BY source")
+
   private val textFingerprint = Q("q_text_fingerprint",
     (s, d) => docs(s, d).groupBy("source")
       .agg(count(lit(1)).as("n"),
@@ -588,6 +601,6 @@ object PipelineQueries {
     dedupSimhash, dedupNgram,
     embedTop1, embedTopK, embedAnnLsh, embedLshSized, embedAnnTop1,
     embedNearDup, embedNearDupCapped, embedIvf, embedKmeans,
-    textLangid, textQuality, textTokens, textFingerprint,
+    textLangid, textQuality, textTokens, textNormalize, textFingerprint,
     multimodalMeta, curation)
 }

@@ -27,6 +27,19 @@ object TextAnalysis {
   /** Whitespace tokens (the corpus convention: single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Canonical text normalization (the pre-dedup cleaner): lowercase,
+    * non-alphanumerics → space, runs of spaces collapsed, trimmed.
+    * Pure codegen'd column functions; DuckDB equivalent needs the 'g'
+    * regex flag (its `regexp_replace` replaces only the FIRST match by
+    * default, Spark's replaces all). */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  val NormalizeSql: String => String = col =>
+    s"trim(regexp_replace(regexp_replace(lower($col), " +
+      "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
   /** Whitespace token count by pure arithmetic (length difference) —
     * identical semantics in any engine, no regex dialects involved. */
   def wordCount(text: Column): Column =
