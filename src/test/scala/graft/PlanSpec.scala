@@ -27,6 +27,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("filtered density queries push their predicate into the scan") {
+    // q_dens_lognormal / q_dens_gamma filter l_quantity > 0; at 100 TB
+    // that filter must reach the parquet reader, not run post-scan
+    Seq("q_dens_lognormal", "q_dens_gamma").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [") &&
+        plan.contains("GreaterThan(l_quantity,0.0)"),
+        s"$name: quantity filter not pushed to the scan")
+    }
+  }
+
   test("q_lse uses hash aggregates, not a partitionBy Window") {
     // A Window.partitionBy(max) funnels every row of a group onto one
     // task — with low-cardinality keys at 100 TB that's a few-reducer
