@@ -399,6 +399,44 @@ object PipelineQueries {
       "CROSS JOIN (SELECT count(*) AS n_hit, round(avg(t), 5) AS " +
       "avg_ivf_top1 FROM top1) ts")
 
+  /** Multi-probe IVF (probes = 2): each query searches its TWO nearest
+    * cells — the standard recall knob — against the corpus indexed in
+    * its own cell. Probe order is (dist, cid)-lexicographic on both
+    * engines (array_sort on structs == ORDER BY dist, cid). */
+  private val embedIvfMp = Q("q_embed_ivf_mp",
+    (s, d) => {
+      val e = embs(s, d)
+      val cents = e.orderBy("vec_id").limit(16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      Similarity.ivfTop1(e, "vec_id", "embedding", cents, probes = 2)
+        .agg(count(lit(1)).as("n_hit"),
+          round(avg(col("ivf_top1_cos")), 5).as("avg_mp_top1"))
+    },
+    "WITH c AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings " +
+      "ORDER BY vec_id LIMIT 16), " +
+      "dd AS (SELECT e.vec_id, c.cid, " +
+      s"${l2Sql("e.embedding", "c.cemb")} AS dist " +
+      "FROM embeddings e CROSS JOIN c), " +
+      "md AS (SELECT vec_id, min(dist) AS md FROM dd GROUP BY vec_id), " +
+      "cell AS (SELECT dd.vec_id, min(dd.cid) AS cell FROM dd " +
+      "JOIN md ON dd.vec_id = md.vec_id AND dd.dist = md.md " +
+      "GROUP BY dd.vec_id), " +
+      "pr AS (SELECT vec_id, cid AS cell FROM " +
+      "(SELECT vec_id, cid, row_number() OVER " +
+      "(PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM dd) " +
+      "WHERE rn <= 2), " +
+      "e2 AS (SELECT e.vec_id, e.embedding AS emb, cell.cell, " +
+      s"sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm " +
+      "FROM embeddings e JOIN cell ON e.vec_id = cell.vec_id), " +
+      "a2 AS (SELECT e.vec_id, e.embedding AS emb, pr.cell, " +
+      s"sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm " +
+      "FROM embeddings e JOIN pr ON e.vec_id = pr.vec_id), " +
+      "top1 AS (SELECT a.vec_id, " +
+      s"max(${dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm)) AS t " +
+      "FROM a2 a JOIN e2 b ON a.cell = b.cell AND a.vec_id <> b.vec_id " +
+      "GROUP BY a.vec_id) " +
+      "SELECT count(*) AS n_hit, round(avg(t), 5) AS avg_mp_top1 FROM top1")
+
   /** One Lloyd's round of coarse-quantizer TRAINING, then assignment
     * stats: assign(c0) → fixed-point centroid update → assign(c1) →
     * (n_cells, avg inertia). The 2²⁴ fixed-point sums make the updated
@@ -600,7 +638,7 @@ object PipelineQueries {
     dedupExact, dedupMinhash, dedupMinhashCapped, dedupMinhashGroups,
     dedupSimhash, dedupNgram,
     embedTop1, embedTopK, embedAnnLsh, embedLshSized, embedAnnTop1,
-    embedNearDup, embedNearDupCapped, embedIvf, embedKmeans,
+    embedNearDup, embedNearDupCapped, embedIvf, embedIvfMp, embedKmeans,
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,
     multimodalMeta, curation)
 }

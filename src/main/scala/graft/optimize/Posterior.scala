@@ -21,6 +21,15 @@ object Posterior {
               seed: Long = 0L): DataFrame = {
     import spark.implicits._
     val vars = module.variationals
+    // draws materialize driver-side: k·Σsize rows. Parameters are
+    // model-sized by definition, but k is caller-chosen — bound the
+    // product so a huge-k request fails loudly instead of OOMing the
+    // driver (distributed draws for data-sized sampling live in
+    // SparseGP.sampleColumn / posteriorSampleColumn instead)
+    val totalSize = vars.map(_._2.size.toLong).sum
+    require(k.toLong * totalSize <= 50000000L,
+      s"k=$k × params=$totalSize exceeds the driver budget — " +
+        "use the distributed sampling paths for data-sized draws")
     // ONE RNG stream across draws — consecutive java.util.Random seeds
     // produce correlated first outputs, so never seed per draw
     val rng = new scala.util.Random(seed)
