@@ -349,6 +349,30 @@ object OracleQueries {
         "- ((l_extendedprice/10000.0 - 3.8)/2.5), 2)/1.5",
       "avg_logp"))
 
+  // Density over a dimension join: the fact table (orders) keeps its
+  // partitioning, the model-sized dimension (customer) broadcasts —
+  // the grouped-by-entity likelihood shape of any hierarchical model
+  // (per-segment observation models). Predicate/column pruning reach
+  // both scans.
+  private val densHierJoin = Q("q_dens_hier_join",
+    (s, d) => {
+      val o = table(s, d, "orders").select(col("o_custkey"),
+        (col("o_totalprice") / lit(100000.0)).as("x"))
+      val c = table(s, d, "customer").select(col("c_custkey"),
+        col("c_mktsegment"))
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          round(avg(Densities.gaussian(col("x"), lit(1.5), lit(1.0))), 5)
+            .as("avg_logp"))
+        .orderBy("c_mktsegment")
+    },
+    "SELECT c_mktsegment, count(*) AS n, " +
+      "round(avg(-0.5*ln(2*pi()) - 0.5*ln(1.0) " +
+      "- 0.5*pow(1.5 - o_totalprice/100000.0, 2)/1.0), 5) AS avg_logp " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey " +
+      "GROUP BY c_mktsegment ORDER BY c_mktsegment")
+
   // --------------------------------------------------------- split counts
 
   /** 90/10 split sizing policy (reference `model.py:134-145`): test =
@@ -369,7 +393,7 @@ object OracleQueries {
     logjacExp, logjacLog1pe, logjacLogistic,
     lse, clipQ,
     kernSqdist, kernRbf, kernCsym, kernCsymDiag, gpNystrom,
-    klDiagNormal, mvnLogp, modelLoglik, splitCount)
+    klDiagNormal, mvnLogp, modelLoglik, densHierJoin, splitCount)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.spark).toMap

@@ -21,6 +21,31 @@ object Checkpoint {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Full training-state checkpoint: params + Adam moments + step
+    * count — a resumable run (the slot variables tf.train.Saver
+    * persists alongside the model). */
+  def saveTraining(spark: SparkSession, module: Module,
+                   adam: graft.optimize.Adam, path: String): Unit = {
+    import spark.implicits._
+    save(spark, module, s"$path/params")
+    val (m, v, t) = adam.state
+    val rows = m.indices.map(i => (i, m(i), v(i))) :+ (-1, t.toDouble, 0.0)
+    rows.toDF("idx", "m", "v")
+      .repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/adam")
+  }
+
+  def restoreTraining(spark: SparkSession, module: Module,
+                      adam: graft.optimize.Adam, path: String): Unit = {
+    restore(spark, module, s"$path/params")
+    val rows = spark.read.parquet(s"$path/adam").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    val t = rows.find(_._1 == -1)
+      .getOrElse(throw new IllegalStateException("no step-count row"))
+    val slots = rows.filter(_._1 >= 0).sortBy(_._1)
+    adam.restore(slots.map(_._2), slots.map(_._3), t._2.toInt)
+  }
+
   /** Restores matching names; throws if a checkpointed param is missing
     * or sized differently (reference raises on mismatch too). */
   def restore(spark: SparkSession, module: Module, path: String): Unit = {

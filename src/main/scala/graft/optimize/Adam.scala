@@ -11,6 +11,19 @@ final class Adam(n: Int, var lr: Double = 0.01, beta1: Double = 0.9,
   private val v = new Array[Double](n)
   private var t = 0
 
+  /** Optimizer state snapshot/restore — with [[graft.core.Checkpoint]]
+    * this makes a training run fully resumable (params + moments +
+    * step count), the piece tf.train.Saver checkpoints implicitly via
+    * the optimizer's slot variables. */
+  def state: (Array[Double], Array[Double], Int) = (m.clone(), v.clone(), t)
+  def restore(sm: Array[Double], sv: Array[Double], st: Int): Unit = {
+    require(sm.length == n && sv.length == n,
+      s"Adam state size ${sm.length} != $n")
+    System.arraycopy(sm, 0, m, 0, n)
+    System.arraycopy(sv, 0, v, 0, n)
+    t = st
+  }
+
   /** One ascent step: θ ← θ + lr·m̂/(√v̂+ε) where grad is ∇ELBO.
     * Slots with mask=false are frozen. */
   def step(theta: Array[Double], grad: Array[Double],
