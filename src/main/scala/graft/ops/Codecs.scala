@@ -1,0 +1,189 @@
+package graft.ops
+
+/** Pure-JVM decoders for codec-less media containers.
+  *
+  * This environment ships no image/audio libraries, but two ubiquitous
+  * formats need none: RIFF/WAVE with 16-bit PCM is header math plus a
+  * sample array, and uncompressed 24-bpp BMP is header math plus padded
+  * BGR rows. Decoding them for real upgrades the multimodal path from
+  * "stub everywhere" to "real decode for codec-less formats, stub only
+  * for compressed codecs (JPEG/MP3/H.264) pending native libraries".
+  * Everything is deterministic byte arithmetic — partition-layout
+  * independent by construction and exercisable with synthesized media
+  * in tests.
+  */
+object Codecs {
+
+  final case class WavInfo(sampleRate: Int, channels: Int, nFrames: Long,
+                           rms: Double, zeroCrossRate: Double)
+
+  final case class BmpInfo(width: Int, height: Int,
+                           meanR: Double, meanG: Double, meanB: Double)
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  /** Decode a RIFF/WAVE container with 16-bit PCM audio: returns the
+    * format header plus whole-signal statistics (RMS of normalized
+    * samples; zero-crossing rate over channel-0 frames). None for
+    * anything that is not a well-formed PCM16 WAV. */
+  def decodeWav(b: Array[Byte]): Option[WavInfo] = {
+    if (b == null || b.length < 44) return None
+    if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+      b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    var off = 12
+    var sr = 0; var ch = 0; var fmtOk = false
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= b.length) {
+      val sz = le32(b, off + 4)
+      if (sz < 0 || off + 8 + sz > b.length) return None
+      val c0 = b(off); val c1 = b(off + 1); val c2 = b(off + 2)
+      val c3 = b(off + 3)
+      if (c0 == 'f' && c1 == 'm' && c2 == 't' && c3 == ' ' && sz >= 16) {
+        val audioFormat = le16(b, off + 8)
+        ch = le16(b, off + 10)
+        sr = le32(b, off + 12)
+        val bps = le16(b, off + 22)
+        fmtOk = audioFormat == 1 && bps == 16 && ch >= 1 && sr > 0
+      } else if (c0 == 'd' && c1 == 'a' && c2 == 't' && c3 == 'a') {
+        dataOff = off + 8; dataLen = sz
+      }
+      off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+    }
+    if (!fmtOk || dataOff < 0) return None
+    val nSamples = dataLen / 2
+    val nFrames = nSamples / ch
+    if (nFrames == 0) return Some(WavInfo(sr, ch, 0L, 0.0, 0.0))
+    var sumSq = 0.0
+    var i = 0
+    while (i < nSamples) {
+      val s = le16(b, dataOff + 2 * i).toShort / 32768.0
+      sumSq += s * s
+      i += 1
+    }
+    var crossings = 0
+    var prev = le16(b, dataOff).toShort
+    var f = 1
+    while (f < nFrames) {
+      val s = le16(b, dataOff + 2 * f * ch).toShort
+      if ((s >= 0) != (prev >= 0)) crossings += 1
+      prev = s
+      f += 1
+    }
+    Some(WavInfo(sr, ch, nFrames.toLong,
+      math.sqrt(sumSq / nSamples), crossings.toDouble / (nFrames - 1).max(1)))
+  }
+
+  /** Decode an uncompressed 24-bpp BMP (BITMAPINFOHEADER, positive or
+    * negative height): dimensions plus per-channel pixel means in
+    * [0, 255]. None for anything else. */
+  def decodeBmp(b: Array[Byte]): Option[BmpInfo] = {
+    pixelsOf(b).map { case (w, h, px) =>
+      var sr = 0.0; var sg = 0.0; var sb = 0.0
+      var i = 0
+      val n = w * h
+      while (i < n) {
+        sr += (px(3 * i) & 0xff)
+        sg += (px(3 * i + 1) & 0xff)
+        sb += (px(3 * i + 2) & 0xff)
+        i += 1
+      }
+      BmpInfo(w, h, sr / n, sg / n, sb / n)
+    }
+  }
+
+  /** (width, height, RGB top-down row-major) of a 24-bpp BMP. */
+  private def pixelsOf(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val pixOff = le32(b, 10)
+    val hdrSize = le32(b, 14)
+    if (hdrSize < 40) return None
+    val w = le32(b, 18)
+    val hRaw = le32(b, 22)
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    if (bpp != 24 || compression != 0 || w <= 0 || hRaw == 0) return None
+    val h = math.abs(hRaw)
+    val bottomUp = hRaw > 0
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    if (pixOff < 54 || pixOff.toLong + rowBytes.toLong * h > b.length)
+      return None
+    val px = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (bottomUp) h - 1 - y else y
+      val base = pixOff + srcRow * rowBytes
+      var x = 0
+      while (x < w) {
+        // BMP stores BGR
+        px(3 * (y * w + x)) = b(base + 3 * x + 2)
+        px(3 * (y * w + x) + 1) = b(base + 3 * x + 1)
+        px(3 * (y * w + x) + 2) = b(base + 3 * x)
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, px))
+  }
+
+  /** Encode RGB top-down row-major pixels as a bottom-up 24-bpp BMP. */
+  def encodeBmp(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0 && rgb.length == 3 * w * h)
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val size = 54 + rowBytes * h
+    val out = new Array[Byte](size)
+    def put16(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+    }
+    def put32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    put32(2, size); put32(10, 54); put32(14, 40)
+    put32(18, w); put32(22, h) // positive height = bottom-up
+    put16(26, 1); put16(28, 24); put32(34, rowBytes * h)
+    var y = 0
+    while (y < h) {
+      val dstRow = h - 1 - y
+      val base = 54 + dstRow * rowBytes
+      var x = 0
+      while (x < w) {
+        out(base + 3 * x) = rgb(3 * (y * w + x) + 2) // B
+        out(base + 3 * x + 1) = rgb(3 * (y * w + x) + 1) // G
+        out(base + 3 * x + 2) = rgb(3 * (y * w + x)) // R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** REAL image resize: nearest-neighbor downsample of a 24-bpp BMP,
+    * re-encoded as BMP. None when the input is not decodable. */
+  def resizeBmp(b: Array[Byte], w2: Int, h2: Int): Option[Array[Byte]] = {
+    require(w2 > 0 && h2 > 0)
+    pixelsOf(b).map { case (w, h, px) =>
+      val out = new Array[Byte](3 * w2 * h2)
+      var y = 0
+      while (y < h2) {
+        val sy = (y.toLong * h / h2).toInt
+        var x = 0
+        while (x < w2) {
+          val sx = (x.toLong * w / w2).toInt
+          var c = 0
+          while (c < 3) {
+            out(3 * (y * w2 + x) + c) = px(3 * (sy * w + sx) + c)
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      encodeBmp(w2, h2, out)
+    }
+  }
+}

@@ -7,17 +7,99 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: opaque `binary` media + typed metadata,
   * with decode/feature-extraction as partition-local batch transforms.
   *
-  * The Spark-side machinery — schema, partitioning, batch shape,
-  * column contracts — is real and tested; the actual codec call is
-  * STUBBED (this environment ships no image/audio libraries) behind
-  * [[decodeStub]], clearly marked, producing deterministic fake
-  * features so pipelines are end-to-end testable. At 100 TB the shape
-  * is the right one: media bytes never leave their partition, decode
-  * is a batched mapPartitions (exactly where a JNI/FFmpeg/JPEG codec
+  * Codec-less containers decode FOR REAL in pure JVM ([[Codecs]]:
+  * RIFF/WAVE PCM16 audio and uncompressed 24-bpp BMP images —
+  * [[decodeWavColumn]] / [[decodeBmpColumn]] / [[resizeBmpColumn]]).
+  * Compressed codecs (JPEG/MP3/H.264) remain STUBBED behind
+  * [[decodeStub]] (this environment ships no codec libraries),
+  * clearly marked, producing deterministic fake features so those
+  * pipelines stay end-to-end testable. At 100 TB the shape is the
+  * right one either way: media bytes never leave their partition,
+  * decode is a batched mapPartitions (exactly where a JNI/FFmpeg
   * batch call would sit), and metadata-only queries never touch the
   * bytes column thanks to Parquet column pruning.
   */
 object Multimodal {
+
+  val WavInfoType: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("rms", DoubleType, nullable = false),
+    StructField("zcr", DoubleType, nullable = false)))
+
+  val BmpInfoType: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("mean_r", DoubleType, nullable = false),
+    StructField("mean_g", DoubleType, nullable = false),
+    StructField("mean_b", DoubleType, nullable = false)))
+
+  /** REAL audio decode (PCM16 WAV): appends a [[WavInfoType]] struct
+    * (null for non-WAV bytes). Partition-local batched mapPartitions;
+    * bytes never shuffle. */
+  def decodeWavColumn(df: DataFrame, mediaCol: String,
+                      outCol: String = "wav",
+                      blockSize: Int = 1024): DataFrame = {
+    val schema = df.schema.add(outCol, WavInfoType)
+    val idx = df.schema.fieldIndex(mediaCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(blockSize).flatMap { rows =>
+        rows.iterator.map { row =>
+          val info = Codecs.decodeWav(row.getAs[Array[Byte]](idx)).orNull
+          val struct = if (info == null) null
+          else Row(info.sampleRate, info.channels, info.nFrames,
+            info.rms, info.zeroCrossRate)
+          Row.fromSeq(row.toSeq :+ struct)
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** REAL image decode (24-bpp BMP): appends a [[BmpInfoType]] struct
+    * (null for non-BMP bytes). */
+  def decodeBmpColumn(df: DataFrame, mediaCol: String,
+                      outCol: String = "bmp",
+                      blockSize: Int = 1024): DataFrame = {
+    val schema = df.schema.add(outCol, BmpInfoType)
+    val idx = df.schema.fieldIndex(mediaCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(blockSize).flatMap { rows =>
+        rows.iterator.map { row =>
+          val info = Codecs.decodeBmp(row.getAs[Array[Byte]](idx)).orNull
+          val struct = if (info == null) null
+          else Row(info.width, info.height, info.meanR, info.meanG,
+            info.meanB)
+          Row.fromSeq(row.toSeq :+ struct)
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** REAL image resize: nearest-neighbor BMP downsample to w×h,
+    * re-encoded as BMP with recomputed metadata (null for non-BMP
+    * bytes). */
+  def resizeBmpColumn(df: DataFrame, mediaCol: String, w: Int, h: Int,
+                      outCol: String = "media_small",
+                      blockSize: Int = 1024): DataFrame = {
+    val schema = df.schema.add(outCol, BinaryType)
+    val idx = df.schema.fieldIndex(mediaCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(blockSize).flatMap { rows =>
+        rows.iterator.map { row =>
+          val out = Codecs.resizeBmp(row.getAs[Array[Byte]](idx), w, h).orNull
+          Row.fromSeq(row.toSeq :+ out)
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+      .withColumn(outCol + "_meta", struct(
+        lit("bmp-resized").as("kind"),
+        coalesce(length(col(outCol)).cast("long"), lit(0L)).as("n_bytes"),
+        coalesce(sha2(col(outCol), 256), lit("")).as("sha")))
+  }
 
   val MetaType: StructType = StructType(Seq(
     StructField("kind", StringType, nullable = false),
@@ -48,9 +130,9 @@ object Multimodal {
       s"THEN ascii(substring($textColName, p, 1)) ELSE 0 END), " +
       "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
 
-  /** STUB resize: where a real implementation would batch re-encode
-    * media at a lower resolution (JPEG downscale, audio resample)
-    * inside mapPartitions, this keeps every `factor`-th byte — a
+  /** STUB resize for COMPRESSED codecs (JPEG downscale, audio
+    * resample — no codec libraries here; uncompressed BMP resizes for
+    * real via [[resizeBmpColumn]]): keeps every `factor`-th byte — a
     * deterministic stand-in with the real contract: a new media column
     * whose metadata (n_bytes, sha) is recomputed, bytes never leaving
     * the partition. */
@@ -80,12 +162,12 @@ object Multimodal {
       sha2(col(outCol), 256).as("sha")))
   }
 
-  /** STUB decode: where a real implementation would batch-decode media
-    * bytes (JPEG/PNG/audio PCM) via a native library inside
-    * mapPartitions, this produces a deterministic fake feature vector
-    * from the bytes themselves (length-salted rolling hash per
-    * feature). Signature, batching, and schema are the real contract.
-    */
+  /** STUB decode for COMPRESSED codecs (JPEG/PNG/MP3 need native
+    * libraries this environment doesn't ship; PCM WAV and 24-bpp BMP
+    * decode for real via [[decodeWavColumn]]/[[decodeBmpColumn]]):
+    * produces a deterministic fake feature vector from the bytes
+    * themselves (length-salted rolling hash per feature). Signature,
+    * batching, and schema are the real contract. */
   def decodeStub(df: DataFrame, mediaCol: String, featDim: Int = 4,
                  outCol: String = "features",
                  blockSize: Int = 1024): DataFrame = {

@@ -1,0 +1,132 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real pure-JVM codecs: synthesized WAV/BMP bytes decode to exactly
+  * the planted properties, through both the scalar API and the
+  * partition-local DataFrame ops. */
+class CodecsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  /** Mono PCM16 WAV: square wave of ±amp, `period` frames per half. */
+  private def makeWav(sampleRate: Int, nFrames: Int, amp: Short,
+                      period: Int): Array[Byte] = {
+    val dataLen = nFrames * 2
+    val out = new Array[Byte](44 + dataLen)
+    def put16(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+    }
+    def put32(o: Int, v: Int): Unit = {
+      put16(o, v & 0xffff); put16(o + 2, (v >> 16) & 0xffff)
+    }
+    def tag(o: Int, s: String): Unit =
+      s.getBytes("US-ASCII").zipWithIndex.foreach { case (b, i) =>
+        out(o + i) = b
+      }
+    tag(0, "RIFF"); put32(4, 36 + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); put32(16, 16); put16(20, 1); put16(22, 1)
+    put32(24, sampleRate); put32(28, sampleRate * 2); put16(32, 2)
+    put16(34, 16)
+    tag(36, "data"); put32(40, dataLen)
+    (0 until nFrames).foreach { i =>
+      val v = if ((i / period) % 2 == 0) amp.toInt else -amp.toInt
+      put16(44 + 2 * i, v & 0xffff)
+    }
+    out
+  }
+
+  /** w×h RGB gradient: R = x, G = y, B = 7 (top-down row-major). */
+  private def makeRgb(w: Int, h: Int): Array[Byte] = {
+    val rgb = new Array[Byte](3 * w * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      rgb(3 * (y * w + x)) = x.toByte
+      rgb(3 * (y * w + x) + 1) = y.toByte
+      rgb(3 * (y * w + x) + 2) = 7.toByte
+    }
+    rgb
+  }
+
+  test("WAV decode recovers planted format and signal statistics") {
+    val wav = makeWav(8000, 256, 8192, 4)
+    val info = Codecs.decodeWav(wav).get
+    assert(info.sampleRate == 8000)
+    assert(info.channels == 1)
+    assert(info.nFrames == 256L)
+    assert(math.abs(info.rms - 8192.0 / 32768.0) < 1e-12)
+    // square wave flips sign every `period`=4 frames: 63 crossings in
+    // 255 transitions
+    assert(math.abs(info.zeroCrossRate - 63.0 / 255.0) < 1e-12)
+    assert(Codecs.decodeWav("not audio".getBytes).isEmpty)
+  }
+
+  test("BMP decode recovers planted dimensions and channel means; " +
+    "odd width exercises row padding") {
+    val (w, h) = (7, 5)
+    val bmp = Codecs.encodeBmp(w, h, makeRgb(w, h))
+    val info = Codecs.decodeBmp(bmp).get
+    assert(info.width == w && info.height == h)
+    assert(math.abs(info.meanR - 3.0) < 1e-12) // mean of 0..6
+    assert(math.abs(info.meanG - 2.0) < 1e-12) // mean of 0..4
+    assert(math.abs(info.meanB - 7.0) < 1e-12)
+    assert(Codecs.decodeBmp(makeWav(8000, 8, 100, 2)).isEmpty)
+  }
+
+  test("BMP resize is exact nearest-neighbor and round-trips through " +
+    "the encoder") {
+    val (w, h) = (8, 4)
+    val bmp = Codecs.encodeBmp(w, h, makeRgb(w, h))
+    val small = Codecs.resizeBmp(bmp, 4, 2).get
+    val info = Codecs.decodeBmp(small).get
+    assert(info.width == 4 && info.height == 2)
+    // nearest-neighbor picks x ∈ {0,2,4,6}, y ∈ {0,2}
+    assert(math.abs(info.meanR - 3.0) < 1e-12)
+    assert(math.abs(info.meanG - 1.0) < 1e-12)
+  }
+
+  test("DataFrame decode/resize columns: real codecs through the " +
+    "batched mapPartitions contract, partition-invariant, null for " +
+    "undecodable media") {
+    import spark.implicits._
+    val wav = makeWav(16000, 64, 4096, 8)
+    val bmp = Codecs.encodeBmp(6, 6, makeRgb(6, 6))
+    val junk = "plain text bytes".getBytes
+    val df = Seq((1L, wav), (2L, bmp), (3L, junk)).toDF("id", "media")
+
+    def runWav(d: org.apache.spark.sql.DataFrame) =
+      Multimodal.decodeWavColumn(d, "media")
+        .select(col("id"), col("wav.sample_rate"), col("wav.rms"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getDouble(2)))))
+        .toMap
+    val got = runWav(df)
+    assert(got(1L).exists(v => v._1 == 16000 &&
+      math.abs(v._2 - 4096.0 / 32768.0) < 1e-12))
+    assert(got(2L).isEmpty && got(3L).isEmpty)
+    assert(runWav(df.repartition(3)) == got, "partition-dependent decode")
+
+    val gotBmp = Multimodal.decodeBmpColumn(df, "media")
+      .select(col("id"), col("bmp.width"), col("bmp.mean_b"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getDouble(2)))))
+      .toMap
+    assert(gotBmp(2L).contains((6, 7.0)))
+    assert(gotBmp(1L).isEmpty && gotBmp(3L).isEmpty)
+
+    val resized = Multimodal.resizeBmpColumn(df, "media", 3, 3)
+      .select(col("id"), col("media_small"), col("media_small_meta.n_bytes"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getAs[Array[Byte]](1)).map(b => (b, r.getLong(2))))
+      .toMap
+    val small = resized(2L).get
+    assert(small._2 == small._1.length.toLong)
+    val si = Codecs.decodeBmp(small._1).get
+    assert(si.width == 3 && si.height == 3)
+    assert(resized(1L).isEmpty && resized(3L).isEmpty)
+  }
+}
