@@ -97,9 +97,9 @@ object PipelineQueries {
 
   private val dedupMinhashCapped = Q("q_dedup_minhash_capped",
     (s, d) => {
-      val cand = Dedup.minhashCandidates(docs(s, d), "text", "doc_id",
-        maxBucket = MinhashCap, numBands = Dedup.NumBands)
-      val os = Dedup.oversizeBuckets(docs(s, d), "text", "doc_id", MinhashCap)
+      // one banded-signature lineage feeds both outputs
+      val (cand, os) = Dedup.minhashCandidatesAndOversize(
+        docs(s, d), "text", "doc_id", MinhashCap)
       cand.agg(
         count(lit(1)).as("n_pairs"),
         sum(when(col("est_jaccard") >= 0.5, 1L).otherwise(0L)).as("n_dups"),
@@ -330,12 +330,10 @@ object PipelineQueries {
   private val EmbedCap = 30
   private val embedNearDupCapped = Q("q_dedup_embed_capped",
     (s, d) => {
-      val dups = Similarity.cosineNearDups(embs(s, d), "vec_id", "embedding",
-        0.25, exact = false, nBits = EmbedCapBits, maxBucket = EmbedCap)
-      val os = Similarity.lshBuckets(embs(s, d), "vec_id", "embedding",
-        EmbedCapBits)
-        .groupBy("bucket").agg(count(lit(1)).as("bn"))
-        .where(col("bn") > EmbedCap)
+      // one bucket lineage feeds both outputs
+      val (dups, os) = Similarity.cosineNearDupsAndOversize(
+        embs(s, d), "vec_id", "embedding", 0.25,
+        nBits = EmbedCapBits, maxBucket = EmbedCap)
       dups.agg(count(lit(1)).as("n_dups"),
         round(avg(col("cos")), 5).as("avg_cos"))
         .crossJoin(os.agg(count(lit(1)).as("n_oversize"),
@@ -370,8 +368,10 @@ object PipelineQueries {
       val cents = Similarity.collectCentroids(
         e.orderBy("vec_id").limit(16)
           .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
+      // no persist: the query closure cannot unpersist after its
+      // caller's action, and with the native l2sq kernel recomputing
+      // the assignment is cheaper than leaking a cache entry per call
       val cells = Similarity.cellAssignments(e, "vec_id", "embedding", cents)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val top1 = Similarity.ivfTop1From(cells, "vec_id", "embedding")
       val cellStats = cells.groupBy("cell").agg(count(lit(1)).as("cn"))
         .agg(count(lit(1)).as("n_cells"), max(col("cn")).as("max_cell"))

@@ -23,7 +23,9 @@ object Checkpoint {
 
   /** Full training-state checkpoint: params + Adam moments + step
     * count — a resumable run (the slot variables tf.train.Saver
-    * persists alongside the model). */
+    * persists alongside the model). Resume by passing the step count
+    * [[restoreTraining]] returns as `Elbo.optimize(startStep = …)`, so
+    * the draw/minibatch seed streams continue where they stopped. */
   def saveTraining(spark: SparkSession, module: Module,
                    adam: graft.optimize.Adam, path: String): Unit = {
     import spark.implicits._
@@ -35,8 +37,11 @@ object Checkpoint {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/adam")
   }
 
+  /** Restores params + optimizer state; returns the checkpointed step
+    * count (pass it as `Elbo.optimize(startStep = …)` to continue the
+    * exact noise/sampling stream). */
   def restoreTraining(spark: SparkSession, module: Module,
-                      adam: graft.optimize.Adam, path: String): Unit = {
+                      adam: graft.optimize.Adam, path: String): Int = {
     restore(spark, module, s"$path/params")
     val rows = spark.read.parquet(s"$path/adam").collect()
       .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
@@ -44,6 +49,7 @@ object Checkpoint {
       .getOrElse(throw new IllegalStateException("no step-count row"))
     val slots = rows.filter(_._1 >= 0).sortBy(_._1)
     adam.restore(slots.map(_._2), slots.map(_._3), t._2.toInt)
+    t._2.toInt
   }
 
   /** Restores matching names; throws if a checkpointed param is missing

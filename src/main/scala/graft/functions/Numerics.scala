@@ -34,7 +34,14 @@ object Numerics {
                 out: String): DataFrame = {
     val keys = groupCols.map(col)
     val maxes = df.groupBy(keys: _*).agg(max(x).as("__lse_mx"))
-    df.join(broadcast(maxes), groupCols)
+      .select(groupCols.map(c => col(c).as(s"__lse_k_$c")) :+
+        col("__lse_mx"): _*)
+    // null-SAFE key equality: groupBy treats null as its own group, so
+    // the join back must too (a plain equi-join would silently drop
+    // null-keyed groups)
+    val cond = groupCols.map(c => col(c) <=> col(s"__lse_k_$c"))
+      .reduce(_ && _)
+    df.join(broadcast(maxes), cond)
       .groupBy(keys: _*)
       .agg((max(col("__lse_mx")) +
         log(sum(exp(x - col("__lse_mx"))))).as(out))

@@ -39,7 +39,9 @@ object Codecs {
     var dataOff = -1; var dataLen = 0
     while (off + 8 <= b.length) {
       val sz = le32(b, off + 4)
-      if (sz < 0 || off + 8 + sz > b.length) return None
+      // Long arithmetic: a crafted chunk size near Int.MaxValue must
+      // hit this guard, not wrap negative past it and index OOB
+      if (sz < 0 || off.toLong + 8L + sz > b.length) return None
       val c0 = b(off); val c1 = b(off + 1); val c2 = b(off + 2)
       val c3 = b(off + 3)
       if (c0 == 'f' && c1 == 'm' && c2 == 't' && c3 == ' ' && sz >= 16) {
@@ -105,12 +107,16 @@ object Codecs {
     val hRaw = le32(b, 22)
     val bpp = le16(b, 28)
     val compression = le32(b, 30)
-    if (bpp != 24 || compression != 0 || w <= 0 || hRaw == 0) return None
+    if (bpp != 24 || compression != 0 || w <= 0 || hRaw == 0 ||
+      hRaw == Int.MinValue) return None
     val h = math.abs(hRaw)
     val bottomUp = hRaw > 0
-    val rowBytes = ((w * 3 + 3) / 4) * 4
-    if (pixOff < 54 || pixOff.toLong + rowBytes.toLong * h > b.length)
+    // Long arithmetic throughout: crafted headers with w near 2^30
+    // must fail the bounds check, not wrap w*3 negative and pass it
+    val rowBytesL = ((w.toLong * 3 + 3) / 4) * 4
+    if (pixOff < 54 || pixOff.toLong + rowBytesL * h > b.length)
       return None
+    val rowBytes = rowBytesL.toInt // ≤ b.length after the check
     val px = new Array[Byte](3 * w * h)
     var y = 0
     while (y < h) {

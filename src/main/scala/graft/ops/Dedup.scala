@@ -147,26 +147,39 @@ object Dedup {
     * back on the same key the self-join shuffles on, so the exchange is
     * shared — no extra shuffle of the data. */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
-                        maxBucket: Int, numBands: Int): DataFrame = {
+                        maxBucket: Int, numBands: Int): DataFrame =
+    minhashCandidatesAndOversize(df, textCol, idCol, maxBucket,
+      numBands)._1
+
+  /** Capped candidate pairs AND the diverted-bucket stats from ONE
+    * banded-signature lineage (callers needing both — the standard
+    * pipeline shape — should use this rather than separate
+    * [[minhashCandidates]]/[[oversizeBuckets]] calls, which rebuild
+    * the signature pipeline independently). */
+  def minhashCandidatesAndOversize(df: DataFrame, textCol: String,
+      idCol: String, maxBucket: Int,
+      numBands: Int = NumBands): (DataFrame, DataFrame) = {
     val bands = bandRows(df, textCol, idCol, numBands)
+    val sizes = bands.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("__bn"))
     val eligible =
       if (maxBucket <= 0) bands
-      else {
-        val small = bands.groupBy("band", "band_key")
-          .agg(count(lit(1)).as("__bn"))
-          .where(col("__bn") <= maxBucket)
-          .select("band", "band_key")
-        bands.join(small, Seq("band", "band_key"))
-      }
+      else bands.join(
+        sizes.where(col("__bn") <= maxBucket).select("band", "band_key"),
+        Seq("band", "band_key"))
     val agree = size(filter(
       zip_with(col("x.sig"), col("y.sig"), (a, b) => a === b), w => w))
-    eligible.as("x").join(eligible.as("y"),
+    val cand = eligible.as("x").join(eligible.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_key") === col("y.band_key") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
         (agree.cast("double") / lit(NumPerms.toDouble)).as("est_jaccard"))
       .distinct()
+    val oversize = (if (maxBucket <= 0) sizes.where(lit(false))
+      else sizes.where(col("__bn") > maxBucket))
+      .select(col("band"), col("band_key"), col("__bn").as("n_docs"))
+    (cand, oversize)
   }
 
   /** Buckets larger than `maxBucket` — the ones [[minhashCandidates]]
@@ -176,10 +189,8 @@ object Dedup {
   def oversizeBuckets(df: DataFrame, textCol: String, idCol: String,
                       maxBucket: Int,
                       numBands: Int = NumBands): DataFrame =
-    bandRows(df, textCol, idCol, numBands)
-      .groupBy("band", "band_key")
-      .agg(count(lit(1)).as("n_docs"))
-      .where(col("n_docs") > maxBucket)
+    minhashCandidatesAndOversize(df, textCol, idCol, maxBucket,
+      numBands)._2
 
   /** Near-duplicate GROUPS by full MinHash signature: one row per
     * signature with the representative (min id) and multiplicity.

@@ -95,10 +95,13 @@ object Multimodal {
       }
     }
     df.sparkSession.createDataFrame(rdd, schema)
-      .withColumn(outCol + "_meta", struct(
+      // null meta for undecodable rows, matching the decode columns'
+      // null-struct convention (a fabricated zero-byte meta would be
+      // indistinguishable from a real empty resize downstream)
+      .withColumn(outCol + "_meta", when(col(outCol).isNotNull, struct(
         lit("bmp-resized").as("kind"),
-        coalesce(length(col(outCol)).cast("long"), lit(0L)).as("n_bytes"),
-        coalesce(sha2(col(outCol), 256), lit("")).as("sha")))
+        length(col(outCol)).cast("long").as("n_bytes"),
+        sha2(col(outCol), 256).as("sha"))))
   }
 
   val MetaType: StructType = StructType(Seq(

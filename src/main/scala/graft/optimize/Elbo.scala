@@ -279,7 +279,13 @@ final class Elbo(
                  * layout) to carry Adam moments across tape rebuilds —
                  * the re-linearization loop in [[graft.gp.GpExpr]]. */
                adamState: Adam = null,
-               stepsPerBatch: Int = 1): Double = {
+               stepsPerBatch: Int = 1,
+               /** Global step offset: draws and minibatch seeds are
+                 * keyed by `startStep + it`, so a run restored from a
+                 * [[graft.core.Checkpoint]] at step t continues the
+                 * EXACT noise/sampling stream the uninterrupted run
+                 * would have used (pass the restored step count). */
+               startStep: Int = 0): Double = {
     val theta = thetaFromTree()
     val mask = collectionMask(collection)
     val adam = if (adamState != null) adamState else new Adam(nSlots, lr)
@@ -310,10 +316,11 @@ final class Elbo(
     var it = 0
     while (it < maxiter) {
       if (!fuse) {
-        val draws = freshDraws(it)
-        val (loss, grad, cnt) = batchGrad(it, minibatchSize,
+        val g = startStep + it
+        val draws = freshDraws(g)
+        val (loss, grad, cnt) = batchGrad(g, minibatchSize,
           training = true, theta, draws)
-        applyStep(loss, grad, cnt, draws, it)
+        applyStep(loss, grad, cnt, draws, g)
         it += 1
       } else {
         val k = math.min(stepsPerBatch, maxiter - it)
@@ -332,7 +339,7 @@ final class Elbo(
           val frac = math.min(1.0,
             minibatchSize.toDouble / math.max(1L, total))
           val sampled = trainVecs.sample(withReplacement = true, frac,
-            seed + 7919L * (it + 1))
+            seed + 7919L * (startStep + it + 1))
           if (collectable) rows = sampled.collect()
           else {
             rdd = sampled.persist(
@@ -340,13 +347,13 @@ final class Elbo(
             rdd.count()
           }
         } else {
-          df = dataset.minibatch(minibatchSize, it)
+          df = dataset.minibatch(minibatchSize, startStep + it)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           df.count()
         }
         var s = 0
         while (s < k) {
-          val step = it + s
+          val step = startStep + it + s
           val draws = freshDraws(step)
           val (loss, grad, cnt) =
             if (rows != null) localGrad(rows, null, theta, draws)
@@ -426,11 +433,6 @@ object Elbo {
     * vector / driver-local fast paths. */
   val NoAugment: (org.apache.spark.sql.DataFrame, Int) =>
     org.apache.spark.sql.DataFrame = (df, _) => df
-
-  /** Serializable Row → Array[Double] projector (kept off the Elbo
-    * instance so RDD closures don't capture the engine). */
-  private[optimize] def vecOf(names: Seq[String])
-      : org.apache.spark.sql.Row => Array[Double] = graft.data.RowVec.of(names)
 
   private val scratch =
     new ThreadLocal[(Array[Double], Array[Double], CompiledExpr)]()

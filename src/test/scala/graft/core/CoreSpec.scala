@@ -196,47 +196,51 @@ class CoreSpec extends AnyFunSuite {
     }
   }
 
-  test("training checkpoint resumes bit-exactly: save at step k, " +
-    "restore, continue == uninterrupted run") {
+  test("training checkpoint resumes bit-exactly THROUGH the draw " +
+    "stream: save at step k, restore, continue at startStep == " +
+    "uninterrupted run") {
     import graft.optimize.{Adam, Elbo}
     import graft.data.DataSet
     import org.apache.spark.sql.functions._
     val spark = SparkTestSession.spark
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
-      .select((col("l_quantity") / 10.0).as("x")).limit(256)
+      .select(((col("l_quantity") - 25.0) / 10.0).as("x")).limit(256)
+    // a model WITH reparameterization draws: resume must continue the
+    // seeded noise stream (draws 25..39), not replay 0..14
     def build() = {
       val root = new Module
-      val p = root.add("p", new Param(Seq(1), initMean = 3.0,
-        initStddev = 0.0))
-      (root, p)
+      val v = root.add("v", new Variational.Normal(Seq(1)))
+      (root, v)
     }
+    def mkElbo(root: Module, v: Variational, ds: DataSet) =
+      new Elbo(root, ds, Seq("x"), ctx =>
+        graft.autodiff.ExprFns.gaussian(ctx.in("x"), ctx.sample1(v),
+          graft.autodiff.Expr.c(1.0)), seed = 0)
     // uninterrupted: 40 steps
-    val (rootA, pA) = build()
+    val (rootA, vA) = build()
     val dsA = new DataSet(li, seed = 0)
-    val elboA = new Elbo(rootA, dsA, Seq("x"),
-      ctx => -(ctx.read1(pA) - ctx.in("x")).sq, seed = 0)
+    val elboA = mkElbo(rootA, vA, dsA)
     val adamA = new Adam(elboA.nSlots, lr = 0.05)
     elboA.optimize(40, lr = 0.05, adamState = adamA)
-    // interrupted: 25 steps, checkpoint, fresh objects, restore, 15 more
-    val (rootB, pB) = build()
+    // interrupted: 25 steps, checkpoint, fresh objects, restore, 15
+    // more from startStep = restored step count
+    val (rootB, vB) = build()
     val dsB = new DataSet(li, seed = 0)
-    val elboB = new Elbo(rootB, dsB, Seq("x"),
-      ctx => -(ctx.read1(pB) - ctx.in("x")).sq, seed = 0)
+    val elboB = mkElbo(rootB, vB, dsB)
     val adamB = new Adam(elboB.nSlots, lr = 0.05)
     elboB.optimize(25, lr = 0.05, adamState = adamB)
     val path = java.nio.file.Files.createTempDirectory("ckpt2").toString + "/t"
     Checkpoint.saveTraining(spark, rootB, adamB, path)
-    val (rootC, pC) = build()
+    val (rootC, vC) = build()
     val adamC = new Adam(elboB.nSlots, lr = 0.05)
-    Checkpoint.restoreTraining(spark, rootC, adamC, path)
-    val elboC = new Elbo(rootC, dsB, Seq("x"),
-      ctx => -(ctx.read1(pC) - ctx.in("x")).sq, seed = 0)
-    // draws are seeded by step index, so steps 25..39 need the offset;
-    // this tiny model is draw-free (plain Param), making the resumed
-    // trajectory exactly the uninterrupted one
-    elboC.optimize(15, lr = 0.05, adamState = adamC)
-    assert(pC.value(0) == pA.value(0),
-      s"resumed ${pC.value(0)} != uninterrupted ${pA.value(0)}")
+    val resumeAt = Checkpoint.restoreTraining(spark, rootC, adamC, path)
+    assert(resumeAt == 25)
+    val elboC = mkElbo(rootC, vC, dsB)
+    elboC.optimize(15, lr = 0.05, adamState = adamC, startStep = resumeAt)
+    assert(vC.qMu.value(0) == vA.qMu.value(0) &&
+      vC.qSqrt.value(0) == vA.qSqrt.value(0),
+      s"resumed (${vC.qMu.value(0)}, ${vC.qSqrt.value(0)}) != " +
+        s"uninterrupted (${vA.qMu.value(0)}, ${vA.qSqrt.value(0)})")
     dsA.unpersist(); dsB.unpersist()
   }
 }

@@ -128,5 +128,11 @@ class CodecsSpec extends AnyFunSuite {
     val si = Codecs.decodeBmp(small._1).get
     assert(si.width == 3 && si.height == 3)
     assert(resized(1L).isEmpty && resized(3L).isEmpty)
+    // undecodable rows carry a NULL meta struct (same convention as
+    // the decode columns), not a fabricated empty one
+    val metaNull = Multimodal.resizeBmpColumn(df, "media", 3, 3)
+      .select(col("id"), col("media_small_meta").isNull.as("mn"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(metaNull(1L) && metaNull(3L) && !metaNull(2L))
   }
 }
