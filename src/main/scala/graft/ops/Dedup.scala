@@ -5,16 +5,18 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines — exact,
   * MinHash+LSH, SimHash, and n-gram Jaccard. Everything is built from
-  * deterministic portable hashes ([[TextAnalysis.tokenHash]]) so the
-  * full pipelines are cross-engine verifiable, and everything is
-  * expressed as DataFrame ops whose shuffles are on dedup keys only:
+  * deterministic portable hashes ([[TextAnalysis.tokenHash]] / the
+  * native [[TextHashFns]] kernels) so the full pipelines are
+  * cross-engine verifiable, and everything is expressed as DataFrame
+  * ops whose shuffles are on dedup keys only:
   *
   *  - exact: one hash-aggregate on md5 (map-side combine).
-  *  - MinHash: explode(distinct tokens) → per-doc min-aggregate per
-  *    permutation (partial aggregation makes this one shuffle of
-  *    [doc, k] rows), then LSH banding → bucket self-join restricted to
-  *    bucket collisions — the candidate set is tiny vs n², which is
-  *    the entire point of LSH at 100 TB.
+  *  - MinHash: ONE-PASS per-row signature (native codegen'd kernel —
+  *    no explode, no shuffle), then LSH banding → bucket self-join
+  *    restricted to bucket collisions, with a bucket-size cap that
+  *    diverts template families to the linear GROUP path — the
+  *    candidate set stays tiny vs n² even under skew, which is the
+  *    entire point of LSH at 100 TB.
   *  - SimHash: one scan computing a 16-bit signature per doc from
   *    token-hash bit sums, then a bucket aggregate.
   *  - n-gram Jaccard: array intersections over candidate pairs only.
@@ -208,6 +210,16 @@ object Dedup {
     sigs.groupBy((0 until NumPerms).map(i => col(s"sig$i")): _*)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
   }
+
+  /** The deduplicated corpus itself: the full rows of one
+    * representative (min id) per MinHash signature — what a cleaning
+    * pipeline actually emits. One signature aggregate + one id join
+    * back (shuffle on the id only); token-less docs, which carry no
+    * signature, are dropped like every dedup path here. */
+  def dedupedCorpus(df: DataFrame, textCol: String,
+                    idCol: String): DataFrame =
+    df.join(minhashGroups(df, textCol, idCol)
+      .select(col("keep_id").as(idCol)), Seq(idCol))
 
   /** 16-bit SimHash from token-hash bit sums over the distinct token
     * set: bit b set iff Σ_tokens (±1 by bit b of h) > 0. Native

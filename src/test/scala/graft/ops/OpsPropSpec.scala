@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property laws for the driver-side kernels that back the pipeline
+  * operators — no Spark needed, so these run wide and fast. */
+class OpsPropSpec extends AnyFunSuite {
+
+  private def check(p: Prop, n: Int = 200): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("TopKBuffer == sort-then-take for any input sequence and k, " +
+    "under any insert/merge split") {
+    val gen = for {
+      k <- Gen.choose(1, 8)
+      xs <- Gen.listOf(Gen.zip(Gen.choose(-100, 100).map(_ / 10.0),
+        Gen.choose(0L, 50L)))
+      split <- Gen.choose(0, math.max(0, xs.length))
+    } yield (k, xs, split)
+    check(Prop.forAll(gen) { case (k, xs, split) =>
+      val direct = new TopKBuffer(k)
+      xs.foreach { case (s, id) => direct.insert(s, id) }
+      val (l, r) = xs.splitAt(split)
+      val b1 = new TopKBuffer(k)
+      l.foreach { case (s, id) => b1.insert(s, id) }
+      val b2 = new TopKBuffer(k)
+      r.foreach { case (s, id) => b2.insert(s, id) }
+      b1.mergeFrom(b2)
+      val wantScores = xs.map(_._1).sorted(Ordering[Double].reverse).take(k)
+      val byId = xs.groupBy(_._2)
+      direct.scores.take(direct.n).toSeq == wantScores &&
+        b1.scores.take(b1.n).toSeq == wantScores &&
+        (0 until direct.n).forall(i =>
+          byId(direct.ids(i)).exists(_._1 == direct.scores(i)))
+    })
+  }
+
+  test("BMP encode→resize-to-same-size is the identity; decode means " +
+    "match a direct pixel computation") {
+    val gen = for {
+      w <- Gen.choose(1, 12)
+      h <- Gen.choose(1, 12)
+      px <- Gen.listOfN(3 * w * h, Gen.choose(0, 255))
+    } yield (w, h, px.map(_.toByte).toArray)
+    check(Prop.forAll(gen) { case (w, h, rgb) =>
+      val bmp = Codecs.encodeBmp(w, h, rgb)
+      val info = Codecs.decodeBmp(bmp).get
+      def mean(c: Int) =
+        rgb.indices.filter(_ % 3 == c).map(i => rgb(i) & 0xff).sum /
+          (w * h).toDouble
+      // nearest-neighbor resize to the SAME dims picks every source
+      // pixel exactly once → byte-identical re-encode
+      Codecs.resizeBmp(bmp, w, h).get.sameElements(bmp) &&
+        info.width == w && info.height == h &&
+        math.abs(info.meanR - mean(0)) < 1e-9 &&
+        math.abs(info.meanG - mean(1)) < 1e-9 &&
+        math.abs(info.meanB - mean(2)) < 1e-9
+    }, n = 100)
+  }
+
+  test("WAV decode statistics match a direct sample computation for " +
+    "arbitrary PCM signals and channel counts") {
+    val gen = for {
+      ch <- Gen.choose(1, 3)
+      frames <- Gen.choose(1, 64)
+      samples <- Gen.listOfN(ch * frames,
+        Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt))
+    } yield (ch, frames, samples.map(_.toShort).toArray)
+    check(Prop.forAll(gen) { case (ch, frames, samples) =>
+      val dataLen = samples.length * 2
+      val b = new Array[Byte](44 + dataLen)
+      def put16(o: Int, v: Int): Unit = {
+        b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+      }
+      def put32(o: Int, v: Int): Unit = {
+        put16(o, v & 0xffff); put16(o + 2, (v >> 16) & 0xffff)
+      }
+      def tag(o: Int, s: String): Unit =
+        s.getBytes("US-ASCII").zipWithIndex.foreach { case (c, i) =>
+          b(o + i) = c
+        }
+      tag(0, "RIFF"); put32(4, 36 + dataLen); tag(8, "WAVE")
+      tag(12, "fmt "); put32(16, 16); put16(20, 1); put16(22, ch)
+      put32(24, 44100); put32(28, 44100 * 2 * ch); put16(32, 2 * ch)
+      put16(34, 16); tag(36, "data"); put32(40, dataLen)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        put16(44 + 2 * i, s & 0xffff)
+      }
+      val info = Codecs.decodeWav(b).get
+      val rms = math.sqrt(samples.map(s =>
+        math.pow(s / 32768.0, 2)).sum / samples.length)
+      val zcrOk = frames == 1 || {
+        val mono = (0 until frames).map(f => samples(f * ch))
+        val crossings = mono.sliding(2).count(p =>
+          (p(1) >= 0) != (p(0) >= 0))
+        math.abs(info.zeroCrossRate -
+          crossings.toDouble / (frames - 1)) < 1e-12
+      }
+      info.channels == ch && info.nFrames == frames.toLong &&
+        math.abs(info.rms - rms) < 1e-12 && zcrOk
+    }, n = 100)
+  }
+}

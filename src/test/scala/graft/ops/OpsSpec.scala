@@ -349,6 +349,21 @@ class OpsSpec extends AnyFunSuite {
     l2.foreach(r => assert(r.getDouble(0) == r.getDouble(1), "l2sq mismatch"))
   }
 
+  test("dedupedCorpus keeps exactly one full row per signature, the " +
+    "min-id representative") {
+    val df = docsWithDups
+    val out = Dedup.dedupedCorpus(df, "text", "doc_id").collect()
+    val groups = Dedup.minhashGroups(df, "text", "doc_id").collect()
+    assert(out.length == groups.length)
+    val keepIds = groups.map(_.getAs[Long]("keep_id")).toSet
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == keepIds)
+    // the injected exact duplicates (ids 10000+base) never survive —
+    // their originals (base < 10000) are the min-id representatives
+    assert(!out.exists { r =>
+      val id = r.getAs[Long]("doc_id"); id >= 10000L && id < 20000L
+    }, "an exact duplicate survived instead of its original")
+  }
+
   test("native minhash/simhash kernels are bit-identical to their " +
     "composable specs (incl. empty and repeated-token texts)") {
     val docs = spark.read
