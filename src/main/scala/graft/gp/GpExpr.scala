@@ -187,6 +187,28 @@ object GpExpr {
       val sgp = new SparseGP(Kernels.UnitRBF(lengthscales), z)
       (sgp.effectiveLT(xs).t * u.qMu.value).toScalaVector
     }
+    /** DISTRIBUTED posterior predictive over d input columns — the ARD
+      * form of [[SparseGpFit.posteriorSampleColumn]] (same one-scan
+      * sparse sampling path; θ travels in the closure). */
+    def posteriorSampleColumn(df: org.apache.spark.sql.DataFrame,
+        xCols: Seq[String], k: Int, seed: Long = 0L,
+        outCol: String = "gp_sample"): org.apache.spark.sql.DataFrame =
+      GpExpr.fitSampleColumn(new SparseGP(Kernels.UnitRBF(lengthscales), z),
+        u, df, xCols, k, seed, outCol)
+  }
+
+  /** Shared draw-and-scan: sample k whitened-weight vectors from q(u)
+    * and run the kernel-generic sparse sampling path. */
+  private def fitSampleColumn(sgp: SparseGP,
+      u: graft.core.Variational.Normal, df: org.apache.spark.sql.DataFrame,
+      xCols: Seq[String], k: Int, seed: Long,
+      outCol: String): org.apache.spark.sql.DataFrame = {
+    val mu = u.qMu.value
+    val sd = u.qSqrt.value.map(math.exp)
+    val rng = new scala.util.Random(seed)
+    val uDraws = DenseMatrix.tabulate(k, mu.length)((_, j) =>
+      mu(j) + sd(j) * rng.nextGaussian())
+    sgp.sampleColumn(df, xCols, uDraws, seed = seed, outCol = outCol)
   }
 
   /** d-dimensional ARD sparse-GP regression with learnable per-dim
@@ -275,15 +297,10 @@ object GpExpr {
     def posteriorSampleColumn(df: org.apache.spark.sql.DataFrame,
         xCol: String, k: Int, seed: Long = 0L,
         outCol: String = "gp_sample"): org.apache.spark.sql.DataFrame = {
-      val m = z.length
-      val zm = new DenseMatrix(m, 1, z.toArray)
-      val sgp = new SparseGP(Kernels.UnitRBF(DenseVector(lengthscale)), zm)
-      val mu = u.qMu.value
-      val sd = u.qSqrt.value.map(math.exp)
-      val rng = new scala.util.Random(seed)
-      val uDraws = DenseMatrix.tabulate(k, m)((_, j) =>
-        mu(j) + sd(j) * rng.nextGaussian())
-      sgp.sampleColumn(df, Seq(xCol), uDraws, seed = seed, outCol = outCol)
+      val zm = new DenseMatrix(z.length, 1, z.toArray)
+      GpExpr.fitSampleColumn(
+        new SparseGP(Kernels.UnitRBF(DenseVector(lengthscale)), zm),
+        u, df, Seq(xCol), k, seed, outCol)
     }
   }
 
@@ -369,6 +386,16 @@ object GpExpr {
         Kernels.UnitCsymRBF(DenseVector(lengthscale)), zm)
       val xm = new DenseMatrix(xs.length, 1, xs.toArray)
       (sgp.effectiveLT(xm).t * u.qMu.value).toScalaVector
+    }
+    /** DISTRIBUTED posterior predictive under the csym kernel
+      * ([[SparseGP.sampleColumn]] is kernel-generic). */
+    def posteriorSampleColumn(df: org.apache.spark.sql.DataFrame,
+        xCol: String, k: Int, seed: Long = 0L,
+        outCol: String = "gp_sample"): org.apache.spark.sql.DataFrame = {
+      val zm = new DenseMatrix(z.length, 1, z.toArray)
+      GpExpr.fitSampleColumn(
+        new SparseGP(Kernels.UnitCsymRBF(DenseVector(lengthscale)), zm),
+        u, df, Seq(xCol), k, seed, outCol)
     }
   }
 

@@ -310,6 +310,18 @@ class GpLearnSpec extends AnyFunSuite {
     val pPos = learned.predictiveMean(Seq(1.1))
     assert(math.abs(pNeg.head - pPos.head) < 1e-9,
       "csym predictive mean not symmetric in x")
+    // distributed posterior predictive under the csym kernel: draw
+    // means track the driver predictive mean
+    val sampled = learned.posteriorSampleColumn(li.limit(32), "x", k = 30,
+      seed = 5).select("x", "gp_sample").collect()
+    assert(sampled.length == 32)
+    sampled.foreach { r =>
+      val mean = learned.predictiveMean(Seq(r.getDouble(0))).head
+      val draws = r.getSeq[Double](1)
+      assert(draws.length == 30)
+      assert(math.abs(draws.sum / draws.length - mean) < 0.6,
+        s"csym sample mean far from predictive mean at x=${r.getDouble(0)}")
+    }
     ds.unpersist()
   }
 
@@ -332,6 +344,11 @@ class GpLearnSpec extends AnyFunSuite {
     assert(ls(0) < ls(1),
       s"ARD did not separate dims: l1=${ls(0)} l2=${ls(1)}")
     assert(ls(0) < 1.2, s"relevant-dim lengthscale barely moved: ${ls(0)}")
+    // distributed ARD posterior predictive: one scan over d columns
+    val sampled = fit.posteriorSampleColumn(li.limit(16), Seq("x1", "x2"),
+      k = 10, seed = 3).select("gp_sample").collect()
+    assert(sampled.length == 16)
+    assert(sampled.forall(_.getSeq[Double](0).length == 10))
     ds.unpersist()
   }
 }
