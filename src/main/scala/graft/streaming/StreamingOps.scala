@@ -74,6 +74,36 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(sigCols)
   }
 
+  /** First occurrence per key with EXPLICIT custom state
+    * (`flatMapGroupsWithState`): emits a (key, payload) row only the
+    * first time the key is seen; state is a per-key marker evicted by
+    * processing-time timeout, bounding memory on unbounded key spaces
+    * (the hand-rolled form of signature dedup, for when eviction
+    * policy or emitted payloads need control beyond
+    * `dropDuplicatesWithinWatermark`). */
+  def statefulFirstPerKey(pairs: Dataset[(String, String)],
+                          stateTimeout: String = "1 hour")
+      : Dataset[(String, String)] = {
+    import pairs.sparkSession.implicits._
+    pairs.groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (String, String)](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (key: String, rows: Iterator[(String, String)],
+         state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            rows.foreach(_ => ()) // drain
+            Iterator.empty
+          } else {
+            state.update(true)
+            state.setTimeoutDuration(stateTimeout)
+            rows.take(1)
+          }
+      }
+  }
+
   /** Streaming corpus curation — the incremental form of the batch
     * quality-floor → dedup composition (q_pipeline_curation): the
     * quality score is a stateless per-row map, so the only stateful

@@ -84,6 +84,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got > 0)
   }
 
+  test("statefulFirstPerKey (flatMapGroupsWithState) emits exactly the " +
+    "first row per key") {
+    import spark.implicits._
+    // duplicate-heavy keyed stream: doc source as key, doc id payload
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), col("doc_id").cast("string"))
+      .as[(String, String)].collect().toSeq
+    val out = StreamingOps.statefulFirstPerKey(rows.toDS())
+      .collect()
+    // exactly one emission per key, and the payload belongs to the key
+    // (shuffle order within a group is engine-chosen, so "first" is
+    // per-arrival, not per-source-order)
+    assert(out.length == rows.map(_._1).distinct.length)
+    val byKey = rows.groupBy(_._1)
+    out.foreach { case (k, v) =>
+      assert(byKey(k).exists(_._2 == v), s"payload $v not from key $k")
+    }
+  }
+
   test("streaming curation (quality floor + signature dedup) equals " +
     "the batch composition") {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
