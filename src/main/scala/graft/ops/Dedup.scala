@@ -178,8 +178,11 @@ object Dedup {
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
         (agree.cast("double") / lit(NumPerms.toDouble)).as("est_jaccard"))
       .distinct()
-    val oversize = (if (maxBucket <= 0) sizes.where(lit(false))
-      else sizes.where(col("__bn") > maxBucket))
+    // cap ≤ 0 disables the candidate cap; for the oversize view it
+    // degenerates to "every (non-empty) bucket", preserving the
+    // pre-refactor oversizeBuckets(…, 0) behavior of listing all
+    // bucket sizes
+    val oversize = sizes.where(col("__bn") > math.max(maxBucket, 0))
       .select(col("band"), col("band_key"), col("__bn").as("n_docs"))
     (cand, oversize)
   }

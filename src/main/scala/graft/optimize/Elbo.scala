@@ -323,7 +323,16 @@ final class Elbo(
         applyStep(loss, grad, cnt, draws, g)
         it += 1
       } else {
-        val k = math.min(stepsPerBatch, maxiter - it)
+        // batch groups are aligned to GLOBAL step boundaries (0, k,
+        // 2k, …), and a resumed run entering mid-group re-samples that
+        // group's batch by its group-start seed and runs only the
+        // remaining sub-steps — so optimize(startStep = t) continues
+        // the exact batch/draw schedule of the uninterrupted run for
+        // ANY t, not just multiples of k
+        val globalIt = startStep + it
+        val groupStart = globalIt - (globalIt % stepsPerBatch)
+        val k = math.min(stepsPerBatch - (globalIt % stepsPerBatch),
+          maxiter - it)
         // a minibatch is memory-bounded BY CONSTRUCTION (the user chose
         // its size), so collecting it for driver-local sub-steps is
         // gated on its own fixed budget — NOT on localThreshold, which
@@ -339,7 +348,7 @@ final class Elbo(
           val frac = math.min(1.0,
             minibatchSize.toDouble / math.max(1L, total))
           val sampled = trainVecs.sample(withReplacement = true, frac,
-            seed + 7919L * (startStep + it + 1))
+            seed + 7919L * (groupStart + 1))
           if (collectable) rows = sampled.collect()
           else {
             rdd = sampled.persist(
@@ -347,7 +356,7 @@ final class Elbo(
             rdd.count()
           }
         } else {
-          df = dataset.minibatch(minibatchSize, startStep + it)
+          df = dataset.minibatch(minibatchSize, groupStart)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           df.count()
         }

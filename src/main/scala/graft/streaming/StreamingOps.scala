@@ -95,6 +95,10 @@ object StreamingOps {
             Iterator.empty
           } else if (state.exists) {
             rows.foreach(_ => ()) // drain
+            // GroupState contract: every invocation CANCELS the pending
+            // timeout — it must be re-armed on each call, or a key that
+            // keeps arriving would pin its state forever
+            state.setTimeoutDuration(stateTimeout)
             Iterator.empty
           } else {
             state.update(true)

@@ -168,4 +168,34 @@ class ElboSpec extends AnyFunSuite {
     assert(e5 > e1 - 500.0,
       s"fused ELBO collapsed: $e5 vs per-step $e1")
   }
+
+  test("fused-path resume at a MID-GROUP startStep is bit-exact " +
+    "(group boundaries are global, partial first group re-samples " +
+    "its group's batch)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(((col("l_quantity") - 25.5) / 14.4).as("x"))
+    def run(segments: Seq[(Int, Int)]): Double = {
+      // segments: (maxiter, startStep); shared Adam carries across
+      val root = new Module
+      val p = root.add("p", new Param(Seq(1), initMean = 2.0,
+        initStddev = 0.0))
+      val ds = new DataSet(li, seed = 0)
+      val elbo = new Elbo(root, ds, Seq("x"),
+        ctx => -(ctx.read1(p) - ctx.in("x")).sq, seed = 0,
+        localThreshold = 0L) // force the fused/distributed path
+      val adam = new graft.optimize.Adam(elbo.nSlots, lr = 0.1)
+      segments.foreach { case (n, s0) =>
+        elbo.optimize(n, minibatchSize = 1024, lr = 0.1,
+          adamState = adam, stepsPerBatch = 5, startStep = s0)
+      }
+      val out = p.value(0)
+      ds.unpersist(); out
+    }
+    val uninterrupted = run(Seq((20, 0)))
+    // 12 is NOT a multiple of 5: the resumed run enters group 10..14
+    // at its 3rd sub-step and must re-sample THAT group's batch
+    val resumed = run(Seq((12, 0), (8, 12)))
+    assert(resumed == uninterrupted,
+      s"mid-group resume diverged: $resumed vs $uninterrupted")
+  }
 }
