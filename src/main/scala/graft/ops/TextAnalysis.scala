@@ -62,7 +62,15 @@ object TextAnalysis {
   /** Deterministic argmax priority when scores tie. */
   val LangPriority: Seq[String] = Seq("en", "de", "fr", "es", "zh")
 
+  /** Per-language stopword occurrence count. Native one-pass kernel
+    * over all languages ([[StopwordCountsExpr]]); [[stopwordCountSpec]]
+    * is the composable form it is equivalence-tested against. */
   def stopwordCount(text: Column, lang: String): Column =
+    element_at(TextHashExpressions.stopwordCounts(text),
+      LangPriority.indexOf(lang) + 1)
+
+  /** Composable filter/array_contains form (executable spec). */
+  def stopwordCountSpec(text: Column, lang: String): Column =
     size(filter(tokens(text), t =>
       array_contains(lit(Stopwords(lang).toArray), t)))
 

@@ -110,6 +110,48 @@ object TextHashFns {
   }
 }
 
+/** One-pass stopword counts in [[TextAnalysis.LangPriority]] order:
+  * the composable form runs one interpreted `filter(tokens, …,
+  * array_contains)` lambda PER LANGUAGE per row; this walks the token
+  * list once against precomputed hash sets. Occurrence counts (not
+  * distinct), matching the Column form. */
+object StopwordFns {
+  private val sets: Array[java.util.HashSet[String]] =
+    TextAnalysis.LangPriority.map { l =>
+      val s = new java.util.HashSet[String]()
+      TextAnalysis.Stopwords(l).foreach(s.add)
+      s
+    }.toArray
+
+  def counts(text: UTF8String): GenericArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val n = sets.length
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < toks.length) {
+      var l = 0
+      while (l < n) {
+        if (sets(l).contains(toks(i))) out(l) += 1
+        l += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.map(_.toLong))
+  }
+}
+
+case class StopwordCountsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    StopwordFns.counts(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.StopwordFns.counts($c)")
+  override protected def withNewChildInternal(c: Expression)
+      : StopwordCountsExpr = copy(c)
+  override def prettyName: String = "stopword_counts"
+}
+
 case class MinhashSigsExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
@@ -139,4 +181,6 @@ object TextHashExpressions {
     bridge.toColumn(MinhashSigsExpr(bridge.toExpression(text)))
   def simhash16(text: Column): Column =
     bridge.toColumn(Simhash16Expr(bridge.toExpression(text)))
+  def stopwordCounts(text: Column): Column =
+    bridge.toColumn(StopwordCountsExpr(bridge.toExpression(text)))
 }

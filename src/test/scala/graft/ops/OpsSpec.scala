@@ -452,6 +452,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("native stopword-counts kernel matches the composable " +
+    "filter/array_contains spec per language") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+      .unionByName(Seq((910001L, ""), (910002L, "the the und la 的"))
+        .toDF("doc_id", "text"))
+    TextAnalysis.LangPriority.foreach { lang =>
+      val rows = docs.select(col("doc_id"),
+        TextAnalysis.stopwordCount(col("text"), lang).as("fast"),
+        TextAnalysis.stopwordCountSpec(col("text"), lang).as("spec"))
+        .collect()
+      rows.foreach(r => assert(r.getLong(1) == r.getInt(2).toLong,
+        s"$lang mismatch for doc ${r.getLong(0)}"))
+    }
+  }
+
   test("langId returns a label from the priority set and is deterministic") {
     val preds = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(TextAnalysis.langId(col("text")).as("p")).distinct()
