@@ -21,27 +21,50 @@ object Checkpoint {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** `_SUCCESS`-style marker making [[saveTraining]] crash-consistent:
+    * params/ and adam/ are two separate parquet overwrites, so a crash
+    * between them would otherwise leave a torn checkpoint (new params +
+    * stale optimizer moments/step) that restore would load silently. */
+  private val CompleteMarker = "_TRAINING_COMPLETE"
+
+  private def markerPath(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$CompleteMarker")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (fs, p)
+  }
+
   /** Full training-state checkpoint: params + Adam moments + step
     * count — a resumable run (the slot variables tf.train.Saver
     * persists alongside the model). Resume by passing the step count
     * [[restoreTraining]] returns as `Elbo.optimize(startStep = …)`, so
-    * the draw/minibatch seed streams continue where they stopped. */
+    * the draw/minibatch seed streams continue where they stopped.
+    * The completion marker is dropped before writing and recreated only
+    * after BOTH writes succeed; [[restoreTraining]] refuses a
+    * marker-less (torn) checkpoint. */
   def saveTraining(spark: SparkSession, module: Module,
                    adam: graft.optimize.Adam, path: String): Unit = {
     import spark.implicits._
+    val (fs, marker) = markerPath(spark, path)
+    fs.delete(marker, false)
     save(spark, module, s"$path/params")
     val (m, v, t) = adam.state
     val rows = m.indices.map(i => (i, m(i), v(i))) :+ (-1, t.toDouble, 0.0)
     rows.toDF("idx", "m", "v")
       .repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/adam")
+    fs.create(marker, true).close()
   }
 
   /** Restores params + optimizer state; returns the checkpointed step
     * count (pass it as `Elbo.optimize(startStep = …)` to continue the
-    * exact noise/sampling stream). */
+    * exact noise/sampling stream). Throws if the checkpoint lacks its
+    * completion marker (interrupted [[saveTraining]]). */
   def restoreTraining(spark: SparkSession, module: Module,
                       adam: graft.optimize.Adam, path: String): Int = {
+    val (fs, marker) = markerPath(spark, path)
+    require(fs.exists(marker),
+      s"checkpoint at $path has no $CompleteMarker marker — " +
+        "saveTraining was interrupted; refusing to load a torn checkpoint")
     restore(spark, module, s"$path/params")
     val rows = spark.read.parquet(s"$path/adam").collect()
       .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))

@@ -29,9 +29,15 @@ object Numerics {
     * would instead shuffle EVERY row of a group onto one task — with a
     * handful of groups at 100 TB that is a few-reducer scale-killer;
     * this shape keeps both stages map-side partial.
+    *
+    * `broadcastMaxes` controls the join-back strategy: the max table is
+    * group-cardinality-sized, so broadcasting is right for the common
+    * few-groups reduction, but a high-cardinality group key (millions of
+    * groups) would OOM the driver — pass false there to fall back to a
+    * shuffled equi-join (still two hash aggregates, no Window).
     */
   def logSumExp(df: DataFrame, groupCols: Seq[String], x: Column,
-                out: String): DataFrame = {
+                out: String, broadcastMaxes: Boolean = true): DataFrame = {
     val keys = groupCols.map(col)
     val maxes = df.groupBy(keys: _*).agg(max(x).as("__lse_mx"))
       .select(groupCols.map(c => col(c).as(s"__lse_k_$c")) :+
@@ -41,7 +47,7 @@ object Numerics {
     // null-keyed groups)
     val cond = groupCols.map(c => col(c) <=> col(s"__lse_k_$c"))
       .reduce(_ && _)
-    df.join(broadcast(maxes), cond)
+    df.join(if (broadcastMaxes) broadcast(maxes) else maxes, cond)
       .groupBy(keys: _*)
       .agg((max(col("__lse_mx")) +
         log(sum(exp(x - col("__lse_mx"))))).as(out))

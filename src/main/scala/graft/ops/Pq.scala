@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the 100 TB storage-side ANN path
+  * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+  * TPAMI 2011; the IVF-PQ layout every large-scale vector index uses).
+  *
+  * The embedding is split into `m` consecutive subspaces; each
+  * subspace gets its own tiny codebook (`ksub` centroids) and every
+  * vector is stored as `m` small codes instead of `d` floats — a
+  * 64-dim float32 vector becomes 4 bytes at m=4/ksub≤256, a 64×
+  * compression that turns a 100 TB embedding corpus into ~1.6 TB of
+  * codes. Query-side, asymmetric-distance computation (ADC) scores a
+  * RAW query against CODED corpus rows with `m` codebook lookups per
+  * pair instead of `d` multiplications.
+  *
+  * Scale shapes:
+  *  - [[encode]] is ONE scan with a single codegen'd kernel
+  *    ([[PqEncodeExpr]]) — no joins, no shuffle, streaming-safe.
+  *  - [[adcTop1]] broadcasts the (small) query set and scans the coded
+  *    corpus once — the classic ADC sweep; combine with the IVF cell
+  *    restriction ([[Similarity.cellAssignments]]) for sublinear probing.
+  *  - [[trainCodebooks]] runs the fixed-point Lloyd's iteration
+  *    ([[Similarity.kmeansIterate]]) independently per subspace: one
+  *    assignment scan + one hash aggregate per round per subspace, and
+  *    the 2²⁴ fixed-point sums make trained codebooks BIT-IDENTICAL
+  *    under any partitioning.
+  *
+  * Everything is deterministic and cross-engine checkable: codes are
+  * 0-based positions with (dist, index)-lexicographic tie-break, and
+  * the oracle query (q_embed_pq) replays encode + ADC in DuckDB.
+  */
+object Pq {
+
+  /** codebooks(m)(j) = sub-centroid j of subspace m (positions are the
+    * codes). Subspaces cover consecutive element ranges in order. */
+  type Codebooks = Seq[Seq[Seq[Double]]]
+
+  /** Equal split of `dim` into `m` (offset, width) subspaces. */
+  def subspaces(dim: Int, m: Int): Seq[(Int, Int)] = {
+    require(m > 0 && dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val w = dim / m
+    (0 until m).map(s => (s * w, w))
+  }
+
+  /** Deterministic untrained codebooks: the slices of the first `ksub`
+    * vectors in id order (the same seeding rule the IVF oracle uses) —
+    * positions follow id order. Feed to [[trainCodebooks]] as the
+    * init, or use directly for a replayable oracle. */
+  def codebooksFromFirst(df: DataFrame, idCol: String, embCol: String,
+                         m: Int, ksub: Int): Codebooks = {
+    val rows = df.orderBy(col(idCol)).limit(ksub)
+      .select(col(idCol).cast("long"), col(embCol))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Any](1).map {
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d.doubleValue()
+        case o => throw new IllegalArgumentException(s"bad element $o")
+      })
+    require(rows.nonEmpty, "empty input")
+    val dim = rows.head.length
+    subspaces(dim, m).map { case (off, w) =>
+      rows.toSeq.map(v => v.slice(off, off + w): Seq[Double])
+    }
+  }
+
+  /** PQ code column: array<long> of the m nearest-sub-centroid
+    * positions ([[PqEncodeExpr]] — one kernel, one pass). */
+  def encodeCol(emb: Column, cb: Codebooks): Column =
+    VecExpressions.pqEncode(emb, cb)
+
+  /** Composable slice + `array_min` form of [[encodeCol]] (the
+    * executable spec the native kernel is equivalence-tested against). */
+  def encodeColSpec(emb: Column, cb: Codebooks): Column = {
+    val dim = cb.map(_.head.length).sum
+    val subs = subspaces(dim, cb.length)
+    array(cb.zip(subs).map { case (centroids, (off, w)) =>
+      val sub = slice(emb, off + 1, w)
+      array_min(array(centroids.zipWithIndex.map { case (v, j) =>
+        struct(VecExpressions.l2sq(sub, typedLit(v)).as("d"),
+          lit(j.toLong).as("c"))
+      }: _*)).getField("c")
+    }: _*)
+  }
+
+  /** (id, embedding, code) — one scan. */
+  def encode(df: DataFrame, idCol: String, embCol: String,
+             cb: Codebooks): DataFrame =
+    df.select(col(idCol), col(embCol),
+      encodeCol(col(embCol), cb).as("code"))
+
+  /** ADC squared L2 between a raw query vector and a code array. */
+  def adcDist(queryEmb: Column, code: Column, cb: Codebooks): Column =
+    VecExpressions.adcDist(queryEmb, code, cb)
+
+  /** m-term composable spec of [[adcDist]]. */
+  def adcDistSpec(queryEmb: Column, code: Column, cb: Codebooks): Column = {
+    val dim = cb.map(_.head.length).sum
+    val subs = subspaces(dim, cb.length)
+    cb.zip(subs).zipWithIndex.map { case ((centroids, (off, w)), s) =>
+      VecExpressions.l2sq(slice(queryEmb, off + 1, w),
+        element_at(typedLit(centroids.map(_.toSeq)),
+          element_at(code, s + 1).cast("int") + 1))
+    }.reduce(_ + _)
+  }
+
+  /** Quantization error of a row against its own code — the training
+    * objective (avg over the corpus = PQ distortion). */
+  def quantizationError(emb: Column, code: Column, cb: Codebooks): Column =
+    adcDist(emb, code, cb)
+
+  /** ADC nearest neighbor: for every query row, the minimum ADC
+    * distance over the coded corpus (self excluded by id). The query
+    * side is broadcast (queries are the small side BY USE — batch
+    * scoring a handful of probes against a petabyte-scale coded
+    * corpus), so the plan is ONE scan of the codes with m lookups per
+    * (query, row) pair and a partial-agg'd min — no shuffle of the
+    * corpus. */
+  def adcTop1(coded: DataFrame, queries: DataFrame, idCol: String,
+              embCol: String, cb: Codebooks): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(embCol).as("qemb"))
+    coded.crossJoin(broadcast(q))
+      .where(col("qid") =!= col(idCol))
+      .groupBy(col("qid"))
+      .agg(min(adcDist(col("qemb"), col("code"), cb)).as("adc_top1_dist"))
+  }
+
+  /** Per-subspace Lloyd's training from `init` (e.g.
+    * [[codebooksFromFirst]]): each subspace trains independently via
+    * the fixed-point [[Similarity.kmeansIterate]] on the sliced
+    * column — bit-identical results under any partitioning. A cell
+    * that loses all members is dropped from that subspace's codebook
+    * (positions renumber), matching kmeansIterate semantics. */
+  def trainCodebooks(df: DataFrame, idCol: String, embCol: String,
+                     init: Codebooks, iters: Int): Codebooks = {
+    val dim = init.map(_.head.length).sum
+    val subs = subspaces(dim, init.length)
+    init.zip(subs).map { case (centroids, (off, w)) =>
+      val sub = df.select(col(idCol),
+        slice(col(embCol), off + 1, w).as("__sub"))
+      val cents = centroids.zipWithIndex
+        .map { case (v, j) => (j.toLong, v) }.toArray
+      Similarity.kmeansIterate(sub, idCol, "__sub", cents, iters)
+        .toSeq.map(_._2)
+    }
+  }
+}

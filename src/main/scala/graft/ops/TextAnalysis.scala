@@ -65,9 +65,12 @@ object TextAnalysis {
   /** Per-language stopword occurrence count. Native one-pass kernel
     * over all languages ([[StopwordCountsExpr]]); [[stopwordCountSpec]]
     * is the composable form it is equivalence-tested against. */
-  def stopwordCount(text: Column, lang: String): Column =
+  def stopwordCount(text: Column, lang: String): Column = {
+    require(LangPriority.contains(lang),
+      s"unknown language '$lang' (known: ${LangPriority.mkString(", ")})")
     element_at(TextHashExpressions.stopwordCounts(text),
       LangPriority.indexOf(lang) + 1)
+  }
 
   /** Composable filter/array_contains form (executable spec). */
   def stopwordCountSpec(text: Column, lang: String): Column =

@@ -19,6 +19,10 @@ final class TopKBuffer(val k: Int) {
   var n = 0
 
   def insert(score: Double, id: Long): Unit = {
+    // NaN (e.g. cosine of a zero-norm embedding) must be rejected: an
+    // unordered NaN in the buffer makes `score > scores(n-1)` false for
+    // every later candidate, freezing the group's top-k.
+    if (score != score) return
     if (n < k || score > scores(n - 1)) {
       var i = math.min(n, k - 1)
       while (i > 0 && scores(i - 1) < score) {

@@ -1,9 +1,10 @@
 package graft.ops
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.types._
 
@@ -81,6 +82,117 @@ object VecFns {
     }
     bucket
   }
+
+  /** Pre-unpacked centroid table for [[NearestCentroidExpr]] — a plain
+    * pair of primitive arrays so the codegen'd loop touches no Scala
+    * collections. */
+  final case class Cents(cids: Array[Long], vecs: Array[Array[Double]])
+
+  /** Nearest centroid by squared L2 with (dist, cid)-lexicographic
+    * tie-break — ONE loop over all centroids replacing the k-way
+    * `array_min(array(struct(vec_l2sq…)))` composition (k separate
+    * generated expressions; Janino codegen time grew linearly with k
+    * and dominated cold-start of every IVF/k-means query). Per-centroid
+    * summation is forward element order (identical to [[l2sq]]);
+    * doubles compare via Double.compare, matching Spark's struct
+    * ordering. Returns struct(d, c). */
+  def nearestCentroid(a: ArrayData, aF: Boolean, cents: Cents): InternalRow = {
+    var bd = 0.0
+    var bc = 0L
+    var first = true
+    var j = 0
+    while (j < cents.cids.length) {
+      val v = cents.vecs(j)
+      val n = math.min(a.numElements(), v.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+        val d = x - v(i)
+        s += d * d
+        i += 1
+      }
+      val cmp = java.lang.Double.compare(s, bd)
+      if (first || cmp < 0 || (cmp == 0 && cents.cids(j) < bc)) {
+        bd = s; bc = cents.cids(j); first = false
+      }
+      j += 1
+    }
+    InternalRow(bd, bc)
+  }
+
+  /** Pre-unpacked PQ codebooks: `vecs(m)(j)` is centroid j of subspace
+    * m; `offs(m)` is the subspace's element offset into the full
+    * vector. Codes are 0-based positions (j). */
+  final case class Codebooks(offs: Array[Int], vecs: Array[Array[Array[Double]]])
+
+  /** PQ encoding: per subspace, the 0-based index of the nearest
+    * sub-centroid by squared L2 over the subspace's element range
+    * (forward order; ties → smaller index — identical to the
+    * slice + `array_min` composable spec). One loop, no array slicing,
+    * no per-centroid expressions. */
+  def pqEncode(a: ArrayData, aF: Boolean, cb: Codebooks): ArrayData = {
+    val m = cb.vecs.length
+    val codes = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val off = cb.offs(s)
+      val centroids = cb.vecs(s)
+      var bd = 0.0
+      var bj = 0L
+      var first = true
+      var j = 0
+      while (j < centroids.length) {
+        val v = centroids(j)
+        var acc = 0.0
+        var i = 0
+        val n = math.min(v.length, math.max(0, a.numElements() - off))
+        while (i < n) {
+          val x = if (aF) a.getFloat(off + i).toDouble
+                  else a.getDouble(off + i)
+          val d = x - v(i)
+          acc += d * d
+          i += 1
+        }
+        val cmp = java.lang.Double.compare(acc, bd)
+        if (first || cmp < 0) { bd = acc; bj = j.toLong; first = false }
+        j += 1
+      }
+      codes(s) = bj
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** Asymmetric-distance computation (ADC): squared L2 between a RAW
+    * query vector and a PQ-CODED corpus vector = Σ over subspaces of
+    * l2sq(query slice, codebook[m][code_m]) — m table lookups instead
+    * of d raw multiplications, which is the PQ read-side win. Subspace
+    * subtotals accumulate in m order (identical to the m-term spec
+    * sum). */
+  def adcDist(q: ArrayData, qF: Boolean, code: ArrayData,
+              cb: Codebooks): Double = {
+    val m = cb.vecs.length
+    var total = 0.0
+    var s = 0
+    while (s < m) {
+      val off = cb.offs(s)
+      val v = cb.vecs(s)(code.getLong(s).toInt)
+      var acc = 0.0
+      var i = 0
+      val n = math.min(v.length, math.max(0, q.numElements() - off))
+      while (i < n) {
+        val x = if (qF) q.getFloat(off + i).toDouble
+                else q.getDouble(off + i)
+        val d = x - v(i)
+        acc += d * d
+        i += 1
+      }
+      total += acc
+      s += 1
+    }
+    total
+  }
 }
 
 private[ops] trait FloatElem { self: Expression =>
@@ -137,6 +249,79 @@ case class LshBucketExpr(child: Expression, nBits: Int, bitOffset: Int)
   override def prettyName: String = "lsh_bucket"
 }
 
+/** struct(d double, c long) of the nearest centroid (squared L2,
+  * (d, c)-lexicographic tie-break). Centroids are held as a Seq in the
+  * case class (well-defined Expression equality) and unpacked once
+  * per task via a codegen reference object. */
+case class NearestCentroidExpr(child: Expression,
+                               cents: Seq[(Long, Seq[Double])])
+    extends UnaryExpression with FloatElem {
+  require(cents.nonEmpty, "empty centroid table")
+  override def dataType: DataType = StructType(Seq(
+    StructField("d", DoubleType, nullable = false),
+    StructField("c", LongType, nullable = false)))
+  @transient private lazy val packed = VecFns.Cents(
+    cents.map(_._1).toArray, cents.map(_._2.toArray).toArray)
+  override def nullSafeEval(a: Any): Any =
+    VecFns.nearestCentroid(a.asInstanceOf[ArrayData], isFloatArr(child),
+      packed)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", packed,
+      classOf[VecFns.Cents].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ops.VecFns.nearestCentroid($c, ${isFloatArr(child)}, $ref)")
+  }
+  override protected def withNewChildInternal(
+      c: Expression): NearestCentroidExpr = copy(child = c)
+  override def prettyName: String = "nearest_centroid"
+}
+
+/** array<long> of 0-based nearest-sub-centroid indices, one per PQ
+  * subspace. `codebooks(m)(j)` is centroid j of subspace m; subspaces
+  * cover consecutive element ranges in order. */
+case class PqEncodeExpr(child: Expression,
+                        codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with FloatElem {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  @transient private lazy val packed = VecExpressions.pack(codebooks)
+  override def nullSafeEval(a: Any): Any =
+    VecFns.pqEncode(a.asInstanceOf[ArrayData], isFloatArr(child), packed)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cb", packed,
+      classOf[VecFns.Codebooks].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ops.VecFns.pqEncode($c, ${isFloatArr(child)}, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqEncodeExpr =
+    copy(child = c)
+  override def prettyName: String = "pq_encode"
+}
+
+/** ADC squared L2 between a raw query vector (left) and a PQ code
+  * array (right). */
+case class AdcDistExpr(left: Expression, right: Expression,
+                       codebooks: Seq[Seq[Seq[Double]]])
+    extends BinaryExpression with FloatElem {
+  override def dataType: DataType = DoubleType
+  @transient private lazy val packed = VecExpressions.pack(codebooks)
+  override def nullSafeEval(q: Any, code: Any): Any =
+    VecFns.adcDist(q.asInstanceOf[ArrayData], isFloatArr(left),
+      code.asInstanceOf[ArrayData], packed)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cb", packed,
+      classOf[VecFns.Codebooks].getName)
+    defineCodeGen(ctx, ev, (q, c) =>
+      s"graft.ops.VecFns.adcDist($q, ${isFloatArr(left)}, $c, $ref)")
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): AdcDistExpr = copy(left = l, right = r)
+  override def prettyName: String = "adc_dist"
+}
+
 object VecExpressions {
   def dot(a: Column, b: Column): Column =
     bridge.toColumn(VecDot(bridge.toExpression(a), bridge.toExpression(b)))
@@ -144,4 +329,20 @@ object VecExpressions {
     bridge.toColumn(VecL2Sq(bridge.toExpression(a), bridge.toExpression(b)))
   def lshBucket(emb: Column, nBits: Int, bitOffset: Int): Column =
     bridge.toColumn(LshBucketExpr(bridge.toExpression(emb), nBits, bitOffset))
+  def nearestCentroid(emb: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    bridge.toColumn(NearestCentroidExpr(bridge.toExpression(emb), cents))
+  def pqEncode(emb: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    bridge.toColumn(PqEncodeExpr(bridge.toExpression(emb), codebooks))
+  def adcDist(query: Column, code: Column,
+              codebooks: Seq[Seq[Seq[Double]]]): Column =
+    bridge.toColumn(AdcDistExpr(bridge.toExpression(query),
+      bridge.toExpression(code), codebooks))
+
+  /** Subspace offsets from consecutive codebook widths. */
+  private[ops] def pack(codebooks: Seq[Seq[Seq[Double]]]): VecFns.Codebooks = {
+    val widths = codebooks.map(_.head.length)
+    val offs = widths.scanLeft(0)(_ + _).init.toArray
+    VecFns.Codebooks(offs,
+      codebooks.map(_.map(_.toArray).toArray).toArray)
+  }
 }

@@ -54,4 +54,19 @@ class PlanSpec extends AnyFunSuite {
       plan.contains("BroadcastNestedLoopJoin"),
       "q_lse: expected broadcast join of per-group maxes")
   }
+
+  test("logSumExp(broadcastMaxes = false) matches the broadcast form " +
+    "(the high-cardinality-key fallback)") {
+    import graft.functions.Numerics
+    import org.apache.spark.sql.functions.col
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag"), (col("l_quantity") / 10.0).as("x"))
+    def run(b: Boolean) =
+      Numerics.logSumExp(li, Seq("l_returnflag"), col("x"), "lse",
+        broadcastMaxes = b)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val bc = run(true); val sh = run(false)
+    assert(bc.keySet == sh.keySet)
+    bc.foreach { case (k, v) => assert(math.abs(v - sh(k)) < 1e-12, k) }
+  }
 }

@@ -242,5 +242,18 @@ class CoreSpec extends AnyFunSuite {
       s"resumed (${vC.qMu.value(0)}, ${vC.qSqrt.value(0)}) != " +
         s"uninterrupted (${vA.qMu.value(0)}, ${vA.qSqrt.value(0)})")
     dsA.unpersist(); dsB.unpersist()
+
+    // torn-checkpoint guard: a missing completion marker (crash between
+    // the params and adam writes) must refuse to load, not load silently
+    val fsPath = new org.apache.hadoop.fs.Path(s"$path/_TRAINING_COMPLETE")
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(fsPath), "saveTraining should write the marker")
+    fs.delete(fsPath, false)
+    val (rootD, _) = build()
+    val adamD = new Adam(elboB.nSlots, lr = 0.05)
+    val ex = intercept[IllegalArgumentException] {
+      Checkpoint.restoreTraining(spark, rootD, adamD, path)
+    }
+    assert(ex.getMessage.contains("_TRAINING_COMPLETE"))
   }
 }

