@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Pq, Similarity, TextAnalysis}
 
 /** Oracle corpus for the beyond-reference training-data-pipeline
   * operators (dedup, similarity search, text analysis, multimodal) —
@@ -484,6 +484,137 @@ object PipelineQueries {
         "(SELECT round(avg(md), 5) FROM m1) AS avg_inertia"
     })
 
+  /** Squared L2 over a 1-based index RANGE (the PQ subspace form of
+    * [[l2Sql]]). */
+  private def l2SqlRange(a: String, b: String, lo: Int, hi: Int): String =
+    s"list_sum([(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) " +
+      s"for i in generate_series($lo, $hi)])"
+
+  /** Product quantization end-to-end: deterministic codebooks (the
+    * first 8 vectors' slices, positions in id order), one-scan native
+    * encode, quantization error, and ADC top-1 over the coded corpus.
+    * `sum_codes` pins the code assignment bit-for-bit; the avg
+    * distances pin the ADC arithmetic (per-subspace forward-order
+    * sums, subtotals added in subspace order on both engines). */
+  private val PqM = 4
+  private val PqKsub = 8
+  private val PqW = 16 // 64-dim embeddings / 4 subspaces
+  private val embedPq = Q("q_embed_pq",
+    (s, d) => {
+      val e = embs(s, d)
+      val cb = Pq.codebooksFromFirst(e, "vec_id", "embedding", PqM, PqKsub)
+      val coded = Pq.encode(e, "vec_id", "embedding", cb)
+      val codeSum = aggregate(col("code"), lit(0L), (a, v) => a + v)
+      val enc = coded.agg(count(lit(1)).as("n"),
+        sum(codeSum).as("sum_codes"),
+        round(avg(Pq.quantizationError(col("embedding"), col("code"), cb)),
+          5).as("avg_qerr"))
+      val adc = Pq.adcTop1(coded, e, "vec_id", "embedding", cb)
+        .agg(round(avg(col("adc_top1_dist")), 5).as("avg_adc"))
+      enc.crossJoin(adc)
+    }, {
+      def sub(m: Int) = (m * PqW + 1, (m + 1) * PqW)
+      val subs = (0 until PqM).map(sub)
+      // per-subspace encode: argmin over the 8 sub-centroids,
+      // (dist, cid)-lexicographic tie-break — same as the kernel
+      val encCtes = subs.zipWithIndex.map { case ((lo, hi), m) =>
+        s"d$m AS (SELECT e.vec_id, c.cid, " +
+          s"${l2SqlRange("e.embedding", "c.cemb", lo, hi)} AS dist " +
+          "FROM embeddings e CROSS JOIN cb c), " +
+          s"a$m AS (SELECT d$m.vec_id, min(d$m.cid) AS c$m FROM d$m " +
+          s"JOIN (SELECT vec_id, min(dist) AS md FROM d$m GROUP BY vec_id) m$m " +
+          s"ON d$m.vec_id = m$m.vec_id AND d$m.dist = m$m.md " +
+          s"GROUP BY d$m.vec_id)"
+      }.mkString(", ")
+      val codeJoin = (1 until PqM).map(m => s"JOIN a$m USING (vec_id)")
+        .mkString(" ")
+      val cbJoins = (0 until PqM).map(m =>
+        s"JOIN cb b$m ON b$m.cid = codes.c$m").mkString(" ")
+      val qerrSum = subs.zipWithIndex.map { case ((lo, hi), m) =>
+        s"(${l2SqlRange("e.embedding", s"b$m.cemb", lo, hi)})"
+      }.mkString(" + ")
+      val adcSum = subs.zipWithIndex.map { case ((lo, hi), m) =>
+        s"(${l2SqlRange("q.embedding", s"b$m.cemb", lo, hi)})"
+      }.mkString(" + ")
+      val codeCols = (0 until PqM).map(m => s"c$m").mkString(" + ")
+      "WITH cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+        "embedding AS cemb FROM (SELECT vec_id, embedding FROM embeddings " +
+        s"ORDER BY vec_id LIMIT $PqKsub)), " +
+        s"$encCtes, " +
+        s"codes AS (SELECT a0.vec_id, ${(0 until PqM).map(m => s"c$m").mkString(", ")} " +
+        s"FROM a0 $codeJoin), " +
+        s"qerr AS (SELECT codes.vec_id, ($qerrSum) AS qe FROM codes " +
+        s"JOIN embeddings e ON codes.vec_id = e.vec_id $cbJoins), " +
+        s"adc AS (SELECT q.vec_id, min($adcSum) AS t " +
+        "FROM embeddings q JOIN codes ON codes.vec_id <> q.vec_id " +
+        s"$cbJoins GROUP BY q.vec_id) " +
+        "SELECT (SELECT count(*) FROM codes) AS n, " +
+        s"(SELECT CAST(sum($codeCols) AS BIGINT) FROM codes) AS sum_codes, " +
+        "(SELECT round(avg(qe), 5) FROM qerr) AS avg_qerr, " +
+        "(SELECT round(avg(t), 5) FROM adc) AS avg_adc"
+    })
+
+  /** Incremental-ingest dedup: the batch (doc_id ≡ 0 mod 4) anti-joined
+    * on full MinHash signature against the corpus (the rest) — counts
+    * of batch docs (with tokens), genuinely new docs, and distinct new
+    * signatures. */
+  private val dedupIncremental = Q("q_dedup_incremental",
+    (s, d) => {
+      val d0 = docs(s, d)
+      val batch = d0.where(col("doc_id") % 4 === 0)
+      val corpus = d0.where(col("doc_id") % 4 =!= 0)
+      val sigCols = (0 until Dedup.NumPerms).map(i => s"sig$i")
+      val surv = Dedup.newAgainstCorpus(batch, corpus, "text", "doc_id")
+      val nBatch = Dedup.minhashSignatures(batch, "text", "doc_id")
+        .agg(count(lit(1)).as("n_batch"))
+      val nNew = surv.agg(count(lit(1)).as("n_new"))
+      val nGroups = surv.select(sigCols.map(col): _*).distinct()
+        .agg(count(lit(1)).as("n_new_groups"))
+      nBatch.crossJoin(nNew).crossJoin(nGroups)
+    }, {
+      val sigList = (0 until Dedup.NumPerms).map(i => s"sig$i").mkString(", ")
+      s"WITH $tokSql, " +
+        s"sigs AS (SELECT doc_id, $sigSql FROM h GROUP BY doc_id), " +
+        "bs AS (SELECT * FROM sigs WHERE doc_id % 4 = 0), " +
+        s"cs AS (SELECT DISTINCT $sigList FROM sigs WHERE doc_id % 4 <> 0), " +
+        s"surv AS (SELECT bs.* FROM bs ANTI JOIN cs USING ($sigList)) " +
+        "SELECT (SELECT count(*) FROM bs) AS n_batch, " +
+        "(SELECT count(*) FROM surv) AS n_new, " +
+        "(SELECT count(*) FROM " +
+        s"(SELECT DISTINCT $sigList FROM surv)) AS n_new_groups"
+    })
+
+  /** Cross-document duplicated-n-gram rate (Lee et al. 2022 signal):
+    * per-source average share of a doc's distinct trigrams occurring
+    * in ≥ 2 docs, and the count of dup-heavy (≥ 0.5) docs. */
+  private val textDupNgrams = Q("q_text_dupngrams",
+    (s, d) => {
+      val d0 = docs(s, d)
+      val rates = Dedup.dupNgramRate(d0, "text", "doc_id")
+      d0.select(col("doc_id"), col("source")).join(rates, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("dup_rate")), 5).as("avg_dup_rate"),
+          sum(when(col("dup_rate") >= 0.5, 1L).otherwise(0L))
+            .as("n_dupheavy"))
+        .orderBy("source")
+    },
+    "WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ws " +
+      "FROM documents), " +
+      "g AS (SELECT doc_id, source, unnest(list_distinct(" +
+      "[ws[i] || '_' || ws[i+1] || '_' || ws[i+2] " +
+      "for i in range(1, len(ws) - 1)])) AS gr FROM t), " +
+      "cnt AS (SELECT gr, count(*) AS df FROM g GROUP BY gr), " +
+      "rate AS (SELECT g.doc_id, g.source, " +
+      "sum(CASE WHEN cnt.df >= 2 THEN 1 ELSE 0 END)::DOUBLE / " +
+      "count(*)::DOUBLE AS dr FROM g JOIN cnt USING (gr) " +
+      "GROUP BY g.doc_id, g.source) " +
+      "SELECT source, count(*) AS n_docs, " +
+      "round(avg(dr), 5) AS avg_dup_rate, " +
+      "CAST(sum(CASE WHEN dr >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_dupheavy FROM rate GROUP BY source ORDER BY source")
+
   // ------------------------------------------------------ text analysis
 
   private def stopSql(lang: String): String = {
@@ -636,9 +767,10 @@ object PipelineQueries {
 
   val all: Vector[Q] = Vector(
     dedupExact, dedupMinhash, dedupMinhashCapped, dedupMinhashGroups,
-    dedupSimhash, dedupNgram,
+    dedupSimhash, dedupNgram, dedupIncremental,
     embedTop1, embedTopK, embedAnnLsh, embedLshSized, embedAnnTop1,
     embedNearDup, embedNearDupCapped, embedIvf, embedIvfMp, embedKmeans,
+    embedPq,
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,
-    multimodalMeta, curation)
+    textDupNgrams, multimodalMeta, curation)
 }

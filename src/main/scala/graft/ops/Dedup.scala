@@ -224,6 +224,45 @@ object Dedup {
     df.join(minhashGroups(df, textCol, idCol)
       .select(col("keep_id").as(idCol)), Seq(idCol))
 
+  /** Incremental-ingest dedup: rows of `newDf` whose MinHash signature
+    * does NOT already appear in `corpus` — the shape a continuously fed
+    * corpus needs (dedup the day's batch against the petabyte archive
+    * without re-deduping the archive). One signature scan per side
+    * (both pure map passes), then a LEFT ANTI join on the 8-long
+    * signature: the corpus side reduces to its DISTINCT signatures
+    * first (one hash aggregate, linear), so the join's build side is
+    * signature-cardinality-sized, not corpus-sized. In steady state
+    * the archive's signature set is a bucketed table maintained
+    * incrementally — only the batch is scanned per ingest. */
+  def newAgainstCorpus(newDf: DataFrame, corpus: DataFrame,
+                       textCol: String, idCol: String): DataFrame = {
+    val sigCols = (0 until NumPerms).map(i => s"sig$i")
+    val corpusSigs = minhashSignatures(corpus, textCol, idCol)
+      .select(sigCols.map(col): _*).distinct()
+    minhashSignatures(newDf, textCol, idCol)
+      .join(corpusSigs, sigCols, "left_anti")
+  }
+
+  /** Per-document duplicated-n-gram rate (the Lee et al. 2022
+    * "Deduplicating Training Data" cross-document signal): the share
+    * of a doc's DISTINCT word n-grams that occur in ≥ 2 documents.
+    * Plan: explode distinct n-grams (one scan), ONE hash aggregate for
+    * per-gram document frequency (map-side partial), join back on the
+    * gram and re-aggregate per doc — two shuffles, both on the gram /
+    * id keys, no quadratic stage anywhere. Docs with fewer than `n`
+    * tokens have no n-grams and are dropped. */
+  def dupNgramRate(df: DataFrame, textCol: String, idCol: String,
+                   n: Int = 3): DataFrame = {
+    val grams = df.select(col(idCol),
+      explode(array_distinct(wordNgrams(col(textCol), n))).as("g"))
+    val docFreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    grams.join(docFreq, "g")
+      .groupBy(col(idCol))
+      .agg((sum(when(col("df") >= 2, 1L).otherwise(0L)).cast("double") /
+        count(lit(1)).cast("double")).as("dup_rate"),
+        count(lit(1)).as("n_grams"))
+  }
+
   /** 16-bit SimHash from token-hash bit sums over the distinct token
     * set: bit b set iff Σ_tokens (±1 by bit b of h) > 0. Native
     * one-pass kernel ([[Simhash16Expr]]); no explode, no shuffle.

@@ -434,6 +434,41 @@ class OpsSpec extends AnyFunSuite {
     e.unpersist()
   }
 
+  test("newAgainstCorpus keeps only batch docs whose signature is " +
+    "absent from the corpus") {
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(20).cache()
+    val rows = corpus.limit(3).collect().map(r =>
+      (r.getLong(0), r.getString(1)))
+    // batch: 3 exact copies of corpus docs + 2 genuinely new docs
+    val batch = (rows.map { case (id, t) => (id + 50000L, t) } ++
+      Seq((60001L, "completely fresh text about quasars"),
+        (60002L, "another brand new document entirely"))).toSeq
+      .toDF("doc_id", "text")
+    val surv = Dedup.newAgainstCorpus(batch, corpus, "text", "doc_id")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(surv == Set(60001L, 60002L), s"got $surv")
+    corpus.unpersist()
+  }
+
+  test("dupNgramRate computes the cross-document duplicated-trigram " +
+    "fraction") {
+    val df = Seq(
+      (1L, "a b c d"), // trigrams a_b_c, b_c_d
+      (2L, "a b c e"), // trigrams a_b_c, b_c_e
+      (3L, "x y z w"), // trigrams x_y_z, y_z_w
+      (4L, "pq")       // no trigrams -> dropped
+    ).toDF("doc_id", "text")
+    val rates = Dedup.dupNgramRate(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getLong(2))).toMap
+    assert(rates.keySet == Set(1L, 2L, 3L))
+    assert(rates(1L) == ((0.5, 2L))) // a_b_c shared with doc 2
+    assert(rates(2L) == ((0.5, 2L)))
+    assert(rates(3L) == ((0.0, 2L)))
+  }
+
   test("dedupedCorpus keeps exactly one full row per signature, the " +
     "min-id representative") {
     val df = docsWithDups
