@@ -555,6 +555,67 @@ object PipelineQueries {
         "(SELECT round(avg(t), 5) FROM adc) AS avg_adc"
     })
 
+  /** IVF-PQ composition — the production index layout: corpus stored
+    * as (coarse cell, PQ code), query scores only its own cell's codes
+    * via ADC. Coarse quantizer = the 16-centroid IVF pick; fine
+    * quantizer = the 8-centroid-per-subspace PQ codebooks. */
+  private val embedIvfPq = Q("q_embed_ivfpq",
+    (s, d) => {
+      val e = embs(s, d)
+      val cents = Similarity.collectCentroids(
+        e.orderBy("vec_id").limit(16)
+          .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
+      val cb = Pq.codebooksFromFirst(e, "vec_id", "embedding", PqM, PqKsub)
+      val cells = Similarity.cellAssignments(e, "vec_id", "embedding", cents)
+      Pq.ivfAdcTop1(cells, "vec_id", "embedding", cb)
+        .agg(count(lit(1)).as("n_hit"),
+          round(avg(col("adc_top1_dist")), 5).as("avg_ivfpq"))
+    }, {
+      def sub(m: Int) = (m * PqW + 1, (m + 1) * PqW)
+      val subs = (0 until PqM).map(sub)
+      val encCtes = subs.zipWithIndex.map { case ((lo, hi), m) =>
+        s"d$m AS (SELECT e.vec_id, c.cid, " +
+          s"${l2SqlRange("e.embedding", "c.cemb", lo, hi)} AS dist " +
+          "FROM embeddings e CROSS JOIN cb c), " +
+          s"a$m AS (SELECT d$m.vec_id, min(d$m.cid) AS c$m FROM d$m " +
+          s"JOIN (SELECT vec_id, min(dist) AS md FROM d$m GROUP BY vec_id) m$m " +
+          s"ON d$m.vec_id = m$m.vec_id AND d$m.dist = m$m.md " +
+          s"GROUP BY d$m.vec_id)"
+      }.mkString(", ")
+      val codeJoin = (1 until PqM).map(m => s"JOIN a$m USING (vec_id)")
+        .mkString(" ")
+      val cbJoins = (0 until PqM).map(m =>
+        s"JOIN cb b$m ON b$m.cid = codes.c$m").mkString(" ")
+      val adcSum = subs.zipWithIndex.map { case ((lo, hi), m) =>
+        s"(${l2SqlRange("q.embedding", s"b$m.cemb", lo, hi)})"
+      }.mkString(" + ")
+      // coarse cells: same CTE shape as q_embed_ivf
+      "WITH cc AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings " +
+        "ORDER BY vec_id LIMIT 16), " +
+        "dc AS (SELECT e.vec_id, c.cid, " +
+        s"${l2Sql("e.embedding", "c.cemb")} AS dist " +
+        "FROM embeddings e CROSS JOIN cc c), " +
+        "mc AS (SELECT vec_id, min(dist) AS md FROM dc GROUP BY vec_id), " +
+        "cell AS (SELECT dc.vec_id, min(dc.cid) AS cell FROM dc " +
+        "JOIN mc ON dc.vec_id = mc.vec_id AND dc.dist = mc.md " +
+        "GROUP BY dc.vec_id), " +
+        "cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+        "embedding AS cemb FROM (SELECT vec_id, embedding FROM embeddings " +
+        s"ORDER BY vec_id LIMIT $PqKsub)), " +
+        s"$encCtes, " +
+        s"codes AS (SELECT a0.vec_id, ${(0 until PqM).map(m => s"c$m").mkString(", ")} " +
+        s"FROM a0 $codeJoin), " +
+        "cc2 AS (SELECT codes.*, cell.cell FROM codes " +
+        "JOIN cell ON codes.vec_id = cell.vec_id), " +
+        "qq AS (SELECT e.vec_id, e.embedding, cell.cell FROM embeddings e " +
+        "JOIN cell ON e.vec_id = cell.vec_id), " +
+        s"adc AS (SELECT q.vec_id, min($adcSum) AS t " +
+        "FROM qq q JOIN cc2 codes ON q.cell = codes.cell " +
+        "AND codes.vec_id <> q.vec_id " +
+        s"$cbJoins GROUP BY q.vec_id) " +
+        "SELECT count(*) AS n_hit, round(avg(t), 5) AS avg_ivfpq FROM adc"
+    })
+
   /** Incremental-ingest dedup: the batch (doc_id ≡ 0 mod 4) anti-joined
     * on full MinHash signature against the corpus (the rest) — counts
     * of batch docs (with tokens), genuinely new docs, and distinct new
@@ -770,7 +831,7 @@ object PipelineQueries {
     dedupSimhash, dedupNgram, dedupIncremental,
     embedTop1, embedTopK, embedAnnLsh, embedLshSized, embedAnnTop1,
     embedNearDup, embedNearDupCapped, embedIvf, embedIvfMp, embedKmeans,
-    embedPq,
+    embedPq, embedIvfPq,
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,
     textDupNgrams, multimodalMeta, curation)
 }

@@ -128,6 +128,27 @@ object Pq {
       .agg(min(adcDist(col("qemb"), col("code"), cb)).as("adc_top1_dist"))
   }
 
+  /** IVF-PQ probe — the production vector-index layout (Faiss
+    * IVF,PQ): the corpus is stored as (cell, code) — a coarse cell id
+    * plus m sub-codes per vector — and a query scores ONLY its own
+    * cell's codes with ADC lookups. Cost per query: O(cell size · m)
+    * lookups instead of O(n · d) multiplications; the join is
+    * cell-local (the same bounded shape as [[Similarity.ivfTop1]])
+    * and the build side is the COMPRESSED corpus, so at 100 TB the
+    * shuffled bytes drop by the PQ compression factor (~64×).
+    * `cells` is a [[Similarity.cellAssignments]] output (id,
+    * embedding, cell). */
+  def ivfAdcTop1(cells: DataFrame, idCol: String, embCol: String,
+                 cb: Codebooks): DataFrame = {
+    val coded = cells.select(col(idCol).as("id_b"), col("cell"),
+      encodeCol(col(embCol), cb).as("code"))
+    cells.select(col(idCol).as("qid"), col(embCol).as("qemb"), col("cell"))
+      .join(coded, Seq("cell"))
+      .where(col("qid") =!= col("id_b"))
+      .groupBy(col("qid"))
+      .agg(min(adcDist(col("qemb"), col("code"), cb)).as("adc_top1_dist"))
+  }
+
   /** Per-subspace Lloyd's training from `init` (e.g.
     * [[codebooksFromFirst]]): each subspace trains independently via
     * the fixed-point [[Similarity.kmeansIterate]] on the sliced

@@ -46,6 +46,33 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming PQ encode + coarse cell assignment (stateless maps) " +
+    "equal the batch path row for row") {
+    import graft.ops.{Pq, Similarity}
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cb = Pq.codebooksFromFirst(e, "vec_id", "embedding", m = 4, ksub = 8)
+    val cents = Similarity.collectCentroids(
+      e.orderBy("vec_id").limit(16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
+    val stream = spark.readStream.schema(e.schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+    val out = stream.select(col("vec_id"),
+      Pq.encodeCol(col("embedding"), cb).as("code"),
+      Similarity.nearestCentroid(col("embedding"), cents)
+        .getField("c").as("cell"))
+    StreamingOps.runToMemorySink(out, "pq_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.table("pq_stream").collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getLong(2)))).toMap
+    val want = Pq.encode(e, "vec_id", "embedding", cb)
+      .withColumn("cell", Similarity.nearestCentroid(col("embedding"), cents)
+        .getField("c"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Long](2), r.getLong(3)))).toMap
+    assert(got == want)
+  }
+
   test("stateful running logp stats match a driver fold") {
     import spark.implicits._
     val rows = spark.read.parquet(s"$dir/events.parquet")
