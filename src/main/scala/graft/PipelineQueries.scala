@@ -661,11 +661,13 @@ object PipelineQueries {
             .as("n_dupheavy"))
         .orderBy("source")
     },
-    "WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ws " +
-      "FROM documents), " +
+    s"WITH t AS (SELECT doc_id, source, " +
+      s"[${TextAnalysis.TokenHashSql("w")} % ${Dedup.NgramFpMod} " +
+      "for w in string_split(text, ' ')] AS hl FROM documents), " +
       "g AS (SELECT doc_id, source, unnest(list_distinct(" +
-      "[ws[i] || '_' || ws[i+1] || '_' || ws[i+2] " +
-      "for i in range(1, len(ws) - 1)])) AS gr FROM t), " +
+      s"[((hl[i] * 31 + hl[i+1]) % ${Dedup.NgramFpMod} * 31 + hl[i+2]) " +
+      s"% ${Dedup.NgramFpMod} " +
+      "for i in range(1, len(hl) - 1)])) AS gr FROM t), " +
       "cnt AS (SELECT gr, count(*) AS df FROM g GROUP BY gr), " +
       "rate AS (SELECT g.doc_id, g.source, " +
       "sum(CASE WHEN cnt.df >= 2 THEN 1 ELSE 0 END)::DOUBLE / " +

@@ -243,18 +243,55 @@ object Dedup {
       .join(corpusSigs, sigCols, "left_anti")
   }
 
+  /** Modulus for n-gram fingerprints: 2⁴⁵ keeps every intermediate of
+    * `(acc·31 + h) mod M` under 2⁵¹ (DuckDB int64 arithmetic throws on
+    * overflow) while leaving collision odds over a billion-gram corpus
+    * at ~10⁻⁴ per pair of distinct grams — and any collision hits both
+    * engines identically (same formula), so parity is unaffected. */
+  val NgramFpMod: Long = 1L << 45
+
+  /** 45-bit polynomial fingerprints of word n-grams:
+    * gram = fold (acc·31 + tokenHash(w) mod M) mod M over the window.
+    * The scale point: the duplicated-n-gram pipeline shuffles its
+    * grams TWICE (doc-frequency aggregate + join back), and an 8-byte
+    * fingerprint shuffles ~6× less than the raw trigram string it
+    * replaces — string grams made the shuffle the bottleneck. */
+  /** Per-token 45-bit hashes (tokenHash mod M) — the composable-spec
+    * building block for [[ngramFingerprints]]. Materialize this as a
+    * real column BEFORE folding n-grams over it: referenced as a
+    * subexpression inside the n-gram lambda, Catalyst re-evaluates
+    * the whole md5 array for every (gram, offset) pair — O(tokens²)
+    * hashing per document (measured 10× slower than even the raw
+    * string-gram form at sf0.1). */
+  def tokenHashList(text: Column): Column =
+    transform(TextAnalysis.tokens(text),
+      t => TextAnalysis.tokenHash(t) % lit(NgramFpMod))
+
+  /** Fingerprints over a PRE-MATERIALIZED [[tokenHashList]] column:
+    * gram = fold (acc·31 + h) mod M across each n-window. This is the
+    * executable spec for the native one-pass [[NgramFpsExpr]] kernel
+    * (which also applies the distinct). */
+  def ngramFingerprints(hashList: Column, n: Int): Column =
+    when(size(hashList) < n, array().cast("array<long>"))
+      .otherwise(transform(sequence(lit(1), size(hashList) - lit(n - 1)),
+        i => (1 until n).foldLeft(element_at(hashList, i))((acc, k) =>
+          (acc * lit(31L) + element_at(hashList, i + lit(k))) % lit(NgramFpMod))))
+
   /** Per-document duplicated-n-gram rate (the Lee et al. 2022
     * "Deduplicating Training Data" cross-document signal): the share
     * of a doc's DISTINCT word n-grams that occur in ≥ 2 documents.
-    * Plan: explode distinct n-grams (one scan), ONE hash aggregate for
-    * per-gram document frequency (map-side partial), join back on the
-    * gram and re-aggregate per doc — two shuffles, both on the gram /
-    * id keys, no quadratic stage anywhere. Docs with fewer than `n`
-    * tokens have no n-grams and are dropped. */
+    * Plan: explode distinct n-gram FINGERPRINTS ([[ngramFingerprints]]
+    * — fixed-width longs, not strings; one scan), ONE hash aggregate
+    * for per-gram document frequency (map-side partial), join back on
+    * the fingerprint and re-aggregate per doc — two shuffles, both on
+    * fingerprint / id keys, no quadratic stage anywhere. Docs with
+    * fewer than `n` tokens have no n-grams and are dropped. The
+    * fingerprint stage is the native one-pass [[NgramFpsExpr]] kernel
+    * (tokenize → hash → window-fold → distinct in one loop). */
   def dupNgramRate(df: DataFrame, textCol: String, idCol: String,
                    n: Int = 3): DataFrame = {
     val grams = df.select(col(idCol),
-      explode(array_distinct(wordNgrams(col(textCol), n))).as("g"))
+      explode(TextHashExpressions.ngramFps(col(textCol), n)).as("g"))
     val docFreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
     grams.join(docFreq, "g")
       .groupBy(col(idCol))

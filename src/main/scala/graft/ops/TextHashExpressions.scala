@@ -75,6 +75,38 @@ object TextHashFns {
     new GenericArrayData(sigs)
   }
 
+  /** DISTINCT word-n-gram fingerprints in one pass: tokenize → 60-bit
+    * md5 token hash mod [[Dedup.NgramFpMod]] → polynomial fold
+    * (acc·31 + h) mod M per n-window → first-occurrence-ordered
+    * distinct (matching `array_distinct` over the composable
+    * [[Dedup.ngramFingerprints]] spec). Texts with fewer than n tokens
+    * yield an empty array. */
+  def ngramFps(text: UTF8String, n: Int): GenericArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < n) return new GenericArrayData(new Array[Any](0))
+    val m = Dedup.NgramFpMod
+    val hs = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      hs(i) = tokenHash60(toks(i)) % m
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i <= toks.length - n) {
+      var acc = hs(i)
+      var k = 1
+      while (k < n) { acc = (acc * 31L + hs(i + k)) % m; k += 1 }
+      seen.add(acc)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** 16-bit SimHash over the distinct token set: bit b set iff
     * Σ_tokens (±1 by bit b of the 60-bit hash) > 0. Returns −1 for a
     * token-less text (callers filter; bit-sums of zero tokens are all
@@ -176,9 +208,24 @@ case class Simhash16Expr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash16"
 }
 
+case class NgramFpsExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n=$n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextHashFns.ngramFps(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.TextHashFns.ngramFps($c, $n)")
+  override protected def withNewChildInternal(c: Expression): NgramFpsExpr =
+    copy(child = c)
+  override def prettyName: String = "ngram_fps"
+}
+
 object TextHashExpressions {
   def minhashSigs(text: Column): Column =
     bridge.toColumn(MinhashSigsExpr(bridge.toExpression(text)))
+  def ngramFps(text: Column, n: Int): Column =
+    bridge.toColumn(NgramFpsExpr(bridge.toExpression(text), n))
   def simhash16(text: Column): Column =
     bridge.toColumn(Simhash16Expr(bridge.toExpression(text)))
   def stopwordCounts(text: Column): Column =

@@ -452,6 +452,25 @@ class OpsSpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("native n-gram fingerprint kernel matches the composable " +
+    "hash-list fold spec, order included") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+      .unionByName(Seq((910001L, ""), (910002L, "a b"), (910003L, "a b c"),
+        (910004L, "x x x x")).toDF("doc_id", "text"))
+    Seq(2, 3).foreach { n =>
+      val rows = docs
+        .withColumn("__hl", Dedup.tokenHashList(col("text")))
+        .select(col("doc_id"),
+          graft.ops.TextHashExpressions.ngramFps(col("text"), n).as("fast"),
+          array_distinct(Dedup.ngramFingerprints(col("__hl"), n)).as("spec"))
+        .collect()
+      rows.foreach(r => assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"n=$n doc ${r.getLong(0)}"))
+    }
+  }
+
   test("dupNgramRate computes the cross-document duplicated-trigram " +
     "fraction") {
     val df = Seq(
