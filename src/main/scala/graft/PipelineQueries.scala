@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Dedup, Multimodal, Pq, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Pq, Sampling, Similarity, TextAnalysis}
 
 /** Oracle corpus for the beyond-reference training-data-pipeline
   * operators (dedup, similarity search, text analysis, multimodal) —
@@ -826,14 +826,247 @@ object PipelineQueries {
       "for p in range(1, 65, 16)])) AS BIGINT) AS sum_fsc " +
       "FROM documents GROUP BY source ORDER BY source")
 
+  // ------------------------------------------- sampling / packing / rewrite
+
+  /** Per-source keep rates for the stratified-sample oracle (domain
+    * re-weighting: upsample some sources, downsample others). */
+  private val SampleRates =
+    Seq("src0" -> 0.1, "src1" -> 0.25, "src2" -> 0.5, "src3" -> 0.75)
+  private val SampleDefault = 0.4
+
+  /** Deterministic hash-threshold stratified sampling: membership is a
+    * pure function of doc_id, so the id-sum checksum pins the EXACT
+    * kept set, not just its size. */
+  private val sampleStratified = Q("q_sample_stratified",
+    (s, d) => Sampling.stratifiedSample(docs(s, d), "doc_id", "source",
+        SampleRates.toMap, SampleDefault)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+      .orderBy("source"),
+    {
+      val cases = SampleRates.map { case (g, r) => s"WHEN '$g' THEN $r" }
+        .mkString(" ")
+      "SELECT source, count(*) AS n_kept, " +
+        "CAST(sum(doc_id) AS BIGINT) AS id_sum FROM documents " +
+        s"WHERE ${Sampling.HashFractionSql("doc_id")} < " +
+        s"CASE source $cases ELSE $SampleDefault END " +
+        "GROUP BY source ORDER BY source"
+    })
+
+  private val PackWindow = 128
+  private val PackShards = 4
+
+  /** Contiguous-token sequence packing: per-shard window counts,
+    * boundary-crossing docs, and the start-offset checksum (pins every
+    * doc's position in its shard's token stream). */
+  private val packSequences = Q("q_pack_sequences",
+    (s, d) => Sampling.packSequences(docs(s, d), "doc_id", "text",
+        PackWindow, PackShards)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        (max(col("last_window")) + 1).as("n_windows"),
+        sum(col("n_tokens")).as("toks"),
+        sum(when(col("crosses"), 1L).otherwise(0L)).as("n_crossing"),
+        sum(col("start_off")).as("off_sum"))
+      .orderBy("shard"),
+    "WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS nt, " +
+      s"${TextAnalysis.TokenHashSql("CAST(doc_id AS VARCHAR)")} " +
+      s"% $PackShards AS shard FROM documents), " +
+      "p AS (SELECT shard, nt, sum(nt) OVER (PARTITION BY shard " +
+      "ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - nt AS so FROM t) " +
+      "SELECT shard, count(*) AS n_docs, " +
+      s"CAST(max((so + nt - 1) // $PackWindow) + 1 AS BIGINT) AS n_windows, " +
+      "CAST(sum(nt) AS BIGINT) AS toks, " +
+      s"CAST(sum(CASE WHEN so // $PackWindow <> " +
+      s"(so + nt - 1) // $PackWindow THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_crossing, CAST(sum(so) AS BIGINT) AS off_sum " +
+      "FROM p GROUP BY shard ORDER BY shard")
+
+  private val SpanW = 4
+  /** Checksum modulus for rebuilt-text hashes (sum stays well under
+    * int64 even at sf100). */
+  private val CleanSumMod = 1000000007L
+
+  /** DuckDB chunk-fingerprint fold over `hl` at 0-based chunk index
+    * `c` — same (acc·31 + h) mod M chain as
+    * [[Dedup.chunkFingerprints]]. */
+  private def chunkFpSql(w: Int): String =
+    (2 to w).foldLeft(s"hl[c*$w+1]")((acc, k) =>
+      s"(($acc) * 31 + hl[c*$w+$k]) % ${Dedup.NgramFpMod}")
+
+  /** Span dedup (keep-first): the rewrite is verified bit-for-bit —
+    * the clean-text hash checksum only matches if both engines keep
+    * EXACTLY the same tokens in the same order for every doc. */
+  private val dedupSpans = Q("q_dedup_spans",
+    (s, d) => {
+      val d0 = docs(s, d)
+      val cleaned = Dedup.dedupSpansKeepFirst(d0, "text", "doc_id", SpanW)
+      d0.select(col("doc_id"), col("source")).join(cleaned, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("modified"), 1L).otherwise(0L)).as("n_modified"),
+          sum(col("n_tokens")).as("toks_total"),
+          sum(col("n_removed")).as("toks_removed"),
+          sum(TextAnalysis.tokenHash(col("text_clean")) % CleanSumMod)
+            .as("clean_sum"))
+        .orderBy("source")
+    },
+    "WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ws " +
+      "FROM documents), " +
+      "hls AS (SELECT doc_id, source, ws, " +
+      s"[${TextAnalysis.TokenHashSql("w")} % ${Dedup.NgramFpMod} " +
+      "for w in ws] AS hl, len(ws) AS nw FROM t), " +
+      s"ch AS (SELECT doc_id, unnest([c for c in range(0, nw // $SpanW)]) " +
+      s"AS cidx, unnest([${chunkFpSql(SpanW)} " +
+      s"for c in range(0, nw // $SpanW)]) AS fp FROM hls), " +
+      "st AS (SELECT fp, min(doc_id) AS keeper, " +
+      "count(DISTINCT doc_id) AS nd FROM ch GROUP BY fp), " +
+      "rm AS (SELECT ch.doc_id, list(DISTINCT ch.cidx) AS rml FROM ch " +
+      "JOIN st USING (fp) WHERE st.nd >= 2 AND ch.doc_id <> st.keeper " +
+      "GROUP BY ch.doc_id), " +
+      "fin AS (SELECT hls.source, hls.nw, " +
+      s"coalesce(len(rm.rml), 0) * $SpanW AS nrem, " +
+      "CASE WHEN rm.doc_id IS NULL THEN 0 ELSE 1 END AS modif, " +
+      // DuckDB array_to_string([]) is NULL, Spark array_join is '' —
+      // coalesce so the fully-emptied-doc checksum matches
+      "coalesce(array_to_string(list_filter(hls.ws, (w, i) -> " +
+      s"NOT list_contains(coalesce(rm.rml, []), (i - 1) // $SpanW)), ' '), '') " +
+      "AS tc FROM hls LEFT JOIN rm ON hls.doc_id = rm.doc_id) " +
+      "SELECT source, count(*) AS n_docs, " +
+      "CAST(sum(modif) AS BIGINT) AS n_modified, " +
+      "CAST(sum(nw) AS BIGINT) AS toks_total, " +
+      "CAST(sum(nrem) AS BIGINT) AS toks_removed, " +
+      s"CAST(sum(${TextAnalysis.TokenHashSql("tc")} % $CleanSumMod) " +
+      "AS BIGINT) AS clean_sum FROM fin GROUP BY source ORDER BY source")
+
+  /** Gopher composite quality filter: per-source keep / per-rule fail
+    * counts plus the signal averages. The SQL re-derives every signal
+    * from the same constants ([[TextAnalysis.GopherMinWords]] etc.)
+    * and the same per-language stopword sums (a token in two
+    * languages' lists counts twice on both engines). */
+  private val qualityGopher = Q("q_quality_gopher",
+    (s, d) => docs(s, d)
+      .select(col("source"), TextAnalysis.gopherFlags(col("text")).as("g"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("g.keep"), 1L).otherwise(0L)).as("n_keep"),
+        sum(when(!col("g.pass_len"), 1L).otherwise(0L)).as("n_fail_len"),
+        sum(when(!col("g.pass_wl"), 1L).otherwise(0L)).as("n_fail_wl"),
+        sum(when(!col("g.pass_stop"), 1L).otherwise(0L)).as("n_fail_stop"),
+        round(avg(col("g.mean_wl")), 5).as("avg_mwl"),
+        round(avg(col("g.stop_ratio")), 5).as("avg_stop"))
+      .orderBy("source"),
+    {
+      import TextAnalysis.{GopherMinWords => WLo, GopherMaxWords => WHi,
+        GopherMinWordLen => LLo, GopherMaxWordLen => LHi,
+        GopherMinStopRatio => SLo}
+      val swSum = TextAnalysis.LangPriority.map(stopSql).mkString(" + ")
+      "WITH t AS (SELECT source, text, string_split(text, ' ') AS ws " +
+        "FROM documents), " +
+        "s AS (SELECT source, len(ws) AS nw, " +
+        "(length(text) - (len(ws) - 1))::DOUBLE / len(ws) AS mwl, " +
+        s"($swSum)::DOUBLE / len(ws) AS sr FROM t) " +
+        "SELECT source, count(*) AS n_docs, " +
+        s"CAST(sum(CASE WHEN nw >= $WLo AND nw <= $WHi AND mwl >= $LLo " +
+        s"AND mwl <= $LHi AND sr >= $SLo THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_keep, " +
+        s"CAST(sum(CASE WHEN nw < $WLo OR nw > $WHi THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_fail_len, " +
+        s"CAST(sum(CASE WHEN mwl < $LLo OR mwl > $LHi THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_fail_wl, " +
+        s"CAST(sum(CASE WHEN sr < $SLo THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_fail_stop, " +
+        "round(avg(mwl), 5) AS avg_mwl, round(avg(sr), 5) AS avg_stop " +
+        "FROM s GROUP BY source ORDER BY source"
+    })
+
+  private val RerankC = 10
+
+  /** Two-stage retrieval: ADC candidates (top-10 by compressed
+    * distance, (dist, id)-deterministic) → exact re-rank. The oracle
+    * checks the exact-top1 id-sum and distance average, plus how often
+    * the two-stage pick equals the brute-force nearest neighbor
+    * (recall@1 of the compressed stage, deterministic on both
+    * engines). */
+  private val embedRerank = Q("q_embed_rerank",
+    (s, d) => {
+      val e = embs(s, d)
+      val cb = Pq.codebooksFromFirst(e, "vec_id", "embedding", PqM, PqKsub)
+      val coded = Pq.encode(e, "vec_id", "embedding", cb)
+      val queries = e.where(col("vec_id") < 10)
+      val rr = Pq.adcRerankTop1(coded, queries, "vec_id", "embedding",
+        cb, RerankC)
+      val brute = coded.crossJoin(broadcast(queries
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"))))
+        .where(col("qid") =!= col("vec_id"))
+        .groupBy(col("qid"))
+        .agg(min(graft.ops.VecExpressions.l2sq(col("qemb"),
+          col("embedding"))).as("brute_dist"))
+      rr.join(brute, "qid")
+        .agg(count(lit(1)).as("n_q"),
+          sum(col("top1_id")).as("id_sum"),
+          round(avg(col("top1_dist")), 5).as("avg_dist"),
+          sum(when(col("top1_dist") === col("brute_dist"), 1L)
+            .otherwise(0L)).as("n_recall"))
+    }, {
+      def sub(m: Int) = (m * PqW + 1, (m + 1) * PqW)
+      val subs = (0 until PqM).map(sub)
+      val encCtes = subs.zipWithIndex.map { case ((lo, hi), m) =>
+        s"d$m AS (SELECT e.vec_id, c.cid, " +
+          s"${l2SqlRange("e.embedding", "c.cemb", lo, hi)} AS dist " +
+          "FROM embeddings e CROSS JOIN cb c), " +
+          s"a$m AS (SELECT d$m.vec_id, min(d$m.cid) AS c$m FROM d$m " +
+          s"JOIN (SELECT vec_id, min(dist) AS md FROM d$m GROUP BY vec_id) m$m " +
+          s"ON d$m.vec_id = m$m.vec_id AND d$m.dist = m$m.md " +
+          s"GROUP BY d$m.vec_id)"
+      }.mkString(", ")
+      val codeJoin = (1 until PqM).map(m => s"JOIN a$m USING (vec_id)")
+        .mkString(" ")
+      val cbJoins = (0 until PqM).map(m =>
+        s"JOIN cb b$m ON b$m.cid = codes.c$m").mkString(" ")
+      val adcSum = subs.zipWithIndex.map { case ((lo, hi), m) =>
+        s"(${l2SqlRange("q.embedding", s"b$m.cemb", lo, hi)})"
+      }.mkString(" + ")
+      "WITH cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, " +
+        "embedding AS cemb FROM (SELECT vec_id, embedding FROM embeddings " +
+        s"ORDER BY vec_id LIMIT $PqKsub)), " +
+        s"$encCtes, " +
+        s"codes AS (SELECT a0.vec_id, " +
+        s"${(0 until PqM).map(m => s"c$m").mkString(", ")} " +
+        s"FROM a0 $codeJoin), " +
+        "qq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10), " +
+        s"cand AS (SELECT q.vec_id AS qid, codes.vec_id AS cid, " +
+        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ($adcSum), " +
+        "codes.vec_id) AS rk FROM qq q JOIN codes " +
+        s"ON codes.vec_id <> q.vec_id $cbJoins), " +
+        "ex AS (SELECT c.qid, c.cid, " +
+        s"${l2Sql("q.embedding", "e.embedding")} AS xd FROM cand c " +
+        "JOIN embeddings e ON c.cid = e.vec_id " +
+        "JOIN embeddings q ON c.qid = q.vec_id " +
+        s"WHERE c.rk <= $RerankC), " +
+        "em AS (SELECT qid, min(xd) AS md FROM ex GROUP BY qid), " +
+        "et AS (SELECT ex.qid, min(ex.cid) AS tid, min(ex.xd) AS td " +
+        "FROM ex JOIN em ON ex.qid = em.qid AND ex.xd = em.md " +
+        "GROUP BY ex.qid), " +
+        "bd AS (SELECT q.vec_id AS qid, " +
+        s"min(${l2Sql("q.embedding", "e.embedding")}) AS bmd " +
+        "FROM qq q JOIN embeddings e ON e.vec_id <> q.vec_id " +
+        "GROUP BY q.vec_id) " +
+        "SELECT count(*) AS n_q, CAST(sum(et.tid) AS BIGINT) AS id_sum, " +
+        "round(avg(et.td), 5) AS avg_dist, " +
+        "CAST(sum(CASE WHEN et.td = bd.bmd THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_recall FROM et JOIN bd ON et.qid = bd.qid"
+    })
+
   // ---------------------------------------------------------------- export
 
   val all: Vector[Q] = Vector(
     dedupExact, dedupMinhash, dedupMinhashCapped, dedupMinhashGroups,
-    dedupSimhash, dedupNgram, dedupIncremental,
+    dedupSimhash, dedupNgram, dedupIncremental, dedupSpans,
     embedTop1, embedTopK, embedAnnLsh, embedLshSized, embedAnnTop1,
     embedNearDup, embedNearDupCapped, embedIvf, embedIvfMp, embedKmeans,
-    embedPq, embedIvfPq,
+    embedPq, embedIvfPq, embedRerank,
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,
-    textDupNgrams, multimodalMeta, curation)
+    textDupNgrams, qualityGopher, multimodalMeta, curation,
+    sampleStratified, packSequences)
 }

@@ -300,6 +300,64 @@ object Dedup {
         count(lit(1)).as("n_grams"))
   }
 
+  /** Fingerprints of NON-OVERLAPPING `w`-token chunks over a
+    * pre-materialized [[tokenHashList]]: chunk c (0-based) folds
+    * hashes [c·w+1 .. c·w+w] with the same (acc·31 + h) mod M rule as
+    * [[ngramFingerprints]]. A trailing partial chunk (< w tokens) gets
+    * no fingerprint — span dedup never removes it. */
+  def chunkFingerprints(hashList: Column, w: Int): Column =
+    when(size(hashList) < w, array().cast("array<long>"))
+      .otherwise(transform(
+        sequence(lit(0), floor(size(hashList) / lit(w)).cast("int") - 1),
+        c => (2 to w).foldLeft(element_at(hashList, (c * w + 1).cast("int")))(
+          (acc, k) => (acc * lit(31L) +
+            element_at(hashList, (c * w + lit(k)).cast("int"))) %
+            lit(NgramFpMod))))
+
+  /** Cross-document SPAN dedup with the keep-first policy (Lee et al.
+    * 2022 exact-substring dedup at chunk granularity / C4's
+    * remove-all-but-one): the corpus is cut into non-overlapping
+    * `w`-token spans, and a span whose fingerprint occurs in ≥ 2
+    * documents is REMOVED from every document except the lowest-id
+    * holder — a rewrite, not just a signal. Returns
+    * (id, text_clean, n_tokens, n_removed, modified).
+    *
+    * Plan, in 100 TB shape: chunk fingerprints per doc (one scan, the
+    * native n-gram kernel's fold) → posexplode of 8-byte longs (the
+    * TEXT never shuffles — only fingerprints and indices move) → two
+    * hash aggregates for per-fingerprint (keeper, distinct-doc count)
+    * → join back on the fingerprint → per-doc removed-chunk-index set
+    * (small ints) → ONE id join onto the original rows → per-row
+    * codegen'd rebuild (`filter` by position, `array_join`). Both
+    * shuffles key on fixed-width longs; the rewrite is map-side. */
+  def dedupSpansKeepFirst(df: DataFrame, textCol: String, idCol: String,
+                          w: Int): DataFrame = {
+    require(w >= 2, s"span width $w too small")
+    val chunks = df
+      .select(col(idCol), tokenHashList(col(textCol)).as("__hl"))
+      .select(col(idCol),
+        posexplode(chunkFingerprints(col("__hl"), w)).as(Seq("cidx", "fp")))
+    // (fp, doc) pairs first (a doc can repeat a span internally), then
+    // per-fingerprint stats — two plain hash aggs, no distinct-expand
+    val stats = chunks.groupBy(col("fp"), col(idCol)).agg(count(lit(1)).as("__o"))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("ndocs"))
+    val removed = chunks.join(stats, "fp")
+      .where(col("ndocs") >= 2 && col(idCol) =!= col("keeper"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("cidx")).as("__rm"))
+    val ws = TextAnalysis.tokens(col(textCol))
+    val rm = coalesce(col("__rm"), array().cast("array<int>"))
+    df.join(removed, Seq(idCol), "left")
+      .select(col(idCol),
+        array_join(filter(ws, (_, i) =>
+          !array_contains(rm, floor(i / lit(w)).cast("int"))), " ")
+          .as("text_clean"),
+        size(ws).cast("long").as("n_tokens"),
+        (size(rm) * w).cast("long").as("n_removed"),
+        (size(rm) > 0).as("modified"))
+  }
+
   /** 16-bit SimHash from token-hash bit sums over the distinct token
     * set: bit b set iff Σ_tokens (±1 by bit b of h) > 0. Native
     * one-pass kernel ([[Simhash16Expr]]); no explode, no shuffle.

@@ -128,6 +128,40 @@ object Pq {
       .agg(min(adcDist(col("qemb"), col("code"), cb)).as("adc_top1_dist"))
   }
 
+  /** Two-stage retrieval: PQ-ADC candidate generation followed by
+    * EXACT re-ranking — the production recipe (Jégou et al. 2011 §V:
+    * coarse ADC sweep, then re-rank a short list with true
+    * distances). Stage 1 scans the CODED corpus once per query batch
+    * and keeps the `c` smallest ADC distances via the bounded
+    * [[TopKAgg]] (O(c) state, map-side partial, (dist, id)-
+    * lexicographic so the candidate SET is deterministic even when
+    * equal codes tie on ADC distance). Stage 2 joins only those c·|Q|
+    * candidate ids back to the raw vectors for exact scoring — the
+    * expensive full-width arithmetic touches c rows per query instead
+    * of the corpus. Returns (qid, top1_id, top1_dist) by exact
+    * distance, (dist, id)-tie-broken. `coded` is an [[encode]] output
+    * (id, embedding, code). */
+  def adcRerankTop1(coded: DataFrame, queries: DataFrame, idCol: String,
+                    embCol: String, cb: Codebooks, c: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(embCol).as("qemb"))
+    val cands = coded.crossJoin(broadcast(q))
+      .where(col("qid") =!= col(idCol))
+      .groupBy(col("qid"))
+      .agg(TopK.topK(-adcDist(col("qemb"), col("code"), cb),
+        col(idCol).cast("long"), c).as("cand"))
+      .select(col("qid"), explode(col("cand.id")).as("cand_id"))
+    cands
+      .join(coded.select(col(idCol).cast("long").as("cand_id"),
+        col(embCol).as("cemb2")), "cand_id")
+      .join(broadcast(q), "qid")
+      .groupBy(col("qid"))
+      .agg(min(struct(
+        VecExpressions.l2sq(col("qemb"), col("cemb2")).as("dist"),
+        col("cand_id").as("id"))).as("best"))
+      .select(col("qid"), col("best.id").as("top1_id"),
+        col("best.dist").as("top1_dist"))
+  }
+
   /** IVF-PQ probe — the production vector-index layout (Faiss
     * IVF,PQ): the corpus is stored as (cell, code) — a coarse cell id
     * plus m sub-codes per vector — and a query scores ONLY its own

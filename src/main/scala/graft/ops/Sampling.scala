@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling and sequence packing — the two
+  * "shape the training mix" stages of a large-scale data pipeline
+  * (domain re-weighting à la Gopher/DoReMi, then contiguous-token
+  * packing into fixed context windows à la GPT-2/LLaMA pretraining).
+  *
+  * Everything is HASH-deterministic, not RNG-based: membership is a
+  * pure function of the row id, so a sample is reproducible across
+  * engines, re-runs, and cluster sizes, can be verified row-for-row by
+  * an external oracle, and stays STABLE under incremental ingest (a
+  * re-run over a grown corpus keeps every previously-sampled row —
+  * the property that makes hash sampling the production standard).
+  *
+  * Scale shapes: sampling is a pure per-row predicate (no shuffle, no
+  * join — the rate table rides in the codegen'd `when` chain);
+  * packing is per-shard sequential by construction (a contiguous
+  * token stream IS a sequential layout), parallel ACROSS shards, with
+  * shard count scaled to the corpus so each shard's window scan stays
+  * bounded.
+  */
+object Sampling {
+
+  /** 2^60 — the size of [[TextAnalysis.tokenHash]]'s output space. */
+  val HashSpace: Double = 1152921504606846976.0
+
+  /** Deterministic uniform draw in [0, 1): the portable 60-bit md5
+    * hash of the id rendered as a decimal string, scaled. Both engines
+    * render integers identically, so the draw is cross-engine exact. */
+  def hashFraction(id: Column): Column =
+    TextAnalysis.tokenHash(id.cast("string")) / lit(HashSpace)
+
+  /** DuckDB form of [[hashFraction]] (same bits, same scale). */
+  val HashFractionSql: String => String = col =>
+    s"(${TextAnalysis.TokenHashSql(s"CAST($col AS VARCHAR)")} / " +
+      "CAST(1152921504606846976 AS DOUBLE))"
+
+  /** Uniform deterministic sample: keep iff hash(id) < rate. */
+  def sampleByHash(df: DataFrame, idCol: String, rate: Double): DataFrame =
+    df.where(hashFraction(col(idCol)) < lit(rate))
+
+  /** Stratified (per-group-rate) deterministic sample — domain
+    * re-weighting: each group keeps its own hash-threshold share.
+    * `rates` is model-sized and compiles to a `when` chain, so the
+    * plan is ONE codegen'd scan: no join, no shuffle, no broadcast —
+    * the predicate pushes into the source read where formats allow.
+    * Groups absent from `rates` keep `defaultRate`. */
+  def stratifiedSample(df: DataFrame, idCol: String, groupCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (g, r)) =>
+      when(col(groupCol) === lit(g), lit(r)).otherwise(acc)
+    }
+    df.where(hashFraction(col(idCol)) < rate)
+  }
+
+  /** Contiguous-token sequence packing: documents are laid out as one
+    * token stream per shard (shard = hash(id) mod `nShards`, order by
+    * id within the shard) and chunked into fixed `window`-token
+    * training sequences that documents may span — the standard
+    * concat-then-chunk pretraining layout. Adds:
+    *  - `shard`, `n_tokens`, `start_off` (exclusive-cumsum offset of
+    *    the doc in its shard's stream),
+    *  - `first_window` / `last_window` (window indices covering it),
+    *  - `crosses` (true iff the doc spans a window boundary).
+    *
+    * The per-shard `Window.partitionBy(shard).orderBy(id)` cumsum is
+    * the honest scale shape: a contiguous stream is sequential BY
+    * DEFINITION, so the parallelism axis is the shard count — size
+    * `nShards` to the corpus (rows/nShards bounded per executor) just
+    * as production packers run one stream per writer task. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    window: Int, nShards: Int): DataFrame = {
+    require(window > 0 && nShards > 0)
+    val shard = pmod(TextAnalysis.tokenHash(col(idCol).cast("string")),
+      lit(nShards.toLong))
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard", shard)
+      .withColumn("n_tokens",
+        size(TextAnalysis.tokens(col(textCol))).cast("long"))
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("first_window", floor(col("start_off") / window))
+      .withColumn("last_window",
+        floor((col("start_off") + col("n_tokens") - 1) / window))
+      .withColumn("crosses", col("first_window") =!= col("last_window"))
+  }
+}

@@ -96,6 +96,36 @@ object TextAnalysis {
     LangPriority.map(l => stopwordCount(text, l)).reduce(_ + _).cast("double") /
       wordCount(text).cast("double")
 
+  /** Gopher-style quality-rule thresholds (Rae et al. 2021, "Scaling
+    * Language Models" §A1.1's word-count / mean-word-length / stopword
+    * rules), with bounds adapted to this corpus's scale so each rule
+    * genuinely discriminates. */
+  val GopherMinWords = 25L
+  val GopherMaxWords = 90L
+  val GopherMinWordLen = 3.0
+  val GopherMaxWordLen = 4.6
+  val GopherMinStopRatio = 0.02
+
+  /** Per-document Gopher rule evaluation: struct of the three signals,
+    * per-rule pass flags, and the composite `keep`. Pure column
+    * arithmetic over one row — no shuffle; a filter on `.keep` pushes
+    * to the scan. Mean word length uses the corpus's single-space
+    * convention (total word chars = length − (n_words − 1)), avoiding
+    * a per-token lambda in the hot path. */
+  def gopherFlags(text: Column): Column = {
+    val nw = wordCount(text).cast("double")
+    val mwl = (length(text).cast("double") - (nw - lit(1.0))) / nw
+    val sr = stopwordRatio(text)
+    val passLen = nw >= lit(GopherMinWords.toDouble) &&
+      nw <= lit(GopherMaxWords.toDouble)
+    val passWl = mwl >= lit(GopherMinWordLen) && mwl <= lit(GopherMaxWordLen)
+    val passStop = sr >= lit(GopherMinStopRatio)
+    struct(nw.cast("long").as("n_words"), mwl.as("mean_wl"),
+      sr.as("stop_ratio"), passLen.as("pass_len"), passWl.as("pass_wl"),
+      passStop.as("pass_stop"),
+      (passLen && passWl && passStop).as("keep"))
+  }
+
   /** Composite quality score in [0,1]: length band + low punctuation +
     * stopword presence — the standard cheap-heuristics recipe. */
   def qualityScore(text: Column): Column = {

@@ -18,14 +18,23 @@ final class TopKBuffer(val k: Int) {
   val ids = new Array[Long](k)
   var n = 0
 
+  /** Strict (score desc, id asc) order — equal scores resolve to the
+    * LOWER id, so the kept set is a pure function of the input SET,
+    * independent of partitioning and insertion order. Score ties are
+    * routine (e.g. equal PQ codes give equal ADC distances), and a
+    * first-inserted tie-break would make the candidate set
+    * nondeterministic across shuffles. */
+  @inline private def beats(s: Double, id: Long, s2: Double, id2: Long) =
+    s > s2 || (s == s2 && id < id2)
+
   def insert(score: Double, id: Long): Unit = {
     // NaN (e.g. cosine of a zero-norm embedding) must be rejected: an
-    // unordered NaN in the buffer makes `score > scores(n-1)` false for
-    // every later candidate, freezing the group's top-k.
+    // unordered NaN in the buffer makes the boundary comparison false
+    // for every later candidate, freezing the group's top-k.
     if (score != score) return
-    if (n < k || score > scores(n - 1)) {
+    if (n < k || beats(score, id, scores(n - 1), ids(n - 1))) {
       var i = math.min(n, k - 1)
-      while (i > 0 && scores(i - 1) < score) {
+      while (i > 0 && beats(score, id, scores(i - 1), ids(i - 1))) {
         scores(i) = scores(i - 1); ids(i) = ids(i - 1); i -= 1
       }
       scores(i) = score; ids(i) = id
@@ -45,9 +54,9 @@ final class TopKBuffer(val k: Int) {
   * 100 TB: `collect_list` + sort holds the whole group in the
   * aggregation buffer, and `Window.partitionBy` + rank funnels each
   * group through one task. Returns array<struct<score double,
-  * id bigint>> sorted by descending score (ties keep first-inserted —
-  * deterministic given a deterministic input order, so oracle queries
-  * aggregate the returned scores rather than id order).
+  * id bigint>> in strict (score desc, id asc) order — a pure function
+  * of the input set, so downstream consumers (e.g. re-rank candidate
+  * joins) and oracle queries may rely on the exact member set.
   */
 case class TopKAgg(scoreExpr: Expression, idExpr: Expression, k: Int,
                    mutableAggBufferOffset: Int = 0,

@@ -30,12 +30,13 @@ class OpsPropSpec extends AnyFunSuite {
       val b2 = new TopKBuffer(k)
       r.foreach { case (s, id) => b2.insert(s, id) }
       b1.mergeFrom(b2)
-      val wantScores = xs.map(_._1).sorted(Ordering[Double].reverse).take(k)
-      val byId = xs.groupBy(_._2)
-      direct.scores.take(direct.n).toSeq == wantScores &&
-        b1.scores.take(b1.n).toSeq == wantScores &&
-        (0 until direct.n).forall(i =>
-          byId(direct.ids(i)).exists(_._1 == direct.scores(i)))
+      // strict (score desc, id asc) order: the buffer's exact (score,
+      // id) sequence — not just the score multiset — must equal
+      // sort-take, under ANY insert order or merge split
+      val want = xs.sortBy { case (s, id) => (-s, id) }.take(k)
+      def asList(b: TopKBuffer) =
+        (0 until b.n).map(i => (b.scores(i), b.ids(i))).toList
+      asList(direct) == want && asList(b1) == want
     })
   }
 

@@ -434,6 +434,60 @@ class OpsSpec extends AnyFunSuite {
     e.unpersist()
   }
 
+  test("dedupSpansKeepFirst removes shared spans from every doc but " +
+    "the lowest-id holder; partials and within-doc repeats survive") {
+    val df = Seq(
+      (1L, "a1 a2 a3 a4 b1 b2 b3 b4 tail"),
+      (2L, "a1 a2 a3 a4 c1 c2 c3 c4"),
+      (3L, "x1 x2 x3 x4 x5"),
+      (4L, "d1 d2 d3 d4 d1 d2 d3 d4")).toDF("doc_id", "text")
+    val out = Dedup.dedupSpansKeepFirst(df, "text", "doc_id", 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(3), r.getBoolean(4))).toMap
+    assert(out(1L) == ("a1 a2 a3 a4 b1 b2 b3 b4 tail", 0L, false),
+      "keeper doc untouched (incl. its trailing partial)")
+    assert(out(2L) == ("c1 c2 c3 c4", 4L, true),
+      "duplicated leading span removed from the higher-id doc")
+    assert(out(3L) == ("x1 x2 x3 x4 x5", 0L, false), "unique doc untouched")
+    assert(out(4L) == ("d1 d2 d3 d4 d1 d2 d3 d4", 0L, false),
+      "a span repeated only WITHIN one doc is not cross-doc duplicated")
+  }
+
+  test("adcRerankTop1 with full candidate depth equals brute-force " +
+    "exact top-1; shallow depth can only raise the distance") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(60).cache()
+    val n = e.count().toInt
+    val cb = Pq.codebooksFromFirst(e, "vec_id", "embedding", m = 4, ksub = 8)
+    val coded = Pq.encode(e, "vec_id", "embedding", cb)
+    val queries = e.where(col("vec_id") < 6)
+    val brute = coded.crossJoin(
+        broadcast(queries.select(col("vec_id").as("qid"),
+          col("embedding").as("qemb"))))
+      .where(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"))
+      .agg(min(struct(
+        VecExpressions.l2sq(col("qemb"), col("embedding")).as("dist"),
+        col("vec_id").cast("long").as("id"))).as("b"))
+      .select(col("qid"), col("b.id"), col("b.dist"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val full = Pq.adcRerankTop1(coded, queries, "vec_id", "embedding",
+        cb, n - 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(full == brute,
+      "candidate depth n-1 makes the re-rank exhaustive → exact result")
+    val shallow = Pq.adcRerankTop1(coded, queries, "vec_id", "embedding",
+        cb, 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    shallow.foreach { case (q, dist) =>
+      assert(dist >= brute(q)._2 - 1e-12,
+        s"query $q: shallow re-rank cannot beat the exact minimum")
+    }
+    e.unpersist()
+  }
+
   test("newAgainstCorpus keeps only batch docs whose signature is " +
     "absent from the corpus") {
     val corpus = spark.read

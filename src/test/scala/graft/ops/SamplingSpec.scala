@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sampling and packing: hash-determinism, ingest stability, rate
+  * monotonicity, and the contiguous-layout invariants. */
+class SamplingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("sampleByHash is deterministic, rate-monotone, and stable " +
+    "under corpus growth") {
+    val d = docs.select("doc_id", "source").cache()
+    val at20 = Sampling.sampleByHash(d, "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val at20b = Sampling.sampleByHash(d, "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(at20 == at20b, "same rate must give the same set")
+    val at50 = Sampling.sampleByHash(d, "doc_id", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(at20.subsetOf(at50), "raising the rate only ADDS rows")
+    // ingest stability: sampling a grown corpus keeps the old sample
+    val grown = d.unionByName(d.select((col("doc_id") + 1000000L)
+      .as("doc_id"), col("source")))
+    val grownSample = Sampling.sampleByHash(grown, "doc_id", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(grownSample.filter(_ < 1000000L) == at50,
+      "growth must not disturb prior membership")
+  }
+
+  test("stratifiedSample applies per-group rates (empirically near " +
+    "the target, exactly reproducible)") {
+    val d = docs.select("doc_id", "source").cache()
+    val rates = Map("src0" -> 0.0, "src1" -> 1.0)
+    val kept = Sampling.stratifiedSample(d, "doc_id", "source",
+      rates, 0.5)
+    val bySrc = kept.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySrc.contains("src0"), "rate 0 keeps nothing")
+    val src1Total = d.where(col("source") === "src1").count()
+    assert(bySrc.get("src1").contains(src1Total), "rate 1 keeps all")
+  }
+
+  test("packSequences: offsets are a contiguous per-shard layout and " +
+    "window indices follow from them") {
+    val p = Sampling.packSequences(docs, "doc_id", "text", 64, 3).cache()
+    val shards = p.select("shard").distinct().as[Long].collect()
+    assert(shards.nonEmpty && shards.forall(s => s >= 0 && s < 3))
+    shards.foreach { s =>
+      val rows = p.where(col("shard") === s)
+        .orderBy("doc_id")
+        .select("start_off", "n_tokens", "first_window", "last_window")
+        .collect()
+      var expect = 0L
+      rows.foreach { r =>
+        assert(r.getLong(0) == expect,
+          s"start_off must be the running token count in shard $s")
+        expect += r.getLong(1)
+        assert(r.getLong(2) == r.getLong(0) / 64)
+        assert(r.getLong(3) == (r.getLong(0) + r.getLong(1) - 1) / 64)
+      }
+    }
+    // the union of windows covers exactly ceil(tokens/window) per shard
+    val agg = p.groupBy("shard").agg(sum("n_tokens").as("t"),
+      (max("last_window") + 1).as("w")).collect()
+    agg.foreach(r =>
+      assert(r.getLong(2) == (r.getLong(1) + 63) / 64))
+  }
+
+  test("gopherFlags: each rule fires on a crafted violating doc and " +
+    "keep is their conjunction") {
+    val good = (Seq.fill(10)("the") ++ Seq.fill(20)("merge")).mkString(" ")
+    val short = "the merge sort"
+    val longWords = Seq.fill(30)("antidisestablishment").mkString(" ")
+    val noStop = Seq.fill(30)("merge").mkString(" ")
+    val rows = Seq((1L, good), (2L, short), (3L, longWords), (4L, noStop))
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.gopherFlags(col("text")).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    assert(rows(1L).getBoolean(6), "good doc passes")
+    assert(!rows(2L).getBoolean(3) && !rows(2L).getBoolean(6), "short fails len")
+    assert(!rows(3L).getBoolean(4) && !rows(3L).getBoolean(6), "long words fail")
+    assert(!rows(4L).getBoolean(5) && !rows(4L).getBoolean(6), "no stopwords")
+  }
+}
