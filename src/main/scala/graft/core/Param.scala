@@ -18,19 +18,30 @@ object Collections {
   * §7). Stored in FREE space; reads go through `transform`
   * (reference `Henbun/param.py:97-248`).
   *
-  * Shape grammar follows the reference (`param.py:157-179`): an
-  * arbitrary-rank shape stored flat in row-major order with the shape
-  * kept as metadata.
-  */
+  * Shape grammar follows the reference (`param.py:157-179`): the full
+  * tensor shape is `[*nLayers, *shape]`, stored flat in row-major
+  * order with the axes kept as metadata. `nLayers` are leading BATCH
+  * axes stacking independent per-layer blocks (layered NN weights,
+  * per-expert kernels); the reference's `n_batch` axis maps to the
+  * data plane's row axis for LOCAL parameters and to an ordinary
+  * `shape` dim for globals. */
 final class Param(
     val shape: Seq[Int],
     val transform: Transform = Transforms.Identity,
     val collection: String = Collections.Variables,
     initMean: Double = 0.0,
     initStddev: Double = 1.0,
-    rng: scala.util.Random = new scala.util.Random(0)) extends Node {
+    rng: scala.util.Random = new scala.util.Random(0),
+    val nLayers: Seq[Int] = Nil) extends Node {
 
-  val size: Int = shape.product
+  /** Full tensor shape `[*nLayers, *shape]` (reference `param.py:179`). */
+  val fullShape: Seq[Int] = nLayers ++ shape
+  /** Number of stacked layer blocks (1 when unlayered). */
+  val layerCount: Int = nLayers.product
+  /** Flat elements per layer block. */
+  val layerSize: Int = shape.product
+
+  val size: Int = fullShape.product
 
   /** Free-space storage (reference keeps tf.Variable in free space and
     * transforms on read, `param.py:211-218`). Init ~ truncated
@@ -76,11 +87,23 @@ final class Param(
     * (KL prior-correction term, reference `variationals.py:208`). */
   def logJacobianSum: Double = transform.logJacobianSum(free)
 
-  /** View as matrix for 2-d shapes (row-major). */
+  /** View as matrix for 2-d unlayered shapes (row-major). */
   def asMatrix: DenseMatrix[Double] = {
-    require(shape.length == 2, s"asMatrix on shape $shape")
+    require(shape.length == 2 && nLayers.isEmpty, s"asMatrix on $fullShape")
     // breeze is column-major; store row-major => transpose reshape
     new DenseMatrix(shape(1), shape.head, value.toArray).t
+  }
+
+  /** Constrained-space value of one layer block, flat. */
+  def layerValue(l: Int): DenseVector[Double] = {
+    require(l >= 0 && l < layerCount, s"layer $l of $layerCount")
+    value(l * layerSize until (l + 1) * layerSize).copy
+  }
+
+  /** Layer block as a matrix for 2-d `shape` (row-major). */
+  def layerMatrix(l: Int): DenseMatrix[Double] = {
+    require(shape.length == 2, s"layerMatrix on shape $shape")
+    new DenseMatrix(shape(1), shape.head, layerValue(l).toArray).t
   }
 
   override def flatten(prefix: String): Seq[(String, Node)] =

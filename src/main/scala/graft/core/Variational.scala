@@ -32,9 +32,18 @@ class Variational(
     val prior: Option[Prior] = Some(Priors.Normal),
     val transform: Transform = Transforms.Identity,
     val collection: String = Collections.Variables,
-    rng: scala.util.Random = new scala.util.Random(0)) extends Module {
+    rng: scala.util.Random = new scala.util.Random(0),
+    val nLayers: Seq[Int] = Nil) extends Module {
 
-  val size: Int = shape.product
+  /** Elements per layer block; the full tensor is `[*nLayers, *shape]`
+    * flattened (reference `param.py:157-179`). Layer blocks are
+    * INDEPENDENT posteriors: diagonal q is elementwise anyway, and
+    * fullrank q factorizes into one Cholesky per layer (the reference's
+    * batched tril matmul, `variationals.py:141-147`). */
+  val layerSize: Int = shape.product
+  val layerCount: Int = nLayers.product
+
+  val size: Int = layerCount * layerSize
 
   /** q_mu init ~ N(mean, (0.1·stddev)²) (reference
     * `variationals.py:85-87`). */
@@ -43,20 +52,28 @@ class Variational(
     collection = collection, rng = rng))
 
   /** Diagonal: LOG of the scale, init ~ N(log stddev, 0.1²); fullrank:
-    * dense matrix init ~ N(stddev, (0.1·stddev)²)
+    * dense matrix init ~ N(stddev, (0.1·stddev)²), ONE per layer block
     * (reference `variationals.py:88-96`). */
   val qSqrt: Param = qShape match {
     case QShape.Diagonal => register("q_sqrt", new Param(Seq(size),
       initMean = math.log(stddev), initStddev = 0.1,
       collection = collection, rng = rng))
-    case QShape.FullRank => register("q_sqrt", new Param(Seq(size, size),
-      initMean = stddev, initStddev = 0.1 * stddev,
-      collection = collection, rng = rng))
+    case QShape.FullRank => register("q_sqrt",
+      new Param(Seq(layerSize, layerSize),
+        initMean = stddev, initStddev = 0.1 * stddev,
+        collection = collection, rng = rng, nLayers = nLayers))
   }
+
+  /** Lower-triangular Cholesky factor of layer block `l` (the whole
+    * vector when unlayered). */
+  protected def layerTril(l: Int): DenseMatrix[Double] =
+    lowerTri(if (qSqrt.nLayers.isEmpty) qSqrt.asMatrix
+    else qSqrt.layerMatrix(l))
 
   /** Raw (pre-transform) sample via reparameterization
     * (reference `_sample`, `variationals.py:131-153`):
-    * diagonal `q_mu + exp(q_sqrt)·u`; fullrank `q_mu + tril(Q)·u`. */
+    * diagonal `q_mu + exp(q_sqrt)·u`; fullrank `q_mu + tril(Q_l)·u_l`
+    * per layer block (block-diagonal across layers). */
   def sampleRaw(u: DenseVector[Double]): DenseVector[Double] = {
     require(u.length == size, s"draw size ${u.length} != $size")
     qShape match {
@@ -65,8 +82,16 @@ class Variational(
         DenseVector.tabulate(size)(i => mu(i) + math.exp(s(i)) * u(i))
       case QShape.FullRank =>
         val mu = qMu.value
-        val l = lowerTri(qSqrt.asMatrix)
-        mu + l * u
+        val out = DenseVector.zeros[Double](size)
+        var l = 0
+        while (l < layerCount) {
+          val lo = l * layerSize
+          val xl = layerTril(l) * u(lo until lo + layerSize)
+          var i = 0
+          while (i < layerSize) { out(lo + i) = mu(lo + i) + xl(i); i += 1 }
+          l += 1
+        }
+        out
     }
   }
 
@@ -82,12 +107,16 @@ class Variational(
 
   /** Elementwise log-determinant contribution (reference `logdet`,
     * `variationals.py:178-186`): diagonal 2·q_sqrt; fullrank
-    * log diag(L)². */
+    * log diag(L_l)² per layer block. */
   def logdet: DenseVector[Double] = qShape match {
     case QShape.Diagonal => qSqrt.value.map(_ * 2.0)
     case QShape.FullRank =>
-      val m = qSqrt.asMatrix
-      DenseVector.tabulate(size)(i => math.log(m(i, i) * m(i, i)))
+      val v = qSqrt.value
+      DenseVector.tabulate(size) { g =>
+        val l = g / layerSize; val i = g % layerSize
+        val d = v(l * layerSize * layerSize + i * layerSize + i)
+        math.log(d * d)
+      }
   }
 
   /** Single-draw Monte-Carlo KL(q‖p) (reference `_KL`,
@@ -139,9 +168,11 @@ object Variational {
   class Normal(shape: Seq[Int], qShape: QShape = QShape.Diagonal,
                mean: Double = 0.0, stddev: Double = 1.0,
                collection: String = Collections.Variables,
-               rng: scala.util.Random = new scala.util.Random(0))
+               rng: scala.util.Random = new scala.util.Random(0),
+               nLayers: Seq[Int] = Nil)
       extends Variational(shape, qShape, mean, stddev,
-        Some(Priors.Normal), Transforms.Identity, collection, rng) {
+        Some(Priors.Normal), Transforms.Identity, collection, rng,
+        nLayers) {
     override def klMc(u: DenseVector[Double]): Double = {
       val ld = logdet
       val x = sampleRaw(u)
@@ -160,11 +191,12 @@ object Variational {
   class Gaussian(shape: Seq[Int], qShape: QShape = QShape.Diagonal,
                  mean: Double = 0.0, stddev: Double = 1.0,
                  collection: String = Collections.Variables,
-                 rng: scala.util.Random = new scala.util.Random(0))
+                 rng: scala.util.Random = new scala.util.Random(0),
+                 nLayers: Seq[Int] = Nil)
       extends Normal(shape, qShape,
         mean = if (math.abs(mean) < stddev) mean / stddev else 1.0,
         stddev = if (math.abs(mean) < stddev) 1.0 else stddev / math.abs(mean),
-        collection, rng) {
+        collection, rng, nLayers) {
     private val scaleMean =
       if (math.abs(mean) < stddev) stddev else math.abs(mean)
     /** Learned positive scale (scalar by default, reference
@@ -181,8 +213,10 @@ object Variational {
   class OffsetGaussian(shape: Seq[Int], qShape: QShape = QShape.Diagonal,
                        mean: Double = 0.0, stddev: Double = 1.0,
                        collection: String = Collections.Variables,
-                       rng: scala.util.Random = new scala.util.Random(0))
-      extends Gaussian(shape, qShape, 0.0, stddev, collection, rng) {
+                       rng: scala.util.Random = new scala.util.Random(0),
+                       nLayers: Seq[Int] = Nil)
+      extends Gaussian(shape, qShape, 0.0, stddev, collection, rng,
+        nLayers) {
     val offset: Param = register("offset", new Param(Seq(1),
       initMean = mean, initStddev = 0.1 * math.abs(mean).max(1e-10),
       collection = collection, rng = rng))
@@ -196,9 +230,10 @@ object Variational {
   class Beta(shape: Seq[Int], qShape: QShape = QShape.Diagonal,
              mean: Double = 0.0, stddev: Double = 1.0,
              collection: String = Collections.Variables,
-             rng: scala.util.Random = new scala.util.Random(0))
+             rng: scala.util.Random = new scala.util.Random(0),
+             nLayers: Seq[Int] = Nil)
       extends Variational(shape, qShape, mean, stddev, None,
-        Transforms.Logistic(), collection, rng) {
+        Transforms.Logistic(), collection, rng, nLayers) {
     val alpha: Param = register("alpha", new Param(Seq(1),
       transform = Transforms.positive, initMean = 1.0, initStddev = 0.1,
       collection = collection, rng = rng))

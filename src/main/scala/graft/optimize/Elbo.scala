@@ -491,10 +491,15 @@ object Elbo {
           (0 until v.size).map(i =>
             P(muO + i) + Expr.exp(P(sqO + i)) * Dr(dO + i))
         case QShape.FullRank =>
-          (0 until v.size).map { i =>
-            // row-major lower-triangle matmul against the draw vector
-            val terms = (0 to i).map(j => P(sqO + i * v.size + j) * Dr(dO + j))
-            P(muO + i) + Expr.sum(terms)
+          // row-major lower-triangle matmul per LAYER block (block-
+          // diagonal across v.nLayers; one block == the old whole-
+          // vector case when unlayered)
+          val s = v.layerSize
+          (0 until v.size).map { g =>
+            val l = g / s; val i = g % s
+            val terms = (0 to i).map(j =>
+              P(sqO + l * s * s + i * s + j) * Dr(dO + l * s + j))
+            P(muO + g) + Expr.sum(terms)
           }
       }
     }
@@ -528,7 +533,11 @@ object Elbo {
         case QShape.Diagonal =>
           (0 until v.size).map(i => Expr.c(2.0) * P(sqO + i))
         case QShape.FullRank =>
-          (0 until v.size).map(i => Expr.log(P(sqO + i * v.size + i).sq))
+          val s = v.layerSize
+          (0 until v.size).map { g =>
+            val l = g / s; val i = g % s
+            Expr.log(P(sqO + l * s * s + i * s + i).sq)
+          }
       }
       val raw = rawSample(v)
       val us = (0 until v.size).map(i => Dr(dO + i))
