@@ -38,33 +38,57 @@ object Checkpoint {
     * persists alongside the model). Resume by passing the step count
     * [[restoreTraining]] returns as `Elbo.optimize(startStep = …)`, so
     * the draw/minibatch seed streams continue where they stopped.
-    * The completion marker is dropped before writing and recreated only
-    * after BOTH writes succeed; [[restoreTraining]] refuses a
-    * marker-less (torn) checkpoint. */
+    * Crash-consistent: the new checkpoint is fully written (params +
+    * adam + completion marker) into a `.tmp` sibling, then swapped in
+    * via renames — the previous good checkpoint stays loadable until
+    * the new one is complete, and [[restoreTraining]] recovers from
+    * every intermediate crash point. */
   def saveTraining(spark: SparkSession, module: Module,
                    adam: graft.optimize.Adam, path: String): Unit = {
     import spark.implicits._
-    val (fs, marker) = markerPath(spark, path)
-    fs.delete(marker, false)
-    save(spark, module, s"$path/params")
+    val tmp = s"$path.tmp"
+    val (fs, tmpMarker) = markerPath(spark, tmp)
+    fs.delete(tmpMarker.getParent, true)
+    save(spark, module, s"$tmp/params")
     val (m, v, t) = adam.state
     val rows = m.indices.map(i => (i, m(i), v(i))) :+ (-1, t.toDouble, 0.0)
     rows.toDF("idx", "m", "v")
       .repartition(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/adam")
-    fs.create(marker, true).close()
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/adam")
+    fs.create(tmpMarker, true).close()
+    // Swap: demote any previous checkpoint to .old, promote .tmp, then
+    // drop .old. A crash at any point leaves at least one complete
+    // checkpoint findable by restoreTraining's recovery scan.
+    val destPath = new org.apache.hadoop.fs.Path(path)
+    val oldPath = new org.apache.hadoop.fs.Path(s"$path.old")
+    fs.delete(oldPath, true)
+    if (fs.exists(destPath)) fs.rename(destPath, oldPath)
+    fs.rename(tmpMarker.getParent, destPath)
+    fs.delete(oldPath, true)
   }
 
   /** Restores params + optimizer state; returns the checkpointed step
     * count (pass it as `Elbo.optimize(startStep = …)` to continue the
-    * exact noise/sampling stream). Throws if the checkpoint lacks its
-    * completion marker (interrupted [[saveTraining]]). */
+    * exact noise/sampling stream). If `path` itself lacks its
+    * completion marker (crash mid-[[saveTraining]]), recovers the most
+    * recent complete checkpoint from the `.tmp`/`.old` swap siblings;
+    * throws only when no complete checkpoint exists anywhere. */
   def restoreTraining(spark: SparkSession, module: Module,
                       adam: graft.optimize.Adam, path: String): Int = {
     val (fs, marker) = markerPath(spark, path)
-    require(fs.exists(marker),
-      s"checkpoint at $path has no $CompleteMarker marker — " +
-        "saveTraining was interrupted; refusing to load a torn checkpoint")
+    if (!fs.exists(marker)) {
+      val destPath = new org.apache.hadoop.fs.Path(path)
+      val candidates = Seq(s"$path.tmp", s"$path.old")
+        .map(p => new org.apache.hadoop.fs.Path(p))
+        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, CompleteMarker)))
+      require(candidates.nonEmpty,
+        s"no complete checkpoint at $path (or its .tmp/.old swap " +
+          "siblings) — either saveTraining was interrupted before any " +
+          "complete write, or this is a pre-marker legacy checkpoint " +
+          "(load its params alone via Checkpoint.restore)")
+      fs.delete(destPath, true)
+      fs.rename(candidates.head, destPath)
+    }
     restore(spark, module, s"$path/params")
     val rows = spark.read.parquet(s"$path/adam").collect()
       .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))

@@ -224,23 +224,28 @@ object Dedup {
     df.join(minhashGroups(df, textCol, idCol)
       .select(col("keep_id").as(idCol)), Seq(idCol))
 
-  /** Incremental-ingest dedup: rows of `newDf` whose MinHash signature
-    * does NOT already appear in `corpus` — the shape a continuously fed
-    * corpus needs (dedup the day's batch against the petabyte archive
-    * without re-deduping the archive). One signature scan per side
-    * (both pure map passes), then a LEFT ANTI join on the 8-long
-    * signature: the corpus side reduces to its DISTINCT signatures
-    * first (one hash aggregate, linear), so the join's build side is
-    * signature-cardinality-sized, not corpus-sized. In steady state
-    * the archive's signature set is a bucketed table maintained
-    * incrementally — only the batch is scanned per ingest. */
+  /** Incremental-ingest dedup: ORIGINAL rows of `newDf` (all its
+    * columns, plus the sig0..sigN signature columns) whose MinHash
+    * signature does NOT already appear in `corpus` — the shape a
+    * continuously fed corpus needs (dedup the day's batch against the
+    * petabyte archive without re-deduping the archive). One signature
+    * scan per side (both pure map passes), then a LEFT ANTI join on
+    * the 8-long signature: the corpus side reduces to its DISTINCT
+    * signatures first (one hash aggregate, linear), so the join's
+    * build side is signature-cardinality-sized, not corpus-sized; the
+    * final id join-back is batch-sized, not archive-sized. Token-less
+    * batch docs carry no signature and are dropped, like every dedup
+    * path here. In steady state the archive's signature set is a
+    * bucketed table maintained incrementally — only the batch is
+    * scanned per ingest. */
   def newAgainstCorpus(newDf: DataFrame, corpus: DataFrame,
                        textCol: String, idCol: String): DataFrame = {
     val sigCols = (0 until NumPerms).map(i => s"sig$i")
     val corpusSigs = minhashSignatures(corpus, textCol, idCol)
       .select(sigCols.map(col): _*).distinct()
-    minhashSignatures(newDf, textCol, idCol)
+    val survivors = minhashSignatures(newDf, textCol, idCol)
       .join(corpusSigs, sigCols, "left_anti")
+    newDf.join(survivors, Seq(idCol))
   }
 
   /** Modulus for n-gram fingerprints: 2⁴⁵ keeps every intermediate of

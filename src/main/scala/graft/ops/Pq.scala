@@ -60,7 +60,10 @@ object Pq {
         case d: java.lang.Double => d.doubleValue()
         case o => throw new IllegalArgumentException(s"bad element $o")
       })
-    require(rows.nonEmpty, "empty input")
+    require(rows.length == ksub,
+      s"need $ksub distinct seed vectors, got ${rows.length} — an " +
+        "undersized codebook would silently change code semantics " +
+        "(dead centroid positions)")
     val dim = rows.head.length
     subspaces(dim, m).map { case (off, w) =>
       rows.toSeq.map(v => v.slice(off, off + w): Seq[Double])

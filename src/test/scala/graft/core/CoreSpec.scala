@@ -243,17 +243,26 @@ class CoreSpec extends AnyFunSuite {
         s"uninterrupted (${vA.qMu.value(0)}, ${vA.qSqrt.value(0)})")
     dsA.unpersist(); dsB.unpersist()
 
-    // torn-checkpoint guard: a missing completion marker (crash between
-    // the params and adam writes) must refuse to load, not load silently
+    // crash recovery: a crash between the .tmp promotion renames leaves
+    // dest absent but a COMPLETE .tmp — restore must promote and load it
     val fsPath = new org.apache.hadoop.fs.Path(s"$path/_TRAINING_COMPLETE")
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.exists(fsPath), "saveTraining should write the marker")
-    fs.delete(fsPath, false)
+    fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(s"$path.tmp"))
     val (rootD, _) = build()
     val adamD = new Adam(elboB.nSlots, lr = 0.05)
+    assert(Checkpoint.restoreTraining(spark, rootD, adamD, path) == 25,
+      "restore should recover the complete .tmp sibling")
+
+    // torn-checkpoint guard: no marker anywhere (crash before any
+    // complete write) must refuse to load, not load silently
+    fs.delete(fsPath, false)
+    val (rootE, _) = build()
+    val adamE = new Adam(elboB.nSlots, lr = 0.05)
     val ex = intercept[IllegalArgumentException] {
-      Checkpoint.restoreTraining(spark, rootD, adamD, path)
+      Checkpoint.restoreTraining(spark, rootE, adamE, path)
     }
-    assert(ex.getMessage.contains("_TRAINING_COMPLETE"))
+    assert(ex.getMessage.contains("no complete checkpoint"))
   }
 }
