@@ -117,6 +117,52 @@ object PipelineQueries {
       s"AS n_diverted FROM bsz WHERE bn > $MinhashCap) " +
       "SELECT agg.*, os.* FROM agg CROSS JOIN os")
 
+  /** Cluster-level MinHash dedup: stats over the doc → cluster map of
+    * [[Dedup.minhashClusters]] — transitive closure (alternating
+    * large-star/small-star connected components) of the capped
+    * candidate graph at est ≥ 0.5 UNION exact-signature group edges.
+    * The DuckDB side replays the identical edge set and closes it
+    * with a recursive CTE, so the per-doc cluster labels (bound via
+    * id_sum) match bit-for-bit. */
+  private val dedupClusters = Q("q_dedup_clusters",
+    (s, d) => {
+      val cl = Dedup.minhashClusters(docs(s, d), "text", "doc_id",
+        maxBucket = MinhashCap)
+      val csz = cl.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      cl.agg(count(lit(1)).as("n_docs"),
+          sum(col("cluster_id")).as("id_sum"))
+        .crossJoin(csz.agg(count(lit(1)).as("n_clusters"),
+          max(col("sz")).as("max_cluster"),
+          sum(when(col("sz") > 1, col("sz") - 1L).otherwise(0L))
+            .as("n_redundant")))
+    }, {
+      val sigList = (0 until Dedup.NumPerms).map(i => s"sig$i").mkString(", ")
+      s"WITH RECURSIVE $minhashCtes, ${pairsSql(MinhashCap)}, " +
+        s"scored AS (SELECT id_a, id_b, ($agreeSql)/8.0 AS ej FROM pairs " +
+        "JOIN sigs sa ON id_a = sa.doc_id JOIN sigs sb ON id_b = sb.doc_id), " +
+        s"gm AS (SELECT $sigList, min(doc_id) AS keep_id FROM sigs " +
+        s"GROUP BY $sigList), " +
+        "gedges AS (SELECT s.doc_id AS id_a, gm.keep_id AS id_b " +
+        s"FROM sigs s JOIN gm USING ($sigList) WHERE s.doc_id <> gm.keep_id), " +
+        "edges AS (SELECT id_a, id_b FROM scored WHERE ej >= 0.5 " +
+        "UNION SELECT id_a, id_b FROM gedges), " +
+        "sym AS (SELECT id_a AS u, id_b AS v FROM edges " +
+        "UNION SELECT id_b AS u, id_a AS v FROM edges), " +
+        "reach AS (SELECT doc_id AS node, doc_id AS r FROM sigs " +
+        "UNION SELECT sym.v AS node, reach.r FROM reach " +
+        "JOIN sym ON sym.u = reach.node), " +
+        "comp AS (SELECT node, min(r) AS cluster_id FROM reach " +
+        "GROUP BY node), " +
+        "csz AS (SELECT cluster_id, count(*) AS sz FROM comp " +
+        "GROUP BY cluster_id) " +
+        "SELECT (SELECT count(*) FROM comp) AS n_docs, " +
+        "(SELECT CAST(sum(cluster_id) AS BIGINT) FROM comp) AS id_sum, " +
+        "(SELECT count(*) FROM csz) AS n_clusters, " +
+        "(SELECT max(sz) FROM csz) AS max_cluster, " +
+        "(SELECT CAST(sum(CASE WHEN sz > 1 THEN sz - 1 ELSE 0 END) " +
+        "AS BIGINT) FROM csz) AS n_redundant"
+    })
+
   private val dedupMinhashGroups = Q("q_dedup_minhash_groups",
     (s, d) => {
       val g = Dedup.minhashGroups(docs(s, d), "text", "doc_id")
@@ -1062,7 +1108,7 @@ object PipelineQueries {
 
   val all: Vector[Q] = Vector(
     dedupExact, dedupMinhash, dedupMinhashCapped, dedupMinhashGroups,
-    dedupSimhash, dedupNgram, dedupIncremental, dedupSpans,
+    dedupClusters, dedupSimhash, dedupNgram, dedupIncremental, dedupSpans,
     embedTop1, embedTopK, embedAnnLsh, embedLshSized, embedAnnTop1,
     embedNearDup, embedNearDupCapped, embedIvf, embedIvfMp, embedKmeans,
     embedPq, embedIvfPq, embedRerank,

@@ -248,6 +248,134 @@ object Dedup {
     newDf.join(survivors, Seq(idCol))
   }
 
+  // -------------------------------------------------------------
+  // Connected components / cluster-level dedup
+  // -------------------------------------------------------------
+
+  /** (edge-count, xxhash64-xor) signature of a canonical edge set —
+    * the cheap per-round convergence probe for
+    * [[connectedComponents]]. XOR is order-independent and cannot
+    * overflow (the edge set is distinct, so multiplicity is 1). */
+  private def edgeSignature(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)),
+      expr("bit_xor(xxhash64(u, v))")).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** Large-star round: connect every node to the minimum of its
+    * (symmetrized) neighborhood ∪ itself, keeping only edges to
+    * strictly larger neighbors. One hash aggregate (per-node min,
+    * map-side partial) + one join back on the same key. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    sym.where(col("v") > col("u")).join(mins, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Small-star round: orient edges toward the larger endpoint, then
+    * connect each node's smaller neighbors (and itself) to the
+    * neighborhood minimum. Same aggregate+join shape as
+    * [[largeStar]]; output is canonically oriented (u > v). */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val o = e.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    val mins = o.groupBy("u").agg(min(col("v")).as("m"))
+    o.join(mins, "u").where(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(mins.select(col("u"), col("m").as("v")))
+      .distinct()
+  }
+
+  /** Connected components of the undirected graph given as an edge
+    * list, via alternating large-star / small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the transitive-closure step cluster-level dedup
+    * needs: near-dup pairs chain (A~B, B~C with A,C never colliding)
+    * and the whole chain must collapse into ONE cluster, which
+    * per-pair or per-signature grouping cannot express.
+    *
+    * Scale shape: each round is two (hash-aggregate + same-key
+    * join-back) pairs — shuffles are on node ids only and the
+    * aggregate is map-side partial — and the edge set contracts
+    * toward the star forest; convergence is O(log n) rounds even on
+    * path graphs, where plain min-label propagation needs O(diameter).
+    * Lineage is cut per round with `localCheckpoint` (swap for
+    * reliable checkpointing on a long multi-tenant job); convergence
+    * is detected by an (edge-count, hash-sum) signature, one tiny
+    * action per round.
+    *
+    * Returns (node, component) for every node appearing in an edge,
+    * with component = the minimum node id of its component. Node ids
+    * must be integral (cast to long). Isolated nodes never enter the
+    * edge list and are absent — callers re-add singletons (see
+    * [[minhashClusters]]). */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 50): DataFrame = {
+    var e = edges
+      .select(greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    var sig = edgeSignature(e)
+    var done = sig._1 == 0L
+    var it = 0
+    while (!done && it < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextSig = edgeSignature(next)
+      done = nextSig == sig
+      sig = nextSig
+      e = next
+      it += 1
+    }
+    require(done, s"connectedComponents did not converge in $maxIter rounds")
+    // at the joint fixpoint the graph is a forest of stars rooted at
+    // each component's min node: the edges ARE the (node → component)
+    // map, plus one self-row per root
+    e.select(col("u").as("node"), col("v").as("component"))
+      .union(e.select(col("v").as("node"), col("v").as("component"))
+        .distinct())
+  }
+
+  /** doc → cluster-representative map over the MinHash near-duplicate
+    * graph: the transitive closure that pair- and group-level dedup
+    * miss — the standard cluster-level MinHash dedup for web-scale
+    * corpora (cf. the C4/RefinedWeb pipelines).
+    *
+    * Edge set = capped candidate pairs at `minJaccard`+ (skew-safe,
+    * see [[minhashCandidates]]) UNION exact-signature group edges
+    * (doc → per-signature min id; one hash aggregate + join-back —
+    * linear), so template families diverted from the pair join still
+    * collapse. Components via [[connectedComponents]]; docs touching
+    * no edge are their own singleton cluster; token-less docs are
+    * dropped, like every dedup path here.
+    *
+    * Returns (idCol, cluster_id). Keep the rows where
+    * `idCol == cluster_id` (plus singletons, already such rows) to
+    * emit the deduped corpus. */
+  def minhashClusters(df: DataFrame, textCol: String, idCol: String,
+                      maxBucket: Int, numBands: Int = NumBands,
+                      minJaccard: Double = 0.5,
+                      maxIter: Int = 50): DataFrame = {
+    val sigs = minhashSignatures(df, textCol, idCol)
+    val sigNames = (0 until NumPerms).map(i => s"sig$i")
+    val candEdges = minhashCandidates(df, textCol, idCol, maxBucket, numBands)
+      .where(col("est_jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"))
+    val groupMins = sigs.groupBy(sigNames.map(col): _*)
+      .agg(min(col(idCol)).as("__keep"))
+    val groupEdges = sigs.join(groupMins, sigNames)
+      .where(col(idCol) =!= col("__keep"))
+      .select(col(idCol).as("id_a"), col("__keep").as("id_b"))
+    val cc = connectedComponents(candEdges.union(groupEdges), "id_a", "id_b",
+      maxIter)
+    sigs.select(col(idCol))
+      .join(cc.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol).cast("long")).as("cluster_id"))
+  }
+
   /** Modulus for n-gram fingerprints: 2⁴⁵ keeps every intermediate of
     * `(acc·31 + h) mod M` under 2⁵¹ (DuckDB int64 arithmetic throws on
     * overflow) while leaving collision odds over a billion-gram corpus

@@ -675,4 +675,71 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(preds.subsetOf(TextAnalysis.LangPriority.toSet + "und"))
   }
+
+  /** Local union-find oracle for connected components. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // relabel every root to the component MINIMUM (union by min above
+    // already guarantees the root is the min)
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("connectedComponents matches a union-find oracle on a " +
+    "deterministic random graph, a long chain, and stars") {
+    // long chain (diameter 40 — the label-propagation killer),
+    // two stars, a clique, isolated pairs, plus pseudo-random edges
+    val chain = (0L until 40L).map(i => (i + 100L, i + 101L))
+    val star = (1L to 10L).map(i => (500L, 500L + i))
+    val clique = for (a <- 600L to 605L; b <- (a + 1) to 605L) yield (a, b)
+    var x = 48271L
+    val rand = (0 until 60).map { _ =>
+      x = (x * 48271L) % 2147483647L
+      val a = 700L + (x % 50L); x = (x * 48271L) % 2147483647L
+      (a, 700L + (x % 50L))
+    }.filter(p => p._1 != p._2)
+    val edges = chain ++ star ++ clique ++ rand ++ Seq((900L, 901L))
+    val expect = unionFind(edges)
+    val got = Dedup.connectedComponents(
+        edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect, s"diff: ${(got.toSet diff expect.toSet).take(5)} " +
+      s"/ ${(expect.toSet diff got.toSet).take(5)}")
+    // chain collapsed to one component rooted at its min
+    assert((100L to 140L).forall(got(_) == 100L))
+  }
+
+  test("minhashClusters collapses transitive near-dup chains that " +
+    "pairwise grouping cannot") {
+    val base = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    // a chain of near-dups: each step rewrites a different small slice
+    // of a long template, so A~B and B~C collide but A and C need not
+    val words = (0 until 60).map(i => s"w$i")
+    val chain = (0 until 6).map { k =>
+      val toks = words.zipWithIndex.map { case (w, i) =>
+        if (i >= k * 8 && i < k * 8 + 8) s"x${k}_$i" else w }
+      (30000L + k, toks.mkString(" "))
+    }
+    val df = base.unionByName(chain.toDF("doc_id", "text"))
+    val clusters = Dedup.minhashClusters(df, "text", "doc_id",
+      maxBucket = 50)
+    val chainClusters = clusters
+      .where(col("doc_id") >= 30000L && col("doc_id") < 30006L)
+      .collect().map(_.getLong(1)).toSet
+    assert(chainClusters == Set(30000L),
+      s"chain should be one cluster rooted at 30000, got $chainClusters")
+    // cluster map covers every doc with tokens, exactly once
+    val sigs = Dedup.minhashSignatures(df, "text", "doc_id")
+    assert(clusters.count() == sigs.count())
+    assert(clusters.select("doc_id").distinct().count() == clusters.count())
+  }
 }
