@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Dedup, Multimodal, Pq, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, NgramLm, Pq, Sampling, Similarity, TextAnalysis}
 
 /** Oracle corpus for the beyond-reference training-data-pipeline
   * operators (dedup, similarity search, text analysis, multimodal) —
@@ -724,6 +724,46 @@ object PipelineQueries {
       "CAST(sum(CASE WHEN dr >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) " +
       "AS n_dupheavy FROM rate GROUP BY source ORDER BY source")
 
+  /** Bigram-LM perplexity scoring (CCNet-style quality signal): train
+    * hash-space bigram/prefix counts on the corpus, score every doc's
+    * avg −ln p(w₂|w₁) under add-one smoothing, aggregate per source.
+    * Both engines share the token/bigram hash space, the count
+    * tables, and the smoothing formula term for term. */
+  private val textPerplexity = Q("q_text_perplexity",
+    (s, d) => {
+      val d0 = docs(s, d)
+      val lm = NgramLm.train(d0, "text", "doc_id")
+      val ppl = NgramLm.perplexity(d0, "text", "doc_id", lm)
+      d0.select(col("doc_id"), col("source")).join(ppl, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bigrams")).as("n_bigrams"),
+          round(avg(col("nll")), 5).as("avg_nll"),
+          round(min(col("nll")), 5).as("min_nll"),
+          round(max(col("nll")), 5).as("max_nll"))
+        .orderBy("source")
+    },
+    s"WITH t AS (SELECT doc_id, source, " +
+      s"[${TextAnalysis.TokenHashSql("w")} % ${Dedup.NgramFpMod} " +
+      "for w in string_split(text, ' ')] AS hl FROM documents), " +
+      "bg0 AS (SELECT doc_id, source, unnest([{'w1': hl[i], " +
+      s"'b': (hl[i]*31 + hl[i+1]) % ${Dedup.NgramFpMod}} " +
+      "for i in range(1, len(hl))]) AS u FROM t), " +
+      "bg AS (SELECT doc_id, source, u.w1 AS w1, u.b AS b FROM bg0), " +
+      "cb AS (SELECT b, count(*) AS cb FROM bg GROUP BY b), " +
+      "cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1), " +
+      "v AS (SELECT count(DISTINCT h) AS v FROM " +
+      "(SELECT unnest(hl) AS h FROM t)), " +
+      "ppl AS (SELECT doc_id, source, count(*) AS nb, " +
+      "avg(-ln((cb.cb + 1.0) / CAST(cu.cu + v.v AS DOUBLE))) AS nll " +
+      "FROM bg JOIN cb USING (b) JOIN cu USING (w1) CROSS JOIN v " +
+      "GROUP BY doc_id, source) " +
+      "SELECT source, count(*) AS n_docs, " +
+      "CAST(sum(nb) AS BIGINT) AS n_bigrams, " +
+      "round(avg(nll), 5) AS avg_nll, round(min(nll), 5) AS min_nll, " +
+      "round(max(nll), 5) AS max_nll " +
+      "FROM ppl GROUP BY source ORDER BY source")
+
   // ------------------------------------------------------ text analysis
 
   private def stopSql(lang: String): String = {
@@ -1113,6 +1153,7 @@ object PipelineQueries {
     embedNearDup, embedNearDupCapped, embedIvf, embedIvfMp, embedKmeans,
     embedPq, embedIvfPq, embedRerank,
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,
+    textPerplexity,
     textDupNgrams, qualityGopher, multimodalMeta, curation,
     sampleStratified, packSequences)
 }

@@ -676,6 +676,30 @@ class OpsSpec extends AnyFunSuite {
     assert(preds.subsetOf(TextAnalysis.LangPriority.toSet + "und"))
   }
 
+  test("bigram-LM perplexity ranks repeated in-distribution text " +
+    "below gibberish, and scores unseen held-out bigrams finitely") {
+    val base = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val common = base.limit(1).collect()(0).getString(1)
+    val train = base.unionByName(Seq(
+      (40001L, common), (40002L, common), (40003L, common))
+      .toDF("doc_id", "text"))
+    val lm = NgramLm.train(train, "text", "doc_id")
+    assert(lm.vocab > 0)
+    val probe = Seq(
+      (1L, common),                                   // seen many times
+      (2L, "zq xv qj wk vx kq jz xz vq kw zj qx"))    // gibberish
+      .toDF("doc_id", "text")
+    val scores = NgramLm.perplexity(probe, "text", "doc_id", lm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(1L) < scores(2L),
+      s"common ${scores(1L)} should beat gibberish ${scores(2L)}")
+    assert(scores.values.forall(v => !v.isNaN && !v.isInfinite))
+    // unseen prefix hits the pure add-one floor −ln(1/(0+V)) = ln V
+    assert(math.abs(scores(2L) - math.log(lm.vocab.toDouble)) < 1e-9)
+  }
+
   /** Local union-find oracle for connected components. */
   private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
