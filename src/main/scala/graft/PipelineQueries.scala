@@ -692,6 +692,60 @@ object PipelineQueries {
         s"(SELECT DISTINCT $sigList FROM surv)) AS n_new_groups"
     })
 
+  private val BloomM = 1 << 16
+  private val BloomK = 5
+
+  /** Bloom-prefiltered incremental dedup: same split as
+    * [[dedupIncremental]], with the archive's signature keys packed
+    * into a portable [[graft.ops.Bloom]] filter. Verifies (a) the
+    * survivor count is IDENTICAL to the exact path (no false
+    * negatives), (b) how many survivors the bloom alone proved new,
+    * and (c) the filter's bit array itself (word count + xor), which
+    * DuckDB rebuilds from the same key set, word for word. */
+  private val dedupBloom = Q("q_dedup_bloom",
+    (s, d) => {
+      val d0 = docs(s, d)
+      val batch = d0.where(col("doc_id") % 4 === 0)
+      val corpus = d0.where(col("doc_id") % 4 =!= 0)
+      val sigCols = (0 until Dedup.NumPerms).map(i => s"sig$i")
+      val corpusSigs = Dedup.minhashSignatures(corpus, "text", "doc_id")
+        .select(sigCols.map(col): _*).distinct()
+      val bits = graft.ops.Bloom.build(
+        corpusSigs.select(Dedup.sigKey().as("k")), "k", BloomM, BloomK)
+      val surv = Dedup.newAgainstCorpusBloom(batch, corpus, "text",
+        "doc_id", BloomM, BloomK)
+      surv.agg(count(lit(1)).as("n_new"),
+          sum(when(col("bloom_new"), 1L).otherwise(0L)).as("n_bloom_proven"))
+        .withColumn("n_words_set", lit(bits.count(_ != 0L).toLong))
+        .withColumn("words_xor", lit(bits.reduce(_ ^ _)))
+    }, {
+      val sigList = (0 until Dedup.NumPerms).map(i => s"sig$i").mkString(", ")
+      val m = BloomM
+      def probes(k: String) = (0 until BloomK).map(j =>
+        s"(($k % $m) + $j * (1 + $k % ${m - 1})) % $m").mkString(", ")
+      s"WITH $tokSql, " +
+        s"sigs AS (SELECT doc_id, $sigSql FROM h GROUP BY doc_id), " +
+        "bs AS (SELECT * FROM sigs WHERE doc_id % 4 = 0), " +
+        s"cs AS (SELECT DISTINCT $sigList FROM sigs WHERE doc_id % 4 <> 0), " +
+        s"ck AS (SELECT DISTINCT ${Dedup.sigKeySql()} AS k FROM cs), " +
+        s"cpos AS (SELECT unnest([${probes("k")}]) AS p FROM ck), " +
+        "words AS (SELECT p // 60 AS w, " +
+        "bit_or(CAST(pow(2, p % 60) AS BIGINT)) AS word FROM cpos " +
+        "GROUP BY p // 60), " +
+        s"bk AS (SELECT doc_id, ${Dedup.sigKeySql()} AS k FROM bs), " +
+        s"bp AS (SELECT doc_id, unnest([${probes("k")}]) AS p FROM bk), " +
+        "hit AS (SELECT bp.doc_id, min(CASE WHEN words.word IS NOT NULL " +
+        "AND (words.word & CAST(pow(2, bp.p % 60) AS BIGINT)) <> 0 " +
+        "THEN 1 ELSE 0 END) AS allhit FROM bp " +
+        "LEFT JOIN words ON words.w = bp.p // 60 GROUP BY bp.doc_id), " +
+        s"surv AS (SELECT bs.* FROM bs ANTI JOIN cs USING ($sigList)) " +
+        "SELECT (SELECT count(*) FROM surv) AS n_new, " +
+        "(SELECT CAST(sum(CASE WHEN allhit = 0 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) FROM hit) AS n_bloom_proven, " +
+        "(SELECT count(*) FROM words) AS n_words_set, " +
+        "(SELECT bit_xor(word) FROM words) AS words_xor"
+    })
+
   /** Cross-document duplicated-n-gram rate (Lee et al. 2022 signal):
     * per-source average share of a doc's distinct trigrams occurring
     * in ≥ 2 docs, and the count of dup-heavy (≥ 0.5) docs. */
@@ -1148,7 +1202,8 @@ object PipelineQueries {
 
   val all: Vector[Q] = Vector(
     dedupExact, dedupMinhash, dedupMinhashCapped, dedupMinhashGroups,
-    dedupClusters, dedupSimhash, dedupNgram, dedupIncremental, dedupSpans,
+    dedupClusters, dedupSimhash, dedupNgram, dedupIncremental, dedupBloom,
+    dedupSpans,
     embedTop1, embedTopK, embedAnnLsh, embedLshSized, embedAnnTop1,
     embedNearDup, embedNearDupCapped, embedIvf, embedIvfMp, embedKmeans,
     embedPq, embedIvfPq, embedRerank,

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Portable distributed Bloom filter over long keys — the standard
+  * accelerator for incremental dedup against a petabyte archive
+  * (membership prefilter with NO false negatives, so results stay
+  * exact; the filter only shrinks the exact-check join).
+  *
+  * Unlike `DataFrameStatFunctions.bloomFilter`, the hash family and
+  * bit layout here are deterministic arithmetic on the key itself
+  * (Kirsch–Mitzenmacher double hashing into 60-bit words), so an
+  * external engine — or tomorrow's ingest job — reproduces the exact
+  * bit array from the same key set: the filter itself is
+  * oracle-checkable, not just the results it guards.
+  *
+  * Build = one explode(k) + hash aggregate (map-side partial,
+  * output is ≤ mBits/60 words) collected to a driver array; probe =
+  * pure codegen'd column arithmetic against the inlined words (no
+  * UDF, no broadcast variable). Size mBits for the key cardinality
+  * (~10 bits/key ≈ 1% fpp at k=5); the inline cap keeps the plan
+  * small — beyond it, shard the filter by key range (one bloom per
+  * bucket of a bucketed signature table) rather than growing one
+  * monolith. */
+object Bloom {
+
+  /** 60-bit words keep every mask, bit_or, and pow(2, bit) exact in
+    * both int64 and double arithmetic on any engine. */
+  val WordBits = 60
+
+  /** The k probe positions of a key (double hashing:
+    * pos_j = (h1 + j·h2) mod m with h1 = key mod m,
+    * h2 = 1 + key mod (m−1)); key must be a nonnegative long below
+    * 2⁶⁰ so every intermediate stays exact. */
+  def positions(key: Column, mBits: Int, kHashes: Int): Seq[Column] = {
+    val h1 = key % lit(mBits.toLong)
+    val h2 = lit(1L) + key % lit((mBits - 1).toLong)
+    (0 until kHashes).map(j => (h1 + lit(j.toLong) * h2) % lit(mBits.toLong))
+  }
+
+  private def wordIdx(p: Column): Column =
+    ((p - p % lit(WordBits.toLong)) / lit(WordBits.toLong)).cast("long")
+  private def mask(p: Column): Column =
+    pow(lit(2.0), (p % lit(WordBits.toLong)).cast("double")).cast("long")
+
+  /** Build the word array from a key column: explode the k positions,
+    * bit_or the masks per word, collect the (word-index, word) pairs.
+    * Words the key set never touches stay 0. */
+  def build(keys: DataFrame, keyCol: String, mBits: Int,
+            kHashes: Int): Array[Long] = {
+    require(mBits > 1 && mBits <= (1 << 24),
+      s"mBits=$mBits outside (1, 2^24] — shard the filter instead of " +
+        "growing one monolith past a ~280KB word array")
+    require(kHashes >= 1 && kHashes <= 16, s"bad kHashes=$kHashes")
+    val posArr = array(positions(col(keyCol), mBits, kHashes): _*)
+    val words = keys.select(explode(posArr).as("p"))
+      .select(wordIdx(col("p")).as("w"), mask(col("p")).as("m"))
+      .groupBy("w").agg(expr("bit_or(m)").as("word"))
+      .collect()
+    val bits = new Array[Long]((mBits + WordBits - 1) / WordBits)
+    words.foreach(r => bits(r.getLong(0).toInt) = r.getLong(1))
+    bits
+  }
+
+  /** Membership probe as a pure column expression over the inlined
+    * word array: true ⇒ maybe present, false ⇒ DEFINITELY absent. */
+  def mightContain(bits: Array[Long], key: Column, mBits: Int,
+                   kHashes: Int): Column = {
+    val words = typedLit(bits.toSeq)
+    positions(key, mBits, kHashes).map { p =>
+      element_at(words, wordIdx(p).cast("int") + lit(1))
+        .bitwiseAND(mask(p)) =!= lit(0L)
+    }.reduce(_ && _)
+  }
+}

@@ -248,6 +248,47 @@ object Dedup {
     newDf.join(survivors, Seq(idCol))
   }
 
+  /** 45-bit combined key of the sig0..sigN signature columns
+    * (polynomial fold in the [[NgramFpMod]] universe) — the single
+    * long key the [[Bloom]] prefilter and any keyed signature store
+    * index by. */
+  def sigKey(prefix: String = ""): Column =
+    (0 until NumPerms).map(i => col(s"${prefix}sig$i"))
+      .foldLeft(lit(0L): Column)((acc, s) =>
+        (acc * lit(31L) + s) % lit(NgramFpMod))
+
+  /** DuckDB rendering of [[sigKey]] (same fold, same constants). */
+  def sigKeySql(prefix: String = ""): String =
+    (0 until NumPerms).map(i => s"${prefix}sig$i")
+      .foldLeft("CAST(0 AS BIGINT)")((acc, s) =>
+        s"(($acc * 31 + $s) % $NgramFpMod)")
+
+  /** [[newAgainstCorpus]] accelerated by a portable [[Bloom]] filter
+    * over the archive's signature keys: batch docs whose key the
+    * bloom provably misses skip the exact anti-join entirely (no
+    * false negatives ⇒ the result row set is IDENTICAL to
+    * [[newAgainstCorpus]]); only the ~fpp sliver plus true dups reach
+    * the join. Output adds a `bloom_new` flag marking the rows the
+    * filter alone proved new. In steady state the bloom is built once
+    * per archive epoch and reused across ingests — each batch then
+    * costs one map pass plus a join on the sliver. */
+  def newAgainstCorpusBloom(newDf: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String,
+      mBits: Int = 1 << 16, kHashes: Int = 5): DataFrame = {
+    val sigCols = (0 until NumPerms).map(i => s"sig$i")
+    val corpusSigs = minhashSignatures(corpus, textCol, idCol)
+      .select(sigCols.map(col): _*).distinct()
+    val bits = Bloom.build(corpusSigs.select(sigKey().as("__k")), "__k",
+      mBits, kHashes)
+    val batch = minhashSignatures(newDf, textCol, idCol)
+      .withColumn("bloom_new",
+        !Bloom.mightContain(bits, sigKey(), mBits, kHashes))
+    val definite = batch.where(col("bloom_new"))
+    val maybe = batch.where(!col("bloom_new"))
+      .join(corpusSigs, sigCols, "left_anti")
+    newDf.join(definite.unionByName(maybe), Seq(idCol))
+  }
+
   // -------------------------------------------------------------
   // Connected components / cluster-level dedup
   // -------------------------------------------------------------

@@ -676,6 +676,41 @@ class OpsSpec extends AnyFunSuite {
     assert(preds.subsetOf(TextAnalysis.LangPriority.toSet + "und"))
   }
 
+  test("Bloom filter has zero false negatives and a small fp rate; " +
+    "bloom-prefiltered incremental dedup equals the exact path") {
+    val keys = (0L until 2000L).map(i => (i * 2654435761L) % (1L << 45))
+    val in = keys.toDF("k")
+    val bits = Bloom.build(in, "k", 1 << 16, 5)
+    val probeSet = keys.map(k => (k, true)) ++
+      (0L until 2000L).map(i => ((i * 40503L + 7L) % (1L << 45), false))
+    val got = probeSet.toDF("k", "inserted")
+      .withColumn("hit", Bloom.mightContain(bits, col("k"), 1 << 16, 5))
+      .collect().map(r => (r.getBoolean(1), r.getBoolean(2)))
+    assert(got.filter(_._1).forall(_._2), "false negative!")
+    val fps = got.filter(!_._1).count(_._2)
+    assert(fps < 100, s"fp rate too high: $fps/2000") // ~1% expected
+    // prefiltered incremental dedup: identical survivors to exact path
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(40).cache()
+    val rows = corpus.limit(3).collect().map(r =>
+      (r.getLong(0), r.getString(1)))
+    val batch = (rows.map { case (id, t) => (id + 70000L, t) } ++
+      Seq((80001L, "fresh text about pulsars"),
+        (80002L, "entirely new document here"))).toSeq
+      .toDF("doc_id", "text")
+    val exact = Dedup.newAgainstCorpus(batch, corpus, "text", "doc_id")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val fast = Dedup.newAgainstCorpusBloom(batch, corpus, "text", "doc_id")
+    val fastIds = fast.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(fastIds == exact, s"bloom path $fastIds != exact $exact")
+    // every bloom-proven row is genuinely new
+    val proven = fast.where(col("bloom_new"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(proven.subsetOf(exact))
+    corpus.unpersist()
+  }
+
   test("bigram-LM perplexity ranks repeated in-distribution text " +
     "below gibberish, and scores unseen held-out bigrams finitely") {
     val base = spark.read
