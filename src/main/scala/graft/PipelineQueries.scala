@@ -818,6 +818,102 @@ object PipelineQueries {
       "round(max(nll), 5) AS max_nll " +
       "FROM ppl GROUP BY source ORDER BY source")
 
+  /** BM25 keyword relevance over the corpus for a fixed query bag:
+    * per-source stats over matched docs. Identical idf/tf formula
+    * term-for-term, parenthesized the same way on both engines. */
+  private val Bm25Terms = Seq("spark", "window", "hash")
+  private val textBm25 = Q("q_text_bm25",
+    (s, d) => {
+      val d0 = docs(s, d)
+      val sc = graft.ops.Ranking.bm25(d0, "text", "doc_id", Bm25Terms)
+      d0.select(col("doc_id"), col("source")).join(sc, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_matched"),
+          sum(col("n_hits")).as("n_hits"),
+          round(avg(col("score")), 5).as("avg_score"),
+          round(max(col("score")), 5).as("max_score"))
+        .orderBy("source")
+    }, {
+      val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      "WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ws " +
+        "FROM documents), " +
+        "dl AS (SELECT doc_id, source, len(ws) AS dl FROM t), " +
+        "st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl), " +
+        "m AS (SELECT doc_id, unnest(list_filter(ws, " +
+        s"w -> list_contains([$terms], w))) AS term FROM t), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM m " +
+        "GROUP BY doc_id, term), " +
+        "dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM m " +
+        "GROUP BY term), " +
+        "sc AS (SELECT tf.doc_id, " +
+        "sum(ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) * " +
+        "((tf.tf * (1.2 + 1.0)) / (tf.tf + 1.2 * ((1.0 - 0.75) + " +
+        "0.75 * (dl.dl / st.avgdl))))) AS score, " +
+        "sum(tf.tf) AS nh FROM tf JOIN dfreq USING (term) " +
+        "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st " +
+        "GROUP BY tf.doc_id) " +
+        "SELECT dl.source AS source, count(*) AS n_matched, " +
+        "CAST(sum(sc.nh) AS BIGINT) AS n_hits, " +
+        "round(avg(sc.score), 5) AS avg_score, " +
+        "round(max(sc.score), 5) AS max_score " +
+        "FROM sc JOIN dl ON sc.doc_id = dl.doc_id " +
+        "GROUP BY dl.source ORDER BY dl.source"
+    })
+
+  /** PII detection + redaction parity: the synthetic corpus carries
+    * no PII, so both engines union the SAME literal fixture rows
+    * (emails, URLs, digit runs) onto the table — the real-data path
+    * is exercised, the fixture binds the regex semantics. Counts are
+    * integer-exact; redaction is checked via characters removed. */
+  private val piiRows = Seq(
+    (900001L, "contact me at alice@example.com or bob.smith@mail.co today",
+      "en", "srcPII", 0L),
+    (900002L, "see https://example.com/path?q=1 and http://foo.bar/x now",
+      "en", "srcPII", 0L),
+    (900003L, "call 12345678901 now or short 123456 exact 1234567",
+      "en", "srcPII", 0L),
+    (900004L, "mixed bob@x.io http://a.b/c?id=99999999 and 12345678",
+      "en", "srcPII", 0L))
+  private val textPii = Q("q_text_pii",
+    (s, d) => {
+      import s.implicits._
+      val d0 = docs(s, d)
+      val all = d0.unionByName(
+        piiRows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      all.select(col("source"),
+          TextAnalysis.emailCount(col("text")).as("ne"),
+          TextAnalysis.urlCount(col("text")).as("nu"),
+          TextAnalysis.digitRunCount(col("text")).as("nd"),
+          length(TextAnalysis.scrubPii(col("text"))).as("slen"),
+          length(col("text")).as("olen"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ne")).as("n_emails"),
+          sum(col("nu")).as("n_urls"),
+          sum(col("nd")).as("n_digit_runs"),
+          sum((col("olen") - col("slen")).cast("long")).as("chars_redacted"))
+        .orderBy("source")
+    }, {
+      val vals = piiRows.map { case (id, t, l, src, nc) =>
+        s"($id, '$t', '$l', '$src', $nc)" }.mkString(", ")
+      "WITH alldocs AS (SELECT doc_id, text, lang, source, n_chars " +
+        s"FROM documents UNION ALL SELECT * FROM (VALUES $vals) " +
+        "AS v(doc_id, text, lang, source, n_chars)), " +
+        "c AS (SELECT source, " +
+        s"len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) AS ne, " +
+        s"len(regexp_extract_all(text, '${TextAnalysis.UrlRe}')) AS nu, " +
+        s"len(regexp_extract_all(text, '${TextAnalysis.DigitRunRe}')) " +
+        "AS nd, " +
+        s"length(${TextAnalysis.ScrubPiiSql("text")}) AS slen, " +
+        "length(text) AS olen FROM alldocs) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(ne) AS BIGINT) AS n_emails, " +
+        "CAST(sum(nu) AS BIGINT) AS n_urls, " +
+        "CAST(sum(nd) AS BIGINT) AS n_digit_runs, " +
+        "CAST(sum(olen - slen) AS BIGINT) AS chars_redacted " +
+        "FROM c GROUP BY source ORDER BY source"
+    })
+
   // ------------------------------------------------------ text analysis
 
   private def stopSql(lang: String): String = {
@@ -1208,7 +1304,7 @@ object PipelineQueries {
     embedNearDup, embedNearDupCapped, embedIvf, embedIvfMp, embedKmeans,
     embedPq, embedIvfPq, embedRerank,
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,
-    textPerplexity,
+    textPerplexity, textBm25, textPii,
     textDupNgrams, qualityGopher, multimodalMeta, curation,
     sampleStratified, packSequences)
 }

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keyword relevance ranking over the document corpus — BM25
+  * (Robertson/Spärck Jones), the standard retrieval scorer a curation
+  * pipeline uses to pull topic-relevant slices out of a web-scale
+  * corpus (and the lexical half of hybrid lexical+embedding search).
+  *
+  * Scan-shaped at any scale: one pass computes per-doc lengths and
+  * filters tokens to the query bag (a pure map — the explode carries
+  * only matching tokens, so its volume is query-hit-sized, not
+  * corpus-sized), then two hash aggregates (per-doc-term tf,
+  * per-term df) and a broadcast of the tiny per-term idf + corpus
+  * stats. No shuffle touches full documents.
+  */
+object Ranking {
+
+  /** BM25 scores for every document containing ≥ 1 query term:
+    * (idCol, score, n_hits) with
+    * score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf(t) = ln(1 + (N−df+0.5)/(df+0.5)). Docs matching no term are
+    * absent (their score is 0 by definition). */
+  def bm25(df: DataFrame, textCol: String, idCol: String,
+           queryTerms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "empty query")
+    val base = df.select(col(idCol),
+        TextAnalysis.tokens(col(textCol)).as("__ws"))
+      .select(col(idCol), size(col("__ws")).as("__dl"), col("__ws"))
+    val stats = base.agg(count(lit(1)).as("__n"),
+      avg(col("__dl")).as("__avgdl"))
+    val matched = base.select(col(idCol), col("__dl"),
+      explode(filter(col("__ws"),
+        t => t.isInCollection(queryTerms))).as("__term"))
+    val tf = matched.groupBy(col(idCol), col("__term"), col("__dl"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfreq = matched.groupBy("__term")
+      .agg(countDistinct(col(idCol)).as("__df"))
+    val joined = tf.join(broadcast(dfreq), "__term")
+      .crossJoin(broadcast(stats))
+    val idf = log(lit(1.0) +
+      (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+    val denom = col("__tf") + lit(k1) *
+      ((lit(1.0) - lit(b)) + lit(b) * (col("__dl") / col("__avgdl")))
+    val termScore = idf * ((col("__tf") * (lit(k1) + lit(1.0))) / denom)
+    joined.groupBy(col(idCol))
+      .agg(sum(termScore).as("score"), sum(col("__tf")).as("n_hits"))
+  }
+}

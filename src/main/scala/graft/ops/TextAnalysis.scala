@@ -146,4 +146,44 @@ object TextAnalysis {
     aggregate(codes, lit(0L),
       (acc, c) => (acc * lit(31L) + c) % lit(1000000007L))
   }
+
+  // ----------------------------------------------------------- PII
+
+  /** PII patterns restricted to the regex-dialect intersection of
+    * Java (Spark) and RE2 (DuckDB, Go, Rust engines): character
+    * classes, quantifiers, alternation — no lookaround, no `\d`
+    * shorthand — so every engine finds the same spans. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^ ]+"
+  val DigitRunRe = "[0-9]{7,}"
+
+  /** Counts are over the ORIGINAL text, independently per pattern
+    * (a digit run inside a URL counts as both). Integer-exact, so
+    * cross-engine comparison is trivial. */
+  def emailCount(text: Column): Column =
+    regexp_count(text, lit(EmailRe)).cast("long")
+  def urlCount(text: Column): Column =
+    regexp_count(text, lit(UrlRe)).cast("long")
+  def digitRunCount(text: Column): Column =
+    regexp_count(text, lit(DigitRunRe)).cast("long")
+
+  /** Redact PII in pipeline order URL → email → digit-run, so a URL
+    * containing an email-like or numeric substring becomes one
+    * `<URL>` token rather than nested redactions. Pure codegen'd
+    * string ops — a map-only pass at any scale, stream-safe. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      DigitRunRe, "<NUM>")
+
+  /** DuckDB rendering of [[scrubPii]] (needs the 'g' flag — DuckDB
+    * replaces only the first match by default; single-quoted SQL
+    * strings pass backslashes through verbatim, so the pattern text
+    * is identical to the Java-side regex). */
+  def ScrubPiiSql(col: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($col, " +
+      s"'$UrlRe', '<URL>', 'g'), '$EmailRe', '<EMAIL>', 'g'), " +
+      s"'$DigitRunRe', '<NUM>', 'g')"
 }

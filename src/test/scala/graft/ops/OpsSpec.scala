@@ -735,6 +735,45 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(scores(2L) - math.log(lm.vocab.toDouble)) < 1e-9)
   }
 
+  test("scrubPii redacts URLs before emails/digits and counts on the " +
+    "original text") {
+    val rows = Seq(
+      (1L, "mail alice@example.com and visit https://x.io/a?id=1234567 ok"),
+      (2L, "digits 12345678901 and 123456 and 1234567"),
+      (3L, "clean text with no pii at all"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.scrubPii(col("text")).as("s"),
+        TextAnalysis.emailCount(col("text")).as("ne"),
+        TextAnalysis.urlCount(col("text")).as("nu"),
+        TextAnalysis.digitRunCount(col("text")).as("nd"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows(1L)._1 == "mail <EMAIL> and visit <URL> ok")
+    assert((rows(1L)._2, rows(1L)._3) == (1L, 1L))
+    assert(rows(1L)._4 == 1L) // digit run inside the URL, counted on original
+    assert(rows(2L)._1 == "digits <NUM> and 123456 and <NUM>")
+    assert(rows(2L)._4 == 2L)
+    assert(rows(3L) == ("clean text with no pii at all", 0L, 0L, 0L))
+  }
+
+  test("bm25 favors rare terms and saturates with tf; non-matching " +
+    "docs are absent") {
+    val docs = Seq(
+      (1L, "rare common common common filler filler filler filler"),
+      (2L, "common filler filler filler filler filler filler filler"),
+      (3L, "common common common common common common common common"),
+      (4L, "filler filler filler filler filler filler filler filler"),
+      (5L, "nothing matching here at all in this document text"))
+      .toDF("doc_id", "text")
+    val sc = Ranking.bm25(docs, "text", "doc_id", Seq("rare", "common"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!sc.contains(4L) && !sc.contains(5L))
+    // doc 1 holds the only 'rare' occurrence → top score
+    assert(sc(1L) > sc(2L) && sc(1L) > sc(3L))
+    // tf saturation: 8x 'common' beats 1x but by far less than 8x
+    assert(sc(3L) > sc(2L) && sc(3L) < 8.0 * sc(2L))
+  }
+
   /** Local union-find oracle for connected components. */
   private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
