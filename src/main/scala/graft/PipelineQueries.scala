@@ -712,8 +712,9 @@ object PipelineQueries {
         .select(sigCols.map(col): _*).distinct()
       val bits = graft.ops.Bloom.build(
         corpusSigs.select(Dedup.sigKey().as("k")), "k", BloomM, BloomK)
-      val surv = Dedup.newAgainstCorpusBloom(batch, corpus, "text",
-        "doc_id", BloomM, BloomK)
+      // one filter build feeds both the word-array stats and the op
+      val surv = Dedup.newAgainstCorpusBloomWith(batch, corpusSigs, bits,
+        "text", "doc_id", BloomM, BloomK)
       surv.agg(count(lit(1)).as("n_new"),
           sum(when(col("bloom_new"), 1L).otherwise(0L)).as("n_bloom_proven"))
         .withColumn("n_words_set", lit(bits.count(_ != 0L).toLong))

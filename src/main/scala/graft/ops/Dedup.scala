@@ -116,9 +116,15 @@ object Dedup {
   /** Band rows (id, sig[8], band, band_key), shared by the pair join
     * and the bucket-size accounting. */
   private def bandRows(df: DataFrame, textCol: String, idCol: String,
-                       numBands: Int): DataFrame = {
+                       numBands: Int): DataFrame =
+    bandRowsFromSigs(minhashSignatures(df, textCol, idCol), idCol, numBands)
+
+  /** Band rows over a PRE-COMPUTED signature frame — lets callers that
+    * already hold (possibly cached) signatures avoid re-running the
+    * tokenize+hash kernel per consumer. */
+  private def bandRowsFromSigs(sigs: DataFrame, idCol: String,
+                               numBands: Int): DataFrame = {
     require(NumPerms % numBands == 0, s"numBands must divide $NumPerms")
-    val sigs = minhashSignatures(df, textCol, idCol)
     val rows = NumPerms / numBands
     val bandKeys = array((0 until numBands).map { b =>
       struct(lit(b).as("band"), concat_ws("_",
@@ -160,8 +166,15 @@ object Dedup {
     * the signature pipeline independently). */
   def minhashCandidatesAndOversize(df: DataFrame, textCol: String,
       idCol: String, maxBucket: Int,
+      numBands: Int = NumBands): (DataFrame, DataFrame) =
+    minhashCandidatesAndOversizeFromSigs(
+      minhashSignatures(df, textCol, idCol), idCol, maxBucket, numBands)
+
+  /** As above over a pre-computed (possibly cached) signature frame. */
+  def minhashCandidatesAndOversizeFromSigs(sigs: DataFrame,
+      idCol: String, maxBucket: Int,
       numBands: Int = NumBands): (DataFrame, DataFrame) = {
-    val bands = bandRows(df, textCol, idCol, numBands)
+    val bands = bandRowsFromSigs(sigs, idCol, numBands)
     val sizes = bands.groupBy("band", "band_key")
       .agg(count(lit(1)).as("__bn"))
     val eligible =
@@ -280,6 +293,19 @@ object Dedup {
       .select(sigCols.map(col): _*).distinct()
     val bits = Bloom.build(corpusSigs.select(sigKey().as("__k")), "__k",
       mBits, kHashes)
+    newAgainstCorpusBloomWith(newDf, corpusSigs, bits, textCol, idCol,
+      mBits, kHashes)
+  }
+
+  /** As above with a PREBUILT filter + distinct corpus-signature
+    * frame — the steady-state ingest shape (the archive's bloom and
+    * signature table are maintained incrementally, not rebuilt per
+    * batch), and what callers that also inspect the filter use to
+    * avoid building it twice. */
+  def newAgainstCorpusBloomWith(newDf: DataFrame, corpusSigs: DataFrame,
+      bits: Array[Long], textCol: String, idCol: String,
+      mBits: Int, kHashes: Int): DataFrame = {
+    val sigCols = (0 until NumPerms).map(i => s"sig$i")
     val batch = minhashSignatures(newDf, textCol, idCol)
       .withColumn("bloom_new",
         !Bloom.mightContain(bits, sigKey(), mBits, kHashes))
@@ -355,10 +381,14 @@ object Dedup {
     * [[minhashClusters]]). */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 50): DataFrame = {
+    // checkpoint the canonicalized input once: the loop reads `e`
+    // several times per round, and the caller's edge pipeline (e.g.
+    // the whole LSH candidate generation) must not re-run each time
     var e = edges
       .select(greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
         least(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
       .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
     var sig = edgeSignature(e)
     var done = sig._1 == 0L
     var it = 0
@@ -399,9 +429,14 @@ object Dedup {
                       maxBucket: Int, numBands: Int = NumBands,
                       minJaccard: Double = 0.5,
                       maxIter: Int = 50): DataFrame = {
-    val sigs = minhashSignatures(df, textCol, idCol)
+    // one tokenize+hash pass, cached across the three consumers
+    // (candidate pairs, group edges, final id list); the iterative CC
+    // inside runs actions eagerly, so the cache pays off immediately
+    // and is dropped before returning the (lazy) result
+    val sigs = minhashSignatures(df, textCol, idCol).persist()
     val sigNames = (0 until NumPerms).map(i => s"sig$i")
-    val candEdges = minhashCandidates(df, textCol, idCol, maxBucket, numBands)
+    val candEdges = minhashCandidatesAndOversizeFromSigs(
+        sigs, idCol, maxBucket, numBands)._1
       .where(col("est_jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"))
     val groupMins = sigs.groupBy(sigNames.map(col): _*)
@@ -411,8 +446,10 @@ object Dedup {
       .select(col(idCol).as("id_a"), col("__keep").as("id_b"))
     val cc = connectedComponents(candEdges.union(groupEdges), "id_a", "id_b",
       maxIter)
-    sigs.select(col(idCol))
-      .join(cc.withColumnRenamed("node", idCol), Seq(idCol), "left")
+    // ids snapshot so unpersist cannot force a later full recompute
+    val ids = sigs.select(col(idCol)).localCheckpoint()
+    sigs.unpersist()
+    ids.join(cc.withColumnRenamed("node", idCol), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("component"), col(idCol).cast("long")).as("cluster_id"))
   }

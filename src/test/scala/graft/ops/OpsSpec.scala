@@ -683,8 +683,13 @@ class OpsSpec extends AnyFunSuite {
     val bits = Bloom.build(in, "k", 1 << 16, 5)
     val probeSet = keys.map(k => (k, true)) ++
       (0L until 2000L).map(i => ((i * 40503L + 7L) % (1L << 45), false))
-    val got = probeSet.toDF("k", "inserted")
+    val probed = probeSet.toDF("k", "inserted")
       .withColumn("hit", Bloom.mightContain(bits, col("k"), 1 << 16, 5))
+      .withColumn("hitSpec",
+        Bloom.mightContainSpec(bits, col("k"), 1 << 16, 5))
+    // native kernel ≡ composable column spec, bit for bit
+    assert(probed.where(col("hit") =!= col("hitSpec")).count() == 0)
+    val got = probed
       .collect().map(r => (r.getBoolean(1), r.getBoolean(2)))
     assert(got.filter(_._1).forall(_._2), "false negative!")
     val fps = got.filter(!_._1).count(_._2)
