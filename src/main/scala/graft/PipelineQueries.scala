@@ -400,6 +400,56 @@ object PipelineQueries {
       s"AS n_diverted FROM bsz WHERE bn > $EmbedCap) " +
       "SELECT agg.*, os.* FROM agg CROSS JOIN os")
 
+  /** Semantic (embedding-space) cluster dedup: transitive closure of
+    * capped cosine-threshold pairs plus member→min edges inside
+    * oversize buckets, per-vector cluster labels bound via id_sum
+    * against a DuckDB recursive-CTE closure of the identical edge
+    * set. */
+  private val embedClusters = Q("q_embed_clusters",
+    (s, d) => {
+      val cl = Similarity.embeddingClusters(embs(s, d), "vec_id",
+        "embedding", 0.25, nBits = EmbedCapBits, maxBucket = EmbedCap)
+      val csz = cl.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      cl.agg(count(lit(1)).as("n_vecs"),
+          sum(col("cluster_id")).as("id_sum"))
+        .crossJoin(csz.agg(count(lit(1)).as("n_clusters"),
+          max(col("sz")).as("max_cluster"),
+          sum(when(col("sz") > 1, col("sz") - 1L).otherwise(0L))
+            .as("n_redundant")))
+    },
+    "WITH RECURSIVE e AS (SELECT vec_id, embedding AS emb, " +
+      s"(${bucketSql(EmbedCapBits)}) AS bucket, " +
+      s"sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings), " +
+      "bsz AS (SELECT bucket, count(*) AS bn FROM e GROUP BY bucket), " +
+      "el AS (SELECT e.* FROM e JOIN bsz USING (bucket) " +
+      s"WHERE bsz.bn <= $EmbedCap), " +
+      "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b " +
+      "FROM el a JOIN el b ON a.bucket = b.bucket " +
+      "AND a.vec_id < b.vec_id " +
+      s"WHERE ${dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm) >= 0.25), " +
+      "ovm AS (SELECT e.bucket, min(e.vec_id) AS keep FROM e " +
+      s"JOIN bsz USING (bucket) WHERE bsz.bn > $EmbedCap " +
+      "GROUP BY e.bucket), " +
+      "ge AS (SELECT e.vec_id AS id_a, ovm.keep AS id_b FROM e " +
+      "JOIN ovm USING (bucket) WHERE e.vec_id <> ovm.keep), " +
+      "edges AS (SELECT id_a, id_b FROM p " +
+      "UNION SELECT id_a, id_b FROM ge), " +
+      "sym AS (SELECT id_a AS u, id_b AS v FROM edges " +
+      "UNION SELECT id_b AS u, id_a AS v FROM edges), " +
+      "reach AS (SELECT vec_id AS node, vec_id AS r FROM embeddings " +
+      "UNION SELECT sym.v AS node, reach.r FROM reach " +
+      "JOIN sym ON sym.u = reach.node), " +
+      "comp AS (SELECT node, min(r) AS cluster_id FROM reach " +
+      "GROUP BY node), " +
+      "csz AS (SELECT cluster_id, count(*) AS sz FROM comp " +
+      "GROUP BY cluster_id) " +
+      "SELECT (SELECT count(*) FROM comp) AS n_vecs, " +
+      "(SELECT CAST(sum(cluster_id) AS BIGINT) FROM comp) AS id_sum, " +
+      "(SELECT count(*) FROM csz) AS n_clusters, " +
+      "(SELECT max(sz) FROM csz) AS max_cluster, " +
+      "(SELECT CAST(sum(CASE WHEN sz > 1 THEN sz - 1 ELSE 0 END) " +
+      "AS BIGINT) FROM csz) AS n_redundant")
+
   private def l2Sql(a: String, b: String): String =
     s"list_sum([(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
       s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) " +
@@ -1302,7 +1352,8 @@ object PipelineQueries {
     dedupClusters, dedupSimhash, dedupNgram, dedupIncremental, dedupBloom,
     dedupSpans,
     embedTop1, embedTopK, embedAnnLsh, embedLshSized, embedAnnTop1,
-    embedNearDup, embedNearDupCapped, embedIvf, embedIvfMp, embedKmeans,
+    embedNearDup, embedNearDupCapped, embedClusters, embedIvf, embedIvfMp,
+    embedKmeans,
     embedPq, embedIvfPq, embedRerank,
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,
     textPerplexity, textBm25, textPii,

@@ -779,6 +779,40 @@ class OpsSpec extends AnyFunSuite {
     assert(sc(3L) > sc(2L) && sc(3L) < 8.0 * sc(2L))
   }
 
+  test("embeddingClusters links oversize buckets linearly and closes " +
+    "transitive chains within a bucket; coverage is exactly once") {
+    val base = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val dim = base.head().getSeq[Float](1).length
+    // family A: 40 exact copies — identical vectors share a bucket by
+    // construction, 40 > cap ⇒ the oversize member→min path links them
+    val copyV = {
+      val v = Array.fill(dim)(0.0f); v(2) = 0.6f; v(3) = 0.8f; v.toSeq }
+    val famA = (0 until 40).map(k => (90000L + k, copyV))
+    // family B: 3 near-collinear rotations — adjacent cos ≈ 0.9997
+    // passes t, endpoints cos ≈ 0.9988 fails it ⇒ only the closure
+    // puts all three together (they share a bucket: ~collinear)
+    val famB = (0 until 3).map { k =>
+      val theta = k * 0.025
+      val v = Array.fill(dim)(0.0f)
+      v(2) = (0.6 * math.cos(theta) - 0.8 * math.sin(theta)).toFloat
+      v(3) = (0.8 * math.cos(theta) + 0.6 * math.sin(theta)).toFloat
+      (91000L + k, v.toSeq)
+    }
+    val df = base.unionByName((famA ++ famB).toDF("vec_id", "embedding"))
+    val cl = Similarity.embeddingClusters(df, "vec_id", "embedding",
+      threshold = 0.9995, nBits = 6, maxBucket = 30)
+    val aCl = cl.where(col("vec_id") >= 90000L && col("vec_id") < 90040L)
+      .collect().map(_.getLong(1)).toSet
+    assert(aCl.size == 1, s"copies should share one cluster, got $aCl")
+    val bCl = cl.where(col("vec_id") >= 91000L)
+      .collect().map(_.getLong(1)).toSet
+    assert(bCl.size == 1, s"chain should share one cluster, got $bCl")
+    assert(cl.count() == df.count())
+    assert(cl.select("vec_id").distinct().count() == df.count())
+  }
+
   /** Local union-find oracle for connected components. */
   private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
