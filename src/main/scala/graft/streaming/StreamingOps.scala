@@ -121,6 +121,50 @@ object StreamingOps {
         lit(minQuality)),
       textCol, idCol, eventTime, watermark)
 
+  /** Bloom-prefiltered streaming ingest dedup: the archive's portable
+    * [[graft.ops.Bloom]] filter is a plan constant, so the probe is a
+    * STATELESS per-row map — rows whose signature key the filter
+    * provably misses are new against the archive with no state and no
+    * shuffle (exact, bloom has no false negatives); the ambiguous
+    * sliver (`bloom_new = false`, ~fpp of the stream plus true dups)
+    * is flagged for the exact keyed check downstream. Chain
+    * [[signatureDedup]] after it to also dedup the stream against
+    * itself. The bloom refreshes per archive epoch — rebuild and
+    * restart the query (a plan constant, like the IVF centroids). */
+  def bloomPrefilter(docs: DataFrame, textCol: String, idCol: String,
+                     bits: Array[Long], mBits: Int, kHashes: Int,
+                     keep: Seq[String] = Nil): DataFrame =
+    graft.ops.Dedup.minhashSignatures(docs, textCol, idCol, keep = keep)
+      .withColumn("bloom_new",
+        !graft.ops.Bloom.mightContain(bits, graft.ops.Dedup.sigKey(),
+          mBits, kHashes))
+
+  /** Streaming perplexity scoring under a batch-trained bigram LM.
+    * The per-doc aggregate would register as an unbounded stateful
+    * streaming aggregation if planned directly, yet it is
+    * micro-batch-local by construction (a doc is ONE input row, so
+    * its bigrams never span triggers) — so score each micro-batch
+    * with the batch operator via foreachBatch: the LM count tables
+    * join in batch-static, no streaming state is ever created, and
+    * the per-doc results are exactly [[graft.ops.NgramLm.perplexity]]
+    * semantics. Blocks until the backlog drains; feeds each scored
+    * micro-batch to `sink`. */
+  def streamingPerplexity(docs: DataFrame, textCol: String,
+                          idCol: String, lm: graft.ops.NgramLm.Lm)
+                         (sink: DataFrame => Unit): Long = {
+    val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.ops.NgramLm.perplexity(batch, textCol, idCol, lm))
+        nBatches.incrementAndGet()
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    nBatches.get()
+  }
+
   /** Online variational inference: `stepsPerBatch` Adam ascent steps
     * per micro-batch via foreachBatch — the streaming form of the
     * reference's minibatch SGD loop (`model.py:255-269`), with

@@ -73,6 +73,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming bloom prefilter (stateless map) equals the batch " +
+    "probe row for row") {
+    import graft.ops.{Bloom, Dedup}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    val corpusSigs = Dedup.minhashSignatures(corpus, "text", "doc_id")
+      .select((0 until Dedup.NumPerms).map(i => col(s"sig$i")): _*)
+      .distinct()
+    val bits = Bloom.build(corpusSigs.select(Dedup.sigKey().as("k")),
+      "k", 1 << 14, 5)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val out = StreamingOps.bloomPrefilter(stream, "text", "doc_id",
+      bits, 1 << 14, 5)
+      .select("doc_id", "bloom_new")
+    StreamingOps.runToMemorySink(out, "bloom_pre")
+    val got = spark.table("bloom_pre").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val want = StreamingOps.bloomPrefilter(docs, "text", "doc_id",
+      bits, 1 << 14, 5)
+      .select("doc_id", "bloom_new").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == want)
+    // corpus docs can never be bloom-proven new
+    val corpusIds = corpus.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(corpusIds.forall(id => !got.getOrElse(id, false)))
+  }
+
+  test("streaming perplexity scoring equals the batch scorer") {
+    import graft.ops.NgramLm
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val lm = NgramLm.train(docs, "text", "doc_id")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val buf = new scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    val nBatches = StreamingOps.streamingPerplexity(stream, "text",
+      "doc_id", lm) { scored =>
+      buf ++= scored.collect().map(r => (r.getLong(0), r.getDouble(2)))
+      ()
+    }
+    assert(nBatches >= 1)
+    val want = NgramLm.perplexity(docs, "text", "doc_id", lm)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val got = buf.toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, nll) =>
+      assert(math.abs(nll - want(id)) < 1e-9, s"doc $id") }
+  }
+
   test("stateful running logp stats match a driver fold") {
     import spark.implicits._
     val rows = spark.read.parquet(s"$dir/events.parquet")
