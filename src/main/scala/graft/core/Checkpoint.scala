@@ -59,12 +59,19 @@ object Checkpoint {
     // Swap: demote any previous checkpoint to .old, promote .tmp, then
     // drop .old. A crash at any point leaves at least one complete
     // checkpoint findable by restoreTraining's recovery scan.
+    // Hadoop FileSystem reports most rename/delete failures by
+    // RETURNING FALSE, not throwing — an unchecked rename here would
+    // silently corrupt the swap (renaming onto an existing dir nests
+    // tmp INSIDE it), defeating the whole crash-consistency scheme
     val destPath = new org.apache.hadoop.fs.Path(path)
     val oldPath = new org.apache.hadoop.fs.Path(s"$path.old")
-    fs.delete(oldPath, true)
-    if (fs.exists(destPath)) fs.rename(destPath, oldPath)
-    fs.rename(tmpMarker.getParent, destPath)
-    fs.delete(oldPath, true)
+    require(!fs.exists(oldPath) || fs.delete(oldPath, true),
+      s"cannot clear $oldPath")
+    require(!fs.exists(destPath) || fs.rename(destPath, oldPath),
+      s"cannot demote $destPath to $oldPath")
+    require(fs.rename(tmpMarker.getParent, destPath),
+      s"cannot promote ${tmpMarker.getParent} to $destPath")
+    fs.delete(oldPath, true) // best-effort: a leftover .old is harmless
   }
 
   /** Restores params + optimizer state; returns the checkpointed step
@@ -86,8 +93,10 @@ object Checkpoint {
           "siblings) — either saveTraining was interrupted before any " +
           "complete write, or this is a pre-marker legacy checkpoint " +
           "(load its params alone via Checkpoint.restore)")
-      fs.delete(destPath, true)
-      fs.rename(candidates.head, destPath)
+      require(!fs.exists(destPath) || fs.delete(destPath, true),
+        s"cannot clear torn checkpoint at $destPath")
+      require(fs.rename(candidates.head, destPath),
+        s"cannot promote ${candidates.head} to $destPath")
     }
     restore(spark, module, s"$path/params")
     val rows = spark.read.parquet(s"$path/adam").collect()

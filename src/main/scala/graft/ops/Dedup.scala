@@ -301,7 +301,15 @@ object Dedup {
     * frame — the steady-state ingest shape (the archive's bloom and
     * signature table are maintained incrementally, not rebuilt per
     * batch), and what callers that also inspect the filter use to
-    * avoid building it twice. */
+    * avoid building it twice.
+    *
+    * Plan shape, deliberately: the batch signature map runs TWICE
+    * (once per bloom branch) while only the ambiguous sliver enters
+    * the anti-join's exchange. The single-lineage alternative (left
+    * join + filter) would shuffle the ENTIRE batch against the corpus
+    * signatures; recomputing a pure map is the cheaper side of that
+    * trade at scale, and the sliver-only join is the whole point of
+    * the prefilter. */
   def newAgainstCorpusBloomWith(newDf: DataFrame, corpusSigs: DataFrame,
       bits: Array[Long], textCol: String, idCol: String,
       mBits: Int, kHashes: Int): DataFrame = {

@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   * pipeline uses to pull topic-relevant slices out of a web-scale
   * corpus (and the lexical half of hybrid lexical+embedding search).
   *
-  * Scan-shaped at any scale: one pass computes per-doc lengths and
-  * filters tokens to the query bag (a pure map — the explode carries
+  * Scan-shaped at any scale: one tokenize pass feeds the corpus
+  * stats and one feeds the query-bag filter (the explode carries
   * only matching tokens, so its volume is query-hit-sized, not
-  * corpus-sized), then two hash aggregates (per-doc-term tf,
-  * per-term df) and a broadcast of the tiny per-term idf + corpus
-  * stats. No shuffle touches full documents.
+  * corpus-sized); per-doc-term tf is one hash aggregate and per-term
+  * df is derived from tf's own output (reused exchange, no re-scan);
+  * the tiny per-term idf + corpus stats broadcast. No shuffle
+  * touches full documents.
   */
 object Ranking {
 
@@ -36,8 +37,10 @@ object Ranking {
         t => t.isInCollection(queryTerms))).as("__term"))
     val tf = matched.groupBy(col(idCol), col("__term"), col("__dl"))
       .agg(count(lit(1)).as("__tf"))
-    val dfreq = matched.groupBy("__term")
-      .agg(countDistinct(col(idCol)).as("__df"))
+    // tf already holds one row per (doc, term): per-term row counts ARE
+    // the document frequencies — deriving df from tf (exchange reused)
+    // saves a full re-tokenization of the corpus
+    val dfreq = tf.groupBy("__term").agg(count(lit(1)).as("__df"))
     val joined = tf.join(broadcast(dfreq), "__term")
       .crossJoin(broadcast(stats))
     val idf = log(lit(1.0) +

@@ -152,16 +152,26 @@ object StreamingOps {
   def streamingPerplexity(docs: DataFrame, textCol: String,
                           idCol: String, lm: graft.ops.NgramLm.Lm)
                          (sink: DataFrame => Unit): Long = {
+    // the count tables are lazy full-corpus aggregates; without a
+    // cache every micro-batch would re-tokenize and re-aggregate the
+    // whole training corpus
+    val cached = lm.copy(bigrams = lm.bigrams.persist(),
+      prefixes = lm.prefixes.persist())
     val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        sink(graft.ops.NgramLm.perplexity(batch, textCol, idCol, lm))
+        sink(graft.ops.NgramLm.perplexity(batch, textCol, idCol, cached))
         nBatches.incrementAndGet()
         ()
       }
       .start()
-    q.processAllAvailable()
-    q.stop()
+    try {
+      q.processAllAvailable()
+      q.stop()
+    } finally {
+      cached.bigrams.unpersist()
+      cached.prefixes.unpersist()
+    }
     nBatches.get()
   }
 
