@@ -965,6 +965,49 @@ object PipelineQueries {
         "FROM c GROUP BY source ORDER BY source"
     })
 
+  /** Benchmark decontamination: docs ≡ 0 mod 97 act as the "eval
+    * suite", the rest as the training corpus; per-source overlap
+    * stats. Rates are exact rationals, so the ≥ 0.5 flag compares
+    * identically on both engines. */
+  private val textContamination = Q("q_text_contamination",
+    (s, d) => {
+      val d0 = docs(s, d)
+      val bench = d0.where(col("doc_id") % 97 === 0)
+      val corpus = d0.where(col("doc_id") % 97 =!= 0)
+      val rates = Dedup.contamination(corpus, bench, "text", "doc_id")
+      corpus.select(col("doc_id"), col("source")).join(rates, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_contaminated")).as("n_contaminated"),
+          round(avg(col("contamination_rate")), 5).as("avg_rate"),
+          sum(when(col("contamination_rate") >= 0.5, 1L).otherwise(0L))
+            .as("n_flagged"))
+        .orderBy("source")
+    }, {
+      val M = Dedup.NgramFpMod
+      val g3 = s"[((hl[i] * 31 + hl[i+1]) % $M * 31 + hl[i+2]) % $M " +
+        "for i in range(1, len(hl) - 1)]"
+      s"WITH t AS (SELECT doc_id, source, " +
+        s"[${TextAnalysis.TokenHashSql("w")} % $M " +
+        "for w in string_split(text, ' ')] AS hl FROM documents), " +
+        s"bench AS (SELECT DISTINCT unnest($g3) AS g FROM t " +
+        "WHERE doc_id % 97 = 0), " +
+        s"cg AS (SELECT doc_id, source, list_distinct($g3) AS gs FROM t " +
+        "WHERE doc_id % 97 <> 0), " +
+        "ce AS (SELECT doc_id, source, len(gs) AS n_grams, " +
+        "unnest(gs) AS g FROM cg WHERE len(gs) > 0), " +
+        "hit AS (SELECT ce.doc_id, ce.source, ce.n_grams, " +
+        "sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS nc " +
+        "FROM ce LEFT JOIN bench b USING (g) " +
+        "GROUP BY ce.doc_id, ce.source, ce.n_grams) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(nc) AS BIGINT) AS n_contaminated, " +
+        "round(avg(nc::DOUBLE / n_grams::DOUBLE), 5) AS avg_rate, " +
+        "CAST(sum(CASE WHEN nc::DOUBLE / n_grams::DOUBLE >= 0.5 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged " +
+        "FROM hit GROUP BY source ORDER BY source"
+    })
+
   // ------------------------------------------------------ text analysis
 
   private def stopSql(lang: String): String = {
@@ -1356,7 +1399,7 @@ object PipelineQueries {
     embedKmeans,
     embedPq, embedIvfPq, embedRerank,
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,
-    textPerplexity, textBm25, textPii,
+    textPerplexity, textBm25, textPii, textContamination,
     textDupNgrams, qualityGopher, multimodalMeta, curation,
     sampleStratified, packSequences)
 }

@@ -323,6 +323,39 @@ object Dedup {
     newDf.join(definite.unionByName(maybe), Seq(idCol))
   }
 
+  /** Benchmark decontamination (the GPT-3-style n-gram overlap
+    * check): per corpus doc, how many of its distinct n-gram
+    * fingerprints appear anywhere in the benchmark set — training
+    * corpora must drop (or flag) docs that leak evaluation data.
+    *
+    * Returns (idCol, n_grams, n_contaminated, contamination_rate).
+    * Scale shape: the benchmark gram set is tiny by nature (eval
+    * suites are human-sized) → one distinct aggregate, broadcast; the
+    * corpus side is one scan (per-row gram fold → explode → map-side
+    * broadcast probe) plus one per-doc aggregate. The rate is an
+    * exact rational k/m — identical on every engine, so thresholds
+    * compare cleanly. Docs with fewer than n tokens carry no grams
+    * and are absent. */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    textCol: String, idCol: String,
+                    n: Int = 3): DataFrame = {
+    val grams = array_distinct(
+      ngramFingerprints(tokenHashList(col(textCol)), n))
+    val bg = benchmark.select(explode(grams).as("g")).distinct()
+    val cg = corpus
+      .select(col(idCol), grams.as("__gs"))
+      .where(size(col("__gs")) > 0)
+      .select(col(idCol), size(col("__gs")).cast("long").as("n_grams"),
+        explode(col("__gs")).as("g"))
+    cg.join(broadcast(bg.withColumn("__hit", lit(1))), Seq("g"), "left")
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(sum(when(col("__hit").isNotNull, 1L).otherwise(0L))
+        .as("n_contaminated"))
+      .select(col(idCol), col("n_grams"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") /
+          col("n_grams").cast("double")).as("contamination_rate"))
+  }
+
   // -------------------------------------------------------------
   // Connected components / cluster-level dedup
   // -------------------------------------------------------------

@@ -716,6 +716,29 @@ class OpsSpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("contamination flags a planted benchmark leak at rate 1.0 and " +
+    "clean synthetic docs at 0.0") {
+    val bench = Seq(
+      (1L, "unique eval question alpha beta gamma delta epsilon"),
+      (2L, "another held out probe zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "unique eval question alpha beta gamma delta epsilon"), // leak
+      (11L, "totally fresh training text qq ww ee rr tt yy"),       // clean
+      (12L, "prefix words then unique eval question alpha beta"))   // partial
+      .toDF("doc_id", "text")
+    val r = Dedup.contamination(corpus, bench, "text", "doc_id")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(10L)._3 == 1.0, s"full leak should be 1.0: ${r(10L)}")
+    assert(r(11L)._3 == 0.0, s"clean doc should be 0.0: ${r(11L)}")
+    assert(r(12L)._3 > 0.0 && r(12L)._3 < 1.0,
+      s"partial overlap strictly between: ${r(12L)}")
+    // shared trigrams: (unique,eval,question), (eval,question,alpha),
+    // (question,alpha,beta) — the leaked 5-word span yields exactly 3
+    assert(r(12L)._2 == 3L)
+  }
+
   test("bigram-LM perplexity ranks repeated in-distribution text " +
     "below gibberish, and scores unseen held-out bigrams finitely") {
     val base = spark.read
