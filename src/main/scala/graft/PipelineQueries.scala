@@ -1008,6 +1008,33 @@ object PipelineQueries {
         "FROM hit GROUP BY source ORDER BY source"
     })
 
+  /** Portable HyperLogLog over the corpus's trigram-fingerprint
+    * stream: integer register stats (n_seen, sum_rho) pin the sketch
+    * exactly; the estimate and the exact distinct count ride along
+    * for the accuracy story. */
+  private val sketchHll = Q("q_sketch_hll",
+    (s, d) => {
+      val d0 = docs(s, d)
+      val grams = d0.select(explode(
+        Dedup.ngramFingerprints(Dedup.tokenHashList(col("text")), 3))
+        .as("g"))
+      graft.ops.Sketches.hllCardinality(grams, col("g"))
+        .crossJoin(grams.agg(countDistinct(col("g")).as("n_exact")))
+        .select(round(col("hll_estimate"), 5).as("hll_estimate"),
+          col("n_seen"), col("sum_rho"), col("n_exact"))
+    }, {
+      val M = Dedup.NgramFpMod
+      val g3 = s"[((hl[i] * 31 + hl[i+1]) % $M * 31 + hl[i+2]) % $M " +
+        "for i in range(1, len(hl) - 1)]"
+      s"WITH t AS (SELECT [${TextAnalysis.TokenHashSql("w")} % $M " +
+        "for w in string_split(text, ' ')] AS hl FROM documents), " +
+        s"g AS (SELECT unnest($g3) AS g FROM t), " +
+        s"hll AS (${graft.ops.Sketches.hllSql("g", "g")}), " +
+        "ex AS (SELECT count(DISTINCT g) AS n_exact FROM g) " +
+        "SELECT round(hll.hll_estimate, 5) AS hll_estimate, hll.n_seen, " +
+        "hll.sum_rho, ex.n_exact FROM hll CROSS JOIN ex"
+    })
+
   // ------------------------------------------------------ text analysis
 
   private def stopSql(lang: String): String = {
@@ -1399,7 +1426,7 @@ object PipelineQueries {
     embedKmeans,
     embedPq, embedIvfPq, embedRerank,
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,
-    textPerplexity, textBm25, textPii, textContamination,
+    textPerplexity, textBm25, textPii, textContamination, sketchHll,
     textDupNgrams, qualityGopher, multimodalMeta, curation,
     sampleStratified, packSequences)
 }

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Portable cardinality sketching — HyperLogLog (Flajolet et al.
+  * 2007) with every ingredient deterministic arithmetic on a portable
+  * hash, so an external engine rebuilds the IDENTICAL register array
+  * and estimate from the same key set (the [[Bloom]] design point
+  * applied to distinct counting: the sketch itself is
+  * oracle-checkable, not a black box like `approx_count_distinct`).
+  *
+  * Scale shape: one scan computing (bucket, rho) per row — a pure
+  * map — then one m-register hash aggregate (map-side partial; the
+  * register array is KBs however large the input), then a one-row
+  * reduction. Registers from different corpus shards merge by
+  * register-wise max, the standard mergeable-sketch property. */
+object Sketches {
+
+  /** Per-row (bucket, rho) from the portable 60-bit md5 hash:
+    * bucket = low b bits, rho = trailing-zero count of the remaining
+    * word + 1 (geometric under a uniform hash), sentinel 61−b for a
+    * zero word. */
+  def hllParts(key: Column, b: Int): (Column, Column) = {
+    require(b >= 4 && b <= 20, s"bad HLL precision b=$b")
+    val m = 1 << b
+    val h = TextAnalysis.tokenHash(key.cast("string"))
+    val bucket = h % lit(m.toLong)
+    val w = shiftright(h, b)
+    val lowbit = w.bitwiseAND(lit(0L) - w)
+    val rho = when(w === lit(0L), lit(61 - b))
+      .otherwise((round(log(lowbit.cast("double")) / log(lit(2.0)))
+        .cast("int") + lit(1)))
+    (bucket, rho)
+  }
+
+  /** One-row cardinality estimate over the distinct values of `key`:
+    * (hll_estimate, n_registers_set, sum_rho). The integer register
+    * stats pin the sketch exactly; the estimate applies the standard
+    * α_m bias correction and the small-range linear-counting
+    * fallback. */
+  def hllCardinality(df: DataFrame, key: Column, b: Int = 10): DataFrame = {
+    val m = 1 << b
+    val (bucket, rho) = hllParts(key, b)
+    val regs = df.select(bucket.as("bucket"), rho.as("rho"))
+      .groupBy("bucket").agg(max(col("rho")).as("mr"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val agg = regs.agg(count(lit(1)).as("n_seen"),
+      sum(col("mr").cast("long")).as("sum_rho"),
+      sum(pow(lit(2.0), -col("mr").cast("double"))).as("se"))
+    val zeros = lit(m.toLong) - col("n_seen")
+    val raw = alpha * lit(m.toDouble) * lit(m.toDouble) /
+      (col("se") + zeros.cast("double"))
+    val est = when(raw <= lit(2.5) * lit(m.toDouble) && zeros > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
+      .otherwise(raw)
+    agg.select(est.as("hll_estimate"), col("n_seen"), col("sum_rho"))
+  }
+
+  /** DuckDB rendering of the same sketch over key expression `key`
+    * (a SQL fragment yielding a VARCHAR-castable value); returns a
+    * SELECT producing (hll_estimate, n_seen, sum_rho) from relation
+    * `rel`. Every constant and shape mirrors [[hllCardinality]]. */
+  def hllSql(rel: String, key: String, b: Int = 10): String = {
+    val m = 1 << b
+    val th = TextAnalysis.TokenHashSql(s"($key)::VARCHAR")
+    s"SELECT CASE WHEN raw <= 2.5 * $m.0 AND zeros > 0 " +
+      s"THEN $m.0 * ln($m.0 / CAST(zeros AS DOUBLE)) ELSE raw END " +
+      "AS hll_estimate, n_seen, sum_rho FROM (" +
+      s"SELECT n_seen, sum_rho, ($m - n_seen) AS zeros, " +
+      s"(0.7213 / (1.0 + 1.079 / $m.0)) * $m.0 * $m.0 / " +
+      s"(se + CAST($m - n_seen AS DOUBLE)) AS raw FROM (" +
+      "SELECT count(*) AS n_seen, CAST(sum(mr) AS BIGINT) AS sum_rho, " +
+      "sum(pow(2.0, -CAST(mr AS DOUBLE))) AS se FROM (" +
+      s"SELECT bucket, max(rho) AS mr FROM (" +
+      s"SELECT th % $m AS bucket, " +
+      s"CASE WHEN (th >> $b) = 0 THEN ${61 - b} ELSE " +
+      s"CAST(round(ln(CAST((th >> $b) & (0 - (th >> $b)) AS DOUBLE)) " +
+      "/ ln(2.0)) AS INT) + 1 END AS rho FROM (" +
+      s"SELECT $th AS th FROM $rel)) GROUP BY bucket)))"
+  }
+}

@@ -739,6 +739,32 @@ class OpsSpec extends AnyFunSuite {
     assert(r(12L)._2 == 3L)
   }
 
+  test("HLL estimates 20k distinct keys within 3 sigma and register " +
+    "arrays merge by max across shards") {
+    val n = 20000L
+    // keys with duplicates (each value appears ~3x): HLL must count
+    // distinct values, not rows
+    val keys = spark.range(3 * n).select((col("id") % n).as("k"))
+    val est = Sketches.hllCardinality(keys, col("k"))
+      .head().getDouble(0)
+    // b=10 → relative error sigma = 1.04/sqrt(1024) = 3.25%
+    assert(math.abs(est - n) / n < 3 * 0.0325,
+      s"estimate $est too far from $n")
+    // mergeability: per-shard registers max-merged == whole registers
+    val (bucket, rho) = Sketches.hllParts(col("k"), 10)
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      df.select(bucket.as("b"), rho.as("r")).groupBy("b")
+        .agg(max(col("r")).as("mr"))
+        .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    val whole = regs(keys)
+    val shardA = regs(keys.where(col("k") % 2 === 0))
+    val shardB = regs(keys.where(col("k") % 2 =!= 0))
+    val merged = (shardA.keySet ++ shardB.keySet).map { b =>
+      b -> math.max(shardA.getOrElse(b, 0), shardB.getOrElse(b, 0))
+    }.toMap
+    assert(merged == whole)
+  }
+
   test("bigram-LM perplexity ranks repeated in-distribution text " +
     "below gibberish, and scores unseen held-out bigrams finitely") {
     val base = spark.read
