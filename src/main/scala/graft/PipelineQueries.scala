@@ -1210,6 +1210,34 @@ object PipelineQueries {
         "GROUP BY source ORDER BY source"
     })
 
+  /** Temperature-flattened domain mixture toward a fixed row budget:
+    * per-source kept counts, id checksum, and the derived rate. */
+  private val TempAlpha = 0.5
+  private val TempTarget = 200.0
+  private val sampleTemperature = Q("q_sample_temperature",
+    (s, d) => Sampling.temperatureSample(docs(s, d), "doc_id", "source",
+        TempAlpha, TempTarget)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"),
+        round(min(col("sample_rate")), 5).as("rate"))
+      .orderBy("source"),
+    "WITH c AS (SELECT source, count(*) AS n FROM documents " +
+      "GROUP BY source), " +
+      "t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c), " +
+      "w AS (SELECT source, n, pow(CAST(n AS DOUBLE) / " +
+      s"CAST(tot AS DOUBLE), $TempAlpha) AS w FROM c CROSS JOIN t), " +
+      "sw AS (SELECT sum(w) AS sw FROM w), " +
+      "r AS (SELECT source, least(1.0, " +
+      s"$TempTarget * (w / sw) / CAST(n AS DOUBLE)) AS rate " +
+      "FROM w CROSS JOIN sw), " +
+      "kept AS (SELECT d.source, d.doc_id, r.rate FROM documents d " +
+      "JOIN r USING (source) " +
+      s"WHERE ${Sampling.HashFractionSql("d.doc_id")} < r.rate) " +
+      "SELECT source, count(*) AS n_kept, " +
+      "CAST(sum(doc_id) AS BIGINT) AS id_sum, " +
+      "round(min(rate), 5) AS rate FROM kept " +
+      "GROUP BY source ORDER BY source")
+
   private val PackWindow = 128
   private val PackShards = 4
 
@@ -1428,5 +1456,5 @@ object PipelineQueries {
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,
     textPerplexity, textBm25, textPii, textContamination, sketchHll,
     textDupNgrams, qualityGopher, multimodalMeta, curation,
-    sampleStratified, packSequences)
+    sampleStratified, sampleTemperature, packSequences)
 }

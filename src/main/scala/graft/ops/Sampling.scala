@@ -58,6 +58,36 @@ object Sampling {
     df.where(hashFraction(col(idCol)) < rate)
   }
 
+  /** Temperature-flattened domain mixture sampling (the standard
+    * rebalancing for multilingual/domain training mixes, cf. the
+    * exponentially-smoothed sampling of mBERT/XLM-R): domain s gets
+    * mixture weight q_s ∝ (n_s/N)^alpha (alpha < 1 up-weights tails)
+    * and keep-rate min(1, target·q_s/n_s) toward a `targetRows`
+    * budget, applied as the same deterministic hash-threshold draw as
+    * [[stratifiedSample]].
+    *
+    * Fully in-plan: domain counts are one map-side-partial aggregate
+    * whose output is domain-cardinality-sized; the derived rate table
+    * broadcasts back, so the data pass is one scan + broadcast-join +
+    * filter — no driver round-trip, no shuffle of the data. Returns
+    * the kept rows with their `sample_rate`. */
+  def temperatureSample(df: DataFrame, idCol: String, groupCol: String,
+                        alpha: Double, targetRows: Double): DataFrame = {
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val tot = counts.agg(sum(col("__n")).as("__tot"))
+    val w = counts.crossJoin(broadcast(tot))
+      .withColumn("__w", pow(
+        col("__n").cast("double") / col("__tot").cast("double"),
+        lit(alpha)))
+    val sw = w.agg(sum(col("__w")).as("__sw"))
+    val rates = w.crossJoin(broadcast(sw))
+      .select(col(groupCol), least(lit(1.0),
+        lit(targetRows) * (col("__w") / col("__sw")) /
+          col("__n").cast("double")).as("sample_rate"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .where(hashFraction(col(idCol)) < col("sample_rate"))
+  }
+
   /** Contiguous-token sequence packing: documents are laid out as one
     * token stream per shard (shard = hash(id) mod `nShards`, order by
     * id within the shard) and chunked into fixed `window`-token

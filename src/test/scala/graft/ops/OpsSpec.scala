@@ -739,6 +739,27 @@ class OpsSpec extends AnyFunSuite {
     assert(r(12L)._2 == 3L)
   }
 
+  test("temperatureSample flattens the domain mixture: rare domains " +
+    "keep a higher rate than abundant ones, capped at 1.0") {
+    val rows = ((0 until 900).map(i => (i.toLong, "big")) ++
+      (0 until 100).map(i => (1000L + i, "small"))).toDF("id", "dom")
+    val kept = Sampling.temperatureSample(rows, "id", "dom",
+      alpha = 0.5, targetRows = 500.0)
+    val rates = kept.groupBy("dom")
+      .agg(min(col("sample_rate")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // alpha=0.5: weights prop to sqrt(0.9), sqrt(0.1) → small domain's
+    // PER-ROW keep rate must exceed the big domain's
+    assert(rates("small") > rates("big"),
+      s"small ${rates("small")} should exceed big ${rates("big")}")
+    assert(rates.values.forall(r => r > 0.0 && r <= 1.0))
+    // deterministic: same call keeps the same rows
+    val a = kept.select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureSample(rows, "id", "dom", 0.5, 500.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("HLL estimates 20k distinct keys within 3 sigma and register " +
     "arrays merge by max across shards") {
     val n = 20000L
