@@ -1035,6 +1035,70 @@ object PipelineQueries {
         "hll.sum_rho, ex.n_exact FROM hll CROSS JOIN ex"
     })
 
+  /** Portable Count-Min sketch over the trigram stream: the cell
+    * table and the integer point-query estimates (probed on the
+    * deterministic g ≡ 0 mod 101 gram subset) match DuckDB exactly —
+    * CMS never underestimates, so est = exact tightness is counted
+    * outright. */
+  private val sketchCms = Q("q_sketch_cms",
+    (s, d) => {
+      val d0 = docs(s, d)
+      val grams = d0.select(explode(
+        Dedup.ngramFingerprints(Dedup.tokenHashList(col("text")), 3))
+        .as("g"))
+      val sketch = graft.ops.Sketches.cmsBuild(grams, col("g"))
+      val probes = grams.where(col("g") % 101 === 0).select("g").distinct()
+      val est = graft.ops.Sketches.cmsEstimate(probes, "g", sketch)
+      val exact = grams.where(col("g") % 101 === 0)
+        .groupBy("g").agg(count(lit(1)).as("n_exact"))
+      est.join(exact, "g")
+        .agg(count(lit(1)).as("n_probes"),
+          sum(col("cms_count")).as("sum_est"),
+          sum(col("n_exact")).as("sum_exact"),
+          sum(when(col("cms_count") === col("n_exact"), 1L).otherwise(0L))
+            .as("n_tight"),
+          max(col("cms_count") - col("n_exact")).as("max_overest"))
+        .crossJoin(sketch.agg(count(lit(1)).as("n_cells"),
+          sum(col("cnt")).as("cell_mass")))
+    }, {
+      val M = Dedup.NgramFpMod
+      val P = Dedup.P
+      val W = 1024
+      val g3 = s"[((hl[i] * 31 + hl[i+1]) % $M * 31 + hl[i+2]) % $M " +
+        "for i in range(1, len(hl) - 1)]"
+      val probeList = (0 until 4).map(r =>
+        s"{'r': $r, 'p': ((${Dedup.MinhashAs(r)} * hp + " +
+          s"${Dedup.MinhashBs(r)}) % $P) % $W}").mkString(", ")
+      s"WITH t AS (SELECT [${TextAnalysis.TokenHashSql("w")} % $M " +
+        "for w in string_split(text, ' ')] AS hl FROM documents), " +
+        s"gr AS (SELECT unnest($g3) AS g FROM t), " +
+        "hp AS (SELECT g, " +
+        s"${TextAnalysis.TokenHashSql("g::VARCHAR")} % $P AS hp FROM gr), " +
+        s"occ AS (SELECT unnest([$probeList]) AS u FROM hp), " +
+        "sk AS (SELECT u.r AS r, u.p AS p, count(*) AS cnt FROM occ " +
+        "GROUP BY u.r, u.p), " +
+        "pk AS (SELECT DISTINCT g FROM gr WHERE g % 101 = 0), " +
+        "php AS (SELECT g, " +
+        s"${TextAnalysis.TokenHashSql("g::VARCHAR")} % $P AS hp FROM pk), " +
+        "pocc AS (SELECT g, u.r AS r, u.p AS p FROM " +
+        s"(SELECT g, unnest([$probeList]) AS u FROM php)), " +
+        "pest AS (SELECT g, min(COALESCE(sk.cnt, 0)) AS est FROM pocc " +
+        "LEFT JOIN sk USING (r, p) GROUP BY g), " +
+        "ex AS (SELECT g, count(*) AS n_exact FROM gr WHERE g % 101 = 0 " +
+        "GROUP BY g), " +
+        "j AS (SELECT pest.g, pest.est, ex.n_exact FROM pest " +
+        "JOIN ex USING (g)), " +
+        "agg AS (SELECT count(*) AS n_probes, " +
+        "CAST(sum(est) AS BIGINT) AS sum_est, " +
+        "CAST(sum(n_exact) AS BIGINT) AS sum_exact, " +
+        "CAST(sum(CASE WHEN est = n_exact THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_tight, " +
+        "CAST(max(est - n_exact) AS BIGINT) AS max_overest FROM j), " +
+        "cs AS (SELECT count(*) AS n_cells, " +
+        "CAST(sum(cnt) AS BIGINT) AS cell_mass FROM sk) " +
+        "SELECT agg.*, cs.* FROM agg CROSS JOIN cs"
+    })
+
   // ------------------------------------------------------ text analysis
 
   private def stopSql(lang: String): String = {
@@ -1454,7 +1518,7 @@ object PipelineQueries {
     embedKmeans,
     embedPq, embedIvfPq, embedRerank,
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,
-    textPerplexity, textBm25, textPii, textContamination, sketchHll,
+    textPerplexity, textBm25, textPii, textContamination, sketchHll, sketchCms,
     textDupNgrams, qualityGopher, multimodalMeta, curation,
     sampleStratified, sampleTemperature, packSequences)
 }

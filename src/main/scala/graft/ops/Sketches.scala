@@ -57,6 +57,48 @@ object Sketches {
     agg.select(est.as("hll_estimate"), col("n_seen"), col("sum_rho"))
   }
 
+  // ------------------------------------------------- Count-Min sketch
+
+  /** Per-row CMS bucket positions: row r probes
+    * ((a_r·(h mod P) + b_r) mod P) mod width with the [[Dedup]]
+    * permutation coefficients — the same universal-hash family the
+    * MinHash signatures use, so the sketch is portable for free. */
+  def cmsPositions(hp: Column, depth: Int, width: Int): Seq[Column] = {
+    require(depth >= 1 && depth <= Dedup.NumPerms, s"bad depth=$depth")
+    (0 until depth).map(r =>
+      ((lit(Dedup.MinhashAs(r)) * hp + lit(Dedup.MinhashBs(r))) %
+        lit(Dedup.P)) % lit(width.toLong))
+  }
+
+  private def hashP(key: Column): Column =
+    TextAnalysis.tokenHash(key.cast("string")) % lit(Dedup.P)
+
+  /** Build the Count-Min sketch (Cormode & Muthukrishnan 2005) of the
+    * multiset of `key` values: a (row, pos, cnt) cell table of at
+    * most depth×width rows — KBs however large the input, built by
+    * one map-side-partial aggregate. Cells never touched are absent
+    * (zero). Sketches of corpus shards merge by cell-wise SUM — the
+    * mergeable-sketch property, dual to HLL's max. */
+  def cmsBuild(df: DataFrame, key: Column, depth: Int = 4,
+               width: Int = 1024): DataFrame =
+    df.select(hashP(key).as("__hp"))
+      .select(posexplode(array(
+        cmsPositions(col("__hp"), depth, width): _*)).as(Seq("r", "p")))
+      .groupBy("r", "p").agg(count(lit(1)).as("cnt"))
+
+  /** Point-query estimates for a set of keys: min over rows of the
+    * probed cells — an integer that NEVER underestimates the true
+    * count (the CMS guarantee), so est = exact is checkable
+    * outright. `queries` should hold distinct keys in `keyCol`. */
+  def cmsEstimate(queries: DataFrame, keyCol: String, sketch: DataFrame,
+                  depth: Int = 4, width: Int = 1024): DataFrame =
+    queries.select(col(keyCol), hashP(col(keyCol)).as("__hp"))
+      .select(col(keyCol), posexplode(array(
+        cmsPositions(col("__hp"), depth, width): _*)).as(Seq("r", "p")))
+      .join(sketch, Seq("r", "p"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .groupBy(col(keyCol)).agg(min(col("cnt")).as("cms_count"))
+
   /** DuckDB rendering of the same sketch over key expression `key`
     * (a SQL fragment yielding a VARCHAR-castable value); returns a
     * SELECT producing (hll_estimate, n_seen, sum_rho) from relation

@@ -760,6 +760,33 @@ class OpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("CMS never underestimates, is exact on a zipf head, and " +
+    "shard sketches merge by cell-wise sum") {
+    // zipf-ish multiset: key k appears (200 - k) times, k in [0, 200)
+    val rows = (0L until 200L).flatMap(k =>
+      Seq.fill((200 - k).toInt)(k)).toDF("k")
+    val sketch = Sketches.cmsBuild(rows, col("k"))
+    val probes = rows.select("k").distinct()
+    val est = Sketches.cmsEstimate(probes, "k", sketch)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 200L).foreach { k =>
+      val exact = 200L - k
+      assert(est(k) >= exact, s"CMS underestimated key $k")
+    }
+    // 40200 items into 4x1024 cells: the head keys should be exact
+    assert(est(0L) == 200L && est(1L) == 199L)
+    // mergeability: shard sketches sum to the whole sketch
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      Sketches.cmsBuild(df, col("k")).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = cells(rows)
+    val a = cells(rows.where(col("k") < 100))
+    val b = cells(rows.where(col("k") >= 100))
+    val merged = (a.keySet ++ b.keySet).map { c =>
+      c -> (a.getOrElse(c, 0L) + b.getOrElse(c, 0L)) }.toMap
+    assert(merged == whole)
+  }
+
   test("HLL estimates 20k distinct keys within 3 sigma and register " +
     "arrays merge by max across shards") {
     val n = 20000L
