@@ -1015,9 +1015,11 @@ object PipelineQueries {
   private val sketchHll = Q("q_sketch_hll",
     (s, d) => {
       val d0 = docs(s, d)
+      // native one-pass kernel (per-doc DISTINCT grams) — the
+      // composable fold re-runs the md5 transform per window when
+      // Catalyst collapses the projections (quadratic per doc)
       val grams = d0.select(explode(
-        Dedup.ngramFingerprints(Dedup.tokenHashList(col("text")), 3))
-        .as("g"))
+        graft.ops.TextHashExpressions.ngramFps(col("text"), 3)).as("g"))
       graft.ops.Sketches.hllCardinality(grams, col("g"))
         .crossJoin(grams.agg(countDistinct(col("g")).as("n_exact")))
         .select(round(col("hll_estimate"), 5).as("hll_estimate"),
@@ -1028,24 +1030,27 @@ object PipelineQueries {
         "for i in range(1, len(hl) - 1)]"
       s"WITH t AS (SELECT [${TextAnalysis.TokenHashSql("w")} % $M " +
         "for w in string_split(text, ' ')] AS hl FROM documents), " +
-        s"g AS (SELECT unnest($g3) AS g FROM t), " +
+        s"g AS (SELECT unnest(list_distinct($g3)) AS g FROM t), " +
         s"hll AS (${graft.ops.Sketches.hllSql("g", "g")}), " +
         "ex AS (SELECT count(DISTINCT g) AS n_exact FROM g) " +
         "SELECT round(hll.hll_estimate, 5) AS hll_estimate, hll.n_seen, " +
         "hll.sum_rho, ex.n_exact FROM hll CROSS JOIN ex"
     })
 
-  /** Portable Count-Min sketch over the trigram stream: the cell
-    * table and the integer point-query estimates (probed on the
+  /** Portable Count-Min sketch over the per-doc-distinct trigram
+    * stream (cell counts are document frequencies): the cell table
+    * and the integer point-query estimates (probed on the
     * deterministic g ≡ 0 mod 101 gram subset) match DuckDB exactly —
     * CMS never underestimates, so est = exact tightness is counted
     * outright. */
   private val sketchCms = Q("q_sketch_cms",
     (s, d) => {
       val d0 = docs(s, d)
+      // native one-pass kernel (per-doc DISTINCT grams) — the
+      // composable fold re-runs the md5 transform per window when
+      // Catalyst collapses the projections (quadratic per doc)
       val grams = d0.select(explode(
-        Dedup.ngramFingerprints(Dedup.tokenHashList(col("text")), 3))
-        .as("g"))
+        graft.ops.TextHashExpressions.ngramFps(col("text"), 3)).as("g"))
       val sketch = graft.ops.Sketches.cmsBuild(grams, col("g"))
       val probes = grams.where(col("g") % 101 === 0).select("g").distinct()
       val est = graft.ops.Sketches.cmsEstimate(probes, "g", sketch)
@@ -1071,7 +1076,7 @@ object PipelineQueries {
           s"${Dedup.MinhashBs(r)}) % $P) % $W}").mkString(", ")
       s"WITH t AS (SELECT [${TextAnalysis.TokenHashSql("w")} % $M " +
         "for w in string_split(text, ' ')] AS hl FROM documents), " +
-        s"gr AS (SELECT unnest($g3) AS g FROM t), " +
+        s"gr AS (SELECT unnest(list_distinct($g3)) AS g FROM t), " +
         "hp AS (SELECT g, " +
         s"${TextAnalysis.TokenHashSql("g::VARCHAR")} % $P AS hp FROM gr), " +
         s"occ AS (SELECT unnest([$probeList]) AS u FROM hp), " +

@@ -339,8 +339,12 @@ object Dedup {
   def contamination(corpus: DataFrame, benchmark: DataFrame,
                     textCol: String, idCol: String,
                     n: Int = 3): DataFrame = {
-    val grams = array_distinct(
-      ngramFingerprints(tokenHashList(col(textCol)), n))
+    // the native one-pass kernel, NOT the composable
+    // tokenHashList+ngramFingerprints pair: Catalyst's project
+    // collapse inlines the hash-list into every element_at of the
+    // fold and re-runs the md5 transform per window — O(tokens²)
+    // hashing per doc (measured 120s → ~1s at sf0.1)
+    val grams = TextHashExpressions.ngramFps(col(textCol), n)
     val bg = benchmark.select(explode(grams).as("g")).distinct()
     val cg = corpus
       .select(col(idCol), grams.as("__gs"))
