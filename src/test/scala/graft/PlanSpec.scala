@@ -69,4 +69,23 @@ class PlanSpec extends AnyFunSuite {
     assert(bc.keySet == sh.keySet)
     bc.foreach { case (k, v) => assert(math.abs(v - sh(k)) < 1e-12, k) }
   }
+
+  test("round-4 ops keep their scale shapes: no Window anywhere, " +
+    "contamination probes via broadcast") {
+    Seq("q_text_contamination", "q_text_bm25", "q_sample_temperature",
+      "q_text_perplexity", "q_sketch_hll", "q_sketch_cms",
+      "q_dedup_bloom").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$name: Window in plan")
+    }
+    // the benchmark gram set is human-sized and must broadcast, so the
+    // corpus-side probe is map-side — never a shuffle of the corpus
+    val c = SparkEntry.queries("q_text_contamination")(spark, sf)
+    c.collect()
+    assert(c.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "contamination: benchmark grams should broadcast")
+  }
 }
