@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops.Events
+
+/** Oracle corpus for the event-stream operators ([[graft.ops.Events]]):
+  * as-of join and gap-based sessionization over the `events` table.
+  * Timestamps are int64 epoch-nanos on both engines (Spark reads the
+  * TIMESTAMP(NANOS) column as LongType under
+  * `spark.sql.legacy.parquet.nanosAsLong`; DuckDB uses `epoch_ns`), so
+  * every comparison is exact integer arithmetic.
+  *
+  * The DuckDB side is a deliberately INDEPENDENT formulation (left
+  * join + row_number qualify for as-of; plain window SQL for
+  * sessionization) so the oracle checks semantics, not a transliterated
+  * plan.
+  */
+object EventQueries {
+  import OracleQueries.Q
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+
+  /** Session gap: 6 hours, in nanos. */
+  val SessionGapNanos: Long = 6L * 3600 * 1000000000L
+
+  /** As-of join: every non-purchase event picks up the user's most
+    * recent purchase at-or-before it; per-event-type match stats. */
+  private val eventsAsof = Q("q_events_asof",
+    (s, d) => {
+      val ev = events(s, d)
+      val left = ev.where(col("event_type") =!= "purchase")
+        .select("event_id", "user_id", "ts", "event_type", "value")
+      val right = ev.where(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      Events.asofJoin(left, right, "user_id", "ts", "event_id",
+        Seq("event_id", "value"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("asof_event_id").isNotNull, 1L).otherwise(0L))
+            .as("n_matched"),
+          sum(coalesce(col("asof_event_id"), lit(0L))).as("pid_sum"),
+          round(avg(col("value") - col("asof_value")), 5).as("avg_lift"))
+        .orderBy("event_type")
+    },
+    "WITH l AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn, " +
+      "event_type, value FROM events WHERE event_type <> 'purchase'), " +
+      "r AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn, value " +
+      "FROM events WHERE event_type = 'purchase'), " +
+      "j AS (SELECT l.event_id, l.event_type, l.value, " +
+      "r.event_id AS pid, r.value AS pvalue, " +
+      "row_number() OVER (PARTITION BY l.event_id " +
+      "ORDER BY r.tsn DESC, r.event_id DESC) AS rk " +
+      "FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.tsn <= l.tsn) " +
+      "SELECT event_type, count(*) AS n, " +
+      "CAST(sum(CASE WHEN pid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_matched, CAST(sum(coalesce(pid, 0)) AS BIGINT) AS pid_sum, " +
+      "round(avg(value - pvalue), 5) AS avg_lift " +
+      "FROM j WHERE rk = 1 GROUP BY event_type ORDER BY event_type")
+
+  /** Gap-based sessionization: 6-hour gap splits a user's stream into
+    * sessions; per-cohort (user_id mod 10) session-shape stats. */
+  private val eventsSessionize = Q("q_events_sessionize",
+    (s, d) => {
+      val sess = Events.sessionStats(
+        Events.sessionize(events(s, d), "user_id", "ts", "event_id",
+          SessionGapNanos), "user_id", "ts")
+      sess.groupBy((col("user_id") % 10).as("cohort"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(col("n_events")).as("max_len"),
+          sum(when(col("n_events") === 1, 1L).otherwise(0L))
+            .as("n_singleton"),
+          round(avg(col("span_ns") / lit(1e9)), 5).as("avg_span_sec"))
+        .orderBy("cohort")
+    },
+    "WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events), " +
+      "g AS (SELECT user_id, event_id, tsn, CASE WHEN " +
+      "lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) IS NULL " +
+      "OR tsn - lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) " +
+      s"> $SessionGapNanos THEN 1 ELSE 0 END AS nw FROM e), " +
+      "si AS (SELECT user_id, tsn, sum(nw) OVER (PARTITION BY user_id " +
+      "ORDER BY tsn, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+      "CURRENT ROW) AS session_idx FROM g), " +
+      "sess AS (SELECT user_id, session_idx, count(*) AS n_events, " +
+      "max(tsn) - min(tsn) AS span_ns FROM si GROUP BY 1, 2) " +
+      "SELECT user_id % 10 AS cohort, count(*) AS n_sessions, " +
+      "CAST(sum(n_events) AS BIGINT) AS n_events, max(n_events) AS max_len, " +
+      "CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_singleton, round(avg(span_ns / 1000000000.0), 5) " +
+      "AS avg_span_sec FROM sess GROUP BY cohort ORDER BY cohort")
+
+  val all: Vector[Q] = Vector(eventsAsof, eventsSessionize)
+}

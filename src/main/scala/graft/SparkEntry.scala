@@ -35,10 +35,12 @@ object SparkEntry {
     * beyond-reference pipeline operators). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     OracleQueries.queries ++
-      PipelineQueries.all.map(q => q.name -> q.spark).toMap
+      (PipelineQueries.all ++ EventQueries.all)
+        .map(q => q.name -> q.spark).toMap
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     OracleQueries.oracleSql ++
-      PipelineQueries.all.map(q => q.name -> q.sql).toMap
+      (PipelineQueries.all ++ EventQueries.all)
+        .map(q => q.name -> q.sql).toMap
 }

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream relational operators the reference has no analog for
+  * (its only "time" axis is SGD iteration count) but that any
+  * large-scale behavioral / training-telemetry pipeline needs: as-of
+  * (point-in-time) joins and gap-based sessionization.
+  *
+  * Timestamps are int64 epoch-nanos end to end (the parquet fixtures
+  * read as LongType under `spark.sql.legacy.parquet.nanosAsLong`;
+  * DuckDB mirrors with `epoch_ns`), so every comparison is exact
+  * integer arithmetic — no timezone or unit drift between engines.
+  *
+  * Scale shapes:
+  *  - [[asofJoin]] is NOT a range join (Spark would execute the
+  *    `r.ts <= l.ts` non-equi condition as a per-key nested loop —
+  *    quadratic in events-per-key). Instead the two sides UNION (a
+  *    zero-shuffle concat) and ONE window pass partitioned by the
+  *    high-cardinality key carries the latest right-side payload
+  *    forward onto each left row. Total cost = one exchange + one
+  *    sort of (left ∪ right), linear per key — the merge-scan an
+  *    ASOF-aware engine (DuckDB, kdb) runs natively.
+  *  - [[sessionize]] is the same single exchange + sort per key; the
+  *    lag/cumsum pair shares one window spec, so Catalyst plans one
+  *    Window operator chain over one shuffle.
+  */
+object Events {
+
+  /** As-of join: attach to each `left` row the payload of the most
+    * recent `right` row with the same `keyCol` and `right.tsCol <=
+    * left.tsCol` (ties on ts broken toward the greatest `seqCol`,
+    * and a right row at exactly left.ts IS visible). Unmatched left
+    * rows keep null payloads (left-outer semantics).
+    *
+    * `right` must carry `keyCol`, `tsCol`, `seqCol` and the
+    * `payloadCols`; payloads land on the output as `prefix+name`.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, seqCol: String, payloadCols: Seq[String],
+               prefix: String = "asof_"): DataFrame = {
+    require(payloadCols.nonEmpty, "asofJoin needs at least one payload column")
+    val r0 = right.select(col(keyCol), col(tsCol), col(seqCol).as("__seq"),
+      lit(0).as("__side"),
+      struct(payloadCols.map(col): _*).as("__p"))
+    val pType = r0.schema("__p").dataType
+    val l0 = left
+      .withColumn("__seq", col(seqCol))
+      .withColumn("__side", lit(1))
+      .withColumn("__p", lit(null).cast(pType))
+    // right rows carry nulls for the left-only columns so the two
+    // sides union into one relation
+    val extras = left.columns.filterNot(c => c == keyCol || c == tsCol)
+    val r1 = extras.foldLeft(r0) { (d, c) =>
+      d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val cols = left.columns.map(col) :+ col("__seq") :+ col("__side") :+ col("__p")
+    val u = l0.select(cols: _*).unionByName(r1.select(cols: _*))
+    // at equal (key, ts): __side orders right(0) before left(1), so an
+    // exact-ts right row is already visible; among equal-ts right rows
+    // the greatest __seq wins (it sorts last under last())
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("__side").asc, col("__seq").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        payloadCols.map(p => col("__m").getField(p).as(prefix + p)): _*)
+  }
+
+  /** Gap-based sessionization: within each `keyCol`, events ordered by
+    * (tsCol, seqCol) belong to one session until a gap greater than
+    * `gapNanos` starts the next. Adds `session_idx` (1-based per key).
+    * One exchange on the key; lag + running-sum share the sort. */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+                 seqCol: String, gapNanos: Long): DataFrame = {
+    require(gapNanos > 0, s"bad session gap $gapNanos")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(seqCol))
+    val prev = lag(col(tsCol), 1).over(w)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__new",
+        when(prev.isNull || col(tsCol) - prev > lit(gapNanos), 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("__new")).over(cum))
+      .drop("__new")
+  }
+
+  /** Per-session rollup of a sessionized frame: one row per (key,
+    * session_idx) with event count and span. A second exchange on
+    * (key, session) — partial-aggregated map-side like any hash agg. */
+  def sessionStats(sessions: DataFrame, keyCol: String,
+                   tsCol: String): DataFrame =
+    sessions.groupBy(col(keyCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col(tsCol)) - min(col(tsCol))).as("span_ns"))
+}

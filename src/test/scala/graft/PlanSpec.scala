@@ -88,4 +88,34 @@ class PlanSpec extends AnyFunSuite {
       .contains("BroadcastHashJoin"),
       "contamination: benchmark grams should broadcast")
   }
+
+  test("as-of join is union + one keyed window pass — never a " +
+    "non-equi join (per-key nested loop)") {
+    // Spark executes `r.ts <= l.ts` range conditions as a filtered
+    // per-key loop — quadratic in events-per-key. The merge-scan shape
+    // (union, one exchange on the key, one sort, carry-forward window)
+    // is linear; assert no join operator of any kind survives.
+    val df = SparkEntry.queries("q_events_asof")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Union") && plan.contains("Window"),
+      "asof: expected union + window merge-scan")
+    assert(!plan.contains("Join"), s"asof: join operator in plan")
+  }
+
+  test("sessionize shares one exchange+sort between lag and the " +
+    "running session counter") {
+    val df = SparkEntry.queries("q_events_sessionize")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), "sessionize: expected window pass")
+    assert(!plan.contains("Join"), "sessionize: join operator in plan")
+    // lag and cumsum are framed on the same (key, ts, seq) sort: the
+    // plan must sort on the window key exactly once (the output
+    // orderBy("cohort") is a separate, result-sized sort; AQE echoes
+    // the pre-adaptive plan after "== Initial Plan ==" — exclude it)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val sorts = "Sort \\[user_id".r.findAllIn(finalPlan).size
+    assert(sorts == 1, s"sessionize: $sorts window-key sorts, want 1")
+  }
 }

@@ -1,0 +1,101 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** As-of join and sessionization: checked against brute-force
+  * in-memory oracles, including the edge cases the fixture data lacks
+  * (equal-ts ties, unmatched keys, empty right side). */
+class EventsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // (id, key, ts, value) — deliberate ties: right rows at the exact
+  // left ts, and two right rows at the same (key, ts)
+  private val leftRows = Seq(
+    (1L, 1L, 100L, 10.0), (2L, 1L, 200L, 20.0), (3L, 1L, 50L, 5.0),
+    (4L, 2L, 150L, 15.0), (5L, 3L, 400L, 40.0))
+  private val rightRows = Seq(
+    (11L, 1L, 100L, 1.0), // exact-ts match for left id=1
+    (12L, 1L, 180L, 2.0),
+    (13L, 2L, 150L, 3.0), (14L, 2L, 150L, 4.0), // (key,ts) tie: max seq wins
+    (15L, 4L, 10L, 9.0)) // key absent on the left
+
+  private def naiveAsof(l: (Long, Long, Long, Double)) = {
+    val cand = rightRows.filter(r => r._2 == l._2 && r._3 <= l._3)
+    if (cand.isEmpty) None
+    else Some(cand.maxBy(r => (r._3, r._1))) // latest ts, then max seq
+  }
+
+  test("asofJoin matches the brute-force oracle incl. exact-ts and " +
+    "same-ts-tie semantics; unmatched rows keep null payloads") {
+    val l = leftRows.toDF("event_id", "user_id", "ts", "value")
+    val r = rightRows.toDF("event_id", "user_id", "ts", "value")
+    val out = Events.asofJoin(l, r, "user_id", "ts", "event_id",
+      Seq("event_id", "value"))
+      .select("event_id", "asof_event_id", "asof_value")
+      .collect().map(x => (x.getLong(0),
+        if (x.isNullAt(1)) None else Some(x.getLong(1)),
+        if (x.isNullAt(2)) None else Some(x.getDouble(2)))).toSet
+    val want = leftRows.map { lr =>
+      val m = naiveAsof(lr)
+      (lr._1, m.map(_._1), m.map(_._4))
+    }.toSet
+    assert(out == want)
+    // id=1 sees the exact-ts purchase; id=4 (tie) sees seq 14
+    assert(out.contains((1L, Some(11L), Some(1.0))))
+    assert(out.contains((4L, Some(14L), Some(4.0))))
+    assert(out.contains((5L, None, None)), "no purchase for key 3")
+  }
+
+  test("asofJoin with an empty right side is a pure left projection " +
+    "with null payloads") {
+    val l = leftRows.toDF("event_id", "user_id", "ts", "value")
+    val r = rightRows.toDF("event_id", "user_id", "ts", "value")
+      .where(lit(false))
+    val out = Events.asofJoin(l, r, "user_id", "ts", "event_id",
+      Seq("value"))
+    assert(out.count() == leftRows.size)
+    assert(out.where(col("asof_value").isNotNull).count() == 0)
+  }
+
+  test("sessionize splits on gaps > threshold and session_idx is a " +
+    "1-based per-key counter; sessionStats spans are exact") {
+    // key 1: gaps 10, 100(new), 10 → sessions [a,b],[c,d]
+    val rows = Seq((1L, 1L, 0L), (2L, 1L, 10L), (3L, 1L, 110L),
+      (4L, 1L, 120L), (5L, 2L, 1000L)).toDF("event_id", "user_id", "ts")
+    val s = Events.sessionize(rows, "user_id", "ts", "event_id",
+      gapNanos = 50L)
+    val got = s.select("event_id", "session_idx").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+    val stats = Events.sessionStats(s, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(stats == Map((1L, 1L) -> (2L, 10L), (1L, 2L) -> (2L, 10L),
+      (2L, 1L) -> (1L, 0L)))
+  }
+
+  test("fixture events: every non-purchase row's as-of purchase is " +
+    "the true latest-at-or-before purchase (sampled check)") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select("event_id", "user_id", "ts", "event_type", "value")
+    val left = ev.where(col("event_type") =!= "purchase")
+    val right = ev.where(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    val out = Events.asofJoin(left, right, "user_id", "ts", "event_id",
+      Seq("event_id")).cache()
+    val purchases = right.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sample = out.orderBy("event_id").limit(200).collect()
+    sample.foreach { r =>
+      val (uid, ts) = (r.getLong(1), r.getLong(2))
+      val want = purchases.filter(p => p._1 == uid && p._2 <= ts)
+        .sortBy(p => (p._2, p._3)).lastOption.map(_._3)
+      val got = if (r.isNullAt(5)) None else Some(r.getLong(5))
+      assert(got == want, s"event ${r.getLong(0)}")
+    }
+  }
+}
