@@ -1313,6 +1313,39 @@ object PipelineQueries {
   /** Contiguous-token sequence packing: per-shard window counts,
     * boundary-crossing docs, and the start-offset checksum (pins every
     * doc's position in its shard's token stream). */
+  /** Exact-n deterministic sample: the FixedN smallest hash draws.
+    * Returns the rows themselves (ids + source) — membership is the
+    * verified property; TakeOrderedAndProject is the verified shape. */
+  private val FixedN = 100
+  private val sampleFixedN = Q("q_sample_fixedn",
+    (s, d) => Sampling.sampleFixedN(docs(s, d), "doc_id", FixedN)
+      .select("doc_id", "source"),
+    "SELECT doc_id, source FROM documents " +
+      s"ORDER BY ${Sampling.HashFractionSql("doc_id")}, doc_id " +
+      s"LIMIT $FixedN")
+
+  /** Corpus data card: ROLLUP(source, lang) — per-cell, per-source,
+    * and grand-total doc/char/token stats in ONE pass (the grouping-
+    * sets template category; partial-agg'd like any hash aggregate). */
+  private val statsRollup = Q("q_stats_rollup",
+    (s, d) => docs(s, d)
+      .rollup("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars"),
+        sum(size(TextAnalysis.tokens(col("text"))).cast("long"))
+          .as("tokens"),
+        round(avg(col("n_chars")), 5).as("avg_chars"))
+      .select(coalesce(col("source"), lit("ALL")).as("source"),
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        col("n_docs"), col("chars"), col("tokens"), col("avg_chars"))
+      .orderBy("source", "lang"),
+    "SELECT coalesce(source, 'ALL') AS source, " +
+      "coalesce(lang, 'ALL') AS lang, count(*) AS n_docs, " +
+      "CAST(sum(n_chars) AS BIGINT) AS chars, " +
+      "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens, " +
+      "round(avg(n_chars), 5) AS avg_chars FROM documents " +
+      "GROUP BY ROLLUP(source, lang) ORDER BY source, lang")
+
   private val packSequences = Q("q_pack_sequences",
     (s, d) => Sampling.packSequences(docs(s, d), "doc_id", "text",
         PackWindow, PackShards)
@@ -1525,5 +1558,6 @@ object PipelineQueries {
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,
     textPerplexity, textBm25, textPii, textContamination, sketchHll, sketchCms,
     textDupNgrams, qualityGopher, multimodalMeta, curation,
-    sampleStratified, sampleTemperature, packSequences)
+    sampleStratified, sampleTemperature, sampleFixedN, statsRollup,
+    packSequences)
 }

@@ -88,6 +88,22 @@ object Sampling {
       .where(hashFraction(col(idCol)) < col("sample_rate"))
   }
 
+  /** Deterministic EXACT-size sample: the `n` rows with the smallest
+    * hash draw (ties broken by id). Where [[sampleByHash]] gives a
+    * binomial-sized sample, this gives exactly n — the "pick 10k eval
+    * docs" operation — while keeping every hash-sampling property:
+    * reproducible, engine-independent, and NESTED (the fixed-100
+    * sample is a subset of the fixed-1000 sample, because membership
+    * is rank-in-a-fixed-order).
+    *
+    * Scale shape: orderBy+limit plans as TakeOrderedAndProject —
+    * per-partition top-n heaps merged on the driver, O(n) memory,
+    * never a global sort. */
+  def sampleFixedN(df: DataFrame, idCol: String, n: Int): DataFrame = {
+    require(n > 0, s"bad sample size $n")
+    df.orderBy(hashFraction(col(idCol)).asc, col(idCol).asc).limit(n)
+  }
+
   /** Contiguous-token sequence packing: documents are laid out as one
     * token stream per shard (shard = hash(id) mod `nShards`, order by
     * id within the shard) and chunked into fixed `window`-token

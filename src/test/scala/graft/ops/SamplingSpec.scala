@@ -47,6 +47,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(bySrc.get("src1").contains(src1Total), "rate 1 keeps all")
   }
 
+  test("sampleFixedN: exact size, deterministic, and NESTED (n=50 ⊂ " +
+    "n=200); plans as TakeOrdered, not a global sort") {
+    val d = docs.select("doc_id", "source")
+    val at50 = Sampling.sampleFixedN(d, "doc_id", 50)
+      .select("doc_id").as[Long].collect().toSet
+    val at200 = Sampling.sampleFixedN(d, "doc_id", 200)
+      .select("doc_id").as[Long].collect().toSet
+    assert(at50.size == 50 && at200.size == 200)
+    assert(at50.subsetOf(at200), "fixed-n samples must nest")
+    val again = Sampling.sampleFixedN(d, "doc_id", 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == at50)
+    val q = Sampling.sampleFixedN(d, "doc_id", 50)
+    q.collect()
+    assert(q.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"),
+      "fixed-n sampling must plan as per-partition top-n, not a sort")
+  }
+
   test("packSequences: offsets are a contiguous per-shard layout and " +
     "window indices follow from them") {
     val p = Sampling.packSequences(docs, "doc_id", "text", 64, 3).cache()
