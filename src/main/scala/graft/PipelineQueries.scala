@@ -800,6 +800,28 @@ object PipelineQueries {
   /** Cross-document duplicated-n-gram rate (Lee et al. 2022 signal):
     * per-source average share of a doc's distinct trigrams occurring
     * in ≥ 2 docs, and the count of dup-heavy (≥ 0.5) docs. */
+  /** Top-V vocabulary: fingerprint-shuffled tf/df with a min-count
+    * prune; the DuckDB side rebuilds the same hash pipeline so the
+    * cutoff tie-break (tf desc, hash asc) is engine-identical. */
+  private val VocabMinCount = 10L
+  private val VocabTopV = 25
+  private val textVocab = Q("q_text_vocab",
+    (s, d) => TextAnalysis.vocabulary(docs(s, d), "doc_id", "text",
+      VocabMinCount, VocabTopV).orderBy(col("tf").desc, col("token")),
+    "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+      "FROM documents), " +
+      s"h AS (SELECT doc_id, tok, ${TextAnalysis.TokenHashSql("tok")} " +
+      "AS th FROM toks), " +
+      "dc AS (SELECT th, doc_id, count(*) AS c FROM h GROUP BY 1, 2), " +
+      "v AS (SELECT th, CAST(sum(c) AS BIGINT) AS tf, count(*) AS df " +
+      s"FROM dc GROUP BY th HAVING sum(c) >= $VocabMinCount), " +
+      s"top AS (SELECT th, tf, df FROM v ORDER BY tf DESC, th " +
+      s"LIMIT $VocabTopV), " +
+      "names AS (SELECT h.th, min(h.tok) AS token FROM h " +
+      "JOIN top ON h.th = top.th GROUP BY h.th) " +
+      "SELECT names.token, top.tf, top.df FROM top " +
+      "JOIN names ON top.th = names.th ORDER BY top.tf DESC, names.token")
+
   private val textDupNgrams = Q("q_text_dupngrams",
     (s, d) => {
       val d0 = docs(s, d)
@@ -1556,6 +1578,7 @@ object PipelineQueries {
     embedKmeans,
     embedPq, embedIvfPq, embedRerank,
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,
+    textVocab,
     textPerplexity, textBm25, textPii, textContamination, sketchHll, sketchCms,
     textDupNgrams, qualityGopher, multimodalMeta, curation,
     sampleStratified, sampleTemperature, sampleFixedN, statsRollup,

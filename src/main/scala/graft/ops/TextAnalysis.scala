@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: language ID,
@@ -186,4 +186,36 @@ object TextAnalysis {
     s"regexp_replace(regexp_replace(regexp_replace($col, " +
       s"'$UrlRe', '<URL>', 'g'), '$EmailRe', '<EMAIL>', 'g'), " +
       s"'$DigitRunRe', '<NUM>', 'g')"
+
+  // ---------------------------------------------------- vocabulary
+
+  /** Top-`topV` vocabulary with term and document frequencies,
+    * pruned at `minCount` total occurrences. Ties at the cutoff break
+    * on the token hash, so the result is deterministic on any engine.
+    *
+    * Scale design — strings never shuffle: tokens reduce to 60-bit
+    * fingerprints before the two hash aggregates ((hash, doc) → tf,
+    * then hash → (tf, df), both map-side partial), top-V is a
+    * TakeOrdered over the pruned (hash-cardinality-sized) table, and
+    * a second map-only corpus pass probes the BROADCAST top-V hash
+    * set to recover the spellings (min() resolves an astronomically
+    * unlikely fingerprint collision deterministically). At 100 TB the
+    * shuffled bytes are 16/row vs full token text, the same trade
+    * [[Dedup]] makes for n-gram fingerprints. */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String,
+                 minCount: Long, topV: Int): DataFrame = {
+    require(topV > 0, s"bad vocabulary size $topV")
+    val hashed = df.select(col(idCol).as("__id"),
+        explode(tokens(col(textCol))).as("__tok"))
+      .select(col("__id"), col("__tok"), tokenHash(col("__tok")).as("__th"))
+    val perDoc = hashed.groupBy("__th", "__id")
+      .agg(count(lit(1)).as("__c"))
+    val byTerm = perDoc.groupBy("__th")
+      .agg(sum(col("__c")).as("tf"), count(lit(1)).as("df"))
+      .where(col("tf") >= minCount)
+    val top = byTerm.orderBy(col("tf").desc, col("__th").asc).limit(topV)
+    val names = hashed.join(broadcast(top.select("__th")), Seq("__th"))
+      .groupBy("__th").agg(min(col("__tok")).as("token"))
+    top.join(names, Seq("__th")).select(col("token"), col("tf"), col("df"))
+  }
 }

@@ -976,4 +976,34 @@ class OpsSpec extends AnyFunSuite {
     assert(clusters.count() == sigs.count())
     assert(clusters.select("doc_id").distinct().count() == clusters.count())
   }
+
+  test("vocabulary matches a driver-side count and probes the top set " +
+    "via broadcast") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val naive = d.select("text").as[String].collect()
+      .flatMap(_.split(" ")).groupBy(identity)
+      .map { case (t, xs) => (t, xs.length.toLong) }
+    val naiveDf = d.select("doc_id", "text").as[(Long, String)].collect()
+      .flatMap { case (id, t) => t.split(" ").distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (t, xs) => (t, xs.length.toLong) }
+    val top = TextAnalysis.vocabulary(d, "doc_id", "text",
+      minCount = 5L, topV = 30)
+    val got = top.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 30)
+    got.foreach { case (tok, tf, df) =>
+      assert(naive(tok) == tf, s"tf($tok)")
+      assert(naiveDf(tok) == df, s"df($tok)")
+    }
+    // the cutoff is the true frequency order (ties broken by hash —
+    // just check no excluded token beats the included minimum)
+    val minTf = got.map(_._2).min
+    val included = got.map(_._1).toSet
+    naive.filter { case (t, c) => !included.contains(t) }
+      .foreach { case (t, c) => assert(c <= minTf, s"$t excluded at $c") }
+    top.collect()
+    assert(top.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "vocabulary: spelling recovery must probe a broadcast top set")
+  }
 }
