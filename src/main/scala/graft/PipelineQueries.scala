@@ -1065,6 +1065,28 @@ object PipelineQueries {
     * deterministic g ≡ 0 mod 101 gram subset) match DuckDB exactly —
     * CMS never underestimates, so est = exact tightness is counted
     * outright. */
+  /** Histogram quantile sketch over doc length: [0, 640) in 64
+    * ten-char buckets, interpolated p50/p90/p99 plus the integer
+    * (n, Σb·cnt) pair that pins the register table itself. */
+  private val sketchQuantile = Q("q_sketch_quantile",
+    (s, d) => graft.ops.Sketches.histogramQuantiles(docs(s, d),
+      col("n_chars").cast("double"), lo = 0.0, hi = 640.0, nBuckets = 64,
+      qs = Seq(0.5, 0.9, 0.99)),
+    "WITH h AS (SELECT least(greatest(CAST(floor((n_chars - 0.0) / 10.0) " +
+      "AS BIGINT), 0), 63) AS b FROM documents), " +
+      "hist AS (SELECT b, count(*) AS cnt FROM h GROUP BY b), " +
+      "c AS (SELECT b, cnt, sum(cnt) OVER (ORDER BY b ROWS BETWEEN " +
+      "UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+      "sum(cnt) OVER () AS n, sum(b * cnt) OVER () AS checksum FROM hist) " +
+      "SELECT CAST(max(n) AS BIGINT) AS n, " +
+      "CAST(max(checksum) AS BIGINT) AS checksum, " +
+      "(SELECT round(0.0 + 10.0 * (b + (0.5 * n - (cum - cnt)) / cnt), 5) " +
+      "FROM c WHERE cum >= 0.5 * n ORDER BY b LIMIT 1) AS p50, " +
+      "(SELECT round(0.0 + 10.0 * (b + (0.9 * n - (cum - cnt)) / cnt), 5) " +
+      "FROM c WHERE cum >= 0.9 * n ORDER BY b LIMIT 1) AS p90, " +
+      "(SELECT round(0.0 + 10.0 * (b + (0.99 * n - (cum - cnt)) / cnt), 5) " +
+      "FROM c WHERE cum >= 0.99 * n ORDER BY b LIMIT 1) AS p99 FROM c")
+
   private val sketchCms = Q("q_sketch_cms",
     (s, d) => {
       val d0 = docs(s, d)
@@ -1580,6 +1602,7 @@ object PipelineQueries {
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,
     textVocab,
     textPerplexity, textBm25, textPii, textContamination, sketchHll, sketchCms,
+    sketchQuantile,
     textDupNgrams, qualityGopher, multimodalMeta, curation,
     sampleStratified, sampleTemperature, sampleFixedN, statsRollup,
     packSequences)

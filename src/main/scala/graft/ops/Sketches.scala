@@ -99,6 +99,63 @@ object Sketches {
       .na.fill(0L, Seq("cnt"))
       .groupBy(col(keyCol)).agg(min(col("cnt")).as("cms_count"))
 
+  // ---------------------------------------------- histogram quantiles
+
+  /** Equi-width histogram of `x` over [lo, hi): bucket = clamped
+    * ⌊(x−lo)/w⌋, one (bucket, cnt) row per non-empty bucket. The
+    * sketch is at most `nBuckets` rows whatever the input size, built
+    * by one map-side-partial aggregate; shards merge by cell-wise sum
+    * (the same mergeability as [[cmsBuild]]). Out-of-range values
+    * clamp into the edge buckets. */
+  def histogram(df: DataFrame, x: Column, lo: Double, hi: Double,
+                nBuckets: Int): DataFrame = {
+    require(nBuckets > 0 && hi > lo, s"bad histogram spec [$lo,$hi)/$nBuckets")
+    val w = (hi - lo) / nBuckets
+    val b = least(greatest(floor((x - lit(lo)) / lit(w)).cast("long"),
+      lit(0L)), lit(nBuckets - 1L))
+    df.select(b.as("bucket")).groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** One-row quantile estimates from the histogram: for each q the
+    * first bucket whose cumulative count reaches q·n, linearly
+    * interpolated within the bucket — every step deterministic
+    * arithmetic on integer counts, so an external engine rebuilds the
+    * identical estimates (vs the opaque `percentile_approx`). Also
+    * returns n and the Σ bucket·cnt checksum that pins the histogram
+    * itself. The cumulative window runs over the SKETCH (≤ nBuckets
+    * rows), never the data. */
+  def histogramQuantiles(df: DataFrame, x: Column, lo: Double, hi: Double,
+                         nBuckets: Int, qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = (hi - lo) / nBuckets
+    val hist = histogram(df, x, lo, hi, nBuckets)
+    // one sketch-sized sort carries the running count AND the totals
+    // (whole-frame windows) — the source is scanned exactly once
+    val byBucket = Window.orderBy("bucket")
+    val withN = hist
+      .withColumn("cum", sum(col("cnt")).over(byBucket
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(byBucket
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("checksum", sum(col("bucket") * col("cnt")).over(byBucket
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // est is evaluated per qualifying bucket; min(struct(bucket, est))
+    // selects the FIRST such bucket (est alone is not monotone in b)
+    val qCols = qs.map { q =>
+      val t = lit(q) * col("n").cast("double")
+      val est = lit(lo) + lit(w) * (col("bucket").cast("double") +
+        (t - (col("cum") - col("cnt")).cast("double")) /
+          col("cnt").cast("double"))
+      round(min(when(col("cum").cast("double") >= t,
+        struct(col("bucket"), est.as("est")))).getField("est"), 5)
+        .as(s"p${(q * 100).round}")
+    }
+    withN.groupBy(col("n"), col("checksum")).agg(qCols.head, qCols.tail: _*)
+      .select(col("n") +: col("checksum") +: qs.map(q =>
+        col(s"p${(q * 100).round}")): _*)
+  }
+
   /** DuckDB rendering of the same sketch over key expression `key`
     * (a SQL fragment yielding a VARCHAR-castable value); returns a
     * SELECT producing (hll_estimate, n_seen, sum_rho) from relation

@@ -787,6 +787,36 @@ class OpsSpec extends AnyFunSuite {
     assert(merged == whole)
   }
 
+  test("histogram quantiles: exact on a uniform grid, within a bucket " +
+    "width of the true percentile, and shard histograms merge by sum") {
+    // 0..9999 uniformly: true p-quantile of the continuous fit is
+    // 10000p; with [0,10000)/100 buckets each estimate lands within
+    // one 100-wide bucket of it
+    val rows = spark.range(10000L).select(col("id").cast("double").as("x"))
+    val q = Sketches.histogramQuantiles(rows, col("x"), 0.0, 10000.0,
+      100, Seq(0.5, 0.9, 0.99)).head()
+    assert(q.getLong(0) == 10000L)
+    Seq((2, 5000.0), (3, 9000.0), (4, 9900.0)).foreach { case (i, want) =>
+      assert(math.abs(q.getDouble(i) - want) <= 100.0,
+        s"quantile $i: ${q.getDouble(i)} vs $want")
+    }
+    // mergeability: shard histograms sum cell-wise to the whole
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      Sketches.histogram(df, col("x"), 0.0, 10000.0, 100)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val whole = cells(rows)
+    val a = cells(rows.where(col("x") < 3000))
+    val b = cells(rows.where(col("x") >= 3000))
+    val merged = (a.keySet ++ b.keySet).map { c =>
+      c -> (a.getOrElse(c, 0L) + b.getOrElse(c, 0L)) }.toMap
+    assert(merged == whole)
+    // out-of-range values clamp into the edge buckets, not vanish
+    val clamped = Sketches.histogram(
+      Seq(-5.0, 20000.0).toDF("x"), col("x"), 0.0, 10000.0, 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clamped == Map(0L -> 1L, 99L -> 1L))
+  }
+
   test("HLL estimates 20k distinct keys within 3 sigma and register " +
     "arrays merge by max across shards") {
     val n = 20000L
