@@ -455,6 +455,47 @@ object PipelineQueries {
       s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) " +
       s"for i in generate_series(1, len($a))])"
 
+  /** One-pass exact covariance of the embedding space: the d(d+1)/2
+    * fixed-point Gram sums come from a single mergeable aggregation
+    * buffer ([[graft.ops.Pca.gramAgg]]); the oracle rebuilds the
+    * identical integers, so every covariance entry is bit-exact before
+    * its round(5). The d² pair fan-out below runs over the ONE result
+    * row, never the data. */
+  private val EmbDim = 64
+  private val embedCovariance = Q("q_embed_covariance",
+    (s, d) => {
+      val g = embs(s, d)
+        .agg(graft.ops.Pca.gramAgg(col("embedding"), EmbDim).as("g"))
+      val ij = g
+        .select(col("g"), explode(sequence(lit(0), lit(EmbDim - 1))).as("i"))
+        .select(col("g"), col("i"),
+          explode(sequence(col("i"), lit(EmbDim - 1))).as("j"))
+      val n = element_at(col("g"), 1).cast("double")
+      val fx = lit(graft.ops.Pca.FxScale)
+      val si = element_at(col("g"), col("i") + 2).cast("double") / fx
+      val sj = element_at(col("g"), col("j") + 2).cast("double") / fx
+      val t = col("i") * lit(EmbDim) - col("i") * (col("i") - 1) / 2 +
+        (col("j") - col("i"))
+      val sp = element_at(col("g"),
+        (t + lit(EmbDim + 2)).cast("int")).cast("double") / fx
+      ij.select((col("i") + 1).cast("long").as("i"),
+          (col("j") + 1).cast("long").as("j"),
+          round(sp / n - (si / n) * (sj / n), 5).as("cov"))
+        .orderBy("i", "j")
+    },
+    "WITH x AS (SELECT embedding AS e FROM embeddings), " +
+      "s AS (SELECT i, CAST(sum(CAST(round(CAST(e[i] AS DOUBLE) * " +
+      "16777216.0) AS BIGINT)) AS BIGINT) AS si, count(*) AS n FROM x, " +
+      s"generate_series(1, $EmbDim) AS g(i) GROUP BY i), " +
+      "p AS (SELECT i, j, CAST(sum(CAST(round(CAST(e[i] AS DOUBLE) * " +
+      "CAST(e[j] AS DOUBLE) * 16777216.0) AS BIGINT)) AS BIGINT) AS sp " +
+      s"FROM x, generate_series(1, $EmbDim) AS g(i), " +
+      s"generate_series(1, $EmbDim) AS h(j) WHERE i <= j GROUP BY i, j) " +
+      "SELECT p.i, p.j, round((sp / 16777216.0) / sa.n - " +
+      "((sa.si / 16777216.0) / sa.n) * ((sb.si / 16777216.0) / sa.n), 5) AS cov " +
+      "FROM p JOIN s sa ON p.i = sa.i JOIN s sb ON p.j = sb.i " +
+      "ORDER BY p.i, p.j")
+
   private val embedIvf = Q("q_embed_ivf",
     (s, d) => {
       val e = embs(s, d)
@@ -1597,7 +1638,7 @@ object PipelineQueries {
     dedupSpans,
     embedTop1, embedTopK, embedAnnLsh, embedLshSized, embedAnnTop1,
     embedNearDup, embedNearDupCapped, embedClusters, embedIvf, embedIvfMp,
-    embedKmeans,
+    embedKmeans, embedCovariance,
     embedPq, embedIvfPq, embedRerank,
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,
     textVocab,
