@@ -202,6 +202,71 @@ object StreamingOps {
     nBatches.get()
   }
 
+  /** An in-flight session: [startNs, endNs] with its event count. */
+  final case class OpenSession(startNs: Long, endNs: Long, n: Long)
+
+  /** A session emitted once the watermark passes its gap deadline. */
+  final case class ClosedSession(key: Long, start_ns: Long, end_ns: Long,
+                                 n_events: Long)
+
+  /** Event-time streaming sessionization — the incremental form of
+    * [[graft.ops.Events.sessionize]]: per-key gap-merged sessions held
+    * as explicit state (`flatMapGroupsWithState` + EventTimeTimeout),
+    * emitted exactly when the watermark passes a session's
+    * `end + gap` deadline, so a closed session can never be reopened
+    * by in-watermark late data. Out-of-order events merge into (and
+    * can bridge) open sessions; state per key is the open-session
+    * list — bounded by the watermark horizon, sharded by key.
+    *
+    * Same int64-nanos convention as the batch operator; the derived
+    * event-time column only drives the watermark clock. */
+  def sessionizeStream(events: DataFrame, keyCol: String, tsNanos: String,
+                       gapNanos: Long, watermarkDelay: String = "0 seconds")
+      : Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    require(gapNanos > 0, s"bad session gap $gapNanos")
+    val prepared = events
+      .withColumn("__ets", (col(tsNanos) / lit(1e9)).cast("timestamp"))
+      .select(col(keyCol).cast("long").as("k"),
+        col(tsNanos).cast("long").as("t"), col("__ets"))
+      .withWatermark("__ets", watermarkDelay)
+    prepared.as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[OpenSession], ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[List[OpenSession]]) =>
+          def deadlineMs(s: OpenSession): Long = (s.endNs + gapNanos) / 1000000L
+          val existing = state.getOption.getOrElse(Nil)
+          val incoming = rows.map(r => OpenSession(r._2, r._2, 1L)).toList
+          val merged =
+            if (incoming.isEmpty) existing
+            else {
+              val all = (existing ++ incoming)
+                .sortBy(s => (s.startNs, s.endNs))
+              all.tail.foldLeft(List(all.head)) { (acc, s) =>
+                val h = acc.head
+                if (s.startNs - h.endNs <= gapNanos)
+                  OpenSession(h.startNs, math.max(h.endNs, s.endNs),
+                    h.n + s.n) :: acc.tail
+                else s :: acc
+              }.reverse
+            }
+          val wm = state.getCurrentWatermarkMs()
+          val (closed, open) = merged.partition(s => deadlineMs(s) <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            // the GroupState contract cancels any pending timeout on
+            // every invocation; re-arm to the earliest open deadline
+            // (strictly beyond the current watermark, as required)
+            state.setTimeoutTimestamp(
+              math.max(open.map(deadlineMs).min, wm + 1))
+          }
+          closed.iterator.map(s => ClosedSession(key, s.startNs, s.endNs, s.n))
+      }
+  }
+
   /** Convenience: run a streaming query over a parquet directory to a
     * memory sink and block until the backlog is processed — the local
     * smoke-test harness for streaming ops. Returns the sink table name.

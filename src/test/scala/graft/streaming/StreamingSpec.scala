@@ -163,6 +163,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got > 0)
   }
 
+  test("streaming sessionization emits exactly the batch sessions the " +
+    "watermark has closed, and never an open one") {
+    val gap = graft.EventQueries.SessionGapNanos
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val out = StreamingOps.sessionizeStream(stream, "user_id", "ts", gap)
+    StreamingOps.runToMemorySink(out.toDF(), "sessions")
+    val got = spark.table("sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // batch truth: sessions whose end + gap <= the final watermark
+    // (max event time) are closed; the per-key trailing session stays
+    // open in state and must NOT be emitted
+    val sess = graft.ops.Events.sessionize(ev, "user_id", "ts",
+      "event_id", gap)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts")).as("s"), max(col("ts")).as("e"),
+        count(lit(1)).as("n"))
+    val maxTsMs = ev.agg(max(col("ts"))).head().getLong(0) / 1000000L
+    val want = sess.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .filter { case (_, _, e, _) => (e + gap) / 1000000L <= maxTsMs }
+      .toSet
+    assert(want.nonEmpty, "fixture should close some sessions")
+    assert(got == want,
+      s"streaming sessions ${got.size} != closed batch sessions ${want.size}")
+  }
+
   test("statefulFirstPerKey (flatMapGroupsWithState) emits exactly the " +
     "first row per key") {
     import spark.implicits._
