@@ -124,6 +124,31 @@ object PipelineQueries {
     * The DuckDB side replays the identical edge set and closes it
     * with a recursive CTE, so the per-doc cluster labels (bound via
     * id_sum) match bit-for-bit. */
+  /** Shared CTE chain: capped candidate pairs ∪ exact-signature group
+    * edges → symmetric closure → per-doc `comp(node, cluster_id)` —
+    * the DuckDB mirror of [[Dedup.minhashClusters]], reused by the
+    * cluster-stats and canonical-selection oracles. Callers must open
+    * with WITH RECURSIVE. */
+  private val closureCtes: String = {
+    val sigList = (0 until Dedup.NumPerms).map(i => s"sig$i").mkString(", ")
+    s"$minhashCtes, ${pairsSql(MinhashCap)}, " +
+      s"scored AS (SELECT id_a, id_b, ($agreeSql)/8.0 AS ej FROM pairs " +
+      "JOIN sigs sa ON id_a = sa.doc_id JOIN sigs sb ON id_b = sb.doc_id), " +
+      s"gm AS (SELECT $sigList, min(doc_id) AS keep_id FROM sigs " +
+      s"GROUP BY $sigList), " +
+      "gedges AS (SELECT s.doc_id AS id_a, gm.keep_id AS id_b " +
+      s"FROM sigs s JOIN gm USING ($sigList) WHERE s.doc_id <> gm.keep_id), " +
+      "edges AS (SELECT id_a, id_b FROM scored WHERE ej >= 0.5 " +
+      "UNION SELECT id_a, id_b FROM gedges), " +
+      "sym AS (SELECT id_a AS u, id_b AS v FROM edges " +
+      "UNION SELECT id_b AS u, id_a AS v FROM edges), " +
+      "reach AS (SELECT doc_id AS node, doc_id AS r FROM sigs " +
+      "UNION SELECT sym.v AS node, reach.r FROM reach " +
+      "JOIN sym ON sym.u = reach.node), " +
+      "comp AS (SELECT node, min(r) AS cluster_id FROM reach " +
+      "GROUP BY node)"
+  }
+
   private val dedupClusters = Q("q_dedup_clusters",
     (s, d) => {
       val cl = Dedup.minhashClusters(docs(s, d), "text", "doc_id",
@@ -135,33 +160,48 @@ object PipelineQueries {
           max(col("sz")).as("max_cluster"),
           sum(when(col("sz") > 1, col("sz") - 1L).otherwise(0L))
             .as("n_redundant")))
-    }, {
-      val sigList = (0 until Dedup.NumPerms).map(i => s"sig$i").mkString(", ")
-      s"WITH RECURSIVE $minhashCtes, ${pairsSql(MinhashCap)}, " +
-        s"scored AS (SELECT id_a, id_b, ($agreeSql)/8.0 AS ej FROM pairs " +
-        "JOIN sigs sa ON id_a = sa.doc_id JOIN sigs sb ON id_b = sb.doc_id), " +
-        s"gm AS (SELECT $sigList, min(doc_id) AS keep_id FROM sigs " +
-        s"GROUP BY $sigList), " +
-        "gedges AS (SELECT s.doc_id AS id_a, gm.keep_id AS id_b " +
-        s"FROM sigs s JOIN gm USING ($sigList) WHERE s.doc_id <> gm.keep_id), " +
-        "edges AS (SELECT id_a, id_b FROM scored WHERE ej >= 0.5 " +
-        "UNION SELECT id_a, id_b FROM gedges), " +
-        "sym AS (SELECT id_a AS u, id_b AS v FROM edges " +
-        "UNION SELECT id_b AS u, id_a AS v FROM edges), " +
-        "reach AS (SELECT doc_id AS node, doc_id AS r FROM sigs " +
-        "UNION SELECT sym.v AS node, reach.r FROM reach " +
-        "JOIN sym ON sym.u = reach.node), " +
-        "comp AS (SELECT node, min(r) AS cluster_id FROM reach " +
-        "GROUP BY node), " +
-        "csz AS (SELECT cluster_id, count(*) AS sz FROM comp " +
-        "GROUP BY cluster_id) " +
-        "SELECT (SELECT count(*) FROM comp) AS n_docs, " +
-        "(SELECT CAST(sum(cluster_id) AS BIGINT) FROM comp) AS id_sum, " +
-        "(SELECT count(*) FROM csz) AS n_clusters, " +
-        "(SELECT max(sz) FROM csz) AS max_cluster, " +
-        "(SELECT CAST(sum(CASE WHEN sz > 1 THEN sz - 1 ELSE 0 END) " +
-        "AS BIGINT) FROM csz) AS n_redundant"
-    })
+    },
+    s"WITH RECURSIVE $closureCtes, " +
+      "csz AS (SELECT cluster_id, count(*) AS sz FROM comp " +
+      "GROUP BY cluster_id) " +
+      "SELECT (SELECT count(*) FROM comp) AS n_docs, " +
+      "(SELECT CAST(sum(cluster_id) AS BIGINT) FROM comp) AS id_sum, " +
+      "(SELECT count(*) FROM csz) AS n_clusters, " +
+      "(SELECT max(sz) FROM csz) AS max_cluster, " +
+      "(SELECT CAST(sum(CASE WHEN sz > 1 THEN sz - 1 ELSE 0 END) " +
+      "AS BIGINT) FROM csz) AS n_redundant")
+
+  /** Canonical (keep-best) selection over the MinHash clusters: the
+    * longest member wins, ties to the lowest id — one struct-max hash
+    * aggregate, never a rank Window. n_not_minid > 0 proves the rule
+    * differs from min-id keeping. */
+  private val dedupCanonical = Q("q_dedup_canonical",
+    (s, d) => {
+      val dd = docs(s, d)
+      val cl = Dedup.minhashClusters(dd, "text", "doc_id",
+        maxBucket = MinhashCap)
+      val keep = Dedup.canonicalPerCluster(
+        cl.join(dd.select(col("doc_id"), col("n_chars")), "doc_id"),
+        "cluster_id", "doc_id", col("n_chars"))
+      keep.agg(count(lit(1)).as("n_kept"),
+        sum(col("keep_id")).as("keep_id_sum"),
+        sum(col("keep_score")).as("chars_sum"),
+        sum(when(col("keep_id") =!= col("cluster_id"), 1L).otherwise(0L))
+          .as("n_not_minid"),
+        max(col("n_members")).as("max_cluster"))
+    },
+    s"WITH RECURSIVE $closureCtes, " +
+      "j AS (SELECT comp.cluster_id, comp.node AS doc_id, d.n_chars " +
+      "FROM comp JOIN documents d ON comp.node = d.doc_id), " +
+      "rk AS (SELECT cluster_id, doc_id, n_chars, " +
+      "row_number() OVER (PARTITION BY cluster_id " +
+      "ORDER BY n_chars DESC, doc_id ASC) AS rn, " +
+      "count(*) OVER (PARTITION BY cluster_id) AS nm FROM j) " +
+      "SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) " +
+      "AS keep_id_sum, CAST(sum(n_chars) AS BIGINT) AS chars_sum, " +
+      "CAST(sum(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_not_minid, CAST(max(nm) AS BIGINT) AS max_cluster " +
+      "FROM rk WHERE rn = 1")
 
   private val dedupMinhashGroups = Q("q_dedup_minhash_groups",
     (s, d) => {
@@ -1634,8 +1674,8 @@ object PipelineQueries {
 
   val all: Vector[Q] = Vector(
     dedupExact, dedupMinhash, dedupMinhashCapped, dedupMinhashGroups,
-    dedupClusters, dedupSimhash, dedupNgram, dedupIncremental, dedupBloom,
-    dedupSpans,
+    dedupClusters, dedupCanonical, dedupSimhash, dedupNgram,
+    dedupIncremental, dedupBloom, dedupSpans,
     embedTop1, embedTopK, embedAnnLsh, embedLshSized, embedAnnTop1,
     embedNearDup, embedNearDupCapped, embedClusters, embedIvf, embedIvfMp,
     embedKmeans, embedCovariance,

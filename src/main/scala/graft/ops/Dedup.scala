@@ -654,4 +654,19 @@ object Dedup {
     size(array_intersect(ga, gb)).cast("double") /
       size(array_union(ga, gb)).cast("double")
   }
+
+  /** Canonical selection: keep the BEST member of each duplicate
+    * cluster rather than the min-id one — the production rule
+    * ("longest/highest-quality copy wins"). `scoreCol` ranks members
+    * (higher wins, ties to the LOWEST id so the keeper is a pure
+    * function of the member set). One hash aggregate over the
+    * clustered frame: struct-max carries (score, −id) partials
+    * map-side, O(1) state per cluster — never a rank Window. */
+  def canonicalPerCluster(clustered: DataFrame, clusterCol: String,
+                          idCol: String, scoreCol: Column): DataFrame =
+    clustered.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(scoreCol.as("s"), (-col(idCol)).as("negid"))).as("__b"))
+      .select(col(clusterCol), (-col("__b.negid")).as("keep_id"),
+        col("__b.s").as("keep_score"), col("n_members"))
 }

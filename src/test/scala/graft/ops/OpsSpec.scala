@@ -1007,6 +1007,28 @@ class OpsSpec extends AnyFunSuite {
     assert(clusters.select("doc_id").distinct().count() == clusters.count())
   }
 
+  test("canonicalPerCluster keeps the highest-score member, ties to " +
+    "the lowest id, and counts members — vs a driver fold") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 10L, 5L), (1L, 11L, 9L), (1L, 12L, 9L), // tie at 9 → id 11
+      (2L, 20L, 3L),                               // singleton
+      (3L, 31L, 1L), (3L, 30L, 7L))
+      .toDF("cluster_id", "doc_id", "score")
+    val got = Dedup.canonicalPerCluster(rows, "cluster_id", "doc_id",
+      col("score")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map(1L -> (11L, 9L, 3L), 2L -> (20L, 3L, 1L),
+      3L -> (30L, 7L, 2L)))
+    // partition invariance (struct-max is order-free)
+    val got7 = Dedup.canonicalPerCluster(rows.repartition(7), "cluster_id",
+      "doc_id", col("score")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got7 == got)
+  }
+
   test("vocabulary matches a driver-side count and probes the top set " +
     "via broadcast") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
