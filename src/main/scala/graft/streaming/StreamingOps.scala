@@ -267,6 +267,88 @@ object StreamingOps {
       }
   }
 
+  /** Buffered state for the streaming as-of join: right-side versions
+    * still relevant, and left rows awaiting watermark finality. */
+  final case class AsofState(rights: List[(Long, Long, Double)],
+                             lefts: List[(Long, Long, Double)])
+
+  /** A left row emitted with its point-in-time right match (None when
+    * no right version at-or-before it exists). */
+  final case class AsofOut(key: Long, seq: Long, ts_ns: Long, value: Double,
+                           asof_seq: Option[Long], asof_value: Option[Double])
+
+  /** Event-time streaming as-of (temporal) join — the stream-stream
+    * form of [[graft.ops.Events.asofJoin]], the enrichment Flink calls
+    * a temporal join: each left row picks up the LATEST right version
+    * with `right.ts <= left.ts` (ties to the greatest seq), decided
+    * only once the watermark guarantees no earlier-or-equal right
+    * version can still arrive. Left rows buffer in state until
+    * `ts <= watermark`, then match and emit exactly once.
+    *
+    * State per key is watermark-bounded on both sides: pending lefts
+    * drain at the watermark, and of the right versions at-or-before
+    * the watermark only the LATEST is retained (any older one is
+    * shadowed for every future left, which must have ts > watermark).
+    * Both inputs must share the schema (key, tsNanos, seq, value) —
+    * union them after tagging, as the batch operator does. */
+  def asofJoinStream(left: DataFrame, right: DataFrame, keyCol: String,
+                     tsNanos: String, seqCol: String, valCol: String,
+                     watermarkDelay: String = "0 seconds")
+      : Dataset[AsofOut] = {
+    import left.sparkSession.implicits._
+    def prep(df: DataFrame, side: Int) = df.select(
+      col(keyCol).cast("long").as("k"), col(tsNanos).cast("long").as("t"),
+      col(seqCol).cast("long").as("q"), col(valCol).cast("double").as("v"),
+      lit(side).as("side"))
+    // __ets stays in the frame: the stateful operator needs the
+    // watermarked event-time column in its child plan
+    val u = prep(left, 1).unionByName(prep(right, 0))
+      .withColumn("__ets", (col("t") / lit(1e9)).cast("timestamp"))
+      .withWatermark("__ets", watermarkDelay)
+      .as[(Long, Long, Long, Double, Int, java.sql.Timestamp)]
+    u.groupByKey(_._1)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long,
+         rows: Iterator[(Long, Long, Long, Double, Int, java.sql.Timestamp)],
+         state: GroupState[AsofState]) =>
+          val s0 = state.getOption.getOrElse(AsofState(Nil, Nil))
+          var rights = s0.rights
+          var lefts = s0.lefts
+          rows.foreach { r =>
+            if (r._5 == 0) rights = (r._2, r._3, r._4) :: rights
+            else lefts = (r._2, r._3, r._4) :: lefts
+          }
+          val wmNs = state.getCurrentWatermarkMs() * 1000000L
+          // finality: a future right row must have ts > watermark, so
+          // every left at-or-before the watermark can match NOW
+          val (ready, pending) = lefts.partition(_._1 <= wmNs)
+          val out = ready.sortBy(l => (l._1, l._2)).map { l =>
+            val cand = rights.filter(r => r._1 <= l._1)
+            if (cand.isEmpty) AsofOut(key, l._2, l._1, l._3, None, None)
+            else {
+              val m = cand.maxBy(r => (r._1, r._2))
+              AsofOut(key, l._2, l._1, l._3, Some(m._2), Some(m._3))
+            }
+          }
+          // retain right versions still reachable by future lefts:
+          // all strictly after the watermark, plus the single latest
+          // at-or-before it (everything older is shadowed)
+          val (future, past) = rights.partition(_._1 > wmNs)
+          val keepPast = if (past.isEmpty) Nil
+            else List(past.maxBy(r => (r._1, r._2)))
+          val rights2 = future ++ keepPast
+          if (pending.isEmpty && rights2.isEmpty) state.remove()
+          else {
+            state.update(AsofState(rights2, pending))
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(math.max(
+                pending.map(_._1 / 1000000L).min, wmNs / 1000000L + 1))
+          }
+          out.iterator
+      }
+  }
+
   /** Convenience: run a streaming query over a parquet directory to a
     * memory sink and block until the backlog is processed — the local
     * smoke-test harness for streaming ops. Returns the sink table name.

@@ -193,6 +193,46 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming sessions ${got.size} != closed batch sessions ${want.size}")
   }
 
+  test("streaming as-of join: every watermark-final left row carries " +
+    "exactly the batch as-of match, and nothing extra is emitted") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    def stream = spark.readStream.schema(ev.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val out = StreamingOps.asofJoinStream(
+      stream.where(col("event_type") =!= "purchase"),
+      stream.where(col("event_type") === "purchase"),
+      "user_id", "ts", "event_id", "value")
+    StreamingOps.runToMemorySink(out.toDF(), "asof_stream")
+    val got = spark.table("asof_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    val batch = graft.ops.Events.asofJoin(
+        ev.where(col("event_type") =!= "purchase")
+          .select("event_id", "user_id", "ts", "value"),
+        ev.where(col("event_type") === "purchase")
+          .select("user_id", "ts", "event_id", "value"),
+        "user_id", "ts", "event_id", Seq("event_id"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(0)) ->
+        ((if (r.isNullAt(4)) None else Some(r.getLong(4))), r.getLong(2)))
+      .toMap
+    // emitted rows must agree with the batch match exactly
+    got.foreach { case (k, m) =>
+      assert(batch.contains(k), s"spurious emission $k")
+      assert(batch(k)._1 == m, s"row $k: stream $m vs batch ${batch(k)._1}")
+    }
+    // completeness: all but the boundary sliver (within 2 ms of the
+    // final watermark, where ns→ms truncation is ambiguous) emitted
+    val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
+    val mustEmit = batch.filter { case (_, (_, ts)) =>
+      ts < maxTs - 2000000L }
+    mustEmit.keys.foreach { k =>
+      assert(got.contains(k), s"final left row $k never emitted")
+    }
+    assert(mustEmit.nonEmpty && got.size >= mustEmit.size)
+  }
+
   test("statefulFirstPerKey (flatMapGroupsWithState) emits exactly the " +
     "first row per key") {
     import spark.implicits._
