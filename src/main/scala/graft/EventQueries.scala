@@ -92,5 +92,30 @@ object EventQueries {
       "AS n_singleton, round(avg(span_ns / 1000000000.0), 5) " +
       "AS avg_span_sec FROM sess GROUP BY cohort ORDER BY cohort")
 
-  val all: Vector[Q] = Vector(eventsAsof, eventsSessionize)
+  /** Semi-structured payload parsing: the `props` column is a JSON
+    * object; Spark parses it with a real `from_json` schema (the
+    * schema-on-read path — at scale this is a codegen'd map, no UDF),
+    * while the oracle extracts the field with an independent regexp
+    * formulation, so the check is on VALUES, not a shared parser. */
+  private val eventsProps = Q("q_events_props",
+    (s, d) => events(s, d)
+      .select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType
+          .fromDDL("k INT")).getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("k").isNotNull, 1L).otherwise(0L)).as("n_parsed"),
+        sum(coalesce(col("k").cast("long"), lit(0L))).as("k_sum"),
+        max(col("k").cast("long")).as("k_max"))
+      .orderBy("event_type"),
+    "SELECT event_type, count(*) AS n, " +
+      "CAST(sum(CASE WHEN regexp_extract(props, '\"k\": ([0-9]+)', 1) " +
+      "<> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed, " +
+      "CAST(sum(coalesce(CAST(NULLIF(regexp_extract(props, " +
+      "'\"k\": ([0-9]+)', 1), '') AS BIGINT), 0)) AS BIGINT) AS k_sum, " +
+      "max(CAST(NULLIF(regexp_extract(props, '\"k\": ([0-9]+)', 1), '') " +
+      "AS BIGINT)) AS k_max " +
+      "FROM events GROUP BY event_type ORDER BY event_type")
+
+  val all: Vector[Q] = Vector(eventsAsof, eventsSessionize, eventsProps)
 }

@@ -1471,6 +1471,30 @@ object PipelineQueries {
       "round(avg(n_chars), 5) AS avg_chars FROM documents " +
       "GROUP BY ROLLUP(source, lang) ORDER BY source, lang")
 
+  /** Output-shard manifest — the "ship it to training" step: docs
+    * assign to shards by the portable hash (deterministic, ingest-
+    * stable), and each shard's manifest row carries count, char mass,
+    * and a content checksum (Σ text-hash) that any engine can rebuild
+    * to certify a delivered shard. One map-side-partial aggregate. */
+  private val NShards = 8
+  private val shardManifest = Q("q_shard_manifest",
+    (s, d) => docs(s, d)
+      .select(pmod(TextAnalysis.tokenHash(col("doc_id").cast("string")),
+        lit(NShards.toLong)).as("shard"),
+        col("n_chars"),
+        // 40-bit per-doc digest: Σ over a billion docs stays < 2⁶³
+        (TextAnalysis.tokenHash(col("text")) % lit(1099511627776L)).as("th"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars"),
+        sum(col("th")).as("checksum"))
+      .orderBy("shard"),
+    s"SELECT ${TextAnalysis.TokenHashSql("CAST(doc_id AS VARCHAR)")} " +
+      s"% $NShards AS shard, count(*) AS n_docs, " +
+      "CAST(sum(n_chars) AS BIGINT) AS chars, " +
+      s"CAST(sum(${TextAnalysis.TokenHashSql("text")} % 1099511627776) " +
+      "AS BIGINT) AS checksum FROM documents GROUP BY shard ORDER BY shard")
+
   private val packSequences = Q("q_pack_sequences",
     (s, d) => Sampling.packSequences(docs(s, d), "doc_id", "text",
         PackWindow, PackShards)
@@ -1686,5 +1710,5 @@ object PipelineQueries {
     sketchQuantile,
     textDupNgrams, qualityGopher, multimodalMeta, curation,
     sampleStratified, sampleTemperature, sampleFixedN, statsRollup,
-    packSequences)
+    shardManifest, packSequences)
 }
