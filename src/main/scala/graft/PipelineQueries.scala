@@ -1359,6 +1359,69 @@ object PipelineQueries {
         "GROUP BY d.source ORDER BY d.source"
     })
 
+  /** The WHOLE training-mix pipeline in one plan: quality floor →
+    * MinHash group dedup → temperature-flattened domain sampling →
+    * deterministic shard manifests. Every stage is individually
+    * oracle-verified; this query proves they COMPOSE identically on
+    * both engines — the end-to-end "prepare the training data" run. */
+  private val TrainmixAlpha = 0.7
+  private val TrainmixTarget = 50.0
+  private val trainMix = Q("q_pipeline_trainmix",
+    (s, d) => {
+      val d0 = docs(s, d)
+      val kept = d0.where(TextAnalysis.qualityScore(col("text")) >= 0.7)
+      val keepIds = Dedup.minhashGroups(kept, "text", "doc_id")
+        .select(col("keep_id").as("doc_id"))
+      val deduped = d0.join(keepIds, "doc_id")
+      val sampled = Sampling.temperatureSample(deduped, "doc_id", "source",
+        TrainmixAlpha, TrainmixTarget)
+      sampled
+        .select(pmod(TextAnalysis.tokenHash(col("doc_id").cast("string")),
+          lit(4L)).as("shard"), col("n_chars"),
+          (TextAnalysis.tokenHash(col("text")) % lit(1099511627776L))
+            .as("th"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+          sum(col("th")).as("checksum"))
+        .orderBy("shard")
+    }, {
+      val stopSum = TextAnalysis.LangPriority.map(stopSql).mkString(" + ")
+      val wc = "(length(text) - length(replace(text, ' ', '')) + 1)"
+      val punct = "len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::DOUBLE / " +
+        "greatest(length(replace(text, ' ', ''))::DOUBLE, 1.0)"
+      val qs = "least(greatest(0.4*least(length(text)::DOUBLE / 200.0, 1.0) " +
+        s"+ 0.3*(1.0 - ($punct)) " +
+        s"+ 0.3*least((($stopSum)::DOUBLE / $wc::DOUBLE)*5.0, 1.0), 0.0), 1.0)"
+      val sigList = (0 until Dedup.NumPerms).map(i => s"sig$i").mkString(", ")
+      "WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws " +
+        "FROM documents), " +
+        s"q AS (SELECT doc_id, text, $qs AS qs FROM t), " +
+        "toksF AS (SELECT doc_id, " +
+        "unnest(list_distinct(string_split(text, ' '))) AS tok " +
+        "FROM q WHERE qs >= 0.7), " +
+        "hF AS (SELECT doc_id, " +
+        s"${TextAnalysis.TokenHashSql("tok")} AS th FROM toksF), " +
+        s"sigs AS (SELECT doc_id, $sigSql FROM hF GROUP BY doc_id), " +
+        s"g AS (SELECT min(doc_id) AS keep_id FROM sigs GROUP BY $sigList), " +
+        "dd AS (SELECT d.* FROM g JOIN documents d ON g.keep_id = d.doc_id), " +
+        "c AS (SELECT source, count(*) AS n FROM dd GROUP BY source), " +
+        "tt AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c), " +
+        "w AS (SELECT source, n, pow(CAST(n AS DOUBLE) / " +
+        s"CAST(tot AS DOUBLE), $TrainmixAlpha) AS w FROM c CROSS JOIN tt), " +
+        "sw AS (SELECT sum(w) AS sw FROM w), " +
+        "r AS (SELECT source, least(1.0, " +
+        s"$TrainmixTarget * (w / sw) / CAST(n AS DOUBLE)) AS rate " +
+        "FROM w CROSS JOIN sw), " +
+        "sampled AS (SELECT dd.doc_id, dd.text, dd.n_chars FROM dd " +
+        "JOIN r USING (source) " +
+        s"WHERE ${Sampling.HashFractionSql("dd.doc_id")} < r.rate) " +
+        s"SELECT ${TextAnalysis.TokenHashSql("CAST(doc_id AS VARCHAR)")} " +
+        "% 4 AS shard, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS chars, " +
+        s"CAST(sum(${TextAnalysis.TokenHashSql("text")} % 1099511627776) " +
+        "AS BIGINT) AS checksum FROM sampled GROUP BY shard ORDER BY shard"
+    })
+
   // -------------------------------------------------------- multimodal
 
   private val multimodalMeta = Q("q_multimodal_meta",
@@ -1708,7 +1771,7 @@ object PipelineQueries {
     textVocab,
     textPerplexity, textBm25, textPii, textContamination, sketchHll, sketchCms,
     sketchQuantile,
-    textDupNgrams, qualityGopher, multimodalMeta, curation,
+    textDupNgrams, qualityGopher, multimodalMeta, curation, trainMix,
     sampleStratified, sampleTemperature, sampleFixedN, statsRollup,
     shardManifest, packSequences)
 }
