@@ -117,5 +117,40 @@ object EventQueries {
       "AS BIGINT)) AS k_max " +
       "FROM events GROUP BY event_type ORDER BY event_type")
 
-  val all: Vector[Q] = Vector(eventsAsof, eventsSessionize, eventsProps)
+  /** Range (interval-containment) join: every non-purchase event
+    * joined to the ±30-minute windows around the same user's
+    * purchases, via interval bucketing (hash join, never a per-key
+    * nested loop); the oracle is DuckDB's native range join. */
+  val RangeHalfWidthNs: Long = 30L * 60 * 1000000000L
+  private val eventsRange = Q("q_events_range",
+    (s, d) => {
+      val ev = events(s, d)
+      val points = ev.where(col("event_type") =!= "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val intervals = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          (col("ts") - lit(RangeHalfWidthNs)).as("lo"),
+          (col("ts") + lit(RangeHalfWidthNs)).as("hi"))
+      val joined = Events.rangeJoinBucketed(points, intervals,
+        "user_id", "ts", "lo", "hi", bucketNs = 2L * RangeHalfWidthNs)
+      joined.agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("event_id")).as("n_covered"),
+        sum_distinct(col("event_id")).as("covered_id_sum"),
+        countDistinct(col("purchase_id")).as("n_active_windows"))
+    },
+    "WITH p AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn " +
+      "FROM events WHERE event_type <> 'purchase'), " +
+      "w AS (SELECT user_id, event_id AS purchase_id, " +
+      s"epoch_ns(ts) - $RangeHalfWidthNs AS lo, " +
+      s"epoch_ns(ts) + $RangeHalfWidthNs AS hi " +
+      "FROM events WHERE event_type = 'purchase'), " +
+      "j AS (SELECT p.event_id, w.purchase_id FROM p JOIN w " +
+      "ON p.user_id = w.user_id AND p.tsn >= w.lo AND p.tsn <= w.hi) " +
+      "SELECT count(*) AS n_pairs, " +
+      "count(DISTINCT event_id) AS n_covered, " +
+      "CAST(sum(DISTINCT event_id) AS BIGINT) AS covered_id_sum, " +
+      "count(DISTINCT purchase_id) AS n_active_windows FROM j")
+
+  val all: Vector[Q] = Vector(eventsAsof, eventsSessionize, eventsProps,
+    eventsRange)
 }

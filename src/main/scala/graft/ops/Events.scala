@@ -95,4 +95,33 @@ object Events {
     sessions.groupBy(col(keyCol), col("session_idx"))
       .agg(count(lit(1)).as("n_events"),
         (max(col(tsCol)) - min(col(tsCol))).as("span_ns"))
+
+  /** Bucketed range (interval-containment) join: `points` rows join
+    * every `intervals` row of the same key with `lo <= t <= hi`.
+    *
+    * Spark plans a raw range predicate as a nested-loop join —
+    * quadratic per key. The standard fix (the Databricks range-join /
+    * interval-bucketing technique): quantize time into `bucketNs`-wide
+    * buckets, replicate each interval onto the buckets it covers
+    * (⌈len/W⌉+1 rows — size W to the typical interval length),
+    * equi-join on (key, bucket), then apply the exact containment
+    * filter. Each (point, interval) pair meets in EXACTLY one bucket —
+    * the point's own — so no dedup pass is needed. Every operator is
+    * a hash join / map: linear, shuffle-partitioned, AQE-skew-safe.
+    *
+    * Returns the joined rows: point columns plus interval columns
+    * (callers rename interval columns to avoid collisions). */
+  def rangeJoinBucketed(points: DataFrame, intervals: DataFrame,
+                        keyCol: String, tCol: String, loCol: String,
+                        hiCol: String, bucketNs: Long): DataFrame = {
+    require(bucketNs > 0, s"bad bucket width $bucketNs")
+    val pb = points.withColumn("__b", floor(col(tCol) / lit(bucketNs)))
+    val ib = intervals
+      .withColumn("__b", explode(sequence(
+        floor(col(loCol) / lit(bucketNs)),
+        floor(col(hiCol) / lit(bucketNs)))))
+    pb.join(ib, Seq(keyCol, "__b"))
+      .where(col(tCol) >= col(loCol) && col(tCol) <= col(hiCol))
+      .drop("__b")
+  }
 }

@@ -78,6 +78,35 @@ class EventsSpec extends AnyFunSuite {
       (2L, 1L) -> (1L, 0L)))
   }
 
+  test("rangeJoinBucketed equals the brute-force containment join and " +
+    "never plans a nested loop") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select("event_id", "user_id", "ts", "event_type")
+    val half = 30L * 60 * 1000000000L
+    val points = ev.where(col("event_type") =!= "purchase")
+      .select("event_id", "user_id", "ts")
+    val intervals = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        (col("ts") - half).as("lo"), (col("ts") + half).as("hi"))
+    val got = Events.rangeJoinBucketed(points, intervals, "user_id", "ts",
+      "lo", "hi", bucketNs = 2 * half)
+    got.collect()
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      "range join must bucket into a hash join")
+    val gotPairs = got.select("event_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ps = points.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ws = intervals.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = (for {
+      p <- ps; w <- ws
+      if p._2 == w._1 && p._3 >= w._3 && p._3 <= w._4
+    } yield (p._1, w._2)).toSet
+    assert(gotPairs == want)
+    assert(want.nonEmpty, "fixture should produce containments")
+  }
+
   test("fixture events: every non-purchase row's as-of purchase is " +
     "the true latest-at-or-before purchase (sampled check)") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
