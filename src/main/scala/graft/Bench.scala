@@ -21,7 +21,11 @@ object Bench {
     // variational Bayesian linear regression, minibatch SGD at sfDir
     // scale; reported as iterations and wall-seconds. Measured BEFORE
     // the query sweep: the 80+ query plans leave JIT/GC pressure that
-    // was costing the step-rate metric ~25% when it ran last.
+    // was costing the step-rate metric ~25% when it ran last. (The
+    // symmetric caveat: from this round on, the sweep runs in a JVM
+    // pre-warmed by the optimizer segments — per-query times compare
+    // cleanly to each other and to future rounds, but comparisons
+    // against rounds ≤ 3 carry that harness delta.)
     val elboIters = 30
     var distSecs = -1.0
     var distOneSecs = -1.0

@@ -1359,6 +1359,29 @@ object PipelineQueries {
         "GROUP BY d.source ORDER BY d.source"
     })
 
+  /** 40-bit per-doc digest modulus: Σ over a billion docs < 2⁶³. */
+  private val DigestMod = 1099511627776L
+
+  /** Shard-manifest block shared by [[shardManifest]] and
+    * [[trainMix]]: deterministic hash sharding + per-shard count /
+    * char mass / digest — one map-side-partial aggregate. */
+  private def manifestOf(df: DataFrame, nShards: Int): DataFrame =
+    df.select(pmod(TextAnalysis.tokenHash(col("doc_id").cast("string")),
+        lit(nShards.toLong)).as("shard"),
+        col("n_chars"),
+        (TextAnalysis.tokenHash(col("text")) % lit(DigestMod)).as("th"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+        sum(col("th")).as("checksum"))
+      .orderBy("shard")
+
+  private def manifestSql(rel: String, nShards: Int): String =
+    s"SELECT ${TextAnalysis.TokenHashSql("CAST(doc_id AS VARCHAR)")} " +
+      s"% $nShards AS shard, count(*) AS n_docs, " +
+      "CAST(sum(n_chars) AS BIGINT) AS chars, " +
+      s"CAST(sum(${TextAnalysis.TokenHashSql("text")} % $DigestMod) " +
+      s"AS BIGINT) AS checksum FROM $rel GROUP BY shard ORDER BY shard"
+
   /** The WHOLE training-mix pipeline in one plan: quality floor →
     * MinHash group dedup → temperature-flattened domain sampling →
     * deterministic shard manifests. Every stage is individually
@@ -1375,15 +1398,7 @@ object PipelineQueries {
       val deduped = d0.join(keepIds, "doc_id")
       val sampled = Sampling.temperatureSample(deduped, "doc_id", "source",
         TrainmixAlpha, TrainmixTarget)
-      sampled
-        .select(pmod(TextAnalysis.tokenHash(col("doc_id").cast("string")),
-          lit(4L)).as("shard"), col("n_chars"),
-          (TextAnalysis.tokenHash(col("text")) % lit(1099511627776L))
-            .as("th"))
-        .groupBy("shard")
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
-          sum(col("th")).as("checksum"))
-        .orderBy("shard")
+      manifestOf(sampled, nShards = 4)
     }, {
       val stopSum = TextAnalysis.LangPriority.map(stopSql).mkString(" + ")
       val wc = "(length(text) - length(replace(text, ' ', '')) + 1)"
@@ -1415,11 +1430,7 @@ object PipelineQueries {
         "sampled AS (SELECT dd.doc_id, dd.text, dd.n_chars FROM dd " +
         "JOIN r USING (source) " +
         s"WHERE ${Sampling.HashFractionSql("dd.doc_id")} < r.rate) " +
-        s"SELECT ${TextAnalysis.TokenHashSql("CAST(doc_id AS VARCHAR)")} " +
-        "% 4 AS shard, count(*) AS n_docs, " +
-        "CAST(sum(n_chars) AS BIGINT) AS chars, " +
-        s"CAST(sum(${TextAnalysis.TokenHashSql("text")} % 1099511627776) " +
-        "AS BIGINT) AS checksum FROM sampled GROUP BY shard ORDER BY shard"
+        manifestSql("sampled", nShards = 4)
     })
 
   // -------------------------------------------------------- multimodal
@@ -1541,22 +1552,8 @@ object PipelineQueries {
     * to certify a delivered shard. One map-side-partial aggregate. */
   private val NShards = 8
   private val shardManifest = Q("q_shard_manifest",
-    (s, d) => docs(s, d)
-      .select(pmod(TextAnalysis.tokenHash(col("doc_id").cast("string")),
-        lit(NShards.toLong)).as("shard"),
-        col("n_chars"),
-        // 40-bit per-doc digest: Σ over a billion docs stays < 2⁶³
-        (TextAnalysis.tokenHash(col("text")) % lit(1099511627776L)).as("th"))
-      .groupBy("shard")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).as("chars"),
-        sum(col("th")).as("checksum"))
-      .orderBy("shard"),
-    s"SELECT ${TextAnalysis.TokenHashSql("CAST(doc_id AS VARCHAR)")} " +
-      s"% $NShards AS shard, count(*) AS n_docs, " +
-      "CAST(sum(n_chars) AS BIGINT) AS chars, " +
-      s"CAST(sum(${TextAnalysis.TokenHashSql("text")} % 1099511627776) " +
-      "AS BIGINT) AS checksum FROM documents GROUP BY shard ORDER BY shard")
+    (s, d) => manifestOf(docs(s, d), NShards),
+    manifestSql("documents", NShards))
 
   private val packSequences = Q("q_pack_sequences",
     (s, d) => Sampling.packSequences(docs(s, d), "doc_id", "text",

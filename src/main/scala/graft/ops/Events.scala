@@ -115,11 +115,14 @@ object Events {
                         keyCol: String, tCol: String, loCol: String,
                         hiCol: String, bucketNs: Long): DataFrame = {
     require(bucketNs > 0, s"bad bucket width $bucketNs")
-    val pb = points.withColumn("__b", floor(col(tCol) / lit(bucketNs)))
+    // integer `div`, never `/`: epoch-nanos exceed 2^53, so double
+    // division can misplace a boundary-adjacent row by one bucket and
+    // silently drop its pairs. Times must be non-negative (div
+    // truncates toward zero; the epoch-nano domain is).
+    val pb = points.withColumn("__b", expr(s"`$tCol` div $bucketNs"))
     val ib = intervals
       .withColumn("__b", explode(sequence(
-        floor(col(loCol) / lit(bucketNs)),
-        floor(col(hiCol) / lit(bucketNs)))))
+        expr(s"`$loCol` div $bucketNs"), expr(s"`$hiCol` div $bucketNs"))))
     pb.join(ib, Seq(keyCol, "__b"))
       .where(col(tCol) >= col(loCol) && col(tCol) <= col(hiCol))
       .drop("__b")

@@ -225,8 +225,12 @@ object StreamingOps {
       : Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     require(gapNanos > 0, s"bad session gap $gapNanos")
+    // exact integer microseconds for the event-time clock: double
+    // division of epoch-nanos (~1.7e18 > 2^53) would perturb the
+    // watermark by sub-microsecond amounts at boundaries
     val prepared = events
-      .withColumn("__ets", (col(tsNanos) / lit(1e9)).cast("timestamp"))
+      .withColumn("__ets",
+        timestamp_micros(expr(s"$tsNanos div 1000")))
       .select(col(keyCol).cast("long").as("k"),
         col(tsNanos).cast("long").as("t"), col("__ets"))
       .withWatermark("__ets", watermarkDelay)
@@ -236,7 +240,6 @@ object StreamingOps {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (key: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
          state: GroupState[List[OpenSession]]) =>
-          def deadlineMs(s: OpenSession): Long = (s.endNs + gapNanos) / 1000000L
           val existing = state.getOption.getOrElse(Nil)
           val incoming = rows.map(r => OpenSession(r._2, r._2, 1L)).toList
           val merged =
@@ -253,15 +256,22 @@ object StreamingOps {
               }.reverse
             }
           val wm = state.getCurrentWatermarkMs()
-          val (closed, open) = merged.partition(s => deadlineMs(s) <= wm)
+          // close STRICTLY in nanos: a session whose end+gap merely
+          // truncates to the watermark millisecond is NOT final — an
+          // in-watermark event at that millisecond could still extend
+          // it, and a closed session must never reopen
+          val (closed, open) = merged.partition(s =>
+            s.endNs + gapNanos < wm * 1000000L)
           if (open.isEmpty) state.remove()
           else {
             state.update(open)
             // the GroupState contract cancels any pending timeout on
-            // every invocation; re-arm to the earliest open deadline
-            // (strictly beyond the current watermark, as required)
-            state.setTimeoutTimestamp(
-              math.max(open.map(deadlineMs).min, wm + 1))
+            // every invocation; re-arm past the earliest open deadline
+            // (+1 ms so the watermark strictly exceeds it; strictly
+            // beyond the current watermark, as the API requires)
+            state.setTimeoutTimestamp(math.max(
+              open.map(s => (s.endNs + gapNanos) / 1000000L + 1).min,
+              wm + 1))
           }
           closed.iterator.map(s => ClosedSession(key, s.startNs, s.endNs, s.n))
       }
@@ -285,15 +295,20 @@ object StreamingOps {
     * version can still arrive. Left rows buffer in state until
     * `ts <= watermark`, then match and emit exactly once.
     *
-    * State per key is watermark-bounded on both sides: pending lefts
-    * drain at the watermark, and of the right versions at-or-before
-    * the watermark only the LATEST is retained (any older one is
-    * shadowed for every future left, which must have ts > watermark).
-    * Both inputs must share the schema (key, tsNanos, seq, value) —
-    * union them after tagging, as the batch operator does. */
+    * State per key: pending lefts drain at the watermark, and of the
+    * right versions at-or-before the watermark only the LATEST is
+    * retained (any older one is shadowed for every future left, which
+    * must have ts > watermark). That latest version is the join's
+    * version store — like Flink's temporal join it lives as long as
+    * the key may see traffic, so steady state is O(1) per active key;
+    * pass `idleRetention` (ms of event time) to evict keys idle past
+    * the watermark and bound state by ACTIVE keys instead (a left
+    * arriving after eviction sees no match, exactly as if the
+    * version had expired). */
   def asofJoinStream(left: DataFrame, right: DataFrame, keyCol: String,
                      tsNanos: String, seqCol: String, valCol: String,
-                     watermarkDelay: String = "0 seconds")
+                     watermarkDelay: String = "0 seconds",
+                     idleRetention: Option[Long] = None)
       : Dataset[AsofOut] = {
     import left.sparkSession.implicits._
     def prep(df: DataFrame, side: Int) = df.select(
@@ -301,9 +316,10 @@ object StreamingOps {
       col(seqCol).cast("long").as("q"), col(valCol).cast("double").as("v"),
       lit(side).as("side"))
     // __ets stays in the frame: the stateful operator needs the
-    // watermarked event-time column in its child plan
+    // watermarked event-time column in its child plan. Integer
+    // microseconds — see sessionizeStream on double-division drift.
     val u = prep(left, 1).unionByName(prep(right, 0))
-      .withColumn("__ets", (col("t") / lit(1e9)).cast("timestamp"))
+      .withColumn("__ets", timestamp_micros(expr("t div 1000")))
       .withWatermark("__ets", watermarkDelay)
       .as[(Long, Long, Long, Double, Int, java.sql.Timestamp)]
     u.groupByKey(_._1)
@@ -319,10 +335,13 @@ object StreamingOps {
             if (r._5 == 0) rights = (r._2, r._3, r._4) :: rights
             else lefts = (r._2, r._3, r._4) :: lefts
           }
-          val wmNs = state.getCurrentWatermarkMs() * 1000000L
-          // finality: a future right row must have ts > watermark, so
-          // every left at-or-before the watermark can match NOW
-          val (ready, pending) = lefts.partition(_._1 <= wmNs)
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmNs = wmMs * 1000000L
+          // finality must be STRICT: a right row in the watermark
+          // millisecond itself is not late, so a left row there could
+          // still gain a better match — only lefts strictly below the
+          // watermark are decided
+          val (ready, pending) = lefts.partition(_._1 < wmNs)
           val out = ready.sortBy(l => (l._1, l._2)).map { l =>
             val cand = rights.filter(r => r._1 <= l._1)
             if (cand.isEmpty) AsofOut(key, l._2, l._1, l._3, None, None)
@@ -332,18 +351,23 @@ object StreamingOps {
             }
           }
           // retain right versions still reachable by future lefts:
-          // all strictly after the watermark, plus the single latest
-          // at-or-before it (everything older is shadowed)
-          val (future, past) = rights.partition(_._1 > wmNs)
+          // all at-or-after the watermark, plus the single latest
+          // strictly before it (everything older is shadowed)
+          val (future, past) = rights.partition(_._1 >= wmNs)
           val keepPast = if (past.isEmpty) Nil
             else List(past.maxBy(r => (r._1, r._2)))
           val rights2 = future ++ keepPast
-          if (pending.isEmpty && rights2.isEmpty) state.remove()
+          val idledOut = state.hasTimedOut && pending.isEmpty &&
+            idleRetention.isDefined
+          if ((pending.isEmpty && rights2.isEmpty) || idledOut)
+            state.remove()
           else {
             state.update(AsofState(rights2, pending))
             if (pending.nonEmpty)
               state.setTimeoutTimestamp(math.max(
-                pending.map(_._1 / 1000000L).min, wmNs / 1000000L + 1))
+                pending.map(_._1 / 1000000L + 1).min, wmMs + 1))
+            else idleRetention.foreach(ret =>
+              state.setTimeoutTimestamp(math.max(wmMs + ret, wmMs + 1)))
           }
           out.iterator
       }

@@ -175,9 +175,9 @@ class StreamingSpec extends AnyFunSuite {
     val got = spark.table("sessions").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
-    // batch truth: sessions whose end + gap <= the final watermark
-    // (max event time) are closed; the per-key trailing session stays
-    // open in state and must NOT be emitted
+    // batch truth: sessions strictly closed by the final watermark
+    // (end + gap below the watermark millisecond in exact nanos);
+    // the per-key trailing session stays open and must NOT be emitted
     val sess = graft.ops.Events.sessionize(ev, "user_id", "ts",
       "event_id", gap)
       .groupBy(col("user_id"), col("session_idx"))
@@ -186,7 +186,7 @@ class StreamingSpec extends AnyFunSuite {
     val maxTsMs = ev.agg(max(col("ts"))).head().getLong(0) / 1000000L
     val want = sess.collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
-      .filter { case (_, _, e, _) => (e + gap) / 1000000L <= maxTsMs }
+      .filter { case (_, _, e, _) => e + gap < maxTsMs * 1000000L }
       .toSet
     assert(want.nonEmpty, "fixture should close some sessions")
     assert(got == want,
