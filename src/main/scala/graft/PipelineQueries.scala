@@ -1168,6 +1168,47 @@ object PipelineQueries {
       "(SELECT round(0.0 + 10.0 * (b + (0.99 * n - (cum - cnt)) / cnt), 5) " +
       "FROM c WHERE cum >= 0.99 * n ORDER BY b LIMIT 1) AS p99 FROM c")
 
+  /** Per-source distinct-token cardinality via grouped HLL — one
+    * sketch per group, register tables pinned exactly. */
+  private val sketchHllBy = Q("q_sketch_hll_by",
+    (s, d) => {
+      val toks = docs(s, d).select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      graft.ops.Sketches.hllCardinalityBy(toks, col("source"), col("tok"))
+        .select(col("grp").as("source"),
+          round(col("hll_estimate"), 5).as("hll_estimate"),
+          col("n_seen"), col("sum_rho"))
+        .orderBy("source")
+    },
+    "WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok " +
+      "FROM documents) " +
+      s"SELECT grp AS source, round(hll_estimate, 5) AS hll_estimate, " +
+      "n_seen, sum_rho FROM (" +
+      graft.ops.Sketches.hllSqlBy("toks", "source", "tok") +
+      ") ORDER BY source")
+
+  /** Per-source length quantiles from grouped histograms (the data
+    * card's distribution row): the cumulative pass partitions by
+    * group over the SKETCH, never the data. */
+  private val sketchQuantileBy = Q("q_sketch_quantile_by",
+    (s, d) => graft.ops.Sketches.histogramQuantilesBy(docs(s, d),
+      col("source"), col("n_chars").cast("double"), lo = 0.0, hi = 640.0,
+      nBuckets = 64, qs = Seq(0.5, 0.9))
+      .select(col("grp").as("source"), col("n"), col("p50"), col("p90"))
+      .orderBy("source"),
+    "WITH h AS (SELECT source, least(greatest(CAST(floor((n_chars - 0.0) " +
+      "/ 10.0) AS BIGINT), 0), 63) AS b FROM documents), " +
+      "hist AS (SELECT source, b, count(*) AS cnt FROM h GROUP BY 1, 2), " +
+      "c AS (SELECT source, b, cnt, sum(cnt) OVER (PARTITION BY source " +
+      "ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+      "AS cum, sum(cnt) OVER (PARTITION BY source) AS n FROM hist) " +
+      "SELECT source, CAST(max(n) AS BIGINT) AS n, " +
+      "round(arg_min(0.0 + 10.0 * (b + (0.5 * n - (cum - cnt)) / cnt), b) " +
+      "FILTER (WHERE cum >= 0.5 * n), 5) AS p50, " +
+      "round(arg_min(0.0 + 10.0 * (b + (0.9 * n - (cum - cnt)) / cnt), b) " +
+      "FILTER (WHERE cum >= 0.9 * n), 5) AS p90 " +
+      "FROM c GROUP BY source ORDER BY source")
+
   private val sketchCms = Q("q_sketch_cms",
     (s, d) => {
       val d0 = docs(s, d)
@@ -1512,6 +1553,18 @@ object PipelineQueries {
   /** Contiguous-token sequence packing: per-shard window counts,
     * boundary-crossing docs, and the start-offset checksum (pins every
     * doc's position in its shard's token stream). */
+  /** Weighted sample without replacement (Efraimidis–Spirakis
+    * exponential ranks over the deterministic hash draw): longer docs
+    * proportionally likelier; exactly WeightedN rows, TakeOrdered
+    * shape, engine-portable order key. */
+  private val WeightedN = 60
+  private val sampleWeighted = Q("q_sample_weighted",
+    (s, d) => Sampling.sampleWeighted(docs(s, d), "doc_id",
+      col("n_chars"), WeightedN).select("doc_id", "source", "n_chars"),
+    "SELECT doc_id, source, n_chars FROM documents " +
+      s"ORDER BY ${Sampling.WeightedKeySql("doc_id", "n_chars")}, doc_id " +
+      s"LIMIT $WeightedN")
+
   /** Exact-n deterministic sample: the FixedN smallest hash draws.
     * Returns the rows themselves (ids + source) — membership is the
     * verified property; TakeOrderedAndProject is the verified shape. */
@@ -1766,9 +1819,9 @@ object PipelineQueries {
     embedPq, embedIvfPq, embedRerank,
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,
     textVocab,
-    textPerplexity, textBm25, textPii, textContamination, sketchHll, sketchCms,
-    sketchQuantile,
+    textPerplexity, textBm25, textPii, textContamination, sketchHll,
+    sketchHllBy, sketchCms, sketchQuantile, sketchQuantileBy,
     textDupNgrams, qualityGopher, multimodalMeta, curation, trainMix,
-    sampleStratified, sampleTemperature, sampleFixedN, statsRollup,
-    shardManifest, packSequences)
+    sampleStratified, sampleTemperature, sampleFixedN, sampleWeighted,
+    statsRollup, shardManifest, packSequences)
 }

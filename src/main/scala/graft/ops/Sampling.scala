@@ -104,6 +104,24 @@ object Sampling {
     df.orderBy(hashFraction(col(idCol)).asc, col(idCol).asc).limit(n)
   }
 
+  /** Weighted sample WITHOUT replacement, exactly n rows (Efraimidis–
+    * Spirakis exponential-rank sampling): row i wins with probability
+    * proportional to `weight` by taking the n smallest keys
+    * −ln(u_i)/w_i, with u_i the deterministic hash draw — so the
+    * sample is reproducible, engine-portable, and plans as
+    * TakeOrderedAndProject like [[sampleFixedN]]. The quality- or
+    * length-weighted corpus selection step. Weights must be > 0. */
+  def sampleWeighted(df: DataFrame, idCol: String, weight: Column,
+                     n: Int): DataFrame = {
+    require(n > 0, s"bad sample size $n")
+    val key = -log(hashFraction(col(idCol))) / weight.cast("double")
+    df.orderBy(key.asc, col(idCol).asc).limit(n)
+  }
+
+  /** DuckDB form of [[sampleWeighted]]'s order key. */
+  def WeightedKeySql(idCol: String, weightExpr: String): String =
+    s"(-ln(${HashFractionSql(idCol)}) / CAST($weightExpr AS DOUBLE))"
+
   /** Contiguous-token sequence packing: documents are laid out as one
     * token stream per shard (shard = hash(id) mod `nShards`, order by
     * id within the shard) and chunked into fixed `window`-token

@@ -34,27 +34,48 @@ object Sketches {
     (bucket, rho)
   }
 
+  /** Estimate column over aggregated registers (n_seen, se): α_m bias
+    * correction + the small-range linear-counting fallback. */
+  private def hllEstimate(m: Int): Column = {
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val zeros = lit(m.toLong) - col("n_seen")
+    val raw = alpha * lit(m.toDouble) * lit(m.toDouble) /
+      (col("se") + zeros.cast("double"))
+    when(raw <= lit(2.5) * lit(m.toDouble) && zeros > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
+      .otherwise(raw)
+  }
+
   /** One-row cardinality estimate over the distinct values of `key`:
     * (hll_estimate, n_registers_set, sum_rho). The integer register
-    * stats pin the sketch exactly; the estimate applies the standard
-    * α_m bias correction and the small-range linear-counting
-    * fallback. */
+    * stats pin the sketch exactly. */
   def hllCardinality(df: DataFrame, key: Column, b: Int = 10): DataFrame = {
     val m = 1 << b
     val (bucket, rho) = hllParts(key, b)
     val regs = df.select(bucket.as("bucket"), rho.as("rho"))
       .groupBy("bucket").agg(max(col("rho")).as("mr"))
-    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
-    val agg = regs.agg(count(lit(1)).as("n_seen"),
-      sum(col("mr").cast("long")).as("sum_rho"),
-      sum(pow(lit(2.0), -col("mr").cast("double"))).as("se"))
-    val zeros = lit(m.toLong) - col("n_seen")
-    val raw = alpha * lit(m.toDouble) * lit(m.toDouble) /
-      (col("se") + zeros.cast("double"))
-    val est = when(raw <= lit(2.5) * lit(m.toDouble) && zeros > 0,
-      lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
-      .otherwise(raw)
-    agg.select(est.as("hll_estimate"), col("n_seen"), col("sum_rho"))
+    regs.agg(count(lit(1)).as("n_seen"),
+        sum(col("mr").cast("long")).as("sum_rho"),
+        sum(pow(lit(2.0), -col("mr").cast("double"))).as("se"))
+      .select(hllEstimate(m).as("hll_estimate"), col("n_seen"),
+        col("sum_rho"))
+  }
+
+  /** Per-GROUP cardinality estimates — one sketch per group in the
+    * same two map-side-partial aggregates (state: m registers × the
+    * number of groups, still KBs per group at any input size).
+    * Returns (grp, hll_estimate, n_seen, sum_rho). */
+  def hllCardinalityBy(df: DataFrame, group: Column, key: Column,
+                       b: Int = 10): DataFrame = {
+    val m = 1 << b
+    val (bucket, rho) = hllParts(key, b)
+    val regs = df.select(group.as("grp"), bucket.as("bucket"), rho.as("rho"))
+      .groupBy("grp", "bucket").agg(max(col("rho")).as("mr"))
+    regs.groupBy("grp").agg(count(lit(1)).as("n_seen"),
+        sum(col("mr").cast("long")).as("sum_rho"),
+        sum(pow(lit(2.0), -col("mr").cast("double"))).as("se"))
+      .select(col("grp"), hllEstimate(m).as("hll_estimate"),
+        col("n_seen"), col("sum_rho"))
   }
 
   // ------------------------------------------------- Count-Min sketch
@@ -156,10 +177,74 @@ object Sketches {
         col(s"p${(q * 100).round}")): _*)
   }
 
+  /** Per-group equi-width histogram: (grp, bucket, cnt). */
+  def histogramBy(df: DataFrame, group: Column, x: Column, lo: Double,
+                  hi: Double, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0 && hi > lo, s"bad histogram spec [$lo,$hi)/$nBuckets")
+    val w = (hi - lo) / nBuckets
+    val b = least(greatest(floor((x - lit(lo)) / lit(w)).cast("long"),
+      lit(0L)), lit(nBuckets - 1L))
+    df.select(group.as("grp"), b.as("bucket")).groupBy("grp", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-group interpolated quantiles — [[histogramQuantiles]] with a
+    * group axis: one row per group. The cumulative window partitions
+    * by group OVER THE SKETCH (groups × nBuckets rows), so the
+    * per-partition work is register-table-sized, never data-sized. */
+  def histogramQuantilesBy(df: DataFrame, group: Column, x: Column,
+                           lo: Double, hi: Double, nBuckets: Int,
+                           qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = (hi - lo) / nBuckets
+    val hist = histogramBy(df, group, x, lo, hi, nBuckets)
+    val byBucket = Window.partitionBy("grp").orderBy("bucket")
+    val withN = hist
+      .withColumn("cum", sum(col("cnt")).over(byBucket
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(byBucket
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val qCols = qs.map { q =>
+      val t = lit(q) * col("n").cast("double")
+      val est = lit(lo) + lit(w) * (col("bucket").cast("double") +
+        (t - (col("cum") - col("cnt")).cast("double")) /
+          col("cnt").cast("double"))
+      round(min(when(col("cum").cast("double") >= t,
+        struct(col("bucket"), est.as("est")))).getField("est"), 5)
+        .as(s"p${(q * 100).round}")
+    }
+    withN.groupBy(col("grp"), col("n")).agg(qCols.head, qCols.tail: _*)
+      .select(col("grp") +: col("n") +: qs.map(q =>
+        col(s"p${(q * 100).round}")): _*)
+  }
+
   /** DuckDB rendering of the same sketch over key expression `key`
     * (a SQL fragment yielding a VARCHAR-castable value); returns a
     * SELECT producing (hll_estimate, n_seen, sum_rho) from relation
     * `rel`. Every constant and shape mirrors [[hllCardinality]]. */
+  /** Grouped form of [[hllSql]]: one (grp, hll_estimate, n_seen,
+    * sum_rho) row per value of `group` in relation `rel`. */
+  def hllSqlBy(rel: String, group: String, key: String,
+               b: Int = 10): String = {
+    val m = 1 << b
+    val th = TextAnalysis.TokenHashSql(s"($key)::VARCHAR")
+    s"SELECT grp, CASE WHEN raw <= 2.5 * $m.0 AND zeros > 0 " +
+      s"THEN $m.0 * ln($m.0 / CAST(zeros AS DOUBLE)) ELSE raw END " +
+      "AS hll_estimate, n_seen, sum_rho FROM (" +
+      s"SELECT grp, n_seen, sum_rho, ($m - n_seen) AS zeros, " +
+      s"(0.7213 / (1.0 + 1.079 / $m.0)) * $m.0 * $m.0 / " +
+      s"(se + CAST($m - n_seen AS DOUBLE)) AS raw FROM (" +
+      "SELECT grp, count(*) AS n_seen, CAST(sum(mr) AS BIGINT) AS sum_rho, " +
+      "sum(pow(2.0, -CAST(mr AS DOUBLE))) AS se FROM (" +
+      s"SELECT grp, bucket, max(rho) AS mr FROM (" +
+      s"SELECT grp, th % $m AS bucket, " +
+      s"CASE WHEN (th >> $b) = 0 THEN ${61 - b} ELSE " +
+      s"CAST(round(ln(CAST((th >> $b) & (0 - (th >> $b)) AS DOUBLE)) " +
+      "/ ln(2.0)) AS INT) + 1 END AS rho FROM (" +
+      s"SELECT ($group) AS grp, $th AS th FROM $rel)) " +
+      "GROUP BY grp, bucket) GROUP BY grp))"
+  }
+
   def hllSql(rel: String, key: String, b: Int = 10): String = {
     val m = 1 << b
     val th = TextAnalysis.TokenHashSql(s"($key)::VARCHAR")

@@ -66,6 +66,28 @@ class SamplingSpec extends AnyFunSuite {
       "fixed-n sampling must plan as per-partition top-n, not a sort")
   }
 
+  test("sampleWeighted: exact size, deterministic, and weight-biased " +
+    "(weighted sample is longer on average than uniform)") {
+    val d = docs.select("doc_id", "n_chars")
+    val w = Sampling.sampleWeighted(d, "doc_id", col("n_chars"), 80)
+    val rows = w.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.length == 80 && rows.map(_._1).distinct.length == 80)
+    val again = Sampling.sampleWeighted(d, "doc_id", col("n_chars"), 80)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == rows.map(_._1).toSet)
+    val uniform = Sampling.sampleFixedN(d, "doc_id", 80)
+      .select("n_chars").as[Long].collect()
+    assert(rows.map(_._2).sum > uniform.sum,
+      "length-weighting must overrepresent long docs")
+    // infinite-weight row always wins a slot
+    val boosted = d.withColumn("w",
+      when(col("doc_id") === 7L, 1e12).otherwise(col("n_chars").cast("double")))
+    val top = Sampling.sampleWeighted(boosted, "doc_id", col("w"), 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(top.contains(7L))
+  }
+
   test("packSequences: offsets are a contiguous per-shard layout and " +
     "window indices follow from them") {
     val p = Sampling.packSequences(docs, "doc_id", "text", 64, 3).cache()
