@@ -373,6 +373,57 @@ object StreamingOps {
       }
   }
 
+  final case class HllEstimate(key: String, hll_estimate: Double,
+                               n_seen: Long, sum_rho: Long)
+
+  /** Streaming per-key cardinality: the portable HLL registers live
+    * as per-key state (`mapGroupsWithState`, m bytes per key — state
+    * bounded by key count, NOT stream length), updated register-wise
+    * max per micro-batch; every trigger emits the key's refreshed
+    * estimate. The arithmetic is [[graft.ops.Sketches]]' exactly, so
+    * the final estimates equal the batch [[graft.ops.Sketches
+    * .hllCardinalityBy]] over the same rows. Input: (key, value). */
+  def streamingHllCardinality(pairs: Dataset[(String, String)], b: Int = 10)
+      : Dataset[HllEstimate] = {
+    import pairs.sparkSession.implicits._
+    require(b >= 4 && b <= 20, s"bad HLL precision b=$b")
+    val m = 1 << b
+    pairs.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, String)],
+         state: GroupState[Array[Byte]]) =>
+          val regs = state.getOption.getOrElse(new Array[Byte](m))
+          rows.foreach { case (_, v) =>
+            // same portable bits as Sketches.hllParts: 60-bit md5
+            // prefix; bucket = low b bits, rho = trailing zeros + 1
+            val h = java.lang.Long.parseLong(
+              org.apache.commons.codec.digest.DigestUtils.md5Hex(v)
+                .substring(0, 15), 16)
+            val bucket = (h % m).toInt
+            val w = h >>> b
+            val rho = if (w == 0L) 61 - b
+              else java.lang.Long.numberOfTrailingZeros(w) + 1
+            if (rho > regs(bucket)) regs(bucket) = rho.toByte
+          }
+          state.update(regs)
+          var nSeen = 0L; var sumRho = 0L; var se = 0.0
+          var i = 0
+          while (i < m) {
+            if (regs(i) > 0) {
+              nSeen += 1; sumRho += regs(i)
+              se += math.pow(2.0, -regs(i).toDouble)
+            }
+            i += 1
+          }
+          val zeros = (m - nSeen).toDouble
+          val alpha = 0.7213 / (1.0 + 1.079 / m)
+          val raw = alpha * m.toDouble * m.toDouble / (se + zeros)
+          val est = if (raw <= 2.5 * m && zeros > 0)
+            m.toDouble * math.log(m.toDouble / zeros) else raw
+          HllEstimate(key, est, nSeen, sumRho)
+      }
+  }
+
   /** Convenience: run a streaming query over a parquet directory to a
     * memory sink and block until the backlog is processed — the local
     * smoke-test harness for streaming ops. Returns the sink table name.

@@ -193,6 +193,31 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming sessions ${got.size} != closed batch sessions ${want.size}")
   }
 
+  test("streaming per-key HLL cardinality equals the batch grouped " +
+    "sketch bit for bit") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .as[(String, String)]
+    val out = StreamingOps.streamingHllCardinality(stream)
+    StreamingOps.runToMemorySink(out.toDF(), "hll_stream",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    val got = spark.table("hll_stream").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val want = graft.ops.Sketches.hllCardinalityBy(
+        docs.select(col("source"),
+          explode(split(col("text"), " ")).as("tok")),
+        col("source"), col("tok")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(got == want, "streaming registers must equal batch registers")
+    assert(want.nonEmpty)
+  }
+
   test("streaming as-of join: every watermark-final left row carries " +
     "exactly the batch as-of match, and nothing extra is emitted") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
