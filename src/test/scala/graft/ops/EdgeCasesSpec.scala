@@ -1,0 +1,88 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate-input behavior: every operator must return a defined,
+  * empty-or-identity result on empty frames and single rows instead
+  * of throwing — the property that keeps incremental pipelines alive
+  * when a micro-batch, partition, or filtered corpus comes up empty. */
+class EdgeCasesSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val noDocs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .where(lit(false))
+
+  test("dedup over an empty corpus: groups, signatures, candidates, " +
+    "clusters, and canonical selection are all empty, not errors") {
+    assert(Dedup.minhashSignatures(noDocs, "text", "doc_id").count() == 0)
+    assert(Dedup.minhashGroups(noDocs, "text", "doc_id").count() == 0)
+    assert(Dedup.minhashCandidates(noDocs, "text", "doc_id").count() == 0)
+    assert(Dedup.minhashClusters(noDocs, "text", "doc_id",
+      maxBucket = 50).count() == 0)
+    val noClusters = Seq.empty[(Long, Long, Long)]
+      .toDF("cluster_id", "doc_id", "score")
+    assert(Dedup.canonicalPerCluster(noClusters, "cluster_id", "doc_id",
+      col("score")).count() == 0)
+  }
+
+  test("text + sampling over an empty corpus: vocabulary, samples, " +
+    "packing, manifest-shaped aggregates are empty, not errors") {
+    assert(TextAnalysis.vocabulary(noDocs, "doc_id", "text", 1L, 10)
+      .count() == 0)
+    assert(Sampling.sampleFixedN(noDocs, "doc_id", 10).count() == 0)
+    assert(Sampling.sampleWeighted(noDocs, "doc_id", col("n_chars"), 10)
+      .count() == 0)
+    assert(Sampling.temperatureSample(noDocs, "doc_id", "source", 0.5, 10.0)
+      .count() == 0)
+    assert(Sampling.packSequences(noDocs, "doc_id", "text", 64, 2)
+      .count() == 0)
+  }
+
+  test("sketches over an empty frame: histograms and quantiles are " +
+    "empty; HLL and CMS sketch tables are empty") {
+    assert(Sketches.histogram(noDocs, col("n_chars").cast("double"),
+      0.0, 640.0, 64).count() == 0)
+    assert(Sketches.histogramQuantiles(noDocs,
+      col("n_chars").cast("double"), 0.0, 640.0, 64,
+      Seq(0.5)).count() == 0)
+    assert(Sketches.cmsBuild(noDocs, col("doc_id")).count() == 0)
+    assert(Sketches.hllCardinalityBy(noDocs, col("source"), col("text"))
+      .count() == 0)
+  }
+
+  test("events ops: empty left, empty both sides, and single-row keys " +
+    "behave as identities") {
+    val empty = Seq.empty[(Long, Long, Long, Double)]
+      .toDF("event_id", "user_id", "ts", "value")
+    val one = Seq((1L, 9L, 100L, 1.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    assert(Events.asofJoin(empty, one, "user_id", "ts", "event_id",
+      Seq("value")).count() == 0)
+    assert(Events.asofJoin(empty, empty, "user_id", "ts", "event_id",
+      Seq("value")).count() == 0)
+    val s1 = Events.sessionize(one, "user_id", "ts", "event_id", 10L)
+    assert(s1.select("session_idx").head().getLong(0) == 1L)
+    assert(Events.sessionize(empty, "user_id", "ts", "event_id", 10L)
+      .count() == 0)
+    assert(Events.rangeJoinBucketed(empty, one
+      .select(col("user_id"), col("ts").as("lo"),
+        (col("ts") + 10L).as("hi")), "user_id", "ts", "lo", "hi",
+      100L).count() == 0)
+  }
+
+  test("vocabulary with an unreachable minCount and oversized topV is " +
+    "empty / truncated, never an error") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(3)
+    assert(TextAnalysis.vocabulary(docs, "doc_id", "text",
+      minCount = 1000000L, topV = 10).count() == 0)
+    val small = TextAnalysis.vocabulary(docs, "doc_id", "text",
+      minCount = 1L, topV = 100000)
+    assert(small.count() > 0)
+  }
+}
