@@ -1576,6 +1576,25 @@ object PipelineQueries {
       s"ORDER BY ${Sampling.HashFractionSql("doc_id")}, doc_id " +
       s"LIMIT $FixedN")
 
+  /** Per-group top-k without a rank Window: the bounded [[TopK]]
+    * aggregate (O(k) mergeable state per group) picks each source's
+    * 3 longest docs; a group's whole row set never funnels through
+    * one task. Ties break to the lower id on both engines. */
+  private val topkPerGroup = Q("q_topk_per_group",
+    (s, d) => docs(s, d)
+      .groupBy("source")
+      .agg(graft.ops.TopK.topK(col("n_chars").cast("double"),
+        col("doc_id"), 3).as("top"))
+      .select(col("source"), explode(col("top")).as("t"))
+      .select(col("source"), col("t.id").as("doc_id"),
+        col("t.score").cast("long").as("n_chars"))
+      .orderBy(col("source"), col("n_chars").desc, col("doc_id")),
+    "SELECT source, doc_id, n_chars FROM (" +
+      "SELECT source, doc_id, n_chars, row_number() OVER (" +
+      "PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rk " +
+      "FROM documents) WHERE rk <= 3 " +
+      "ORDER BY source, n_chars DESC, doc_id")
+
   /** Corpus data card: ROLLUP(source, lang) — per-cell, per-source,
     * and grand-total doc/char/token stats in ONE pass (the grouping-
     * sets template category; partial-agg'd like any hash aggregate). */
@@ -1823,5 +1842,5 @@ object PipelineQueries {
     sketchHllBy, sketchCms, sketchQuantile, sketchQuantileBy,
     textDupNgrams, qualityGopher, multimodalMeta, curation, trainMix,
     sampleStratified, sampleTemperature, sampleFixedN, sampleWeighted,
-    statsRollup, shardManifest, packSequences)
+    statsRollup, topkPerGroup, shardManifest, packSequences)
 }

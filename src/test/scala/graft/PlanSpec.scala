@@ -89,6 +89,38 @@ class PlanSpec extends AnyFunSuite {
       "contamination: benchmark grams should broadcast")
   }
 
+  test("sampling and top-k queries use bounded per-partition state — " +
+    "TakeOrdered / object hash agg, never a global sort or rank Window") {
+    Seq("q_sample_fixedn", "q_sample_weighted").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$name: expected per-partition top-n")
+      assert(!plan.contains("Window"), s"$name: Window in plan")
+    }
+    val tk = SparkEntry.queries("q_topk_per_group")(spark, sf)
+    tk.collect()
+    val tkPlan = tk.queryExecution.executedPlan.toString
+    assert(!tkPlan.contains("Window"),
+      "q_topk_per_group: rank Window would funnel groups through one task")
+    assert(tkPlan.contains("top_k") || tkPlan.contains("ObjectHashAggregate"),
+      "q_topk_per_group: expected the bounded TopK aggregate")
+  }
+
+  test("covariance runs as ONE aggregation pass over the data — the " +
+    "d² fan-out happens after the single-row aggregate") {
+    val df = SparkEntry.queries("q_embed_covariance")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("SortMergeJoin"),
+      "covariance: unexpected heavyweight operator")
+    val gramAggs = "gram_agg".r.findAllIn(
+      plan.split("== Initial Plan ==")(0)).size
+    assert(gramAggs >= 1 && plan.indexOf("Generate") >= 0,
+      "covariance: expected gram_agg then a post-aggregate explode")
+  }
+
   test("as-of join is union + one keyed window pass — never a " +
     "non-equi join (per-key nested loop)") {
     // Spark executes `r.ts <= l.ts` range conditions as a filtered
