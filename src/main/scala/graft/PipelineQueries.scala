@@ -1550,9 +1550,6 @@ object PipelineQueries {
   private val PackWindow = 128
   private val PackShards = 4
 
-  /** Contiguous-token sequence packing: per-shard window counts,
-    * boundary-crossing docs, and the start-offset checksum (pins every
-    * doc's position in its shard's token stream). */
   /** Weighted sample without replacement (Efraimidis–Spirakis
     * exponential ranks over the deterministic hash draw): longer docs
     * proportionally likelier; exactly WeightedN rows, TakeOrdered
@@ -1627,6 +1624,9 @@ object PipelineQueries {
     (s, d) => manifestOf(docs(s, d), NShards),
     manifestSql("documents", NShards))
 
+  /** Contiguous-token sequence packing: per-shard window counts,
+    * boundary-crossing docs, and the start-offset checksum (pins every
+    * doc's position in its shard's token stream). */
   private val packSequences = Q("q_pack_sequences",
     (s, d) => Sampling.packSequences(docs(s, d), "doc_id", "text",
         PackWindow, PackShards)

@@ -46,20 +46,25 @@ object Sketches {
       .otherwise(raw)
   }
 
+  /** Scalar estimate from aggregated registers — the driver/streaming
+    * twin of [[hllEstimate]]: same α_m and linear-counting fallback,
+    * so register-equal sketches yield bit-equal estimates. */
+  def estimateFromRegisters(m: Int, nSeen: Long, se: Double): Double = {
+    val zeros = (m - nSeen).toDouble
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val raw = alpha * m.toDouble * m.toDouble / (se + zeros)
+    if (raw <= 2.5 * m && zeros > 0)
+      m.toDouble * math.log(m.toDouble / zeros)
+    else raw
+  }
+
   /** One-row cardinality estimate over the distinct values of `key`:
     * (hll_estimate, n_registers_set, sum_rho). The integer register
-    * stats pin the sketch exactly. */
-  def hllCardinality(df: DataFrame, key: Column, b: Int = 10): DataFrame = {
-    val m = 1 << b
-    val (bucket, rho) = hllParts(key, b)
-    val regs = df.select(bucket.as("bucket"), rho.as("rho"))
-      .groupBy("bucket").agg(max(col("rho")).as("mr"))
-    regs.agg(count(lit(1)).as("n_seen"),
-        sum(col("mr").cast("long")).as("sum_rho"),
-        sum(pow(lit(2.0), -col("mr").cast("double"))).as("se"))
-      .select(hllEstimate(m).as("hll_estimate"), col("n_seen"),
-        col("sum_rho"))
-  }
+    * stats pin the sketch exactly. Delegates to [[hllCardinalityBy]]
+    * with a constant group so the formula lives once. */
+  def hllCardinality(df: DataFrame, key: Column, b: Int = 10): DataFrame =
+    hllCardinalityBy(df, lit(0), key, b)
+      .select("hll_estimate", "n_seen", "sum_rho")
 
   /** Per-GROUP cardinality estimates — one sketch per group in the
     * same two map-side-partial aggregates (state: m registers × the
@@ -129,14 +134,25 @@ object Sketches {
     * (the same mergeability as [[cmsBuild]]). Out-of-range values
     * clamp into the edge buckets. */
   def histogram(df: DataFrame, x: Column, lo: Double, hi: Double,
-                nBuckets: Int): DataFrame = {
-    require(nBuckets > 0 && hi > lo, s"bad histogram spec [$lo,$hi)/$nBuckets")
-    val w = (hi - lo) / nBuckets
-    val b = least(greatest(floor((x - lit(lo)) / lit(w)).cast("long"),
-      lit(0L)), lit(nBuckets - 1L))
-    df.select(b.as("bucket")).groupBy("bucket")
-      .agg(count(lit(1)).as("cnt"))
-  }
+                nBuckets: Int): DataFrame =
+    histogramBy(df, lit(0), x, lo, hi, nBuckets).select("bucket", "cnt")
+
+  /** Interpolated quantile columns over a (bucket, cnt, cum, n) frame:
+    * for q, the FIRST bucket whose cumulative count reaches q·n
+    * (min(struct(bucket, est)) — est alone is not monotone in b),
+    * linearly interpolated within the bucket. Shared by the global
+    * and grouped quantile sketches so the formula lives once. */
+  private def quantileCols(lo: Double, w: Double,
+                           qs: Seq[Double]): Seq[Column] =
+    qs.map { q =>
+      val t = lit(q) * col("n").cast("double")
+      val est = lit(lo) + lit(w) * (col("bucket").cast("double") +
+        (t - (col("cum") - col("cnt")).cast("double")) /
+          col("cnt").cast("double"))
+      round(min(when(col("cum").cast("double") >= t,
+        struct(col("bucket"), est.as("est")))).getField("est"), 5)
+        .as(s"p${(q * 100).round}")
+    }
 
   /** One-row quantile estimates from the histogram: for each q the
     * first bucket whose cumulative count reaches q·n, linearly
@@ -161,17 +177,7 @@ object Sketches {
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("checksum", sum(col("bucket") * col("cnt")).over(byBucket
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-    // est is evaluated per qualifying bucket; min(struct(bucket, est))
-    // selects the FIRST such bucket (est alone is not monotone in b)
-    val qCols = qs.map { q =>
-      val t = lit(q) * col("n").cast("double")
-      val est = lit(lo) + lit(w) * (col("bucket").cast("double") +
-        (t - (col("cum") - col("cnt")).cast("double")) /
-          col("cnt").cast("double"))
-      round(min(when(col("cum").cast("double") >= t,
-        struct(col("bucket"), est.as("est")))).getField("est"), 5)
-        .as(s"p${(q * 100).round}")
-    }
+    val qCols = quantileCols(lo, w, qs)
     withN.groupBy(col("n"), col("checksum")).agg(qCols.head, qCols.tail: _*)
       .select(col("n") +: col("checksum") +: qs.map(q =>
         col(s"p${(q * 100).round}")): _*)
@@ -204,26 +210,17 @@ object Sketches {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("n", sum(col("cnt")).over(byBucket
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-    val qCols = qs.map { q =>
-      val t = lit(q) * col("n").cast("double")
-      val est = lit(lo) + lit(w) * (col("bucket").cast("double") +
-        (t - (col("cum") - col("cnt")).cast("double")) /
-          col("cnt").cast("double"))
-      round(min(when(col("cum").cast("double") >= t,
-        struct(col("bucket"), est.as("est")))).getField("est"), 5)
-        .as(s"p${(q * 100).round}")
-    }
+    val qCols = quantileCols(lo, w, qs)
     withN.groupBy(col("grp"), col("n")).agg(qCols.head, qCols.tail: _*)
       .select(col("grp") +: col("n") +: qs.map(q =>
         col(s"p${(q * 100).round}")): _*)
   }
 
-  /** DuckDB rendering of the same sketch over key expression `key`
-    * (a SQL fragment yielding a VARCHAR-castable value); returns a
-    * SELECT producing (hll_estimate, n_seen, sum_rho) from relation
-    * `rel`. Every constant and shape mirrors [[hllCardinality]]. */
-  /** Grouped form of [[hllSql]]: one (grp, hll_estimate, n_seen,
-    * sum_rho) row per value of `group` in relation `rel`. */
+  /** Grouped DuckDB rendering of the sketch over key expression `key`
+    * (a SQL fragment yielding a VARCHAR-castable value): one
+    * (grp, hll_estimate, n_seen, sum_rho) row per value of `group` in
+    * relation `rel`. Every constant and shape mirrors
+    * [[hllCardinalityBy]]. */
   def hllSqlBy(rel: String, group: String, key: String,
                b: Int = 10): String = {
     val m = 1 << b
@@ -245,22 +242,9 @@ object Sketches {
       "GROUP BY grp, bucket) GROUP BY grp))"
   }
 
-  def hllSql(rel: String, key: String, b: Int = 10): String = {
-    val m = 1 << b
-    val th = TextAnalysis.TokenHashSql(s"($key)::VARCHAR")
-    s"SELECT CASE WHEN raw <= 2.5 * $m.0 AND zeros > 0 " +
-      s"THEN $m.0 * ln($m.0 / CAST(zeros AS DOUBLE)) ELSE raw END " +
-      "AS hll_estimate, n_seen, sum_rho FROM (" +
-      s"SELECT n_seen, sum_rho, ($m - n_seen) AS zeros, " +
-      s"(0.7213 / (1.0 + 1.079 / $m.0)) * $m.0 * $m.0 / " +
-      s"(se + CAST($m - n_seen AS DOUBLE)) AS raw FROM (" +
-      "SELECT count(*) AS n_seen, CAST(sum(mr) AS BIGINT) AS sum_rho, " +
-      "sum(pow(2.0, -CAST(mr AS DOUBLE))) AS se FROM (" +
-      s"SELECT bucket, max(rho) AS mr FROM (" +
-      s"SELECT th % $m AS bucket, " +
-      s"CASE WHEN (th >> $b) = 0 THEN ${61 - b} ELSE " +
-      s"CAST(round(ln(CAST((th >> $b) & (0 - (th >> $b)) AS DOUBLE)) " +
-      "/ ln(2.0)) AS INT) + 1 END AS rho FROM (" +
-      s"SELECT $th AS th FROM $rel)) GROUP BY bucket)))"
-  }
+  /** Ungrouped DuckDB rendering: a SELECT producing (hll_estimate,
+    * n_seen, sum_rho) from relation `rel` — [[hllSqlBy]] under a
+    * constant group, so the formula lives once. */
+  def hllSql(rel: String, key: String, b: Int = 10): String =
+    s"SELECT hll_estimate, n_seen, sum_rho FROM (${hllSqlBy(rel, "0", key, b)})"
 }

@@ -380,30 +380,27 @@ object StreamingOps {
     * as per-key state (`mapGroupsWithState`, m bytes per key — state
     * bounded by key count, NOT stream length), updated register-wise
     * max per micro-batch; every trigger emits the key's refreshed
-    * estimate. The arithmetic is [[graft.ops.Sketches]]' exactly, so
-    * the final estimates equal the batch [[graft.ops.Sketches
-    * .hllCardinalityBy]] over the same rows. Input: (key, value). */
+    * estimate. The (bucket, rho) bits come from the SAME
+    * [[graft.ops.Sketches.hllParts]] columns as the batch sketch and
+    * the estimate from the shared scalar formula, so streaming ==
+    * batch register tables hold by construction. Input: (key, value).
+    */
   def streamingHllCardinality(pairs: Dataset[(String, String)], b: Int = 10)
       : Dataset[HllEstimate] = {
     import pairs.sparkSession.implicits._
     require(b >= 4 && b <= 20, s"bad HLL precision b=$b")
     val m = 1 << b
-    pairs.groupByKey(_._1)
+    val (bucket, rho) = graft.ops.Sketches.hllParts(col("_2"), b)
+    pairs.toDF("_1", "_2")
+      .select(col("_1"), bucket.as("_2"), rho.as("_3"))
+      .as[(String, Long, Int)]
+      .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
-        (key: String, rows: Iterator[(String, String)],
+        (key: String, rows: Iterator[(String, Long, Int)],
          state: GroupState[Array[Byte]]) =>
           val regs = state.getOption.getOrElse(new Array[Byte](m))
-          rows.foreach { case (_, v) =>
-            // same portable bits as Sketches.hllParts: 60-bit md5
-            // prefix; bucket = low b bits, rho = trailing zeros + 1
-            val h = java.lang.Long.parseLong(
-              org.apache.commons.codec.digest.DigestUtils.md5Hex(v)
-                .substring(0, 15), 16)
-            val bucket = (h % m).toInt
-            val w = h >>> b
-            val rho = if (w == 0L) 61 - b
-              else java.lang.Long.numberOfTrailingZeros(w) + 1
-            if (rho > regs(bucket)) regs(bucket) = rho.toByte
+          rows.foreach { case (_, bk, r) =>
+            if (r > regs(bk.toInt)) regs(bk.toInt) = r.toByte
           }
           state.update(regs)
           var nSeen = 0L; var sumRho = 0L; var se = 0.0
@@ -415,12 +412,9 @@ object StreamingOps {
             }
             i += 1
           }
-          val zeros = (m - nSeen).toDouble
-          val alpha = 0.7213 / (1.0 + 1.079 / m)
-          val raw = alpha * m.toDouble * m.toDouble / (se + zeros)
-          val est = if (raw <= 2.5 * m && zeros > 0)
-            m.toDouble * math.log(m.toDouble / zeros) else raw
-          HllEstimate(key, est, nSeen, sumRho)
+          HllEstimate(key,
+            graft.ops.Sketches.estimateFromRegisters(m, nSeen, se),
+            nSeen, sumRho)
       }
   }
 

@@ -115,9 +115,12 @@ class PlanSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Window") && !plan.contains("SortMergeJoin"),
       "covariance: unexpected heavyweight operator")
-    val gramAggs = "gram_agg".r.findAllIn(
-      plan.split("== Initial Plan ==")(0)).size
-    assert(gramAggs >= 1 && plan.indexOf("Generate") >= 0,
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    // ONE pass over the data: a regression to two aggregations would
+    // show as a second parquet scan
+    val scans = "Scan parquet".r.findAllIn(finalPlan).size
+    assert(scans == 1, s"covariance: $scans data scans, want 1")
+    assert(finalPlan.contains("gram_agg") && finalPlan.contains("Generate"),
       "covariance: expected gram_agg then a post-aggregate explode")
   }
 
