@@ -151,6 +151,28 @@ object EventQueries {
       "CAST(sum(DISTINCT event_id) AS BIGINT) AS covered_id_sum, " +
       "count(DISTINCT purchase_id) AS n_active_windows FROM j")
 
+  /** Z-order (Morton) values over (user_id, absolute day): the
+    * bit-interleave that drives multi-dimensional file clustering,
+    * checked as exact integer arithmetic per event_type. */
+  private val eventsZorder = Q("q_layout_zorder",
+    (s, d) => {
+      val day = expr("ts div 86400000000000").bitwiseAND(lit(31L))
+      val u = col("user_id").bitwiseAND(lit(127L))
+      events(s, d)
+        .select(col("event_type"),
+          graft.ops.Layout.zValue(u, day, bits = 8).as("z"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("z")).as("z_sum"),
+          min(col("z")).as("z_min"), max(col("z")).as("z_max"))
+        .orderBy("event_type")
+    }, {
+      val z = graft.ops.Layout.ZValueSql("(user_id & 127)",
+        "((epoch_ns(ts) // 86400000000000) & 31)", bits = 8)
+      s"SELECT event_type, count(*) AS n, CAST(sum($z) AS BIGINT) " +
+        s"AS z_sum, min($z) AS z_min, max($z) AS z_max " +
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    })
+
   val all: Vector[Q] = Vector(eventsAsof, eventsSessionize, eventsProps,
-    eventsRange)
+    eventsRange, eventsZorder)
 }

@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** At-rest layout operators: Z-order (Morton) clustering, the
+  * standard multi-dimensional sort for file/row-group skipping — a
+  * lexicographic sort clusters only its leading column, while the
+  * bit-interleaved Z-value keeps EVERY interleaved dimension's range
+  * narrow within a file, so min/max pruning works for filters on any
+  * of them (the Delta/Iceberg OPTIMIZE ZORDER story, as plain
+  * deterministic integer arithmetic).
+  */
+object Layout {
+
+  /** Morton Z-value of two non-negative int columns: the low `bits`
+    * bits of `a` and `b` interleaved (a gets the even positions).
+    * Pure shift/mask/add column arithmetic — codegen'd in Spark and
+    * reproducible in any SQL engine. */
+  def zValue(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bad bit width $bits")
+    (0 until bits).map { i =>
+      shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** DuckDB rendering of the same interleave. */
+  def ZValueSql(a: String, b: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((($a >> $i) & 1) * ${1L << (2 * i)} + " +
+        s"((($b >> $i) & 1)) * ${1L << (2 * i + 1)})"
+    }.mkString("(", " + ", ")")
+
+  /** Repartition-by-range on the Z-value — the write-side layout op:
+    * `df.transform(zOrderBy(col(a), col(b), bits, n)).write...` yields
+    * files whose min/max ranges are narrow in BOTH a and b. */
+  def zOrderBy(a: Column, b: Column, bits: Int,
+               numFiles: Int)(df: DataFrame): DataFrame =
+    df.withColumn("__z", zValue(a, b, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+}

@@ -1,0 +1,61 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Z-order layout: the interleave is exact, and writing z-clustered
+  * files keeps BOTH dimensions' per-file ranges narrow — the property
+  * min/max skipping needs — where a lexicographic sort only clusters
+  * its leading column. */
+class LayoutSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("zValue interleaves bits exactly (driver oracle) and is " +
+    "monotone under the quadrant structure") {
+    def zRef(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).map(i =>
+        (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).sum
+    val pairs = for (a <- 0L until 16L; b <- 0L until 16L) yield (a, b)
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), Layout.zValue(col("a"), col("b"), 4).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(got((a, b)) == zRef(a, b, 4), s"z($a,$b)")
+    }
+    // distinct inputs give distinct z (it's a bijection on the grid)
+    assert(got.values.toSet.size == pairs.size)
+  }
+
+  test("z-ordered files bound BOTH dimensions' per-file spans; a " +
+    "lexicographic sort leaves the second dimension unclustered") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id").bitwiseAND(lit(127L)).as("u"),
+        expr("ts div 86400000000000").bitwiseAND(lit(31L)).as("d"))
+    val base = Files.createTempDirectory("graft_zorder").toString
+    val nFiles = 16
+    ev.transform(Layout.zOrderBy(col("u"), col("d"), 8, nFiles))
+      .write.mode("overwrite").parquet(s"$base/z")
+    ev.repartitionByRange(nFiles, col("u")).sortWithinPartitions("u")
+      .write.mode("overwrite").parquet(s"$base/lex")
+    def avgSpans(path: String): (Double, Double) = {
+      val spans = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max(col("u")) - min(col("u"))).as("su"),
+          (max(col("d")) - min(col("d"))).as("sd"))
+        .collect().map(r => (r.getLong(1).toDouble, r.getLong(2).toDouble))
+      (spans.map(_._1).sum / spans.length, spans.map(_._2).sum / spans.length)
+    }
+    val (zU, zD) = avgSpans(s"$base/z")
+    val (lexU, lexD) = avgSpans(s"$base/lex")
+    // lexicographic: u tightly clustered, d spans nearly everything
+    assert(lexD > 0.8 * 31, s"lex files should span days (got $lexD)")
+    // z-order: BOTH spans materially below the globals
+    assert(zU < 0.7 * 127, s"z files should bound u (got $zU vs $lexU)")
+    assert(zD < 0.7 * 31, s"z files should bound d (got $zD vs $lexD)")
+  }
+}
