@@ -25,20 +25,23 @@ object Layout {
     }.reduce(_ + _)
   }
 
-  /** DuckDB rendering of the same interleave. */
-  def ZValueSql(a: String, b: String, bits: Int): String =
+  /** DuckDB rendering of the same interleave (same validity bounds —
+    * shifts past 62 would wrap Long constants into wrong SQL). */
+  def ZValueSql(a: String, b: String, bits: Int): String = {
+    require(bits >= 1 && bits <= 31, s"bad bit width $bits")
     (0 until bits).map { i =>
       s"((($a >> $i) & 1) * ${1L << (2 * i)} + " +
         s"((($b >> $i) & 1)) * ${1L << (2 * i + 1)})"
     }.mkString("(", " + ", ")")
+  }
 
   /** Repartition-by-range on the Z-value — the write-side layout op:
     * `df.transform(zOrderBy(col(a), col(b), bits, n)).write...` yields
-    * files whose min/max ranges are narrow in BOTH a and b. */
+    * files whose min/max ranges are narrow in BOTH a and b. The
+    * Z-value rides as an expression, so no column name can collide. */
   def zOrderBy(a: Column, b: Column, bits: Int,
-               numFiles: Int)(df: DataFrame): DataFrame =
-    df.withColumn("__z", zValue(a, b, bits))
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
+               numFiles: Int)(df: DataFrame): DataFrame = {
+    val z = zValue(a, b, bits)
+    df.repartitionByRange(numFiles, z).sortWithinPartitions(z)
+  }
 }

@@ -33,9 +33,11 @@ class LayoutSpec extends AnyFunSuite {
 
   test("z-ordered files bound BOTH dimensions' per-file spans; a " +
     "lexicographic sort leaves the second dimension unclustered") {
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .select(col("user_id").bitwiseAND(lit(127L)).as("u"),
-        expr("ts div 86400000000000").bitwiseAND(lit(31L)).as("d"))
+    // synthetic frame spanning the FULL 0..127 × 0..31 grid with
+    // decorrelated dimensions (fixture user_ids only reach 14 at
+    // sf0.001, which would make the u assertion vacuous)
+    val ev = spark.range(8192L)
+      .select((col("id") % 128L).as("u"), ((col("id") * 7L) % 32L).as("d"))
     val base = Files.createTempDirectory("graft_zorder").toString
     val nFiles = 16
     ev.transform(Layout.zOrderBy(col("u"), col("d"), 8, nFiles))
@@ -53,9 +55,14 @@ class LayoutSpec extends AnyFunSuite {
     val (zU, zD) = avgSpans(s"$base/z")
     val (lexU, lexD) = avgSpans(s"$base/lex")
     // lexicographic: u tightly clustered, d spans nearly everything
+    assert(lexU < 0.3 * 127, s"lex files should bound u (got $lexU)")
     assert(lexD > 0.8 * 31, s"lex files should span days (got $lexD)")
-    // z-order: BOTH spans materially below the globals
-    assert(zU < 0.7 * 127, s"z files should bound u (got $zU vs $lexU)")
-    assert(zD < 0.7 * 31, s"z files should bound d (got $zD vs $lexD)")
+    // z-order: BOTH spans materially below the globals. The floor is
+    // geometric: 16 files over a 128×32 Morton grid is 256 codes/file,
+    // i.e. a ~16×16 block, so d-spans of ~16 ARE the optimum — assert
+    // well under the global span and well under the lex baseline.
+    assert(zU < 0.5 * 127, s"z files should bound u (got $zU vs $lexU)")
+    assert(zD < 0.62 * 31, s"z files should bound d (got $zD vs $lexD)")
+    assert(zD < 0.7 * lexD, s"z should beat lex on d ($zD vs $lexD)")
   }
 }
