@@ -1562,6 +1562,24 @@ object PipelineQueries {
       s"ORDER BY ${Sampling.WeightedKeySql("doc_id", "n_chars")}, doc_id " +
       s"LIMIT $WeightedN")
 
+  /** Per-domain cap: at most DomainCap docs per source, each group's
+    * smallest hash draws, selected by the bounded TopK aggregate
+    * (O(cap) mergeable state per group — never a rank Window; the hot
+    * domain is exactly the one being capped). The id-sum pins the
+    * exact survivor set per source. */
+  private val DomainCap = 25
+  private val sampleDomainCap = Q("q_sample_domaincap",
+    (s, d) => Sampling.domainCap(docs(s, d), "doc_id", "source", DomainCap)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+      .orderBy("source"),
+    "SELECT source, count(*) AS n_kept, " +
+      "CAST(sum(doc_id) AS BIGINT) AS id_sum FROM (" +
+      "SELECT source, doc_id, row_number() OVER (PARTITION BY source " +
+      s"ORDER BY ${Sampling.HashFractionSql("doc_id")} ASC, doc_id ASC) " +
+      s"AS rk FROM documents) WHERE rk <= $DomainCap " +
+      "GROUP BY source ORDER BY source")
+
   /** Exact-n deterministic sample: the FixedN smallest hash draws.
     * Returns the rows themselves (ids + source) — membership is the
     * verified property; TakeOrderedAndProject is the verified shape. */
@@ -1842,5 +1860,6 @@ object PipelineQueries {
     sketchHllBy, sketchCms, sketchQuantile, sketchQuantileBy,
     textDupNgrams, qualityGopher, multimodalMeta, curation, trainMix,
     sampleStratified, sampleTemperature, sampleFixedN, sampleWeighted,
+    sampleDomainCap,
     statsRollup, topkPerGroup, shardManifest, packSequences)
 }

@@ -88,6 +88,33 @@ object Sampling {
       .where(hashFraction(col(idCol)) < col("sample_rate"))
   }
 
+  /** Per-domain cap (the RefinedWeb-style "at most `cap` documents
+    * per site/source" rule): each group keeps the `cap` rows with the
+    * smallest deterministic hash draw — a uniform within-group sample
+    * that is reproducible, engine-portable, and nested (the cap-25
+    * set is a subset of the cap-100 set, because membership is
+    * rank-in-a-fixed-order per group).
+    *
+    * Scale shape: the winner set per group comes from the bounded
+    * [[TopK]] aggregate — O(cap) mergeable state per group, map-side
+    * partials — NEVER a rank Window (which would funnel each domain
+    * through one task; the hot domain is exactly the one being
+    * capped). Survivor ids then equi-join back to recover full rows;
+    * the join's build side is groups×cap rows (AQE broadcasts it when
+    * small). `idCol` must be integral (the TopK state is primitive
+    * (double, long) pairs). */
+  def domainCap(df: DataFrame, idCol: String, groupCol: String,
+                cap: Int): DataFrame = {
+    require(cap > 0 && cap <= 1024, s"bad domain cap $cap")
+    val kept = df
+      .groupBy(col(groupCol))
+      .agg(TopK.topK(-hashFraction(col(idCol)), col(idCol).cast("long"),
+        cap).as("__top"))
+      .select(explode(col("__top")).as("__t"))
+      .select(col("__t.id").as(idCol))
+    df.join(kept, Seq(idCol))
+  }
+
   /** Deterministic EXACT-size sample: the `n` rows with the smallest
     * hash draw (ties broken by id). Where [[sampleByHash]] gives a
     * binomial-sized sample, this gives exactly n — the "pick 10k eval

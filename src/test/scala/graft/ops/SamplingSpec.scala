@@ -88,6 +88,37 @@ class SamplingSpec extends AnyFunSuite {
     assert(top.contains(7L))
   }
 
+  test("domainCap: bounds every group at cap, keeps each group's " +
+    "smallest hash draws, nests across caps, and never plans a Window") {
+    val d = docs.select("doc_id", "source", "n_chars").cache()
+    val capped = Sampling.domainCap(d, "doc_id", "source", 25)
+    val bySrc = capped.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = d.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (src, n) =>
+      assert(bySrc(src) == math.min(n, 25L),
+        s"$src: kept ${bySrc(src)} of $n at cap 25")
+    }
+    // survivors are exactly the smallest hash draws per group
+    val draws = d.select(col("source"), col("doc_id"),
+        Sampling.hashFraction(col("doc_id")).as("u"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val expect = draws.groupBy(_._1).values.flatMap { rows =>
+      rows.sortBy(r => (r._3, r._2)).take(25).map(_._2)
+    }.toSet
+    val got = capped.select("doc_id").as[Long].collect().toSet
+    assert(got == expect, "survivor set must match the driver oracle")
+    // nested: the cap-10 set is a subset of the cap-25 set
+    val at10 = Sampling.domainCap(d, "doc_id", "source", 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(at10.subsetOf(got), "caps must nest")
+    // scale shape: bounded aggregate, not a rank Window
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "domainCap must not plan a Window")
+    assert(plan.contains("top_k"), "domainCap must use the TopK aggregate")
+  }
+
   test("packSequences: offsets are a contiguous per-shard layout and " +
     "window indices follow from them") {
     val p = Sampling.packSequences(docs, "doc_id", "text", 64, 3).cache()
