@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Dedup, Multimodal, NgramLm, Pq, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Dsir, Multimodal, NgramLm, Pq, Sampling, Similarity, TextAnalysis}
 
 /** Oracle corpus for the beyond-reference training-data-pipeline
   * operators (dedup, similarity search, text analysis, multimodal) —
@@ -1562,6 +1562,56 @@ object PipelineQueries {
       s"ORDER BY ${Sampling.WeightedKeySql("doc_id", "n_chars")}, doc_id " +
       s"LIMIT $WeightedN")
 
+  /** DSIR importance resampling toward a target domain: hashed
+    * unigram+bigram bucket distributions (one conditional aggregate,
+    * ≤ 256 rows), per-doc log importance weight as a pure map over
+    * the inlined log-ratio table, Gumbel top-n selection. The oracle
+    * is an independent join-based formulation of the same
+    * distributions; the selected per-source sets are pinned by
+    * integer id/feature sums. */
+  private val DsirN = 150
+  private val DsirTarget = "src0"
+  private val sampleDsir = Q("q_sample_dsir",
+    (s, d) => {
+      val d0 = docs(s, d)
+      val ratios = Dsir.logRatios(d0, "text",
+        col("source") === lit(DsirTarget))
+      val w = Dsir.importanceWeights(d0, "text", ratios)
+      Dsir.resample(w, "doc_id", DsirN)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_sel"), sum(col("doc_id")).as("id_sum"),
+          sum(col("n_feats")).as("n_feats"),
+          round(avg(col("log_w")), 5).as("avg_logw"))
+        .orderBy("source")
+    },
+    s"WITH t AS (SELECT doc_id, source, " +
+      s"[${TextAnalysis.TokenHashSql("w")} % ${Dedup.NgramFpMod} " +
+      "for w in string_split(text, ' ')] AS hl FROM documents), " +
+      s"f0 AS (SELECT doc_id, source, ${Dsir.BucketListSql("hl")} AS bl " +
+      "FROM t), " +
+      "f AS (SELECT doc_id, source, unnest(bl) AS b FROM f0), " +
+      "cnt AS (SELECT b, count(*) AS nr, sum(CASE WHEN source = " +
+      s"'$DsirTarget' THEN 1 ELSE 0 END) AS nt FROM f GROUP BY b), " +
+      "tot AS (SELECT sum(nr) AS rt, sum(nt) AS tt FROM cnt), " +
+      s"dom AS (SELECT range AS b FROM range(0, ${Dsir.NumBuckets})), " +
+      "delta AS (SELECT dom.b AS b, " +
+      "ln((coalesce(cnt.nt, 0) + 1.0) / " +
+      s"CAST(tot.tt + ${Dsir.NumBuckets} AS DOUBLE)) - " +
+      "ln((coalesce(cnt.nr, 0) + 1.0) / " +
+      s"CAST(tot.rt + ${Dsir.NumBuckets} AS DOUBLE)) AS dl " +
+      "FROM dom LEFT JOIN cnt ON dom.b = cnt.b CROSS JOIN tot), " +
+      "w AS (SELECT doc_id, any_value(source) AS source, " +
+      "sum(dl) AS logw, count(*) AS nf FROM f JOIN delta USING (b) " +
+      "GROUP BY doc_id), " +
+      "sel AS (SELECT * FROM w ORDER BY " +
+      s"${Dsir.ResampleKeySql("doc_id")} DESC, doc_id ASC " +
+      s"LIMIT $DsirN) " +
+      "SELECT source, count(*) AS n_sel, " +
+      "CAST(sum(doc_id) AS BIGINT) AS id_sum, " +
+      "CAST(sum(nf) AS BIGINT) AS n_feats, " +
+      "round(avg(logw), 5) AS avg_logw " +
+      "FROM sel GROUP BY source ORDER BY source")
+
   /** Per-domain cap: at most DomainCap docs per source, each group's
     * smallest hash draws, selected by the bounded TopK aggregate
     * (O(cap) mergeable state per group — never a rank Window; the hot
@@ -1860,6 +1910,6 @@ object PipelineQueries {
     sketchHllBy, sketchCms, sketchQuantile, sketchQuantileBy,
     textDupNgrams, qualityGopher, multimodalMeta, curation, trainMix,
     sampleStratified, sampleTemperature, sampleFixedN, sampleWeighted,
-    sampleDomainCap,
+    sampleDomainCap, sampleDsir,
     statsRollup, topkPerGroup, shardManifest, packSequences)
 }
