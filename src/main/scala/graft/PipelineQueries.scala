@@ -1347,6 +1347,29 @@ object PipelineQueries {
       "CAST(sum(length(nt)) AS BIGINT) AS sum_len " +
       "FROM t GROUP BY source ORDER BY source")
 
+  /** Quality-classifier scoring under FIXED weights: the sigmoid
+    * linear form over the shared deterministic feature map — the
+    * one-scan inference path of the Bayesian classifier (training is
+    * stochastic and statistically tested; THIS pins the scoring
+    * arithmetic cross-engine). */
+  private val ClsWeights = Array(-2.0, 1.5, 8.0, -3.0, 0.5)
+  private val textClassifier = Q("q_text_classifier",
+    (s, d) => graft.ops.QualityClassifier
+      .withFeatures(docs(s, d), "text")
+      .withColumn("score", graft.ops.QualityClassifier.score(ClsWeights))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("score")), 5).as("avg_score"),
+        sum(when(col("score") >= 0.5, 1L).otherwise(0L)).as("n_keep"))
+      .orderBy("source"),
+    s"WITH sc AS (SELECT source, " +
+      s"${graft.ops.QualityClassifier.ScoreSql(ClsWeights)} AS score " +
+      "FROM documents) " +
+      "SELECT source, count(*) AS n_docs, " +
+      "round(avg(score), 5) AS avg_score, " +
+      "CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_keep FROM sc GROUP BY source ORDER BY source")
+
   private val textFingerprint = Q("q_text_fingerprint",
     (s, d) => docs(s, d).groupBy("source")
       .agg(count(lit(1)).as("n"),
@@ -1905,7 +1928,7 @@ object PipelineQueries {
     embedKmeans, embedCovariance,
     embedPq, embedIvfPq, embedRerank,
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,
-    textVocab,
+    textVocab, textClassifier,
     textPerplexity, textBm25, textPii, textContamination, sketchHll,
     sketchHllBy, sketchCms, sketchQuantile, sketchQuantileBy,
     textDupNgrams, qualityGopher, multimodalMeta, curation, trainMix,
