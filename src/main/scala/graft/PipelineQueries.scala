@@ -23,6 +23,10 @@ object PipelineQueries {
 
   private val P = Dedup.P
 
+  /** 40-bit per-doc digest modulus: Σ over a billion docs < 2⁶³.
+    * (Declared before first use — object vals initialize in order.) */
+  private val DigestMod = 1099511627776L
+
   // ------------------------------------------------------------ dedup
 
   private val dedupExact = Q("q_dedup_exact",
@@ -1347,6 +1351,44 @@ object PipelineQueries {
       "CAST(sum(length(nt)) AS BIGINT) AS sum_len " +
       "FROM t GROUP BY source ORDER BY source")
 
+  /** Overlapping token-window chunking: per-source chunk counts,
+    * token mass, partial (end-reaching) chunks, and a content
+    * checksum over every chunk string — pins both the chunk
+    * arithmetic and the reassembled chunk text cross-engine. */
+  private val ChunkWindow = 32
+  private val ChunkStride = 24
+  private val textChunks = Q("q_text_chunks",
+    (s, d) => {
+      val d0 = docs(s, d)
+      TextAnalysis.chunks(d0, "text", "doc_id", ChunkWindow, ChunkStride)
+        .join(d0.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_tok")).as("sum_tok"),
+          sum(when(col("n_tok") < ChunkWindow, 1L).otherwise(0L))
+            .as("n_partial"),
+          sum(TextAnalysis.tokenHash(col("chunk")) % lit(DigestMod))
+            .as("checksum"))
+        .orderBy("source")
+    },
+    s"WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks " +
+      "FROM documents), " +
+      "c AS (SELECT doc_id, source, toks, len(toks) AS n, " +
+      "unnest(range(0, CAST(floor((greatest(len(toks) - " +
+      s"$ChunkWindow, 0) + ${ChunkStride - 1})::DOUBLE / " +
+      s"$ChunkStride.0) AS INT) + 1)) AS chunk_id FROM t), " +
+      "ch AS (SELECT doc_id, source, " +
+      s"array_to_string(list_slice(toks, chunk_id*$ChunkStride + 1, " +
+      s"chunk_id*$ChunkStride + $ChunkWindow), ' ') AS chunk, " +
+      s"least($ChunkWindow, n - chunk_id*$ChunkStride) AS n_tok FROM c) " +
+      "SELECT source, count(*) AS n_chunks, " +
+      "CAST(sum(n_tok) AS BIGINT) AS sum_tok, " +
+      s"CAST(sum(CASE WHEN n_tok < $ChunkWindow THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_partial, " +
+      s"CAST(sum(${TextAnalysis.TokenHashSql("chunk")} % $DigestMod) " +
+      "AS BIGINT) AS checksum " +
+      "FROM ch GROUP BY source ORDER BY source")
+
   /** Quality-classifier scoring under FIXED weights: the sigmoid
     * linear form over the shared deterministic feature map — the
     * one-scan inference path of the Bayesian classifier (training is
@@ -1422,9 +1464,6 @@ object PipelineQueries {
         "JOIN documents d ON g.keep_id = d.doc_id " +
         "GROUP BY d.source ORDER BY d.source"
     })
-
-  /** 40-bit per-doc digest modulus: Σ over a billion docs < 2⁶³. */
-  private val DigestMod = 1099511627776L
 
   /** Shard-manifest block shared by [[shardManifest]] and
     * [[trainMix]]: deterministic hash sharding + per-shard count /
@@ -1928,7 +1967,7 @@ object PipelineQueries {
     embedKmeans, embedCovariance,
     embedPq, embedIvfPq, embedRerank,
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,
-    textVocab, textClassifier,
+    textVocab, textClassifier, textChunks,
     textPerplexity, textBm25, textPii, textContamination, sketchHll,
     sketchHllBy, sketchCms, sketchQuantile, sketchQuantileBy,
     textDupNgrams, qualityGopher, multimodalMeta, curation, trainMix,

@@ -147,6 +147,35 @@ object TextAnalysis {
       (acc, c) => (acc * lit(31L) + c) % lit(1000000007L))
   }
 
+  /** Overlapping token-window chunking (the RAG / context-window
+    * preparation step): document → chunks of `window` tokens whose
+    * starts step by `stride` (stride < window ⇒ overlap), the last
+    * chunk exactly reaching the end. Chunk count is
+    * ⌈max(n−window, 0)/stride⌉ + 1, so every doc yields ≥ 1 chunk
+    * and no chunk starts past the end.
+    *
+    * Returns (idCol, chunk_id, chunk, n_tok). Pure per-row map +
+    * explode — output rows ≈ n/stride per doc, no shuffle,
+    * stream-safe; the chunk arithmetic is exact integer math shared
+    * with any external engine's list-slice rendering. */
+  def chunks(df: DataFrame, textCol: String, idCol: String,
+             window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"bad chunk spec window=$window stride=$stride")
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val nChunks = (floor((greatest(n - lit(window), lit(0)) +
+      lit(stride - 1)).cast("double") / lit(stride.toDouble)) + lit(1))
+      .cast("int")
+    val s = col("chunk_id") * lit(stride)
+    df.select(col(idCol), toks.as("__toks"), n.as("__n"),
+        explode(sequence(lit(0), nChunks - lit(1))).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        array_join(slice(col("__toks"), s + lit(1), lit(window)), " ")
+          .as("chunk"),
+        least(lit(window), col("__n") - s).cast("long").as("n_tok"))
+  }
+
   // ----------------------------------------------------------- PII
 
   /** PII patterns restricted to the regex-dialect intersection of

@@ -1058,4 +1058,35 @@ class OpsSpec extends AnyFunSuite {
       .contains("BroadcastHashJoin"),
       "vocabulary: spelling recovery must probe a broadcast top set")
   }
+
+  test("chunks: strided windows cover every token exactly, overlap by " +
+    "window-stride, the last chunk reaches the end, and short docs " +
+    "yield one chunk") {
+    import spark.implicits._
+    val text = (1 to 100).map(i => s"w$i").mkString(" ")
+    val rows = Seq((1L, text), (2L, "a b c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val ch = TextAnalysis.chunks(rows, "text", "doc_id", 32, 24)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    val doc1 = ch.filter(_._1 == 1L)
+    // starts 0,24,48,72 -> 4 chunks; ceil((100-32)/24)+1 = 4
+    assert(doc1.length == 4)
+    doc1.zipWithIndex.foreach { case ((_, cid, chunk, nTok), i) =>
+      assert(cid == i)
+      val toks = chunk.split(" ")
+      assert(toks.length == nTok)
+      assert(toks.head == s"w${i * 24 + 1}", s"chunk $i start")
+    }
+    assert(doc1.last._4 == 100 - 72, "last chunk exactly reaches the end")
+    // overlap: chunk i's tail tokens reappear at chunk i+1's head
+    val c0 = doc1(0)._3.split(" "); val c1 = doc1(1)._3.split(" ")
+    assert(c0.drop(24).sameElements(c1.take(8)))
+    // short docs produce exactly one whole-doc chunk
+    assert(ch.filter(_._1 == 2L).toSeq == Seq((2L, 0, "a b c", 3L)))
+    assert(ch.filter(_._1 == 3L).toSeq == Seq((3L, 0, "solo", 1L)))
+    // union of distinct tokens across chunks covers the doc exactly
+    val covered = doc1.flatMap(_._3.split(" ")).toSet
+    assert(covered == (1 to 100).map(i => s"w$i").toSet)
+  }
 }
