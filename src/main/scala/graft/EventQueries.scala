@@ -173,6 +173,37 @@ object EventQueries {
         "FROM events GROUP BY event_type ORDER BY event_type"
     })
 
+  /** One day in nanos — the tumbling-window width. */
+  private val DayNanos = 86400000000000L
+
+  /** Tumbling-window per-type aggregates (the batch twin of the
+    * streaming windowed agg): per event_type, window counts / totals /
+    * the peak window, and a day-index checksum that pins every
+    * event's bucket assignment. Exact int64 window math on both
+    * engines; the per-window grain is ONE hash aggregate, no window
+    * function. */
+  private val eventsWindow = Q("q_events_window",
+    (s, d) => {
+      val w = Events.tumblingAgg(events(s, d), "ts", DayNanos,
+        Seq("event_type"), col("value"))
+        .withColumn("widx", expr(s"window_start div $DayNanos"))
+      w.groupBy("event_type")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(col("n")).as("n_events"),
+          max(col("n")).as("peak_n"),
+          sum(col("widx") * col("n")).as("widx_checksum"),
+          round(sum(col("sum_value")), 5).as("sum_value"))
+        .orderBy("event_type")
+    },
+    s"WITH w AS (SELECT event_type, epoch_ns(ts) // $DayNanos AS widx, " +
+      "count(*) AS n, sum(value) AS sv FROM events GROUP BY 1, 2) " +
+      "SELECT event_type, count(*) AS n_windows, " +
+      "CAST(sum(n) AS BIGINT) AS n_events, " +
+      "CAST(max(n) AS BIGINT) AS peak_n, " +
+      "CAST(sum(widx * n) AS BIGINT) AS widx_checksum, " +
+      "round(sum(sv), 5) AS sum_value " +
+      "FROM w GROUP BY event_type ORDER BY event_type")
+
   val all: Vector[Q] = Vector(eventsAsof, eventsSessionize, eventsProps,
-    eventsRange, eventsZorder)
+    eventsRange, eventsZorder, eventsWindow)
 }

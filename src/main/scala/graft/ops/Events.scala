@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -126,5 +126,22 @@ object Events {
     pb.join(ib, Seq(keyCol, "__b"))
       .where(col(tCol) >= col(loCol) && col(tCol) <= col(hiCol))
       .drop("__b")
+  }
+
+  /** Tumbling-window aggregation over event time — the BATCH form of
+    * the streaming windowed aggregate (same window arithmetic, so a
+    * backfill job and the live stream bucket identically):
+    * `window_start = (ts div w)·w` in exact int64 nano math (never
+    * float division — epoch-nanos exceed 2⁵³), then per
+    * (window, keys) count/sum in ONE hash aggregate. No window
+    * function anywhere: map-side partial aggregation, shuffle only on
+    * the (window, keys) grain, any engine rebuilds the same buckets. */
+  def tumblingAgg(df: DataFrame, tsCol: String, windowNanos: Long,
+                  keyCols: Seq[String], value: Column): DataFrame = {
+    require(windowNanos > 0, s"bad window width $windowNanos")
+    val ws = (expr(s"`$tsCol` div $windowNanos") * lit(windowNanos))
+      .as("window_start")
+    df.groupBy(ws +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(value).as("sum_value"))
   }
 }

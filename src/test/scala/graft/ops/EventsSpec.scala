@@ -127,4 +127,29 @@ class EventsSpec extends AnyFunSuite {
       assert(got == want, s"event ${r.getLong(0)}")
     }
   }
+
+  test("tumblingAgg buckets by exact int64 window math (driver " +
+    "oracle), one hash aggregate, no window function") {
+    val rows = Seq( // (key, ts, value) straddling window boundaries
+      ("a", 0L, 1.0), ("a", 9L, 2.0), ("a", 10L, 3.0), ("a", 19L, 4.0),
+      ("a", 20L, 5.0), ("b", 5L, 6.0), ("b", 25L, 7.0))
+      .toDF("k", "ts", "v")
+    val got = Events.tumblingAgg(rows, "ts", 10L, Seq("k"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val want = Seq(("a", 0L, 3.0, 2L), ("a", 10L, 7.0, 2L),
+      ("a", 20L, 5.0, 1L), ("b", 0L, 6.0, 1L), ("b", 20L, 7.0, 1L))
+    want.foreach { case (k, ws, sv, n) =>
+      assert(got((ws, k)) == (n, sv), s"window ($k, $ws)")
+    }
+    assert(got.size == want.size)
+    // real fixture: every event lands in exactly one window
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val w = Events.tumblingAgg(ev, "ts", 86400000000000L,
+      Seq("event_type"), col("value"))
+    assert(w.agg(sum("n")).as[Long].head() == ev.count())
+    val plan = w.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "tumblingAgg must not plan a Window")
+  }
 }
