@@ -42,6 +42,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(statsOf(fromJson) == want, "JSON roundtrip changed the answer")
   }
 
+  test("ORC roundtrip answers identically and pushes filters to the " +
+    "ORC scan") {
+    val base = Files.createTempDirectory("graft_orc").toString
+    docs.write.mode("overwrite").orc(s"$base/orc")
+    val fromOrc = spark.read.orc(s"$base/orc")
+    assert(statsOf(fromOrc) == statsOf(docs),
+      "ORC roundtrip changed the answer")
+    val filtered = fromOrc.where(col("n_chars") > 100L)
+      .select("doc_id", "n_chars")
+    assert(filtered.count() == docs.where(col("n_chars") > 100L).count())
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(n_chars), " +
+      "GreaterThan(n_chars,100)"),
+      s"ORC scan must carry the pushed filter:\n$scan")
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
+      "projection must prune to the two read columns")
+  }
+
   test("partitionBy(source) sink + source-filtered read prunes to one " +
     "partition at the scan") {
     val base = Files.createTempDirectory("graft_part").toString
