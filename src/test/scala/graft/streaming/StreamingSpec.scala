@@ -73,6 +73,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming chunking, DSIR weighting, and classifier scoring " +
+    "(stateless maps) equal the batch path row for row") {
+    import graft.ops.{Dsir, QualityClassifier, TextAnalysis}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val ratios = Array.tabulate(Dsir.NumBuckets)(b => (b % 11) * 0.02 - 0.1)
+    val w = Array(-2.0, 1.5, 8.0, -3.0, 0.5)
+    def attach(df: org.apache.spark.sql.DataFrame) = {
+      val chunked = TextAnalysis.chunks(df, "text", "doc_id", 16, 12)
+      val weighted = Dsir.importanceWeights(
+        QualityClassifier.withFeatures(df, "text")
+          .withColumn("score", QualityClassifier.score(w)),
+        "text", ratios)
+        .select("doc_id", "score", "log_w")
+      (chunked, weighted)
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val (chS, wS) = attach(stream)
+    StreamingOps.runToMemorySink(chS, "chunks_stream")
+    StreamingOps.runToMemorySink(wS, "weights_stream")
+    val (chB, wB) = attach(docs)
+    val gotCh = spark.table("chunks_stream").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getLong(3)))
+      .toMap
+    val wantCh = chB.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getLong(3)))
+      .toMap
+    assert(gotCh == wantCh, "chunking must be identical on a stream")
+    val gotW = spark.table("weights_stream").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val wantW = wB.collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(gotW == wantW, "weights/scores must be identical on a stream")
+  }
+
   test("streaming bloom prefilter (stateless map) equals the batch " +
     "probe row for row") {
     import graft.ops.{Bloom, Dedup}
