@@ -44,4 +44,25 @@ object Layout {
     val z = zValue(a, b, bits)
     df.repartitionByRange(numFiles, z).sortWithinPartitions(z)
   }
+
+  /** Target-size compaction — the small-files fix for any table that
+    * accumulated per-batch fragments (streaming sinks, incremental
+    * ingest): rewrite to ⌈rows/targetRows⌉ similar-sized files. With
+    * a `clusterBy` column the rewrite range-partitions on it (files
+    * stay min/max-prunable on that column); without one it
+    * round-robins for pure size balancing. The row count comes from
+    * ONE count() pass — at 100 TB that is a metadata-cheap columnar
+    * scan, and the alternative (guessing file counts) is exactly what
+    * produced the fragments. */
+  def compact(df: DataFrame, targetRows: Long,
+              clusterBy: Option[Column] = None): DataFrame = {
+    require(targetRows > 0, s"bad target $targetRows")
+    val n = df.count()
+    val files = math.max(1L, (n + targetRows - 1) / targetRows).toInt
+    clusterBy match {
+      case Some(c) => df.repartitionByRange(files, c)
+        .sortWithinPartitions(c)
+      case None => df.repartition(files)
+    }
+  }
 }

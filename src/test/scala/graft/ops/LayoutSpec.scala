@@ -65,4 +65,37 @@ class LayoutSpec extends AnyFunSuite {
     assert(zD < 0.62 * 31, s"z files should bound d (got $zD vs $lexD)")
     assert(zD < 0.7 * lexD, s"z should beat lex on d ($zD vs $lexD)")
   }
+
+  test("compact rewrites a fragmented table into ceil(n/target) " +
+    "balanced files, preserving content; clusterBy keeps files " +
+    "min/max-prunable") {
+    val base = Files.createTempDirectory("graft_compact").toString
+    // fragment: 64 tiny files of 1000 rows
+    spark.range(64000L).select(col("id"), (col("id") % 97L).as("v"))
+      .repartition(64).write.mode("overwrite").parquet(s"$base/frag")
+    val frag = spark.read.parquet(s"$base/frag")
+    assert(new java.io.File(s"$base/frag").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 64)
+    Layout.compact(frag, targetRows = 16000L, Some(col("id")))
+      .write.mode("overwrite").parquet(s"$base/out")
+    val outFiles = new java.io.File(s"$base/out").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(outFiles.length == 4, s"expected 4 files, got ${outFiles.length}")
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.count() == 64000L &&
+      out.agg(sum("id")).head().getLong(0) ==
+        frag.agg(sum("id")).head().getLong(0))
+    // clustered: per-file id ranges are disjoint quarters, so any
+    // id-range filter can skip 3 of 4 files on min/max stats
+    val spans = out.groupBy(input_file_name().as("f"))
+      .agg(min("id").as("lo"), max("id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    spans.sliding(2).foreach { case Array((_, hi0), (lo1, _)) =>
+      assert(hi0 < lo1, s"file ranges must be disjoint: ${spans.toSeq}")
+    }
+    // size balance: no file more than 2x the target
+    val counts = out.groupBy(input_file_name()).count()
+      .collect().map(_.getLong(1))
+    assert(counts.forall(c => c > 8000 && c < 32000), counts.toSeq)
+  }
 }
