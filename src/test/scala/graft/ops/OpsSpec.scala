@@ -141,6 +141,62 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted IVF index: query reads ONLY the probed cell " +
+    "partitions and matches a driver oracle over those cells") {
+    val embDf = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val cents = Similarity.collectCentroids(
+      embDf.orderBy("vec_id").limit(8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ivf_index").toString
+    Similarity.writeIvfIndex(embDf, "vec_id", "embedding", cents, base)
+    assert(Similarity.loadIvfCentroids(spark, base).toSeq == cents.toSeq)
+    val q = embDf.where(col("vec_id") === 42L)
+      .select("embedding").collect().head
+      .getSeq[Float](0).map(_.toDouble)
+    val got = Similarity.queryIvfIndex(spark, base, q, probes = 2, k = 5)
+    val rows = got.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // driver oracle: brute-force cosine over vectors in the 2 cells
+    def l2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val probeCells = cents.map { case (cid, v) => (l2(v, q), cid) }
+      .sorted.take(2).map(_._2).toSet
+    val vecs = embDf.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).map(_.toDouble)))
+    val inCells = vecs.filter { case (_, v) =>
+      probeCells.contains(cents.map { case (cid, c) =>
+        (l2(c, v), cid) }.min._2)
+    }
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum) /
+        math.sqrt(b.map(x => x * x).sum)
+    }
+    val want = inCells.map { case (id, v) => (id, cos(v, q)) }
+      .sortBy { case (id, c) => (-c, id) }.take(5)
+    assert(rows.map(_._1).toSeq == want.map(_._1).toSeq,
+      s"got ${rows.toSeq}, want ${want.toSeq}")
+    rows.zip(want).foreach { case ((_, g), (_, w)) =>
+      assert(math.abs(g - w) < 1e-9)
+    }
+    // the scan prunes: listed files cover only the probed partitions
+    got.collect()
+    val scanned = got.queryExecution.executedPlan.collectLeaves()
+      .collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+            .flatMap(_.files.map(_.getPath.toString))
+      }.flatten
+    assert(scanned.nonEmpty &&
+      scanned.forall(p => probeCells.exists(c => p.contains(s"cell=$c"))),
+      s"scan must touch only probed cells, saw:\n${scanned.mkString("\n")}")
+    val allCells = embDf.select(
+      Similarity.nearestCentroid(Similarity.asDouble(col("embedding")),
+        cents).getField("c")).distinct().count()
+    assert(allCells > 2, "fixture must have more cells than probes")
+  }
+
   test("multi-probe IVF: top1 is monotone in probes and bounded by exact") {
     val embDf = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
