@@ -30,8 +30,16 @@ object Dsir {
   /** Per-document feature-bucket list: hashed unigrams AND bigrams
     * (the paper's feature map), with multiplicity, each mod
     * [[NumBuckets]]. Bigram folds ride the same 45-bit fingerprint
-    * universe as the dedup kernels. */
-  def bucketList(text: Column): Column = {
+    * universe as the dedup kernels. Native one-pass kernel
+    * ([[TextHashExpressions.dsirBuckets]]); [[bucketListSpec]] is the
+    * composable form it is equivalence-tested against. */
+  def bucketList(text: Column): Column =
+    TextHashExpressions.dsirBuckets(text, NumBuckets)
+
+  /** Composable executable spec of [[bucketList]] — O(tokens²)
+    * hashing (the gram windows re-evaluate the hash-array
+    * expression), kept for equivalence testing only. */
+  def bucketListSpec(text: Column): Column = {
     val hl = Dedup.tokenHashList(text)
     concat(
       transform(hl, h => h % lit(NumBuckets.toLong)),
@@ -79,8 +87,22 @@ object Dsir {
   def importanceWeights(df: DataFrame, textCol: String,
                         ratios: Array[Double]): DataFrame = {
     require(ratios.length == NumBuckets, s"need $NumBuckets ratios")
-    val lut = array(ratios.map(lit): _*)
-    val bl = bucketList(col(textCol))
+    df.withColumn("__w", TextHashExpressions.dsirWeight(col(textCol),
+        NumBuckets, ratios.toSeq))
+      .withColumn("log_w", col("__w.log_w"))
+      .withColumn("n_feats", col("__w.n_feats"))
+      .where(col("n_feats") > 0)
+      .drop("__w")
+  }
+
+  /** Composable executable spec of [[importanceWeights]] (fold over
+    * the inlined ratio table — same summation order, bit-identical;
+    * equivalence-tested, not the hot path). */
+  def importanceWeightsSpec(df: DataFrame, textCol: String,
+                            ratios: Array[Double]): DataFrame = {
+    require(ratios.length == NumBuckets, s"need $NumBuckets ratios")
+    val lut = typedLit(ratios.toSeq)
+    val bl = bucketListSpec(col(textCol))
     df.withColumn("__bl", bl)
       .where(size(col("__bl")) > 0)
       .withColumn("log_w", aggregate(col("__bl"), lit(0.0),

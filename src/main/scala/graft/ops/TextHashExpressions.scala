@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -107,6 +108,54 @@ object TextHashFns {
     new GenericArrayData(out)
   }
 
+  /** DSIR feature buckets in ONE tokenize+hash pass: per-token 60-bit
+    * md5 hash mod [[Dedup.NgramFpMod]], then every unigram (h % m)
+    * followed by every bigram (((h_i·31 + h_{i+1}) mod M) % m), WITH
+    * multiplicity — the kernel form of the composable
+    * [[graft.ops.Dsir.bucketListSpec]] (which re-evaluates the hash
+    * array per gram window: O(tokens²) md5 calls, measured ~60×
+    * slower at sf0.1). */
+  def dsirBuckets(text: UTF8String, m: Int): GenericArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val mod = Dedup.NgramFpMod
+    val n = toks.length
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = tokenHash60(toks(i)) % mod; i += 1 }
+    val out = new Array[Any](if (n >= 2) 2 * n - 1 else n)
+    i = 0
+    while (i < n) { out(i) = hs(i) % m; i += 1 }
+    i = 0
+    while (i < n - 1) {
+      out(n + i) = ((hs(i) * 31L + hs(i + 1)) % mod) % m
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Fused DSIR weight: Σ ratios(bucket) over [[dsirBuckets]] in the
+    * same one pass (same summation order as the composable
+    * concat-then-fold spec: all unigrams, then all bigrams — so the
+    * double result is bit-identical). Returns (log_w, n_feats). */
+  def dsirWeight(text: UTF8String, m: Int,
+                 ratios: Array[Double]): InternalRow = {
+    val toks = text.toString.split(" ", -1)
+    val mod = Dedup.NgramFpMod
+    val n = toks.length
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = tokenHash60(toks(i)) % mod; i += 1 }
+    var s = 0.0
+    i = 0
+    while (i < n) { s += ratios((hs(i) % m).toInt); i += 1 }
+    i = 0
+    while (i < n - 1) {
+      s += ratios((((hs(i) * 31L + hs(i + 1)) % mod) % m).toInt)
+      i += 1
+    }
+    InternalRow(s, if (n >= 2) 2L * n - 1 else n.toLong)
+  }
+
   /** 16-bit SimHash over the distinct token set: bit b set iff
     * Σ_tokens (±1 by bit b of the 60-bit hash) > 0. Returns −1 for a
     * token-less text (callers filter; bit-sums of zero tokens are all
@@ -208,6 +257,40 @@ case class Simhash16Expr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash16"
 }
 
+case class DsirBucketsExpr(child: Expression, m: Int)
+    extends UnaryExpression {
+  require(m >= 2, s"m=$m")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextHashFns.dsirBuckets(v.asInstanceOf[UTF8String], m)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.TextHashFns.dsirBuckets($c, $m)")
+  override protected def withNewChildInternal(c: Expression): DsirBucketsExpr =
+    copy(child = c)
+  override def prettyName: String = "dsir_buckets"
+}
+
+case class DsirWeightExpr(child: Expression, m: Int, ratios: Seq[Double])
+    extends UnaryExpression {
+  require(ratios.length == m, s"need $m ratios, got ${ratios.length}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("log_w", DoubleType, nullable = false),
+    StructField("n_feats", LongType, nullable = false)))
+  @transient private lazy val packed = ratios.toArray
+  override def nullSafeEval(v: Any): Any =
+    TextHashFns.dsirWeight(v.asInstanceOf[UTF8String], m, packed)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ratios", packed, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ops.TextHashFns.dsirWeight($c, $m, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): DsirWeightExpr =
+    copy(child = c)
+  override def prettyName: String = "dsir_weight"
+}
+
 case class NgramFpsExpr(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1, s"n=$n")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -226,6 +309,10 @@ object TextHashExpressions {
     bridge.toColumn(MinhashSigsExpr(bridge.toExpression(text)))
   def ngramFps(text: Column, n: Int): Column =
     bridge.toColumn(NgramFpsExpr(bridge.toExpression(text), n))
+  def dsirBuckets(text: Column, m: Int): Column =
+    bridge.toColumn(DsirBucketsExpr(bridge.toExpression(text), m))
+  def dsirWeight(text: Column, m: Int, ratios: Seq[Double]): Column =
+    bridge.toColumn(DsirWeightExpr(bridge.toExpression(text), m, ratios))
   def simhash16(text: Column): Column =
     bridge.toColumn(Simhash16Expr(bridge.toExpression(text)))
   def stopwordCounts(text: Column): Column =

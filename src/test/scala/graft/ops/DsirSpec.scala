@@ -54,6 +54,24 @@ class DsirSpec extends AnyFunSuite {
       "resample must plan as per-partition top-n")
   }
 
+  test("native bucket and weight kernels equal the composable specs " +
+    "bit for bit on the fixture corpus") {
+    val diff = docs.select(
+        Dsir.bucketList(col("text")).as("k"),
+        Dsir.bucketListSpec(col("text")).as("s"))
+      .where(not(col("k") <=> col("s")))
+      .count()
+    assert(diff == 0, s"$diff docs disagree between kernel and spec")
+    val ratios = Array.tabulate(Dsir.NumBuckets)(b => (b % 13) * 0.03 - 0.15)
+    val kern = Dsir.importanceWeights(docs, "text", ratios)
+      .select("doc_id", "log_w", "n_feats").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val spec = Dsir.importanceWeightsSpec(docs, "text", ratios)
+      .select("doc_id", "log_w", "n_feats").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(kern == spec, "fused weight kernel must equal the fold spec")
+  }
+
   test("empty text is one empty token (the shared whitespace-split " +
     "convention); single-token docs keep exactly one unigram feature") {
     val rows = Seq((1L, ""), (2L, "merge"), (3L, "merge sort"))
