@@ -1412,6 +1412,43 @@ object PipelineQueries {
       "CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) " +
       "AS n_keep FROM sc GROUP BY source ORDER BY source")
 
+  /** Distributed BPE vocabulary induction: the learned merge table
+    * (round, pair, merged symbol, weighted pair count) for BpeRounds
+    * rounds — the oracle unrolls the SAME rounds as CTE stages, so
+    * the whole iterative algorithm (pair counting, argmax
+    * tie-breaks, two-pass delimited replace) is pinned end to end. */
+  private val BpeRounds = 6
+  private val textBpe = Q("q_text_bpe",
+    (s, d) => graft.ops.Bpe.learnDf(docs(s, d), "text", BpeRounds),
+    {
+      val D = graft.ops.Bpe.DelimSql
+      val head =
+        "WITH w0 AS (SELECT tok, count(*) AS freq FROM (" +
+          "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
+          s"WHERE tok <> '' AND NOT contains(tok, $D) GROUP BY tok), " +
+          s"s0 AS (SELECT freq, $D || " +
+          s"array_to_string(string_split(tok, ''), $D) || $D AS seq FROM w0)"
+      val rounds = (1 to BpeRounds).map { r =>
+        val prev = s"s${r - 1}"
+        s"p$r AS (SELECT u.a AS a, u.b AS b, sum(freq) AS c FROM (" +
+          "SELECT freq, unnest([{'a': l[i], 'b': l[i+1]} " +
+          "for i in range(1, len(l))]) AS u FROM (" +
+          s"SELECT freq, string_split(trim(seq, $D), $D) AS l " +
+          s"FROM $prev)) GROUP BY 1, 2), " +
+          s"b$r AS (SELECT a, b, c FROM p$r " +
+          "ORDER BY c DESC, a ASC, b ASC LIMIT 1), " +
+          s"s$r AS (SELECT freq, replace(replace(seq, " +
+          s"$D||a||$D||b||$D, $D||a||b||$D), " +
+          s"$D||a||$D||b||$D, $D||a||b||$D) AS seq " +
+          s"FROM $prev CROSS JOIN b$r)"
+      }.mkString(", ", ", ", " ")
+      val union = (1 to BpeRounds).map { r =>
+        s"SELECT $r AS round, a, b, a||b AS merged, " +
+          s"CAST(c AS BIGINT) AS pair_count FROM b$r"
+      }.mkString(" UNION ALL ")
+      head + rounds + s"SELECT * FROM ($union) ORDER BY round"
+    })
+
   private val textFingerprint = Q("q_text_fingerprint",
     (s, d) => docs(s, d).groupBy("source")
       .agg(count(lit(1)).as("n"),
@@ -1967,7 +2004,7 @@ object PipelineQueries {
     embedKmeans, embedCovariance,
     embedPq, embedIvfPq, embedRerank,
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,
-    textVocab, textClassifier, textChunks,
+    textVocab, textClassifier, textChunks, textBpe,
     textPerplexity, textBm25, textPii, textContamination, sketchHll,
     sketchHllBy, sketchCms, sketchQuantile, sketchQuantileBy,
     textDupNgrams, qualityGopher, multimodalMeta, curation, trainMix,
