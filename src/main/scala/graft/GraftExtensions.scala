@@ -74,7 +74,15 @@ object GraftExtensions {
       args => graft.ops.MinhashSigsExpr(one(args, "minhash_sigs"))),
     (FunctionIdentifier("simhash16"),
       info("simhash16", "simhash16(text) - 16-bit SimHash"),
-      args => graft.ops.Simhash16Expr(one(args, "simhash16"))))
+      args => graft.ops.Simhash16Expr(one(args, "simhash16"))),
+    (FunctionIdentifier("dsir_buckets"),
+      info("dsir_buckets",
+        "dsir_buckets(text, m) - DSIR unigram+bigram feature buckets"),
+      args => {
+        require(args.length == 2, "dsir_buckets expects 2 arguments")
+        graft.ops.DsirBucketsExpr(args(0),
+          intLit(args(1), "dsir_buckets m"))
+      }))
 
   /** Install the function set into a LIVE session's registry (the
     * notebook/test path — no session rebuild needed). */

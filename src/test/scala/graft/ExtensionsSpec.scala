@@ -21,7 +21,8 @@ class ExtensionsSpec extends AnyFunSuite {
         "vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d, " +
         "vec_l2sq(array(1.0D, 2.0D), array(4.0D, 6.0D)) AS l2, " +
         "minhash_sigs('the quick brown fox') AS mh, " +
-        "simhash16('the quick brown fox') AS sh").head()
+        "simhash16('the quick brown fox') AS sh, " +
+        "dsir_buckets('the quick brown fox', 256) AS db").head()
     assert(r.getAs[Double]("lg") == MathFns.lgamma(4.5))
     assert(r.getAs[Double]("dg") == MathFns.digamma(4.5))
     assert(r.getAs[Double]("d") == 32.0)
@@ -30,10 +31,13 @@ class ExtensionsSpec extends AnyFunSuite {
     val df = Seq("the quick brown fox").toDF("text")
     val want = df.select(
       graft.ops.TextHashExpressions.minhashSigs(col("text")).as("mh"),
-      graft.ops.TextHashExpressions.simhash16(col("text")).as("sh")).head()
+      graft.ops.TextHashExpressions.simhash16(col("text")).as("sh"),
+      graft.ops.TextHashExpressions.dsirBuckets(col("text"), 256).as("db"))
+      .head()
     assert(r.getSeq[Long](r.fieldIndex("mh")) ==
       want.getSeq[Long](0))
     assert(r.getAs[Long]("sh") == want.getLong(1))
+    assert(r.getSeq[Long](r.fieldIndex("db")) == want.getSeq[Long](2))
   }
 
   test("lsh_bucket SQL function matches the DataFrame kernel over real " +

@@ -41,6 +41,13 @@ class EdgeCasesSpec extends AnyFunSuite {
       .count() == 0)
     assert(Sampling.packSequences(noDocs, "doc_id", "text", 64, 2)
       .count() == 0)
+    assert(Sampling.domainCap(noDocs, "doc_id", "source", 5).count() == 0)
+    assert(TextAnalysis.chunks(noDocs, "text", "doc_id", 32, 24)
+      .count() == 0)
+    assert(Dsir.importanceWeights(noDocs, "text",
+      Array.fill(Dsir.NumBuckets)(0.0)).count() == 0)
+    assert(Bpe.learn(noDocs, "text", 3).isEmpty)
+    assert(QualityClassifier.withFeatures(noDocs, "text").count() == 0)
   }
 
   test("sketches over an empty frame: histograms and quantiles are " +
