@@ -70,9 +70,14 @@ object Bpe {
     * remains stop early. */
   def learn(df: DataFrame, textCol: String, k: Int): Seq[(Int, String, String, String, Long)] = {
     require(k >= 1 && k <= 64, s"bad merge count $k")
-    var seqDf = wordTable(df, textCol)
+    // cache ONLY the base word table (the corpus-sized work); each
+    // round's pair count re-evaluates the accumulated replace chain
+    // over the cached vocab — r codegen'd string replaces over a
+    // vocab-sized table beat a cache-materialization action per round
+    val base = wordTable(df, textCol)
       .withColumn("seq", initSeq(col("tok"))).select("freq", "seq")
       .cache()
+    var seqDf = base
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
     var round = 1
@@ -87,16 +92,11 @@ object Bpe {
       else {
         val Row(a: String, b: String, c: Long) = top.head
         merges += ((round, a, b, a + b, c))
-        val next = seqDf
-          .withColumn("seq", applyMerge(col("seq"), a, b))
-          .cache()
-        next.count()
-        seqDf.unpersist()
-        seqDf = next
+        seqDf = seqDf.withColumn("seq", applyMerge(col("seq"), a, b))
         round += 1
       }
     }
-    seqDf.unpersist()
+    base.unpersist()
     merges.toSeq
   }
 
