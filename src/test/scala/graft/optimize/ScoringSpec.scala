@@ -56,4 +56,61 @@ class ScoringSpec extends AnyFunSuite {
     }
     ds.unpersist()
   }
+
+  test("attachDraws sweeps S draw vectors in one pass and WAIC " +
+    "prefers the true model over intercept-only") {
+    import spark.implicits._
+    // planted y = 1.5 x + noise — the slope genuinely matters
+    val n = 400
+    val rng = new scala.util.Random(3)
+    val data = Seq.tabulate(n) { i =>
+      val x = i / (n / 4.0) - 2.0
+      (x, 1.5 * x + 0.3 * rng.nextGaussian())
+    }.toDF("x", "y")
+    def fit(withSlope: Boolean) = {
+      val root = new Module
+      val a = root.add("a", new Variational.Normal(Seq(1)))
+      val bOpt = if (withSlope)
+        Some(root.add("b", new Variational.Normal(Seq(1)))) else None
+      val ds = new DataSet(data, seed = 0)
+      def ll(ctx: Elbo.Ctx) = {
+        val mean = bOpt match {
+          case Some(b) => ctx.sample1(a) + ctx.sample1(b) * ctx.in("x")
+          case None => ctx.sample1(a)
+        }
+        ExprFns.gaussian(ctx.in("y"), mean, graft.autodiff.Expr.c(0.09))
+      }
+      val elbo = new Elbo(root, ds, Seq("x", "y"), ll _, seed = 0)
+      elbo.optimize(maxiter = 800, lr = 0.1)
+      val w = Scoring.waic(elbo, data, ll _, nSamples = 80)
+      ds.unpersist()
+      w
+    }
+    val (waicTrue, lppdTrue, pTrue) = fit(withSlope = true)
+    val (waicFlat, _, _) = fit(withSlope = false)
+    assert(waicTrue < waicFlat,
+      s"true model must win: $waicTrue vs $waicFlat")
+    // VI posteriors overestimate pWAIC until fully converged; assert
+    // the order of magnitude (a 2-parameter model, 400 rows)
+    assert(pTrue > 0 && pTrue < 40,
+      s"effective parameter count $pTrue out of range")
+    assert(lppdTrue.isFinite)
+    // attachDraws: S columns vary across draws (posterior not collapsed)
+    val root = new Module
+    val a = root.add("a", new Variational.Normal(Seq(1)))
+    val ds = new DataSet(data, seed = 0)
+    val elbo = new Elbo(root, ds, Seq("x", "y"),
+      ctx => ExprFns.gaussian(ctx.in("y"), ctx.sample1(a),
+        graft.autodiff.Expr.c(1.0)), seed = 0)
+    val dr = Array(Array.fill(elbo.nDraws)(0.0),
+      Array.fill(elbo.nDraws)(2.0))
+    val out = Scoring.attachDraws(elbo, data.limit(4),
+      ctx => ctx.sample1(a), "s", dr).collect()
+    out.foreach { r =>
+      val s = r.getSeq[Double](r.fieldIndex("s"))
+      assert(s.length == 2 && s(0) != s(1),
+        "distinct draws must give distinct samples")
+    }
+    ds.unpersist()
+  }
 }
