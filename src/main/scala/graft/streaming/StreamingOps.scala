@@ -108,6 +108,44 @@ object StreamingOps {
       }
   }
 
+  /** Streaming per-key admission cap — the incremental form of the
+    * per-domain cap ([[graft.ops.Sampling.domainCap]]): each key
+    * admits its first `cap` arrivals and drops the rest. (Arrival
+    * order is the only order a stream has; the batch op keeps the
+    * smallest hash draws instead — run it over the archive for the
+    * retrospective form.) State is ONE counter per key — bounded by
+    * key cardinality, never stream length — evicted after
+    * `stateTimeout` of silence. */
+  def capPerKey(pairs: Dataset[(String, String)], cap: Int,
+                stateTimeout: Option[String] = Some("1 hour"))
+      : Dataset[(String, String)] = {
+    require(cap > 0, s"bad cap $cap")
+    import pairs.sparkSession.implicits._
+    // NB: a processing-time timeout makes the streaming engine
+    // schedule timeout-only batches indefinitely — callers that drive
+    // a query with processAllAvailable (tests, bounded backfills)
+    // pass stateTimeout = None; long-running ingest keeps the default
+    // so idle domains evict
+    val mode = stateTimeout.map(_ => GroupStateTimeout.ProcessingTimeTimeout())
+      .getOrElse(GroupStateTimeout.NoTimeout())
+    pairs.groupByKey(_._1)
+      .flatMapGroupsWithState[Int, (String, String)](
+        OutputMode.Append(), mode) {
+        (_: String, rows: Iterator[(String, String)],
+         state: GroupState[Int]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val seen = state.getOption.getOrElse(0)
+            val admit = rows.take(math.max(0, cap - seen)).toVector
+            state.update(seen + admit.size)
+            stateTimeout.foreach(state.setTimeoutDuration)
+            admit.iterator
+          }
+      }
+  }
+
   /** Streaming corpus curation — the incremental form of the batch
     * quality-floor → dedup composition (q_pipeline_curation): the
     * quality score is a stateless per-row map, so the only stateful

@@ -313,6 +313,36 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("capPerKey admits at most cap rows per key (bounded counter " +
+    "state), and admitted rows are real members of the key") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("source"), col("doc_id").cast("string"))
+      .as[(String, String)]
+    val out = StreamingOps.capPerKey(stream, cap = 3, stateTimeout = None)
+      .toDF("source", "doc_id")
+    StreamingOps.runToMemorySink(out, "cap_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.table("cap_stream").collect()
+      .map(r => r.getString(0) -> r.getString(1).toLong)
+    val bySrc = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val totals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (src, n) =>
+      assert(bySrc(src).size == math.min(n, 3L).toInt,
+        s"$src admitted ${bySrc(src).size} of $n at cap 3")
+    }
+    val realIds = docs.select("source", "doc_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    bySrc.foreach { case (src, ids) =>
+      assert(ids.subsetOf(realIds(src)), s"$src admitted foreign ids")
+    }
+  }
+
   test("streaming curation (quality floor + signature dedup) equals " +
     "the batch composition") {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
