@@ -27,6 +27,66 @@ object PipelineQueries {
     * (Declared before first use — object vals initialize in order.) */
   private val DigestMod = 1099511627776L
 
+  /** Fixed classifier weights shared by the scoring oracle and the
+    * modern-pipeline composition (bias, len, stop, punct, wl). */
+  private val ClsWeights = Array(-2.0, 1.5, 8.0, -3.0, 0.5)
+
+  /** The round-4 end-to-end composition — the stages a current
+    * training-data pipeline actually chains: PII scrub → learned-
+    * classifier quality floor (fixed weights) → per-domain cap →
+    * context-window chunking → per-source chunk manifests. Every
+    * stage at its standalone operator's verified scale shape (maps,
+    * one bounded TopK agg, map+explode); the final manifest pins doc
+    * membership, chunk counts, token mass, and chunk-content
+    * checksums cross-engine. */
+  private val ModernFloor = 0.6
+  private val ModernCap = 15
+  private val pipelineModern = Q("q_pipeline_modern",
+    (s, d) => {
+      val d0 = docs(s, d)
+      val scrubbed = d0.select(col("doc_id"), col("source"),
+        TextAnalysis.scrubPii(col("text")).as("text2"))
+      val scored = graft.ops.QualityClassifier
+        .withFeatures(scrubbed, "text2")
+        .withColumn("score", graft.ops.QualityClassifier.score(ClsWeights))
+        .where(col("score") >= ModernFloor)
+        .select("doc_id", "source", "text2")
+      val capped = Sampling.domainCap(scored, "doc_id", "source", ModernCap)
+      TextAnalysis.chunks(capped, "text2", "doc_id", 32, 24)
+        .join(capped.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(col("n_tok")).as("sum_tok"),
+          sum(TextAnalysis.tokenHash(col("chunk")) % lit(DigestMod))
+            .as("checksum"))
+        .orderBy("source")
+    }, {
+      val score = graft.ops.QualityClassifier.ScoreSql(ClsWeights, "text2")
+      s"WITH sc AS (SELECT doc_id, source, " +
+        s"${TextAnalysis.ScrubPiiSql("text")} AS text2 FROM documents), " +
+        s"q AS (SELECT doc_id, source, text2 FROM sc " +
+        s"WHERE $score >= $ModernFloor), " +
+        "cap AS (SELECT doc_id, source, text2 FROM (" +
+        "SELECT q.*, row_number() OVER (PARTITION BY source " +
+        s"ORDER BY ${Sampling.HashFractionSql("doc_id")} ASC, doc_id ASC) " +
+        s"AS rk FROM q) WHERE rk <= $ModernCap), " +
+        "t AS (SELECT doc_id, source, string_split(text2, ' ') AS toks " +
+        "FROM cap), " +
+        "c AS (SELECT doc_id, source, toks, len(toks) AS n, " +
+        "unnest(range(0, CAST(floor((greatest(len(toks) - 32, 0) + 23)" +
+        "::DOUBLE / 24.0) AS INT) + 1)) AS chunk_id FROM t), " +
+        "ch AS (SELECT doc_id, source, " +
+        "array_to_string(list_slice(toks, chunk_id*24 + 1, " +
+        "chunk_id*24 + 32), ' ') AS chunk, " +
+        "least(32, n - chunk_id*24) AS n_tok FROM c) " +
+        "SELECT source, count(DISTINCT doc_id) AS n_docs, " +
+        "count(*) AS n_chunks, CAST(sum(n_tok) AS BIGINT) AS sum_tok, " +
+        s"CAST(sum(${TextAnalysis.TokenHashSql("chunk")} % $DigestMod) " +
+        "AS BIGINT) AS checksum " +
+        "FROM ch GROUP BY source ORDER BY source"
+    })
+
   // ------------------------------------------------------------ dedup
 
   private val dedupExact = Q("q_dedup_exact",
@@ -1394,7 +1454,6 @@ object PipelineQueries {
     * one-scan inference path of the Bayesian classifier (training is
     * stochastic and statistically tested; THIS pins the scoring
     * arithmetic cross-engine). */
-  private val ClsWeights = Array(-2.0, 1.5, 8.0, -3.0, 0.5)
   private val textClassifier = Q("q_text_classifier",
     (s, d) => graft.ops.QualityClassifier
       .withFeatures(docs(s, d), "text")
@@ -2008,6 +2067,7 @@ object PipelineQueries {
     textPerplexity, textBm25, textPii, textContamination, sketchHll,
     sketchHllBy, sketchCms, sketchQuantile, sketchQuantileBy,
     textDupNgrams, qualityGopher, multimodalMeta, curation, trainMix,
+    pipelineModern,
     sampleStratified, sampleTemperature, sampleFixedN, sampleWeighted,
     sampleDomainCap, sampleDsir,
     statsRollup, topkPerGroup, shardManifest, packSequences)

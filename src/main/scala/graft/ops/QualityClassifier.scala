@@ -78,20 +78,20 @@ object QualityClassifier {
     lit(1.0) / (lit(1.0) + exp(-z))
   }
 
-  /** DuckDB rendering of the features + [[score]] over a `text`
+  /** DuckDB rendering of the features + [[score]] over a text
     * column, same constants and operation order. */
-  def ScoreSql(w: Array[Double]): String = {
-    val wc = "(length(text) - length(replace(text, ' ', '')) + 1)"
+  def ScoreSql(w: Array[Double], t: String = "text"): String = {
+    val wc = s"(length($t) - length(replace($t, ' ', '')) + 1)"
     val stopSum = TextAnalysis.LangPriority.map { lang =>
       val lst = TextAnalysis.Stopwords(lang).map(s => s"'$s'").mkString(", ")
-      s"len(list_filter(string_split(text, ' '), " +
+      s"len(list_filter(string_split($t, ' '), " +
         s"w -> list_contains([$lst], w)))"
     }.mkString(" + ")
-    val fLen = "least(length(text)::DOUBLE / 200.0, 1.0)"
+    val fLen = s"least(length($t)::DOUBLE / 200.0, 1.0)"
     val fStop = s"(($stopSum)::DOUBLE / $wc::DOUBLE)"
-    val fPunct = "(len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::DOUBLE" +
-      s" / greatest(length(replace(text, ' ', ''))::DOUBLE, 1.0))"
-    val fWl = s"((length(text)::DOUBLE - ($wc::DOUBLE - 1.0)) / " +
+    val fPunct = s"(len(regexp_extract_all($t, '[^A-Za-z0-9 ]'))::DOUBLE" +
+      s" / greatest(length(replace($t, ' ', ''))::DOUBLE, 1.0))"
+    val fWl = s"((length($t)::DOUBLE - ($wc::DOUBLE - 1.0)) / " +
       s"$wc::DOUBLE / 5.0)"
     val feats = Seq(fLen, fStop, fPunct, fWl)
     val z = feats.zipWithIndex.foldLeft(s"${w(0)}") {
