@@ -50,10 +50,13 @@ object PipelineQueries {
         .withFeatures(scrubbed, "text2")
         .withColumn("score", graft.ops.QualityClassifier.score(ClsWeights))
         .where(col("score") >= ModernFloor)
-        .select("doc_id", "source", "text2")
-      val capped = Sampling.domainCap(scored, "doc_id", "source", ModernCap)
-      TextAnalysis.chunks(capped, "text2", "doc_id", 32, 24)
-        .join(capped.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source")
+      // kept ids carry the floor AND the cap, so survivors re-derive
+      // only the scrubbed text — the scoring chain is evaluated once
+      val ids = Sampling.domainCapIds(scored, "doc_id", "source", ModernCap)
+      val capped = scrubbed.join(ids, "doc_id")
+      TextAnalysis.chunks(capped, "text2", "doc_id", 32, 24,
+          keep = Seq("source"))
         .groupBy("source")
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_chunks"),

@@ -104,15 +104,22 @@ object Sampling {
     * small). `idCol` must be integral (the TopK state is primitive
     * (double, long) pairs). */
   def domainCap(df: DataFrame, idCol: String, groupCol: String,
-                cap: Int): DataFrame = {
+                cap: Int): DataFrame =
+    df.join(domainCapIds(df, idCol, groupCol, cap), Seq(idCol))
+
+  /** Just the surviving ids of [[domainCap]] — the composable piece
+    * when the caller joins survivors back to a CHEAPER lineage than
+    * the one the cap was computed over (e.g. the modern-pipeline
+    * composition caps the scored docs but re-derives only the
+    * scrubbed text for survivors, so the scoring chain runs once). */
+  def domainCapIds(df: DataFrame, idCol: String, groupCol: String,
+                   cap: Int): DataFrame = {
     require(cap > 0 && cap <= 1024, s"bad domain cap $cap")
-    val kept = df
-      .groupBy(col(groupCol))
+    df.groupBy(col(groupCol))
       .agg(TopK.topK(-hashFraction(col(idCol)), col(idCol).cast("long"),
         cap).as("__top"))
       .select(explode(col("__top")).as("__t"))
       .select(col("__t.id").as(idCol))
-    df.join(kept, Seq(idCol))
   }
 
   /** Deterministic EXACT-size sample: the `n` rows with the smallest

@@ -41,9 +41,12 @@ object TextAnalysis {
       "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
   /** Whitespace token count by pure arithmetic (length difference) —
-    * identical semantics in any engine, no regex dialects involved. */
+    * identical semantics in any engine, no regex dialects involved.
+    * `translate`, not `regexp_replace`: removing a literal character
+    * needs no regex engine pass (this sits inside every quality
+    * feature). */
   def wordCount(text: Column): Column =
-    length(text) - length(regexp_replace(text, " ", "")) + lit(1)
+    length(text) - length(translate(text, " ", "")) + lit(1)
 
   /** BPE-ish token count: alpha runs, single digits, or single
     * non-alphanumeric marks — the standard coarse proxy for subword
@@ -159,7 +162,8 @@ object TextAnalysis {
     * stream-safe; the chunk arithmetic is exact integer math shared
     * with any external engine's list-slice rendering. */
   def chunks(df: DataFrame, textCol: String, idCol: String,
-             window: Int, stride: Int): DataFrame = {
+             window: Int, stride: Int,
+             keep: Seq[String] = Nil): DataFrame = {
     require(window > 0 && stride > 0 && stride <= window,
       s"bad chunk spec window=$window stride=$stride")
     val toks = tokens(col(textCol))
@@ -168,12 +172,13 @@ object TextAnalysis {
       lit(stride - 1)).cast("double") / lit(stride.toDouble)) + lit(1))
       .cast("int")
     val s = col("chunk_id") * lit(stride)
-    df.select(col(idCol), toks.as("__toks"), n.as("__n"),
-        explode(sequence(lit(0), nChunks - lit(1))).as("chunk_id"))
-      .select(col(idCol), col("chunk_id"),
+    val carried = keep.map(col)
+    df.select(col(idCol) +: carried :+ toks.as("__toks") :+ n.as("__n") :+
+        explode(sequence(lit(0), nChunks - lit(1))).as("chunk_id"): _*)
+      .select(col(idCol) +: carried :+ col("chunk_id") :+
         array_join(slice(col("__toks"), s + lit(1), lit(window)), " ")
-          .as("chunk"),
-        least(lit(window), col("__n") - s).cast("long").as("n_tok"))
+          .as("chunk") :+
+        least(lit(window), col("__n") - s).cast("long").as("n_tok"): _*)
   }
 
   // ----------------------------------------------------------- PII
