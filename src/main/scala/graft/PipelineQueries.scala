@@ -1843,6 +1843,46 @@ object PipelineQueries {
       "round(avg(n_chars), 5) AS avg_chars FROM documents " +
       "GROUP BY ROLLUP(source, lang) ORDER BY source, lang")
 
+  /** Exact correlation data card over lineitem's numeric columns:
+    * int64 fixed-point moment sums (ONE partial-agg'd pass, single-
+    * row output, partition-order-invariant) + the Pearson formula on
+    * the exact sums — both the integer register values AND the
+    * derived correlations must match cross-engine. */
+  private val statsCorr = Q("q_stats_corr",
+    (s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val cols = Seq(
+        "qty" -> col("l_quantity") / 64.0,
+        "price" -> col("l_extendedprice") / 131072.0,
+        "disc" -> col("l_discount"))
+      graft.ops.Stats.withCorrs(
+        graft.ops.Stats.momentSums(li, cols),
+        cols.map(_._1))
+    }, {
+      import graft.ops.Stats.FxSql
+      val defs = Seq("qty" -> "l_quantity / 64.0",
+        "price" -> "l_extendedprice / 131072.0",
+        "disc" -> "l_discount")
+      val q = defs.map { case (n, e) => s"${FxSql(e)} AS $n" }
+        .mkString(", ")
+      val sums = defs.map { case (n, _) => s"CAST(sum($n) AS BIGINT) AS s_$n" } ++
+        defs.map { case (n, _) => s"CAST(sum($n * $n) AS BIGINT) AS ss_$n" } ++
+        defs.map(_._1).combinations(2).map { case Seq(a, b) =>
+          s"CAST(sum($a * $b) AS BIGINT) AS sp_${a}_$b" }
+      val corrs = defs.map(_._1).combinations(2).map { case Seq(a, b) =>
+        val cov = s"(CAST(n AS DOUBLE) * CAST(sp_${a}_$b AS DOUBLE) - " +
+          s"CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))"
+        val va = s"(CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE) - " +
+          s"CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))"
+        val vb = s"(CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE) - " +
+          s"CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))"
+        s"round($cov / sqrt($va * $vb), 5) AS corr_${a}_$b"
+      }.mkString(", ")
+      s"WITH t AS (SELECT $q FROM lineitem), " +
+        s"m AS (SELECT count(*) AS n, ${sums.mkString(", ")} FROM t) " +
+        s"SELECT m.*, $corrs FROM m"
+    })
+
   /** Output-shard manifest — the "ship it to training" step: docs
     * assign to shards by the portable hash (deterministic, ingest-
     * stable), and each shard's manifest row carries count, char mass,
@@ -2073,5 +2113,5 @@ object PipelineQueries {
     pipelineModern,
     sampleStratified, sampleTemperature, sampleFixedN, sampleWeighted,
     sampleDomainCap, sampleDsir,
-    statsRollup, topkPerGroup, shardManifest, packSequences)
+    statsRollup, statsCorr, topkPerGroup, shardManifest, packSequences)
 }
