@@ -197,6 +197,32 @@ class OpsSpec extends AnyFunSuite {
     assert(allCells > 2, "fixture must have more cells than probes")
   }
 
+  test("farthest-first seeding is deterministic, spreads centroids " +
+    "wider than first-k, and warm-starts Lloyd's at least as well") {
+    val embDf = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val k = 8
+    val far = Similarity.kmeansFarthestInit(embDf, "vec_id", "embedding", k)
+    val again = Similarity.kmeansFarthestInit(embDf, "vec_id", "embedding", k)
+    assert(far.map(_._2).toSeq == again.map(_._2).toSeq, "must be deterministic")
+    assert(far.length == k && far.map(_._1).toSeq == (0L until k.toLong))
+    val firstK = Similarity.collectCentroids(
+      embDf.orderBy("vec_id").limit(k)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
+    def minPairDist(cs: Array[(Long, Seq[Double])]): Double =
+      (for (i <- cs.indices; j <- cs.indices if i < j) yield
+        cs(i)._2.zip(cs(j)._2).map { case (a, b) => (a - b) * (a - b) }.sum
+      ).min
+    assert(minPairDist(far) >= minPairDist(firstK),
+      "farthest-first must not pack seeds tighter than first-k")
+    def inertia(cents: Array[(Long, Seq[Double])]): Double =
+      Similarity.cellAssignmentsWithDist(embDf, "vec_id", "embedding",
+        Similarity.kmeansIterate(embDf, "vec_id", "embedding", cents, 3))
+        .agg(sum("dist")).head().getDouble(0)
+    assert(inertia(far) <= inertia(firstK) * 1.05,
+      "Lloyd's from farthest-first must not end materially worse")
+  }
+
   test("multi-probe IVF: top1 is monotone in probes and bounded by exact") {
     val embDf = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
