@@ -31,6 +31,11 @@ object PipelineQueries {
     * modern-pipeline composition (bias, len, stop, punct, wl). */
   private val ClsWeights = Array(-2.0, 1.5, 8.0, -3.0, 0.5)
 
+  /** Chunking geometry shared by [[textChunks]] and [[pipelineModern]]
+    * (declared before first use — object vals initialize in order). */
+  private val ChunkWindow = 32
+  private val ChunkStride = 24
+
   /** The round-4 end-to-end composition — the stages a current
     * training-data pipeline actually chains: PII scrub → learned-
     * classifier quality floor (fixed weights) → per-domain cap →
@@ -55,8 +60,8 @@ object PipelineQueries {
       // only the scrubbed text — the scoring chain is evaluated once
       val ids = Sampling.domainCapIds(scored, "doc_id", "source", ModernCap)
       val capped = scrubbed.join(ids, "doc_id")
-      TextAnalysis.chunks(capped, "text2", "doc_id", 32, 24,
-          keep = Seq("source"))
+      TextAnalysis.chunks(capped, "text2", "doc_id",
+          ChunkWindow, ChunkStride, keep = Seq("source"))
         .groupBy("source")
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_chunks"),
@@ -74,15 +79,7 @@ object PipelineQueries {
         "SELECT q.*, row_number() OVER (PARTITION BY source " +
         s"ORDER BY ${Sampling.HashFractionSql("doc_id")} ASC, doc_id ASC) " +
         s"AS rk FROM q) WHERE rk <= $ModernCap), " +
-        "t AS (SELECT doc_id, source, string_split(text2, ' ') AS toks " +
-        "FROM cap), " +
-        "c AS (SELECT doc_id, source, toks, len(toks) AS n, " +
-        "unnest(range(0, CAST(floor((greatest(len(toks) - 32, 0) + 23)" +
-        "::DOUBLE / 24.0) AS INT) + 1)) AS chunk_id FROM t), " +
-        "ch AS (SELECT doc_id, source, " +
-        "array_to_string(list_slice(toks, chunk_id*24 + 1, " +
-        "chunk_id*24 + 32), ' ') AS chunk, " +
-        "least(32, n - chunk_id*24) AS n_tok FROM c) " +
+        s"${chunkChSql("cap", "text2")} " +
         "SELECT source, count(DISTINCT doc_id) AS n_docs, " +
         "count(*) AS n_chunks, CAST(sum(n_tok) AS BIGINT) AS sum_tok, " +
         s"CAST(sum(${TextAnalysis.TokenHashSql("chunk")} % $DigestMod) " +
@@ -1418,8 +1415,23 @@ object PipelineQueries {
     * token mass, partial (end-reaching) chunks, and a content
     * checksum over every chunk string — pins both the chunk
     * arithmetic and the reassembled chunk text cross-engine. */
-  private val ChunkWindow = 32
-  private val ChunkStride = 24
+  /** Chunk-stage CTE block shared by [[textChunks]] and
+    * [[pipelineModern]]: over a relation with (doc_id, source,
+    * `textExpr`), emits `t`/`c`/`ch` stages producing
+    * (doc_id, source, chunk, n_tok) — one rendering of the chunk
+    * arithmetic, so the two oracles cannot drift. */
+  private def chunkChSql(rel: String, textExpr: String): String =
+    s"t AS (SELECT doc_id, source, string_split($textExpr, ' ') AS toks " +
+      s"FROM $rel), " +
+      "c AS (SELECT doc_id, source, toks, len(toks) AS n, " +
+      "unnest(range(0, CAST(floor((greatest(len(toks) - " +
+      s"$ChunkWindow, 0) + ${ChunkStride - 1})::DOUBLE / " +
+      s"$ChunkStride.0) AS INT) + 1)) AS chunk_id FROM t), " +
+      "ch AS (SELECT doc_id, source, " +
+      s"array_to_string(list_slice(toks, chunk_id*$ChunkStride + 1, " +
+      s"chunk_id*$ChunkStride + $ChunkWindow), ' ') AS chunk, " +
+      s"least($ChunkWindow, n - chunk_id*$ChunkStride) AS n_tok FROM c)"
+
   private val textChunks = Q("q_text_chunks",
     (s, d) => {
       val d0 = docs(s, d)
@@ -1434,16 +1446,7 @@ object PipelineQueries {
             .as("checksum"))
         .orderBy("source")
     },
-    s"WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks " +
-      "FROM documents), " +
-      "c AS (SELECT doc_id, source, toks, len(toks) AS n, " +
-      "unnest(range(0, CAST(floor((greatest(len(toks) - " +
-      s"$ChunkWindow, 0) + ${ChunkStride - 1})::DOUBLE / " +
-      s"$ChunkStride.0) AS INT) + 1)) AS chunk_id FROM t), " +
-      "ch AS (SELECT doc_id, source, " +
-      s"array_to_string(list_slice(toks, chunk_id*$ChunkStride + 1, " +
-      s"chunk_id*$ChunkStride + $ChunkWindow), ' ') AS chunk, " +
-      s"least($ChunkWindow, n - chunk_id*$ChunkStride) AS n_tok FROM c) " +
+    s"WITH ${chunkChSql("documents", "text")} " +
       "SELECT source, count(*) AS n_chunks, " +
       "CAST(sum(n_tok) AS BIGINT) AS sum_tok, " +
       s"CAST(sum(CASE WHEN n_tok < $ChunkWindow THEN 1 ELSE 0 END) " +

@@ -65,7 +65,10 @@ object Dsir {
       .select(explode(bucketList(col(textCol))).as("b"),
         isTarget.cast("long").as("t"))
       .groupBy("b")
-      .agg(count(lit(1)).as("n_raw"), sum(col("t")).as("n_tgt"))
+      // coalesce: a bucket whose rows all have a NULL target flag
+      // (null group column) must count as zero, not null
+      .agg(count(lit(1)).as("n_raw"),
+        coalesce(sum(col("t")), lit(0L)).as("n_tgt"))
       .collect()
       .map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2))).toMap
     val rawTot = counts.values.map(_._1).sum

@@ -135,7 +135,11 @@ object Events {
     * float division — epoch-nanos exceed 2⁵³), then per
     * (window, keys) count/sum in ONE hash aggregate. No window
     * function anywhere: map-side partial aggregation, shuffle only on
-    * the (window, keys) grain, any engine rebuilds the same buckets. */
+    * the (window, keys) grain, any engine rebuilds the same buckets.
+    * Times must be non-negative (`div` truncates toward zero, so a
+    * pre-epoch timestamp would fold into the wrong bucket vs an
+    * engine that floors — same domain rule as
+    * [[rangeJoinBucketed]]). */
   def tumblingAgg(df: DataFrame, tsCol: String, windowNanos: Long,
                   keyCols: Seq[String], value: Column): DataFrame = {
     require(windowNanos > 0, s"bad window width $windowNanos")

@@ -81,6 +81,8 @@ object QualityClassifier {
   /** DuckDB rendering of the features + [[score]] over a text
     * column, same constants and operation order. */
   def ScoreSql(w: Array[Double], t: String = "text"): String = {
+    require(w.length == FeatureCols.length + 1,
+      s"need ${FeatureCols.length + 1} weights (bias first)")
     val wc = s"(length($t) - length(replace($t, ' ', '')) + 1)"
     val stopSum = TextAnalysis.LangPriority.map { lang =>
       val lst = TextAnalysis.Stopwords(lang).map(s => s"'$s'").mkString(", ")

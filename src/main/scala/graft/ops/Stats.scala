@@ -13,29 +13,33 @@ import org.apache.spark.sql.functions._
   * visible one-row result in double.
   *
   * Scale shape: ONE hash aggregate over the scan (map-side partial,
-  * single-row output). Headroom: |x·2²⁰| ≤ 2²⁰ per element keeps
-  * Σx² under 2⁶³ to ~2²² rows per aggregation shard; beyond that,
-  * shard the aggregate and merge the (still exact) partial sums. */
+  * single-row output). Headroom: with |x| ≲ 1 at scale 2^s the
+  * square-sum is bounded by n·2^{2s}, so the GLOBAL sum stays exact
+  * for n < 2^{63−2s} rows — 2²³ at the default 2²⁰. Bigger corpora
+  * LOWER the scale (2¹⁰ ⇒ 2⁴³ rows ≈ 8·10¹², trading quantization
+  * precision for headroom); sharding-and-merging partials does NOT
+  * help, because the merged total is the thing that overflows. */
 object Stats {
 
-  /** Fixed-point scale shared with the SQL rendering. */
+  /** Default fixed-point scale, shared with the SQL rendering. */
   val FxScale: Long = 1048576L // 2^20
 
-  /** floor(x·2²⁰) as int64 — inputs must satisfy |x| ≲ 1. */
-  def fx(x: Column): Column =
-    floor(x * lit(FxScale.toDouble)).cast("long")
+  /** floor(x·scale) as int64 — inputs must satisfy |x| ≲ 1. */
+  def fx(x: Column, scale: Long = FxScale): Column =
+    floor(x * lit(scale.toDouble)).cast("long")
 
   /** DuckDB rendering of [[fx]]. */
-  def FxSql(x: String): String =
-    s"CAST(floor(($x) * $FxScale) AS BIGINT)"
+  def FxSql(x: String, scale: Long = FxScale): String =
+    s"CAST(floor(($x) * $scale) AS BIGINT)"
 
   /** One-pass exact moment sums for named unit-scaled columns:
     * a single row with n, s_<name>, ss_<name>, and sp_<a>_<b> for
     * each pair (a before b in `cols` order) — every value an exact
     * int64. */
-  def momentSums(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+  def momentSums(df: DataFrame, cols: Seq[(String, Column)],
+                 scale: Long = FxScale): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
-    val q = cols.map { case (n, c) => n -> fx(c) }
+    val q = cols.map { case (n, c) => n -> fx(c, scale) }
     val aggs =
       q.map { case (n, c) => sum(c).as(s"s_$n") } ++
         q.map { case (n, c) => sum(c * c).as(s"ss_$n") } ++

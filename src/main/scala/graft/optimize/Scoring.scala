@@ -19,6 +19,25 @@ import org.apache.spark.sql.{DataFrame, Row}
   */
 object Scoring {
 
+  /** Decode the projected numeric input columns of one Row into a
+    * primitive array (shared by every scoring sweep). */
+  @inline private def decodeRow(row: Row, idx: Seq[Int],
+                                in: Array[Double]): Unit = {
+    var i = 0
+    while (i < idx.length) {
+      in(i) = row.get(idx(i)) match {
+        case d: java.lang.Double => d.doubleValue()
+        case f: java.lang.Float => f.toDouble
+        case l: java.lang.Long => l.toDouble
+        case n: java.lang.Integer => n.toDouble
+        case other => throw new IllegalArgumentException(
+          s"non-numeric input: $other")
+      }
+      i += 1
+    }
+  }
+
+
   /** Per-row evaluation under S posterior draw vectors in ONE
     * mapPartitions sweep: `outCol` = array(expr(row; θ, draws_s)) —
     * the S-fold pass for Monte-Carlo posterior-predictive quantities
@@ -39,18 +58,7 @@ object Scoring {
       val vals = tape.newValues
       it.map { row =>
         val in = new Array[Double](idx.length)
-        var i = 0
-        while (i < idx.length) {
-          in(i) = row.get(idx(i)) match {
-            case d: java.lang.Double => d.doubleValue()
-            case f: java.lang.Float => f.toDouble
-            case l: java.lang.Long => l.toDouble
-            case n: java.lang.Integer => n.toDouble
-            case other => throw new IllegalArgumentException(
-              s"non-numeric input: $other")
-          }
-          i += 1
-        }
+        decodeRow(row, idx, in)
         val out = new Array[Double](draws.length)
         var s = 0
         while (s < draws.length) {
@@ -108,18 +116,7 @@ object Scoring {
       val vals = tape.newValues
       it.map { row =>
         val in = new Array[Double](idx.length)
-        var i = 0
-        while (i < idx.length) {
-          in(i) = row.get(idx(i)) match {
-            case d: java.lang.Double => d.doubleValue()
-            case f: java.lang.Float => f.toDouble
-            case l: java.lang.Long => l.toDouble
-            case n: java.lang.Integer => n.toDouble
-            case other => throw new IllegalArgumentException(
-              s"non-numeric input: $other")
-          }
-          i += 1
-        }
+        decodeRow(row, idx, in)
         Row.fromSeq(row.toSeq :+ tape.evalFast(in, theta, dr, vals))
       }
     }

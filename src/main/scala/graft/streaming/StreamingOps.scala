@@ -110,12 +110,14 @@ object StreamingOps {
 
   /** Streaming per-key admission cap — the incremental form of the
     * per-domain cap ([[graft.ops.Sampling.domainCap]]): each key
-    * admits its first `cap` arrivals and drops the rest. (Arrival
-    * order is the only order a stream has; the batch op keeps the
-    * smallest hash draws instead — run it over the archive for the
-    * retrospective form.) State is ONE counter per key — bounded by
-    * key cardinality, never stream length — evicted after
-    * `stateTimeout` of silence. */
+    * admits at most `cap` rows and drops the rest. Admission follows
+    * arrival order ACROSS micro-batches (earlier batches win);
+    * within one micro-batch the group iterator's order after the
+    * state shuffle is engine-chosen, so the admitted subset of a
+    * single batch is bounded but arbitrary — callers needing a
+    * canonical member set run the batch op over the archive. State
+    * is ONE counter per key — bounded by key cardinality, never
+    * stream length — evicted after `stateTimeout` of silence. */
   def capPerKey(pairs: Dataset[(String, String)], cap: Int,
                 stateTimeout: Option[String] = Some("1 hour"))
       : Dataset[(String, String)] = {
