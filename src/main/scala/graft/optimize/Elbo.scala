@@ -385,6 +385,54 @@ final class Elbo(
     lastElbo
   }
 
+  /** Deterministic full-batch L-BFGS ascent (breeze.optimize) — the
+    * quasi-Newton path for MAP / point estimation and for variational
+    * fits wanting a real convergence test: the reparameterization
+    * draw vector is FROZEN (zeros by default — each Variational sits
+    * at its posterior mean; pass `frozenDrawStep ≥ 0` for one seeded
+    * draw), so the objective is an exact deterministic function of θ
+    * and Breeze's relative-tolerance stopping rule applies. Every
+    * function evaluation is one full-batch gradient pass (the same
+    * treeAggregate/local path as Adam training). Returns the final
+    * objective (ELBO under the frozen draw). */
+  def optimizeLbfgs(maxiter: Int = 100, m: Int = 7,
+                    collection: String = Collections.Variables,
+                    frozenDrawStep: Int = -1): Double = {
+    import breeze.linalg.DenseVector
+    import breeze.optimize.{DiffFunction, LBFGS}
+    val draws = if (frozenDrawStep < 0) new Array[Double](nDraws)
+      else freshDraws(frozenDrawStep)
+    val mask = collectionMask(collection)
+    val total = dataset.trainCount
+    def elboAndGrad(th: Array[Double]): (Double, Array[Double]) = {
+      val (loss, grad, cnt) = batchGrad(0, -1, training = true, th, draws)
+      val scale = if (cnt == 0) 0.0 else total.toDouble / cnt
+      val vals = klTape.newValues
+      val adjKl = klTape.newValues
+      val gradKl = new Array[Double](nSlots)
+      val kl = klTape.evalGrad(Array.empty, th, draws, vals, adjKl, gradKl)
+      var i = 0
+      while (i < nSlots) {
+        grad(i) = if (mask(i)) grad(i) * scale - gradKl(i) else 0.0
+        i += 1
+      }
+      (loss * scale - kl, grad)
+    }
+    val f = new DiffFunction[DenseVector[Double]] {
+      def calculate(x: DenseVector[Double]): (Double, DenseVector[Double]) = {
+        val (elbo, grad) = elboAndGrad(x.toArray)
+        // breeze minimizes: negate the ascent problem
+        (-elbo, -DenseVector(grad))
+      }
+    }
+    val opt = new LBFGS[DenseVector[Double]](maxIter = maxiter, m = m)
+    val best = opt.minimize(f, DenseVector(thetaFromTree()))
+    val theta = best.toArray
+    thetaToTree(theta)
+    module.initialize()
+    elboAndGrad(theta)._1
+  }
+
   /** `steps` Adam ascent steps against an EXTERNAL batch (a streaming
     * micro-batch, or any ad-hoc sample) instead of the DataSet — the
     * online-inference entry point ([[graft.streaming.StreamingOps

@@ -34,6 +34,42 @@ class ElboSpec extends AnyFunSuite {
     ds.unpersist()
   }
 
+  test("optimizeLbfgs: deterministic quasi-Newton reaches the exact " +
+    "optimum in a handful of evaluations and matches Adam's answer") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select((col("l_quantity") / 10.0).as("x")).limit(512)
+    val root = new Module
+    val p = root.add("p", new Param(Seq(1), initMean = 3.0, initStddev = 0.01))
+    val ds = new DataSet(li, seed = 0)
+    val elbo = new Elbo(root, ds, Seq("x"),
+      ctx => -(ctx.read1(p) - ctx.in("x")).sq)
+    val obj = elbo.optimizeLbfgs(maxiter = 50)
+    val mean = ds.train.agg(avg("x")).head.getDouble(0)
+    // quadratic: the optimum IS the mean, and L-BFGS lands on it to
+    // machine-ish precision where Adam circles at step-size scale
+    assert(math.abs(p.value(0) - mean) < 1e-8,
+      s"got ${p.value(0)}, want $mean")
+    assert(obj.isFinite)
+    // variational model with frozen zero draws: posterior mean of a
+    // trains to the data mean of y (gaussian likelihood)
+    val li2 = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select((col("l_quantity") / 10.0).as("y")).limit(512)
+    val root2 = new Module
+    val a = root2.add("a", new Variational.Normal(Seq(1)))
+    val ds2 = new DataSet(li2, seed = 0)
+    val elbo2 = new Elbo(root2, ds2, Seq("y"), ctx =>
+      ExprFns.gaussian(ctx.in("y"), ctx.sample1(a),
+        graft.autodiff.Expr.c(1.0)))
+    elbo2.optimizeLbfgs(maxiter = 60)
+    val meanY = ds2.train.agg(avg("y")).head.getDouble(0)
+    // N(0,1) prior over a shrinks the MAP slightly toward 0:
+    // posterior mean = n·ȳ/(n+1) at unit noise variance
+    val n = ds2.trainCount.toDouble
+    assert(math.abs(a.qMu.value(0) - n * meanY / (n + 1)) < 1e-5,
+      s"got ${a.qMu.value(0)}, want ${n * meanY / (n + 1)}")
+    ds.unpersist(); ds2.unpersist()
+  }
+
   test("collection-scoped optimization moves only the selected collection " +
     "(ref test_model.py:61-74)") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
