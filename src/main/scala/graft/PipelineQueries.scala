@@ -1794,6 +1794,48 @@ object PipelineQueries {
       s"AS rk FROM documents) WHERE rk <= $DomainCap " +
       "GROUP BY source ORDER BY source")
 
+  /** Top-quantile selection fully in-plan: the classifier score's
+    * p75 comes from the portable histogram sketch (one partial-agg'd
+    * pass, ≤ 64 rows), broadcasts back as a one-row frame, and the
+    * filter keeps docs at or above it — "keep the best 25%" with no
+    * driver round-trip, the same shape at any corpus size. Both
+    * engines derive the identical interpolated threshold from
+    * identical integer registers, so the kept set is exact. */
+  private val sampleTopQuantile = Q("q_sample_topquantile",
+    (s, d) => {
+      val scored = graft.ops.QualityClassifier
+        .withFeatures(docs(s, d), "text")
+        .withColumn("score", graft.ops.QualityClassifier.score(ClsWeights))
+        .select("doc_id", "source", "score")
+      val qrow = graft.ops.Sketches.histogramQuantiles(scored,
+        col("score"), lo = 0.0, hi = 1.0, nBuckets = 64, qs = Seq(0.75))
+        .select("p75")
+      scored.crossJoin(broadcast(qrow))
+        .where(col("score") >= col("p75"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"),
+          round(avg(col("score")), 5).as("avg_score"),
+          round(min(col("p75")), 5).as("p75"))
+        .orderBy("source")
+    },
+    s"WITH sc AS (SELECT doc_id, source, " +
+      s"${graft.ops.QualityClassifier.ScoreSql(ClsWeights)} AS score " +
+      "FROM documents), " +
+      "h AS (SELECT least(greatest(CAST(floor((score - 0.0) / (1.0/64)) " +
+      "AS BIGINT), 0), 63) AS b FROM sc), " +
+      "hist AS (SELECT b, count(*) AS cnt FROM h GROUP BY b), " +
+      "c AS (SELECT b, cnt, sum(cnt) OVER (ORDER BY b ROWS BETWEEN " +
+      "UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+      "sum(cnt) OVER () AS n FROM hist), " +
+      "q AS (SELECT round(arg_min(0.0 + (1.0/64) * (b + " +
+      "(0.75 * n - (cum - cnt)) / cnt), b) " +
+      "FILTER (WHERE cum >= 0.75 * n), 5) AS p75 FROM c) " +
+      "SELECT source, count(*) AS n_kept, " +
+      "CAST(sum(doc_id) AS BIGINT) AS id_sum, " +
+      "round(avg(score), 5) AS avg_score, round(min(p75), 5) AS p75 " +
+      "FROM sc CROSS JOIN q WHERE score >= p75 " +
+      "GROUP BY source ORDER BY source")
+
   /** Exact-n deterministic sample: the FixedN smallest hash draws.
     * Returns the rows themselves (ids + source) — membership is the
     * verified property; TakeOrderedAndProject is the verified shape. */
@@ -2115,6 +2157,6 @@ object PipelineQueries {
     textDupNgrams, qualityGopher, multimodalMeta, curation, trainMix,
     pipelineModern,
     sampleStratified, sampleTemperature, sampleFixedN, sampleWeighted,
-    sampleDomainCap, sampleDsir,
+    sampleDomainCap, sampleDsir, sampleTopQuantile,
     statsRollup, statsCorr, topkPerGroup, shardManifest, packSequences)
 }
