@@ -197,6 +197,40 @@ class OpsSpec extends AnyFunSuite {
     assert(allCells > 2, "fixture must have more cells than probes")
   }
 
+  test("chunks equals a driver reference chunker over randomized " +
+    "texts for several window/stride geometries") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val rows = Seq.tabulate(200) { i =>
+      val n = rng.nextInt(40) // 0..39 tokens (0 -> empty string)
+      (i.toLong, Seq.fill(n)(s"t${rng.nextInt(9)}").mkString(" "))
+    }
+    def ref(text: String, w: Int, s: Int): Seq[(Int, String, Long)] = {
+      val toks = text.split(" ", -1)
+      val k = (math.max(toks.length - w, 0) + s - 1) / s + 1
+      (0 until k).map { i =>
+        val slice = toks.slice(i * s, i * s + w)
+        (i, slice.mkString(" "), slice.length.toLong)
+      }
+    }
+    val df = rows.toDF("doc_id", "text")
+    for ((w, s) <- Seq((8, 8), (8, 5), (16, 3), (1, 1))) {
+      val got = TextAnalysis.chunks(df, "text", "doc_id", w, s)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getLong(3)))
+        .toMap
+      rows.foreach { case (id, text) =>
+        val want = ref(text, w, s)
+        want.foreach { case (cid, chunk, nTok) =>
+          assert(got((id, cid)) == ((chunk, nTok)),
+            s"doc $id chunk $cid at w=$w s=$s")
+        }
+        assert(!got.contains((id, want.length)),
+          s"doc $id must have exactly ${want.length} chunks at w=$w s=$s")
+      }
+    }
+  }
+
   test("farthest-first seeding is deterministic, spreads centroids " +
     "wider than first-k, and warm-starts Lloyd's at least as well") {
     val embDf = spark.read
