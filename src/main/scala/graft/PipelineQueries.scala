@@ -1217,20 +1217,20 @@ object PipelineQueries {
     (s, d) => graft.ops.Sketches.histogramQuantiles(docs(s, d),
       col("n_chars").cast("double"), lo = 0.0, hi = 640.0, nBuckets = 64,
       qs = Seq(0.5, 0.9, 0.99)),
-    "WITH h AS (SELECT least(greatest(CAST(floor((n_chars - 0.0) / 10.0) " +
-      "AS BIGINT), 0), 63) AS b FROM documents), " +
-      "hist AS (SELECT b, count(*) AS cnt FROM h GROUP BY b), " +
-      "c AS (SELECT b, cnt, sum(cnt) OVER (ORDER BY b ROWS BETWEEN " +
-      "UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
-      "sum(cnt) OVER () AS n, sum(b * cnt) OVER () AS checksum FROM hist) " +
-      "SELECT CAST(max(n) AS BIGINT) AS n, " +
-      "CAST(max(checksum) AS BIGINT) AS checksum, " +
-      "(SELECT round(0.0 + 10.0 * (b + (0.5 * n - (cum - cnt)) / cnt), 5) " +
-      "FROM c WHERE cum >= 0.5 * n ORDER BY b LIMIT 1) AS p50, " +
-      "(SELECT round(0.0 + 10.0 * (b + (0.9 * n - (cum - cnt)) / cnt), 5) " +
-      "FROM c WHERE cum >= 0.9 * n ORDER BY b LIMIT 1) AS p90, " +
-      "(SELECT round(0.0 + 10.0 * (b + (0.99 * n - (cum - cnt)) / cnt), 5) " +
-      "FROM c WHERE cum >= 0.99 * n ORDER BY b LIMIT 1) AS p99 FROM c")
+    {
+      import graft.ops.Sketches.{BucketSql, QuantileSql}
+      s"WITH h AS (SELECT ${BucketSql("n_chars", 0.0, 640.0, 64)} AS b " +
+        "FROM documents), " +
+        "hist AS (SELECT b, count(*) AS cnt FROM h GROUP BY b), " +
+        "c AS (SELECT b, cnt, sum(cnt) OVER (ORDER BY b ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "sum(cnt) OVER () AS n, sum(b * cnt) OVER () AS checksum FROM hist) " +
+        "SELECT CAST(max(n) AS BIGINT) AS n, " +
+        "CAST(max(checksum) AS BIGINT) AS checksum, " +
+        s"${QuantileSql(0.5, 0.0, 640.0, 64)} AS p50, " +
+        s"${QuantileSql(0.9, 0.0, 640.0, 64)} AS p90, " +
+        s"${QuantileSql(0.99, 0.0, 640.0, 64)} AS p99 FROM c"
+    })
 
   /** Per-source distinct-token cardinality via grouped HLL — one
     * sketch per group, register tables pinned exactly. */
@@ -1260,18 +1260,19 @@ object PipelineQueries {
       nBuckets = 64, qs = Seq(0.5, 0.9))
       .select(col("grp").as("source"), col("n"), col("p50"), col("p90"))
       .orderBy("source"),
-    "WITH h AS (SELECT source, least(greatest(CAST(floor((n_chars - 0.0) " +
-      "/ 10.0) AS BIGINT), 0), 63) AS b FROM documents), " +
-      "hist AS (SELECT source, b, count(*) AS cnt FROM h GROUP BY 1, 2), " +
-      "c AS (SELECT source, b, cnt, sum(cnt) OVER (PARTITION BY source " +
-      "ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
-      "AS cum, sum(cnt) OVER (PARTITION BY source) AS n FROM hist) " +
-      "SELECT source, CAST(max(n) AS BIGINT) AS n, " +
-      "round(arg_min(0.0 + 10.0 * (b + (0.5 * n - (cum - cnt)) / cnt), b) " +
-      "FILTER (WHERE cum >= 0.5 * n), 5) AS p50, " +
-      "round(arg_min(0.0 + 10.0 * (b + (0.9 * n - (cum - cnt)) / cnt), b) " +
-      "FILTER (WHERE cum >= 0.9 * n), 5) AS p90 " +
-      "FROM c GROUP BY source ORDER BY source")
+    {
+      import graft.ops.Sketches.{BucketSql, QuantileSql}
+      s"WITH h AS (SELECT source, ${BucketSql("n_chars", 0.0, 640.0, 64)} " +
+        "AS b FROM documents), " +
+        "hist AS (SELECT source, b, count(*) AS cnt FROM h GROUP BY 1, 2), " +
+        "c AS (SELECT source, b, cnt, sum(cnt) OVER (PARTITION BY source " +
+        "ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS cum, sum(cnt) OVER (PARTITION BY source) AS n FROM hist) " +
+        "SELECT source, CAST(max(n) AS BIGINT) AS n, " +
+        s"${QuantileSql(0.5, 0.0, 640.0, 64)} AS p50, " +
+        s"${QuantileSql(0.9, 0.0, 640.0, 64)} AS p90 " +
+        "FROM c GROUP BY source ORDER BY source"
+    })
 
   private val sketchCms = Q("q_sketch_cms",
     (s, d) => {
@@ -1821,15 +1822,14 @@ object PipelineQueries {
     s"WITH sc AS (SELECT doc_id, source, " +
       s"${graft.ops.QualityClassifier.ScoreSql(ClsWeights)} AS score " +
       "FROM documents), " +
-      "h AS (SELECT least(greatest(CAST(floor((score - 0.0) / (1.0/64)) " +
-      "AS BIGINT), 0), 63) AS b FROM sc), " +
+      s"h AS (SELECT ${graft.ops.Sketches.BucketSql("score", 0.0, 1.0, 64)} " +
+      "AS b FROM sc), " +
       "hist AS (SELECT b, count(*) AS cnt FROM h GROUP BY b), " +
       "c AS (SELECT b, cnt, sum(cnt) OVER (ORDER BY b ROWS BETWEEN " +
       "UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
       "sum(cnt) OVER () AS n FROM hist), " +
-      "q AS (SELECT round(arg_min(0.0 + (1.0/64) * (b + " +
-      "(0.75 * n - (cum - cnt)) / cnt), b) " +
-      "FILTER (WHERE cum >= 0.75 * n), 5) AS p75 FROM c) " +
+      s"q AS (SELECT ${graft.ops.Sketches.QuantileSql(0.75, 0.0, 1.0, 64)} " +
+      "AS p75 FROM c) " +
       "SELECT source, count(*) AS n_kept, " +
       "CAST(sum(doc_id) AS BIGINT) AS id_sum, " +
       "round(avg(score), 5) AS avg_score, round(min(p75), 5) AS p75 " +

@@ -247,4 +247,26 @@ object Sketches {
     * constant group, so the formula lives once. */
   def hllSql(rel: String, key: String, b: Int = 10): String =
     s"SELECT hll_estimate, n_seen, sum_rho FROM (${hllSqlBy(rel, "0", key, b)})"
+
+  /** DuckDB rendering of the clamped histogram bucket — the single
+    * source of the floor/clamp formula for every quantile oracle
+    * (Scala double interpolation renders shortest-round-trip
+    * literals, so the SQL constant parses to the identical double
+    * Spark computes for (hi−lo)/nBuckets). */
+  def BucketSql(x: String, lo: Double, hi: Double, nBuckets: Int): String = {
+    val w = (hi - lo) / nBuckets
+    s"least(greatest(CAST(floor(($x - $lo) / $w) AS BIGINT), 0), " +
+      s"${nBuckets - 1})"
+  }
+
+  /** DuckDB rendering of ONE interpolated quantile as an aggregate
+    * over a cumulative frame exposing (b, cnt, cum, n): arg_min picks
+    * the FIRST qualifying bucket, mirroring [[histogramQuantiles]]'
+    * struct-min; same rounding, same term order. */
+  def QuantileSql(q: Double, lo: Double, hi: Double,
+                  nBuckets: Int): String = {
+    val w = (hi - lo) / nBuckets
+    s"round(arg_min($lo + $w * (b + ($q * n - (cum - cnt)) / cnt), b) " +
+      s"FILTER (WHERE cum >= $q * n), 5)"
+  }
 }

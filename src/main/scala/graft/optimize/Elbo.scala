@@ -213,6 +213,24 @@ final class Elbo(
   /** One batch evaluation, choosing the cheapest valid path:
     * driver-local (tiny data), persisted-vector RDD (no augment), or
     * full DataFrame (augmented). */
+  /** Fold the driver-side KL value/gradient into a data-term result:
+    * scales `grad` in place to `grad·(total/cnt) − ∇KL` and returns
+    * the ELBO estimate `loss·scale − KL`. The single home of the
+    * scale/KL combination used by Adam steps, streaming micro-batch
+    * steps, and the L-BFGS objective. */
+  private def combineKl(loss: Double, grad: Array[Double], cnt: Long,
+                        total: Long, theta: Array[Double],
+                        draws: Array[Double]): Double = {
+    val scale = if (cnt == 0) 0.0 else total.toDouble / cnt
+    val vals = klTape.newValues
+    val adjKl = klTape.newValues
+    val gradKl = new Array[Double](nSlots)
+    val kl = klTape.evalGrad(Array.empty, theta, draws, vals, adjKl, gradKl)
+    var i = 0
+    while (i < nSlots) { grad(i) = grad(i) * scale - gradKl(i); i += 1 }
+    loss * scale - kl
+  }
+
   private def batchGrad(step: Int, minibatchSize: Int, training: Boolean,
                         theta: Array[Double], draws: Array[Double])
       : (Double, Array[Double], Long) = {
@@ -295,15 +313,7 @@ final class Elbo(
     // one Adam ascent sub-step from a computed (loss, grad, cnt)
     def applyStep(loss: Double, grad: Array[Double], cnt: Long,
                   draws: Array[Double], it: Int): Unit = {
-      val scale = if (cnt == 0) 0.0 else total.toDouble / cnt
-      // KL value + gradient on driver (param-sized)
-      val vals = klTape.newValues
-      val adjKl = klTape.newValues
-      val gradKl = new Array[Double](nSlots)
-      val kl = klTape.evalGrad(Array.empty, theta, draws, vals, adjKl, gradKl)
-      var i = 0
-      while (i < nSlots) { grad(i) = grad(i) * scale - gradKl(i); i += 1 }
-      lastElbo = loss * scale - kl
+      lastElbo = combineKl(loss, grad, cnt, total, theta, draws)
       adam.step(theta, grad, mask)
       if (verboseEvery > 0 && (it % verboseEvery == 0))
         println(f"[elbo] iter $it%6d elbo=$lastElbo%.4f")
@@ -406,17 +416,10 @@ final class Elbo(
     val total = dataset.trainCount
     def elboAndGrad(th: Array[Double]): (Double, Array[Double]) = {
       val (loss, grad, cnt) = batchGrad(0, -1, training = true, th, draws)
-      val scale = if (cnt == 0) 0.0 else total.toDouble / cnt
-      val vals = klTape.newValues
-      val adjKl = klTape.newValues
-      val gradKl = new Array[Double](nSlots)
-      val kl = klTape.evalGrad(Array.empty, th, draws, vals, adjKl, gradKl)
+      val elbo = combineKl(loss, grad, cnt, total, th, draws)
       var i = 0
-      while (i < nSlots) {
-        grad(i) = if (mask(i)) grad(i) * scale - gradKl(i) else 0.0
-        i += 1
-      }
-      (loss * scale - kl, grad)
+      while (i < nSlots) { if (!mask(i)) grad(i) = 0.0; i += 1 }
+      (elbo, grad)
     }
     val f = new DiffFunction[DenseVector[Double]] {
       def calculate(x: DenseVector[Double]): (Double, DenseVector[Double]) = {
@@ -426,11 +429,13 @@ final class Elbo(
       }
     }
     val opt = new LBFGS[DenseVector[Double]](maxIter = maxiter, m = m)
-    val best = opt.minimize(f, DenseVector(thetaFromTree()))
-    val theta = best.toArray
-    thetaToTree(theta)
+    // minimizeAndReturnState: the optimizer already evaluated the
+    // objective at the optimum — returning its value avoids one
+    // redundant full-batch pass
+    val state = opt.minimizeAndReturnState(f, DenseVector(thetaFromTree()))
+    thetaToTree(state.x.toArray)
     module.initialize()
-    elboAndGrad(theta)._1
+    -state.value
   }
 
   /** `steps` Adam ascent steps against an EXTERNAL batch (a streaming
@@ -460,14 +465,7 @@ final class Elbo(
       val (loss, grad, cnt) =
         if (local) localGrad(rows, null, theta, draws)
         else rddGrad(rdd, theta, draws)
-      val scale = if (cnt == 0) 0.0 else totalRows.toDouble / cnt
-      val vals = klTape.newValues
-      val adjKl = klTape.newValues
-      val gradKl = new Array[Double](nSlots)
-      val kl = klTape.evalGrad(Array.empty, theta, draws, vals, adjKl, gradKl)
-      var i = 0
-      while (i < nSlots) { grad(i) = grad(i) * scale - gradKl(i); i += 1 }
-      lastElbo = loss * scale - kl
+      lastElbo = combineKl(loss, grad, cnt, totalRows, theta, draws)
       adam.step(theta, grad, mask)
       it += 1
     }

@@ -215,18 +215,20 @@ class OpsSpec extends AnyFunSuite {
     }
     val df = rows.toDF("doc_id", "text")
     for ((w, s) <- Seq((8, 8), (8, 5), (16, 3), (1, 1))) {
-      val got = TextAnalysis.chunks(df, "text", "doc_id", w, s)
+      val collected = TextAnalysis.chunks(df, "text", "doc_id", w, s)
         .collect()
         .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getLong(3)))
-        .toMap
+      // row count BEFORE toMap: a duplicate (doc, chunk) key or any
+      // stray extra row must fail, not vanish into the map
+      assert(collected.length == rows.map(r => ref(r._2, w, s).length).sum,
+        s"row count at w=$w s=$s")
+      val got = collected.toMap
       rows.foreach { case (id, text) =>
         val want = ref(text, w, s)
         want.foreach { case (cid, chunk, nTok) =>
           assert(got((id, cid)) == ((chunk, nTok)),
             s"doc $id chunk $cid at w=$w s=$s")
         }
-        assert(!got.contains((id, want.length)),
-          s"doc $id must have exactly ${want.length} chunks at w=$w s=$s")
       }
     }
   }
