@@ -313,6 +313,28 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("tumblingAgg on a stream (Complete mode) equals the batch " +
+    "form bucket for bucket — the same int64 window math drives both") {
+    import graft.ops.Events
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val day = 86400000000000L
+    val out = Events.tumblingAgg(stream, "ts", day,
+      Seq("event_type"), col("value"))
+    StreamingOps.runToMemorySink(out, "tumbling_stream",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), math.round(r.getDouble(3) * 1e6)))).toMap
+    val got = canon(spark.table("tumbling_stream"))
+    val want = canon(Events.tumblingAgg(ev, "ts", day,
+      Seq("event_type"), col("value")))
+    assert(got == want, "stream and batch windows must agree")
+    assert(want.nonEmpty)
+  }
+
   test("capPerKey admits at most cap rows per key (bounded counter " +
     "state), and admitted rows are real members of the key") {
     import spark.implicits._
