@@ -168,6 +168,61 @@ object Codecs {
     out
   }
 
+  /** REAL compressed-image decode via the JDK's OWN codecs: the
+    * `java.desktop` module ships ImageIO readers for JPEG, PNG, GIF
+    * and BMP — no external library involved, so "this environment
+    * has no codecs" stops being true for images. Returns the same
+    * [[BmpInfo]] shape as [[decodeBmp]] (dimensions + channel means);
+    * None for bytes no installed reader accepts. Headless-safe
+    * (ImageIO never touches a display). */
+  def decodeImage(b: Array[Byte]): Option[BmpInfo] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        Some(BmpInfo(w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+      }
+    } catch { case _: Exception => None }
+
+  /** Encode RGB top-down row-major pixels with an ImageIO writer
+    * (`format` = "png" for lossless, "jpg" for lossy) — the test-side
+    * synthesizer for [[decodeImage]]. */
+  def encodeImage(w: Int, h: Int, rgb: Array[Byte],
+                  format: String): Array[Byte] = {
+    require(w > 0 && h > 0 && rgb.length == 3 * w * h)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = 3 * (y * w + x)
+        img.setRGB(x, y, ((rgb(i) & 0xff) << 16) |
+          ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, bos),
+      s"no ImageIO writer for '$format'")
+    bos.toByteArray
+  }
+
   /** REAL image resize: nearest-neighbor downsample of a 24-bpp BMP,
     * re-encoded as BMP. None when the input is not decodable. */
   def resizeBmp(b: Array[Byte], w2: Int, h2: Int): Option[Array[Byte]] = {

@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   * Codec-less containers decode FOR REAL in pure JVM ([[Codecs]]:
   * RIFF/WAVE PCM16 audio and uncompressed 24-bpp BMP images —
   * [[decodeWavColumn]] / [[decodeBmpColumn]] / [[resizeBmpColumn]]).
-  * Compressed codecs (JPEG/MP3/H.264) remain STUBBED behind
-  * [[decodeStub]] (this environment ships no codec libraries),
-  * clearly marked, producing deterministic fake features so those
-  * pipelines stay end-to-end testable. At 100 TB the shape is the
+  * Compressed IMAGES also decode for real, through the JDK's own
+  * ImageIO readers (JPEG/PNG/GIF — `java.desktop` ships those codecs;
+  * [[decodeImageColumn]]). Only compressed AUDIO/VIDEO (MP3/H.264)
+  * remains STUBBED behind [[decodeStub]] (the JDK genuinely carries
+  * no such codec), clearly marked, producing deterministic fake
+  * features so those pipelines stay end-to-end testable. At 100 TB the shape is the
   * right one either way: media bytes never leave their partition,
   * decode is a batched mapPartitions (exactly where a JNI/FFmpeg
   * batch call would sit), and metadata-only queries never touch the
@@ -68,6 +70,29 @@ object Multimodal {
       it.grouped(blockSize).flatMap { rows =>
         rows.iterator.map { row =>
           val info = Codecs.decodeBmp(row.getAs[Array[Byte]](idx)).orNull
+          val struct = if (info == null) null
+          else Row(info.width, info.height, info.meanR, info.meanG,
+            info.meanB)
+          Row.fromSeq(row.toSeq :+ struct)
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** REAL compressed-image decode (JPEG/PNG/GIF via the JDK's own
+    * ImageIO readers): appends a [[BmpInfoType]] struct (null for
+    * bytes no installed reader accepts). Same partition-local batched
+    * shape as [[decodeBmpColumn]]. */
+  def decodeImageColumn(df: DataFrame, mediaCol: String,
+                        outCol: String = "img",
+                        blockSize: Int = 1024): DataFrame = {
+    val schema = df.schema.add(outCol, BmpInfoType)
+    val idx = df.schema.fieldIndex(mediaCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(blockSize).flatMap { rows =>
+        rows.iterator.map { row =>
+          val info = Codecs.decodeImage(row.getAs[Array[Byte]](idx)).orNull
           val struct = if (info == null) null
           else Row(info.width, info.height, info.meanR, info.meanG,
             info.meanB)

@@ -49,6 +49,46 @@ class CodecsSpec extends AnyFunSuite {
     rgb
   }
 
+  test("ImageIO decode: PNG roundtrip is pixel-exact (equals the BMP " +
+    "decoder on the same pixels), JPEG recovers a uniform image " +
+    "within lossy tolerance, garbage decodes to None") {
+    val (w, h) = (20, 12)
+    val rgb = makeRgb(w, h)
+    val png = Codecs.encodeImage(w, h, rgb, "png")
+    val viaPng = Codecs.decodeImage(png).get
+    val viaBmp = Codecs.decodeBmp(Codecs.encodeBmp(w, h, rgb)).get
+    assert(viaPng == viaBmp, s"PNG must be lossless: $viaPng vs $viaBmp")
+    // uniform mid-gray JPEG: dims exact, means within codec tolerance
+    val uni = Array.fill[Byte](3 * w * h)(100.toByte)
+    val jpg = Codecs.encodeImage(w, h, uni, "jpg")
+    val viaJpg = Codecs.decodeImage(jpg).get
+    assert(viaJpg.width == w && viaJpg.height == h)
+    Seq(viaJpg.meanR, viaJpg.meanG, viaJpg.meanB).foreach(m =>
+      assert(math.abs(m - 100.0) < 3.0, s"JPEG mean drifted: $viaJpg"))
+    assert(Codecs.decodeImage("not an image".getBytes).isEmpty)
+    // the JPEG bytes are REAL JPEG (FFD8 SOI marker), not a
+    // re-labeled bitmap
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8)
+  }
+
+  test("decodeImageColumn decodes JPEG/PNG rows and nulls undecodable " +
+    "bytes, partition-locally") {
+    import spark.implicits._
+    val (w, h) = (8, 6)
+    val rows = Seq(
+      (1L, Codecs.encodeImage(w, h, makeRgb(w, h), "png")),
+      (2L, Codecs.encodeImage(w, h, makeRgb(w, h), "jpg")),
+      (3L, Array[Byte](1, 2, 3)))
+    val df = rows.toDF("id", "media").repartition(2)
+    val got = Multimodal.decodeImageColumn(df, "media")
+      .select(col("id"), col("img"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getStruct(1)).map(s => (s.getInt(0), s.getInt(1)))).toMap
+    assert(got(1L).contains((w, h)))
+    assert(got(2L).contains((w, h)))
+    assert(got(3L).isEmpty)
+  }
+
   test("WAV decode recovers planted format and signal statistics") {
     val wav = makeWav(8000, 256, 8192, 4)
     val info = Codecs.decodeWav(wav).get
