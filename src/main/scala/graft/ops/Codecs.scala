@@ -223,6 +223,37 @@ object Codecs {
     bos.toByteArray
   }
 
+  /** REAL compressed-image resize: ImageIO decode → nearest-neighbor
+    * downsample (the same index math as [[resizeBmp]], so a planted
+    * pattern lands on the same source pixels) → PNG re-encode
+    * (lossless, so downstream decode sees exactly the sampled
+    * pixels). None when no installed reader accepts the bytes. */
+  def resizeImage(b: Array[Byte], w2: Int, h2: Int): Option[Array[Byte]] = {
+    require(w2 > 0 && h2 > 0)
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val out = new java.awt.image.BufferedImage(w2, h2,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h2) {
+          val sy = (y.toLong * h / h2).toInt
+          var x = 0
+          while (x < w2) {
+            out.setRGB(x, y, img.getRGB((x.toLong * w / w2).toInt, sy))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case _: Exception => None }
+  }
+
   /** REAL image resize: nearest-neighbor downsample of a 24-bpp BMP,
     * re-encoded as BMP. None when the input is not decodable. */
   def resizeBmp(b: Array[Byte], w2: Int, h2: Int): Option[Array[Byte]] = {

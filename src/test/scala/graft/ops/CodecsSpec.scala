@@ -71,6 +71,18 @@ class CodecsSpec extends AnyFunSuite {
     assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8)
   }
 
+  test("resizeImage: PNG-in → nearest-neighbor sample matches the BMP " +
+    "resizer pixel for pixel (same index math, lossless carriers)") {
+    val (w, h) = (16, 10)
+    val rgb = makeRgb(w, h)
+    val viaImg = Codecs.resizeImage(
+      Codecs.encodeImage(w, h, rgb, "png"), 5, 4).get
+    val viaBmp = Codecs.resizeBmp(Codecs.encodeBmp(w, h, rgb), 5, 4).get
+    assert(Codecs.decodeImage(viaImg).get == Codecs.decodeBmp(viaBmp).get,
+      "both resize paths must sample the same source pixels")
+    assert(Codecs.resizeImage("junk".getBytes, 2, 2).isEmpty)
+  }
+
   test("decodeImageColumn decodes JPEG/PNG rows and nulls undecodable " +
     "bytes, partition-locally") {
     import spark.implicits._
