@@ -887,6 +887,51 @@ object PipelineQueries {
         s"(SELECT DISTINCT $sigList FROM surv)) AS n_new_groups"
     })
 
+  /** Incremental NEAR-dup detection (the approximate sibling of
+    * [[dedupIncremental]]): batch docs colliding with archive band
+    * buckets, best signature-agreement estimate per batch doc, and
+    * template-family hits flagged oversize instead of pairwise-
+    * scored. Same split, same cap as the self-join queries. */
+  private val dedupIncrementalNear = Q("q_dedup_incremental_near",
+    (s, d) => {
+      val d0 = docs(s, d)
+      val batch = d0.where(col("doc_id") % 4 === 0)
+      val corpus = d0.where(col("doc_id") % 4 =!= 0)
+      Dedup.newNearDupsAgainstCorpus(batch, corpus, "text", "doc_id",
+          maxBucket = MinhashCap)
+        .agg(count(lit(1)).as("n_colliding"),
+          sum(when(col("best_est") >= 0.5, 1L).otherwise(0L)).as("n_dups"),
+          sum(when(col("oversize_hit"), 1L).otherwise(0L)).as("n_oversize"),
+          sum(col("doc_id")).as("id_sum"),
+          round(avg(col("best_est")), 5).as("avg_best_est"))
+    },
+    s"WITH $minhashCtes, " +
+      "bb AS (SELECT * FROM bands WHERE doc_id % 4 = 0), " +
+      "cb AS (SELECT * FROM bands WHERE doc_id % 4 <> 0), " +
+      "csz AS (SELECT band, band_key, count(*) AS bn FROM cb " +
+      "GROUP BY 1, 2), " +
+      "elig AS (SELECT cb.* FROM cb JOIN csz USING (band, band_key) " +
+      s"WHERE csz.bn <= $MinhashCap), " +
+      "hits AS (SELECT DISTINCT x.doc_id AS bid, y.doc_id AS cid " +
+      "FROM bb x JOIN elig y ON x.band = y.band " +
+      "AND x.band_key = y.band_key), " +
+      s"scored AS (SELECT bid, max(($agreeSql)/8.0) AS best_est, " +
+      "count(*) AS n_hits FROM hits " +
+      "JOIN sigs sa ON bid = sa.doc_id JOIN sigs sb ON cid = sb.doc_id " +
+      "GROUP BY bid), " +
+      "over AS (SELECT DISTINCT x.doc_id AS bid FROM bb x " +
+      "JOIN csz ON x.band = csz.band AND x.band_key = csz.band_key " +
+      s"WHERE csz.bn > $MinhashCap), " +
+      "m AS (SELECT coalesce(s.bid, o.bid) AS bid, s.best_est, " +
+      "(o.bid IS NOT NULL) AS oh " +
+      "FROM scored s FULL JOIN over o ON s.bid = o.bid) " +
+      "SELECT count(*) AS n_colliding, " +
+      "CAST(sum(CASE WHEN best_est >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_dups, " +
+      "CAST(sum(CASE WHEN oh THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize, " +
+      "CAST(sum(bid) AS BIGINT) AS id_sum, " +
+      "round(avg(best_est), 5) AS avg_best_est FROM m")
+
   private val BloomM = 1 << 16
   private val BloomK = 5
 
@@ -2145,7 +2190,7 @@ object PipelineQueries {
   val all: Vector[Q] = Vector(
     dedupExact, dedupMinhash, dedupMinhashCapped, dedupMinhashGroups,
     dedupClusters, dedupCanonical, dedupSimhash, dedupNgram,
-    dedupIncremental, dedupBloom, dedupSpans,
+    dedupIncremental, dedupIncrementalNear, dedupBloom, dedupSpans,
     embedTop1, embedTopK, embedAnnLsh, embedLshSized, embedAnnTop1,
     embedNearDup, embedNearDupCapped, embedClusters, embedIvf, embedIvfMp,
     embedKmeans, embedCovariance,

@@ -261,6 +261,66 @@ object Dedup {
     newDf.join(survivors, Seq(idCol))
   }
 
+  /** Incremental NEAR-dup detection against an archive — the
+    * approximate sibling of [[newAgainstCorpus]]'s exact-signature
+    * anti-join: which batch docs likely near-duplicate ANY archive
+    * doc, via band-bucket collisions batch→corpus plus the
+    * signature-agreement Jaccard estimate.
+    *
+    * Returns one row per batch doc with ≥1 collision: (idCol,
+    * best_est, n_hits, oversize_hit). `maxBucket > 0` excludes
+    * ARCHIVE buckets above the cap from pairwise estimation, but a
+    * batch doc landing in one is still reported, with
+    * `oversize_hit = true` and null best_est — a bucket that large
+    * is a template family, near-dup by construction, and scoring a
+    * batch doc against its B members would be the exact hotspot the
+    * cap exists to avoid.
+    *
+    * Scale shape: two signature maps, one archive bucket-size
+    * aggregate (map-side partial), one equi-join on (band, band_key)
+    * batch→corpus — the archive is NEVER self-joined, shuffles carry
+    * band keys + 8-long signatures only. */
+  def newNearDupsAgainstCorpus(newDf: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, maxBucket: Int = 0,
+      numBands: Int = NumBands): DataFrame = {
+    val bBands = bandRowsFromSigs(
+      minhashSignatures(newDf, textCol, idCol), idCol, numBands)
+    val cBands = bandRowsFromSigs(
+      minhashSignatures(corpus, textCol, idCol), idCol, numBands)
+    val sizes = cBands.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("__bn"))
+    val eligible =
+      if (maxBucket <= 0) cBands
+      else cBands.join(
+        sizes.where(col("__bn") <= maxBucket).select("band", "band_key"),
+        Seq("band", "band_key"))
+    val agree = size(filter(
+      zip_with(col("x.sig"), col("y.sig"), (a, b) => a === b), w => w))
+    val scored = bBands.as("x").join(eligible.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key"))
+      .select(col(s"x.$idCol").as(idCol), col(s"y.$idCol").as("__cid"),
+        (agree.cast("double") / lit(NumPerms.toDouble)).as("__est"))
+      .distinct()
+      .groupBy(col(idCol))
+      .agg(max(col("__est")).as("best_est"),
+        count(lit(1)).as("n_hits"))
+    val oversizeHits =
+      if (maxBucket <= 0) null
+      else bBands.join(
+          sizes.where(col("__bn") > maxBucket).select("band", "band_key"),
+          Seq("band", "band_key"))
+        .select(col(idCol)).distinct()
+        .withColumn("oversize_hit", lit(true))
+    if (oversizeHits == null)
+      scored.withColumn("oversize_hit", lit(false))
+    else
+      scored.join(oversizeHits, Seq(idCol), "full")
+        .select(col(idCol), col("best_est"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          coalesce(col("oversize_hit"), lit(false)).as("oversize_hit"))
+  }
+
   /** 45-bit combined key of the sig0..sigN signature columns
     * (polynomial fold in the [[NgramFpMod]] universe) — the single
     * long key the [[Bloom]] prefilter and any keyed signature store

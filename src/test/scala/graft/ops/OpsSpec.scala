@@ -197,6 +197,42 @@ class OpsSpec extends AnyFunSuite {
     assert(allCells > 2, "fixture must have more cells than probes")
   }
 
+  test("newNearDupsAgainstCorpus flags exact and perturbed copies of " +
+    "archive docs, ignores fresh docs, and reports template-family " +
+    "hits as oversize without pairwise scoring") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    def doc(n: Int) = Seq.fill(n)(s"w${rng.nextInt(5000)}").mkString(" ")
+    val base = Seq.tabulate(30)(i => (i.toLong, doc(12)))
+    val template = doc(12)
+    val corpus = (base ++ Seq.tabulate(60)(i => (1000L + i, template)))
+      .toDF("doc_id", "text")
+    val perturbed = base(6)._2.split(" ").dropRight(1).mkString(" ") + " zq"
+    val batch = Seq(
+      (9001L, base(5)._2), // exact copy
+      (9002L, perturbed), // near copy (11/12 tokens shared)
+      (9003L, doc(12)), // fresh
+      (9004L, template)) // member of the oversize family
+      .toDF("doc_id", "text")
+    val got = Dedup.newNearDupsAgainstCorpus(batch, corpus,
+        "text", "doc_id", maxBucket = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Double]), r.getLong(2),
+          r.getBoolean(3)))).toMap
+    assert(got(9001L)._1.contains(1.0), s"exact copy: ${got.get(9001L)}")
+    assert(got(9001L)._2 >= 1)
+    got.get(9002L).foreach { case (est, _, _) =>
+      assert(est.exists(_ >= 0.5), s"near copy underscored: $est")
+    }
+    assert(got.contains(9002L), "near copy must collide in some band")
+    got.get(9003L).foreach { case (est, _, over) =>
+      assert(est.forall(_ < 0.5) && !over, "fresh doc misflagged")
+    }
+    assert(got(9004L)._3, "family member must carry oversize_hit")
+    assert(got(9004L)._1.isEmpty,
+      "oversize collisions must not be pairwise-scored")
+  }
+
   test("chunks equals a driver reference chunker over randomized " +
     "texts for several window/stride geometries") {
     import spark.implicits._
