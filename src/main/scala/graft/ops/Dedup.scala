@@ -136,6 +136,14 @@ object Dedup {
       .select(col(idCol), col("sig"), col("bk.band"), col("bk.band_key"))
   }
 
+  /** Public band-row view (idCol, sig array, band, band_key) — the
+    * shape stream-static near-dup tagging joins on. Persist the
+    * result when it serves a streaming query's static side (it is
+    * re-read every trigger). */
+  def bandRowsOf(df: DataFrame, textCol: String, idCol: String,
+                 numBands: Int = NumBands): DataFrame =
+    bandRowsFromSigs(minhashSignatures(df, textCol, idCol), idCol, numBands)
+
   def minhashCandidates(df: DataFrame, textCol: String,
                         idCol: String): DataFrame =
     minhashCandidates(df, textCol, idCol, maxBucket = 0, NumBands)

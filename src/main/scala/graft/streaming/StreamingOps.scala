@@ -179,6 +179,29 @@ object StreamingOps {
         !graft.ops.Bloom.mightContain(bits, graft.ops.Dedup.sigKey(),
           mBits, kHashes))
 
+  /** Stream-STATIC near-dup tagging: every incoming doc's band rows
+    * equi-join the ARCHIVE's (persisted) band table — the
+    * stream-static join template: stateless, no watermark, the static
+    * side re-read per trigger (persist it). Emits one collision row
+    * (idCol, corpus_id, est_jaccard) per (doc, archive-doc) band hit;
+    * downstream policy (threshold, best-per-doc) aggregates. The
+    * approximate sibling of [[bloomPrefilter]]'s exact-signature
+    * probe, matching [[graft.ops.Dedup.newNearDupsAgainstCorpus]]'s
+    * batch scoring pair for pair. */
+  def nearDupTags(docs: DataFrame, corpusBands: DataFrame,
+                  textCol: String, idCol: String): DataFrame = {
+    val b = graft.ops.Dedup.bandRowsOf(docs, textCol, idCol)
+    val agree = size(filter(
+      zip_with(col("x.sig"), col("y.sig"), (a, b) => a === b), w => w))
+    b.as("x").join(corpusBands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key"))
+      .select(col(s"x.$idCol").as(idCol),
+        col(s"y.$idCol").as("corpus_id"),
+        (agree.cast("double") /
+          lit(graft.ops.Dedup.NumPerms.toDouble)).as("est_jaccard"))
+  }
+
   /** Streaming perplexity scoring under a batch-trained bigram LM.
     * The per-doc aggregate would register as an unbounded stateful
     * streaming aggregation if planned directly, yet it is

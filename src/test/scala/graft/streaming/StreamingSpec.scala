@@ -365,6 +365,31 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-static near-dup tagging equals the batch band join " +
+    "collision for collision") {
+    import graft.ops.Dedup
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    val corpusBands = Dedup.bandRowsOf(corpus, "text", "doc_id").persist()
+    corpusBands.count()
+    val stream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .where(col("doc_id") % 2 =!= 0)
+    val out = StreamingOps.nearDupTags(stream, corpusBands,
+      "text", "doc_id")
+    StreamingOps.runToMemorySink(out, "neardup_stream")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 8))).toSet
+    val got = canon(spark.table("neardup_stream"))
+    val want = canon(StreamingOps.nearDupTags(
+      docs.where(col("doc_id") % 2 =!= 0), corpusBands, "text", "doc_id"))
+    assert(got == want, "stream and batch collisions must agree")
+    assert(want.nonEmpty, "fixture must produce cross-half near-dups")
+    corpusBands.unpersist()
+  }
+
   test("streaming curation (quality floor + signature dedup) equals " +
     "the batch composition") {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
