@@ -79,6 +79,69 @@ object Codecs {
       math.sqrt(sumSq / nSamples), crossings.toDouble / (nFrames - 1).max(1)))
   }
 
+  /** Mono-mixed normalized samples of a PCM16 WAV (channel 0 only —
+    * the tonal probes care about frequency content, not the mix). */
+  private def samplesOf(b: Array[Byte]): Option[(Int, Array[Double])] =
+    decodeWav(b).flatMap { info =>
+      if (info.nFrames == 0) Some((info.sampleRate, new Array[Double](0)))
+      else {
+        // re-locate the data chunk (decodeWav validated the layout)
+        var off = 12
+        var dataOff = -1
+        while (off + 8 <= b.length && dataOff < 0) {
+          val sz = le32(b, off + 4)
+          if (b(off) == 'd' && b(off + 1) == 'a' && b(off + 2) == 't' &&
+            b(off + 3) == 'a') dataOff = off + 8
+          else off += 8 + sz + (sz & 1)
+        }
+        if (dataOff < 0) None
+        else {
+          val n = info.nFrames.toInt
+          val out = new Array[Double](n)
+          var f = 0
+          while (f < n) {
+            out(f) = le16(b, dataOff + 2 * f * info.channels)
+              .toShort / 32768.0
+            f += 1
+          }
+          Some((info.sampleRate, out))
+        }
+      }
+    }
+
+  /** Tonal audio features via the Goertzel filter: normalized power
+    * at each probe frequency plus the dominant probe — real signal
+    * processing in deterministic double arithmetic (the single-bin
+    * DFT; no FFT library involved). A planted sine wave lands its
+    * power on the matching probe, which is exactly what the test
+    * plants and recovers. Returns (powers aligned with `probesHz`,
+    * dominant probe frequency); None for non-WAV bytes, all-zero
+    * powers for empty audio. */
+  def toneFeatures(b: Array[Byte],
+                   probesHz: Seq[Double]): Option[(Seq[Double], Double)] = {
+    require(probesHz.nonEmpty)
+    samplesOf(b).map { case (sr, xs) =>
+      val n = xs.length
+      val powers = probesHz.map { f =>
+        if (n == 0) 0.0
+        else {
+          val w = 2.0 * math.Pi * f / sr
+          val coeff = 2.0 * math.cos(w)
+          var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
+          var i = 0
+          while (i < n) {
+            s0 = xs(i) + coeff * s1 - s2
+            s2 = s1; s1 = s0
+            i += 1
+          }
+          (s1 * s1 + s2 * s2 - coeff * s1 * s2) / n
+        }
+      }
+      val dom = probesHz(powers.indices.maxBy(powers(_)))
+      (powers, dom)
+    }
+  }
+
   /** Decode an uncompressed 24-bpp BMP (BITMAPINFOHEADER, positive or
     * negative height): dimensions plus per-channel pixel means in
     * [0, 255]. None for anything else. */

@@ -101,6 +101,45 @@ class CodecsSpec extends AnyFunSuite {
     assert(got(3L).isEmpty)
   }
 
+  test("toneFeatures: a planted sine concentrates Goertzel power on " +
+    "the matching probe and the dominant frequency is recovered") {
+    val sr = 8000
+    val n = 4000
+    def sineWav(freq: Double): Array[Byte] = {
+      val samples = Array.tabulate(n)(i =>
+        (0.6 * math.sin(2 * math.Pi * freq * i / sr) * 32767).toInt.toShort)
+      val dataLen = n * 2
+      val out = new Array[Byte](44 + dataLen)
+      def put16(o: Int, v: Int): Unit = {
+        out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      }
+      def put32(o: Int, v: Int): Unit = {
+        put16(o, v & 0xffff); put16(o + 2, (v >> 16) & 0xffff)
+      }
+      def tag(o: Int, s: String): Unit =
+        s.getBytes("US-ASCII").zipWithIndex.foreach { case (b, i) =>
+          out(o + i) = b
+        }
+      tag(0, "RIFF"); put32(4, 36 + dataLen); tag(8, "WAVE")
+      tag(12, "fmt "); put32(16, 16); put16(20, 1); put16(22, 1)
+      put32(24, sr); put32(28, sr * 2); put16(32, 2); put16(34, 16)
+      tag(36, "data"); put32(40, dataLen)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        put16(44 + 2 * i, s & 0xffff)
+      }
+      out
+    }
+    val probes = Seq(250.0, 440.0, 1000.0)
+    probes.foreach { f =>
+      val (powers, dom) = Codecs.toneFeatures(sineWav(f), probes).get
+      assert(dom == f, s"dominant probe for a $f Hz tone")
+      val sorted = powers.sorted.reverse
+      assert(sorted.head > 10 * math.max(sorted(1), 1e-12),
+        s"power must concentrate at $f Hz: $powers")
+    }
+    assert(Codecs.toneFeatures("junk".getBytes, probes).isEmpty)
+  }
+
   test("WAV decode recovers planted format and signal statistics") {
     val wav = makeWav(8000, 256, 8192, 4)
     val info = Codecs.decodeWav(wav).get
