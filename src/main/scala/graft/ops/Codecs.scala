@@ -142,6 +142,39 @@ object Codecs {
     }
   }
 
+  /** 64-bit perceptual average-hash (aHash) of any ImageIO-decodable
+    * image: nearest-neighbor resample to 8×8, per-cell grayscale,
+    * bit i set iff cell i is brighter than the image's own mean —
+    * invariant to uniform brightness shifts and to scale, the
+    * standard cheap near-dup fingerprint for image corpora (group or
+    * hamming-match the hashes with the same dedup machinery as text
+    * signatures). Deterministic integer arithmetic end to end. */
+  def aHash64(b: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val gray = new Array[Long](64)
+        var i = 0
+        while (i < 64) {
+          val x = ((i % 8).toLong * w / 8 + w / 16).toInt.min(w - 1)
+          val y = ((i / 8).toLong * h / 8 + h / 16).toInt.min(h - 1)
+          val p = img.getRGB(x, y)
+          gray(i) = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+          i += 1
+        }
+        val mean = gray.sum / 64
+        var hash = 0L
+        i = 0
+        while (i < 64) {
+          if (gray(i) > mean) hash |= (1L << i)
+          i += 1
+        }
+        Some(hash)
+      }
+    } catch { case _: Exception => None }
+
   /** Decode an uncompressed 24-bpp BMP (BITMAPINFOHEADER, positive or
     * negative height): dimensions plus per-channel pixel means in
     * [0, 255]. None for anything else. */

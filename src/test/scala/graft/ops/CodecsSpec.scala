@@ -71,6 +71,39 @@ class CodecsSpec extends AnyFunSuite {
     assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8)
   }
 
+  test("aHash64: scale- and brightness-invariant for a structured " +
+    "image, far from an unrelated image's hash, None for garbage") {
+    val (w, h) = (64, 64)
+    // half-dark / half-bright vertical split
+    def split(bright: Int, dark: Int): Array[Byte] = {
+      val rgb = new Array[Byte](3 * w * h)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        rgb(3 * (y * w + x) + c) =
+          (if (x < w / 2) dark else bright).toByte
+      rgb
+    }
+    def hashOf(rgb: Array[Byte], w2: Int = w, h2: Int = h): Long =
+      Codecs.aHash64(Codecs.encodeImage(w2, h2, rgb, "png")).get
+    val base = hashOf(split(200, 40))
+    // uniform brightness shift: same hash
+    assert(hashOf(split(230, 70)) == base, "brightness shift must not move aHash")
+    // scale invariance: the same pattern at half resolution
+    val smallRgb = new Array[Byte](3 * 32 * 32)
+    for (y <- 0 until 32; x <- 0 until 32; c <- 0 until 3)
+      smallRgb(3 * (y * 32 + x) + c) = (if (x < 16) 40 else 200).toByte
+    val smallHash = Codecs.aHash64(
+      Codecs.encodeImage(32, 32, smallRgb, "png")).get
+    assert(java.lang.Long.bitCount(smallHash ^ base) <= 8,
+      "scaled image must hash within a small hamming ball")
+    // an unrelated pattern (horizontal split) is far away
+    val horiz = new Array[Byte](3 * w * h)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      horiz(3 * (y * w + x) + c) = (if (y < h / 2) 40 else 200).toByte
+    assert(java.lang.Long.bitCount(hashOf(horiz) ^ base) >= 24,
+      "unrelated structure must be distant")
+    assert(Codecs.aHash64("junk".getBytes).isEmpty)
+  }
+
   test("resizeImage: PNG-in → nearest-neighbor sample matches the BMP " +
     "resizer pixel for pixel (same index math, lossless carriers)") {
     val (w, h) = (16, 10)
