@@ -124,4 +124,28 @@ class OpsPropSpec extends AnyFunSuite {
         math.abs(info.rms - rms) < 1e-12 && zcrOk
     }, n = 100)
   }
+
+  test("codec parsers never throw on arbitrary bytes — including " +
+    "RIFF/BMP/PNG/JPEG-prefixed garbage — they return None") {
+    val prefixes = Seq(Array.empty[Byte], "RIFF".getBytes,
+      "RIFFxxxxWAVE".getBytes, "BM".getBytes,
+      Array[Byte](0x89.toByte, 'P', 'N', 'G'),
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte))
+    val gen = for {
+      p <- Gen.oneOf(prefixes)
+      body <- Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield p ++ body.toArray
+    check(Prop.forAll(gen) { bytes =>
+      // a crafted header must yield None (or a well-formed decode for
+      // the rare accidentally-valid input) — never an exception
+      Codecs.decodeWav(bytes).forall(_.nFrames >= 0)
+      Codecs.decodeBmp(bytes).forall(i => i.width > 0 && i.height > 0)
+      Codecs.decodeImage(bytes).forall(i => i.width > 0 && i.height > 0)
+      Codecs.aHash64(bytes)
+      Codecs.resizeBmp(bytes, 2, 2)
+      Codecs.resizeImage(bytes, 2, 2)
+      Codecs.toneFeatures(bytes, Seq(440.0))
+      true
+    }, n = 300)
+  }
 }
