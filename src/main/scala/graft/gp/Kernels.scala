@@ -86,6 +86,24 @@ object Kernels {
       DenseVector.ones[Double](x.rows)
   }
 
+  /** Matérn-3/2: K = (1 + √3·r)·exp(−√3·r), r = ‖x/ℓ − x2/ℓ‖ — the
+    * standard rougher-than-RBF stationary kernel (once-differentiable
+    * sample paths). BEYOND the reference's kernel surface, but a
+    * drop-in [[Kernel]]: Cholesky, batched forms, and the sparse-GP
+    * sampling path are kernel-generic, so it composes with the whole
+    * GP layer unchanged. */
+  final case class UnitMatern32(
+      lengthscales: DenseVector[Double] = DenseVector(1.0))
+      extends Kernel {
+    def k(x: DenseMatrix[Double], x2: DenseMatrix[Double]): DenseMatrix[Double] =
+      euclidDist(x, x2).map { r =>
+        val a = math.sqrt(3.0) * r
+        (1.0 + a) * math.exp(-a)
+      }
+    def kdiag(x: DenseMatrix[Double]): DenseVector[Double] =
+      DenseVector.ones[Double](x.rows)
+  }
+
   /** Cylindrically-symmetric RBF: K(x,x2) + K(x,−x2); Kdiag =
     * 1 + exp(−2‖x/ℓ‖²) (reference `UnitCsymRBF`,
     * `gp/kernels.py:113-131`). */

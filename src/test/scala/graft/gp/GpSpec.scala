@@ -55,6 +55,42 @@ class GpSpec extends AnyFunSuite {
     }
   }
 
+  test("UnitMatern32 matches the naive oracle, reconstructs through " +
+    "Cholesky, and drives the kernel-generic sparse path (x == z " +
+    "identity, NaN-free sampling)") {
+    val x = randn(5, 2); val x2 = randn(6, 2)
+    val l = DenseVector(0.9)
+    val kern = Kernels.UnitMatern32(l)
+    val got = kern.k(x, x2)
+    (0 until 5).foreach(i => (0 until 6).foreach { j =>
+      val r = math.sqrt((0 until 2).map(c =>
+        math.pow((x(i, c) - x2(j, c)) / l(0), 2)).sum + 1e-12)
+      val a = math.sqrt(3.0) * r
+      assert(math.abs(got(i, j) - (1.0 + a) * math.exp(-a)) < 1e-10)
+    })
+    assert(kern.kdiag(x) == DenseVector.ones[Double](5))
+    // LL^T = K + jitter I
+    val k9 = randn(9, 2)
+    val lo = kern.choleskyK(k9)
+    val rec = lo * lo.t
+    val kk = kern.k(k9)
+    (0 until 9).foreach(i => (0 until 9).foreach { j =>
+      val want = kk(i, j) + (if (i == j) Kernels.JitterLevel else 0.0)
+      assert(math.abs(rec(i, j) - want) < 1e-9)
+    })
+    // kernel-generic sparse path: x == z identity + NaN-free samples
+    val z = DenseMatrix.tabulate(30, 2)((i, j) =>
+      -2.0 + 4.0 * (2 * i + j) / 60.0)
+    val sgp = new SparseGP(kern, z)
+    val lnT = sgp.effectiveLT(z)
+    assert(breeze.linalg.max(breeze.numerics.abs(lnT - sgp.lm.t)) < 5e-3)
+    assert(breeze.linalg.max(breeze.numerics.abs(
+      sgp.additionalCovDiag(z, lnT))) < 5e-3)
+    val s = sgp.samples(randn(50, 2), randn(1, 30), SparseGP.Diagonal,
+      Some(randn(1, 50)))
+    s.foreachValue(v => assert(!v.isNaN && !v.isInfinite))
+  }
+
   test("Cholesky reconstructs K + jitter·I (ref test_kernels.py:184-226)") {
     Seq(Kernels.UnitRBF(DenseVector(0.8)),
       Kernels.UnitCsymRBF(DenseVector(0.8))).foreach { kern =>
