@@ -1560,6 +1560,36 @@ object PipelineQueries {
       head + rounds + s"SELECT * FROM ($union) ORDER BY round"
     })
 
+  /** Character-class entropy (gibberish/boilerplate signal): per-doc
+    * Shannon entropy over 28 case-folded character classes — exact
+    * integer counts feed the same −Σ p·ln p on both engines. One
+    * codegen'd kernel pass, no shuffle. */
+  private val textEntropy = Q("q_text_entropy",
+    (s, d) => docs(s, d)
+      .select(col("source"),
+        graft.ops.TextHashExpressions.charEntropy(col("text")).as("ent"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("ent")), 5).as("avg_ent"),
+        round(min(col("ent")), 5).as("min_ent"),
+        round(max(col("ent")), 5).as("max_ent"))
+      .orderBy("source"),
+    "WITH cls AS (SELECT doc_id, source, " +
+      "CASE WHEN ascii(c) >= 97 AND ascii(c) <= 122 THEN ascii(c) - 97 " +
+      "WHEN c = ' ' THEN 26 ELSE 27 END AS k FROM (" +
+      "SELECT doc_id, source, unnest(string_split(lower(text), '')) AS c " +
+      "FROM documents)), " +
+      "counts AS (SELECT doc_id, source, k, count(*) AS cnt FROM cls " +
+      "GROUP BY 1, 2, 3), " +
+      "n AS (SELECT doc_id, sum(cnt) AS n FROM counts GROUP BY 1), " +
+      "ent AS (SELECT c.doc_id, any_value(c.source) AS source, " +
+      "-sum((cnt::DOUBLE / n) * ln(cnt::DOUBLE / n)) AS ent " +
+      "FROM counts c JOIN n USING (doc_id) GROUP BY c.doc_id) " +
+      "SELECT source, count(*) AS n_docs, " +
+      "round(avg(ent), 5) AS avg_ent, round(min(ent), 5) AS min_ent, " +
+      "round(max(ent), 5) AS max_ent " +
+      "FROM ent GROUP BY source ORDER BY source")
+
   private val textFingerprint = Q("q_text_fingerprint",
     (s, d) => docs(s, d).groupBy("source")
       .agg(count(lit(1)).as("n"),
@@ -2196,7 +2226,7 @@ object PipelineQueries {
     embedKmeans, embedCovariance,
     embedPq, embedIvfPq, embedRerank,
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,
-    textVocab, textClassifier, textChunks, textBpe,
+    textVocab, textClassifier, textChunks, textBpe, textEntropy,
     textPerplexity, textBm25, textPii, textContamination, sketchHll,
     sketchHllBy, sketchCms, sketchQuantile, sketchQuantileBy,
     textDupNgrams, qualityGopher, multimodalMeta, curation, trainMix,

@@ -156,6 +156,41 @@ object TextHashFns {
     InternalRow(s, if (n >= 2) 2L * n - 1 else n.toLong)
   }
 
+  /** Character-class Shannon entropy (nats): classes are the 26
+    * case-folded letters, space (26), and other (27); H = −Σ p·ln p
+    * over the non-empty classes in ascending class order (fixed
+    * order ⇒ bit-identical cross-engine from identical integer
+    * counts). The cheap gibberish/boilerplate signal: natural prose
+    * sits in a band, repeated boilerplate collapses low, random
+    * noise pushes high. Empty text → 0. */
+  def charEntropy(text: UTF8String): Double = {
+    val s = text.toString
+    val counts = new Array[Long](28)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val cls =
+        if (c >= 'a' && c <= 'z') c - 'a'
+        else if (c >= 'A' && c <= 'Z') c - 'A'
+        else if (c == ' ') 26
+        else 27
+      counts(cls) += 1
+      i += 1
+    }
+    val n = s.length.toDouble
+    if (n == 0) return 0.0
+    var h = 0.0
+    var k = 0
+    while (k < 28) {
+      if (counts(k) > 0) {
+        val p = counts(k) / n
+        h -= p * math.log(p)
+      }
+      k += 1
+    }
+    h
+  }
+
   /** 16-bit SimHash over the distinct token set: bit b set iff
     * Σ_tokens (±1 by bit b of the 60-bit hash) > 0. Returns −1 for a
     * token-less text (callers filter; bit-sums of zero tokens are all
@@ -271,6 +306,18 @@ case class DsirBucketsExpr(child: Expression, m: Int)
   override def prettyName: String = "dsir_buckets"
 }
 
+case class CharEntropyExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any =
+    TextHashFns.charEntropy(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.TextHashFns.charEntropy($c)")
+  override protected def withNewChildInternal(c: Expression): CharEntropyExpr =
+    copy(c)
+  override def prettyName: String = "char_entropy"
+}
+
 case class DsirWeightExpr(child: Expression, m: Int, ratios: Seq[Double])
     extends UnaryExpression {
   require(ratios.length == m, s"need $m ratios, got ${ratios.length}")
@@ -313,6 +360,8 @@ object TextHashExpressions {
     bridge.toColumn(DsirBucketsExpr(bridge.toExpression(text), m))
   def dsirWeight(text: Column, m: Int, ratios: Seq[Double]): Column =
     bridge.toColumn(DsirWeightExpr(bridge.toExpression(text), m, ratios))
+  def charEntropy(text: Column): Column =
+    bridge.toColumn(CharEntropyExpr(bridge.toExpression(text)))
   def simhash16(text: Column): Column =
     bridge.toColumn(Simhash16Expr(bridge.toExpression(text)))
   def stopwordCounts(text: Column): Column =

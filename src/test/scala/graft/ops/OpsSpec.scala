@@ -197,6 +197,26 @@ class OpsSpec extends AnyFunSuite {
     assert(allCells > 2, "fixture must have more cells than probes")
   }
 
+  test("charEntropy: hand-computed values, case-fold invariance, " +
+    "boilerplate low / diverse text high, empty-safe") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, ""), (2L, "aaaa"), (3L, "abab"), (4L, "AbAb"),
+      (5L, "ab cd"), (6L, "the quick brown fox jumps"))
+      .toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"),
+        graft.ops.TextHashExpressions.charEntropy(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 0.0, "empty text")
+    assert(got(2L) == 0.0, "single class")
+    assert(math.abs(got(3L) - math.log(2.0)) < 1e-12, "two equal classes")
+    assert(got(4L) == got(3L), "case folding")
+    // 'ab cd' = 4 letters + 1 space, all distinct classes
+    val want5 = -(4 * (0.2 * math.log(0.2)) + 0.2 * math.log(0.2))
+    assert(math.abs(got(5L) - want5) < 1e-12)
+    assert(got(6L) > got(3L), "diverse prose above a 2-char loop")
+  }
+
   test("newNearDupsAgainstCorpus flags exact and perturbed copies of " +
     "archive docs, ignores fresh docs, and reports template-family " +
     "hits as oversize without pairwise scoring") {
