@@ -16,6 +16,34 @@ import breeze.linalg.{DenseMatrix, DenseVector, cholesky}
   * a sequence of matrices.
   */
 sealed trait Kernel extends Serializable {
+  def k(x: DenseMatrix[Double], x2: DenseMatrix[Double]): DenseMatrix[Double]
+  def k(x: DenseMatrix[Double]): DenseMatrix[Double] = k(x, x)
+  def kdiag(x: DenseMatrix[Double]): DenseVector[Double]
+
+  /** cholesky(K(X) + jitter·I), jitter 1e-5 (reference `Cholesky`,
+    * `gp/kernels.py:93-101`, `henbunrc:11`). */
+  final def choleskyK(x: DenseMatrix[Double],
+                      jitter: Double = Kernels.JitterLevel): DenseMatrix[Double] = {
+    val kk = k(x)
+    var i = 0
+    while (i < kk.rows) { kk(i, i) += jitter; i += 1 }
+    cholesky(kk)
+  }
+
+  /** Batched [N,n,d] form: per-batch-element application (the reference
+    * tiles through tf batch ops; semantics identical). */
+  final def kBatch(xs: Seq[DenseMatrix[Double]]): Seq[DenseMatrix[Double]] =
+    xs.map(k(_))
+  final def choleskyKBatch(xs: Seq[DenseMatrix[Double]]): Seq[DenseMatrix[Double]] =
+    xs.map(choleskyK(_))
+}
+
+/** A kernel parameterized by a positive scalar-or-ARD lengthscale
+  * vector exactly as the reference (`gp/kernels.py:37-51`); supplies
+  * the scaled-distance machinery every stationary kernel builds on.
+  * Combinator kernels ([[Kernels.Sum]]/[[Kernels.Product]]) have no
+  * single lengthscale and extend [[Kernel]] directly. */
+sealed trait LengthscaleKernel extends Kernel {
   def lengthscales: DenseVector[Double]
 
   /** Scaled coordinates x/ℓ (ARD broadcast across columns). */
@@ -50,27 +78,6 @@ sealed trait Kernel extends Serializable {
   final def euclidDist(x: DenseMatrix[Double],
                        x2: DenseMatrix[Double]): DenseMatrix[Double] =
     squareDist(x, x2).map(v => math.sqrt(v + 1e-12))
-
-  def k(x: DenseMatrix[Double], x2: DenseMatrix[Double]): DenseMatrix[Double]
-  def k(x: DenseMatrix[Double]): DenseMatrix[Double] = k(x, x)
-  def kdiag(x: DenseMatrix[Double]): DenseVector[Double]
-
-  /** cholesky(K(X) + jitter·I), jitter 1e-5 (reference `Cholesky`,
-    * `gp/kernels.py:93-101`, `henbunrc:11`). */
-  final def choleskyK(x: DenseMatrix[Double],
-                      jitter: Double = Kernels.JitterLevel): DenseMatrix[Double] = {
-    val kk = k(x)
-    var i = 0
-    while (i < kk.rows) { kk(i, i) += jitter; i += 1 }
-    cholesky(kk)
-  }
-
-  /** Batched [N,n,d] form: per-batch-element application (the reference
-    * tiles through tf batch ops; semantics identical). */
-  final def kBatch(xs: Seq[DenseMatrix[Double]]): Seq[DenseMatrix[Double]] =
-    xs.map(k(_))
-  final def choleskyKBatch(xs: Seq[DenseMatrix[Double]]): Seq[DenseMatrix[Double]] =
-    xs.map(choleskyK(_))
 }
 
 object Kernels {
@@ -79,7 +86,7 @@ object Kernels {
   /** K = exp(−½·sqdist), unit variance (reference `UnitRBF`,
     * `gp/kernels.py:103-111`). */
   final case class UnitRBF(lengthscales: DenseVector[Double] = DenseVector(1.0))
-      extends Kernel {
+      extends LengthscaleKernel {
     def k(x: DenseMatrix[Double], x2: DenseMatrix[Double]): DenseMatrix[Double] =
       squareDist(x, x2).map(d => math.exp(-0.5 * d))
     def kdiag(x: DenseMatrix[Double]): DenseVector[Double] =
@@ -94,7 +101,7 @@ object Kernels {
     * GP layer unchanged. */
   final case class UnitMatern32(
       lengthscales: DenseVector[Double] = DenseVector(1.0))
-      extends Kernel {
+      extends LengthscaleKernel {
     def k(x: DenseMatrix[Double], x2: DenseMatrix[Double]): DenseMatrix[Double] =
       euclidDist(x, x2).map { r =>
         val a = math.sqrt(3.0) * r
@@ -108,7 +115,7 @@ object Kernels {
     * 1 + exp(−2‖x/ℓ‖²) (reference `UnitCsymRBF`,
     * `gp/kernels.py:113-131`). */
   final case class UnitCsymRBF(lengthscales: DenseVector[Double] = DenseVector(1.0))
-      extends Kernel {
+      extends LengthscaleKernel {
     def k(x: DenseMatrix[Double], x2: DenseMatrix[Double]): DenseMatrix[Double] = {
       val a = squareDist(x, x2).map(d => math.exp(-0.5 * d))
       val b = squareDist(x, x2 * -1.0).map(d => math.exp(-0.5 * d))
@@ -122,5 +129,52 @@ object Kernels {
         1.0 + math.exp(-2.0 * ss)
       }
     }
+  }
+
+  /** Linear (dot-product) kernel: K = (x/ℓ)·(x2/ℓ)ᵀ — non-stationary,
+    * linear sample paths; the trend term in `RBF + Linear` composites.
+    * BEYOND the reference's kernel surface; drop-in [[Kernel]]. */
+  final case class UnitLinear(lengthscales: DenseVector[Double] = DenseVector(1.0))
+      extends LengthscaleKernel {
+    def k(x: DenseMatrix[Double], x2: DenseMatrix[Double]): DenseMatrix[Double] =
+      scale(x) * scale(x2).t
+    def kdiag(x: DenseMatrix[Double]): DenseVector[Double] = {
+      val s = scale(x)
+      DenseVector.tabulate(x.rows) { i =>
+        var ss = 0.0; var j = 0
+        while (j < s.cols) { val v = s(i, j); ss += v * v; j += 1 }
+        ss
+      }
+    }
+  }
+
+  /** K = Σᵢ wᵢ·Kᵢ — a nonnegative-weighted sum of kernels is a kernel
+    * (closure of the PSD cone). Variance scaling is `Sum(Seq(k), w)`.
+    * BEYOND the reference's kernel surface; the whole GP layer
+    * (Cholesky, batched forms, kernel-generic sparse path) takes it
+    * unchanged. */
+  final case class Sum(parts: Seq[Kernel],
+                       weights: Seq[Double] = Nil) extends Kernel {
+    require(parts.nonEmpty, "Sum of zero kernels")
+    require(weights.isEmpty || weights.length == parts.length,
+      s"weights ${weights.length} != parts ${parts.length}")
+    require(weights.forall(_ >= 0.0), "kernel weights must be >= 0")
+    private def w(i: Int): Double = if (weights.isEmpty) 1.0 else weights(i)
+    def k(x: DenseMatrix[Double], x2: DenseMatrix[Double]): DenseMatrix[Double] =
+      parts.zipWithIndex.map { case (p, i) => p.k(x, x2) * w(i) }.reduce(_ + _)
+    def kdiag(x: DenseMatrix[Double]): DenseVector[Double] =
+      parts.zipWithIndex.map { case (p, i) => p.kdiag(x) * w(i) }.reduce(_ + _)
+  }
+
+  /** K = Πᵢ Kᵢ elementwise — a product of kernels is a kernel (Schur
+    * product theorem). `RBF(ℓ₁) on dim-split coordinates` and
+    * periodic×RBF-style locally-periodic composites build from this.
+    * BEYOND the reference's kernel surface; drop-in [[Kernel]]. */
+  final case class Product(parts: Seq[Kernel]) extends Kernel {
+    require(parts.nonEmpty, "Product of zero kernels")
+    def k(x: DenseMatrix[Double], x2: DenseMatrix[Double]): DenseMatrix[Double] =
+      parts.map(_.k(x, x2)).reduce(_ *:* _)
+    def kdiag(x: DenseMatrix[Double]): DenseVector[Double] =
+      parts.map(_.kdiag(x)).reduce(_ *:* _)
   }
 }

@@ -91,6 +91,71 @@ class GpSpec extends AnyFunSuite {
     s.foreachValue(v => assert(!v.isNaN && !v.isInfinite))
   }
 
+  test("UnitLinear = (x/l)·(x2/l)T; kdiag = diagonal of the gram") {
+    val x = randn(5, 2); val x2 = randn(6, 2)
+    val l = DenseVector(0.7, 1.4)
+    val kern = Kernels.UnitLinear(l)
+    val got = kern.k(x, x2)
+    (0 until 5).foreach(i => (0 until 6).foreach { j =>
+      val want = (0 until 2).map(c =>
+        (x(i, c) / l(c)) * (x2(j, c) / l(c))).sum
+      assert(math.abs(got(i, j) - want) < 1e-12)
+    })
+    val self = kern.k(x); val kd = kern.kdiag(x)
+    (0 until 5).foreach(i => assert(math.abs(kd(i) - self(i, i)) < 1e-12))
+  }
+
+  test("Sum/Product combinators: gram algebra holds, weighted sum " +
+    "scales, composite drives Cholesky and the kernel-generic sparse " +
+    "path") {
+    val x = randn(6, 2); val x2 = randn(4, 2)
+    val rbf = Kernels.UnitRBF(DenseVector(0.8))
+    val m32 = Kernels.UnitMatern32(DenseVector(1.2))
+    val lin = Kernels.UnitLinear(DenseVector(2.0))
+    val sum = Kernels.Sum(Seq(rbf, m32, lin))
+    val wsum = Kernels.Sum(Seq(rbf, lin), Seq(0.5, 2.0))
+    val prod = Kernels.Product(Seq(rbf, m32))
+    val (ka, kb, kc) = (rbf.k(x, x2), m32.k(x, x2), lin.k(x, x2))
+    (0 until 6).foreach(i => (0 until 4).foreach { j =>
+      assert(math.abs(sum.k(x, x2)(i, j) -
+        (ka(i, j) + kb(i, j) + kc(i, j))) < 1e-12)
+      assert(math.abs(wsum.k(x, x2)(i, j) -
+        (0.5 * ka(i, j) + 2.0 * kc(i, j))) < 1e-12)
+      assert(math.abs(prod.k(x, x2)(i, j) - ka(i, j) * kb(i, j)) < 1e-12)
+    })
+    // kdiag algebra
+    (0 until 6).foreach { i =>
+      assert(math.abs(sum.kdiag(x)(i) -
+        (rbf.kdiag(x)(i) + m32.kdiag(x)(i) + lin.kdiag(x)(i))) < 1e-12)
+      assert(math.abs(prod.kdiag(x)(i) -
+        rbf.kdiag(x)(i) * m32.kdiag(x)(i)) < 1e-12)
+    }
+    // composites stay PSD: LL^T = K + jitter I for both
+    Seq[Kernel](sum, prod, wsum).foreach { kern =>
+      val pts = randn(9, 2)
+      val lo = kern.choleskyK(pts)
+      val rec = lo * lo.t
+      val kk = kern.k(pts)
+      (0 until 9).foreach(i => (0 until 9).foreach { j =>
+        val want = kk(i, j) + (if (i == j) Kernels.JitterLevel else 0.0)
+        assert(math.abs(rec(i, j) - want) < 1e-9)
+      })
+    }
+    // kernel-generic sparse path with an RBF+Linear trend composite
+    val z = DenseMatrix.tabulate(30, 2)((i, j) =>
+      -2.0 + 4.0 * (2 * i + j) / 60.0)
+    val sgp = new SparseGP(Kernels.Sum(Seq(rbf, lin)), z)
+    val lnT = sgp.effectiveLT(z)
+    assert(breeze.linalg.max(breeze.numerics.abs(lnT - sgp.lm.t)) < 5e-3)
+    val s = sgp.samples(randn(50, 2), randn(1, 30), SparseGP.Diagonal,
+      Some(randn(1, 50)))
+    s.foreachValue(v => assert(!v.isNaN && !v.isInfinite))
+    // degenerate constructions are rejected outright
+    intercept[IllegalArgumentException](Kernels.Sum(Nil))
+    intercept[IllegalArgumentException](Kernels.Sum(Seq(rbf), Seq(-1.0)))
+    intercept[IllegalArgumentException](Kernels.Sum(Seq(rbf), Seq(1.0, 2.0)))
+  }
+
   test("Cholesky reconstructs K + jitter·I (ref test_kernels.py:184-226)") {
     Seq(Kernels.UnitRBF(DenseVector(0.8)),
       Kernels.UnitCsymRBF(DenseVector(0.8))).foreach { kern =>
