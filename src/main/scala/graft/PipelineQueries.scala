@@ -600,6 +600,45 @@ object PipelineQueries {
       "FROM p JOIN s sa ON p.i = sa.i JOIN s sb ON p.j = sb.i " +
       "ORDER BY p.i, p.j")
 
+  /** Random Fourier feature kernel estimates over the embedding table
+    * ([[graft.gp.Rff]]): k̂(x, q) = φ(x)·φ(q) for a fixed query point,
+    * averaged per label. The D×d frequency matrix, phases, and φ(q)
+    * are DRIVER-computed plan constants inlined as literals on BOTH
+    * engines (the k-means-centroid pattern); each k̂ term is a
+    * forward-order dot → cos → scaled product, summed j-ascending, so
+    * the doubles agree bit-for-bit modulo libm cos. √(2/8) = 0.5 is
+    * exact in binary. */
+  private val RffD = 8
+  private val RffEll = 4.0
+  private val RffSeed = 21L
+  private val RffQ: Seq[Double] = Seq.tabulate(EmbDim)(k => 0.25 * (k % 5 - 2.0))
+  private val gpRff = Q("q_gp_rff",
+    (s, d) => {
+      val (w, b) = graft.gp.Rff.frequencies(EmbDim, RffD,
+        breeze.linalg.DenseVector(RffEll), RffSeed)
+      embs(s, d)
+        .select(col("label"),
+          graft.gp.Rff.khatCol(col("embedding"), RffQ, w, b).as("khat"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), round(avg(col("khat")), 5).as("avg_khat"))
+        .orderBy("label")
+    }, {
+      val (w, b) = graft.gp.Rff.frequencies(EmbDim, RffD,
+        breeze.linalg.DenseVector(RffEll), RffSeed)
+      val phiQ = graft.gp.Rff.featureVector(RffQ, w, b)
+      val scale = math.sqrt(2.0 / RffD)
+      val terms = (0 until RffD).map { j =>
+        val wj = (0 until EmbDim).map(k => w(j, k).toString)
+          .mkString("[", ", ", "]")
+        s"(($scale * cos(list_sum([($wj)[i] * " +
+          "CAST(e.embedding[i] AS DOUBLE) " +
+          s"for i in generate_series(1, $EmbDim)]) + ${b(j)})) * (${phiQ(j)}))"
+      }.mkString(" + ")
+      s"WITH ph AS (SELECT label, ($terms) AS khat FROM embeddings e) " +
+        "SELECT label, count(*) AS n, round(avg(khat), 5) AS avg_khat " +
+        "FROM ph GROUP BY label ORDER BY label"
+    })
+
   private val embedIvf = Q("q_embed_ivf",
     (s, d) => {
       val e = embs(s, d)
@@ -2223,7 +2262,7 @@ object PipelineQueries {
     dedupIncremental, dedupIncrementalNear, dedupBloom, dedupSpans,
     embedTop1, embedTopK, embedAnnLsh, embedLshSized, embedAnnTop1,
     embedNearDup, embedNearDupCapped, embedClusters, embedIvf, embedIvfMp,
-    embedKmeans, embedCovariance,
+    embedKmeans, embedCovariance, gpRff,
     embedPq, embedIvfPq, embedRerank,
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,
     textVocab, textClassifier, textChunks, textBpe, textEntropy,

@@ -83,6 +83,37 @@ object VecFns {
     bucket
   }
 
+  /** Pre-unpacked frequency table for [[RffFeaturesExpr]]: `w` is the
+    * row-major [D, dims] frequency matrix, `b` the phase offsets,
+    * `scale` = √(2/D). */
+  final case class RffFreqs(w: Array[Double], b: Array[Double],
+                            dims: Int, scale: Double)
+
+  /** Random Fourier feature map φ(x)ⱼ = √(2/D)·cos(wⱼ·x + bⱼ)
+    * (Rahimi & Recht 2007) in ONE pass: per feature a forward-order
+    * dot over the vector elements — identical accumulation order to
+    * the DuckDB `list_sum` comprehension, so `VecDot(φ(x), φ(q))`
+    * kernel estimates hash-match cross-engine. */
+  def rffFeatures(a: ArrayData, aF: Boolean, f: RffFreqs): ArrayData = {
+    val n = math.min(a.numElements(), f.dims)
+    val nf = f.b.length
+    val out = new Array[Double](nf)
+    var j = 0
+    while (j < nf) {
+      var s = 0.0
+      val off = j * f.dims
+      var i = 0
+      while (i < n) {
+        val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+        s += f.w(off + i) * x
+        i += 1
+      }
+      out(j) = f.scale * math.cos(s + f.b(j))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Pre-unpacked centroid table for [[NearestCentroidExpr]] — a plain
     * pair of primitive arrays so the codegen'd loop touches no Scala
     * collections. */
@@ -277,6 +308,33 @@ case class NearestCentroidExpr(child: Expression,
   override def prettyName: String = "nearest_centroid"
 }
 
+/** array<double> Random Fourier feature map of an embedding column.
+  * `w` is the row-major [D, dims] frequency matrix, `b` the D phase
+  * offsets; output element j is √(2/D)·cos(wⱼ·x + bⱼ). Frequencies
+  * are model-sized plan constants (like centroids/codebooks) carried
+  * via a codegen reference object. */
+case class RffFeaturesExpr(child: Expression, w: Seq[Double],
+                           b: Seq[Double], dims: Int)
+    extends UnaryExpression with FloatElem {
+  require(b.nonEmpty && w.length == b.length * dims,
+    s"frequency table ${w.length} != ${b.length} features x $dims dims")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  @transient private lazy val packed = VecFns.RffFreqs(
+    w.toArray, b.toArray, dims, math.sqrt(2.0 / b.length))
+  override def nullSafeEval(a: Any): Any =
+    VecFns.rffFeatures(a.asInstanceOf[ArrayData], isFloatArr(child), packed)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("freqs", packed,
+      classOf[VecFns.RffFreqs].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ops.VecFns.rffFeatures($c, ${isFloatArr(child)}, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): RffFeaturesExpr =
+    copy(child = c)
+  override def prettyName: String = "rff_features"
+}
+
 /** array<long> of 0-based nearest-sub-centroid indices, one per PQ
   * subspace. `codebooks(m)(j)` is centroid j of subspace m; subspaces
   * cover consecutive element ranges in order. */
@@ -337,6 +395,9 @@ object VecExpressions {
               codebooks: Seq[Seq[Seq[Double]]]): Column =
     bridge.toColumn(AdcDistExpr(bridge.toExpression(query),
       bridge.toExpression(code), codebooks))
+  def rffFeatures(emb: Column, w: Seq[Double], b: Seq[Double],
+                  dims: Int): Column =
+    bridge.toColumn(RffFeaturesExpr(bridge.toExpression(emb), w, b, dims))
 
   /** Subspace offsets from consecutive codebook widths. */
   private[ops] def pack(codebooks: Seq[Seq[Seq[Double]]]): VecFns.Codebooks = {
