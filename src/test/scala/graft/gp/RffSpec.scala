@@ -88,4 +88,34 @@ class RffSpec extends AnyFunSuite {
       assert(khat(id) == s, s"khat row $id")
     }
   }
+
+  test("RffGpr: Bayesian linear regression on RFF features recovers " +
+    "sin(3x) (RMSE < 0.15), posteriors shrink below the prior, and " +
+    "column scoring matches driver prediction") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val n = 400
+    val xs = (0 until n).map(i => -2.0 + 4.0 * i / (n - 1))
+    val ys = xs.map(x => math.sin(3.0 * x) + 0.05 * rng.nextGaussian())
+    val df = xs.zip(ys).toDF("x", "y").repartition(4)
+    val (w, b) = Rff.frequencies(1, 32, DenseVector(0.5), seed = 17L)
+    val fit = RffGpr.train(df, Seq("x"), "y", w, b,
+      noiseVar = 0.01, maxiter = 600, lr = 0.05, seed = 2L)
+    val grid = DenseMatrix.tabulate(n, 1)((i, _) => xs(i))
+    val pred = fit.predict(grid)
+    val rmse = math.sqrt(
+      (0 until n).map(i => math.pow(pred(i) - math.sin(3.0 * xs(i)), 2))
+        .sum / n)
+    assert(rmse < 0.15, s"RMSE $rmse")
+    // the data constrained the weights: average posterior scale well
+    // below the N(0,1) prior
+    val avgScale = breeze.linalg.sum(fit.scaleWeights) / 32.0
+    assert(avgScale < 0.5, s"avg posterior scale $avgScale")
+    // corpus-side scoring column agrees with the driver evaluation
+    val scored = df.select(col("x"), fit.predictCol(Seq(col("x"))).as("f"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    xs.zipWithIndex.foreach { case (x, i) =>
+      assert(math.abs(scored(x) - pred(i)) < 1e-9, s"x=$x")
+    }
+  }
 }
