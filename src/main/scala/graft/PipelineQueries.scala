@@ -1176,6 +1176,92 @@ object PipelineQueries {
       "en", "srcPII", 0L),
     (900004L, "mixed bob@x.io http://a.b/c?id=99999999 and 12345678",
       "en", "srcPII", 0L))
+  /** C4 fixture pages (the corpus is single-line word soup with no
+    * terminal punctuation, so — as with PII — both engines union
+    * identical fixture rows that actually exercise the line rules).
+    * Lines are joined with \n here and with chr(10) in SQL; no
+    * apostrophes (SQL literal safety). */
+  private val c4Rows: Seq[(Long, Seq[String], String, String, Long)] = Seq(
+    (910001L, Seq(
+      "this page keeps every single line intact today.",
+      "a second good sentence with enough words here!",
+      "does this question line also survive the filter?",
+      "the quoted closer has plenty of words \""),
+      "en", "srcC4", 0L),
+    (910002L, Seq(
+      "only two lines here pass the punctuation rule.",
+      "short line.",
+      "no terminal punctuation on this line at all",
+      "the other surviving sentence sits right here."),
+      "en", "srcC4", 0L),
+    (910003L, Seq(
+      "lorem ipsum dolor sit amet consectetur adipiscing.",
+      "a perfectly fine sentence with many words inside.",
+      "another perfectly fine sentence with many words.",
+      "and a third good one to clear the line minimum."),
+      "en", "srcC4", 0L),
+    (910004L, Seq(
+      "this page mentions JavaScript inside a good line.",
+      "a perfectly fine sentence with many words inside.",
+      "another perfectly fine sentence with many words."),
+      "en", "srcC4", 0L),
+    (910005L, Seq(
+      "a brace { lurks within this otherwise good page.",
+      "a perfectly fine sentence with many words inside.",
+      "another perfectly fine sentence with many words."),
+      "en", "srcC4", 0L),
+    (910006L, Seq(
+      "trailing spaces after the period still count.   ",
+      "  leading spaces get trimmed before the check.",
+      "five words exactly suffice here."),
+      "en", "srcC4", 0L))
+
+  /** C4 cleaning (Raffel et al. 2020 §2.2): line-ending punctuation +
+    * min-word line filter, min-kept-lines + badword page filter; the
+    * cleaned-text digest pins the surviving strings byte-for-byte.
+    * Map-only over the corpus — the same one-scan shape as the other
+    * quality filters. */
+  private val textC4 = Q("q_quality_c4",
+    (s, d) => {
+      import s.implicits._
+      val d0 = docs(s, d)
+      val all = d0.unionByName(
+        c4Rows.map { case (id, ls, l, src, nc) => (id, ls.mkString("\n"), l, src, nc) }
+          .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      val f = TextAnalysis.c4Flags(col("text"))
+      all.select(col("source"), f.as("c4"))
+        .select(col("source"), col("c4.kept_lines").as("kl"),
+          col("c4.total_lines").as("tl"), col("c4.keep").as("keep"),
+          (TextAnalysis.tokenHash(col("c4.cleaned")) % lit(DigestMod))
+            .as("dg"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+          sum(col("kl")).as("kept_lines"),
+          sum(col("tl")).as("total_lines"),
+          sum(col("dg")).as("clean_digest"))
+        .orderBy("source")
+    }, {
+      val vals = c4Rows.map { case (id, ls, l, src, nc) =>
+        val t = ls.map(s0 => s"'$s0'").mkString(" || chr(10) || ")
+        s"($id, $t, '$l', '$src', $nc)"
+      }.mkString(", ")
+      val f = TextAnalysis.C4FlagsSql("text")
+      "WITH alldocs AS (SELECT doc_id, text, lang, source, n_chars " +
+        s"FROM documents UNION ALL SELECT * FROM (VALUES $vals) " +
+        "AS v(doc_id, text, lang, source, n_chars)), " +
+        s"c AS (SELECT source, ${f("kept_lines")} AS kl, " +
+        s"${f("total_lines")} AS tl, ${f("keep")} AS keep, " +
+        s"(${TextAnalysis.TokenHashSql(f("cleaned"))} % $DigestMod) AS dg " +
+        "FROM alldocs) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep, " +
+        "CAST(sum(kl) AS BIGINT) AS kept_lines, " +
+        "CAST(sum(tl) AS BIGINT) AS total_lines, " +
+        "CAST(sum(dg) AS BIGINT) AS clean_digest " +
+        "FROM c GROUP BY source ORDER BY source"
+    })
+
   private val textPii = Q("q_text_pii",
     (s, d) => {
       import s.implicits._
@@ -2265,7 +2351,7 @@ object PipelineQueries {
     embedKmeans, embedCovariance, gpRff,
     embedPq, embedIvfPq, embedRerank,
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,
-    textVocab, textClassifier, textChunks, textBpe, textEntropy,
+    textVocab, textClassifier, textChunks, textBpe, textEntropy, textC4,
     textPerplexity, textBm25, textPii, textContamination, sketchHll,
     sketchHllBy, sketchCms, sketchQuantile, sketchQuantileBy,
     textDupNgrams, qualityGopher, multimodalMeta, curation, trainMix,

@@ -129,6 +129,57 @@ object TextAnalysis {
       (passLen && passWl && passStop).as("keep"))
   }
 
+  /** C4 cleaning rules (Raffel et al., "Exploring the Limits of
+    * Transfer Learning…", JMLR 2020, §2.2): line filter thresholds
+    * shared with [[C4FlagsSql]]. */
+  val C4MinLineWords = 5
+  val C4MinKeptLines = 3
+
+  /** C4 line-and-page filter: keep a LINE iff (trimmed) it ends in
+    * terminal punctuation (. ! ? ") and has ≥ 5 words; keep the PAGE
+    * iff ≥ 3 lines survive and it contains no 'lorem ipsum' /
+    * '{' / 'javascript' marker (case-insensitive). Returns
+    * struct(cleaned, kept_lines, total_lines, keep) where `cleaned`
+    * rejoins surviving lines with \n. Pure per-row column arithmetic
+    * (one split, HOF filter over the line array) — map-only,
+    * stream-safe, no shuffle. */
+  def c4Flags(text: Column): Column = {
+    val lines = split(text, "\n")
+    def keepLine(l: Column): Column = {
+      val t = trim(l)
+      substring(t, -1, 1).isin(".", "!", "?", "\"") &&
+        size(split(t, " ")) >= lit(C4MinLineWords)
+    }
+    val kept = filter(lines, keepLine _)
+    val lowered = lower(text)
+    val clean = !lowered.contains("lorem ipsum") && !text.contains("{") &&
+      !lowered.contains("javascript")
+    struct(
+      array_join(kept, "\n").as("cleaned"),
+      size(kept).cast("long").as("kept_lines"),
+      size(lines).cast("long").as("total_lines"),
+      (size(kept) >= lit(C4MinKeptLines) && clean).as("keep"))
+  }
+
+  /** DuckDB rendering of [[c4Flags]] — same split, same trim, same
+    * last-char test, same word-count convention, so cleaned strings
+    * and flags agree byte-for-byte. Yields a struct-shaped set of
+    * SQL fragments keyed like the struct fields. */
+  def C4FlagsSql(t: String): Map[String, String] = {
+    val keepL = "x -> right(trim(x), 1) IN ('.', '!', '?', '\"') AND " +
+      s"len(string_split(trim(x), ' ')) >= $C4MinLineWords"
+    val kept = s"list_filter(string_split($t, chr(10)), $keepL)"
+    val clean = s"NOT contains(lower($t), 'lorem ipsum') AND " +
+      s"NOT contains($t, '{') AND NOT contains(lower($t), 'javascript')"
+    Map(
+      // coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+      // array_join([]) is '' — an empty page must clean to ''
+      "cleaned" -> s"coalesce(array_to_string($kept, chr(10)), '')",
+      "kept_lines" -> s"len($kept)",
+      "total_lines" -> s"len(string_split($t, chr(10)))",
+      "keep" -> s"(len($kept) >= $C4MinKeptLines AND $clean)")
+  }
+
   /** Composite quality score in [0,1]: length band + low punctuation +
     * stopword presence — the standard cheap-heuristics recipe. */
   def qualityScore(text: Column): Column = {

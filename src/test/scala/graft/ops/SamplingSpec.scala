@@ -160,4 +160,40 @@ class SamplingSpec extends AnyFunSuite {
     assert(!rows(3L).getBoolean(4) && !rows(3L).getBoolean(6), "long words fail")
     assert(!rows(4L).getBoolean(5) && !rows(4L).getBoolean(6), "no stopwords")
   }
+
+  test("c4Flags: line rules (terminal punct + min words, trimmed), " +
+    "page rules (min kept lines + badword markers), cleaned rejoin") {
+    val goodLine = "a perfectly fine sentence with many words inside."
+    val rows = Seq(
+      (1L, Seq(goodLine, "does this question line survive the filter?",
+        "the quoted closer has plenty of words \"").mkString("\n")),
+      (2L, Seq(goodLine, "short line.", "no terminal punctuation here at all",
+        goodLine).mkString("\n")),
+      (3L, Seq(goodLine, goodLine, goodLine, "lorem ipsum dolor sit amet.")
+        .mkString("\n")),
+      (4L, Seq(goodLine, goodLine, "we ship JavaScript bundles today.")
+        .mkString("\n")),
+      (5L, Seq(goodLine, goodLine, "a brace { hides in this line too.")
+        .mkString("\n")),
+      (6L, "trailing spaces after the period still count.   \n" +
+        "  leading spaces get trimmed before the check.\n" + goodLine),
+      (7L, ""))
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.c4Flags(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    def kept(id: Long) = rows(id).getLong(1)
+    def total(id: Long) = rows(id).getLong(2)
+    def keep(id: Long) = rows(id).getBoolean(3)
+    assert(kept(1L) == 3 && total(1L) == 3 && keep(1L))
+    assert(kept(2L) == 2 && total(2L) == 4 && !keep(2L), "min kept lines")
+    assert(kept(3L) == 4 && !keep(3L), "lorem ipsum page dropped")
+    assert(kept(4L) == 3 && !keep(4L), "javascript marker (case-insens)")
+    assert(kept(5L) == 3 && !keep(5L), "curly brace page dropped")
+    assert(kept(6L) == 3 && keep(6L), "trim before last-char/word checks")
+    assert(kept(7L) == 0 && total(7L) == 1 && !keep(7L))
+    // cleaned keeps ORIGINAL (untrimmed) surviving lines in order
+    assert(rows(6L).getString(0).startsWith(
+      "trailing spaces after the period still count.   \n  leading"))
+    assert(rows(7L).getString(0) == "")
+  }
 }
