@@ -73,6 +73,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming RFF feature map + kernel estimate (stateless maps) " +
+    "equal the batch path row for row") {
+    import breeze.linalg.DenseVector
+    import graft.gp.Rff
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val (w, b) = Rff.frequencies(64, 8, DenseVector(4.0), seed = 21L)
+    val q = Seq.tabulate(64)(k => 0.25 * (k % 5 - 2.0))
+    val stream = spark.readStream.schema(e.schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+    val out = stream.select(col("vec_id"),
+      Rff.featuresCol(col("embedding"), w, b).as("phi"),
+      Rff.khatCol(col("embedding"), q, w, b).as("khat"))
+    StreamingOps.runToMemorySink(out, "rff_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.table("rff_stream").collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Double](1), r.getDouble(2)))).toMap
+    val want = e.select(col("vec_id"),
+        Rff.featuresCol(col("embedding"), w, b).as("phi"),
+        Rff.khatCol(col("embedding"), q, w, b).as("khat"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Double](1), r.getDouble(2)))).toMap
+    assert(got == want)
+  }
+
   test("streaming chunking, DSIR weighting, and classifier scoring " +
     "(stateless maps) equal the batch path row for row") {
     import graft.ops.{Dsir, QualityClassifier, TextAnalysis}
