@@ -1715,6 +1715,83 @@ object PipelineQueries {
       "round(max(ent), 5) AS max_ent " +
       "FROM ent GROUP BY source ORDER BY source")
 
+  /** Multilingual fixture pages (the corpus is ASCII word soup, so the
+    * script buckets beyond latin/space only fire on unioned fixtures —
+    * the PII/C4 pattern). All chars BMP; no apostrophes. */
+  private val scriptRows = Seq(
+    (920001L, "привет мир как дела сегодня", "ru", "srcU", 0L),
+    (920002L, "γεια σου κοσμε τι κανεις", "el", "srcU", 0L),
+    (920003L, "你好世界今天天气很好", "zh", "srcU", 0L),
+    (920004L, "안녕하세요 세계 오늘", "ko", "srcU", 0L),
+    (920005L, "مرحبا بالعالم اليوم", "ar", "srcU", 0L),
+    (920006L, "नमस्ते दुनिया आज", "hi", "srcU", 0L),
+    (920007L, "hello мир 你好 123", "mix", "srcU", 0L))
+
+  /** Unicode script detection over explicit BMP codepoint ranges —
+    * the signal upstream of language ID in a multilingual pipeline.
+    * One codegen'd kernel pass per row ([[graft.ops.ScriptProfileExpr]]);
+    * the oracle rebuilds the identical integer ranges per codepoint,
+    * so counts and the first-max dominant label agree exactly. */
+  private val textScripts = Q("q_text_scripts",
+    (s, d) => {
+      import s.implicits._
+      val d0 = docs(s, d)
+      val all = d0.unionByName(
+        scriptRows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      val p = graft.ops.TextHashExpressions.scriptProfile(col("text"))
+      all.select(col("source"), p.as("sp"))
+        .groupBy(col("source"), col("sp.dominant").as("dominant"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("sp.n_latin")).as("n_latin"),
+          sum(col("sp.n_cjk")).as("n_cjk"),
+          sum(col("sp.n_space")).as("n_space"),
+          sum(col("sp.n_digit") + col("sp.n_other")).as("n_rest"))
+        .orderBy("source", "dominant")
+    }, {
+      val vals = scriptRows.map { case (id, t, l, src, nc) =>
+        s"($id, '$t', '$l', '$src', $nc)" }.mkString(", ")
+      // bucket CASE over the SAME integer ranges as the kernel
+      val cls = "CASE WHEN (cp >= 97 AND cp <= 122) OR (cp >= 65 AND cp <= 90) " +
+        "OR (cp >= 192 AND cp <= 591) THEN 0 " +
+        "WHEN cp >= 1024 AND cp <= 1279 THEN 1 " +
+        "WHEN cp >= 880 AND cp <= 1023 THEN 2 " +
+        "WHEN cp >= 19968 AND cp <= 40959 THEN 3 " +
+        "WHEN cp >= 44032 AND cp <= 55215 THEN 4 " +
+        "WHEN cp >= 1536 AND cp <= 1791 THEN 5 " +
+        "WHEN cp >= 2304 AND cp <= 2431 THEN 6 " +
+        "WHEN cp >= 48 AND cp <= 57 THEN 7 " +
+        "WHEN cp = 32 THEN 8 ELSE 9 END"
+      val doms = Seq("latin", "cyrillic", "greek", "cjk", "hangul",
+        "arabic", "devanagari")
+      // first-in-order max wins, exactly the kernel's strict-> scan
+      val domCase = "CASE WHEN greatest(c0, c1, c2, c3, c4, c5, c6) = 0 " +
+        "THEN 'none' " + doms.zipWithIndex.map { case (nm, k) =>
+          val rest = ((k + 1) until 7).map(j => s"c$j")
+          val cond = if (rest.isEmpty) s"c$k > 0"
+            else s"c$k >= greatest(${rest.mkString(", ")})"
+          s"WHEN $cond THEN '$nm'"
+        }.mkString(" ") + " END"
+      "WITH alldocs AS (SELECT doc_id, text, lang, source, n_chars " +
+        s"FROM documents UNION ALL SELECT * FROM (VALUES $vals) " +
+        "AS v(doc_id, text, lang, source, n_chars)), " +
+        "ch AS (SELECT doc_id, source, unicode(c) AS cp FROM (" +
+        "SELECT doc_id, source, unnest(string_split(text, '')) AS c " +
+        "FROM alldocs)), " +
+        s"cl AS (SELECT doc_id, source, $cls AS k FROM ch), " +
+        "piv AS (SELECT doc_id, any_value(source) AS source, " +
+        (0 to 9).map(k =>
+          s"sum(CASE WHEN k = $k THEN 1 ELSE 0 END) AS c$k")
+          .mkString(", ") + " FROM cl GROUP BY doc_id), " +
+        s"dom AS (SELECT source, $domCase AS dominant, c0, c3, c7, c8, c9 " +
+        "FROM piv) " +
+        "SELECT source, dominant, count(*) AS n_docs, " +
+        "CAST(sum(c0) AS BIGINT) AS n_latin, " +
+        "CAST(sum(c3) AS BIGINT) AS n_cjk, " +
+        "CAST(sum(c8) AS BIGINT) AS n_space, " +
+        "CAST(sum(c7 + c9) AS BIGINT) AS n_rest " +
+        "FROM dom GROUP BY source, dominant ORDER BY source, dominant"
+    })
+
   private val textFingerprint = Q("q_text_fingerprint",
     (s, d) => docs(s, d).groupBy("source")
       .agg(count(lit(1)).as("n"),
@@ -2352,6 +2429,7 @@ object PipelineQueries {
     embedPq, embedIvfPq, embedRerank,
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,
     textVocab, textClassifier, textChunks, textBpe, textEntropy, textC4,
+    textScripts,
     textPerplexity, textBm25, textPii, textContamination, sketchHll,
     sketchHllBy, sketchCms, sketchQuantile, sketchQuantileBy,
     textDupNgrams, qualityGopher, multimodalMeta, curation, trainMix,

@@ -191,6 +191,48 @@ object TextHashFns {
     h
   }
 
+  /** Script bucket names in classification-priority order; the first
+    * 7 are writing scripts eligible for `dominant`. */
+  val ScriptNames: Array[String] = Array("latin", "cyrillic", "greek",
+    "cjk", "hangul", "arabic", "devanagari", "digit", "space", "other")
+
+  /** Unicode script profile over explicit BMP codepoint RANGES (not
+    * `Character.UnicodeScript` — fixed integer ranges are what an
+    * external engine can mirror exactly, immune to Unicode-version
+    * drift): per-bucket codepoint counts plus the dominant script
+    * (first-in-order wins ties; 'none' when no script chars). One
+    * pass, codepoint-stepped (astral chars count once, as 'other').
+    * The multilingual-pipeline signal upstream of language ID. */
+  def scriptProfile(text: UTF8String): InternalRow = {
+    val s = text.toString
+    val counts = new Array[Long](10)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val cls =
+        if ((cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') ||
+          (cp >= 0xC0 && cp <= 0x24F)) 0
+        else if (cp >= 0x400 && cp <= 0x4FF) 1
+        else if (cp >= 0x370 && cp <= 0x3FF) 2
+        else if (cp >= 0x4E00 && cp <= 0x9FFF) 3
+        else if (cp >= 0xAC00 && cp <= 0xD7AF) 4
+        else if (cp >= 0x600 && cp <= 0x6FF) 5
+        else if (cp >= 0x900 && cp <= 0x97F) 6
+        else if (cp >= '0' && cp <= '9') 7
+        else if (cp == ' ') 8
+        else 9
+      counts(cls) += 1
+      i += Character.charCount(cp)
+    }
+    var best = 0
+    var k = 1
+    while (k < 7) { if (counts(k) > counts(best)) best = k; k += 1 }
+    val dom = if (counts(best) == 0) "none" else ScriptNames(best)
+    InternalRow(counts(0), counts(1), counts(2), counts(3), counts(4),
+      counts(5), counts(6), counts(7), counts(8), counts(9),
+      UTF8String.fromString(dom))
+  }
+
   /** 16-bit SimHash over the distinct token set: bit b set iff
     * Σ_tokens (±1 by bit b of the 60-bit hash) > 0. Returns −1 for a
     * token-less text (callers filter; bit-sums of zero tokens are all
@@ -306,6 +348,21 @@ case class DsirBucketsExpr(child: Expression, m: Int)
   override def prettyName: String = "dsir_buckets"
 }
 
+case class ScriptProfileExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(
+    TextHashFns.ScriptNames.map(n =>
+      StructField(s"n_$n", LongType, nullable = false)).toSeq :+
+      StructField("dominant", StringType, nullable = false))
+  override def nullSafeEval(v: Any): Any =
+    TextHashFns.scriptProfile(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.TextHashFns.scriptProfile($c)")
+  override protected def withNewChildInternal(c: Expression): ScriptProfileExpr =
+    copy(c)
+  override def prettyName: String = "script_profile"
+}
+
 case class CharEntropyExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def nullSafeEval(v: Any): Any =
@@ -362,6 +419,8 @@ object TextHashExpressions {
     bridge.toColumn(DsirWeightExpr(bridge.toExpression(text), m, ratios))
   def charEntropy(text: Column): Column =
     bridge.toColumn(CharEntropyExpr(bridge.toExpression(text)))
+  def scriptProfile(text: Column): Column =
+    bridge.toColumn(ScriptProfileExpr(bridge.toExpression(text)))
   def simhash16(text: Column): Column =
     bridge.toColumn(Simhash16Expr(bridge.toExpression(text)))
   def stopwordCounts(text: Column): Column =

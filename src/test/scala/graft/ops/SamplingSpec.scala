@@ -196,4 +196,25 @@ class SamplingSpec extends AnyFunSuite {
       "trailing spaces after the period still count.   \n  leading"))
     assert(rows(7L).getString(0) == "")
   }
+
+  test("scriptProfile: range buckets, first-max dominant, astral " +
+    "chars count once as other, empty text is none") {
+    val rows = Seq(
+      (1L, "привет мир"), (2L, "你好世界"), (3L, "hello мир 你好 123"),
+      (4L, "😀 ok"), (5L, ""), (6L, "3 14 15"))
+      .toDF("id", "text")
+      .select(col("id"),
+        graft.ops.TextHashExpressions.scriptProfile(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    def dom(id: Long) = rows(id).getString(10)
+    assert(dom(1L) == "cyrillic" && rows(1L).getLong(1) == 9)
+    assert(dom(2L) == "cjk" && rows(2L).getLong(3) == 4)
+    // ties/mixes: latin 5 beats cyrillic 3 and cjk 2, first-max order
+    assert(dom(3L) == "latin" && rows(3L).getLong(0) == 5 &&
+      rows(3L).getLong(7) == 3)
+    // the emoji is ONE codepoint of 'other', not two surrogate chars
+    assert(rows(4L).getLong(9) == 1 && dom(4L) == "latin")
+    assert(dom(5L) == "none")
+    assert(dom(6L) == "none" && rows(6L).getLong(7) == 5)
+  }
 }
