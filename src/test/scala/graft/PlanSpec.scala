@@ -89,6 +89,19 @@ class PlanSpec extends AnyFunSuite {
       "contamination: benchmark grams should broadcast")
   }
 
+  test("RFF / C4 / script queries are pure map -> partial-agg shapes: " +
+    "no Join, no Window — the frequency table and rules live in the " +
+    "row kernel, never a shuffled side") {
+    Seq("q_gp_rff", "q_quality_c4", "q_text_scripts").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$name: Window in plan")
+      assert(!plan.contains("Join"), s"$name: Join in plan")
+      assert(plan.contains("HashAggregate"), s"$name: no partial agg")
+    }
+  }
+
   test("sampling and top-k queries use bounded per-partition state — " +
     "TakeOrdered / object hash agg, never a global sort or rank Window") {
     Seq("q_sample_fixedn", "q_sample_weighted").foreach { name =>
