@@ -7,8 +7,9 @@ import org.apache.spark.sql.types.DoubleType
 
 /** SQL surface for the engine's custom Catalyst expressions: installs
   * `lgamma`, `digamma`, `vec_dot`, `vec_l2sq`, `lsh_bucket`,
-  * `minhash_sigs`, `simhash16` as SQL functions, so `spark.sql` users
-  * get the same codegen'd kernels the DataFrame API uses.
+  * `minhash_sigs`, `simhash16`, `dsir_buckets`, `char_entropy`,
+  * `script_profile` as SQL functions, so `spark.sql` users get the
+  * same codegen'd kernels the DataFrame API uses.
   *
   * Two installation paths, same registry:
   *  - cluster-wide: `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -82,7 +83,15 @@ object GraftExtensions {
         require(args.length == 2, "dsir_buckets expects 2 arguments")
         graft.ops.DsirBucketsExpr(args(0),
           intLit(args(1), "dsir_buckets m"))
-      }))
+      }),
+    (FunctionIdentifier("char_entropy"),
+      info("char_entropy",
+        "char_entropy(text) - character-class Shannon entropy (nats)"),
+      args => graft.ops.CharEntropyExpr(one(args, "char_entropy"))),
+    (FunctionIdentifier("script_profile"),
+      info("script_profile",
+        "script_profile(text) - Unicode script counts + dominant script"),
+      args => graft.ops.ScriptProfileExpr(one(args, "script_profile"))))
 
   /** Install the function set into a LIVE session's registry (the
     * notebook/test path — no session rebuild needed). */

@@ -40,6 +40,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getSeq[Long](r.fieldIndex("db")) == want.getSeq[Long](2))
   }
 
+  test("char_entropy and script_profile SQL functions match their " +
+    "DataFrame kernels") {
+    import spark.implicits._
+    val r = spark.sql(
+      "SELECT char_entropy('the quick brown fox') AS ce, " +
+        "script_profile('hello мир 你好 123') AS sp").head()
+    val want = Seq(("the quick brown fox", "hello мир 你好 123"))
+      .toDF("a", "b")
+      .select(
+        graft.ops.TextHashExpressions.charEntropy(col("a")).as("ce"),
+        graft.ops.TextHashExpressions.scriptProfile(col("b")).as("sp"))
+      .head()
+    assert(r.getAs[Double]("ce") == want.getDouble(0))
+    assert(r.getStruct(r.fieldIndex("sp")) == want.getStruct(1))
+  }
+
   test("lsh_bucket SQL function matches the DataFrame kernel over real " +
     "embeddings") {
     val embDf = spark.read
