@@ -72,6 +72,33 @@ object Rff {
     (w, b)
   }
 
+  /** Matérn-3/2 spectral frequencies: the spectral density of a
+    * Matérn-ν kernel is a multivariate Student-t with 2ν degrees of
+    * freedom, so ωⱼ = zⱼ·√(2ν/u), u ~ χ²₂ᵥ (here 2ν = 3: three extra
+    * squared normals per feature row), per-dim 1/ℓ scaled. Same
+    * φ/estimator as the RBF case — only the frequency law changes
+    * ([[Kernels.UnitMatern32]] becomes a pure map too). */
+  def frequenciesMatern32(dims: Int, nFeatures: Int,
+                          lengthscales: DenseVector[Double] = DenseVector(1.0),
+                          seed: Long = 7L): (DenseMatrix[Double], DenseVector[Double]) = {
+    val l = lengthscales
+    require(l.length == 1 || l.length == dims,
+      s"ARD lengthscale dim ${l.length} != $dims")
+    val chiSeed = seed + 0x9e3779b97f4a7c15L
+    val w = DenseMatrix.tabulate(nFeatures, dims) { (j, k) =>
+      var u = 0.0
+      var t = 0
+      while (t < 3) {
+        val z = gauss(chiSeed, j.toLong * 3 + t); u += z * z; t += 1
+      }
+      gauss(seed, j.toLong * dims + k) * math.sqrt(3.0 / u) /
+        (if (l.length == 1) l(0) else l(k))
+    }
+    val b = DenseVector.tabulate(nFeatures)(j =>
+      2.0 * math.Pi * u01(seed + 0x5851f42d4c957f2dL, j))
+    (w, b)
+  }
+
   /** Driver/Breeze feature map φ(X) [n, D] — the per-row arithmetic
     * (forward-order dot, then cos) is IDENTICAL to the Spark kernel
     * and the DuckDB comprehension, so all three agree bit-for-bit. */

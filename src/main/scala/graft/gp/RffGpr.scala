@@ -74,6 +74,58 @@ object RffGpr {
     }
   }
 
+  /** Joint LENGTHSCALE + weight learning: frequencies are drawn once
+    * at unit lengthscale, each row carries its D spectral projections
+    * w̃ⱼ·x as inputs, and the feature map
+    *
+    *   φⱼ(x) = √(2/D)·cos((w̃ⱼ·x)·e^{−log ℓ} + bⱼ)
+    *
+    * is rebuilt INSIDE the autodiff tape, so ∂ELBO/∂log ℓ flows
+    * through the cos nodes and the same treeAggregate pass trains the
+    * kernel hyperparameter alongside the weights — distributed GP
+    * hyperparameter learning with no gram and no driver Cholesky
+    * (contrast [[GpExpr]]'s inducing-point path, which re-linearizes a
+    * driver Cholesky per round). log ℓ gets a N(0,1) prior (ℓ within
+    * a few e-folds of 1). Returns the fit at the posterior-mean
+    * lengthscale plus the learned ℓ. */
+  def trainLengthscale(df: DataFrame, xCols: Seq[String], yCol: String,
+                       wUnit: DenseMatrix[Double], b: DenseVector[Double],
+                       noiseVar: Double = 0.01, initEll: Double = 1.0,
+                       maxiter: Int = 600, lr: Double = 0.05,
+                       minibatchSize: Int = -1, seed: Long = 0L): (Fit, Double) = {
+    val d = b.length
+    val scale = math.sqrt(2.0 / d)
+    val xs = xCols.map(col(_).cast("double"))
+    val wxCols = (0 until d).map { j =>
+      xs.zipWithIndex.foldLeft(lit(0.0): Column) {
+        case (acc, (x, k)) => acc + lit(wUnit(j, k)) * x
+      }.as(s"wx$j")
+    }
+    val data = df.select(wxCols :+ col(yCol).cast("double").as("rff_y"): _*)
+    val root = new Module
+    (0 until d).foreach(j => root.add(s"rw$j", new Variational.Normal(Seq(1))))
+    val ell = root.add("log_ell", new Variational.Normal(Seq(1)))
+    ell.qMu.assign(breeze.linalg.DenseVector(math.log(initEll)))
+    // assigns are STAGED until the next initialize() (reference
+    // Model.initialize semantics) — flush NOW, or optimize()'s final
+    // initialize() would overwrite the trained value with this init
+    root.initialize()
+    val vs = root.variationals.toMap
+    val ds = new DataSet(data, seed = seed)
+    val inCols = (0 until d).map(j => s"wx$j") :+ "rff_y"
+    val elbo = new Elbo(root, ds, inCols, ctx => {
+      val invL = Expr.exp(Expr.c(0.0) - ctx.sample1(ell))
+      val mean = (0 until d).foldLeft(Expr.c(0.0)) { (acc, j) =>
+        acc + ctx.sample1(vs(s"rw$j")) *
+          (Expr.c(scale) * Expr.cos(ctx.in(s"wx$j") * invL + Expr.c(b(j))))
+      }
+      ExprFns.gaussian(ctx.in("rff_y"), mean, Expr.c(noiseVar))
+    }, seed = seed)
+    elbo.optimize(maxiter = maxiter, minibatchSize = minibatchSize, lr = lr)
+    val learnedEll = math.exp(ell.qMu.value(0))
+    (Fit(root, elbo, wUnit * (1.0 / learnedEll), b), learnedEll)
+  }
+
   /** Train on coordinate columns + a target column. `noiseVar` is the
     * (known) observation noise σ²; weights get standard-normal priors
     * through [[Variational.Normal]]'s analytic KL. */

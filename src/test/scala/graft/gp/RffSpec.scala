@@ -89,6 +89,48 @@ class RffSpec extends AnyFunSuite {
     }
   }
 
+  test("Matern-3/2 spectral frequencies: phi-phi approximates the " +
+    "UnitMatern32 gram at D=4096 and the t-law is deterministic") {
+    val x = randn(20, 2)
+    val kern = Kernels.UnitMatern32(DenseVector(1.1))
+    val want = kern.k(x)
+    val (w, b) = Rff.frequenciesMatern32(2, 4096, DenseVector(1.1), seed = 23L)
+    val (w2, _) = Rff.frequenciesMatern32(2, 4096, DenseVector(1.1), seed = 23L)
+    assert(w == w2)
+    val phi = Rff.featureMap(x, w, b)
+    val got = phi * phi.t
+    var m = 0.0
+    (0 until 20).foreach(i => (0 until 20).foreach(j =>
+      m = math.max(m, math.abs(got(i, j) - want(i, j)))))
+    assert(m < 0.12, s"Matern RFF max err $m")
+  }
+
+  test("trainLengthscale: log-ell learns through the cos tape — " +
+    "shrinks from a too-smooth init and beats the frozen fit") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val n = 400
+    val xs = (0 until n).map(i => -2.0 + 4.0 * i / (n - 1))
+    val ys = xs.map(x => math.sin(3.0 * x) + 0.05 * rng.nextGaussian())
+    val df = xs.zip(ys).toDF("x", "y").repartition(4)
+    val (wu, b) = Rff.frequencies(1, 32, DenseVector(1.0), seed = 17L)
+    def rmse(pred: DenseVector[Double]): Double = math.sqrt(
+      (0 until n).map(i => math.pow(pred(i) - math.sin(3.0 * xs(i)), 2))
+        .sum / n)
+    val grid = DenseMatrix.tabulate(n, 1)((i, _) => xs(i))
+    // frozen at the too-smooth init: underfits sin(3x)
+    val frozen = RffGpr.train(df, Seq("x"), "y", wu * (1.0 / 2.0), b,
+      noiseVar = 0.01, maxiter = 600, lr = 0.05, seed = 2L)
+    val frozenRmse = rmse(frozen.predict(grid))
+    val (fit, ell) = RffGpr.trainLengthscale(df, Seq("x"), "y", wu, b,
+      noiseVar = 0.01, initEll = 2.0, maxiter = 900, lr = 0.05, seed = 2L)
+    val learnedRmse = rmse(fit.predict(grid))
+    assert(ell < 1.0, s"lengthscale did not shrink: $ell")
+    assert(learnedRmse < 0.2, s"RMSE $learnedRmse")
+    assert(learnedRmse < frozenRmse,
+      s"learned $learnedRmse !< frozen $frozenRmse")
+  }
+
   test("RffGpr: Bayesian linear regression on RFF features recovers " +
     "sin(3x) (RMSE < 0.15), posteriors shrink below the prior, and " +
     "column scoring matches driver prediction") {
