@@ -134,6 +134,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotW == wantW, "weights/scores must be identical on a stream")
   }
 
+  test("streaming C4 cleaning + script profiling (stateless maps) " +
+    "equal the batch path row for row") {
+    import graft.ops.{TextAnalysis, TextHashExpressions}
+    val d0 = spark.read.parquet(s"$dir/documents.parquet")
+    val stream = spark.readStream.schema(d0.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        TextAnalysis.c4Flags(col("text")).getField("keep").as("keep"),
+        TextHashExpressions.scriptProfile(col("text"))
+          .getField("dominant").as("dom"))
+    StreamingOps.runToMemorySink(shape(stream), "c4_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.table("c4_stream").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    val want = shape(d0).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(got == want)
+  }
+
   test("streaming bloom prefilter (stateless map) equals the batch " +
     "probe row for row") {
     import graft.ops.{Bloom, Dedup}
