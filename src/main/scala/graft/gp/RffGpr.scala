@@ -126,6 +126,36 @@ object RffGpr {
     (Fit(root, elbo, wUnit * (1.0 / learnedEll), b), learnedEll)
   }
 
+  /** GP CLASSIFICATION at corpus scale: the same feature map with a
+    * Bernoulli likelihood, y ~ Bernoulli(σ(wᵀφ(x))) — the logistic
+    * Gaussian-process model that normally needs EP or a latent-GP
+    * sampler collapses to Bayesian logistic regression on φ(x), and
+    * the posterior-mean decision function is again a stateless scan
+    * ([[Fit.predictCol]] before the sigmoid). */
+  def trainClassifier(df: DataFrame, xCols: Seq[String], yCol: String,
+                      w: DenseMatrix[Double], b: DenseVector[Double],
+                      maxiter: Int = 600, lr: Double = 0.05,
+                      minibatchSize: Int = -1, seed: Long = 0L): Fit = {
+    val d = b.length
+    val phis = featureCols(xCols.map(col(_).cast("double")), w, b)
+    val data = df.select(
+      phis.zipWithIndex.map { case (c, j) => c.as(s"phi$j") } :+
+        col(yCol).cast("double").as("rff_y"): _*)
+    val root = new Module
+    (0 until d).foreach(j => root.add(s"rw$j", new Variational.Normal(Seq(1))))
+    val vs = root.variationals.toMap
+    val ds = new DataSet(data, seed = seed)
+    val inCols = (0 until d).map(j => s"phi$j") :+ "rff_y"
+    val elbo = new Elbo(root, ds, inCols, ctx => {
+      val z = (0 until d).foldLeft(Expr.c(0.0)) { (acc, j) =>
+        acc + ctx.sample1(vs(s"rw$j")) * ctx.in(s"phi$j")
+      }
+      ExprFns.bernoulli(Expr.sigmoid(z), ctx.in("rff_y"))
+    }, seed = seed)
+    elbo.optimize(maxiter = maxiter, minibatchSize = minibatchSize, lr = lr)
+    Fit(root, elbo, w, b)
+  }
+
   /** Train on coordinate columns + a target column. `noiseVar` is the
     * (known) observation noise σ²; weights get standard-normal priors
     * through [[Variational.Normal]]'s analytic KL. */

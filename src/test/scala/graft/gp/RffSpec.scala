@@ -131,6 +131,31 @@ class RffSpec extends AnyFunSuite {
       s"learned $learnedRmse !< frozen $frozenRmse")
   }
 
+  test("trainClassifier: RFF-GP classification separates a nonlinear " +
+    "boundary (sign of sin(3x)) at >= 90% accuracy") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val n = 400
+    val xs = (0 until n).map(i => -2.0 + 4.0 * i / (n - 1))
+    val ys = xs.map(x => if (math.sin(3.0 * x) > 0) 1.0 else 0.0)
+    val df = xs.zip(ys).toDF("x", "y").repartition(4)
+    val (w, b) = Rff.frequencies(1, 32, DenseVector(0.5), seed = 17L)
+    val fit = RffGpr.trainClassifier(df, Seq("x"), "y", w, b,
+      maxiter = 600, lr = 0.05, seed = 4L)
+    // a LINEAR decision function on raw x cannot beat ~50-60% here;
+    // the RFF lift makes the nonlinear boundary linearly separable
+    val grid = DenseMatrix.tabulate(n, 1)((i, _) => xs(i))
+    val f = fit.predict(grid)
+    val acc = (0 until n).count(i => (f(i) > 0.0) == (ys(i) > 0.5)) / n.toDouble
+    assert(acc >= 0.9, s"accuracy $acc")
+    // corpus-side scoring: sigmoid of predictCol matches driver signs
+    val scored = df.select(col("x"), fit.predictCol(Seq(col("x"))).as("z"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    xs.zipWithIndex.foreach { case (x, i) =>
+      assert(math.abs(scored(x) - f(i)) < 1e-9)
+    }
+  }
+
   test("RffGpr: Bayesian linear regression on RFF features recovers " +
     "sin(3x) (RMSE < 0.15), posteriors shrink below the prior, and " +
     "column scoring matches driver prediction") {
