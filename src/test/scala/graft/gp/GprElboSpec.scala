@@ -178,4 +178,51 @@ class GprElboSpec extends AnyFunSuite {
     assert(perRowGap < 0.3, s"per-row train/test gap $perRowGap")
     ds.unpersist()
   }
+
+  test("robust GPR: Student-t likelihood shrugs off gross outliers " +
+    "that drag the Gaussian fit (ref GaussianProcess.ipynb cells " +
+    "28,31 retrain)") {
+    import spark.implicits._
+    val z = Seq(-1.6, -0.8, 0.0, 0.8, 1.6)
+    val lengthscale = 0.8
+    val rng = new scala.util.Random(7)
+    val n = 300
+    val rows = (0 until n).map { i =>
+      val x = -2.0 + 4.0 * i / (n - 1)
+      val clean = math.sin(2.0 * x) + 0.05 * rng.nextGaussian()
+      // every 10th observation is a gross positive outlier
+      (x, if (i % 10 == 0) clean + 5.0 else clean)
+    }
+    val df = rows.toDF("x", "y").repartition(4)
+    val probe = Seq(-1.2, -0.5, 0.0, 0.5, 1.2)
+    def fit(robust: Boolean): Seq[Double] = {
+      val root = new Module
+      val u = root.add("u", new Variational.Normal(Seq(z.length)))
+      val noise = root.add("noise", new Variational.Normal(Seq(1)))
+      val ds = new DataSet(df, seed = 0)
+      val elbo = new Elbo(root, ds, Seq("x", "y"), ctx => {
+        val phi = GpExpr.whitenedFeatures1d(ctx.in("x"), z, lengthscale)
+        val us = ctx.sample(u)
+        val f = Expr.sum(phi.indices.map(j => us(j) * phi(j)))
+        val sc = Expr.exp(ctx.sample1(noise))
+        if (robust) ExprFns.studentT(ctx.in("y"), f, sc, Expr.c(4.0))
+        else ExprFns.gaussian(ctx.in("y"), f, sc * sc)
+      }, seed = 0)
+      val before = elbo.run(training = true)
+      val after = elbo.optimize(maxiter = 500, lr = 0.1)
+      assert(after > before, s"robust=$robust ELBO $before -> $after")
+      val p = GpExpr.predictiveMean1d(probe, z, lengthscale, u.qMu.value)
+      ds.unpersist()
+      p
+    }
+    val gauss = fit(robust = false)
+    val tfit = fit(robust = true)
+    def maxErr(p: Seq[Double]): Double =
+      probe.zip(p).map { case (x, v) => math.abs(v - math.sin(2.0 * x)) }.max
+    val (ge, te) = (maxErr(gauss), maxErr(tfit))
+    // 10% outliers at +5 bias the Gaussian mean by ~0.5; the t(4)
+    // likelihood downweights them
+    assert(te < 0.3, s"robust fit max err $te")
+    assert(te < ge, s"robust $te !< gaussian $ge")
+  }
 }
