@@ -148,4 +148,53 @@ class OpsPropSpec extends AnyFunSuite {
       true
     }, n = 300)
   }
+
+  test("scriptProfile laws on arbitrary unicode text: bucket counts " +
+    "partition the codepoints, dominant is consistent with the counts") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // valid codepoints across scripts and planes, surrogates excluded
+    val cpGen = Gen.oneOf(
+      Gen.choose(0x20, 0x7E), Gen.choose(0x400, 0x4FF),
+      Gen.choose(0x370, 0x3FF), Gen.choose(0x4E00, 0x4E80),
+      Gen.choose(0xAC00, 0xAC60), Gen.choose(0x600, 0x6FF),
+      Gen.choose(0x900, 0x97F), Gen.choose(0x1F600, 0x1F640),
+      Gen.choose(0xA0, 0x24F))
+    val sGen = Gen.listOf(cpGen).map(cps =>
+      cps.map(cp => new String(Character.toChars(cp))).mkString)
+    check(Prop.forAll(sGen) { s =>
+      val r = TextHashFns.scriptProfile(UTF8String.fromString(s))
+      val counts = (0 until 10).map(r.getLong)
+      val dom = r.getUTF8String(10).toString
+      val total = s.codePointCount(0, s.length)
+      val scriptMax = counts.take(7).max
+      counts.sum == total &&
+        counts.forall(_ >= 0) &&
+        (if (scriptMax == 0) dom == "none"
+         else counts(TextHashFns.ScriptNames.indexOf(dom)) == scriptMax)
+    }, n = 300)
+  }
+
+  test("RFF feature map is bounded by sqrt(2/D) for any input and any " +
+    "spectral law") {
+    import breeze.linalg.{DenseMatrix, DenseVector}
+    val gen = for {
+      d <- Gen.choose(1, 4)
+      nf <- Gen.choose(1, 16)
+      matern <- Gen.oneOf(true, false)
+      seed <- Gen.choose(0L, 1000L)
+      rows <- Gen.listOfN(3, Gen.listOfN(d,
+        Gen.choose(-1000, 1000).map(_ / 10.0)))
+    } yield (d, nf, matern, seed, rows)
+    check(Prop.forAll(gen) { case (d, nf, matern, seed, rows) =>
+      val (w, b) =
+        if (matern) graft.gp.Rff.frequenciesMatern32(d, nf, seed = seed)
+        else graft.gp.Rff.frequencies(d, nf, seed = seed)
+      val x = DenseMatrix.tabulate(rows.length, d)((i, j) => rows(i)(j))
+      val phi = graft.gp.Rff.featureMap(x, w, b)
+      val bound = math.sqrt(2.0 / nf) + 1e-12
+      var ok = true
+      phi.foreachValue(v => ok &= math.abs(v) <= bound && !v.isNaN)
+      ok
+    }, n = 200)
+  }
 }
