@@ -249,6 +249,20 @@ object OracleQueries {
     exp(lit(-0.5) * sqdistCol(1.0)) + exp(lit(-0.5) * sqdistCol(-1.0)),
     s"exp(-0.5*(${sqdistSql("-")})) + exp(-0.5*(${sqdistSql("+")}))", "avg_k")
 
+  // √3 inlined as the SAME double literal on both engines (Kernels
+  // .UnitMatern32 semantics: r = sqrt(sqdist + 1e-12))
+  private val Sqrt3 = math.sqrt(3.0)
+  private val kernMatern32 = kernQ("q_kern_matern32", {
+    val r = sqrt(sqdistCol(1.0) + lit(1e-12))
+    (lit(1.0) + lit(Sqrt3) * r) * exp(lit(-Sqrt3) * r)
+  }, s"(1.0 + $Sqrt3 * sqrt(${sqdistSql("-")} + 1e-12)) * " +
+    s"exp(-$Sqrt3 * sqrt(${sqdistSql("-")} + 1e-12))", "avg_k")
+
+  private val kernLinear = kernQ("q_kern_linear",
+    (col("a_u1") / lit(2.0)) * (col("b_u1") / lit(2.0)) +
+      (col("a_u2") / lit(2.0)) * (col("b_u2") / lit(2.0)),
+    "(a.u1/2.0)*(b.u1/2.0) + (a.u2/2.0)*(b.u2/2.0)", "avg_k")
+
   private val kernCsymDiag = Q("q_kern_csym_diag",
     (s, d) => supPoints(s, d, "a")
       .groupBy(col("a_nat").as("s_nationkey"))
@@ -392,7 +406,7 @@ object OracleQueries {
     transExp, transLog1pe, transLogistic,
     logjacExp, logjacLog1pe, logjacLogistic,
     lse, clipQ,
-    kernSqdist, kernRbf, kernCsym, kernCsymDiag, gpNystrom,
+    kernSqdist, kernRbf, kernCsym, kernMatern32, kernLinear, kernCsymDiag, gpNystrom,
     klDiagNormal, mvnLogp, modelLoglik, densHierJoin, splitCount)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
