@@ -1,7 +1,15 @@
 package graft.ops
 
+import java.nio.ByteBuffer
+
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Exact-arithmetic statistical profiling — the data-card correlation
   * matrix, engine-portable: inputs are quantized to int64 fixed point
@@ -27,6 +35,14 @@ object Stats {
   /** floor(x·scale) as int64 — inputs must satisfy |x| ≲ 1. */
   def fx(x: Column, scale: Long = FxScale): Column =
     floor(x * lit(scale.toDouble)).cast("long")
+
+  /** `array_sum_agg(arr, len)`: elementwise sum of fixed-length double
+    * arrays — O(len) mergeable state, the reduction for per-draw
+    * posterior sweeps (S statistics in ONE pass instead of a
+    * posexplode shuffle of n·S rows). Null arrays are skipped. */
+  def arraySumAgg(arr: Column, len: Int): Column =
+    bridge.toColumn(ArraySumAgg(bridge.toExpression(arr), len)
+      .toAggregateExpression())
 
   /** DuckDB rendering of [[fx]]. */
   def FxSql(x: String, scale: Long = FxScale): String =
@@ -64,4 +80,76 @@ object Stats {
     }.toSeq
     sums.select(col("*") +: corrCols: _*)
   }
+}
+
+/** Elementwise sum of fixed-length double arrays as a mergeable
+  * aggregate — per-partition partials of `len` doubles, merged by
+  * addition (same template as [[GramAgg]], floating instead of
+  * fixed-point: the consumers are Monte-Carlo statistics already
+  * carrying O(1/√S) noise, so summation-order wobble is immaterial). */
+case class ArraySumAgg(arrExpr: Expression, len: Int,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Double]] {
+
+  require(len >= 1 && len <= 65536, s"bad array length $len")
+
+  override def children: Seq[Expression] = Seq(arrExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private lazy val isFloat = arrExpr.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(s"array_sum_agg over $t")
+  }
+
+  override def createAggregationBuffer(): Array[Double] = new Array[Double](len)
+
+  override def update(b: Array[Double], input: InternalRow): Array[Double] = {
+    val a = arrExpr.eval(input)
+    if (a != null) {
+      val arr = a.asInstanceOf[ArrayData]
+      require(arr.numElements() == len,
+        s"array_sum_agg: ${arr.numElements()} elements, expected $len")
+      var i = 0
+      while (i < len) {
+        b(i) += (if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i))
+        i += 1
+      }
+    }
+    b
+  }
+
+  override def merge(b: Array[Double], o: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < len) { b(i) += o(i); i += 1 }
+    b
+  }
+
+  override def eval(b: Array[Double]): Any = new GenericArrayData(b)
+
+  override def serialize(b: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * len)
+    var i = 0
+    while (i < len) { bb.putDouble(b(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val b = new Array[Double](len)
+    var i = 0
+    while (i < len) { b(i) = bb.getDouble; i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): ArraySumAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ArraySumAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): ArraySumAgg =
+    copy(arrExpr = cs(0))
+  override def prettyName: String = "array_sum_agg"
 }

@@ -101,6 +101,76 @@ object Scoring {
     (-2.0 * (lppd - p), lppd, p)
   }
 
+  /** Posterior predictive check (Gelman et al., BDA ch. 6) for a
+    * Gaussian observation model: replicate the dataset under S
+    * posterior draws, y_rep_is = μ_is + σ_is·z_is, and compare test
+    * statistics T(y_rep_s) against T(y_obs):
+    *
+    *   p = (#{s : T(y_rep_s) ≥ T(y_obs)} + 1) / (S + 1)
+    *
+    * for T ∈ {mean, sd}. A well-calibrated model lands both p-values
+    * away from 0 and 1; a misspecified noise model drives p_sd to an
+    * extreme.
+    *
+    * Scale shape: TWO [[attachDraws]] scans (μ and σ per draw; θ and
+    * draws ride the closure) + ONE hash aggregate whose state is the
+    * per-draw sum/sum-of-squares arrays ([[graft.ops.Stats.arraySumAgg]]
+    * — O(S) mergeable state, never a posexplode of n·S rows). The
+    * per-(row, draw) replication noise z_is is DETERMINISTIC portable
+    * arithmetic — Box–Muller over xxhash64(id, s, salt) uniforms — so
+    * reruns and engines agree; rows never leave the executors.
+    *
+    * Returns (pMean, pSd, tMeanObs, tSdObs). */
+  def ppcGaussian(elbo: Elbo, df: DataFrame,
+                  meanBuild: Elbo.Ctx => Expr,
+                  scaleBuild: Elbo.Ctx => Expr,
+                  yCol: String, idCol: String,
+                  nSamples: Int = 100,
+                  seed: Long = 7L): (Double, Double, Double, Double) = {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(seed)
+    val draws = Array.fill(nSamples)(
+      Array.fill(elbo.nDraws)(rng.nextGaussian()))
+    val d2 = attachDraws(elbo,
+      attachDraws(elbo, df, meanBuild, "__mu", draws),
+      scaleBuild, "__sc", draws)
+    val id = col(idCol).cast("long")
+    // uniform in [0,1) from the portable 64-bit hash; +2^-54 keeps
+    // ln(u) finite
+    def u(j: org.apache.spark.sql.Column,
+          salt: Int): org.apache.spark.sql.Column =
+      shiftrightunsigned(xxhash64(id, j, lit(salt)), 11).cast("double") /
+        lit((1L << 53).toDouble)
+    val twoPi = 2.0 * math.Pi
+    val yrep = transform(sequence(lit(0), lit(nSamples - 1)), j =>
+      element_at(col("__mu"), j + 1) + element_at(col("__sc"), j + 1) *
+        (sqrt(lit(-2.0) * log(u(j, 1) + lit(math.pow(2.0, -54)))) *
+          cos(lit(twoPi) * u(j, 2))))
+    val r = d2.select(col(yCol).cast("double").as("y"), yrep.as("yr"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("syy"),
+        graft.ops.Stats.arraySumAgg(col("yr"), nSamples).as("sr"),
+        graft.ops.Stats.arraySumAgg(
+          transform(col("yr"), v => v * v), nSamples).as("srr"))
+      .head()
+    val n = r.getLong(0).toDouble
+    val tMeanObs = r.getDouble(1) / n
+    val tSdObs = math.sqrt(math.max(0.0,
+      r.getDouble(2) / n - tMeanObs * tMeanObs))
+    val sr = r.getSeq[Double](3)
+    val srr = r.getSeq[Double](4)
+    var geMean = 0
+    var geSd = 0
+    (0 until nSamples).foreach { s =>
+      val m = sr(s) / n
+      val sd = math.sqrt(math.max(0.0, srr(s) / n - m * m))
+      if (m >= tMeanObs) geMean += 1
+      if (sd >= tSdObs) geSd += 1
+    }
+    ((geMean + 1.0) / (nSamples + 1.0), (geSd + 1.0) / (nSamples + 1.0),
+      tMeanObs, tSdObs)
+  }
+
   /** Attach `outCol` = expr(row; θ, draws) to `df`. The expression is
     * built against the Elbo's own Ctx (same input columns, same θ/draw
     * slot layout as training). */

@@ -113,4 +113,42 @@ class ScoringSpec extends AnyFunSuite {
     }
     ds.unpersist()
   }
+
+  test("ppcGaussian: calibrated noise passes the sd check, a " +
+    "misspecified (too-small) noise model fails it to an extreme") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val n = 600
+    val rows = (0 until n).map { i =>
+      val x = -1.0 + 2.0 * i / (n - 1)
+      (i.toLong, x, 2.0 * x + 0.5 * rng.nextGaussian())
+    }
+    val df = rows.toDF("id", "x", "y").repartition(4)
+    def fitAndCheck(noiseSd: Double, learnSlope: Boolean = true) = {
+      val root = new Module
+      val b = root.add("b", new Variational.Normal(Seq(1)))
+      val ds = new DataSet(df.select("x", "y"), seed = 0)
+      val elbo = new Elbo(root, ds, Seq("x", "y"), ctx =>
+        ExprFns.gaussian(ctx.in("y"),
+          ctx.sample1(b) * ctx.in("x"),
+          graft.autodiff.Expr.c(noiseSd * noiseSd)), seed = 0)
+      elbo.optimize(maxiter = 800, lr = 0.1)
+      val r = Scoring.ppcGaussian(elbo, df,
+        ctx => ctx.sample1(b) * ctx.in("x"),
+        _ => graft.autodiff.Expr.c(noiseSd),
+        "y", "id", nSamples = 100, seed = 5L)
+      ds.unpersist()
+      r
+    }
+    val (pm, psd, tm, tsd) = fitAndCheck(0.5)
+    // observed stats are what we planted
+    assert(math.abs(tm) < 0.1 && math.abs(tsd - math.sqrt(
+      4.0 / 3.0 + 0.25)) < 0.1, s"tm=$tm tsd=$tsd")
+    assert(pm > 0.05 && pm < 0.95, s"p_mean $pm")
+    assert(psd > 0.05 && psd < 0.95, s"p_sd $psd")
+    // noise claimed 5x too small: replicated sd cannot reach the
+    // observed sd (slope noise is the only slack) -> p_sd pinned low
+    val (_, psdBad, _, _) = fitAndCheck(0.1)
+    assert(psdBad <= 0.05, s"misspecified p_sd $psdBad")
+  }
 }
