@@ -101,6 +101,37 @@ object Scoring {
     (-2.0 * (lppd - p), lppd, p)
   }
 
+  /** Importance-sampled leave-one-out cross-validation (IS-LOO,
+    * Gelfand 1996; the estimator PSIS-LOO smooths, Vehtari et al.
+    * 2017): from the same S-draw log-likelihood sweep as [[waic]],
+    *
+    *   elpd_loo = Σ_i −ln( mean_s exp(−ll_is) )   (max-stabilized)
+    *
+    * — the harmonic-mean-of-likelihoods form of holding row i out.
+    * Also returns the worst per-row importance-weight concentration
+    * maxᵢ( max_s w_is / Σ_s w_is ) ∈ (1/S, 1]: values near 1 mean one
+    * draw dominates that row's estimate (the situation PSIS flags via
+    * its Pareto k̂) — treat elpd_loo as unreliable there. One
+    * [[attachDraws]] scan + one aggregate, like WAIC. */
+  def looIs(elbo: Elbo, df: DataFrame, build: Elbo.Ctx => Expr,
+            nSamples: Int = 100, seed: Long = 7L): (Double, Double) = {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(seed)
+    val draws = Array.fill(nSamples)(
+      Array.fill(elbo.nDraws)(rng.nextGaussian()))
+    val withLl = attachDraws(elbo, df, build, "__ll", draws)
+    val ll = col("__ll")
+    // w_is ∝ exp(−ll_is); stabilize with the per-row max of −ll
+    val mxw = -array_min(ll)
+    val sumW = aggregate(ll, lit(0.0), (acc, x) => acc + exp(-x - mxw))
+    val looRow = -(mxw + log(sumW / lit(nSamples.toDouble)))
+    val maxFrac = aggregate(ll, lit(0.0),
+      (acc, x) => greatest(acc, exp(-x - mxw))) / sumW
+    val r = withLl.agg(sum(looRow).as("elpd_loo"),
+      max(maxFrac).as("worst_frac")).head()
+    (r.getDouble(0), r.getDouble(1))
+  }
+
   /** Posterior predictive check (Gelman et al., BDA ch. 6) for a
     * Gaussian observation model: replicate the dataset under S
     * posterior draws, y_rep_is = μ_is + σ_is·z_is, and compare test

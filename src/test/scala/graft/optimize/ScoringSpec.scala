@@ -83,13 +83,24 @@ class ScoringSpec extends AnyFunSuite {
       val elbo = new Elbo(root, ds, Seq("x", "y"), ll _, seed = 0)
       elbo.optimize(maxiter = 800, lr = 0.1)
       val w = Scoring.waic(elbo, data, ll _, nSamples = 80)
+      val loo = Scoring.looIs(elbo, data, ll _, nSamples = 80)
       ds.unpersist()
-      w
+      (w, loo)
     }
-    val (waicTrue, lppdTrue, pTrue) = fit(withSlope = true)
-    val (waicFlat, _, _) = fit(withSlope = false)
+    val ((waicTrue, lppdTrue, pTrue), (looTrue, fracTrue)) =
+      fit(withSlope = true)
+    val ((waicFlat, _, _), (looFlat, _)) = fit(withSlope = false)
     assert(waicTrue < waicFlat,
       s"true model must win: $waicTrue vs $waicFlat")
+    // IS-LOO agrees with WAIC's ranking; both estimate elpd, so the
+    // true model's elpd_loo must sit near lppd − pWAIC (same draws
+    // family, both Monte-Carlo estimators)
+    assert(looTrue > looFlat, s"LOO ranking: $looTrue !> $looFlat")
+    assert(math.abs(looTrue - (lppdTrue - pTrue)) <
+      0.2 * math.abs(lppdTrue - pTrue) + 20.0,
+      s"elpd_loo $looTrue vs elpd_waic ${lppdTrue - pTrue}")
+    assert(fracTrue > 1.0 / 80 && fracTrue <= 1.0,
+      s"importance concentration $fracTrue out of range")
     // VI posteriors overestimate pWAIC until fully converged; assert
     // the order of magnitude (a 2-parameter model, 400 rows)
     assert(pTrue > 0 && pTrue < 40,
