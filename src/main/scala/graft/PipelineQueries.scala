@@ -1648,6 +1648,39 @@ object PipelineQueries {
       "CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) " +
       "AS n_keep FROM sc GROUP BY source ORDER BY source")
 
+  /** Classifier calibration (reliability bins, Guo et al. 2017):
+    * fixed-weight scores vs the Gopher rule as the observed label —
+    * both sides deterministic, so bucket counts and the rounded
+    * conf/acc/gap columns hash-match. ECE is Σ n·gap / N over the
+    * result rows. */
+  private val textCalibration = Q("q_text_calibration",
+    (s, d) => {
+      val scored = graft.ops.QualityClassifier
+        .withFeatures(docs(s, d), "text")
+        .withColumn("score", graft.ops.QualityClassifier.score(ClsWeights))
+        .withColumn("lab",
+          TextAnalysis.gopherFlags(col("text")).getField("keep"))
+      graft.ops.QualityClassifier.calibrationBins(scored, "score", "lab")
+    }, {
+      import TextAnalysis.{GopherMinWords => WLo, GopherMaxWords => WHi,
+        GopherMinWordLen => LLo, GopherMaxWordLen => LHi,
+        GopherMinStopRatio => SLo}
+      val swSum = TextAnalysis.LangPriority.map(stopSql).mkString(" + ")
+      "WITH t AS (SELECT text, string_split(text, ' ') AS ws " +
+        "FROM documents), " +
+        s"s AS (SELECT ${graft.ops.QualityClassifier.ScoreSql(ClsWeights)} " +
+        "AS score, CASE WHEN len(ws) >= " + WLo + " AND len(ws) <= " + WHi +
+        s" AND (length(text) - (len(ws) - 1))::DOUBLE / len(ws) >= $LLo " +
+        s"AND (length(text) - (len(ws) - 1))::DOUBLE / len(ws) <= $LHi " +
+        s"AND ($swSum)::DOUBLE / len(ws) >= $SLo " +
+        "THEN 1.0 ELSE 0.0 END AS lab FROM t) " +
+        "SELECT CAST(least(floor(score * 10.0), 9.0) AS BIGINT) AS bin, " +
+        "count(*) AS n, round(avg(score), 5) AS conf, " +
+        "round(avg(lab), 5) AS acc, " +
+        "round(abs(avg(score) - avg(lab)), 5) AS gap " +
+        "FROM s GROUP BY 1 ORDER BY 1"
+    })
+
   /** Distributed BPE vocabulary induction: the learned merge table
     * (round, pair, merged symbol, weighted pair count) for BpeRounds
     * rounds — the oracle unrolls the SAME rounds as CTE stages, so
@@ -2429,7 +2462,7 @@ object PipelineQueries {
     embedPq, embedIvfPq, embedRerank,
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,
     textVocab, textClassifier, textChunks, textBpe, textEntropy, textC4,
-    textScripts,
+    textScripts, textCalibration,
     textPerplexity, textBm25, textPii, textContamination, sketchHll,
     sketchHllBy, sketchCms, sketchQuantile, sketchQuantileBy,
     textDupNgrams, qualityGopher, multimodalMeta, curation, trainMix,

@@ -102,6 +102,28 @@ object QualityClassifier {
     s"(1.0 / (1.0 + exp(-($z))))"
   }
 
+  /** Reliability table for a scored corpus: rows binned by predicted
+    * score into `bins` equal-width buckets, per-bucket count, mean
+    * confidence, and empirical positive rate — the inputs to expected
+    * calibration error (ECE = Σ n_b/N·|conf_b − acc_b|, Guo et al.
+    * 2017). A learned filter whose scores drift from observed rates
+    * mis-budgets every downstream threshold; this is the one-scan
+    * check. Pure groupBy over a per-row bucket — map-side partial,
+    * ≤ `bins` result rows. */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+                      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need >= 2 bins, got $bins")
+    val b = least(floor(col(scoreCol) * lit(bins.toDouble)),
+      lit((bins - 1).toLong))
+    df.groupBy(b.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col(scoreCol)), 5).as("conf"),
+        round(avg(col(labelCol).cast("double")), 5).as("acc"),
+        round(abs(avg(col(scoreCol)) -
+          avg(col(labelCol).cast("double"))), 5).as("gap"))
+      .orderBy("bin")
+  }
+
   /** Trained posterior over the weight vector. */
   final case class Trained(module: Module, elbo: Elbo,
                            names: Seq[String]) {
