@@ -504,6 +504,56 @@ object PipelineQueries {
       s"AS n_diverted FROM bsz WHERE bn > $EmbedCap) " +
       "SELECT agg.*, os.* FROM agg CROSS JOIN os")
 
+  /** Hard-negative triplet mining (contrastive training data): per
+    * label, triplet counts, mean positive/negative cosine, the margin,
+    * and an id checksum pinning the exact argmax selections. Same
+    * capped-bucket join as the near-dup queries; argmaxes are
+    * max-then-min-id two-steps on both engines. */
+  private val TripTau = 0.25
+  private val TripBits = 6
+  private val TripCap = 200
+  private val embedTriplets = Q("q_embed_triplets",
+    (s, d) => {
+      val t = Similarity.hardNegativeTriplets(embs(s, d), "vec_id",
+        "embedding", TripTau, nBits = TripBits, maxBucket = TripCap)
+      embs(s, d).select(col("vec_id").as("anchor"), col("label"))
+        .join(t, "anchor")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("pos_cos")), 5).as("avg_pos"),
+          round(avg(col("neg_cos")), 5).as("avg_neg"),
+          round(avg(col("pos_cos") - col("neg_cos")), 5).as("margin"),
+          sum(col("pos_id") + col("neg_id")).as("id_sum"))
+        .orderBy("label")
+    },
+    s"WITH e AS (SELECT vec_id, label, embedding AS emb, " +
+      s"(${bucketSql(TripBits)}) AS bucket, " +
+      s"sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings), " +
+      "bsz AS (SELECT bucket, count(*) AS bn FROM e GROUP BY bucket), " +
+      s"el AS (SELECT e.* FROM e JOIN bsz USING (bucket) WHERE bn <= $TripCap), " +
+      "p AS (SELECT a.vec_id AS anchor, b.vec_id AS cand, " +
+      s"${dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm) AS cos " +
+      "FROM el a JOIN el b ON a.bucket = b.bucket " +
+      "AND a.vec_id <> b.vec_id), " +
+      s"pm AS (SELECT anchor, max(cos) AS pos_cos FROM p WHERE cos >= $TripTau " +
+      "GROUP BY anchor), " +
+      "pos AS (SELECT p.anchor, pm.pos_cos, min(p.cand) AS pos_id FROM p " +
+      "JOIN pm ON p.anchor = pm.anchor AND p.cos = pm.pos_cos " +
+      "GROUP BY p.anchor, pm.pos_cos), " +
+      s"nm AS (SELECT anchor, max(cos) AS neg_cos FROM p WHERE cos < $TripTau " +
+      "GROUP BY anchor), " +
+      "neg AS (SELECT p.anchor, nm.neg_cos, min(p.cand) AS neg_id FROM p " +
+      "JOIN nm ON p.anchor = nm.anchor AND p.cos = nm.neg_cos " +
+      "GROUP BY p.anchor, nm.neg_cos), " +
+      "t AS (SELECT pos.anchor, pos_id, pos_cos, neg_id, neg_cos " +
+      "FROM pos JOIN neg USING (anchor)) " +
+      "SELECT e.label, count(*) AS n, round(avg(pos_cos), 5) AS avg_pos, " +
+      "round(avg(neg_cos), 5) AS avg_neg, " +
+      "round(avg(pos_cos - neg_cos), 5) AS margin, " +
+      "CAST(sum(pos_id + neg_id) AS BIGINT) AS id_sum " +
+      "FROM t JOIN e ON t.anchor = e.vec_id " +
+      "GROUP BY e.label ORDER BY e.label")
+
   /** Semantic (embedding-space) cluster dedup: transitive closure of
     * capped cosine-threshold pairs plus member→min edges inside
     * oversize buckets, per-vector cluster labels bound via id_sum
@@ -2457,7 +2507,7 @@ object PipelineQueries {
     dedupClusters, dedupCanonical, dedupSimhash, dedupNgram,
     dedupIncremental, dedupIncrementalNear, dedupBloom, dedupSpans,
     embedTop1, embedTopK, embedAnnLsh, embedLshSized, embedAnnTop1,
-    embedNearDup, embedNearDupCapped, embedClusters, embedIvf, embedIvfMp,
+    embedNearDup, embedNearDupCapped, embedClusters, embedTriplets, embedIvf, embedIvfMp,
     embedKmeans, embedCovariance, gpRff,
     embedPq, embedIvfPq, embedRerank,
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,
