@@ -27,6 +27,12 @@ object PipelineQueries {
     * (Declared before first use — object vals initialize in order.) */
   private val DigestMod = 1099511627776L
 
+  /** Embedding dimensionality of the driver testdata (declared at the
+    * top — object vals initialize in ORDER, and a query SQL string
+    * built before this line would freeze EmbDim = 0; bit us three
+    * times now). */
+  private val EmbDim = 64
+
   /** Fixed classifier weights shared by the scoring oracle and the
     * modern-pipeline composition (bias, len, stop, punct, wl). */
   private val ClsWeights = Array(-2.0, 1.5, 8.0, -3.0, 0.5)
@@ -504,6 +510,79 @@ object PipelineQueries {
       s"AS n_diverted FROM bsz WHERE bn > $EmbedCap) " +
       "SELECT agg.*, os.* FROM agg CROSS JOIN os")
 
+  /** Label-conditional embedding outliers (corrupt / mislabeled /
+    * out-of-distribution vectors — the pre-index anomaly filter):
+    * per-label centroids from exact int64 fixed-point coordinate
+    * registers (the k-means trick — identical under any partitioning
+    * or engine), squared distance to the OWN-label centroid per row,
+    * and a global mean+2σ threshold on d² derived from a second
+    * exact register pass, broadcast back as a one-row frame. Three
+    * scans, all map-side-partial aggregates, no driver round-trip. */
+  private val embedOutliers = Q("q_embed_outliers",
+    (s, d) => {
+      val kfx = graft.ops.Pca.FxScale // 2^24, the k-means scale
+      val sfx = graft.ops.Stats.FxScale.toDouble // 2^20, moment scale
+      val e = embs(s, d)
+      // per-label centroid registers (gramAgg slots 0..d: n, Σfx(x_i))
+      val g = e.groupBy("label")
+        .agg(graft.ops.Pca.gramAgg(col("embedding"), EmbDim).as("g"))
+      val cn = element_at(col("g"), 1).cast("double")
+      val mu = transform(sequence(lit(1), lit(EmbDim)),
+        i => element_at(col("g"), i + 1).cast("double") / lit(kfx) / cn)
+      val cents = g.select(col("label"), mu.as("mu"))
+      val dist = e.join(cents, "label")
+        .select(col("vec_id"), col("label"),
+          (Similarity.dot(col("embedding"), col("embedding")) -
+            lit(2.0) * Similarity.dot(col("embedding"), col("mu")) +
+            Similarity.dot(col("mu"), col("mu"))).as("d2"))
+      val reg = dist.agg(count(lit(1)).as("n"),
+        sum(graft.ops.Stats.fx(col("d2"))).as("s1"),
+        sum(graft.ops.Stats.fx(col("d2") * col("d2"))).as("s2"))
+      val mean = (col("s1") / lit(sfx)) / col("n")
+      val thr = reg.select(
+        (mean + lit(2.0) *
+          sqrt((col("s2") / lit(sfx)) / col("n") - mean * mean)).as("thr"))
+      dist.crossJoin(broadcast(thr))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("d2") > col("thr"), 1L).otherwise(0L))
+            .as("n_outliers"),
+          sum(when(col("d2") > col("thr"), col("vec_id"))
+            .otherwise(0L)).as("outlier_id_sum"),
+          round(avg(col("d2")), 5).as("avg_d2"),
+          round(min(col("thr")), 5).as("thr"))
+        .orderBy("label")
+    }, {
+      val kfx = s"${graft.ops.Pca.FxScale.toLong}.0"
+      val sfx = s"${graft.ops.Stats.FxScale}.0"
+      s"WITH s0 AS (SELECT label, t.i, " +
+        s"CAST(sum(CAST(round(CAST(embedding[t.i] AS DOUBLE) * $kfx) " +
+        "AS BIGINT)) AS BIGINT) AS s, count(*) AS cn " +
+        s"FROM embeddings CROSS JOIN range(1, ${EmbDim + 1}) t(i) " +
+        "GROUP BY label, t.i), " +
+        s"c AS (SELECT label, list(s / $kfx / cn ORDER BY i) AS mu " +
+        "FROM s0 GROUP BY label), " +
+        "dist AS (SELECT e.vec_id, e.label, " +
+        s"${dotSql("e.embedding", "e.embedding")} - " +
+        s"2.0 * ${dotSql("e.embedding", "c.mu")} + " +
+        s"${dotSql("c.mu", "c.mu")} AS d2 " +
+        "FROM embeddings e JOIN c ON e.label = c.label), " +
+        "reg AS (SELECT count(*) AS n, " +
+        s"CAST(sum(CAST(floor(d2 * $sfx) AS BIGINT)) AS BIGINT) AS s1, " +
+        s"CAST(sum(CAST(floor(d2 * d2 * $sfx) AS BIGINT)) AS BIGINT) " +
+        "AS s2 FROM dist), " +
+        s"thr AS (SELECT ((s1 / $sfx) / n) + 2.0 * " +
+        s"sqrt(((s2 / $sfx) / n) - ((s1 / $sfx) / n) * ((s1 / $sfx) / n)) " +
+        "AS thr FROM reg) " +
+        "SELECT label, count(*) AS n_vecs, " +
+        "CAST(sum(CASE WHEN d2 > thr THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_outliers, " +
+        "CAST(sum(CASE WHEN d2 > thr THEN vec_id ELSE 0 END) AS BIGINT) " +
+        "AS outlier_id_sum, " +
+        "round(avg(d2), 5) AS avg_d2, round(min(thr), 5) AS thr " +
+        "FROM dist CROSS JOIN thr GROUP BY label ORDER BY label"
+    })
+
   /** Hard-negative triplet mining (contrastive training data): per
     * label, triplet counts, mean positive/negative cosine, the margin,
     * and an id checksum pinning the exact argmax selections. Same
@@ -615,7 +694,6 @@ object PipelineQueries {
     * identical integers, so every covariance entry is bit-exact before
     * its round(5). The d² pair fan-out below runs over the ONE result
     * row, never the data. */
-  private val EmbDim = 64
   private val embedCovariance = Q("q_embed_covariance",
     (s, d) => {
       val g = embs(s, d)
@@ -2508,7 +2586,7 @@ object PipelineQueries {
     dedupIncremental, dedupIncrementalNear, dedupBloom, dedupSpans,
     embedTop1, embedTopK, embedAnnLsh, embedLshSized, embedAnnTop1,
     embedNearDup, embedNearDupCapped, embedClusters, embedTriplets, embedIvf, embedIvfMp,
-    embedKmeans, embedCovariance, gpRff,
+    embedKmeans, embedCovariance, embedOutliers, gpRff,
     embedPq, embedIvfPq, embedRerank,
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,
     textVocab, textClassifier, textChunks, textBpe, textEntropy, textC4,
