@@ -510,6 +510,43 @@ object PipelineQueries {
       s"AS n_diverted FROM bsz WHERE bn > $EmbedCap) " +
       "SELECT agg.*, os.* FROM agg CROSS JOIN os")
 
+  /** Int8 scalar quantization (SQ8): per-label code checksum (pins
+    * every code exactly), reconstruction error, and decoded norm —
+    * one map-only scan; the 4×-compression codec next to PQ's
+    * codebook path. */
+  private val embedSq8 = Q("q_embed_sq8",
+    (s, d) => {
+      val e = embs(s, d)
+        .withColumn("code", Pq.sq8Encode(col("embedding")))
+      e.select(col("label"),
+          aggregate(col("code"), lit(0L), (a, v) => a + v).as("csum"),
+          Pq.sq8Error(col("embedding"), col("code")).as("qerr"),
+          sqrt(Similarity.dot(Pq.sq8Decode(col("code")),
+            Pq.sq8Decode(col("code")))).as("dnorm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(col("csum")).as("code_sum"),
+          round(avg(col("qerr")), 5).as("avg_qerr"),
+          round(avg(col("dnorm")), 5).as("avg_dnorm"))
+        .orderBy("label")
+    }, {
+      val enc = "[CAST(least(greatest(floor(CAST(embedding[i] AS DOUBLE) " +
+        "* 127.0), -127.0), 127.0) AS BIGINT) " +
+        s"for i in generate_series(1, $EmbDim)]"
+      s"WITH q AS (SELECT label, embedding, $enc AS code FROM embeddings), " +
+        "m AS (SELECT label, list_sum(code) AS csum, " +
+        "list_sum([(CAST(embedding[i] AS DOUBLE) - " +
+        "CAST(code[i] AS DOUBLE) / 127.0) * (CAST(embedding[i] AS DOUBLE) - " +
+        "CAST(code[i] AS DOUBLE) / 127.0) " +
+        s"for i in generate_series(1, $EmbDim)]) AS qerr, " +
+        "sqrt(list_sum([(CAST(code[i] AS DOUBLE) / 127.0) * " +
+        "(CAST(code[i] AS DOUBLE) / 127.0) " +
+        s"for i in generate_series(1, $EmbDim)])) AS dnorm FROM q) " +
+        "SELECT label, count(*) AS n, CAST(sum(csum) AS BIGINT) AS code_sum, " +
+        "round(avg(qerr), 5) AS avg_qerr, round(avg(dnorm), 5) AS avg_dnorm " +
+        "FROM m GROUP BY label ORDER BY label"
+    })
+
   /** Label-conditional embedding outliers (corrupt / mislabeled /
     * out-of-distribution vectors — the pre-index anomaly filter):
     * per-label centroids from exact int64 fixed-point coordinate
@@ -2587,7 +2624,7 @@ object PipelineQueries {
     embedTop1, embedTopK, embedAnnLsh, embedLshSized, embedAnnTop1,
     embedNearDup, embedNearDupCapped, embedClusters, embedTriplets, embedIvf, embedIvfMp,
     embedKmeans, embedCovariance, embedOutliers, gpRff,
-    embedPq, embedIvfPq, embedRerank,
+    embedPq, embedIvfPq, embedRerank, embedSq8,
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,
     textVocab, textClassifier, textChunks, textBpe, textEntropy, textC4,
     textScripts, textCalibration,

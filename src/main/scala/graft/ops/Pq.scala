@@ -34,6 +34,29 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
+  /** Int8 scalar quantization (the FAISS "SQ8" codec — 4× smaller
+    * than float32, one multiply to decode): qᵢ = clamp(⌊xᵢ·127⌋,
+    * −127, 127) under a unit input scale. FLOOR, never cast-rounding
+    * (ties-to-even vs truncate differs across engines). A pure map —
+    * stream-safe, no shuffle; decode is qᵢ/127. */
+  def sq8Encode(emb: Column): Column =
+    transform(emb, x =>
+      least(greatest(floor(x.cast("double") * lit(127.0)), lit(-127.0)),
+        lit(127.0)).cast("long"))
+
+  /** Decoded vector (array<double>). */
+  def sq8Decode(code: Column): Column =
+    transform(code, q => q.cast("double") / lit(127.0))
+
+  /** Squared reconstruction error ‖x − decode(encode(x))‖², forward
+    * element order on both engines. */
+  def sq8Error(emb: Column, code: Column): Column =
+    aggregate(zip_with(emb, code,
+      (x, q) => {
+        val d = x.cast("double") - q.cast("double") / lit(127.0)
+        d * d
+      }), lit(0.0), (acc, v) => acc + v)
+
   /** codebooks(m)(j) = sub-centroid j of subspace m (positions are the
     * codes). Subspaces cover consecutive element ranges in order. */
   type Codebooks = Seq[Seq[Seq[Double]]]
