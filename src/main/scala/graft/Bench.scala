@@ -29,6 +29,7 @@ object Bench {
     val elboIters = 30
     var distSecs = -1.0
     var distOneSecs = -1.0
+    var rffSecs = -1.0
     val elboSecs = try {
       import graft.autodiff.ExprFns
       import graft.core._
@@ -79,6 +80,37 @@ object Bench {
       // unfused rate kept for comparison (one job per step)
       distOneSecs = best3(
         elboD.optimize(maxiter = elboIters, minibatchSize = 65536, lr = 0.05))
+      // RFF-GP regression segment: the corpus-scale GP path — D=16
+      // codegen'd cos-feature columns feeding the same ELBO engine
+      // (16 weights vs the 3-param linear model above; the delta is
+      // the cost of the feature map + wider tape)
+      try {
+        val rffD = 16
+        val (w, bph) = graft.gp.Rff.frequencies(1, rffD,
+          breeze.linalg.DenseVector(1.0), seed = 13L)
+        val phis = graft.gp.RffGpr.featureCols(Seq(col("x")), w, bph)
+        val data = li.select(
+          phis.zipWithIndex.map { case (cc, j) => cc.as(s"phi$j") } :+
+            col("y").as("rff_y"): _*)
+        val root2 = new Module
+        (0 until rffD).foreach(j =>
+          root2.add(s"rw$j", new Variational.Normal(Seq(1))))
+        val vs = root2.variationals.toMap
+        val ds2 = new DataSet(data, seed = 0)
+        val elboR = new Elbo(root2, ds2,
+          (0 until rffD).map(j => s"phi$j") :+ "rff_y", ctx => {
+            val mean = (0 until rffD).foldLeft(graft.autodiff.Expr.c(0.0)) {
+              (acc, j) => acc + ctx.sample1(vs(s"rw$j")) * ctx.in(s"phi$j")
+            }
+            ExprFns.gaussian(ctx.in("rff_y"), mean,
+              graft.autodiff.Expr.c(0.25))
+          }, seed = 0)
+        ds2.trainCount
+        elboR.optimize(maxiter = 1, minibatchSize = 65536, lr = 0.05)
+        rffSecs = best3(elboR.optimize(maxiter = elboIters,
+          minibatchSize = 65536, lr = 0.05))
+        ds2.unpersist()
+      } catch { case _: Throwable => () }
       ds.unpersist(); s
     } catch { case _: Throwable => -1.0 }
     val results = SparkEntry.queries.map { case (name, fn) =>
@@ -88,7 +120,8 @@ object Bench {
     }
     val allResults = results ++ Map(s"elbo_train_${elboIters}it" -> elboSecs,
       s"elbo_dist_${elboIters}it" -> distSecs,
-      s"elbo_dist_unfused_${elboIters}it" -> distOneSecs)
+      s"elbo_dist_unfused_${elboIters}it" -> distOneSecs,
+      s"rff_gpr_${elboIters}it" -> rffSecs)
     val qs = allResults.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // the unfused-dist rate is a diagnostic, not workload — keep the
@@ -97,7 +130,8 @@ object Bench {
       .values.filter(_ > 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","elbo_iters_per_sec":${
       if (elboSecs > 0) elboIters / elboSecs else -1.0},"elbo_dist_iters_per_sec":${
-      if (distSecs > 0) elboIters / distSecs else -1.0}}""")
+      if (distSecs > 0) elboIters / distSecs else -1.0},"rff_gpr_iters_per_sec":${
+      if (rffSecs > 0) elboIters / rffSecs else -1.0}}""")
     spark.stop()
   }
 }
