@@ -119,6 +119,32 @@ object CholGrad {
     (lInv, dLowerInv(lInv, dCholesky(l, lInv, dK)))
   }
 
+  /** (Lm⁻¹, d(Lm⁻¹)/dℓ) for a 1-d UnitMatern32 inducing block:
+    * K_ij = (1+a)e^{−a} with a = √3·r/ℓ, r = √((z_i−z_j)² + 1e-12)
+    * (the same ε as [[LengthscaleKernel.euclidDist]], so the gram
+    * matches the Breeze kernel bit-for-bit). d[(1+a)e^{−a}]/da =
+    * −a·e^{−a} and da/dℓ = −a/ℓ, so dK_ij/dℓ = a²·e^{−a}/ℓ. */
+  def matern1dLmInvAndGrad(z: Seq[Double], ell: Double)
+      : (DenseMatrix[Double], DenseMatrix[Double]) = {
+    val m = z.length
+    val a0 = DenseMatrix.tabulate(m, m) { (i, j) =>
+      val d = z(i) - z(j)
+      math.sqrt(3.0) * math.sqrt(d * d + 1e-12) / ell
+    }
+    val k = DenseMatrix.tabulate(m, m) { (i, j) =>
+      (1.0 + a0(i, j)) * math.exp(-a0(i, j))
+    }
+    var i = 0
+    while (i < m) { k(i, i) += Kernels.JitterLevel; i += 1 }
+    val l = breeze.linalg.cholesky(k)
+    val lInv = lowerInv(l)
+    val dK = DenseMatrix.tabulate(m, m) { (i, j) =>
+      val a = a0(i, j)
+      a * a * math.exp(-a) / ell
+    }
+    (lInv, dLowerInv(lInv, dCholesky(l, lInv, dK)))
+  }
+
   /** ARD inducing-location sensitivities: d(Lm⁻¹)/dz(r,c) for every
     * inducing point r and coordinate c (m·d Cholesky-forward passes,
     * driver side):

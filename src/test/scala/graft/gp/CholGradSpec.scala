@@ -57,4 +57,32 @@ class CholGradSpec extends AnyFunSuite {
         s"dLmInv($i,$j)=${dLmInv(i, j)} fd=${fd(i, j)}")
     }
   }
+
+  test("matern1dLmInvAndGrad: value matches SparseGP.lmInv for " +
+    "UnitMatern32, gradient matches finite differences") {
+    val ell = 0.8; val h = 1e-5
+    def kOfM(l: Double): DenseMatrix[Double] = {
+      val m = z.length
+      val k = DenseMatrix.tabulate(m, m) { (i, j) =>
+        val d = z(i) - z(j)
+        val a = math.sqrt(3.0) * math.sqrt(d * d + 1e-12) / l
+        (1.0 + a) * math.exp(-a)
+      }
+      (0 until m).foreach(i => k(i, i) += Kernels.JitterLevel)
+      k
+    }
+    val (lmInv, dLmInv) = CholGrad.matern1dLmInvAndGrad(z, ell)
+    val zm = new DenseMatrix(z.length, 1, z.toArray)
+    val ref = new SparseGP(Kernels.UnitMatern32(DenseVector(ell)), zm).lmInv
+    val p = CholGrad.lowerInv(cholesky(kOfM(ell + h)))
+    val q = CholGrad.lowerInv(cholesky(kOfM(ell - h)))
+    val fd = (p - q) / (2 * h)
+    val m = z.length
+    for (i <- 0 until m; j <- 0 to i) {
+      assert(math.abs(lmInv(i, j) - ref(i, j)) < 1e-10,
+        s"lmInv($i,$j) vs SparseGP")
+      assert(math.abs(dLmInv(i, j) - fd(i, j)) < 1e-3 * (1 + fd(i, j).abs),
+        s"dLmInv($i,$j)=${dLmInv(i, j)} fd=${fd(i, j)}")
+    }
+  }
 }
