@@ -204,6 +204,49 @@ object EventQueries {
       "round(sum(sv), 5) AS sum_value " +
       "FROM w GROUP BY event_type ORDER BY event_type")
 
+  /** 40-bit mod for timestamp checksums (sums of raw epoch-nanos
+    * would overflow int64). */
+  private val TsMod = 1099511627776L
+
+  /** First-touch conversion funnel view → click → purchase
+    * ([[Events.funnel]]): step counts, exact int64 dwell-time sums,
+    * and a step-1 timestamp checksum. DuckDB reads TIMESTAMP(NANOS)
+    * parquet at MICROsecond precision, so the portable grain here is
+    * epoch-micros on BOTH engines (`ts div 1000` / `epoch_us` —
+    * nonnegative, so trunc-vs-floor division agrees); comparisons and
+    * sums are then exact integers. */
+  private val eventsFunnel = Q("q_events_funnel",
+    (s, d) => {
+      val f = Events.funnel(
+        events(s, d).withColumn("ts_us", expr("ts div 1000")),
+        "user_id", "ts_us", Seq(
+          col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"))
+      f.agg(count(lit(1)).as("n_step1"),
+        count(col("t2")).as("n_step2"),
+        count(col("t3")).as("n_step3"),
+        sum(col("t2") - col("t1")).as("d12_us"),
+        sum(col("t3") - col("t2")).as("d23_us"),
+        sum(col("t1") % lit(TsMod)).as("t1_sum"))
+    },
+    "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu " +
+      "FROM events), " +
+      "s1 AS (SELECT user_id, min(tsu) AS t1 FROM e " +
+      "WHERE event_type = 'view' GROUP BY user_id), " +
+      "s2 AS (SELECT e.user_id, min(tsu) AS t2 FROM e " +
+      "JOIN s1 USING (user_id) WHERE event_type = 'click' AND tsu > t1 " +
+      "GROUP BY e.user_id), " +
+      "s3 AS (SELECT e.user_id, min(tsu) AS t3 FROM e " +
+      "JOIN s2 USING (user_id) WHERE event_type = 'purchase' AND tsu > t2 " +
+      "GROUP BY e.user_id), " +
+      "f AS (SELECT s1.user_id, t1, t2, t3 FROM s1 " +
+      "LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)) " +
+      "SELECT count(*) AS n_step1, count(t2) AS n_step2, " +
+      "count(t3) AS n_step3, CAST(sum(t2 - t1) AS BIGINT) AS d12_us, " +
+      "CAST(sum(t3 - t2) AS BIGINT) AS d23_us, " +
+      s"CAST(sum(t1 % $TsMod) AS BIGINT) AS t1_sum FROM f")
+
   val all: Vector[Q] = Vector(eventsAsof, eventsSessionize, eventsProps,
-    eventsRange, eventsZorder, eventsWindow)
+    eventsRange, eventsZorder, eventsWindow, eventsFunnel)
 }

@@ -111,6 +111,38 @@ object Events {
     *
     * Returns the joined rows: point columns plus interval columns
     * (callers rename interval columns to avoid collisions). */
+  /** First-touch funnel: for an ordered sequence of step predicates,
+    * each key's step-k timestamp is the EARLIEST event satisfying
+    * step k strictly after its step-(k−1) timestamp (step 1: earliest
+    * overall). Returns (key, t1..tk nullable) — one row per key that
+    * completed step 1. The classic product-analytics conversion op.
+    *
+    * Scale shape: k rounds of (filter → per-key min-aggregate →
+    * same-key join) — every aggregate map-side partial, every join on
+    * the already-shuffled key, no window over event history, state
+    * O(keys) not O(events). Timestamps must be integral (epoch-nanos
+    * convention) so comparisons are exact. */
+  def funnel(df: DataFrame, keyCol: String, tsCol: String,
+             steps: Seq[Column]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val key = col(keyCol)
+    var acc = df.where(steps.head)
+      .groupBy(key.as(keyCol))
+      .agg(min(col(tsCol)).as("t1"))
+    var k = 2
+    steps.tail.foreach { pred =>
+      val next = df.where(pred)
+        .select(key.as(keyCol), col(tsCol).as("__ts"))
+        .join(acc, keyCol)
+        .where(col("__ts") > col(s"t${k - 1}"))
+        .groupBy(col(keyCol))
+        .agg(min(col("__ts")).as(s"t$k"))
+      acc = acc.join(next, Seq(keyCol), "left")
+      k += 1
+    }
+    acc
+  }
+
   def rangeJoinBucketed(points: DataFrame, intervals: DataFrame,
                         keyCol: String, tCol: String, loCol: String,
                         hiCol: String, bucketNs: Long): DataFrame = {
