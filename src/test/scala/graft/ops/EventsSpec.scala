@@ -152,4 +152,27 @@ class EventsSpec extends AnyFunSuite {
     val plan = w.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "tumblingAgg must not plan a Window")
   }
+
+  test("funnel: strictly-after step semantics, missing steps are null, " +
+    "out-of-order users never convert") {
+    // u1: clean v->c->p; u2: click BEFORE view only (no t2); u3: view
+    // only; u4: v->c but the purchase ties the click timestamp
+    // exactly (strictly-after excludes it)
+    val ev = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      (2L, 10L, "click"), (2L, 20L, "view"),
+      (3L, 10L, "view"),
+      (4L, 10L, "view"), (4L, 20L, "click"), (4L, 20L, "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val f = Events.funnel(ev, "user_id", "ts", Seq(
+      col("event_type") === "view", col("event_type") === "click",
+      col("event_type") === "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.get(1), r.get(2), r.get(3)))).toMap
+    assert(f(1L) == ((10L, 20L, 30L)))
+    assert(f(2L) == ((20L, null, null)), "click before view must not count")
+    assert(f(3L) == ((10L, null, null)))
+    assert(f(4L) == ((10L, 20L, null)), "purchase at t2 is not AFTER t2")
+    assert(f.size == 4)
+  }
 }
