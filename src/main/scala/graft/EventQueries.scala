@@ -247,6 +247,24 @@ object EventQueries {
       "CAST(sum(t3 - t2) AS BIGINT) AS d23_us, " +
       s"CAST(sum(t1 % $TsMod) AS BIGINT) AS t1_sum FROM f")
 
+  /** One week in MICROseconds (the portable timestamp grain). */
+  private val WeekUs = 7L * 24 * 3600 * 1000000L
+
+  /** Weekly cohort retention ([[Events.retention]]): the (cohort,
+    * offset) triangle with active-user counts — all exact integer
+    * arithmetic at the µs grain on both engines. */
+  private val eventsRetention = Q("q_events_retention",
+    (s, d) => Events.retention(
+      events(s, d).withColumn("ts_us", expr("ts div 1000")),
+      "user_id", "ts_us", WeekUs),
+    s"WITH act AS (SELECT DISTINCT user_id, epoch_us(ts) // $WeekUs " +
+      "AS p FROM events), " +
+      "c AS (SELECT user_id, min(p) AS cohort FROM act GROUP BY user_id) " +
+      "SELECT c.cohort, act.p - c.cohort AS wk_offset, " +
+      "count(*) AS n_active FROM act JOIN c USING (user_id) " +
+      "GROUP BY c.cohort, act.p - c.cohort ORDER BY cohort, wk_offset")
+
   val all: Vector[Q] = Vector(eventsAsof, eventsSessionize, eventsProps,
-    eventsRange, eventsZorder, eventsWindow, eventsFunnel)
+    eventsRange, eventsZorder, eventsWindow, eventsFunnel,
+    eventsRetention)
 }

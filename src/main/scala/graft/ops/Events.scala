@@ -96,21 +96,6 @@ object Events {
       .agg(count(lit(1)).as("n_events"),
         (max(col(tsCol)) - min(col(tsCol))).as("span_ns"))
 
-  /** Bucketed range (interval-containment) join: `points` rows join
-    * every `intervals` row of the same key with `lo <= t <= hi`.
-    *
-    * Spark plans a raw range predicate as a nested-loop join —
-    * quadratic per key. The standard fix (the Databricks range-join /
-    * interval-bucketing technique): quantize time into `bucketNs`-wide
-    * buckets, replicate each interval onto the buckets it covers
-    * (⌈len/W⌉+1 rows — size W to the typical interval length),
-    * equi-join on (key, bucket), then apply the exact containment
-    * filter. Each (point, interval) pair meets in EXACTLY one bucket —
-    * the point's own — so no dedup pass is needed. Every operator is
-    * a hash join / map: linear, shuffle-partitioned, AQE-skew-safe.
-    *
-    * Returns the joined rows: point columns plus interval columns
-    * (callers rename interval columns to avoid collisions). */
   /** First-touch funnel: for an ordered sequence of step predicates,
     * each key's step-k timestamp is the EARLIEST event satisfying
     * step k strictly after its step-(k−1) timestamp (step 1: earliest
@@ -143,6 +128,45 @@ object Events {
     acc
   }
 
+  /** Cohort retention: keys bucketed by their FIRST-activity period
+    * (cohort), then for each later period the count of cohort members
+    * still active — the (cohort, offset) retention triangle. Periods
+    * are integral `tsCol div periodLen` buckets (exact integer math;
+    * nonnegative timestamps). Scale shape: one distinct on (key,
+    * period) — a hash aggregate — a per-key min, and one final count
+    * on the triangle grain; output is O(periods²) rows regardless of
+    * input size. */
+  def retention(df: DataFrame, keyCol: String, tsCol: String,
+                periodLen: Long): DataFrame = {
+    require(periodLen > 0, s"bad period $periodLen")
+    // integer `div`, never `/`: epoch-nanos exceed 2^53 and double
+    // division would misplace period boundaries
+    val act = df.select(col(keyCol).as("__k"),
+        expr(s"`$tsCol` div $periodLen").as("__p"))
+      .where(col(tsCol) >= 0)
+      .distinct()
+    val cohorts = act.groupBy("__k").agg(min(col("__p")).as("cohort"))
+    act.join(cohorts, "__k")
+      .groupBy(col("cohort"), (col("__p") - col("cohort")).as("wk_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort", "wk_offset")
+  }
+
+  /** Bucketed range (interval-containment) join: `points` rows join
+    * every `intervals` row of the same key with `lo <= t <= hi`.
+    *
+    * Spark plans a raw range predicate as a nested-loop join —
+    * quadratic per key. The standard fix (the Databricks range-join /
+    * interval-bucketing technique): quantize time into `bucketNs`-wide
+    * buckets, replicate each interval onto the buckets it covers
+    * (⌈len/W⌉+1 rows — size W to the typical interval length),
+    * equi-join on (key, bucket), then apply the exact containment
+    * filter. Each (point, interval) pair meets in EXACTLY one bucket —
+    * the point's own — so no dedup pass is needed. Every operator is
+    * a hash join / map: linear, shuffle-partitioned, AQE-skew-safe.
+    *
+    * Returns the joined rows: point columns plus interval columns
+    * (callers rename interval columns to avoid collisions). */
   def rangeJoinBucketed(points: DataFrame, intervals: DataFrame,
                         keyCol: String, tCol: String, loCol: String,
                         hiCol: String, bucketNs: Long): DataFrame = {
