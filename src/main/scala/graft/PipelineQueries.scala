@@ -2252,6 +2252,57 @@ object PipelineQueries {
       "round(avg(logw), 5) AS avg_logw " +
       "FROM sel GROUP BY source ORDER BY source")
 
+  /** Winsorization: clip the quality score at the sketch-derived
+    * p10/p90 (the outlier-robust normalization step before a score
+    * feeds weighting or mixing). Both bounds come from the SAME
+    * portable histogram sketch pass and broadcast back as a one-row
+    * frame — identical integer registers ⇒ identical interpolated
+    * bounds ⇒ exact clipped sums cross-engine. */
+  private val statsWinsorize = Q("q_stats_winsorize",
+    (s, d) => {
+      val scored = graft.ops.QualityClassifier
+        .withFeatures(docs(s, d), "text")
+        .withColumn("score", graft.ops.QualityClassifier.score(ClsWeights))
+        .select("doc_id", "source", "score")
+      val bounds = graft.ops.Sketches.histogramQuantiles(scored,
+        col("score"), lo = 0.0, hi = 1.0, nBuckets = 64,
+        qs = Seq(0.1, 0.9)).select("p10", "p90")
+      scored.crossJoin(broadcast(bounds))
+        .select(col("source"),
+          col("score"), col("p10"), col("p90"),
+          least(greatest(col("score"), col("p10")), col("p90")).as("w"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score") < col("p10"), 1L).otherwise(0L))
+            .as("n_clip_lo"),
+          sum(when(col("score") > col("p90"), 1L).otherwise(0L))
+            .as("n_clip_hi"),
+          round(avg(col("w")), 5).as("avg_wins"),
+          round(min(col("p10")), 5).as("p10"),
+          round(min(col("p90")), 5).as("p90"))
+        .orderBy("source")
+    },
+    s"WITH sc AS (SELECT doc_id, source, " +
+      s"${graft.ops.QualityClassifier.ScoreSql(ClsWeights)} AS score " +
+      "FROM documents), " +
+      s"h AS (SELECT ${graft.ops.Sketches.BucketSql("score", 0.0, 1.0, 64)} " +
+      "AS b FROM sc), " +
+      "hist AS (SELECT b, count(*) AS cnt FROM h GROUP BY b), " +
+      "c AS (SELECT b, cnt, sum(cnt) OVER (ORDER BY b ROWS BETWEEN " +
+      "UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+      "sum(cnt) OVER () AS n FROM hist), " +
+      s"q AS (SELECT ${graft.ops.Sketches.QuantileSql(0.1, 0.0, 1.0, 64)} " +
+      s"AS p10, ${graft.ops.Sketches.QuantileSql(0.9, 0.0, 1.0, 64)} " +
+      "AS p90 FROM c) " +
+      "SELECT source, count(*) AS n_docs, " +
+      "CAST(sum(CASE WHEN score < p10 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_clip_lo, " +
+      "CAST(sum(CASE WHEN score > p90 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_clip_hi, " +
+      "round(avg(least(greatest(score, p10), p90)), 5) AS avg_wins, " +
+      "round(min(p10), 5) AS p10, round(min(p90), 5) AS p90 " +
+      "FROM sc CROSS JOIN q GROUP BY source ORDER BY source")
+
   /** Per-domain cap: at most DomainCap docs per source, each group's
     * smallest hash draws, selected by the bounded TopK aggregate
     * (O(cap) mergeable state per group — never a rank Window; the hot
@@ -2634,5 +2685,5 @@ object PipelineQueries {
     pipelineModern,
     sampleStratified, sampleTemperature, sampleFixedN, sampleWeighted,
     sampleDomainCap, sampleDsir, sampleTopQuantile,
-    statsRollup, statsCorr, topkPerGroup, shardManifest, packSequences)
+    statsRollup, statsCorr, statsWinsorize, topkPerGroup, shardManifest, packSequences)
 }
