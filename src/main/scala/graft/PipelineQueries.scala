@@ -1216,6 +1216,53 @@ object PipelineQueries {
       "SELECT names.token, top.tf, top.df FROM top " +
       "JOIN names ON top.th = names.th ORDER BY top.tf DESC, names.token")
 
+  /** Top duplicated phrases WITH spellings — the data-card artifact
+    * naming the boilerplate (what dup-rate numbers only count). Scale
+    * shape is the vocabulary trick: strings never shuffle corpus-wide
+    * — doc frequency aggregates over 45-bit FINGERPRINTS, the top-K
+    * set broadcasts back, and only the hit-sized survivor set carries
+    * its phrase into the final (min-spelling) aggregate. The
+    * fp↔phrase pairing comes from one native kernel pass
+    * ([[graft.ops.NgramFpStringsExpr]] — per-doc distinct, first
+    * occurrence). */
+  private val TopDupsK = 12
+  private val textTopDups = Q("q_text_topdups",
+    (s, d) => {
+      val ex = docs(s, d).select(explode(
+          graft.ops.TextHashExpressions.ngramFpStrings(col("text"), 3))
+          .as("g"))
+        .select(col("g.fp").as("fp"), col("g.gram").as("gram"))
+      val dfreq = ex.groupBy("fp").agg(count(lit(1)).as("df"))
+      val top = dfreq.where(col("df") >= 2)
+        .orderBy(col("df").desc, col("fp")).limit(TopDupsK)
+      ex.join(broadcast(top), "fp")
+        .groupBy("fp", "df").agg(min(col("gram")).as("phrase"))
+        .select(col("phrase"), col("df"))
+        .orderBy(col("df").desc, col("phrase"))
+    }, {
+      val M = Dedup.NgramFpMod
+      "WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws, " +
+        s"[${TextAnalysis.TokenHashSql("w")} % $M " +
+        "for w in string_split(text, ' ')] AS hl FROM documents), " +
+        "g0 AS (SELECT doc_id, unnest([{'i': i, " +
+        s"'fp': ((hl[i] * 31 + hl[i+1]) % $M * 31 + hl[i+2]) % $M, " +
+        "'gram': ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]} " +
+        "for i in range(1, len(hl) - 1)]) AS s FROM t), " +
+        "g1 AS (SELECT doc_id, s.i AS i, s.fp AS fp, s.gram AS gram " +
+        "FROM g0), " +
+        // per-doc distinct by fp, FIRST occurrence (the kernel's
+        // LinkedHashMap semantics)
+        "g AS (SELECT doc_id, fp, gram FROM (SELECT doc_id, fp, gram, " +
+        "row_number() OVER (PARTITION BY doc_id, fp ORDER BY i) AS rk " +
+        "FROM g1) WHERE rk = 1), " +
+        "dfreq AS (SELECT fp, count(*) AS df FROM g GROUP BY fp), " +
+        s"top AS (SELECT fp, df FROM dfreq WHERE df >= 2 " +
+        s"ORDER BY df DESC, fp LIMIT $TopDupsK) " +
+        "SELECT min(g.gram) AS phrase, top.df FROM g " +
+        "JOIN top USING (fp) GROUP BY top.fp, top.df " +
+        "ORDER BY top.df DESC, phrase"
+    })
+
   private val textDupNgrams = Q("q_text_dupngrams",
     (s, d) => {
       val d0 = docs(s, d)
@@ -2678,7 +2725,7 @@ object PipelineQueries {
     embedPq, embedIvfPq, embedRerank, embedSq8,
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,
     textVocab, textClassifier, textChunks, textBpe, textEntropy, textC4,
-    textScripts, textCalibration,
+    textScripts, textCalibration, textTopDups,
     textPerplexity, textBm25, textPii, textContamination, sketchHll,
     sketchHllBy, sketchCms, sketchQuantile, sketchQuantileBy,
     textDupNgrams, qualityGopher, multimodalMeta, curation, trainMix,

@@ -191,6 +191,47 @@ object TextHashFns {
     h
   }
 
+  /** Per-doc DISTINCT n-gram fingerprints PAIRED with their
+    * first-occurrence phrase (space-joined tokens) — the spelling-
+    * recovery side of duplicated-phrase reporting, one pass like
+    * [[ngramFps]] (same hash universe, same LinkedHashSet distinct
+    * semantics). Returns array<struct<fp, gram>>. */
+  def ngramFpStrings(text: UTF8String, n: Int): GenericArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < n) return new GenericArrayData(new Array[Any](0))
+    val m = Dedup.NgramFpMod
+    val hs = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      hs(i) = tokenHash60(toks(i)) % m
+      i += 1
+    }
+    val seen = new java.util.LinkedHashMap[java.lang.Long, String]()
+    i = 0
+    while (i <= toks.length - n) {
+      var acc = hs(i)
+      var k = 1
+      while (k < n) { acc = (acc * 31L + hs(i + k)) % m; k += 1 }
+      if (!seen.containsKey(acc)) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        k = 1
+        while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+        seen.put(acc, sb.toString)
+      }
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = InternalRow(e.getKey.longValue,
+        UTF8String.fromString(e.getValue))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Script bucket names in classification-priority order; the first
     * 7 are writing scripts eligible for `dominant`. */
   val ScriptNames: Array[String] = Array("latin", "cyrillic", "greek",
@@ -348,6 +389,24 @@ case class DsirBucketsExpr(child: Expression, m: Int)
   override def prettyName: String = "dsir_buckets"
 }
 
+case class NgramFpStringsExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"bad n-gram order $n")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("fp", LongType, nullable = false),
+    StructField("gram", StringType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextHashFns.ngramFpStrings(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ops.TextHashFns.ngramFpStrings($c, $n)")
+  override protected def withNewChildInternal(
+      c: Expression): NgramFpStringsExpr = copy(child = c)
+  override def prettyName: String = "ngram_fp_strings"
+}
+
 case class ScriptProfileExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StructType(
     TextHashFns.ScriptNames.map(n =>
@@ -413,6 +472,8 @@ object TextHashExpressions {
     bridge.toColumn(MinhashSigsExpr(bridge.toExpression(text)))
   def ngramFps(text: Column, n: Int): Column =
     bridge.toColumn(NgramFpsExpr(bridge.toExpression(text), n))
+  def ngramFpStrings(text: Column, n: Int): Column =
+    bridge.toColumn(NgramFpStringsExpr(bridge.toExpression(text), n))
   def dsirBuckets(text: Column, m: Int): Column =
     bridge.toColumn(DsirBucketsExpr(bridge.toExpression(text), m))
   def dsirWeight(text: Column, m: Int, ratios: Seq[Double]): Column =
