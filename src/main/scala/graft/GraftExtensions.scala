@@ -91,7 +91,16 @@ object GraftExtensions {
     (FunctionIdentifier("script_profile"),
       info("script_profile",
         "script_profile(text) - Unicode script counts + dominant script"),
-      args => graft.ops.ScriptProfileExpr(one(args, "script_profile"))))
+      args => graft.ops.ScriptProfileExpr(one(args, "script_profile"))),
+    (FunctionIdentifier("ngram_fp_strings"),
+      info("ngram_fp_strings",
+        "ngram_fp_strings(text, n) - distinct n-gram fingerprints with " +
+          "first-occurrence phrases"),
+      args => {
+        require(args.length == 2, "ngram_fp_strings expects 2 arguments")
+        graft.ops.NgramFpStringsExpr(args(0),
+          intLit(args(1), "ngram_fp_strings n"))
+      }))
 
   /** Install the function set into a LIVE session's registry (the
     * notebook/test path — no session rebuild needed). */

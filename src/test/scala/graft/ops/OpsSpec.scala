@@ -699,6 +699,28 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ngramFpStrings: fps equal the ngramFps kernel (same distinct " +
+    "order), phrases are the FIRST-occurrence token windows") {
+    val docs = Seq((1L, "a b c d a b c"), (2L, "x y"), (3L, ""),
+      (4L, "p q r p q r p q r")).toDF("doc_id", "text")
+    val rows = docs.select(col("doc_id"),
+        graft.ops.TextHashExpressions.ngramFpStrings(col("text"), 3).as("fs"),
+        graft.ops.TextHashExpressions.ngramFps(col("text"), 3).as("fp"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[org.apache.spark.sql.Row](1),
+        r.getSeq[Long](2)))).toMap
+    rows.foreach { case (id, (fs, fp)) =>
+      assert(fs.map(_.getLong(0)) == fp, s"doc $id fp order")
+    }
+    val d1 = rows(1L)._1.map(r => r.getLong(0) -> r.getString(1))
+    // 5 windows, distinct fps: abc, bcd, cda, dab; the repeated
+    // trailing abc reuses the FIRST occurrence
+    assert(d1.map(_._2) == Seq("a b c", "b c d", "c d a", "d a b"))
+    assert(rows(2L)._1.isEmpty && rows(3L)._1.isEmpty)
+    assert(rows(4L)._1.map(_.getString(1)) ==
+      Seq("p q r", "q r p", "r p q"))
+  }
+
   test("dupNgramRate computes the cross-document duplicated-trigram " +
     "fraction") {
     val df = Seq(
