@@ -436,6 +436,82 @@ object StreamingOps {
       }
   }
 
+  /** Streaming-funnel state: events awaiting watermark finality and
+    * the step times fixed so far (−1 = step not reached). */
+  final case class FunnelState(pending: List[(Long, Int)],
+                               steps: List[Long], done: Boolean)
+
+  /** One completed conversion, emitted exactly once per key. */
+  final case class FunnelConversion(key: Long, stepTs: Seq[Long])
+
+  /** Event-time streaming funnel — the incremental form of
+    * [[graft.ops.Events.funnel]]: emits a key's conversion row the
+    * moment its LAST step becomes watermark-final.
+    *
+    * Why this is exact: late events below the watermark are dropped,
+    * so the per-key FINAL event sequence grows in ascending-ts order
+    * — and first-touch step times over a ts-ordered growing sequence
+    * never revise (a future event has a larger ts than every fixed
+    * step). Events buffer in state only until `ts` falls strictly
+    * below the watermark, then fold into the step vector in ts order
+    * and are discarded: steady state per key is k step times + the
+    * in-flight watermark window, and a completed key keeps only its
+    * k-long vector (the exactly-once emission guard).
+    *
+    * `stepCol` is the 0-based step index of the event (callers map
+    * event types; non-step events must be filtered out upstream). */
+  def funnelStream(df: DataFrame, keyCol: String, tsNanos: String,
+                   stepCol: String, nSteps: Int,
+                   watermarkDelay: String = "0 seconds")
+      : Dataset[FunnelConversion] = {
+    require(nSteps >= 1, s"bad step count $nSteps")
+    import df.sparkSession.implicits._
+    val u = df.select(col(keyCol).cast("long").as("k"),
+        col(tsNanos).cast("long").as("t"),
+        col(stepCol).cast("int").as("s"))
+      .where(col("s") >= 0 && col("s") < nSteps)
+      .withColumn("__ets", timestamp_micros(expr("t div 1000")))
+      .withWatermark("__ets", watermarkDelay)
+      .as[(Long, Long, Int, java.sql.Timestamp)]
+    u.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelConversion](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long, Int, java.sql.Timestamp)],
+         state: GroupState[FunnelState]) =>
+          val s0 = state.getOption.getOrElse(
+            FunnelState(Nil, List.fill(nSteps)(-1L), done = false))
+          if (s0.done) { rows.foreach(_ => ()); Iterator.empty }
+          else {
+            var pending = s0.pending
+            rows.foreach(r => pending = (r._2, r._3) :: pending)
+            val wmNs = state.getCurrentWatermarkMs() * 1000000L
+            // strict finality, like the as-of join: only events
+            // strictly below the watermark fold in
+            val (ready, stillPending) = pending.partition(_._1 < wmNs)
+            val steps = s0.steps.toArray
+            ready.sortBy(e => (e._1, e._2)).foreach { case (ts, j) =>
+              if (steps(j) < 0 &&
+                (j == 0 || (steps(j - 1) >= 0 && ts > steps(j - 1))))
+                steps(j) = ts
+            }
+            val completed = steps(nSteps - 1) >= 0
+            if (completed) state.update(
+              FunnelState(Nil, steps.toList, done = true))
+            else {
+              state.update(FunnelState(stillPending, steps.toList,
+                done = false))
+              if (stillPending.nonEmpty)
+                state.setTimeoutTimestamp(math.max(
+                  stillPending.map(_._1 / 1000000L + 1).min,
+                  state.getCurrentWatermarkMs() + 1))
+            }
+            if (completed) Iterator.single(
+              FunnelConversion(key, steps.toSeq))
+            else Iterator.empty
+          }
+      }
+  }
+
   final case class HllEstimate(key: String, hll_estimate: Double,
                                n_seen: Long, sum_rho: Long)
 

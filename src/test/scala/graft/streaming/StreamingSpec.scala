@@ -275,6 +275,37 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming sessions ${got.size} != closed batch sessions ${want.size}")
   }
 
+  test("streaming funnel emits exactly the batch conversions whose " +
+    "last step is watermark-final") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val stepOf = when(col("event_type") === "view", 0)
+      .when(col("event_type") === "click", 1)
+      .when(col("event_type") === "purchase", 2).otherwise(-1)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"), col("ts"), stepOf.as("step"))
+    val out = StreamingOps.funnelStream(stream, "user_id", "ts", "step", 3)
+    StreamingOps.runToMemorySink(out.toDF(), "funnel_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.table("funnel_stream").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // batch truth over the SAME final-event set: conversions whose
+    // purchase step lies strictly below the final watermark
+    val f = graft.ops.Events.funnel(ev, "user_id", "ts", Seq(
+      col("event_type") === "view", col("event_type") === "click",
+      col("event_type") === "purchase"))
+    val wmNs = (ev.agg(max(col("ts"))).head().getLong(0) / 1000000L) *
+      1000000L
+    val want = f.where(col("t3").isNotNull && col("t3") < wmNs)
+      .collect().map(r => r.getLong(0) ->
+        Seq(r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(want.nonEmpty, "fixture should complete some funnels")
+    assert(got == want,
+      s"streaming conversions ${got.size} != batch ${want.size}")
+  }
+
   test("streaming per-key HLL cardinality equals the batch grouped " +
     "sketch bit for bit") {
     import spark.implicits._
