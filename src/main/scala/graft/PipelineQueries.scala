@@ -1886,7 +1886,8 @@ object PipelineQueries {
         s"AND (length(text) - (len(ws) - 1))::DOUBLE / len(ws) <= $LHi " +
         s"AND ($swSum)::DOUBLE / len(ws) >= $SLo " +
         "THEN 1.0 ELSE 0.0 END AS lab FROM t) " +
-        "SELECT CAST(least(floor(score * 10.0), 9.0) AS BIGINT) AS bin, " +
+        "SELECT CAST(least(greatest(floor(score * 10.0), 0.0), 9.0) " +
+        "AS BIGINT) AS bin, " +
         "count(*) AS n, round(avg(score), 5) AS conf, " +
         "round(avg(lab), 5) AS acc, " +
         "round(abs(avg(score) - avg(lab)), 5) AS gap " +
@@ -1970,7 +1971,10 @@ object PipelineQueries {
     (920004L, "안녕하세요 세계 오늘", "ko", "srcU", 0L),
     (920005L, "مرحبا بالعالم اليوم", "ar", "srcU", 0L),
     (920006L, "नमस्ते दुनिया आज", "hi", "srcU", 0L),
-    (920007L, "hello мир 你好 123", "mix", "srcU", 0L))
+    (920007L, "hello мир 你好 123", "mix", "srcU", 0L),
+    // empty page: zero counts, dominant 'none' — pins the
+    // engines' divergent empty-split conventions (see the oracle)
+    (920008L, "", "none", "srcU", 0L))
 
   /** Unicode script detection over explicit BMP codepoint ranges —
     * the signal upstream of language ID in a multilingual pipeline.
@@ -2019,14 +2023,21 @@ object PipelineQueries {
       "WITH alldocs AS (SELECT doc_id, text, lang, source, n_chars " +
         s"FROM documents UNION ALL SELECT * FROM (VALUES $vals) " +
         "AS v(doc_id, text, lang, source, n_chars)), " +
-        "ch AS (SELECT doc_id, source, unicode(c) AS cp FROM (" +
-        "SELECT doc_id, source, unnest(string_split(text, '')) AS c " +
-        "FROM alldocs)), " +
-        s"cl AS (SELECT doc_id, source, $cls AS k FROM ch), " +
-        "piv AS (SELECT doc_id, any_value(source) AS source, " +
+        // empty text yields NO char rows (string_split('','') is ['']
+        // and unicode('') is -1, which would mint a phantom 'other'
+        // count the Spark kernel never sees) — docs re-enter with
+        // all-zero counts via the LEFT JOIN below
+        "ch AS (SELECT doc_id, unicode(c) AS cp FROM (" +
+        "SELECT doc_id, unnest(string_split(text, '')) AS c " +
+        "FROM alldocs WHERE text <> '')), " +
+        s"cl AS (SELECT doc_id, $cls AS k FROM ch), " +
+        "piv0 AS (SELECT doc_id, " +
         (0 to 9).map(k =>
           s"sum(CASE WHEN k = $k THEN 1 ELSE 0 END) AS c$k")
           .mkString(", ") + " FROM cl GROUP BY doc_id), " +
+        "piv AS (SELECT d.doc_id, d.source, " +
+        (0 to 9).map(k => s"coalesce(p.c$k, 0) AS c$k").mkString(", ") +
+        " FROM alldocs d LEFT JOIN piv0 p ON d.doc_id = p.doc_id), " +
         s"dom AS (SELECT source, $domCase AS dominant, c0, c3, c7, c8, c9 " +
         "FROM piv) " +
         "SELECT source, dominant, count(*) AS n_docs, " +

@@ -74,6 +74,30 @@ object RffGpr {
     }
   }
 
+  /** Shared GLM scaffold for every RFF trainer: D standard-normal
+    * weight variationals, per-row feature columns named in0..in{D-1}
+    * plus the target as rff_y, one ELBO fit. `addVars` registers any
+    * extra variationals (staged assigns are flushed here — see the
+    * trainLengthscale gotcha). */
+  private def fitWeights(df: DataFrame, cols: Seq[Column], yCol: String,
+                         maxiter: Int, lr: Double, minibatchSize: Int,
+                         seed: Long, addVars: Module => Unit = _ => ())(
+      logp: (Elbo.Ctx, Map[String, Variational]) => Expr): (Module, Elbo) = {
+    val data = df.select(
+      cols.zipWithIndex.map { case (c, j) => c.as(s"in$j") } :+
+        col(yCol).cast("double").as("rff_y"): _*)
+    val root = new Module
+    cols.indices.foreach(j => root.add(s"rw$j", new Variational.Normal(Seq(1))))
+    addVars(root)
+    root.initialize()
+    val vs = root.variationals.toMap
+    val ds = new DataSet(data, seed = seed)
+    val inCols = cols.indices.map(j => s"in$j") :+ "rff_y"
+    val elbo = new Elbo(root, ds, inCols, ctx => logp(ctx, vs), seed = seed)
+    elbo.optimize(maxiter = maxiter, minibatchSize = minibatchSize, lr = lr)
+    (root, elbo)
+  }
+
   /** Joint LENGTHSCALE + weight learning: frequencies are drawn once
     * at unit lengthscale, each row carries its D spectral projections
     * w̃ⱼ·x as inputs, and the feature map
@@ -96,33 +120,30 @@ object RffGpr {
     val d = b.length
     val scale = math.sqrt(2.0 / d)
     val xs = xCols.map(col(_).cast("double"))
+    // per-row spectral projections at UNIT lengthscale; the learned
+    // e^{-log l} rescales them inside the tape
     val wxCols = (0 until d).map { j =>
       xs.zipWithIndex.foldLeft(lit(0.0): Column) {
         case (acc, (x, k)) => acc + lit(wUnit(j, k)) * x
-      }.as(s"wx$j")
+      }
     }
-    val data = df.select(wxCols :+ col(yCol).cast("double").as("rff_y"): _*)
-    val root = new Module
-    (0 until d).foreach(j => root.add(s"rw$j", new Variational.Normal(Seq(1))))
-    val ell = root.add("log_ell", new Variational.Normal(Seq(1)))
-    ell.qMu.assign(breeze.linalg.DenseVector(math.log(initEll)))
-    // assigns are STAGED until the next initialize() (reference
-    // Model.initialize semantics) — flush NOW, or optimize()'s final
-    // initialize() would overwrite the trained value with this init
-    root.initialize()
-    val vs = root.variationals.toMap
-    val ds = new DataSet(data, seed = seed)
-    val inCols = (0 until d).map(j => s"wx$j") :+ "rff_y"
-    val elbo = new Elbo(root, ds, inCols, ctx => {
-      val invL = Expr.exp(Expr.c(0.0) - ctx.sample1(ell))
+    val (root, elbo) = fitWeights(df, wxCols, yCol, maxiter, lr,
+      minibatchSize, seed, addVars = { root =>
+        val ell = root.add("log_ell", new Variational.Normal(Seq(1)))
+        // staged until initialize() - fitWeights flushes it before
+        // training, or optimize()'s closing initialize() would revert
+        // the trained value to this init
+        ell.qMu.assign(breeze.linalg.DenseVector(math.log(initEll)))
+      }) { (ctx, vs) =>
+      val invL = Expr.exp(Expr.c(0.0) - ctx.sample1(vs("log_ell")))
       val mean = (0 until d).foldLeft(Expr.c(0.0)) { (acc, j) =>
         acc + ctx.sample1(vs(s"rw$j")) *
-          (Expr.c(scale) * Expr.cos(ctx.in(s"wx$j") * invL + Expr.c(b(j))))
+          (Expr.c(scale) * Expr.cos(ctx.in(s"in$j") * invL + Expr.c(b(j))))
       }
       ExprFns.gaussian(ctx.in("rff_y"), mean, Expr.c(noiseVar))
-    }, seed = seed)
-    elbo.optimize(maxiter = maxiter, minibatchSize = minibatchSize, lr = lr)
-    val learnedEll = math.exp(ell.qMu.value(0))
+    }
+    val learnedEll = math.exp(
+      root.variationals.toMap.apply("log_ell").qMu.value(0))
     (Fit(root, elbo, wUnit * (1.0 / learnedEll), b), learnedEll)
   }
 
@@ -138,21 +159,13 @@ object RffGpr {
                       minibatchSize: Int = -1, seed: Long = 0L): Fit = {
     val d = b.length
     val phis = featureCols(xCols.map(col(_).cast("double")), w, b)
-    val data = df.select(
-      phis.zipWithIndex.map { case (c, j) => c.as(s"phi$j") } :+
-        col(yCol).cast("double").as("rff_y"): _*)
-    val root = new Module
-    (0 until d).foreach(j => root.add(s"rw$j", new Variational.Normal(Seq(1))))
-    val vs = root.variationals.toMap
-    val ds = new DataSet(data, seed = seed)
-    val inCols = (0 until d).map(j => s"phi$j") :+ "rff_y"
-    val elbo = new Elbo(root, ds, inCols, ctx => {
+    val (root, elbo) = fitWeights(df, phis, yCol, maxiter, lr,
+      minibatchSize, seed) { (ctx, vs) =>
       val z = (0 until d).foldLeft(Expr.c(0.0)) { (acc, j) =>
-        acc + ctx.sample1(vs(s"rw$j")) * ctx.in(s"phi$j")
+        acc + ctx.sample1(vs(s"rw$j")) * ctx.in(s"in$j")
       }
       ExprFns.bernoulli(Expr.sigmoid(z), ctx.in("rff_y"))
-    }, seed = seed)
-    elbo.optimize(maxiter = maxiter, minibatchSize = minibatchSize, lr = lr)
+    }
     Fit(root, elbo, w, b)
   }
 
@@ -165,21 +178,13 @@ object RffGpr {
             minibatchSize: Int = -1, seed: Long = 0L): Fit = {
     val d = b.length
     val phis = featureCols(xCols.map(col(_).cast("double")), w, b)
-    val data = df.select(
-      phis.zipWithIndex.map { case (c, j) => c.as(s"phi$j") } :+
-        col(yCol).cast("double").as("rff_y"): _*)
-    val root = new Module
-    (0 until d).foreach(j => root.add(s"rw$j", new Variational.Normal(Seq(1))))
-    val vs = root.variationals.toMap
-    val ds = new DataSet(data, seed = seed)
-    val inCols = (0 until d).map(j => s"phi$j") :+ "rff_y"
-    val elbo = new Elbo(root, ds, inCols, ctx => {
+    val (root, elbo) = fitWeights(df, phis, yCol, maxiter, lr,
+      minibatchSize, seed) { (ctx, vs) =>
       val mean = (0 until d).foldLeft(Expr.c(0.0)) { (acc, j) =>
-        acc + ctx.sample1(vs(s"rw$j")) * ctx.in(s"phi$j")
+        acc + ctx.sample1(vs(s"rw$j")) * ctx.in(s"in$j")
       }
       ExprFns.gaussian(ctx.in("rff_y"), mean, Expr.c(noiseVar))
-    }, seed = seed)
-    elbo.optimize(maxiter = maxiter, minibatchSize = minibatchSize, lr = lr)
+    }
     Fit(root, elbo, w, b)
   }
 }

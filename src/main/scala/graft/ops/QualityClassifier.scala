@@ -113,8 +113,10 @@ object QualityClassifier {
   def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
                       bins: Int = 10): DataFrame = {
     require(bins >= 2, s"need >= 2 bins, got $bins")
-    val b = least(floor(col(scoreCol) * lit(bins.toDouble)),
-      lit((bins - 1).toLong))
+    // clamp BOTH ends: a raw margin/logit column outside [0,1] must
+    // land in the edge bins, never mint phantom negative bin ids
+    val b = least(greatest(floor(col(scoreCol) * lit(bins.toDouble)),
+      lit(0L)), lit((bins - 1).toLong))
     df.groupBy(b.as("bin"))
       .agg(count(lit(1)).as("n"),
         round(avg(col(scoreCol)), 5).as("conf"),
