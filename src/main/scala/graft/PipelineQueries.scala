@@ -2245,6 +2245,42 @@ object PipelineQueries {
       "round(min(rate), 5) AS rate FROM kept " +
       "GROUP BY source ORDER BY source")
 
+  /** Epoch factors for the repeat mix: >1 (integer + fractional part),
+    * <1 (pure down-sample), exactly 1, and a fractional default. */
+  private val RepFactors = Map("src0" -> 2.4, "src1" -> 0.35,
+    "src17" -> 3.0, "src5" -> 1.0)
+  private val RepDefault = 1.25
+
+  /** Repeat-factor (epoch) mixing: each source's docs emitted ⌊f⌋ or
+    * ⌈f⌉ times (salted-hash fractional draw), with an `epoch` index
+    * per copy — the LLaMA-style "fractional epochs per source" mix
+    * stage. The checksum Σ id·(epoch+1) pins the exact multiset of
+    * emitted (doc, epoch) pairs cross-engine; max_epoch pins the
+    * fan-out bound per source. */
+  private val sampleRepeat = Q("q_sample_repeat",
+    (s, d) => Sampling.repeatFactorSample(docs(s, d), "doc_id", "source",
+        RepFactors, RepDefault)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("doc_id") * (col("epoch") + lit(1L))).as("checksum"),
+        max(col("epoch")).as("max_epoch"))
+      .orderBy("source"),
+    "WITH f AS (SELECT doc_id, source, CASE " +
+      RepFactors.map { case (g, r) =>
+        s"WHEN source = '$g' THEN CAST($r AS DOUBLE) " }.mkString +
+      s"ELSE CAST($RepDefault AS DOUBLE) END AS f FROM documents), " +
+      "n AS (SELECT doc_id, source, CAST(floor(f) AS BIGINT) + " +
+      s"(CASE WHEN ${Sampling.RepeatDrawSql("doc_id")} < f - floor(f) " +
+      "THEN 1 ELSE 0 END) AS n FROM f), " +
+      "e AS (SELECT doc_id, source, unnest(range(0, n)) AS epoch " +
+      "FROM n WHERE n >= 1) " +
+      "SELECT source, count(*) AS n_rows, " +
+      "count(DISTINCT doc_id) AS n_docs, " +
+      "CAST(sum(doc_id * (epoch + 1)) AS BIGINT) AS checksum, " +
+      "CAST(max(epoch) AS BIGINT) AS max_epoch " +
+      "FROM e GROUP BY source ORDER BY source")
+
   private val PackWindow = 128
   private val PackShards = 4
 
@@ -2741,7 +2777,7 @@ object PipelineQueries {
     sketchHllBy, sketchCms, sketchQuantile, sketchQuantileBy,
     textDupNgrams, qualityGopher, multimodalMeta, curation, trainMix,
     pipelineModern,
-    sampleStratified, sampleTemperature, sampleFixedN, sampleWeighted,
-    sampleDomainCap, sampleDsir, sampleTopQuantile,
+    sampleStratified, sampleTemperature, sampleRepeat, sampleFixedN,
+    sampleWeighted, sampleDomainCap, sampleDsir, sampleTopQuantile,
     statsRollup, statsCorr, statsWinsorize, topkPerGroup, shardManifest, packSequences)
 }

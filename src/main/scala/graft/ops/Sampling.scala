@@ -156,6 +156,48 @@ object Sampling {
   def WeightedKeySql(idCol: String, weightExpr: String): String =
     s"(-ln(${HashFractionSql(idCol)}) / CAST($weightExpr AS DOUBLE))"
 
+  /** Repeat-factor (epoch) mixing — the "this source gets 2.4 epochs,
+    * that one 0.3" stage of assembling a pretraining mix (LLaMA-style
+    * data recipes specify fractional epochs per source; Gopher/DoReMi
+    * weights reduce to the same form): a row under factor f is
+    * emitted ⌊f⌋ times always, plus one more iff its deterministic
+    * hash draw (salted, so it is independent of any earlier
+    * [[stratifiedSample]] draw on the same ids) lands below the
+    * fractional part f − ⌊f⌋ — in expectation exactly f copies, and
+    * f < 1 degrades to plain down-sampling (⌊f⌋ = 0). Each emitted
+    * copy carries an `epoch` index 0..n−1 so downstream
+    * shuffling/packing can interleave epochs rather than concatenate
+    * them.
+    *
+    * Scale shape: ONE codegen'd scan — the factor table rides in a
+    * `when` chain like [[stratifiedSample]], the copy count is pure
+    * row arithmetic, and the fan-out is `explode(sequence(...))`,
+    * which multiplies rows WITHOUT any shuffle or join; stream-safe
+    * (stateless per row), replayable, and stable under ingest. */
+  def repeatFactorSample(df: DataFrame, idCol: String, groupCol: String,
+                         factors: Map[String, Double],
+                         defaultFactor: Double): DataFrame = {
+    require((defaultFactor +: factors.values.toSeq).forall(f =>
+      f >= 0.0 && f <= 64.0), s"factors must be in [0, 64]: $factors")
+    val f = factors.foldLeft(lit(defaultFactor)) { case (acc, (g, r)) =>
+      when(col(groupCol) === lit(g), lit(r)).otherwise(acc)
+    }
+    val fl = floor(f)
+    val draw = hashFraction(concat(col(idCol).cast("string"), lit("#rep")))
+    val n = fl.cast("long") +
+      when(draw < f - fl, lit(1L)).otherwise(lit(0L))
+    // sequence(0, n-1) would DESCEND for n = 0 (Spark fills start>stop
+    // with step -1) — drop zero-copy rows before the fan-out
+    df.withColumn("__n", n).where(col("__n") >= lit(1L))
+      .withColumn("epoch", explode(sequence(lit(0L), col("__n") - lit(1L))))
+      .drop("__n")
+  }
+
+  /** DuckDB form of [[repeatFactorSample]]'s salted fractional draw. */
+  def RepeatDrawSql(idCol: String): String =
+    s"(${TextAnalysis.TokenHashSql(s"CAST($idCol AS VARCHAR) || '#rep'")} " +
+      "/ CAST(1152921504606846976 AS DOUBLE))"
+
   /** Contiguous-token sequence packing: documents are laid out as one
     * token stream per shard (shard = hash(id) mod `nShards`, order by
     * id within the shard) and chunked into fixed `window`-token

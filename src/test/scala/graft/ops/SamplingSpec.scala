@@ -217,4 +217,46 @@ class SamplingSpec extends AnyFunSuite {
     assert(dom(5L) == "none")
     assert(dom(6L) == "none" && rows(6L).getLong(7) == 5)
   }
+
+  test("repeatFactorSample: copy counts bracket the factor, epochs " +
+    "index 0..n-1 densely, f<1 down-samples, f=1 is identity, " +
+    "deterministic") {
+    val d = docs.select("doc_id", "source").cache()
+    val f = Map("src0" -> 2.4, "src1" -> 0.3, "src2" -> 1.0)
+    val out = Sampling.repeatFactorSample(d, "doc_id", "source", f, 1.0)
+      .cache()
+    // per-doc copy counts: every src0 doc appears 2 or 3 times with
+    // epochs exactly 0..n-1; src1 docs appear 0 or 1 times
+    val perDoc = out.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n"), min("epoch").as("lo"),
+        max("epoch").as("hi"))
+      .collect()
+    perDoc.foreach { r =>
+      val (src, n, lo, hi) =
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(lo == 0L && hi == n - 1,
+        s"epochs must be dense 0..n-1, got [$lo,$hi] for n=$n")
+      src match {
+        case "src0" => assert(n == 2L || n == 3L)
+        case "src1" => assert(n == 1L) // 0-copy docs have no rows
+        case _      => assert(n == 1L)
+      }
+    }
+    // empirical mean copy count near the factor (binomial fractional)
+    val n0 = d.where(col("source") === "src0").count()
+    val c0 = out.where(col("source") === "src0").count()
+    assert(math.abs(c0.toDouble / n0 - 2.4) < 0.35,
+      s"src0 mean copies ${c0.toDouble / n0} too far from 2.4")
+    val n1 = d.where(col("source") === "src1").count()
+    val c1 = out.where(col("source") === "src1").count()
+    assert(c1 < n1, "f<1 must drop rows")
+    // f = 1.0 is exact identity membership (no draw dependence)
+    val src2 = out.where(col("source") === "src2")
+    assert(src2.count() == d.where(col("source") === "src2").count())
+    // deterministic: a second run is the same multiset
+    val again = Sampling.repeatFactorSample(d, "doc_id", "source", f, 1.0)
+    assert(out.select("doc_id", "epoch").except(
+      again.select("doc_id", "epoch")).isEmpty)
+    out.unpersist(); d.unpersist()
+  }
 }
