@@ -2456,6 +2456,45 @@ object PipelineQueries {
       "FROM sc CROSS JOIN q WHERE score >= p75 " +
       "GROUP BY source ORDER BY source")
 
+  /** Per-domain top-quantile selection: each source keeps its own
+    * best 25% by classifier score — the per-language/per-source
+    * quality floor a multilingual pipeline needs (a global floor
+    * over-prunes weak domains). Thresholds from the grouped histogram
+    * sketch broadcast back; kept sets pinned by id sums. */
+  private val sampleTopQuantileBy = Q("q_sample_topquantile_by",
+    (s, d) => {
+      val scored = graft.ops.QualityClassifier
+        .withFeatures(docs(s, d), "text")
+        .withColumn("score", graft.ops.QualityClassifier.score(ClsWeights))
+        .select("doc_id", "source", "score")
+      Sampling.topQuantileByGroup(scored, "source", "score",
+          q = 0.75, lo = 0.0, hi = 1.0, nBuckets = 64)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"),
+          round(avg(col("score")), 5).as("avg_score"),
+          round(min(col("threshold")), 5).as("p75"))
+        .orderBy("source")
+    },
+    {
+      import graft.ops.Sketches.{BucketSql, QuantileSql}
+      "WITH sc AS (SELECT doc_id, source, " +
+        s"${graft.ops.QualityClassifier.ScoreSql(ClsWeights)} AS score " +
+        "FROM documents), " +
+        s"h AS (SELECT source, ${BucketSql("score", 0.0, 1.0, 64)} " +
+        "AS b FROM sc), " +
+        "hist AS (SELECT source, b, count(*) AS cnt FROM h GROUP BY 1, 2), " +
+        "c AS (SELECT source, b, cnt, sum(cnt) OVER (PARTITION BY source " +
+        "ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS cum, sum(cnt) OVER (PARTITION BY source) AS n FROM hist), " +
+        s"q AS (SELECT source, ${QuantileSql(0.75, 0.0, 1.0, 64)} " +
+        "AS p75 FROM c GROUP BY source) " +
+        "SELECT source, count(*) AS n_kept, " +
+        "CAST(sum(doc_id) AS BIGINT) AS id_sum, " +
+        "round(avg(score), 5) AS avg_score, round(min(p75), 5) AS p75 " +
+        "FROM sc JOIN q USING (source) WHERE score >= p75 " +
+        "GROUP BY source ORDER BY source"
+    })
+
   /** Exact-n deterministic sample: the FixedN smallest hash draws.
     * Returns the rows themselves (ids + source) — membership is the
     * verified property; TakeOrderedAndProject is the verified shape. */
@@ -2779,5 +2818,6 @@ object PipelineQueries {
     pipelineModern,
     sampleStratified, sampleTemperature, sampleRepeat, sampleFixedN,
     sampleWeighted, sampleDomainCap, sampleDsir, sampleTopQuantile,
+    sampleTopQuantileBy,
     statsRollup, statsCorr, statsWinsorize, topkPerGroup, shardManifest, packSequences)
 }

@@ -193,6 +193,29 @@ object Sampling {
       .drop("__n")
   }
 
+  /** Per-group top-quantile selection — "keep each domain's best
+    * (1−q) share by score" (per-language/per-source quality floors;
+    * a GLOBAL floor over-prunes weak domains and under-prunes strong
+    * ones). Thresholds come from the portable grouped histogram
+    * sketch ([[Sketches.histogramQuantilesBy]]): one partial-agg'd
+    * pass builds groups×nBuckets integer registers, the interpolated
+    * per-group quantile broadcasts back (the threshold table is
+    * group-cardinality-sized), and the keep filter is one more scan —
+    * no driver round-trip, no data-sized shuffle, and the identical
+    * integer registers make the kept set engine-exact. Returns the
+    * surviving rows plus their group's `threshold`. */
+  def topQuantileByGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                         q: Double, lo: Double, hi: Double,
+                         nBuckets: Int): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"bad quantile $q")
+    val th = Sketches.histogramQuantilesBy(df, col(groupCol),
+        col(scoreCol), lo, hi, nBuckets, Seq(q))
+      .select(col("grp").as(groupCol),
+        col(s"p${(q * 100).round}").as("threshold"))
+    df.join(broadcast(th), Seq(groupCol))
+      .where(col(scoreCol) >= col("threshold"))
+  }
+
   /** DuckDB form of [[repeatFactorSample]]'s salted fractional draw. */
   def RepeatDrawSql(idCol: String): String =
     s"(${TextAnalysis.TokenHashSql(s"CAST($idCol AS VARCHAR) || '#rep'")} " +
