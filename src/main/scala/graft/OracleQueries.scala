@@ -263,6 +263,35 @@ object OracleQueries {
       (col("a_u2") / lit(2.0)) * (col("b_u2") / lit(2.0)),
     "(a.u1/2.0)*(b.u1/2.0) + (a.u2/2.0)*(b.u2/2.0)", "avg_k")
 
+  // √5 as the same double literal on both engines (Kernels
+  // .UnitMatern52 semantics: r = sqrt(sqdist + 1e-12))
+  private val Sqrt5 = math.sqrt(5.0)
+  private val kernMatern52 = kernQ("q_kern_matern52", {
+    val a = lit(Sqrt5) * sqrt(sqdistCol(1.0) + lit(1e-12))
+    (lit(1.0) + a + a * a / lit(3.0)) * exp(-a)
+  }, s"(1.0 + $Sqrt5 * sqrt(${sqdistSql("-")} + 1e-12) + " +
+    s"pow($Sqrt5 * sqrt(${sqdistSql("-")} + 1e-12), 2) / 3.0) * " +
+    s"exp(-$Sqrt5 * sqrt(${sqdistSql("-")} + 1e-12))", "avg_k")
+
+  // Rational quadratic at α = 1.5 (Kernels.UnitRQ semantics)
+  private val RqAlpha = 1.5
+  private val kernRq = kernQ("q_kern_rq",
+    pow(lit(1.0) + sqdistCol(1.0) / lit(2.0 * RqAlpha), lit(-RqAlpha)),
+    s"pow(1.0 + (${sqdistSql("-")}) / ${2.0 * RqAlpha}, -$RqAlpha)",
+    "avg_k")
+
+  // Periodic kernel (MacKay): raw coordinate differences through the
+  // sin warp, period 3, ℓ = 1.5; π inlined as the same double literal
+  private val PerP = 3.0
+  private val PerEll = 1.5
+  private val kernPeriodic = kernQ("q_kern_periodic", {
+    val s1 = sin(lit(math.Pi) * (col("a_u1") - col("b_u1")) / lit(PerP))
+    val s2 = sin(lit(math.Pi) * (col("a_u2") - col("b_u2")) / lit(PerP))
+    exp(lit(-2.0) * (s1 * s1 + s2 * s2) / lit(PerEll * PerEll))
+  }, s"exp(-2.0 * (pow(sin(${math.Pi} * (a.u1 - b.u1) / $PerP), 2) + " +
+    s"pow(sin(${math.Pi} * (a.u2 - b.u2) / $PerP), 2)) / " +
+    s"${PerEll * PerEll})", "avg_k")
+
   private val kernCsymDiag = Q("q_kern_csym_diag",
     (s, d) => supPoints(s, d, "a")
       .groupBy(col("a_nat").as("s_nationkey"))
@@ -406,7 +435,8 @@ object OracleQueries {
     transExp, transLog1pe, transLogistic,
     logjacExp, logjacLog1pe, logjacLogistic,
     lse, clipQ,
-    kernSqdist, kernRbf, kernCsym, kernMatern32, kernLinear, kernCsymDiag, gpNystrom,
+    kernSqdist, kernRbf, kernCsym, kernMatern32, kernMatern52, kernRq,
+    kernPeriodic, kernLinear, kernCsymDiag, gpNystrom,
     klDiagNormal, mvnLogp, modelLoglik, densHierJoin, splitCount)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -111,6 +111,61 @@ object Kernels {
       DenseVector.ones[Double](x.rows)
   }
 
+  /** Matérn-5/2: K = (1 + √5·r + 5r²/3)·exp(−√5·r) — the default
+    * kernel of much applied-GP practice (twice-differentiable sample
+    * paths: smoother than Matérn-3/2, rougher than RBF). BEYOND the
+    * reference's kernel surface; drop-in [[Kernel]] like
+    * [[UnitMatern32]]. */
+  final case class UnitMatern52(
+      lengthscales: DenseVector[Double] = DenseVector(1.0))
+      extends LengthscaleKernel {
+    def k(x: DenseMatrix[Double], x2: DenseMatrix[Double]): DenseMatrix[Double] =
+      euclidDist(x, x2).map { r =>
+        val a = math.sqrt(5.0) * r
+        (1.0 + a + a * a / 3.0) * math.exp(-a)
+      }
+    def kdiag(x: DenseMatrix[Double]): DenseVector[Double] =
+      DenseVector.ones[Double](x.rows)
+  }
+
+  /** Rational quadratic: K = (1 + ‖x/ℓ − x2/ℓ‖²/(2α))^(−α) — a scale
+    * mixture of RBFs over lengthscales (gamma-distributed inverse
+    * squared ℓ), recovering the RBF as α → ∞. The kernel for data
+    * with structure at SEVERAL lengthscales. BEYOND the reference's
+    * kernel surface; drop-in [[Kernel]]. */
+  final case class UnitRQ(alpha: Double,
+                          lengthscales: DenseVector[Double] = DenseVector(1.0))
+      extends LengthscaleKernel {
+    require(alpha > 0.0, s"RQ alpha must be > 0, got $alpha")
+    def k(x: DenseMatrix[Double], x2: DenseMatrix[Double]): DenseMatrix[Double] =
+      squareDist(x, x2).map(d => math.pow(1.0 + d / (2.0 * alpha), -alpha))
+    def kdiag(x: DenseMatrix[Double]): DenseVector[Double] =
+      DenseVector.ones[Double](x.rows)
+  }
+
+  /** Exactly-periodic kernel (MacKay 1998): K = exp(−2 Σ_d
+    * sin²(π(x_d − x2_d)/p) / ℓ²) — sample paths repeat with period p
+    * in every input dimension; multiply by an RBF ([[Product]]) for
+    * the locally-periodic composite. NOT a [[LengthscaleKernel]]: the
+    * sin warp must see RAW coordinate differences, so ℓ divides the
+    * warped feature, never the inputs. BEYOND the reference's kernel
+    * surface; drop-in [[Kernel]]. */
+  final case class UnitPeriodic(period: Double, ell: Double = 1.0)
+      extends Kernel {
+    require(period > 0.0 && ell > 0.0, s"bad periodic($period, $ell)")
+    def k(x: DenseMatrix[Double], x2: DenseMatrix[Double]): DenseMatrix[Double] =
+      DenseMatrix.tabulate(x.rows, x2.rows) { (i, j) =>
+        var s = 0.0; var c = 0
+        while (c < x.cols) {
+          val sn = math.sin(math.Pi * (x(i, c) - x2(j, c)) / period)
+          s += sn * sn; c += 1
+        }
+        math.exp(-2.0 * s / (ell * ell))
+      }
+    def kdiag(x: DenseMatrix[Double]): DenseVector[Double] =
+      DenseVector.ones[Double](x.rows)
+  }
+
   /** Cylindrically-symmetric RBF: K(x,x2) + K(x,−x2); Kdiag =
     * 1 + exp(−2‖x/ℓ‖²) (reference `UnitCsymRBF`,
     * `gp/kernels.py:113-131`). */

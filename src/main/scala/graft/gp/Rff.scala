@@ -99,6 +99,31 @@ object Rff {
     (w, b)
   }
 
+  /** Matérn-5/2 spectral frequencies: same Student-t construction as
+    * [[frequenciesMatern32]] with 2ν = 5 — five squared normals per
+    * feature row, ωⱼ = zⱼ·√(5/u). The smoother Matérn becomes a pure
+    * map under the identical φ/estimator. */
+  def frequenciesMatern52(dims: Int, nFeatures: Int,
+                          lengthscales: DenseVector[Double] = DenseVector(1.0),
+                          seed: Long = 7L): (DenseMatrix[Double], DenseVector[Double]) = {
+    val l = lengthscales
+    require(l.length == 1 || l.length == dims,
+      s"ARD lengthscale dim ${l.length} != $dims")
+    val chiSeed = seed + 0xc2b2ae3d27d4eb4fL
+    val w = DenseMatrix.tabulate(nFeatures, dims) { (j, k) =>
+      var u = 0.0
+      var t = 0
+      while (t < 5) {
+        val z = gauss(chiSeed, j.toLong * 5 + t); u += z * z; t += 1
+      }
+      gauss(seed, j.toLong * dims + k) * math.sqrt(5.0 / u) /
+        (if (l.length == 1) l(0) else l(k))
+    }
+    val b = DenseVector.tabulate(nFeatures)(j =>
+      2.0 * math.Pi * u01(seed + 0x5851f42d4c957f2dL, j))
+    (w, b)
+  }
+
   /** Driver/Breeze feature map φ(X) [n, D] — the per-row arithmetic
     * (forward-order dot, then cos) is IDENTICAL to the Spark kernel
     * and the DuckDB comprehension, so all three agree bit-for-bit. */

@@ -91,6 +91,108 @@ class GpSpec extends AnyFunSuite {
     s.foreachValue(v => assert(!v.isNaN && !v.isInfinite))
   }
 
+  test("UnitMatern52 matches the naive oracle, reconstructs through " +
+    "Cholesky, and orders between Matern32 and RBF off the diagonal") {
+    val x = randn(5, 2); val x2 = randn(6, 2)
+    val l = DenseVector(0.9)
+    val kern = Kernels.UnitMatern52(l)
+    val got = kern.k(x, x2)
+    (0 until 5).foreach(i => (0 until 6).foreach { j =>
+      val r = math.sqrt((0 until 2).map(c =>
+        math.pow((x(i, c) - x2(j, c)) / l(0), 2)).sum + 1e-12)
+      val a = math.sqrt(5.0) * r
+      val want = (1.0 + a + a * a / 3.0) * math.exp(-a)
+      assert(math.abs(got(i, j) - want) < 1e-10)
+    })
+    assert(kern.kdiag(x) == DenseVector.ones[Double](5))
+    val k9 = randn(9, 2)
+    val lo = kern.choleskyK(k9)
+    val rec = lo * lo.t
+    val kk = kern.k(k9)
+    (0 until 9).foreach(i => (0 until 9).foreach { j =>
+      val want = kk(i, j) + (if (i == j) Kernels.JitterLevel else 0.0)
+      assert(math.abs(rec(i, j) - want) < 1e-9)
+    })
+    // smoothness ordering NEAR ZERO: M32 <= M52 <= RBF for small r
+    // (greater curvature at the origin = smoother paths; at LARGE r
+    // the Matérns' heavier tails overtake the RBF, so the ordering is
+    // local, not global)
+    val a0 = DenseMatrix.zeros[Double](1, 1)
+    Seq(0.1, 0.3, 0.5).foreach { r =>
+      val b0 = DenseMatrix((r))
+      val one = DenseVector(1.0)
+      val vM32 = Kernels.UnitMatern32(one).k(a0, b0)(0, 0)
+      val vM52 = Kernels.UnitMatern52(one).k(a0, b0)(0, 0)
+      val vRbf = Kernels.UnitRBF(one).k(a0, b0)(0, 0)
+      assert(vM32 <= vM52 + 1e-12 && vM52 <= vRbf + 1e-12,
+        s"small-r smoothness order broken at r=$r: $vM32 $vM52 $vRbf")
+    }
+  }
+
+  test("UnitRQ matches the naive oracle, is a kernel (LLT = K), and " +
+    "converges to the RBF as alpha grows") {
+    val x = randn(5, 2); val x2 = randn(6, 2)
+    val l = DenseVector(1.3)
+    val rq = Kernels.UnitRQ(1.5, l)
+    val got = rq.k(x, x2)
+    (0 until 5).foreach(i => (0 until 6).foreach { j =>
+      val d = (0 until 2).map(c =>
+        math.pow((x(i, c) - x2(j, c)) / l(0), 2)).sum
+      assert(math.abs(got(i, j) - math.pow(1.0 + d / 3.0, -1.5)) < 1e-10)
+    })
+    assert(rq.kdiag(x) == DenseVector.ones[Double](5))
+    val k9 = randn(9, 2)
+    val lo = rq.choleskyK(k9)
+    val rec = lo * lo.t
+    val kk = rq.k(k9)
+    (0 until 9).foreach(i => (0 until 9).foreach { j =>
+      val want = kk(i, j) + (if (i == j) Kernels.JitterLevel else 0.0)
+      assert(math.abs(rec(i, j) - want) < 1e-9)
+    })
+    // scale-mixture limit: alpha -> inf recovers exp(-d/2)
+    val rbf = Kernels.UnitRBF(l).k(x, x2)
+    val big = Kernels.UnitRQ(1e6, l).k(x, x2)
+    (0 until 5).foreach(i => (0 until 6).foreach { j =>
+      assert(math.abs(big(i, j) - rbf(i, j)) < 1e-4,
+        s"RQ(1e6) should match RBF at ($i,$j)")
+    })
+  }
+
+  test("UnitPeriodic: exact period-p invariance, naive oracle, PSD " +
+    "through Cholesky, locally-periodic Product composite") {
+    val p = 3.0; val ell = 1.5
+    val kern = Kernels.UnitPeriodic(p, ell)
+    val x = randn(5, 2); val x2 = randn(6, 2)
+    val got = kern.k(x, x2)
+    (0 until 5).foreach(i => (0 until 6).foreach { j =>
+      val s = (0 until 2).map { c =>
+        val sn = math.sin(math.Pi * (x(i, c) - x2(j, c)) / p); sn * sn
+      }.sum
+      assert(math.abs(got(i, j) - math.exp(-2.0 * s / (ell * ell))) < 1e-12)
+    })
+    // shifting any point by the period leaves the gram unchanged
+    val shifted = x2.copy
+    (0 until shifted.rows).foreach(i => shifted(i, 0) += p)
+    val gotShift = kern.k(x, shifted)
+    (0 until 5).foreach(i => (0 until 6).foreach { j =>
+      assert(math.abs(got(i, j) - gotShift(i, j)) < 1e-12,
+        "period-p shift must be invisible")
+    })
+    assert(kern.kdiag(x) == DenseVector.ones[Double](5))
+    val k9 = randn(9, 2)
+    val lo = kern.choleskyK(k9)
+    val rec = lo * lo.t
+    val kk = kern.k(k9)
+    (0 until 9).foreach(i => (0 until 9).foreach { j =>
+      val want = kk(i, j) + (if (i == j) Kernels.JitterLevel else 0.0)
+      assert(math.abs(rec(i, j) - want) < 1e-9)
+    })
+    // the standard locally-periodic composite drives Cholesky too
+    val lp = Kernels.Product(Seq(kern, Kernels.UnitRBF(DenseVector(2.0))))
+    lp.choleskyK(randn(9, 2)).foreachValue(v =>
+      assert(!v.isNaN && !v.isInfinite))
+  }
+
   test("UnitLinear = (x/l)·(x2/l)T; kdiag = diagonal of the gram") {
     val x = randn(5, 2); val x2 = randn(6, 2)
     val l = DenseVector(0.7, 1.4)

@@ -105,6 +105,22 @@ class RffSpec extends AnyFunSuite {
     assert(m < 0.12, s"Matern RFF max err $m")
   }
 
+  test("Matern-5/2 spectral frequencies: phi-phi approximates the " +
+    "UnitMatern52 gram at D=4096 and the t-law is deterministic") {
+    val x = randn(20, 2)
+    val kern = Kernels.UnitMatern52(DenseVector(1.1))
+    val want = kern.k(x)
+    val (w, b) = Rff.frequenciesMatern52(2, 4096, DenseVector(1.1), seed = 23L)
+    val (w2, _) = Rff.frequenciesMatern52(2, 4096, DenseVector(1.1), seed = 23L)
+    assert(w == w2)
+    val phi = Rff.featureMap(x, w, b)
+    val got = phi * phi.t
+    var m = 0.0
+    (0 until 20).foreach(i => (0 until 20).foreach(j =>
+      m = math.max(m, math.abs(got(i, j) - want(i, j)))))
+    assert(m < 0.12, s"Matern-5/2 RFF max err $m")
+  }
+
   test("trainLengthscale: log-ell learns through the cos tape — " +
     "shrinks from a too-smooth init and beats the frozen fit") {
     val spark = SparkTestSession.spark
