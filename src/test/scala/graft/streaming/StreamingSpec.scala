@@ -412,6 +412,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("streaming Count-Min maintenance: the batch cmsBuild plan run " +
+    "as a stateful aggregation (Complete mode, state = touched cells " +
+    "<= depth*width) equals the batch cell table bit for bit, and " +
+    "point estimates never underestimate") {
+    import graft.ops.Sketches
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    // the SAME composable plan is the streaming sketch: posexplode is
+    // a stateless map, the cell groupBy is Spark's incremental
+    // stateful aggregation — no custom state code at all
+    val out = Sketches.cmsBuild(stream, col("lang"), depth = 4,
+      width = 64)
+    StreamingOps.runToMemorySink(out, "cms_stream",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = canon(spark.table("cms_stream"))
+    val want = canon(Sketches.cmsBuild(docs, col("lang"), depth = 4,
+      width = 64))
+    assert(got == want, "streaming CMS cells must equal batch cells")
+    assert(got.size <= 4 * 64, "state must stay sketch-bounded")
+    // probe through the STREAM-built sketch: CMS never underestimates
+    val sketch = spark.table("cms_stream")
+    val truth = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = Sketches.cmsEstimate(docs.select("lang").distinct(),
+        "lang", sketch, depth = 4, width = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (k, n) =>
+      assert(est(k) >= n, s"CMS underestimated $k: ${est(k)} < $n")
+    }
+  }
+
   test("capPerKey admits at most cap rows per key (bounded counter " +
     "state), and admitted rows are real members of the key") {
     import spark.implicits._
