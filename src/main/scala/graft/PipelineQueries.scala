@@ -358,6 +358,88 @@ object PipelineQueries {
       "CAST(sum(CASE WHEN j >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups, " +
       "round(avg(j), 5) AS avg_j FROM jj")
 
+  /** Fixture for containment: a 60-word page, an 18-word excerpt of
+    * its middle (offset 7 — deliberately NOT a multiple of any chunk
+    * width; J = 16/58 ≈ 0.28, far below any symmetric-dup threshold),
+    * and an unrelated page. Words are corpus-foreign so their grams
+    * are rare by construction. */
+  private val ContainWords = (1 to 60).map(i => f"contword$i%02d")
+  private val ContainRows: Seq[(Long, String)] = Seq(
+    (940001L, ContainWords.mkString(" ")),
+    (940002L, ContainWords.slice(7, 25).mkString(" ")),
+    (940003L, (1 to 20).map(i => f"otherword$i%02d").mkString(" ")))
+
+  private val ContainMaxDf = 20
+  private val ContainMinShared = 2
+
+  /** Containment (excerpt/superset) detection: rare-n-gram blocking
+    * pairs + exact asymmetric re-score. The excerpt fixture pair MUST
+    * surface with cmax = 1 while its Jaccard stays low — the pair
+    * class MinHash LSH provably misses (q_dedup_ngram_jaccard's
+    * candidate source finds 0 such pairs). */
+  private val dedupContainment = Q("q_dedup_containment",
+    (s, d) => {
+      import s.implicits._
+      val all = docs(s, d).select("doc_id", "text")
+        .unionByName(ContainRows.toDF("doc_id", "text"))
+      val pairs = Dedup.containmentPairs(all, "text", "doc_id",
+        n = 3, maxDf = ContainMaxDf, minShared = ContainMinShared)
+      val txt = all.select(col("doc_id"), col("text"))
+      val scored = pairs
+        .join(txt.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
+        .join(txt.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          Dedup.ngramJaccard(col("ta"), col("tb"), 3).as("j"),
+          Dedup.ngramContainmentMax(col("ta"), col("tb"), 3).as("cmax"))
+      scored.agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("cmax") >= 0.9, 1L).otherwise(0L)).as("n_contained"),
+        sum(when(col("cmax") >= 0.9 && col("j") < 0.4, 1L).otherwise(0L))
+          .as("n_asym"),
+        sum(when(col("cmax") >= 0.9 && col("j") < 0.4,
+          col("id_a") + col("id_b")).otherwise(0L)).as("asym_ids"),
+        round(avg(col("cmax")), 5).as("avg_cmax"))
+    },
+    {
+      val vals = ContainRows.map { case (id, t) => s"($id, '$t')" }
+        .mkString(", ")
+      val fp3 = s"((hl[i] * 31 + hl[i+1]) % ${Dedup.NgramFpMod} * 31 " +
+        s"+ hl[i+2]) % ${Dedup.NgramFpMod}"
+      s"WITH alldocs AS (SELECT doc_id, text FROM documents " +
+        s"UNION ALL SELECT * FROM (VALUES $vals) AS v(doc_id, text)), " +
+        "t AS (SELECT doc_id, text, " +
+        s"[${TextAnalysis.TokenHashSql("w")} % ${Dedup.NgramFpMod} " +
+        "for w in string_split(text, ' ')] AS hl FROM alldocs), " +
+        "g AS (SELECT doc_id, unnest(list_distinct(" +
+        s"[$fp3 for i in range(1, len(hl) - 1)])) AS gr FROM t), " +
+        "cnt AS (SELECT gr, count(*) AS df FROM g GROUP BY gr), " +
+        "rare AS (SELECT g.doc_id, g.gr FROM g JOIN cnt USING (gr) " +
+        s"WHERE cnt.df >= 2 AND cnt.df <= $ContainMaxDf), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM rare a JOIN rare b ON a.gr = b.gr " +
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2 " +
+        s"HAVING count(*) >= $ContainMinShared), " +
+        "gs AS (SELECT doc_id, list_distinct(" +
+        "[ws[i] || '_' || ws[i+1] || '_' || ws[i+2] " +
+        "for i in range(1, len(ws) - 1)]) AS gr " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS ws " +
+        "FROM alldocs)), " +
+        "jj AS (SELECT id_a, id_b, " +
+        "len(list_intersect(a.gr, b.gr))::DOUBLE / " +
+        "len(list_distinct(list_concat(a.gr, b.gr)))::DOUBLE AS j, " +
+        "len(list_intersect(a.gr, b.gr))::DOUBLE / " +
+        "least(len(a.gr), len(b.gr))::DOUBLE AS cmax " +
+        "FROM pairs JOIN gs a ON pairs.id_a = a.doc_id " +
+        "JOIN gs b ON pairs.id_b = b.doc_id) " +
+        "SELECT count(*) AS n_pairs, " +
+        "CAST(sum(CASE WHEN cmax >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_contained, " +
+        "CAST(sum(CASE WHEN cmax >= 0.9 AND j < 0.4 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_asym, " +
+        "CAST(sum(CASE WHEN cmax >= 0.9 AND j < 0.4 " +
+        "THEN id_a + id_b ELSE 0 END) AS BIGINT) AS asym_ids, " +
+        "round(avg(cmax), 5) AS avg_cmax FROM jj"
+    })
+
   // ------------------------------------------------- similarity search
 
   private def dotSql(a: String, b: String): String =
@@ -2805,6 +2887,7 @@ object PipelineQueries {
     dedupExact, dedupMinhash, dedupMinhashCapped, dedupMinhashGroups,
     dedupClusters, dedupCanonical, dedupSimhash, dedupNgram,
     dedupIncremental, dedupIncrementalNear, dedupBloom, dedupSpans,
+    dedupContainment,
     embedTop1, embedTopK, embedAnnLsh, embedLshSized, embedAnnTop1,
     embedNearDup, embedNearDupCapped, embedClusters, embedTriplets, embedIvf, embedIvfMp,
     embedKmeans, embedCovariance, embedOutliers, gpRff,

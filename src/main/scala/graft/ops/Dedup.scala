@@ -723,6 +723,58 @@ object Dedup {
       size(array_union(ga, gb)).cast("double")
   }
 
+  /** Asymmetric n-gram containment C(A→B) = |g(A) ∩ g(B)| / |g(A)| —
+    * near 1 when A is an EXCERPT of B however long B is, which
+    * symmetric Jaccard misses (a paragraph quoted inside a book pair
+    * scores J ≈ |A|/|B| ≈ 0). The sub/superset-duplicate detector;
+    * score over candidate pairs, never all-pairs. */
+  def ngramContainment(textA: Column, textB: Column, n: Int): Column = {
+    val (ga, gb) = (array_distinct(wordNgrams(textA, n)),
+      array_distinct(wordNgrams(textB, n)))
+    size(array_intersect(ga, gb)).cast("double") / size(ga).cast("double")
+  }
+
+  /** Symmetric containment max(C(A→B), C(B→A)) = |∩| / min(|g(A)|,
+    * |g(B)|) — "the smaller doc is this contained in the larger". */
+  def ngramContainmentMax(textA: Column, textB: Column, n: Int): Column = {
+    val (ga, gb) = (array_distinct(wordNgrams(textA, n)),
+      array_distinct(wordNgrams(textB, n)))
+    size(array_intersect(ga, gb)).cast("double") /
+      least(size(ga), size(gb)).cast("double")
+  }
+
+  /** Candidate pairs for CONTAINMENT (excerpt/superset) detection by
+    * rare-n-gram blocking: docs sharing ≥ `minShared` n-gram
+    * fingerprints of document frequency 2..`maxDf`. MinHash-LSH
+    * cannot surface excerpt pairs (an excerpt of a much longer doc
+    * has LOW Jaccard, so no band collides — measured 0 asymmetric
+    * pairs on the test corpus); OVERLAPPING n-gram fingerprints match
+    * at any token offset, and restricting the blocking join to
+    * RARE grams bounds it: each gram with df ≤ m yields ≤ m²/2 pairs,
+    * so the join is Σ_rare df² ≤ maxDf·Σ df — linear in corpus gram
+    * mass with a constant-factor cap, never all-pairs (common-phrase
+    * grams with df > maxDf are exactly the ones that would go
+    * quadratic, and they carry no pair-specific signal). The
+    * candidates then feed [[ngramContainmentMax]] for the exact
+    * re-score, candidates-only like every verify stage here. */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       n: Int = 3, maxDf: Int = 20,
+                       minShared: Int = 2): DataFrame = {
+    require(maxDf >= 2 && minShared >= 1, s"bad ($maxDf, $minShared)")
+    val grams = df.select(col(idCol),
+      explode(TextHashExpressions.ngramFps(col(textCol), n)).as("g"))
+    val dfreq = grams.groupBy("g").agg(count(lit(1)).as("__df"))
+    val rare = grams.join(
+      dfreq.where(col("__df") >= 2 && col("__df") <= maxDf), "g")
+    rare.select(col("g"), col(idCol).as("id_a"))
+      .join(rare.select(col("g"), col(idCol).as("id_b")), "g")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      // fingerprints are distinct per doc, so count = distinct grams
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Canonical selection: keep the BEST member of each duplicate
     * cluster rather than the min-id one — the production rule
     * ("longest/highest-quality copy wins"). `scoreCol` ranks members

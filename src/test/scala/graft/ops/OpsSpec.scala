@@ -46,6 +46,44 @@ class OpsSpec extends AnyFunSuite {
     assert(exactPairs.forall(_._3 == 1.0))
   }
 
+  test("containmentPairs surfaces an excerpt pair that MinHash LSH " +
+    "misses, and the rare-gram df cap keeps common phrases out of " +
+    "the blocking join") {
+    val words = (1 to 60).map(i => f"cw$i%02d")
+    val base = (0 until 30).map(i =>
+      (i.toLong, s"filler doc number $i with its own body text " +
+        (1 to 10).map(k => s"w${i}_$k").mkString(" ")))
+    val rows = base ++ Seq(
+      (9001L, words.mkString(" ")),                 // the long page
+      (9002L, words.slice(7, 25).mkString(" ")))    // its excerpt
+    val df = rows.toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(df, "text", "doc_id",
+        n = 3, maxDf = 10, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((9001L, 9002L)), "excerpt pair must block")
+    // the shared 'filler doc number' prefix grams appear in 30 docs —
+    // over maxDf, so they cannot glue unrelated filler docs together
+    assert(pairs.forall { case (a, b) => (a, b) == ((9001L, 9002L)) },
+      s"common-phrase grams leaked pairs: $pairs")
+    // MinHash LSH on the same data does NOT surface the excerpt pair
+    val mh = Dedup.minhashCandidates(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!mh.contains((9001L, 9002L)),
+      "if LSH caught the excerpt, this fixture stopped demonstrating " +
+        "the containment gap — rebuild it")
+    // exact asymmetric re-score: contained fully, low Jaccard
+    val scored = df.select(lit(1).as("k"), col("doc_id"), col("text"))
+    val a = scored.where(col("doc_id") === 9001L)
+      .select(col("text").as("ta"))
+    val b = scored.where(col("doc_id") === 9002L)
+      .select(col("text").as("tb"))
+    val r = a.crossJoin(b).select(
+      Dedup.ngramContainmentMax(col("ta"), col("tb"), 3).as("cmax"),
+      Dedup.ngramJaccard(col("ta"), col("tb"), 3).as("j")).head
+    assert(r.getDouble(0) == 1.0, s"excerpt containment ${r.getDouble(0)}")
+    assert(r.getDouble(1) < 0.3, s"jaccard ${r.getDouble(1)} not low")
+  }
+
   test("simhash of near-identical docs is close in hamming distance") {
     val sims = Dedup.simhash16(docsWithDups, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
