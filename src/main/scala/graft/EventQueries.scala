@@ -264,7 +264,25 @@ object EventQueries {
       "count(*) AS n_active FROM act JOIN c USING (user_id) " +
       "GROUP BY c.cohort, act.p - c.cohort ORDER BY cohort, wk_offset")
 
+  /** Next-event transition matrix: counts + row-normalized
+    * probabilities of event_type → next event_type per user stream.
+    * The DuckDB side is an independent lead()-window formulation at
+    * the shared µs timestamp grain ((user, ts) is unique at µs in
+    * this data, so the order — and the matrix — is engine-exact). */
+  private val eventsTransitions = Q("q_events_transitions",
+    (s, d) => Events.transitions(events(s, d), "user_id", "ts",
+        "event_id", "event_type")
+      .orderBy("from_type", "to_type"),
+    "WITH o AS (SELECT user_id, event_type, " +
+      "lead(event_type) OVER (PARTITION BY user_id " +
+      "ORDER BY epoch_ns(ts), event_id) AS nxt FROM events), " +
+      "m AS (SELECT event_type AS from_type, nxt AS to_type, " +
+      "count(*) AS n FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2) " +
+      "SELECT from_type, to_type, n, " +
+      "round(n::DOUBLE / (sum(n) OVER (PARTITION BY from_type))::DOUBLE," +
+      " 5) AS p FROM m ORDER BY from_type, to_type")
+
   val all: Vector[Q] = Vector(eventsAsof, eventsSessionize, eventsProps,
     eventsRange, eventsZorder, eventsWindow, eventsFunnel,
-    eventsRetention)
+    eventsRetention, eventsTransitions)
 }

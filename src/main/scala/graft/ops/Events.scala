@@ -204,4 +204,33 @@ object Events {
     df.groupBy(ws +: keyCols.map(col): _*)
       .agg(count(lit(1)).as("n"), sum(value).as("sum_value"))
   }
+
+  /** First-order (Markov) next-event transition matrix: counts and
+    * row-normalized probabilities of `typeCol` → next `typeCol` in
+    * each key's time-ordered stream (the "what do users do after X"
+    * product-analytics staple, and the transition model behind
+    * session-based recommenders). One row per observed (from, to).
+    *
+    * Scale shape: ONE exchange+sort on the high-cardinality key for
+    * the `lead` (the same honest per-key-sequential shape as
+    * [[sessionize]] — a key's stream is ordered BY DEFINITION), then
+    * a hash aggregate onto the (from, to) grain, which is
+    * k²-bounded — KBs for any corpus. The row normalization runs
+    * over the k²-row MATRIX, never the data. Ties in `tsCol` break
+    * by `seqCol` so the order — and therefore the matrix — is a pure
+    * function of the data. */
+  def transitions(df: DataFrame, keyCol: String, tsCol: String,
+                  seqCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(seqCol))
+    val counts = df
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .where(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wFrom = Window.partitionBy("from_type")
+    counts.withColumn("p",
+      round(col("n").cast("double") /
+        sum(col("n")).over(wFrom).cast("double"), 5))
+  }
 }
