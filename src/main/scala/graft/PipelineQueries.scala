@@ -2363,6 +2363,64 @@ object PipelineQueries {
       "CAST(max(epoch) AS BIGINT) AS max_epoch " +
       "FROM e GROUP BY source ORDER BY source")
 
+  /** Corpus snapshot diff: the "new" snapshot is derived from the old
+    * one by deterministic hash classes — drop draws < 0.1 (removed),
+    * append ' edited' for draws in [0.1, 0.2) (changed), re-id draws
+    * ≥ 0.9 as fresh docs (added) — so both engines construct the
+    * identical pair of snapshots and the release manifest (counts AND
+    * per-status id checksums) must match exactly. */
+  private val pipelineDiff = Q("q_pipeline_diff",
+    (s, d) => {
+      val d0 = docs(s, d).select("doc_id", "text", "source")
+      val draw = Sampling.hashFraction(col("doc_id"))
+      val kept = d0.where(draw >= 0.1)
+        .withColumn("text", when(draw < 0.2,
+          concat(col("text"), lit(" edited"))).otherwise(col("text")))
+      val added = d0.where(draw >= 0.9)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+          col("source"))
+      val diff = graft.ops.Diff.corpusDiff(d0, kept.unionByName(added),
+        "doc_id", "text", "source")
+      graft.ops.Diff.diffManifest(diff, "doc_id", "source")
+        .orderBy("source")
+    }, {
+      val draw = Sampling.HashFractionSql("doc_id")
+      s"WITH o AS (SELECT doc_id, text, source FROM documents), " +
+        s"w AS (SELECT doc_id, text, source, $draw AS draw FROM documents), " +
+        "n AS (SELECT doc_id, CASE WHEN draw < 0.2 " +
+        "THEN text || ' edited' ELSE text END AS text, source " +
+        "FROM w WHERE draw >= 0.1 " +
+        "UNION ALL SELECT doc_id + 10000000, text, source " +
+        "FROM w WHERE draw >= 0.9), " +
+        s"fo AS (SELECT doc_id, ${TextAnalysis.TokenHashSql("text")} " +
+        "AS fp_old, source AS meta_old FROM o), " +
+        s"fn AS (SELECT doc_id, ${TextAnalysis.TokenHashSql("text")} " +
+        "AS fp_new, source AS meta_new FROM n), " +
+        "dj AS (SELECT coalesce(fo.doc_id, fn.doc_id) AS doc_id, " +
+        "CASE WHEN fp_old IS NULL THEN 'added' " +
+        "WHEN fp_new IS NULL THEN 'removed' " +
+        "WHEN fp_old = fp_new THEN 'unchanged' " +
+        "ELSE 'changed' END AS status, " +
+        "coalesce(meta_new, meta_old) AS source " +
+        "FROM fo FULL OUTER JOIN fn ON fo.doc_id = fn.doc_id) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_added, " +
+        "CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_removed, " +
+        "CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_changed, " +
+        "CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_unchanged, " +
+        "CAST(sum(CASE WHEN status = 'added' THEN doc_id ELSE 0 END) " +
+        "AS BIGINT) AS added_ids, " +
+        "CAST(sum(CASE WHEN status = 'removed' THEN doc_id ELSE 0 END) " +
+        "AS BIGINT) AS removed_ids, " +
+        "CAST(sum(CASE WHEN status = 'changed' THEN doc_id ELSE 0 END) " +
+        "AS BIGINT) AS changed_ids " +
+        "FROM dj GROUP BY source ORDER BY source"
+    })
+
   private val PackWindow = 128
   private val PackShards = 4
 
@@ -2898,7 +2956,7 @@ object PipelineQueries {
     textPerplexity, textBm25, textPii, textContamination, sketchHll,
     sketchHllBy, sketchCms, sketchQuantile, sketchQuantileBy,
     textDupNgrams, qualityGopher, multimodalMeta, curation, trainMix,
-    pipelineModern,
+    pipelineModern, pipelineDiff,
     sampleStratified, sampleTemperature, sampleRepeat, sampleFixedN,
     sampleWeighted, sampleDomainCap, sampleDsir, sampleTopQuantile,
     sampleTopQuantileBy,
