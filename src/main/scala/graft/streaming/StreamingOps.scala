@@ -238,6 +238,59 @@ object StreamingOps {
     nBatches.get()
   }
 
+  /** Streaming k-means maintenance (mini-batch k-means, Sculley 2010,
+    * with EXACT registers): per-cell (count, per-dim int64 fixed-point
+    * sum) state lives on the driver (k·d longs — model-sized), each
+    * micro-batch contributes ONE assignment scan + ONE hash aggregate
+    * of batch registers, merged cell-wise. Because the registers are
+    * exact integers, frozen-centroid accumulation over any
+    * micro-batch split equals the batch single-round registers BIT
+    * FOR BIT (order-independence is the whole point of the
+    * fixed-point trick); with `updateCentroids = true` the centroids
+    * refresh after every batch — the online quantizer that tracks a
+    * drifting stream. Returns (final centroids, per-cell counts,
+    * micro-batches processed). */
+  def streamingKmeans(stream: DataFrame, idCol: String, embCol: String,
+                      init: Array[(Long, Seq[Double])],
+                      updateCentroids: Boolean = false)
+      : (Array[(Long, Seq[Double])], Map[Long, Long], Long) = {
+    import graft.ops.Similarity
+    require(init.nonEmpty)
+    val dim = init.head._2.length
+    val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val state = scala.collection.mutable.Map[Long, (Long, Array[Long])]()
+    @volatile var cur = init
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cells = Similarity.cellAssignments(batch, idCol, embCol, cur)
+        val aggs = count(lit(1)).as("n") +: (0 until dim).map(i =>
+          sum(round(element_at(col(embCol), i + 1).cast("double") *
+            lit(Similarity.KmeansFxScale)).cast("long")).as(s"s$i"))
+        cells.groupBy("cell").agg(aggs.head, aggs.tail: _*)
+          .collect().foreach { r =>
+            val cid = r.getLong(0)
+            val (n0, s0) = state.getOrElse(cid, (0L, new Array[Long](dim)))
+            val s1 = s0.clone()
+            (0 until dim).foreach(i => s1(i) += r.getLong(2 + i))
+            state.update(cid, (n0 + r.getLong(1), s1))
+          }
+        if (updateCentroids)
+          cur = state.toArray.sortBy(_._1).map { case (cid, (n, s)) =>
+            (cid, s.map(_.toDouble / Similarity.KmeansFxScale / n.toDouble)
+              .toSeq)
+          }
+        nBatches.incrementAndGet()
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val cents = state.toArray.sortBy(_._1).map { case (cid, (n, s)) =>
+      (cid, s.map(_.toDouble / Similarity.KmeansFxScale / n.toDouble): Seq[Double])
+    }
+    (cents, state.map { case (c, (n, _)) => c -> n }.toMap, nBatches.get())
+  }
+
   /** Online variational inference: `stepsPerBatch` Adam ascent steps
     * per micro-batch via foreachBatch — the streaming form of the
     * reference's minibatch SGD loop (`model.py:255-269`), with

@@ -448,6 +448,42 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming k-means: frozen-centroid register accumulation over " +
+    "micro-batches equals one batch Lloyd round bit for bit; online " +
+    "mode refreshes centroids and does not worsen inertia") {
+    import graft.ops.Similarity
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val seed = Similarity.collectCentroids(
+      e.orderBy("vec_id").limit(4)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
+    val stream = spark.readStream.schema(e.schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val (cents, counts, nb) = StreamingOps.streamingKmeans(
+      stream, "vec_id", "embedding", seed, updateCentroids = false)
+    // batch twin: ONE Lloyd round over the same data from the same
+    // seed — the exact int64 registers make the comparison bit-exact
+    val want = Similarity.kmeansIterate(e, "vec_id", "embedding", seed, 1)
+    assert(nb >= 1)
+    assert(counts.values.sum == e.count())
+    assert(cents.map { case (c, v) => c -> v.toVector }.toMap ==
+      want.map { case (c, v) => c -> v.toVector }.toMap,
+      "frozen streaming registers must equal the batch round")
+    // online mode: centroids move and inertia does not worsen
+    def inertia(cs: Array[(Long, Seq[Double])]): Double =
+      Similarity.cellAssignmentsWithDist(e, "vec_id", "embedding", cs)
+        .agg(sum("dist")).head.getDouble(0)
+    val stream2 = spark.readStream.schema(e.schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val (online, _, _) = StreamingOps.streamingKmeans(
+      stream2, "vec_id", "embedding", seed, updateCentroids = true)
+    assert(inertia(online) <= inertia(seed) + 1e-9,
+      "online update must not worsen inertia on stationary data")
+  }
+
   test("capPerKey admits at most cap rows per key (bounded counter " +
     "state), and admitted rows are real members of the key") {
     import spark.implicits._
