@@ -151,6 +151,53 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"asof: join operator in plan")
   }
 
+  test("round-5 ops keep their scale shapes: repeat mix is map+explode " +
+    "(no join/shuffle), diff joins fingerprints only, transitions " +
+    "sorts the key exactly once, containment blocks without a Window") {
+    // repeat-factor mix: pure scan -> explode -> agg; the factor table
+    // lives in a when-chain, never a joined side
+    val rep = SparkEntry.queries("q_sample_repeat")(spark, sf)
+    rep.collect()
+    val repPlan = rep.queryExecution.executedPlan.toString
+    assert(!repPlan.contains("Join") && !repPlan.contains("Window"),
+      "repeat mix: unexpected join/window")
+    assert(repPlan.contains("Generate"),
+      "repeat mix: expected explode fan-out")
+    // snapshot diff: ONE full-outer join; only 8-byte fingerprints and
+    // ids shuffle (ReadSchema carries text for fp computation, but no
+    // Window / second join appears)
+    val diff = SparkEntry.queries("q_pipeline_diff")(spark, sf)
+    diff.collect()
+    val diffPlan = diff.queryExecution.executedPlan.toString
+    assert(!diffPlan.contains("Window"), "diff: Window in plan")
+    assert("FullOuter".r.findAllIn(diffPlan).size >= 1,
+      "diff: expected a full-outer fingerprint join")
+    // transition matrix: lead + the row-normalization each use a
+    // window, but the KEY sort happens exactly once (the matrix-sized
+    // normalization partitions by from_type over k^2 rows)
+    val tr = SparkEntry.queries("q_events_transitions")(spark, sf)
+    tr.collect()
+    val trPlan = tr.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val keySorts = "Sort \\[user_id".r.findAllIn(trPlan).size
+    assert(keySorts == 1, s"transitions: $keySorts key sorts, want 1")
+    // containment: the blocking join is an equi-join on the gram
+    // fingerprint — no BroadcastNestedLoop, no Window
+    val cont = SparkEntry.queries("q_dedup_containment")(spark, sf)
+    cont.collect()
+    val contPlan = cont.queryExecution.executedPlan.toString
+    assert(!contPlan.contains("Window") &&
+      !contPlan.contains("BroadcastNestedLoopJoin"),
+      "containment: unexpected operator")
+    // per-domain top-quantile: threshold table joins back via
+    // broadcast — the data never shuffles for the keep pass
+    val tq = SparkEntry.queries("q_sample_topquantile_by")(spark, sf)
+    tq.collect()
+    val tqPlan = tq.queryExecution.executedPlan.toString
+    assert(tqPlan.contains("BroadcastHashJoin"),
+      "topquantile_by: threshold table should broadcast")
+  }
+
   test("sessionize shares one exchange+sort between lag and the " +
     "running session counter") {
     val df = SparkEntry.queries("q_events_sessionize")(spark, sf)

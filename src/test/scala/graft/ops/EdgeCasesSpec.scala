@@ -82,6 +82,35 @@ class EdgeCasesSpec extends AnyFunSuite {
       100L).count() == 0)
   }
 
+  test("round-5 ops over empty / degenerate frames: repeat mix, " +
+    "containment blocking, top-quantile-by, diff, transitions are " +
+    "empty or identity, never errors") {
+    assert(Sampling.repeatFactorSample(noDocs, "doc_id", "source",
+      Map("src0" -> 2.0), 1.0).count() == 0)
+    assert(Dedup.containmentPairs(noDocs, "text", "doc_id").count() == 0)
+    assert(Sampling.topQuantileByGroup(
+      noDocs.withColumn("s", lit(0.5)), "source", "s",
+      0.75, 0.0, 1.0, 64).count() == 0)
+    // diff of identical snapshots: every row unchanged
+    val d3 = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(5)
+    val diff = Diff.corpusDiff(d3, d3, "doc_id", "text", "source")
+    assert(diff.count() == 5 &&
+      diff.where(col("status") =!= "unchanged").count() == 0)
+    // diff against an empty new snapshot: everything removed
+    val gone = Diff.corpusDiff(d3, noDocs.select("doc_id", "text",
+      "source"), "doc_id", "text", "source")
+    assert(gone.count() == 5 &&
+      gone.where(col("status") =!= "removed").count() == 0)
+    // transitions need >= 2 events per key to emit anything
+    val oneEach = Seq((1L, 10L, 100L, "a"), (2L, 20L, 200L, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    assert(Events.transitions(oneEach, "user_id", "ts", "event_id",
+      "event_type").count() == 0)
+    assert(Events.transitions(oneEach.where(lit(false)), "user_id",
+      "ts", "event_id", "event_type").count() == 0)
+  }
+
   test("vocabulary with an unreachable minCount and oversized topV is " +
     "empty / truncated, never an error") {
     val docs = spark.read
