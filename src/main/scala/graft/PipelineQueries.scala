@@ -1469,6 +1469,10 @@ object PipelineQueries {
     (900003L, "call 12345678901 now or short 123456 exact 1234567",
       "en", "srcPII", 0L),
     (900004L, "mixed bob@x.io http://a.b/c?id=99999999 and 12345678",
+      "en", "srcPII", 0L),
+    (900005L, "call 555-867-5309 or 555 123 4567 from 10.0.42.1 today",
+      "en", "srcPII", 0L),
+    (900006L, "server at 192.168.001.255 logged 555-000-1111 twice",
       "en", "srcPII", 0L))
   /** C4 fixture pages (the corpus is single-line word soup with no
     * terminal punctuation, so — as with PII — both engines union
@@ -1565,6 +1569,8 @@ object PipelineQueries {
       all.select(col("source"),
           TextAnalysis.emailCount(col("text")).as("ne"),
           TextAnalysis.urlCount(col("text")).as("nu"),
+          TextAnalysis.phoneCount(col("text")).as("np"),
+          TextAnalysis.ipv4Count(col("text")).as("ni"),
           TextAnalysis.digitRunCount(col("text")).as("nd"),
           length(TextAnalysis.scrubPii(col("text"))).as("slen"),
           length(col("text")).as("olen"))
@@ -1572,6 +1578,8 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("ne")).as("n_emails"),
           sum(col("nu")).as("n_urls"),
+          sum(col("np")).as("n_phones"),
+          sum(col("ni")).as("n_ips"),
           sum(col("nd")).as("n_digit_runs"),
           sum((col("olen") - col("slen")).cast("long")).as("chars_redacted"))
         .orderBy("source")
@@ -1584,6 +1592,8 @@ object PipelineQueries {
         "c AS (SELECT source, " +
         s"len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) AS ne, " +
         s"len(regexp_extract_all(text, '${TextAnalysis.UrlRe}')) AS nu, " +
+        s"len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}')) AS np, " +
+        s"len(regexp_extract_all(text, '${TextAnalysis.Ipv4Re}')) AS ni, " +
         s"len(regexp_extract_all(text, '${TextAnalysis.DigitRunRe}')) " +
         "AS nd, " +
         s"length(${TextAnalysis.ScrubPiiSql("text")}) AS slen, " +
@@ -1591,6 +1601,8 @@ object PipelineQueries {
         "SELECT source, count(*) AS n_docs, " +
         "CAST(sum(ne) AS BIGINT) AS n_emails, " +
         "CAST(sum(nu) AS BIGINT) AS n_urls, " +
+        "CAST(sum(np) AS BIGINT) AS n_phones, " +
+        "CAST(sum(ni) AS BIGINT) AS n_ips, " +
         "CAST(sum(nd) AS BIGINT) AS n_digit_runs, " +
         "CAST(sum(olen - slen) AS BIGINT) AS chars_redacted " +
         "FROM c GROUP BY source ORDER BY source"

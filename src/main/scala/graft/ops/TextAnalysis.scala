@@ -240,6 +240,8 @@ object TextAnalysis {
     * shorthand — so every engine finds the same spans. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val UrlRe = "https?://[^ ]+"
+  val PhoneRe = "[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
   val DigitRunRe = "[0-9]{7,}"
 
   /** Counts are over the ORIGINAL text, independently per pattern
@@ -249,18 +251,28 @@ object TextAnalysis {
     regexp_count(text, lit(EmailRe)).cast("long")
   def urlCount(text: Column): Column =
     regexp_count(text, lit(UrlRe)).cast("long")
+  def phoneCount(text: Column): Column =
+    regexp_count(text, lit(PhoneRe)).cast("long")
+  def ipv4Count(text: Column): Column =
+    regexp_count(text, lit(Ipv4Re)).cast("long")
   def digitRunCount(text: Column): Column =
     regexp_count(text, lit(DigitRunRe)).cast("long")
 
-  /** Redact PII in pipeline order URL → email → digit-run, so a URL
-    * containing an email-like or numeric substring becomes one
-    * `<URL>` token rather than nested redactions. Pure codegen'd
-    * string ops — a map-only pass at any scale, stream-safe. */
+  /** Redact PII in pipeline order URL → email → phone → IPv4 →
+    * digit-run: a URL containing an email-like or numeric substring
+    * becomes one `<URL>` token rather than nested redactions, and
+    * the structured numeric forms (phone, IP) claim their spans
+    * before the generic digit-run sweep. Pure codegen'd string ops —
+    * a map-only pass at any scale, stream-safe. */
   def scrubPii(text: Column): Column =
     regexp_replace(
       regexp_replace(
-        regexp_replace(text, UrlRe, "<URL>"),
-        EmailRe, "<EMAIL>"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text, UrlRe, "<URL>"),
+            EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"),
+        Ipv4Re, "<IP>"),
       DigitRunRe, "<NUM>")
 
   /** DuckDB rendering of [[scrubPii]] (needs the 'g' flag — DuckDB
@@ -268,8 +280,10 @@ object TextAnalysis {
     * strings pass backslashes through verbatim, so the pattern text
     * is identical to the Java-side regex). */
   def ScrubPiiSql(col: String): String =
-    s"regexp_replace(regexp_replace(regexp_replace($col, " +
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      s"regexp_replace($col, " +
       s"'$UrlRe', '<URL>', 'g'), '$EmailRe', '<EMAIL>', 'g'), " +
+      s"'$PhoneRe', '<PHONE>', 'g'), '$Ipv4Re', '<IP>', 'g'), " +
       s"'$DigitRunRe', '<NUM>', 'g')"
 
   // ---------------------------------------------------- vocabulary

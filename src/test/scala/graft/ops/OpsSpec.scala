@@ -1120,6 +1120,20 @@ class OpsSpec extends AnyFunSuite {
     assert(rows(2L)._1 == "digits <NUM> and 123456 and <NUM>")
     assert(rows(2L)._4 == 2L)
     assert(rows(3L) == ("clean text with no pii at all", 0L, 0L, 0L))
+    // structured numeric forms claim their spans before the digit sweep
+    val more = Seq(
+      (4L, "call 555-867-5309 or 555 123 4567 now"),
+      (5L, "host 10.0.42.1 and padded 192.168.001.255 up"),
+      (6L, "raw 5558675309 stays a digit run"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.scrubPii(col("text")).as("s"),
+        TextAnalysis.phoneCount(col("text")).as("np"),
+        TextAnalysis.ipv4Count(col("text")).as("ni"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(more(4L) == (("call <PHONE> or <PHONE> now", 2L, 0L)))
+    assert(more(5L) == (("host <IP> and padded <IP> up", 0L, 2L)))
+    assert(more(6L) == (("raw <NUM> stays a digit run", 0L, 0L)))
   }
 
   test("bm25 favors rare terms and saturates with tf; non-matching " +
