@@ -2498,6 +2498,77 @@ object PipelineQueries {
       "round(avg(logw), 5) AS avg_logw " +
       "FROM sel GROUP BY source ORDER BY source")
 
+  /** Robust (median/MAD) outlier flagging: med and MAD both come from
+    * the portable histogram sketch — two sketch passes (each one
+    * partial-agg'd scan; the second's input is x crossJoined with the
+    * broadcast one-row median frame, so there is NO driver
+    * round-trip), then one flag scan at the classic robust z-score
+    * rule |x − med| > 3·1.4826·MAD. Mean/stddev outlier rules move
+    * with the outliers they hunt; the median/MAD pair does not —
+    * and the integer sketch registers make med, MAD, and the exact
+    * flagged id set engine-identical. */
+  /** Planted gross outliers (clamped into the top sketch bucket;
+    * |x − med| far past 3·1.4826·MAD) — the rule must flag EXACTLY
+    * these, pinned by the id checksum. */
+  private val MadOutlierRows = Seq((960001L, "srcM", 5000.0),
+    (960002L, "srcM", 4000.0), (960003L, "srcM", 290.0))
+
+  private val statsMad = Q("q_stats_mad",
+    (s, d) => {
+      import s.implicits._
+      val base = docs(s, d).select(col("doc_id"), col("source"),
+        col("n_chars").cast("double").as("x"))
+        .unionByName(MadOutlierRows.toDF("doc_id", "source", "x"))
+      val med = graft.ops.Sketches.histogramQuantiles(base, col("x"),
+        lo = 0.0, hi = 640.0, nBuckets = 64, qs = Seq(0.5))
+        .select(col("p50"))
+      val withMed = base.crossJoin(broadcast(med))
+        .withColumn("ad", abs(col("x") - col("p50")))
+      val mad = graft.ops.Sketches.histogramQuantiles(withMed, col("ad"),
+        lo = 0.0, hi = 640.0, nBuckets = 64, qs = Seq(0.5))
+        .select(col("p50").as("mad"))
+      withMed.crossJoin(broadcast(mad))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("ad") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"),
+          sum(when(col("ad") > lit(3.0) * lit(1.4826) * col("mad"),
+            col("doc_id")).otherwise(0L)).as("outlier_ids"),
+          round(min(col("p50")), 5).as("med"),
+          round(min(col("mad")), 5).as("mad"))
+        .orderBy("source")
+    }, {
+      import graft.ops.Sketches.{BucketSql, QuantileSql}
+      val vals = MadOutlierRows.map { case (id, src, x) =>
+        s"($id, '$src', $x)" }.mkString(", ")
+      "WITH sc AS (SELECT doc_id, source, n_chars::DOUBLE AS x " +
+        s"FROM documents UNION ALL SELECT * FROM (VALUES $vals) " +
+        "AS v(doc_id, source, x)), " +
+        s"h1 AS (SELECT ${BucketSql("x", 0.0, 640.0, 64)} AS b FROM sc), " +
+        "hist1 AS (SELECT b, count(*) AS cnt FROM h1 GROUP BY b), " +
+        "c1 AS (SELECT b, cnt, sum(cnt) OVER (ORDER BY b ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "sum(cnt) OVER () AS n FROM hist1), " +
+        s"m AS (SELECT ${QuantileSql(0.5, 0.0, 640.0, 64)} AS p50 " +
+        "FROM c1), " +
+        "dd AS (SELECT doc_id, source, x, p50, abs(x - p50) AS ad " +
+        "FROM sc CROSS JOIN m), " +
+        s"h2 AS (SELECT ${BucketSql("ad", 0.0, 640.0, 64)} AS b FROM dd), " +
+        "hist2 AS (SELECT b, count(*) AS cnt FROM h2 GROUP BY b), " +
+        "c2 AS (SELECT b, cnt, sum(cnt) OVER (ORDER BY b ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "sum(cnt) OVER () AS n FROM hist2), " +
+        s"md AS (SELECT ${QuantileSql(0.5, 0.0, 640.0, 64)} AS mad " +
+        "FROM c2) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN ad > 3.0 * 1.4826 * mad THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_outliers, " +
+        "CAST(sum(CASE WHEN ad > 3.0 * 1.4826 * mad THEN doc_id " +
+        "ELSE 0 END) AS BIGINT) AS outlier_ids, " +
+        "round(min(p50), 5) AS med, round(min(mad), 5) AS mad " +
+        "FROM dd CROSS JOIN md GROUP BY source ORDER BY source"
+    })
+
   /** Winsorization: clip the quality score at the sketch-derived
     * p10/p90 (the outlier-robust normalization step before a score
     * feeds weighting or mixing). Both bounds come from the SAME
@@ -2972,5 +3043,6 @@ object PipelineQueries {
     sampleStratified, sampleTemperature, sampleRepeat, sampleFixedN,
     sampleWeighted, sampleDomainCap, sampleDsir, sampleTopQuantile,
     sampleTopQuantileBy,
-    statsRollup, statsCorr, statsWinsorize, topkPerGroup, shardManifest, packSequences)
+    statsRollup, statsCorr, statsWinsorize, statsMad, topkPerGroup,
+    shardManifest, packSequences)
 }
