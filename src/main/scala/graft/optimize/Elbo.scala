@@ -303,7 +303,12 @@ final class Elbo(
                  * [[graft.core.Checkpoint]] at step t continues the
                  * EXACT noise/sampling stream the uninterrupted run
                  * would have used (pass the restored step count). */
-               startStep: Int = 0): Double = {
+               startStep: Int = 0,
+               /** Optional per-step learning rate (global step →
+                 * lr), e.g. [[Schedules.warmupCosine]]. Keyed by the
+                 * GLOBAL step so checkpoint-resumed runs continue the
+                 * exact schedule. Null: constant `lr`. */
+               lrSchedule: Int => Double = null): Double = {
     val theta = thetaFromTree()
     val mask = collectionMask(collection)
     val adam = if (adamState != null) adamState else new Adam(nSlots, lr)
@@ -314,6 +319,7 @@ final class Elbo(
     def applyStep(loss: Double, grad: Array[Double], cnt: Long,
                   draws: Array[Double], it: Int): Unit = {
       lastElbo = combineKl(loss, grad, cnt, total, theta, draws)
+      if (lrSchedule != null) adam.lr = lrSchedule(it)
       adam.step(theta, grad, mask)
       if (verboseEvery > 0 && (it % verboseEvery == 0))
         println(f"[elbo] iter $it%6d elbo=$lastElbo%.4f")

@@ -34,6 +34,36 @@ class ElboSpec extends AnyFunSuite {
     ds.unpersist()
   }
 
+  test("lrSchedule: warmup+cosine converges on the quadratic, the " +
+    "decayed tail freezes the parameter, and the schedule is a pure " +
+    "function of the global step (resume-safe)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select((col("l_quantity") / 10.0).as("x")).limit(512)
+    val sched = Schedules.warmupCosine(peak = 0.08, total = 200,
+      warmup = 20)
+    // pure + deterministic, and the documented shape
+    assert(sched(0) == 0.08 * 1 / 20.0 && sched(19) == 0.08)
+    assert(math.abs(sched(110) - sched(110)) == 0.0)
+    assert(sched(199) < 0.001 && sched(500) == 0.0)
+    assert((1 until 200).forall(s => sched(s) <= 0.08 + 1e-15))
+    val root = new Module
+    val p = root.add("p", new Param(Seq(1), initMean = 3.0,
+      initStddev = 0.01))
+    val ds = new DataSet(li, seed = 0)
+    val elbo = new Elbo(root, ds, Seq("x"),
+      ctx => -(ctx.read1(p) - ctx.in("x")).sq)
+    elbo.optimize(maxiter = 200, lr = 0.05, lrSchedule = sched)
+    val mean = ds.train.agg(avg("x")).head.getDouble(0)
+    assert(math.abs(p.value(0) - mean) < 0.05,
+      s"scheduled run got ${p.value(0)}, want ≈ $mean")
+    // the frozen tail: steps past `total` run at lr 0 and cannot move θ
+    val frozen = p.value(0)
+    elbo.optimize(maxiter = 50, lr = 0.05, lrSchedule = sched,
+      startStep = 500)
+    assert(p.value(0) == frozen, "lr-0 tail must leave θ bit-identical")
+    ds.unpersist()
+  }
+
   test("optimizeLbfgs: deterministic quasi-Newton reaches the exact " +
     "optimum in a handful of evaluations and matches Adam's answer") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
