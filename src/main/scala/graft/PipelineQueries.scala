@@ -1994,35 +1994,94 @@ object PipelineQueries {
     * the whole iterative algorithm (pair counting, argmax
     * tie-breaks, two-pass delimited replace) is pinned end to end. */
   private val BpeRounds = 6
+  /** Shared learning CTEs (w0/s0 + p_r/b_r/s_r per round) — the whole
+    * iterative algorithm as CTE stages, reused by the merge-table and
+    * fertility oracles. */
+  private def bpeLearnCtes: String = {
+    val D = graft.ops.Bpe.DelimSql
+    val head =
+      "WITH w0 AS (SELECT tok, count(*) AS freq FROM (" +
+        "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
+        s"WHERE tok <> '' AND NOT contains(tok, $D) GROUP BY tok), " +
+        s"s0 AS (SELECT freq, $D || " +
+        s"array_to_string(string_split(tok, ''), $D) || $D AS seq FROM w0)"
+    val rounds = (1 to BpeRounds).map { r =>
+      val prev = s"s${r - 1}"
+      s"p$r AS (SELECT u.a AS a, u.b AS b, sum(freq) AS c FROM (" +
+        "SELECT freq, unnest([{'a': l[i], 'b': l[i+1]} " +
+        "for i in range(1, len(l))]) AS u FROM (" +
+        s"SELECT freq, string_split(trim(seq, $D), $D) AS l " +
+        s"FROM $prev)) GROUP BY 1, 2), " +
+        s"b$r AS (SELECT a, b, c FROM p$r " +
+        "ORDER BY c DESC, a ASC, b ASC LIMIT 1), " +
+        s"s$r AS (SELECT freq, replace(replace(seq, " +
+        s"$D||a||$D||b||$D, $D||a||b||$D), " +
+        s"$D||a||$D||b||$D, $D||a||b||$D) AS seq " +
+        s"FROM $prev CROSS JOIN b$r)"
+    }.mkString(", ", ", ", " ")
+    head + rounds
+  }
+
   private val textBpe = Q("q_text_bpe",
     (s, d) => graft.ops.Bpe.learnDf(docs(s, d), "text", BpeRounds),
     {
-      val D = graft.ops.Bpe.DelimSql
-      val head =
-        "WITH w0 AS (SELECT tok, count(*) AS freq FROM (" +
-          "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
-          s"WHERE tok <> '' AND NOT contains(tok, $D) GROUP BY tok), " +
-          s"s0 AS (SELECT freq, $D || " +
-          s"array_to_string(string_split(tok, ''), $D) || $D AS seq FROM w0)"
-      val rounds = (1 to BpeRounds).map { r =>
-        val prev = s"s${r - 1}"
-        s"p$r AS (SELECT u.a AS a, u.b AS b, sum(freq) AS c FROM (" +
-          "SELECT freq, unnest([{'a': l[i], 'b': l[i+1]} " +
-          "for i in range(1, len(l))]) AS u FROM (" +
-          s"SELECT freq, string_split(trim(seq, $D), $D) AS l " +
-          s"FROM $prev)) GROUP BY 1, 2), " +
-          s"b$r AS (SELECT a, b, c FROM p$r " +
-          "ORDER BY c DESC, a ASC, b ASC LIMIT 1), " +
-          s"s$r AS (SELECT freq, replace(replace(seq, " +
-          s"$D||a||$D||b||$D, $D||a||b||$D), " +
-          s"$D||a||$D||b||$D, $D||a||b||$D) AS seq " +
-          s"FROM $prev CROSS JOIN b$r)"
-      }.mkString(", ", ", ", " ")
       val union = (1 to BpeRounds).map { r =>
         s"SELECT $r AS round, a, b, a||b AS merged, " +
           s"CAST(c AS BIGINT) AS pair_count FROM b$r"
       }.mkString(" UNION ALL ")
-      head + rounds + s"SELECT * FROM ($union) ORDER BY round"
+      bpeLearnCtes + s"SELECT * FROM ($union) ORDER BY round"
+    })
+
+  /** Tokenizer fertility (pieces per word) under the learned BPE —
+    * the coverage metric that decides whether a vocab is big enough
+    * for a corpus (fertility → 1 as merges cover it): learn the
+    * merge table, SEGMENT every word occurrence with it (the
+    * tokenizer APPLY side as a pure map), and report per-source word
+    * count, piece count, fertility, and fully-merged-word share. The
+    * oracle re-learns the same merges as CTE stages and applies them
+    * with the same two-pass delimited replace — the entire
+    * learn-then-apply loop is pinned cross-engine. */
+  private val textFertility = Q("q_text_fertility",
+    (s, d) => {
+      val d0 = docs(s, d)
+      val merges = graft.ops.Bpe.learn(d0, "text", BpeRounds)
+        .map(m => (m._2, m._3))
+      val words = d0.select(col("source"),
+          explode(split(col("text"), " ")).as("tok"))
+        .where(col("tok") =!= "" &&
+          !col("tok").contains(graft.ops.Bpe.Delim))
+      words
+        .select(col("source"),
+          size(graft.ops.Bpe.segment(col("tok"), merges)).as("np"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("np").cast("long")).as("n_pieces"),
+          round(avg(col("np").cast("double")), 5).as("fertility"),
+          sum(when(col("np") === 1, 1L).otherwise(0L)).as("n_single"))
+        .orderBy("source")
+    }, {
+      val D = graft.ops.Bpe.DelimSql
+      val applies = (1 to BpeRounds).map { r =>
+        val prev = if (r == 1) "ws" else s"a${r - 1}"
+        s"a$r AS (SELECT source, replace(replace(seq, " +
+          s"$D||a||$D||b||$D, $D||a||b||$D), " +
+          s"$D||a||$D||b||$D, $D||a||b||$D) AS seq " +
+          s"FROM $prev CROSS JOIN b$r)"
+      }.mkString(", ")
+      bpeLearnCtes +
+        ", w AS (SELECT source, tok FROM (SELECT source, " +
+        "unnest(string_split(text, ' ')) AS tok FROM documents) " +
+        s"WHERE tok <> '' AND NOT contains(tok, $D)), " +
+        s"ws AS (SELECT source, $D || " +
+        s"array_to_string(string_split(tok, ''), $D) || $D AS seq " +
+        s"FROM w), $applies, " +
+        s"p AS (SELECT source, len(string_split(trim(seq, $D), $D)) " +
+        s"AS np FROM a$BpeRounds) " +
+        "SELECT source, count(*) AS n_words, " +
+        "CAST(sum(np) AS BIGINT) AS n_pieces, " +
+        "round(avg(np::DOUBLE), 5) AS fertility, " +
+        "CAST(sum(CASE WHEN np = 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_single FROM p GROUP BY source ORDER BY source"
     })
 
   /** Character-class entropy (gibberish/boilerplate signal): per-doc
@@ -3034,7 +3093,8 @@ object PipelineQueries {
     embedKmeans, embedCovariance, embedOutliers, gpRff,
     embedPq, embedIvfPq, embedRerank, embedSq8,
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,
-    textVocab, textClassifier, textChunks, textBpe, textEntropy, textC4,
+    textVocab, textClassifier, textChunks, textBpe, textFertility,
+    textEntropy, textC4,
     textScripts, textCalibration, textTopDups,
     textPerplexity, textBm25, textPii, textContamination, sketchHll,
     sketchHllBy, sketchCms, sketchQuantile, sketchQuantileBy,
