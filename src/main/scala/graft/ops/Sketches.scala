@@ -83,6 +83,75 @@ object Sketches {
         col("n_seen"), col("sum_rho"))
   }
 
+  /** HLL register tables (grp, bucket, mr) for set-algebra — the raw
+    * mergeable form of [[hllCardinalityBy]]'s first aggregate. */
+  def hllRegistersBy(df: DataFrame, group: Column, key: Column,
+                     b: Int = 10): DataFrame = {
+    val (bucket, rho) = hllParts(key, b)
+    df.select(group.as("grp"), bucket.as("bucket"), rho.as("rho"))
+      .groupBy("grp", "bucket").agg(max(col("rho")).as("mr"))
+  }
+
+  /** Distinct-count set algebra over per-group register tables: for
+    * every group pair (a < b), |A|, |B|, |A∪B| (register-wise max —
+    * the EXACT sketch of the union, the mergeable-sketch property),
+    * and the inclusion–exclusion intersection estimate
+    * |A∩B| ≈ |A| + |B| − |A∪B| (the standard HLL intersection;
+    * error grows as the true overlap shrinks — it is a difference of
+    * estimates, which is why the union, not the intersection, is the
+    * primitive). The whole computation runs over REGISTER tables
+    * (groups × m rows) — the data is never rescanned. */
+  def hllSetAlgebra(regs: DataFrame, b: Int = 10): DataFrame = {
+    val m = 1 << b
+    val a = regs.select(col("grp").as("ga"), col("bucket"),
+      col("mr").as("ra"))
+    val bb = regs.select(col("grp").as("gb"), col("bucket"),
+      col("mr").as("rb"))
+    // full outer per pair via union trick: key on (ga, gb, bucket)
+    val pairs = a.join(bb, Seq("bucket"), "inner")
+      .where(col("ga") < col("gb"))
+      .groupBy("ga", "gb")
+      .agg(
+        sum(pow(lit(2.0), -col("ra").cast("double"))).as("sea0"),
+        count(lit(1)).as("na0"), // buckets where BOTH sides are set
+        sum(pow(lit(2.0), -col("rb").cast("double"))).as("seb0"),
+        sum(pow(lit(2.0),
+          -greatest(col("ra"), col("rb")).cast("double"))).as("seu0"))
+    // buckets set on only one side: add per-group totals minus the
+    // matched part (register absent = zero = contributes 1.0 to se)
+    val tot = regs.groupBy(col("grp"))
+      .agg(count(lit(1)).as("nset"),
+        sum(pow(lit(2.0), -col("mr").cast("double"))).as("seset"))
+    pairs
+      .join(tot.select(col("grp").as("ga"), col("nset").as("nseta"),
+        col("seset").as("seseta")), "ga")
+      .join(tot.select(col("grp").as("gb"), col("nset").as("nsetb"),
+        col("seset").as("sesetb")), "gb")
+      .select(col("ga"), col("gb"),
+        estCol(m, col("nseta"), col("seseta")).as("card_a"),
+        estCol(m, col("nsetb"), col("sesetb")).as("card_b"),
+        // union registers: matched buckets take max; one-sided
+        // buckets keep their side's value
+        estCol(m,
+          col("nseta") + col("nsetb") - col("na0"),
+          col("seu0") + (col("seseta") - col("sea0")) +
+            (col("sesetb") - col("seb0"))).as("card_union"))
+      .withColumn("inter_est",
+        greatest(col("card_a") + col("card_b") - col("card_union"),
+          lit(0.0)))
+  }
+
+  /** [[hllEstimate]] over explicit (n_seen, se) columns. */
+  private def estCol(m: Int, nSeen: Column, se: Column): Column = {
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val zeros = lit(m.toLong) - nSeen
+    val raw = alpha * lit(m.toDouble) * lit(m.toDouble) /
+      (se + zeros.cast("double"))
+    when(raw <= lit(2.5) * lit(m.toDouble) && zeros > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
+      .otherwise(raw)
+  }
+
   // ------------------------------------------------- Count-Min sketch
 
   /** Per-row CMS bucket positions: row r probes

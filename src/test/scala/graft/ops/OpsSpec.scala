@@ -1077,6 +1077,37 @@ class OpsSpec extends AnyFunSuite {
     assert(merged == whole)
   }
 
+  test("HLL set algebra: union estimate tracks |A ∪ B| and the " +
+    "inclusion-exclusion intersection tracks the planted overlap — " +
+    "all from register tables, never rescanning the data") {
+    // A = [0, 12k), B = [8k, 20k): |A|=12k, |B|=12k, |A∩B|=4k, |A∪B|=20k
+    val rows = spark.range(20000L).select(col("id"),
+        when(col("id") < 12000L, lit("A")).otherwise(lit("Z")).as("ga"),
+        when(col("id") >= 8000L, lit("B")).otherwise(lit("Z")).as("gb"))
+    val tagged = rows.select(col("ga").as("grp"), col("id"))
+      .where(col("grp") === "A")
+      .unionByName(rows.select(col("gb").as("grp"), col("id"))
+        .where(col("grp") === "B"))
+    val regs = Sketches.hllRegistersBy(tagged, col("grp"), col("id"))
+    val out = Sketches.hllSetAlgebra(regs).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val (ca, cb, cu, ci) = (r.getDouble(2), r.getDouble(3),
+      r.getDouble(4), r.getDouble(5))
+    // b=10 sigma = 3.25%; the intersection is a difference of three
+    // estimates, so give it 3 sigma of the UNION size
+    assert(math.abs(ca - 12000) / 12000 < 3 * 0.0325, s"A $ca")
+    assert(math.abs(cb - 12000) / 12000 < 3 * 0.0325, s"B $cb")
+    assert(math.abs(cu - 20000) / 20000 < 3 * 0.0325, s"U $cu")
+    assert(math.abs(ci - 4000) < 3 * 0.0325 * 3 * 20000, s"I $ci")
+    // union consistency: the union estimate from merged registers
+    // equals the direct estimate of the concatenated key set
+    val direct = Sketches.hllCardinality(
+      tagged.select("id"), col("id")).head.getDouble(0)
+    assert(math.abs(cu - direct) < 1e-9,
+      "register-max union must equal the direct union sketch")
+  }
+
   test("bigram-LM perplexity ranks repeated in-distribution text " +
     "below gibberish, and scores unseen held-out bigrams finitely") {
     val base = spark.read
