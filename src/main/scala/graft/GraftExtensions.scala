@@ -7,8 +7,9 @@ import org.apache.spark.sql.types.DoubleType
 
 /** SQL surface for the engine's custom Catalyst expressions: installs
   * `lgamma`, `digamma`, `vec_dot`, `vec_l2sq`, `lsh_bucket`,
-  * `minhash_sigs`, `simhash16`, `dsir_buckets`, `char_entropy`,
-  * `script_profile` as SQL functions, so `spark.sql` users get the
+  * `minhash_sigs`, `simhash16`, `dsir_buckets`, `hash_embed`,
+  * `char_entropy`, `script_profile` as SQL functions, so `spark.sql`
+  * users get the
   * same codegen'd kernels the DataFrame API uses.
   *
   * Two installation paths, same registry:
@@ -83,6 +84,13 @@ object GraftExtensions {
         require(args.length == 2, "dsir_buckets expects 2 arguments")
         graft.ops.DsirBucketsExpr(args(0),
           intLit(args(1), "dsir_buckets m"))
+      }),
+    (FunctionIdentifier("hash_embed"),
+      info("hash_embed",
+        "hash_embed(text, d) - signed feature-hashing token-count vector"),
+      args => {
+        require(args.length == 2, "hash_embed expects 2 arguments")
+        graft.ops.HashEmbedExpr(args(0), intLit(args(1), "hash_embed d"))
       }),
     (FunctionIdentifier("char_entropy"),
       info("char_entropy",

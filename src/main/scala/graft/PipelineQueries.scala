@@ -2114,6 +2114,42 @@ object PipelineQueries {
       "round(max(ent), 5) AS max_ent " +
       "FROM ent GROUP BY source ORDER BY source")
 
+  /** Feature-hashing document embedder (Weinberger et al. 2009): the
+    * per-(source, bucket) aggregate over every doc's signed hashed
+    * token counts, with a Σ doc_id·v checksum so any single per-doc
+    * bucket value flipping anywhere in the corpus changes a result
+    * row. All integer arithmetic on the portable token hash — exact
+    * cross-engine. One codegen'd kernel pass + one map-side-partial
+    * aggregate onto the ≤ sources×d grain; no join, no shuffle of
+    * text. */
+  private val HashEmbedDim = graft.ops.HashEmbed.DefaultDim
+  private val textHashEmbed = Q("q_text_hashembed",
+    (s, d) => docs(s, d)
+      .select(col("doc_id"), col("source"),
+        posexplode(graft.ops.HashEmbed.counts(col("text"), HashEmbedDim)))
+      .withColumnRenamed("pos", "j")
+      .withColumnRenamed("col", "v")
+      .where(col("v") =!= 0)
+      .groupBy(col("source"), col("j").cast("long").as("j"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("v")).as("sum_v"),
+        sum(abs(col("v"))).as("sum_abs"),
+        sum(col("doc_id") * col("v")).as("checksum"))
+      .orderBy("source", "j"),
+    "WITH toks AS (SELECT doc_id, source, " +
+      "unnest(string_split(text, ' ')) AS t FROM documents), " +
+      s"h AS (SELECT doc_id, source, ${TextAnalysis.TokenHashSql("t")} " +
+      "AS h FROM toks), " +
+      s"v AS (SELECT doc_id, source, " +
+      s"${graft.ops.HashEmbed.BucketSql("h", HashEmbedDim)} AS j, " +
+      s"CAST(sum(${graft.ops.HashEmbed.SignSql("h", HashEmbedDim)}) " +
+      "AS BIGINT) AS v FROM h GROUP BY 1, 2, 3) " +
+      "SELECT source, j, count(*) AS n_docs, " +
+      "CAST(sum(v) AS BIGINT) AS sum_v, " +
+      "CAST(sum(abs(v)) AS BIGINT) AS sum_abs, " +
+      "CAST(sum(doc_id * v) AS BIGINT) AS checksum " +
+      "FROM v WHERE v <> 0 GROUP BY source, j ORDER BY source, j")
+
   /** Multilingual fixture pages (the corpus is ASCII word soup, so the
     * script buckets beyond latin/space only fire on unioned fixtures —
     * the PII/C4 pattern). All chars BMP; no apostrophes. */
@@ -3094,7 +3130,7 @@ object PipelineQueries {
     embedPq, embedIvfPq, embedRerank, embedSq8,
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,
     textVocab, textClassifier, textChunks, textBpe, textFertility,
-    textEntropy, textC4,
+    textEntropy, textC4, textHashEmbed,
     textScripts, textCalibration, textTopDups,
     textPerplexity, textBm25, textPii, textContamination, sketchHll,
     sketchHllBy, sketchCms, sketchQuantile, sketchQuantileBy,

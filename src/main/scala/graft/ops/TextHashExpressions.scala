@@ -156,6 +156,25 @@ object TextHashFns {
     InternalRow(s, if (n >= 2) 2L * n - 1 else n.toLong)
   }
 
+  /** Signed feature-hashing embedding ([[HashEmbed]]): length-d signed
+    * token-count vector in one tokenize+hash pass. d is a power of two;
+    * bucket = h & (d−1), sign from bit log₂d. Tokens carry
+    * multiplicity (a count histogram, not a set). */
+  def hashEmbed(text: UTF8String, d: Int): GenericArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val mask = (d - 1).toLong
+    val shift = java.lang.Integer.numberOfTrailingZeros(d)
+    val out = new Array[Long](d)
+    var i = 0
+    while (i < toks.length) {
+      val h = tokenHash60(toks(i))
+      val j = (h & mask).toInt
+      if (((h >> shift) & 1L) == 0L) out(j) += 1 else out(j) -= 1
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Character-class Shannon entropy (nats): classes are the 26
     * case-folded letters, space (26), and other (27); H = −Σ p·ln p
     * over the non-empty classes in ascending class order (fixed
@@ -407,6 +426,20 @@ case class NgramFpStringsExpr(child: Expression, n: Int)
   override def prettyName: String = "ngram_fp_strings"
 }
 
+case class HashEmbedExpr(child: Expression, d: Int)
+    extends UnaryExpression {
+  require(d >= 2 && (d & (d - 1)) == 0, s"d=$d must be a power of two")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextHashFns.hashEmbed(v.asInstanceOf[UTF8String], d)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.TextHashFns.hashEmbed($c, $d)")
+  override protected def withNewChildInternal(c: Expression): HashEmbedExpr =
+    copy(child = c)
+  override def prettyName: String = "hash_embed"
+}
+
 case class ScriptProfileExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StructType(
     TextHashFns.ScriptNames.map(n =>
@@ -478,6 +511,8 @@ object TextHashExpressions {
     bridge.toColumn(DsirBucketsExpr(bridge.toExpression(text), m))
   def dsirWeight(text: Column, m: Int, ratios: Seq[Double]): Column =
     bridge.toColumn(DsirWeightExpr(bridge.toExpression(text), m, ratios))
+  def hashEmbed(text: Column, d: Int): Column =
+    bridge.toColumn(HashEmbedExpr(bridge.toExpression(text), d))
   def charEntropy(text: Column): Column =
     bridge.toColumn(CharEntropyExpr(bridge.toExpression(text)))
   def scriptProfile(text: Column): Column =

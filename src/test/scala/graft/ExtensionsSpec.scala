@@ -22,7 +22,8 @@ class ExtensionsSpec extends AnyFunSuite {
         "vec_l2sq(array(1.0D, 2.0D), array(4.0D, 6.0D)) AS l2, " +
         "minhash_sigs('the quick brown fox') AS mh, " +
         "simhash16('the quick brown fox') AS sh, " +
-        "dsir_buckets('the quick brown fox', 256) AS db").head()
+        "dsir_buckets('the quick brown fox', 256) AS db, " +
+        "hash_embed('the quick brown fox', 64) AS he").head()
     assert(r.getAs[Double]("lg") == MathFns.lgamma(4.5))
     assert(r.getAs[Double]("dg") == MathFns.digamma(4.5))
     assert(r.getAs[Double]("d") == 32.0)
@@ -32,12 +33,14 @@ class ExtensionsSpec extends AnyFunSuite {
     val want = df.select(
       graft.ops.TextHashExpressions.minhashSigs(col("text")).as("mh"),
       graft.ops.TextHashExpressions.simhash16(col("text")).as("sh"),
-      graft.ops.TextHashExpressions.dsirBuckets(col("text"), 256).as("db"))
+      graft.ops.TextHashExpressions.dsirBuckets(col("text"), 256).as("db"),
+      graft.ops.TextHashExpressions.hashEmbed(col("text"), 64).as("he"))
       .head()
     assert(r.getSeq[Long](r.fieldIndex("mh")) ==
       want.getSeq[Long](0))
     assert(r.getAs[Long]("sh") == want.getLong(1))
     assert(r.getSeq[Long](r.fieldIndex("db")) == want.getSeq[Long](2))
+    assert(r.getSeq[Long](r.fieldIndex("he")) == want.getSeq[Long](3))
   }
 
   test("char_entropy and script_profile SQL functions match their " +
