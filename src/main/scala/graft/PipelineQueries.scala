@@ -517,6 +517,42 @@ object PipelineQueries {
       "SELECT label, count(*) AS n, round(avg(mean_top), 5) AS avg_top3 " +
       "FROM t GROUP BY label ORDER BY label")
 
+  /** Mutual-kNN graph (the substrate of graph-based curation): exact
+    * edge membership, mutuality counts, and rank checksums pinned
+    * cross-engine — [[graft.ops.TopKAgg]]'s (cos desc, id asc) order
+    * and the forward-order dot make the edge SET deterministic, so the
+    * oracle rebuilds it with a rank window over the same buckets. */
+  private val embedKnnGraph = Q("q_embed_knngraph",
+    (s, d) => {
+      val g = Similarity.knnGraph(embs(s, d), "vec_id", "embedding", 3)
+      embs(s, d).select(col("vec_id").as("src"), col("label"))
+        .join(g, "src")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_edges"),
+          sum(col("mutual").cast("long")).as("n_mutual"),
+          round(avg(col("cos")), 5).as("avg_cos"),
+          sum(col("src") * 1000003L + col("dst") * 131L + col("rank"))
+            .as("checksum"))
+        .orderBy("label")
+    },
+    s"WITH e AS (SELECT vec_id, label, embedding AS emb, " +
+      s"(${bucketSql(8)}) AS bucket, " +
+      s"sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings), " +
+      "p AS (SELECT a.vec_id AS src, a.label, b.vec_id AS dst, " +
+      s"${dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm) AS cos " +
+      "FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id), " +
+      "r AS (SELECT src, label, dst, cos, row_number() OVER " +
+      "(PARTITION BY src ORDER BY cos DESC, dst ASC) AS rank FROM p), " +
+      "g AS (SELECT * FROM r WHERE rank <= 3), " +
+      "m AS (SELECT g.*, CASE WHEN g2.src IS NOT NULL THEN 1 ELSE 0 END " +
+      "AS mutual FROM g LEFT JOIN g g2 " +
+      "ON g2.src = g.dst AND g2.dst = g.src) " +
+      "SELECT label, count(*) AS n_edges, " +
+      "CAST(sum(mutual) AS BIGINT) AS n_mutual, " +
+      "round(avg(cos), 5) AS avg_cos, " +
+      "CAST(sum(src * 1000003 + dst * 131 + rank) AS BIGINT) AS checksum " +
+      "FROM m GROUP BY label ORDER BY label")
+
   private val embedAnnLsh = lshStatsQ("q_embed_ann_lsh", 8)
   /** Parameterized-nBits entry: the bucket space must be SIZED to the
     * corpus ([[Similarity.nBitsFor]]) — same operator at 12 bits. */
@@ -3125,7 +3161,8 @@ object PipelineQueries {
     dedupIncremental, dedupIncrementalNear, dedupBloom, dedupSpans,
     dedupContainment,
     embedTop1, embedTopK, embedAnnLsh, embedLshSized, embedAnnTop1,
-    embedNearDup, embedNearDupCapped, embedClusters, embedTriplets, embedIvf, embedIvfMp,
+    embedNearDup, embedNearDupCapped, embedClusters, embedTriplets,
+    embedKnnGraph, embedIvf, embedIvfMp,
     embedKmeans, embedCovariance, embedOutliers, gpRff,
     embedPq, embedIvfPq, embedRerank, embedSq8,
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,

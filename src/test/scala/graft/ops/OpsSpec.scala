@@ -851,6 +851,36 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("knnGraph: k-bounded out-degree, mutual flag is the exact " +
+    "symmetric-edge predicate, and no rank Window in the plan") {
+    val embDf = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val g = Similarity.knnGraph(embDf, "vec_id", "embedding", k = 3)
+      .cache()
+    val edges = g.select("src", "dst", "mutual").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getBoolean(2))).toMap
+    assert(edges.nonEmpty)
+    // mutual(u,v) == edge (v,u) also present — for EVERY edge
+    edges.foreach { case ((u, v), m) =>
+      assert(m == edges.contains((v, u)), s"mutual flag wrong on ($u,$v)")
+    }
+    // out-degree bounded by k
+    val deg = g.groupBy("src").count()
+      .agg(max(col("count"))).head.getLong(0)
+    assert(deg <= 3, s"out-degree $deg exceeds k")
+    // ranks are 1..deg(src) descending by cosine
+    val badRank = g.groupBy("src")
+      .agg(count(lit(1)).as("n"), max(col("rank")).as("mx"),
+        min(col("rank")).as("mn"))
+      .where(col("mx") =!= col("n") || col("mn") =!= 1)
+      .count()
+    assert(badRank == 0, "ranks must be a dense 1..n per node")
+    val plan = Similarity.knnGraph(embDf, "vec_id", "embedding", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no rank Window allowed:\n$plan")
+    assert(plan.contains("top_k"), s"expected bounded TopKAgg:\n$plan")
+  }
+
   test("kmeansIterate reduces inertia and the fixed-point centroid " +
     "update is partition-invariant") {
     val embDf = spark.read
