@@ -282,7 +282,56 @@ object EventQueries {
       "round(n::DOUBLE / (sum(n) OVER (PARTITION BY from_type))::DOUBLE," +
       " 5) AS p FROM m ORDER BY from_type, to_type")
 
+  /** Per-key EWMA smoothing + one-step-forecast anomaly flags: the
+    * level/residual primitive of telemetry monitoring. The Spark side
+    * is the secondary-sort recurrence fold ([[Events.ewma]]); the
+    * oracle replays the SAME literal recurrence with DuckDB
+    * `list_reduce` over prefix lists (identical operation order ⇒
+    * bit-identical doubles), so the anomaly id-checksum pins every
+    * per-row flag, not just counts. */
+  private val EwmaAlpha = 0.3
+  private val AnomResid = 60.0
+  private val eventsEwma = Q("q_events_ewma",
+    (s, d) => {
+      val e = Events.ewma(events(s, d), "user_id", "ts", "event_id",
+        "value", EwmaAlpha)
+      val resid = abs(col("value") - col("forecast"))
+      e.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("ewma")), 5).as("avg_ewma"),
+          sum(when(col("forecast").isNull, 1L).otherwise(0L))
+            .as("n_first"),
+          round(avg(when(col("forecast").isNotNull, resid)), 5)
+            .as("avg_resid"),
+          sum(when(col("forecast").isNotNull && resid > AnomResid, 1L)
+            .otherwise(0L)).as("n_anom"),
+          sum(when(col("forecast").isNotNull && resid > AnomResid,
+            col("event_id")).otherwise(0L)).as("anom_ids"))
+        .orderBy("event_type")
+    },
+    "WITH l AS (SELECT event_id, user_id, event_type, value, " +
+      "list(value) OVER (PARTITION BY user_id " +
+      "ORDER BY epoch_ns(ts), event_id ROWS UNBOUNDED PRECEDING) " +
+      "AS pfx FROM events), " +
+      "e AS (SELECT event_id, event_type, value, " +
+      s"list_reduce(pfx, (acc, x) -> $EwmaAlpha * x + " +
+      s"(1.0 - $EwmaAlpha) * acc) AS ewma, " +
+      "CASE WHEN len(pfx) > 1 THEN list_reduce(pfx[1:len(pfx)-1], " +
+      s"(acc, x) -> $EwmaAlpha * x + (1.0 - $EwmaAlpha) * acc) " +
+      "END AS fc FROM l) " +
+      "SELECT event_type, count(*) AS n, " +
+      "round(avg(ewma), 5) AS avg_ewma, " +
+      "CAST(sum(CASE WHEN fc IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_first, " +
+      "round(avg(CASE WHEN fc IS NOT NULL THEN abs(value - fc) END), 5) " +
+      "AS avg_resid, " +
+      "CAST(sum(CASE WHEN fc IS NOT NULL AND abs(value - fc) > " +
+      s"$AnomResid THEN 1 ELSE 0 END) AS BIGINT) AS n_anom, " +
+      "CAST(sum(CASE WHEN fc IS NOT NULL AND abs(value - fc) > " +
+      s"$AnomResid THEN event_id ELSE 0 END) AS BIGINT) AS anom_ids " +
+      "FROM e GROUP BY event_type ORDER BY event_type")
+
   val all: Vector[Q] = Vector(eventsAsof, eventsSessionize, eventsProps,
     eventsRange, eventsZorder, eventsWindow, eventsFunnel,
-    eventsRetention, eventsTransitions)
+    eventsRetention, eventsTransitions, eventsEwma)
 }

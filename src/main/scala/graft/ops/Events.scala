@@ -233,4 +233,50 @@ object Events {
       round(col("n").cast("double") /
         sum(col("n")).over(wFrom).cast("double"), 5))
   }
+
+  /** Per-key event-time EWMA (exponentially weighted moving average):
+    * within each key, events ordered by (tsCol, seqCol) fold e₁ = x₁,
+    * eₙ = α·xₙ + (1−α)·eₙ₋₁. Adds `ewma` (the smoothed level through
+    * this event) and `forecast` (the PREVIOUS level — the one-step
+    * prediction this event is judged against; null on each key's
+    * first event). xₙ − forecast is the standard anomaly/surprise
+    * residual.
+    *
+    * Scale shape: a sequential recurrence can't be a window SUM, and
+    * the closed-form pow-weight rewrite overflows (1−α)⁻ⁿ on long
+    * histories — so this is the secondary-sort pattern: ONE exchange
+    * on the key + ONE sort of (key, ts, seq), then a streaming
+    * narrow `mapPartitions` fold carrying O(1) state per in-flight
+    * key — the same cost class as the sessionize window, linear per
+    * key at any history length. The fold is α·x + (1−α)·e with
+    * (1−α) hoisted, so an engine replaying the same literal
+    * recurrence (e.g. DuckDB `list_reduce`) lands bit-identically. */
+  def ewma(df: DataFrame, keyCol: String, tsCol: String, seqCol: String,
+           valCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"bad smoothing alpha $alpha")
+    val beta = 1.0 - alpha
+    val sorted = df.repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol), col(tsCol), col(seqCol))
+    val ki = sorted.schema.fieldIndex(keyCol)
+    val vi = sorted.schema.fieldIndex(valCol)
+    val outSchema = sorted.schema
+      .add("ewma", org.apache.spark.sql.types.DoubleType, nullable = false)
+      .add("forecast", org.apache.spark.sql.types.DoubleType,
+        nullable = true)
+    sorted.mapPartitions { it =>
+      var cur: Any = null
+      var have = false
+      var e = 0.0
+      it.map { r =>
+        val k = r.get(ki)
+        val v = r.getDouble(vi)
+        val fresh = !have || k != cur
+        val fc: Any = if (fresh) null else e
+        e = if (fresh) v else alpha * v + beta * e
+        cur = k
+        have = true
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ e :+ fc)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
 }

@@ -56,6 +56,41 @@ object StreamingOps {
       }
   }
 
+  /** Streaming per-key EWMA ([[graft.ops.Events.ewma]]'s incremental
+    * twin): state is ONE (level) double per key — bounded by key
+    * cardinality, not stream length. Each micro-batch's rows fold in
+    * (ts, seq) order (sorted batch-locally; the deployment contract is
+    * event-time-ordered arrival across batches, as with any
+    * recurrence), emitting (key, seq, value, ewma, forecast) per
+    * event — forecast null on each key's first-ever event. The fold is
+    * the same α·x + (1−α)·e literal recurrence, so a stream fed the
+    * batch rows in order reproduces [[graft.ops.Events.ewma]] bit for
+    * bit. */
+  def ewmaPerKey(events: Dataset[(Long, Long, Long, Double)],
+                 alpha: Double)
+      : Dataset[(Long, Long, Double, Double, Option[Double])] = {
+    import events.sparkSession.implicits._
+    val beta = 1.0 - alpha
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[Double,
+        (Long, Long, Double, Double, Option[Double])](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Double)],
+         state: GroupState[Double]) =>
+          val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+          var have = state.exists
+          var e = state.getOption.getOrElse(0.0)
+          val out = sorted.map { case (_, _, seq, v) =>
+            val fc = if (have) Some(e) else None
+            e = if (have) alpha * v + beta * e else v
+            have = true
+            (key, seq, v, e, fc)
+          }
+          state.update(e)
+          out.iterator
+      }
+  }
+
   /** Streaming near-duplicate suppression: keep the first document per
     * full MinHash signature seen within the watermark horizon. The
     * signature is a pure per-row map ([[graft.ops.Dedup

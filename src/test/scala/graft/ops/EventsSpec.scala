@@ -175,4 +175,32 @@ class EventsSpec extends AnyFunSuite {
     assert(f(4L) == ((10L, 20L, null)), "purchase at t2 is not AFTER t2")
     assert(f.size == 4)
   }
+
+  test("ewma: recurrence matches a driver fold per key, forecast lags " +
+    "by one event, and the plan is one exchange + sort (no Window)") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val got = Events.ewma(ev, "user_id", "ts", "event_id", "value", 0.3)
+    val rows = got.select("user_id", "ts", "event_id", "value", "ewma",
+        "forecast").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    // driver replay: same (ts, seq) order, same literal recurrence
+    val byKey = rows.groupBy(_._1)
+    byKey.foreach { case (_, rs) =>
+      val ord = rs.sortBy(r => (r._2, r._3))
+      var e = 0.0
+      var first = true
+      ord.foreach { case (_, _, _, v, ge, gfc) =>
+        val fc = if (first) None else Some(e)
+        e = if (first) v else 0.3 * v + (1.0 - 0.3) * e
+        first = false
+        assert(ge == e, s"ewma $ge != $e")
+        assert(gfc == fc, s"forecast $gfc != $fc")
+      }
+    }
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no window op expected:\n$plan")
+    assert(plan.split("Exchange").length - 1 == 1,
+      s"exactly one exchange expected:\n$plan")
+  }
 }

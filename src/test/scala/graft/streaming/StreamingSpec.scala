@@ -245,6 +245,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(got > 0)
   }
 
+  test("streaming per-key EWMA fed time-ordered micro-batches equals " +
+    "the batch secondary-sort fold bit for bit") {
+    import spark.implicits._
+    import graft.ops.Events
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val want = Events.ewma(ev, "user_id", "ts", "event_id", "value", 0.3)
+      .select("event_id", "ewma", "forecast").collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    // slice the table into 3 event-time-ordered files: recurrence
+    // state must carry across micro-batch boundaries
+    val rows = ev.select(col("user_id"), col("ts"), col("event_id"),
+        col("value"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._2, r._3))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("ewma_stream").toFile
+    tmp.deleteOnExit()
+    val slices = rows.grouped((rows.length + 2) / 3).toSeq
+    slices.zipWithIndex.foreach { case (s, i) =>
+      val p = new java.io.File(tmp, s"slice$i")
+      s.toSeq.toDF("user_id", "ts", "event_id", "value")
+        .coalesce(1).write.parquet(p.toString)
+      // file-source processes by modification time: force slice order
+      p.listFiles().foreach(f => f.setLastModified(1700000000000L + i * 60000L))
+    }
+    val stream = spark.readStream
+      .schema(slices.head.toSeq.toDF("user_id", "ts", "event_id", "value")
+        .schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/*")
+      .as[(Long, Long, Long, Double)]
+    val out = StreamingOps.ewmaPerKey(stream, 0.3)
+      .toDF("key", "seq", "v", "ewma", "forecast")
+    StreamingOps.runToMemorySink(out, "ewma_stream")
+    val got = spark.table("ewma_stream")
+      .select("seq", "ewma", "forecast").collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(got.size == want.size, s"${got.size} vs ${want.size} rows")
+    want.foreach { case (id, (e, fc)) =>
+      assert(got(id) == ((e, fc)), s"event $id: ${got(id)} != ${(e, fc)}")
+    }
+  }
+
   test("streaming sessionization emits exactly the batch sessions the " +
     "watermark has closed, and never an open one") {
     val gap = graft.EventQueries.SessionGapNanos
