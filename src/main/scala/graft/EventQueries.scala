@@ -282,6 +282,37 @@ object EventQueries {
       "round(n::DOUBLE / (sum(n) OVER (PARTITION BY from_type))::DOUBLE," +
       " 5) AS p FROM m ORDER BY from_type, to_type")
 
+  /** Session-scoped 3-step event paths ("top flows"): every in-session
+    * run of 3 consecutive events, counted on the ≤ types³ grain with
+    * global shares. The oracle rebuilds sessions + leads at the shared
+    * nanosecond grain — counts and shares are engine-exact. */
+  private val eventsPaths = Q("q_events_paths",
+    (s, d) => Events.eventPaths(events(s, d), "user_id", "ts",
+        "event_id", "event_type", 3, SessionGapNanos)
+      .orderBy("step1", "step2", "step3"),
+    "WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) " +
+      "AS tsn FROM events), " +
+      "g AS (SELECT user_id, event_id, event_type, tsn, CASE WHEN " +
+      "lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) IS NULL " +
+      "OR tsn - lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) " +
+      s"> $SessionGapNanos THEN 1 ELSE 0 END AS nw FROM e), " +
+      "si AS (SELECT user_id, event_id, event_type, tsn, " +
+      "sum(nw) OVER (PARTITION BY user_id ORDER BY tsn, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+      "AS session_idx FROM g), " +
+      "p AS (SELECT event_type AS step1, " +
+      "lead(event_type, 1) OVER (PARTITION BY user_id " +
+      "ORDER BY tsn, event_id) AS step2, " +
+      "lead(event_type, 2) OVER (PARTITION BY user_id " +
+      "ORDER BY tsn, event_id) AS step3, session_idx AS s0, " +
+      "lead(session_idx, 2) OVER (PARTITION BY user_id " +
+      "ORDER BY tsn, event_id) AS s2 FROM si), " +
+      "m AS (SELECT step1, step2, step3, count(*) AS n FROM p " +
+      "WHERE s2 IS NOT NULL AND s2 = s0 GROUP BY 1, 2, 3) " +
+      "SELECT step1, step2, step3, n, " +
+      "round(n::DOUBLE / (sum(n) OVER ())::DOUBLE, 5) AS share " +
+      "FROM m ORDER BY step1, step2, step3")
+
   /** Per-key EWMA smoothing + one-step-forecast anomaly flags: the
     * level/residual primitive of telemetry monitoring. The Spark side
     * is the secondary-sort recurrence fold ([[Events.ewma]]); the
@@ -333,5 +364,5 @@ object EventQueries {
 
   val all: Vector[Q] = Vector(eventsAsof, eventsSessionize, eventsProps,
     eventsRange, eventsZorder, eventsWindow, eventsFunnel,
-    eventsRetention, eventsTransitions, eventsEwma)
+    eventsRetention, eventsTransitions, eventsEwma, eventsPaths)
 }

@@ -234,6 +234,42 @@ object Events {
         sum(col("n")).over(wFrom).cast("double"), 5))
   }
 
+  /** Session-scoped event paths (the length-n generalization of
+    * [[transitions]]): every run of n consecutive events a key makes
+    * WITHIN one gap-bounded session becomes a (step1 … stepn) path,
+    * counted on the ≤ |event types|ⁿ grain — the product-analytics
+    * "top flows" report, and n-gram extraction over behavioral
+    * sequences.
+    *
+    * Scale shape: sessionization (lag + running sum) and the n−1
+    * `lead`s all share ONE window spec, so Catalyst plans a single
+    * exchange + sort on the high-cardinality key; session boundaries
+    * are enforced by comparing the LAST step's session index (the
+    * index is monotone per key, so endpoint equality implies the
+    * whole run is in-session). The final aggregate lands on the
+    * bounded path grain — map-side partial, never a window over the
+    * output. */
+  def eventPaths(df: DataFrame, keyCol: String, tsCol: String,
+                 seqCol: String, typeCol: String, n: Int,
+                 gapNanos: Long): DataFrame = {
+    require(n >= 2, s"path length $n must be >= 2")
+    val sess = sessionize(df, keyCol, tsCol, seqCol, gapNanos)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(seqCol))
+    val steps = (0 until n).map {
+      case 0 => col(typeCol).as("step1")
+      case i => lead(col(typeCol), i).over(w).as(s"step${i + 1}")
+    }
+    val endSess = lead(col("session_idx"), n - 1).over(w)
+    val paths = sess.select(steps :+ col("session_idx").as("__s")
+        :+ endSess.as("__e"): _*)
+      .where(col("__e").isNotNull && col("__e") === col("__s"))
+      .groupBy((1 to n).map(i => col(s"step$i")): _*)
+      .agg(count(lit(1)).as("n"))
+    paths.withColumn("share",
+      round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy()).cast("double"), 5))
+  }
+
   /** Per-key event-time EWMA (exponentially weighted moving average):
     * within each key, events ordered by (tsCol, seqCol) fold e₁ = x₁,
     * eₙ = α·xₙ + (1−α)·eₙ₋₁. Adds `ewma` (the smoothed level through

@@ -176,6 +176,36 @@ class EventsSpec extends AnyFunSuite {
     assert(f.size == 4)
   }
 
+  test("eventPaths: runs crossing a session gap are excluded, counts " +
+    "match brute force, and the key sorts exactly once") {
+    import spark.implicits._
+    val h = 3600L * 1000000000L
+    // user 1: A B C D within one session, then a gap, then E F G
+    // user 2: A B (too short for n=3)
+    val ev = Seq(
+      (1L, 1L * h, 1L, "A"), (1L, 2L * h, 2L, "B"), (1L, 3L * h, 3L, "C"),
+      (1L, 4L * h, 4L, "D"),
+      (1L, 100L * h, 5L, "E"), (1L, 101L * h, 6L, "F"),
+      (1L, 102L * h, 7L, "G"),
+      (2L, 1L * h, 8L, "A"), (2L, 2L * h, 9L, "B"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Events.eventPaths(ev, "user_id", "ts", "event_id",
+        "event_type", 3, gapNanos = 6L * h)
+      .select("step1", "step2", "step3", "n").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    // in-session 3-runs: ABC, BCD, EFG — and nothing else (no CDE/DEF
+    // across the gap, nothing from user 2)
+    assert(got == Map(("A", "B", "C") -> 1L, ("B", "C", "D") -> 1L,
+      ("E", "F", "G") -> 1L), s"got $got")
+    val plan = Events.eventPaths(ev, "user_id", "ts", "event_id",
+        "event_type", 3, gapNanos = 6L * h)
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val keySorts = "Sort \\[user_id".r.findAllIn(plan).size
+    assert(keySorts == 1, s"$keySorts key sorts, want 1:\n$plan")
+  }
+
   test("ewma: recurrence matches a driver fold per key, forecast lags " +
     "by one event, and the plan is one exchange + sort (no Window)") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
