@@ -175,6 +175,92 @@ object Codecs {
       }
     } catch { case _: Exception => None }
 
+  /** 64-bit perceptual DCT-hash (pHash) of any ImageIO-decodable
+    * image: box-filtered 32×32 grayscale → 2-D DCT-II → the 8×8
+    * lowest-frequency block thresholded at its own median. Captures
+    * image STRUCTURE in the spectral domain, so it survives blur,
+    * recompression, and mild edits that flip aHash's per-cell
+    * comparisons — the standard second tier of image near-dup
+    * detection (group or hamming-match exactly like [[aHash64]]).
+    * Deterministic: box means are exact integer sums, the DCT is
+    * fixed-order double arithmetic, the median a fixed sort. */
+  def pHash64(b: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val n = 32
+        // box-filtered grayscale: average r+g+b over each cell's block
+        // (integer sums — exact), block bounds [c·d/n, (c+1)·d/n)
+        val gray = new Array[Double](n * n)
+        var cy = 0
+        while (cy < n) {
+          val y0 = (cy.toLong * h / n).toInt
+          val y1 = math.max(((cy + 1).toLong * h / n).toInt, y0 + 1).min(h)
+          var cx = 0
+          while (cx < n) {
+            val x0 = (cx.toLong * w / n).toInt
+            val x1 = math.max(((cx + 1).toLong * w / n).toInt, x0 + 1).min(w)
+            var s = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val p = img.getRGB(x, y)
+                s += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            gray(cy * n + cx) = s.toDouble / ((y1 - y0) * (x1 - x0))
+            cx += 1
+          }
+          cy += 1
+        }
+        // separable 2-D DCT-II, only the first 8 of each axis needed
+        val k = 8
+        val cosTab = Array.tabulate(k, n)((u, x) =>
+          math.cos((2 * x + 1) * u * math.Pi / (2.0 * n)))
+        val rows = new Array[Double](k * n) // DCT over x, per row y
+        var y = 0
+        while (y < n) {
+          var u = 0
+          while (u < k) {
+            var s = 0.0
+            var x = 0
+            while (x < n) { s += gray(y * n + x) * cosTab(u)(x); x += 1 }
+            rows(u * n + y) = s
+            u += 1
+          }
+          y += 1
+        }
+        val low = new Array[Double](k * k)
+        var v = 0
+        while (v < k) {
+          var u = 0
+          while (u < k) {
+            var s = 0.0
+            var yy = 0
+            while (yy < n) { s += rows(u * n + yy) * cosTab(v)(yy); yy += 1 }
+            low(v * k + u) = s
+            u += 1
+          }
+          v += 1
+        }
+        val sortedCoeffs = low.clone()
+        java.util.Arrays.sort(sortedCoeffs)
+        val med = (sortedCoeffs(31) + sortedCoeffs(32)) / 2.0
+        var hash = 0L
+        var i = 0
+        while (i < 64) {
+          if (low(i) > med) hash |= (1L << i)
+          i += 1
+        }
+        Some(hash)
+      }
+    } catch { case _: Exception => None }
+
   /** Decode an uncompressed 24-bpp BMP (BITMAPINFOHEADER, positive or
     * negative height): dimensions plus per-channel pixel means in
     * [0, 255]. None for anything else. */

@@ -103,6 +103,31 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Perceptual image hashes for near-dup detection: aHash64 (spatial
+    * brightness pattern) and pHash64 (DCT spectral structure) per row,
+    * null for undecodable bytes. The two-tier fingerprint feeds the
+    * same group-by / hamming-ball dedup machinery as text signatures —
+    * a pure batched map over the binary column (bytes never shuffle),
+    * stream-safe like every codec column. */
+  def imageHashColumn(df: DataFrame, mediaCol: String,
+                      blockSize: Int = 1024): DataFrame = {
+    val schema = df.schema
+      .add("ahash64", org.apache.spark.sql.types.LongType)
+      .add("phash64", org.apache.spark.sql.types.LongType)
+    val idx = df.schema.fieldIndex(mediaCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(blockSize).flatMap { rows =>
+        rows.iterator.map { row =>
+          val b = row.getAs[Array[Byte]](idx)
+          Row.fromSeq(row.toSeq :+
+            Codecs.aHash64(b).map(Long.box).orNull :+
+            Codecs.pHash64(b).map(Long.box).orNull)
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** REAL image resize: nearest-neighbor BMP downsample to w×h,
     * re-encoded as BMP with recomputed metadata (null for non-BMP
     * bytes). */

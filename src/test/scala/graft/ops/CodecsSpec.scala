@@ -104,6 +104,49 @@ class CodecsSpec extends AnyFunSuite {
     assert(Codecs.aHash64("junk".getBytes).isEmpty)
   }
 
+  test("pHash64: stable under scale, brightness shift, and JPEG " +
+    "recompression; far for unrelated structure; None for garbage") {
+    val (w, h) = (64, 64)
+    // diagonal gradient + bright disc: structured, non-separable
+    def scene(size: Int, shift: Int): Array[Byte] = {
+      val rgb = new Array[Byte](3 * size * size)
+      for (y <- 0 until size; x <- 0 until size) {
+        val dx = x - size * 3 / 10
+        val dy = y - size * 2 / 5
+        val base = (x + y) * 200 / (2 * size - 2) +
+          (if (dx * dx + dy * dy < size * size / 25) 55 else 0)
+        val v = (base + shift).min(255).max(0).toByte
+        for (c <- 0 until 3) rgb(3 * (y * size + x) + c) = v
+      }
+      rgb
+    }
+    def hashOf(bytes: Array[Byte]): Long = Codecs.pHash64(bytes).get
+    val base = hashOf(Codecs.encodeImage(w, h, scene(w, 0), "png"))
+    // uniform brightness shift touches mostly the DC coefficient
+    val bright = hashOf(Codecs.encodeImage(w, h, scene(w, 20), "png"))
+    assert(java.lang.Long.bitCount(bright ^ base) <= 8,
+      "brightness shift must stay within a small hamming ball")
+    // same scene at half resolution
+    val small = hashOf(Codecs.encodeImage(32, 32, scene(32, 0), "png"))
+    assert(java.lang.Long.bitCount(small ^ base) <= 10,
+      s"scale must stay near: ${java.lang.Long.bitCount(small ^ base)}")
+    // lossy JPEG of the same pixels
+    val jpg = hashOf(Codecs.encodeImage(w, h, scene(w, 0), "jpg"))
+    assert(java.lang.Long.bitCount(jpg ^ base) <= 10,
+      s"JPEG recompression: ${java.lang.Long.bitCount(jpg ^ base)}")
+    // unrelated structure (the transpose-mirrored gradient with the
+    // disc moved) must be far
+    val other = new Array[Byte](3 * w * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (255 - (x + y) * 200 / (2 * w - 2)).toByte
+      for (c <- 0 until 3) other(3 * (y * w + x) + c) = v
+    }
+    val far = hashOf(Codecs.encodeImage(w, h, other, "png"))
+    assert(java.lang.Long.bitCount(far ^ base) >= 20,
+      s"unrelated structure too close: ${java.lang.Long.bitCount(far ^ base)}")
+    assert(Codecs.pHash64("junk".getBytes).isEmpty)
+  }
+
   test("resizeImage: PNG-in → nearest-neighbor sample matches the BMP " +
     "resizer pixel for pixel (same index math, lossless carriers)") {
     val (w, h) = (16, 10)
@@ -132,6 +175,22 @@ class CodecsSpec extends AnyFunSuite {
     assert(got(1L).contains((w, h)))
     assert(got(2L).contains((w, h)))
     assert(got(3L).isEmpty)
+  }
+
+  test("imageHashColumn: both perceptual hashes per row, equal to the " +
+    "scalar functions, null for undecodable bytes") {
+    import spark.implicits._
+    val (w, h) = (16, 16)
+    val png = Codecs.encodeImage(w, h, makeRgb(w, h), "png")
+    val df = Seq((1L, png), (2L, Array[Byte](9, 9)))
+      .toDF("id", "media").repartition(2)
+    val got = Multimodal.imageHashColumn(df, "media")
+      .select(col("id"), col("ahash64"), col("phash64"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got(1L) == ((Codecs.aHash64(png), Codecs.pHash64(png))))
+    assert(got(2L) == ((None, None)))
   }
 
   test("toneFeatures: a planted sine concentrates Goertzel power on " +
