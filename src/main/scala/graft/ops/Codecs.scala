@@ -142,6 +142,86 @@ object Codecs {
     }
   }
 
+  /** In-place iterative radix-2 Cooley–Tukey FFT (decimation in time,
+    * bit-reversal permutation first). Length must be a power of two.
+    * Pure JVM, fixed operation order — deterministic doubles. */
+  def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require(n == im.length && n >= 1 && (n & (n - 1)) == 0,
+      s"fft length $n must be a power of two")
+    // bit-reversal permutation
+    var i = 1
+    var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        var t = re(i); re(i) = re(j); re(j) = t
+        t = im(i); im(i) = im(j); im(j) = t
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val (wr, wi) = (math.cos(ang), math.sin(ang))
+      var base = 0
+      while (base < n) {
+        var cr = 1.0
+        var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val (ur, ui) = (re(base + k), im(base + k))
+          val vr = re(base + k + len / 2) * cr - im(base + k + len / 2) * ci
+          val vi = re(base + k + len / 2) * ci + im(base + k + len / 2) * cr
+          re(base + k) = ur + vr; im(base + k) = ui + vi
+          re(base + k + len / 2) = ur - vr; im(base + k + len / 2) = ui - vi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr
+          cr = ncr
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Log-energy filterbank spectrogram over PCM16 WAV bytes: frames of
+    * `nFft` samples every `hop`, rectangular window, radix-2 [[fft]] →
+    * one-sided power spectrum → `nBands` equal-width bands over
+    * [0, sr/2) → ln(1 + Σ power). The classic audio feature matrix
+    * (mel warping is a band-edge table away — bands here stay linear
+    * so an external check can rebuild edges exactly). Returns one
+    * `nBands`-vector per frame; empty for audio shorter than one
+    * frame, None for non-WAV bytes. */
+  def filterbank(b: Array[Byte], nFft: Int = 512, hop: Int = 256,
+                 nBands: Int = 8): Option[Array[Array[Double]]] = {
+    require(nFft >= 2 && (nFft & (nFft - 1)) == 0, s"nFft $nFft not 2^k")
+    require(hop > 0 && nBands >= 1 && nBands <= nFft / 2)
+    samplesOf(b).map { case (_, xs) =>
+      val nFrames = if (xs.length < nFft) 0 else (xs.length - nFft) / hop + 1
+      Array.tabulate(nFrames) { fi =>
+        val re = new Array[Double](nFft)
+        val im = new Array[Double](nFft)
+        System.arraycopy(xs, fi * hop, re, 0, nFft)
+        fft(re, im)
+        val bands = new Array[Double](nBands)
+        val binsPerBand = (nFft / 2) / nBands
+        var k = 0
+        while (k < nFft / 2) {
+          val band = math.min(k / binsPerBand, nBands - 1)
+          bands(band) += (re(k) * re(k) + im(k) * im(k)) / nFft
+          k += 1
+        }
+        var bi = 0
+        while (bi < nBands) { bands(bi) = math.log1p(bands(bi)); bi += 1 }
+        bands
+      }
+    }
+  }
+
   /** 64-bit perceptual average-hash (aHash) of any ImageIO-decodable
     * image: nearest-neighbor resample to 8×8, per-cell grayscale,
     * bit i set iff cell i is brighter than the image's own mean —

@@ -128,6 +128,43 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Clip-level audio features: the per-band MEAN of the [[Codecs
+    * .filterbank]] log-energy spectrogram (one fixed-size vector per
+    * clip) plus the frame count — the embedding-ready form for
+    * similarity/dedup over audio corpora. Null feature for non-WAV
+    * bytes or clips shorter than one frame. Batched map, bytes never
+    * shuffle, stream-safe. */
+  def audioFeatureColumn(df: DataFrame, mediaCol: String,
+                         nFft: Int = 512, hop: Int = 256, nBands: Int = 8,
+                         blockSize: Int = 1024): DataFrame = {
+    val schema = df.schema
+      .add("afeat", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, containsNull = false))
+      .add("n_frames", org.apache.spark.sql.types.LongType)
+    val idx = df.schema.fieldIndex(mediaCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(blockSize).flatMap { rows =>
+        rows.iterator.map { row =>
+          val fb = Codecs.filterbank(row.getAs[Array[Byte]](idx),
+            nFft, hop, nBands)
+          val (feat, nf) = fb match {
+            case Some(frames) if frames.nonEmpty =>
+              val mean = new Array[Double](nBands)
+              frames.foreach { fr =>
+                var i = 0
+                while (i < nBands) { mean(i) += fr(i); i += 1 }
+              }
+              (mean.map(_ / frames.length).toSeq, Long.box(frames.length))
+            case Some(_) => (null, Long.box(0L))
+            case None => (null, null)
+          }
+          Row.fromSeq(row.toSeq :+ feat :+ nf)
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** REAL image resize: nearest-neighbor BMP downsample to w×h,
     * re-encoded as BMP with recomputed metadata (null for non-BMP
     * bytes). */

@@ -38,6 +38,32 @@ class CodecsSpec extends AnyFunSuite {
     out
   }
 
+  /** Mono PCM16 WAV around explicit samples. */
+  private def pcm16Wav(samples: Array[Short], sampleRate: Int)
+      : Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def put16(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+    }
+    def put32(o: Int, v: Int): Unit = {
+      put16(o, v & 0xffff); put16(o + 2, (v >> 16) & 0xffff)
+    }
+    def tag(o: Int, s: String): Unit =
+      s.getBytes("US-ASCII").zipWithIndex.foreach { case (b, i) =>
+        out(o + i) = b
+      }
+    tag(0, "RIFF"); put32(4, 36 + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); put32(16, 16); put16(20, 1); put16(22, 1)
+    put32(24, sampleRate); put32(28, sampleRate * 2); put16(32, 2)
+    put16(34, 16)
+    tag(36, "data"); put32(40, dataLen)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      put16(44 + 2 * i, s & 0xffff)
+    }
+    out
+  }
+
   /** w×h RGB gradient: R = x, G = y, B = 7 (top-down row-major). */
   private def makeRgb(w: Int, h: Int): Array[Byte] = {
     val rgb = new Array[Byte](3 * w * h)
@@ -190,6 +216,79 @@ class CodecsSpec extends AnyFunSuite {
         (if (r.isNullAt(1)) None else Some(r.getLong(1)),
           if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
     assert(got(1L) == ((Codecs.aHash64(png), Codecs.pHash64(png))))
+    assert(got(2L) == ((None, None)))
+  }
+
+  test("fft: Parseval holds, bin power matches the Goertzel filter at " +
+    "its exact frequency, and the filterbank localizes planted sines") {
+    val sr = 8192
+    val n = 4096
+    val samples = Array.tabulate(n)(i =>
+      (0.5 * math.sin(2 * math.Pi * 440.0 * i / sr) +
+        0.25 * math.sin(2 * math.Pi * 3000.0 * i / sr)))
+    // Parseval: sum |x|^2 == sum |X|^2 / N
+    val re = samples.clone()
+    val im = new Array[Double](n)
+    Codecs.fft(re, im)
+    val tdEnergy = samples.map(x => x * x).sum
+    val fdEnergy = (0 until n).map(k => re(k) * re(k) + im(k) * im(k))
+      .sum / n
+    assert(math.abs(tdEnergy - fdEnergy) < 1e-6 * tdEnergy,
+      s"Parseval: $tdEnergy vs $fdEnergy")
+    // against Goertzel: bin k power |X_k|^2 / n equals the Goertzel
+    // power at f = k*sr/n (same rectangular window, same signal)
+    def goertzelPower(f: Double): Double = {
+      val w = 2.0 * math.Pi * f / sr
+      val coeff = 2.0 * math.cos(w)
+      var s1 = 0.0; var s2 = 0.0
+      samples.foreach { x =>
+        val s0 = x + coeff * s1 - s2
+        s2 = s1; s1 = s0
+      }
+      (s1 * s1 + s2 * s2 - coeff * s1 * s2) / n
+    }
+    Seq(220, 1500).foreach { k =>
+      val fftP = (re(k) * re(k) + im(k) * im(k)) / n
+      val gP = goertzelPower(k.toDouble * sr / n)
+      assert(math.abs(fftP - gP) < 1e-6 * math.max(1.0, gP),
+        s"bin $k: fft $fftP vs goertzel $gP")
+    }
+    // filterbank over a WAV of the same signal: the two sine bands
+    // (440 Hz -> band 0, 3000 Hz -> band 5 of 8 over [0, 4096)) carry
+    // the most energy
+    val pcm = samples.map(x => (x * 32767).toInt.toShort)
+    val wav = pcm16Wav(pcm, sr)
+    val frames = Codecs.filterbank(wav, nFft = 512, hop = 256,
+      nBands = 8).get
+    assert(frames.length == (n - 512) / 256 + 1)
+    val mean = (0 until 8).map(b => frames.map(_(b)).sum / frames.length)
+    val top2 = mean.zipWithIndex.sortBy(-_._1).take(2).map(_._2).toSet
+    assert(top2 == Set(0, 5), s"expected bands {0,5}, got $top2 ($mean)")
+    assert(Codecs.filterbank("nope".getBytes).isEmpty)
+    // audio shorter than one frame: zero frames, not a crash
+    assert(Codecs.filterbank(pcm16Wav(pcm.take(100), sr)).get.isEmpty)
+  }
+
+  test("audioFeatureColumn: per-row clip features equal the scalar " +
+    "filterbank means; null for non-audio bytes") {
+    import spark.implicits._
+    val sr = 8192
+    val pcm = Array.tabulate(2048)(i =>
+      (0.5 * math.sin(2 * math.Pi * 440.0 * i / sr) * 32767).toInt.toShort)
+    val wav = pcm16Wav(pcm, sr)
+    val df = Seq((1L, wav), (2L, Array[Byte](1, 2)))
+      .toDF("id", "media").repartition(2)
+    val got = Multimodal.audioFeatureColumn(df, "media")
+      .select(col("id"), col("afeat"), col("n_frames"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getSeq[Double](1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val frames = Codecs.filterbank(wav).get
+    val want = (0 until 8).map(b => frames.map(_(b)).sum / frames.length)
+    assert(got(1L)._2.contains(frames.length.toLong))
+    got(1L)._1.get.zip(want).foreach { case (g, w) =>
+      assert(g == w, s"feature mismatch: $g vs $w")
+    }
     assert(got(2L) == ((None, None)))
   }
 
