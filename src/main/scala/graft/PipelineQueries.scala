@@ -1006,6 +1006,56 @@ object PipelineQueries {
     * centroids bit-identical across engines and partitionings (int64
     * sums are exact), so the second assignment — and therefore the
     * whole query — hash-matches a serial DuckDB replay. */
+  /** k-center greedy coreset (Sener & Savarese 2018): farthest-first
+    * exemplar selection with original ids, plus the cover each
+    * exemplar induces (member counts, max/avg d² = the k-center
+    * radius). The oracle unrolls the k selection rounds as CTE stages
+    * (the BPE pattern for iterative algorithms): identical forward-
+    * order distances ⇒ identical argmax per round ⇒ the exact
+    * selected set and assignment pin cross-engine. */
+  private val CoresetK = 4
+  private val embedCoreset = Q("q_embed_coreset",
+    (s, d) => {
+      val e = embs(s, d)
+      val sel = Similarity.farthestFirst(e, "vec_id", "embedding", CoresetK)
+      val cents = sel.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+      val selIds = typedLit(sel.map(_._1).toSeq)
+      Similarity.cellAssignmentsWithDist(e, "vec_id", "embedding", cents)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_members"),
+          round(max(col("dist")), 5).as("max_d2"),
+          round(avg(col("dist")), 5).as("avg_d2"))
+        .withColumn("sel_id",
+          element_at(selIds, col("cell").cast("int") + 1))
+        .select("cell", "sel_id", "n_members", "max_d2", "avg_d2")
+        .orderBy("cell")
+    }, {
+      val sb = new StringBuilder(
+        "WITH e AS (SELECT vec_id, embedding AS emb FROM embeddings), " +
+          "s0 AS (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 1), " +
+          s"a0 AS (SELECT e.vec_id, e.emb, ${l2Sql("e.emb", "s0.emb")} " +
+          "AS d, 0 AS c FROM e CROSS JOIN s0), ")
+      for (i <- 1 until CoresetK) {
+        val p = s"a${i - 1}"
+        sb ++= s"s$i AS (SELECT vec_id, emb FROM $p " +
+          "ORDER BY d DESC, vec_id LIMIT 1), "
+        val di = l2Sql(s"$p.emb", s"s$i.emb")
+        sb ++= s"a$i AS (SELECT $p.vec_id, $p.emb, " +
+          s"CASE WHEN $di < $p.d THEN $di ELSE $p.d END AS d, " +
+          s"CASE WHEN $di < $p.d THEN $i ELSE $p.c END AS c " +
+          s"FROM $p CROSS JOIN s$i), "
+      }
+      sb ++= (0 until CoresetK)
+        .map(i => s"SELECT $i AS cell, vec_id FROM s$i")
+        .mkString("sel AS (", " UNION ALL ", ") ")
+      sb ++= "SELECT CAST(sel.cell AS BIGINT) AS cell, " +
+        "sel.vec_id AS sel_id, count(*) AS n_members, " +
+        s"round(max(f.d), 5) AS max_d2, round(avg(f.d), 5) AS avg_d2 " +
+        s"FROM a${CoresetK - 1} f JOIN sel ON f.c = sel.cell " +
+        "GROUP BY sel.cell, sel.vec_id ORDER BY cell"
+      sb.toString
+    })
+
   private val embedKmeans = Q("q_embed_kmeans",
     (s, d) => {
       val e = embs(s, d)
@@ -3163,7 +3213,7 @@ object PipelineQueries {
     embedTop1, embedTopK, embedAnnLsh, embedLshSized, embedAnnTop1,
     embedNearDup, embedNearDupCapped, embedClusters, embedTriplets,
     embedKnnGraph, embedIvf, embedIvfMp,
-    embedKmeans, embedCovariance, embedOutliers, gpRff,
+    embedKmeans, embedCoreset, embedCovariance, embedOutliers, gpRff,
     embedPq, embedIvfPq, embedRerank, embedSq8,
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,
     textVocab, textClassifier, textChunks, textBpe, textFertility,
