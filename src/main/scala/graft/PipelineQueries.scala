@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Dedup, Dsir, Multimodal, NgramLm, Pq, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Dsir, GraphRank, Multimodal, NgramLm, Pq, Sampling, Similarity, TextAnalysis}
 
 /** Oracle corpus for the beyond-reference training-data-pipeline
   * operators (dedup, similarity search, text analysis, multimodal) —
@@ -552,6 +552,78 @@ object PipelineQueries {
       "round(avg(cos), 5) AS avg_cos, " +
       "CAST(sum(src * 1000003 + dst * 131 + rank) AS BIGINT) AS checksum " +
       "FROM m GROUP BY label ORDER BY label")
+
+  /** Integer-exact PageRank over the directed kNN edge set — which
+    * vectors anchor the similarity graph (curation weighting / seed
+    * selection). [[graft.ops.GraphRank.pageRankInt]]'s fixed-point
+    * recurrence uses only int64 +, ×, and non-negative integer
+    * division, so the oracle replays all [[PrIters]] power-iteration
+    * rounds as CTE stages (the BPE pattern) and every rank matches
+    * BIT FOR BIT — including the dangling-mass redistribution and
+    * per-label argmax node. */
+  private val PrScale = 1000000000000L
+  private val PrIters = 3
+  private val embedPageRank = Q("q_embed_pagerank",
+    (s, d) => {
+      val g = Similarity.knnGraph(embs(s, d), "vec_id", "embedding", 3)
+        .select("src", "dst")
+      val pr = GraphRank.pageRankInt(g, "src", "dst", PrIters, PrScale)
+      val j = pr.join(embs(s, d)
+        .select(col("vec_id").as("node"), col("label")), "node")
+      val mx = j.groupBy("label").agg(max(col("rank")).as("__mx"))
+      val top = j.join(mx, "label").where(col("rank") === col("__mx"))
+        .groupBy("label").agg(min(col("node")).as("top_id"))
+      j.groupBy("label")
+        .agg(count(lit(1)).as("n_nodes"), sum(col("rank")).as("rank_sum"),
+          max(col("rank")).as("max_rank"))
+        .join(top, "label")
+        .select("label", "n_nodes", "rank_sum", "max_rank", "top_id")
+        .orderBy("label")
+    }, {
+      val base = s"((${100 - 85} * ($PrScale // nn.n)) // 100)"
+      val sb = new StringBuilder(
+        s"WITH e AS (SELECT vec_id, label, embedding AS emb, " +
+          s"(${bucketSql(8)}) AS bucket, " +
+          s"sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings), " +
+          "p AS (SELECT a.vec_id AS src, b.vec_id AS dst, " +
+          s"${dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm) AS cos " +
+          "FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id), " +
+          "r AS (SELECT src, dst, row_number() OVER " +
+          "(PARTITION BY src ORDER BY cos DESC, dst ASC) AS rk FROM p), " +
+          "g AS (SELECT src, dst FROM r WHERE rk <= 3), " +
+          "nodes AS (SELECT DISTINCT src AS node FROM g " +
+          "UNION SELECT DISTINCT dst FROM g), " +
+          "nn AS (SELECT count(*) AS n FROM nodes), " +
+          "deg AS (SELECT src, count(*) AS deg FROM g GROUP BY src), " +
+          s"r0 AS (SELECT node, ($PrScale // n) AS rank " +
+          "FROM nodes CROSS JOIN nn), ")
+      for (i <- 1 to PrIters) {
+        val p = s"r${i - 1}"
+        sb ++= s"d$i AS (SELECT COALESCE(sum(r.rank), 0) AS dmass " +
+          s"FROM $p r LEFT JOIN deg ON r.node = deg.src " +
+          "WHERE deg.src IS NULL), " +
+          s"c$i AS (SELECT g.dst, sum(r.rank // dg.deg) AS inflow " +
+          s"FROM g JOIN $p r ON g.src = r.node " +
+          "JOIN deg dg ON g.src = dg.src GROUP BY g.dst), " +
+          s"r$i AS (SELECT n2.node, $base + " +
+          s"(85 * (COALESCE(c.inflow, 0) + (d$i.dmass // nn.n))) // 100 " +
+          s"AS rank FROM nodes n2 LEFT JOIN c$i c ON n2.node = c.dst " +
+          s"CROSS JOIN d$i CROSS JOIN nn), "
+      }
+      sb ++= s"j AS (SELECT f.node, f.rank, em.label FROM r$PrIters f " +
+        "JOIN embeddings em ON f.node = em.vec_id), " +
+        "mx AS (SELECT label, max(rank) AS mxr FROM j GROUP BY label), " +
+        "tp AS (SELECT j.label, min(j.node) AS top_id FROM j " +
+        "JOIN mx ON j.label = mx.label AND j.rank = mx.mxr " +
+        "GROUP BY j.label) " +
+        "SELECT j.label, count(*) AS n_nodes, " +
+        "CAST(sum(j.rank) AS BIGINT) AS rank_sum, " +
+        "CAST(max(j.rank) AS BIGINT) AS max_rank, " +
+        "CAST(min(tp.top_id) AS BIGINT) AS top_id " +
+        "FROM j JOIN tp ON j.label = tp.label " +
+        "GROUP BY j.label ORDER BY j.label"
+      sb.toString
+    })
 
   private val embedAnnLsh = lshStatsQ("q_embed_ann_lsh", 8)
   /** Parameterized-nBits entry: the bucket space must be SIZED to the
@@ -3212,7 +3284,7 @@ object PipelineQueries {
     dedupContainment,
     embedTop1, embedTopK, embedAnnLsh, embedLshSized, embedAnnTop1,
     embedNearDup, embedNearDupCapped, embedClusters, embedTriplets,
-    embedKnnGraph, embedIvf, embedIvfMp,
+    embedKnnGraph, embedPageRank, embedIvf, embedIvfMp,
     embedKmeans, embedCoreset, embedCovariance, embedOutliers, gpRff,
     embedPq, embedIvfPq, embedRerank, embedSq8,
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over corpus-derived graphs (kNN similarity
+  * edges, hyperlink tables, citation edges) — the "which documents
+  * anchor the corpus" signal used for curation weighting and
+  * seed-set selection, computed with the same exact-integer-register
+  * discipline as the k-means / covariance aggregates so results are
+  * bit-identical under any partitioning and replayable by an
+  * external engine.
+  *
+  * Beyond-reference operator (the reference is a single-node
+  * variational-inference library, Henbun/model.py; it has no graph
+  * ops) — part of the SURVEY §2.2 training-data-pipeline inventory.
+  */
+object GraphRank {
+
+  /** PageRank with EXACT fixed-point integer arithmetic.
+    *
+    * Ranks are int64 mass units summing to ~`scale`; one iteration is
+    *
+    *   r'(v) = ((dampDen−dampNum)·(scale div n)) div dampDen
+    *         + (dampNum·(Σ_{u→v} (r(u) div deg(u)) + D div n)) div dampDen
+    *
+    * with `D` = Σ ranks of dangling nodes (no out-edges), `n` = node
+    * count, and every division an integer division on non-negative
+    * operands — truncating and flooring agree there, so Spark's `div`
+    * and DuckDB's `//` replay the recurrence bit for bit and int64
+    * SUM is order-independent: ranks are identical under any
+    * partitioning, task order, or engine (cf. the fixed-point
+    * centroid registers of [[Similarity.kmeansIterate]]).
+    * No overflow: every intermediate ≤ dampDen·scale ≪ 2⁶³.
+    *
+    * Scale shape: per iteration ONE edges⋈ranks join + one map-side-
+    * partial sum onto the node grain (shuffles carry only (id, long)
+    * pairs — never payloads), a left-anti dangling aggregate reduced
+    * to a ONE-ROW frame that joins back in-plan (the winsorize
+    * broadcast pattern — no driver round-trip), and a node-grain left
+    * join. Lineage is cut per round with `localCheckpoint` exactly
+    * like [[Dedup.connectedComponents]]. Iterations are a fixed
+    * budget (power iteration converges geometrically at rate
+    * dampNum/dampDen); edge and node tables are checkpointed once so
+    * the caller's (possibly expensive) edge pipeline never re-runs.
+    *
+    * Returns (node, rank) for every node incident to an edge.
+    */
+  def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
+                  iters: Int,
+                  scale: Long = 1000000000000L,
+                  dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1, s"bad iters $iters")
+    require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
+      s"bad damping $dampNum/$dampDen")
+    require(scale > 0 && scale <= Long.MaxValue / dampDen,
+      s"scale $scale would overflow the damped sum")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val base = ((dampDen - dampNum) * (scale / n)) / dampDen
+    var ranks = nodes.select(col("node"), lit(scale / n).as("rank"))
+    for (_ <- 1 to iters) {
+      val inflow = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst"), expr("rank div deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("inflow"))
+      val dangling = ranks
+        .join(outdeg.select(col("src").as("node")), Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dmass"))
+      ranks = nodes
+        .join(inflow.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .crossJoin(dangling)
+        .select(col("node"),
+          expr(s"${base}L + ($dampNum * (coalesce(inflow, 0L) + " +
+            s"(dmass div ${n}L))) div $dampDen").as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+}
