@@ -1532,6 +1532,45 @@ object PipelineQueries {
       "CAST(sum(CASE WHEN dr >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) " +
       "AS n_dupheavy FROM rate GROUP BY source ORDER BY source")
 
+  /** n-gram novelty scoring ([[graft.ops.Dedup.noveltyRate]]): the
+    * share of each doc's distinct trigrams FIRST introduced by that
+    * doc (min-id holder). Flags 0.0 for exact copies of earlier docs,
+    * 1.0 for wholly original text; thresholds compare identically
+    * cross-engine because the rate is the same exact rational in
+    * both. */
+  private val textNovelty = Q("q_text_novelty",
+    (s, d) => {
+      val d0 = docs(s, d)
+      val rates = Dedup.noveltyRate(d0, "text", "doc_id")
+      d0.select(col("doc_id"), col("source")).join(rates, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("novel_rate")), 5).as("avg_novelty"),
+          sum(when(col("novel_rate") === 1.0, 1L).otherwise(0L))
+            .as("n_allnovel"),
+          sum(when(col("novel_rate") < 0.5, col("doc_id")).otherwise(0L))
+            .as("derivative_idsum"))
+        .orderBy("source")
+    },
+    s"WITH t AS (SELECT doc_id, source, " +
+      s"[${TextAnalysis.TokenHashSql("w")} % ${Dedup.NgramFpMod} " +
+      "for w in string_split(text, ' ')] AS hl FROM documents), " +
+      "g AS (SELECT doc_id, source, unnest(list_distinct(" +
+      s"[((hl[i] * 31 + hl[i+1]) % ${Dedup.NgramFpMod} * 31 + hl[i+2]) " +
+      s"% ${Dedup.NgramFpMod} " +
+      "for i in range(1, len(hl) - 1)])) AS gr FROM t), " +
+      "fh AS (SELECT gr, min(doc_id) AS fid FROM g GROUP BY gr), " +
+      "rate AS (SELECT g.doc_id, g.source, " +
+      "sum(CASE WHEN fh.fid = g.doc_id THEN 1 ELSE 0 END)::DOUBLE / " +
+      "count(*)::DOUBLE AS nr FROM g JOIN fh USING (gr) " +
+      "GROUP BY g.doc_id, g.source) " +
+      "SELECT source, count(*) AS n_docs, " +
+      "round(avg(nr), 5) AS avg_novelty, " +
+      "CAST(sum(CASE WHEN nr = 1.0 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_allnovel, " +
+      "CAST(sum(CASE WHEN nr < 0.5 THEN doc_id ELSE 0 END) AS BIGINT) " +
+      "AS derivative_idsum FROM rate GROUP BY source ORDER BY source")
+
   /** Bigram-LM perplexity scoring (CCNet-style quality signal): train
     * hash-space bigram/prefix counts on the corpus, score every doc's
     * avg −ln p(w₂|w₁) under add-one smoothing, aggregate per source.
@@ -3293,7 +3332,7 @@ object PipelineQueries {
     textScripts, textCalibration, textTopDups,
     textPerplexity, textBm25, textPii, textContamination, sketchHll,
     sketchHllBy, sketchCms, sketchQuantile, sketchQuantileBy,
-    textDupNgrams, qualityGopher, multimodalMeta, curation, trainMix,
+    textDupNgrams, textNovelty, qualityGopher, multimodalMeta, curation, trainMix,
     pipelineModern, pipelineDiff,
     sampleStratified, sampleTemperature, sampleRepeat, sampleFixedN,
     sampleWeighted, sampleDomainCap, sampleDsir, sampleTopQuantile,

@@ -624,6 +624,32 @@ object Dedup {
         count(lit(1)).as("n_grams"))
   }
 
+  /** Per-document n-gram NOVELTY rate — the share of a doc's DISTINCT
+    * word n-grams whose corpus-wide FIRST holder (minimum doc id, the
+    * ingest-order stand-in) is this doc. The doc-level dual of
+    * [[dupNgramRate]]'s df ≥ 2 share: a doc whose grams were all
+    * introduced by earlier docs contributes no new content
+    * (boilerplate / memorization-risk signal), while rate 1.0 marks
+    * wholly original text. Exact duplicates of an earlier doc score
+    * exactly 0.
+    *
+    * Same 100 TB shape as [[dupNgramRate]]: one fingerprint-kernel
+    * scan, explode 8-byte longs (text never shuffles), ONE min-id
+    * hash aggregate (map-side partial), join back on the fingerprint,
+    * re-aggregate per doc. Docs with fewer than `n` tokens have no
+    * grams and are dropped. */
+  def noveltyRate(df: DataFrame, textCol: String, idCol: String,
+                  n: Int = 3): DataFrame = {
+    val grams = df.select(col(idCol),
+      explode(TextHashExpressions.ngramFps(col(textCol), n)).as("g"))
+    val firstHolder = grams.groupBy("g").agg(min(col(idCol)).as("first_id"))
+    grams.join(firstHolder, "g")
+      .groupBy(col(idCol))
+      .agg((sum(when(col("first_id") === col(idCol), 1L).otherwise(0L))
+        .cast("double") / count(lit(1)).cast("double")).as("novel_rate"),
+        count(lit(1)).as("n_grams"))
+  }
+
   /** Fingerprints of NON-OVERLAPPING `w`-token chunks over a
     * pre-materialized [[tokenHashList]]: chunk c (0-based) folds
     * hashes [c·w+1 .. c·w+w] with the same (acc·31 + h) mod M rule as

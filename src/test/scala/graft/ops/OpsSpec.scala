@@ -776,6 +776,25 @@ class OpsSpec extends AnyFunSuite {
     assert(rates(3L) == ((0.0, 2L)))
   }
 
+  test("noveltyRate: exact copies of an earlier doc score 0, wholly " +
+    "original text scores 1, partial reuse in between") {
+    val df = Seq(
+      (1L, "a b c d"),  // introduces a_b_c, b_c_d -> 1.0
+      (2L, "a b c d"),  // exact copy of doc 1 -> 0.0
+      (3L, "a b c e"),  // a_b_c seen, b_c_e new -> 0.5
+      (4L, "x y z w"),  // all new -> 1.0
+      (5L, "pq")        // no trigrams -> dropped
+    ).toDF("doc_id", "text")
+    val rates = Dedup.noveltyRate(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getLong(2))).toMap
+    assert(rates.keySet == Set(1L, 2L, 3L, 4L))
+    assert(rates(1L) == ((1.0, 2L)))
+    assert(rates(2L) == ((0.0, 2L)))
+    assert(rates(3L) == ((0.5, 2L)))
+    assert(rates(4L) == ((1.0, 2L)))
+  }
+
   test("dedupedCorpus keeps exactly one full row per signature, the " +
     "min-id representative") {
     val df = docsWithDups
