@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Dedup, Dsir, GraphRank, Multimodal, NgramLm, Pq, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Dsir, GraphRank, Multimodal, NgramLm, Pq, Ranking, Sampling, Similarity, TextAnalysis}
 
 /** Oracle corpus for the beyond-reference training-data-pipeline
   * operators (dedup, similarity search, text analysis, multimodal) —
@@ -2347,6 +2347,92 @@ object PipelineQueries {
       "CAST(sum(doc_id * v) AS BIGINT) AS checksum " +
       "FROM v WHERE v <> 0 GROUP BY source, j ORDER BY source, j")
 
+  /** Reciprocal-rank fusion of lexical and semantic retrieval
+    * ([[graft.ops.Ranking.rrfFuse]]): BM25 over [[Bm25Terms]] fused
+    * with the hashed-embedding cosine to the same query text. Both
+    * candidate lists are bounded TopK aggregates ranked on the shared
+    * 5-decimal score grid (cosine itself is exact-integer dot and
+    * sum-of-squares over the signed hash counts, divided in the same
+    * written order — bit-identical cross-engine), so ranks, the
+    * integer-derived 1/(k0+rank) terms, and the fused top-10 all
+    * match exactly. */
+  private val RrfK = 20
+  private val textRrf = Q("q_text_rrf",
+    (s, d) => {
+      val d0 = docs(s, d)
+      val lex = Ranking.bm25(d0, "text", "doc_id", Bm25Terms)
+        .select(col("doc_id"), round(col("score"), 5).as("sc5"))
+      val lexR = Ranking.topRanks(lex, "sc5", "doc_id", RrfK)
+      val qc = graft.ops.TextHashFns.hashEmbed(
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString(Bm25Terms.mkString(" ")), HashEmbedDim).toLongArray()
+      val qss = qc.map(x => x * x).sum
+      val cnt = graft.ops.HashEmbed.counts(col("text"), HashEmbedDim)
+      val sem = d0.select(col("doc_id"),
+          aggregate(zip_with(cnt, typedLit(qc.toSeq), (a, b) => a * b),
+            lit(0L), (acc, v) => acc + v).as("__dot"),
+          aggregate(cnt, lit(0L), (acc, x) => acc + x * x).as("__ss"))
+        .where(col("__ss") > 0)
+        .select(col("doc_id"),
+          round(col("__dot").cast("double") /
+            (sqrt(col("__ss").cast("double")) *
+              sqrt(lit(qss.toDouble))), 5).as("cos5"))
+      val semR = Ranking.topRanks(sem, "cos5", "doc_id", RrfK)
+      Ranking.rrfFuse(lexR, semR, "doc_id")
+        .select(col("doc_id"), coalesce(col("rank_a"), lit(0L)).as("lex_rank"),
+          coalesce(col("rank_b"), lit(0L)).as("sem_rank"), col("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+    }, {
+      val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val qc = graft.ops.TextHashFns.hashEmbed(
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString(Bm25Terms.mkString(" ")), HashEmbedDim).toLongArray()
+      val qss = qc.map(x => x * x).sum
+      val qlist = qc.mkString("[", ", ", "]")
+      "WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ws " +
+        "FROM documents), " +
+        "dl AS (SELECT doc_id, source, len(ws) AS dl FROM t), " +
+        "st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl), " +
+        "m AS (SELECT doc_id, unnest(list_filter(ws, " +
+        s"w -> list_contains([$terms], w))) AS term FROM t), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM m " +
+        "GROUP BY doc_id, term), " +
+        "dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM m " +
+        "GROUP BY term), " +
+        "sc AS (SELECT tf.doc_id, " +
+        "sum(ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) * " +
+        "((tf.tf * (1.2 + 1.0)) / (tf.tf + 1.2 * ((1.0 - 0.75) + " +
+        "0.75 * (dl.dl / st.avgdl))))) AS score " +
+        "FROM tf JOIN dfreq USING (term) " +
+        "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st " +
+        "GROUP BY tf.doc_id), " +
+        "lexr AS (SELECT doc_id, lr FROM (SELECT doc_id, row_number() " +
+        "OVER (ORDER BY round(score, 5) DESC, doc_id ASC) AS lr " +
+        s"FROM sc) WHERE lr <= $RrfK), " +
+        "toks AS (SELECT doc_id, unnest(ws) AS tk FROM t), " +
+        s"h AS (SELECT doc_id, ${TextAnalysis.TokenHashSql("tk")} " +
+        "AS h FROM toks), " +
+        s"v AS (SELECT doc_id, " +
+        s"${graft.ops.HashEmbed.BucketSql("h", HashEmbedDim)} AS j, " +
+        s"CAST(sum(${graft.ops.HashEmbed.SignSql("h", HashEmbedDim)}) " +
+        "AS BIGINT) AS v FROM h GROUP BY 1, 2), " +
+        s"semc AS (SELECT doc_id, round(CAST(sum(v * ($qlist)[j + 1]) " +
+        "AS DOUBLE) / (sqrt(CAST(sum(v * v) AS DOUBLE)) * " +
+        s"sqrt(CAST($qss AS DOUBLE))), 5) AS c " +
+        "FROM v WHERE v <> 0 GROUP BY doc_id), " +
+        "semr AS (SELECT doc_id, sr FROM (SELECT doc_id, row_number() " +
+        "OVER (ORDER BY c DESC, doc_id ASC) AS sr FROM semc) " +
+        s"WHERE sr <= $RrfK), " +
+        "f AS (SELECT COALESCE(l.doc_id, s2.doc_id) AS doc_id, " +
+        "l.lr, s2.sr FROM lexr l FULL OUTER JOIN semr s2 " +
+        "ON l.doc_id = s2.doc_id) " +
+        "SELECT doc_id, COALESCE(lr, 0) AS lex_rank, " +
+        "COALESCE(sr, 0) AS sem_rank, " +
+        "COALESCE(1.0 / (60.0 + CAST(lr AS DOUBLE)), 0.0) + " +
+        "COALESCE(1.0 / (60.0 + CAST(sr AS DOUBLE)), 0.0) AS rrf " +
+        "FROM f ORDER BY rrf DESC, doc_id LIMIT 10"
+    })
+
   /** Multilingual fixture pages (the corpus is ASCII word soup, so the
     * script buckets beyond latin/space only fire on unioned fixtures —
     * the PII/C4 pattern). All chars BMP; no apostrophes. */
@@ -3330,7 +3416,7 @@ object PipelineQueries {
     textVocab, textClassifier, textChunks, textBpe, textFertility,
     textEntropy, textC4, textHashEmbed,
     textScripts, textCalibration, textTopDups,
-    textPerplexity, textBm25, textPii, textContamination, sketchHll,
+    textPerplexity, textBm25, textRrf, textPii, textContamination, sketchHll,
     sketchHllBy, sketchCms, sketchQuantile, sketchQuantileBy,
     textDupNgrams, textNovelty, qualityGopher, multimodalMeta, curation, trainMix,
     pipelineModern, pipelineDiff,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Keyword relevance ranking over the document corpus — BM25
@@ -50,5 +50,39 @@ object Ranking {
     val termScore = idf * ((col("__tf") * (lit(k1) + lit(1.0))) / denom)
     joined.groupBy(col(idCol))
       .agg(sum(termScore).as("score"), sum(col("__tf")).as("n_hits"))
+  }
+
+  /** Global top-k of a scored table as (id, rank) rows, rank 1-based
+    * in (score desc, id asc) order — ONE bounded [[TopK]] aggregate
+    * (O(k) mergeable state, per-partition partials), never a rank
+    * Window over the corpus. The candidate-list builder for
+    * [[rrfFuse]]. */
+  def topRanks(df: DataFrame, scoreCol: String, idCol: String,
+               k: Int): DataFrame =
+    df.agg(TopK.topK(col(scoreCol), col(idCol), k).as("__tk"))
+      .select(posexplode(col("__tk")).as(Seq("__r", "__e")))
+      .select(col("__e.id").as(idCol),
+        (col("__r") + 1).cast("long").as("rank"))
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    * of two bounded candidate lists — the standard way to combine a
+    * lexical (BM25) and a semantic (embedding-cosine) ranker without
+    * score calibration: rrf(d) = Σ_r 1/(k0 + rank_r(d)) over the
+    * rankers that returned d.
+    *
+    * Inputs are (id, rank) lists from [[topRanks]] — both k-bounded,
+    * so the full-outer join is candidate-sized, never corpus-sized.
+    * Ranks are integers, so every 1/(k0+rank) term and their fixed
+    * two-term sum are bit-identical on any engine. Returns
+    * (id, rank_a, rank_b, rrf) with null ranks where a list missed. */
+  def rrfFuse(ranksA: DataFrame, ranksB: DataFrame, idCol: String,
+              k0: Int = 60): DataFrame = {
+    val a = ranksA.withColumnRenamed("rank", "rank_a")
+    val b = ranksB.withColumnRenamed("rank", "rank_b")
+    val term = (r: Column) =>
+      coalesce(lit(1.0) / (lit(k0.toDouble) + r.cast("double")), lit(0.0))
+    a.join(b, Seq(idCol), "full_outer")
+      .select(col(idCol), col("rank_a"), col("rank_b"),
+        (term(col("rank_a")) + term(col("rank_b"))).as("rrf"))
   }
 }

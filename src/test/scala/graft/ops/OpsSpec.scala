@@ -776,6 +776,24 @@ class OpsSpec extends AnyFunSuite {
     assert(rates(3L) == ((0.0, 2L)))
   }
 
+  test("topRanks + rrfFuse: bounded candidate lists fuse with exact " +
+    "reciprocal-rank scores; consensus docs outrank single-list docs") {
+    val a = Seq((1L, 0.9), (2L, 0.8), (3L, 0.7)).toDF("id", "s")
+    val b = Seq((2L, 0.99), (4L, 0.5), (1L, 0.1)).toDF("id", "s")
+    val ra = Ranking.topRanks(a, "s", "id", 2) // ids 1, 2
+    val rb = Ranking.topRanks(b, "s", "id", 2) // ids 2, 4
+    val fused = Ranking.rrfFuse(ra, rb, "id").collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), r.getDouble(3))).toMap
+    assert(fused.keySet == Set(1L, 2L, 4L))
+    // doc 2: rank 2 lexical + rank 1 semantic
+    assert(fused(2L) == ((Some(2L), Some(1L), 1.0 / 62 + 1.0 / 61)))
+    assert(fused(1L) == ((Some(1L), None, 1.0 / 61)))
+    assert(fused(4L) == ((None, Some(2L), 1.0 / 62)))
+    // the both-lists doc beats every single-list doc
+    assert(fused(2L)._3 > fused(1L)._3 && fused(2L)._3 > fused(4L)._3)
+  }
+
   test("noveltyRate: exact copies of an earlier doc score 0, wholly " +
     "original text scores 1, partial reuse in between") {
     val df = Seq(
