@@ -625,6 +625,83 @@ object PipelineQueries {
       sb.toString
     })
 
+  /** Seeded label propagation over the symmetrized kNN graph
+    * ([[graft.ops.GraphRank.labelPropagate]]): 20% of vectors keep
+    * their true label (vec_id % 5 = 0), three voting rounds spread
+    * them to the rest. Votes are integer counts with a (max count,
+    * min label) argmax, so every round — and the final per-node
+    * prediction — replays exactly as CTE stages. */
+  private val LpIters = 3
+  private val embedLabelProp = Q("q_embed_labelprop",
+    (s, d) => {
+      val e0 = embs(s, d)
+      val g0 = Similarity.knnGraph(e0, "vec_id", "embedding", 3)
+        .select("src", "dst")
+      val sym = g0.union(g0.select(col("dst").as("src"),
+        col("src").as("dst"))).distinct()
+      val seeds = e0.where(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("node"), col("label"))
+      val lp = GraphRank.labelPropagate(sym, "src", "dst",
+        seeds, "node", "label", LpIters)
+      lp.join(e0.select(col("vec_id").as("node"),
+          col("label").as("tl")), "node")
+        .groupBy(col("tl").as("label"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(when(col("is_seed"), 1L).otherwise(0L)).as("n_seed"),
+          sum(when(lp("label").isNotNull, 1L).otherwise(0L)).as("n_pred"),
+          sum(when(!col("is_seed") && lp("label") === col("tl"), 1L)
+            .otherwise(0L)).as("n_correct"),
+          sum(when(lp("label").isNotNull,
+            col("node") * (lp("label") + 1)).otherwise(0L)).as("checksum"))
+        .orderBy("label")
+    }, {
+      val sb = new StringBuilder(
+        s"WITH e AS (SELECT vec_id, embedding AS emb, " +
+          s"(${bucketSql(8)}) AS bucket, " +
+          s"sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings), " +
+          "p AS (SELECT a.vec_id AS src, b.vec_id AS dst, " +
+          s"${dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm) AS cos " +
+          "FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id), " +
+          "r AS (SELECT src, dst, row_number() OVER " +
+          "(PARTITION BY src ORDER BY cos DESC, dst ASC) AS rk FROM p), " +
+          "g AS (SELECT src, dst FROM r WHERE rk <= 3), " +
+          "sym AS (SELECT src, dst FROM g " +
+          "UNION SELECT dst AS src, src AS dst FROM g), " +
+          "sd AS (SELECT vec_id AS node, label AS slabel " +
+          "FROM embeddings WHERE vec_id % 5 = 0), " +
+          "nodes AS (SELECT src AS node FROM sym " +
+          "UNION SELECT dst FROM sym UNION SELECT node FROM sd), " +
+          "l0 AS (SELECT n.node, sd.slabel AS label, " +
+          "sd.slabel IS NOT NULL AS is_seed " +
+          "FROM nodes n LEFT JOIN sd ON n.node = sd.node), ")
+      for (i <- 1 to LpIters) {
+        val p = s"l${i - 1}"
+        sb ++= s"v$i AS (SELECT e2.dst, l.label, count(*) AS c " +
+          s"FROM sym e2 JOIN $p l ON e2.src = l.node " +
+          "WHERE l.label IS NOT NULL GROUP BY e2.dst, l.label), " +
+          s"m$i AS (SELECT dst, max(c) AS mc FROM v$i GROUP BY dst), " +
+          s"w$i AS (SELECT v.dst, min(v.label) AS vlabel FROM v$i v " +
+          s"JOIN m$i m ON v.dst = m.dst AND v.c = m.mc GROUP BY v.dst), " +
+          s"l$i AS (SELECT l.node, CASE WHEN l.is_seed THEN l.label " +
+          "ELSE COALESCE(w.vlabel, l.label) END AS label, l.is_seed " +
+          s"FROM $p l LEFT JOIN w$i w ON l.node = w.dst), "
+      }
+      sb ++= s"j AS (SELECT l.node, l.label AS pred, l.is_seed, " +
+        s"em.label AS tl FROM l$LpIters l " +
+        "JOIN embeddings em ON l.node = em.vec_id) " +
+        "SELECT tl AS label, count(*) AS n_nodes, " +
+        "CAST(sum(CASE WHEN is_seed THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_seed, " +
+        "CAST(sum(CASE WHEN pred IS NOT NULL THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_pred, " +
+        "CAST(sum(CASE WHEN NOT is_seed AND pred = tl THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_correct, " +
+        "CAST(sum(CASE WHEN pred IS NOT NULL THEN node * (pred + 1) " +
+        "ELSE 0 END) AS BIGINT) AS checksum " +
+        "FROM j GROUP BY tl ORDER BY tl"
+      sb.toString
+    })
+
   private val embedAnnLsh = lshStatsQ("q_embed_ann_lsh", 8)
   /** Parameterized-nBits entry: the bucket space must be SIZED to the
     * corpus ([[Similarity.nBitsFor]]) — same operator at 12 bits. */
@@ -3409,7 +3486,7 @@ object PipelineQueries {
     dedupContainment,
     embedTop1, embedTopK, embedAnnLsh, embedLshSized, embedAnnTop1,
     embedNearDup, embedNearDupCapped, embedClusters, embedTriplets,
-    embedKnnGraph, embedPageRank, embedIvf, embedIvfMp,
+    embedKnnGraph, embedPageRank, embedLabelProp, embedIvf, embedIvfMp,
     embedKmeans, embedCoreset, embedCovariance, embedOutliers, gpRff,
     embedPq, embedIvfPq, embedRerank, embedSq8,
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,

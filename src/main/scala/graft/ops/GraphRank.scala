@@ -88,4 +88,66 @@ object GraphRank {
     }
     ranks
   }
+
+  /** Semi-supervised label propagation (Zhu & Ghahramani 2002 /
+    * Raghavan et al. 2007's LPA, seeded variant) — spread a small set
+    * of trusted labels (human quality ratings, verified-language
+    * tags) across the similarity graph to the unlabeled corpus.
+    *
+    * Per round every NON-SEED node adopts the plurality label of its
+    * currently-labeled in-neighbors, ties to the SMALLEST label id;
+    * nodes with no labeled neighbor keep their previous label (null
+    * until first reached); seed labels never change. All votes are
+    * integer counts and the argmax is one struct-max hash aggregate
+    * (max count, then min label — O(1) state per node, partition-
+    * invariant), so the whole fixpoint is deterministic and an
+    * external engine replays it round for round.
+    *
+    * Scale shape per round: ONE edges⋈labels join (shuffles carry
+    * (id, int) pairs), one map-side-partial count onto the
+    * (node, label) grain, the struct-max argmax, and a node-grain
+    * left join; lineage cut per round with `localCheckpoint` (the
+    * [[pageRankInt]] / [[Dedup.connectedComponents]] discipline).
+    *
+    * `seeds` is (nodeCol, labelCol); edges are used as given —
+    * symmetrize first for undirected spreading. Returns
+    * (node, label, is_seed) with label null where no labeled node is
+    * reachable within `iters`. */
+  def labelPropagate(edges: DataFrame, srcCol: String, dstCol: String,
+                     seeds: DataFrame, nodeCol: String, labelCol: String,
+                     iters: Int): DataFrame = {
+    require(iters >= 1, s"bad iters $iters")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
+    val sd = seeds.select(col(nodeCol).cast("long").as("node"),
+      col(labelCol).cast("int").as("__seed"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .union(sd.select("node")).distinct()
+    var labels = nodes.join(sd, Seq("node"), "left")
+      .select(col("node"), col("__seed").as("label"),
+        col("__seed").isNotNull.as("is_seed"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val votes = e
+        .join(labels.select(col("node").as("src"), col("label")), "src")
+        .where(col("label").isNotNull)
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("dst")
+        .agg(max(struct(col("c"), (-col("label")).as("nl")))
+          .getField("nl").as("__v"))
+        .select(col("dst").as("node"), (-col("__v")).as("__v"))
+      labels = labels.join(votes, Seq("node"), "left")
+        .select(col("node"),
+          when(col("is_seed"), col("label"))
+            .otherwise(coalesce(col("__v"), col("label"))).as("label"),
+          col("is_seed"))
+        .localCheckpoint()
+    }
+    labels
+  }
 }

@@ -73,4 +73,36 @@ class GraphRankSpec extends AnyFunSuite {
     val ranks = runOp(star, 5)
     assert((2L to 9L).forall(i => ranks(1L) > ranks(i)))
   }
+
+  private def runLp(edges: Seq[(Long, Long)], seeds: Seq[(Long, Int)],
+                    iters: Int): Map[Long, (Option[Int], Boolean)] =
+    GraphRank.labelPropagate(edges.toDF("src", "dst"), "src", "dst",
+        seeds.toDF("node", "label"), "node", "label", iters)
+      .collect().map(r => (r.getLong(0),
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)), r.getBoolean(2))))
+      .toMap
+
+  test("labelPropagate floods each component from its seed; seeds " +
+    "never change") {
+    def clique(ns: Seq[Long]) =
+      for (a <- ns; b <- ns if a != b) yield (a, b)
+    val edges = clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(11L, 12L, 13L))
+    val out = runLp(edges, Seq((1L, 7), (11L, 3)), 3)
+    assert(Seq(1L, 2L, 3L, 4L).forall(out(_)._1.contains(7)))
+    assert(Seq(11L, 12L, 13L).forall(out(_)._1.contains(3)))
+    assert(out(1L)._2 && out(11L)._2 && !out(2L)._2)
+  }
+
+  test("labelPropagate ties break to the smallest label and reach " +
+    "grows one hop per round") {
+    // node 3 hears one vote each of labels 5 and 2 -> adopts 2
+    val tie = runLp(Seq((1L, 3L), (2L, 3L)), Seq((1L, 5), (2L, 2)), 1)
+    assert(tie(3L)._1.contains(2))
+    // directed chain 1->2->3->4: one hop per round
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val after1 = runLp(chain, Seq((1L, 9)), 1)
+    assert(after1(2L)._1.contains(9) && after1(3L)._1.isEmpty)
+    val after3 = runLp(chain, Seq((1L, 9)), 3)
+    assert(Seq(2L, 3L, 4L).forall(after3(_)._1.contains(9)))
+  }
 }
