@@ -4,9 +4,18 @@ package graft.optimize
   * vector, with a collection mask for partial optimization (reference
   * optimizes `-loss` with tf.train.AdamOptimizer over a selected
   * collection, `Henbun/model.py:206-230`). Defaults match the
-  * reference's usage (lr 0.01 in its tests). */
+  * reference's usage (lr 0.01 in its tests).
+  *
+  * `weightDecay > 0` gives AdamW (Loshchilov & Hutter 2019,
+  * "Decoupled Weight Decay Regularization"): the decay term
+  * −lr·wd·θ is applied OUTSIDE the moment estimates — unlike an
+  * L2 penalty folded into the loss, it is not rescaled by 1/√v̂, so
+  * regularization strength is independent of gradient magnitude.
+  * Decay is configuration, not state: checkpointed (m, v, t)
+  * restores are unaffected. */
 final class Adam(n: Int, var lr: Double = 0.01, beta1: Double = 0.9,
-                 beta2: Double = 0.999, eps: Double = 1e-8) {
+                 beta2: Double = 0.999, eps: Double = 1e-8,
+                 var weightDecay: Double = 0.0) {
   private val m = new Array[Double](n)
   private val v = new Array[Double](n)
   private var t = 0
@@ -24,8 +33,8 @@ final class Adam(n: Int, var lr: Double = 0.01, beta1: Double = 0.9,
     t = st
   }
 
-  /** One ascent step: θ ← θ + lr·m̂/(√v̂+ε) where grad is ∇ELBO.
-    * Slots with mask=false are frozen. */
+  /** One ascent step: θ ← θ + lr·m̂/(√v̂+ε) − lr·wd·θ where grad is
+    * ∇ELBO. Slots with mask=false are frozen. */
   def step(theta: Array[Double], grad: Array[Double],
            mask: Array[Boolean]): Unit = {
     t += 1
@@ -36,7 +45,8 @@ final class Adam(n: Int, var lr: Double = 0.01, beta1: Double = 0.9,
       if (mask(i)) {
         m(i) = beta1 * m(i) + (1.0 - beta1) * grad(i)
         v(i) = beta2 * v(i) + (1.0 - beta2) * grad(i) * grad(i)
-        theta(i) += lr * (m(i) / bc1) / (math.sqrt(v(i) / bc2) + eps)
+        theta(i) += lr * (m(i) / bc1) / (math.sqrt(v(i) / bc2) + eps) -
+          lr * weightDecay * theta(i)
       }
       i += 1
     }

@@ -308,10 +308,14 @@ final class Elbo(
                  * lr), e.g. [[Schedules.warmupCosine]]. Keyed by the
                  * GLOBAL step so checkpoint-resumed runs continue the
                  * exact schedule. Null: constant `lr`. */
-               lrSchedule: Int => Double = null): Double = {
+               lrSchedule: Int => Double = null,
+               /** AdamW decoupled weight decay ([[Adam.weightDecay]]);
+                 * 0 = plain Adam. */
+               weightDecay: Double = 0.0): Double = {
     val theta = thetaFromTree()
     val mask = collectionMask(collection)
-    val adam = if (adamState != null) adamState else new Adam(nSlots, lr)
+    val adam = if (adamState != null) adamState
+      else new Adam(nSlots, lr, weightDecay = weightDecay)
     val total = dataset.trainCount
     var lastElbo = 0.0
 

@@ -64,6 +64,36 @@ class ElboSpec extends AnyFunSuite {
     ds.unpersist()
   }
 
+  test("AdamW decoupled weight decay shrinks θ toward zero but still " +
+    "tracks the optimum; wd=0 is bit-compatible plain Adam") {
+    def fit(wd: Double): Double = {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select((col("l_quantity") / 10.0).as("x")).limit(512)
+      val root = new Module
+      val p = root.add("p", new Param(Seq(1), initMean = 3.0,
+        initStddev = 0.01))
+      val ds = new DataSet(li, seed = 0)
+      val elbo = new Elbo(root, ds, Seq("x"),
+        ctx => -(ctx.read1(p) - ctx.in("x")).sq)
+      elbo.optimize(maxiter = 200, lr = 0.05, weightDecay = wd)
+      val v = p.value(0)
+      ds.unpersist()
+      v
+    }
+    val plain = fit(0.0)
+    val decayed = fit(0.2)
+    val mean = {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select((col("l_quantity") / 10.0).as("x")).limit(512)
+      li.agg(avg("x")).head.getDouble(0) // DataSet(seed=0) 90% split mean ≈ full mean
+    }
+    assert(math.abs(plain - mean) < 0.05, s"plain Adam off: $plain vs $mean")
+    // decay pulls strictly toward zero but must not destroy the fit
+    assert(decayed < plain, s"decay did not shrink: $decayed >= $plain")
+    assert(plain - decayed > 0.01, "decay had no measurable effect")
+    assert(math.abs(decayed - mean) < 0.5, s"decay destroyed fit: $decayed")
+  }
+
   test("optimizeLbfgs: deterministic quasi-Newton reaches the exact " +
     "optimum in a handful of evaluations and matches Adam's answer") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
