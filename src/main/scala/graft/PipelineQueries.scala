@@ -625,6 +625,48 @@ object PipelineQueries {
       sb.toString
     })
 
+  /** Johnson–Lindenstrauss ±1 sign projection
+    * ([[graft.ops.Similarity.signProjection]]): 64 → 16 dims in one
+    * codegen'd matVec pass, matrix a plan constant the oracle inlines
+    * as literals. Checks the JL norm estimate E[‖Sx‖²/k] ≈ ‖x‖² per
+    * label plus the exact first component — forward-order
+    * accumulation matches the DuckDB nested comprehension bit for
+    * bit. */
+  private val RpK = 16
+  private val embedRp = Q("q_embed_rp",
+    (s, d) => {
+      val m = Similarity.signProjection(EmbDim, RpK)
+      val xx = graft.ops.VecExpressions
+        .dot(col("embedding"), col("embedding"))
+      embs(s, d)
+        .select(col("label"),
+          Similarity.jlProject(col("embedding"), m).as("y"), xx.as("xx"))
+        .where(col("xx") > 0)
+        .select(col("label"),
+          ((graft.ops.VecExpressions.dot(col("y"), col("y")) /
+            lit(RpK.toDouble)) / col("xx")).as("ratio"),
+          element_at(col("y"), 1).as("y1"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("ratio")), 5).as("avg_ratio"),
+          round(avg(col("y1")), 5).as("avg_y1"))
+        .orderBy("label")
+    }, {
+      val m = Similarity.signProjection(EmbDim, RpK)
+      val mLit = m.map(_.mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]")
+      s"WITH y AS (SELECT vec_id, label, " +
+        s"[list_sum([CAST(embedding[i] AS DOUBLE) * ($mLit)[j][i] " +
+        s"for i in generate_series(1, $EmbDim)]) " +
+        s"for j in generate_series(1, $RpK)] AS y, " +
+        s"${dotSql("embedding", "embedding")} AS xx FROM embeddings) " +
+        "SELECT label, count(*) AS n, " +
+        s"round(avg((list_sum([y[j] * y[j] for j in " +
+        s"generate_series(1, $RpK)]) / ${RpK}.0) / xx), 5) AS avg_ratio, " +
+        "round(avg(y[1]), 5) AS avg_y1 " +
+        "FROM y WHERE xx > 0 GROUP BY label ORDER BY label"
+    })
+
   /** Seeded label propagation over the symmetrized kNN graph
     * ([[graft.ops.GraphRank.labelPropagate]]): 20% of vectors keep
     * their true label (vec_id % 5 = 0), three voting rounds spread
@@ -3486,7 +3528,7 @@ object PipelineQueries {
     dedupContainment,
     embedTop1, embedTopK, embedAnnLsh, embedLshSized, embedAnnTop1,
     embedNearDup, embedNearDupCapped, embedClusters, embedTriplets,
-    embedKnnGraph, embedPageRank, embedLabelProp, embedIvf, embedIvfMp,
+    embedKnnGraph, embedPageRank, embedLabelProp, embedRp, embedIvf, embedIvfMp,
     embedKmeans, embedCoreset, embedCovariance, embedOutliers, gpRff,
     embedPq, embedIvfPq, embedRerank, embedSq8,
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,

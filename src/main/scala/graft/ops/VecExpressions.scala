@@ -114,6 +114,34 @@ object VecFns {
     new GenericArrayData(out)
   }
 
+  /** Pre-unpacked row-major [nOut, dims] matrix for [[MatVecExpr]]. */
+  final case class Mat(w: Array[Double], dims: Int, nOut: Int)
+
+  /** Dense matrix·vector: outⱼ = Σᵢ w[j,i]·xᵢ with forward-order
+    * accumulation per output — the same order as a DuckDB `list_sum`
+    * comprehension, so projections match bit for bit. One pass, no
+    * trig: [[rffFeatures]] minus the cos/phase (the shared
+    * projection kernel for JL sign projections, PCA components,
+    * learned linear maps). */
+  def matVec(a: ArrayData, aF: Boolean, m: Mat): ArrayData = {
+    val n = math.min(a.numElements(), m.dims)
+    val out = new Array[Double](m.nOut)
+    var j = 0
+    while (j < m.nOut) {
+      var s = 0.0
+      val off = j * m.dims
+      var i = 0
+      while (i < n) {
+        val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+        s += m.w(off + i) * x
+        i += 1
+      }
+      out(j) = s
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Pre-unpacked centroid table for [[NearestCentroidExpr]] — a plain
     * pair of primitive arrays so the codegen'd loop touches no Scala
     * collections. */
@@ -335,6 +363,31 @@ case class RffFeaturesExpr(child: Expression, w: Seq[Double],
   override def prettyName: String = "rff_features"
 }
 
+/** array<double> dense linear map of an embedding column: output j is
+  * the forward-order dot of matrix row j (row-major [nOut, dims] plan
+  * constant, carried via a codegen reference object like
+  * centroids/codebooks) with the vector. */
+case class MatVecExpr(child: Expression, w: Seq[Double], dims: Int)
+    extends UnaryExpression with FloatElem {
+  require(dims > 0 && w.nonEmpty && w.length % dims == 0,
+    s"matrix ${w.length} not a multiple of $dims dims")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  @transient private lazy val packed =
+    VecFns.Mat(w.toArray, dims, w.length / dims)
+  override def nullSafeEval(a: Any): Any =
+    VecFns.matVec(a.asInstanceOf[ArrayData], isFloatArr(child), packed)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mat", packed,
+      classOf[VecFns.Mat].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ops.VecFns.matVec($c, ${isFloatArr(child)}, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): MatVecExpr =
+    copy(child = c)
+  override def prettyName: String = "mat_vec"
+}
+
 /** array<long> of 0-based nearest-sub-centroid indices, one per PQ
   * subspace. `codebooks(m)(j)` is centroid j of subspace m; subspaces
   * cover consecutive element ranges in order. */
@@ -398,6 +451,8 @@ object VecExpressions {
   def rffFeatures(emb: Column, w: Seq[Double], b: Seq[Double],
                   dims: Int): Column =
     bridge.toColumn(RffFeaturesExpr(bridge.toExpression(emb), w, b, dims))
+  def matVec(emb: Column, w: Seq[Double], dims: Int): Column =
+    bridge.toColumn(MatVecExpr(bridge.toExpression(emb), w, dims))
 
   /** Subspace offsets from consecutive codebook widths. */
   private[ops] def pack(codebooks: Seq[Seq[Seq[Double]]]): VecFns.Codebooks = {

@@ -776,6 +776,34 @@ class OpsSpec extends AnyFunSuite {
     assert(rates(3L) == ((0.0, 2L)))
   }
 
+  test("jlProject matVec kernel is bit-identical to the composable " +
+    "spec and preserves pairwise distances on average") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val m = Similarity.signProjection(64, 16)
+    // composable spec: per output row j, a forward-order zip_with fold
+    val spec = array(m.map(row =>
+      aggregate(zip_with(col("embedding"), typedLit(row.toSeq),
+        (x, w) => x.cast("double") * w), lit(0.0), (a, v) => a + v)
+    ).toIndexedSeq: _*)
+    val cmp = e.select(Similarity.jlProject(col("embedding"), m).as("k"),
+        spec.as("s"))
+      .where(not(col("k") <=> col("s"))).count()
+    assert(cmp == 0L, s"$cmp rows diverge from the composable spec")
+    // JL: projected squared distance / k tracks the true squared
+    // distance on average (within 15% over sampled pairs)
+    val pairs = e.limit(40).select(col("vec_id").as("ia"),
+        col("embedding").as("ea"))
+      .crossJoin(e.limit(40).select(col("vec_id").as("ib"),
+        col("embedding").as("eb")))
+      .where(col("ia") < col("ib"))
+    val r = pairs.select(
+        (VecExpressions.l2sq(Similarity.jlProject(col("ea"), m),
+          Similarity.jlProject(col("eb"), m)) / lit(16.0) /
+          VecExpressions.l2sq(col("ea"), col("eb"))).as("ratio"))
+      .agg(avg("ratio")).head.getDouble(0)
+    assert(math.abs(r - 1.0) < 0.15, s"JL mean distance ratio $r")
+  }
+
   test("topRanks + rrfFuse: bounded candidate lists fuse with exact " +
     "reciprocal-rank scores; consensus docs outrank single-list docs") {
     val a = Seq((1L, 0.9), (2L, 0.8), (3L, 0.7)).toDF("id", "s")
