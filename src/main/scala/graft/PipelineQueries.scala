@@ -667,6 +667,88 @@ object PipelineQueries {
         "FROM y WHERE xx > 0 GROUP BY label ORDER BY label"
     })
 
+  /** JL-projection-fed ANN: LSH buckets computed over the PROJECTED
+    * 16-dim vectors (4× narrower than hashing the raw embedding —
+    * the production pattern: a cheap narrow key for bucketing, exact
+    * scoring on the full vectors only within buckets), within-bucket
+    * top-1 on the original 64-dim embeddings, recall measured against
+    * the exact top-1. Everything deterministic: projected components
+    * and hyperplane dots are forward-order folds, argmaxes break
+    * ties (cos desc, id asc). */
+  private val embedRpAnn = Q("q_embed_rp_ann",
+    (s, d) => {
+      val m = Similarity.signProjection(EmbDim, RpK)
+      val e = embs(s, d)
+      val base = e.select(col("vec_id"), col("label"), col("embedding"),
+        Similarity.lshBucket(
+          Similarity.jlProject(col("embedding"), m), 8).as("bucket"))
+      def top1(pairs: DataFrame): DataFrame = pairs
+        .groupBy(col("src"))
+        .agg(max(struct(col("cos"), (-col("dst")).as("nd"))).as("__m"))
+        .select(col("src"), (-col("__m.nd")).as("best_id"),
+          col("__m.cos").as("best_cos"))
+      val a = base.select(col("vec_id").as("src"), col("label"),
+        col("embedding").as("ea"), col("bucket"))
+      val bb = base.select(col("vec_id").as("dst"),
+        col("embedding").as("eb"), col("bucket"))
+      val ann = top1(a.join(bb, Seq("bucket"))
+        .where(col("src") =!= col("dst"))
+        .select(col("src"),
+          Similarity.cosine(col("ea"), col("eb")).as("cos"), col("dst")))
+      val ea = e.select(col("vec_id").as("src"), col("label"),
+        col("embedding").as("ea"))
+      val eb = e.select(col("vec_id").as("dst"), col("embedding").as("eb"))
+      val exact = top1(ea.join(eb, col("src") =!= col("dst"))
+        .select(col("src"),
+          Similarity.cosine(col("ea"), col("eb")).as("cos"), col("dst")))
+        .select(col("src"), col("best_id").as("top_id"))
+      ann.join(e.select(col("vec_id").as("src"), col("label")), "src")
+        .join(exact, "src")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("best_id") === col("top_id"), 1L).otherwise(0L))
+            .as("n_match"),
+          round(avg(col("best_cos")), 5).as("avg_ann_cos"))
+        .orderBy("label")
+    }, {
+      val m = Similarity.signProjection(EmbDim, RpK)
+      val mLit = m.map(_.mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]")
+      val bucketOverY = (0 until 8).map { b =>
+        s"(CASE WHEN (list_sum([y[i] * " +
+          s"(${Similarity.hyperplaneSql(b, "i")}) " +
+          s"for i in generate_series(1, $RpK)])) > 0 " +
+          s"THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"WITH e AS (SELECT vec_id, label, embedding AS emb, " +
+        s"sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings), " +
+        s"yv AS (SELECT vec_id, label, emb, nrm, " +
+        s"[list_sum([CAST(emb[i] AS DOUBLE) * ($mLit)[j][i] " +
+        s"for i in generate_series(1, $EmbDim)]) " +
+        s"for j in generate_series(1, $RpK)] AS y FROM e), " +
+        s"b AS (SELECT vec_id, label, emb, nrm, ($bucketOverY) AS bucket " +
+        "FROM yv), " +
+        "p AS (SELECT a.vec_id AS src, a.label, b2.vec_id AS dst, " +
+        s"${dotSql("a.emb", "b2.emb")} / (a.nrm * b2.nrm) AS cos " +
+        "FROM b a JOIN b b2 ON a.bucket = b2.bucket " +
+        "AND a.vec_id <> b2.vec_id), " +
+        "ann AS (SELECT src, label, dst AS ann_id, cos AS ann_cos FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY src " +
+        "ORDER BY cos DESC, dst ASC) AS rn FROM p) WHERE rn = 1), " +
+        "px AS (SELECT a.vec_id AS src, b2.vec_id AS dst, " +
+        s"${dotSql("a.emb", "b2.emb")} / (a.nrm * b2.nrm) AS cos " +
+        "FROM e a JOIN e b2 ON a.vec_id <> b2.vec_id), " +
+        "ex AS (SELECT src, dst AS top_id FROM (SELECT *, row_number() " +
+        "OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rn " +
+        "FROM px) WHERE rn = 1) " +
+        "SELECT ann.label, count(*) AS n, " +
+        "CAST(sum(CASE WHEN ann.ann_id = ex.top_id THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_match, " +
+        "round(avg(ann.ann_cos), 5) AS avg_ann_cos " +
+        "FROM ann JOIN ex ON ann.src = ex.src " +
+        "GROUP BY ann.label ORDER BY ann.label"
+    })
+
   /** Seeded label propagation over the symmetrized kNN graph
     * ([[graft.ops.GraphRank.labelPropagate]]): 20% of vectors keep
     * their true label (vec_id % 5 = 0), three voting rounds spread
@@ -3528,7 +3610,8 @@ object PipelineQueries {
     dedupContainment,
     embedTop1, embedTopK, embedAnnLsh, embedLshSized, embedAnnTop1,
     embedNearDup, embedNearDupCapped, embedClusters, embedTriplets,
-    embedKnnGraph, embedPageRank, embedLabelProp, embedRp, embedIvf, embedIvfMp,
+    embedKnnGraph, embedPageRank, embedLabelProp, embedRp, embedRpAnn,
+    embedIvf, embedIvfMp,
     embedKmeans, embedCoreset, embedCovariance, embedOutliers, gpRff,
     embedPq, embedIvfPq, embedRerank, embedSq8,
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,

@@ -287,6 +287,54 @@ object Events {
     * key at any history length. The fold is α·x + (1−α)·e with
     * (1−α) hoisted, so an engine replaying the same literal
     * recurrence (e.g. DuckDB `list_reduce`) lands bit-identically. */
+  /** Per-key CUSUM drift detection (Page 1954, "Continuous inspection
+    * schemes") — the change-point primitive of telemetry/data-quality
+    * monitoring: within each key, events ordered by (tsCol, seqCol)
+    * fold the one-sided cumulative sums
+    *
+    *   hiₙ = max(0, hiₙ₋₁ + (xₙ − target − slack))
+    *   loₙ = max(0, loₙ₋₁ + (target − slack − xₙ))
+    *
+    * from (0, 0). `hi` crossing a threshold h flags a sustained
+    * upward level shift (lo: downward) long before any single
+    * residual looks anomalous — the sequential complement of
+    * [[ewma]]'s per-event surprise. Adds `cusum_hi` / `cusum_lo`.
+    *
+    * Same scale shape and determinism contract as [[ewma]]: ONE
+    * exchange + ONE (key, ts, seq) sort, then a streaming narrow
+    * `mapPartitions` fold with two doubles of state per in-flight
+    * key; the update is max(0, s + (x − target − slack)) with the
+    * subtraction left-associated, so DuckDB `list_reduce` replaying
+    * the same literal lambda lands bit-identically on every row. */
+  def cusum(df: DataFrame, keyCol: String, tsCol: String, seqCol: String,
+            valCol: String, target: Double, slack: Double): DataFrame = {
+    val sorted = df.repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol), col(tsCol), col(seqCol))
+    val ki = sorted.schema.fieldIndex(keyCol)
+    val vi = sorted.schema.fieldIndex(valCol)
+    val outSchema = sorted.schema
+      .add("cusum_hi", org.apache.spark.sql.types.DoubleType,
+        nullable = false)
+      .add("cusum_lo", org.apache.spark.sql.types.DoubleType,
+        nullable = false)
+    sorted.mapPartitions { it =>
+      var cur: Any = null
+      var have = false
+      var hi = 0.0
+      var lo = 0.0
+      it.map { r =>
+        val k = r.get(ki)
+        val v = r.getDouble(vi)
+        if (!have || k != cur) { hi = 0.0; lo = 0.0 }
+        hi = math.max(0.0, hi + (v - target - slack))
+        lo = math.max(0.0, lo + (target - slack - v))
+        cur = k
+        have = true
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ hi :+ lo)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   def ewma(df: DataFrame, keyCol: String, tsCol: String, seqCol: String,
            valCol: String, alpha: Double): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"bad smoothing alpha $alpha")
