@@ -362,7 +362,51 @@ object EventQueries {
       s"$AnomResid THEN event_id ELSE 0 END) AS BIGINT) AS anom_ids " +
       "FROM e GROUP BY event_type ORDER BY event_type")
 
+  /** Per-key CUSUM drift detection ([[Events.cusum]]): one-sided
+    * cumulative sums flag sustained level shifts that per-event
+    * residuals miss. The oracle replays the same literal clamped
+    * recurrence with a STRUCT-accumulator `list_reduce` (each prefix
+    * element carries its own first-step state, so DuckDB's
+    * first-element-as-init convention IS the (0,0) start) —
+    * bit-identical doubles, alarms pinned by id checksum. */
+  private val CusumTarget = 50.0
+  private val CusumSlack = 25.0
+  private val CusumH = 300.0
+  private val eventsCusum = Q("q_events_cusum",
+    (s, d) => {
+      val c = Events.cusum(events(s, d), "user_id", "ts", "event_id",
+        "value", CusumTarget, CusumSlack)
+      val alarm = col("cusum_hi") > CusumH || col("cusum_lo") > CusumH
+      c.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("cusum_hi")), 5).as("avg_hi"),
+          round(avg(col("cusum_lo")), 5).as("avg_lo"),
+          sum(when(alarm, 1L).otherwise(0L)).as("n_alarm"),
+          sum(when(alarm, col("event_id")).otherwise(0L)).as("alarm_ids"))
+        .orderBy("event_type")
+    },
+    "WITH l AS (SELECT event_id, user_id, event_type, value, " +
+      "list(value) OVER (PARTITION BY user_id " +
+      "ORDER BY epoch_ns(ts), event_id ROWS UNBOUNDED PRECEDING) " +
+      "AS pfx FROM events), " +
+      "c AS (SELECT event_id, event_type, " +
+      s"list_reduce([{'x': x, 'hi': greatest(0.0, x - $CusumTarget - " +
+      s"$CusumSlack), 'lo': greatest(0.0, $CusumTarget - $CusumSlack - x)} " +
+      "for x in pfx], (acc, e) -> {'x': e.x, " +
+      s"'hi': greatest(0.0, acc.hi + (e.x - $CusumTarget - $CusumSlack)), " +
+      s"'lo': greatest(0.0, acc.lo + ($CusumTarget - $CusumSlack - e.x))}) " +
+      "AS st FROM l) " +
+      "SELECT event_type, count(*) AS n, " +
+      "round(avg(st.hi), 5) AS avg_hi, " +
+      "round(avg(st.lo), 5) AS avg_lo, " +
+      s"CAST(sum(CASE WHEN st.hi > $CusumH OR st.lo > $CusumH " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm, " +
+      s"CAST(sum(CASE WHEN st.hi > $CusumH OR st.lo > $CusumH " +
+      "THEN event_id ELSE 0 END) AS BIGINT) AS alarm_ids " +
+      "FROM c GROUP BY event_type ORDER BY event_type")
+
   val all: Vector[Q] = Vector(eventsAsof, eventsSessionize, eventsProps,
     eventsRange, eventsZorder, eventsWindow, eventsFunnel,
-    eventsRetention, eventsTransitions, eventsEwma, eventsPaths)
+    eventsRetention, eventsTransitions, eventsEwma, eventsCusum,
+    eventsPaths)
 }

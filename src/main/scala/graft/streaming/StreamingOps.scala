@@ -91,6 +91,35 @@ object StreamingOps {
       }
   }
 
+  /** Streaming per-key CUSUM ([[graft.ops.Events.cusum]]'s incremental
+    * twin): state is TWO clamped cumulative sums per key — bounded by
+    * key cardinality. Same batch-local (ts, seq) ordering contract as
+    * [[ewmaPerKey]]; the fold is the identical
+    * max(0, s + (x − target − slack)) literal recurrence, so a stream
+    * fed the batch rows in order reproduces the batch fold bit for
+    * bit. Emits (key, seq, value, cusum_hi, cusum_lo). */
+  def cusumPerKey(events: Dataset[(Long, Long, Long, Double)],
+                  target: Double, slack: Double)
+      : Dataset[(Long, Long, Double, Double, Double)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[(Double, Double),
+        (Long, Long, Double, Double, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Double)],
+         state: GroupState[(Double, Double)]) =>
+          val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+          var (hi, lo) = state.getOption.getOrElse((0.0, 0.0))
+          val out = sorted.map { case (_, _, seq, v) =>
+            hi = math.max(0.0, hi + (v - target - slack))
+            lo = math.max(0.0, lo + (target - slack - v))
+            (key, seq, v, hi, lo)
+          }
+          state.update((hi, lo))
+          out.iterator
+      }
+  }
+
   /** Streaming near-duplicate suppression: keep the first document per
     * full MinHash signature seen within the watermark horizon. The
     * signature is a pure per-row map ([[graft.ops.Dedup

@@ -233,4 +233,40 @@ class EventsSpec extends AnyFunSuite {
     assert(plan.split("Exchange").length - 1 == 1,
       s"exactly one exchange expected:\n$plan")
   }
+
+  test("cusum: clamped drift sums match a driver fold, detect a " +
+    "sustained level shift a single residual misses, and the plan " +
+    "stays one exchange + sort") {
+    import spark.implicits._
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val got = Events.cusum(ev, "user_id", "ts", "event_id", "value",
+      50.0, 25.0)
+    val rows = got.select("user_id", "ts", "event_id", "value",
+        "cusum_hi", "cusum_lo").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      var hi = 0.0; var lo = 0.0
+      rs.sortBy(r => (r._2, r._3)).foreach { case (_, _, _, v, gh, gl) =>
+        hi = math.max(0.0, hi + (v - 50.0 - 25.0))
+        lo = math.max(0.0, lo + (50.0 - 25.0 - v))
+        assert(gh == hi, s"hi $gh != $hi")
+        assert(gl == lo, s"lo $gl != $lo")
+      }
+    }
+    // a +8 level shift (under the slack-sized single-step residual)
+    // accumulates: no single step moves hi by more than 3, but the
+    // drift trips a threshold no single residual reaches
+    val shifted = (1 to 60).map(i =>
+      (1L, i.toLong, i.toLong, if (i <= 30) 50.0 else 58.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val d = Events.cusum(shifted, "user_id", "ts", "event_id", "value",
+      50.0, 5.0).select("event_id", "cusum_hi").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(d(30L) == 0.0, "pre-shift hi must be clamped at 0")
+    assert(d(60L) == 30 * 3.0, "post-shift drift must accumulate")
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") &&
+      plan.split("Exchange").length - 1 == 1, s"plan shape:\n$plan")
+  }
 }

@@ -291,6 +291,46 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming per-key CUSUM fed time-ordered micro-batches equals " +
+    "the batch clamped-drift fold bit for bit") {
+    import spark.implicits._
+    import graft.ops.Events
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val want = Events.cusum(ev, "user_id", "ts", "event_id", "value",
+        50.0, 25.0)
+      .select("event_id", "cusum_hi", "cusum_lo").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val rows = ev.select(col("user_id"), col("ts"), col("event_id"),
+        col("value"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._2, r._3))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("cusum_stream").toFile
+    tmp.deleteOnExit()
+    val slices = rows.grouped((rows.length + 2) / 3).toSeq
+    slices.zipWithIndex.foreach { case (s, i) =>
+      val p = new java.io.File(tmp, s"slice$i")
+      s.toSeq.toDF("user_id", "ts", "event_id", "value")
+        .coalesce(1).write.parquet(p.toString)
+      p.listFiles().foreach(f => f.setLastModified(1700000000000L + i * 60000L))
+    }
+    val stream = spark.readStream
+      .schema(slices.head.toSeq.toDF("user_id", "ts", "event_id", "value")
+        .schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/*")
+      .as[(Long, Long, Long, Double)]
+    val out = StreamingOps.cusumPerKey(stream, 50.0, 25.0)
+      .toDF("key", "seq", "v", "hi", "lo")
+    StreamingOps.runToMemorySink(out, "cusum_stream")
+    val got = spark.table("cusum_stream")
+      .select("seq", "hi", "lo").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got.size == want.size, s"${got.size} vs ${want.size} rows")
+    want.foreach { case (id, hl) =>
+      assert(got(id) == hl, s"event $id: ${got(id)} != $hl")
+    }
+  }
+
   test("streaming sessionization emits exactly the batch sessions the " +
     "watermark has closed, and never an open one") {
     val gap = graft.EventQueries.SessionGapNanos
