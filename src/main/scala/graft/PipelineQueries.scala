@@ -241,6 +241,41 @@ object PipelineQueries {
       "(SELECT CAST(sum(CASE WHEN sz > 1 THEN sz - 1 ELSE 0 END) " +
       "AS BIGINT) FROM csz) AS n_redundant")
 
+  /** Leakage-safe group-aware train/val/test split
+    * ([[graft.ops.Sampling.groupSplit]]): the split is a hash draw on
+    * the dedup CLUSTER id, so near-duplicates can never straddle
+    * train and test. The oracle replays the closure + the identical
+    * draw; the straddle probe (clusters seeing > 1 split) is pinned
+    * at 0 and per-split memberships by id checksum. */
+  private val sampleGroupSplit = Q("q_sample_groupsplit",
+    (s, d) => {
+      val cl = Dedup.minhashClusters(docs(s, d), "text", "doc_id",
+        maxBucket = MinhashCap)
+      val sp = Sampling.groupSplit(cl, "cluster_id", 0.1, 0.1)
+      val straddle = sp.groupBy("cluster_id")
+        .agg(countDistinct(col("split")).as("ns"))
+        .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("n_straddle"))
+      sp.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"),
+          sum(col("doc_id")).as("id_sum"))
+        .crossJoin(straddle)
+        .orderBy("split")
+    },
+    s"WITH RECURSIVE $closureCtes, " +
+      "sp AS (SELECT node AS doc_id, cluster_id, " +
+      s"CASE WHEN ${Sampling.HashFractionSql("cluster_id")} < 0.1 " +
+      "THEN 'val' " +
+      s"WHEN ${Sampling.HashFractionSql("cluster_id")} < 0.1 + 0.1 " +
+      "THEN 'test' ELSE 'train' END AS split FROM comp) " +
+      "SELECT split, count(*) AS n_docs, " +
+      "count(DISTINCT cluster_id) AS n_clusters, " +
+      "CAST(sum(doc_id) AS BIGINT) AS id_sum, " +
+      "(SELECT CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "FROM (SELECT cluster_id, count(DISTINCT split) AS ns FROM sp " +
+      "GROUP BY cluster_id)) AS n_straddle " +
+      "FROM sp GROUP BY split ORDER BY split")
+
   /** Canonical (keep-best) selection over the MinHash clusters: the
     * longest member wins, ties to the lowest id — one struct-max hash
     * aggregate, never a rank Window. n_not_minid > 0 proves the rule
@@ -3623,6 +3658,7 @@ object PipelineQueries {
     textDupNgrams, textNovelty, qualityGopher, multimodalMeta, curation, trainMix,
     pipelineModern, pipelineDiff,
     sampleStratified, sampleTemperature, sampleRepeat, sampleFixedN,
+    sampleGroupSplit,
     sampleWeighted, sampleDomainCap, sampleDsir, sampleTopQuantile,
     sampleTopQuantileBy,
     statsRollup, statsCorr, statsWinsorize, statsMad, topkPerGroup,

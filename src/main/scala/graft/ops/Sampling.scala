@@ -43,6 +43,26 @@ object Sampling {
   def sampleByHash(df: DataFrame, idCol: String, rate: Double): DataFrame =
     df.where(hashFraction(col(idCol)) < lit(rate))
 
+  /** Leakage-safe train/val/test assignment: the split is a function
+    * of the GROUP key (dedup cluster id, domain, author …), not the
+    * row — so near-duplicates, which share a cluster, can never
+    * straddle train and test (the contamination path a row-wise
+    * split leaves open; cf. Lee et al. 2022 §6 on duplicated
+    * train/test text inflating eval). One deterministic hash draw per
+    * row on the group key: no shuffle, no join, replayable, stream-
+    * safe; cuts are [0, valRate) → "val", [valRate, valRate+testRate)
+    * → "test", rest "train". */
+  def groupSplit(df: DataFrame, groupCol: String,
+                 valRate: Double, testRate: Double): DataFrame = {
+    require(valRate >= 0 && testRate >= 0 && valRate + testRate < 1.0,
+      s"bad split rates $valRate/$testRate")
+    val f = hashFraction(col(groupCol))
+    df.withColumn("split",
+      when(f < lit(valRate), lit("val"))
+        .when(f < lit(valRate) + lit(testRate), lit("test"))
+        .otherwise(lit("train")))
+  }
+
   /** Stratified (per-group-rate) deterministic sample — domain
     * re-weighting: each group keeps its own hash-threshold share.
     * `rates` is model-sized and compiles to a `when` chain, so the

@@ -47,6 +47,31 @@ class SamplingSpec extends AnyFunSuite {
     assert(bySrc.get("src1").contains(src1Total), "rate 1 keeps all")
   }
 
+  test("groupSplit: split is a pure function of the group (rows of a " +
+    "group never straddle), cuts land near the rates, and val/test " +
+    "are disjoint") {
+    val rows = (1L to 20000L).map(i => (i, i % 4000)) // 4000 groups x 5
+    val df = rows.toDF("id", "grp")
+    val sp = Sampling.groupSplit(df, "grp", 0.1, 0.1)
+    // a group maps to exactly one split
+    val straddle = sp.groupBy("grp")
+      .agg(countDistinct(col("split")).as("ns"))
+      .where(col("ns") > 1).count()
+    assert(straddle == 0L)
+    val byn = sp.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byn.values.sum == 20000L)
+    // hash cuts: each 10% bucket within ±3% absolute of its rate
+    assert(math.abs(byn("val") / 20000.0 - 0.1) < 0.03, byn.toString)
+    assert(math.abs(byn("test") / 20000.0 - 0.1) < 0.03, byn.toString)
+    // deterministic across runs/partitionings
+    val again = Sampling.groupSplit(df.repartition(13), "grp", 0.1, 0.1)
+      .select("id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val first = sp.select("id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again == first)
+  }
+
   test("sampleFixedN: exact size, deterministic, and NESTED (n=50 ⊂ " +
     "n=200); plans as TakeOrdered, not a global sort") {
     val d = docs.select("doc_id", "source")
