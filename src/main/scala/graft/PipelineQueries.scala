@@ -2244,6 +2244,62 @@ object PipelineQueries {
         "SELECT agg.*, cs.* FROM agg CROSS JOIN cs"
     })
 
+  /** AMS / Count sketch F2 estimation
+    * ([[graft.ops.Sketches.amsBuild]]/[[graft.ops.Sketches.amsF2]]):
+    * signed cells from the same universal-hash family as CMS (upper
+    * coefficient rows supply the ±1 signs), so DuckDB rebuilds the
+    * cell table cell for cell; the per-row Σ cell² estimates, their
+    * median, and the exact F2 = Σ cnt² are all integer-derived and
+    * pin bit-exactly. */
+  private val sketchAms = Q("q_sketch_ams",
+    (s, d) => {
+      val grams = docs(s, d).select(explode(
+        graft.ops.TextHashExpressions.ngramFps(col("text"), 3)).as("g"))
+      val sk = graft.ops.Sketches.amsBuild(grams, col("g"))
+      val est = graft.ops.Sketches.amsF2(sk)
+      val exact = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt") * col("cnt")).as("exact_f2"))
+      sk.agg(count(lit(1)).as("n_cells"), sum(col("cell")).as("sum_cell"),
+          sum(abs(col("cell"))).as("sum_abs"))
+        .crossJoin(est).crossJoin(exact)
+        .select(col("n_cells"), col("sum_cell"), col("sum_abs"),
+          col("ams_f2"), col("exact_f2"),
+          round(col("ams_f2") / col("exact_f2").cast("double"), 5)
+            .as("ratio"))
+    }, {
+      val M = Dedup.NgramFpMod
+      val P = Dedup.P
+      val W = 64
+      val g3 = s"[((hl[i] * 31 + hl[i+1]) % $M * 31 + hl[i+2]) % $M " +
+        "for i in range(1, len(hl) - 1)]"
+      val pairList = (0 until 4).map(r =>
+        s"{'r': $r, 'p': ((${Dedup.MinhashAs(r)} * hp + " +
+          s"${Dedup.MinhashBs(r)}) % $P) % $W, " +
+          s"'s': 1 - 2 * (((${Dedup.MinhashAs(4 + r)} * hp + " +
+          s"${Dedup.MinhashBs(4 + r)}) % $P) % 2)}").mkString(", ")
+      s"WITH t AS (SELECT [${TextAnalysis.TokenHashSql("w")} % $M " +
+        "for w in string_split(text, ' ')] AS hl FROM documents), " +
+        s"gr AS (SELECT unnest(list_distinct($g3)) AS g FROM t), " +
+        "hp AS (SELECT g, " +
+        s"${TextAnalysis.TokenHashSql("g::VARCHAR")} % $P AS hp FROM gr), " +
+        s"occ AS (SELECT unnest([$pairList]) AS u FROM hp), " +
+        "sk AS (SELECT u.r AS r, u.p AS p, CAST(sum(u.s) AS BIGINT) " +
+        "AS cell FROM occ GROUP BY 1, 2), " +
+        "f2 AS (SELECT r, CAST(sum(cell * cell) AS BIGINT) AS f2 " +
+        "FROM sk GROUP BY r), " +
+        "m AS (SELECT list_sort(list(f2)) AS a FROM f2), " +
+        "ex AS (SELECT CAST(sum(cnt * cnt) AS BIGINT) AS exact_f2 FROM " +
+        "(SELECT g, count(*) AS cnt FROM gr GROUP BY g)) " +
+        "SELECT (SELECT count(*) FROM sk) AS n_cells, " +
+        "(SELECT CAST(sum(cell) AS BIGINT) FROM sk) AS sum_cell, " +
+        "(SELECT CAST(sum(abs(cell)) AS BIGINT) FROM sk) AS sum_abs, " +
+        "CAST(a[2] + a[3] AS DOUBLE) / 2.0 AS ams_f2, " +
+        "ex.exact_f2 AS exact_f2, " +
+        "round((CAST(a[2] + a[3] AS DOUBLE) / 2.0) / " +
+        "CAST(ex.exact_f2 AS DOUBLE), 5) AS ratio " +
+        "FROM m CROSS JOIN ex"
+    })
+
   // ------------------------------------------------------ text analysis
 
   private def stopSql(lang: String): String = {
@@ -3654,7 +3710,7 @@ object PipelineQueries {
     textEntropy, textC4, textHashEmbed,
     textScripts, textCalibration, textTopDups,
     textPerplexity, textBm25, textRrf, textPii, textContamination, sketchHll,
-    sketchHllBy, sketchCms, sketchQuantile, sketchQuantileBy,
+    sketchHllBy, sketchCms, sketchAms, sketchQuantile, sketchQuantileBy,
     textDupNgrams, textNovelty, qualityGopher, multimodalMeta, curation, trainMix,
     pipelineModern, pipelineDiff,
     sampleStratified, sampleTemperature, sampleRepeat, sampleFixedN,

@@ -194,6 +194,55 @@ object Sketches {
       .na.fill(0L, Seq("cnt"))
       .groupBy(col(keyCol)).agg(min(col("cnt")).as("cms_count"))
 
+  // ------------------------------------------- AMS (Count) sketch, F2
+
+  /** Per-row ±1 sign for the AMS sketch — an independent member of
+    * the same universal family as [[cmsPositions]], drawn from the
+    * UPPER half of the MinHash coefficient table (rows 0..d−1 place,
+    * rows d..2d−1 sign), so the whole sketch stays portable
+    * deterministic arithmetic. */
+  def amsSigns(hp: Column, depth: Int): Seq[Column] = {
+    require(depth >= 1 && depth * 2 <= Dedup.NumPerms,
+      s"bad AMS depth=$depth")
+    (0 until depth).map(r =>
+      lit(1L) - lit(2L) * (((lit(Dedup.MinhashAs(depth + r)) * hp +
+        lit(Dedup.MinhashBs(depth + r))) % lit(Dedup.P)) % lit(2L)))
+  }
+
+  /** Build the AMS / Count sketch (Alon, Matias & Szegedy 1996;
+    * Charikar et al. 2002) of the multiset of `key` values: cell
+    * (r, p) = Σ sign_r(x) over items placed there — a table of ≤
+    * depth×width SIGNED integer cells from one map-side-partial
+    * aggregate, KBs at any input size. Unlike CMS counts, cells
+    * admit DELETIONS (ingest retractions as sign·(−1)) and square to
+    * an F2 estimate; shards merge by cell-wise SUM. */
+  def amsBuild(df: DataFrame, key: Column, depth: Int = 4,
+               width: Int = 64): DataFrame = {
+    val pos = cmsPositions(col("__hp"), depth, width)
+    val sgn = amsSigns(col("__hp"), depth)
+    df.select(hashP(key).as("__hp"))
+      .select(posexplode(array((0 until depth).map(r =>
+        struct(pos(r).as("p"), sgn(r).as("s"))): _*)).as(Seq("r", "u")))
+      .groupBy(col("r"), col("u.p").as("p"))
+      .agg(sum(col("u.s")).as("cell"))
+  }
+
+  /** F2 (second frequency moment ≡ self-join size ≡ collision mass)
+    * estimate from an AMS sketch: per depth row Σ_p cell² is an
+    * unbiased estimate; the returned single-row frame carries the
+    * MEDIAN over rows (avg of the two middle order statistics for
+    * even depth — integers, so the arithmetic is engine-exact). F2
+    * is the quantity behind "how duplicated is this key space"
+    * (Σ cnt² over distinct keys) without ever materializing per-key
+    * counts. */
+  def amsF2(sketch: DataFrame, depth: Int = 4): DataFrame = {
+    val rowEst = sketch.groupBy("r")
+      .agg(sum(col("cell") * col("cell")).as("f2"))
+    rowEst.agg(sort_array(collect_list(col("f2"))).as("a"))
+      .select(((element_at(col("a"), (depth + 1) / 2) +
+        element_at(col("a"), depth / 2 + 1)) / lit(2.0)).as("ams_f2"))
+  }
+
   // ---------------------------------------------- histogram quantiles
 
   /** Equi-width histogram of `x` over [lo, hi): bucket = clamped

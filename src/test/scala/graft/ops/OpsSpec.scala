@@ -776,6 +776,34 @@ class OpsSpec extends AnyFunSuite {
     assert(rates(3L) == ((0.0, 2L)))
   }
 
+  test("AMS sketch: shards merge by cell-wise sum, retractions cancel " +
+    "exactly, and the F2 estimate tracks the exact second moment") {
+    val rows = (1 to 3000).map(i => (i.toLong, (i % 97).toString))
+    val df = rows.toDF("i", "k")
+    val full = Sketches.amsBuild(df, col("k")).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    // mergeability: two shards built independently sum to the full sketch
+    val s1 = Sketches.amsBuild(df.where(col("i") <= 1500), col("k"))
+    val s2 = Sketches.amsBuild(df.where(col("i") > 1500), col("k"))
+    val merged = s1.unionByName(s2).groupBy("r", "p")
+      .agg(sum(col("cell")).as("cell")).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(merged == full, "shard-sum sketch != full sketch")
+    // retractions: adding the negated sketch zeroes every cell
+    val negated = full.map { case (k, v) => (k, -v) }
+    val cancelled = (full.keySet ++ negated.keySet)
+      .map(k => full.getOrElse(k, 0L) + negated.getOrElse(k, 0L))
+    assert(cancelled.forall(_ == 0L))
+    // estimate quality on the skewed multiset (97 keys ~31 each)
+    val est = Sketches.amsF2(Sketches.amsBuild(df, col("k")))
+      .head.getDouble(0)
+    val exact = rows.groupBy(_._2).map(kv => {
+      val n = kv._2.length.toLong; n * n
+    }).sum.toDouble
+    assert(est > 0.4 * exact && est < 2.5 * exact,
+      s"AMS F2 $est vs exact $exact")
+  }
+
   test("jlProject matVec kernel is bit-identical to the composable " +
     "spec and preserves pairwise distances on average") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
