@@ -198,6 +198,34 @@ class PlanSpec extends AnyFunSuite {
       "topquantile_by: threshold table should broadcast")
   }
 
+  test("round-6 ops keep their scale shapes: graph rounds and fused " +
+    "retrieval never use a rank Window, JL projection is map-only, " +
+    "novelty shuffles only fingerprints and ids") {
+    // PageRank / label propagation / RRF / novelty / AMS / group
+    // split: iterative joins and bounded TopK aggregates — a rank
+    // Window over the corpus appears nowhere
+    Seq("q_embed_pagerank", "q_embed_labelprop", "q_text_rrf",
+      "q_text_novelty", "q_sketch_ams", "q_sample_groupsplit")
+      .foreach { name =>
+        val df = SparkEntry.queries(name)(spark, sf)
+        df.collect()
+        assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+          s"$name: Window in plan")
+      }
+    // JL projection: the matrix lives in the codegen'd kernel — one
+    // scan, no join; aggregation is the only exchange
+    val rp = SparkEntry.queries("q_embed_rp")(spark, sf)
+    rp.collect()
+    val rpPlan = rp.queryExecution.executedPlan.toString
+    assert(!rpPlan.contains("Join") && rpPlan.contains("mat_vec"),
+      s"rp: expected kernel-only map, got:\n$rpPlan")
+    // AMS: map -> partial agg, no join
+    val ams = SparkEntry.queries("q_sketch_ams")(spark, sf)
+    ams.collect()
+    val amsPlan = ams.queryExecution.executedPlan.toString
+    assert(amsPlan.contains("HashAggregate"), "ams: no partial agg")
+  }
+
   test("sessionize shares one exchange+sort between lag and the " +
     "running session counter") {
     val df = SparkEntry.queries("q_events_sessionize")(spark, sf)
