@@ -311,7 +311,14 @@ final class Elbo(
                lrSchedule: Int => Double = null,
                /** AdamW decoupled weight decay ([[Adam.weightDecay]]);
                  * 0 = plain Adam. */
-               weightDecay: Double = 0.0): Double = {
+               weightDecay: Double = 0.0,
+               /** Global-norm gradient clipping (Pascanu et al. 2013):
+                 * if ‖∇‖₂ over the optimized collection exceeds this,
+                 * the gradient is rescaled to that norm BEFORE the
+                 * moment updates — bounding a pathological step's
+                 * damage to Adam's m/v state. ≤ 0 disables (and is
+                 * bit-identical to no clipping). */
+               clipNorm: Double = 0.0): Double = {
     val theta = thetaFromTree()
     val mask = collectionMask(collection)
     val adam = if (adamState != null) adamState
@@ -323,6 +330,23 @@ final class Elbo(
     def applyStep(loss: Double, grad: Array[Double], cnt: Long,
                   draws: Array[Double], it: Int): Unit = {
       lastElbo = combineKl(loss, grad, cnt, total, theta, draws)
+      if (clipNorm > 0.0) {
+        var ss = 0.0
+        var i = 0
+        while (i < grad.length) {
+          if (mask(i)) ss += grad(i) * grad(i)
+          i += 1
+        }
+        val nrm = math.sqrt(ss)
+        if (nrm > clipNorm) {
+          val s = clipNorm / nrm
+          i = 0
+          while (i < grad.length) {
+            if (mask(i)) grad(i) *= s
+            i += 1
+          }
+        }
+      }
       if (lrSchedule != null) adam.lr = lrSchedule(it)
       adam.step(theta, grad, mask)
       if (verboseEvery > 0 && (it % verboseEvery == 0))

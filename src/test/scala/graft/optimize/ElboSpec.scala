@@ -94,6 +94,38 @@ class ElboSpec extends AnyFunSuite {
     assert(math.abs(decayed - mean) < 0.5, s"decay destroyed fit: $decayed")
   }
 
+  test("clipNorm: a slack threshold is bit-identical to no clipping, " +
+    "a tight one bounds movement, and the clipped run still converges") {
+    def fit(clip: Double, iters: Int): Double = {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select((col("l_quantity") / 10.0).as("x")).limit(512)
+      val root = new Module
+      val p = root.add("p", new Param(Seq(1), initMean = 3.0,
+        initStddev = 0.01))
+      val ds = new DataSet(li, seed = 0)
+      val elbo = new Elbo(root, ds, Seq("x"),
+        ctx => -(ctx.read1(p) - ctx.in("x")).sq)
+      elbo.optimize(maxiter = iters, lr = 0.05, clipNorm = clip)
+      val v = p.value(0)
+      ds.unpersist()
+      v
+    }
+    // a threshold no gradient reaches changes nothing, to the last bit
+    assert(fit(1e12, 50) == fit(0.0, 50))
+    // a tight clip shrinks the per-step movement: after few iters the
+    // clipped run has moved strictly less from the 3.0 init
+    val moved = math.abs(fit(0.0, 10) - 3.0)
+    val clipped = math.abs(fit(1e-10, 10) - 3.0)
+    assert(clipped < moved, s"clip did not slow movement: $clipped vs $moved")
+    // but clipping only rescales — the clipped run still converges
+    val mean = {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select((col("l_quantity") / 10.0).as("x")).limit(512)
+      li.agg(avg("x")).head.getDouble(0)
+    }
+    assert(math.abs(fit(5.0, 200) - mean) < 0.05)
+  }
+
   test("optimizeLbfgs: deterministic quasi-Newton reaches the exact " +
     "optimum in a handful of evaluations and matches Adam's answer") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")

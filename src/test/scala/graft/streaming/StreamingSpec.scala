@@ -73,6 +73,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming JL projection + group-split assignment (stateless " +
+    "maps) equal the batch path row for row") {
+    import graft.ops.{Sampling, Similarity}
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val m = Similarity.signProjection(64, 16)
+    val stream = spark.readStream.schema(e.schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+    val out = Sampling.groupSplit(
+      stream.select(col("vec_id"), col("label"),
+        Similarity.jlProject(col("embedding"), m).as("y")),
+      "label", 0.2, 0.2)
+    StreamingOps.runToMemorySink(out, "rp_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.table("rp_stream").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getSeq[Double](2), r.getString(3)))).toMap
+    val want = Sampling.groupSplit(
+        e.select(col("vec_id"), col("label"),
+          Similarity.jlProject(col("embedding"), m).as("y")),
+        "label", 0.2, 0.2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getSeq[Double](2), r.getString(3)))).toMap
+    assert(got == want)
+  }
+
   test("streaming RFF feature map + kernel estimate (stateless maps) " +
     "equal the batch path row for row") {
     import breeze.linalg.DenseVector
