@@ -276,6 +276,56 @@ object PipelineQueries {
       "GROUP BY cluster_id)) AS n_straddle " +
       "FROM sp GROUP BY split ORDER BY split")
 
+  /** Round-6 end-to-end composition: corpus-wide dedup clusters →
+    * leakage-safe group split (assignment INDEPENDENT of any filter,
+    * so re-running with different floors never reshuffles splits) →
+    * n-gram novelty floor → per-(split, source) release manifest.
+    * Every stage at its standalone operator's verified scale shape;
+    * docs too short to carry a trigram are excluded by construction
+    * (no novelty evidence). */
+  private val pipelineSelect = Q("q_pipeline_select",
+    (s, d) => {
+      val d0 = docs(s, d)
+      val cl = Dedup.minhashClusters(d0, "text", "doc_id",
+        maxBucket = MinhashCap)
+      val sp = Sampling.groupSplit(cl, "cluster_id", 0.1, 0.1)
+        .select("doc_id", "split")
+      val rates = Dedup.noveltyRate(d0, "text", "doc_id")
+        .select(col("doc_id"), col("novel_rate"))
+      d0.select(col("doc_id"), col("source"), col("n_chars"))
+        .join(sp, "doc_id").join(rates, "doc_id")
+        .where(col("novel_rate") >= 0.3)
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy("split", "source")
+    },
+    s"WITH RECURSIVE $closureCtes, " +
+      "sp AS (SELECT node AS doc_id, " +
+      s"CASE WHEN ${Sampling.HashFractionSql("cluster_id")} < 0.1 " +
+      "THEN 'val' " +
+      s"WHEN ${Sampling.HashFractionSql("cluster_id")} < 0.1 + 0.1 " +
+      "THEN 'test' ELSE 'train' END AS split FROM comp), " +
+      "nt AS (SELECT doc_id, " +
+      s"[${TextAnalysis.TokenHashSql("w")} % ${Dedup.NgramFpMod} " +
+      "for w in string_split(text, ' ')] AS hl FROM documents), " +
+      "ng AS (SELECT doc_id, unnest(list_distinct(" +
+      s"[((hl[i] * 31 + hl[i+1]) % ${Dedup.NgramFpMod} * 31 + hl[i+2]) " +
+      s"% ${Dedup.NgramFpMod} " +
+      "for i in range(1, len(hl) - 1)])) AS gr FROM nt), " +
+      "nfh AS (SELECT gr, min(doc_id) AS fid FROM ng GROUP BY gr), " +
+      "nrate AS (SELECT ng.doc_id, " +
+      "sum(CASE WHEN nfh.fid = ng.doc_id THEN 1 ELSE 0 END)::DOUBLE / " +
+      "count(*)::DOUBLE AS nr FROM ng JOIN nfh USING (gr) " +
+      "GROUP BY ng.doc_id) " +
+      "SELECT sp.split, d.source, count(*) AS n_docs, " +
+      "CAST(sum(d.n_chars) AS BIGINT) AS chars, " +
+      "CAST(sum(d.doc_id) AS BIGINT) AS id_sum " +
+      "FROM documents d JOIN sp ON d.doc_id = sp.doc_id " +
+      "JOIN nrate ON d.doc_id = nrate.doc_id " +
+      "WHERE nrate.nr >= 0.3 " +
+      "GROUP BY sp.split, d.source ORDER BY sp.split, d.source")
+
   /** Canonical (keep-best) selection over the MinHash clusters: the
     * longest member wins, ties to the lowest id — one struct-max hash
     * aggregate, never a rank Window. n_not_minid > 0 proves the rule
@@ -3712,7 +3762,7 @@ object PipelineQueries {
     textPerplexity, textBm25, textRrf, textPii, textContamination, sketchHll,
     sketchHllBy, sketchCms, sketchAms, sketchQuantile, sketchQuantileBy,
     textDupNgrams, textNovelty, qualityGopher, multimodalMeta, curation, trainMix,
-    pipelineModern, pipelineDiff,
+    pipelineModern, pipelineDiff, pipelineSelect,
     sampleStratified, sampleTemperature, sampleRepeat, sampleFixedN,
     sampleGroupSplit,
     sampleWeighted, sampleDomainCap, sampleDsir, sampleTopQuantile,
