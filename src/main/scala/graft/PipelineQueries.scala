@@ -1857,6 +1857,48 @@ object PipelineQueries {
       "CAST(sum(CASE WHEN nr < 0.5 THEN doc_id ELSE 0 END) AS BIGINT) " +
       "AS derivative_idsum FROM rate GROUP BY source ORDER BY source")
 
+  /** PMI collocation mining ([[graft.ops.NgramLm.pmiCollocations]]):
+    * top adjacent-token pairs by pointwise mutual information with a
+    * min-count floor; counts are integer hash aggregates, the pmi
+    * doubles derive from them in one written form, and spellings are
+    * recovered post-selection via the broadcast winner probe — so
+    * the ranked list matches verbatim. */
+  private val textPmi = Q("q_text_pmi",
+    (s, d) => NgramLm.pmiCollocations(docs(s, d), "text", "doc_id")
+      .select(col("rank"), col("spelling"), col("cp"),
+        round(col("pmi"), 5).as("pmi"))
+      .orderBy("rank"),
+    {
+      val M = Dedup.NgramFpMod
+      s"WITH t AS (SELECT string_split(text, ' ') AS ws, " +
+        s"[${TextAnalysis.TokenHashSql("w")} % $M " +
+        "for w in string_split(text, ' ')] AS hl FROM documents), " +
+        "pr AS (SELECT unnest([{'w1': hl[i], 'w2': hl[i+1]} " +
+        "for i in range(1, len(hl))]) AS u FROM t WHERE len(hl) >= 2), " +
+        "cp AS (SELECT u.w1 AS w1, u.w2 AS w2, count(*) AS cp FROM pr " +
+        "GROUP BY 1, 2), " +
+        "ctc AS (SELECT h, count(*) AS ct FROM " +
+        "(SELECT unnest(hl) AS h FROM t) GROUP BY h), " +
+        "nn AS (SELECT CAST(sum(cp) AS BIGINT) AS nn FROM cp), " +
+        s"sc AS (SELECT (cp.w1 * 31 + cp.w2) % $M AS b, cp.cp, " +
+        "ln(CAST(cp.cp * nn.nn AS DOUBLE) / " +
+        "CAST(c1.ct * c2.ct AS DOUBLE)) AS pmi " +
+        "FROM cp JOIN ctc c1 ON cp.w1 = c1.h " +
+        "JOIN ctc c2 ON cp.w2 = c2.h CROSS JOIN nn WHERE cp.cp >= 5), " +
+        "top AS (SELECT b, cp, pmi, rank FROM (SELECT b, cp, pmi, " +
+        "row_number() OVER (ORDER BY pmi DESC, b ASC) AS rank FROM sc) " +
+        "WHERE rank <= 10), " +
+        s"sp AS (SELECT unnest([{'b': (hl[i] * 31 + hl[i+1]) % $M, " +
+        "'sp': ws[i] || ' ' || ws[i+1]} " +
+        "for i in range(1, len(hl))]) AS u FROM t WHERE len(hl) >= 2), " +
+        "sp2 AS (SELECT u.b AS b, u.sp AS sp FROM sp), " +
+        "spg AS (SELECT sp2.b, min(sp2.sp) AS spelling FROM sp2 " +
+        "JOIN top ON sp2.b = top.b GROUP BY sp2.b) " +
+        "SELECT CAST(top.rank AS BIGINT) AS rank, spg.spelling, " +
+        "top.cp, round(top.pmi, 5) AS pmi " +
+        "FROM top JOIN spg ON top.b = spg.b ORDER BY rank"
+    })
+
   /** Bigram-LM perplexity scoring (CCNet-style quality signal): train
     * hash-space bigram/prefix counts on the corpus, score every doc's
     * avg −ln p(w₂|w₁) under add-one smoothing, aggregate per source.
@@ -3759,7 +3801,7 @@ object PipelineQueries {
     textVocab, textClassifier, textChunks, textBpe, textFertility,
     textEntropy, textC4, textHashEmbed,
     textScripts, textCalibration, textTopDups,
-    textPerplexity, textBm25, textRrf, textPii, textContamination, sketchHll,
+    textPerplexity, textPmi, textBm25, textRrf, textPii, textContamination, sketchHll,
     sketchHllBy, sketchCms, sketchAms, sketchQuantile, sketchQuantileBy,
     textDupNgrams, textNovelty, qualityGopher, multimodalMeta, curation, trainMix,
     pipelineModern, pipelineDiff, pipelineSelect,

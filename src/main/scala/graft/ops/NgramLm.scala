@@ -60,6 +60,67 @@ object NgramLm {
     Lm(bigrams, prefixes, vocab)
   }
 
+  /** Top-k collocations by pointwise mutual information (Church &
+    * Hanks 1990): pairs of ADJACENT tokens whose co-occurrence count
+    * c(w₁w₂) beats independence, pmi = ln(N·c(w₁w₂)/(c(w₁)·c(w₂))),
+    * with a min-count floor against the low-frequency PMI blowup —
+    * the collocation/phrase-mining signal (tokenizer merge
+    * candidates, boilerplate phrases, entity heads).
+    *
+    * Scale shape: pair and token counts are two hash aggregates on
+    * 45-bit hashes (map-side partial; strings never enter an
+    * aggregate); the two token-count joins are many-to-one on
+    * post-aggregation keys; N is a one-row frame joined in-plan; the
+    * top-k is ONE bounded [[TopK]] aggregate keyed by the pair
+    * fingerprint; spellings are recovered AFTER selection by one
+    * map pass probing the broadcast k-row winner set (the
+    * [[graft.PipelineQueries]] vocab trick). All counts integers ⇒
+    * every pmi double and the selected set are engine-exact.
+    *
+    * Returns (rank, spelling, cp, pmi) for the k winners, ranked
+    * (pmi desc, fingerprint asc). */
+  def pmiCollocations(df: DataFrame, textCol: String, idCol: String,
+                      minCount: Int = 5, k: Int = 10): DataFrame = {
+    val hl = Dedup.tokenHashList(col(textCol))
+    val pairs = df.select(hl.as("__hl"))
+      .where(size(col("__hl")) >= 2)
+      .select(explode(
+        transform(slice(col("__hl"), lit(1), size(col("__hl")) - 1),
+          (h, i) => struct(h.as("w1"),
+            element_at(col("__hl"), i + lit(2)).as("w2")))).as("u"))
+      .select(col("u.w1").as("w1"), col("u.w2").as("w2"))
+    val cpair = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cp"))
+    val ctok = df.select(explode(Dedup.tokenHashList(col(textCol))).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("ct"))
+    val nf = cpair.agg(sum(col("cp")).as("nn"))
+    val scored = cpair.where(col("cp") >= minCount)
+      .join(ctok.select(col("h").as("w1"), col("ct").as("c1")), "w1")
+      .join(ctok.select(col("h").as("w2"), col("ct").as("c2")), "w2")
+      .crossJoin(nf)
+      .select(((col("w1") * lit(31L) + col("w2")) % lit(M)).as("b"),
+        col("cp"),
+        log((col("cp") * col("nn")).cast("double") /
+          (col("c1") * col("c2")).cast("double")).as("pmi"))
+    val top = Ranking.topRanks(scored, "pmi", "b", k)
+    // spelling recovery: strings only move for the k winners
+    val ws = TextAnalysis.tokens(col(textCol))
+    val spellings = df
+      .select(hl.as("__hl"), ws.as("__ws"))
+      .where(size(col("__hl")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("__hl")) - 1),
+        i => struct(((element_at(col("__hl"), i) * lit(31L) +
+          element_at(col("__hl"), i + 1)) % lit(M)).as("b"),
+          concat_ws(" ", element_at(col("__ws"), i),
+            element_at(col("__ws"), i + 1)).as("sp")))).as("u"))
+      .select(col("u.b").as("b"), col("u.sp").as("sp"))
+      .join(broadcast(top.select("b")), "b")
+      .groupBy("b").agg(min(col("sp")).as("spelling"))
+    top.join(spellings, "b").join(scored, "b")
+      .select(col("rank"), col("spelling"), col("cp"),
+        col("pmi"))
+  }
+
   /** Per-doc perplexity signal under add-one smoothing:
     * p(w₂|w₁) = (c(w₁w₂) + 1) / (c(w₁·) + V); returns
     * (idCol, n_bigrams, nll) with nll = avg −ln p over the doc's
