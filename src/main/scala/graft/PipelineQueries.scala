@@ -834,6 +834,47 @@ object PipelineQueries {
         "GROUP BY ann.label ORDER BY ann.label"
     })
 
+  /** Structural profile of the kNN similarity graph
+    * ([[graft.ops.GraphRank.triangleStats]]): exact node/edge/wedge/
+    * triangle counts and the global clustering coefficient — all
+    * integer aggregates over the deterministic edge set, one division
+    * at the end. */
+  private val embedGraphStats = Q("q_embed_graphstats",
+    (s, d) => {
+      val g = Similarity.knnGraph(embs(s, d), "vec_id", "embedding", 3)
+        .select("src", "dst")
+      GraphRank.triangleStats(g, "src", "dst")
+    }, {
+      s"WITH e AS (SELECT vec_id, embedding AS emb, " +
+        s"(${bucketSql(8)}) AS bucket, " +
+        s"sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings), " +
+        "p AS (SELECT a.vec_id AS src, b.vec_id AS dst, " +
+        s"${dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm) AS cos " +
+        "FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id), " +
+        "r AS (SELECT src, dst, row_number() OVER " +
+        "(PARTITION BY src ORDER BY cos DESC, dst ASC) AS rk FROM p), " +
+        "g AS (SELECT src, dst FROM r WHERE rk <= 3), " +
+        "und AS (SELECT DISTINCT least(src, dst) AS u, " +
+        "greatest(src, dst) AS v FROM g WHERE src <> dst), " +
+        "deg AS (SELECT node, count(*) AS deg FROM " +
+        "(SELECT u AS node FROM und UNION ALL SELECT v FROM und) " +
+        "GROUP BY node), " +
+        "ds AS (SELECT count(*) AS n_nodes, max(deg) AS max_deg, " +
+        "CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges " +
+        "FROM deg), " +
+        "paths AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c " +
+        "FROM und e1 JOIN und e2 ON e1.v = e2.u), " +
+        "tri AS (SELECT count(*) AS n_triangles FROM paths " +
+        "JOIN und e3 ON paths.a = e3.u AND paths.c = e3.v), " +
+        "ec AS (SELECT count(*) AS n_edges FROM und) " +
+        "SELECT ds.n_nodes, ec.n_edges, CAST(ds.max_deg AS BIGINT) " +
+        "AS max_deg, ds.n_wedges, tri.n_triangles, " +
+        "CASE WHEN ds.n_wedges > 0 THEN " +
+        "round(CAST(3 * tri.n_triangles AS DOUBLE) / " +
+        "CAST(ds.n_wedges AS DOUBLE), 5) ELSE 0.0 END AS clustering " +
+        "FROM ds CROSS JOIN tri CROSS JOIN ec"
+    })
+
   /** Seeded label propagation over the symmetrized kNN graph
     * ([[graft.ops.GraphRank.labelPropagate]]): 20% of vectors keep
     * their true label (vec_id % 5 = 0), three voting rounds spread
@@ -3793,8 +3834,8 @@ object PipelineQueries {
     dedupContainment,
     embedTop1, embedTopK, embedAnnLsh, embedLshSized, embedAnnTop1,
     embedNearDup, embedNearDupCapped, embedClusters, embedTriplets,
-    embedKnnGraph, embedPageRank, embedLabelProp, embedRp, embedRpAnn,
-    embedIvf, embedIvfMp,
+    embedKnnGraph, embedPageRank, embedLabelProp, embedGraphStats,
+    embedRp, embedRpAnn, embedIvf, embedIvfMp,
     embedKmeans, embedCoreset, embedCovariance, embedOutliers, gpRff,
     embedPq, embedIvfPq, embedRerank, embedSq8,
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,

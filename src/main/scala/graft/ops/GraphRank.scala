@@ -150,4 +150,48 @@ object GraphRank {
     }
     labels
   }
+
+  /** Structural profile of an undirected graph (kNN similarity graph,
+    * link graph): node/edge counts, degree extremes, wedge and
+    * triangle counts, and the global clustering coefficient
+    * 3·T/W — the "is this corpus clumpy or diffuse" diagnostic that
+    * decides between cluster-level dedup and pair-level dedup, and a
+    * drift check between corpus snapshots. One-row output.
+    *
+    * Edges are canonicalized (u < v, distinct); triangle counting
+    * joins the edge list with itself along a < b < c (each triangle
+    * counted exactly once) and closes with one more edge join — on a
+    * degree-bounded graph (kNN: deg ≤ 2k) the intermediate wedge
+    * list is Σ deg² ≤ 4k²·n rows, linear in nodes at fixed k, and
+    * every join keys on node ids (8-byte shuffles). All counts are
+    * integers; the coefficient is one division written identically
+    * in the oracle. */
+  def triangleStats(edges: DataFrame, srcCol: String,
+                    dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol).cast("long"), col(dstCol).cast("long"))
+        .as("u"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long"))
+          .as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    val deg = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val degStats = deg.agg(count(lit(1)).as("n_nodes"),
+      max(col("deg")).as("max_deg"),
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    val paths = e.select(col("u").as("a"), col("v").as("b"))
+      .join(e.select(col("u").as("b"), col("v").as("c")), "b")
+    val tri = paths.join(e.select(col("u").as("a"), col("v").as("c")),
+      Seq("a", "c")).agg(count(lit(1)).as("n_triangles"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(degStats).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("max_deg"),
+        col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") > 0,
+          round((lit(3L) * col("n_triangles")).cast("double") /
+            col("n_wedges").cast("double"), 5))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
 }

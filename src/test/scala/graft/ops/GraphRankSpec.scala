@@ -74,6 +74,24 @@ class GraphRankSpec extends AnyFunSuite {
     assert((2L to 9L).forall(i => ranks(1L) > ranks(i)))
   }
 
+  test("triangleStats: exact counts on known graphs (K4 closed, path " +
+    "open), duplicate/reversed input edges collapse") {
+    def stats(edges: Seq[(Long, Long)]) =
+      GraphRank.triangleStats(edges.toDF("src", "dst"), "src", "dst")
+        .head()
+    // K4 given redundantly (both directions + dups): 6 edges, every
+    // node degree 3, 12 wedges, 4 triangles, clustering 1.0
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a != b) yield (a, b)
+    val s1 = stats(k4 ++ k4)
+    assert(s1.getLong(0) == 4 && s1.getLong(1) == 6 && s1.getLong(2) == 3)
+    assert(s1.getLong(3) == 12 && s1.getLong(4) == 4)
+    assert(s1.getDouble(5) == 1.0)
+    // path 1-2-3-4: 3 edges, 2 wedges, no triangle
+    val s2 = stats(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(s2.getLong(1) == 3 && s2.getLong(3) == 2 && s2.getLong(4) == 0)
+    assert(s2.getDouble(5) == 0.0)
+  }
+
   private def runLp(edges: Seq[(Long, Long)], seeds: Seq[(Long, Int)],
                     iters: Int): Map[Long, (Option[Int], Boolean)] =
     GraphRank.labelPropagate(edges.toDF("src", "dst"), "src", "dst",
