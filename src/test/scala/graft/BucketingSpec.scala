@@ -63,4 +63,66 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS graft_quality_b")
     }
   }
+
+  test("incremental-ingest dedup against a PERSISTED bucketed archive " +
+    "signature table: the anti-join reads the archive without " +
+    "re-signaturing or shuffling it, and matches the recomputed path") {
+    import graft.ops.Dedup
+    val sigCols = (0 until Dedup.NumPerms).map(i => s"sig$i")
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    // steady state: the archive's DISTINCT signature set is bucketed
+    // on the full signature ONCE at ingest time
+    Dedup.minhashSignatures(corpus, "text", "doc_id")
+      .select(sigCols.map(col): _*).distinct()
+      .write.mode("overwrite")
+      .bucketBy(8, sigCols.head, sigCols.tail: _*)
+      .saveAsTable("graft_archive_sigs_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import spark.implicits._
+      // a batch: half re-ingested dups, half genuinely new docs
+      val dups = corpus.limit(10)
+      val fresh = (1 to 10).map(i =>
+        (800000L + i, s"entirely fresh batch document number $i with words"))
+        .toDF("doc_id", "text")
+      val batch = dups.unionByName(fresh)
+      val survivors = Dedup.minhashSignatures(batch, "text", "doc_id")
+        .join(spark.table("graft_archive_sigs_b"), sigCols, "left_anti")
+      survivors.collect()
+      val plan = survivors.queryExecution.executedPlan.toString
+      // the archive side: bucketed scan with no exchange above it —
+      // only the (tiny) batch side shuffles to align with the buckets.
+      // Probe: the same anti-join against an UNBUCKETED copy of the
+      // same signatures needs strictly more exchanges (the archive
+      // re-shuffle the bucketed layout amortizes away).
+      assert(plan.contains("Bucketed: true"),
+        s"archive signatures not read from the bucketed layout:\n$plan")
+      spark.table("graft_archive_sigs_b").write.mode("overwrite")
+        .saveAsTable("graft_archive_sigs_plain")
+      val ctrl = Dedup.minhashSignatures(batch, "text", "doc_id")
+        .join(spark.table("graft_archive_sigs_plain"), sigCols, "left_anti")
+      ctrl.collect()
+      val nEx = "Exchange".r.findAllIn(plan).size
+      val nExCtrl = "Exchange".r
+        .findAllIn(ctrl.queryExecution.executedPlan.toString).size
+      assert(nEx < nExCtrl,
+        s"bucketed archive saved no exchanges ($nEx vs $nExCtrl)")
+      // correctness: identical to anti-joining freshly recomputed
+      // archive signatures
+      val want = Dedup.newAgainstCorpus(batch, corpus, "text", "doc_id")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val got = survivors.select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(got == want)
+      assert(got.forall(_ >= 800000L) && got.size == 10,
+        s"expected exactly the fresh docs to survive, got $got")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_archive_sigs_b")
+      spark.sql("DROP TABLE IF EXISTS graft_archive_sigs_plain")
+    }
+  }
 }
