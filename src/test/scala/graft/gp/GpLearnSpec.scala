@@ -181,6 +181,40 @@ class GpLearnSpec extends AnyFunSuite {
     }
   }
 
+  test("coreset (farthest-first) exemplars are a strong inducing-point " +
+    "init: the selected z spans the domain and beats a clumped init") {
+    val spark = SparkTestSession.spark
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(((col("l_quantity") - 25.5) / 7.2).as("x"))
+      .withColumn("y", sin(col("x") * 2.0))
+    // select 9 inducing inputs by k-center greedy over the distinct
+    // x values (id = the underlying integer quantity — unique by
+    // construction) — the diversity-pruning operator doing double
+    // duty as sparse-GP initialization (Sener & Savarese 2018 ∘
+    // Titsias 2009)
+    val distinctX = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_quantity").cast("long").as("id")).distinct()
+      .select(col("id"),
+        array((col("id").cast("double") - 25.5) / 7.2).as("emb"))
+    val cor = graft.ops.Similarity.farthestFirst(
+      distinctX, "id", "emb", 9)
+    val zs = cor.map(_._2.head).sorted.toSeq
+    // farthest-first must spread: the selected z span ≈ the x range
+    assert(zs.max - zs.min > 5.0, s"coreset z did not spread: $zs")
+    assert(zs.distinct.length == 9)
+    val clumped = (0 until 9).map(i => -3.4 + 0.1 * i)
+    val ds = new DataSet(li, seed = 0)
+    val fromCoreset = GpExpr.trainSparse1d(ds, "x", "y", zs, ell0 = 0.8,
+      learnEll = false, rounds = 4, stepsPerRound = 120, lr = 0.05)
+    val fromClumped = GpExpr.trainSparse1d(ds, "x", "y", clumped,
+      ell0 = 0.8, learnEll = false, rounds = 4, stepsPerRound = 120,
+      lr = 0.05)
+    assert(fromCoreset.elbo > fromClumped.elbo,
+      s"coreset init ${fromCoreset.elbo} <= clumped ${fromClumped.elbo}")
+    ds.unpersist()
+  }
+
   test("learning misplaced inducing points beats keeping them fixed") {
     val spark = SparkTestSession.spark
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
