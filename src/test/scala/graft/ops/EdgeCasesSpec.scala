@@ -17,6 +17,42 @@ class EdgeCasesSpec extends AnyFunSuite {
     .parquet("/root/testdata/sf0.001/documents.parquet")
     .where(lit(false))
 
+  test("round-6 ops on degenerate input: empty lists fuse to empty, " +
+    "unseeded propagation stays null, short docs carry no novelty, " +
+    "empty graphs and sketches produce defined rows") {
+    // RRF of two empty candidate lists
+    val noScores = Seq.empty[(Long, Double)].toDF("id", "s")
+    val ra = Ranking.topRanks(noScores, "s", "id", 5)
+    assert(ra.count() == 0)
+    assert(Ranking.rrfFuse(ra, ra, "id").count() == 0)
+    // label propagation with an empty seed set: every label stays null
+    val lp = GraphRank.labelPropagate(
+      Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), "src", "dst",
+      Seq.empty[(Long, Int)].toDF("node", "label"), "node", "label", 2)
+      .collect()
+    assert(lp.length == 3 && lp.forall(_.isNullAt(1)))
+    // novelty: docs too short for a trigram simply vanish
+    val short = Seq((1L, "just two"), (2L, "one")).toDF("doc_id", "text")
+    assert(Dedup.noveltyRate(short, "text", "doc_id").count() == 0)
+    // triangle stats on an empty edge list: one defined row of zeros
+    val ts = GraphRank.triangleStats(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst").head()
+    assert(ts.getLong(0) == 0 && ts.getLong(1) == 0 &&
+      ts.getLong(4) == 0 && ts.getDouble(5) == 0.0)
+    // AMS sketch of nothing: empty cell table
+    assert(Sketches.amsBuild(noDocs, col("text")).count() == 0)
+    // group split with zero val/test rates: everything lands in train
+    val sp = Sampling.groupSplit(Seq((1L, "a"), (2L, "b"))
+      .toDF("id", "g"), "g", 0.0, 0.0)
+    assert(sp.collect().forall(_.getString(2) == "train"))
+    // CUSUM on a single event: one row, clamped at the first step
+    val one = Seq((1L, 10L, 1L, 80.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val c1 = Events.cusum(one, "user_id", "ts", "event_id", "value",
+      50.0, 25.0).head()
+    assert(c1.getDouble(4) == 5.0 && c1.getDouble(5) == 0.0)
+  }
+
   test("dedup over an empty corpus: groups, signatures, candidates, " +
     "clusters, and canonical selection are all empty, not errors") {
     assert(Dedup.minhashSignatures(noDocs, "text", "doc_id").count() == 0)
