@@ -1137,6 +1137,64 @@ object PipelineQueries {
         "FROM dist CROSS JOIN thr GROUP BY label ORDER BY label"
     })
 
+  /** Embedding snapshot drift — the vector sibling of
+    * [[pipelineDiff]]: per-(label, dim) centroid REGISTERS (int64
+    * fixed point, the k-means/covariance discipline) for snapshot A
+    * and a deterministically perturbed snapshot B computed in the
+    * SAME single scan; register deltas are exact integers, so the
+    * per-label L1/max drift and moved-dimension counts pin
+    * bit-exactly. At scale this is the re-embedding regression check
+    * (new encoder vs old): one scan per snapshot, matrix-sized
+    * output, no vector ever joins another. */
+  private val embedDrift = Q("q_embed_drift",
+    (s, d) => {
+      val kfx = graft.ops.Pca.FxScale
+      val ex = embs(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("i0", "x")))
+        .select(col("vec_id"), col("label"),
+          (col("i0") + 1).cast("long").as("dim"),
+          col("x").cast("double").as("xa"))
+      val shift = when(col("vec_id") % 2 === 1,
+        lit(0.05) * (((col("vec_id") * 31 + col("dim")) % 7) - 3)
+          .cast("double")).otherwise(lit(0.0))
+      val regs = ex
+        .select(col("label"), col("dim"), col("xa"),
+          (col("xa") + shift).as("xb"))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("cn"),
+          sum(floor(col("xa") * lit(kfx)).cast("long")).as("sa"),
+          sum(floor(col("xb") * lit(kfx)).cast("long")).as("sb"))
+      regs.select(col("label"), col("cn"),
+          abs(col("sa") - col("sb")).as("delta"))
+        .groupBy("label")
+        .agg(max(col("cn")).as("n_vecs"),
+          sum(col("delta")).as("l1_fp"),
+          max(col("delta")).as("max_fp"),
+          sum(when(col("delta") > 0, 1L).otherwise(0L))
+            .as("n_dims_moved"))
+        .orderBy("label")
+    }, {
+      val kfx = s"${graft.ops.Pca.FxScale.toLong}.0"
+      s"WITH ex AS (SELECT vec_id, label, t.i AS dim, " +
+        "CAST(embedding[t.i] AS DOUBLE) AS xa " +
+        s"FROM embeddings CROSS JOIN range(1, ${EmbDim + 1}) t(i)), " +
+        "xs AS (SELECT label, dim, xa, xa + " +
+        "(CASE WHEN vec_id % 2 = 1 THEN " +
+        "0.05 * CAST(((vec_id * 31 + dim) % 7) - 3 AS DOUBLE) " +
+        "ELSE 0.0 END) AS xb FROM ex), " +
+        "regs AS (SELECT label, dim, count(*) AS cn, " +
+        s"CAST(sum(CAST(floor(xa * $kfx) AS BIGINT)) AS BIGINT) AS sa, " +
+        s"CAST(sum(CAST(floor(xb * $kfx) AS BIGINT)) AS BIGINT) AS sb " +
+        "FROM xs GROUP BY label, dim) " +
+        "SELECT label, CAST(max(cn) AS BIGINT) AS n_vecs, " +
+        "CAST(sum(abs(sa - sb)) AS BIGINT) AS l1_fp, " +
+        "CAST(max(abs(sa - sb)) AS BIGINT) AS max_fp, " +
+        "CAST(sum(CASE WHEN abs(sa - sb) > 0 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_dims_moved " +
+        "FROM regs GROUP BY label ORDER BY label"
+    })
+
   /** Hard-negative triplet mining (contrastive training data): per
     * label, triplet counts, mean positive/negative cosine, the margin,
     * and an id checksum pinning the exact argmax selections. Same
@@ -3836,7 +3894,7 @@ object PipelineQueries {
     embedNearDup, embedNearDupCapped, embedClusters, embedTriplets,
     embedKnnGraph, embedPageRank, embedLabelProp, embedGraphStats,
     embedRp, embedRpAnn, embedIvf, embedIvfMp,
-    embedKmeans, embedCoreset, embedCovariance, embedOutliers, gpRff,
+    embedKmeans, embedCoreset, embedCovariance, embedOutliers, embedDrift, gpRff,
     embedPq, embedIvfPq, embedRerank, embedSq8,
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,
     textVocab, textClassifier, textChunks, textBpe, textFertility,
