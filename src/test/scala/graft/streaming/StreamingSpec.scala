@@ -561,6 +561,32 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming AMS maintenance: signed cells aggregate " +
+    "incrementally (Complete mode), equal the batch sketch bit for " +
+    "bit, and keep the F2 estimate") {
+    import graft.ops.Sketches
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val out = Sketches.amsBuild(stream, col("lang"))
+    StreamingOps.runToMemorySink(out, "ams_stream",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = canon(spark.table("ams_stream"))
+    val want = canon(Sketches.amsBuild(docs, col("lang")))
+    assert(got == want, "streaming AMS cells must equal batch cells")
+    assert(got.size <= 4 * 64, "state must stay sketch-bounded")
+    // the stream-built sketch estimates the exact F2 of the key space
+    val est = Sketches.amsF2(spark.table("ams_stream")).head.getDouble(0)
+    val exact = docs.groupBy("lang").count().collect()
+      .map(r => { val n = r.getLong(1); n.toDouble * n }).sum
+    assert(est > 0.3 * exact && est < 3.0 * exact,
+      s"stream AMS F2 $est vs exact $exact")
+  }
+
   test("streaming k-means: frozen-centroid register accumulation over " +
     "micro-batches equals one batch Lloyd round bit for bit; online " +
     "mode refreshes centroids and does not worsen inertia") {
