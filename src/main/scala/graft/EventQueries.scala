@@ -405,8 +405,32 @@ object EventQueries {
       "THEN event_id ELSE 0 END) AS BIGINT) AS alarm_ids " +
       "FROM c GROUP BY event_type ORDER BY event_type")
 
+  /** Exponentially time-decayed event mass ([[Events.decayedMass]]):
+    * recency weighting with τ = 1 day against the corpus max
+    * timestamp, exact under distribution because each weight is
+    * floored to int64 fixed point before the (order-independent)
+    * sum. µs grain on both engines (the shared exact precision for
+    * parquet NANO timestamps). */
+  private val DecayTauMicros = 86400000000.0
+  private val eventsDecayed = Q("q_events_decayed",
+    (s, d) => {
+      val ev = events(s, d).withColumn("__tsu", expr("ts div 1000"))
+      val ref = ev.agg(max(col("__tsu")).as("__ref"))
+      Events.decayedMass(ev.crossJoin(ref), col("__tsu"),
+          Seq("event_type"), col("__ref"), DecayTauMicros)
+        .orderBy("event_type")
+    },
+    "WITH r AS (SELECT max(epoch_us(ts)) AS ref FROM events), " +
+      "w AS (SELECT event_type, " +
+      "floor(exp(-(CAST(r.ref - epoch_us(ts) AS DOUBLE) / " +
+      s"$DecayTauMicros)) * ${graft.ops.Stats.FxScale}.0) AS fp " +
+      "FROM events CROSS JOIN r) " +
+      "SELECT event_type, count(*) AS n, " +
+      "CAST(sum(CAST(fp AS BIGINT)) AS BIGINT) AS decayed_fp " +
+      "FROM w GROUP BY event_type ORDER BY event_type")
+
   val all: Vector[Q] = Vector(eventsAsof, eventsSessionize, eventsProps,
     eventsRange, eventsZorder, eventsWindow, eventsFunnel,
     eventsRetention, eventsTransitions, eventsEwma, eventsCusum,
-    eventsPaths)
+    eventsDecayed, eventsPaths)
 }

@@ -205,6 +205,36 @@ object Events {
       .agg(count(lit(1)).as("n"), sum(value).as("sum_value"))
   }
 
+  /** Exponentially time-decayed event mass per key — the recency
+    * weighting behind freshness-aware mixing, decayed engagement
+    * scores, and "still-active" filters: each event contributes
+    * e^(−(T−t)/τ) evaluated at the reference instant T.
+    *
+    * Exactness under distribution: the per-row weight is a double
+    * (identical on any engine — same exp of the same integer-derived
+    * argument at the shared µs grain, never raw nanos: engines read
+    * parquet NANOS timestamps at different precisions), but it is
+    * QUANTIZED to int64 fixed point BEFORE the sum, so the aggregate
+    * is order-independent and bit-identical under any partitioning —
+    * the k-means register discipline applied to a decayed aggregate.
+    * One scan + one map-side-partial hash agg.
+    *
+    * Both `tsMicros` and `refMicros` are MICROSECOND columns
+    * (`ts div 1000` on the nanos long / `epoch_us` in SQL): engines
+    * read parquet NANO timestamps at different precisions, so the µs
+    * grain is the shared exact one, and a µs delta ≪ 2⁵³ casts to
+    * double losslessly. `refMicros` is typically a one-row max-ts
+    * frame joined in-plan, or a literal "now". */
+  def decayedMass(df: DataFrame, tsMicros: Column, keyCols: Seq[String],
+                  refMicros: Column, tauMicros: Double,
+                  scale: Long = graft.ops.Stats.FxScale): DataFrame = {
+    require(tauMicros > 0, s"bad decay tau $tauMicros")
+    val w = exp(-((refMicros - tsMicros).cast("double") / lit(tauMicros)))
+    val fp = floor(w * lit(scale.toDouble)).cast("long")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(fp).as("decayed_fp"))
+  }
+
   /** First-order (Markov) next-event transition matrix: counts and
     * row-normalized probabilities of `typeCol` → next `typeCol` in
     * each key's time-ordered stream (the "what do users do after X"
