@@ -1998,6 +1998,42 @@ object PipelineQueries {
         "FROM top JOIN spg ON top.b = spg.b ORDER BY rank"
     })
 
+  /** Distinct-n diversity (Li et al. 2016's distinct-1/2 generalized
+    * to the corpus): unique trigram fingerprints / total trigram
+    * occurrences per source — the repetitiveness/diversity metric
+    * generation pipelines track. Totals use the WITH-multiplicity
+    * gram stream (one kernel pass over token hashes), uniques the
+    * per-corpus distinct — both integer hash aggregates on 8-byte
+    * fingerprints; the ratio is one division written identically. */
+  private val textDistinctN = Q("q_text_distinctn",
+    (s, d) => {
+      val d0 = docs(s, d)
+      val hl = Dedup.tokenHashList(col("text"))
+      val grams = d0
+        .select(col("doc_id"), col("source"), hl.as("__hl"))
+        .select(col("doc_id"), col("source"),
+          explode(Dedup.ngramFingerprints(col("__hl"), 3)).as("g"))
+      grams.groupBy("source")
+        .agg(count(lit(1)).as("n_grams"),
+          countDistinct(col("g")).as("n_unique"),
+          (countDistinct(col("g")).cast("double") /
+            count(lit(1)).cast("double")).as("distinct3"))
+        .select(col("source"), col("n_grams"), col("n_unique"),
+          round(col("distinct3"), 5).as("distinct3"))
+        .orderBy("source")
+    },
+    s"WITH t AS (SELECT doc_id, source, " +
+      s"[${TextAnalysis.TokenHashSql("w")} % ${Dedup.NgramFpMod} " +
+      "for w in string_split(text, ' ')] AS hl FROM documents), " +
+      "g AS (SELECT doc_id, source, unnest(" +
+      s"[((hl[i] * 31 + hl[i+1]) % ${Dedup.NgramFpMod} * 31 + hl[i+2]) " +
+      s"% ${Dedup.NgramFpMod} " +
+      "for i in range(1, len(hl) - 1)]) AS gr FROM t) " +
+      "SELECT source, count(*) AS n_grams, " +
+      "count(DISTINCT gr) AS n_unique, " +
+      "round(count(DISTINCT gr)::DOUBLE / count(*)::DOUBLE, 5) " +
+      "AS distinct3 FROM g GROUP BY source ORDER BY source")
+
   /** Bigram-LM perplexity scoring (CCNet-style quality signal): train
     * hash-space bigram/prefix counts on the corpus, score every doc's
     * avg −ln p(w₂|w₁) under add-one smoothing, aggregate per source.
@@ -3900,7 +3936,8 @@ object PipelineQueries {
     textVocab, textClassifier, textChunks, textBpe, textFertility,
     textEntropy, textC4, textHashEmbed,
     textScripts, textCalibration, textTopDups,
-    textPerplexity, textPmi, textBm25, textRrf, textPii, textContamination, sketchHll,
+    textPerplexity, textPmi, textDistinctN, textBm25, textRrf, textPii,
+    textContamination, sketchHll,
     sketchHllBy, sketchCms, sketchAms, sketchQuantile, sketchQuantileBy,
     textDupNgrams, textNovelty, qualityGopher, multimodalMeta, curation, trainMix,
     pipelineModern, pipelineDiff, pipelineSelect,
