@@ -318,13 +318,25 @@ final class Elbo(
                  * moment updates — bounding a pathological step's
                  * damage to Adam's m/v state. ≤ 0 disables (and is
                  * bit-identical to no clipping). */
-               clipNorm: Double = 0.0): Double = {
+               clipNorm: Double = 0.0,
+               /** Polyak–Ruppert tail averaging: write back the MEAN
+                 * of θ over the last `polyakTail` steps instead of
+                 * the final iterate — at a constant learning rate the
+                 * iterate orbits the optimum at step-size scale and
+                 * the tail average sits near its center (Polyak &
+                 * Juditsky 1992; the SWA recipe). 0 disables. */
+               polyakTail: Int = 0): Double = {
     val theta = thetaFromTree()
     val mask = collectionMask(collection)
     val adam = if (adamState != null) adamState
       else new Adam(nSlots, lr, weightDecay = weightDecay)
     val total = dataset.trainCount
     var lastElbo = 0.0
+    val polyTailN = math.min(math.max(polyakTail, 0), maxiter)
+    val polyStart = startStep + maxiter - polyTailN
+    val polySum =
+      if (polyTailN > 0) new Array[Double](theta.length) else null
+    var polyCnt = 0
 
     // one Adam ascent sub-step from a computed (loss, grad, cnt)
     def applyStep(loss: Double, grad: Array[Double], cnt: Long,
@@ -349,6 +361,11 @@ final class Elbo(
       }
       if (lrSchedule != null) adam.lr = lrSchedule(it)
       adam.step(theta, grad, mask)
+      if (polySum != null && it >= polyStart) {
+        var i = 0
+        while (i < theta.length) { polySum(i) += theta(i); i += 1 }
+        polyCnt += 1
+      }
       if (verboseEvery > 0 && (it % verboseEvery == 0))
         println(f"[elbo] iter $it%6d elbo=$lastElbo%.4f")
     }
@@ -423,6 +440,10 @@ final class Elbo(
         if (df != null) df.unpersist(false)
         it += k
       }
+    }
+    if (polySum != null && polyCnt > 0) {
+      var i = 0
+      while (i < theta.length) { theta(i) = polySum(i) / polyCnt; i += 1 }
     }
     thetaToTree(theta)
     module.initialize()

@@ -126,6 +126,36 @@ class ElboSpec extends AnyFunSuite {
     assert(math.abs(fit(5.0, 200) - mean) < 0.05)
   }
 
+  test("polyakTail: at an oscillation-scale learning rate the tail " +
+    "average lands measurably closer to the optimum than the final " +
+    "iterate; 0 is bit-identical to no averaging") {
+    def fit(tail: Int): Double = {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select((col("l_quantity") / 10.0).as("x")).limit(512)
+      val root = new Module
+      val p = root.add("p", new Param(Seq(1), initMean = 3.0,
+        initStddev = 0.01))
+      val ds = new DataSet(li, seed = 0)
+      val elbo = new Elbo(root, ds, Seq("x"),
+        ctx => -(ctx.read1(p) - ctx.in("x")).sq)
+      // lr 0.3: Adam orbits the optimum at ~step size
+      elbo.optimize(maxiter = 300, lr = 0.3, polyakTail = tail)
+      val v = p.value(0)
+      ds.unpersist()
+      v
+    }
+    val mean = {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select((col("l_quantity") / 10.0).as("x")).limit(512)
+      li.agg(avg("x")).head.getDouble(0)
+    }
+    val last = fit(0)
+    val avgd = fit(100)
+    assert(math.abs(avgd - mean) < math.abs(last - mean),
+      s"tail average $avgd no closer than final iterate $last (opt $mean)")
+    assert(math.abs(avgd - mean) < 0.1, s"averaged run off: $avgd vs $mean")
+  }
+
   test("optimizeLbfgs: deterministic quasi-Newton reaches the exact " +
     "optimum in a handful of evaluations and matches Adam's answer") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
