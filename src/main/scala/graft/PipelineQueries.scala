@@ -1137,6 +1137,75 @@ object PipelineQueries {
         "FROM dist CROSS JOIN thr GROUP BY label ORDER BY label"
     })
 
+  /** LSH recall-tuning harness: the pair-recall curve of OR-amplified
+    * multi-table LSH (1, 2, 3 tables) against the exact near-dup
+    * truth — how a pipeline TUNES nBits/tables before committing a
+    * corpus-scale run (at 100 TB the truth side runs on a sample;
+    * the harness shape is identical). Precision is structurally 1
+    * (bucketed pairs pass the same cosine floor), so the curve is
+    * recall vs tables — all counts exact integers, recall one
+    * division. */
+  private val LshEvalThr = 0.25
+  private val embedLshRecall = Q("q_dedup_lsh_recall",
+    (s, d) => {
+      val e = embs(s, d)
+      val nTrue = Similarity
+        .cosineNearDups(e, "vec_id", "embedding", LshEvalThr)
+        .agg(count(lit(1)).as("n_true"))
+      val tb = Similarity.lshTableBuckets(e, "vec_id", "embedding", 8, 3)
+      val a = tb.select(col("vec_id").as("id_a"),
+        col("embedding").as("emb_a"), col("tbl"), col("bucket"))
+      val b = tb.select(col("vec_id").as("id_b"),
+        col("embedding").as("emb_b"), col("tbl"), col("bucket"))
+      val found = (1 to 3).map { t =>
+        a.where(col("tbl") < t).join(b.where(col("tbl") < t),
+            Seq("tbl", "bucket"))
+          .where(col("id_a") < col("id_b"))
+          .where(Similarity.cosine(col("emb_a"), col("emb_b")) >=
+            LshEvalThr)
+          .select("id_a", "id_b").distinct()
+          .agg(count(lit(1)).as("n_found"))
+          .select(lit(t.toLong).as("tables"), col("n_found"))
+      }.reduce(_.unionByName(_))
+      found.crossJoin(nTrue)
+        .select(col("tables"), col("n_found"), col("n_true"),
+          round(col("n_found").cast("double") /
+            col("n_true").cast("double"), 5).as("recall"))
+        .orderBy("tables")
+    }, {
+      import Similarity.{HpBitMix, HpDimMix, HpMod, HpMult}
+      def bucketT(tbl: String): String = (0 until 8).map { j =>
+        val hp = s"((((i) * $HpDimMix + (($tbl * 8 + ${j + 1})) * " +
+          s"$HpBitMix) % $HpMod) * $HpMult % $HpMod) / " +
+          s"${(HpMod / 2).toDouble} - 1.0"
+        s"(CASE WHEN (list_sum([CAST(embedding[i] AS DOUBLE) * ($hp) " +
+          s"for i in generate_series(1, len(embedding))])) > 0 " +
+          s"THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      val blocks = (1 to 3).map { t =>
+        s"SELECT $t AS tables, (SELECT count(*) FROM (" +
+          "SELECT DISTINCT a.vec_id, b.vec_id FROM tb a JOIN tb b " +
+          "ON a.tbl = b.tbl AND a.bucket = b.bucket " +
+          s"AND a.vec_id < b.vec_id AND a.tbl < $t AND " +
+          s"${dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm) >= " +
+          s"$LshEvalThr)) AS n_found"
+      }.mkString(" UNION ALL ")
+      s"WITH e AS (SELECT vec_id, embedding AS emb, embedding, " +
+        s"sqrt(${dotSql("embedding", "embedding")}) AS nrm " +
+        "FROM embeddings), " +
+        "tb AS (SELECT vec_id, emb, nrm, t.t AS tbl, " +
+        s"(${bucketT("t.t")}) AS bucket FROM e CROSS JOIN " +
+        "range(0, 3) t(t)), " +
+        "nt AS (SELECT count(*) AS n_true FROM (SELECT 1 FROM e a " +
+        "JOIN e b ON a.vec_id < b.vec_id AND " +
+        s"${dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm) >= " +
+        s"$LshEvalThr)), " +
+        s"f AS ($blocks) " +
+        "SELECT CAST(f.tables AS BIGINT) AS tables, f.n_found, " +
+        "nt.n_true, round(f.n_found::DOUBLE / nt.n_true::DOUBLE, 5) " +
+        "AS recall FROM f CROSS JOIN nt ORDER BY tables"
+    })
+
   /** Embedding snapshot drift — the vector sibling of
     * [[pipelineDiff]]: per-(label, dim) centroid REGISTERS (int64
     * fixed point, the k-means/covariance discipline) for snapshot A
@@ -3927,7 +3996,7 @@ object PipelineQueries {
     dedupIncremental, dedupIncrementalNear, dedupBloom, dedupSpans,
     dedupContainment,
     embedTop1, embedTopK, embedAnnLsh, embedLshSized, embedAnnTop1,
-    embedNearDup, embedNearDupCapped, embedClusters, embedTriplets,
+    embedNearDup, embedNearDupCapped, embedClusters, embedTriplets, embedLshRecall,
     embedKnnGraph, embedPageRank, embedLabelProp, embedGraphStats,
     embedRp, embedRpAnn, embedIvf, embedIvfMp,
     embedKmeans, embedCoreset, embedCovariance, embedOutliers, embedDrift, gpRff,
