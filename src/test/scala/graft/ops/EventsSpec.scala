@@ -234,6 +234,28 @@ class EventsSpec extends AnyFunSuite {
       s"exactly one exchange expected:\n$plan")
   }
 
+  test("decayedMass: quantized weights sum order-independently, " +
+    "decay halves mass per half-life, and now-events weigh ~1") {
+    import spark.implicits._
+    val tau = 1000000.0 // 1 s in µs
+    val rows = Seq((0L, "a"), (693147L, "a"), (1386294L, "b"))
+      .toDF("tsu", "k") // 0, τ·ln2, 2τ·ln2 before the reference
+    val ref = lit(1386294L)
+    val got = graft.ops.Events
+      .decayedMass(rows, col("tsu"), Seq("k"), ref, tau)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val s = graft.ops.Stats.FxScale.toDouble
+    def fp(dtu: Long): Long = math.floor(math.exp(-dtu / tau) * s).toLong
+    // key a: half-life-old (w≈0.5) + quarter-life... exact replay:
+    assert(got("a") == fp(1386294L) + fp(693147L))
+    assert(got("b") == fp(0L) && got("b") == s.toLong)
+    // order independence: same totals under any partitioning
+    val got13 = graft.ops.Events
+      .decayedMass(rows.repartition(13), col("tsu"), Seq("k"), ref, tau)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got13 == got)
+  }
+
   test("cusum: clamped drift sums match a driver fold, detect a " +
     "sustained level shift a single residual misses, and the plan " +
     "stays one exchange + sort") {
