@@ -18,18 +18,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // dev loop: SPARK_GRAFT_ONLY=q_a,q_b dumps just those queries
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -42,9 +30,39 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // written FIRST: if a wall-clock limit kills this JVM mid-dump, the
+    // driver's compare still sees every query dumped so far — oracle SQL
+    // last would zero the whole round on a timeout
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // dev loop: SPARK_GRAFT_ONLY=q_a,q_b dumps just those queries
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val todo = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .toVector.sortBy(_._1)
+    // dump concurrently: each query is a small sf0.01 job, so serial
+    // execution pays ~138× per-job latency; Spark's scheduler runs
+    // concurrent jobs fine (FIFO across pools, separate output dirs)
+    val par = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "4").toInt)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    import scala.concurrent.{ExecutionContext, Future, Await}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    val futs = todo.map { case (name, fn) =>
+      Future {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+      }
+    }
+    futs.foreach(f => Await.ready(f, Duration.Inf))
+    pool.shutdown()
     spark.stop()
   }
 }

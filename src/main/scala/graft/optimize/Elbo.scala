@@ -330,6 +330,14 @@ final class Elbo(
     val mask = collectionMask(collection)
     val adam = if (adamState != null) adamState
       else new Adam(nSlots, lr, weightDecay = weightDecay)
+    // a shared/restored state carries its own decay config; an explicit
+    // weightDecay here must win, not be silently dropped
+    if (adamState != null && weightDecay > 0.0)
+      adam.weightDecay = weightDecay
+    // a schedule rewrites adam.lr in place each step; restore the
+    // entry lr afterwards so a shared state's next schedule-less run
+    // trains at its configured rate, not the schedule's last value
+    val entryLr = adam.lr
     val total = dataset.trainCount
     var lastElbo = 0.0
     val polyTailN = math.min(math.max(polyakTail, 0), maxiter)
@@ -441,9 +449,18 @@ final class Elbo(
         it += k
       }
     }
+    if (lrSchedule != null) adam.lr = entryLr
     if (polySum != null && polyCnt > 0) {
       var i = 0
       while (i < theta.length) { theta(i) = polySum(i) / polyCnt; i += 1 }
+      // the write-back is the tail AVERAGE, not the last iterate — one
+      // extra evaluation so the returned ELBO describes the θ the
+      // caller actually receives
+      val g = startStep + maxiter
+      val draws = freshDraws(g)
+      val (loss, grad, cnt) =
+        batchGrad(g, minibatchSize, training = true, theta, draws)
+      lastElbo = combineKl(loss, grad, cnt, total, theta, draws)
     }
     thetaToTree(theta)
     module.initialize()
