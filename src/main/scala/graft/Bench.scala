@@ -122,16 +122,37 @@ object Bench {
       s"elbo_dist_${elboIters}it" -> distSecs,
       s"elbo_dist_unfused_${elboIters}it" -> distOneSecs,
       s"rff_gpr_${elboIters}it" -> rffSecs)
-    val qs = allResults.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     // the unfused-dist rate is a diagnostic, not workload — keep the
     // headline total comparable across rounds
     val total = (allResults - s"elbo_dist_unfused_${elboIters}it")
       .values.filter(_ > 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","elbo_iters_per_sec":${
-      if (elboSecs > 0) elboIters / elboSecs else -1.0},"elbo_dist_iters_per_sec":${
-      if (distSecs > 0) elboIters / distSecs else -1.0},"rff_gpr_iters_per_sec":${
-      if (rffSecs > 0) elboIters / rffSecs else -1.0}}""")
+    def fmt(v: Double): String = "%.3f".format(v)
+    val rates = s""""sf":"$sfDir","elbo_iters_per_sec":${fmt(
+      if (elboSecs > 0) elboIters / elboSecs else -1.0)},"elbo_dist_iters_per_sec":${fmt(
+      if (distSecs > 0) elboIters / distSecs else -1.0)},"rff_gpr_iters_per_sec":${fmt(
+      if (rffSecs > 0) elboIters / rffSecs else -1.0)}"""
+    // FULL per-query map → file (the driver captures only the last
+    // ~2000 chars of stdout, so the printed line must stay small)
+    val fullQs = allResults.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,$rates}""")
+    // printed line: elbo segments + slowest queries, char-budgeted so
+    // the whole JSON (plus sbt's [success] trailer) fits the driver's
+    // 2000-char tail window and parses
+    val segs = allResults.toSeq.filter { case (k, _) =>
+      k.startsWith("elbo_") || k.startsWith("rff_") }
+    val budget = 1300
+    val slowest = results.toSeq.sortBy(-_._2)
+    val picked = (segs ++ slowest).foldLeft(Vector.empty[String]) {
+      case (acc, (k, v)) =>
+        val entry = "\"" + k + "\":" + fmt(v)
+        if (acc.map(_.length + 1).sum + entry.length > budget) acc
+        else acc :+ entry
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"full":"BENCH_FULL.json","queries":${picked.mkString("{", ",", "}")},$rates}""")
     spark.stop()
   }
 }

@@ -740,11 +740,15 @@ object PipelineQueries {
       val m = Similarity.signProjection(EmbDim, RpK)
       val mLit = m.map(_.mkString("[", ", ", "]"))
         .mkString("[", ", ", "]")
+      // matrix hoisted into a one-row CTE: inlining ($mLit)[j][i]
+      // re-materializes the whole 16x64 literal per (row, j, i) and
+      // takes DuckDB minutes — the cross join evaluates it once
       s"WITH y AS (SELECT vec_id, label, " +
-        s"[list_sum([CAST(embedding[i] AS DOUBLE) * ($mLit)[j][i] " +
+        s"[list_sum([CAST(embedding[i] AS DOUBLE) * mm.m[j][i] " +
         s"for i in generate_series(1, $EmbDim)]) " +
         s"for j in generate_series(1, $RpK)] AS y, " +
-        s"${dotSql("embedding", "embedding")} AS xx FROM embeddings) " +
+        s"${dotSql("embedding", "embedding")} AS xx FROM embeddings " +
+        s"CROSS JOIN (SELECT $mLit AS m) mm) " +
         "SELECT label, count(*) AS n, " +
         s"round(avg((list_sum([y[j] * y[j] for j in " +
         s"generate_series(1, $RpK)]) / ${RpK}.0) / xx), 5) AS avg_ratio, " +
@@ -807,10 +811,13 @@ object PipelineQueries {
       }.mkString(" + ")
       s"WITH e AS (SELECT vec_id, label, embedding AS emb, " +
         s"sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings), " +
+        // same CTE-hoist as q_embed_rp: never index an inline matrix
+        // literal inside a comprehension (per-element re-materialization)
         s"yv AS (SELECT vec_id, label, emb, nrm, " +
-        s"[list_sum([CAST(emb[i] AS DOUBLE) * ($mLit)[j][i] " +
+        s"[list_sum([CAST(emb[i] AS DOUBLE) * mm.m[j][i] " +
         s"for i in generate_series(1, $EmbDim)]) " +
-        s"for j in generate_series(1, $RpK)] AS y FROM e), " +
+        s"for j in generate_series(1, $RpK)] AS y FROM e " +
+        s"CROSS JOIN (SELECT $mLit AS m) mm), " +
         s"b AS (SELECT vec_id, label, emb, nrm, ($bucketOverY) AS bucket " +
         "FROM yv), " +
         "p AS (SELECT a.vec_id AS src, a.label, b2.vec_id AS dst, " +
