@@ -1381,7 +1381,10 @@ object PipelineQueries {
     * buffer ([[graft.ops.Pca.gramAgg]]); the oracle rebuilds the
     * identical integers, so every covariance entry is bit-exact before
     * its round(5). The d² pair fan-out below runs over the ONE result
-    * row, never the data. */
+    * row, never the data. Both engines add +0.0 after the round:
+    * DuckDB's round preserves the sign of a tiny negative that rounds
+    * to zero (−0.0) where Spark's returns +0.0 — IEEE −0.0 + 0.0 =
+    * +0.0 normalizes the representations so the hashes agree. */
   private val embedCovariance = Q("q_embed_covariance",
     (s, d) => {
       val g = embs(s, d)
@@ -1400,7 +1403,7 @@ object PipelineQueries {
         (t + lit(EmbDim + 2)).cast("int")).cast("double") / fx
       ij.select((col("i") + 1).cast("long").as("i"),
           (col("j") + 1).cast("long").as("j"),
-          round(sp / n - (si / n) * (sj / n), 5).as("cov"))
+          (round(sp / n - (si / n) * (sj / n), 5) + lit(0.0)).as("cov"))
         .orderBy("i", "j")
     },
     "WITH x AS (SELECT embedding AS e FROM embeddings), " +
@@ -1412,7 +1415,8 @@ object PipelineQueries {
       s"FROM x, generate_series(1, $EmbDim) AS g(i), " +
       s"generate_series(1, $EmbDim) AS h(j) WHERE i <= j GROUP BY i, j) " +
       "SELECT p.i, p.j, round((sp / 16777216.0) / sa.n - " +
-      "((sa.si / 16777216.0) / sa.n) * ((sb.si / 16777216.0) / sa.n), 5) AS cov " +
+      "((sa.si / 16777216.0) / sa.n) * ((sb.si / 16777216.0) / sa.n), 5) " +
+      "+ 0.0 AS cov " +
       "FROM p JOIN s sa ON p.i = sa.i JOIN s sb ON p.j = sb.i " +
       "ORDER BY p.i, p.j")
 
