@@ -21,7 +21,7 @@ object EventQueries {
   import OracleQueries.Q
 
   private def events(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/events.parquet")
+    Events.load(s, s"$dir/events.parquet")
 
   /** Session gap: 6 hours, in nanos. */
   val SessionGapNanos: Long = 6L * 3600 * 1000000000L

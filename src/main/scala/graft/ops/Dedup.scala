@@ -432,41 +432,73 @@ object Dedup {
   // Connected components / cluster-level dedup
   // -------------------------------------------------------------
 
-  /** (edge-count, xxhash64-xor) signature of a canonical edge set —
+  /** (edge-count, mixed-hash-xor) signature of a canonical edge set —
     * the cheap per-round convergence probe for
     * [[connectedComponents]]. XOR is order-independent and cannot
     * overflow (the edge set is distinct, so multiplicity is 1). */
-  private def edgeSignature(e: DataFrame): (Long, Long) = {
-    val r = e.agg(count(lit(1)),
-      expr("bit_xor(xxhash64(u, v))")).head()
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  private def edgeSignature(e: org.apache.spark.rdd.RDD[(Long, Long)])
+      : (Long, Long) = {
+    import scala.util.hashing.byteswap64
+    e.treeAggregate((0L, 0L))(
+      (acc, p) => (acc._1 + 1L,
+        acc._2 ^ byteswap64(byteswap64(p._1) + 31L * p._2)),
+      (a, b) => (a._1 + b._1, a._2 ^ b._2))
   }
+
+  /** Exact duplicate-pair removal without a pair-hash shuffle: all
+    * copies of a (u, v) pair share the key u, so after `partitionBy`
+    * they are co-located and a per-partition hash set removes them
+    * exactly. Output stays partitioned by u. */
+  private def distinctPairsByKey(r: org.apache.spark.rdd.RDD[(Long, Long)],
+                                 p: org.apache.spark.Partitioner)
+      : org.apache.spark.rdd.RDD[(Long, Long)] =
+    r.partitionBy(p).mapPartitions({ it =>
+      val seen = new scala.collection.mutable.HashSet[(Long, Long)]
+      it.filter(seen.add)
+    }, preservesPartitioning = true)
 
   /** Large-star round: connect every node to the minimum of its
     * (symmetrized) neighborhood ∪ itself, keeping only edges to
-    * strictly larger neighbors. One hash aggregate (per-node min,
-    * map-side partial) + one join back on the same key. */
-  private def largeStar(e: DataFrame): DataFrame = {
-    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-    val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
-      .select(col("u"), least(col("mn"), col("u")).as("m"))
-    sym.where(col("v") > col("u")).join(mins, "u")
-      .select(col("v").as("u"), col("m").as("v"))
-      .distinct()
+    * strictly larger neighbors. After the one symmetrize shuffle,
+    * the per-node min (`reduceByKey` — map-side combine, the
+    * hash-aggregate shape) and the join back are NARROW (both sides
+    * ride the shared partitioner); the final exact dedup is one more
+    * keyed shuffle + partition-local set. Input must be canonically
+    * oriented (u > v); output is too (the emitted (v, m) always has
+    * m ≤ u < v). */
+  private def largeStar(e: org.apache.spark.rdd.RDD[(Long, Long)],
+                        p: org.apache.spark.Partitioner)
+      : org.apache.spark.rdd.RDD[(Long, Long)] = {
+    val sym = e.flatMap { case (u, v) => Iterator((u, v), (v, u)) }
+      .partitionBy(p)
+    val mins = sym.reduceByKey(p, (a: Long, b: Long) => math.min(a, b))
+      .mapPartitions(_.map { case (u, mn) => (u, math.min(mn, u)) },
+        preservesPartitioning = true)
+    distinctPairsByKey(
+      sym.filter { case (u, v) => v > u }
+        .join(mins, p)
+        .map { case (_, (v, m)) => (v, m) },
+      p)
   }
 
-  /** Small-star round: orient edges toward the larger endpoint, then
-    * connect each node's smaller neighbors (and itself) to the
-    * neighborhood minimum. Same aggregate+join shape as
-    * [[largeStar]]; output is canonically oriented (u > v). */
-  private def smallStar(e: DataFrame): DataFrame = {
-    val o = e.select(greatest(col("u"), col("v")).as("u"),
-      least(col("u"), col("v")).as("v"))
-    val mins = o.groupBy("u").agg(min(col("v")).as("m"))
-    o.join(mins, "u").where(col("v") =!= col("m"))
-      .select(col("v").as("u"), col("m").as("v"))
-      .union(mins.select(col("u"), col("m").as("v")))
-      .distinct()
+  /** Small-star round: connect each node's smaller neighbors (and
+    * itself) to the neighborhood minimum. Input must be canonically
+    * oriented (u > v) — every edge set in the loop is, so the orient
+    * pass of the textbook formulation is a no-op and is skipped; the
+    * input arrives already partitioned by u from [[largeStar]], so
+    * the reduce and join are narrow and only the final dedup
+    * shuffles. Output is canonically oriented. */
+  private def smallStar(e: org.apache.spark.rdd.RDD[(Long, Long)],
+                        p: org.apache.spark.Partitioner)
+      : org.apache.spark.rdd.RDD[(Long, Long)] = {
+    val o = if (e.partitioner.contains(p)) e else e.partitionBy(p)
+    val mins = o.reduceByKey(p, (a: Long, b: Long) => math.min(a, b))
+    distinctPairsByKey(
+      o.join(mins, p)
+        .flatMap { case (_, (v, m)) =>
+          if (v != m) Iterator((v, m)) else Iterator.empty }
+        .union(mins),
+      p)
   }
 
   /** Connected components of the undirected graph given as an edge
@@ -477,15 +509,23 @@ object Dedup {
     * and the whole chain must collapse into ONE cluster, which
     * per-pair or per-signature grouping cannot express.
     *
-    * Scale shape: each round is two (hash-aggregate + same-key
-    * join-back) pairs — shuffles are on node ids only and the
-    * aggregate is map-side partial — and the edge set contracts
-    * toward the star forest; convergence is O(log n) rounds even on
-    * path graphs, where plain min-label propagation needs O(diameter).
-    * Lineage is cut per round with `localCheckpoint` (swap for
-    * reliable checkpointing on a long multi-tenant job); convergence
-    * is detected by an (edge-count, hash-sum) signature, one tiny
-    * action per round.
+    * Scale shape: each round is two (map-side-combined `reduceByKey`
+    * + co-partitioned same-key join-back) pairs — shuffles carry only
+    * (long, long) pairs — and the edge set contracts toward the star
+    * forest; convergence is O(log n) rounds even on path graphs,
+    * where plain min-label propagation needs O(diameter).
+    *
+    * The LOOP runs on RDDs, not DataFrames, deliberately (the GraphX
+    * / GraphFrames precedent): a fixed iterative kernel re-planned by
+    * Catalyst every round pays optimizer + codegen time per round at
+    * ANY data size, and a lineage cut discards the shuffle layout so
+    * every round re-exchanges. The RDD form plans once per round in
+    * microseconds, and one shared HashPartitioner keeps `sym`, the
+    * per-node min, and the join co-partitioned across the whole
+    * fixpoint. Per-round state is persisted (memory-and-disk) and the
+    * previous round unpersisted; the convergence probe — an
+    * (edge-count, hash-xor) treeAggregate — is the one action per
+    * round and also materializes it. The DataFrame API is unchanged.
     *
     * Returns (node, component) for every node appearing in an edge,
     * with component = the minimum node id of its component. Node ids
@@ -494,20 +534,32 @@ object Dedup {
     * [[minhashClusters]]). */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 50): DataFrame = {
-    // checkpoint the canonicalized input once: the loop reads `e`
-    // several times per round, and the caller's edge pipeline (e.g.
-    // the whole LSH candidate generation) must not re-run each time
-    var e = edges
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // canonicalize once: the caller's edge pipeline (e.g. the whole
+    // LSH candidate generation) runs exactly once, into a persisted
+    // pair RDD the loop iterates on
+    val canon = edges
       .select(greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
         least(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
       .where(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
-    var sig = edgeSignature(e)
+      .as[(Long, Long)].rdd
+    val p = new org.apache.spark.HashPartitioner(
+      math.max(canon.getNumPartitions, 1))
+    var e = canon.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var sig = edgeSignature(e) // materializes the canonical input
     var done = sig._1 == 0L
     var it = 0
+    var toRelease = List.empty[org.apache.spark.rdd.RDD[_]]
     while (!done && it < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
-      val nextSig = edgeSignature(next)
+      val next = smallStar(largeStar(e, p), p)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nextSig = edgeSignature(next) // materializes this round
+      // the round's inputs are now dead: previous edge set + the two
+      // intra-round `sym`/`o` caches (released lazily, after `next`
+      // is safely materialized)
+      toRelease.foreach(_.unpersist(blocking = false))
+      toRelease = List(e)
       done = nextSig == sig
       sig = nextSig
       e = next
@@ -517,8 +569,9 @@ object Dedup {
     // at the joint fixpoint the graph is a forest of stars rooted at
     // each component's min node: the edges ARE the (node → component)
     // map, plus one self-row per root
-    e.select(col("u").as("node"), col("v").as("component"))
-      .union(e.select(col("v").as("node"), col("v").as("component"))
+    val fix = e.toDF("u", "v")
+    fix.select(col("u").as("node"), col("v").as("component"))
+      .union(fix.select(col("v").as("node"), col("v").as("component"))
         .distinct())
   }
 

@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * large-scale behavioral / training-telemetry pipeline needs: as-of
   * (point-in-time) joins and gap-based sessionization.
   *
-  * Timestamps are int64 epoch-nanos end to end (the parquet fixtures
-  * read as LongType under `spark.sql.legacy.parquet.nanosAsLong`;
-  * DuckDB mirrors with `epoch_ns`), so every comparison is exact
-  * integer arithmetic — no timezone or unit drift between engines.
+  * Timestamps are int64 epoch-nanos end to end ([[load]] normalizes
+  * the fixture's `ts` — TIMESTAMP(MICROS), or TIMESTAMP(NANOS) read
+  * as LongType under `spark.sql.legacy.parquet.nanosAsLong` — to
+  * epoch-nanos; DuckDB mirrors with `epoch_ns`), so every comparison
+  * is exact integer arithmetic — no timezone or unit drift between
+  * engines.
   *
   * Scale shapes:
   *  - [[asofJoin]] is NOT a range join (Spark would execute the
@@ -28,6 +30,26 @@ import org.apache.spark.sql.functions._
   *    Window operator chain over one shuffle.
   */
 object Events {
+
+  /** Read an events table with `ts` normalized to int64 epoch-nanos,
+    * whatever the physical type: a TIMESTAMP(MICROS/NTZ) column maps
+    * through `unix_micros` × 1000 (exactly what DuckDB's `epoch_ns`
+    * returns for a µs timestamp, with the session timezone pinned to
+    * UTC), and an int64 column (TIMESTAMP(NANOS) fixtures under the
+    * legacy nanosAsLong flag) passes through unchanged. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+           path: String): DataFrame =
+    normalizeTs(spark.read.parquet(path))
+
+  /** The [[load]] normalization as a pure projection — also applies
+    * to a STREAMING DataFrame built over the same schema (stateless,
+    * so the stream keeps its source watermarkable shape). */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
 
   /** As-of join: attach to each `left` row the payload of the most
     * recent `right` row with the same `keyCol` and `right.tsCol <=
@@ -295,9 +317,12 @@ object Events {
       .where(col("__e").isNotNull && col("__e") === col("__s"))
       .groupBy((1 to n).map(i => col(s"step$i")): _*)
       .agg(count(lit(1)).as("n"))
+    // whole-frame share over the ≤ typesⁿ path grain; the constant
+    // partition key (vs an empty spec) keeps WindowExec from warning
+    // about a deliberately single-partition, matrix-sized frame
     paths.withColumn("share",
       round(col("n").cast("double") /
-        sum(col("n")).over(Window.partitionBy()).cast("double"), 5))
+        sum(col("n")).over(Window.partitionBy(lit(0))).cast("double"), 5))
   }
 
   /** Per-key event-time EWMA (exponentially weighted moving average):

@@ -38,11 +38,17 @@ object GraphRank {
     * pairs — never payloads), a left-anti dangling aggregate reduced
     * to a ONE-ROW frame that joins back in-plan (the winsorize
     * broadcast pattern — no driver round-trip), and a node-grain left
-    * join. Lineage is cut per round with `localCheckpoint` exactly
-    * like [[Dedup.connectedComponents]]. Iterations are a fixed
-    * budget (power iteration converges geometrically at rate
-    * dampNum/dampDen); edge and node tables are checkpointed once so
-    * the caller's (possibly expensive) edge pipeline never re-runs.
+    * join. Lineage is cut per round with LAZY
+    * `localCheckpoint(false)` exactly like
+    * [[Dedup.connectedComponents]] — with a fixed iteration budget
+    * there is nothing to probe per round, so every round stays lazy
+    * and the caller's first action materializes the whole power
+    * iteration as ONE job (each round's RDD persisted as it streams
+    * past) instead of paying an eager-checkpoint job per round.
+    * Iterations are a fixed budget (power iteration converges
+    * geometrically at rate dampNum/dampDen); edge and node tables are
+    * checkpointed once so the caller's (possibly expensive) edge
+    * pipeline never re-runs.
     *
     * Returns (node, rank) for every node incident to an edge.
     */
@@ -59,14 +65,14 @@ object GraphRank {
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .where(col("src") =!= col("dst")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
-    val n = nodes.count()
+      .localCheckpoint(false)
+    val n = nodes.count() // materializes e + nodes
     require(n > 0, "empty graph")
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val base = ((dampDen - dampNum) * (scale / n)) / dampDen
     var ranks = nodes.select(col("node"), lit(scale / n).as("rank"))
     for (_ <- 1 to iters) {
@@ -84,7 +90,7 @@ object GraphRank {
         .select(col("node"),
           expr(s"${base}L + ($dampNum * (coalesce(inflow, 0L) + " +
             s"(dmass div ${n}L))) div $dampDen").as("rank"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     ranks
   }
@@ -106,8 +112,10 @@ object GraphRank {
     * Scale shape per round: ONE edges⋈labels join (shuffles carry
     * (id, int) pairs), one map-side-partial count onto the
     * (node, label) grain, the struct-max argmax, and a node-grain
-    * left join; lineage cut per round with `localCheckpoint` (the
-    * [[pageRankInt]] / [[Dedup.connectedComponents]] discipline).
+    * left join; lineage cut per round with lazy
+    * `localCheckpoint(false)` (the [[pageRankInt]] /
+    * [[Dedup.connectedComponents]] discipline — fixed budget, no
+    * per-round probe, so the fixpoint materializes as one job).
     *
     * `seeds` is (nodeCol, labelCol); edges are used as given —
     * symmetrize first for undirected spreading. Returns
@@ -121,7 +129,7 @@ object GraphRank {
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .where(col("src") =!= col("dst")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     val sd = seeds.select(col(nodeCol).cast("long").as("node"),
       col(labelCol).cast("int").as("__seed"))
     val nodes = e.select(col("src").as("node"))
@@ -130,7 +138,7 @@ object GraphRank {
     var labels = nodes.join(sd, Seq("node"), "left")
       .select(col("node"), col("__seed").as("label"),
         col("__seed").isNotNull.as("is_seed"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     for (_ <- 1 to iters) {
       val votes = e
         .join(labels.select(col("node").as("src"), col("label")), "src")
@@ -146,7 +154,7 @@ object GraphRank {
           when(col("is_seed"), col("label"))
             .otherwise(coalesce(col("__v"), col("label"))).as("label"),
           col("is_seed"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     labels
   }

@@ -286,8 +286,11 @@ object Sketches {
     val w = (hi - lo) / nBuckets
     val hist = histogram(df, x, lo, hi, nBuckets)
     // one sketch-sized sort carries the running count AND the totals
-    // (whole-frame windows) — the source is scanned exactly once
-    val byBucket = Window.orderBy("bucket")
+    // (whole-frame windows) — the source is scanned exactly once; the
+    // constant partition key says "one ≤nBuckets-row partition" on
+    // purpose (an empty partition spec means the same thing but makes
+    // WindowExec warn as if data-sized rows were being collapsed)
+    val byBucket = Window.partitionBy(lit(0)).orderBy("bucket")
     val withN = hist
       .withColumn("cum", sum(col("cnt")).over(byBucket
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -80,7 +80,7 @@ class EventsSpec extends AnyFunSuite {
 
   test("rangeJoinBucketed equals the brute-force containment join and " +
     "never plans a nested loop") {
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = graft.ops.Events.load(spark, "/root/testdata/sf0.001/events.parquet")
       .select("event_id", "user_id", "ts", "event_type")
     val half = 30L * 60 * 1000000000L
     val points = ev.where(col("event_type") =!= "purchase")
@@ -109,7 +109,7 @@ class EventsSpec extends AnyFunSuite {
 
   test("fixture events: every non-purchase row's as-of purchase is " +
     "the true latest-at-or-before purchase (sampled check)") {
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = graft.ops.Events.load(spark, "/root/testdata/sf0.001/events.parquet")
       .select("event_id", "user_id", "ts", "event_type", "value")
     val left = ev.where(col("event_type") =!= "purchase")
     val right = ev.where(col("event_type") === "purchase")
@@ -145,7 +145,7 @@ class EventsSpec extends AnyFunSuite {
     }
     assert(got.size == want.size)
     // real fixture: every event lands in exactly one window
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = graft.ops.Events.load(spark, "/root/testdata/sf0.001/events.parquet")
     val w = Events.tumblingAgg(ev, "ts", 86400000000000L,
       Seq("event_type"), col("value"))
     assert(w.agg(sum("n")).as[Long].head() == ev.count())
@@ -208,7 +208,7 @@ class EventsSpec extends AnyFunSuite {
 
   test("ewma: recurrence matches a driver fold per key, forecast lags " +
     "by one event, and the plan is one exchange + sort (no Window)") {
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = graft.ops.Events.load(spark, "/root/testdata/sf0.001/events.parquet")
     val got = Events.ewma(ev, "user_id", "ts", "event_id", "value", 0.3)
     val rows = got.select("user_id", "ts", "event_id", "value", "ewma",
         "forecast").collect()
@@ -260,7 +260,7 @@ class EventsSpec extends AnyFunSuite {
     "sustained level shift a single residual misses, and the plan " +
     "stays one exchange + sort") {
     import spark.implicits._
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = graft.ops.Events.load(spark, "/root/testdata/sf0.001/events.parquet")
     val got = Events.cusum(ev, "user_id", "ts", "event_id", "value",
       50.0, 25.0)
     val rows = got.select("user_id", "ts", "event_id", "value",

@@ -18,9 +18,11 @@ class StreamingSpec extends AnyFunSuite {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the testdata ships single parquet FILES; the file-stream source
     // wants a directory, so stream the sf dir filtered to the one file
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    // (ts normalized to epoch-nanos, same as the batch loader)
+    val stream = graft.ops.Events.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
     val logp = Densities.laplace(lit(100.0), lit(50.0), col("value"))
     val out = StreamingOps.densityWindowAgg(stream, col("ts"), logp,
       col("event_type"), watermark = "1 hour", windowLen = "6 hours")
@@ -33,7 +35,7 @@ class StreamingSpec extends AnyFunSuite {
       .agg(sum("n").as("n"), sum("sum_logp").as("s"))
       .collect().map(r => (r.getString(0), r.getLong(1),
         math.round(r.getDouble(2) * 1e6))).toSet
-    val want = spark.read.parquet(s"$dir/events.parquet")
+    val want = graft.ops.Events.load(spark, s"$dir/events.parquet")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(logp).as("s"))
       .collect().map(r => (r.getString(0), r.getLong(1),
@@ -236,7 +238,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("stateful running logp stats match a driver fold") {
     import spark.implicits._
-    val rows = spark.read.parquet(s"$dir/events.parquet")
+    val rows = graft.ops.Events.load(spark, s"$dir/events.parquet")
       .select(col("event_type"),
         Densities.laplace(lit(100.0), lit(50.0), col("value")).as("lp"))
       .as[(String, Double)].collect().toSeq
@@ -276,7 +278,7 @@ class StreamingSpec extends AnyFunSuite {
     "the batch secondary-sort fold bit for bit") {
     import spark.implicits._
     import graft.ops.Events
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.ops.Events.load(spark, s"$dir/events.parquet")
     val want = Events.ewma(ev, "user_id", "ts", "event_id", "value", 0.3)
       .select("event_id", "ewma", "forecast").collect()
       .map(r => r.getLong(0) ->
@@ -322,7 +324,7 @@ class StreamingSpec extends AnyFunSuite {
     "the batch clamped-drift fold bit for bit") {
     import spark.implicits._
     import graft.ops.Events
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.ops.Events.load(spark, s"$dir/events.parquet")
     val want = Events.cusum(ev, "user_id", "ts", "event_id", "value",
         50.0, 25.0)
       .select("event_id", "cusum_hi", "cusum_lo").collect()
@@ -361,10 +363,12 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming sessionization emits exactly the batch sessions the " +
     "watermark has closed, and never an open one") {
     val gap = graft.EventQueries.SessionGapNanos
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-    val stream = spark.readStream.schema(ev.schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val evRaw = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.ops.Events.normalizeTs(evRaw)
+    val stream = graft.ops.Events.normalizeTs(
+      spark.readStream.schema(evRaw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
     val out = StreamingOps.sessionizeStream(stream, "user_id", "ts", gap)
     StreamingOps.runToMemorySink(out.toDF(), "sessions")
     val got = spark.table("sessions").collect()
@@ -391,13 +395,15 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming funnel emits exactly the batch conversions whose " +
     "last step is watermark-final") {
     import spark.implicits._
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val evRaw = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.ops.Events.normalizeTs(evRaw)
     val stepOf = when(col("event_type") === "view", 0)
       .when(col("event_type") === "click", 1)
       .when(col("event_type") === "purchase", 2).otherwise(-1)
-    val stream = spark.readStream.schema(ev.schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = graft.ops.Events.normalizeTs(
+        spark.readStream.schema(evRaw.schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir))
       .select(col("user_id"), col("ts"), stepOf.as("step"))
     val out = StreamingOps.funnelStream(stream, "user_id", "ts", "step", 3)
     StreamingOps.runToMemorySink(out.toDF(), "funnel_stream",
@@ -446,10 +452,12 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming as-of join: every watermark-final left row carries " +
     "exactly the batch as-of match, and nothing extra is emitted") {
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-    def stream = spark.readStream.schema(ev.schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val evRaw = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.ops.Events.normalizeTs(evRaw)
+    def stream = graft.ops.Events.normalizeTs(
+      spark.readStream.schema(evRaw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
     val out = StreamingOps.asofJoinStream(
       stream.where(col("event_type") =!= "purchase"),
       stream.where(col("event_type") === "purchase"),
@@ -506,10 +514,12 @@ class StreamingSpec extends AnyFunSuite {
   test("tumblingAgg on a stream (Complete mode) equals the batch " +
     "form bucket for bucket — the same int64 window math drives both") {
     import graft.ops.Events
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-    val stream = spark.readStream.schema(ev.schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val evRaw = spark.read.parquet(s"$dir/events.parquet")
+    val ev = Events.normalizeTs(evRaw)
+    val stream = Events.normalizeTs(
+      spark.readStream.schema(evRaw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
     val day = 86400000000000L
     val out = Events.tumblingAgg(stream, "ts", day,
       Seq("event_type"), col("value"))
