@@ -255,22 +255,38 @@ object Sketches {
                 nBuckets: Int): DataFrame =
     histogramBy(df, lit(0), x, lo, hi, nBuckets).select("bucket", "cnt")
 
-  /** Interpolated quantile columns over a (bucket, cnt, cum, n) frame:
-    * for q, the FIRST bucket whose cumulative count reaches q·n
-    * (min(struct(bucket, est)) — est alone is not monotone in b),
-    * linearly interpolated within the bucket. Shared by the global
-    * and grouped quantile sketches so the formula lives once. */
-  private def quantileCols(lo: Double, w: Double,
-                           qs: Seq[Double]): Seq[Column] =
+  /** Interpolated quantile columns over a PACKED sketch — `h` is the
+    * bucket-ascending array<struct(bucket, cnt)> and `n` the total
+    * count: for q, a single higher-order fold finds the FIRST bucket
+    * whose cumulative count reaches q·n and interpolates linearly
+    * within it. The arithmetic (t − cum_before)/cnt is written
+    * exactly as the SQL oracles write it, so identical integer
+    * registers give identical doubles. Shared by the global and
+    * grouped quantile sketches so the formula lives once. */
+  private def packedQuantileCols(h: Column, n: Column, lo: Double,
+                                 w: Double, qs: Seq[Double]): Seq[Column] =
     qs.map { q =>
-      val t = lit(q) * col("n").cast("double")
-      val est = lit(lo) + lit(w) * (col("bucket").cast("double") +
-        (t - (col("cum") - col("cnt")).cast("double")) /
-          col("cnt").cast("double"))
-      round(min(when(col("cum").cast("double") >= t,
-        struct(col("bucket"), est.as("est")))).getField("est"), 5)
-        .as(s"p${(q * 100).round}")
+      val t = lit(q) * n.cast("double")
+      val init = struct(lit(0L).as("cum"),
+        lit(null).cast("double").as("est"))
+      val folded = aggregate(h, init, (acc, e) => {
+        val newCum = acc.getField("cum") + e.getField("cnt")
+        val est = lit(lo) + lit(w) * (e.getField("bucket").cast("double") +
+          (t - acc.getField("cum").cast("double")) /
+            e.getField("cnt").cast("double"))
+        struct(newCum.as("cum"),
+          when(acc.getField("est").isNotNull, acc.getField("est"))
+            .when(newCum.cast("double") >= t, est)
+            .otherwise(lit(null).cast("double")).as("est"))
+      })
+      round(folded.getField("est"), 5).as(s"p${(q * 100).round}")
     }
+
+  /** The packed sketch: bucket-ascending array of (bucket, cnt). ≤
+    * nBuckets elements by construction, so collect_list partials are
+    * registers, not data. */
+  private def packedHist: Column =
+    sort_array(collect_list(struct(col("bucket"), col("cnt"))))
 
   /** One-row quantile estimates from the histogram: for each q the
     * first bucket whose cumulative count reaches q·n, linearly
@@ -278,30 +294,21 @@ object Sketches {
     * arithmetic on integer counts, so an external engine rebuilds the
     * identical estimates (vs the opaque `percentile_approx`). Also
     * returns n and the Σ bucket·cnt checksum that pins the histogram
-    * itself. The cumulative window runs over the SKETCH (≤ nBuckets
-    * rows), never the data. */
+    * itself. The ≤ nBuckets-row sketch packs into ONE row (sorted
+    * array) and the cumulative pass is a higher-order fold over that
+    * array — no window, no sort exchange, never data-sized. */
   def histogramQuantiles(df: DataFrame, x: Column, lo: Double, hi: Double,
                          nBuckets: Int, qs: Seq[Double]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val w = (hi - lo) / nBuckets
-    val hist = histogram(df, x, lo, hi, nBuckets)
-    // one sketch-sized sort carries the running count AND the totals
-    // (whole-frame windows) — the source is scanned exactly once; the
-    // constant partition key says "one ≤nBuckets-row partition" on
-    // purpose (an empty partition spec means the same thing but makes
-    // WindowExec warn as if data-sized rows were being collapsed)
-    val byBucket = Window.partitionBy(lit(0)).orderBy("bucket")
-    val withN = hist
-      .withColumn("cum", sum(col("cnt")).over(byBucket
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("n", sum(col("cnt")).over(byBucket
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .withColumn("checksum", sum(col("bucket") * col("cnt")).over(byBucket
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-    val qCols = quantileCols(lo, w, qs)
-    withN.groupBy(col("n"), col("checksum")).agg(qCols.head, qCols.tail: _*)
-      .select(col("n") +: col("checksum") +: qs.map(q =>
-        col(s"p${(q * 100).round}")): _*)
+    val packed = histogram(df, x, lo, hi, nBuckets)
+      .agg(packedHist.as("h"))
+    val n = aggregate(col("h"), lit(0L), (acc, e) =>
+      acc + e.getField("cnt"))
+    val checksum = aggregate(col("h"), lit(0L), (acc, e) =>
+      acc + e.getField("bucket") * e.getField("cnt"))
+    val withN = packed.select(col("h"), n.as("n"), checksum.as("checksum"))
+    withN.select(col("n") +: col("checksum") +:
+      packedQuantileCols(col("h"), col("n"), lo, w, qs): _*)
   }
 
   /** Per-group equi-width histogram: (grp, bucket, cnt). */
@@ -316,25 +323,21 @@ object Sketches {
   }
 
   /** Per-group interpolated quantiles — [[histogramQuantiles]] with a
-    * group axis: one row per group. The cumulative window partitions
-    * by group OVER THE SKETCH (groups × nBuckets rows), so the
-    * per-partition work is register-table-sized, never data-sized. */
+    * group axis: one row per group. Each group's ≤ nBuckets sketch
+    * rows pack into one sorted array (a register, not data) and the
+    * cumulative pass is the same higher-order fold — no window over
+    * the sketch table. */
   def histogramQuantilesBy(df: DataFrame, group: Column, x: Column,
                            lo: Double, hi: Double, nBuckets: Int,
                            qs: Seq[Double]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val w = (hi - lo) / nBuckets
-    val hist = histogramBy(df, group, x, lo, hi, nBuckets)
-    val byBucket = Window.partitionBy("grp").orderBy("bucket")
-    val withN = hist
-      .withColumn("cum", sum(col("cnt")).over(byBucket
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("n", sum(col("cnt")).over(byBucket
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-    val qCols = quantileCols(lo, w, qs)
-    withN.groupBy(col("grp"), col("n")).agg(qCols.head, qCols.tail: _*)
-      .select(col("grp") +: col("n") +: qs.map(q =>
-        col(s"p${(q * 100).round}")): _*)
+    val packed = histogramBy(df, group, x, lo, hi, nBuckets)
+      .groupBy("grp").agg(packedHist.as("h"))
+    val n = aggregate(col("h"), lit(0L), (acc, e) =>
+      acc + e.getField("cnt"))
+    val withN = packed.select(col("grp"), col("h"), n.as("n"))
+    withN.select(col("grp") +: col("n") +:
+      packedQuantileCols(col("h"), col("n"), lo, w, qs): _*)
   }
 
   /** Grouped DuckDB rendering of the sketch over key expression `key`
