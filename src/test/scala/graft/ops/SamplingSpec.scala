@@ -284,4 +284,31 @@ class SamplingSpec extends AnyFunSuite {
       again.select("doc_id", "epoch")).isEmpty)
     out.unpersist(); d.unpersist()
   }
+
+  test("groupKFold: fold is a pure function of the group key, folds " +
+    "partition the corpus, sizes are near-balanced, and a group never " +
+    "straddles folds") {
+    val d = docs.select(col("doc_id"), col("source")).cache()
+    val k = 5
+    val out = Sampling.groupKFold(d, "source", k).cache()
+    // total partition: every row gets exactly one fold in [0, k)
+    assert(out.count() == d.count())
+    assert(out.where(col("fold") < 0 || col("fold") >= k).count() == 0)
+    // group-pure: every source maps to ONE fold
+    val perGroup = out.groupBy("source")
+      .agg(countDistinct(col("fold")).as("nf"))
+    assert(perGroup.where(col("nf") > 1).count() == 0,
+      "a group key must never straddle folds")
+    // determinism: a second run assigns identically
+    val again = Sampling.groupKFold(d, "source", k)
+    assert(out.select("doc_id", "fold").except(
+      again.select("doc_id", "fold")).isEmpty)
+    // keyed by doc_id (many small groups) the folds are near-balanced
+    val byDoc = Sampling.groupKFold(d, "doc_id", k)
+      .groupBy("fold").count().collect().map(_.getLong(1))
+    val n = d.count().toDouble
+    byDoc.foreach(c => assert(math.abs(c / n - 1.0 / k) < 0.1,
+      s"fold share ${c / n} too far from ${1.0 / k}"))
+    out.unpersist(); d.unpersist()
+  }
 }
