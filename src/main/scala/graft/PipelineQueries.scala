@@ -4168,6 +4168,86 @@ object PipelineQueries {
       "(CAST(v AS DOUBLE) * sxx - sx * sx)) * sx) / CAST(v AS DOUBLE), 5) " +
       "AS zipf_intercept FROM sums")
 
+  /** DoReMi-style domain reweighting (Xie et al. 2023, one-round
+    * lite): domains with HIGHER bigram-LM loss (excess over the
+    * easiest domain) get up-weighted — exp(excess) mixture weights —
+    * then deterministic hash sampling realizes the new mix toward a
+    * half-corpus target. The whole chain is in-plan: per-source NLL
+    * (the [[graft.ops.NgramLm]] perplexity shape), one-row min/total
+    * frames joined back (the winsorize broadcast pattern — no driver
+    * round-trip), and a keep scan against the source-keyed rate
+    * table. Per-source avg NLL is rounded(5) BEFORE the exp/normalize
+    * arithmetic, so the rate table — and therefore the exact kept
+    * set — is cross-engine reproducible. */
+  private val sampleDoremi = Q("q_sample_doremi",
+    (s, d) => {
+      val d0 = docs(s, d)
+      val lm = NgramLm.train(d0, "text", "doc_id")
+      val ppl = NgramLm.perplexity(d0, "text", "doc_id", lm)
+      val st = d0.select(col("doc_id"), col("source")).join(ppl, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), round(avg(col("nll")), 5).as("nll"))
+      val mn = st.agg(min(col("nll")).as("mn"))
+      val tot = st.agg(sum(col("n_docs")).as("n_total"))
+      val w = st.crossJoin(mn)
+        .select(col("source"), col("n_docs"), col("nll"),
+          exp(col("nll") - col("mn")).as("w"))
+      val z = w.agg(sum(col("w")).as("z"))
+      val rates = w.crossJoin(z).crossJoin(tot)
+        .select(col("source"), col("n_docs"), col("nll"),
+          round(col("w") / col("z"), 5).as("q"),
+          round(least(lit(1.0),
+            (col("n_total").cast("double") / lit(2.0)) *
+              (col("w") / col("z")) / col("n_docs").cast("double")), 5)
+            .as("rate"))
+      val kept = d0.select(col("doc_id"), col("source"))
+        .join(broadcast(rates.select("source", "rate")), "source")
+        .where(Sampling.hashFraction(col("doc_id")) < col("rate"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"))
+      rates.join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("nll"), col("q"),
+          col("rate"), coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
+        .orderBy("source")
+    },
+    s"WITH t AS (SELECT doc_id, source, " +
+      s"[${TextAnalysis.TokenHashSql("w")} % ${Dedup.NgramFpMod} " +
+      "for w in string_split(text, ' ')] AS hl FROM documents), " +
+      "bg0 AS (SELECT doc_id, source, unnest([{'w1': hl[i], " +
+      s"'b': (hl[i]*31 + hl[i+1]) % ${Dedup.NgramFpMod}} " +
+      "for i in range(1, len(hl))]) AS u FROM t), " +
+      "bg AS (SELECT doc_id, source, u.w1 AS w1, u.b AS b FROM bg0), " +
+      "cb AS (SELECT b, count(*) AS cb FROM bg GROUP BY b), " +
+      "cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1), " +
+      "v AS (SELECT count(DISTINCT h) AS v FROM " +
+      "(SELECT unnest(hl) AS h FROM t)), " +
+      "ppl AS (SELECT doc_id, source, " +
+      "avg(-ln((cb.cb + 1.0) / CAST(cu.cu + v.v AS DOUBLE))) AS nll " +
+      "FROM bg JOIN cb USING (b) JOIN cu USING (w1) CROSS JOIN v " +
+      "GROUP BY doc_id, source), " +
+      "st AS (SELECT source, count(*) AS n_docs, " +
+      "round(avg(nll), 5) AS nll FROM ppl GROUP BY source), " +
+      "mn AS (SELECT min(nll) AS mn FROM st), " +
+      "tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM st), " +
+      "w AS (SELECT source, n_docs, nll, exp(nll - mn.mn) AS w " +
+      "FROM st CROSS JOIN mn), " +
+      "z AS (SELECT sum(w) AS z FROM w), " +
+      "rates AS (SELECT source, n_docs, nll, round(w / z.z, 5) AS q, " +
+      "round(least(1.0, (CAST(tot.n_total AS DOUBLE) / 2.0) * " +
+      "(w / z.z) / CAST(n_docs AS DOUBLE)), 5) AS rate " +
+      "FROM w CROSS JOIN z CROSS JOIN tot), " +
+      "kept AS (SELECT d.source, count(*) AS n_kept, " +
+      "CAST(sum(d.doc_id) AS BIGINT) AS kept_id_sum " +
+      "FROM documents d JOIN rates USING (source) " +
+      s"WHERE ${Sampling.HashFractionSql("doc_id")} < rate " +
+      "GROUP BY d.source) " +
+      "SELECT rates.source, CAST(n_docs AS BIGINT) AS n_docs, nll, q, " +
+      "rate, coalesce(n_kept, 0) AS n_kept, " +
+      "coalesce(kept_id_sum, 0) AS kept_id_sum " +
+      "FROM rates LEFT JOIN kept ON rates.source = kept.source " +
+      "ORDER BY rates.source")
+
   // ---------------------------------------------------------------- export
 
   val all: Vector[Q] = Vector(
@@ -4191,7 +4271,7 @@ object PipelineQueries {
     textDupNgrams, textNovelty, qualityGopher, multimodalMeta, curation, trainMix,
     pipelineModern, pipelineDiff, pipelineSelect,
     sampleStratified, sampleTemperature, sampleRepeat, sampleFixedN,
-    sampleGroupSplit, sampleKfold, embedMatryoshka, textZipf,
+    sampleGroupSplit, sampleKfold, embedMatryoshka, textZipf, sampleDoremi,
     sampleWeighted, sampleDomainCap, sampleDsir, sampleTopQuantile,
     sampleTopQuantileBy,
     statsRollup, statsCorr, statsWinsorize, statsMad, topkPerGroup,

@@ -241,4 +241,20 @@ class PlanSpec extends AnyFunSuite {
     val sorts = "Sort \\[user_id".r.findAllIn(finalPlan).size
     assert(sorts == 1, s"sessionize: $sorts window-key sorts, want 1")
   }
+
+  test("matryoshka and zipf plan shapes: argmax/top-V never plan a " +
+    "rank Window; zipf's top-V is a TakeOrdered, not a global sort") {
+    val m = SparkEntry.queries("q_embed_matryoshka")(spark, sf)
+    m.collect()
+    val mp = m.queryExecution.executedPlan.toString
+    assert(!mp.contains("Window"), "matryoshka: rank Window in plan")
+    assert(mp.contains("BroadcastNestedLoopJoin"),
+      "matryoshka: query side must broadcast")
+    val z = SparkEntry.queries("q_text_zipf")(spark, sf)
+    z.collect()
+    val zp = z.queryExecution.executedPlan.toString
+    assert(!zp.contains("Window"), "zipf: rank Window in plan")
+    assert(zp.contains("TakeOrderedAndProject"),
+      "zipf: top-V must be a TakeOrdered (per-partition heaps)")
+  }
 }

@@ -311,4 +311,28 @@ class SamplingSpec extends AnyFunSuite {
       s"fold share ${c / n} too far from ${1.0 / k}"))
     out.unpersist(); d.unpersist()
   }
+
+  test("doremi reweighting: mixture weight is strictly monotone in " +
+    "domain loss, rates realize the up-weighting, and the kept set " +
+    "is deterministic") {
+    val out = graft.SparkEntry.queries("q_sample_doremi")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(out.length >= 2, "fixture must have several sources")
+    // q = exp(nll - mn)/Z is strictly increasing in nll: the harder
+    // the domain, the larger its mixture share
+    val byNll = out.sortBy(_.getAs[Double]("nll"))
+    byNll.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("q") <= b.getAs[Double]("q"),
+        s"q must not decrease with nll: ${a.getAs[String]("source")} vs " +
+          b.getAs[String]("source"))
+    }
+    out.foreach { r =>
+      assert(r.getAs[Double]("rate") >= 0.0 &&
+        r.getAs[Double]("rate") <= 1.0)
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+    }
+    val again = graft.SparkEntry.queries("q_sample_doremi")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
