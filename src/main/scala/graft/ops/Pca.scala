@@ -72,6 +72,19 @@ object Pca {
       }
       df.withColumn(outCol, array(comps: _*))
     }
+
+    /** OPQ-P projection (Ge et al. 2014): [[project]] with the
+      * components permuted by [[Pca.opqAllocation]] so each
+      * consecutive d/m block — a PQ subspace — carries a balanced
+      * share of the variance. Needs the full rotation (k == d). */
+    def opqProject(df: DataFrame, embCol: String, outCol: String,
+                   m: Int): DataFrame = {
+      require(k == d, s"OPQ rotation needs the full component set ($k/$d)")
+      val perm = Pca.opqAllocation(eigenvalues.toSeq, m)
+      copy(eigenvalues = perm.map(eigenvalues).toArray,
+        components = perm.map(components).toArray)
+        .project(df, embCol, outCol)
+    }
   }
 
   /** One-pass covariance: returns (n, mean, population covariance)
@@ -89,6 +102,31 @@ object Pca {
       s2 - mean(i) * mean(j)
     }
     (n, mean, cov)
+  }
+
+  /** Parametric-OPQ component permutation (Ge et al. 2014 §4,
+    * "OPQ-P"): PQ quantizes each subspace independently, so the
+    * rotation should BALANCE variance across subspaces, not just
+    * concentrate it — greedy eigenvalue allocation assigns each
+    * principal component (λ descending) to the non-full subspace
+    * with the smallest log-variance product. Returns the component
+    * order such that consecutive `d/m` blocks form the subspaces. */
+  def opqAllocation(eigenvalues: Seq[Double], m: Int): Seq[Int] = {
+    val d = eigenvalues.length
+    require(m >= 1 && d % m == 0, s"subspace count $m must divide $d")
+    val w = d / m
+    val buckets = Array.fill(m)(List.empty[Int])
+    val logSum = Array.fill(m)(0.0)
+    // eigenvalues arrive descending from [[fit]]; stable re-sort for
+    // robustness against caller-supplied orders
+    val order = eigenvalues.indices.sortBy(i => -eigenvalues(i))
+    order.foreach { c =>
+      val b = (0 until m).filter(buckets(_).length < w)
+        .minBy(i => (logSum(i), i))
+      buckets(b) = c :: buckets(b)
+      logSum(b) += math.log(math.max(eigenvalues(c), 1e-300))
+    }
+    buckets.toSeq.flatMap(_.reverse)
   }
 
   /** Fit a k-component PCA (top-k eigenpairs of the population
