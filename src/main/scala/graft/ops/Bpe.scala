@@ -48,7 +48,10 @@ object Bpe {
 
   /** Adjacent symbol pairs of a delimited sequence, exploded. */
   private def pairs(seqCol: Column): Column = {
-    val syms = split(trim(seqCol, Delim), Delim)
+    // split leaves one empty string per edge delimiter; interior
+    // symbols are never empty, so dropping empties == the old
+    // trim-then-split without the deprecated two-arg trim
+    val syms = array_remove(split(seqCol, Delim), "")
     explode(when(size(syms) < 2, array().cast("array<struct<a:string,b:string>>"))
       .otherwise(transform(sequence(lit(1), size(syms) - 1),
         i => struct(element_at(syms, i).as("a"),
@@ -123,6 +126,6 @@ object Bpe {
     val seq = merges.foldLeft(initSeq(tok)) { case (s, (a, b)) =>
       applyMerge(s, a, b)
     }
-    split(trim(seq, Delim), Delim)
+    array_remove(split(seq, Delim), "")
   }
 }

@@ -75,7 +75,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
-  test("streaming JL projection + group-split assignment (stateless " +
+  test("streaming JL projection + group-split + k-fold assignment (stateless " +
     "maps) equal the batch path row for row") {
     import graft.ops.{Sampling, Similarity}
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -83,22 +83,22 @@ class StreamingSpec extends AnyFunSuite {
     val stream = spark.readStream.schema(e.schema)
       .option("pathGlobFilter", "embeddings.parquet")
       .parquet(dir)
-    val out = Sampling.groupSplit(
+    val out = Sampling.groupKFold(Sampling.groupSplit(
       stream.select(col("vec_id"), col("label"),
         Similarity.jlProject(col("embedding"), m).as("y")),
-      "label", 0.2, 0.2)
+      "label", 0.2, 0.2), "label", 4)
     StreamingOps.runToMemorySink(out, "rp_stream",
       org.apache.spark.sql.streaming.OutputMode.Append())
     val got = spark.table("rp_stream").collect()
       .map(r => r.getLong(0) ->
-        ((r.getSeq[Double](2), r.getString(3)))).toMap
-    val want = Sampling.groupSplit(
+        ((r.getSeq[Double](2), r.getString(3), r.getLong(4)))).toMap
+    val want = Sampling.groupKFold(Sampling.groupSplit(
         e.select(col("vec_id"), col("label"),
           Similarity.jlProject(col("embedding"), m).as("y")),
-        "label", 0.2, 0.2)
+        "label", 0.2, 0.2), "label", 4)
       .collect()
       .map(r => r.getLong(0) ->
-        ((r.getSeq[Double](2), r.getString(3)))).toMap
+        ((r.getSeq[Double](2), r.getString(3), r.getLong(4)))).toMap
     assert(got == want)
   }
 
