@@ -300,8 +300,11 @@ object Sketches {
   def histogramQuantiles(df: DataFrame, x: Column, lo: Double, hi: Double,
                          nBuckets: Int, qs: Seq[Double]): DataFrame = {
     val w = (hi - lo) / nBuckets
+    // the global agg always emits one row; an empty input must stay
+    // an empty RESULT (the edge-case contract), so drop the empty pack
     val packed = histogram(df, x, lo, hi, nBuckets)
       .agg(packedHist.as("h"))
+      .where(size(col("h")) > 0)
     val n = aggregate(col("h"), lit(0L), (acc, e) =>
       acc + e.getField("cnt"))
     val checksum = aggregate(col("h"), lit(0L), (acc, e) =>
