@@ -429,8 +429,56 @@ object EventQueries {
       "CAST(sum(CAST(fp AS BIGINT)) AS BIGINT) AS decayed_fp " +
       "FROM w GROUP BY event_type ORDER BY event_type")
 
+  /** Per-type inter-arrival quantiles (burstiness / cadence data
+    * card — the "is this stream steady or spiky" diagnostic that
+    * sizes watermarks and session gaps): consecutive per-user gaps
+    * from ONE exchange + sort on the high-cardinality key (the
+    * sessionize window shape), then the PORTABLE histogram quantile
+    * sketch per event type — integer ms gaps into integer registers,
+    * interpolated p50/p90 identical cross-engine. Two verified
+    * operators composing; nothing new to trust. */
+  private val InterarrivalHiMs = 86400000.0
+  private val eventsInterarrival = Q("q_events_interarrival",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = events(s, d)
+        .withColumn("__prev", lag(col("ts"), 1).over(w))
+        .where(col("__prev").isNotNull)
+        .select(col("event_type"),
+          expr("(ts - __prev) div 1000000").as("gap_ms"))
+      graft.ops.Sketches.histogramQuantilesBy(gaps, col("event_type"),
+          col("gap_ms").cast("double"), lo = 0.0, hi = InterarrivalHiMs,
+          nBuckets = 64, qs = Seq(0.5, 0.9))
+        .select(col("grp").as("event_type"), col("n"), col("p50"),
+          col("p90"))
+        .orderBy("event_type")
+    }, {
+      import graft.ops.Sketches.{BucketSql, QuantileSql}
+      "WITH e AS (SELECT event_id, user_id, event_type, " +
+        "epoch_ns(ts) AS tsn FROM events), " +
+        "g0 AS (SELECT event_type, tsn - lag(tsn) OVER " +
+        "(PARTITION BY user_id ORDER BY tsn, event_id) AS gap_ns " +
+        "FROM e), " +
+        "g AS (SELECT event_type, CAST(gap_ns // 1000000 AS BIGINT) " +
+        "AS gap_ms FROM g0 WHERE gap_ns IS NOT NULL), " +
+        "h AS (SELECT event_type, " +
+        s"${BucketSql("gap_ms", 0.0, InterarrivalHiMs, 64)} AS b FROM g), " +
+        "hist AS (SELECT event_type, b, count(*) AS cnt " +
+        "FROM h GROUP BY 1, 2), " +
+        "c AS (SELECT event_type, b, cnt, sum(cnt) OVER " +
+        "(PARTITION BY event_type ORDER BY b ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW) AS cum, " +
+        "sum(cnt) OVER (PARTITION BY event_type) AS n FROM hist) " +
+        "SELECT event_type, CAST(max(n) AS BIGINT) AS n, " +
+        s"${QuantileSql(0.5, 0.0, InterarrivalHiMs, 64)} AS p50, " +
+        s"${QuantileSql(0.9, 0.0, InterarrivalHiMs, 64)} AS p90 " +
+        "FROM c GROUP BY event_type ORDER BY event_type"
+    })
+
   val all: Vector[Q] = Vector(eventsAsof, eventsSessionize, eventsProps,
     eventsRange, eventsZorder, eventsWindow, eventsFunnel,
     eventsRetention, eventsTransitions, eventsEwma, eventsCusum,
-    eventsDecayed, eventsPaths)
+    eventsDecayed, eventsPaths, eventsInterarrival)
 }

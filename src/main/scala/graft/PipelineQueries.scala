@@ -4248,11 +4248,53 @@ object PipelineQueries {
       "FROM rates LEFT JOIN kept ON rates.source = kept.source " +
       "ORDER BY rates.source")
 
+  /** Per-source duplication profile (the data card that picks the
+    * dedup strategy per domain: a source dominated by one template
+    * family wants cluster-level collapse, a clean one doesn't need
+    * it): cluster-size stats joined back onto the corpus source axis.
+    * Pure composition — the verified cluster closure + one
+    * cluster-size aggregate + the source rollup; redundancy counts
+    * (non-representative members) and cluster-id checksums pinned in
+    * exact integers. */
+  private val dedupProfile = Q("q_dedup_profile",
+    (s, d) => {
+      val d0 = docs(s, d)
+      val cl = Dedup.minhashClusters(d0, "text", "doc_id",
+        maxBucket = MinhashCap)
+      val csz = cl.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      d0.select(col("doc_id"), col("source"))
+        .join(cl, "doc_id")
+        .join(csz, "cluster_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("sz") > 1, 1L).otherwise(0L))
+            .as("n_in_dup_clusters"),
+          sum(when(col("doc_id") =!= col("cluster_id"), 1L).otherwise(0L))
+            .as("n_redundant"),
+          round(avg(col("sz").cast("double")), 5).as("avg_cluster_sz"),
+          sum(col("cluster_id")).as("cluster_id_sum"))
+        .orderBy("source")
+    },
+    s"WITH RECURSIVE $closureCtes, " +
+      "csz AS (SELECT cluster_id, count(*) AS sz FROM comp " +
+      "GROUP BY cluster_id), " +
+      "j AS (SELECT doc.source, c.node AS doc_id, c.cluster_id, csz.sz " +
+      "FROM comp c JOIN documents doc ON doc.doc_id = c.node " +
+      "JOIN csz USING (cluster_id)) " +
+      "SELECT source, count(*) AS n_docs, " +
+      "CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_in_dup_clusters, " +
+      "CAST(sum(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_redundant, " +
+      "round(avg(CAST(sz AS DOUBLE)), 5) AS avg_cluster_sz, " +
+      "CAST(sum(cluster_id) AS BIGINT) AS cluster_id_sum " +
+      "FROM j GROUP BY source ORDER BY source")
+
   // ---------------------------------------------------------------- export
 
   val all: Vector[Q] = Vector(
     dedupExact, dedupMinhash, dedupMinhashCapped, dedupMinhashGroups,
-    dedupClusters, dedupCanonical, dedupSimhash, dedupNgram,
+    dedupClusters, dedupProfile, dedupCanonical, dedupSimhash, dedupNgram,
     dedupIncremental, dedupIncrementalNear, dedupBloom, dedupSpans,
     dedupContainment,
     embedTop1, embedTopK, embedAnnLsh, embedLshSized, embedAnnTop1,
