@@ -4290,6 +4290,84 @@ object PipelineQueries {
       "CAST(sum(cluster_id) AS BIGINT) AS cluster_id_sum " +
       "FROM j GROUP BY source ORDER BY source")
 
+  /** Exact heavy hitters via the classic CMS two-pass (Cormode &
+    * Muthukrishnan 2005 §4): the sketch's never-underestimate
+    * guarantee makes its ≥-threshold candidates a SUPERSET of the
+    * true hitters, so one exact aggregate restricted to the
+    * (broadcast, candidate-bounded) key set finishes the job — the
+    * shape that finds every token above ε·N over 100 TB with one
+    * sketch pass + one semi-joined count pass, never a full per-key
+    * count. Threshold derives in-plan from a one-row total frame;
+    * candidate/hitter counts, hitter mass, and the id checksum are
+    * exact integers. */
+  private val HhDen = 200L
+  private val sketchHeavyHitters = Q("q_sketch_heavyhitters",
+    (s, d) => {
+      val toks = docs(s, d)
+        .select(explode(graft.ops.TextAnalysis.tokens(col("text")))
+          .as("tok"))
+        .select(graft.ops.TextAnalysis.tokenHash(col("tok")).as("th"))
+      val sketch = graft.ops.Sketches.cmsBuild(toks, col("th"))
+      val thr = toks.agg(count(lit(1)).as("tot"))
+        .select(col("tot"), expr(s"tot div $HhDen").as("thr"))
+      val est = graft.ops.Sketches.cmsEstimate(toks.distinct(), "th",
+        sketch)
+      val cand = est.crossJoin(thr).where(col("cms_count") >= col("thr"))
+      val exact = toks
+        .join(broadcast(cand.select("th")), Seq("th"), "left_semi")
+        .groupBy("th").agg(count(lit(1)).as("n"))
+      cand.join(exact, "th")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("n") >= col("thr"), 1L).otherwise(0L))
+            .as("n_hitters"),
+          sum(when(col("n") >= col("thr"), col("n")).otherwise(0L))
+            .as("hitter_mass"),
+          sum(when(col("n") >= col("thr"), col("th") % lit(Dedup.P))
+            .otherwise(0L)).as("hitter_checksum"),
+          max(col("n")).as("max_count"),
+          max(col("tot")).as("tot"), max(col("thr")).as("thr"))
+    }, {
+      val P = Dedup.P
+      val W = 1024
+      def probes(hpCol: String) = (0 until 4).map(r =>
+        s"{'r': $r, 'p': ((${Dedup.MinhashAs(r)} * $hpCol + " +
+          s"${Dedup.MinhashBs(r)}) % $P) % $W}").mkString(", ")
+      "WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents), " +
+        s"h AS (SELECT ${TextAnalysis.TokenHashSql("tok")} AS th " +
+        "FROM toks), " +
+        "hp0 AS (SELECT th, " +
+        s"${TextAnalysis.TokenHashSql("th::VARCHAR")} % $P AS hp FROM h), " +
+        s"occ AS (SELECT unnest([${probes("hp")}]) AS u FROM hp0), " +
+        "sk AS (SELECT u.r AS r, u.p AS p, count(*) AS cnt FROM occ " +
+        "GROUP BY u.r, u.p), " +
+        "tot AS (SELECT count(*) AS tot, " +
+        s"count(*) // $HhDen AS thr FROM h), " +
+        "k AS (SELECT DISTINCT th FROM h), " +
+        "khp AS (SELECT th, " +
+        s"${TextAnalysis.TokenHashSql("th::VARCHAR")} % $P AS hp FROM k), " +
+        "kocc AS (SELECT th, u.r AS r, u.p AS p FROM " +
+        s"(SELECT th, unnest([${probes("hp")}]) AS u FROM khp)), " +
+        "pest AS (SELECT th, min(COALESCE(sk.cnt, 0)) AS est FROM kocc " +
+        "LEFT JOIN sk USING (r, p) GROUP BY th), " +
+        "cand AS (SELECT th, est, tot.tot, tot.thr FROM pest " +
+        "CROSS JOIN tot WHERE est >= thr), " +
+        "ex AS (SELECT h.th, count(*) AS n FROM h " +
+        "JOIN (SELECT th FROM cand) c ON h.th = c.th GROUP BY h.th), " +
+        "j AS (SELECT cand.th, ex.n, cand.thr, cand.tot FROM cand " +
+        "JOIN ex USING (th)) " +
+        "SELECT count(*) AS n_candidates, " +
+        "CAST(sum(CASE WHEN n >= thr THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_hitters, " +
+        "CAST(sum(CASE WHEN n >= thr THEN n ELSE 0 END) AS BIGINT) " +
+        "AS hitter_mass, " +
+        "CAST(sum(CASE WHEN n >= thr THEN th % " +
+        s"${Dedup.P} ELSE 0 END) AS BIGINT) AS hitter_checksum, " +
+        "CAST(max(n) AS BIGINT) AS max_count, " +
+        "CAST(max(tot) AS BIGINT) AS tot, " +
+        "CAST(max(thr) AS BIGINT) AS thr FROM j"
+    })
+
   // ---------------------------------------------------------------- export
 
   val all: Vector[Q] = Vector(
@@ -4310,6 +4388,7 @@ object PipelineQueries {
     textPerplexity, textPmi, textDistinctN, textBm25, textRrf, textPii,
     textContamination, sketchHll,
     sketchHllBy, sketchCms, sketchAms, sketchQuantile, sketchQuantileBy,
+    sketchHeavyHitters,
     textDupNgrams, textNovelty, qualityGopher, multimodalMeta, curation, trainMix,
     pipelineModern, pipelineDiff, pipelineSelect,
     sampleStratified, sampleTemperature, sampleRepeat, sampleFixedN,
