@@ -1527,4 +1527,41 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("zipf_intercept") > 0.0,
       "ln(tf) at rank 1 must be positive on any non-trivial corpus")
   }
+
+  test("connectedComponents equals a union-find oracle on random " +
+    "graphs (uniform, hub-skewed, chain) under arbitrary " +
+    "repartitioning") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 4) {
+      val n = 60 + rnd.nextInt(80)
+      val edges = (0 until n * 2).map { _ =>
+        val a = rnd.nextInt(n)
+        val b = rnd.nextInt(3) match {
+          case 0 => rnd.nextInt(n)   // uniform
+          case 1 => rnd.nextInt(5)   // hub-heavy: one big skewed comp
+          case _ => (a + 1) % n      // chain: the diameter stressor
+        }
+        (a.toLong + 1000L, b.toLong + 1000L)
+      }.filter(e => e._1 != e._2)
+      // union-find oracle; attaching the larger root under the smaller
+      // keeps every component's root at its minimum id — exactly the
+      // operator's component label contract
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x
+        else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => x -> find(x)).toMap
+      val df = edges.toDF("id_a", "id_b").repartition(3 + trial * 2)
+      val got = Dedup.connectedComponents(df, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial: components diverge")
+    }
+  }
 }
