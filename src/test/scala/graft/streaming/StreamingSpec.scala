@@ -569,6 +569,23 @@ class StreamingSpec extends AnyFunSuite {
     truth.foreach { case (k, n) =>
       assert(est(k) >= n, s"CMS underestimated $k: ${est(k)} < $n")
     }
+    // heavy-hitter candidates from the STREAM-built sketch are the
+    // batch candidates: the two-pass exact-hitters pattern works
+    // against a live sketch with no extra state
+    val total = docs.count()
+    val thr = total / 4
+    def cands(sk: org.apache.spark.sql.DataFrame) =
+      Sketches.cmsEstimate(docs.select("lang").distinct(), "lang", sk,
+          depth = 4, width = 64)
+        .where(col("cms_count") >= thr)
+        .collect().map(_.getString(0)).toSet
+    val batchSketch = Sketches.cmsBuild(docs, col("lang"), depth = 4,
+      width = 64)
+    assert(cands(sketch) == cands(batchSketch),
+      "stream- and batch-sketch candidates must agree")
+    val trueHitters = truth.filter(_._2 >= thr).keySet
+    assert(trueHitters.subsetOf(cands(sketch)),
+      "candidates must be a superset of the true hitters")
   }
 
   test("streaming AMS maintenance: signed cells aggregate " +
