@@ -7,10 +7,11 @@ import graft.ops.Events
 
 /** Oracle corpus for the event-stream operators ([[graft.ops.Events]]):
   * as-of join and gap-based sessionization over the `events` table.
-  * Timestamps are int64 epoch-nanos on both engines (Spark reads the
-  * TIMESTAMP(NANOS) column as LongType under
-  * `spark.sql.legacy.parquet.nanosAsLong`; DuckDB uses `epoch_ns`), so
-  * every comparison is exact integer arithmetic.
+  * Timestamps are int64 epoch-nanos on both engines
+  * ([[graft.ops.Events.load]] normalizes the fixture's
+  * TIMESTAMP(MICROS) — or legacy nanos-as-long — column to epoch-nanos;
+  * DuckDB uses `epoch_ns`), so every comparison is exact integer
+  * arithmetic.
   *
   * The DuckDB side is a deliberately INDEPENDENT formulation (left
   * join + row_number qualify for as-of; plain window SQL for
