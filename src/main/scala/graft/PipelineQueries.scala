@@ -4368,6 +4368,66 @@ object PipelineQueries {
         "CAST(max(thr) AS BIGINT) AS thr FROM j"
     })
 
+  /** Mutual information between two discretized document features
+    * (length bucket × token-count bucket) — the feature-dependence
+    * data card ("is this quality signal redundant with length?").
+    * Scale shape: ONE map-side-partial aggregate onto the ≤ 16×16
+    * cell grain; marginals and the total are register-table
+    * aggregates joined back on post-agg keys. Each cell's pointwise
+    * MI term is computed from exact integer counts in an identical
+    * double expression on both engines, then FLOOR-QUANTIZED to int64
+    * fixed point before the sum (the decayed-mass discipline), so the
+    * total is order-independent and bit-exact cross-engine. */
+  private val MiFx = 1073741824.0 // 2^30
+  private val statsMi = Q("q_stats_mi",
+    (s, d) => {
+      val d0 = docs(s, d)
+      val bx = least(greatest(floor(col("n_chars").cast("double") /
+        lit(40.0)), lit(0.0)), lit(15.0)).cast("long")
+      val by = least(greatest(floor(
+        size(graft.ops.TextAnalysis.tokens(col("text"))).cast("double") /
+          lit(8.0)), lit(0.0)), lit(15.0)).cast("long")
+      val cells = d0.select(bx.as("bx"), by.as("by"))
+        .groupBy("bx", "by").agg(count(lit(1)).as("cnt"))
+      val rx = cells.groupBy("bx").agg(sum(col("cnt")).as("rx"))
+      val cy = cells.groupBy("by").agg(sum(col("cnt")).as("cy"))
+      val nf = cells.agg(sum(col("cnt")).as("n"),
+        count(lit(1)).as("n_cells"), max(col("cnt")).as("max_cell"))
+      val term = (col("cnt").cast("double") / col("n").cast("double")) *
+        log((col("cnt").cast("double") * col("n").cast("double")) /
+          (col("rx").cast("double") * col("cy").cast("double")))
+      cells.join(rx, "bx").join(cy, "by").crossJoin(nf)
+        .select(col("n"), col("n_cells"), col("max_cell"),
+          floor(term * lit(MiFx)).cast("long").as("fp"))
+        .groupBy("n", "n_cells", "max_cell")
+        .agg(round((sum(col("fp")).cast("double") / lit(MiFx)), 5)
+          .as("mi"))
+        .select(col("n"), col("n_cells"), col("max_cell"), col("mi"))
+    },
+    "WITH b AS (SELECT " +
+      "CAST(least(greatest(floor(CAST(n_chars AS DOUBLE) / 40.0), " +
+      "0.0), 15.0) AS BIGINT) AS bx, " +
+      "CAST(least(greatest(floor(CAST(len(string_split(text, ' ')) " +
+      "AS DOUBLE) / 8.0), 0.0), 15.0) AS BIGINT) AS by " +
+      "FROM documents), " +
+      "cells AS (SELECT bx, by, count(*) AS cnt FROM b GROUP BY 1, 2), " +
+      "rx AS (SELECT bx, CAST(sum(cnt) AS BIGINT) AS rx FROM cells " +
+      "GROUP BY bx), " +
+      "cy AS (SELECT by, CAST(sum(cnt) AS BIGINT) AS cy FROM cells " +
+      "GROUP BY by), " +
+      "nf AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, " +
+      "count(*) AS n_cells, CAST(max(cnt) AS BIGINT) AS max_cell " +
+      "FROM cells), " +
+      "t AS (SELECT nf.n, nf.n_cells, nf.max_cell, " +
+      "CAST(floor(((CAST(cnt AS DOUBLE) / CAST(nf.n AS DOUBLE)) * " +
+      "ln((CAST(cnt AS DOUBLE) * CAST(nf.n AS DOUBLE)) / " +
+      "(CAST(rx.rx AS DOUBLE) * CAST(cy.cy AS DOUBLE)))) * " +
+      s"$MiFx) AS BIGINT) AS fp " +
+      "FROM cells JOIN rx USING (bx) JOIN cy USING (by) CROSS JOIN nf) " +
+      "SELECT n, n_cells, max_cell, " +
+      s"round(CAST(sum(fp) AS DOUBLE) / $MiFx, 5) AS mi " +
+      "FROM t GROUP BY n, n_cells, max_cell")
+
   // ---------------------------------------------------------------- export
 
   val all: Vector[Q] = Vector(
@@ -4395,6 +4455,6 @@ object PipelineQueries {
     sampleGroupSplit, sampleKfold, embedMatryoshka, textZipf, sampleDoremi,
     sampleWeighted, sampleDomainCap, sampleDsir, sampleTopQuantile,
     sampleTopQuantileBy,
-    statsRollup, statsCorr, statsWinsorize, statsMad, topkPerGroup,
+    statsRollup, statsCorr, statsWinsorize, statsMad, statsMi, topkPerGroup,
     shardManifest, packSequences)
 }
