@@ -291,4 +291,23 @@ class EventsSpec extends AnyFunSuite {
     assert(!plan.contains("Window") &&
       plan.split("Exchange").length - 1 == 1, s"plan shape:\n$plan")
   }
+
+  test("Events.load normalizes a TIMESTAMP ts to epoch-nanos and " +
+    "passes a long ts through unchanged") {
+    val tmp = java.nio.file.Files.createTempDirectory("evload").toFile
+    tmp.deleteOnExit()
+    // micros-timestamp fixture: 2026-01-02T03:04:05.123456Z
+    val us = 1767323045123456L
+    spark.sql(s"SELECT 1L AS event_id, timestamp_micros(${us}L) AS ts")
+      .write.mode("overwrite").parquet(s"$tmp/tsu")
+    val loaded = Events.load(spark, s"$tmp/tsu")
+    assert(loaded.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(loaded.head().getAs[Long]("ts") == us * 1000L)
+    // long fixture passes through bit-identically
+    Seq((1L, us * 1000L)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$tmp/tsl")
+    assert(Events.load(spark, s"$tmp/tsl").head().getAs[Long]("ts") ==
+      us * 1000L)
+  }
 }
