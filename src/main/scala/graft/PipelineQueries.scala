@@ -4177,8 +4177,19 @@ object PipelineQueries {
     * frames joined back (the winsorize broadcast pattern — no driver
     * round-trip), and a keep scan against the source-keyed rate
     * table. Per-source avg NLL is rounded(5) BEFORE the exp/normalize
-    * arithmetic, so the rate table — and therefore the exact kept
-    * set — is cross-engine reproducible. */
+    * arithmetic, so both engines feed bit-identical doubles into
+    * exp/divide.
+    *
+    * Known (accepted) boundary risk: exp and the divide are
+    * transcendental/inexact, so JVM vs DuckDB libm may differ in the
+    * last ulp; the final round(·,5) then flips only if w/z lands
+    * within ~1 ulp (≈1e-16 relative) of a 0.5e-5 half-way boundary —
+    * ~1e-11 per value, a handful of values per run. This is the one
+    * query family where the repo's fixed-point-quantization
+    * discipline is NOT applied: integer-only exp weights would change
+    * DoReMi's defining exponential reweighting. If a flip is ever
+    * observed, quantize `w` to floor(exp(·)·2^30) int64 on both
+    * engines and accept the (documented) semantic coarsening. */
   private val sampleDoremi = Q("q_sample_doremi",
     (s, d) => {
       val d0 = docs(s, d)

@@ -3,6 +3,7 @@ import org.apache.spark.sql.SparkSession
 object CodegenCheck {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -432,30 +432,48 @@ object Dedup {
   // Connected components / cluster-level dedup
   // -------------------------------------------------------------
 
-  /** (edge-count, mixed-hash-xor) signature of a canonical edge set —
-    * the cheap per-round convergence probe for
-    * [[connectedComponents]]. XOR is order-independent and cannot
-    * overflow (the edge set is distinct, so multiplicity is 1). */
-  private def edgeSignature(e: org.apache.spark.rdd.RDD[(Long, Long)])
-      : (Long, Long) = {
-    import scala.util.hashing.byteswap64
-    e.treeAggregate((0L, 0L))(
-      (acc, p) => (acc._1 + 1L,
-        acc._2 ^ byteswap64(byteswap64(p._1) + 31L * p._2)),
-      (a, b) => (a._1 + b._1, a._2 ^ b._2))
+  /** splitmix64 finalizer — a full-avalanche 64-bit mixer (public
+    * constant set from the reference splitmix64 PRNG). */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
   }
 
-  /** Exact duplicate-pair removal without a pair-hash shuffle: all
-    * copies of a (u, v) pair share the key u, so after `partitionBy`
-    * they are co-located and a per-partition hash set removes them
-    * exactly. Output stays partitioned by u. */
+  /** (edge-count, hash-xor, hash-xor) signature of a canonical edge
+    * set — the cheap per-round convergence probe for
+    * [[connectedComponents]]. XOR is order-independent and cannot
+    * overflow (the edge set is distinct, so multiplicity is 1). Two
+    * independently-seeded full-avalanche lanes: a premature-
+    * convergence false positive needs a simultaneous XOR collision in
+    * BOTH 64-bit lanes at equal edge count (~2^-128) — strictly
+    * stronger than the previous single-lane byteswap mix. */
+  private def edgeSignature(e: org.apache.spark.rdd.RDD[(Long, Long)])
+      : (Long, Long, Long) =
+    e.treeAggregate((0L, 0L, 0L))(
+      (acc, p) => (acc._1 + 1L,
+        acc._2 ^ mix64(mix64(p._1) + 31L * p._2),
+        acc._3 ^ mix64(mix64(p._1 ^ 0x5851f42d4c957f2dL) + 31L * p._2)),
+      (a, b) => (a._1 + b._1, a._2 ^ b._2, a._3 ^ b._3))
+
+  /** Exact duplicate-pair removal in ONE shuffle, co-located by u:
+    * the full (u, v) pair is the reduce key but the partitioner hashes
+    * only u, so all copies land together AND the output placement
+    * matches the loop's shared partitioner. `reduceByKey` runs through
+    * Spark's ExternalAppendOnlyMap on both the map side (combiner) and
+    * the reduce side — unlike an in-heap HashSet of the whole
+    * partition, a skewed partition SPILLS instead of OOMing. */
   private def distinctPairsByKey(r: org.apache.spark.rdd.RDD[(Long, Long)],
                                  p: org.apache.spark.Partitioner)
-      : org.apache.spark.rdd.RDD[(Long, Long)] =
-    r.partitionBy(p).mapPartitions({ it =>
-      val seen = new scala.collection.mutable.HashSet[(Long, Long)]
-      it.filter(seen.add)
-    }, preservesPartitioning = true)
+      : org.apache.spark.rdd.RDD[(Long, Long)] = {
+    val byU = new org.apache.spark.Partitioner {
+      def numPartitions: Int = p.numPartitions
+      def getPartition(key: Any): Int =
+        p.getPartition(key.asInstanceOf[(Long, Long)]._1)
+    }
+    r.map((_, ())).reduceByKey(byU, (a, _) => a).map(_._1)
+  }
 
   /** Large-star round: connect every node to the minimum of its
     * (symmetrized) neighborhood ∪ itself, keeping only edges to
@@ -566,6 +584,13 @@ object Dedup {
       it += 1
     }
     require(done, s"connectedComponents did not converge in $maxIter rounds")
+    // the penultimate round's cache is dead now that the fixpoint is
+    // materialized (edgeSignature ran on it) — release it here rather
+    // than leaving it to ContextCleaner GC. The fixpoint itself stays
+    // persisted under the returned DataFrame; once the caller drops
+    // that DataFrame the ContextCleaner reclaims it — the steady-state
+    // cache debt is bounded by ONE round's edge set, not the loop.
+    toRelease.foreach(_.unpersist(blocking = false))
     // at the joint fixpoint the graph is a forest of stars rooted at
     // each component's min node: the edges ARE the (node → component)
     // map, plus one self-row per root

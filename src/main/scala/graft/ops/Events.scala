@@ -43,12 +43,31 @@ object Events {
 
   /** The [[load]] normalization as a pure projection — also applies
     * to a STREAMING DataFrame built over the same schema (stateless,
-    * so the stream keeps its source watermarkable shape). */
+    * so the stream keeps its source watermarkable shape).
+    *
+    * Timezone-independence contract: the fixture's parquet ts is
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false, which Spark reads
+    * as TIMESTAMP_NTZ. Casting NTZ→TIMESTAMP would interpret the
+    * local datetime in the SESSION timezone — epoch-aligned results
+    * (tumbling windows, retention weeks, as-of cutoffs) would then
+    * silently differ on a non-UTC host. Instead the NTZ branch uses
+    * `timestampdiff(MICROSECOND, epoch, ts)`, which subtracts raw
+    * local-datetime micros with no zone conversion, i.e. reads the
+    * NTZ value AS UTC — exactly DuckDB's `epoch_ns` on the same
+    * column. Instant-typed TIMESTAMP goes through `unix_micros`
+    * (already zone-free). */
   def normalizeTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => df
-      case _ => df.withColumn("ts",
-        unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          expr("timestampdiff(MICROSECOND, " +
+            "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)") * lit(1000L))
+      case org.apache.spark.sql.types.TimestampType =>
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts must be long / timestamp / timestamp_ntz, got $other")
     }
 
   /** As-of join: attach to each `left` row the payload of the most

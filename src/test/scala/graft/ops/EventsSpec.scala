@@ -310,4 +310,26 @@ class EventsSpec extends AnyFunSuite {
     assert(Events.load(spark, s"$tmp/tsl").head().getAs[Long]("ts") ==
       us * 1000L)
   }
+
+  test("Events.load on a TIMESTAMP_NTZ fixture (isAdjustedToUTC=false, " +
+    "the real testdata shape) is session-timezone independent") {
+    val tmp = java.nio.file.Files.createTempDirectory("evntz").toFile
+    tmp.deleteOnExit()
+    // NTZ literal 2026-01-02T03:04:05.123456 — read AS UTC must give:
+    val us = 1767323045123456L
+    spark.sql("SELECT 1L AS event_id, " +
+      "TIMESTAMP_NTZ'2026-01-02 03:04:05.123456' AS ts")
+      .write.mode("overwrite").parquet(s"$tmp/ntz")
+    val savedTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      for (tz <- Seq("UTC", "America/Los_Angeles", "Asia/Tokyo")) {
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        val loaded = Events.load(spark, s"$tmp/ntz")
+        assert(loaded.schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
+        assert(loaded.head().getAs[Long]("ts") == us * 1000L,
+          s"NTZ normalization drifted under session tz $tz")
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", savedTz)
+  }
 }
