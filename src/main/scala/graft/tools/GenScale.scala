@@ -1,0 +1,157 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic 10× scale-up generator for the scaling probe
+  * (round-7 judge ask #1): synthesizes an "sf1" dataset — documents /
+  * embeddings / events grown by the SAME factors the driver's own
+  * sf0.01→sf0.1 step uses (docs ×10 with sources fixed at 20,
+  * events ×10 with users ×10 over the same 30-day window,
+  * embeddings ×4) — into a target dir, and copies the unscaled
+  * TPC-H-ish tables through so every SparkEntry query runs unchanged
+  * against the dir.
+  *
+  * Distribution-matched to /root/testdata/sf0.1 (measured):
+  *  - documents: 10–100 words/doc uniform, 30-word uniform vocab,
+  *    ~5% of docs carry one 'dup' marker token, ~0.3% of docs are
+  *    exact-duplicate pairs, lang ∈ {en 41%, zh/es/fr/de ~15%},
+  *    20 uniform sources, n_chars = length(text).
+  *  - embeddings: 64-dim unit-norm float vectors with weak label
+  *    structure (mean cos to own label centroid ≈ 0.07, 10 labels).
+  *  - events: strictly-monotonic TIMESTAMP(MICROS) ts over 30 days,
+  *    sequential event_id, uniform users/types, value ~ Exp(50)
+  *    rounded to 2dp, props = {"k": 0..99}.
+  *
+  * Everything derives from xxhash64(id, seed) — no rand(), so output
+  * is bit-identical under any partitioning. */
+object GenScale {
+
+  private val Vocab = Seq("spark", "window", "merge", "table", "column",
+    "vector", "stream", "value", "data", "small", "big", "fast", "slow",
+    "hash", "sort", "group", "agg", "filter", "query", "scan", "batch",
+    "join", "order", "line", "row", "part", "customer", "the", "a", "cust")
+
+  /** uniform double in [0,1) from a 64-bit hash of (cols..., salt) */
+  private def u01(salt: Int, cols: org.apache.spark.sql.Column*) =
+    (pmod(xxhash64((cols :+ lit(salt)): _*), lit(1L << 52)).cast("double")
+      / lit((1L << 52).toDouble))
+
+  private def pickWord(doc: org.apache.spark.sql.Column,
+                       pos: org.apache.spark.sql.Column) = {
+    val v = array(Vocab.map(lit): _*)
+    element_at(v, (pmod(xxhash64(doc, pos, lit(11)), lit(Vocab.size))
+      + lit(1)).cast("int"))
+  }
+
+  def documents(spark: SparkSession, n: Long): DataFrame = {
+    val base = spark.range(0, n, 1, 32).toDF("doc_id")
+    // ~0.3% of docs copy the text of doc_id-2 → exact-dup pairs at
+    // the fixture's rate; the text seed is that source id
+    val gid = when(col("doc_id") >= 2 &&
+      pmod(xxhash64(col("doc_id"), lit(23)), lit(625)) === 0,
+      col("doc_id") - 2).otherwise(col("doc_id"))
+    val nWords = (pmod(xxhash64(col("g"), lit(7)), lit(91)) + lit(10))
+      .cast("int")
+    val words = transform(sequence(lit(1), col("nw")),
+      i => pickWord(col("g"), i))
+    // ~5% of docs: one deterministic position replaced by 'dup'
+    val withDup = when(pmod(xxhash64(col("g"), lit(31)), lit(20)) === 0,
+      transform(col("ws"), (w, i) =>
+        when(i === pmod(xxhash64(col("g"), lit(37)), col("nw")).cast("int"),
+          lit("dup")).otherwise(w))).otherwise(col("ws"))
+    val langU = u01(41, col("doc_id"))
+    base.withColumn("g", gid)
+      .withColumn("nw", nWords)
+      .withColumn("ws", words)
+      .withColumn("ws", withDup)
+      .select(col("doc_id"),
+        array_join(col("ws"), " ").as("text"),
+        when(langU < 0.41, "en").when(langU < 0.56, "zh")
+          .when(langU < 0.71, "es").when(langU < 0.86, "fr")
+          .otherwise("de").as("lang"),
+        concat(lit("src"),
+          pmod(xxhash64(col("doc_id"), lit(53)), lit(20))).as("source"))
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  def embeddings(spark: SparkSession, n: Long): DataFrame = {
+    val base = spark.range(0, n, 1, 32).toDF("vec_id")
+    def gauss(idc: org.apache.spark.sql.Column,
+              j: org.apache.spark.sql.Column, salt: Int) = {
+      val u1 = u01(salt, idc, j)
+      val u2 = u01(salt + 1, idc, j)
+      sqrt(lit(-2.0) * log(greatest(u1, lit(1e-12)))) *
+        cos(lit(2.0 * math.Pi) * u2)
+    }
+    val label = pmod(xxhash64(col("vec_id"), lit(3)), lit(10)).cast("int")
+    // raw = g(id) + alpha' * centroid(label); centroid is itself a
+    // unit gaussian direction keyed by the label. alpha' calibrated
+    // so mean cos(vec, centroid) ≈ 0.07 like the fixture.
+    val raw = transform(sequence(lit(0), lit(63)), j =>
+      gauss(col("vec_id"), j, 61) +
+        lit(0.57) * gauss(lit(-1) - col("lbl"), j, 71) /
+          lit(8.0)) // centroid entries ~ N(0,1), /8 ≈ unit-norm scale
+    val nrm = sqrt(aggregate(col("raw"), lit(0.0), (a, e) => a + e * e))
+    base.withColumn("lbl", label)
+      .withColumn("raw", raw)
+      .withColumn("nrm", nrm)
+      .select(col("vec_id"),
+        transform(col("raw"), e => (e / col("nrm")).cast("float"))
+          .as("embedding"),
+        col("lbl").as("label"))
+  }
+
+  def events(spark: SparkSession, n: Long, nUsers: Long): DataFrame = {
+    val startUs = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    val spanUs = 30L * 24 * 3600 * 1000000L
+    val stepUs = spanUs / n
+    val base = spark.range(0, n, 1, 32).toDF("event_id")
+    val types = array(Seq("signup", "purchase", "view", "click", "error")
+      .map(lit): _*)
+    base.select(
+      col("event_id"),
+      timestamp_micros(lit(startUs) + col("event_id") * lit(stepUs) +
+        pmod(xxhash64(col("event_id"), lit(5)), lit(math.max(stepUs, 1L))))
+        .cast("timestamp_ntz").as("ts"),
+      pmod(xxhash64(col("event_id"), lit(13)), lit(nUsers)).as("user_id"),
+      element_at(types,
+        (pmod(xxhash64(col("event_id"), lit(17)), lit(5)) + lit(1))
+          .cast("int")).as("event_type"),
+      round(lit(-50.0) * log(greatest(u01(19, col("event_id")),
+        lit(1e-12))), 2).as("value"),
+      concat(lit("{\"k\": "),
+        pmod(xxhash64(col("event_id"), lit(29)), lit(100)),
+        lit("}")).as("props"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outDir = if (args.nonEmpty) args(0) else "/tmp/sfdata/sf1"
+    val srcDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val mult = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    documents(spark, 5000L * mult)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    embeddings(spark, 2000L * (if (mult == 10) 4 else mult))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    events(spark, 100000L * mult, 1500L * mult)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    // pass the unscaled star-schema tables through so every
+    // SparkEntry query resolves against the dir
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem")) {
+      val from = java.nio.file.Paths.get(s"$srcDir/$t.parquet")
+      val to = java.nio.file.Paths.get(s"$outDir/$t.parquet")
+      java.nio.file.Files.copy(from, to,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    println(s"GenScale: wrote $outDir at mult=$mult")
+    spark.stop()
+  }
+}

@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Two-point scaling probe (round-7 judge ask #1): times the heaviest
+  * SparkEntry queries at sf0.1 and at the GenScale-synthesized 10×
+  * dataset, and writes SCALING_r7.json with per-query times and the
+  * sf1/sf0.1 ratio. A query that scales near-linearly in the grown
+  * tables should land ≲ its input growth factor (10× for documents/
+  * events consumers, 4× for embeddings consumers) plus fixed
+  * overhead; anything well beyond that is a scale bug or gets an
+  * explicit weak mark. */
+object ScaleProbe {
+
+  /** (query, grown input factor) — the factor the query's DOMINANT
+    * input grows by between the two dirs (docs/events ×10,
+    * embeddings ×4, lineitem ×1). */
+  val Probes: Seq[(String, Double)] = Seq(
+    "q_dedup_profile" -> 10, "q_pipeline_modern" -> 10,
+    "q_sample_groupsplit" -> 10, "q_pipeline_select" -> 10,
+    "q_text_pmi" -> 10, "q_dedup_minhash" -> 10,
+    "q_dedup_canonical" -> 10, "q_dedup_clusters" -> 10,
+    "q_dedup_containment" -> 10, "q_dedup_lsh_recall" -> 10,
+    "q_dedup_incremental_near" -> 10, "q_sample_doremi" -> 10,
+    "q_text_bpe" -> 10, "q_text_vocab" -> 10,
+    "q_sample_topquantile" -> 10,
+    "q_events_range" -> 10, "q_events_paths" -> 10,
+    "q_sketch_heavyhitters" -> 10,
+    "q_embed_clusters" -> 4, "q_embed_pagerank" -> 4,
+    "q_embed_labelprop" -> 4, "q_embed_top1" -> 4,
+    "q_embed_kmeans" -> 4, "q_embed_ivfpq" -> 4)
+
+  def main(args: Array[String]): Unit = {
+    val sfSmall = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val sfBig = if (args.length > 1) args(1) else "/tmp/sfdata/sf1"
+    val out = if (args.length > 2) args(2) else "SCALING_r7.json"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.DAGScheduler",
+      org.apache.logging.log4j.Level.FATAL)
+    // warm JIT/codegen once
+    try graft.SparkEntry.queries("q_dens_gaussian")(spark, sfSmall).count()
+    catch { case _: Throwable => () }
+
+    def minOf2(q: String, dir: String): Double = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(q)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
+    val rows = Probes.map { case (q, factor) =>
+      val tSmall = minOf2(q, sfSmall)
+      val tBig = minOf2(q, sfBig)
+      val ratio = tBig / tSmall
+      println(f"$q%-28s sf0.1=${tSmall}%7.3f s  sf1=${tBig}%8.3f s  " +
+        f"ratio=${ratio}%6.2f  (input x$factor%.0f)")
+      (q, factor, tSmall, tBig, ratio)
+    }
+    def fmt(v: Double) = "%.3f".format(v)
+    val json = rows.map { case (q, f, a, b, r) =>
+      s""""$q":{"input_factor":${f.toInt},"sf0.1_sec":${fmt(a)},""" +
+        s""""sf1_sec":${fmt(b)},"ratio":${fmt(r)}}"""
+    }.mkString("{\n", ",\n", "\n}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+      s"""{"probe":"two-point scaling sf0.1 vs synthesized 10x",""" +
+        s""""small":"$sfSmall","big":"$sfBig","queries":$json}""")
+    println(s"ScaleProbe: wrote $out")
+    spark.stop()
+  }
+}
