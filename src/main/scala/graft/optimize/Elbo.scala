@@ -35,12 +35,19 @@ final class Elbo(
       * re-drawing `tf.random_normal` per `session.run`). */
     augment: (org.apache.spark.sql.DataFrame, Int) =>
       org.apache.spark.sql.DataFrame = Elbo.NoAugment,
-    /** Row-count ceiling below which the (augment-free) training data is
-      * collected once and gradient steps run driver-local, skipping
-      * per-iteration job-scheduling latency. Semantics are identical —
-      * same tape, same seeded draws; this is pure adaptivity: tiny
-      * problems iterate at memory speed, big ones scale out. */
-    localThreshold: Long = 8000000L) extends Serializable {
+    /** Cell-count (rows × input columns) ceiling below which the
+      * (augment-free) training data is collected once and gradient
+      * steps run driver-local, skipping per-iteration job-scheduling
+      * latency. Semantics are identical — same tape, same seeded
+      * draws; this is pure adaptivity: problems that fit the driver
+      * iterate at memory speed, big ones scale out. 32M cells =
+      * 256 MB of doubles — comfortably inside any driver that runs
+      * Spark at all, and exactly the regime the single-node reference
+      * (whole dataset in process memory) occupies. The old 8M default
+      * pushed a 600k-row × 17-column RFF-GP onto the distributed
+      * path, paying the ~70 ms/step job floor (≈14 it/s) for data
+      * that fits the driver 50× over. */
+    localThreshold: Long = 32000000L) extends Serializable {
 
   // ---- slot layout: full flat θ over sortedParams (deterministic order)
   private val paramSeq: Seq[(String, Param)] = module.sortedParams
