@@ -3261,6 +3261,53 @@ object PipelineQueries {
       "for p in range(1, 65, 16)])) AS BIGINT) AS sum_fsc " +
       "FROM documents GROUP BY source ORDER BY source")
 
+  /** MP4 container-metadata round-trip: per-doc parameters → minimal
+    * ISO BMFF bytes ([[Multimodal.mp4BuildColumn]]) → box-walk parse
+    * ([[Multimodal.mp4MetaColumn]]) → per-(source, codec) aggregates.
+    * The oracle recomputes every aggregate from the parameter
+    * formulas directly, so a parser (or writer) that mis-reads any
+    * field — duration, mdat size, 16.16 dimensions, sample-entry
+    * 4cc, integer-division bitrate — breaks the hash. No frame
+    * decode anywhere (pure container metadata; see [[graft.ops.Mp4]]). */
+  private val multimodalMp4 = Q("q_multimodal_mp4",
+    (s, d) => {
+      val src = docs(s, d).select(col("doc_id"), col("source"),
+        (lit(1000L) + (length(col("text")) % 577).cast("long") * 10)
+          .as("dur_ms"),
+        (lit(16) * (pmod(col("doc_id"), lit(40)) + 1)).cast("int").as("w"),
+        (lit(16) * (pmod(col("doc_id"), lit(23)) + 1)).cast("int").as("h"),
+        element_at(array(lit("avc1"), lit("hev1"), lit("vp09")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("codec"),
+        length(col("text")).cast("int").as("mdat"))
+      val built = Multimodal.mp4BuildColumn(src, "dur_ms", "w", "h",
+        "codec", "mdat")
+      Multimodal.mp4MetaColumn(built, "media")
+        .groupBy(col("source"), col("mp4.codec").as("codec"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("mp4.duration_ms")).as("sum_dur_ms"),
+          sum(col("mp4.mdat_bytes")).as("sum_mdat"),
+          sum(col("mp4.bitrate_bps")).as("sum_bps"),
+          sum(col("mp4.width").cast("long")).as("sum_w"),
+          sum(col("mp4.height").cast("long")).as("sum_h"),
+          sum(col("mp4.n_tracks").cast("long")).as("sum_tracks"))
+        .orderBy("source", "codec")
+    },
+    "WITH p AS (SELECT doc_id, source, length(text) AS nc " +
+      "FROM documents), " +
+      "q AS (SELECT source, CASE doc_id % 3 WHEN 0 THEN 'avc1' " +
+      "WHEN 1 THEN 'hev1' ELSE 'vp09' END AS codec, " +
+      "1000 + (nc % 577) * 10 AS dur, nc AS mdat, " +
+      "16 * ((doc_id % 40) + 1) AS w, 16 * ((doc_id % 23) + 1) AS h " +
+      "FROM p) " +
+      "SELECT source, codec, count(*) AS n, " +
+      "CAST(sum(dur) AS BIGINT) AS sum_dur_ms, " +
+      "CAST(sum(mdat) AS BIGINT) AS sum_mdat, " +
+      "CAST(sum((mdat * 8 * 1000) // dur) AS BIGINT) AS sum_bps, " +
+      "CAST(sum(w) AS BIGINT) AS sum_w, " +
+      "CAST(sum(h) AS BIGINT) AS sum_h, " +
+      "CAST(count(*) AS BIGINT) AS sum_tracks " +
+      "FROM q GROUP BY source, codec ORDER BY source, codec")
+
   // ------------------------------------------- sampling / packing / rewrite
 
   /** Per-source keep rates for the stratified-sample oracle (domain
@@ -4460,7 +4507,8 @@ object PipelineQueries {
     textContamination, sketchHll,
     sketchHllBy, sketchCms, sketchAms, sketchQuantile, sketchQuantileBy,
     sketchHeavyHitters,
-    textDupNgrams, textNovelty, qualityGopher, multimodalMeta, curation, trainMix,
+    textDupNgrams, textNovelty, qualityGopher, multimodalMeta,
+    multimodalMp4, curation, trainMix,
     pipelineModern, pipelineDiff, pipelineSelect,
     sampleStratified, sampleTemperature, sampleRepeat, sampleFixedN,
     sampleGroupSplit, sampleKfold, embedMatryoshka, textZipf, sampleDoremi,

@@ -197,6 +197,69 @@ object Multimodal {
     StructField("sha", StringType, nullable = false)))
 
   /** Wrap a source column as a media column with typed metadata. */
+  /** Synthesize a minimal single-video-track MP4 per row from typed
+    * parameter columns (timescale 1000 ⇒ durationTicks == ms) — the
+    * fixture side of the [[mp4MetaColumn]] round-trip; a real corpus
+    * reads externally-produced files into the same binary column.
+    * Batched partition-local map, bytes never shuffle. */
+  def mp4BuildColumn(df: DataFrame, durMsCol: String, wCol: String,
+                     hCol: String, codecCol: String, mdatCol: String,
+                     outCol: String = "media",
+                     blockSize: Int = 1024): DataFrame = {
+    val schema = df.schema.add(outCol, BinaryType)
+    val is = Seq(durMsCol, wCol, hCol, codecCol, mdatCol)
+      .map(df.schema.fieldIndex)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(blockSize).flatMap { rows =>
+        rows.iterator.map { row =>
+          val bytes = Mp4.buildMinimal(1000L, row.getLong(is(0)),
+            row.getInt(is(1)), row.getInt(is(2)),
+            row.getString(is(3)), "vide", row.getInt(is(4)))
+          Row.fromSeq(row.toSeq :+ bytes)
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  private val Mp4MetaType = StructType(Seq(
+    StructField("duration_ms", LongType),
+    StructField("mdat_bytes", LongType),
+    StructField("bitrate_bps", LongType),
+    StructField("n_tracks", IntegerType),
+    StructField("handler", StringType),
+    StructField("codec", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  /** ISO BMFF container metadata per row ([[Mp4.parseMeta]] box
+    * walk — duration, mdat size, container bitrate, first-track
+    * handler/codec/dimensions), null for bytes that hold no valid
+    * moov. No frame decode; pure-JVM byte arithmetic, batched
+    * partition-local, stream-safe. */
+  def mp4MetaColumn(df: DataFrame, mediaCol: String,
+                    outCol: String = "mp4",
+                    blockSize: Int = 1024): DataFrame = {
+    val schema = df.schema.add(outCol, Mp4MetaType)
+    val idx = df.schema.fieldIndex(mediaCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(blockSize).flatMap { rows =>
+        rows.iterator.map { row =>
+          val meta = Mp4.parseMeta(row.getAs[Array[Byte]](idx)) match {
+            case Some(m) =>
+              val t = m.tracks.headOption
+                .getOrElse(Mp4.TrackInfo("", "", 0, 0))
+              Row(m.durationMs, m.mdatBytes, m.bitrateBps,
+                m.tracks.length, t.handler, t.codec, t.width, t.height)
+            case None => null
+          }
+          Row.fromSeq(row.toSeq :+ meta)
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   def asMedia(df: DataFrame, srcCol: String, kind: String,
               mediaCol: String = "media",
               metaCol: String = "meta"): DataFrame = {
