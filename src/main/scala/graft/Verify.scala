@@ -17,6 +17,13 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // eventPaths' share pass is single-partition BY DESIGN (≤ typesⁿ
+    // aggregated rows); Catalyst folds its constant partition key and
+    // WindowExec warns as if it were data-sized — scoped down, see the
+    // audit note in Bench.scala
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -336,9 +336,14 @@ object Events {
       .where(col("__e").isNotNull && col("__e") === col("__s"))
       .groupBy((1 to n).map(i => col(s"step$i")): _*)
       .agg(count(lit(1)).as("n"))
-    // whole-frame share over the ≤ typesⁿ path grain; the constant
-    // partition key (vs an empty spec) keeps WindowExec from warning
-    // about a deliberately single-partition, matrix-sized frame
+    // whole-frame share over the ≤ typesⁿ path grain, ONE pass over
+    // the already-aggregated matrix-sized frame. The constant
+    // partition key is folded out of the partition spec by Catalyst,
+    // so WindowExec logs its single-partition WARN anyway — for THIS
+    // frame that is by design (≤ typesⁿ rows, never data-sized), and
+    // the entry-point mains scope that logger down with an audit
+    // note. The alternative (one-row total cross-joined back) plans
+    // the expensive sessionize+lead subtree TWICE — strictly worse.
     paths.withColumn("share",
       round(col("n").cast("double") /
         sum(col("n")).over(Window.partitionBy(lit(0))).cast("double"), 5))
