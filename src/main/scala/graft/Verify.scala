@@ -11,8 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS); read as long (we only
-      // use numeric/string columns of that table)
+      // events.parquet ships TIMESTAMP(MICROS) since the round-6
+      // fixture regen (Events.load normalizes whatever it finds);
+      // nanosAsLong stays on for any old NANOS fixture and is a
+      // no-op on micros
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

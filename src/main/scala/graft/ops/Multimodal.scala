@@ -23,6 +23,16 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Partition-local batched Row transform that stays INSIDE the
+    * Dataset plan: `Dataset.mapPartitions` with an explicit Row
+    * encoder, NOT `df.rdd` — so every codec column below works on a
+    * STREAMING DataFrame too (stateless map, watermark-preserving;
+    * `df.rdd` would throw on a stream). The `grouped(blockSize)`
+    * batching marks exactly where a JNI/FFmpeg batch call would sit. */
+  private def mapBatched(df: DataFrame, outSchema: StructType)(
+      f: Iterator[Row] => Iterator[Row]): DataFrame =
+    df.mapPartitions(f)(org.apache.spark.sql.Encoders.row(outSchema))
+
   val WavInfoType: StructType = StructType(Seq(
     StructField("sample_rate", IntegerType, nullable = false),
     StructField("channels", IntegerType, nullable = false),
@@ -45,7 +55,7 @@ object Multimodal {
                       blockSize: Int = 1024): DataFrame = {
     val schema = df.schema.add(outCol, WavInfoType)
     val idx = df.schema.fieldIndex(mediaCol)
-    val rdd = df.rdd.mapPartitions { it =>
+    mapBatched(df, schema) { it =>
       it.grouped(blockSize).flatMap { rows =>
         rows.iterator.map { row =>
           val info = Codecs.decodeWav(row.getAs[Array[Byte]](idx)).orNull
@@ -56,7 +66,6 @@ object Multimodal {
         }
       }
     }
-    df.sparkSession.createDataFrame(rdd, schema)
   }
 
   /** REAL image decode (24-bpp BMP): appends a [[BmpInfoType]] struct
@@ -66,7 +75,7 @@ object Multimodal {
                       blockSize: Int = 1024): DataFrame = {
     val schema = df.schema.add(outCol, BmpInfoType)
     val idx = df.schema.fieldIndex(mediaCol)
-    val rdd = df.rdd.mapPartitions { it =>
+    mapBatched(df, schema) { it =>
       it.grouped(blockSize).flatMap { rows =>
         rows.iterator.map { row =>
           val info = Codecs.decodeBmp(row.getAs[Array[Byte]](idx)).orNull
@@ -77,7 +86,6 @@ object Multimodal {
         }
       }
     }
-    df.sparkSession.createDataFrame(rdd, schema)
   }
 
   /** REAL compressed-image decode (JPEG/PNG/GIF via the JDK's own
@@ -89,7 +97,7 @@ object Multimodal {
                         blockSize: Int = 1024): DataFrame = {
     val schema = df.schema.add(outCol, BmpInfoType)
     val idx = df.schema.fieldIndex(mediaCol)
-    val rdd = df.rdd.mapPartitions { it =>
+    mapBatched(df, schema) { it =>
       it.grouped(blockSize).flatMap { rows =>
         rows.iterator.map { row =>
           val info = Codecs.decodeImage(row.getAs[Array[Byte]](idx)).orNull
@@ -100,7 +108,6 @@ object Multimodal {
         }
       }
     }
-    df.sparkSession.createDataFrame(rdd, schema)
   }
 
   /** Perceptual image hashes for near-dup detection: aHash64 (spatial
@@ -115,7 +122,7 @@ object Multimodal {
       .add("ahash64", org.apache.spark.sql.types.LongType)
       .add("phash64", org.apache.spark.sql.types.LongType)
     val idx = df.schema.fieldIndex(mediaCol)
-    val rdd = df.rdd.mapPartitions { it =>
+    mapBatched(df, schema) { it =>
       it.grouped(blockSize).flatMap { rows =>
         rows.iterator.map { row =>
           val b = row.getAs[Array[Byte]](idx)
@@ -125,7 +132,6 @@ object Multimodal {
         }
       }
     }
-    df.sparkSession.createDataFrame(rdd, schema)
   }
 
   /** Clip-level audio features: the per-band MEAN of the [[Codecs
@@ -142,7 +148,7 @@ object Multimodal {
         org.apache.spark.sql.types.DoubleType, containsNull = false))
       .add("n_frames", org.apache.spark.sql.types.LongType)
     val idx = df.schema.fieldIndex(mediaCol)
-    val rdd = df.rdd.mapPartitions { it =>
+    mapBatched(df, schema) { it =>
       it.grouped(blockSize).flatMap { rows =>
         rows.iterator.map { row =>
           val fb = Codecs.filterbank(row.getAs[Array[Byte]](idx),
@@ -162,7 +168,6 @@ object Multimodal {
         }
       }
     }
-    df.sparkSession.createDataFrame(rdd, schema)
   }
 
   /** REAL image resize: nearest-neighbor BMP downsample to w×h,
@@ -173,7 +178,7 @@ object Multimodal {
                       blockSize: Int = 1024): DataFrame = {
     val schema = df.schema.add(outCol, BinaryType)
     val idx = df.schema.fieldIndex(mediaCol)
-    val rdd = df.rdd.mapPartitions { it =>
+    mapBatched(df, schema) { it =>
       it.grouped(blockSize).flatMap { rows =>
         rows.iterator.map { row =>
           val out = Codecs.resizeBmp(row.getAs[Array[Byte]](idx), w, h).orNull
@@ -181,7 +186,6 @@ object Multimodal {
         }
       }
     }
-    df.sparkSession.createDataFrame(rdd, schema)
       // null meta for undecodable rows, matching the decode columns'
       // null-struct convention (a fabricated zero-byte meta would be
       // indistinguishable from a real empty resize downstream)
@@ -209,7 +213,7 @@ object Multimodal {
     val schema = df.schema.add(outCol, BinaryType)
     val is = Seq(durMsCol, wCol, hCol, codecCol, mdatCol)
       .map(df.schema.fieldIndex)
-    val rdd = df.rdd.mapPartitions { it =>
+    mapBatched(df, schema) { it =>
       it.grouped(blockSize).flatMap { rows =>
         rows.iterator.map { row =>
           val bytes = Mp4.buildMinimal(1000L, row.getLong(is(0)),
@@ -219,7 +223,6 @@ object Multimodal {
         }
       }
     }
-    df.sparkSession.createDataFrame(rdd, schema)
   }
 
   private val Mp4MetaType = StructType(Seq(
@@ -242,7 +245,7 @@ object Multimodal {
                     blockSize: Int = 1024): DataFrame = {
     val schema = df.schema.add(outCol, Mp4MetaType)
     val idx = df.schema.fieldIndex(mediaCol)
-    val rdd = df.rdd.mapPartitions { it =>
+    mapBatched(df, schema) { it =>
       it.grouped(blockSize).flatMap { rows =>
         rows.iterator.map { row =>
           val meta = Mp4.parseMeta(row.getAs[Array[Byte]](idx)) match {
@@ -257,7 +260,6 @@ object Multimodal {
         }
       }
     }
-    df.sparkSession.createDataFrame(rdd, schema)
   }
 
   def asMedia(df: DataFrame, srcCol: String, kind: String,
@@ -295,7 +297,7 @@ object Multimodal {
     require(factor >= 1)
     val schema = df.schema.add(outCol, BinaryType)
     val idx = df.schema.fieldIndex(mediaCol)
-    val rdd = df.rdd.mapPartitions { it =>
+    mapBatched(df, schema) { it =>
       it.grouped(blockSize).flatMap { rows =>
         // >>> real batched re-encode would go here — STUBBED as a
         // byte subsample <<<
@@ -307,9 +309,7 @@ object Multimodal {
           Row.fromSeq(row.toSeq :+ out)
         }
       }
-    }
-    val resized = df.sparkSession.createDataFrame(rdd, schema)
-    resized.withColumn(outCol + "_meta", struct(
+    }.withColumn(outCol + "_meta", struct(
       lit("resized").as("kind"),
       length(col(outCol)).cast("long").as("n_bytes"),
       sha2(col(outCol), 256).as("sha")))
@@ -326,7 +326,7 @@ object Multimodal {
                  blockSize: Int = 1024): DataFrame = {
     val schema = df.schema.add(outCol, ArrayType(DoubleType, false))
     val idx = df.schema.fieldIndex(mediaCol)
-    val rdd = df.rdd.mapPartitions { it =>
+    mapBatched(df, schema) { it =>
       it.grouped(blockSize).flatMap { rows =>
         // >>> real codec batch call would go here (e.g. JNI decode of
         // rows(i).getAs[Array[Byte]](idx)) — STUBBED deterministically <<<
@@ -348,6 +348,5 @@ object Multimodal {
         }
       }
     }
-    df.sparkSession.createDataFrame(rdd, schema)
   }
 }

@@ -136,9 +136,13 @@ object GenScale {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // embeddings grow x4 per decade in the driver's own sf steps
+    // (500 -> 2000 for a 10x row step), so mult=10 -> x4, 100 -> x16
+    val embMult = math.round(math.pow(4.0,
+      math.log10(mult.toDouble))).toInt
     documents(spark, 5000L * mult)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    embeddings(spark, 2000L * (if (mult == 10) 4 else mult))
+    embeddings(spark, 2000L * embMult)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     events(spark, 100000L * mult, 1500L * mult)
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")

@@ -34,6 +34,10 @@ object ScaleProbe {
     val sfSmall = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val sfBig = if (args.length > 1) args(1) else "/tmp/sfdata/sf1"
     val out = if (args.length > 2) args(2) else "SCALING_r7.json"
+    // actual growth factors of the big dir (docs/events, embeddings) —
+    // scale the per-query nominal (10, 4) factors for e.g. a 100x run
+    val docFactor = if (args.length > 3) args(3).toDouble else 10.0
+    val embFactor = if (args.length > 4) args(4).toDouble else 4.0
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -53,7 +57,8 @@ object ScaleProbe {
       (System.nanoTime() - t0) / 1e9
     }.min
 
-    val rows = Probes.map { case (q, factor) =>
+    val rows = Probes.map { case (q, nominal) =>
+      val factor = if (nominal == 4) embFactor else docFactor
       val tSmall = minOf2(q, sfSmall)
       val tBig = minOf2(q, sfBig)
       val ratio = tBig / tSmall
