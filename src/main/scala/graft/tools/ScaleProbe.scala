@@ -19,6 +19,7 @@ object ScaleProbe {
     "q_dedup_profile" -> 10, "q_pipeline_modern" -> 10,
     "q_sample_groupsplit" -> 10, "q_pipeline_select" -> 10,
     "q_text_pmi" -> 10, "q_dedup_minhash" -> 10,
+    "q_dedup_minhash_capped" -> 10,
     "q_dedup_canonical" -> 10, "q_dedup_clusters" -> 10,
     "q_dedup_containment" -> 10, "q_dedup_lsh_recall" -> 10,
     "q_dedup_incremental_near" -> 10, "q_sample_doremi" -> 10,
@@ -38,6 +39,19 @@ object ScaleProbe {
     // scale the per-query nominal (10, 4) factors for e.g. a 100x run
     val docFactor = if (args.length > 3) args(3).toDouble else 10.0
     val embFactor = if (args.length > 4) args(4).toDouble else 4.0
+    // comma-separated query names to skip, each recorded in the
+    // artifact with the given reason — for paths KNOWN to exceed the
+    // probe budget at the big scale (e.g. the UNCAPPED minhash pair
+    // join on a bounded-vocab 100x corpus: bucket sizes grow with
+    // corpus size when content diversity is bounded, so the pair
+    // count goes quadratic — which is precisely why the capped
+    // variant exists and is the documented 100 TB path)
+    val skip: Map[String, String] = if (args.length > 5) {
+      val reason = if (args.length > 6) args.drop(6).mkString(" ")
+        else "skipped" // sbt runMain splits on spaces: rejoin 6+
+      args(5).split(',').map(_.trim).filter(_.nonEmpty)
+        .map(_ -> reason).toMap
+    } else Map.empty
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -57,20 +71,25 @@ object ScaleProbe {
       (System.nanoTime() - t0) / 1e9
     }.min
 
-    val rows = Probes.map { case (q, nominal) =>
-      val factor = if (nominal == 4) embFactor else docFactor
-      val tSmall = minOf2(q, sfSmall)
-      val tBig = minOf2(q, sfBig)
-      val ratio = tBig / tSmall
-      println(f"$q%-28s sf0.1=${tSmall}%7.3f s  sf1=${tBig}%8.3f s  " +
-        f"ratio=${ratio}%6.2f  (input x$factor%.0f)")
-      (q, factor, tSmall, tBig, ratio)
+    val rows = Probes.flatMap { case (q, nominal) =>
+      if (skip.contains(q)) { println(s"$q SKIPPED: ${skip(q)}"); None }
+      else {
+        val factor = if (nominal == 4) embFactor else docFactor
+        val tSmall = minOf2(q, sfSmall)
+        val tBig = minOf2(q, sfBig)
+        val ratio = tBig / tSmall
+        println(f"$q%-28s sf0.1=${tSmall}%7.3f s  sf1=${tBig}%8.3f s  " +
+          f"ratio=${ratio}%6.2f  (input x$factor%.0f)")
+        Some((q, factor, tSmall, tBig, ratio))
+      }
     }
     def fmt(v: Double) = "%.3f".format(v)
-    val json = rows.map { case (q, f, a, b, r) =>
+    val json = (rows.map { case (q, f, a, b, r) =>
       s""""$q":{"input_factor":${f.toInt},"sf0.1_sec":${fmt(a)},""" +
         s""""sf1_sec":${fmt(b)},"ratio":${fmt(r)}}"""
-    }.mkString("{\n", ",\n", "\n}")
+    } ++ skip.toSeq.map { case (q, why) =>
+      s""""$q":{"skipped":"${why.replace("\"", "'")}"}"""
+    }).mkString("{\n", ",\n", "\n}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
       s"""{"probe":"two-point scaling sf0.1 vs synthesized 10x",""" +
         s""""small":"$sfSmall","big":"$sfBig","queries":$json}""")
