@@ -3308,6 +3308,157 @@ object PipelineQueries {
       "CAST(count(*) AS BIGINT) AS sum_tracks " +
       "FROM q GROUP BY source, codec ORDER BY source, codec")
 
+  /** MPEG audio (MP3) frame-header round-trip: per-doc parameters →
+    * Layer-III frames ([[Multimodal.mp3BuildColumn]]) → sync-scan
+    * parse ([[Multimodal.mp3MetaColumn]]) → per-(source, version)
+    * aggregates. The oracle recomputes every aggregate from the
+    * bitrate/samplerate TABLES and the integer duration formula
+    * (frames·spf·1000 // rate) directly, so a parser that mis-reads
+    * any header field, walks frames inexactly, or mis-flags VBR
+    * breaks the hash. No sample decode ([[graft.ops.Mp3]]). */
+  private val multimodalMp3 = Q("q_multimodal_mp3",
+    (s, d) => {
+      val src = docs(s, d).select(col("doc_id"), col("source"),
+        (pmod(col("doc_id"), lit(2)) === 0).as("mpeg1"),
+        (pmod(col("doc_id"), lit(12)) + 1).cast("int").as("br"),
+        pmod(col("doc_id"), lit(3)).cast("int").as("sr"),
+        (lit(1) + pmod(length(col("text")), lit(97))).cast("int").as("nf"),
+        (pmod(col("doc_id"), lit(5)) === 0).as("mono"),
+        when(pmod(col("doc_id"), lit(4)) === 0, 2).otherwise(0)
+          .cast("int").as("vbr"))
+      val built = Multimodal.mp3BuildColumn(src, "mpeg1", "br", "sr",
+        "nf", "mono", "vbr")
+      Multimodal.mp3MetaColumn(built, "media")
+        .groupBy(col("source"), col("mp3.version").as("version"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("mp3.duration_ms")).as("sum_dur_ms"),
+          sum(col("mp3.bitrate_kbps").cast("long")).as("sum_kbps"),
+          sum(col("mp3.n_frames")).as("sum_frames"),
+          sum(col("mp3.channels").cast("long")).as("sum_ch"),
+          sum(when(col("mp3.is_vbr"), 1L).otherwise(0L)).as("n_vbr"))
+        .orderBy("source", "version")
+    },
+    "WITH p AS (SELECT doc_id, source, length(text) AS nc " +
+      "FROM documents), " +
+      "q AS (SELECT source, doc_id % 2 = 0 AS mpeg1, " +
+      "CAST(doc_id % 12 + 1 AS INTEGER) AS br, " +
+      "CAST(doc_id % 3 AS INTEGER) AS sr, " +
+      "1 + (nc % 97) AS nf, " +
+      "CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 2 END AS ch, " +
+      "(doc_id % 4 = 0) AND (nc % 97) >= 1 AS vbr FROM p), " +
+      "r AS (SELECT source, " +
+      "CASE WHEN mpeg1 THEN '1' ELSE '2' END AS version, " +
+      "CASE WHEN mpeg1 THEN [44100, 48000, 32000][sr + 1] " +
+      "ELSE [22050, 24000, 16000][sr + 1] END AS rate, " +
+      "CASE WHEN mpeg1 THEN [32, 40, 48, 56, 64, 80, 96, 112, 128, " +
+      "160, 192, 224, 256, 320][br] " +
+      "ELSE [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, " +
+      "160][br] END AS kbps, " +
+      "CASE WHEN mpeg1 THEN 1152 ELSE 576 END AS spf, " +
+      "nf, ch, vbr FROM q) " +
+      "SELECT source, version, count(*) AS n, " +
+      "CAST(sum((nf * spf * 1000) // rate) AS BIGINT) AS sum_dur_ms, " +
+      "CAST(sum(kbps) AS BIGINT) AS sum_kbps, " +
+      "CAST(sum(nf) AS BIGINT) AS sum_frames, " +
+      "CAST(sum(ch) AS BIGINT) AS sum_ch, " +
+      "CAST(sum(CASE WHEN vbr THEN 1 ELSE 0 END) AS BIGINT) AS n_vbr " +
+      "FROM r GROUP BY source, version ORDER BY source, version")
+
+  /** H.264 SPS round-trip THROUGH the MP4 container: per-doc
+    * parameters → SPS bits → avcC → avc1 sample entry → box walk +
+    * exp-Golomb parse. The container carries only the mb-ROUNDED
+    * coded size; the true (cropped) display dimensions exist solely
+    * inside the SPS — so sum_w/sum_h match only if the bit-exact
+    * exp-Golomb path (including the cropping fields and high-profile
+    * branches) is right, while sum_cw/sum_ch pin the container walk
+    * beside it. No frame decode ([[graft.ops.Avc]]). */
+  private val multimodalAvc = Q("q_multimodal_avc",
+    (s, d) => {
+      val src = docs(s, d).select(col("doc_id"), col("source"),
+        (lit(1000L) + (length(col("text")) % 211).cast("long") * 40)
+          .as("dur_ms"),
+        (lit(2) * (pmod(col("doc_id"), lit(317)) + 50)).cast("int").as("w"),
+        (lit(2) * (pmod(col("doc_id"), lit(173)) + 40)).cast("int").as("h"),
+        element_at(array(lit(66), lit(77), lit(100)),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("profile"),
+        element_at(array(lit(30), lit(31), lit(40), lit(41), lit(51)),
+          (pmod(col("doc_id"), lit(5)) + 1).cast("int")).as("level"),
+        length(col("text")).cast("int").as("mdat"))
+      val built = Multimodal.avcMp4BuildColumn(src, "dur_ms", "w", "h",
+        "profile", "level", "mdat")
+      Multimodal.mp4MetaColumn(built, "media")
+        .groupBy(col("source"),
+          col("mp4.sps_profile").cast("long").as("profile"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("mp4.sps_width").cast("long")).as("sum_w"),
+          sum(col("mp4.sps_height").cast("long")).as("sum_h"),
+          sum(col("mp4.width").cast("long")).as("sum_cw"),
+          sum(col("mp4.height").cast("long")).as("sum_chh"),
+          sum(col("mp4.sps_level").cast("long")).as("sum_level"),
+          sum(col("mp4.duration_ms")).as("sum_dur_ms"))
+        .orderBy("source", "profile")
+    },
+    "WITH p AS (SELECT doc_id, source, length(text) AS nc " +
+      "FROM documents), " +
+      "q AS (SELECT source, 1000 + (nc % 211) * 40 AS dur, " +
+      "2 * (doc_id % 317 + 50) AS w, 2 * (doc_id % 173 + 40) AS h, " +
+      "[66, 77, 100][CAST(doc_id % 3 AS INTEGER) + 1] AS profile, " +
+      "[30, 31, 40, 41, 51][CAST(doc_id % 5 AS INTEGER) + 1] AS lvl " +
+      "FROM p) " +
+      "SELECT source, CAST(profile AS BIGINT) AS profile, " +
+      "count(*) AS n, " +
+      "CAST(sum(w) AS BIGINT) AS sum_w, " +
+      "CAST(sum(h) AS BIGINT) AS sum_h, " +
+      "CAST(sum((w + 15) // 16 * 16) AS BIGINT) AS sum_cw, " +
+      "CAST(sum((h + 15) // 16 * 16) AS BIGINT) AS sum_chh, " +
+      "CAST(sum(lvl) AS BIGINT) AS sum_level, " +
+      "CAST(sum(dur) AS BIGINT) AS sum_dur_ms " +
+      "FROM q GROUP BY source, profile ORDER BY source, profile")
+
+  /** WARC ingestion round-trip: docs → per-(source, shard) .warc.gz
+    * files (member-per-record gzip, warcinfo + HTTP-wrapped response
+    * records — the Common Crawl layout) → streaming inflate + record
+    * walk → per-(source, type) aggregates. The oracle recomputes the
+    * byte-exact framing arithmetic (entity strlen, the HTTP envelope
+    * 62 + digits(len) + len, the 33-byte warcinfo payload, distinct
+    * shard count) straight from the documents table, so a parser that
+    * mis-walks Content-Length, mis-splits the HTTP envelope, or drops
+    * a gzip member breaks the hash. [[graft.ops.Warc]]. */
+  private val sourceWarc = Q("q_source_warc",
+    (s, d) => {
+      val src = docs(s, d).select(col("doc_id"), col("source"),
+        pmod(col("doc_id"), lit(8)).as("shard"),
+        concat(lit("https://example.com/"), col("source"), lit("/"),
+          col("doc_id")).as("uri"),
+        col("text"))
+      val files = Multimodal.warcBuildFiles(src, Seq("source", "shard"),
+        "uri", "doc_id", "text")
+      Multimodal.warcRecordsColumn(files, "media")
+        .groupBy("source", "warc_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_body_bytes")).as("sum_body"),
+          sum(col("content_length")).as("sum_clen"),
+          sum(col("http_status").cast("long")).as("sum_status"),
+          countDistinct(col("uri")).as("n_uri"))
+        .orderBy("source", "warc_type")
+    },
+    "WITH resp AS (SELECT source, count(*) AS n, " +
+      "CAST(sum(strlen(text)) AS BIGINT) AS sum_body, " +
+      "CAST(sum(62 + length(CAST(strlen(text) AS VARCHAR)) " +
+      "+ strlen(text)) AS BIGINT) AS sum_clen, " +
+      "CAST(count(*) * 200 AS BIGINT) AS sum_status, " +
+      "count(DISTINCT doc_id) AS n_uri FROM documents GROUP BY source), " +
+      "info AS (SELECT source, count(DISTINCT doc_id % 8) AS nf " +
+      "FROM documents GROUP BY source) " +
+      "SELECT source, 'response' AS warc_type, n, sum_body, sum_clen, " +
+      "sum_status, n_uri FROM resp " +
+      "UNION ALL " +
+      "SELECT source, 'warcinfo' AS warc_type, nf AS n, " +
+      "CAST(nf * 33 AS BIGINT) AS sum_body, " +
+      "CAST(nf * 33 AS BIGINT) AS sum_clen, " +
+      "CAST(0 AS BIGINT) AS sum_status, CAST(1 AS BIGINT) AS n_uri " +
+      "FROM info ORDER BY source, warc_type")
+
   // ------------------------------------------- sampling / packing / rewrite
 
   /** Per-source keep rates for the stratified-sample oracle (domain
@@ -4508,7 +4659,8 @@ object PipelineQueries {
     sketchHllBy, sketchCms, sketchAms, sketchQuantile, sketchQuantileBy,
     sketchHeavyHitters,
     textDupNgrams, textNovelty, qualityGopher, multimodalMeta,
-    multimodalMp4, curation, trainMix,
+    multimodalMp4, multimodalMp3, multimodalAvc, sourceWarc,
+    curation, trainMix,
     pipelineModern, pipelineDiff, pipelineSelect,
     sampleStratified, sampleTemperature, sampleRepeat, sampleFixedN,
     sampleGroupSplit, sampleKfold, embedMatryoshka, textZipf, sampleDoremi,

@@ -19,7 +19,8 @@ package graft.ops
 object Mp4 {
 
   final case class TrackInfo(handler: String, codec: String,
-                             width: Int, height: Int)
+                             width: Int, height: Int,
+                             sps: Option[Avc.SpsInfo] = None)
 
   final case class Mp4Info(timescale: Long, durationTicks: Long,
                            mdatBytes: Long, tracks: List[TrackInfo]) {
@@ -78,6 +79,7 @@ object Mp4 {
     val tracks = scala.collection.mutable.ListBuffer.empty[TrackInfo]
     // per-trak accumulation
     var tHandler = ""; var tCodec = ""; var tW = 0; var tH = 0
+    var tSps: Option[Avc.SpsInfo] = None
 
     def walk(from: Long, to: Long, depth: Int): Unit = {
       if (depth > 8) return
@@ -106,12 +108,25 @@ object Mp4 {
           case "stsd" if p1 - p0 >= 16 =>
             // entry_count at +4; first sample entry: u32 size + 4cc
             tCodec = fourcc(b, p + 12)
+            // VisualSampleEntry is 8 + 78 bytes (§12.1.3); child boxes
+            // (avcC, pasp, …) follow inside the entry — walk them and
+            // parse the SPS out of an AVCDecoderConfigurationRecord
+            val entryEnd = math.min(p0 + 8 + be32(b, p + 8), p1)
+            val kids = p0 + 8 + 8 + 78
+            if (kids + 8 <= entryEnd)
+              boxes(b, kids, entryEnd).foreach {
+                case ("avcC", a0, a1) =>
+                  val payload =
+                    java.util.Arrays.copyOfRange(b, a0.toInt, a1.toInt)
+                  tSps = Avc.spsFromAvcC(payload).flatMap(Avc.parseSps)
+                case _ => ()
+              }
           case "mdat" =>
             mdat += (p1 - p0)
           case "trak" =>
-            tHandler = ""; tCodec = ""; tW = 0; tH = 0
+            tHandler = ""; tCodec = ""; tW = 0; tH = 0; tSps = None
             walk(p0, p1, depth + 1)
-            tracks += TrackInfo(tHandler, tCodec, tW, tH)
+            tracks += TrackInfo(tHandler, tCodec, tW, tH, tSps)
           case t if Containers(t) =>
             walk(p0, p1, depth + 1)
           case _ => () // skip by size: ftyp, free, udta, unknown …
@@ -156,7 +171,8 @@ object Mp4 {
     * largesize header (the >4 GiB form) to exercise that path. */
   def buildMinimal(timescale: Long, durationTicks: Long, width: Int,
                    height: Int, codec: String, handler: String,
-                   mdatBytes: Int, largeMdat: Boolean = false): Array[Byte] = {
+                   mdatBytes: Int, largeMdat: Boolean = false,
+                   avcC: Option[Array[Byte]] = None): Array[Byte] = {
     val ftyp = box("ftyp", new Buf().cc("isom").u32(512L)
       .cc("isom").cc("iso2").bytes)
     val mvhd = box("mvhd", {
@@ -187,9 +203,11 @@ object Mp4 {
       .u16(0x55c4).u16(0).bytes) // language 'und', pre_defined
     val hdlr = box("hdlr", new Buf().u32(0L).u32(0L).cc(handler)
       .u32(0L).u32(0L).u32(0L).u8(0).bytes)
-    // minimal VisualSampleEntry: 4cc + 78 bytes (§12.1.3)
+    // minimal VisualSampleEntry: 4cc + 78 bytes (§12.1.3), plus an
+    // optional avcC child box carrying a real SPS
     val entry = {
-      val b = new Buf().u32(86L).cc(codec)
+      val avccBox = avcC.map(p => box("avcC", p)).getOrElse(Array.emptyByteArray)
+      val b = new Buf().u32(86L + avccBox.length).cc(codec)
       (1 to 6).foreach(_ => b.u8(0)); b.u16(1) // reserved, data_ref_idx
       b.u16(0).u16(0); (1 to 3).foreach(_ => b.u32(0L)) // pre/reserved
       b.u16(width).u16(height)
@@ -197,7 +215,7 @@ object Mp4 {
       b.u32(0L).u16(1) // reserved, frame_count
       (1 to 32).foreach(_ => b.u8(0)) // compressorname
       b.u16(0x0018).u16(0xffff) // depth, pre_defined
-      b.bytes
+      b.raw(avccBox).bytes
     }
     val stsd = box("stsd", new Buf().u32(0L).u32(1L).raw(entry).bytes)
     val stbl = box("stbl", stsd)

@@ -233,7 +233,13 @@ object Multimodal {
     StructField("handler", StringType),
     StructField("codec", StringType),
     StructField("width", IntegerType),
-    StructField("height", IntegerType)))
+    StructField("height", IntegerType),
+    // from the avcC SPS when present (the BITSTREAM truth — container
+    // tkhd/stsd dimensions are display hints); null otherwise
+    StructField("sps_profile", IntegerType),
+    StructField("sps_level", IntegerType),
+    StructField("sps_width", IntegerType),
+    StructField("sps_height", IntegerType)))
 
   /** ISO BMFF container metadata per row ([[Mp4.parseMeta]] box
     * walk — duration, mdat size, container bitrate, first-track
@@ -252,11 +258,155 @@ object Multimodal {
             case Some(m) =>
               val t = m.tracks.headOption
                 .getOrElse(Mp4.TrackInfo("", "", 0, 0))
+              val s = t.sps
               Row(m.durationMs, m.mdatBytes, m.bitrateBps,
-                m.tracks.length, t.handler, t.codec, t.width, t.height)
+                m.tracks.length, t.handler, t.codec, t.width, t.height,
+                s.map(x => Integer.valueOf(x.profileIdc)).orNull,
+                s.map(x => Integer.valueOf(x.levelIdc)).orNull,
+                s.map(x => Integer.valueOf(x.width)).orNull,
+                s.map(x => Integer.valueOf(x.height)).orNull)
             case None => null
           }
           Row.fromSeq(row.toSeq :+ meta)
+        }
+      }
+    }
+  }
+
+  /** Synthesize a minimal single-video-track MP4 whose avc1 sample
+    * entry carries a REAL avcC/SPS for (w, h, profile, level) — the
+    * container tkhd/stsd dimensions are deliberately the mb-rounded
+    * coded size, so only the SPS knows the true (cropped) display
+    * dimensions. Fixture side of the [[mp4MetaColumn]] SPS fields. */
+  def avcMp4BuildColumn(df: DataFrame, durMsCol: String, wCol: String,
+                        hCol: String, profileCol: String, levelCol: String,
+                        mdatCol: String, outCol: String = "media",
+                        blockSize: Int = 1024): DataFrame = {
+    val schema = df.schema.add(outCol, BinaryType)
+    val is = Seq(durMsCol, wCol, hCol, profileCol, levelCol, mdatCol)
+      .map(df.schema.fieldIndex)
+    mapBatched(df, schema) { it =>
+      it.grouped(blockSize).flatMap { rows =>
+        rows.iterator.map { row =>
+          val w = row.getInt(is(1)); val h = row.getInt(is(2))
+          val sps = Avc.buildSps(w, h, row.getInt(is(3)), row.getInt(is(4)))
+          val bytes = Mp4.buildMinimal(1000L, row.getLong(is(0)),
+            (w + 15) / 16 * 16, (h + 15) / 16 * 16, "avc1", "vide",
+            row.getInt(is(5)), avcC = Some(Avc.buildAvcC(sps)))
+          Row.fromSeq(row.toSeq :+ bytes)
+        }
+      }
+    }
+  }
+
+  val Mp3MetaType: StructType = StructType(Seq(
+    StructField("version", StringType),
+    StructField("sample_rate", IntegerType),
+    StructField("bitrate_kbps", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("duration_ms", LongType),
+    StructField("is_vbr", BooleanType)))
+
+  /** Synthesize a Layer-III MPEG audio stream per row from typed
+    * parameter columns ([[Mp3.buildFrames]]) — fixture side of the
+    * [[mp3MetaColumn]] round-trip. */
+  def mp3BuildColumn(df: DataFrame, mpeg1Col: String, brIdxCol: String,
+                     srIdxCol: String, nFramesCol: String, monoCol: String,
+                     vbrStepCol: String, outCol: String = "media",
+                     blockSize: Int = 1024): DataFrame = {
+    val schema = df.schema.add(outCol, BinaryType)
+    val is = Seq(mpeg1Col, brIdxCol, srIdxCol, nFramesCol, monoCol,
+      vbrStepCol).map(df.schema.fieldIndex)
+    mapBatched(df, schema) { it =>
+      it.grouped(blockSize).flatMap { rows =>
+        rows.iterator.map { row =>
+          val bytes = Mp3.buildFrames(row.getBoolean(is(0)),
+            row.getInt(is(1)), row.getInt(is(2)), row.getInt(is(3)),
+            mono = row.getBoolean(is(4)), vbrStep = row.getInt(is(5)))
+          Row.fromSeq(row.toSeq :+ bytes)
+        }
+      }
+    }
+  }
+
+  /** MPEG audio frame-header metadata per row ([[Mp3.parseMeta]] —
+    * version, sample rate, nominal bitrate, channel count, exact
+    * frame count and integer-exact duration, VBR flag), null for
+    * bytes with no Layer-III sync. No sample decode; pure-JVM byte
+    * arithmetic, batched partition-local, stream-safe. */
+  def mp3MetaColumn(df: DataFrame, mediaCol: String,
+                    outCol: String = "mp3",
+                    blockSize: Int = 1024): DataFrame = {
+    val schema = df.schema.add(outCol, Mp3MetaType)
+    val idx = df.schema.fieldIndex(mediaCol)
+    mapBatched(df, schema) { it =>
+      it.grouped(blockSize).flatMap { rows =>
+        rows.iterator.map { row =>
+          val meta = Mp3.parseMeta(row.getAs[Array[Byte]](idx)) match {
+            case Some(m) => Row(m.version, m.sampleRateHz, m.bitrateKbps,
+              m.channels, m.nFrames, m.durationMs, m.isVbr)
+            case None => null
+          }
+          Row.fromSeq(row.toSeq :+ meta)
+        }
+      }
+    }
+  }
+
+  /** Assemble per-group .warc.gz FILES (fixture side): one row per
+    * group with the member-per-record gzip bytes ([[Warc.buildFile]]).
+    * The group's docs are collected into ONE file — the shard grain
+    * is the caller's (bounded: a shard is a file, and real WARC files
+    * are ~1 GB); docs are ordered by id inside the file so the bytes
+    * are deterministic under any partitioning. */
+  def warcBuildFiles(df: DataFrame, groupCols: Seq[String], uriCol: String,
+                     idCol: String, textCol: String,
+                     outCol: String = "media"): DataFrame = {
+    val grouped = df.groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"),
+        col(uriCol).as("uri"), col(textCol).as("text")))).as("_docs"))
+    val schema = StructType(grouped.schema.fields.filterNot(_.name == "_docs"))
+      .add(outCol, BinaryType)
+    val di = grouped.schema.fieldIndex("_docs")
+    mapBatched(grouped, schema) { it =>
+      it.map { row =>
+        val docs = row.getSeq[Row](di).map(r =>
+          (r.getString(1), r.get(0).toString, r.getString(2)))
+        val bytes = Warc.buildFile(docs)
+        Row.fromSeq(row.toSeq.patch(di, Nil, 1) :+ bytes)
+      }
+    }
+  }
+
+  val WarcRecordType: StructType = StructType(Seq(
+    StructField("warc_type", StringType),
+    StructField("uri", StringType),
+    StructField("record_id", StringType),
+    StructField("content_type", StringType),
+    StructField("content_length", LongType),
+    StructField("http_status", IntegerType),
+    StructField("n_body_bytes", LongType),
+    StructField("body_text", StringType)))
+
+  /** Flatten WARC files into one row per record ([[Warc.parseAll]]):
+    * the parent row's columns minus the bytes, plus the record
+    * fields — for response records the HTTP envelope is stripped and
+    * the entity body surfaces as text. Partition-local flatMap; a
+    * file's records never leave its partition, nothing file-sized
+    * touches the driver. This is the Common Crawl ingestion shape:
+    * `spark.read.format("binaryFile")` → this → a documents table. */
+  def warcRecordsColumn(df: DataFrame, mediaCol: String): DataFrame = {
+    val mi = df.schema.fieldIndex(mediaCol)
+    val keep = df.schema.fields.indices.filterNot(_ == mi)
+    val schema = StructType(keep.map(df.schema.fields) ++ WarcRecordType.fields)
+    mapBatched(df, schema) { it =>
+      it.flatMap { row =>
+        val parent = keep.map(row.get)
+        Warc.parseAll(row.getAs[Array[Byte]](mi)).iterator.map { r =>
+          Row.fromSeq(parent ++ Seq(r.warcType, r.targetUri, r.recordId,
+            r.contentType, r.contentLength, r.httpStatus,
+            r.body.length.toLong, r.bodyText))
         }
       }
     }
