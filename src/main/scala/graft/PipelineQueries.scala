@@ -3459,6 +3459,120 @@ object PipelineQueries {
       "CAST(0 AS BIGINT) AS sum_status, CAST(1 AS BIGINT) AS n_uri " +
       "FROM info ORDER BY source, warc_type")
 
+  /** CCNet line-level dedup over a corpus with synthesized structure:
+    * per-source boilerplate header/footer lines (document frequency =
+    * the source's doc count) wrap each unique body. With maxDf=10 the
+    * boilerplate vanishes and bodies survive — unless the body itself
+    * repeats in >10 docs (the fixture's exact-dup families), which
+    * the oracle reproduces too. Checksum pins the REASSEMBLED cleaned
+    * text, so line order and separator fidelity are verified, not
+    * just counts. [[TextAnalysis.lineDedup]]; line text never
+    * shuffles (60-bit fps). */
+  private val LineDedupMaxDf = 10
+  private val textLineDedup = Q("q_text_linededup",
+    (s, d) => {
+      val syn = docs(s, d).select(col("doc_id"), col("source"),
+        concat(lit("=== "), col("source"), lit(" header ===\n"),
+          col("text"), lit("\nshared footer line\n(c) corpus "),
+          col("source")).as("t"))
+      TextAnalysis.lineDedup(syn, "t", "doc_id", LineDedupMaxDf)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("total_lines")).as("sum_total"),
+          sum(col("kept_lines")).as("sum_kept"),
+          sum(TextAnalysis.tokenHash(col("cleaned")) % lit(DigestMod))
+            .as("checksum"))
+        .orderBy("source")
+    },
+    "WITH d AS (SELECT doc_id, source, " +
+      "'=== ' || source || ' header ===' || chr(10) || text || " +
+      "chr(10) || 'shared footer line' || chr(10) || " +
+      "'(c) corpus ' || source AS t FROM documents), " +
+      "d2 AS (SELECT doc_id, source, string_split(t, chr(10)) AS ls " +
+      "FROM d), " +
+      "l AS (SELECT doc_id, source, unnest([{'pos': i, " +
+      s"'fp': ${TextAnalysis.TokenHashSql("trim(ls[i])")}} " +
+      "for i in range(1, len(ls) + 1)]) AS u FROM d2), " +
+      "lf AS (SELECT doc_id, source, u.pos AS pos, u.fp AS fp FROM l), " +
+      "freq AS (SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS df " +
+      s"FROM lf GROUP BY fp) WHERE df > $LineDedupMaxDf), " +
+      "kept AS (SELECT lf.doc_id, lf.pos FROM lf LEFT JOIN freq " +
+      "ON lf.fp = freq.fp WHERE freq.fp IS NULL), " +
+      "re AS (SELECT d2.doc_id, d2.source, " +
+      "coalesce(string_agg(d2.ls[kept.pos], chr(10) ORDER BY kept.pos), " +
+      "'') AS cleaned, count(kept.pos) AS kept_lines, " +
+      "min(len(d2.ls)) AS total_lines FROM d2 LEFT JOIN kept " +
+      "ON d2.doc_id = kept.doc_id GROUP BY d2.doc_id, d2.source) " +
+      "SELECT source, count(*) AS n_docs, " +
+      "CAST(sum(total_lines) AS BIGINT) AS sum_total, " +
+      "CAST(sum(kept_lines) AS BIGINT) AS sum_kept, " +
+      s"CAST(sum(${TextAnalysis.TokenHashSql("cleaned")} % $DigestMod) " +
+      "AS BIGINT) AS checksum FROM re GROUP BY source ORDER BY source")
+
+  /** URL extraction + host normalization + URL-level dedup (the
+    * crawl-curation trio): every URL found by the shared dialect-safe
+    * regex, hosts lowercased with `www.` stripped, and docs deduped
+    * on the canonical (host, path) of their FIRST url — the www/non-
+    * www collision is synthesized deliberately, so n_kept matches
+    * only if normalization actually fires. [[TextAnalysis.urlHost]].
+    * Map-only extraction; the dedup is one (key → min id) hash agg. */
+  private val textUrls = Q("q_text_urls",
+    (s, d) => {
+      val d0 = docs(s, d).select(col("doc_id"), col("source"),
+        concat(col("text"), lit(" see https://"),
+          when(pmod(col("doc_id"), lit(4)) === 0, lit("www."))
+            .otherwise(lit("")),
+          lit("h"), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".example.com/p/"),
+          pmod(col("doc_id"), lit(59)).cast("string"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit(" and http://mirror.example.org/x/"),
+              pmod(col("doc_id"), lit(53)).cast("string")))
+            .otherwise(lit(""))).as("t"))
+      val urls = d0.select(col("source"),
+        explode(regexp_extract_all(col("t"),
+          lit(TextAnalysis.UrlRe), lit(0))).as("u"))
+      val hostAgg = urls.groupBy("source")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(TextAnalysis.urlHost(col("u"))).as("n_hosts"))
+      val prim = d0.select(col("doc_id"), col("source"),
+        regexp_extract(col("t"), TextAnalysis.UrlRe, 0).as("first"))
+        .select(col("doc_id"), col("source"),
+          concat(TextAnalysis.urlHost(col("first")),
+            regexp_extract(col("first"), "https?://[^/ ]+(/[^ ]*)", 1))
+            .as("ukey"))
+      val keep = prim.groupBy("ukey").agg(min(col("doc_id")).as("keep_id"))
+      val keptBySource = prim.join(keep, Seq("ukey"))
+        .where(col("doc_id") === col("keep_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"))
+      hostAgg.join(keptBySource, Seq("source")).orderBy("source")
+    },
+    "WITH d AS (SELECT doc_id, source, text || ' see https://' || " +
+      "CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END || 'h' || " +
+      "CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/' || " +
+      "CAST(doc_id % 59 AS VARCHAR) || " +
+      "CASE WHEN doc_id % 5 = 0 THEN ' and http://mirror.example.org/x/' " +
+      "|| CAST(doc_id % 53 AS VARCHAR) ELSE '' END AS t FROM documents), " +
+      s"u AS (SELECT source, unnest(regexp_extract_all(t, " +
+      s"'${TextAnalysis.UrlRe}', 0)) AS u FROM d), " +
+      "ha AS (SELECT source, count(*) AS n_urls, " +
+      s"count(DISTINCT ${TextAnalysis.UrlHostSql("u")}) AS n_hosts " +
+      "FROM u GROUP BY source), " +
+      "p0 AS (SELECT doc_id, source, " +
+      s"regexp_extract(t, '${TextAnalysis.UrlRe}', 0) AS f FROM d), " +
+      s"prim AS (SELECT doc_id, source, ${TextAnalysis.UrlHostSql("f")} " +
+      "|| regexp_extract(f, 'https?://[^/ ]+(/[^ ]*)', 1) AS ukey " +
+      "FROM p0), " +
+      "keep AS (SELECT ukey, min(doc_id) AS keep_id FROM prim " +
+      "GROUP BY ukey), " +
+      "kb AS (SELECT source, count(*) AS n_kept, " +
+      "CAST(sum(doc_id) AS BIGINT) AS kept_id_sum FROM prim JOIN keep " +
+      "ON prim.ukey = keep.ukey AND prim.doc_id = keep.keep_id " +
+      "GROUP BY source) " +
+      "SELECT ha.source, n_urls, n_hosts, n_kept, kept_id_sum " +
+      "FROM ha JOIN kb ON ha.source = kb.source ORDER BY ha.source")
+
   // ------------------------------------------- sampling / packing / rewrite
 
   /** Per-source keep rates for the stratified-sample oracle (domain
@@ -4658,7 +4772,8 @@ object PipelineQueries {
     textContamination, sketchHll,
     sketchHllBy, sketchCms, sketchAms, sketchQuantile, sketchQuantileBy,
     sketchHeavyHitters,
-    textDupNgrams, textNovelty, qualityGopher, multimodalMeta,
+    textDupNgrams, textNovelty, textLineDedup, textUrls,
+    qualityGopher, multimodalMeta,
     multimodalMp4, multimodalMp3, multimodalAvc, sourceWarc,
     curation, trainMix,
     pipelineModern, pipelineDiff, pipelineSelect,

@@ -317,4 +317,53 @@ object TextAnalysis {
       .groupBy("__th").agg(min(col("__tok")).as("token"))
     top.join(names, Seq("__th")).select(col("token"), col("tf"), col("df"))
   }
+
+  /** CCNet-style LINE-level dedup (Wenzek et al. 2020 §3.1: drop
+    * every line that appears — trimmed — in more than `maxDf`
+    * documents; boilerplate headers/footers/cookie banners vanish
+    * while unique prose survives). Returns the input plus `cleaned`
+    * (surviving lines rejoined with \n), `kept_lines`, `total_lines`.
+    *
+    * Scale design — line TEXT never shuffles: lines reduce to the
+    * portable 60-bit [[tokenHash]] fingerprint right after the
+    * per-row split, the document frequency is ONE (fp → distinct-doc)
+    * hash aggregate over 16-byte rows, and the drop-set joins back to
+    * the doc grain as a (doc, positions) list bounded by the doc's
+    * own line count. Reassembly is a per-row higher-order filter over
+    * the original split — no corpus-wide string movement, no window.
+    * At 100 TB the shuffled bytes are (fp, id, pos) triples, the same
+    * trade [[Dedup]] makes for n-gram fingerprints. */
+  def lineDedup(df: DataFrame, textCol: String, idCol: String,
+                maxDf: Int): DataFrame = {
+    require(maxDf >= 1, s"bad maxDf $maxDf")
+    val lines = df.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .select(col("__id"), col("__pos"),
+        tokenHash(trim(col("__line"))).as("__fp"))
+    val frequent = lines.groupBy("__fp")
+      .agg(countDistinct(col("__id")).as("__df"))
+      .where(col("__df") > maxDf)
+    val dropIdx = lines.join(frequent, "__fp")
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(col("__pos"))).as("__drop"))
+    df.join(dropIdx, df(idCol) === dropIdx("__id"), "left")
+      .withColumn("__lines", split(col(textCol), "\n"))
+      .withColumn("__kept", filter(col("__lines"), (_, i) =>
+        !coalesce(array_contains(col("__drop"), i), lit(false))))
+      .withColumn("cleaned", array_join(col("__kept"), "\n"))
+      .withColumn("total_lines", size(col("__lines")).cast("long"))
+      .withColumn("kept_lines", size(col("__kept")).cast("long"))
+      .drop("__id", "__lines", "__kept", "__drop")
+  }
+
+  /** Normalized host of a URL: lowercased authority with any
+    * `www.` prefix stripped — the key for URL/domain-level curation.
+    * Regex stays in the Java∩RE2 dialect so every engine agrees. */
+  val UrlHostRe = "https?://([^/ ]+)"
+  def urlHost(url: Column): Column =
+    regexp_replace(lower(regexp_extract(url, UrlHostRe, 1)),
+      "^www\\.", "")
+  val UrlHostSql: String => String = col =>
+    s"regexp_replace(lower(regexp_extract($col, '$UrlHostRe', 1)), " +
+      "'^www\\.', '')"
 }
