@@ -356,6 +356,41 @@ object TextAnalysis {
       .drop("__id", "__lines", "__kept", "__drop")
   }
 
+  /** The FIT side of incremental line-dedup: the trimmed-line
+    * fingerprints with document frequency > maxDf, collected to the
+    * driver. Model-sized by construction (the boilerplate set — the
+    * same budget class as Bloom words, centroids, and codebooks);
+    * callers feed it to [[lineDedupApply]] for new batches/streams.
+    * At a scale where the set outgrows a broadcast literal, prefix it
+    * with a [[Bloom]] prefilter and keep the exact set behind it. */
+  def frequentLineFps(df: DataFrame, textCol: String, idCol: String,
+                      maxDf: Int): Array[Long] = {
+    require(maxDf >= 1, s"bad maxDf $maxDf")
+    df.select(col(idCol).as("__id"),
+        explode(split(col(textCol), "\n")).as("__line"))
+      .select(col("__id"), tokenHash(trim(col("__line"))).as("__fp"))
+      .groupBy("__fp").agg(countDistinct(col("__id")).as("__df"))
+      .where(col("__df") > maxDf)
+      .select("__fp").collect().map(_.getLong(0)).sorted
+  }
+
+  /** The APPLY side: drop every line whose trimmed fingerprint is in
+    * the fitted boilerplate set — a pure per-row map (one split, one
+    * higher-order filter against a plan-constant array), so it runs
+    * UNCHANGED on a streaming DataFrame and composes with any
+    * curation pipeline. Same output columns as [[lineDedup]]. */
+  def lineDedupApply(df: DataFrame, textCol: String,
+                     frequentFps: Array[Long]): DataFrame = {
+    val fps = lit(frequentFps)
+    df.withColumn("__lines", split(col(textCol), "\n"))
+      .withColumn("__kept", filter(col("__lines"), l =>
+        !array_contains(fps, tokenHash(trim(l)))))
+      .withColumn("cleaned", array_join(col("__kept"), "\n"))
+      .withColumn("total_lines", size(col("__lines")).cast("long"))
+      .withColumn("kept_lines", size(col("__kept")).cast("long"))
+      .drop("__lines", "__kept")
+  }
+
   /** Normalized host of a URL: lowercased authority with any
     * `www.` prefix stripped — the key for URL/domain-level curation.
     * Regex stays in the Java∩RE2 dialect so every engine agrees. */

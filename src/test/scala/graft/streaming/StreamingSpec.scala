@@ -823,4 +823,91 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count(_._2.isDefined) == 6, "6 WAV rows expected")
     assert(got.count(_._3.isDefined) == 6, "6 MP4 rows expected")
   }
+
+  test("WARC record flatten + MP3 metadata are stream-safe: a binary " +
+    "file stream yields exactly the batch records") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("warcstream").toFile
+    tmp.deleteOnExit()
+    val rows = (1 to 10).map { i =>
+      val media: Array[Byte] =
+        if (i % 2 == 0)
+          graft.ops.Warc.buildFile((1 to i).map(j =>
+            (s"https://ex.com/$i/$j", s"id-$i-$j", s"doc $i $j body")))
+        else graft.ops.Mp3.buildFrames(mpeg1 = i % 3 == 0, brIdx = i % 12 + 1,
+          srIdx = i % 3, nFrames = i + 3)
+      (i.toLong, media)
+    }
+    import spark.implicits._
+    rows.toDF("id", "media").repartition(2)
+      .write.mode("overwrite").parquet(s"$tmp/media")
+    val schema = spark.read.parquet(s"$tmp/media").schema
+
+    // WARC flatten: non-WARC rows (the MP3 ones) vanish, WARC files
+    // expand to warcinfo + responses — a flatMap on a STREAM
+    def warcPipe(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Multimodal.warcRecordsColumn(df, "media")
+        .select(col("id"), col("warc_type"), col("uri"),
+          col("n_body_bytes"))
+    val warcStream = warcPipe(spark.readStream.schema(schema)
+      .parquet(s"$tmp/media"))
+    StreamingOps.runToMemorySink(warcStream, "warc_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    def canon(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    val got = canon(spark.table("warc_stream").collect())
+    val want = canon(warcPipe(spark.read.parquet(s"$tmp/media")).collect())
+    assert(got == want)
+    assert(got.count(_._2 == "response") == (2 to 10 by 2).sum)
+    // MP3 metadata on the same stream: null struct for WARC rows,
+    // exact frame counts for MP3 rows
+    def mp3Pipe(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Multimodal.mp3MetaColumn(df, "media")
+        .select(col("id"), col("mp3.n_frames").as("mf"))
+    val mp3Stream = mp3Pipe(spark.readStream.schema(schema)
+      .parquet(s"$tmp/media"))
+    StreamingOps.runToMemorySink(mp3Stream, "mp3_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val gotM = spark.table("mp3_stream").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    val wantM = mp3Pipe(spark.read.parquet(s"$tmp/media")).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(gotM == wantM && gotM.size == 10)
+    assert(gotM.count(_._2.isDefined) == 5, "5 MP3 rows expected")
+  }
+
+  test("incremental line-dedup: the boilerplate set fitted on the " +
+    "archive applies as a stateless map on a doc stream, equal to the " +
+    "batch apply (and to full lineDedup where dfs agree)") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("linestream").toFile
+    tmp.deleteOnExit()
+    import spark.implicits._
+    val archive = (1L to 30L).map { i =>
+      (i, s"shared header\nbody $i is unique\n" +
+        (if (i % 2 == 0) "even footer\n" else "") + "shared footer")
+    }.toDF("id", "t")
+    val fps = graft.ops.TextAnalysis.frequentLineFps(archive, "t", "id", 10)
+    // header (30) + footer (30) + even footer (15) all exceed maxDf=10
+    assert(fps.length == 3)
+    val batch = (31L to 42L).map { i =>
+      (i, s"shared header\nnew body $i\neven footer\nshared footer")
+    }.toDF("id", "t")
+    batch.write.mode("overwrite").parquet(s"$tmp/docs")
+    val schema = spark.read.parquet(s"$tmp/docs").schema
+    def pipe(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextAnalysis.lineDedupApply(df, "t", fps)
+        .select(col("id"), col("cleaned"), col("kept_lines"),
+          col("total_lines"))
+    val stream = pipe(spark.readStream.schema(schema).parquet(s"$tmp/docs"))
+    StreamingOps.runToMemorySink(stream, "line_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.table("line_stream").as[(Long, String, Long, Long)]
+      .collect().sortBy(_._1)
+    val want = pipe(spark.read.parquet(s"$tmp/docs"))
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    assert(got.forall { case (i, c, k, t) =>
+      c == s"new body $i" && k == 1L && t == 4L })
+  }
 }
