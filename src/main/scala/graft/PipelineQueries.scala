@@ -3573,6 +3573,55 @@ object PipelineQueries {
       "SELECT ha.source, n_urls, n_hosts, n_kept, kept_id_sum " +
       "FROM ha JOIN kb ON ha.source = kb.source ORDER BY ha.source")
 
+  /** The FULL crawl-ingestion pipeline in one plan: docs → template
+    * HTML pages (escaped body, nav/script/style/comment noise) →
+    * per-(source, shard) .warc.gz files → gzip-member record walk →
+    * HTTP envelope strip → HTML text extraction. The oracle
+    * recomputes each doc's expected extracted text from the template
+    * formula (title line, nav lines, whitespace-normalized body,
+    * footer) and checksums it — so the gzip framing, WARC walk, HTTP
+    * split, tag/script strip, entity decode, and whitespace rules
+    * must ALL be exact for the hash to match. This is the
+    * WARC→documents path a 100 TB crawl actually runs; page bytes
+    * never leave their partition end to end. */
+  private val pipelineIngest = Q("q_pipeline_ingest",
+    (s, d) => {
+      val d0 = docs(s, d).select(col("doc_id"), col("source"),
+        pmod(col("doc_id"), lit(8)).as("shard"),
+        concat(lit("Doc "), col("doc_id").cast("string")).as("title"),
+        col("text"))
+      val pages = Multimodal.htmlBuildColumn(d0, "title", "text",
+        Seq("Home", "About"))
+      val withUri = pages.select(col("doc_id"), col("source"),
+        col("shard"),
+        concat(lit("https://crawl.example.com/"), col("source"),
+          lit("/"), col("doc_id").cast("string")).as("uri"),
+        col("html"))
+      val files = Multimodal.warcBuildFiles(withUri,
+        Seq("source", "shard"), "uri", "doc_id", "html")
+      val recs = Multimodal.warcRecordsColumn(files, "media")
+        .where(col("warc_type") === "response")
+      Multimodal.htmlTextColumn(recs, "body_text", "cleaned")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("cleaned")).cast("long")).as("sum_len"),
+          sum(TextAnalysis.tokenHash(col("cleaned")) % lit(DigestMod))
+            .as("checksum"))
+        .orderBy("source")
+    },
+    "WITH b AS (SELECT doc_id, source, " +
+      "trim(regexp_replace(replace(text, chr(10), ' '), " +
+      "'[ \\t\\r]+', ' ', 'g')) AS body FROM documents), " +
+      "c AS (SELECT doc_id, source, " +
+      "'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || 'Home' || " +
+      "chr(10) || 'About' || chr(10) || " +
+      "CASE WHEN body = '' THEN '' ELSE body || chr(10) END || " +
+      "'&copy; example inc' AS cleaned FROM b) " +
+      "SELECT source, count(*) AS n_docs, " +
+      "CAST(sum(length(cleaned)) AS BIGINT) AS sum_len, " +
+      s"CAST(sum(${TextAnalysis.TokenHashSql("cleaned")} % $DigestMod) " +
+      "AS BIGINT) AS checksum FROM c GROUP BY source ORDER BY source")
+
   // ------------------------------------------- sampling / packing / rewrite
 
   /** Per-source keep rates for the stratified-sample oracle (domain
@@ -4775,7 +4824,7 @@ object PipelineQueries {
     textDupNgrams, textNovelty, textLineDedup, textUrls,
     qualityGopher, multimodalMeta,
     multimodalMp4, multimodalMp3, multimodalAvc, sourceWarc,
-    curation, trainMix,
+    pipelineIngest, curation, trainMix,
     pipelineModern, pipelineDiff, pipelineSelect,
     sampleStratified, sampleTemperature, sampleRepeat, sampleFixedN,
     sampleGroupSplit, sampleKfold, embedMatryoshka, textZipf, sampleDoremi,

@@ -412,6 +412,45 @@ object Multimodal {
     }
   }
 
+  /** Render a template HTML page per row (fixture side of the
+    * extraction round-trip): title + fixed nav boilerplate + the body
+    * as one escaped paragraph + script/style/comment noise. */
+  def htmlBuildColumn(df: DataFrame, titleCol: String, bodyCol: String,
+                      navItems: Seq[String], outCol: String = "html",
+                      blockSize: Int = 1024): DataFrame = {
+    val schema = df.schema.add(outCol, StringType)
+    val is = Seq(titleCol, bodyCol).map(df.schema.fieldIndex)
+    mapBatched(df, schema) { it =>
+      it.grouped(blockSize).flatMap { rows =>
+        rows.iterator.map { row =>
+          val page = Html.buildPage(row.getString(is(0)),
+            Seq(row.getString(is(1)).replace('\n', ' ')), navItems)
+          Row.fromSeq(row.toSeq :+ page)
+        }
+      }
+    }
+  }
+
+  /** HTML → readable text ([[Html.extractText]] single-scan strip:
+    * script/style/comments dropped, block tags break lines, character
+    * references decoded, whitespace normalized). Partition-local
+    * batched map — the step between WARC response bodies and a
+    * `documents` table; no UDF registration, stream-safe like every
+    * codec column here. */
+  def htmlTextColumn(df: DataFrame, htmlCol: String,
+                     outCol: String = "extracted",
+                     blockSize: Int = 1024): DataFrame = {
+    val schema = df.schema.add(outCol, StringType)
+    val idx = df.schema.fieldIndex(htmlCol)
+    mapBatched(df, schema) { it =>
+      it.grouped(blockSize).flatMap { rows =>
+        rows.iterator.map { row =>
+          Row.fromSeq(row.toSeq :+ Html.extractText(row.getString(idx)))
+        }
+      }
+    }
+  }
+
   def asMedia(df: DataFrame, srcCol: String, kind: String,
               mediaCol: String = "media",
               metaCol: String = "meta"): DataFrame = {
