@@ -27,6 +27,9 @@ object ScaleProbe {
     "q_sample_topquantile" -> 10,
     "q_events_range" -> 10, "q_events_paths" -> 10,
     "q_sketch_heavyhitters" -> 10,
+    // round-7 additions: crawl ingestion + line dedup + url dedup
+    "q_pipeline_ingest" -> 10, "q_text_linededup" -> 10,
+    "q_text_urls" -> 10, "q_source_warc" -> 10,
     "q_embed_clusters" -> 4, "q_embed_pagerank" -> 4,
     "q_embed_labelprop" -> 4, "q_embed_top1" -> 4,
     "q_embed_kmeans" -> 4, "q_embed_ivfpq" -> 4)
