@@ -3573,6 +3573,47 @@ object PipelineQueries {
       "SELECT ha.source, n_urls, n_hosts, n_kept, kept_id_sum " +
       "FROM ha JOIN kb ON ha.source = kb.source ORDER BY ha.source")
 
+  /** FLAC STREAMINFO round-trip: per-doc parameters → metadata-only
+    * FLAC header ([[Multimodal.flacBuildColumn]]) → bitfield parse →
+    * per-(source, rate) aggregates; the oracle recomputes the packed
+    * 20/3/5/36-bit fields and the integer duration from the
+    * parameter formulas. [[graft.ops.Flac]]. */
+  private val multimodalFlac = Q("q_multimodal_flac",
+    (s, d) => {
+      val src = docs(s, d).select(col("doc_id"), col("source"),
+        element_at(array(lit(8000), lit(16000), lit(22050), lit(24000),
+          lit(32000), lit(44100), lit(48000), lit(96000)),
+          (pmod(col("doc_id"), lit(8)) + 1).cast("int")).as("rate"),
+        (pmod(col("doc_id"), lit(8)) + 1).cast("int").as("chan"),
+        element_at(array(lit(16), lit(24)),
+          (pmod(col("doc_id"), lit(2)) + 1).cast("int")).as("bps"),
+        (length(col("text")).cast("long") * 1000L +
+          pmod(col("doc_id"), lit(977))).as("samples"))
+      val built = Multimodal.flacBuildColumn(src, "rate", "chan", "bps",
+        "samples")
+      Multimodal.flacMetaColumn(built, "media")
+        .groupBy(col("source"), col("flac.sample_rate").as("rate"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("flac.duration_ms")).as("sum_dur_ms"),
+          sum(col("flac.total_samples")).as("sum_samples"),
+          sum(col("flac.channels").cast("long")).as("sum_chan"),
+          sum(col("flac.bits_per_sample").cast("long")).as("sum_bps"))
+        .orderBy("source", "rate")
+    },
+    "WITH p AS (SELECT doc_id, source, length(text) AS nc " +
+      "FROM documents), " +
+      "q AS (SELECT source, [8000, 16000, 22050, 24000, 32000, 44100, " +
+      "48000, 96000][CAST(doc_id % 8 AS INTEGER) + 1] AS rate, " +
+      "CAST(doc_id % 8 + 1 AS BIGINT) AS chan, " +
+      "[16, 24][CAST(doc_id % 2 AS INTEGER) + 1] AS bps, " +
+      "nc * 1000 + (doc_id % 977) AS samples FROM p) " +
+      "SELECT source, rate, count(*) AS n, " +
+      "CAST(sum((samples * 1000) // rate) AS BIGINT) AS sum_dur_ms, " +
+      "CAST(sum(samples) AS BIGINT) AS sum_samples, " +
+      "CAST(sum(chan) AS BIGINT) AS sum_chan, " +
+      "CAST(sum(bps) AS BIGINT) AS sum_bps " +
+      "FROM q GROUP BY source, rate ORDER BY source, rate")
+
   /** The FULL crawl-ingestion pipeline in one plan: docs → template
     * HTML pages (escaped body, nav/script/style/comment noise) →
     * per-(source, shard) .warc.gz files → gzip-member record walk →
@@ -4823,8 +4864,8 @@ object PipelineQueries {
     sketchHeavyHitters,
     textDupNgrams, textNovelty, textLineDedup, textUrls,
     qualityGopher, multimodalMeta,
-    multimodalMp4, multimodalMp3, multimodalAvc, sourceWarc,
-    pipelineIngest, curation, trainMix,
+    multimodalMp4, multimodalMp3, multimodalAvc, multimodalFlac,
+    sourceWarc, pipelineIngest, curation, trainMix,
     pipelineModern, pipelineDiff, pipelineSelect,
     sampleStratified, sampleTemperature, sampleRepeat, sampleFixedN,
     sampleGroupSplit, sampleKfold, embedMatryoshka, textZipf, sampleDoremi,

@@ -354,6 +354,55 @@ object Multimodal {
     }
   }
 
+  val FlacMetaType: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bits_per_sample", IntegerType),
+    StructField("total_samples", LongType),
+    StructField("duration_ms", LongType)))
+
+  /** Synthesize a metadata-only FLAC header per row from typed
+    * parameter columns ([[Flac.buildStreamInfo]]). */
+  def flacBuildColumn(df: DataFrame, rateCol: String, chanCol: String,
+                      bpsCol: String, samplesCol: String,
+                      outCol: String = "media",
+                      blockSize: Int = 1024): DataFrame = {
+    val schema = df.schema.add(outCol, BinaryType)
+    val is = Seq(rateCol, chanCol, bpsCol, samplesCol)
+      .map(df.schema.fieldIndex)
+    mapBatched(df, schema) { it =>
+      it.grouped(blockSize).flatMap { rows =>
+        rows.iterator.map { row =>
+          val bytes = Flac.buildStreamInfo(row.getInt(is(0)),
+            row.getInt(is(1)), row.getInt(is(2)), row.getLong(is(3)))
+          Row.fromSeq(row.toSeq :+ bytes)
+        }
+      }
+    }
+  }
+
+  /** FLAC STREAMINFO metadata per row ([[Flac.parseMeta]]), null for
+    * non-FLAC bytes. Pure-JVM bitfield arithmetic, batched
+    * partition-local, stream-safe. */
+  def flacMetaColumn(df: DataFrame, mediaCol: String,
+                     outCol: String = "flac",
+                     blockSize: Int = 1024): DataFrame = {
+    val schema = df.schema.add(outCol, FlacMetaType)
+    val idx = df.schema.fieldIndex(mediaCol)
+    mapBatched(df, schema) { it =>
+      it.grouped(blockSize).flatMap { rows =>
+        rows.iterator.map { row =>
+          val meta = Flac.parseMeta(row.getAs[Array[Byte]](idx)) match {
+            case Some(m) => Row(m.sampleRateHz, m.channels,
+              m.bitsPerSample, m.totalSamples, m.durationMs)
+            case None => null
+          }
+          Row.fromSeq(row.toSeq :+ meta)
+        }
+      }
+    }
+  }
+
   /** Assemble per-group .warc.gz FILES (fixture side): one row per
     * group with the member-per-record gzip bytes ([[Warc.buildFile]]).
     * The group's docs are collected into ONE file — the shard grain
