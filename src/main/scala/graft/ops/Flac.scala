@@ -22,15 +22,18 @@ object Flac {
   def parseMeta(b: Array[Byte]): Option[FlacInfo] = {
     if (b == null || b.length < 8 || b(0) != 'f' || b(1) != 'L' ||
       b(2) != 'a' || b(3) != 'C') return None
-    var o = 4
+    // Long offsets: p + len on a near-2 GiB cell would wrap Int
+    // negative and index out of bounds, breaking totality-on-garbage
+    var o = 4L
     var last = false
     while (!last && o + 4 <= b.length) {
-      val h = b(o) & 0xff
+      val oi = o.toInt
+      val h = b(oi) & 0xff
       last = (h & 0x80) != 0
       val typ = h & 0x7f
-      val len = ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) |
-        (b(o + 3) & 0xff)
-      val p = o + 4
+      val len = ((b(oi + 1) & 0xff) << 16) | ((b(oi + 2) & 0xff) << 8) |
+        (b(oi + 3) & 0xff)
+      val p = oi + 4
       if (typ == 0 && p + 34 <= b.length && len >= 34) {
         val minBs = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
         val maxBs = ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
@@ -44,7 +47,7 @@ object Flac {
         while (i < 4) { samples = (samples << 8) | (b(p + 14 + i) & 0xff); i += 1 }
         return Some(FlacInfo(rate, chan, bps, samples, minBs, maxBs))
       }
-      o = p + len
+      o = p.toLong + len
     }
     None
   }

@@ -45,7 +45,14 @@ object Html {
     var dropUntil: String = null // inside <script>/<style>
     while (i < n) {
       val c = html.charAt(i)
-      if (c == '<') {
+      // HTML5 tokenizer rule: '<' opens markup only before a letter,
+      // '/', '!' or '?' — a bare '<' in prose ("5 < 6") is TEXT, not
+      // a tag whose content silently vanishes to the next '>'
+      val opensMarkup = c == '<' && i + 1 < n && {
+        val c1 = html.charAt(i + 1)
+        c1.isLetter || c1 == '/' || c1 == '!' || c1 == '?'
+      }
+      if (opensMarkup) {
         if (i + 3 < n && html.charAt(i + 1) == '!' &&
           html.charAt(i + 2) == '-' && html.charAt(i + 3) == '-') {
           val e = html.indexOf("-->", i + 4)
@@ -66,17 +73,30 @@ object Html {
       } else if (dropUntil != null) {
         i += 1
       } else if (c == '&') {
-        val sc = html.indexOf(';', i + 1)
-        if (sc > i && sc - i <= 10) {
+        // references are ≤ 10 chars — bound the ';' scan to that
+        // window (an unbounded indexOf over '&'-dense input would be
+        // quadratic in the document)
+        var sc = -1
+        var j = i + 1
+        val jMax = math.min(n, i + 11)
+        while (sc < 0 && j < jMax) {
+          if (html.charAt(j) == ';') sc = j
+          j += 1
+        }
+        if (sc > i) {
           val ref = html.substring(i + 1, sc)
-          val decoded: Option[Char] =
+          val decoded: Option[String] =
             if (ref.startsWith("#x") || ref.startsWith("#X"))
-              scala.util.Try(Integer.parseInt(ref.drop(2), 16).toChar).toOption
+              scala.util.Try(Integer.parseInt(ref.drop(2), 16)).toOption
+                .filter(cp => cp > 0 && cp <= 0x10ffff)
+                .map(cp => new String(Character.toChars(cp)))
             else if (ref.startsWith("#"))
-              scala.util.Try(ref.drop(1).toInt.toChar).toOption
-            else NamedRefs.get(ref)
+              scala.util.Try(ref.drop(1).toInt).toOption
+                .filter(cp => cp > 0 && cp <= 0x10ffff)
+                .map(cp => new String(Character.toChars(cp)))
+            else NamedRefs.get(ref).map(_.toString)
           decoded match {
-            case Some(ch) => out.append(ch); i = sc + 1
+            case Some(s) => out.append(s); i = sc + 1
             case None => out.append(c); i += 1 // literal '&'
           }
         } else { out.append(c); i += 1 }
@@ -90,10 +110,12 @@ object Html {
 
   /** Spaces/tabs collapse to one space; line boundaries survive as
     * single newlines; leading/trailing space per line trimmed; blank
-    * lines dropped. */
+    * lines dropped. Pattern precompiled — this runs per LINE of every
+    * crawled page on the ingest hot path. */
+  private val Ws = java.util.regex.Pattern.compile("[ \\t\\r\\u00a0]+")
   private def normalizeWhitespace(s: String): String =
     s.split('\n').iterator
-      .map(_.replaceAll("[ \\t\\r\\u00a0]+", " ").trim)
+      .map(l => Ws.matcher(l).replaceAll(" ").trim)
       .filter(_.nonEmpty)
       .mkString("\n")
 

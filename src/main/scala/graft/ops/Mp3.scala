@@ -126,13 +126,16 @@ object Mp3 {
             (b(xo) == 'I' && b(xo + 1) == 'n' && b(xo + 2) == 'f' && b(xo + 3) == 'o'))
         var n = 0L
         var vbr = xing
-        var cur = o
+        // Long cursor: cur + frameLen on a near-2 GiB cell would wrap
+        // Int negative and index out of bounds in frameAt's sync check
+        var cur: Long = o
         var curLen = len0
         var ok = true
         while (ok) {
           n += 1
           cur += curLen
-          frameAt(b, cur) match {
+          val next = if (cur + 4 > b.length) None else frameAt(b, cur.toInt)
+          next match {
             case Some((fi, l)) if fi.sampleRateHz == first.sampleRateHz =>
               if (fi.bitrateKbps != first.bitrateKbps) vbr = true
               curLen = l

@@ -41,7 +41,11 @@ object Warc {
   def gunzipAll(b: Array[Byte]): Array[Byte] = {
     if (b == null || b.length < 2 ||
       (b(0) & 0xff) != 0x1f || (b(1) & 0xff) != 0x8b) return b
-    val out = new ByteArrayOutputStream(b.length * 4)
+    // initial capacity: 4x compressed size, clamped to 64 MiB — the
+    // stream grows as needed; b.length*4 as a plain Int would overflow
+    // negative on ~0.5 GiB inputs (real .warc.gz files are ~1 GiB)
+    val out = new ByteArrayOutputStream(
+      math.min(b.length.toLong * 4L, 64L << 20).toInt)
     try {
       val in = new GZIPInputStream(new ByteArrayInputStream(b), 64 * 1024)
       val buf = new Array[Byte](64 * 1024)

@@ -28,6 +28,20 @@ class HtmlSpec extends AnyFunSuite {
     assert(Html.extractText("&#65;&#x42;&#x63;") == "ABc")
     assert(Html.extractText("&copy; 2026 &bogus; x & y &amp") ==
       "&copy; 2026 &bogus; x & y &amp")
+    // astral-plane codepoints decode to surrogate PAIRS, not a
+    // truncated 16-bit char; NUL and out-of-range stay literal
+    assert(Html.extractText("&#128512;&#x1F600;") == "😀😀")
+    assert(Html.extractText("&#0; &#1114112;") == "&#0; &#1114112;")
+  }
+
+  test("a bare '<' in prose is text, not a tag that swallows content " +
+    "(the HTML5 tokenizer rule: markup opens only before letter//!?)") {
+    assert(Html.extractText("He said 5 < 6 > 4 holds") ==
+      "He said 5 < 6 > 4 holds")
+    assert(Html.extractText("x < y with no later gt") ==
+      "x < y with no later gt")
+    assert(Html.extractText("a <b>bold</b> < 3") == "a bold < 3")
+    assert(Html.extractText("tail <") == "tail <")
   }
 
   test("whitespace normalizes: runs collapse, lines trim, blank lines " +
