@@ -39,7 +39,7 @@ object ElboDemo {
     elbo.optimize(maxiter, mb, lr, verboseEvery = math.max(1, maxiter / 20))
     val secs = (System.nanoTime() - t0) / 1e9
     val stats = ds.train.agg(avg("x"), avg("y"), avg(col("x") * col("y")),
-      avg(col("x") * col("x"))).head
+      avg(col("x") * col("x"))).head()
     val (mx, my, mxy, mxx) = (stats.getDouble(0), stats.getDouble(1),
       stats.getDouble(2), stats.getDouble(3))
     val slope = (mxy - mx * my) / (mxx - mx * mx)

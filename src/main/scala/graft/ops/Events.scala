@@ -97,7 +97,7 @@ object Events {
     val r1 = extras.foldLeft(r0) { (d, c) =>
       d.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
-    val cols = left.columns.map(col) :+ col("__seq") :+ col("__side") :+ col("__p")
+    val cols = left.columns.toIndexedSeq.map(col) :+ col("__seq") :+ col("__side") :+ col("__p")
     val u = l0.select(cols: _*).unionByName(r1.select(cols: _*))
     // at equal (key, ts): __side orders right(0) before left(1), so an
     // exact-ts right row is already visible; among equal-ts right rows
@@ -107,7 +107,7 @@ object Events {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     u.withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         payloadCols.map(p => col("__m").getField(p).as(prefix + p)): _*)
   }
 

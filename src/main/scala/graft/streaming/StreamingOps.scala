@@ -350,7 +350,7 @@ object StreamingOps {
     q.processAllAvailable()
     q.stop()
     val cents = state.toArray.sortBy(_._1).map { case (cid, (n, s)) =>
-      (cid, s.map(_.toDouble / Similarity.KmeansFxScale / n.toDouble): Seq[Double])
+      (cid, s.toIndexedSeq.map(_.toDouble / Similarity.KmeansFxScale / n.toDouble): Seq[Double])
     }
     (cents, state.map { case (c, (n, _)) => c -> n }.toMap, nBatches.get())
   }
