@@ -3509,6 +3509,60 @@ object PipelineQueries {
       s"CAST(sum(${TextAnalysis.TokenHashSql("cleaned")} % $DigestMod) " +
       "AS BIGINT) AS checksum FROM re GROUP BY source ORDER BY source")
 
+  /** The incremental (fit → apply) line-dedup path, oracle-pinned:
+    * the boilerplate set is FITTED on the synthesized corpus (driver-
+    * collected, model-sized — the Bloom/centroid budget class) and
+    * APPLIED as the pure per-row map new batches and streams run
+    * ([[TextAnalysis.lineDedupApply]]). The oracle recomputes both
+    * stages in SQL, so fit thresholding AND apply reassembly are
+    * pinned cross-engine — and the result must equal the one-shot
+    * [[TextAnalysis.lineDedup]] on the same corpus by construction
+    * (asserted in LineDedupSpec; here each path is hash-checked
+    * independently). */
+  private val textLineDedupApply = Q("q_text_linededup_apply",
+    (s, d) => {
+      val syn = docs(s, d).select(col("doc_id"), col("source"),
+        concat(lit("=== "), col("source"), lit(" header ===\n"),
+          col("text"), lit("\nshared footer line\n(c) corpus "),
+          col("source")).as("t"))
+      val fps = TextAnalysis.frequentLineFps(syn, "t", "doc_id",
+        LineDedupMaxDf)
+      TextAnalysis.lineDedupApply(syn, "t", fps)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("total_lines")).as("sum_total"),
+          sum(col("kept_lines")).as("sum_kept"),
+          sum(TextAnalysis.tokenHash(col("cleaned")) % lit(DigestMod))
+            .as("checksum"))
+        .orderBy("source")
+    },
+    // identical result contract to q_text_linededup: the apply path
+    // must reproduce the one-shot path exactly
+    "WITH d AS (SELECT doc_id, source, " +
+      "'=== ' || source || ' header ===' || chr(10) || text || " +
+      "chr(10) || 'shared footer line' || chr(10) || " +
+      "'(c) corpus ' || source AS t FROM documents), " +
+      "d2 AS (SELECT doc_id, source, string_split(t, chr(10)) AS ls " +
+      "FROM d), " +
+      "l AS (SELECT doc_id, source, unnest([{'pos': i, " +
+      s"'fp': ${TextAnalysis.TokenHashSql("trim(ls[i])")}} " +
+      "for i in range(1, len(ls) + 1)]) AS u FROM d2), " +
+      "lf AS (SELECT doc_id, source, u.pos AS pos, u.fp AS fp FROM l), " +
+      "freq AS (SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS df " +
+      s"FROM lf GROUP BY fp) WHERE df > $LineDedupMaxDf), " +
+      "kept AS (SELECT lf.doc_id, lf.pos FROM lf LEFT JOIN freq " +
+      "ON lf.fp = freq.fp WHERE freq.fp IS NULL), " +
+      "re AS (SELECT d2.doc_id, d2.source, " +
+      "coalesce(string_agg(d2.ls[kept.pos], chr(10) ORDER BY kept.pos), " +
+      "'') AS cleaned, count(kept.pos) AS kept_lines, " +
+      "min(len(d2.ls)) AS total_lines FROM d2 LEFT JOIN kept " +
+      "ON d2.doc_id = kept.doc_id GROUP BY d2.doc_id, d2.source) " +
+      "SELECT source, count(*) AS n_docs, " +
+      "CAST(sum(total_lines) AS BIGINT) AS sum_total, " +
+      "CAST(sum(kept_lines) AS BIGINT) AS sum_kept, " +
+      s"CAST(sum(${TextAnalysis.TokenHashSql("cleaned")} % $DigestMod) " +
+      "AS BIGINT) AS checksum FROM re GROUP BY source ORDER BY source")
+
   /** URL extraction + host normalization + URL-level dedup (the
     * crawl-curation trio): every URL found by the shared dialect-safe
     * regex, hosts lowercased with `www.` stripped, and docs deduped
@@ -4862,7 +4916,8 @@ object PipelineQueries {
     textContamination, sketchHll,
     sketchHllBy, sketchCms, sketchAms, sketchQuantile, sketchQuantileBy,
     sketchHeavyHitters,
-    textDupNgrams, textNovelty, textLineDedup, textUrls,
+    textDupNgrams, textNovelty, textLineDedup, textLineDedupApply,
+    textUrls,
     qualityGopher, multimodalMeta,
     multimodalMp4, multimodalMp3, multimodalAvc, multimodalFlac,
     sourceWarc, pipelineIngest, curation, trainMix,
