@@ -55,15 +55,22 @@ object Dedup {
     * pure map, so it scales with the scan and also works statelessly
     * on a stream. [[minhashSignaturesSpec]] is the composable
     * array-expression form it is equivalence-tested against.
-    * Documents with no tokens are dropped (all-P sentinel; P itself is
-    * unreachable as a signature since x mod P < P). */
+    *
+    * Null-text documents are dropped (the cheap `isNotNull` BEFORE
+    * the kernel — an equivalent sentinel filter on the signature
+    * would be alias-substituted below the projection by Catalyst and
+    * run the tokenize+md5+fold kernel TWICE per row). Note empty /
+    * whitespace-only text is NOT token-less: `split(" ", -1)` yields
+    * the empty token, so blank docs share that token's signature and
+    * collapse into one near-dup family — the kernel's all-P sentinel
+    * is unreachable for non-null input (x mod P < P). */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         keep: Seq[String] = Nil): DataFrame = {
     val sigCols = (0 until NumPerms).map(i =>
       element_at(col("__mh"), i + 1).as(s"sig$i"))
-    df.select((col(idCol) +: keep.map(col)) :+
+    df.where(col(textCol).isNotNull)
+      .select((col(idCol) +: keep.map(col)) :+
         TextHashExpressions.minhashSigs(col(textCol)).as("__mh"): _*)
-      .where(element_at(col("__mh"), 1) < lit(P))
       .select((col(idCol) +: keep.map(col)) ++ sigCols: _*)
   }
 
@@ -92,32 +99,14 @@ object Dedup {
     * recall (more bands → more, looser buckets) against precision and
     * must divide [[NumPerms]]. */
   def lshBands(sigs: DataFrame, idCol: String,
-               numBands: Int = NumBands): DataFrame = {
-    require(NumPerms % numBands == 0, s"numBands must divide $NumPerms")
-    val rows = NumPerms / numBands
-    val bands = (0 until numBands).map { b =>
-      val key = concat_ws("_",
-        (0 until rows).map(r => col(s"sig${b * rows + r}")): _*)
-      sigs.select(col(idCol), lit(b).as("band"), key.as("band_key"))
-    }
-    bands.reduce(_ unionByName _)
-  }
-
-  /** Distinct candidate pairs (a < b) from bucket collisions, with the
-    * fraction of agreeing signature components (the MinHash Jaccard
-    * estimate).
-    *
-    * The signature vector rides along on each band row (8 longs —
-    * negligible shuffle weight), so the bucket self-join yields both
-    * signatures directly and the estimate is a `zip_with` over the two
-    * arrays: one aggregation + one self-join total, no signature
-    * re-join and no cache. A pair colliding in several bands gets the
-    * same estimate each time, so the final `distinct` still dedups. */
-  /** Band rows (id, sig[8], band, band_key), shared by the pair join
-    * and the bucket-size accounting. */
-  private def bandRows(df: DataFrame, textCol: String, idCol: String,
-                       numBands: Int): DataFrame =
-    bandRowsFromSigs(minhashSignatures(df, textCol, idCol), idCol, numBands)
+               numBands: Int = NumBands): DataFrame =
+    // thin projection over the ONE band_key encoding
+    // ([[bandRowsFromSigs]]) — a second hand-rolled encoding here
+    // could drift from the contract stream-static tagging joins on;
+    // the explode form also reads the signature frame once, not
+    // numBands times
+    bandRowsFromSigs(sigs, idCol, numBands)
+      .select(col(idCol), col("band"), col("band_key"))
 
   /** Band rows over a PRE-COMPUTED signature frame — lets callers that
     * already hold (possibly cached) signatures avoid re-running the
@@ -144,6 +133,16 @@ object Dedup {
                  numBands: Int = NumBands): DataFrame =
     bandRowsFromSigs(minhashSignatures(df, textCol, idCol), idCol, numBands)
 
+  /** Distinct candidate pairs (a < b) from bucket collisions, with the
+    * fraction of agreeing signature components (the MinHash Jaccard
+    * estimate).
+    *
+    * The signature vector rides along on each band row (8 longs —
+    * negligible shuffle weight), so the bucket self-join yields both
+    * signatures directly and the estimate is a `zip_with` over the two
+    * arrays: one aggregation + one self-join total, no signature
+    * re-join and no cache. A pair colliding in several bands gets the
+    * same estimate each time, so the final `distinct` still dedups. */
   def minhashCandidates(df: DataFrame, textCol: String,
                         idCol: String): DataFrame =
     minhashCandidates(df, textCol, idCol, maxBucket = 0, NumBands)
@@ -238,8 +237,10 @@ object Dedup {
   /** The deduplicated corpus itself: the full rows of one
     * representative (min id) per MinHash signature — what a cleaning
     * pipeline actually emits. One signature aggregate + one id join
-    * back (shuffle on the id only); token-less docs, which carry no
-    * signature, are dropped like every dedup path here. */
+    * back (shuffle on the id only); null-text docs, which carry no
+    * signature, are dropped like every dedup path here (empty-string
+    * docs DO carry the empty-token signature — see
+    * [[minhashSignatures]] — and dedupe into one kept blank). */
   def dedupedCorpus(df: DataFrame, textCol: String,
                     idCol: String): DataFrame =
     df.join(minhashGroups(df, textCol, idCol)
@@ -355,14 +356,30 @@ object Dedup {
     * costs one map pass plus a join on the sliver. */
   def newAgainstCorpusBloom(newDf: DataFrame, corpus: DataFrame,
       textCol: String, idCol: String,
-      mBits: Int = 1 << 16, kHashes: Int = 5): DataFrame = {
+      mBits: Int = 0, kHashes: Int = 5): DataFrame = {
     val sigCols = (0 until NumPerms).map(i => s"sig$i")
     val corpusSigs = minhashSignatures(corpus, textCol, idCol)
       .select(sigCols.map(col): _*).distinct()
+      .persist() // read 3x below (size, build, anti-join); fit-time only
+    // mBits <= 0 → size from the archive's actual signature
+    // cardinality at ~10 bits/key (≈1% fpp with k=5), next power of
+    // two. A fixed default silently saturates on a large archive —
+    // every probe then answers "maybe" and the prefilter degrades to
+    // a no-op that still pays its build cost.
+    val m = if (mBits > 0) mBits
+    else {
+      val n = math.max(corpusSigs.count(), 1L)
+      val want = math.min(n * 10L, 1L << 30)
+      java.lang.Long.highestOneBit(math.max(want * 2 - 1, 64L)).toInt
+    }
     val bits = Bloom.build(corpusSigs.select(sigKey().as("__k")), "__k",
-      mBits, kHashes)
-    newAgainstCorpusBloomWith(newDf, corpusSigs, bits, textCol, idCol,
-      mBits, kHashes)
+      m, kHashes)
+    // corpusSigs stays persisted under the returned plan (it feeds the
+    // anti-join); the ContextCleaner reclaims it when the caller drops
+    // the result — the same caller-lifetime convention as the
+    // connectedComponents fixpoint.
+    newAgainstCorpusBloomWith(newDf, corpusSigs, bits, textCol,
+      idCol, m, kHashes)
   }
 
   /** As above with a PREBUILT filter + distinct corpus-signature
@@ -463,16 +480,34 @@ object Dedup {
     * matches the loop's shared partitioner. `reduceByKey` runs through
     * Spark's ExternalAppendOnlyMap on both the map side (combiner) and
     * the reduce side — unlike an in-heap HashSet of the whole
-    * partition, a skewed partition SPILLS instead of OOMing. */
+    * partition, a skewed partition SPILLS instead of OOMing.
+    *
+    * The output CARRIES a partitioner that declares equality with `p`
+    * (placement invariant: a (u, v) row sits exactly where key u sits
+    * under p, so for downstream ops keyed by u this partitioner IS
+    * p) — without it, `.map(_._1)` would drop the partitioner and
+    * [[smallStar]]'s reduce/join would re-exchange the whole edge set
+    * every round, adding a fourth full shuffle per round at exactly
+    * the scale the loop is designed for. The equality is pinned to
+    * the one shared loop-partitioner INSTANCE (`other eq p`), never a
+    * structural match. */
   private def distinctPairsByKey(r: org.apache.spark.rdd.RDD[(Long, Long)],
                                  p: org.apache.spark.Partitioner)
       : org.apache.spark.rdd.RDD[(Long, Long)] = {
     val byU = new org.apache.spark.Partitioner {
       def numPartitions: Int = p.numPartitions
-      def getPartition(key: Any): Int =
-        p.getPartition(key.asInstanceOf[(Long, Long)]._1)
+      def getPartition(key: Any): Int = key match {
+        case (u: Long, _) => p.getPartition(u)
+        case k => p.getPartition(k)
+      }
+      override def equals(other: Any): Boolean = other match {
+        case o: AnyRef => (o eq this) || (o eq p)
+        case _ => false
+      }
+      override def hashCode: Int = p.hashCode
     }
-    r.map((_, ())).reduceByKey(byU, (a, _) => a).map(_._1)
+    r.map((_, ())).reduceByKey(byU, (a, _) => a)
+      .mapPartitions(_.map(_._1), preservesPartitioning = true)
   }
 
   /** Large-star round: connect every node to the minimum of its
@@ -554,6 +589,19 @@ object Dedup {
                           maxIter: Int = 50): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // fail fast on non-integral ids: cast("long") of a string/uuid id
+    // yields null, greatest/least propagate it, and the u =!= v filter
+    // would silently drop EVERY edge — dedup would "succeed" removing
+    // nothing. Hash such ids to long first (e.g. xxhash64).
+    Seq(aCol, bCol).foreach { c =>
+      import org.apache.spark.sql.types._
+      val ok = edges.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(ok, s"connectedComponents needs integral node ids; " +
+        s"'$c' is ${edges.schema(c).dataType}")
+    }
     // canonicalize once: the caller's edge pipeline (e.g. the whole
     // LSH candidate generation) runs exactly once, into a persisted
     // pair RDD the loop iterates on
@@ -573,9 +621,9 @@ object Dedup {
       val next = smallStar(largeStar(e, p), p)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nextSig = edgeSignature(next) // materializes this round
-      // the round's inputs are now dead: previous edge set + the two
-      // intra-round `sym`/`o` caches (released lazily, after `next`
-      // is safely materialized)
+      // the previous round's edge set is now dead (released lazily,
+      // after `next` is safely materialized; the intra-round sym/o
+      // frames are never persisted — they flow straight through)
       toRelease.foreach(_.unpersist(blocking = false))
       toRelease = List(e)
       done = nextSig == sig
@@ -610,8 +658,9 @@ object Dedup {
     * (doc → per-signature min id; one hash aggregate + join-back —
     * linear), so template families diverted from the pair join still
     * collapse. Components via [[connectedComponents]]; docs touching
-    * no edge are their own singleton cluster; token-less docs are
-    * dropped, like every dedup path here.
+    * no edge are their own singleton cluster; null-text docs are
+    * dropped, like every dedup path here (blank docs share the
+    * empty-token signature and collapse into one cluster).
     *
     * Returns (idCol, cluster_id). Keep the rows where
     * `idCol == cluster_id` (plus singletons, already such rows) to
@@ -791,9 +840,12 @@ object Dedup {
     * one-pass kernel ([[Simhash16Expr]]); no explode, no shuffle.
     * [[simhash16Spec]] is the composable form it is pinned to. */
   def simhash16(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol),
+    // isNotNull BEFORE the kernel (a sentinel filter on the output
+    // would be pushed below the projection and evaluate the kernel
+    // twice per row); non-null text always yields a value in [0, 2^16)
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol),
         TextHashExpressions.simhash16(col(textCol)).as("simhash"))
-      .where(col("simhash") >= 0)
 
   /** Composable 16-aggregate form of [[simhash16]] (executable spec). */
   def simhash16Spec(df: DataFrame, textCol: String, idCol: String): DataFrame = {
