@@ -29,7 +29,13 @@ object StreamingOps {
                        keyCol: Column, watermark: String = "10 minutes",
                        windowLen: String = "5 minutes"): DataFrame =
     events
-      .withColumn("event_ts", (tsNanos / lit(1e9)).cast("timestamp"))
+      // integer nanos→micros→timestamp: double division of epoch-nanos
+      // (~1.7e18 > 2^53) would perturb events near window/watermark
+      // boundaries (the same rule as sessionize/asof below); Column./
+      // is double division, so bind the column and use integer `div`
+      .withColumn("__ns", tsNanos.cast("long"))
+      .withColumn("event_ts", timestamp_micros(expr("__ns div 1000")))
+      .drop("__ns")
       .withColumn("logp", logp)
       .withWatermark("event_ts", watermark)
       .groupBy(window(col("event_ts"), windowLen), keyCol)
@@ -69,6 +75,9 @@ object StreamingOps {
   def ewmaPerKey(events: Dataset[(Long, Long, Long, Double)],
                  alpha: Double)
       : Dataset[(Long, Long, Double, Double, Option[Double])] = {
+    // same domain contract as the batch twin (Events.ewma) — the
+    // streaming path must fail fast where the batch path does
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha out of (0,1]: $alpha")
     import events.sparkSession.implicits._
     val beta = 1.0 - alpha
     events.groupByKey(_._1)
@@ -281,23 +290,30 @@ object StreamingOps {
                          (sink: DataFrame => Unit): Long = {
     // the count tables are lazy full-corpus aggregates; without a
     // cache every micro-batch would re-tokenize and re-aggregate the
-    // whole training corpus
-    val cached = lm.copy(bigrams = lm.bigrams.persist(),
-      prefixes = lm.prefixes.persist())
+    // whole training corpus. Persist only what the CALLER has not
+    // (persist() returns the same object, so unpersisting a frame the
+    // caller cached would silently evict THEIR cache), and release
+    // exactly ours on every exit path — including a failed start().
+    val none = org.apache.spark.storage.StorageLevel.NONE
+    val ourBigrams = lm.bigrams.storageLevel == none
+    val ourPrefixes = lm.prefixes.storageLevel == none
+    val cached = lm.copy(
+      bigrams = if (ourBigrams) lm.bigrams.persist() else lm.bigrams,
+      prefixes = if (ourPrefixes) lm.prefixes.persist() else lm.prefixes)
     val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
-    val q = docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        sink(graft.ops.NgramLm.perplexity(batch, textCol, idCol, cached))
-        nBatches.incrementAndGet()
-        ()
-      }
-      .start()
     try {
-      q.processAllAvailable()
-      q.stop()
+      val q = docs.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          sink(graft.ops.NgramLm.perplexity(batch, textCol, idCol, cached))
+          nBatches.incrementAndGet()
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop() // never leave an orphaned query pulling batches
     } finally {
-      cached.bigrams.unpersist()
-      cached.prefixes.unpersist()
+      if (ourBigrams) cached.bigrams.unpersist()
+      if (ourPrefixes) cached.prefixes.unpersist()
     }
     nBatches.get()
   }
@@ -339,16 +355,27 @@ object StreamingOps {
             state.update(cid, (n0 + r.getLong(1), s1))
           }
         if (updateCentroids)
-          cur = state.toArray.sortBy(_._1).map { case (cid, (n, s)) =>
-            (cid, s.map(_.toDouble / Similarity.KmeansFxScale / n.toDouble)
-              .toSeq)
+          // refresh over INIT's cells, falling back to the seed
+          // centroid for any cell no batch has hit yet — rebuilding
+          // from the state map alone would permanently drop every
+          // centroid absent from the early batches (the first
+          // micro-batch might populate 3 of 10 cells, and assignment
+          // against a 3-cell model can never repopulate the rest)
+          cur = init.map { case (cid, c0) =>
+            state.get(cid) match {
+              case Some((n, s)) if n > 0 =>
+                (cid, s.toIndexedSeq
+                  .map(_.toDouble / Similarity.KmeansFxScale / n.toDouble)
+                  : Seq[Double])
+              case _ => (cid, c0)
+            }
           }
         nBatches.incrementAndGet()
         ()
       }
       .start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable()
+    finally q.stop()
     val cents = state.toArray.sortBy(_._1).map { case (cid, (n, s)) =>
       (cid, s.toIndexedSeq.map(_.toDouble / Similarity.KmeansFxScale / n.toDouble): Seq[Double])
     }
@@ -377,8 +404,8 @@ object StreamingOps {
         ()
       }
       .start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable()
+    finally q.stop()
     nBatches.get()
   }
 
@@ -410,7 +437,7 @@ object StreamingOps {
     // watermark by sub-microsecond amounts at boundaries
     val prepared = events
       .withColumn("__ets",
-        timestamp_micros(expr(s"$tsNanos div 1000")))
+        timestamp_micros(expr(s"`$tsNanos` div 1000")))
       .select(col(keyCol).cast("long").as("k"),
         col(tsNanos).cast("long").as("t"), col("__ets"))
       .withWatermark("__ets", watermarkDelay)
@@ -511,7 +538,9 @@ object StreamingOps {
           val s0 = state.getOption.getOrElse(AsofState(Nil, Nil))
           var rights = s0.rights
           var lefts = s0.lefts
+          var sawRows = false
           rows.foreach { r =>
+            sawRows = true
             if (r._5 == 0) rights = (r._2, r._3, r._4) :: rights
             else lefts = (r._2, r._3, r._4) :: lefts
           }
@@ -537,8 +566,15 @@ object StreamingOps {
           val keepPast = if (past.isEmpty) Nil
             else List(past.maxBy(r => (r._1, r._2)))
           val rights2 = future ++ keepPast
-          val idledOut = state.hasTimedOut && pending.isEmpty &&
-            idleRetention.isDefined
+          // idle ⟺ this timeout fired with NO new rows and NO pending
+          // lefts at entry. A pending-DRAIN timeout (armed to flush
+          // buffered lefts) must not evict the version store the
+          // moment it fires — that would make a later left miss a
+          // match the un-evicted key would have made; after a drain,
+          // the idle clock is armed below and eviction waits a full
+          // idleRetention of event time with no traffic.
+          val idledOut = state.hasTimedOut && !sawRows &&
+            s0.lefts.isEmpty && idleRetention.isDefined
           if ((pending.isEmpty && rights2.isEmpty) || idledOut)
             state.remove()
           else {
@@ -682,8 +718,8 @@ object StreamingOps {
                       outputMode: OutputMode = OutputMode.Append()): String = {
     val q = out.writeStream.outputMode(outputMode)
       .format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable()
+    finally q.stop()
     name
   }
 }

@@ -492,6 +492,89 @@ class StreamingSpec extends AnyFunSuite {
     assert(mustEmit.nonEmpty && got.size >= mustEmit.size)
   }
 
+  test("as-of idleRetention: a pending-drain timeout does NOT evict " +
+    "the version store — a later left still matches; eviction waits " +
+    "for real idleness") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("asofidle").toFile
+    tmp.deleteOnExit()
+    val sec = 1000000000L
+    def write(name: String, rows: Seq[(Long, Long, Long, Double, Int)]): Unit =
+      rows.toDF("user_id", "ts", "event_id", "value", "is_left")
+        .repartition(1).write.parquet(s"$tmp/$name")
+    // batch 1: key 1 gets a right version @100s and a left @200s that
+    // must buffer (not yet final); key 99 is the watermark clock
+    write("b1", Seq((1L, 100 * sec, 1L, 10.0, 0), (1L, 200 * sec, 2L, 0.0, 1),
+      (99L, 200 * sec, 90L, 0.0, 1)))
+    val schema = spark.read.parquet(s"$tmp/b1").schema
+    def stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet").parquet(s"$tmp/*")
+    val out = StreamingOps.asofJoinStream(
+      stream.where(col("is_left") === 1),
+      stream.where(col("is_left") === 0),
+      "user_id", "ts", "event_id", "value",
+      idleRetention = Some(3600000L)) // 1h of event time
+    val q = out.toDF().writeStream.format("memory")
+      .queryName("asof_idle").start()
+    try {
+      q.processAllAvailable()
+      // clock-only batches: advance the watermark so key 1's pending
+      // left drains via its TIMEOUT (no new key-1 rows in either)
+      write("b2", Seq((99L, 400 * sec, 91L, 0.0, 1)))
+      q.processAllAvailable()
+      write("b3", Seq((99L, 500 * sec, 92L, 0.0, 1)))
+      q.processAllAvailable()
+      // a later left for key 1, ABOVE the current watermark (a left
+      // below it would be dropped as late before reaching the state
+      // function): the right @100s must still be in the store
+      write("b4", Seq((1L, 650 * sec, 3L, 0.0, 1),
+        (99L, 660 * sec, 93L, 0.0, 1)))
+      q.processAllAvailable()
+      write("b5", Seq((99L, 800 * sec, 94L, 0.0, 1)))
+      q.processAllAvailable()
+      write("b6", Seq((99L, 900 * sec, 95L, 0.0, 1)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("asof_idle").collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => r.getLong(1) ->
+        (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(got.get(2L).contains(Some(1L)),
+      s"timeout-drained left must match right@100s: $got")
+    assert(got.get(3L).contains(Some(1L)),
+      "post-drain left must STILL match — the drain timeout must not " +
+        s"evict the version store before idleRetention elapses: $got")
+  }
+
+  test("streaming k-means online mode never drops centroids absent " +
+    "from early batches (seed fallback keeps every cell assignable)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("kmstream").toFile
+    tmp.deleteOnExit()
+    def write(name: String, pts: Seq[(Long, Seq[Double])]): Unit =
+      pts.toDF("id", "emb").repartition(1).write.parquet(s"$tmp/$name")
+    // first file: points near cell 0 ONLY; second near cell 1
+    write("a", (1L to 4L).map(i => (i, Seq(0.1 * i, 0.0))))
+    Thread.sleep(1100) // distinct mod-time → deterministic trigger order
+    write("b", (5L to 8L).map(i => (i, Seq(10.0 + 0.1 * i, 10.0))))
+    val schema = spark.read.parquet(s"$tmp/a").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/*")
+    val init = Array(0L -> Seq(0.0, 0.0), 1L -> Seq(10.0, 10.0))
+    val (cents, counts, nBatches) = StreamingOps.streamingKmeans(
+      stream, "id", "emb", init, updateCentroids = true)
+    assert(nBatches >= 2, s"expected >=2 micro-batches, got $nBatches")
+    assert(cents.length == 2,
+      s"online mode must keep every init cell: ${cents.toSeq}")
+    // the late cluster's points must land in cell 1 (possible only if
+    // cell 1 survived the first batch via the seed fallback)
+    assert(counts.getOrElse(1L, 0L) == 4L, s"counts: $counts")
+    assert(counts.getOrElse(0L, 0L) == 4L, s"counts: $counts")
+    val c1 = cents.find(_._1 == 1L).get._2
+    assert(math.abs(c1.head - 10.65) < 1e-6 && math.abs(c1(1) - 10.0) < 1e-6,
+      s"cell-1 centroid should be the b-file mean: $c1")
+  }
+
   test("statefulFirstPerKey (flatMapGroupsWithState) emits exactly the " +
     "first row per key") {
     import spark.implicits._
