@@ -1159,7 +1159,7 @@ object PipelineQueries {
       val nTrue = Similarity
         .cosineNearDups(e, "vec_id", "embedding", LshEvalThr)
         .agg(count(lit(1)).as("n_true"))
-      val tb = Similarity.lshTableBuckets(e, "vec_id", "embedding", 8, 3)
+      val tb = Similarity.lshTableBuckets(e, "embedding", 8, 3)
       val a = tb.select(col("vec_id").as("id_a"),
         col("embedding").as("emb_a"), col("tbl"), col("bucket"))
       val b = tb.select(col("vec_id").as("id_b"),

@@ -180,6 +180,53 @@ object VecFns {
     InternalRow(bd, bc)
   }
 
+  /** The `probes` nearest centroid ids in (dist, cid)-ascending order
+    * — the multi-probe generalization of [[nearestCentroid]], one loop
+    * over all centroids with a bounded insertion into P slots (P is
+    * the probe count, a small constant). Replaces the k-expression
+    * `slice(array_sort(array(struct(vec_l2sq…))), 1, P)` form whose
+    * Janino codegen time grew with k. Identical selection order:
+    * Double.compare on the distance, cid ascending on ties. */
+  def nearestCells(a: ArrayData, aF: Boolean, cents: Cents,
+                   probes: Int): ArrayData = {
+    val p = math.min(probes, cents.cids.length)
+    val bd = new Array[Double](p)
+    val bc = new Array[Long](p)
+    var used = 0
+    var j = 0
+    while (j < cents.cids.length) {
+      val v = cents.vecs(j)
+      val n = math.min(a.numElements(), v.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+        val d = x - v(i)
+        s += d * d
+        i += 1
+      }
+      val cid = cents.cids(j)
+      // insertion position among the current best `used` entries
+      var pos = used
+      while (pos > 0 && {
+        val cmp = java.lang.Double.compare(s, bd(pos - 1))
+        cmp < 0 || (cmp == 0 && cid < bc(pos - 1))
+      }) pos -= 1
+      if (pos < p) {
+        val last = math.min(used, p - 1)
+        var m = last
+        while (m > pos) { bd(m) = bd(m - 1); bc(m) = bc(m - 1); m -= 1 }
+        bd(pos) = s; bc(pos) = cid
+        if (used < p) used += 1
+      }
+      j += 1
+    }
+    val out = new Array[Any](used)
+    var o = 0
+    while (o < used) { out(o) = bc(o); o += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Pre-unpacked PQ codebooks: `vecs(m)(j)` is centroid j of subspace
     * m; `offs(m)` is the subspace's element offset into the full
     * vector. Codes are 0-based positions (j). */
@@ -312,6 +359,31 @@ case class LshBucketExpr(child: Expression, nBits: Int, bitOffset: Int)
   * (d, c)-lexicographic tie-break). Centroids are held as a Seq in the
   * case class (well-defined Expression equality) and unpacked once
   * per task via a codegen reference object. */
+/** array<long> of the `probes` nearest centroid ids, (dist, cid)
+  * ascending — one kernel pass ([[VecFns.nearestCells]]). */
+case class NearestCellsExpr(child: Expression,
+                            cents: Seq[(Long, Seq[Double])], probes: Int)
+    extends UnaryExpression with FloatElem {
+  require(cents.nonEmpty, "empty centroid table")
+  require(probes > 0, s"bad probes $probes")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  @transient private lazy val packed = VecFns.Cents(
+    cents.map(_._1).toArray, cents.map(_._2.toArray).toArray)
+  override def nullSafeEval(a: Any): Any =
+    VecFns.nearestCells(a.asInstanceOf[ArrayData], isFloatArr(child),
+      packed, probes)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", packed,
+      classOf[VecFns.Cents].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ops.VecFns.nearestCells($c, ${isFloatArr(child)}, $ref, $probes)")
+  }
+  override protected def withNewChildInternal(
+      c: Expression): NearestCellsExpr = copy(child = c)
+  override def prettyName: String = "nearest_cells"
+}
+
 case class NearestCentroidExpr(child: Expression,
                                cents: Seq[(Long, Seq[Double])])
     extends UnaryExpression with FloatElem {
@@ -442,6 +514,9 @@ object VecExpressions {
     bridge.toColumn(LshBucketExpr(bridge.toExpression(emb), nBits, bitOffset))
   def nearestCentroid(emb: Column, cents: Seq[(Long, Seq[Double])]): Column =
     bridge.toColumn(NearestCentroidExpr(bridge.toExpression(emb), cents))
+  def nearestCells(emb: Column, cents: Seq[(Long, Seq[Double])],
+                   probes: Int): Column =
+    bridge.toColumn(NearestCellsExpr(bridge.toExpression(emb), cents, probes))
   def pqEncode(emb: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
     bridge.toColumn(PqEncodeExpr(bridge.toExpression(emb), codebooks))
   def adcDist(query: Column, code: Column,

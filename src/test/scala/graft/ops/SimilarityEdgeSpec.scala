@@ -1,0 +1,93 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input semantics and new-kernel equivalence for the
+  * similarity ops: zero-norm embeddings (NaN cosine), null vectors,
+  * and the multi-probe cell kernel. */
+class SimilarityEdgeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def vecs(rows: (Long, Seq[Double])*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("vec_id", "embedding")
+  }
+
+  test("a zero-norm embedding never poisons top-1 (NaN would rank " +
+    "above every real cosine) and never emits near-dup pairs") {
+    val df = vecs(1L -> Seq(1.0, 0.0), 2L -> Seq(0.9, 0.1),
+      3L -> Seq(0.0, 0.0))
+    val top1 = Similarity.cosineTop1(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // 1 and 2 pick each other (~0.994), never NaN from vector 3
+    assert(top1(1L).exists(c => c > 0.9 && c <= 1.0), s"$top1")
+    assert(top1(2L).exists(c => c > 0.9 && c <= 1.0), s"$top1")
+    // the zero vector itself has no direction: all its cosines are
+    // null, so its max is null
+    assert(top1(3L).isEmpty, s"$top1")
+    val pairs = Similarity.cosineNearDups(df, "vec_id", "embedding",
+      threshold = 0.5, exact = true).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L)), "zero vector must not pair with anyone")
+    val ann = Similarity.annTop1(df, "vec_id", "embedding", nBits = 2)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(!ann.values.exists(_.exists(_.isNaN)), s"$ann")
+  }
+
+  test("hardNegativeTriplets rejects non-numeric ids fast (the -id " +
+    "argmax trick would silently null them)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.hardNegativeTriplets(df, "vec_id", "embedding", 0.9)
+    }
+    assert(e.getMessage.contains("numeric id"))
+  }
+
+  test("NearestCellsExpr == the array_sort spec for every probe count, " +
+    "including ties broken by centroid id") {
+    val s = spark
+    import s.implicits._
+    val cents = Array(0L -> Seq(0.0, 0.0), 1L -> Seq(1.0, 0.0),
+      2L -> Seq(0.0, 1.0), 3L -> Seq(1.0, 1.0), 4L -> Seq(1.0, 0.0))
+    // centroids 1 and 4 are identical → every query ties them; the
+    // (dist, cid) order must pick 1 before 4
+    val df = (1L to 40L).map(i =>
+      (i, Seq(math.sin(i.toDouble) * 1.5, math.cos(i.toDouble * 0.7))))
+      .toDF("vec_id", "embedding")
+    for (probes <- 1 to 5) {
+      def canon(r: org.apache.spark.sql.DataFrame) =
+        r.select("vec_id", "cell").collect()
+          .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      val kernel = canon(Similarity.probeCellsForTest(df, "vec_id",
+        "embedding", cents, probes))
+      val spec = canon(Similarity.withProbesSpec(df, "vec_id",
+        "embedding", cents, probes))
+      assert(kernel == spec, s"probes=$probes")
+      assert(kernel.size == 40 * probes)
+    }
+  }
+
+  test("lshBucketSpec matches the kernel on null embeddings (both " +
+    "null) — a null row vanishes from bucket joins identically") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Seq(0.5, -0.25, 1.0)), (2L, null))
+      .toDF("vec_id", "embedding")
+    val both = df.select(col("vec_id"),
+      Similarity.lshBucket(col("embedding"), 4).as("k"),
+      Similarity.lshBucketSpec(col("embedding"), 4).as("s")).collect()
+    both.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2))
+      if (!r.isNullAt(1)) assert(r.getLong(1) == r.getLong(2))
+    }
+    assert(both.count(_.isNullAt(1)) == 1)
+  }
+}
