@@ -83,20 +83,33 @@ object Events {
                tsCol: String, seqCol: String, payloadCols: Seq[String],
                prefix: String = "asof_"): DataFrame = {
     require(payloadCols.nonEmpty, "asofJoin needs at least one payload column")
-    val r0 = right.select(col(keyCol), col(tsCol), col(seqCol).as("__seq"),
-      lit(0).as("__side"),
-      struct(payloadCols.map(col): _*).as("__p"))
+    val reserved = Seq("__seq", "__side", "__p", "__m")
+    require(!left.columns.exists(reserved.contains),
+      s"asofJoin reserves ${reserved.mkString("/")} — rename the " +
+        "colliding left column")
+    // null-key right rows can match nothing under SQL equality, but
+    // Window.partitionBy groups nulls into ONE partition and would
+    // attach their payloads to null-key left rows — drop them so a
+    // null-key left row gets the null payload ASOF semantics dictate
+    val r0 = right.where(col(keyCol).isNotNull)
+      .select(col(keyCol), col(tsCol), col(seqCol).as("__seq"),
+        lit(0).as("__side"),
+        struct(payloadCols.map(col): _*).as("__p"))
     val pType = r0.schema("__p").dataType
     val l0 = left
-      .withColumn("__seq", col(seqCol))
+      // the left seq never affects the match (all equal-ts rights sort
+      // before all lefts via __side, and last(__p) skips left nulls):
+      // a constant removes the undocumented "left must carry seqCol"
+      // precondition
+      .withColumn("__seq", lit(0L))
       .withColumn("__side", lit(1))
       .withColumn("__p", lit(null).cast(pType))
     // right rows carry nulls for the left-only columns so the two
-    // sides union into one relation
+    // sides union into one relation — ONE projection (a withColumn
+    // fold re-analyzes the growing plan per column)
     val extras = left.columns.filterNot(c => c == keyCol || c == tsCol)
-    val r1 = extras.foldLeft(r0) { (d, c) =>
-      d.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }
+    val r1 = r0.select(r0.columns.toIndexedSeq.map(col) ++
+      extras.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val cols = left.columns.toIndexedSeq.map(col) :+ col("__seq") :+ col("__side") :+ col("__p")
     val u = l0.select(cols: _*).unionByName(r1.select(cols: _*))
     // at equal (key, ts): __side orders right(0) before left(1), so an
@@ -270,7 +283,13 @@ object Events {
                   refMicros: Column, tauMicros: Double,
                   scale: Long = graft.ops.Stats.FxScale): DataFrame = {
     require(tauMicros > 0, s"bad decay tau $tauMicros")
-    val w = exp(-((refMicros - tsMicros).cast("double") / lit(tauMicros)))
+    // clamp the age at 0: a clock-skewed FUTURE event (ts > ref) would
+    // otherwise weigh e^(+age/tau) — a few tens of tau overflows the
+    // fixed-point long and wraps the aggregate negative. A future
+    // event is "now" (weight 1), identical to the oracle on any
+    // well-formed input (ref is typically max ts, so age >= 0 there)
+    val age = greatest((refMicros - tsMicros).cast("double"), lit(0.0))
+    val w = exp(-(age / lit(tauMicros)))
     val fp = floor(w * lit(scale.toDouble)).cast("long")
     df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n"), sum(fp).as("decayed_fp"))
@@ -294,10 +313,16 @@ object Events {
                   seqCol: String, typeCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col(seqCol))
+    // lead a PRESENCE-tagged struct: a bare lead(typeCol) is null both
+    // at end-of-stream AND when the next event's type is null, so real
+    // X -> null transitions would be silently dropped while null -> Y
+    // stayed counted — an asymmetric matrix on nullable type columns
     val counts = df
-      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .withColumn("__next",
+        lead(struct(lit(1).as("__one"), col(typeCol).as("t")), 1).over(w))
       .where(col("__next").isNotNull)
-      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .groupBy(col(typeCol).as("from_type"),
+        col("__next").getField("t").as("to_type"))
       .agg(count(lit(1)).as("n"))
     val wFrom = Window.partitionBy("from_type")
     counts.withColumn("p",
@@ -349,23 +374,6 @@ object Events {
         sum(col("n")).over(Window.partitionBy(lit(0))).cast("double"), 5))
   }
 
-  /** Per-key event-time EWMA (exponentially weighted moving average):
-    * within each key, events ordered by (tsCol, seqCol) fold e₁ = x₁,
-    * eₙ = α·xₙ + (1−α)·eₙ₋₁. Adds `ewma` (the smoothed level through
-    * this event) and `forecast` (the PREVIOUS level — the one-step
-    * prediction this event is judged against; null on each key's
-    * first event). xₙ − forecast is the standard anomaly/surprise
-    * residual.
-    *
-    * Scale shape: a sequential recurrence can't be a window SUM, and
-    * the closed-form pow-weight rewrite overflows (1−α)⁻ⁿ on long
-    * histories — so this is the secondary-sort pattern: ONE exchange
-    * on the key + ONE sort of (key, ts, seq), then a streaming
-    * narrow `mapPartitions` fold carrying O(1) state per in-flight
-    * key — the same cost class as the sessionize window, linear per
-    * key at any history length. The fold is α·x + (1−α)·e with
-    * (1−α) hoisted, so an engine replaying the same literal
-    * recurrence (e.g. DuckDB `list_reduce`) lands bit-identically. */
   /** Per-key CUSUM drift detection (Page 1954, "Continuous inspection
     * schemes") — the change-point primitive of telemetry/data-quality
     * monitoring: within each key, events ordered by (tsCol, seqCol)
@@ -387,7 +395,13 @@ object Events {
     * the same literal lambda lands bit-identically on every row. */
   def cusum(df: DataFrame, keyCol: String, tsCol: String, seqCol: String,
             valCol: String, target: Double, slack: Double): DataFrame = {
-    val sorted = df.repartition(col(keyCol))
+    // normalize the metric ONCE: getDouble on a null or int-typed
+    // value would throw per-row inside the fold; null-metric rows
+    // carry no signal for the recurrence and are excluded (valCol
+    // arrives as double in the output)
+    val sorted = df.withColumn(valCol, col(valCol).cast("double"))
+      .where(col(valCol).isNotNull)
+      .repartition(col(keyCol))
       .sortWithinPartitions(col(keyCol), col(tsCol), col(seqCol))
     val ki = sorted.schema.fieldIndex(keyCol)
     val vi = sorted.schema.fieldIndex(valCol)
@@ -414,11 +428,31 @@ object Events {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** Per-key event-time EWMA (exponentially weighted moving average):
+    * within each key, events ordered by (tsCol, seqCol) fold e₁ = x₁,
+    * eₙ = α·xₙ + (1−α)·eₙ₋₁. Adds `ewma` (the smoothed level through
+    * this event) and `forecast` (the PREVIOUS level — the one-step
+    * prediction this event is judged against; null on each key's
+    * first event). xₙ − forecast is the standard anomaly/surprise
+    * residual.
+    *
+    * Scale shape: a sequential recurrence can't be a window SUM, and
+    * the closed-form pow-weight rewrite overflows (1−α)⁻ⁿ on long
+    * histories — so this is the secondary-sort pattern: ONE exchange
+    * on the key + ONE sort of (key, ts, seq), then a streaming
+    * narrow `mapPartitions` fold carrying O(1) state per in-flight
+    * key — the same cost class as the sessionize window, linear per
+    * key at any history length. The fold is α·x + (1−α)·e with
+    * (1−α) hoisted, so an engine replaying the same literal
+    * recurrence (e.g. DuckDB `list_reduce`) lands bit-identically. */
   def ewma(df: DataFrame, keyCol: String, tsCol: String, seqCol: String,
            valCol: String, alpha: Double): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"bad smoothing alpha $alpha")
     val beta = 1.0 - alpha
-    val sorted = df.repartition(col(keyCol))
+    // same metric normalization as [[cusum]]
+    val sorted = df.withColumn(valCol, col(valCol).cast("double"))
+      .where(col(valCol).isNotNull)
+      .repartition(col(keyCol))
       .sortWithinPartitions(col(keyCol), col(tsCol), col(seqCol))
     val ki = sorted.schema.fieldIndex(keyCol)
     val vi = sorted.schema.fieldIndex(valCol)

@@ -332,4 +332,69 @@ class EventsSpec extends AnyFunSuite {
       }
     } finally spark.conf.set("spark.sql.session.timeZone", savedTz)
   }
+
+  test("asofJoin edge semantics: null-key rows never match each other, " +
+    "the left needs no seq column, and reserved names fail fast") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((Some(1L), 100L, "a"), (None: Option[Long], 100L, "b"))
+      .toDF("k", "ts", "tag") // no event_id on the left
+    val right = Seq((Some(1L), 50L, 1L, 10.0),
+      (None: Option[Long], 40L, 2L, 99.0)).toDF("k", "ts", "event_id", "v")
+    val out = Events.asofJoin(left, right, "k", "ts", "event_id", Seq("v"))
+      .collect().map(r => r.getString(2) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out("a").contains(10.0))
+    // SQL ASOF equality: null key = null key is NOT a match
+    assert(out("b").isEmpty, s"null-key left must stay unmatched: $out")
+    val clash = left.withColumnRenamed("tag", "__p")
+    val e = intercept[IllegalArgumentException] {
+      Events.asofJoin(clash, right, "k", "ts", "event_id", Seq("v"))
+    }
+    assert(e.getMessage.contains("reserves"))
+  }
+
+  test("transitions: an X -> null-type transition is counted; only " +
+    "true end-of-stream rows are excluded") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 1L, 1L, Some("x")), (1L, 2L, 2L, None),
+      (1L, 3L, 3L, Some("y"))).toDF("k", "ts", "seq", "et")
+    val m = Events.transitions(df, "k", "ts", "seq", "et")
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)))
+        -> r.getLong(2)).toMap
+    assert(m.get((Some("x"), None)).contains(1L), s"$m")
+    assert(m.get((None, Some("y"))).contains(1L), s"$m")
+    assert(m.size == 2)
+  }
+
+  test("cusum/ewma normalize the metric: integer value columns fold " +
+    "as doubles and null-metric rows are excluded, not a crash") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 1L, 1L, Some(5)), (1L, 2L, 2L, None),
+      (1L, 3L, 3L, Some(7))).toDF("k", "ts", "seq", "v")
+    val cu = Events.cusum(df, "k", "ts", "seq", "v",
+      target = 4.0, slack = 0.0).select("ts", "cusum_hi")
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(cu.map(_._1).toSeq == Seq(1L, 3L)) // null row excluded
+    assert(cu.map(_._2).toSeq == Seq(1.0, 4.0)) // 5-4, then +7-4
+    val ew = Events.ewma(df, "k", "ts", "seq", "v", alpha = 0.5)
+      .select("ts", "ewma").as[(Long, Double)].collect().sortBy(_._1)
+    assert(ew.map(_._2).toSeq == Seq(5.0, 6.0))
+  }
+
+  test("decayedMass clamps clock-skewed future events at weight 1 " +
+    "instead of overflowing the fixed-point aggregate") {
+    val s = spark
+    import s.implicits._
+    // one event 100*tau in the FUTURE of the reference point
+    val df = Seq((1L, "t", 0L), (2L, "t", 100000000L))
+      .toDF("id", "et", "tsu")
+    val out = Events.decayedMass(df, col("tsu"), Seq("et"), lit(0L),
+      tauMicros = 1e6).collect()
+    val fp = out.head.getLong(2)
+    assert(fp == 2L * graft.ops.Stats.FxScale,
+      s"past event at ref + future event both weigh 1.0: $fp")
+  }
 }
