@@ -138,7 +138,8 @@ final class Elbo(
   @transient private lazy val testVecs = dataset.testVectors(inputCols)
 
   private def useLocal: Boolean = augmentIsDefault &&
-    dataset.trainCount * math.max(1, inputCols.length) <= localThreshold
+    (dataset.trainCount + dataset.testCount) *
+      math.max(1, inputCols.length) <= localThreshold
   @transient private lazy val localTrain: Array[Array[Double]] =
     dataset.localTrain(inputCols)
   @transient private lazy val localTest: Array[Array[Double]] =
@@ -156,7 +157,10 @@ final class Elbo(
     val grads = Array.fill(nThreads)(new Array[Double](nSlots))
     val tape = rowTape
     java.util.stream.IntStream.range(0, nThreads).parallel().forEach { t =>
-      val vals = tape.newValues; val adj = tape.newValues
+      // per-thread scratch via the same thread-local the distributed
+      // path uses — fresh newValues pairs here were tape-sized garbage
+      // per thread per STEP (unused entirely under Janino codegen)
+      val (vals, adj) = Elbo.scratchFor(tape)
       val g = grads(t)
       var l = 0.0
       var i = t * chunk
@@ -197,29 +201,26 @@ final class Elbo(
     val cDraws = if (useBroadcast) null else draws
     val depth = math.max(2, (math.log(math.max(rdd.getNumPartitions, 2)) /
       math.log(4)).ceil.toInt)
-    val (loss, grad, cnt) = rdd.treeAggregate(
-      (0.0, new Array[Double](nS), 0L))(
-      seqOp = { case ((l, g, n), in) =>
-        // scratch arrays reused via thread-local: allocation-free over
-        // millions of rows
-        val scratch = Elbo.scratchFor(tape)
-        val th = if (cTheta != null) cTheta else bTheta.value
-        val dr = if (cDraws != null) cDraws else bDraws.value
-        val v = tape.evalGradFast(in, th, dr, scratch._1, scratch._2, g)
-        (l + v, g, n + 1)
-      },
-      combOp = { case ((l1, g1, n1), (l2, g2, n2)) =>
-        var i = 0
-        while (i < nS) { g1(i) += g2(i); i += 1 }
-        (l1 + l2, g1, n1 + n2)
-      }, depth)
-    if (useBroadcast) { bTheta.destroy(); bDraws.destroy() }
+    val (loss, grad, cnt) =
+      try rdd.treeAggregate((0.0, new Array[Double](nS), 0L))(
+        seqOp = { case ((l, g, n), in) =>
+          // scratch arrays reused via thread-local: allocation-free over
+          // millions of rows
+          val scratch = Elbo.scratchFor(tape)
+          val th = if (cTheta != null) cTheta else bTheta.value
+          val dr = if (cDraws != null) cDraws else bDraws.value
+          val v = tape.evalGradFast(in, th, dr, scratch._1, scratch._2, g)
+          (l + v, g, n + 1)
+        },
+        combOp = { case ((l1, g1, n1), (l2, g2, n2)) =>
+          var i = 0
+          while (i < nS) { g1(i) += g2(i); i += 1 }
+          (l1 + l2, g1, n1 + n2)
+        }, depth)
+      finally if (useBroadcast) { bTheta.destroy(); bDraws.destroy() }
     (loss, grad, cnt)
   }
 
-  /** One batch evaluation, choosing the cheapest valid path:
-    * driver-local (tiny data), persisted-vector RDD (no augment), or
-    * full DataFrame (augmented). */
   /** Fold the driver-side KL value/gradient into a data-term result:
     * scales `grad` in place to `grad·(total/cnt) − ∇KL` and returns
     * the ELBO estimate `loss·scale − KL`. The single home of the
@@ -238,6 +239,9 @@ final class Elbo(
     loss * scale - kl
   }
 
+  /** One batch evaluation, choosing the cheapest valid path:
+    * driver-local (tiny data), persisted-vector RDD (no augment), or
+    * full DataFrame (augmented). */
   private def batchGrad(step: Int, minibatchSize: Int, training: Boolean,
                         theta: Array[Double], draws: Array[Double])
       : (Double, Array[Double], Long) = {
@@ -256,7 +260,12 @@ final class Elbo(
       val rdd = if (minibatchSize <= 0) base
       else base.sample(withReplacement = true,
         math.min(1.0, minibatchSize.toDouble / math.max(1L, total)),
-        seed + 7919L * (step + 1))
+        // the SAME train/test seed keying as the local path and
+        // DataSet.testBatch: without the offset, a test evaluation at
+        // step s sampled with the training stream's seed — crossing
+        // the localThreshold boundary changed which test rows an
+        // evaluation saw, and train/test draws were correlated
+        seed + 7919L * (step + 1) + (if (training) 0L else 104729L))
       rddGrad(rdd, theta, draws)
     } else {
       val df =
@@ -317,8 +326,11 @@ final class Elbo(
                  * exact schedule. Null: constant `lr`. */
                lrSchedule: Int => Double = null,
                /** AdamW decoupled weight decay ([[Adam.weightDecay]]);
-                 * 0 = plain Adam. */
-               weightDecay: Double = 0.0,
+                 * < 0 (default) = inherit a shared `adamState`'s
+                 * configured decay (plain Adam for a fresh state);
+                 * 0 = explicitly DISABLE decay (wins over a shared
+                 * state's setting); > 0 = set it. */
+               weightDecay: Double = -1.0,
                /** Global-norm gradient clipping (Pascanu et al. 2013):
                  * if ‖∇‖₂ over the optimized collection exceeds this,
                  * the gradient is rescaled to that norm BEFORE the
@@ -336,17 +348,20 @@ final class Elbo(
     val theta = thetaFromTree()
     val mask = collectionMask(collection)
     val adam = if (adamState != null) adamState
-      else new Adam(nSlots, lr, weightDecay = weightDecay)
+      else new Adam(nSlots, lr, weightDecay = math.max(weightDecay, 0.0))
     // a shared/restored state carries its own decay config; an explicit
-    // weightDecay here must win, not be silently dropped
-    if (adamState != null && weightDecay > 0.0)
+    // weightDecay here — INCLUDING an explicit 0.0 to disable a shared
+    // state's decay for a fine-tune phase — must win. Only the < 0
+    // sentinel inherits.
+    if (adamState != null && weightDecay >= 0.0)
       adam.weightDecay = weightDecay
     // a schedule rewrites adam.lr in place each step; restore the
     // entry lr afterwards so a shared state's next schedule-less run
     // trains at its configured rate, not the schedule's last value
     val entryLr = adam.lr
     val total = dataset.trainCount
-    var lastElbo = 0.0
+    var lastElbo = Double.NaN // NaN until a step runs: optimize(0) must
+    // not fabricate a plausible-looking 0.0 ELBO
     val polyTailN = math.min(math.max(polyakTail, 0), maxiter)
     val polyStart = startStep + maxiter - polyTailN
     val polySum =
@@ -356,6 +371,13 @@ final class Elbo(
     // one Adam ascent sub-step from a computed (loss, grad, cnt)
     def applyStep(loss: Double, grad: Array[Double], cnt: Long,
                   draws: Array[Double], it: Int): Unit = {
+      // an empty Poisson minibatch (tiny fraction x unlucky step)
+      // carries NO data evidence: combineKl would zero the data term
+      // and the "update" would be a full-size pull of every
+      // variational toward its prior — skip the step instead (the
+      // seeded draw stream stays aligned; total == 0 means a genuinely
+      // data-free model, where prior-only optimization is the point)
+      if (cnt == 0 && total > 0) return
       lastElbo = combineKl(loss, grad, cnt, total, theta, draws)
       if (clipNorm > 0.0) {
         var ss = 0.0
@@ -436,23 +458,29 @@ final class Elbo(
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           df.count()
         }
-        var s = 0
-        while (s < k) {
-          val step = startStep + it + s
-          val draws = freshDraws(step)
-          val (loss, grad, cnt) =
-            if (rows != null) localGrad(rows, null, theta, draws)
-            else if (rdd != null) rddGrad(rdd, theta, draws)
-            else {
-              val f = dataset.rowVec(inputCols)
-              rddGrad(augment(df, step).select(inputCols.map(col): _*)
-                .rdd.map(f), theta, draws)
-            }
-          applyStep(loss, grad, cnt, draws, step)
-          s += 1
+        try {
+          var s = 0
+          while (s < k) {
+            val step = startStep + it + s
+            val draws = freshDraws(step)
+            val (loss, grad, cnt) =
+              if (rows != null) localGrad(rows, null, theta, draws)
+              else if (rdd != null) rddGrad(rdd, theta, draws)
+              else {
+                val f = dataset.rowVec(inputCols)
+                rddGrad(augment(df, step).select(inputCols.map(col): _*)
+                  .rdd.map(f), theta, draws)
+              }
+            applyStep(loss, grad, cnt, draws, step)
+            s += 1
+          }
+        } finally {
+          // release the group's cache even when a sub-step throws —
+          // re-linearization loops retry across many Elbo builds and
+          // leaked minibatch caches accumulate in storage memory
+          if (rdd != null) rdd.unpersist(false)
+          if (df != null) df.unpersist(false)
         }
-        if (rdd != null) rdd.unpersist(false)
-        if (df != null) df.unpersist(false)
         it += k
       }
     }
@@ -537,18 +565,19 @@ final class Elbo(
     val local = n * math.max(1, inputCols.length) <= localThreshold
     val rows = if (local) rdd.collect() else null
     var lastElbo = 0.0
-    var it = 0
-    while (it < steps) {
-      val step = firstStep + it
-      val draws = freshDraws(step)
-      val (loss, grad, cnt) =
-        if (local) localGrad(rows, null, theta, draws)
-        else rddGrad(rdd, theta, draws)
-      lastElbo = combineKl(loss, grad, cnt, totalRows, theta, draws)
-      adam.step(theta, grad, mask)
-      it += 1
-    }
-    rdd.unpersist()
+    try {
+      var it = 0
+      while (it < steps) {
+        val step = firstStep + it
+        val draws = freshDraws(step)
+        val (loss, grad, cnt) =
+          if (local) localGrad(rows, null, theta, draws)
+          else rddGrad(rdd, theta, draws)
+        lastElbo = combineKl(loss, grad, cnt, totalRows, theta, draws)
+        adam.step(theta, grad, mask)
+        it += 1
+      }
+    } finally rdd.unpersist()
     thetaToTree(theta)
     module.initialize()
     lastElbo
