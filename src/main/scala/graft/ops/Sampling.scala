@@ -84,12 +84,19 @@ object Sampling {
     * Groups absent from `rates` keep `defaultRate`. */
   def stratifiedSample(df: DataFrame, idCol: String, groupCol: String,
                        rates: Map[String, Double],
-                       defaultRate: Double): DataFrame = {
-    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (g, r)) =>
+                       defaultRate: Double): DataFrame =
+    df.where(hashFraction(col(idCol)) <
+      perGroupValue(groupCol, rates, defaultRate))
+
+  /** Model-sized (group → value) table as a codegen'd `when` chain —
+    * the shared rate/factor lookup of [[stratifiedSample]] and
+    * [[repeatFactorSample]] (no join, no broadcast; groups absent
+    * from the map — including a null group — take the default). */
+  private def perGroupValue(groupCol: String, values: Map[String, Double],
+                            default: Double): Column =
+    values.foldLeft(lit(default)) { case (acc, (g, r)) =>
       when(col(groupCol) === lit(g), lit(r)).otherwise(acc)
     }
-    df.where(hashFraction(col(idCol)) < rate)
-  }
 
   /** Temperature-flattened domain mixture sampling (the standard
     * rebalancing for multilingual/domain training mixes, cf. the
@@ -103,7 +110,11 @@ object Sampling {
     * whose output is domain-cardinality-sized; the derived rate table
     * broadcasts back, so the data pass is one scan + broadcast-join +
     * filter — no driver round-trip, no shuffle of the data. Returns
-    * the kept rows with their `sample_rate`. */
+    * the kept rows with their `sample_rate`. NULL-group rows never
+    * match the per-group rate join and are dropped (identical in the
+    * DuckDB oracle's USING join) — coalesce null groups to a sentinel
+    * upstream if they must participate; [[stratifiedSample]]'s
+    * when-chain path applies `defaultRate` to them instead. */
   def temperatureSample(df: DataFrame, idCol: String, groupCol: String,
                         alpha: Double, targetRows: Double): DataFrame = {
     val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
@@ -181,7 +192,15 @@ object Sampling {
   def sampleWeighted(df: DataFrame, idCol: String, weight: Column,
                      n: Int): DataFrame = {
     require(n > 0, s"bad sample size $n")
-    val key = -log(hashFraction(col(idCol))) / weight.cast("double")
+    // enforce the documented weight domain IN the plan: a negative
+    // weight makes a negative key that deterministically wins every
+    // slot, a zero weight divides by zero — both silently poison the
+    // sample, so the row itself raises instead
+    val w = when(weight.cast("double") > 0.0, weight.cast("double"))
+      .otherwise(raise_error(concat(
+        lit("sampleWeighted: weight must be > 0, got "),
+        weight.cast("string"))).cast("double"))
+    val key = -log(hashFraction(col(idCol))) / w
     df.orderBy(key.asc, col(idCol).asc).limit(n)
   }
 
@@ -212,9 +231,7 @@ object Sampling {
                          defaultFactor: Double): DataFrame = {
     require((defaultFactor +: factors.values.toSeq).forall(f =>
       f >= 0.0 && f <= 64.0), s"factors must be in [0, 64]: $factors")
-    val f = factors.foldLeft(lit(defaultFactor)) { case (acc, (g, r)) =>
-      when(col(groupCol) === lit(g), lit(r)).otherwise(acc)
-    }
+    val f = perGroupValue(groupCol, factors, defaultFactor)
     val fl = floor(f)
     val draw = hashFraction(concat(col(idCol).cast("string"), lit("#rep")))
     val n = fl.cast("long") +
@@ -237,6 +254,13 @@ object Sampling {
     * no driver round-trip, no data-sized shuffle, and the identical
     * integer registers make the kept set engine-exact. Returns the
     * surviving rows plus their group's `threshold`. */
+  /** Domain contracts (shared with the DuckDB oracle, which computes
+    * the identical joins): rows with a NULL group never match the
+    * per-group threshold join and are dropped — coalesce null groups
+    * to a sentinel upstream if they must participate; scores below
+    * `lo` clamp into bucket 0, so a group whose scores ALL lie below
+    * `lo` has no within-bucket ranking and can be dropped entirely —
+    * choose `lo` at or below the score floor. */
   def topQuantileByGroup(df: DataFrame, groupCol: String, scoreCol: String,
                          q: Double, lo: Double, hi: Double,
                          nBuckets: Int): DataFrame = {
@@ -244,7 +268,7 @@ object Sampling {
     val th = Sketches.histogramQuantilesBy(df, col(groupCol),
         col(scoreCol), lo, hi, nBuckets, Seq(q))
       .select(col("grp").as(groupCol),
-        col(s"p${(q * 100).round}").as("threshold"))
+        col(Sketches.quantileLabel(q)).as("threshold"))
     df.join(broadcast(th), Seq(groupCol))
       .where(col(scoreCol) >= col("threshold"))
   }

@@ -17,6 +17,17 @@ import org.apache.spark.sql.functions._
   * register-wise max, the standard mergeable-sketch property. */
 object Sketches {
 
+  /** Column label for quantile q: p50, p90, p99_5, … — distinct for
+    * every distinct q ((q*100).round alone collided 0.25 and 0.2549
+    * into two p25 columns, an ambiguous-reference trap downstream). */
+  private[ops] def quantileLabel(q: Double): String =
+    // setScale(6) first: q*100 in doubles is not always exact
+    // (0.29*100 = 28.999999999999996 would otherwise leak into a name)
+    "p" + BigDecimal(q * 100)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      .underlying.stripTrailingZeros
+      .toPlainString.replace("-", "m").replace(".", "_")
+
   /** Per-row (bucket, rho) from the portable 60-bit md5 hash:
     * bucket = low b bits, rho = trailing-zero count of the remaining
     * word + 1 (geometric under a uniform hash), sentinel 61−b for a
@@ -36,15 +47,8 @@ object Sketches {
 
   /** Estimate column over aggregated registers (n_seen, se): α_m bias
     * correction + the small-range linear-counting fallback. */
-  private def hllEstimate(m: Int): Column = {
-    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
-    val zeros = lit(m.toLong) - col("n_seen")
-    val raw = alpha * lit(m.toDouble) * lit(m.toDouble) /
-      (col("se") + zeros.cast("double"))
-    when(raw <= lit(2.5) * lit(m.toDouble) && zeros > 0,
-      lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
-      .otherwise(raw)
-  }
+  private def hllEstimate(m: Int): Column =
+    estCol(m, col("n_seen"), col("se"))
 
   /** Scalar estimate from aggregated registers — the driver/streaming
     * twin of [[hllEstimate]]: same α_m and linear-counting fallback,
@@ -74,7 +78,12 @@ object Sketches {
                        b: Int = 10): DataFrame = {
     val m = 1 << b
     val (bucket, rho) = hllParts(key, b)
-    val regs = df.select(group.as("grp"), bucket.as("bucket"), rho.as("rho"))
+    // null keys are not elements of the set: without the filter they
+    // form a phantom (null, null) register counted by n_seen but
+    // skipped by the se sum — inflating the estimate (and an all-null
+    // group would return a null estimate instead of ~0)
+    val regs = df.where(key.isNotNull)
+      .select(group.as("grp"), bucket.as("bucket"), rho.as("rho"))
       .groupBy("grp", "bucket").agg(max(col("rho")).as("mr"))
     regs.groupBy("grp").agg(count(lit(1)).as("n_seen"),
         sum(col("mr").cast("long")).as("sum_rho"),
@@ -88,7 +97,8 @@ object Sketches {
   def hllRegistersBy(df: DataFrame, group: Column, key: Column,
                      b: Int = 10): DataFrame = {
     val (bucket, rho) = hllParts(key, b)
-    df.select(group.as("grp"), bucket.as("bucket"), rho.as("rho"))
+    df.where(key.isNotNull) // see hllCardinalityBy
+      .select(group.as("grp"), bucket.as("bucket"), rho.as("rho"))
       .groupBy("grp", "bucket").agg(max(col("rho")).as("mr"))
   }
 
@@ -107,8 +117,7 @@ object Sketches {
       col("mr").as("ra"))
     val bb = regs.select(col("grp").as("gb"), col("bucket"),
       col("mr").as("rb"))
-    // full outer per pair via union trick: key on (ga, gb, bucket)
-    val pairs = a.join(bb, Seq("bucket"), "inner")
+    val matched = a.join(bb, Seq("bucket"), "inner")
       .where(col("ga") < col("gb"))
       .groupBy("ga", "gb")
       .agg(
@@ -122,6 +131,18 @@ object Sketches {
     val tot = regs.groupBy(col("grp"))
       .agg(count(lit(1)).as("nset"),
         sum(pow(lit(2.0), -col("mr").cast("double"))).as("seset"))
+    // EVERY (a < b) pair, including pairs sharing zero registers
+    // (small disjoint groups): the bucket join alone would omit them
+    // entirely instead of reporting inter_est ~ 0
+    val gl = tot.select(col("grp"))
+    val pairs = gl.select(col("grp").as("ga"))
+      .join(gl.select(col("grp").as("gb")), col("ga") < col("gb"))
+      .join(matched, Seq("ga", "gb"), "left")
+      .select(col("ga"), col("gb"),
+        coalesce(col("sea0"), lit(0.0)).as("sea0"),
+        coalesce(col("na0"), lit(0L)).as("na0"),
+        coalesce(col("seb0"), lit(0.0)).as("seb0"),
+        coalesce(col("seu0"), lit(0.0)).as("seu0"))
     pairs
       .join(tot.select(col("grp").as("ga"), col("nset").as("nseta"),
         col("seset").as("seseta")), "ga")
@@ -238,7 +259,11 @@ object Sketches {
   def amsF2(sketch: DataFrame, depth: Int = 4): DataFrame = {
     val rowEst = sketch.groupBy("r")
       .agg(sum(col("cell") * col("cell")).as("f2"))
+    // empty sketch -> empty RESULT: the global agg always emits one
+    // row, and element_at on its empty array THROWS under Spark 4's
+    // default ANSI mode (the same edge contract as histogramQuantiles)
     rowEst.agg(sort_array(collect_list(col("f2"))).as("a"))
+      .where(size(col("a")) > 0)
       .select(((element_at(col("a"), (depth + 1) / 2) +
         element_at(col("a"), depth / 2 + 1)) / lit(2.0)).as("ams_f2"))
   }
@@ -279,7 +304,7 @@ object Sketches {
             .when(newCum.cast("double") >= t, est)
             .otherwise(lit(null).cast("double")).as("est"))
       })
-      round(folded.getField("est"), 5).as(s"p${(q * 100).round}")
+      round(folded.getField("est"), 5).as(Sketches.quantileLabel(q))
     }
 
   /** The packed sketch: bucket-ascending array of (bucket, cnt). ≤
@@ -321,7 +346,13 @@ object Sketches {
     val w = (hi - lo) / nBuckets
     val b = least(greatest(floor((x - lit(lo)) / lit(w)).cast("long"),
       lit(0L)), lit(nBuckets - 1L))
-    df.select(group.as("grp"), b.as("bucket")).groupBy("grp", "bucket")
+    // NaN floors to 0L (a raw Java cast, not null — even under ANSI)
+    // and null x would emit a null-bucket register that sorts FIRST in
+    // the packed array: both would silently skew every downstream
+    // quantile, so non-finite measurements are excluded from the
+    // sketch entirely
+    df.where(x.isNotNull && !isnan(x.cast("double")))
+      .select(group.as("grp"), b.as("bucket")).groupBy("grp", "bucket")
       .agg(count(lit(1)).as("cnt"))
   }
 

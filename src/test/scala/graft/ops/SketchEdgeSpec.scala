@@ -1,0 +1,92 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Edge semantics for the sketch/sampling family: empty inputs,
+  * null/NaN measurements, disjoint-group set algebra, weight domain. */
+class SketchEdgeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  test("hllSetAlgebra reports EVERY group pair — two small groups " +
+    "sharing zero registers get inter_est ~ 0, not a missing row") {
+    val s = spark
+    import s.implicits._
+    // two singleton groups: whp their single keys hash to different
+    // buckets, plus a third larger group
+    val df = Seq(("a", "k1"), ("b", "zzz9"), ("c", "x1"), ("c", "x2"),
+      ("c", "x3")).toDF("g", "k")
+    val regs = Sketches.hllRegistersBy(df, col("g"), col("k"))
+    val out = Sketches.hllSetAlgebra(regs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(5))).toMap
+    assert(out.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")),
+      s"all 3 pairs required: ${out.keySet}")
+    val (ca, cb, inter) = out(("a", "b"))
+    assert(ca > 0.5 && ca < 2.0 && cb > 0.5 && cb < 2.0)
+    assert(inter >= 0.0 && inter < 1.0, s"disjoint pair: $inter")
+  }
+
+  test("null keys are not set elements: the estimate matches the " +
+    "null-free input and an all-null group estimates ~ 0 rows absent") {
+    val s = spark
+    import s.implicits._
+    val withNulls = Seq(("g", Option("a")), ("g", Option("b")),
+      ("g", None: Option[String])).toDF("grp", "k")
+    val clean = Seq(("g", "a"), ("g", "b")).toDF("grp", "k")
+    def est(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllCardinalityBy(df, col("grp"), col("k"))
+        .select("hll_estimate").head().getDouble(0)
+    assert(est(withNulls) == est(clean))
+  }
+
+  test("amsF2 and histogramQuantiles on empty input return EMPTY " +
+    "frames (the global agg row would crash element_at under ANSI)") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("id", "k")
+    val sketch = Sketches.amsBuild(empty, col("k"))
+    assert(Sketches.amsF2(sketch).count() == 0)
+    val emptyD = Seq.empty[(Long, Double)].toDF("id", "x")
+    assert(Sketches.histogramQuantiles(emptyD, col("x"), 0, 10, 8,
+      Seq(0.5)).count() == 0)
+  }
+
+  test("NaN and null measurements are excluded from histograms " +
+    "instead of counting as bucket-0 / null-bucket mass") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Some(1.0), Some(9.0), None, Some(Double.NaN))
+      .toDF("x")
+    val h = Sketches.histogram(df, col("x"), 0, 10, 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h == Map(1L -> 1L, 9L -> 1L), s"$h")
+  }
+
+  test("quantile labels are distinct and stable: p50/p90 unchanged, " +
+    "sub-percent quantiles get their own names") {
+    assert(Sketches.quantileLabel(0.5) == "p50")
+    assert(Sketches.quantileLabel(0.9) == "p90")
+    assert(Sketches.quantileLabel(0.995) == "p99_5")
+    assert(Sketches.quantileLabel(0.25) == "p25")
+    assert(Sketches.quantileLabel(0.2549) == "p25_49")
+    assert(Sketches.quantileLabel(0.29) == "p29")
+  }
+
+  test("sampleWeighted raises on non-positive weights instead of " +
+    "silently promoting the worst rows") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 2.0), (2L, -0.5)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Sampling.sampleWeighted(df, "id", col("w"), 1).collect()
+    }
+    assert(e.getMessage.contains("weight must be > 0") ||
+      Option(e.getCause).exists(_.getMessage.contains("weight must be > 0")))
+    val ok = Sampling.sampleWeighted(df.where(col("w") > 0), "id",
+      col("w"), 1).collect()
+    assert(ok.length == 1 && ok.head.getLong(0) == 1L)
+  }
+}
