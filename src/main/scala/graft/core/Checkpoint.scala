@@ -93,6 +93,17 @@ object Checkpoint {
           "siblings) — either saveTraining was interrupted before any " +
           "complete write, or this is a pre-marker legacy checkpoint " +
           "(load its params alone via Checkpoint.restore)")
+      // refuse to "recover" OVER something that is not a torn
+      // saveTraining layout: a marker-less dir of raw parquet files is
+      // a live legacy Checkpoint.save — deleting it here would destroy
+      // newer params and silently resurrect the stale swap sibling
+      val looksTorn = !fs.exists(destPath) ||
+        fs.exists(new org.apache.hadoop.fs.Path(destPath, "params")) ||
+        fs.exists(new org.apache.hadoop.fs.Path(destPath, "adam"))
+      require(looksTorn,
+        s"$destPath exists but is not a saveTraining layout (no " +
+          "params/ or adam/ inside) — it may be a live plain " +
+          "Checkpoint.save; refusing to delete it during recovery")
       require(!fs.exists(destPath) || fs.delete(destPath, true),
         s"cannot clear torn checkpoint at $destPath")
       require(fs.rename(candidates.head, destPath),
@@ -108,19 +119,42 @@ object Checkpoint {
     t._2.toInt
   }
 
-  /** Restores matching names; throws if a checkpointed param is missing
-    * or sized differently (reference raises on mismatch too). */
-  def restore(spark: SparkSession, module: Module, path: String): Unit = {
+  /** Restores the module's params from the checkpoint. `strict`
+    * (default, and what [[restoreTraining]] relies on) requires the
+    * name sets to match EXACTLY — a renamed child would otherwise
+    * silently resume from fresh random init while slot-indexed Adam
+    * moments load "successfully", the worst kind of partial resume.
+    * `strict = false` restores the name intersection (transfer-style
+    * partial loads). Sizes and index coverage always validate
+    * (reference raises on mismatch too). */
+  def restore(spark: SparkSession, module: Module, path: String,
+              strict: Boolean = true): Unit = {
     val data = spark.read.parquet(path)
       .collect()
       .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
       .groupBy(_._1)
+    if (strict) {
+      val moduleNames = module.sortedParams.map(_._1).toSet
+      val ckptNames = data.keySet
+      require(moduleNames == ckptNames,
+        s"checkpoint/module param names differ — missing from " +
+          s"checkpoint: ${(moduleNames -- ckptNames).toSeq.sorted}; " +
+          s"extra in checkpoint: ${(ckptNames -- moduleNames).toSeq.sorted} " +
+          "(pass strict = false for a partial name-intersection load)")
+    }
     module.sortedParams.foreach { case (name, p) =>
       data.get(name).foreach { vs =>
         require(vs.length == p.size,
           s"checkpoint size mismatch for $name: ${vs.length} vs ${p.size}")
         val arr = new Array[Double](p.size)
-        vs.foreach { case (_, i, v) => arr(i) = v }
+        val seen = new Array[Boolean](p.size)
+        vs.foreach { case (_, i, v) =>
+          require(i >= 0 && i < p.size && !seen(i),
+            s"checkpoint for $name has duplicate/out-of-range idx $i " +
+              "(torn or corrupt write)")
+          seen(i) = true
+          arr(i) = v
+        }
         p.setFree(DenseVector(arr))
       }
     }

@@ -36,16 +36,21 @@ final class DataSet(df: DataFrame, seed: Long = 0L,
 
   /** Uniform-with-replacement minibatch for one optimization step
     * (reference `train_index`, `model.py:147-149`). `step` perturbs the
-    * seed so every iteration is fresh AND replayable (SURVEY §7(c)). */
+    * seed so every iteration is fresh AND replayable (SURVEY §7(c)).
+    * With replacement, fractions above 1 are valid — a request larger
+    * than the split delivers ~minibatchSize draws, not a capped
+    * ~count-row Poisson(1) pass. */
   def minibatch(minibatchSize: Int, step: Int): DataFrame = {
-    val frac = math.min(1.0, minibatchSize.toDouble / math.max(1L, trainCount))
-    train.sample(withReplacement = true, frac, seed + 7919L * (step + 1))
+    val frac = minibatchSize.toDouble / math.max(1L, trainCount)
+    train.sample(withReplacement = true, frac,
+      DataSet.sampleSeed(seed, step, training = true))
   }
 
   /** Held-out batch (reference `test_index`, `model.py:151-153`). */
   def testBatch(minibatchSize: Int, step: Int): DataFrame = {
-    val frac = math.min(1.0, minibatchSize.toDouble / math.max(1L, testCount))
-    test.sample(withReplacement = true, frac, seed + 104729L * (step + 1))
+    val frac = minibatchSize.toDouble / math.max(1L, testCount)
+    test.sample(withReplacement = true, frac,
+      DataSet.sampleSeed(seed, step, training = false))
   }
 
   // ---- projected-vector caches, keyed by column list. Multiple Elbo
@@ -96,4 +101,16 @@ final class DataSet(df: DataFrame, seed: Long = 0L,
     }
     localCache.synchronized(localCache.clear())
   }
+}
+
+object DataSet {
+  /** THE seed keying for batch sampling — one home for the
+    * train/test stream split (7919-keyed steps; the 104729 offset
+    * selects the test stream). Shared by [[DataSet.minibatch]],
+    * [[DataSet.testBatch]], and every Elbo batch path, so the
+    * "crossing an execution-path boundary never changes which rows
+    * an evaluation sees" contract is structural, not convention
+    * (a third hand-copied variant is exactly how it drifted once). */
+  def sampleSeed(seed: Long, step: Int, training: Boolean): Long =
+    seed + 7919L * (step + 1) + (if (training) 0L else 104729L)
 }

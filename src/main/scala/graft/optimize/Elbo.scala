@@ -249,8 +249,8 @@ final class Elbo(
       val rows = if (training) localTrain else localTest
       val idx = if (minibatchSize <= 0 || minibatchSize >= rows.length) null
       else {
-        val r = new scala.util.Random(seed + 7919L * (step + 1) +
-          (if (training) 0 else 104729L))
+        val r = new scala.util.Random(
+          graft.data.DataSet.sampleSeed(seed, step, training))
         Array.fill(minibatchSize)(r.nextInt(rows.length))
       }
       localGrad(rows, idx, theta, draws)
@@ -259,13 +259,13 @@ final class Elbo(
       val total = if (training) dataset.trainCount else dataset.testCount
       val rdd = if (minibatchSize <= 0) base
       else base.sample(withReplacement = true,
-        math.min(1.0, minibatchSize.toDouble / math.max(1L, total)),
-        // the SAME train/test seed keying as the local path and
-        // DataSet.testBatch: without the offset, a test evaluation at
-        // step s sampled with the training stream's seed — crossing
-        // the localThreshold boundary changed which test rows an
-        // evaluation saw, and train/test draws were correlated
-        seed + 7919L * (step + 1) + (if (training) 0L else 104729L))
+        minibatchSize.toDouble / math.max(1L, total),
+        // ONE keying for every path — graft.data.DataSet.sampleSeed —
+        // so crossing the localThreshold boundary (or the augment
+        // boundary) never changes which rows an evaluation sees.
+        // No 1.0 cap: with replacement, fraction > 1 is valid and a
+        // batch larger than the split should deliver that many draws
+        graft.data.DataSet.sampleSeed(seed, step, training))
       rddGrad(rdd, theta, draws)
     } else {
       val df =
@@ -443,10 +443,9 @@ final class Elbo(
         var rdd: org.apache.spark.rdd.RDD[Array[Double]] = null
         var df: org.apache.spark.sql.DataFrame = null
         if (augmentIsDefault) {
-          val frac = math.min(1.0,
-            minibatchSize.toDouble / math.max(1L, total))
+          val frac = minibatchSize.toDouble / math.max(1L, total)
           val sampled = trainVecs.sample(withReplacement = true, frac,
-            seed + 7919L * (groupStart + 1))
+            graft.data.DataSet.sampleSeed(seed, groupStart, training = true))
           if (collectable) rows = sampled.collect()
           else {
             rdd = sampled.persist(

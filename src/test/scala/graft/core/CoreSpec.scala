@@ -265,4 +265,57 @@ class CoreSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("no complete checkpoint"))
   }
+
+  test("strict restore refuses a renamed param (silent partial resume " +
+    "with stale Adam moments is the failure it prevents); " +
+    "strict = false loads the intersection") {
+    val spark = SparkTestSession.spark
+    val dir = java.nio.file.Files.createTempDirectory("ckpt-strict").toFile
+    dir.deleteOnExit()
+    val path = s"$dir/m"
+    val a = new Module
+    val pa = a.add("v", new Param(Seq(2)))
+    pa.setFree(breeze.linalg.DenseVector(1.0, 2.0))
+    Checkpoint.save(spark, a, path)
+    val b = new Module
+    val pb = b.add("w", new Param(Seq(2)))
+    pb.setFree(breeze.linalg.DenseVector(0.0, 0.0))
+    val e = intercept[IllegalArgumentException] {
+      Checkpoint.restore(spark, b, path)
+    }
+    assert(e.getMessage.contains("names differ"))
+    // non-strict: nothing matches, nothing restored, no error
+    Checkpoint.restore(spark, b, path, strict = false)
+    assert(pb.freeValue(0) == 0.0)
+  }
+
+  test("recovery never deletes a live plain-save checkpoint at the " +
+    "target path (marker-less raw parquet is not a torn layout)") {
+    val spark = SparkTestSession.spark
+    val dir = java.nio.file.Files.createTempDirectory("ckpt-legacy").toFile
+    dir.deleteOnExit()
+    val path = s"$dir/m"
+    val a = new Module
+    val pv = a.add("v", new Param(Seq(1)))
+    pv.setFree(breeze.linalg.DenseVector(3.0))
+    // a stale but COMPLETE .tmp sibling from some interrupted run
+    val adam = new graft.optimize.Adam(1, lr = 0.1)
+    Checkpoint.saveTraining(spark, a, adam, s"$path.tmp_build")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path.tmp_build"),
+      new org.apache.hadoop.fs.Path(s"$path.tmp"))
+    // the user then writes a LIVE legacy checkpoint at path itself
+    Checkpoint.save(spark, a, path)
+    val e = intercept[IllegalArgumentException] {
+      Checkpoint.restoreTraining(spark, a, adam, path)
+    }
+    assert(e.getMessage.contains("refusing to delete"))
+    // the live legacy params survived the refused recovery
+    val b = new Module
+    val bv = b.add("v", new Param(Seq(1)))
+    bv.setFree(breeze.linalg.DenseVector(0.0))
+    Checkpoint.restore(spark, b, path)
+    assert(bv.freeValue(0) == 3.0)
+  }
 }
