@@ -42,9 +42,16 @@ object Bpe {
       .where(length(col("tok")) > 0 && !col("tok").contains(Delim))
       .groupBy("tok").agg(count(lit(1)).as("freq"))
 
-  /** Delimited character-symbol sequence of a word: ␟c1␟c2␟…␟cn␟. */
+  /** Delimited character-symbol sequence of a word: ␟c1␟c2␟…␟cn␟.
+    * Spark's split(tok, "") yields a trailing empty element (Java
+    * Pattern.split, limit −1) — removed so the sequence ends in ONE
+    * delimiter, the exact shape this doc and the DuckDB oracle's
+    * `chr(31) || array_to_string(string_split(tok, ''), chr(31)) ||
+    * chr(31)` produce (pairs()/segment() strip empties anyway, but a
+    * direct seq-string comparison must not silently differ). */
   def initSeq(tok: Column): Column =
-    concat(lit(Delim), array_join(split(tok, ""), Delim), lit(Delim))
+    concat(lit(Delim),
+      array_join(array_remove(split(tok, ""), ""), Delim), lit(Delim))
 
   /** Adjacent symbol pairs of a delimited sequence, exploded. */
   private def pairs(seqCol: Column): Column = {
@@ -85,7 +92,7 @@ object Bpe {
       .empty[(Int, String, String, String, Long)]
     var round = 1
     var done = false
-    while (round <= k && !done) {
+    try while (round <= k && !done) {
       val top = seqDf.select(col("freq"), pairs(col("seq")).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("freq")).as("c"))
@@ -99,7 +106,9 @@ object Bpe {
         round += 1
       }
     }
-    base.unpersist()
+    // finally: a failing round must not leak the cached vocab table
+    // for the session lifetime
+    finally base.unpersist()
     merges.toSeq
   }
 

@@ -70,7 +70,11 @@ object GraphRank {
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(false)
     val n = nodes.count() // materializes e + nodes
-    require(n > 0, "empty graph")
+    // empty graph -> empty (node, rank) frame, the repo's
+    // degenerate-input contract (an incremental pipeline's empty
+    // micro-batch must not kill the job)
+    if (n == 0)
+      return nodes.select(col("node"), lit(0L).as("rank"))
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(false)
     val base = ((dampDen - dampNum) * (scale / n)) / dampDen
@@ -117,7 +121,9 @@ object GraphRank {
     * [[Dedup.connectedComponents]] discipline — fixed budget, no
     * per-round probe, so the fixpoint materializes as one job).
     *
-    * `seeds` is (nodeCol, labelCol); edges are used as given —
+    * `seeds` is (nodeCol, labelCol; duplicate node rows collapse to
+    * the smallest label). Edges are DEDUPLICATED and self-loops
+    * dropped (multigraph multiplicity does not multiply votes);
     * symmetrize first for undirected spreading. Returns
     * (node, label, is_seed) with label null where no labeled node is
     * reachable within `iters`. */
@@ -130,8 +136,12 @@ object GraphRank {
         col(dstCol).cast("long").as("dst"))
       .where(col("src") =!= col("dst")).distinct()
       .localCheckpoint(false)
+    // one seed row per node (deterministically the smallest label):
+    // duplicate seed rows would multiply label rows through every
+    // round's left join and double-count that node's votes
     val sd = seeds.select(col(nodeCol).cast("long").as("node"),
       col(labelCol).cast("int").as("__seed"))
+      .groupBy("node").agg(min(col("__seed")).as("__seed"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .union(sd.select("node")).distinct()
@@ -146,9 +156,12 @@ object GraphRank {
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("c"))
         .groupBy("dst")
-        .agg(max(struct(col("c"), (-col("label")).as("nl")))
+        // negate in LONG: -Int.MinValue overflows back to itself and
+        // would invert the min-label tie-break for that one value
+        .agg(max(struct(col("c"), (-col("label").cast("long")).as("nl")))
           .getField("nl").as("__v"))
-        .select(col("dst").as("node"), (-col("__v")).as("__v"))
+        .select(col("dst").as("node"),
+          (-col("__v")).cast("int").as("__v"))
       labels = labels.join(votes, Seq("node"), "left")
         .select(col("node"),
           when(col("is_seed"), col("label"))
@@ -182,13 +195,15 @@ object GraphRank {
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long"))
           .as("v"))
       .where(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy, like every sibling loop kernel
     val deg = e.select(col("u").as("node"))
       .union(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+    // coalesce: max/sum over zero rows are null, and an empty graph
+    // must report 0s on every column, not a getLong NPE on two of them
     val degStats = deg.agg(count(lit(1)).as("n_nodes"),
-      max(col("deg")).as("max_deg"),
-      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+      coalesce(max(col("deg")), lit(0L)).as("max_deg"),
+      coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L)).as("n_wedges"))
     val paths = e.select(col("u").as("a"), col("v").as("b"))
       .join(e.select(col("u").as("b"), col("v").as("c")), "b")
     val tri = paths.join(e.select(col("u").as("a"), col("v").as("c")),

@@ -35,10 +35,25 @@ class EdgeCasesSpec extends AnyFunSuite {
     val short = Seq((1L, "just two"), (2L, "one")).toDF("doc_id", "text")
     assert(Dedup.noveltyRate(short, "text", "doc_id").count() == 0)
     // triangle stats on an empty edge list: one defined row of zeros
+    // on EVERY column (max_deg/n_wedges were null aggs before round 7)
     val ts = GraphRank.triangleStats(
       Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst").head()
     assert(ts.getLong(0) == 0 && ts.getLong(1) == 0 &&
+      ts.getLong(2) == 0 && ts.getLong(3) == 0 &&
       ts.getLong(4) == 0 && ts.getDouble(5) == 0.0)
+    // PageRank of an empty graph: empty frame, not a throw
+    assert(GraphRank.pageRankInt(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst",
+      iters = 3).count() == 0)
+    // duplicate seed rows collapse to ONE row per node (min label):
+    // each was otherwise doubling that node's votes and output rows
+    val dupSeeds = Seq((1L, 7), (1L, 3), (2L, 5)).toDF("node", "label")
+    val lps = GraphRank.labelPropagate(
+      Seq((1L, 9L), (2L, 9L)).toDF("src", "dst"), "src", "dst",
+      dupSeeds, "node", "label", 1).collect()
+    assert(lps.count(_.getLong(0) == 1L) == 1, "one row per node")
+    assert(lps.find(_.getLong(0) == 1L).get.getInt(1) == 3,
+      "duplicate seeds resolve to the smallest label")
     // AMS sketch of nothing: empty cell table
     assert(Sketches.amsBuild(noDocs, col("text")).count() == 0)
     // group split with zero val/test rates: everything lands in train
