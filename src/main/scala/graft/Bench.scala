@@ -37,12 +37,23 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
-    // one untimed pass of a representative scan+agg so the first timed
-    // query isn't charged JVM/JIT/codegen startup (each query is still
-    // timed on a single cold run of its own plan)
+    // untimed warmup: a representative scan+agg PLUS one heavy
+    // multi-stage query, so the first timed queries aren't charged
+    // JVM/JIT/codegen/shuffle-service startup. Round 7's driver-run
+    // bench landed 36% over the quiesced artifact with phantom
+    // per-query outliers because a contended cold FIRST run still
+    // dominated min-of-3; the heavy pass (CC closure + hash aggs +
+    // exchanges) pulls the whole engine to steady state before any
+    // timer starts.
     try {
       SparkEntry.queries("q_dens_gaussian")(spark, sfDir).count()
+      SparkEntry.queries("q_dedup_canonical")(spark, sfDir).count()
     } catch { case _: Throwable => () }
+    // dev loop: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just those
+    // queries (skips the optimizer segments); artifact writes are
+    // suppressed so a subset run never clobbers BENCH_FULL.json
+    val benchOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     // minimum-slice ELBO training loop (BASELINE.md bench plan):
     // variational Bayesian linear regression, minibatch SGD at sfDir
     // scale; reported as iterations and wall-seconds. Measured BEFORE
@@ -56,7 +67,8 @@ object Bench {
     var distSecs = -1.0
     var distOneSecs = -1.0
     var rffSecs = -1.0
-    val elboSecs = try {
+    var rffDistSecs = -1.0
+    val elboSecs = if (benchOnly.isDefined) -1.0 else try {
       import graft.autodiff.ExprFns
       import graft.core._
       import graft.data.DataSet
@@ -135,6 +147,24 @@ object Bench {
         elboR.optimize(maxiter = 1, minibatchSize = 65536, lr = 0.05)
         rffSecs = best3(elboR.optimize(maxiter = elboIters,
           minibatchSize = 65536, lr = 0.05))
+        // same RFF-GP model FORCED onto the distributed treeAggregate
+        // path (localThreshold = 0) — keeps the distributed RFF rate
+        // regression-gated after the 32M-cell local-threshold raise
+        // moved the segment above onto the driver-local fast path
+        // (mirrors elbo_dist vs elbo_train). Fused 5 sub-steps per
+        // sampled batch, like elbo_dist. Diagnostic: excluded from the
+        // headline total alongside elbo_dist_unfused.
+        val elboRD = new Elbo(root2, ds2,
+          (0 until rffD).map(j => s"phi$j") :+ "rff_y", ctx => {
+            val mean = (0 until rffD).foldLeft(graft.autodiff.Expr.c(0.0)) {
+              (acc, j) => acc + ctx.sample1(vs(s"rw$j")) * ctx.in(s"phi$j")
+            }
+            ExprFns.gaussian(ctx.in("rff_y"), mean,
+              graft.autodiff.Expr.c(0.25))
+          }, seed = 0, localThreshold = 0L)
+        elboRD.optimize(maxiter = 1, minibatchSize = 65536, lr = 0.05)
+        rffDistSecs = best3(elboRD.optimize(maxiter = elboIters,
+          minibatchSize = 65536, lr = 0.05, stepsPerBatch = 5))
         ds2.unpersist()
       } catch { case _: Throwable => () }
       ds.unpersist(); s
@@ -152,7 +182,9 @@ object Bench {
     //    agree within 15% — the min is the least-contended estimate
     //    and the right statistic for regression gating.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries
+      .filter { case (name, _) => benchOnly.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
@@ -180,16 +212,19 @@ object Bench {
     val allResults = timed ++ Map(s"elbo_train_${elboIters}it" -> elboSecs,
       s"elbo_dist_${elboIters}it" -> distSecs,
       s"elbo_dist_unfused_${elboIters}it" -> distOneSecs,
-      s"rff_gpr_${elboIters}it" -> rffSecs)
-    // the unfused-dist rate is a diagnostic, not workload — keep the
-    // headline total comparable across rounds
-    val total = (allResults - s"elbo_dist_unfused_${elboIters}it")
+      s"rff_gpr_${elboIters}it" -> rffSecs,
+      s"rff_gpr_dist_${elboIters}it" -> rffDistSecs)
+    // the unfused-dist and forced-dist RFF rates are diagnostics, not
+    // workload — keep the headline total comparable across rounds
+    val total = (allResults - s"elbo_dist_unfused_${elboIters}it"
+      - s"rff_gpr_dist_${elboIters}it")
       .values.filter(_ > 0).sum
     def fmt(v: Double): String = "%.3f".format(v)
     val rates = s""""sf":"$sfDir","elbo_iters_per_sec":${fmt(
       if (elboSecs > 0) elboIters / elboSecs else -1.0)},"elbo_dist_iters_per_sec":${fmt(
       if (distSecs > 0) elboIters / distSecs else -1.0)},"rff_gpr_iters_per_sec":${fmt(
-      if (rffSecs > 0) elboIters / rffSecs else -1.0)}"""
+      if (rffSecs > 0) elboIters / rffSecs else -1.0)},"rff_gpr_dist_iters_per_sec":${fmt(
+      if (rffDistSecs > 0) elboIters / rffDistSecs else -1.0)}"""
     // FULL per-query map → file (the driver captures only the last
     // ~2000 chars of stdout, so the printed line must stay small)
     val fullQs = allResults.toSeq.sortBy(_._1)
@@ -198,7 +233,7 @@ object Bench {
     val errJson = errors.toSeq
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    java.nio.file.Files.writeString(
+    if (benchOnly.isEmpty) java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${timed.size},"n_errors":${errors.size},"errors":$errJson,"queries":$fullQs,$rates}""")
     // printed line: elbo segments + slowest queries, char-budgeted so

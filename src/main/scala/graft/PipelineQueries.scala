@@ -1159,21 +1159,34 @@ object PipelineQueries {
       val nTrue = Similarity
         .cosineNearDups(e, "vec_id", "embedding", LshEvalThr)
         .agg(count(lit(1)).as("n_true"))
+      // ONE bucket self-join scores every co-bucketed pair exactly
+      // once (fused one-pass cosine kernel); n_found(t) = pairs whose
+      // FIRST hitting table < t — derived from min(tbl) lineage, so
+      // the t = 1, 2, 3 curve costs one pair-keyed hash agg and a
+      // 1-row conditional sum instead of three join+distinct passes
+      // that re-scored the same pairs.
       val tb = Similarity.lshTableBuckets(e, "embedding", 8, 3)
       val a = tb.select(col("vec_id").as("id_a"),
         col("embedding").as("emb_a"), col("tbl"), col("bucket"))
       val b = tb.select(col("vec_id").as("id_b"),
         col("embedding").as("emb_b"), col("tbl"), col("bucket"))
-      val found = (1 to 3).map { t =>
-        a.where(col("tbl") < t).join(b.where(col("tbl") < t),
-            Seq("tbl", "bucket"))
-          .where(col("id_a") < col("id_b"))
-          .where(Similarity.cosine(col("emb_a"), col("emb_b")) >=
-            LshEvalThr)
-          .select("id_a", "id_b").distinct()
-          .agg(count(lit(1)).as("n_found"))
-          .select(lit(t.toLong).as("tables"), col("n_found"))
-      }.reduce(_.unionByName(_))
+      val firstHit = a.join(b, Seq("tbl", "bucket"))
+        .where(col("id_a") < col("id_b"))
+        .where(Similarity.cosineOrNull(col("emb_a"), col("emb_b")) >=
+          LshEvalThr)
+        .groupBy("id_a", "id_b")
+        .agg(min(col("tbl")).as("ft"))
+      val found = firstHit.agg(
+          coalesce(sum(when(col("ft") < 1, 1L)), lit(0L)).as("n1"),
+          coalesce(sum(when(col("ft") < 2, 1L)), lit(0L)).as("n2"),
+          count(lit(1)).as("n3"))
+        .select(explode(array(
+          struct(lit(1L).as("tables"), col("n1").as("n_found")),
+          struct(lit(2L).as("tables"), col("n2").as("n_found")),
+          struct(lit(3L).as("tables"), col("n3").as("n_found"))))
+          .as("r"))
+        .select(col("r.tables").as("tables"),
+          col("r.n_found").as("n_found"))
       found.crossJoin(nTrue)
         .select(col("tables"), col("n_found"), col("n_true"),
           round(col("n_found").cast("double") /

@@ -344,16 +344,24 @@ object Sketches {
                   hi: Double, nBuckets: Int): DataFrame = {
     require(nBuckets > 0 && hi > lo, s"bad histogram spec [$lo,$hi)/$nBuckets")
     val w = (hi - lo) / nBuckets
-    val b = least(greatest(floor((x - lit(lo)) / lit(w)).cast("long"),
-      lit(0L)), lit(nBuckets - 1L))
-    // NaN floors to 0L (a raw Java cast, not null — even under ANSI)
-    // and null x would emit a null-bucket register that sorts FIRST in
-    // the packed array: both would silently skew every downstream
-    // quantile, so non-finite measurements are excluded from the
-    // sketch entirely
-    df.where(x.isNotNull && !isnan(x.cast("double")))
-      .select(group.as("grp"), b.as("bucket")).groupBy("grp", "bucket")
+    // NaN would floor to bucket 0 (a raw Java cast, not null — even
+    // under ANSI) and a null x would land in a null-bucket register
+    // that sorts FIRST in the packed array: both would silently skew
+    // every downstream quantile, so NaN/null measurements are
+    // excluded. The exclusion lives INSIDE the native [[HistBucket]]
+    // expression (NaN/null → null bucket, registers dropped post-agg
+    // over ≤ nBuckets rows) rather than as a row pre-filter: a
+    // pushed-down filter predicate re-evaluates `x` per reference in
+    // a separate operator from the bucket projection — with an
+    // expensive derived x (a classifier score) that tripled the
+    // per-row cost (the round-7 q_stats_winsorize 1.7× regression).
+    // An Expression child is evaluated exactly once by construction.
+    val b = graft.functions.MathExpressions.histBucket(
+      x.cast("double"), lo, w, nBuckets)
+    df.select(group.as("grp"), b.as("bucket"))
+      .groupBy("grp", "bucket")
       .agg(count(lit(1)).as("cnt"))
+      .where(col("bucket").isNotNull)
   }
 
   /** Per-group interpolated quantiles — [[histogramQuantiles]] with a

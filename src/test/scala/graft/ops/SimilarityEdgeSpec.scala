@@ -75,6 +75,34 @@ class SimilarityEdgeSpec extends AnyFunSuite {
     }
   }
 
+  test("fused VecCosineOrNull == the composed three-kernel spec on " +
+    "regular, zero-norm, NaN-element, null, and unequal-length inputs " +
+    "(double AND float element types)") {
+    val s = spark
+    import s.implicits._
+    val rows: Seq[(Long, Seq[Double], Seq[Double])] = Seq(
+      (1L, Seq(1.0, 2.0, -3.0), Seq(0.5, -0.25, 1.0)),
+      (2L, Seq(0.0, 0.0, 0.0), Seq(1.0, 1.0, 1.0)), // zero norm → null
+      (3L, Seq(1.0, Double.NaN, 2.0), Seq(1.0, 1.0, 1.0)), // NaN → null
+      (4L, Seq(1.0, 2.0), Seq(3.0, 4.0, 5.0)), // common prefix
+      (5L, null, Seq(1.0, 0.0, 0.0)), // null input → null
+      (6L, Seq(1e-8, 0.0, 0.0), Seq(0.0, 1e-8, 0.0))) // tiny but valid
+    def check(df: org.apache.spark.sql.DataFrame): Unit =
+      df.select(col("id"),
+        Similarity.cosineOrNull(col("a"), col("b")).as("k"),
+        Similarity.cosineOrNullSpec(col("a"), col("b")).as("s"))
+        .collect().foreach { r =>
+          assert(r.isNullAt(1) == r.isNullAt(2), s"id=${r.getLong(0)}")
+          if (!r.isNullAt(1))
+            assert(java.lang.Double.compare(r.getDouble(1),
+              r.getDouble(2)) == 0, s"id=${r.getLong(0)}")
+        }
+    check(rows.toDF("id", "a", "b"))
+    check(rows.toDF("id", "a", "b").select(col("id"),
+      col("a").cast("array<float>").as("a"),
+      col("b").cast("array<float>").as("b")))
+  }
+
   test("lshBucketSpec matches the kernel on null embeddings (both " +
     "null) — a null row vanishes from bucket joins identically") {
     val s = spark
