@@ -4349,6 +4349,72 @@ object PipelineQueries {
       s"CAST(sum(${TextAnalysis.TokenHashSql("tc")} % $CleanSumMod) " +
       "AS BIGINT) AS clean_sum FROM fin GROUP BY source ORDER BY source")
 
+  private val SubstrK = 6
+
+  /** DuckDB overlapping-window fingerprint fold over `hl` at 1-based
+    * window start `i` — same (acc·31 + h) mod M chain as
+    * [[Dedup.ngramFingerprints]]. */
+  private def winFpSql(k: Int): String =
+    (2 to k).foldLeft(s"hl[i]")((acc, j) =>
+      s"(($acc) * 31 + hl[i+${j - 1}]) % ${Dedup.NgramFpMod}")
+
+  /** Offset-free exact-substring dedup (keep-first): the operator
+    * [[Dedup.dedupSpansKeepFirst]] approximates — overlapping window
+    * fingerprints match a repeated ≥ k-token run at ANY token offset,
+    * where fixed chunking misses every repeat not aligned to a chunk
+    * boundary (DedupSubstrSpec constructs one). The rewrite is
+    * verified bit-for-bit via the clean-text hash checksum, like
+    * q_dedup_spans. */
+  private val dedupSubstrings = Q("q_dedup_substrings",
+    (s, d) => {
+      val d0 = docs(s, d)
+      val cleaned =
+        Dedup.dedupSubstringsKeepFirst(d0, "text", "doc_id", SubstrK)
+      d0.select(col("doc_id"), col("source")).join(cleaned, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("modified"), 1L).otherwise(0L)).as("n_modified"),
+          sum(col("n_tokens")).as("toks_total"),
+          sum(col("n_removed")).as("toks_removed"),
+          sum(TextAnalysis.tokenHash(col("text_clean")) % CleanSumMod)
+            .as("clean_sum"))
+        .orderBy("source")
+    },
+    "WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ws " +
+      "FROM documents), " +
+      "hls AS (SELECT doc_id, source, ws, " +
+      s"[${TextAnalysis.TokenHashSql("w")} % ${Dedup.NgramFpMod} " +
+      "for w in ws] AS hl, len(ws) AS nw FROM t), " +
+      "win AS (SELECT doc_id, " +
+      s"unnest([i for i in generate_series(1, nw - ${SubstrK - 1})]) " +
+      s"AS wp, unnest([${winFpSql(SubstrK)} " +
+      s"for i in generate_series(1, nw - ${SubstrK - 1})]) AS fp " +
+      "FROM hls), " +
+      "st AS (SELECT fp, count(*) AS nocc, " +
+      s"min(doc_id * ${Dedup.SubstrPosMod} + wp - 1) AS keeper " +
+      "FROM win GROUP BY fp), " +
+      "ds AS (SELECT win.doc_id, list(DISTINCT win.wp) AS dl " +
+      "FROM win JOIN st USING (fp) WHERE st.nocc >= 2 " +
+      s"AND win.doc_id * ${Dedup.SubstrPosMod} + win.wp - 1 <> st.keeper " +
+      "GROUP BY win.doc_id), " +
+      "dc AS (SELECT doc_id, list_distinct(flatten(" +
+      s"[generate_series(s, s + ${SubstrK - 1}) for s in dl])) AS cov " +
+      "FROM ds), " +
+      "fin AS (SELECT hls.source, hls.nw, " +
+      "coalesce(len(dc.cov), 0) AS nrem, " +
+      "CASE WHEN dc.doc_id IS NULL THEN 0 ELSE 1 END AS modif, " +
+      // DuckDB array_to_string([]) is NULL, Spark array_join is '' —
+      // coalesce so the fully-emptied-doc checksum matches
+      "coalesce(array_to_string(list_filter(hls.ws, (w, j) -> " +
+      "NOT list_contains(coalesce(dc.cov, []), j)), ' '), '') AS tc " +
+      "FROM hls LEFT JOIN dc ON hls.doc_id = dc.doc_id) " +
+      "SELECT source, count(*) AS n_docs, " +
+      "CAST(sum(modif) AS BIGINT) AS n_modified, " +
+      "CAST(sum(nw) AS BIGINT) AS toks_total, " +
+      "CAST(sum(nrem) AS BIGINT) AS toks_removed, " +
+      s"CAST(sum(${TextAnalysis.TokenHashSql("tc")} % $CleanSumMod) " +
+      "AS BIGINT) AS clean_sum FROM fin GROUP BY source ORDER BY source")
+
   /** Gopher composite quality filter: per-source keep / per-rule fail
     * counts plus the signal averages. The SQL re-derives every signal
     * from the same constants ([[TextAnalysis.GopherMinWords]] etc.)
@@ -4645,20 +4711,21 @@ object PipelineQueries {
     * (the [[graft.ops.NgramLm]] perplexity shape), one-row min/total
     * frames joined back (the winsorize broadcast pattern — no driver
     * round-trip), and a keep scan against the source-keyed rate
-    * table. Per-source avg NLL is rounded(5) BEFORE the exp/normalize
-    * arithmetic, so both engines feed bit-identical doubles into
-    * exp/divide.
+    * table. Per-source avg NLL is rounded(5) BEFORE the exp
+    * arithmetic, so both engines feed bit-identical doubles into exp.
     *
-    * Known (accepted) boundary risk: exp and the divide are
-    * transcendental/inexact, so JVM vs DuckDB libm may differ in the
-    * last ulp; the final round(·,5) then flips only if w/z lands
-    * within ~1 ulp (≈1e-16 relative) of a 0.5e-5 half-way boundary —
-    * ~1e-11 per value, a handful of values per run. This is the one
-    * query family where the repo's fixed-point-quantization
-    * discipline is NOT applied: integer-only exp weights would change
-    * DoReMi's defining exponential reweighting. If a flip is ever
-    * observed, quantize `w` to floor(exp(·)·2^30) int64 on both
-    * engines and accept the (documented) semantic coarsening. */
+    * The exponential weight is then QUANTIZED to int64 fixed point —
+    * w = floor(exp(nll−mn)·2³⁰) — before the normalize/compare chain,
+    * the same cross-engine discipline as q_stats_mi/q_events_decayed:
+    * z = Σw is an exact integer, and every downstream double (q,
+    * rate) is a ratio of exact integers computed in the identical
+    * written order on both engines, so the final round(·,5) cannot
+    * sit on a libm-dependent boundary. The ~2⁻³⁰ relative coarsening
+    * of the mixture weights is far below the rounded 5-digit output
+    * resolution. (Residual risk is only floor(exp·2³⁰) itself
+    * flipping on a 1-ulp libm difference at an integer boundary —
+    * the same accepted residue as every other quantized chain.) */
+  private val DoremiWScale = 1073741824L // 2^30
   private val sampleDoremi = Q("q_sample_doremi",
     (s, d) => {
       val d0 = docs(s, d)
@@ -4671,14 +4738,17 @@ object PipelineQueries {
       val tot = st.agg(sum(col("n_docs")).as("n_total"))
       val w = st.crossJoin(mn)
         .select(col("source"), col("n_docs"), col("nll"),
-          exp(col("nll") - col("mn")).as("w"))
+          floor(exp(col("nll") - col("mn")) *
+            lit(DoremiWScale.toDouble)).cast("long").as("w"))
       val z = w.agg(sum(col("w")).as("z"))
       val rates = w.crossJoin(z).crossJoin(tot)
         .select(col("source"), col("n_docs"), col("nll"),
-          round(col("w") / col("z"), 5).as("q"),
+          round(col("w").cast("double") / col("z").cast("double"), 5)
+            .as("q"),
           round(least(lit(1.0),
             (col("n_total").cast("double") / lit(2.0)) *
-              (col("w") / col("z")) / col("n_docs").cast("double")), 5)
+              (col("w").cast("double") / col("z").cast("double")) /
+              col("n_docs").cast("double")), 5)
             .as("rate"))
       val kept = d0.select(col("doc_id"), col("source"))
         .join(broadcast(rates.select("source", "rate")), "source")
@@ -4710,12 +4780,15 @@ object PipelineQueries {
       "round(avg(nll), 5) AS nll FROM ppl GROUP BY source), " +
       "mn AS (SELECT min(nll) AS mn FROM st), " +
       "tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM st), " +
-      "w AS (SELECT source, n_docs, nll, exp(nll - mn.mn) AS w " +
+      "w AS (SELECT source, n_docs, nll, " +
+      s"CAST(floor(exp(nll - mn.mn) * $DoremiWScale.0) AS BIGINT) AS w " +
       "FROM st CROSS JOIN mn), " +
-      "z AS (SELECT sum(w) AS z FROM w), " +
-      "rates AS (SELECT source, n_docs, nll, round(w / z.z, 5) AS q, " +
+      "z AS (SELECT CAST(sum(w) AS BIGINT) AS z FROM w), " +
+      "rates AS (SELECT source, n_docs, nll, " +
+      "round(CAST(w AS DOUBLE) / CAST(z.z AS DOUBLE), 5) AS q, " +
       "round(least(1.0, (CAST(tot.n_total AS DOUBLE) / 2.0) * " +
-      "(w / z.z) / CAST(n_docs AS DOUBLE)), 5) AS rate " +
+      "(CAST(w AS DOUBLE) / CAST(z.z AS DOUBLE)) / " +
+      "CAST(n_docs AS DOUBLE)), 5) AS rate " +
       "FROM w CROSS JOIN z CROSS JOIN tot), " +
       "kept AS (SELECT d.source, count(*) AS n_kept, " +
       "CAST(sum(d.doc_id) AS BIGINT) AS kept_id_sum " +
@@ -4914,6 +4987,7 @@ object PipelineQueries {
     dedupExact, dedupMinhash, dedupMinhashCapped, dedupMinhashGroups,
     dedupClusters, dedupProfile, dedupCanonical, dedupSimhash, dedupNgram,
     dedupIncremental, dedupIncrementalNear, dedupBloom, dedupSpans,
+    dedupSubstrings,
     dedupContainment,
     embedTop1, embedTopK, embedAnnLsh, embedLshSized, embedAnnTop1,
     embedNearDup, embedNearDupCapped, embedClusters, embedTriplets, embedLshRecall,

@@ -835,6 +835,76 @@ object Dedup {
         (size(rm) > 0).as("modified"))
   }
 
+  /** Occurrence-key stride for [[dedupSubstringsKeepFirst]]: okey =
+    * id·2³¹ + window-pos packs a (doc, position) pair into one int64
+    * for the min-aggregate keeper pick. Ids must stay < 2³¹ (and docs
+    * < 2³¹ tokens) for the packing to order lexicographically. */
+  val SubstrPosMod: Long = 1L << 31
+
+  /** Offset-free EXACT-substring dedup with the keep-first policy
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better", §4 ExactSubstr — at fingerprint granularity): any
+    * `k`-token run that occurs ≥ 2 times in the corpus AT ANY TOKEN
+    * OFFSET (across documents or within one) is removed from every
+    * occurrence except the first in (id, position) order. This is the
+    * operator [[dedupSpansKeepFirst]] approximates: fixed
+    * non-overlapping chunks miss any repeat not aligned to a chunk
+    * boundary, while overlapping window fingerprints match at every
+    * offset — a repeated ≥ k-token span exists iff one of its k-token
+    * windows repeats. Longer shared spans are handled for free: each
+    * covered token position is removed once however many windows
+    * cover it. Returns (id, text_clean, n_tokens, n_removed,
+    * modified); `n_removed` counts covered token POSITIONS (merged
+    * intervals), not windows.
+    *
+    * Plan, in 100 TB shape: token-hash list per doc (one scan) →
+    * posexplode of (window-pos, 45-bit fp) — 16 bytes per token
+    * position; the TEXT never shuffles — → ONE hash aggregate per fp
+    * (occurrence count + min okey keeper; map-side partial) → join
+    * back on the fp → per-doc sorted duplicate-window-start set
+    * (small ints) → ONE id join onto the original rows → per-row
+    * codegen'd coverage rebuild. Both shuffles key on fixed-width
+    * longs; no pair enumeration anywhere, so a million-fold repeated
+    * span costs its occurrence count, never its pair count. (The
+    * reference formulation is a disk-based suffix array — also
+    * O(corpus tokens); here the same linear mass rides Spark's
+    * shuffle machinery. A `w`-winnowing anchor variant would cut the
+    * exploded mass by w at the cost of only catching ≥ k+w−1-token
+    * repeats; at the default k this exact form is the documented
+    * path.) Fingerprint collisions (2⁻⁴⁵-scale) hit both engines
+    * identically — the [[NgramFpMod]] contract. */
+  def dedupSubstringsKeepFirst(df: DataFrame, textCol: String,
+                               idCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"substring width $k too small")
+    val wins = df
+      .select(col(idCol), tokenHashList(col(textCol)).as("__hl"))
+      .select(col(idCol),
+        posexplode(ngramFingerprints(col("__hl"), k)).as(Seq("wpos", "fp")))
+    val occ = wins.select(col(idCol), col("wpos"), col("fp"),
+      (col(idCol).cast("long") * lit(SubstrPosMod) + col("wpos"))
+        .as("okey"))
+    val stats = occ.groupBy("fp")
+      .agg(count(lit(1)).as("nocc"), min(col("okey")).as("keeper"))
+    val dups = occ.join(stats, "fp")
+      .where(col("nocc") >= 2 && col("okey") =!= col("keeper"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("wpos"))).as("__ds"))
+    val ws = TextAnalysis.tokens(col(textCol))
+    val ds = coalesce(col("__ds"), array().cast("array<int>"))
+    // token i (0-based) is removed iff some duplicate window [s, s+k)
+    // covers it — the exists-scan merges overlapping windows for free
+    def covered(i: Column): Column =
+      exists(ds, s => s <= i && i < s + lit(k))
+    df.join(dups, Seq(idCol), "left")
+      .select(col(idCol),
+        array_join(filter(ws, (_, i) => !covered(i)), " ")
+          .as("text_clean"),
+        size(ws).cast("long").as("n_tokens"),
+        size(filter(ws, (_, i) => covered(i))).cast("long")
+          .as("n_removed"),
+        (size(ds) > 0).as("modified"))
+  }
+
   /** 16-bit SimHash from token-hash bit sums over the distinct token
     * set: bit b set iff Σ_tokens (±1 by bit b of h) > 0. Native
     * one-pass kernel ([[Simhash16Expr]]); no explode, no shuffle.
