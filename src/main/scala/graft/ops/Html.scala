@@ -34,6 +34,25 @@ object Html {
     s.substring(i, j).toLowerCase
   }
 
+  /** Index of the '>' that closes the tag opened just before `from`,
+    * honoring single/double-quoted attribute values — a '>' inside
+    * `alt="a > b"` is attribute text, not the tag end (a bare
+    * indexOf would cut the tag early and leak `b">` into the
+    * extracted prose). An unterminated quote runs to end-of-input
+    * (-1), matching the unterminated-tag degrade path. */
+  private def tagEnd(s: String, from: Int): Int = {
+    var j = from
+    var quote: Char = 0
+    while (j < s.length) {
+      val c = s.charAt(j)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == '>') return j
+      j += 1
+    }
+    -1
+  }
+
   /** Extract readable text. Tags break words only when block-level
     * (inline `<b>`, `<a>` do not split a word — matching how
     * browsers render). */
@@ -60,7 +79,7 @@ object Html {
         } else {
           val isClose = i + 1 < n && html.charAt(i + 1) == '/'
           val name = tagName(html, if (isClose) i + 2 else i + 1)
-          val e = html.indexOf('>', i + 1)
+          val e = tagEnd(html, i + 1)
           if (dropUntil != null) {
             if (isClose && name == dropUntil) dropUntil = null
             i = if (e < 0) n else e + 1

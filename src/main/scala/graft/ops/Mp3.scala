@@ -115,9 +115,16 @@ object Mp3 {
   def parseMeta(b: Array[Byte]): Option[Mp3Info] = {
     if (b == null || b.length < 4) return None
     var o = id3End(b)
-    // resync scan: tolerate leading garbage up to the first valid header
-    while (o + 4 <= b.length && frameAt(b, o).isEmpty) o += 1
-    frameAt(b, o) match {
+    // resync scan: tolerate leading garbage up to the first valid
+    // header — one frameAt per offset (holding the Option in a var;
+    // a guard-and-rematch loop would decode every candidate header
+    // twice on sync-less garbage that walks the whole cell)
+    var hit: Option[(Mp3Info, Int)] = None
+    while (hit.isEmpty && o + 4 <= b.length) {
+      hit = frameAt(b, o)
+      if (hit.isEmpty) o += 1
+    }
+    hit match {
       case None => None
       case Some((first, len0)) =>
         val xo = o + xingOffset(first.version, first.channels)

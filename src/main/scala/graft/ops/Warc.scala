@@ -85,8 +85,16 @@ object Warc {
 
   /** Parse every record in a (possibly gzipped) WARC file. The walk
     * is Content-Length-driven; a record with a malformed header block
-    * or length ends the walk (never throws, never loops). */
-  def parseAll(fileBytes: Array[Byte]): List[WarcRecord] = {
+    * or length ends the walk (never throws, never loops). A header
+    * block with no CRLFCRLF terminator within `headerLimit` bytes
+    * counts as malformed — NOTE this truncates the REMAINDER of the
+    * file, not just the one record (without a parsed Content-Length
+    * there is no resync point; scanning forward for the next "WARC/"
+    * could land inside a payload). Raise `headerLimit` for archives
+    * with oversized headers; the 64 KiB default clears every header
+    * Common Crawl emits by ~3 orders of magnitude. */
+  def parseAll(fileBytes: Array[Byte],
+               headerLimit: Int = 64 * 1024): List[WarcRecord] = {
     val b = gunzipAll(fileBytes)
     val out = scala.collection.mutable.ListBuffer.empty[WarcRecord]
     var o = 0
@@ -101,7 +109,7 @@ object Warc {
         var vEnd = o
         while (vEnd + 1 < b.length &&
           !(b(vEnd) == '\r' && b(vEnd + 1) == '\n')) vEnd += 1
-        headerBlock(b, vEnd + 2, 64 * 1024) match {
+        headerBlock(b, vEnd + 2, headerLimit) match {
           case None => ok = false
           case Some((hs, bodyAt)) =>
             val len = hs.get("content-length").flatMap(s =>

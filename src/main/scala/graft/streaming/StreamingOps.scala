@@ -376,10 +376,23 @@ object StreamingOps {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    val cents = state.toArray.sortBy(_._1).map { case (cid, (n, s)) =>
-      (cid, s.toIndexedSeq.map(_.toDouble / Similarity.KmeansFxScale / n.toDouble): Seq[Double])
-    }
-    (cents, state.map { case (c, (n, _)) => c -> n }.toMap, nBatches.get())
+    // same init-fallback merge as the in-stream refresh (`cur`): a
+    // seed cell never hit by any micro-batch stays in the returned
+    // model at its seed centroid with count 0 — rebuilding from the
+    // state map alone would silently drop it, and a model missing a
+    // cell can never assign to it downstream
+    val cents = init.map { case (cid, c0) =>
+      state.get(cid) match {
+        case Some((n, s)) if n > 0 =>
+          (cid, s.toIndexedSeq
+            .map(_.toDouble / Similarity.KmeansFxScale / n.toDouble)
+            : Seq[Double])
+        case _ => (cid, c0)
+      }
+    }.sortBy(_._1)
+    val counts = init.map { case (cid, _) =>
+      cid -> state.get(cid).map(_._1).getOrElse(0L) }.toMap
+    (cents, counts, nBatches.get())
   }
 
   /** Online variational inference: `stepsPerBatch` Adam ascent steps

@@ -44,6 +44,17 @@ class HtmlSpec extends AnyFunSuite {
     assert(Html.extractText("tail <") == "tail <")
   }
 
+  test("a '>' inside a quoted attribute value does not end the tag " +
+    "(no leaked attribute remainder in the extracted text)") {
+    assert(Html.extractText("""x <img alt="a > b"> y""") == "x y")
+    assert(Html.extractText("""x <img alt='a > b'> y""") == "x y")
+    // mixed quotes: the other quote char inside a quoted value is data
+    assert(Html.extractText("""x <a title="it's > fine">link</a> y""") ==
+      "x link y")
+    // unterminated quote degrades like an unterminated tag (to EOF)
+    assert(Html.extractText("""x <img alt="oops > y""") == "x")
+  }
+
   test("whitespace normalizes: runs collapse, lines trim, blank lines " +
     "drop; unterminated tags/comments never throw") {
     assert(Html.extractText("<div>  a   b  </div>\n\n\n<div> c </div>") ==

@@ -575,6 +575,29 @@ class StreamingSpec extends AnyFunSuite {
       s"cell-1 centroid should be the b-file mean: $c1")
   }
 
+  test("streamingKmeans returns a seed cell NO micro-batch ever hit — " +
+    "seed centroid, count 0 (the return matches the in-stream " +
+    "fallback merge, not just the data-bearing state map)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("kmstream3").toFile
+    tmp.deleteOnExit()
+    (1L to 6L).map(i => (i, Seq(0.1 * i, 0.0))).toDF("id", "emb")
+      .repartition(1).write.parquet(s"$tmp/a")
+    val schema = spark.read.parquet(s"$tmp/a").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/*")
+    // cell 2 is far from every point: no batch ever assigns to it
+    val init = Array(0L -> Seq(0.0, 0.0), 1L -> Seq(1.0, 0.0),
+      2L -> Seq(500.0, 500.0))
+    val (cents, counts, _) = StreamingOps.streamingKmeans(
+      stream, "id", "emb", init, updateCentroids = true)
+    assert(cents.length == 3,
+      s"unhit seed cell dropped from the returned model: ${cents.toSeq}")
+    assert(cents.find(_._1 == 2L).get._2 == Seq(500.0, 500.0),
+      s"unhit cell must return its seed centroid: ${cents.toSeq}")
+    assert(counts(2L) == 0L && counts.values.sum == 6L, s"$counts")
+  }
+
   test("statefulFirstPerKey (flatMapGroupsWithState) emits exactly the " +
     "first row per key") {
     import spark.implicits._
