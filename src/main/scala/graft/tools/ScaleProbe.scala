@@ -30,6 +30,9 @@ object ScaleProbe {
     // round-7 additions: crawl ingestion + line dedup + url dedup
     "q_pipeline_ingest" -> 10, "q_text_linededup" -> 10,
     "q_text_urls" -> 10, "q_source_warc" -> 10,
+    // round-8 additions: offset-free substring dedup + the line-dedup
+    // APPLY path (fit on the small corpus, applied map-only at scale)
+    "q_dedup_substrings" -> 10, "q_text_linededup_apply" -> 10,
     "q_embed_clusters" -> 4, "q_embed_pagerank" -> 4,
     "q_embed_labelprop" -> 4, "q_embed_top1" -> 4,
     "q_embed_kmeans" -> 4, "q_embed_ivfpq" -> 4)
@@ -74,8 +77,12 @@ object ScaleProbe {
       (System.nanoTime() - t0) / 1e9
     }.min
 
+    // dev loop: SPARK_GRAFT_PROBE_ONLY=q_a,q_b probes just those
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val rows = Probes.flatMap { case (q, nominal) =>
-      if (skip.contains(q)) { println(s"$q SKIPPED: ${skip(q)}"); None }
+      if (!only.forall(_.contains(q))) None
+      else if (skip.contains(q)) { println(s"$q SKIPPED: ${skip(q)}"); None }
       else {
         val factor = if (nominal == 4) embFactor else docFactor
         val tSmall = minOf2(q, sfSmall)
