@@ -4415,6 +4415,63 @@ object PipelineQueries {
       s"CAST(sum(${TextAnalysis.TokenHashSql("tc")} % $CleanSumMod) " +
       "AS BIGINT) AS clean_sum FROM fin GROUP BY source ORDER BY source")
 
+  private val SubstrApplyDf = 2
+
+  /** Incremental substring-boilerplate pair: FIT the > maxDf-doc
+    * window fingerprint set (model-sized — boilerplate is a
+    * vocabulary, not a corpus), APPLY as a pure per-row map (all
+    * occurrences removed — boilerplate semantics, vs the keep-first
+    * of q_dedup_substrings). The apply side is the stream-safe stage:
+    * DedupSubstrSpec proves stream == batch bit-for-bit. The oracle
+    * recomputes fit + apply in one statement from the same window
+    * folds. */
+  private val dedupSubstringsApply = Q("q_dedup_substrings_apply",
+    (s, d) => {
+      val d0 = docs(s, d)
+      val fps = Dedup.frequentWindowFps(d0, "text", "doc_id",
+        SubstrK, SubstrApplyDf)
+      val cleaned = Dedup.dedupSubstringsApply(d0, "text", "doc_id",
+        SubstrK, fps)
+      d0.select(col("doc_id"), col("source")).join(cleaned, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("modified"), 1L).otherwise(0L)).as("n_modified"),
+          sum(col("n_tokens")).as("toks_total"),
+          sum(col("n_removed")).as("toks_removed"),
+          sum(TextAnalysis.tokenHash(col("text_clean")) % CleanSumMod)
+            .as("clean_sum"))
+        .orderBy("source")
+    },
+    "WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ws " +
+      "FROM documents), " +
+      "hls AS (SELECT doc_id, source, ws, " +
+      s"[${TextAnalysis.TokenHashSql("w")} % ${Dedup.NgramFpMod} " +
+      "for w in ws] AS hl, len(ws) AS nw FROM t), " +
+      "win AS (SELECT doc_id, " +
+      s"unnest([i for i in generate_series(1, nw - ${SubstrK - 1})]) " +
+      s"AS wp, unnest([${winFpSql(SubstrK)} " +
+      s"for i in generate_series(1, nw - ${SubstrK - 1})]) AS fp " +
+      "FROM hls), " +
+      "ft AS (SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS ddf " +
+      s"FROM win GROUP BY fp) WHERE ddf > $SubstrApplyDf), " +
+      "ds AS (SELECT win.doc_id, list(DISTINCT win.wp) AS dl " +
+      "FROM win JOIN ft USING (fp) GROUP BY win.doc_id), " +
+      "dc AS (SELECT doc_id, list_distinct(flatten(" +
+      s"[generate_series(s, s + ${SubstrK - 1}) for s in dl])) AS cov " +
+      "FROM ds), " +
+      "fin AS (SELECT hls.source, hls.nw, " +
+      "coalesce(len(dc.cov), 0) AS nrem, " +
+      "CASE WHEN dc.doc_id IS NULL THEN 0 ELSE 1 END AS modif, " +
+      "coalesce(array_to_string(list_filter(hls.ws, (w, j) -> " +
+      "NOT list_contains(coalesce(dc.cov, []), j)), ' '), '') AS tc " +
+      "FROM hls LEFT JOIN dc ON hls.doc_id = dc.doc_id) " +
+      "SELECT source, count(*) AS n_docs, " +
+      "CAST(sum(modif) AS BIGINT) AS n_modified, " +
+      "CAST(sum(nw) AS BIGINT) AS toks_total, " +
+      "CAST(sum(nrem) AS BIGINT) AS toks_removed, " +
+      s"CAST(sum(${TextAnalysis.TokenHashSql("tc")} % $CleanSumMod) " +
+      "AS BIGINT) AS clean_sum FROM fin GROUP BY source ORDER BY source")
+
   /** Gopher composite quality filter: per-source keep / per-rule fail
     * counts plus the signal averages. The SQL re-derives every signal
     * from the same constants ([[TextAnalysis.GopherMinWords]] etc.)
@@ -4987,7 +5044,7 @@ object PipelineQueries {
     dedupExact, dedupMinhash, dedupMinhashCapped, dedupMinhashGroups,
     dedupClusters, dedupProfile, dedupCanonical, dedupSimhash, dedupNgram,
     dedupIncremental, dedupIncrementalNear, dedupBloom, dedupSpans,
-    dedupSubstrings,
+    dedupSubstrings, dedupSubstringsApply,
     dedupContainment,
     embedTop1, embedTopK, embedAnnLsh, embedLshSized, embedAnnTop1,
     embedNearDup, embedNearDupCapped, embedClusters, embedTriplets, embedLshRecall,

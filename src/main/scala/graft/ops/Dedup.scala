@@ -905,6 +905,61 @@ object Dedup {
         (size(ds) > 0).as("modified"))
   }
 
+  /** FIT side of the incremental substring-boilerplate pair:
+    * fingerprints of `k`-token windows occurring in MORE than `maxDf`
+    * distinct documents — template runs (navigation chrome, license
+    * headers, boilerplate sentences) rather than one-off copies. The
+    * result is model-sized by the same argument as
+    * [[TextAnalysis.frequentLineFps]]: a window shared by > maxDf
+    * documents is boilerplate, and boilerplate mass is a vocabulary,
+    * not a corpus (it grows with template count, not document count).
+    * One fingerprint-kernel scan + ONE (fp → distinct-doc) aggregate;
+    * the window text itself never shuffles or collects. */
+  def frequentWindowFps(df: DataFrame, textCol: String, idCol: String,
+                        k: Int, maxDf: Int): Array[Long] = {
+    require(k >= 2 && maxDf >= 1, s"bad ($k, $maxDf)")
+    df.select(col(idCol).as("__id"),
+        tokenHashList(col(textCol)).as("__hl"))
+      .select(col("__id"),
+        explode(array_distinct(ngramFingerprints(col("__hl"), k)))
+          .as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDf)
+      .select("fp").collect().map(_.getLong(0)).sorted
+  }
+
+  /** APPLY side: remove every token covered by a FITTED boilerplate
+    * window (all occurrences — boilerplate removal, not keep-first) —
+    * a pure per-row map (token-hash list, window fold, membership
+    * scan against a plan-constant sorted array, coverage rebuild), so
+    * it runs UNCHANGED on a streaming DataFrame and composes with any
+    * curation pipeline (the substring sibling of
+    * [[TextAnalysis.lineDedupApply]]). Same output columns as
+    * [[dedupSubstringsKeepFirst]]. */
+  def dedupSubstringsApply(df: DataFrame, textCol: String, idCol: String,
+                           k: Int, frequentFps: Array[Long]): DataFrame = {
+    require(k >= 2, s"substring width $k too small")
+    val fps = lit(frequentFps)
+    val hl = tokenHashList(col(textCol))
+    val wf = ngramFingerprints(col("__hl"), k)
+    val ds = filter(sequence(lit(0), size(col("__wf")) - 1),
+      s => array_contains(fps, element_at(col("__wf"), s + 1)))
+    def covered(i: Column): Column =
+      exists(col("__ds"), s => s <= i && i < s + lit(k))
+    val ws = TextAnalysis.tokens(col(textCol))
+    df.withColumn("__hl", hl)
+      .withColumn("__wf", wf)
+      .withColumn("__ds", when(size(col("__wf")) > 0, ds)
+        .otherwise(array().cast("array<int>")))
+      .select(col(idCol),
+        array_join(filter(ws, (_, i) => !covered(i)), " ")
+          .as("text_clean"),
+        size(ws).cast("long").as("n_tokens"),
+        size(filter(ws, (_, i) => covered(i))).cast("long")
+          .as("n_removed"),
+        (size(col("__ds")) > 0).as("modified"))
+  }
+
   /** 16-bit SimHash from token-hash bit sums over the distinct token
     * set: bit b set iff Σ_tokens (±1 by bit b of h) > 0. Native
     * one-pass kernel ([[Simhash16Expr]]); no explode, no shuffle.

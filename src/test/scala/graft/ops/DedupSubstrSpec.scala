@@ -83,6 +83,30 @@ class DedupSubstrSpec extends AnyFunSuite {
     assert(subs(3L)._1 == "tiny doc")
   }
 
+  test("frequentWindowFps boundary is exact: a window in maxDf docs " +
+    "is NOT fitted, in maxDf+1 docs it is; within-doc repeats do not " +
+    "inflate the distinct-doc count") {
+    val run = "b1 b2 b3 b4 b5 b6" // exactly one 6-window
+    val df = docs(
+      1L -> s"$run x1 $run", // window twice in ONE doc
+      2L -> s"y1 y2 $run",
+      3L -> s"$run z1 z2")
+    // run appears in 3 DISTINCT docs (internal repeat counts once)
+    assert(Dedup.frequentWindowFps(df, "t", "id", 6, maxDf = 3).isEmpty)
+    val fitted = Dedup.frequentWindowFps(df, "t", "id", 6, maxDf = 2)
+    assert(fitted.length == 1)
+    // apply removes ALL occurrences, including both in doc 1
+    val out = collectClean(
+      Dedup.dedupSubstringsApply(df, "t", "id", 6, fitted))
+    assert(out(1L) == (("x1", 13L, 12L, true)), s"$out")
+    assert(out(2L) == (("y1 y2", 8L, 6L, true)), s"$out")
+    assert(out(3L) == (("z1 z2", 8L, 6L, true)), s"$out")
+    // empty model: apply is the identity on content
+    val id0 = collectClean(
+      Dedup.dedupSubstringsApply(df, "t", "id", 6, Array.empty[Long]))
+    assert(id0.values.forall(v => !v._4 && v._3 == 0L), s"$id0")
+  }
+
   test("keep-first order is (id, position) lexicographic: the lowest " +
     "id's earliest occurrence is the keeper") {
     val run = "k1 k2 k3 k4 k5 k6"

@@ -1016,4 +1016,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.forall { case (i, c, k, t) =>
       c == s"new body $i" && k == 1L && t == 4L })
   }
+
+  test("incremental substring-boilerplate: the window-fp set fitted " +
+    "on the archive applies as a stateless per-row map on a doc " +
+    "stream, equal to the batch apply — at ANY token offset") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("substream").toFile
+    tmp.deleteOnExit()
+    import spark.implicits._
+    val boiler = "all rights reserved by the example corporation inc worldwide"
+    val archive = (1L to 30L).map(i =>
+      (i, s"doc $i body text number$i word$i more$i stuff$i $boiler"))
+      .toDF("id", "t")
+    val fps = graft.ops.Dedup.frequentWindowFps(archive, "t", "id",
+      k = 6, maxDf = 10)
+    // the 9-token boilerplate run = 4 overlapping 6-windows, each in
+    // all 30 docs > maxDf; every other window is per-doc unique
+    assert(fps.length == 4, s"got ${fps.length} fitted windows")
+    // new docs carry the run at DIFFERENT offsets (start / middle)
+    val batch = Seq(
+      (31L, s"$boiler and then fresh tail31 a b c"),
+      (32L, s"lead32 x y $boiler trailing32"),
+      (33L, "clean33 doc with no boilerplate at all right here"))
+      .toDF("id", "t")
+    batch.write.mode("overwrite").parquet(s"$tmp/docs")
+    val schema = spark.read.parquet(s"$tmp/docs").schema
+    def pipe(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Dedup.dedupSubstringsApply(df, "t", "id", 6, fps)
+        .select(col("id"), col("text_clean"), col("n_removed"),
+          col("modified"))
+    val stream = pipe(spark.readStream.schema(schema).parquet(s"$tmp/docs"))
+    StreamingOps.runToMemorySink(stream, "substr_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.table("substr_stream").as[(Long, String, Long, Boolean)]
+      .collect().sortBy(_._1)
+    val want = pipe(spark.read.parquet(s"$tmp/docs"))
+      .as[(Long, String, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq == want.toSeq, "stream != batch")
+    assert(got.map(_._2).toSeq == Seq(
+      "and then fresh tail31 a b c",
+      "lead32 x y trailing32",
+      "clean33 doc with no boilerplate at all right here"), s"$got")
+    assert(got.map(_._3).toSeq == Seq(9L, 9L, 0L))
+    assert(got.map(_._4).toSeq == Seq(true, true, false))
+  }
 }
