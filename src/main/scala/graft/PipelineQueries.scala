@@ -2073,8 +2073,8 @@ object PipelineQueries {
         "(SELECT unnest(hl) AS h FROM t) GROUP BY h), " +
         "nn AS (SELECT CAST(sum(cp) AS BIGINT) AS nn FROM cp), " +
         s"sc AS (SELECT (cp.w1 * 31 + cp.w2) % $M AS b, cp.cp, " +
-        "ln(CAST(cp.cp * nn.nn AS DOUBLE) / " +
-        "CAST(c1.ct * c2.ct AS DOUBLE)) AS pmi " +
+        "ln(CAST(cp.cp AS DOUBLE) * CAST(nn.nn AS DOUBLE) / " +
+        "(CAST(c1.ct AS DOUBLE) * CAST(c2.ct AS DOUBLE))) AS pmi " +
         "FROM cp JOIN ctc c1 ON cp.w1 = c1.h " +
         "JOIN ctc c2 ON cp.w2 = c2.h CROSS JOIN nn WHERE cp.cp >= 5), " +
         "top AS (SELECT b, cp, pmi, rank FROM (SELECT b, cp, pmi, " +
@@ -3508,7 +3508,10 @@ object PipelineQueries {
       "for i in range(1, len(ls) + 1)]) AS u FROM d2), " +
       "lf AS (SELECT doc_id, source, u.pos AS pos, u.fp AS fp FROM l), " +
       "freq AS (SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS df " +
-      s"FROM lf GROUP BY fp) WHERE df > $LineDedupMaxDf), " +
+      s"FROM lf GROUP BY fp) WHERE df > $LineDedupMaxDf " +
+      // empty trimmed lines are structure, not boilerplate (same
+      // exclusion as the Spark op)
+      s"AND fp <> ${TextAnalysis.TokenHashSql("''")}), " +
       "kept AS (SELECT lf.doc_id, lf.pos FROM lf LEFT JOIN freq " +
       "ON lf.fp = freq.fp WHERE freq.fp IS NULL), " +
       "re AS (SELECT d2.doc_id, d2.source, " +
@@ -3562,7 +3565,10 @@ object PipelineQueries {
       "for i in range(1, len(ls) + 1)]) AS u FROM d2), " +
       "lf AS (SELECT doc_id, source, u.pos AS pos, u.fp AS fp FROM l), " +
       "freq AS (SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS df " +
-      s"FROM lf GROUP BY fp) WHERE df > $LineDedupMaxDf), " +
+      s"FROM lf GROUP BY fp) WHERE df > $LineDedupMaxDf " +
+      // empty trimmed lines are structure, not boilerplate (same
+      // exclusion as the Spark op)
+      s"AND fp <> ${TextAnalysis.TokenHashSql("''")}), " +
       "kept AS (SELECT lf.doc_id, lf.pos FROM lf LEFT JOIN freq " +
       "ON lf.fp = freq.fp WHERE freq.fp IS NULL), " +
       "re AS (SELECT d2.doc_id, d2.source, " +

@@ -99,9 +99,20 @@ object NgramLm {
       .crossJoin(nf)
       .select(((col("w1") * lit(31L) + col("w2")) % lit(M)).as("b"),
         col("cp"),
-        log((col("cp") * col("nn")).cast("double") /
-          (col("c1") * col("c2")).cast("double")).as("pmi"))
-    val top = Ranking.topRanks(scored, "pmi", "b", k)
+        // cast BEFORE multiplying: cp·N and c(w₁)·c(w₂) in int64
+        // overflow at corpus scale (N ~ 10¹³ bigrams at 100 TB wraps
+        // silently here and THROWS in DuckDB); exact-int doubles
+        // below 2⁵³ multiply to identical IEEE products on both
+        // engines, so parity is unaffected
+        log(col("cp").cast("double") * col("nn").cast("double") /
+          (col("c1").cast("double") * col("c2").cast("double")))
+          .as("pmi"))
+    // pmi rides out of the TopK buffer itself; cp is recovered by the
+    // spelling pass below (one row per bigram occurrence, so its
+    // count(*) IS cp) — re-joining `scored` for either would run the
+    // whole pair-aggregate + token-joins subplan a second time for a
+    // k-row result
+    val top = Ranking.topRanksWithScore(scored, "pmi", "b", k)
     // spelling recovery: strings only move for the k winners
     val ws = TextAnalysis.tokens(col(textCol))
     val spellings = df
@@ -115,8 +126,9 @@ object NgramLm {
             element_at(col("__ws"), i + 1)).as("sp")))).as("u"))
       .select(col("u.b").as("b"), col("u.sp").as("sp"))
       .join(broadcast(top.select("b")), "b")
-      .groupBy("b").agg(min(col("sp")).as("spelling"))
-    top.join(spellings, "b").join(scored, "b")
+      .groupBy("b").agg(min(col("sp")).as("spelling"),
+        count(lit(1)).as("cp"))
+    top.join(spellings, "b")
       .select(col("rank"), col("spelling"), col("cp"),
         col("pmi"))
   }

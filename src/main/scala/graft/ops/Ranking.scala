@@ -59,10 +59,19 @@ object Ranking {
     * [[rrfFuse]]. */
   def topRanks(df: DataFrame, scoreCol: String, idCol: String,
                k: Int): DataFrame =
+    topRanksWithScore(df, scoreCol, idCol, k).drop(scoreCol)
+
+  /** [[topRanks]] keeping the winning score as a third column — the
+    * TopK buffer already carries it, so emitting it is free and saves
+    * consumers a re-join against the (possibly expensive) scored
+    * subplan just to recover the score of k winners. */
+  def topRanksWithScore(df: DataFrame, scoreCol: String, idCol: String,
+                        k: Int): DataFrame =
     df.agg(TopK.topK(col(scoreCol), col(idCol), k).as("__tk"))
       .select(posexplode(col("__tk")).as(Seq("__r", "__e")))
       .select(col("__e.id").as(idCol),
-        (col("__r") + 1).cast("long").as("rank"))
+        (col("__r") + 1).cast("long").as("rank"),
+        col("__e.score").as(scoreCol))
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
     * of two bounded candidate lists — the standard way to combine a

@@ -90,10 +90,12 @@ object TextAnalysis {
     }
   }
 
-  /** Punctuation ratio over non-space characters. */
+  /** Punctuation ratio over non-space characters (translate for the
+    * literal-char removal — no regex pass; this sits inside every
+    * quality feature). */
   def punctRatio(text: Column): Column =
     regexp_count(text, lit("[^A-Za-z0-9 ]")).cast("double") /
-      greatest(length(regexp_replace(text, " ", "")).cast("double"), lit(1.0))
+      greatest(length(translate(text, " ", "")).cast("double"), lit(1.0))
 
   def stopwordRatio(text: Column): Column =
     LangPriority.map(l => stopwordCount(text, l)).reduce(_ + _).cast("double") /
@@ -147,6 +149,11 @@ object TextAnalysis {
     val lines = split(text, "\n")
     def keepLine(l: Column): Column = {
       val t = trim(l)
+      // word count under the corpus-wide single-space convention
+      // (like wordCount / featWl): consecutive spaces would inflate
+      // the split size and soften the >= C4MinLineWords floor —
+      // normalize whitespace upstream (Html.extractText already
+      // does) before applying C4 rules to raw scraped text
       substring(t, -1, 1).isin(".", "!", "?", "\"") &&
         size(split(t, " ")) >= lit(C4MinLineWords)
     }
@@ -239,7 +246,12 @@ object TextAnalysis {
     * classes, quantifiers, alternation — no lookaround, no `\d`
     * shorthand — so every engine finds the same spans. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val UrlRe = "https?://[^ ]+"
+  // the negated class must exclude \n and \t as well as space — a
+  // bare [^ ]+ matches ACROSS line breaks, merging consecutive-line
+  // URLs into one match and swallowing following-line prose into
+  // scrubPii's <URL> replacement (\n / \t escapes are valid in both
+  // the Java and RE2 class dialects)
+  val UrlRe = "https?://[^ \\n\\t]+"
   val PhoneRe = "[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
   val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
   val DigitRunRe = "[0-9]{7,}"
@@ -340,7 +352,15 @@ object TextAnalysis {
         posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
       .select(col("__id"), col("__pos"),
         tokenHash(trim(col("__line"))).as("__fp"))
-    val frequent = lines.groupBy("__fp")
+    val frequent = lines
+      // an EMPTY trimmed line is never boilerplate: paragraph
+      // separators appear in every formatted doc, so without this
+      // exclusion the blank-line fingerprint crosses maxDf corpus-wide
+      // and every paragraph break would be stripped from every doc
+      // (CCNet dedups content lines, not structure); the fp-constant
+      // compare is the same exclusion the DuckDB oracle applies
+      .where(col("__fp") =!= tokenHash(lit("")))
+      .groupBy("__fp")
       .agg(countDistinct(col("__id")).as("__df"))
       .where(col("__df") > maxDf)
     val dropIdx = lines.join(frequent, "__fp")
@@ -369,6 +389,11 @@ object TextAnalysis {
     df.select(col(idCol).as("__id"),
         explode(split(col(textCol), "\n")).as("__line"))
       .select(col("__id"), tokenHash(trim(col("__line"))).as("__fp"))
+      // empty trimmed lines are structure, not boilerplate — same
+      // exclusion as [[lineDedup]], so a fitted set never contains
+      // the blank-line fingerprint and [[lineDedupApply]] preserves
+      // paragraph breaks on every future batch/stream
+      .where(col("__fp") =!= tokenHash(lit("")))
       .groupBy("__fp").agg(countDistinct(col("__id")).as("__df"))
       .where(col("__df") > maxDf)
       .select("__fp").collect().map(_.getLong(0)).sorted
@@ -394,7 +419,9 @@ object TextAnalysis {
   /** Normalized host of a URL: lowercased authority with any
     * `www.` prefix stripped — the key for URL/domain-level curation.
     * Regex stays in the Java∩RE2 dialect so every engine agrees. */
-  val UrlHostRe = "https?://([^/ ]+)"
+  // same \n/\t exclusion as [[UrlRe]]: the authority must not run
+  // across a line break
+  val UrlHostRe = "https?://([^/ \\n\\t]+)"
   def urlHost(url: Column): Column =
     regexp_replace(lower(regexp_extract(url, UrlHostRe, 1)),
       "^www\\.", "")

@@ -186,17 +186,24 @@ object TextHashFns {
     val s = text.toString
     val counts = new Array[Long](28)
     var i = 0
+    var total = 0L
+    // step by CODEPOINT, not UTF-16 unit: a surrogate pair is ONE
+    // 'other' character, matching the DuckDB oracle's per-character
+    // split and the sibling scriptProfile kernel (counting the two
+    // halves separately would skew n and the class mass for any
+    // non-BMP text)
     while (i < s.length) {
-      val c = s.charAt(i)
+      val cp = s.codePointAt(i)
       val cls =
-        if (c >= 'a' && c <= 'z') c - 'a'
-        else if (c >= 'A' && c <= 'Z') c - 'A'
-        else if (c == ' ') 26
+        if (cp >= 'a' && cp <= 'z') cp - 'a'
+        else if (cp >= 'A' && cp <= 'Z') cp - 'A'
+        else if (cp == ' ') 26
         else 27
       counts(cls) += 1
-      i += 1
+      total += 1
+      i += Character.charCount(cp)
     }
-    val n = s.length.toDouble
+    val n = total.toDouble
     if (n == 0) return 0.0
     var h = 0.0
     var k = 0
@@ -294,10 +301,16 @@ object TextHashFns {
   }
 
   /** 16-bit SimHash over the distinct token set: bit b set iff
-    * Σ_tokens (±1 by bit b of the 60-bit hash) > 0. Returns −1 for a
-    * token-less text (callers filter; bit-sums of zero tokens are all
-    * 0 → simhash 0 is reachable, so a sentinel outside [0, 2¹⁶) is
-    * needed). */
+    * Σ_tokens (±1 by bit b of the 60-bit hash) > 0. NOTE the −1
+    * sentinel below is a DEFENSIVE dead branch for non-null input:
+    * `split(" ", -1)` always yields at least the empty token, so
+    * empty/blank docs hash the empty token's bit pattern (they
+    * collide with each other, by design — they ARE mutual
+    * duplicates), and every non-null text lands in [0, 2¹⁶)
+    * ([[graft.ops.Dedup.simhash16]] states the same contract). The
+    * sentinel would fire only if the tokenizer changed to drop empty
+    * tokens, and is kept so that change fails loudly downstream
+    * rather than silently emitting bit-sums of nothing. */
   def simhash16(text: UTF8String): Long = {
     val toks = text.toString.split(" ", -1)
     val seen = new java.util.HashSet[String]()

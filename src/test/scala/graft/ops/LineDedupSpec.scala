@@ -9,6 +9,27 @@ class LineDedupSpec extends AnyFunSuite {
 
   private lazy val spark = SparkTestSession.spark
 
+  test("blank lines are structure, not boilerplate: paragraph breaks " +
+    "survive however many docs share them, in fit AND one-shot") {
+    val s = spark
+    import s.implicits._
+    // every doc has a blank paragraph separator; 'footer' is real
+    // boilerplate in all 4 docs
+    val df = (1L to 4L).map(i =>
+      (i, s"intro $i\n\nbody $i\nfooter")).toDF("id", "t")
+    val one = TextAnalysis.lineDedup(df, "t", "id", maxDf = 2)
+      .select("id", "cleaned").as[(Long, String)].collect().sortBy(_._1)
+    one.foreach { case (i, c) =>
+      assert(c == s"intro $i\n\nbody $i",
+        s"blank separator must survive, footer must drop: ($i, $c)")
+    }
+    val fps = TextAnalysis.frequentLineFps(df, "t", "id", maxDf = 2)
+    assert(fps.length == 1, s"only 'footer' is boilerplate: ${fps.toSeq}")
+    val applied = TextAnalysis.lineDedupApply(df, "t", fps)
+      .select("id", "cleaned").as[(Long, String)].collect().sortBy(_._1)
+    assert(applied.toSeq == one.toSeq, "fit+apply == one-shot")
+  }
+
   test("lines over maxDf docs are dropped, order preserved, boundary " +
     "exact (df == maxDf survives, df == maxDf+1 does not)") {
     val s = spark

@@ -253,6 +253,15 @@ class OpsSpec extends AnyFunSuite {
     val want5 = -(4 * (0.2 * math.log(0.2)) + 0.2 * math.log(0.2))
     assert(math.abs(got(5L) - want5) < 1e-12)
     assert(got(6L) > got(3L), "diverse prose above a 2-char loop")
+    // non-BMP: an emoji is ONE 'other' codepoint, not two surrogate
+    // units — "😀a" must equal any other 1-other + 1-letter text
+    val nonBmp = Seq((7L, "😀a"), (8L, ".a"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.ops.TextHashExpressions.charEntropy(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(nonBmp(7L) == nonBmp(8L),
+      s"surrogate pair must count once: $nonBmp")
   }
 
   test("newNearDupsAgainstCorpus flags exact and perturbed copies of " +
