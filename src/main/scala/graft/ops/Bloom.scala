@@ -34,12 +34,22 @@ object Bloom {
   val WordBits = 60
 
   /** The k probe positions of a key (double hashing:
-    * pos_j = (h1 + j·h2) mod m with h1 = key mod m,
-    * h2 = 1 + key mod (m−1)); key must be a nonnegative long below
-    * 2⁶⁰ so every intermediate stays exact. */
+    * pos_j = (h1 + j·h2) mod m with h1 = key floorMod m,
+    * h2 = 1 + key floorMod (m−1)). floorMod (Spark `pmod` / Java
+    * `Math.floorMod`) makes the position arithmetic TOTAL over the
+    * full long range: a plain `%` on a negative key yields negative
+    * positions, which build and probe would interpret differently
+    * (mask 0 on build, a shifted real bit on probe) — a silent FALSE
+    * NEGATIVE, the one failure class a Bloom prefilter must never
+    * have. Nonnegative keys (every in-repo producer: tokenHash,
+    * minhash folds — all mod-2⁶⁰ universes) are unaffected:
+    * floorMod == % there, so existing filters and oracles are
+    * bit-identical. Keys must stay below 2⁶⁰ in magnitude so every
+    * intermediate is exact in both int64 and double. */
   def positions(key: Column, mBits: Int, kHashes: Int): Seq[Column] = {
-    val h1 = key % lit(mBits.toLong)
-    val h2 = lit(1L) + key % lit((mBits - 1).toLong)
+    val h1 = pmod(key, lit(mBits.toLong))
+    val h2 = lit(1L) + pmod(key, lit((mBits - 1).toLong))
+    // h1, h2 ≥ 0 ⇒ the combined position is already nonnegative
     (0 until kHashes).map(j => (h1 + lit(j.toLong) * h2) % lit(mBits.toLong))
   }
 
@@ -95,10 +105,11 @@ object Bloom {
 object BloomFns {
   /** Identical arithmetic to [[Bloom.mightContainSpec]]:
     * p/60 int-division ≡ (p − p mod 60)/60 and 1L<<bit ≡ pow(2, bit)
-    * for bit < 60, so the kernel and the spec agree bit-for-bit. */
+    * for bit < 60, and floorMod ≡ Spark's pmod, so the kernel and
+    * the spec agree bit-for-bit over the FULL long key range. */
   def contains(bits: Array[Long], key: Long, m: Int, k: Int): Boolean = {
-    val h1 = key % m
-    val h2 = 1L + key % (m - 1)
+    val h1 = java.lang.Math.floorMod(key, m.toLong)
+    val h2 = 1L + java.lang.Math.floorMod(key, (m - 1).toLong)
     var j = 0
     while (j < k) {
       val p = (h1 + j * h2) % m

@@ -57,8 +57,17 @@ object HashEmbed {
 
   /** Unit-L2-normalized hashed vector (array<double>) for the cosine
     * machinery; null when the count vector is all zeros (a doc whose
-    * positive and negative token hits cancel in every bucket). */
-  def unitVec(text: Column, d: Int = DefaultDim): Column = {
+    * positive and negative token hits cancel in every bucket). ONE
+    * native kernel pass ([[TextHashExpressions.hashEmbedUnit]]) —
+    * [[unitVecSpec]] is the composed form it is pinned to, which
+    * re-runs the tokenize+hash kernel per output element through the
+    * transform lambda and exists for equivalence testing only. */
+  def unitVec(text: Column, d: Int = DefaultDim): Column =
+    TextHashExpressions.hashEmbedUnit(text, d)
+
+  /** Composable executable spec of [[unitVec]] (equivalence testing
+    * only — O(d · tokens) kernel re-evaluation inside the lambda). */
+  def unitVecSpec(text: Column, d: Int = DefaultDim): Column = {
     val c = counts(text, d)
     val n2 = aggregate(c, lit(0.0),
       (a, x) => a + (x * x).cast("double"))

@@ -58,19 +58,28 @@ object Pca {
     def k: Int = components.length
 
     /** Append `outCol`: the k-dim projection W·(x − μ), optionally
-      * whitened (each component scaled to unit variance). One
-      * codegen'd map pass — components ride as literals. */
+      * whitened (each component scaled to unit variance). ONE
+      * [[VecExpressions.matVec]] kernel pass (W as a plan constant,
+      * the [[graft.ops.Similarity]] jlProject pattern) instead of k
+      * separate dot kernels each re-walking the embedding; centering
+      * folds into per-component constants (dot(x−μ, w) ≡ dot(x, w) −
+      * Σ wᵢμᵢ with the constant summed driver-side), and the
+      * subtract/scale is a cheap transform over the k-element output
+      * — value-identical to the per-component form since matVec's
+      * per-row accumulation order equals VecDot's. */
     def project(df: DataFrame, embCol: String, outCol: String,
                 whiten: Boolean = false): DataFrame = {
-      val comps = (0 until k).map { c =>
-        val w = components(c)
-        val scale = if (whiten) 1.0 / math.sqrt(math.max(eigenvalues(c), 1e-12))
-          else 1.0
-        val centered = VecExpressions.dot(col(embCol),
-          typedLit(w.toSeq)) - lit((0 until d).map(i => w(i) * mean(i)).sum)
-        (centered * lit(scale)).as(s"__pc$c")
-      }
-      df.withColumn(outCol, array(comps: _*))
+      val consts = (0 until k).map(c =>
+        (0 until d).map(i => components(c)(i) * mean(i)).sum)
+      val scales = (0 until k).map(c =>
+        if (whiten) 1.0 / math.sqrt(math.max(eigenvalues(c), 1e-12))
+        else 1.0)
+      val raw = VecExpressions.matVec(col(embCol),
+        components.flatten.toIndexedSeq, d)
+      val cArr = typedLit(consts)
+      val sArr = typedLit(scales)
+      df.withColumn(outCol, transform(raw, (v, i) =>
+        (v - element_at(cArr, i + 1)) * element_at(sArr, i + 1)))
     }
 
     /** OPQ-P projection (Ge et al. 2014): [[project]] with the

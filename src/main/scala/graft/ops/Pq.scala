@@ -74,7 +74,10 @@ object Pq {
     * init, or use directly for a replayable oracle. */
   def codebooksFromFirst(df: DataFrame, idCol: String, embCol: String,
                          m: Int, ksub: Int): Codebooks = {
-    val rows = df.orderBy(col(idCol)).limit(ksub)
+    // order by the LONG-cast id so the seed SET and the position
+    // ordering below agree (a raw string-typed id would pick a
+    // lexicographic seed set, then position it numerically)
+    val rows = df.orderBy(col(idCol).cast("long")).limit(ksub)
       .select(col(idCol).cast("long"), col(embCol))
       .collect()
       .sortBy(_.getLong(0))
@@ -138,13 +141,17 @@ object Pq {
   def quantizationError(emb: Column, code: Column, cb: Codebooks): Column =
     adcDist(emb, code, cb)
 
-  /** ADC nearest neighbor: for every query row, the minimum ADC
-    * distance over the coded corpus (self excluded by id). The query
-    * side is broadcast (queries are the small side BY USE — batch
-    * scoring a handful of probes against a petabyte-scale coded
-    * corpus), so the plan is ONE scan of the codes with m lookups per
-    * (query, row) pair and a partial-agg'd min — no shuffle of the
-    * corpus. */
+  /** ADC nearest neighbor: for every query row WITH at least one
+    * candidate, the minimum ADC distance over the coded corpus (self
+    * excluded by id) — a query whose candidate set is empty (a 1-row
+    * corpus here; a singleton coarse cell in [[ivfAdcTop1]]) emits NO
+    * row, not a null: inner-join-then-group semantics, identical in
+    * the DuckDB oracles. Callers joining results back by qid should
+    * left-join and treat the miss as "no neighbor". The query side is
+    * broadcast (queries are the small side BY USE — batch scoring a
+    * handful of probes against a petabyte-scale coded corpus), so the
+    * plan is ONE scan of the codes with m lookups per (query, row)
+    * pair and a partial-agg'd min — no shuffle of the corpus. */
   def adcTop1(coded: DataFrame, queries: DataFrame, idCol: String,
               embCol: String, cb: Codebooks): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(embCol).as("qemb"))

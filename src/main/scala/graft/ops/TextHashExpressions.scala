@@ -175,6 +175,36 @@ object TextHashFns {
     new GenericArrayData(out)
   }
 
+  /** Unit-L2-normalized [[hashEmbed]] in the SAME pass: counts, then
+    * ascending-index sum of squares (matching the composed
+    * `aggregate` fold order), then one division per element. Null for
+    * an all-zero count vector (every bucket's ± hits cancel — no
+    * direction). Exists because the composed Column form referenced
+    * the count vector inside a `transform` lambda, and Catalyst
+    * re-evaluates the whole tokenize+hash kernel plus the O(d) norm
+    * fold once PER OUTPUT ELEMENT there (~65 kernel passes per row at
+    * d = 64 — the same lambda-duplication class the Bloom probe
+    * kernel documents). */
+  def hashEmbedUnit(text: UTF8String, d: Int): GenericArrayData = {
+    val counts = hashEmbed(text, d)
+    var n2 = 0.0
+    var j = 0
+    while (j < d) {
+      val v = counts.getLong(j)
+      n2 += (v * v).toDouble
+      j += 1
+    }
+    if (!(n2 > 0)) return null
+    val nrm = math.sqrt(n2)
+    val out = new Array[Any](d)
+    j = 0
+    while (j < d) {
+      out(j) = counts.getLong(j).toDouble / nrm
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Character-class Shannon entropy (nats): classes are the 26
     * case-folded letters, space (26), and other (27); H = −Σ p·ln p
     * over the non-empty classes in ascending class order (fixed
@@ -453,6 +483,33 @@ case class HashEmbedExpr(child: Expression, d: Int)
   override def prettyName: String = "hash_embed"
 }
 
+/** Unit-normalized hashed embedding ([[TextHashFns.hashEmbedUnit]]);
+  * nullable — an all-cancelled count vector has no direction. The
+  * null is produced by the kernel, so `nullSafeCodeGen` + a null
+  * check mirror [[graft.ops.VecCosineOrNull]]'s pattern. */
+case class HashEmbedUnitExpr(child: Expression, d: Int)
+    extends UnaryExpression {
+  require(d >= 2 && (d & (d - 1)) == 0, s"d=$d must be a power of two")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TextHashFns.hashEmbedUnit(v.asInstanceOf[UTF8String], d)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("unitArr")
+      s"""
+         |org.apache.spark.sql.catalyst.util.GenericArrayData $tmp =
+         |  graft.ops.TextHashFns.hashEmbedUnit($c, $d);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): HashEmbedUnitExpr =
+    copy(child = c)
+  override def prettyName: String = "hash_embed_unit"
+}
+
 case class ScriptProfileExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StructType(
     TextHashFns.ScriptNames.map(n =>
@@ -526,6 +583,8 @@ object TextHashExpressions {
     bridge.toColumn(DsirWeightExpr(bridge.toExpression(text), m, ratios))
   def hashEmbed(text: Column, d: Int): Column =
     bridge.toColumn(HashEmbedExpr(bridge.toExpression(text), d))
+  def hashEmbedUnit(text: Column, d: Int): Column =
+    bridge.toColumn(HashEmbedUnitExpr(bridge.toExpression(text), d))
   def charEntropy(text: Column): Column =
     bridge.toColumn(CharEntropyExpr(bridge.toExpression(text)))
   def scriptProfile(text: Column): Column =

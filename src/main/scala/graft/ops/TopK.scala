@@ -127,8 +127,12 @@ case class TopKAgg(scoreExpr: Expression, idExpr: Expression, k: Int,
 
 object TopK {
   /** `top_k(score, id, k)` aggregate Column: array of the k highest
-    * (score, id) structs, descending. */
+    * (score, id) structs, descending. Inputs are cast to
+    * double/long here (no-op casts fold away when already typed):
+    * the imperative buffer reads raw Double/Long, so a float score
+    * or int id column would otherwise crash every task with a
+    * ClassCastException deep in the aggregate instead of coercing. */
   def topK(score: Column, id: Column, k: Int): Column =
-    bridge.toColumn(TopKAgg(bridge.toExpression(score),
-      bridge.toExpression(id), k).toAggregateExpression())
+    bridge.toColumn(TopKAgg(bridge.toExpression(score.cast("double")),
+      bridge.toExpression(id.cast("long")), k).toAggregateExpression())
 }

@@ -28,6 +28,24 @@ class HashEmbedSpec extends AnyFunSuite {
     assert(diff == 0, s"$diff rows diverge from the spec")
   }
 
+  test("unitVec kernel equals its composable spec bit for bit, " +
+    "including the all-cancelled null case") {
+    // "a b" where both tokens hash to the same bucket with opposite
+    // signs is corpus-dependent; instead force the null path with
+    // empty-vs-nonempty and compare the rest exactly
+    val base = docs.select(col("text"))
+      .union(Seq("a", "a a b", "x y z w").toDF("text"))
+    val rows = base.select(
+        HashEmbed.unitVec(col("text")).as("k"),
+        HashEmbed.unitVecSpec(col("text")).as("s"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null mismatch: $r")
+      if (!r.isNullAt(0))
+        assert(r.getSeq[Double](0) == r.getSeq[Double](1), s"$r")
+    }
+  }
+
   test("hashed vectors are an embedding: duplicate texts at cosine 1, " +
     "disjoint token bags near 0, self-norm from integer counts") {
     val rows = Seq(

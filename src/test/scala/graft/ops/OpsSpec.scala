@@ -1042,6 +1042,24 @@ class OpsSpec extends AnyFunSuite {
     assert(preds.subsetOf(TextAnalysis.LangPriority.toSet + "und"))
   }
 
+  test("Bloom positions are total over the FULL long range: negative " +
+    "keys round-trip build -> probe with zero false negatives and " +
+    "kernel == spec (a plain % would set no bit on build but probe a " +
+    "real bit — a silent false negative)") {
+    val keys = Seq(-1L, -5L, Long.MinValue + 7L, -999999999999L, 3L, 0L)
+    val in = keys.toDF("k")
+    val bits = Bloom.build(in, "k", 1 << 12, 5)
+    val probed = in
+      .withColumn("hit", Bloom.mightContain(bits, col("k"), 1 << 12, 5))
+      .withColumn("hitSpec",
+        Bloom.mightContainSpec(bits, col("k"), 1 << 12, 5))
+      .collect()
+    probed.foreach { r =>
+      assert(r.getBoolean(1), s"false negative for key ${r.getLong(0)}")
+      assert(r.getBoolean(1) == r.getBoolean(2), s"kernel != spec: $r")
+    }
+  }
+
   test("Bloom filter has zero false negatives and a small fp rate; " +
     "bloom-prefiltered incremental dedup equals the exact path") {
     val keys = (0L until 2000L).map(i => (i * 2654435761L) % (1L << 45))
