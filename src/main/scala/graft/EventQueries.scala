@@ -274,11 +274,14 @@ object EventQueries {
     (s, d) => Events.transitions(events(s, d), "user_id", "ts",
         "event_id", "event_type")
       .orderBy("from_type", "to_type"),
+    // presence-tagged lead, mirroring Events.transitions: a bare
+    // lead(event_type) is null both at end-of-stream AND when the
+    // next TYPE is null, so real X -> null transitions would drop
     "WITH o AS (SELECT user_id, event_type, " +
-      "lead(event_type) OVER (PARTITION BY user_id " +
-      "ORDER BY epoch_ns(ts), event_id) AS nxt FROM events), " +
-      "m AS (SELECT event_type AS from_type, nxt AS to_type, " +
-      "count(*) AS n FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2) " +
+      "lead({'o': 1, 't': event_type}) OVER (PARTITION BY user_id " +
+      "ORDER BY epoch_ns(ts), event_id) AS nx FROM events), " +
+      "m AS (SELECT event_type AS from_type, nx.t AS to_type, " +
+      "count(*) AS n FROM o WHERE nx IS NOT NULL GROUP BY 1, 2) " +
       "SELECT from_type, to_type, n, " +
       "round(n::DOUBLE / (sum(n) OVER (PARTITION BY from_type))::DOUBLE," +
       " 5) AS p FROM m ORDER BY from_type, to_type")
@@ -341,10 +344,13 @@ object EventQueries {
             col("event_id")).otherwise(0L)).as("anom_ids"))
         .orderBy("event_type")
     },
+    // null metric rows are excluded BEFORE the recurrence, like
+    // Events.ewma's isNotNull normalization — a null folded through
+    // the prefix lambda would poison every later level
     "WITH l AS (SELECT event_id, user_id, event_type, value, " +
       "list(value) OVER (PARTITION BY user_id " +
       "ORDER BY epoch_ns(ts), event_id ROWS UNBOUNDED PRECEDING) " +
-      "AS pfx FROM events), " +
+      "AS pfx FROM events WHERE value IS NOT NULL), " +
       "e AS (SELECT event_id, event_type, value, " +
       s"list_reduce(pfx, (acc, x) -> $EwmaAlpha * x + " +
       s"(1.0 - $EwmaAlpha) * acc) AS ewma, " +
@@ -386,10 +392,11 @@ object EventQueries {
           sum(when(alarm, col("event_id")).otherwise(0L)).as("alarm_ids"))
         .orderBy("event_type")
     },
+    // same null-metric exclusion as Events.cusum's normalization
     "WITH l AS (SELECT event_id, user_id, event_type, value, " +
       "list(value) OVER (PARTITION BY user_id " +
       "ORDER BY epoch_ns(ts), event_id ROWS UNBOUNDED PRECEDING) " +
-      "AS pfx FROM events), " +
+      "AS pfx FROM events WHERE value IS NOT NULL), " +
       "c AS (SELECT event_id, event_type, " +
       s"list_reduce([{'x': x, 'hi': greatest(0.0, x - $CusumTarget - " +
       s"$CusumSlack), 'lo': greatest(0.0, $CusumTarget - $CusumSlack - x)} " +

@@ -3861,9 +3861,11 @@ object PipelineQueries {
         s"fn AS (SELECT doc_id, ${TextAnalysis.TokenHashSql("text")} " +
         "AS fp_new, source AS meta_new FROM n), " +
         "dj AS (SELECT coalesce(fo.doc_id, fn.doc_id) AS doc_id, " +
-        "CASE WHEN fp_old IS NULL THEN 'added' " +
-        "WHEN fp_new IS NULL THEN 'removed' " +
-        "WHEN fp_old = fp_new THEN 'unchanged' " +
+        // presence on the join's id columns + null-safe fp compare,
+        // mirroring Diff.corpusDiff's null-text contract
+        "CASE WHEN fo.doc_id IS NULL THEN 'added' " +
+        "WHEN fn.doc_id IS NULL THEN 'removed' " +
+        "WHEN fp_old IS NOT DISTINCT FROM fp_new THEN 'unchanged' " +
         "ELSE 'changed' END AS status, " +
         "coalesce(meta_new, meta_old) AS source " +
         "FROM fo FULL OUTER JOIN fn ON fo.doc_id = fn.doc_id) " +

@@ -30,7 +30,12 @@ object Codecs {
     * format header plus whole-signal statistics (RMS of normalized
     * samples; zero-crossing rate over channel-0 frames). None for
     * anything that is not a well-formed PCM16 WAV. */
-  def decodeWav(b: Array[Byte]): Option[WavInfo] = {
+  /** Shared RIFF chunk walk: (sampleRate, channels, dataOff,
+    * dataLen) of a valid PCM16 WAV — the SINGLE locator both
+    * [[decodeWav]] and the sample readers use, so "which data chunk"
+    * (last wins, like the header fields) cannot diverge between the
+    * stats pass and the tonal-feature pass. */
+  private def wavLayout(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     if (b == null || b.length < 44) return None
     if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
       b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
@@ -55,7 +60,14 @@ object Codecs {
       }
       off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
     }
-    if (!fmtOk || dataOff < 0) return None
+    if (!fmtOk || dataOff < 0) None else Some((sr, ch, dataOff, dataLen))
+  }
+
+  def decodeWav(b: Array[Byte]): Option[WavInfo] = {
+    val (sr, ch, dataOff, dataLen) = wavLayout(b) match {
+      case None => return None
+      case Some(l) => l
+    }
     val nSamples = dataLen / 2
     val nFrames = nSamples / ch
     if (nFrames == 0) return Some(WavInfo(sr, ch, 0L, 0.0, 0.0))
@@ -82,31 +94,19 @@ object Codecs {
   /** Mono-mixed normalized samples of a PCM16 WAV (channel 0 only —
     * the tonal probes care about frequency content, not the mix). */
   private def samplesOf(b: Array[Byte]): Option[(Int, Array[Double])] =
-    decodeWav(b).flatMap { info =>
-      if (info.nFrames == 0) Some((info.sampleRate, new Array[Double](0)))
-      else {
-        // re-locate the data chunk (decodeWav validated the layout)
-        var off = 12
-        var dataOff = -1
-        while (off + 8 <= b.length && dataOff < 0) {
-          val sz = le32(b, off + 4)
-          if (b(off) == 'd' && b(off + 1) == 'a' && b(off + 2) == 't' &&
-            b(off + 3) == 'a') dataOff = off + 8
-          else off += 8 + sz + (sz & 1)
-        }
-        if (dataOff < 0) None
-        else {
-          val n = info.nFrames.toInt
-          val out = new Array[Double](n)
-          var f = 0
-          while (f < n) {
-            out(f) = le16(b, dataOff + 2 * f * info.channels)
-              .toShort / 32768.0
-            f += 1
-          }
-          Some((info.sampleRate, out))
-        }
+    wavLayout(b).map { case (sr, ch, dataOff, dataLen) =>
+      // the SAME chunk decodeWav sized its stats from (a first-wins
+      // re-walk here once read a different 'data' chunk than the
+      // last-wins layout on multi-data files, computing tonal
+      // features over wrong bytes)
+      val n = dataLen / 2 / ch
+      val out = new Array[Double](n)
+      var f = 0
+      while (f < n) {
+        out(f) = le16(b, dataOff + 2 * f * ch).toShort / 32768.0
+        f += 1
       }
+      (sr, out)
     }
 
   /** Tonal audio features via the Goertzel filter: normalized power
@@ -229,31 +229,38 @@ object Codecs {
     * standard cheap near-dup fingerprint for image corpora (group or
     * hamming-match the hashes with the same dedup machinery as text
     * signatures). Deterministic integer arithmetic end to end. */
-  def aHash64(b: Array[Byte]): Option[Long] =
-    try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-      if (img == null) None
-      else {
-        val (w, h) = (img.getWidth, img.getHeight)
-        val gray = new Array[Long](64)
-        var i = 0
-        while (i < 64) {
-          val x = ((i % 8).toLong * w / 8 + w / 16).toInt.min(w - 1)
-          val y = ((i / 8).toLong * h / 8 + h / 16).toInt.min(h - 1)
-          val p = img.getRGB(x, y)
-          gray(i) = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
-          i += 1
-        }
-        val mean = gray.sum / 64
-        var hash = 0L
-        i = 0
-        while (i < 64) {
-          if (gray(i) > mean) hash |= (1L << i)
-          i += 1
-        }
-        Some(hash)
-      }
-    } catch { case _: Exception => None }
+  /** Decode any ImageIO-supported bytes (JPEG/PNG/GIF/BMP via the
+    * JDK's own readers); None for unreadable bytes. The SINGLE
+    * decode shared by both perceptual hashes — decoding is the
+    * dominant cost, so two-tier hashing must not run it twice. */
+  def readImage(b: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+    catch { case _: Exception => None }
+
+  def aHash64(b: Array[Byte]): Option[Long] = readImage(b).map(aHash64Of)
+
+  /** [[aHash64]] over an ALREADY-DECODED image. */
+  def aHash64Of(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val gray = new Array[Long](64)
+    var i = 0
+    while (i < 64) {
+      val x = ((i % 8).toLong * w / 8 + w / 16).toInt.min(w - 1)
+      val y = ((i / 8).toLong * h / 8 + h / 16).toInt.min(h - 1)
+      val p = img.getRGB(x, y)
+      gray(i) = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+      i += 1
+    }
+    val mean = gray.sum / 64
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (gray(i) > mean) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
 
   /** 64-bit perceptual DCT-hash (pHash) of any ImageIO-decodable
     * image: box-filtered 32×32 grayscale → 2-D DCT-II → the 8×8
@@ -264,11 +271,12 @@ object Codecs {
     * detection (group or hamming-match exactly like [[aHash64]]).
     * Deterministic: box means are exact integer sums, the DCT is
     * fixed-order double arithmetic, the median a fixed sort. */
-  def pHash64(b: Array[Byte]): Option[Long] =
-    try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-      if (img == null) None
-      else {
+  def pHash64(b: Array[Byte]): Option[Long] = readImage(b).map(pHash64Of)
+
+  /** [[pHash64]] over an ALREADY-DECODED image. */
+  def pHash64Of(img: java.awt.image.BufferedImage): Long = {
+    {
+      {
         val (w, h) = (img.getWidth, img.getHeight)
         val n = 32
         // box-filtered grayscale: average r+g+b over each cell's block
@@ -337,9 +345,10 @@ object Codecs {
           if (low(i) > med) hash |= (1L << i)
           i += 1
         }
-        Some(hash)
+        hash
       }
-    } catch { case _: Exception => None }
+    }
+  }
 
   /** Decode an uncompressed 24-bpp BMP (BITMAPINFOHEADER, positive or
     * negative height): dimensions plus per-channel pixel means in

@@ -24,16 +24,22 @@ object Diff {
     * wins for changed rows — the release-note convention). */
   def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
                  textCol: String, metaCol: String): DataFrame = {
+    // presence is a dedicated flag, NOT fingerprint nullability: a
+    // row PRESENT in a snapshot with null text has a null fp, and
+    // keying status on the fp would misreport it as added/removed;
+    // fp comparison is null-safe (<=>) so both-sides-null-text is
+    // 'unchanged' and null-vs-text is 'changed'
     def fp(df: DataFrame, side: String) = df.select(
       col(idCol),
       TextAnalysis.tokenHash(col(textCol)).as(s"fp_$side"),
-      col(metaCol).as(s"meta_$side"))
+      col(metaCol).as(s"meta_$side"),
+      lit(true).as(s"p_$side"))
     val j = fp(oldDf, "old").join(fp(newDf, "new"), Seq(idCol), "full_outer")
     j.select(
       col(idCol),
-      when(col("fp_old").isNull, lit("added"))
-        .when(col("fp_new").isNull, lit("removed"))
-        .when(col("fp_old") === col("fp_new"), lit("unchanged"))
+      when(col("p_old").isNull, lit("added"))
+        .when(col("p_new").isNull, lit("removed"))
+        .when(col("fp_old") <=> col("fp_new"), lit("unchanged"))
         .otherwise(lit("changed")).as("status"),
       coalesce(col("meta_new"), col("meta_old")).as(metaCol),
       col("fp_old"), col("fp_new"))

@@ -34,7 +34,9 @@ object Flac {
       val len = ((b(oi + 1) & 0xff) << 16) | ((b(oi + 2) & 0xff) << 8) |
         (b(oi + 3) & 0xff)
       val p = oi + 4
-      if (typ == 0 && p + 34 <= b.length && len >= 34) {
+      // Long compare: Int p + 34 would wrap negative on a
+      // near-Int.MaxValue cell and pass the bound it must fail
+      if (typ == 0 && p.toLong + 34 <= b.length && len >= 34) {
         val minBs = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
         val maxBs = ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
         // bytes p+10..p+17: rate(20) | chan-1(3) | bps-1(5) | samples(36)

@@ -88,7 +88,12 @@ object Mp4 {
         typ match {
           case "mvhd" if p1 - p0 >= 20 =>
             val v = b(p) & 0xff
-            if (v == 1 && p1 - p0 >= 28) {
+            // v1 reads end at p+32 (be64 duration), so the guard must
+            // be >= 32, not 28 — a truncated v1 payload at the buffer
+            // end would AIOOBE out of the walk; 20..31-byte v1
+            // payloads are malformed and fall to the v0 read, which
+            // is in-bounds at >= 20
+            if (v == 1 && p1 - p0 >= 32) {
               timescale = be32(b, p + 20); duration = be64(b, p + 24)
             } else {
               timescale = be32(b, p + 12); duration = be32(b, p + 16)

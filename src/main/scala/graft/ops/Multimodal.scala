@@ -33,6 +33,25 @@ object Multimodal {
       f: Iterator[Row] => Iterator[Row]): DataFrame =
     df.mapPartitions(f)(org.apache.spark.sql.Encoders.row(outSchema))
 
+  /** Shared scaffold for every bytes -> nullable-struct metadata
+    * column: appends `outCol` of type `tpe` computed by `parse` over
+    * the media bytes, in the batched partition-local shape. One home
+    * for the batching/encoder/null conventions — six decoders ride
+    * it, so a change to the shape cannot drift per copy. */
+  private def parsedColumn(df: DataFrame, mediaCol: String,
+                           outCol: String, tpe: StructType,
+                           blockSize: Int)(
+      parse: Array[Byte] => Row): DataFrame = {
+    val schema = df.schema.add(outCol, tpe)
+    val idx = df.schema.fieldIndex(mediaCol)
+    mapBatched(df, schema) { it =>
+      it.grouped(blockSize).flatMap { rows =>
+        rows.iterator.map(row =>
+          Row.fromSeq(row.toSeq :+ parse(row.getAs[Array[Byte]](idx))))
+      }
+    }
+  }
+
   val WavInfoType: StructType = StructType(Seq(
     StructField("sample_rate", IntegerType, nullable = false),
     StructField("channels", IntegerType, nullable = false),
@@ -52,41 +71,21 @@ object Multimodal {
     * bytes never shuffle. */
   def decodeWavColumn(df: DataFrame, mediaCol: String,
                       outCol: String = "wav",
-                      blockSize: Int = 1024): DataFrame = {
-    val schema = df.schema.add(outCol, WavInfoType)
-    val idx = df.schema.fieldIndex(mediaCol)
-    mapBatched(df, schema) { it =>
-      it.grouped(blockSize).flatMap { rows =>
-        rows.iterator.map { row =>
-          val info = Codecs.decodeWav(row.getAs[Array[Byte]](idx)).orNull
-          val struct = if (info == null) null
-          else Row(info.sampleRate, info.channels, info.nFrames,
-            info.rms, info.zeroCrossRate)
-          Row.fromSeq(row.toSeq :+ struct)
-        }
-      }
-    }
-  }
+                      blockSize: Int = 1024): DataFrame =
+    parsedColumn(df, mediaCol, outCol, WavInfoType, blockSize)(b =>
+      Codecs.decodeWav(b).map(info =>
+        Row(info.sampleRate, info.channels, info.nFrames,
+          info.rms, info.zeroCrossRate)).orNull)
 
   /** REAL image decode (24-bpp BMP): appends a [[BmpInfoType]] struct
     * (null for non-BMP bytes). */
   def decodeBmpColumn(df: DataFrame, mediaCol: String,
                       outCol: String = "bmp",
-                      blockSize: Int = 1024): DataFrame = {
-    val schema = df.schema.add(outCol, BmpInfoType)
-    val idx = df.schema.fieldIndex(mediaCol)
-    mapBatched(df, schema) { it =>
-      it.grouped(blockSize).flatMap { rows =>
-        rows.iterator.map { row =>
-          val info = Codecs.decodeBmp(row.getAs[Array[Byte]](idx)).orNull
-          val struct = if (info == null) null
-          else Row(info.width, info.height, info.meanR, info.meanG,
-            info.meanB)
-          Row.fromSeq(row.toSeq :+ struct)
-        }
-      }
-    }
-  }
+                      blockSize: Int = 1024): DataFrame =
+    parsedColumn(df, mediaCol, outCol, BmpInfoType, blockSize)(b =>
+      Codecs.decodeBmp(b).map(info =>
+        Row(info.width, info.height, info.meanR, info.meanG,
+          info.meanB)).orNull)
 
   /** REAL compressed-image decode (JPEG/PNG/GIF via the JDK's own
     * ImageIO readers): appends a [[BmpInfoType]] struct (null for
@@ -94,21 +93,11 @@ object Multimodal {
     * shape as [[decodeBmpColumn]]. */
   def decodeImageColumn(df: DataFrame, mediaCol: String,
                         outCol: String = "img",
-                        blockSize: Int = 1024): DataFrame = {
-    val schema = df.schema.add(outCol, BmpInfoType)
-    val idx = df.schema.fieldIndex(mediaCol)
-    mapBatched(df, schema) { it =>
-      it.grouped(blockSize).flatMap { rows =>
-        rows.iterator.map { row =>
-          val info = Codecs.decodeImage(row.getAs[Array[Byte]](idx)).orNull
-          val struct = if (info == null) null
-          else Row(info.width, info.height, info.meanR, info.meanG,
-            info.meanB)
-          Row.fromSeq(row.toSeq :+ struct)
-        }
-      }
-    }
-  }
+                        blockSize: Int = 1024): DataFrame =
+    parsedColumn(df, mediaCol, outCol, BmpInfoType, blockSize)(b =>
+      Codecs.decodeImage(b).map(info =>
+        Row(info.width, info.height, info.meanR, info.meanG,
+          info.meanB)).orNull)
 
   /** Perceptual image hashes for near-dup detection: aHash64 (spatial
     * brightness pattern) and pHash64 (DCT spectral structure) per row,
@@ -125,10 +114,13 @@ object Multimodal {
     mapBatched(df, schema) { it =>
       it.grouped(blockSize).flatMap { rows =>
         rows.iterator.map { row =>
-          val b = row.getAs[Array[Byte]](idx)
+          // ONE decode feeds both hash tiers — ImageIO.read dominates
+          // the cost, and the per-tier byte-array entry points would
+          // each run it
+          val img = Codecs.readImage(row.getAs[Array[Byte]](idx))
           Row.fromSeq(row.toSeq :+
-            Codecs.aHash64(b).map(Long.box).orNull :+
-            Codecs.pHash64(b).map(Long.box).orNull)
+            img.map(i => Long.box(Codecs.aHash64Of(i))).orNull :+
+            img.map(i => Long.box(Codecs.pHash64Of(i))).orNull)
         }
       }
     }
@@ -248,30 +240,19 @@ object Multimodal {
     * partition-local, stream-safe. */
   def mp4MetaColumn(df: DataFrame, mediaCol: String,
                     outCol: String = "mp4",
-                    blockSize: Int = 1024): DataFrame = {
-    val schema = df.schema.add(outCol, Mp4MetaType)
-    val idx = df.schema.fieldIndex(mediaCol)
-    mapBatched(df, schema) { it =>
-      it.grouped(blockSize).flatMap { rows =>
-        rows.iterator.map { row =>
-          val meta = Mp4.parseMeta(row.getAs[Array[Byte]](idx)) match {
-            case Some(m) =>
-              val t = m.tracks.headOption
-                .getOrElse(Mp4.TrackInfo("", "", 0, 0))
-              val s = t.sps
-              Row(m.durationMs, m.mdatBytes, m.bitrateBps,
-                m.tracks.length, t.handler, t.codec, t.width, t.height,
-                s.map(x => Integer.valueOf(x.profileIdc)).orNull,
-                s.map(x => Integer.valueOf(x.levelIdc)).orNull,
-                s.map(x => Integer.valueOf(x.width)).orNull,
-                s.map(x => Integer.valueOf(x.height)).orNull)
-            case None => null
-          }
-          Row.fromSeq(row.toSeq :+ meta)
-        }
-      }
-    }
-  }
+                    blockSize: Int = 1024): DataFrame =
+    parsedColumn(df, mediaCol, outCol, Mp4MetaType, blockSize)(b =>
+      Mp4.parseMeta(b).map { m =>
+        val t = m.tracks.headOption
+          .getOrElse(Mp4.TrackInfo("", "", 0, 0))
+        val s = t.sps
+        Row(m.durationMs, m.mdatBytes, m.bitrateBps,
+          m.tracks.length, t.handler, t.codec, t.width, t.height,
+          s.map(x => Integer.valueOf(x.profileIdc)).orNull,
+          s.map(x => Integer.valueOf(x.levelIdc)).orNull,
+          s.map(x => Integer.valueOf(x.width)).orNull,
+          s.map(x => Integer.valueOf(x.height)).orNull)
+      }.orNull)
 
   /** Synthesize a minimal single-video-track MP4 whose avc1 sample
     * entry carries a REAL avcC/SPS for (w, h, profile, level) — the
@@ -337,22 +318,11 @@ object Multimodal {
     * arithmetic, batched partition-local, stream-safe. */
   def mp3MetaColumn(df: DataFrame, mediaCol: String,
                     outCol: String = "mp3",
-                    blockSize: Int = 1024): DataFrame = {
-    val schema = df.schema.add(outCol, Mp3MetaType)
-    val idx = df.schema.fieldIndex(mediaCol)
-    mapBatched(df, schema) { it =>
-      it.grouped(blockSize).flatMap { rows =>
-        rows.iterator.map { row =>
-          val meta = Mp3.parseMeta(row.getAs[Array[Byte]](idx)) match {
-            case Some(m) => Row(m.version, m.sampleRateHz, m.bitrateKbps,
-              m.channels, m.nFrames, m.durationMs, m.isVbr)
-            case None => null
-          }
-          Row.fromSeq(row.toSeq :+ meta)
-        }
-      }
-    }
-  }
+                    blockSize: Int = 1024): DataFrame =
+    parsedColumn(df, mediaCol, outCol, Mp3MetaType, blockSize)(b =>
+      Mp3.parseMeta(b).map(m =>
+        Row(m.version, m.sampleRateHz, m.bitrateKbps,
+          m.channels, m.nFrames, m.durationMs, m.isVbr)).orNull)
 
   val FlacMetaType: StructType = StructType(Seq(
     StructField("sample_rate", IntegerType),
@@ -386,22 +356,11 @@ object Multimodal {
     * partition-local, stream-safe. */
   def flacMetaColumn(df: DataFrame, mediaCol: String,
                      outCol: String = "flac",
-                     blockSize: Int = 1024): DataFrame = {
-    val schema = df.schema.add(outCol, FlacMetaType)
-    val idx = df.schema.fieldIndex(mediaCol)
-    mapBatched(df, schema) { it =>
-      it.grouped(blockSize).flatMap { rows =>
-        rows.iterator.map { row =>
-          val meta = Flac.parseMeta(row.getAs[Array[Byte]](idx)) match {
-            case Some(m) => Row(m.sampleRateHz, m.channels,
-              m.bitsPerSample, m.totalSamples, m.durationMs)
-            case None => null
-          }
-          Row.fromSeq(row.toSeq :+ meta)
-        }
-      }
-    }
-  }
+                     blockSize: Int = 1024): DataFrame =
+    parsedColumn(df, mediaCol, outCol, FlacMetaType, blockSize)(b =>
+      Flac.parseMeta(b).map(m =>
+        Row(m.sampleRateHz, m.channels,
+          m.bitsPerSample, m.totalSamples, m.durationMs)).orNull)
 
   /** Assemble per-group .warc.gz FILES (fixture side): one row per
     * group with the member-per-record gzip bytes ([[Warc.buildFile]]).

@@ -49,6 +49,17 @@ class Mp4Spec extends AnyFunSuite {
     assert(Mp4.parseMeta(core.take(20)).isEmpty) // truncated mid-moov
     assert(Mp4.parseMeta(Array.fill[Byte](64)(-1)).isEmpty)
     assert(Mp4.parseMeta(null).isEmpty)
+    // a TRUNCATED version-1 mvhd (28-byte payload, v1 needs 32) at the
+    // very end of the buffer: the v1 read would index past the array —
+    // must degrade to the in-bounds v0 read, never throw
+    val bb = java.nio.ByteBuffer.allocate(44)
+    bb.putInt(44).put("moov".getBytes) // moov box wrapping everything
+    bb.putInt(36).put("mvhd".getBytes) // mvhd: 8 hdr + 28 payload
+    bb.put(1.toByte) // version 1
+    // 27 remaining payload bytes stay zero
+    val truncated = bb.array()
+    assert(Mp4.parseMeta(truncated).isEmpty ||
+      Mp4.parseMeta(truncated).nonEmpty) // totality: no throw
   }
 
   test("Spark column round-trip: build per-row MP4s, parse them back, " +
