@@ -31,8 +31,10 @@ object Bench {
     // Every Window in the library is partitioned by a real key except
     // eventPaths' share pass over its ≤ typesⁿ aggregated path matrix
     // (audited round 7; Catalyst folds its constant partition key, so
-    // WindowExec warns as if a data-sized frame were collapsing).
-    // That one is single-partition BY DESIGN — scope the logger so
+    // WindowExec warns as if a data-sized frame were collapsing) and
+    // unimaxAllocation's water-filling windows over the post-agg
+    // LANGUAGE grain (a handful of rows by definition, round 8).
+    // Those are single-partition BY DESIGN — scope the logger so
     // the warning doesn't read as a scale bug in the bench tail.
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",

@@ -4300,6 +4300,90 @@ object PipelineQueries {
       "AS n_crossing, CAST(sum(so) AS BIGINT) AS off_sum " +
       "FROM p GROUP BY shard ORDER BY shard")
 
+  /** Modulus for the doc→bin assignment checksum: each term < 2³⁰, so
+    * the sum stays inside int64 past 10⁹ docs in both engines. */
+  private val AssignMod = 1000000007L
+
+  /** No-split greedy packing (SFT layout — docs never cross a
+    * sequence boundary): per-shard bin counts, truncations, padding
+    * waste, and a per-doc (id, bin) assignment checksum that only
+    * matches if both engines walk every shard's greedy state machine
+    * identically. The oracle replays the walk as a recursive CTE —
+    * one row per (shard, step) — because greedy packing is
+    * irreducibly sequential per shard; the Spark side runs the same
+    * walk as a one-pass O(1)-state kernel per shard
+    * ([[Sampling.packNoSplit]]). */
+  private val packNoSplit = Q("q_pack_nosplit",
+    (s, d) => Sampling.packNoSplit(docs(s, d), "doc_id", "text",
+        PackWindow, PackShards)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        (max(col("bin")) + 1).as("n_bins"),
+        sum(col("t")).as("toks"),
+        sum(when(col("truncated"), 1L).otherwise(0L)).as("n_trunc"),
+        ((max(col("bin")) + 1) * PackWindow - sum(col("t"))).as("waste"),
+        sum((col("doc_id") % AssignMod * 31 + col("bin") % AssignMod)
+          % AssignMod).as("assign_sum"))
+      .orderBy("shard"),
+    "WITH RECURSIVE t AS (SELECT doc_id, " +
+      s"${TextAnalysis.TokenHashSql("CAST(doc_id AS VARCHAR)")} " +
+      s"% $PackShards AS shard, " +
+      "len(string_split(text, ' ')) AS nt FROM documents), " +
+      s"r AS (SELECT doc_id, shard, nt, least(nt, $PackWindow) AS tt, " +
+      "row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn " +
+      "FROM t), " +
+      "walk AS (" +
+      "SELECT shard, rn, doc_id, nt, tt, CAST(0 AS BIGINT) AS bin, " +
+      "tt AS fill FROM r WHERE rn = 1 " +
+      "UNION ALL " +
+      "SELECT r.shard, r.rn, r.doc_id, r.nt, r.tt, " +
+      s"CASE WHEN w.fill + r.tt <= $PackWindow THEN w.bin " +
+      "ELSE w.bin + 1 END, " +
+      s"CASE WHEN w.fill + r.tt <= $PackWindow THEN w.fill + r.tt " +
+      "ELSE r.tt END " +
+      "FROM walk w JOIN r ON r.shard = w.shard AND r.rn = w.rn + 1) " +
+      "SELECT shard, count(*) AS n_docs, " +
+      "CAST(max(bin) + 1 AS BIGINT) AS n_bins, " +
+      "CAST(sum(tt) AS BIGINT) AS toks, " +
+      s"CAST(sum(CASE WHEN nt > $PackWindow THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_trunc, " +
+      s"CAST((max(bin) + 1) * $PackWindow - sum(tt) AS BIGINT) AS waste, " +
+      s"CAST(sum((doc_id % $AssignMod * 31 + bin % $AssignMod) " +
+      s"% $AssignMod) AS BIGINT) AS assign_sum " +
+      "FROM walk GROUP BY shard ORDER BY shard")
+
+  /** UniMax budget allocation (Chung et al. 2023): 2/5 of the corpus
+    * token mass split across languages by integer water-filling with
+    * a 3-epoch per-language cap — the language-balanced alternative
+    * to temperature sampling. Every column integer-exact; `saturated`
+    * marks languages whose epoch cap (not the budget) binds. */
+  private val UnimaxNum = 2L
+  private val UnimaxDen = 5L
+  private val UnimaxEpochs = 3
+  private val mixUnimax = Q("q_mix_unimax",
+    (s, d) => Sampling.unimaxAllocation(docs(s, d), "lang",
+        size(TextAnalysis.tokens(col("text"))).cast("long"),
+        UnimaxNum, UnimaxDen, UnimaxEpochs)
+      .orderBy("lang"),
+    "WITH l AS (SELECT lang, " +
+      "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks " +
+      "FROM documents GROUP BY lang), " +
+      s"c AS (SELECT lang, toks, toks * $UnimaxEpochs AS cap FROM l), " +
+      "r AS (SELECT lang, toks, cap, " +
+      "row_number() OVER (ORDER BY cap, lang) AS rk, " +
+      "sum(cap) OVER (ORDER BY cap, lang ROWS UNBOUNDED PRECEDING) AS s, " +
+      s"(SELECT $UnimaxNum * sum(toks) // $UnimaxDen FROM l) AS budget, " +
+      "(SELECT count(*) FROM l) AS n FROM c), " +
+      "g AS (SELECT max(budget) AS budget, max(n) AS n, " +
+      "sum(CASE WHEN s + cap * (n - rk) <= budget THEN 1 ELSE 0 END) AS k, " +
+      "coalesce(max(CASE WHEN s + cap * (n - rk) <= budget THEN s END), 0) " +
+      "AS sk FROM r) " +
+      "SELECT r.lang, r.toks, r.cap, " +
+      "CAST(CASE WHEN r.rk <= g.k THEN r.cap " +
+      "ELSE (g.budget - g.sk) // (g.n - g.k) END AS BIGINT) AS alloc, " +
+      "r.rk <= g.k AS saturated " +
+      "FROM r, g ORDER BY lang")
+
   private val SpanW = 4
   /** Checksum modulus for rebuilt-text hashes (sum stays well under
     * int64 even at sf100). */
@@ -5079,5 +5163,5 @@ object PipelineQueries {
     sampleWeighted, sampleDomainCap, sampleDsir, sampleTopQuantile,
     sampleTopQuantileBy,
     statsRollup, statsCorr, statsWinsorize, statsMad, statsMi, topkPerGroup,
-    shardManifest, packSequences)
+    shardManifest, packSequences, packNoSplit, mixUnimax)
 }

@@ -19,10 +19,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // eventPaths' share pass is single-partition BY DESIGN (≤ typesⁿ
-    // aggregated rows); Catalyst folds its constant partition key and
-    // WindowExec warns as if it were data-sized — scoped down, see the
-    // audit note in Bench.scala
+    // eventPaths' share pass (≤ typesⁿ aggregated rows) and
+    // unimaxAllocation's water-filling windows (post-agg LANGUAGE
+    // grain) are single-partition BY DESIGN; WindowExec warns as if
+    // they were data-sized — scoped down, see the audit note in
+    // Bench.scala
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)

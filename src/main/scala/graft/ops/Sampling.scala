@@ -309,4 +309,95 @@ object Sampling {
         floor((col("start_off") + col("n_tokens") - 1) / window))
       .withColumn("crosses", col("first_window") =!= col("last_window"))
   }
+
+  /** No-split greedy sequence packing — the SFT/instruction-tuning
+    * layout where a document must NEVER cross a sequence boundary
+    * (attention can't mask across examples that share a window):
+    * docs stream through their shard in id order; each doc (truncated
+    * to `window` tokens if longer) lands in the current bin when it
+    * fits, else opens a new bin. Returns one row per doc with
+    * `shard`, `n_tokens`, `t` (post-truncation tokens), `bin` (0-based
+    * within the shard), `truncated`.
+    *
+    * Scale shape: only (shard, id, n_tokens) shuffles — 24 bytes/doc,
+    * text never moves. The per-shard walk is sequential BY DEFINITION
+    * (greedy packing is order-dependent state), so as with
+    * [[packSequences]] the parallelism axis is the shard count; the
+    * kernel itself is a one-pass O(docs/shard) iterator with O(1)
+    * state. Several shard values may share a partition (hash
+    * placement), so the kernel re-anchors its state on every shard
+    * change rather than assuming one shard per partition. */
+  def packNoSplit(df: DataFrame, idCol: String, textCol: String,
+                  window: Int, nShards: Int): DataFrame = {
+    require(window > 0 && nShards > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        pmod(TextAnalysis.tokenHash(col(idCol).cast("string")),
+          lit(nShards.toLong)).as("shard"),
+        col(idCol).cast("long").as("id"),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "id")
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var curShard = -1L; var bin = 0L; var fill = 0L
+        it.map { case (shard, id, n) =>
+          val t = math.min(n, window.toLong)
+          if (shard != curShard) { curShard = shard; bin = 0L; fill = t }
+          else if (fill + t <= window) fill += t
+          else { bin += 1L; fill = t }
+          (shard, id, n, t, bin, n > window)
+        }
+      }
+      .toDF("shard", idCol, "n_tokens", "t", "bin", "truncated")
+  }
+
+  /** UniMax budget allocation (Chung et al. 2023): split a token
+    * budget across languages so every language is funded as equally
+    * as possible without repeating any language more than `epochCap`
+    * epochs — integer water-filling over per-language caps
+    * cap_l = toks_l · epochCap. The threshold t solves
+    * Σ min(cap_l, t) = budget; languages with cap ≤ t take their full
+    * cap ("saturated" — the epoch limit, not the budget, binds), the
+    * rest take the floor-quantized t. The budget itself is relative —
+    * `budgetNum/budgetDen` of the corpus token mass — so the contract
+    * is meaningful at every scale factor.
+    *
+    * All arithmetic is int64 (`div` == DuckDB `//` on the non-negative
+    * operands here), so the allocation is bit-exact cross-engine. The
+    * only window runs over the LANGUAGE grain — a handful of rows by
+    * definition — after one map-side-partial token agg; corpus rows
+    * are touched exactly once. */
+  def unimaxAllocation(df: DataFrame, groupCol: String, tok: Column,
+                       budgetNum: Long, budgetDen: Long,
+                       epochCap: Int): DataFrame = {
+    require(budgetNum > 0 && budgetDen > 0 && epochCap > 0)
+    val langs = df.groupBy(groupCol)
+      .agg(sum(tok).cast("long").as("toks"))
+      .withColumn("cap", col("toks") * epochCap)
+    val rankW = Window.orderBy(col("cap"), col(groupCol))
+    val ranked = langs
+      .withColumn("rk", row_number().over(rankW))
+      .withColumn("s", sum(col("cap")).over(
+        rankW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // one-row register frame: budget, n, the funded-prefix size k and
+    // its cap prefix-sum s_k (condition monotone in rk, so k = count)
+    val regs = ranked
+      .withColumn("budget",
+        expr(s"$budgetNum * sum(toks) over () div $budgetDen"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .agg(max(col("budget")).as("budget"), max(col("n")).as("n"),
+        sum(when(col("s") + col("cap") * (col("n") - col("rk"))
+          <= col("budget"), 1L).otherwise(0L)).as("k"),
+        coalesce(max(when(col("s") + col("cap") * (col("n") - col("rk"))
+          <= col("budget"), col("s"))), lit(0L)).as("sk"))
+    ranked.crossJoin(broadcast(regs))
+      .withColumn("tq", when(col("k") < col("n"),
+        expr("(budget - sk) div (n - k)")))
+      .select(col(groupCol), col("toks"), col("cap"),
+        when(col("rk") <= col("k"), col("cap")).otherwise(col("tq"))
+          .as("alloc"),
+        (col("rk") <= col("k")).as("saturated"))
+  }
 }

@@ -221,6 +221,51 @@ object StreamingOps {
       }
   }
 
+  /** Streaming no-split greedy packer — the incremental form of
+    * [[graft.ops.Sampling.packNoSplit]]: the walk state per shard is
+    * just (current bin, current fill) — two longs, bounded by the
+    * shard count, never the stream length — so a shard's greedy walk
+    * continues seamlessly across micro-batches. Within one
+    * micro-batch the group's rows are sorted by id before walking
+    * (the state shuffle loses arrival order); across batches the
+    * packed layout equals the batch packer exactly whenever arrival
+    * order respects id order per shard — the natural property of an
+    * id-ordered ingest (proven stream==batch in StreamingSpec). The
+    * per-group sort buffers one micro-batch's shard slice, not the
+    * stream. */
+  def packNoSplitStream(docs: DataFrame, idCol: String, textCol: String,
+                        window: Int, nShards: Int)
+      : Dataset[(Long, Long, Long, Long, Long, Boolean)] = {
+    require(window > 0 && nShards > 0)
+    import docs.sparkSession.implicits._
+    docs.select(
+        pmod(graft.ops.TextAnalysis.tokenHash(col(idCol).cast("string")),
+          lit(nShards.toLong)).as("shard"),
+        col(idCol).cast("long").as("id"),
+        size(graft.ops.TextAnalysis.tokens(col(textCol))).cast("long")
+          .as("n"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long),
+        (Long, Long, Long, Long, Long, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (shard: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[(Long, Long)]) =>
+          // (0,0) start replays the batch kernel's first-doc branch:
+          // t <= window always, so fill+t<=window lands the first doc
+          // in bin 0 with fill=t — identical to the batch reset
+          var (bin, fill) = state.getOption.getOrElse((0L, 0L))
+          val out = rows.toVector.sortBy(_._2).map { case (_, id, n) =>
+            val t = math.min(n, window.toLong)
+            if (fill + t <= window) fill += t
+            else { bin += 1L; fill = t }
+            (shard, id, n, t, bin, n > window)
+          }
+          state.update((bin, fill))
+          out.iterator
+      }
+  }
+
   /** Streaming corpus curation — the incremental form of the batch
     * quality-floor → dedup composition (q_pipeline_curation): the
     * quality score is a stateless per-row map, so the only stateful

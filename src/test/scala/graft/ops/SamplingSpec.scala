@@ -170,6 +170,70 @@ class SamplingSpec extends AnyFunSuite {
       assert(r.getLong(2) == (r.getLong(1) + 63) / 64))
   }
 
+  test("packNoSplit: serial replay matches the kernel exactly, no bin " +
+    "overflows the window, bins are dense + monotone, truncation is " +
+    "min(n, window)") {
+    val W = 64
+    // append a doc longer than the window to exercise truncation
+    val d = docs.select("doc_id", "text").unionByName(
+      Seq((900001L, Seq.fill(W + 9)("tok").mkString(" ")))
+        .toDF("doc_id", "text"))
+    val p = Sampling.packNoSplit(d, "doc_id", "text", W, 3).cache()
+    val rows = p.select("shard", "doc_id", "n_tokens", "t", "bin",
+        "truncated")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    rows.foreach { case (_, _, n, t, _, trunc) =>
+      assert(t == math.min(n, W.toLong))
+      assert(trunc == (n > W))
+    }
+    // serial replay per shard — the gold contract
+    rows.groupBy(_._1).foreach { case (shard, rs) =>
+      var bin = 0L; var fill = 0L; var first = true
+      rs.sortBy(_._2).foreach { case (_, id, _, t, gotBin, _) =>
+        if (first) { first = false; fill = t }
+        else if (fill + t <= W) fill += t
+        else { bin += 1; fill = t }
+        assert(gotBin == bin,
+          s"doc $id in shard $shard: kernel bin $gotBin, replay $bin")
+      }
+    }
+    // no bin exceeds the window; bins dense per shard
+    val over = p.groupBy("shard", "bin").agg(sum("t").as("ft"))
+      .where(col("ft") > W).count()
+    assert(over == 0L, "a packed bin must never exceed the window")
+    p.groupBy("shard").agg(countDistinct(col("bin")).as("nb"),
+        (max("bin") + 1).as("mx")).collect()
+      .foreach(r => assert(r.getLong(1) == r.getLong(2), "dense bins"))
+  }
+
+  test("unimaxAllocation: hand-computed water-filling on a 3-language " +
+    "corpus; budget filled to within quantization; unsaturated langs " +
+    "share one level") {
+    val mk = (lang: String, n: Int) =>
+      (1 to n).map(i => (s"$lang-$i", lang, Seq.fill(1)("t").mkString(" ")))
+    // token counts 10 / 100 / 1000 via one-token docs
+    val d = (mk("aa", 10) ++ mk("bb", 100) ++ mk("cc", 1000))
+      .toDF("id", "lang", "text")
+    val a = Sampling.unimaxAllocation(d, "lang",
+        size(TextAnalysis.tokens(col("text"))).cast("long"), 2L, 5L, 2)
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    // caps [20,200,2000], B = 2*1110/5 = 444; k=2 (20+40<=444,
+    // 220+200<=444, 2220>444), tq = (444-220)/1 = 224
+    assert(a.toSeq == Seq(("aa", 10L, 20L, 20L, true),
+      ("bb", 100L, 200L, 200L, true), ("cc", 1000L, 2000L, 224L, false)))
+    assert(a.map(_._4).sum == 444L, "water-filling fills the budget")
+    // budget >= sum(cap) saturates everyone
+    val all = Sampling.unimaxAllocation(d, "lang",
+        size(TextAnalysis.tokens(col("text"))).cast("long"), 10L, 1L, 2)
+      .collect()
+    assert(all.forall(_.getBoolean(4)), "ample budget saturates all")
+    all.foreach(r => assert(r.getLong(3) == r.getLong(2)))
+  }
+
   test("gopherFlags: each rule fires on a crafted violating doc and " +
     "keep is their conjunction") {
     val good = (Seq.fill(10)("the") ++ Seq.fill(20)("merge")).mkString(" ")

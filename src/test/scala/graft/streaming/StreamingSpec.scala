@@ -617,6 +617,48 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming no-split packer fed id-ordered micro-batches equals " +
+    "the batch packer bin for bin (walk state carries across batches)") {
+    import spark.implicits._
+    val W = 64
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val want = graft.ops.Sampling.packNoSplit(d, "doc_id", "text", W, 3)
+      .select("doc_id", "shard", "t", "bin", "truncated").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    // slice the corpus into 3 id-ordered files: the (bin, fill) state
+    // must continue each shard's walk across micro-batch boundaries
+    val rows = d.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("pack_stream").toFile
+    tmp.deleteOnExit()
+    val slices = rows.grouped((rows.length + 2) / 3).toSeq
+    slices.zipWithIndex.foreach { case (s, i) =>
+      val p = new java.io.File(tmp, s"slice$i")
+      s.toSeq.toDF("doc_id", "text").coalesce(1).write.parquet(p.toString)
+      p.listFiles().foreach(f =>
+        f.setLastModified(1700000000000L + i * 60000L))
+    }
+    val stream = spark.readStream
+      .schema(slices.head.toSeq.toDF("doc_id", "text").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/*")
+    val out = StreamingOps.packNoSplitStream(stream, "doc_id", "text",
+        W, 3)
+      .toDF("shard", "doc_id", "n_tokens", "t", "bin", "truncated")
+    StreamingOps.runToMemorySink(out, "pack_stream")
+    val got = spark.table("pack_stream")
+      .select("doc_id", "shard", "t", "bin", "truncated").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(got.size == want.size, s"${got.size} vs ${want.size} rows")
+    assert(got == want, "stream and batch packing must agree")
+    assert(want.nonEmpty)
+  }
+
   test("tumblingAgg on a stream (Complete mode) equals the batch " +
     "form bucket for bucket — the same int64 window math drives both") {
     import graft.ops.Events
