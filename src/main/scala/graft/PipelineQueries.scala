@@ -3472,6 +3472,65 @@ object PipelineQueries {
       "CAST(0 AS BIGINT) AS sum_status, CAST(1 AS BIGINT) AS n_uri " +
       "FROM info ORDER BY source, warc_type")
 
+  /** Markdown ingestion: docs wrapped in deterministic markdown
+    * structure (heading, blockquote, fenced code, list, link, image,
+    * emphasis, rule) → [[graft.ops.Markdown]] structure profile +
+    * text extraction → per-source aggregates. The cleaned-text
+    * checksum pins the ENTIRE regexp chain cross-engine — a chain
+    * step that strips one character differently breaks the hash; the
+    * structure sums pin the counting patterns. Pure per-row maps, no
+    * shuffle before the final agg. */
+  private val sourceMarkdown = Q("q_source_markdown",
+    (s, d) => {
+      import graft.ops.Markdown
+      val md = concat(
+        lit("# Doc "), col("doc_id"), lit("\n\n> intro quote\n\n"),
+        col("text"),
+        lit("\n\n```\ncode "), col("doc_id"),
+        lit("\nsecond line\n```\n\n- first item\n- see [doc link]" +
+          "(https://x.example/"),
+        col("doc_id"),
+        lit(")\n\n**bold** and *ital* words\n\n---\n\n![figure "),
+        col("doc_id"), lit("](img.png)\n"))
+      docs(s, d)
+        .select(col("source"), md.as("md"))
+        .select(col("source"), Markdown.structure(col("md")).as("st"),
+          Markdown.extractText(col("md")).as("clean"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("st.n_headings")).as("sum_headings"),
+          sum(col("st.n_fences")).as("sum_fences"),
+          sum(col("st.n_images")).as("sum_images"),
+          sum(col("st.n_links")).as("sum_links"),
+          sum(col("st.n_list_items")).as("sum_items"),
+          sum(length(col("clean")).cast("long")).as("sum_chars"),
+          sum(TextAnalysis.tokenHash(col("clean")) % lit(DigestMod))
+            .as("checksum"))
+        .orderBy("source")
+    }, {
+      val st = graft.ops.Markdown.StructureSql("md")
+      "WITH m AS (SELECT source, '# Doc ' || doc_id || " +
+        "'\n\n> intro quote\n\n' || text || '\n\n```\ncode ' || doc_id " +
+        "|| '\nsecond line\n```\n\n- first item\n- see [doc link]" +
+        "(https://x.example/' || doc_id || " +
+        "')\n\n**bold** and *ital* words\n\n---\n\n![figure ' || " +
+        "doc_id || '](img.png)\n' AS md FROM documents), " +
+        s"c AS (SELECT source, ${st("n_headings")} AS nh, " +
+        s"${st("n_fences")} AS nf, ${st("n_images")} AS ni, " +
+        s"${st("n_links")} AS nl, ${st("n_list_items")} AS nli, " +
+        s"${graft.ops.Markdown.ExtractTextSql("md")} AS clean FROM m) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(nh) AS BIGINT) AS sum_headings, " +
+        "CAST(sum(nf) AS BIGINT) AS sum_fences, " +
+        "CAST(sum(ni) AS BIGINT) AS sum_images, " +
+        "CAST(sum(nl) AS BIGINT) AS sum_links, " +
+        "CAST(sum(nli) AS BIGINT) AS sum_items, " +
+        "CAST(sum(length(clean)) AS BIGINT) AS sum_chars, " +
+        s"CAST(sum(${TextAnalysis.TokenHashSql("clean")} % $DigestMod) " +
+        "AS BIGINT) AS checksum " +
+        "FROM c GROUP BY source ORDER BY source"
+    })
+
   /** CCNet line-level dedup over a corpus with synthesized structure:
     * per-source boilerplate header/footer lines (document frequency =
     * the source's doc count) wrap each unique body. With maxDf=10 the
@@ -5156,7 +5215,7 @@ object PipelineQueries {
     textUrls,
     qualityGopher, multimodalMeta,
     multimodalMp4, multimodalMp3, multimodalAvc, multimodalFlac,
-    sourceWarc, pipelineIngest, curation, trainMix,
+    sourceWarc, sourceMarkdown, pipelineIngest, curation, trainMix,
     pipelineModern, pipelineDiff, pipelineSelect,
     sampleStratified, sampleTemperature, sampleRepeat, sampleFixedN,
     sampleGroupSplit, sampleKfold, embedMatryoshka, textZipf, sampleDoremi,

@@ -34,8 +34,10 @@ object ScaleProbe {
     // APPLY path (fit on the small corpus, applied map-only at scale)
     "q_dedup_substrings" -> 10, "q_text_linededup_apply" -> 10,
     "q_dedup_substrings_apply" -> 10,
-    // round-8 additions: sequence packing + mixture allocation
+    // round-8 additions: sequence packing + mixture allocation +
+    // markdown ingestion
     "q_pack_nosplit" -> 10, "q_mix_unimax" -> 10,
+    "q_source_markdown" -> 10,
     "q_embed_clusters" -> 4, "q_embed_pagerank" -> 4,
     "q_embed_labelprop" -> 4, "q_embed_top1" -> 4,
     "q_embed_kmeans" -> 4, "q_embed_ivfpq" -> 4)
