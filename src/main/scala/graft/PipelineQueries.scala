@@ -1606,6 +1606,40 @@ object PipelineQueries {
       sb.toString
     })
 
+  /** Shared oracle CTE chain for the deterministic 1-round Lloyd
+    * training: c0 (first-16 init) → a0 (assign) → fixed-point centroid
+    * update → c1 → d1/m1/a1 (post-round assignment + distance).
+    * Reused by q_embed_kmeans AND q_dedup_semantic, so the replayed
+    * centroids can never diverge between the two oracles. */
+  private def kmeans1RoundSql: String = {
+    val fx = "16777216.0"
+    "c0 AS (SELECT vec_id AS cid, embedding AS cemb " +
+      "FROM embeddings ORDER BY vec_id LIMIT 16), " +
+      "d0 AS (SELECT e.vec_id, c.cid, " +
+      s"${l2Sql("e.embedding", "c.cemb")} AS dist " +
+      "FROM embeddings e CROSS JOIN c0 c), " +
+      "m0 AS (SELECT vec_id, min(dist) AS md FROM d0 GROUP BY vec_id), " +
+      "a0 AS (SELECT d0.vec_id, min(d0.cid) AS cell FROM d0 " +
+      "JOIN m0 ON d0.vec_id = m0.vec_id AND d0.dist = m0.md " +
+      "GROUP BY d0.vec_id), " +
+      "n0 AS (SELECT cell, count(*) AS n FROM a0 GROUP BY cell), " +
+      "s0 AS (SELECT a0.cell, t.i, " +
+      s"sum(CAST(round(CAST(e.embedding[t.i] AS DOUBLE) * $fx) " +
+      "AS BIGINT)) AS s " +
+      "FROM a0 JOIN embeddings e ON a0.vec_id = e.vec_id " +
+      "CROSS JOIN range(1, 65) t(i) GROUP BY a0.cell, t.i), " +
+      s"c1 AS (SELECT s0.cell AS cid, list(s0.s / $fx / n0.n " +
+      "ORDER BY s0.i) AS cemb FROM s0 JOIN n0 ON s0.cell = n0.cell " +
+      "GROUP BY s0.cell, n0.n), " +
+      "d1 AS (SELECT e.vec_id, c.cid, " +
+      s"${l2Sql("e.embedding", "c.cemb")} AS dist " +
+      "FROM embeddings e CROSS JOIN c1 c), " +
+      "m1 AS (SELECT vec_id, min(dist) AS md FROM d1 GROUP BY vec_id), " +
+      "a1 AS (SELECT d1.vec_id, min(d1.cid) AS cell FROM d1 " +
+      "JOIN m1 ON d1.vec_id = m1.vec_id AND d1.dist = m1.md " +
+      "GROUP BY d1.vec_id)"
+  }
+
   private val embedKmeans = Q("q_embed_kmeans",
     (s, d) => {
       val e = embs(s, d)
@@ -1616,36 +1650,65 @@ object PipelineQueries {
       Similarity.cellAssignmentsWithDist(e, "vec_id", "embedding", c1)
         .agg(countDistinct(col("cell")).as("n_cells"),
           round(avg(col("dist")), 5).as("avg_inertia"))
-    }, {
-      val fx = "16777216.0"
-      "WITH c0 AS (SELECT vec_id AS cid, embedding AS cemb " +
-        "FROM embeddings ORDER BY vec_id LIMIT 16), " +
-        "d0 AS (SELECT e.vec_id, c.cid, " +
-        s"${l2Sql("e.embedding", "c.cemb")} AS dist " +
-        "FROM embeddings e CROSS JOIN c0 c), " +
-        "m0 AS (SELECT vec_id, min(dist) AS md FROM d0 GROUP BY vec_id), " +
-        "a0 AS (SELECT d0.vec_id, min(d0.cid) AS cell FROM d0 " +
-        "JOIN m0 ON d0.vec_id = m0.vec_id AND d0.dist = m0.md " +
-        "GROUP BY d0.vec_id), " +
-        "n0 AS (SELECT cell, count(*) AS n FROM a0 GROUP BY cell), " +
-        "s0 AS (SELECT a0.cell, t.i, " +
-        s"sum(CAST(round(CAST(e.embedding[t.i] AS DOUBLE) * $fx) " +
-        "AS BIGINT)) AS s " +
-        "FROM a0 JOIN embeddings e ON a0.vec_id = e.vec_id " +
-        "CROSS JOIN range(1, 65) t(i) GROUP BY a0.cell, t.i), " +
-        s"c1 AS (SELECT s0.cell AS cid, list(s0.s / $fx / n0.n " +
-        "ORDER BY s0.i) AS cemb FROM s0 JOIN n0 ON s0.cell = n0.cell " +
-        "GROUP BY s0.cell, n0.n), " +
-        "d1 AS (SELECT e.vec_id, c.cid, " +
-        s"${l2Sql("e.embedding", "c.cemb")} AS dist " +
-        "FROM embeddings e CROSS JOIN c1 c), " +
-        "m1 AS (SELECT vec_id, min(dist) AS md FROM d1 GROUP BY vec_id), " +
-        "a1 AS (SELECT d1.vec_id, min(d1.cid) AS cell FROM d1 " +
-        "JOIN m1 ON d1.vec_id = m1.vec_id AND d1.dist = m1.md " +
-        "GROUP BY d1.vec_id) " +
-        "SELECT (SELECT count(DISTINCT cell) FROM a1) AS n_cells, " +
-        "(SELECT round(avg(md), 5) FROM m1) AS avg_inertia"
-    })
+    },
+    s"WITH $kmeans1RoundSql " +
+      "SELECT (SELECT count(DISTINCT cell) FROM a1) AS n_cells, " +
+      "(SELECT round(avg(md), 5) FROM m1) AS avg_inertia")
+
+  /** SemDeDup (Abbas et al. 2023): semantic dedup scoped to TRAINED
+    * k-means clusters — assign every vector to its 1-round-Lloyd cell,
+    * enumerate pairs only WITHIN a cell, and drop the higher id of any
+    * pair with cosine ≥ τ (keep-first). The removed-id checksum pins
+    * the exact pruned set cross-engine. Scale shape: the pair stage is
+    * the classic bucket join on the cell key; SemDeDup's own recipe
+    * bounds it — k grows with the corpus (they run 100k clusters on
+    * LAION), so cell population, not corpus size, bounds the quadratic
+    * term; the capped-bucket divert path (q_dedup_embed_capped) is the
+    * guard when a cell still blows past budget. */
+  private val SemTau = 0.35
+  private val dedupSemantic = Q("q_dedup_semantic",
+    (s, d) => {
+      val e = embs(s, d)
+      val c0 = Similarity.collectCentroids(
+        e.orderBy("vec_id").limit(16)
+          .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
+      val c1 = Similarity.kmeansIterate(e, "vec_id", "embedding", c0, 1)
+      val cells = Similarity.cellAssignments(e, "vec_id", "embedding", c1)
+      val a = cells.select(col("cell"), col("vec_id").as("ia"),
+        col("embedding").as("ea"))
+      val b = cells.select(col("cell"), col("vec_id").as("ib"),
+        col("embedding").as("eb"))
+      // distinct (cell, ib): a vector removed by TWO lower ids must
+      // count once in both the count and the checksum
+      val removedIds = a.join(b, Seq("cell"))
+        .where(col("ia") < col("ib") &&
+          Similarity.cosineOrNull(col("ea"), col("eb")) >= SemTau)
+        .select(col("cell"), col("ib")).distinct()
+      val stats = removedIds.groupBy("cell")
+        .agg(count(lit(1)).as("n_removed"),
+          sum(col("ib") % lit(DigestMod)).as("removed_sum"))
+      cells.groupBy("cell").agg(count(lit(1)).as("n_members"))
+        .join(stats, Seq("cell"), "left")
+        .select(col("cell"), col("n_members"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+          coalesce(col("removed_sum"), lit(0L)).as("removed_sum"))
+        .orderBy("cell")
+    },
+    s"WITH $kmeans1RoundSql, " +
+      "ec AS (SELECT a1.cell, e.vec_id, e.embedding AS emb, " +
+      s"sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm " +
+      "FROM embeddings e JOIN a1 ON e.vec_id = a1.vec_id), " +
+      "rm AS (SELECT DISTINCT a.cell, b.vec_id AS ib " +
+      "FROM ec a JOIN ec b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+      s"WHERE ${dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm) >= $SemTau), " +
+      "st AS (SELECT cell, count(*) AS n_removed, " +
+      s"CAST(sum(ib % $DigestMod) AS BIGINT) AS removed_sum " +
+      "FROM rm GROUP BY cell) " +
+      "SELECT ec.cell, count(*) AS n_members, " +
+      "coalesce(max(st.n_removed), 0) AS n_removed, " +
+      "coalesce(max(st.removed_sum), 0) AS removed_sum " +
+      "FROM ec LEFT JOIN st ON ec.cell = st.cell " +
+      "GROUP BY ec.cell ORDER BY ec.cell")
 
   /** Squared L2 over a 1-based index RANGE (the PQ subspace form of
     * [[l2Sql]]). */
@@ -4411,6 +4474,49 @@ object PipelineQueries {
       s"% $AssignMod) AS BIGINT) AS assign_sum " +
       "FROM walk GROUP BY shard ORDER BY shard")
 
+  /** Length-bucketed dynamic batching: per-bucket batch counts and
+    * the padding each batch actually pays (padded to its own max),
+    * with a per-doc (id, slot) checksum pinning the complete batch
+    * layout cross-engine. The fairseq/T5 batching layout — the
+    * padding-waste ledger a training-efficiency pass reads. */
+  private val LenG = 16
+  private val LenB = 8
+  private val packLenBatch = Q("q_pack_lenbatch",
+    (s, d) => {
+      val p = Sampling.lengthBucketBatches(docs(s, d), "doc_id", "text",
+        LenG, LenB, PackShards)
+      p.groupBy("shard", "bucket", "batch")
+        .agg(count(lit(1)).as("cnt"),
+          max(col("n_tokens")).as("mx"),
+          sum(col("n_tokens")).as("sn"),
+          sum((col("doc_id") % AssignMod * 31
+            + col("batch") * LenB + col("pos")) % AssignMod).as("cks"))
+        .groupBy("bucket")
+        .agg(sum(col("cnt")).as("n_docs"),
+          count(lit(1)).as("n_batches"),
+          sum(col("mx") * col("cnt") - col("sn")).as("sum_padding"),
+          sum(col("cks")).as("assign_sum"))
+        .orderBy("bucket")
+    },
+    "WITH t AS (SELECT doc_id, " +
+      s"${TextAnalysis.TokenHashSql("CAST(doc_id AS VARCHAR)")} " +
+      s"% $PackShards AS shard, " +
+      "len(string_split(text, ' ')) AS nt FROM documents), " +
+      s"b AS (SELECT doc_id, shard, nt, (nt + ${LenG - 1}) // $LenG " +
+      "AS bucket FROM t), " +
+      "r AS (SELECT doc_id, shard, nt, bucket, " +
+      "row_number() OVER (PARTITION BY shard, bucket ORDER BY doc_id) " +
+      "AS rn FROM b) " +
+      "SELECT bucket, CAST(sum(cnt) AS BIGINT) AS n_docs, " +
+      "count(*) AS n_batches, " +
+      "CAST(sum(mx * cnt - sn) AS BIGINT) AS sum_padding, " +
+      "CAST(sum(cks) AS BIGINT) AS assign_sum " +
+      "FROM (SELECT shard, bucket, (rn - 1) // " + LenB + " AS batch, " +
+      "count(*) AS cnt, max(nt) AS mx, sum(nt) AS sn, " +
+      s"sum((doc_id % $AssignMod * 31 + rn - 1) % $AssignMod) AS cks " +
+      s"FROM r GROUP BY shard, bucket, (rn - 1) // $LenB) bt " +
+      "GROUP BY bucket ORDER BY bucket")
+
   /** UniMax budget allocation (Chung et al. 2023): 2/5 of the corpus
     * token mass split across languages by integer water-filling with
     * a 3-epoch per-language cap — the language-balanced alternative
@@ -5196,7 +5302,7 @@ object PipelineQueries {
     dedupClusters, dedupProfile, dedupCanonical, dedupSimhash, dedupNgram,
     dedupIncremental, dedupIncrementalNear, dedupBloom, dedupSpans,
     dedupSubstrings, dedupSubstringsApply,
-    dedupContainment,
+    dedupContainment, dedupSemantic,
     embedTop1, embedTopK, embedAnnLsh, embedLshSized, embedAnnTop1,
     embedNearDup, embedNearDupCapped, embedClusters, embedTriplets, embedLshRecall,
     embedKnnGraph, embedPageRank, embedLabelProp, embedGraphStats,
@@ -5222,5 +5328,5 @@ object PipelineQueries {
     sampleWeighted, sampleDomainCap, sampleDsir, sampleTopQuantile,
     sampleTopQuantileBy,
     statsRollup, statsCorr, statsWinsorize, statsMad, statsMi, topkPerGroup,
-    shardManifest, packSequences, packNoSplit, mixUnimax)
+    shardManifest, packSequences, packNoSplit, packLenBatch, mixUnimax)
 }

@@ -353,6 +353,39 @@ object Sampling {
       .toDF("shard", idCol, "n_tokens", "t", "bin", "truncated")
   }
 
+  /** Length-bucketed dynamic batching: docs group into length buckets
+    * (`bucket = ceil(n_tokens / granularity)`), order by id within
+    * (shard, bucket), and fill fixed-size batches of `batchSize` docs;
+    * each batch pads to ITS OWN max length — the fairseq/T5 batching
+    * layout that cuts padding waste versus padding everything to the
+    * global max. Returns one row per doc with `shard`, `bucket`,
+    * `n_tokens`, `batch` (0-based within (shard, bucket)), `pos`
+    * (0-based slot in its batch).
+    *
+    * Scale shape: the window partitions on (shard, bucket) — rows per
+    * partition are corpus/(nShards·buckets), bounded by sizing
+    * `nShards` to the corpus exactly as [[packSequences]] documents;
+    * only (shard, bucket, id, n_tokens) shuffles. */
+  def lengthBucketBatches(df: DataFrame, idCol: String, textCol: String,
+                          granularity: Int, batchSize: Int,
+                          nShards: Int): DataFrame = {
+    require(granularity > 0 && batchSize > 0 && nShards > 0)
+    val w = Window.partitionBy(col("shard"), col("bucket"))
+      .orderBy(col(idCol))
+    df.select(
+        pmod(TextAnalysis.tokenHash(col(idCol).cast("string")),
+          lit(nShards.toLong)).as("shard"),
+        col(idCol),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+      // ceil division in exact integer form: (n + g - 1) div g
+      .withColumn("bucket",
+        expr(s"(n_tokens + ${granularity - 1}) div $granularity"))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("batch", expr(s"(__rn - 1) div $batchSize"))
+      .withColumn("pos", expr(s"(__rn - 1) % $batchSize"))
+      .drop("__rn")
+  }
+
   /** UniMax budget allocation (Chung et al. 2023): split a token
     * budget across languages so every language is funded as equally
     * as possible without repeating any language more than `epochCap`

@@ -208,6 +208,33 @@ class SamplingSpec extends AnyFunSuite {
       .foreach(r => assert(r.getLong(1) == r.getLong(2), "dense bins"))
   }
 
+  test("lengthBucketBatches: batches stay within size, slots are " +
+    "dense in id order, a batch never mixes buckets, and bucket is " +
+    "ceil(n/granularity)") {
+    val G = 16; val B = 8
+    val p = Sampling.lengthBucketBatches(docs, "doc_id", "text", G, B, 3)
+      .cache()
+    val rows = p.select("shard", "bucket", "doc_id", "n_tokens",
+        "batch", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    rows.foreach { case (_, bucket, _, n, _, pos) =>
+      assert(bucket == (n + G - 1) / G)
+      assert(pos >= 0 && pos < B)
+    }
+    // within each (shard, bucket): id order fills batch 0 slot 0.. in
+    // sequence — batch*B+pos is exactly the 0-based rank
+    rows.groupBy(r => (r._1, r._2)).foreach { case (_, rs) =>
+      val ranks = rs.sortBy(_._3).map(r => r._5 * B + r._6)
+      assert(ranks.toSeq == rs.indices.map(_.toLong).toSeq,
+        "batch*B+pos must be the id-order rank")
+    }
+    // no batch exceeds B docs
+    val over = p.groupBy("shard", "bucket", "batch")
+      .agg(count(lit(1)).as("n")).where(col("n") > B).count()
+    assert(over == 0L)
+  }
+
   test("unimaxAllocation: hand-computed water-filling on a 3-language " +
     "corpus; budget filled to within quantization; unsaturated langs " +
     "share one level") {
