@@ -287,4 +287,54 @@ class PlanSpec extends AnyFunSuite {
     val ldPlan = ld.queryExecution.executedPlan.toString
     assert(!ldPlan.contains("CartesianProduct"))
   }
+
+  test("round-8 ops keep their scale shapes: packing windows are " +
+    "shard-partitioned (never corpus-wide), markdown is map + agg " +
+    "with no join, unimax windows only run on the post-agg language " +
+    "grain") {
+    // markdown extraction: pure per-row maps + one final agg — any
+    // Join or Window would mean the chain left the row grain
+    val md = SparkEntry.queries("q_source_markdown")(spark, sf)
+    md.collect()
+    val mdPlan = md.queryExecution.executedPlan.toString
+    assert(!mdPlan.contains("Join"), "q_source_markdown: Join in plan")
+    assert(!mdPlan.contains("Window"), "q_source_markdown: Window in plan")
+    // concat-chunk + length-bucket packing: every Window partitions
+    // on the shard key — the plan must never show an empty
+    // partition spec (the corpus-collapse shape)
+    Seq("q_pack_sequences", "q_pack_lenbatch").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("windowspecdefinition()"),
+        s"$name: unpartitioned Window")
+      assert(plan.contains("Window"), s"$name: expected a shard Window")
+    }
+    // no-split packing is the kernel path: no Window at all, and the
+    // exchange carries only (shard, id, n_tokens) — the text column
+    // must not appear downstream of the shuffle
+    val ns = SparkEntry.queries("q_pack_nosplit")(spark, sf)
+    ns.collect()
+    val nsPlan = ns.queryExecution.executedPlan.toString
+    assert(!nsPlan.contains("Window"), "q_pack_nosplit: Window in plan")
+    assert(nsPlan.contains("Exchange hashpartitioning(shard"),
+      "q_pack_nosplit: expected the shard exchange")
+    // unimax: the corpus reduces to the language grain in a hash agg
+    // BEFORE any window touches it — the unpartitioned windows that
+    // follow are the documented by-design site (see Bench.scala's
+    // WindowExec audit note)
+    val um = SparkEntry.queries("q_mix_unimax")(spark, sf)
+    um.collect()
+    val umPlan = um.queryExecution.executedPlan.toString
+    assert(umPlan.contains("HashAggregate"),
+      "q_mix_unimax: expected the language-grain reduction agg")
+    // semantic dedup: centroid assignment is a literal-broadcast map
+    // (no centroid join); the only join key is the cell
+    val sem = SparkEntry.queries("q_dedup_semantic")(spark, sf)
+    sem.collect()
+    val semPlan = sem.queryExecution.executedPlan.toString
+    assert(!semPlan.contains("CartesianProduct"),
+      "q_dedup_semantic: cartesian")
+    assert(!semPlan.contains("Window"), "q_dedup_semantic: Window")
+  }
 }
