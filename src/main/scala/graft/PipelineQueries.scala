@@ -5295,6 +5295,87 @@ object PipelineQueries {
       s"round(CAST(sum(fp) AS DOUBLE) / $MiFx, 5) AS mi " +
       "FROM t GROUP BY n, n_cells, max_cell")
 
+  /** Token-distribution drift between two corpus snapshots — the
+    * text-side analogue of q_embed_drift ("did the ingest mix shift?"):
+    * docs hash-split into reference/current halves, token mass
+    * aggregated onto a 256-bucket hashed vocab, add-one-smoothed KL
+    * in BOTH directions. Scale shape: tokens flow straight into ONE
+    * map-side-partial aggregate on the (bucket ≤ 256) grain — token
+    * strings never shuffle; the full bucket domain (including
+    * zero-count buckets, which still carry smoothing mass) comes from
+    * an in-plan range frame. Each KL term floor-quantizes to int64
+    * (the q_stats_mi discipline) so the sums are order-independent
+    * and bit-exact cross-engine. */
+  private val DriftV = 256
+  private val textDrift = Q("q_text_drift",
+    (s, d) => {
+      val t = docs(s, d).select(
+        pmod(TextAnalysis.tokenHash(col("doc_id").cast("string")), lit(2L))
+          .as("side"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val cells = t
+        .select(col("side"),
+          pmod(TextAnalysis.tokenHash(col("tok")), lit(DriftV.toLong))
+            .as("b"))
+        .groupBy("b")
+        .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("side") === 1, 1L).otherwise(0L)).as("c1"))
+      val dom = s.range(DriftV.toLong).toDF("b")
+        .join(cells, Seq("b"), "left")
+        .select(col("b"), coalesce(col("c0"), lit(0L)).as("c0"),
+          coalesce(col("c1"), lit(0L)).as("c1"))
+      val tot = dom.agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"),
+        sum(when(col("c0") + col("c1") > 0, 1L).otherwise(0L))
+          .as("n_used"))
+      val p0 = (col("c0").cast("double") + lit(1.0)) /
+        (col("n0").cast("double") + lit(DriftV.toDouble))
+      val p1 = (col("c1").cast("double") + lit(1.0)) /
+        (col("n1").cast("double") + lit(DriftV.toDouble))
+      dom.crossJoin(tot)
+        .select(col("n0"), col("n1"), col("n_used"),
+          floor(p1 * log(p1 / p0) * lit(MiFx)).cast("long").as("f10"),
+          floor(p0 * log(p0 / p1) * lit(MiFx)).cast("long").as("f01"))
+        .groupBy("n0", "n1", "n_used")
+        .agg(round(sum(col("f10")).cast("double") / lit(MiFx), 5)
+            .as("kl_cur_ref"),
+          round(sum(col("f01")).cast("double") / lit(MiFx), 5)
+            .as("kl_ref_cur"))
+    },
+    "WITH t AS (SELECT " +
+      s"${TextAnalysis.TokenHashSql("CAST(doc_id AS VARCHAR)")} % 2 " +
+      "AS side, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+      "cells AS (SELECT " +
+      s"${TextAnalysis.TokenHashSql("tok")} % $DriftV AS b, " +
+      "sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS c0, " +
+      "sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c1 " +
+      "FROM t GROUP BY 1), " +
+      s"dom AS (SELECT r.range AS b, coalesce(cells.c0, 0) AS c0, " +
+      s"coalesce(cells.c1, 0) AS c1 FROM range(0, $DriftV) r " +
+      "LEFT JOIN cells ON r.range = cells.b), " +
+      "tot AS (SELECT CAST(sum(c0) AS BIGINT) AS n0, " +
+      "CAST(sum(c1) AS BIGINT) AS n1, " +
+      "CAST(sum(CASE WHEN c0 + c1 > 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_used FROM dom), " +
+      "f AS (SELECT tot.n0, tot.n1, tot.n_used, " +
+      "CAST(floor(((CAST(c1 AS DOUBLE) + 1.0) / " +
+      s"(CAST(tot.n1 AS DOUBLE) + $DriftV.0)) * " +
+      "ln(((CAST(c1 AS DOUBLE) + 1.0) / " +
+      s"(CAST(tot.n1 AS DOUBLE) + $DriftV.0)) / " +
+      "((CAST(c0 AS DOUBLE) + 1.0) / " +
+      s"(CAST(tot.n0 AS DOUBLE) + $DriftV.0))) * $MiFx) AS BIGINT) " +
+      "AS f10, " +
+      "CAST(floor(((CAST(c0 AS DOUBLE) + 1.0) / " +
+      s"(CAST(tot.n0 AS DOUBLE) + $DriftV.0)) * " +
+      "ln(((CAST(c0 AS DOUBLE) + 1.0) / " +
+      s"(CAST(tot.n0 AS DOUBLE) + $DriftV.0)) / " +
+      "((CAST(c1 AS DOUBLE) + 1.0) / " +
+      s"(CAST(tot.n1 AS DOUBLE) + $DriftV.0))) * $MiFx) AS BIGINT) " +
+      "AS f01 FROM dom CROSS JOIN tot) " +
+      "SELECT n0, n1, n_used, " +
+      s"round(CAST(sum(f10) AS DOUBLE) / $MiFx, 5) AS kl_cur_ref, " +
+      s"round(CAST(sum(f01) AS DOUBLE) / $MiFx, 5) AS kl_ref_cur " +
+      "FROM f GROUP BY n0, n1, n_used")
+
   // ---------------------------------------------------------------- export
 
   val all: Vector[Q] = Vector(
@@ -5317,7 +5398,8 @@ object PipelineQueries {
     textContamination, sketchHll,
     sketchHllBy, sketchCms, sketchAms, sketchQuantile, sketchQuantileBy,
     sketchHeavyHitters,
-    textDupNgrams, textNovelty, textLineDedup, textLineDedupApply,
+    textDupNgrams, textNovelty, textDrift, textLineDedup,
+    textLineDedupApply,
     textUrls,
     qualityGopher, multimodalMeta,
     multimodalMp4, multimodalMp3, multimodalAvc, multimodalFlac,

@@ -266,6 +266,47 @@ object StreamingOps {
       }
   }
 
+  /** Streaming length-bucketed batching — the incremental form of
+    * [[graft.ops.Sampling.lengthBucketBatches]]: state per
+    * (shard, bucket) key is ONE counter (docs assigned so far), so
+    * batch/slot assignment continues across micro-batches; rows sort
+    * by id within a micro-batch group (the state shuffle loses
+    * arrival order), and the layout equals the batch form exactly
+    * whenever arrival order respects id order per (shard, bucket) —
+    * the same contract [[packNoSplitStream]] documents. State is
+    * bounded by nShards × live buckets, never stream length. */
+  def lengthBucketBatchesStream(docs: DataFrame, idCol: String,
+                                textCol: String, granularity: Int,
+                                batchSize: Int, nShards: Int)
+      : Dataset[(Long, Long, Long, Long, Long, Long)] = {
+    require(granularity > 0 && batchSize > 0 && nShards > 0)
+    import docs.sparkSession.implicits._
+    docs.select(
+        pmod(graft.ops.TextAnalysis.tokenHash(col(idCol).cast("string")),
+          lit(nShards.toLong)).as("shard"),
+        col(idCol).cast("long").as("id"),
+        size(graft.ops.TextAnalysis.tokens(col(textCol))).cast("long")
+          .as("n"))
+      .withColumn("bucket",
+        expr(s"(n + ${granularity - 1}) div $granularity"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(r => (r._1, r._4))
+      .flatMapGroupsWithState[Long,
+        (Long, Long, Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (Long, Long), rows: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[Long]) =>
+          var seen = state.getOption.getOrElse(0L)
+          val out = rows.toVector.sortBy(_._2).map { case (_, id, n, _) =>
+            val rank = seen
+            seen += 1L
+            (key._1, key._2, id, n, rank / batchSize, rank % batchSize)
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** Streaming corpus curation — the incremental form of the batch
     * quality-floor → dedup composition (q_pipeline_curation): the
     * quality score is a stateless per-row map, so the only stateful

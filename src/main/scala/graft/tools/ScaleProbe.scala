@@ -38,7 +38,7 @@ object ScaleProbe {
     // markdown ingestion
     "q_pack_nosplit" -> 10, "q_mix_unimax" -> 10,
     "q_source_markdown" -> 10, "q_pack_lenbatch" -> 10,
-    "q_dedup_semantic" -> 4,
+    "q_dedup_semantic" -> 4, "q_text_drift" -> 10,
     "q_embed_clusters" -> 4, "q_embed_pagerank" -> 4,
     "q_embed_labelprop" -> 4, "q_embed_top1" -> 4,
     "q_embed_kmeans" -> 4, "q_embed_ivfpq" -> 4)

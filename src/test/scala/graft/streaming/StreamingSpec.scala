@@ -659,6 +659,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("streaming length-bucket batching fed id-ordered micro-batches " +
+    "equals the batch layout slot for slot") {
+    import spark.implicits._
+    val G = 16; val B = 8
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val want = graft.ops.Sampling
+      .lengthBucketBatches(d, "doc_id", "text", G, B, 3)
+      .select("doc_id", "shard", "bucket", "batch", "pos").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val rows = d.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("lenbatch_stream").toFile
+    tmp.deleteOnExit()
+    val slices = rows.grouped((rows.length + 2) / 3).toSeq
+    slices.zipWithIndex.foreach { case (s, i) =>
+      val p = new java.io.File(tmp, s"slice$i")
+      s.toSeq.toDF("doc_id", "text").coalesce(1).write.parquet(p.toString)
+      p.listFiles().foreach(f =>
+        f.setLastModified(1700000000000L + i * 60000L))
+    }
+    val stream = spark.readStream
+      .schema(slices.head.toSeq.toDF("doc_id", "text").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/*")
+    val out = StreamingOps.lengthBucketBatchesStream(stream, "doc_id",
+        "text", G, B, 3)
+      .toDF("shard", "bucket", "doc_id", "n_tokens", "batch", "pos")
+    StreamingOps.runToMemorySink(out, "lenbatch_stream")
+    val got = spark.table("lenbatch_stream")
+      .select("doc_id", "shard", "bucket", "batch", "pos").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.size == want.size)
+    assert(got == want, "stream and batch batching must agree")
+    assert(want.nonEmpty)
+  }
+
   test("tumblingAgg on a stream (Complete mode) equals the batch " +
     "form bucket for bucket — the same int64 window math drives both") {
     import graft.ops.Events
