@@ -5305,7 +5305,14 @@ object PipelineQueries {
     * zero-count buckets, which still carry smoothing mass) comes from
     * an in-plan range frame. Each KL term floor-quantizes to int64
     * (the q_stats_mi discipline) so the sums are order-independent
-    * and bit-exact cross-engine. */
+    * and bit-exact cross-engine. DOCUMENTED ASSUMPTION (shared with
+    * q_stats_mi): JVM `Math.log` and DuckDB's libm `ln` are not
+    * correctly-rounded, so a term landing within ~|x|·2⁻⁵² of a
+    * quantization boundary could floor differently per engine — at
+    * MiFx = 2³⁰ that window is ~1e-7 wide per term, ~1e-4 odds across
+    * the 512 terms here; accepted (any floor granularity has
+    * boundaries — shifting or coarsening moves the risk, it cannot
+    * remove it) and this fixture is pinned green at sf0.01 + sf0.1. */
   private val DriftV = 256
   private val textDrift = Q("q_text_drift",
     (s, d) => {

@@ -889,19 +889,20 @@ object Dedup {
       .where(col("nocc") >= 2 && col("okey") =!= col("keeper"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_set(col("wpos"))).as("__ds"))
-    val ws = TextAnalysis.tokens(col(textCol))
     val ds = coalesce(col("__ds"), array().cast("array<int>"))
-    // token i (0-based) is removed iff some duplicate window [s, s+k)
-    // covers it — the exists-scan merges overlapping windows for free
-    def covered(i: Column): Column =
-      exists(ds, s => s <= i && i < s + lit(k))
+    // fused one-pass rebuild: tokenize + two-pointer coverage walk
+    // over the sorted start set + kept-text join in ONE codegen'd
+    // kernel — O(tokens + windows) per row (the HOF exists-scan this
+    // replaces was O(tokens · windows): quadratic on a long doc that
+    // is mostly duplicate). Pinned bit-identical to the composable
+    // exists/filter spec in DedupSubstrSpec.
     df.join(dups, Seq(idCol), "left")
+      .withColumn("__rb",
+        TextHashExpressions.substrRebuild(col(textCol), ds, k))
       .select(col(idCol),
-        array_join(filter(ws, (_, i) => !covered(i)), " ")
-          .as("text_clean"),
-        size(ws).cast("long").as("n_tokens"),
-        size(filter(ws, (_, i) => covered(i))).cast("long")
-          .as("n_removed"),
+        col("__rb.text_clean").as("text_clean"),
+        col("__rb.n_tokens").as("n_tokens"),
+        col("__rb.n_removed").as("n_removed"),
         (size(ds) > 0).as("modified"))
   }
 
@@ -944,19 +945,18 @@ object Dedup {
     val wf = ngramFingerprints(col("__hl"), k)
     val ds = filter(sequence(lit(0), size(col("__wf")) - 1),
       s => array_contains(fps, element_at(col("__wf"), s + 1)))
-    def covered(i: Column): Column =
-      exists(col("__ds"), s => s <= i && i < s + lit(k))
-    val ws = TextAnalysis.tokens(col(textCol))
+    // same fused two-pointer rebuild as [[dedupSubstringsKeepFirst]];
+    // the `sequence`-filtered start set is ascending by construction
     df.withColumn("__hl", hl)
       .withColumn("__wf", wf)
       .withColumn("__ds", when(size(col("__wf")) > 0, ds)
         .otherwise(array().cast("array<int>")))
+      .withColumn("__rb",
+        TextHashExpressions.substrRebuild(col(textCol), col("__ds"), k))
       .select(col(idCol),
-        array_join(filter(ws, (_, i) => !covered(i)), " ")
-          .as("text_clean"),
-        size(ws).cast("long").as("n_tokens"),
-        size(filter(ws, (_, i) => covered(i))).cast("long")
-          .as("n_removed"),
+        col("__rb.text_clean").as("text_clean"),
+        col("__rb.n_tokens").as("n_tokens"),
+        col("__rb.n_removed").as("n_removed"),
         (size(col("__ds")) > 0).as("modified"))
   }
 

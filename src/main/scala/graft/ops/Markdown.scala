@@ -33,6 +33,15 @@ object Markdown {
     * would otherwise eat the image's trailing `)`), markers before
     * whitespace normalization. */
   private val Chain: Seq[(String, String, String)] = Seq(
+    // line-terminator normalization FIRST: Java's (?m) ^/$ match
+    // around \r, NEL (U+0085) and LS/PS (U+2028/9) while RE2's match
+    // only \n, so every multiline rule below would diverge on CRLF
+    // or unicode-linebreak input unless the text is \n-only by the
+    // time they run. (The class chars are SCALA-level \u escapes —
+    // the source file stays plain text and both engines receive the
+    // literal characters; a regex-level \uXXXX escape would be
+    // Java-only, RE2 spells it \x{XXXX}.)
+    ("\\r\\n|[\\r\u0085\u2028\u2029]", "\n", "\n"),
     ("(?s)```.*?```", " ", " "), // fenced code dropped with contents
     ("`([^`\\n]*)`", "$1", "\\1"), // inline code keeps its text
     ("!\\[([^\\]]*)\\]\\([^)]*\\)", "$1", "\\1"), // image -> alt text
@@ -47,10 +56,17 @@ object Markdown {
     (" ?\\n ?", "\n", "\n"), // spaces hugging a break
     ("\\n{3,}", "\n\n", "\n\n"), // blank-line runs collapse
     // string-anchored trim: \A/\z, NOT ^/$ — Java's unflagged $ is
-    // \Z (before a final newline) while RE2's is \z, the one place
-    // this chain could diverge; regex form keeps the build clear of
-    // Spark's deprecated two-arg trim
+    // \Z (before a final newline) while RE2's is \z; with the
+    // terminator normalization above this keeps the whole chain
+    // divergence-free. Regex form keeps the build clear of Spark's
+    // deprecated two-arg trim.
     ("\\A[ \\n\\t]+|[ \\n\\t]+\\z", "", ""))
+
+  /** Splice a pattern/replacement into a single-quoted SQL literal.
+    * All current chain entries are quote-free, but a future edit
+    * containing `'` would otherwise silently emit broken oracle SQL —
+    * escape per the SQL rule (`'` → `''`). */
+  private def sq(s: String): String = s.replace("'", "''")
 
   /** Extracted prose. Total on arbitrary input — a pure function of
     * the string, never throws. */
@@ -64,7 +80,7 @@ object Markdown {
     * argument. */
   def ExtractTextSql(col: String): String =
     Chain.foldLeft(col) { case (c, (pat, _, rep)) =>
-      s"regexp_replace($c, '$pat', '$rep', 'g')"
+      s"regexp_replace($c, '${sq(pat)}', '${sq(rep)}', 'g')"
     }
 
   /** Structure profile of the RAW markdown — the quality signals a
@@ -90,7 +106,7 @@ object Markdown {
 
   /** DuckDB mirrors of the [[structure]] fields over `col`. */
   def StructureSql(col: String): Map[String, String] = {
-    def cnt(pat: String) = s"len(regexp_extract_all($col, '$pat'))"
+    def cnt(pat: String) = s"len(regexp_extract_all($col, '${sq(pat)}'))"
     Map(
       "n_headings" -> cnt(HeadingPat),
       "n_fences" -> cnt(FencePat),

@@ -6,8 +6,8 @@ import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -369,6 +369,46 @@ object TextHashFns {
     }
     sim
   }
+
+  /** One-pass coverage rebuild for the substring-dedup pair
+    * ([[Dedup.dedupSubstringsKeepFirst]] / [[Dedup
+    * .dedupSubstringsApply]]): token i (0-based over `split(text,
+    * " ", -1)`) is removed iff some duplicate window [s, s+k) from
+    * the SORTED-ascending `starts` covers it. Two-pointer walk —
+    * each start is consumed once, each token tested against the
+    * running coverage end — O(tokens + windows), replacing the HOF
+    * `exists` scan that paid O(tokens · windows) (quadratic on a
+    * near-fully-duplicated long doc: every token scanned every
+    * window start). Returns (text_clean, n_tokens, n_removed);
+    * text_clean joins the kept tokens with " ", bit-identical to
+    * `array_join(filter(...))` over the same coverage set. */
+  def substrRebuild(text: UTF8String, starts: ArrayData,
+                    k: Int): InternalRow = {
+    val toks = text.toString.split(" ", -1)
+    val m = starts.numElements()
+    val sb = new java.lang.StringBuilder(text.numBytes())
+    var removed = 0L
+    var kept = 0
+    var end = -1L
+    var j = 0
+    var i = 0
+    while (i < toks.length) {
+      while (j < m && starts.getInt(j) <= i) {
+        val e = starts.getInt(j).toLong + k
+        if (e > end) end = e
+        j += 1
+      }
+      if (i < end) removed += 1L
+      else {
+        if (kept > 0) sb.append(' ')
+        sb.append(toks(i))
+        kept += 1
+      }
+      i += 1
+    }
+    InternalRow(UTF8String.fromString(sb.toString),
+      toks.length.toLong, removed)
+  }
 }
 
 /** One-pass stopword counts in [[TextAnalysis.LangPriority]] order:
@@ -557,6 +597,30 @@ case class DsirWeightExpr(child: Expression, m: Int, ratios: Seq[Double])
   override def prettyName: String = "dsir_weight"
 }
 
+/** Fused substring-dedup rebuild ([[TextHashFns.substrRebuild]]):
+  * `right` MUST be a sorted-ascending array<int> of duplicate-window
+  * starts (the producers guarantee it — `sort_array(collect_set)` in
+  * keep-first, an ascending `sequence` filter in apply). */
+case class SubstrRebuildExpr(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  require(k >= 2, s"substring width $k too small")
+  override def dataType: DataType = StructType(Seq(
+    StructField("text_clean", StringType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_removed", LongType, nullable = false)))
+  override def nullSafeEval(t: Any, s: Any): Any =
+    TextHashFns.substrRebuild(t.asInstanceOf[UTF8String],
+      s.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, s) =>
+      s"graft.ops.TextHashFns.substrRebuild($t, $s, $k)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SubstrRebuildExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "substr_rebuild"
+}
+
 case class NgramFpsExpr(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1, s"n=$n")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -593,4 +657,7 @@ object TextHashExpressions {
     bridge.toColumn(Simhash16Expr(bridge.toExpression(text)))
   def stopwordCounts(text: Column): Column =
     bridge.toColumn(StopwordCountsExpr(bridge.toExpression(text)))
+  def substrRebuild(text: Column, starts: Column, k: Int): Column =
+    bridge.toColumn(SubstrRebuildExpr(bridge.toExpression(text),
+      bridge.toExpression(starts), k))
 }

@@ -107,6 +107,48 @@ class DedupSubstrSpec extends AnyFunSuite {
     assert(id0.values.forall(v => !v._4 && v._3 == 0L), s"$id0")
   }
 
+  /** Independent reference implementation: window identity is the
+    * k-token gram STRING (no fingerprinting — collisions impossible),
+    * keep-first by (id, position) lexicographic, coverage by the
+    * plain exists-scan the fused kernel replaced. */
+  private def refKeepFirst(rows: Seq[(Long, String)], k: Int)
+      : Map[Long, (String, Long, Long, Boolean)] = {
+    val occ = for {
+      (id, t) <- rows
+      toks = t.split(" ", -1)
+      i <- 0 to toks.length - k
+    } yield (toks.slice(i, i + k).mkString(" "), id, i)
+    val dups = occ.groupBy(_._1).values.filter(_.size >= 2).flatMap { os =>
+      val keeper = os.minBy(o => (o._2, o._3))
+      os.filter(_ != keeper).map(o => (o._2, o._3))
+    }.toSet
+    rows.map { case (id, t) =>
+      val toks = t.split(" ", -1)
+      val starts = dups.collect { case (i2, s) if i2 == id => s }
+      def covered(i: Int) = starts.exists(s => s <= i && i < s + k)
+      val kept = toks.indices.filterNot(covered).map(toks)
+      id -> ((kept.mkString(" "), toks.length.toLong,
+        toks.indices.count(covered).toLong, starts.nonEmpty))
+    }.toMap
+  }
+
+  test("fused two-pointer rebuild is bit-identical to the exists-scan " +
+    "spec — including the worst case the old form paid quadratically " +
+    "for: one phrase repeated 1,000x") {
+    val phrase = "p1 p2 p3 p4 p5 p6"
+    val rows = Seq(
+      1L -> Seq.fill(1000)(phrase).mkString(" "), // 6,000 tokens, all dup past the first phrase
+      2L -> s"lead in $phrase and out",           // cross-doc repeat, unaligned
+      3L -> "no repeats here at all ok",
+      4L -> s"$phrase $phrase tail")              // internal repeat
+    val got = collectClean(
+      Dedup.dedupSubstringsKeepFirst(docs(rows: _*), "t", "id", k = 6))
+    val want = refKeepFirst(rows, 6)
+    assert(got == want, s"got=$got\nwant=$want")
+    // the repeated-phrase doc collapses to its first 6 tokens
+    assert(got(1L) == ((phrase, 6000L, 5994L, true)), s"${got(1L)}")
+  }
+
   test("keep-first order is (id, position) lexicographic: the lowest " +
     "id's earliest occurrence is the keeper") {
     val run = "k1 k2 k3 k4 k5 k6"
