@@ -1611,11 +1611,28 @@ object PipelineQueries {
     * update → c1 → d1/m1/a1 (post-round assignment + distance).
     * Reused by q_embed_kmeans AND q_dedup_semantic, so the replayed
     * centroids can never diverge between the two oracles. */
-  private def kmeans1RoundSql: String = {
-    val fx = "16777216.0"
+  private def kmeans1RoundSql: String =
     "c0 AS (SELECT vec_id AS cid, embedding AS cemb " +
-      "FROM embeddings ORDER BY vec_id LIMIT 16), " +
-      "d0 AS (SELECT e.vec_id, c.cid, " +
+      "FROM embeddings ORDER BY vec_id LIMIT 16), " + kmeansTailSql
+
+  /** The 1-round-Lloyd chain with the cell count computed FROM THE
+    * CORPUS in-SQL: k = clamp(ceil(n / targetPop), 1, maxCells) — the
+    * exact integer formula of [[Similarity.nCellsFor]] (`//` is
+    * DuckDB integer division == Spark `div` on these non-negative
+    * operands), so Spark's runtime-counted k and the oracle's k can
+    * never diverge. Init stays "first k by vec_id" (row_number ≤ k ==
+    * ORDER BY vec_id LIMIT k). */
+  private def kmeansSizedKSql(targetPop: Int, maxCells: Int): String =
+    s"kk AS (SELECT least(greatest((count(*) + ${targetPop - 1}) " +
+      s"// $targetPop, 1), $maxCells) AS k FROM embeddings), " +
+      "c0 AS (SELECT rr.vec_id AS cid, rr.embedding AS cemb FROM " +
+      "(SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) " +
+      "AS rn FROM embeddings) rr CROSS JOIN kk WHERE rr.rn <= kk.k), " +
+      kmeansTailSql
+
+  private def kmeansTailSql: String = {
+    val fx = "16777216.0"
+    "d0 AS (SELECT e.vec_id, c.cid, " +
       s"${l2Sql("e.embedding", "c.cemb")} AS dist " +
       "FROM embeddings e CROSS JOIN c0 c), " +
       "m0 AS (SELECT vec_id, min(dist) AS md FROM d0 GROUP BY vec_id), " +
@@ -1659,54 +1676,61 @@ object PipelineQueries {
     * k-means clusters — assign every vector to its 1-round-Lloyd cell,
     * enumerate pairs only WITHIN a cell, and drop the higher id of any
     * pair with cosine ≥ τ (keep-first). The removed-id checksum pins
-    * the exact pruned set cross-engine. Scale shape: the pair stage is
-    * the classic bucket join on the cell key; SemDeDup's own recipe
-    * bounds it — k grows with the corpus (they run 100k clusters on
-    * LAION), so cell population, not corpus size, bounds the quadratic
-    * term; the capped-bucket divert path (q_dedup_embed_capped) is the
-    * guard when a cell still blows past budget. */
+    * the exact pruned set cross-engine. Scale posture IN CODE, not
+    * prose: (1) k is sized from the corpus at runtime —
+    * [[Similarity.nCellsFor]](n, [[SemCellPop]]) — so cell population
+    * (the quadratic term) stays ~constant as the corpus grows, the
+    * SemDeDup recipe itself (they run 100k clusters on LAION); the
+    * oracle computes the identical k in-SQL ([[kmeansSizedKSql]]).
+    * (2) A degenerate cell past [[SemCellCap]] (8× target pop) is
+    * DIVERTED from pair enumeration by
+    * [[Similarity.semDeDupRemoved]] — the q_dedup_embed_capped guard
+    * on the k-means cell key — and flagged in the `diverted` column
+    * so a caller routes it to group-collapse. Boundary pinned in
+    * SemDeDupSpec (cell at cap enumerates, cap+1 diverts). */
   private val SemTau = 0.35
+  private val SemCellPop = 32  // target cell population: k = ceil(n/32)
+  private val SemCellCap = 8 * SemCellPop
+  private val SemMaxCells = 65536
   private val dedupSemantic = Q("q_dedup_semantic",
     (s, d) => {
       val e = embs(s, d)
+      val k = Similarity.nCellsFor(e.count(), SemCellPop, SemMaxCells)
       val c0 = Similarity.collectCentroids(
-        e.orderBy("vec_id").limit(16)
+        e.orderBy("vec_id").limit(k)
           .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
       val c1 = Similarity.kmeansIterate(e, "vec_id", "embedding", c0, 1)
       val cells = Similarity.cellAssignments(e, "vec_id", "embedding", c1)
-      val a = cells.select(col("cell"), col("vec_id").as("ia"),
-        col("embedding").as("ea"))
-      val b = cells.select(col("cell"), col("vec_id").as("ib"),
-        col("embedding").as("eb"))
-      // distinct (cell, ib): a vector removed by TWO lower ids must
-      // count once in both the count and the checksum
-      val removedIds = a.join(b, Seq("cell"))
-        .where(col("ia") < col("ib") &&
-          Similarity.cosineOrNull(col("ea"), col("eb")) >= SemTau)
-        .select(col("cell"), col("ib")).distinct()
+      val (removedIds, _) = Similarity.semDeDupRemoved(
+        cells, "vec_id", "embedding", SemTau, SemCellCap)
       val stats = removedIds.groupBy("cell")
         .agg(count(lit(1)).as("n_removed"),
-          sum(col("ib") % lit(DigestMod)).as("removed_sum"))
+          sum(col("vec_id") % lit(DigestMod)).as("removed_sum"))
       cells.groupBy("cell").agg(count(lit(1)).as("n_members"))
         .join(stats, Seq("cell"), "left")
         .select(col("cell"), col("n_members"),
           coalesce(col("n_removed"), lit(0L)).as("n_removed"),
-          coalesce(col("removed_sum"), lit(0L)).as("removed_sum"))
+          coalesce(col("removed_sum"), lit(0L)).as("removed_sum"),
+          (col("n_members") > SemCellCap).as("diverted"))
         .orderBy("cell")
     },
-    s"WITH $kmeans1RoundSql, " +
+    s"WITH ${kmeansSizedKSql(SemCellPop, SemMaxCells)}, " +
       "ec AS (SELECT a1.cell, e.vec_id, e.embedding AS emb, " +
       s"sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm " +
       "FROM embeddings e JOIN a1 ON e.vec_id = a1.vec_id), " +
+      "cs AS (SELECT cell, count(*) AS cn FROM ec GROUP BY cell), " +
+      "el AS (SELECT ec.* FROM ec JOIN cs USING (cell) " +
+      s"WHERE cs.cn <= $SemCellCap), " +
       "rm AS (SELECT DISTINCT a.cell, b.vec_id AS ib " +
-      "FROM ec a JOIN ec b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+      "FROM el a JOIN el b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
       s"WHERE ${dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm) >= $SemTau), " +
       "st AS (SELECT cell, count(*) AS n_removed, " +
       s"CAST(sum(ib % $DigestMod) AS BIGINT) AS removed_sum " +
       "FROM rm GROUP BY cell) " +
       "SELECT ec.cell, count(*) AS n_members, " +
       "coalesce(max(st.n_removed), 0) AS n_removed, " +
-      "coalesce(max(st.removed_sum), 0) AS removed_sum " +
+      "coalesce(max(st.removed_sum), 0) AS removed_sum, " +
+      s"(count(*) > $SemCellCap) AS diverted " +
       "FROM ec LEFT JOIN st ON ec.cell = st.cell " +
       "GROUP BY ec.cell ORDER BY ec.cell")
 
