@@ -4541,6 +4541,90 @@ object PipelineQueries {
       s"FROM r GROUP BY shard, bucket, (rn - 1) // $LenB) bt " +
       "GROUP BY bucket ORDER BY bucket")
 
+  /** No-split packing on LEARNED-BPE piece counts (q_pack_nosplit ×
+    * q_text_fertility): learn the merge table, segment every word
+    * occurrence, and pack per-doc PIECE counts — the layout a
+    * trainer actually sees (whitespace tokens under-count sequence
+    * length by the fertility factor, so bins sized on them overflow
+    * at train time). The oracle replays learn (CTE rounds) → apply
+    * (two-pass delimited replace) → per-doc piece sum → the same
+    * recursive greedy walk as q_pack_nosplit. Spark side: piece
+    * counting runs in the pre-shuffle projection
+    * ([[Sampling.packNoSplitBy]]) — the text never moves; only
+    * (shard, id, n_pieces) shuffles. */
+  private val PackBpeWindow = 1024
+  private val packBpe = Q("q_pack_bpe",
+    (s, d) => {
+      val d0 = docs(s, d)
+      val merges = graft.ops.Bpe.learn(d0, "text", BpeRounds)
+        .map(m => (m._2, m._3))
+      val words = filter(split(col("text"), " "),
+        w => w =!= lit("") && !w.contains(graft.ops.Bpe.Delim))
+      val np = aggregate(words, lit(0L),
+        (acc, w) => acc + size(graft.ops.Bpe.segment(w, merges)).cast("long"))
+      Sampling.packNoSplitBy(d0, "doc_id", np, PackBpeWindow, PackShards)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          (max(col("bin")) + 1).as("n_bins"),
+          sum(col("t")).as("toks"),
+          sum(when(col("truncated"), 1L).otherwise(0L)).as("n_trunc"),
+          ((max(col("bin")) + 1) * PackBpeWindow - sum(col("t")))
+            .as("waste"),
+          sum((col("doc_id") % AssignMod * 31 + col("bin") % AssignMod)
+            % AssignMod).as("assign_sum"))
+        .orderBy("shard")
+    }, {
+      val D = graft.ops.Bpe.DelimSql
+      val applies = (1 to BpeRounds).map { r =>
+        val prev = if (r == 1) "ws" else s"a${r - 1}"
+        s"a$r AS (SELECT doc_id, replace(replace(seq, " +
+          s"$D||a||$D||b||$D, $D||a||b||$D), " +
+          s"$D||a||$D||b||$D, $D||a||b||$D) AS seq " +
+          s"FROM $prev CROSS JOIN b$r)"
+      }.mkString(", ")
+      "WITH RECURSIVE " + bpeLearnCtes.stripPrefix("WITH ") +
+        ", w AS (SELECT doc_id, tok FROM (SELECT doc_id, " +
+        "unnest(string_split(text, ' ')) AS tok FROM documents) " +
+        s"WHERE tok <> '' AND NOT contains(tok, $D)), " +
+        s"ws AS (SELECT doc_id, $D || " +
+        s"array_to_string(string_split(tok, ''), $D) || $D AS seq " +
+        s"FROM w), $applies, " +
+        s"pc AS (SELECT doc_id, len(string_split(trim(seq, $D), $D)) " +
+        s"AS np FROM a$BpeRounds), " +
+        "ntd AS (SELECT d.doc_id, " +
+        "CAST(coalesce(sum(pc.np), 0) AS BIGINT) AS nt " +
+        "FROM documents d LEFT JOIN pc ON d.doc_id = pc.doc_id " +
+        "GROUP BY d.doc_id), " +
+        "t2 AS (SELECT doc_id, " +
+        s"${TextAnalysis.TokenHashSql("CAST(doc_id AS VARCHAR)")} " +
+        s"% $PackShards AS shard, nt FROM ntd), " +
+        "r2 AS (SELECT doc_id, shard, nt, " +
+        s"least(nt, $PackBpeWindow) AS tt, " +
+        "row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn " +
+        "FROM t2), " +
+        "walk AS (" +
+        "SELECT shard, rn, doc_id, nt, tt, CAST(0 AS BIGINT) AS bin, " +
+        "tt AS fill FROM r2 WHERE rn = 1 " +
+        "UNION ALL " +
+        "SELECT r2.shard, r2.rn, r2.doc_id, r2.nt, r2.tt, " +
+        s"CASE WHEN w2.fill + r2.tt <= $PackBpeWindow THEN w2.bin " +
+        "ELSE w2.bin + 1 END, " +
+        s"CASE WHEN w2.fill + r2.tt <= $PackBpeWindow " +
+        "THEN w2.fill + r2.tt ELSE r2.tt END " +
+        "FROM walk w2 JOIN r2 ON r2.shard = w2.shard " +
+        "AND r2.rn = w2.rn + 1) " +
+        "SELECT shard, count(*) AS n_docs, " +
+        "CAST(max(bin) + 1 AS BIGINT) AS n_bins, " +
+        "CAST(sum(tt) AS BIGINT) AS toks, " +
+        s"CAST(sum(CASE WHEN nt > $PackBpeWindow THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_trunc, " +
+        s"CAST((max(bin) + 1) * $PackBpeWindow - sum(tt) AS BIGINT) " +
+        "AS waste, " +
+        s"CAST(sum((doc_id % $AssignMod * 31 + bin % $AssignMod) " +
+        s"% $AssignMod) AS BIGINT) AS assign_sum " +
+        "FROM walk GROUP BY shard ORDER BY shard"
+    })
+
   /** UniMax budget allocation (Chung et al. 2023): 2/5 of the corpus
     * token mass split across languages by integer water-filling with
     * a 3-epoch per-language cap — the language-balanced alternative
@@ -4549,12 +4633,11 @@ object PipelineQueries {
   private val UnimaxNum = 2L
   private val UnimaxDen = 5L
   private val UnimaxEpochs = 3
-  private val mixUnimax = Q("q_mix_unimax",
-    (s, d) => Sampling.unimaxAllocation(docs(s, d), "lang",
-        size(TextAnalysis.tokens(col("text"))).cast("long"),
-        UnimaxNum, UnimaxDen, UnimaxEpochs)
-      .orderBy("lang"),
-    "WITH l AS (SELECT lang, " +
+  /** Shared water-filling CTE chain (l → c → r → g) ending with the
+    * per-language alloc expression — reused by the allocation table
+    * and its realization so the two oracles can never diverge. */
+  private def unimaxCtes: String =
+    "l AS (SELECT lang, " +
       "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks " +
       "FROM documents GROUP BY lang), " +
       s"c AS (SELECT lang, toks, toks * $UnimaxEpochs AS cap FROM l), " +
@@ -4566,12 +4649,63 @@ object PipelineQueries {
       "g AS (SELECT max(budget) AS budget, max(n) AS n, " +
       "sum(CASE WHEN s + cap * (n - rk) <= budget THEN 1 ELSE 0 END) AS k, " +
       "coalesce(max(CASE WHEN s + cap * (n - rk) <= budget THEN s END), 0) " +
-      "AS sk FROM r) " +
+      "AS sk FROM r)"
+
+  private val UnimaxAllocSql =
+    "CAST(CASE WHEN r.rk <= g.k THEN r.cap " +
+      "ELSE (g.budget - g.sk) // (g.n - g.k) END AS BIGINT)"
+
+  private val mixUnimax = Q("q_mix_unimax",
+    (s, d) => Sampling.unimaxAllocation(docs(s, d), "lang",
+        size(TextAnalysis.tokens(col("text"))).cast("long"),
+        UnimaxNum, UnimaxDen, UnimaxEpochs)
+      .orderBy("lang"),
+    s"WITH $unimaxCtes " +
       "SELECT r.lang, r.toks, r.cap, " +
-      "CAST(CASE WHEN r.rk <= g.k THEN r.cap " +
-      "ELSE (g.budget - g.sk) // (g.n - g.k) END AS BIGINT) AS alloc, " +
+      s"$UnimaxAllocSql AS alloc, " +
       "r.rk <= g.k AS saturated " +
       "FROM r, g ORDER BY lang")
+
+  /** UniMax REALIZED: the budget table becomes an actual (doc, epoch)
+    * training multiset — f_l = alloc_l/toks_l fractional epochs per
+    * language drive the repeat-factor emitter (⌊f⌋ copies always,
+    * one more on a salted sub-fractional draw), so each language
+    * contributes ≈ alloc_l tokens. The Σ id·(epoch+1) checksum pins
+    * the exact multiset (the q_sample_repeat discipline); toks_real
+    * lets a reader audit realized vs allocated mass. One corpus scan
+    * + a language-grain broadcast; the fan-out is explode(sequence),
+    * shuffle-free ([[Sampling.unimaxRealize]]). */
+  private val mixUnimaxRealize = Q("q_mix_unimax_realize",
+    (s, d) => Sampling.unimaxRealize(docs(s, d), "doc_id", "lang",
+        size(TextAnalysis.tokens(col("text"))).cast("long"),
+        UnimaxNum, UnimaxDen, UnimaxEpochs)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("doc_id") * (col("epoch") + lit(1L))).as("checksum"),
+        max(col("epoch")).as("max_epoch"),
+        sum(size(TextAnalysis.tokens(col("text"))).cast("long"))
+          .as("toks_real"))
+      .orderBy("lang"),
+    s"WITH $unimaxCtes, " +
+      s"a AS (SELECT r.lang, r.toks, $UnimaxAllocSql AS alloc " +
+      "FROM r, g), " +
+      "ff AS (SELECT lang, CAST(alloc AS DOUBLE) / CAST(toks AS DOUBLE) " +
+      "AS f FROM a), " +
+      "nn AS (SELECT d.doc_id, d.lang, " +
+      "len(string_split(d.text, ' ')) AS nt, " +
+      "CAST(floor(ff.f) AS BIGINT) + (CASE WHEN " +
+      s"${Sampling.UnimaxDrawSql("d.doc_id")} < ff.f - floor(ff.f) " +
+      "THEN 1 ELSE 0 END) AS n " +
+      "FROM documents d JOIN ff USING (lang)), " +
+      "e AS (SELECT doc_id, lang, nt, unnest(range(0, n)) AS epoch " +
+      "FROM nn WHERE n >= 1) " +
+      "SELECT lang, count(*) AS n_rows, " +
+      "count(DISTINCT doc_id) AS n_docs, " +
+      "CAST(sum(doc_id * (epoch + 1)) AS BIGINT) AS checksum, " +
+      "CAST(max(epoch) AS BIGINT) AS max_epoch, " +
+      "CAST(sum(nt) AS BIGINT) AS toks_real " +
+      "FROM e GROUP BY lang ORDER BY lang")
 
   private val SpanW = 4
   /** Checksum modulus for rebuilt-text hashes (sum stays well under
@@ -5441,5 +5575,6 @@ object PipelineQueries {
     sampleWeighted, sampleDomainCap, sampleDsir, sampleTopQuantile,
     sampleTopQuantileBy,
     statsRollup, statsCorr, statsWinsorize, statsMad, statsMi, topkPerGroup,
-    shardManifest, packSequences, packNoSplit, packLenBatch, mixUnimax)
+    shardManifest, packSequences, packNoSplit, packLenBatch, packBpe,
+    mixUnimax, mixUnimaxRealize)
 }

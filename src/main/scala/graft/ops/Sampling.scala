@@ -328,7 +328,20 @@ object Sampling {
     * placement), so the kernel re-anchors its state on every shard
     * change rather than assuming one shard per partition. */
   def packNoSplit(df: DataFrame, idCol: String, textCol: String,
-                  window: Int, nShards: Int): DataFrame = {
+                  window: Int, nShards: Int): DataFrame =
+    packNoSplitBy(df, idCol,
+      size(TextAnalysis.tokens(col(textCol))).cast("long"),
+      window, nShards)
+
+  /** [[packNoSplit]] generalized to ANY per-doc token-count column —
+    * the hook that lets the packing layout count what the trainer
+    * actually consumes (e.g. learned-BPE piece counts via
+    * [[Bpe.segment]]) instead of whitespace tokens. `tokCount` is
+    * evaluated in the pre-shuffle projection, so whatever it costs
+    * runs where the text lives and only (shard, id, n_tokens) —
+    * 24 bytes/doc — ever shuffles. */
+  def packNoSplitBy(df: DataFrame, idCol: String, tokCount: Column,
+                    window: Int, nShards: Int): DataFrame = {
     require(window > 0 && nShards > 0)
     val spark = df.sparkSession
     import spark.implicits._
@@ -336,7 +349,7 @@ object Sampling {
         pmod(TextAnalysis.tokenHash(col(idCol).cast("string")),
           lit(nShards.toLong)).as("shard"),
         col(idCol).cast("long").as("id"),
-        size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+        tokCount.cast("long").as("n_tokens"))
       .repartition(nShards, col("shard"))
       .sortWithinPartitions("shard", "id")
       .as[(Long, Long, Long)]
@@ -433,4 +446,75 @@ object Sampling {
           .as("alloc"),
         (col("rk") <= col("k")).as("saturated"))
   }
+
+  /** Realize a [[unimaxAllocation]] as an actual (doc, epoch)
+    * training multiset: each language's budget becomes a fractional
+    * epoch factor f_l = alloc_l / toks_l (≤ epochCap by
+    * construction), and every doc of language l is emitted ⌊f_l⌋
+    * times plus one more iff its salted hash draw lands below
+    * frac(f_l) — the [[repeatFactorSample]] emitter driven by a
+    * COMPUTED factor table instead of a hand-written one, so in
+    * expectation each language contributes alloc_l tokens. Emitted
+    * copies carry an `epoch` index 0..n−1 for downstream
+    * interleaving.
+    *
+    * Scale shape: the allocation is language-grain (a broadcast
+    * join onto the corpus — model-sized by definition), the copy
+    * count is row arithmetic, and the fan-out is
+    * `explode(sequence(...))` — no shuffle of docs anywhere. The
+    * draw salt differs from [[repeatFactorSample]]'s so composing
+    * both stages on the same ids keeps the draws independent. A
+    * language with zero token mass has no defined epoch factor —
+    * its docs (all empty) are dropped with the allocation's 0/0
+    * guarded to zero copies. */
+  /** The shared (doc, epoch) emitter: ⌊f⌋ copies always, one more on
+    * the salted sub-fractional draw — ONE definition for the in-plan
+    * and pre-fitted paths so they cannot drift. */
+  private def unimaxEmit(df: DataFrame, idCol: String,
+                         f: Column): DataFrame = {
+    val fl = floor(f)
+    val draw = hashFraction(concat(col(idCol).cast("string"), lit("#umx")))
+    val n = fl.cast("long") +
+      when(draw < f - fl, lit(1L)).otherwise(lit(0L))
+    df.withColumn("__n", n).where(col("__n") >= lit(1L))
+      .withColumn("epoch", explode(sequence(lit(0L), col("__n") - lit(1L))))
+      .drop("__n")
+  }
+
+  def unimaxRealize(df: DataFrame, idCol: String, groupCol: String,
+                    tok: Column, budgetNum: Long, budgetDen: Long,
+                    epochCap: Int): DataFrame = {
+    val alloc = unimaxAllocation(df, groupCol, tok, budgetNum,
+        budgetDen, epochCap)
+      .select(col(groupCol),
+        when(col("toks") > 0L,
+          col("alloc").cast("double") / col("toks").cast("double"))
+          .otherwise(lit(0.0)).as("__f"))
+    unimaxEmit(df.join(broadcast(alloc), Seq(groupCol)), idCol,
+      col("__f")).drop("__f")
+  }
+
+  /** APPLY side of [[unimaxRealize]] for a PRE-FITTED factor table
+    * (group → fractional epochs, e.g. collected from
+    * [[unimaxAllocation]] as alloc/toks): the factor rides the plan
+    * as a `when` chain, so the emitter is a STATELESS per-row map +
+    * explode — no join, no state — and runs unchanged on a streaming
+    * DataFrame (fit the allocation on the reference corpus, realize
+    * any stream against it). Groups absent from the table emit zero
+    * copies. Row-identical to [[unimaxRealize]] when the factors
+    * were fitted on the same corpus (pinned in StreamingSpec). */
+  def unimaxRealizeApply(df: DataFrame, idCol: String, groupCol: String,
+                         factors: Map[String, Double]): DataFrame = {
+    require(factors.values.forall(f => f >= 0.0 && f.isFinite),
+      s"factors must be finite and >= 0: $factors")
+    val f = factors.foldLeft(lit(0.0)) { case (acc, (g, v)) =>
+      when(col(groupCol) === lit(g), lit(v)).otherwise(acc)
+    }
+    unimaxEmit(df, idCol, f)
+  }
+
+  /** DuckDB form of [[unimaxRealize]]'s salted fractional draw. */
+  def UnimaxDrawSql(idCol: String): String =
+    s"(${TextAnalysis.TokenHashSql(s"CAST($idCol AS VARCHAR) || '#umx'")} " +
+      "/ CAST(1152921504606846976 AS DOUBLE))"
 }

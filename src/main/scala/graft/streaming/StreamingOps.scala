@@ -307,6 +307,19 @@ object StreamingOps {
       }
   }
 
+  /** Streaming UniMax realization — the APPLY side of the fit/apply
+    * split: per-language epoch factors come PRE-FITTED (computed once
+    * on the reference corpus by [[graft.ops.Sampling
+    * .unimaxAllocation]], f_l = alloc_l/toks_l) and ride the plan as
+    * a literal `when` chain, so the (doc, epoch) emitter is a
+    * STATELESS per-row map + explode — no join, no state, no
+    * watermark. Row-identical to the batch [[graft.ops.Sampling
+    * .unimaxRealize]] on the fitted corpus (StreamingSpec). */
+  def unimaxRealizeStream(docs: DataFrame, idCol: String,
+                          groupCol: String,
+                          factors: Map[String, Double]): DataFrame =
+    graft.ops.Sampling.unimaxRealizeApply(docs, idCol, groupCol, factors)
+
   /** Streaming corpus curation — the incremental form of the batch
     * quality-floor → dedup composition (q_pipeline_curation): the
     * quality score is a stateless per-row map, so the only stateful

@@ -319,6 +319,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!nsPlan.contains("Window"), "q_pack_nosplit: Window in plan")
     assert(nsPlan.contains("Exchange hashpartitioning(shard"),
       "q_pack_nosplit: expected the shard exchange")
+    // BPE-pieces packing keeps the no-split kernel shape: piece
+    // counting happens in the pre-shuffle projection, so the plan is
+    // still window-free and the shard exchange still carries only
+    // (shard, id, n_tokens) — text must not cross the shuffle
+    val nb = SparkEntry.queries("q_pack_bpe")(spark, sf)
+    nb.collect()
+    val nbPlan = nb.queryExecution.executedPlan.toString
+    assert(!nbPlan.contains("Window"), "q_pack_bpe: Window in plan")
+    assert(nbPlan.contains("Exchange hashpartitioning(shard"),
+      "q_pack_bpe: expected the shard exchange")
     // unimax: the corpus reduces to the language grain in a hash agg
     // BEFORE any window touches it — the unpartitioned windows that
     // follow are the documented by-design site (see Bench.scala's

@@ -659,6 +659,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("streaming unimax realization with pre-fitted factors equals " +
+    "the batch realization (doc, epoch) for (doc, epoch)") {
+    import spark.implicits._
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val tokc = size(split(col("text"), " ")).cast("long")
+    val want = graft.ops.Sampling
+      .unimaxRealize(d, "doc_id", "lang", tokc, 2L, 5L, 3)
+      .select("doc_id", "lang", "epoch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // FIT: collect the language-grain factor table (model-sized)
+    val factors = graft.ops.Sampling
+      .unimaxAllocation(d, "lang", tokc, 2L, 5L, 3)
+      .collect().map(r => r.getString(0) ->
+        (if (r.getLong(1) > 0) r.getLong(3).toDouble / r.getLong(1)
+         else 0.0)).toMap
+    // APPLY on a stream in arbitrary slice order: the emitter is
+    // stateless per row, so slicing cannot change the multiset
+    val rows = d.select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("umx_stream").toFile
+    tmp.deleteOnExit()
+    val slices = rows.grouped((rows.length + 2) / 3).toSeq
+    slices.zipWithIndex.foreach { case (s, i) =>
+      val p = new java.io.File(tmp, s"slice$i")
+      s.toSeq.toDF("doc_id", "lang", "text").coalesce(1)
+        .write.parquet(p.toString)
+      p.listFiles().foreach(f =>
+        f.setLastModified(1700000000000L + i * 60000L))
+    }
+    val stream = spark.readStream
+      .schema(slices.head.toSeq.toDF("doc_id", "lang", "text").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/*")
+    val out = StreamingOps.unimaxRealizeStream(stream, "doc_id", "lang",
+        factors)
+      .select("doc_id", "lang", "epoch")
+    StreamingOps.runToMemorySink(out, "umx_stream")
+    val got = spark.table("umx_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want, s"${got.size} vs ${want.size}")
+    assert(want.nonEmpty)
+  }
+
   test("streaming length-bucket batching fed id-ordered micro-batches " +
     "equals the batch layout slot for slot") {
     import spark.implicits._
