@@ -1,0 +1,81 @@
+package graft.ops
+
+/** Pluggable frame/sample decoder seam for the compressed-codec gap.
+  *
+  * The environment ships no MPEG-audio or H.264 codec, so MP3/AVC
+  * FRAME decode is honestly stubbed ([[Multimodal.decodeStub]]) while
+  * container metadata is real ([[Mp3]]/[[Mp4]]/[[Avc]]/[[Flac]]).
+  * This trait is the seam that upgrade slots into WITHOUT touching
+  * the column contract: a JNI/FFmpeg-backed implementation registers
+  * for its codec ids and [[Multimodal.decodeColumn]] routes to it;
+  * everything else about the pipeline — schema, partition-local
+  * batching, feature dimensionality, null contract — is fixed here,
+  * so swapping the decoder cannot change the plan shape.
+  *
+  * Implementations MUST be Serializable (the instance resolved at
+  * plan-build time on the driver is closed over by the executor-side
+  * batch map) and deterministic per byte payload (results feed
+  * checksum-pinned queries). */
+trait FrameDecoder extends Serializable {
+
+  /** Lower-case codec ids this decoder claims (e.g. "mp3", "avc"). */
+  def codecs: Set[String]
+
+  /** Decode one partition-local batch: one feature vector of length
+    * `featDim` per payload, positionally aligned; null entry for an
+    * undecodable payload (never throw — a corrupt row must not kill
+    * the task). Called once per `blockSize` batch on the executor —
+    * the amortization point for a native/JNI call. */
+  def decodeBatch(payloads: Array[Array[Byte]],
+                  featDim: Int): Array[Array[Double]]
+}
+
+object FrameDecoder {
+
+  /** The honest default: deterministic length-salted rolling-hash
+    * features from the bytes themselves — the SAME arithmetic
+    * [[Multimodal.decodeStub]] has always produced, so registering a
+    * real decoder (and only that) changes feature VALUES while
+    * keeping every query's shape and determinism contract. */
+  object Stub extends FrameDecoder {
+    override def codecs: Set[String] = Set.empty
+    override def decodeBatch(payloads: Array[Array[Byte]],
+                             featDim: Int): Array[Array[Double]] =
+      payloads.map { bytes =>
+        if (bytes == null) null
+        else {
+          val feats = new Array[Double](featDim)
+          var f = 0
+          while (f < featDim) {
+            var acc = (f + 1).toLong
+            var i = f
+            while (i < bytes.length) {
+              acc = (acc * 31 + (bytes(i) & 0xff)) % 1000000007L
+              i += featDim
+            }
+            feats(f) = acc.toDouble / 1000000007.0
+            f += 1
+          }
+          feats
+        }
+      }
+  }
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, FrameDecoder]()
+
+  /** Register `d` for every codec it claims (last registration wins —
+    * the upgrade path is "register the FFmpeg decoder at session
+    * startup"). Driver-side: resolution happens at plan build. */
+  def register(d: FrameDecoder): Unit =
+    d.codecs.foreach(c => registry.put(c.toLowerCase, d))
+
+  /** Remove a registration (test isolation / decoder unload). */
+  def unregister(codec: String): Unit = registry.remove(codec.toLowerCase)
+
+  /** The decoder for `codec`, falling back to [[Stub]] — total, so a
+    * pipeline over a codec nobody registered still runs end to end
+    * with deterministic fake features. */
+  def forCodec(codec: String): FrameDecoder =
+    registry.getOrDefault(codec.toLowerCase, Stub)
+}

@@ -512,38 +512,49 @@ object Multimodal {
       sha2(col(outCol), 256).as("sha")))
   }
 
-  /** STUB decode for COMPRESSED codecs (JPEG/PNG/MP3 need native
-    * libraries this environment doesn't ship; PCM WAV and 24-bpp BMP
-    * decode for real via [[decodeWavColumn]]/[[decodeBmpColumn]]):
-    * produces a deterministic fake feature vector from the bytes
-    * themselves (length-salted rolling hash per feature). Signature,
-    * batching, and schema are the real contract. */
-  def decodeStub(df: DataFrame, mediaCol: String, featDim: Int = 4,
-                 outCol: String = "features",
-                 blockSize: Int = 1024): DataFrame = {
+  /** Frame decode through the pluggable [[FrameDecoder]] seam: the
+    * decoder registered for `codec` (fallback: the deterministic
+    * [[FrameDecoder.Stub]]) maps each media payload to a `featDim`
+    * feature vector, batched `blockSize` rows per call inside ONE
+    * partition-local map — the exact point a JNI/FFmpeg batch call
+    * amortizes. Resolution happens HERE at plan-build time (driver);
+    * the resolved instance is closed over, so a registry change
+    * never re-routes a running query. Null features (undecodable
+    * payloads) surface as null array entries. Everything a swap
+    * cannot change — schema, batching, null contract, bytes staying
+    * in their partition — lives in this method, not the decoder. */
+  def decodeColumn(df: DataFrame, mediaCol: String, codec: String,
+                   featDim: Int = 4, outCol: String = "features",
+                   blockSize: Int = 1024): DataFrame = {
+    require(featDim >= 1 && blockSize >= 1)
+    val decoder = FrameDecoder.forCodec(codec)
     val schema = df.schema.add(outCol, ArrayType(DoubleType, false))
     val idx = df.schema.fieldIndex(mediaCol)
     mapBatched(df, schema) { it =>
       it.grouped(blockSize).flatMap { rows =>
-        // >>> real codec batch call would go here (e.g. JNI decode of
-        // rows(i).getAs[Array[Byte]](idx)) — STUBBED deterministically <<<
-        rows.iterator.map { row =>
-          val bytes = row.getAs[Array[Byte]](idx)
-          val feats = new Array[Double](featDim)
-          var f = 0
-          while (f < featDim) {
-            var acc = (f + 1).toLong
-            var i = f
-            while (i < bytes.length) {
-              acc = (acc * 31 + (bytes(i) & 0xff)) % 1000000007L
-              i += featDim
-            }
-            feats(f) = acc.toDouble / 1000000007.0
-            f += 1
-          }
-          Row.fromSeq(row.toSeq :+ (feats.toSeq: Seq[Double]))
+        val payloads = rows.iterator
+          .map(_.getAs[Array[Byte]](idx)).toArray
+        val feats = decoder.decodeBatch(payloads, featDim)
+        rows.iterator.zipWithIndex.map { case (row, i) =>
+          val f = feats(i)
+          Row.fromSeq(row.toSeq :+
+            (if (f == null) null else (f.toSeq: Seq[Double])))
         }
       }
     }
   }
+
+  /** STUB decode for COMPRESSED codecs (MP3/H.264 need native
+    * libraries this environment doesn't ship; PCM WAV and 24-bpp BMP
+    * decode for real via [[decodeWavColumn]]/[[decodeBmpColumn]],
+    * JPEG/PNG/GIF via [[decodeImageColumn]]): [[decodeColumn]]
+    * against a codec id nothing registers, i.e. the deterministic
+    * [[FrameDecoder.Stub]] features. Signature, batching, and schema
+    * are the real contract — register a [[FrameDecoder]] and call
+    * [[decodeColumn]] with its codec id to upgrade in place. */
+  def decodeStub(df: DataFrame, mediaCol: String, featDim: Int = 4,
+                 outCol: String = "features",
+                 blockSize: Int = 1024): DataFrame =
+    decodeColumn(df, mediaCol, codec = "__stub__", featDim, outCol,
+      blockSize)
 }
