@@ -5393,6 +5393,60 @@ object PipelineQueries {
         "CAST(max(thr) AS BIGINT) AS thr FROM j"
     })
 
+  /** Bottom-k distinct-hash sketch → pairwise SOURCE overlap
+    * estimates (Jaccard over token-hash vocabularies) — the planning
+    * query you run BEFORE committing to a cross-corpus dedup: "how
+    * much does snapshot A share with snapshot B" from k-sized
+    * signatures instead of a vocabulary join. Estimator: for the k
+    * smallest hashes of A∪B, J ≈ |those in both A and B| / k (a hash
+    * among the union's bottom-k that belongs to A is necessarily in
+    * A's own bottom-k, so per-source signatures suffice — the
+    * classic bottom-k coordination property). All arithmetic on
+    * exact integer hashes: the estimate itself is bit-exact
+    * cross-engine, only its accuracy is probabilistic (±~1/√k).
+    *
+    * Scale shape: one vocab-grain distinct per source (the
+    * q_text_vocab pattern) → ONE O(k)-state [[TopK.topK]] aggregate
+    * per source (map-side partial, never a sort) → all pair math on
+    * the sources×k signature table (model-sized by definition). The
+    * oracle's per-source rank window is the executable spec of the
+    * same bottom-k. */
+  private val BkK = 128
+  private val sketchBottomK = Q("q_sketch_bottomk",
+    (s, d) => graft.ops.Sketches.bottomKOverlap(
+        docs(s, d).select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok")),
+        col("source"), TextAnalysis.tokenHash(col("tok")), BkK)
+      .withColumnRenamed("ga", "sa").withColumnRenamed("gb", "sb")
+      .orderBy("sa", "sb"),
+    "WITH toks AS (SELECT source, " +
+      s"${TextAnalysis.TokenHashSql("tok")} AS h " +
+      "FROM (SELECT source, unnest(string_split(text, ' ')) AS tok " +
+      "FROM documents)), " +
+      "dh AS (SELECT DISTINCT source, h FROM toks), " +
+      "cnts AS (SELECT source, count(*) AS n_h FROM dh GROUP BY source), " +
+      "rk AS (SELECT source, h, row_number() OVER (PARTITION BY source " +
+      "ORDER BY h) AS rn FROM dh), " +
+      s"bkt AS (SELECT source, h FROM rk WHERE rn <= $BkK), " +
+      "prs AS (SELECT a.source AS sa, b.source AS sb FROM cnts a " +
+      "JOIN cnts b ON a.source < b.source), " +
+      "pu AS (SELECT prs.sa, prs.sb, bkt.h, 1 AS ia, 0 AS ib " +
+      "FROM prs JOIN bkt ON bkt.source = prs.sa " +
+      "UNION ALL SELECT prs.sa, prs.sb, bkt.h, 0 AS ia, 1 AS ib " +
+      "FROM prs JOIN bkt ON bkt.source = prs.sb), " +
+      "u AS (SELECT sa, sb, h, max(ia) AS ia, max(ib) AS ib FROM pu " +
+      "GROUP BY 1, 2, 3), " +
+      "w AS (SELECT sa, sb, ia, ib, row_number() OVER (PARTITION BY " +
+      "sa, sb ORDER BY h) AS rn FROM u), " +
+      s"g AS (SELECT sa, sb, count(*) AS k_used, " +
+      "CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END) " +
+      s"AS BIGINT) AS n_inter FROM w WHERE rn <= $BkK GROUP BY sa, sb) " +
+      "SELECT g.sa, g.sb, ca.n_h AS n_a, cb.n_h AS n_b, g.k_used, " +
+      "g.n_inter, round(CAST(g.n_inter AS DOUBLE) / " +
+      "CAST(g.k_used AS DOUBLE), 5) AS est_jaccard " +
+      "FROM g JOIN cnts ca ON ca.source = g.sa " +
+      "JOIN cnts cb ON cb.source = g.sb ORDER BY sa, sb")
+
   /** Mutual information between two discretized document features
     * (length bucket × token-count bucket) — the feature-dependence
     * data card ("is this quality signal redundant with length?").
@@ -5562,7 +5616,7 @@ object PipelineQueries {
     textPerplexity, textPmi, textDistinctN, textBm25, textRrf, textPii,
     textContamination, sketchHll,
     sketchHllBy, sketchCms, sketchAms, sketchQuantile, sketchQuantileBy,
-    sketchHeavyHitters,
+    sketchHeavyHitters, sketchBottomK,
     textDupNgrams, textNovelty, textDrift, textLineDedup,
     textLineDedupApply,
     textUrls,

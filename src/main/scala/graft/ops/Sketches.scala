@@ -435,4 +435,68 @@ object Sketches {
     s"round(arg_min($lo + $w * (b + ($q * n - (cum - cnt)) / cnt), b) " +
       s"FILTER (WHERE cum >= $q * n), 5)"
   }
+
+  /** Bottom-k distinct-key sketch → pairwise group overlap estimates
+    * (Jaccard over each group's distinct `key` set) — the planning
+    * sketch you consult before a cross-corpus dedup: for the k
+    * smallest keys of A∪B, J ≈ |those present in both A and B| / k.
+    * A union-bottom-k key belonging to A is necessarily in A's OWN
+    * bottom-k, so per-group k-sized signatures suffice (the bottom-k
+    * coordination property); with exact integer keys the estimate is
+    * a pure function of the input sets — only its ACCURACY (±~1/√k)
+    * is probabilistic, never its value.
+    *
+    * Returns (ga, gb, n_a, n_b, k_used, n_inter, est_jaccard) for
+    * every unordered group pair (ga < gb); n_a/n_b are the exact
+    * distinct-key counts (free at the distinct grain this already
+    * computes). `key` must be integral (hash strings first).
+    *
+    * Scale shape: one distinct on the (group, key) grain — the
+    * vocabulary computation, shuffled on fixed-width pairs — then ONE
+    * O(k)-state [[TopK.topK]] aggregate per group (map-side partial,
+    * no sort); all pair math runs on the groups×k signature table,
+    * model-sized by definition. */
+  def bottomKOverlap(df: DataFrame, group: Column, key: Column,
+                     k: Int): DataFrame = {
+    require(k >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val dh = df.select(group.as("__g"), key.cast("long").as("__h"))
+      .distinct()
+    val cnts = dh.groupBy("__g").agg(count(lit(1)).as("n_h"))
+    // score = -h as double is monotone in h; the (score desc, id asc)
+    // tie-break on the untruncated long id restores exact h order
+    // where the double mantissa collides
+    val bk = dh.groupBy("__g")
+      .agg(TopK.topK((-col("__h")).cast("double"), col("__h"), k)
+        .as("__tk"))
+      .select(col("__g"), explode(col("__tk")).as("__e"))
+      .select(col("__g"), col("__e.id").as("__h"))
+    val srcs = cnts.select("__g")
+    val pairs = srcs.select(col("__g").as("ga"))
+      .crossJoin(srcs.select(col("__g").as("gb")))
+      .where(col("ga") < col("gb"))
+    val pa = pairs.join(bk.withColumnRenamed("__g", "ga"), Seq("ga"))
+      .select(col("ga"), col("gb"), col("__h"),
+        lit(1).as("ia"), lit(0).as("ib"))
+    val pb = pairs.join(bk.withColumnRenamed("__g", "gb"), Seq("gb"))
+      .select(col("ga"), col("gb"), col("__h"),
+        lit(0).as("ia"), lit(1).as("ib"))
+    val u = pa.unionByName(pb).groupBy("ga", "gb", "__h")
+      .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+    val w = Window.partitionBy("ga", "gb").orderBy("__h")
+    u.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .groupBy("ga", "gb")
+      .agg(count(lit(1)).as("k_used"),
+        sum(when(col("ia") === 1 && col("ib") === 1, 1L)
+          .otherwise(0L)).as("n_inter"))
+      .join(cnts.select(col("__g").as("ga"), col("n_h").as("n_a")),
+        Seq("ga"))
+      .join(cnts.select(col("__g").as("gb"), col("n_h").as("n_b")),
+        Seq("gb"))
+      .select(col("ga"), col("gb"), col("n_a"), col("n_b"),
+        col("k_used"), col("n_inter"),
+        round(col("n_inter").cast("double") /
+          col("k_used").cast("double"), 5).as("est_jaccard"))
+  }
 }

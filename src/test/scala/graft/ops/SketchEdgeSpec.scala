@@ -10,6 +10,33 @@ class SketchEdgeSpec extends AnyFunSuite {
 
   private lazy val spark = SparkTestSession.spark
 
+  test("bottomKOverlap: exact when k >= |union| (the estimator " +
+    "degrades to exact set Jaccard), close for k < |union|, and " +
+    "repeated keys never eat signature slots") {
+    val s = spark
+    import s.implicits._
+    // A = {0..599}, B = {300..899}: |A∩B| = 300, |A∪B| = 900, J = 1/3.
+    // Keys are scrambled via a multiplicative hash so the bottom-k is
+    // a uniform sample, and EVERY key appears 3x (distinctness).
+    def h(i: Long) = (i * 2654435761L) % 1000003L
+    val rows = (0 until 600).flatMap(i => Seq.fill(3)(("A", h(i)))) ++
+      (300 until 900).flatMap(i => Seq.fill(3)(("B", h(i))))
+    val df = rows.toDF("g", "k")
+    val exact = Sketches.bottomKOverlap(df, col("g"), col("k"), 1024)
+      .collect().head
+    assert(exact.getAs[Long]("n_a") == 600 &&
+      exact.getAs[Long]("n_b") == 600, s"$exact")
+    assert(exact.getAs[Long]("k_used") == 900, s"$exact")
+    assert(exact.getAs[Long]("n_inter") == 300, s"$exact")
+    assert(exact.getAs[Double]("est_jaccard") == 0.33333, s"$exact")
+    val est = Sketches.bottomKOverlap(df, col("g"), col("k"), 128)
+      .collect().head
+    assert(est.getAs[Long]("k_used") == 128, s"$est")
+    val j = est.getAs[Double]("est_jaccard")
+    // ±~3/sqrt(128) tolerance band around 1/3
+    assert(j > 0.33333 - 0.27 && j < 0.33333 + 0.27, s"est J = $j")
+  }
+
   test("hllSetAlgebra reports EVERY group pair — two small groups " +
     "sharing zero registers get inter_est ~ 0, not a missing row") {
     val s = spark
