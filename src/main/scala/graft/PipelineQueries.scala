@@ -5457,6 +5457,71 @@ object PipelineQueries {
     * double expression on both engines, then FLOOR-QUANTIZED to int64
     * fixed point before the sum (the decayed-mass discipline), so the
     * total is order-independent and bit-exact cross-engine. */
+  /** Per-source Kolmogorov–Smirnov drift against the corpus: the
+    * data-card check "does this source's document-length distribution
+    * match the rest of the mix?" — KS = max over bucket edges of
+    * |ECDF_source − ECDF_corpus|, both ECDFs from EXACT integer
+    * bucket counts (length div [[KsG]], clamped to [[KsB]] buckets),
+    * so the statistic is a pure function of the counts and identical
+    * cross-engine (integer ratios through the same double
+    * expression). Scale shape: one map-side-partial agg onto the
+    * sources×[[KsB]] cell grain; the cumsum windows run on ≤ KsB
+    * rows per source, and the corpus ECDF is DERIVED from the
+    * per-source cums (a bucket-grain agg) — no global window. */
+  private val KsB = 64
+  private val KsG = 16
+  private val statsKs = Q("q_stats_ks",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bdf = docs(s, d)
+        .select(col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+        .select(col("source"),
+          expr(s"least(nt div $KsG, ${KsB - 1})").as("b"))
+      val cells = bdf.groupBy("source", "b")
+        .agg(count(lit(1)).as("c"))
+      val srcs = cells.select("source").distinct()
+      val dom = srcs.crossJoin(s.range(KsB.toLong).toDF("b"))
+        .join(cells, Seq("source", "b"), "left")
+        .select(col("source"), col("b"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val wcum = Window.partitionBy("source").orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sc = dom.withColumn("cum", sum(col("c")).over(wcum))
+      val ns = cells.groupBy("source").agg(sum(col("c")).as("n_s"))
+      val corp = sc.groupBy("b").agg(sum(col("cum")).as("ccum"))
+      val tot = ns.agg(sum(col("n_s")).as("tot"))
+      sc.join(ns, Seq("source")).join(corp, Seq("b")).crossJoin(tot)
+        .groupBy("source")
+        .agg(max(col("n_s")).as("n_docs"),
+          round(max(abs(col("cum").cast("double") /
+              col("n_s").cast("double") -
+            col("ccum").cast("double") / col("tot").cast("double"))), 5)
+            .as("ks"))
+        .orderBy("source")
+    },
+    "WITH t AS (SELECT source, " +
+      s"least(len(string_split(text, ' ')) // $KsG, ${KsB - 1}) AS b " +
+      "FROM documents), " +
+      "cells AS (SELECT source, b, count(*) AS c FROM t GROUP BY 1, 2), " +
+      "srcs AS (SELECT DISTINCT source FROM cells), " +
+      "dom AS (SELECT srcs.source, r.range AS b, " +
+      "coalesce(cells.c, 0) AS c FROM srcs " +
+      s"CROSS JOIN range(0, $KsB) r LEFT JOIN cells " +
+      "ON cells.source = srcs.source AND cells.b = r.range), " +
+      "sc AS (SELECT source, b, sum(c) OVER (PARTITION BY source " +
+      "ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum FROM dom), " +
+      "ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM dom " +
+      "GROUP BY source), " +
+      "corp AS (SELECT b, CAST(sum(cum) AS BIGINT) AS ccum FROM sc " +
+      "GROUP BY b), " +
+      "tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS tot FROM ns) " +
+      "SELECT sc.source, CAST(max(ns.n_s) AS BIGINT) AS n_docs, " +
+      "round(max(abs(CAST(sc.cum AS DOUBLE) / CAST(ns.n_s AS DOUBLE) - " +
+      "CAST(corp.ccum AS DOUBLE) / CAST(tot.tot AS DOUBLE))), 5) AS ks " +
+      "FROM sc JOIN ns USING (source) JOIN corp USING (b) " +
+      "CROSS JOIN tot GROUP BY sc.source ORDER BY source")
+
   private val MiFx = 1073741824.0 // 2^30
   private val statsMi = Q("q_stats_mi",
     (s, d) => {
@@ -5628,7 +5693,8 @@ object PipelineQueries {
     sampleGroupSplit, sampleKfold, embedMatryoshka, textZipf, sampleDoremi,
     sampleWeighted, sampleDomainCap, sampleDsir, sampleTopQuantile,
     sampleTopQuantileBy,
-    statsRollup, statsCorr, statsWinsorize, statsMad, statsMi, topkPerGroup,
+    statsRollup, statsCorr, statsWinsorize, statsMad, statsMi, statsKs,
+    topkPerGroup,
     shardManifest, packSequences, packNoSplit, packLenBatch, packBpe,
     mixUnimax, mixUnimaxRealize)
 }
