@@ -4558,10 +4558,10 @@ object PipelineQueries {
       val d0 = docs(s, d)
       val merges = graft.ops.Bpe.learn(d0, "text", BpeRounds)
         .map(m => (m._2, m._3))
-      val words = filter(split(col("text"), " "),
-        w => w =!= lit("") && !w.contains(graft.ops.Bpe.Delim))
-      val np = aggregate(words, lit(0L),
-        (acc, w) => acc + size(graft.ops.Bpe.segment(w, merges)).cast("long"))
+      // fused one-pass piece-count kernel; the composable
+      // filter/aggregate/segment form is its executable spec (BpeSpec)
+      val np = graft.ops.TextHashExpressions
+        .bpePieceCount(col("text"), merges)
       Sampling.packNoSplitBy(d0, "doc_id", np, PackBpeWindow, PackShards)
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"),

@@ -35,6 +35,9 @@ object Bpe {
   /** DuckDB rendering of the delimiter. */
   val DelimSql = "chr(31)"
 
+  /** [[Delim]] as a char, for kernel loops. */
+  val DelimCh: Char = Delim.charAt(0)
+
   /** Word-frequency table (tok, freq) — the one corpus-sized pass.
     * Empty tokens and tokens containing the delimiter are dropped. */
   def wordTable(df: DataFrame, textCol: String): DataFrame =

@@ -52,4 +52,28 @@ class BpeSpec extends AnyFunSuite {
     val df = Seq((1L, "a b c a b")).toDF("doc_id", "text")
     assert(Bpe.learn(df, "text", 5).isEmpty)
   }
+
+  test("fused piece-count kernel == composable segment fold on a real " +
+    "corpus with learned merges (incl. empty and delimiter words)") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = Bpe.learn(d, "text", 6).map(m => (m._2, m._3))
+    assert(merges.nonEmpty)
+    // executable spec: the per-word segment fold the kernel replaces
+    val words = filter(split(col("text"), " "),
+      w => w =!= lit("") && !w.contains(Bpe.Delim))
+    val specNp = aggregate(words, lit(0L),
+      (acc, w) => acc + size(Bpe.segment(w, merges)).cast("long"))
+    val kernelNp = TextHashExpressions.bpePieceCount(col("text"), merges)
+    val diff = d
+      .select(col("doc_id"), specNp.as("a"), kernelNp.as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(diff == 0L)
+    // degenerate rows: empty text, delimiter-poisoned word, repeats
+    val edge = Seq((1L, ""), (2L, s"ab${Bpe.Delim}cd ok"),
+      (3L, "aaaa aaaa bb")).toDF("doc_id", "text")
+    val got = edge
+      .select(col("doc_id"), specNp.as("a"), kernelNp.as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (id, a, b) => assert(a == b, s"doc $id: $a != $b") }
+  }
 }
