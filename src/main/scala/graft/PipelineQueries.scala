@@ -4633,6 +4633,40 @@ object PipelineQueries {
   private val UnimaxNum = 2L
   private val UnimaxDen = 5L
   private val UnimaxEpochs = 3
+  /** Deterministic epoch-reshuffled training order
+    * ([[Sampling.epochShuffle]]): per (epoch, shard) doc counts and a
+    * Σ (rank·id) mod M order checksum — the checksum only matches if
+    * both engines assign every doc the SAME position in the same
+    * epoch-salted shard, i.e. the entire training order is pinned.
+    * `n_moved`-style decorrelation is visible in the data: the same
+    * doc lands in different shards across epochs because the shard
+    * salt includes the epoch. */
+  private val ShufShards = 4
+  private val ShufEpochs = 2
+  private val sampleShuffle = Q("q_sample_shuffle",
+    (s, d) => Sampling.epochShuffle(docs(s, d), "doc_id",
+        ShufShards, ShufEpochs)
+      .groupBy("epoch", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("rank") * col("doc_id")) % lit(AssignMod))
+          .as("order_sum"))
+      .orderBy("epoch", "shard"),
+    "WITH e AS (SELECT doc_id, unnest(range(0, " +
+      s"$ShufEpochs)) AS epoch FROM documents), " +
+      "k AS (SELECT doc_id, epoch, " +
+      s"${TextAnalysis.TokenHashSql(
+        "CAST(doc_id AS VARCHAR) || '#shf#' || CAST(epoch AS VARCHAR)")} " +
+      s"% $ShufShards AS shard, " +
+      s"${TextAnalysis.TokenHashSql(
+        "CAST(doc_id AS VARCHAR) || '#ord#' || CAST(epoch AS VARCHAR)")} " +
+      "AS okey FROM e), " +
+      "r AS (SELECT epoch, shard, doc_id, " +
+      "row_number() OVER (PARTITION BY epoch, shard " +
+      "ORDER BY okey, doc_id) - 1 AS rank FROM k) " +
+      "SELECT epoch, shard, count(*) AS n_docs, " +
+      s"CAST(sum((rank * doc_id) % $AssignMod) AS BIGINT) AS order_sum " +
+      "FROM r GROUP BY 1, 2 ORDER BY 1, 2")
+
   /** Shared water-filling CTE chain (l → c → r → g) ending with the
     * per-language alloc expression — reused by the allocation table
     * and its realization so the two oracles can never diverge. */
@@ -5696,5 +5730,5 @@ object PipelineQueries {
     statsRollup, statsCorr, statsWinsorize, statsMad, statsMi, statsKs,
     topkPerGroup,
     shardManifest, packSequences, packNoSplit, packLenBatch, packBpe,
-    mixUnimax, mixUnimaxRealize)
+    mixUnimax, mixUnimaxRealize, sampleShuffle)
 }

@@ -517,4 +517,37 @@ object Sampling {
   def UnimaxDrawSql(idCol: String): String =
     s"(${TextAnalysis.TokenHashSql(s"CAST($idCol AS VARCHAR) || '#umx'")} " +
       "/ CAST(1152921504606846976 AS DOUBLE))"
+
+  /** Deterministic epoch-reshuffled training order — the "global
+    * shuffle without shuffling the data" layout: per epoch, every doc
+    * gets an epoch-salted shard (hash(id, epoch) mod nShards) and an
+    * epoch-salted within-shard rank (order by a second independent
+    * hash), so (a) each epoch's order is a fresh pseudorandom
+    * permutation, (b) any worker reproduces ITS shard's order from
+    * the id list alone — resumable mid-epoch with no shuffle state,
+    * and (c) the whole layout is a pure function of (id, epoch):
+    * bit-replayable across engines and restarts. Returns one row per
+    * (doc, epoch) with `epoch`, `shard`, 0-based `rank`.
+    *
+    * Scale shape: the fan-out is explode(sequence) (no shuffle), the
+    * rank window partitions on (epoch, shard) — rows per partition
+    * are corpus/nShards, the axis you size exactly as
+    * [[packSequences]] documents; only (id, epoch, shard, okey) —
+    * 32 bytes/doc/epoch — ever shuffles. */
+  def epochShuffle(df: DataFrame, idCol: String, nShards: Int,
+                   epochs: Int): DataFrame = {
+    require(nShards > 0 && epochs > 0)
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("__okey"), col(idCol))
+    df.select(col(idCol),
+        explode(sequence(lit(0L), lit(epochs - 1L))).as("epoch"))
+      .withColumn("shard", pmod(TextAnalysis.tokenHash(
+        concat(col(idCol).cast("string"), lit("#shf#"),
+          col("epoch").cast("string"))), lit(nShards.toLong)))
+      .withColumn("__okey", TextAnalysis.tokenHash(
+        concat(col(idCol).cast("string"), lit("#ord#"),
+          col("epoch").cast("string"))))
+      .withColumn("rank", (row_number().over(w) - 1).cast("long"))
+      .drop("__okey")
+  }
 }
