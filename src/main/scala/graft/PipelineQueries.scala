@@ -4575,9 +4575,12 @@ object PipelineQueries {
         .orderBy("shard")
     }, {
       val D = graft.ops.Bpe.DelimSql
+      // merges apply on the DISTINCT-word grain (np is a pure
+      // function of the word) and join back by token — occurrence-
+      // grain application timed out DuckDB at sf0.1
       val applies = (1 to BpeRounds).map { r =>
         val prev = if (r == 1) "ws" else s"a${r - 1}"
-        s"a$r AS (SELECT doc_id, replace(replace(seq, " +
+        s"a$r AS (SELECT tok, replace(replace(seq, " +
           s"$D||a||$D||b||$D, $D||a||b||$D), " +
           s"$D||a||$D||b||$D, $D||a||b||$D) AS seq " +
           s"FROM $prev CROSS JOIN b$r)"
@@ -4586,19 +4589,24 @@ object PipelineQueries {
         ", w AS (SELECT doc_id, tok FROM (SELECT doc_id, " +
         "unnest(string_split(text, ' ')) AS tok FROM documents) " +
         s"WHERE tok <> '' AND NOT contains(tok, $D)), " +
-        s"ws AS (SELECT doc_id, $D || " +
+        "wv AS (SELECT DISTINCT tok FROM w), " +
+        s"ws AS (SELECT tok, $D || " +
         s"array_to_string(string_split(tok, ''), $D) || $D AS seq " +
-        s"FROM w), $applies, " +
-        s"pc AS (SELECT doc_id, len(string_split(trim(seq, $D), $D)) " +
+        s"FROM wv), $applies, " +
+        s"pc AS (SELECT tok, len(string_split(trim(seq, $D), $D)) " +
         s"AS np FROM a$BpeRounds), " +
         "ntd AS (SELECT d.doc_id, " +
-        "CAST(coalesce(sum(pc.np), 0) AS BIGINT) AS nt " +
-        "FROM documents d LEFT JOIN pc ON d.doc_id = pc.doc_id " +
+        "CAST(coalesce(sum(wp.np), 0) AS BIGINT) AS nt " +
+        "FROM documents d LEFT JOIN (SELECT w.doc_id, pc.np " +
+        "FROM w JOIN pc USING (tok)) wp ON d.doc_id = wp.doc_id " +
         "GROUP BY d.doc_id), " +
         "t2 AS (SELECT doc_id, " +
         s"${TextAnalysis.TokenHashSql("CAST(doc_id AS VARCHAR)")} " +
         s"% $PackShards AS shard, nt FROM ntd), " +
-        "r2 AS (SELECT doc_id, shard, nt, " +
+        // MATERIALIZED: the recursive walk joins r2 once per step —
+        // left inline, DuckDB re-evaluates the whole BPE chain every
+        // iteration (measured: timeout at sf0.1 vs 1.4 s materialized)
+        "r2 AS MATERIALIZED (SELECT doc_id, shard, nt, " +
         s"least(nt, $PackBpeWindow) AS tt, " +
         "row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn " +
         "FROM t2), " +

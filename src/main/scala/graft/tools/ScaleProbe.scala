@@ -39,6 +39,11 @@ object ScaleProbe {
     "q_pack_nosplit" -> 10, "q_mix_unimax" -> 10,
     "q_source_markdown" -> 10, "q_pack_lenbatch" -> 10,
     "q_dedup_semantic" -> 4, "q_text_drift" -> 10,
+    // round-9 additions: BPE-piece packing, realized UniMax, bottom-k
+    // overlap, KS drift, epoch shuffle
+    "q_pack_bpe" -> 10, "q_mix_unimax_realize" -> 10,
+    "q_sketch_bottomk" -> 10, "q_stats_ks" -> 10,
+    "q_sample_shuffle" -> 10,
     "q_embed_clusters" -> 4, "q_embed_pagerank" -> 4,
     "q_embed_labelprop" -> 4, "q_embed_top1" -> 4,
     "q_embed_kmeans" -> 4, "q_embed_ivfpq" -> 4)
