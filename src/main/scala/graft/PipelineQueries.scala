@@ -4929,6 +4929,70 @@ object PipelineQueries {
       s"CAST(sum(${TextAnalysis.TokenHashSql("tc")} % $CleanSumMod) " +
       "AS BIGINT) AS clean_sum FROM fin GROUP BY source ORDER BY source")
 
+  private val WinnowW = 8
+
+  /** Winnowed shared-span detection (Schleimer et al. 2003) — the
+    * SCALE path of the substring family implemented, not just
+    * documented: every w-run of k-token window fingerprints
+    * contributes its min, so the anchor mass is ~1/w of the full
+    * window mass (this query reports both, so the reduction is
+    * measured in its own output), and any shared run of ≥ k+w−1
+    * tokens still collides on an anchor. Run this corpus-wide
+    * detector first; run the exact (w× heavier)
+    * q_dedup_substrings rewrite on the flagged cohort. The dup-fp
+    * checksum pins the exact collision set cross-engine. */
+  private val dedupWinnow = Q("q_dedup_winnow",
+    (s, d) => {
+      val anc = Dedup.winnowAnchors(docs(s, d), "text", "doc_id",
+        SubstrK, WinnowW, keep = Seq("source"))
+      val e = anc.select(col("doc_id"), col("source"),
+        explode(col("anchors")).as("fp"))
+      val st = e.groupBy("fp").agg(count(lit(1)).as("nocc"))
+      val dup = e.join(st, "fp").where(col("nocc") >= 2)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_dup_anchors"),
+          sum(col("fp") % lit(Dedup.P)).as("dup_sum"))
+      anc.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_windows")).as("n_windows"),
+          sum(size(col("anchors")).cast("long")).as("n_anchors"))
+        .join(dup, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_windows"),
+          col("n_anchors"),
+          coalesce(col("n_dup_anchors"), lit(0L)).as("n_dup_anchors"),
+          coalesce(col("dup_sum"), lit(0L)).as("dup_sum"))
+        .orderBy("source")
+    },
+    "WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ws " +
+      "FROM documents), " +
+      "hls AS (SELECT doc_id, source, " +
+      s"[${TextAnalysis.TokenHashSql("w")} % ${Dedup.NgramFpMod} " +
+      "for w in ws] AS hl, len(ws) AS nw FROM t), " +
+      "wf AS (SELECT doc_id, source, " +
+      s"[${winFpSql(SubstrK)} " +
+      s"for i in generate_series(1, nw - ${SubstrK - 1})] AS fps " +
+      "FROM hls), " +
+      "anc AS (SELECT doc_id, source, len(fps) AS m, " +
+      "CASE WHEN len(fps) = 0 THEN [] " +
+      s"WHEN len(fps) < $WinnowW THEN [list_min(fps)] " +
+      s"ELSE list_distinct([list_min(fps[i:i+${WinnowW - 1}]) " +
+      s"for i in generate_series(1, len(fps) - ${WinnowW - 1})]) " +
+      "END AS anchors FROM wf), " +
+      "e AS (SELECT doc_id, source, unnest(anchors) AS fp FROM anc), " +
+      "st AS (SELECT fp, count(*) AS nocc FROM e GROUP BY fp), " +
+      "dup AS (SELECT e.source, count(*) AS n_dup_anchors, " +
+      s"CAST(sum(e.fp % ${Dedup.P}) AS BIGINT) AS dup_sum " +
+      "FROM e JOIN st USING (fp) WHERE st.nocc >= 2 GROUP BY e.source), " +
+      "base AS (SELECT source, count(*) AS n_docs, " +
+      "CAST(sum(m) AS BIGINT) AS n_windows, " +
+      "CAST(sum(len(anchors)) AS BIGINT) AS n_anchors FROM anc " +
+      "GROUP BY source) " +
+      "SELECT base.source, base.n_docs, base.n_windows, base.n_anchors, " +
+      "coalesce(dup.n_dup_anchors, 0) AS n_dup_anchors, " +
+      "coalesce(dup.dup_sum, 0) AS dup_sum " +
+      "FROM base LEFT JOIN dup ON base.source = dup.source " +
+      "ORDER BY base.source")
+
   /** Gopher composite quality filter: per-source keep / per-rule fail
     * counts plus the signal averages. The SQL re-derives every signal
     * from the same constants ([[TextAnalysis.GopherMinWords]] etc.)
@@ -5708,7 +5772,7 @@ object PipelineQueries {
     dedupExact, dedupMinhash, dedupMinhashCapped, dedupMinhashGroups,
     dedupClusters, dedupProfile, dedupCanonical, dedupSimhash, dedupNgram,
     dedupIncremental, dedupIncrementalNear, dedupBloom, dedupSpans,
-    dedupSubstrings, dedupSubstringsApply,
+    dedupSubstrings, dedupSubstringsApply, dedupWinnow,
     dedupContainment, dedupSemantic,
     embedTop1, embedTopK, embedAnnLsh, embedLshSized, embedAnnTop1,
     embedNearDup, embedNearDupCapped, embedClusters, embedTriplets, embedLshRecall,

@@ -906,6 +906,53 @@ object Dedup {
         (size(ds) > 0).as("modified"))
   }
 
+  /** Winnowing anchor selection (Schleimer et al. 2003, "Winnowing:
+    * Local Algorithms for Document Fingerprinting"): over a doc's
+    * k-token window fingerprints f[1..m], each w-length run
+    * contributes its MINIMUM fingerprint, and the doc's anchor set is
+    * the distinct selected values — m/w of the full window mass in
+    * expectation, with the winnowing guarantee intact: any shared
+    * token run of length ≥ k+w−1 shares at least one anchor. Ties
+    * select the smallest VALUE (we key on fingerprints, not
+    * positions, so the leftmost/rightmost position rule of the paper
+    * is immaterial). A doc with 0 < m < w windows contributes one
+    * anchor (the global min); m = 0 contributes none.
+    *
+    * This is the documented scale path of the substring-dedup family:
+    * [[dedupSubstringsKeepFirst]] shuffles EVERY window fingerprint
+    * (16 B/token), exact but w× heavier; anchors detect the same
+    * ≥ k+w−1 shared runs at 1/w the shuffle mass — run the anchor
+    * query as the cheap corpus-wide detector, then the exact rewrite
+    * on the flagged cohort. Returns (idCol, keep..., n_windows,
+    * anchors array<long>). */
+  def winnowAnchors(df: DataFrame, textCol: String, idCol: String,
+                    k: Int, w: Int,
+                    keep: Seq[String] = Nil): DataFrame = {
+    require(k >= 2 && w >= 1, s"bad (k=$k, w=$w)")
+    // ONE fused kernel pass (tokenize → window fps → deque sliding
+    // min). The composable array_min/slice spec lives in
+    // [[winnowAnchorsSpec]], pinned equivalent in WinnowSpec — under
+    // CollapseProject it re-inlines the fps array per slice element
+    // (O(m²·k) md5 calls), so it is the SPEC, never the plan.
+    df.select((col(idCol) +: keep.map(col)) :+
+      greatest(size(TextAnalysis.tokens(col(textCol))) - lit(k - 1),
+        lit(0)).cast("long").as("n_windows") :+
+      TextHashExpressions.winnowAnchors(col(textCol), k, w)
+        .as("anchors"): _*)
+  }
+
+  /** Executable spec of [[winnowAnchors]]' selection rule in pure
+    * Column HOFs over a pre-materialized fingerprint ARRAY (test use
+    * only — see the kernel note above). */
+  private[ops] def winnowAnchorsSpec(fps: Column, w: Int): Column = {
+    val m = size(fps)
+    when(m === 0, array().cast("array<long>"))
+      .when(m < w, array(array_min(fps)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), m - lit(w - 1)),
+        i => array_min(slice(fps, i, lit(w))))))
+  }
+
   /** FIT side of the incremental substring-boilerplate pair:
     * fingerprints of `k`-token windows occurring in MORE than `maxDf`
     * distinct documents — template runs (navigation chrome, license

@@ -370,6 +370,59 @@ object TextHashFns {
     sim
   }
 
+  /** Winnowing anchors in ONE pass (Schleimer et al. 2003): k-token
+    * window fingerprints (the [[ngramFps]] chain WITHOUT the
+    * distinct — winnowing needs every position), then a monotonic-
+    * deque sliding-window minimum over runs of `w` — O(tokens) total,
+    * where the composable `transform(sequence, i →
+    * array_min(slice(fps, i, w)))` form re-inlines the fingerprint
+    * array per slice element under Catalyst's CollapseProject
+    * (O(m²·k) md5 calls — unusable past toy corpora). Docs with
+    * 0 < m < w windows yield one anchor (the global min); selected
+    * values dedupe in first-selection order. */
+  def winnowAnchors(text: UTF8String, k: Int, w: Int): GenericArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val m0 = toks.length - k + 1
+    if (m0 <= 0) return new GenericArrayData(new Array[Any](0))
+    val mod = Dedup.NgramFpMod
+    val hs = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { hs(i) = tokenHash60(toks(i)) % mod; i += 1 }
+    val fps = new Array[Long](m0)
+    i = 0
+    while (i < m0) {
+      var acc = hs(i)
+      var j = 1
+      while (j < k) { acc = (acc * 31L + hs(i + j)) % mod; j += 1 }
+      fps(i) = acc
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (m0 < w) {
+      var mn = fps(0)
+      i = 1
+      while (i < m0) { if (fps(i) < mn) mn = fps(i); i += 1 }
+      seen.add(mn)
+    } else {
+      // monotonic deque of indices with increasing fps values
+      val dq = new Array[Int](m0)
+      var head = 0; var tail = 0 // [head, tail)
+      i = 0
+      while (i < m0) {
+        while (tail > head && fps(dq(tail - 1)) >= fps(i)) tail -= 1
+        dq(tail) = i; tail += 1
+        if (dq(head) <= i - w) head += 1
+        if (i >= w - 1) seen.add(fps(dq(head)))
+        i += 1
+      }
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Per-document BPE piece count under a FITTED merge list, fused:
     * tokenize on " ", and for each non-empty delimiter-free word
     * replay the [[Bpe.segment]] chain — delimited char sequence, then
@@ -641,6 +694,22 @@ case class DsirWeightExpr(child: Expression, m: Int, ratios: Seq[Double])
   override def prettyName: String = "dsir_weight"
 }
 
+/** One-pass winnowing anchors ([[TextHashFns.winnowAnchors]]). */
+case class WinnowAnchorsExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 2 && w >= 1, s"bad (k=$k, w=$w)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextHashFns.winnowAnchors(v.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ops.TextHashFns.winnowAnchors($c, $k, $w)")
+  override protected def withNewChildInternal(
+      c: Expression): WinnowAnchorsExpr = copy(child = c)
+  override def prettyName: String = "winnow_anchors"
+}
+
 /** Fused per-doc BPE piece count ([[TextHashFns.bpePieceCount]]) for
   * a fitted merge list — the tokenizer-apply hot path of the packing
   * layout. Merges ride the plan as reference objects (model-sized:
@@ -733,4 +802,6 @@ object TextHashExpressions {
       bridge.toExpression(starts), k))
   def bpePieceCount(text: Column, merges: Seq[(String, String)]): Column =
     bridge.toColumn(BpePieceCountExpr(bridge.toExpression(text), merges))
+  def winnowAnchors(text: Column, k: Int, w: Int): Column =
+    bridge.toColumn(WinnowAnchorsExpr(bridge.toExpression(text), k, w))
 }
