@@ -1942,6 +1942,88 @@ object PipelineQueries {
       "round(avg(best_est), 5) AS avg_best_est FROM m")
 
   private val BloomM = 1 << 16
+  /** Incremental cluster maintenance ([[Dedup.assignToClusters]]):
+    * the 80/20 hash split plays archive vs ingest batch; batch docs
+    * adopt the min cluster id of any archive doc they band-collide
+    * with at est ≥ 0.5 or exactly signature-match, else become
+    * singletons — "WHICH cluster is it", the steady-state upgrade of
+    * q_dedup_incremental_near's yes/no. The oracle re-derives the
+    * archive-scoped closure (the q_dedup_clusters recursive chain
+    * restricted to archive signatures) plus the same two adoption
+    * joins; the Σ cluster_id % P checksum pins every assignment. */
+  private val dedupIncrClusters = Q("q_dedup_incremental_clusters",
+    (s, d) => {
+      val d0 = docs(s, d)
+      val draw = Sampling.hashFraction(col("doc_id"))
+      val archive = d0.where(draw < 0.8)
+      val batch = d0.where(draw >= 0.8)
+      val asn = Dedup.assignToClusters(batch, archive, "text", "doc_id",
+        MinhashCap)
+      asn.agg(count(lit(1)).as("n_new"),
+        sum(when(col("adopted"), 1L).otherwise(0L)).as("n_adopted"),
+        countDistinct(when(col("adopted"), col("cluster_id")))
+          .as("n_clusters_joined"),
+        sum(col("cluster_id") % lit(Dedup.P)).as("cluster_sum"))
+    }, {
+      val sigCols = (0 until Dedup.NumPerms).map(i => s"sig$i")
+      val sigList = sigCols.mkString(", ")
+      val frac = Sampling.HashFractionSql("doc_id")
+      s"WITH RECURSIVE $minhashCtes, " +
+        s"asig AS (SELECT * FROM sigs WHERE $frac < 0.8), " +
+        s"nsig AS (SELECT * FROM sigs WHERE $frac >= 0.8), " +
+        "aband AS (SELECT bands.* FROM bands JOIN asig USING (doc_id)), " +
+        "nband AS (SELECT bands.* FROM bands JOIN nsig USING (doc_id)), " +
+        "absz AS (SELECT band, band_key, count(*) AS bn FROM aband " +
+        "GROUP BY 1, 2), " +
+        "ael AS (SELECT aband.* FROM aband JOIN absz " +
+        s"USING (band, band_key) WHERE absz.bn <= $MinhashCap), " +
+        "apairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b " +
+        "FROM ael x JOIN ael y ON x.band = y.band " +
+        "AND x.band_key = y.band_key AND x.doc_id < y.doc_id), " +
+        s"ascored AS (SELECT id_a, id_b, ($agreeSql)/8.0 AS ej " +
+        "FROM apairs JOIN asig sa ON id_a = sa.doc_id " +
+        "JOIN asig sb ON id_b = sb.doc_id), " +
+        s"agm AS (SELECT $sigList, min(doc_id) AS keep_id FROM asig " +
+        s"GROUP BY $sigList), " +
+        "agedges AS (SELECT s.doc_id AS id_a, agm.keep_id AS id_b " +
+        s"FROM asig s JOIN agm USING ($sigList) " +
+        "WHERE s.doc_id <> agm.keep_id), " +
+        "aedges AS (SELECT id_a, id_b FROM ascored WHERE ej >= 0.5 " +
+        "UNION SELECT id_a, id_b FROM agedges), " +
+        "asym AS (SELECT id_a AS u, id_b AS v FROM aedges " +
+        "UNION SELECT id_b AS u, id_a AS v FROM aedges), " +
+        "areach AS (SELECT doc_id AS node, doc_id AS r FROM asig " +
+        "UNION SELECT asym.v AS node, areach.r FROM areach " +
+        "JOIN asym ON asym.u = areach.node), " +
+        "acomp AS (SELECT node, min(r) AS cluster_id FROM areach " +
+        "GROUP BY node), " +
+        "cand AS (SELECT DISTINCT x.doc_id AS nid, y.doc_id AS aid " +
+        "FROM nband x JOIN ael y ON x.band = y.band " +
+        "AND x.band_key = y.band_key), " +
+        "cs AS (SELECT nid, aid FROM (SELECT cand.nid, cand.aid, " +
+        s"($agreeSql)/8.0 AS ej FROM cand " +
+        "JOIN nsig sa ON cand.nid = sa.doc_id " +
+        "JOIN asig sb ON cand.aid = sb.doc_id) WHERE ej >= 0.5), " +
+        "exact AS (SELECT n.doc_id AS nid, a.doc_id AS aid " +
+        "FROM nsig n JOIN asig a ON " +
+        sigCols.map(c => s"n.$c = a.$c").mkString(" AND ") + "), " +
+        "hits AS (SELECT nid, aid FROM cs " +
+        "UNION SELECT nid, aid FROM exact), " +
+        "ad AS (SELECT hits.nid, min(acomp.cluster_id) AS cl " +
+        "FROM hits JOIN acomp ON acomp.node = hits.aid " +
+        "GROUP BY hits.nid), " +
+        "res AS (SELECT n.doc_id, coalesce(ad.cl, n.doc_id) " +
+        "AS cluster_id, ad.cl IS NOT NULL AS adopted " +
+        "FROM nsig n LEFT JOIN ad ON ad.nid = n.doc_id) " +
+        "SELECT count(*) AS n_new, " +
+        "CAST(sum(CASE WHEN adopted THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_adopted, " +
+        "count(DISTINCT CASE WHEN adopted THEN cluster_id END) " +
+        "AS n_clusters_joined, " +
+        s"CAST(sum(cluster_id % ${Dedup.P}) AS BIGINT) AS cluster_sum " +
+        "FROM res"
+    })
+
   private val BloomK = 5
 
   /** Bloom-prefiltered incremental dedup: same split as
@@ -5771,7 +5853,7 @@ object PipelineQueries {
   val all: Vector[Q] = Vector(
     dedupExact, dedupMinhash, dedupMinhashCapped, dedupMinhashGroups,
     dedupClusters, dedupProfile, dedupCanonical, dedupSimhash, dedupNgram,
-    dedupIncremental, dedupIncrementalNear, dedupBloom, dedupSpans,
+    dedupIncremental, dedupIncrementalNear, dedupIncrClusters, dedupBloom, dedupSpans,
     dedupSubstrings, dedupSubstringsApply, dedupWinnow,
     dedupContainment, dedupSemantic,
     embedTop1, embedTopK, embedAnnLsh, embedLshSized, embedAnnTop1,

@@ -330,6 +330,65 @@ object Dedup {
           coalesce(col("oversize_hit"), lit(false)).as("oversize_hit"))
   }
 
+  /** Incremental CLUSTER maintenance — assign a new batch to an
+    * archive's EXISTING dedup clusters without re-clustering the
+    * archive: a batch doc adopts the smallest cluster id among
+    * archive docs it (a) shares a capped band bucket with at
+    * signature-estimate ≥ `threshold`, or (b) exactly matches
+    * signature-for-signature (the group-edge rule — exact dups adopt
+    * even out of a diverted bucket); batch docs touching no archive
+    * cluster become their own singletons. Batch-INTERNAL closure is
+    * deliberately not performed here — that is the batch operator's
+    * job on the next full re-cluster; this is the steady-state
+    * ingest step ([[newNearDupsAgainstCorpus]]'s decision upgraded
+    * from "is it a dup" to "WHICH cluster is it").
+    *
+    * Returns (idCol, cluster_id, adopted). Scale shape: the archive
+    * is never self-joined beyond its own (already-required) cluster
+    * closure; the batch→archive probe is one equi-join on (band,
+    * band_key) against capped archive buckets plus one signature
+    * equi-join; shuffles carry band keys + 8-long signatures. */
+  def assignToClusters(newDf: DataFrame, archive: DataFrame,
+      textCol: String, idCol: String, maxBucket: Int = 0,
+      threshold: Double = 0.5): DataFrame = {
+    val sigCols = (0 until NumPerms).map(i => s"sig$i")
+    val aSigs = minhashSignatures(archive, textCol, idCol)
+    val nSigs = minhashSignatures(newDf, textCol, idCol)
+    val aCl = minhashClusters(archive, textCol, idCol, maxBucket)
+    val aBands = bandRowsFromSigs(aSigs, idCol, NumBands)
+    val nBands = bandRowsFromSigs(nSigs, idCol, NumBands)
+    val sizes = aBands.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("__bn"))
+    val eligible =
+      if (maxBucket <= 0) aBands
+      else aBands.join(
+        sizes.where(col("__bn") <= maxBucket).select("band", "band_key"),
+        Seq("band", "band_key"))
+    val agree = size(filter(
+      zip_with(col("x.sig"), col("y.sig"), (a, b) => a === b), w => w))
+    val cand = nBands.as("x").join(eligible.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key"))
+      .select(col(s"x.$idCol").as(idCol), col(s"y.$idCol").as("__aid"),
+        (agree.cast("double") / lit(NumPerms.toDouble)).as("__est"))
+      .distinct()
+      .where(col("__est") >= threshold)
+      .select(col(idCol), col("__aid"))
+    val exact = nSigs.join(
+        aSigs.select(sigCols.map(col) :+ col(idCol).as("__aid"): _*),
+        sigCols)
+      .select(col(idCol), col("__aid"))
+    val adopt = cand.unionByName(exact)
+      .join(aCl.select(col(idCol).as("__aid"),
+        col("cluster_id").as("__cl")), Seq("__aid"))
+      .groupBy(col(idCol)).agg(min(col("__cl")).as("__cl"))
+    nSigs.select(col(idCol))
+      .join(adopt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__cl"), col(idCol).cast("long")).as("cluster_id"),
+        col("__cl").isNotNull.as("adopted"))
+  }
+
   /** 45-bit combined key of the sig0..sigN signature columns
     * (polynomial fold in the [[NgramFpMod]] universe) — the single
     * long key the [[Bloom]] prefilter and any keyed signature store
