@@ -4723,6 +4723,62 @@ object PipelineQueries {
   private val UnimaxNum = 2L
   private val UnimaxDen = 5L
   private val UnimaxEpochs = 3
+  /** Per-domain token-budget selection — "fill each source's budget
+    * (2/5 of its token mass) with its best-scoring docs": docs order
+    * by (classifier score desc, id) within their source and keep
+    * while the running token sum fits the budget — the curation
+    * step that turns a quality score into an actual selected corpus
+    * under a size target. Budgets are integer (mass·2 div 5) and the
+    * running sum is integer, so the kept set is exact; the per-source
+    * sort window is the honest shape (selection under an ordered
+    * budget is sequential per domain — the packSequences argument:
+    * the parallelism axis is the domain count). */
+  private val SelBudgetNum = 2L
+  private val SelBudgetDen = 5L
+  private val sampleBudget = Q("q_sample_budget",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = graft.ops.QualityClassifier
+        .withFeatures(docs(s, d), "text")
+        .withColumn("score", graft.ops.QualityClassifier.score(ClsWeights))
+        .withColumn("nt",
+          size(TextAnalysis.tokens(col("text"))).cast("long"))
+      val b = scored.groupBy("source")
+        .agg(expr(s"sum(nt) * $SelBudgetNum div $SelBudgetDen")
+          .as("budget"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("score").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      scored.withColumn("cum", sum(col("nt")).over(w))
+        .join(broadcast(b), Seq("source"))
+        .where(col("cum") <= col("budget"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("nt")).as("toks_kept"),
+          max(col("budget")).as("budget"),
+          round(min(col("score")), 5).as("min_score"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy("source")
+    },
+    "WITH s AS (SELECT doc_id, source, " +
+      "len(string_split(text, ' ')) AS nt, " +
+      s"${graft.ops.QualityClassifier.ScoreSql(ClsWeights)} AS score " +
+      "FROM documents), " +
+      "b AS (SELECT source, " +
+      s"CAST(sum(nt) * $SelBudgetNum // $SelBudgetDen AS BIGINT) " +
+      "AS budget FROM s GROUP BY source), " +
+      "r AS (SELECT s.*, sum(nt) OVER (PARTITION BY source " +
+      "ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum " +
+      "FROM s), " +
+      "k AS (SELECT r.*, b.budget FROM r JOIN b USING (source) " +
+      "WHERE r.cum <= b.budget) " +
+      "SELECT source, count(*) AS n_kept, " +
+      "CAST(sum(nt) AS BIGINT) AS toks_kept, " +
+      "CAST(max(budget) AS BIGINT) AS budget, " +
+      "round(min(score), 5) AS min_score, " +
+      "CAST(sum(doc_id) AS BIGINT) AS id_sum " +
+      "FROM k GROUP BY source ORDER BY source")
+
   /** Deterministic epoch-reshuffled training order
     * ([[Sampling.epochShuffle]]): per (epoch, shard) doc counts and a
     * Σ (rank·id) mod M order checksum — the checksum only matches if
@@ -5884,5 +5940,5 @@ object PipelineQueries {
     statsRollup, statsCorr, statsWinsorize, statsMad, statsMi, statsKs,
     topkPerGroup,
     shardManifest, packSequences, packNoSplit, packLenBatch, packBpe,
-    mixUnimax, mixUnimaxRealize, sampleShuffle)
+    mixUnimax, mixUnimaxRealize, sampleShuffle, sampleBudget)
 }
