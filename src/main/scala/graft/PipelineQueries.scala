@@ -4733,6 +4733,8 @@ object PipelineQueries {
     * sort window is the honest shape (selection under an ordered
     * budget is sequential per domain — the packSequences argument:
     * the parallelism axis is the domain count). */
+  private val ShufShards = 4
+  private val ShufEpochs = 2
   private val SelBudgetNum = 2L
   private val SelBudgetDen = 5L
   private val sampleBudget = Q("q_sample_budget",
@@ -4779,6 +4781,92 @@ object PipelineQueries {
       "CAST(sum(doc_id) AS BIGINT) AS id_sum " +
       "FROM k GROUP BY source ORDER BY source")
 
+  /** Round-9 end-to-end composition — corpus to TRAINING ORDER:
+    * per-domain token-budget selection (q_sample_budget's stage) →
+    * deterministic epoch-salted shuffle (q_sample_shuffle's stage,
+    * epoch 0) → no-split greedy packing IN SHUFFLED ORDER within the
+    * shuffle's own shards ([[Sampling.packNoSplitOrdered]] — packing
+    * id order would undo the shuffle). Every stage at its standalone
+    * operator's verified shape; the assign checksum pins (rank, bin)
+    * for every kept doc, i.e. the complete physical training layout,
+    * cross-engine. */
+  private val pipelineTrainorder = Q("q_pipeline_trainorder",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = graft.ops.QualityClassifier
+        .withFeatures(docs(s, d), "text")
+        .withColumn("score", graft.ops.QualityClassifier.score(ClsWeights))
+        .withColumn("nt",
+          size(TextAnalysis.tokens(col("text"))).cast("long"))
+      val b = scored.groupBy("source")
+        .agg(expr(s"sum(nt) * $SelBudgetNum div $SelBudgetDen")
+          .as("budget"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("score").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val kept = scored.withColumn("cum", sum(col("nt")).over(w))
+        .join(broadcast(b), Seq("source"))
+        .where(col("cum") <= col("budget"))
+        .select("doc_id", "nt")
+      val sh = Sampling.epochShuffle(kept.select("doc_id"), "doc_id",
+          ShufShards, 1)
+        .join(kept, Seq("doc_id"))
+      Sampling.packNoSplitOrdered(sh, col("shard"), col("rank"),
+          col("nt"), PackWindow, ShufShards)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          (max(col("bin")) + 1).as("n_bins"),
+          sum(col("t")).as("toks"),
+          ((max(col("bin")) + 1) * PackWindow - sum(col("t")))
+            .as("waste"),
+          sum((col("ord") % AssignMod * 31 + col("bin") % AssignMod)
+            % AssignMod).as("assign_sum"))
+        .orderBy("shard")
+    },
+    "WITH RECURSIVE s AS (SELECT doc_id, source, " +
+      "len(string_split(text, ' ')) AS nt, " +
+      s"${graft.ops.QualityClassifier.ScoreSql(ClsWeights)} AS score " +
+      "FROM documents), " +
+      "b AS (SELECT source, " +
+      s"CAST(sum(nt) * $SelBudgetNum // $SelBudgetDen AS BIGINT) " +
+      "AS budget FROM s GROUP BY source), " +
+      "r AS (SELECT s.*, sum(nt) OVER (PARTITION BY source " +
+      "ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum " +
+      "FROM s), " +
+      "k AS (SELECT r.doc_id, r.nt FROM r JOIN b USING (source) " +
+      "WHERE r.cum <= b.budget), " +
+      "sh AS (SELECT doc_id, nt, " +
+      s"${TextAnalysis.TokenHashSql(
+        "CAST(doc_id AS VARCHAR) || '#shf#0'")} " +
+      s"% $ShufShards AS shard, " +
+      s"${TextAnalysis.TokenHashSql(
+        "CAST(doc_id AS VARCHAR) || '#ord#0'")} AS okey FROM k), " +
+      "rk AS MATERIALIZED (SELECT shard, nt, " +
+      s"least(nt, $PackWindow) AS tt, " +
+      "row_number() OVER (PARTITION BY shard ORDER BY okey, doc_id) - 1 " +
+      "AS rnk, " +
+      "row_number() OVER (PARTITION BY shard ORDER BY okey, doc_id) " +
+      "AS rn FROM sh), " +
+      "walk AS (" +
+      "SELECT shard, rn, rnk, nt, tt, CAST(0 AS BIGINT) AS bin, " +
+      "tt AS fill FROM rk WHERE rn = 1 " +
+      "UNION ALL " +
+      "SELECT rk.shard, rk.rn, rk.rnk, rk.nt, rk.tt, " +
+      s"CASE WHEN w2.fill + rk.tt <= $PackWindow THEN w2.bin " +
+      "ELSE w2.bin + 1 END, " +
+      s"CASE WHEN w2.fill + rk.tt <= $PackWindow " +
+      "THEN w2.fill + rk.tt ELSE rk.tt END " +
+      "FROM walk w2 JOIN rk ON rk.shard = w2.shard " +
+      "AND rk.rn = w2.rn + 1) " +
+      "SELECT shard, count(*) AS n_docs, " +
+      "CAST(max(bin) + 1 AS BIGINT) AS n_bins, " +
+      "CAST(sum(tt) AS BIGINT) AS toks, " +
+      s"CAST((max(bin) + 1) * $PackWindow - sum(tt) AS BIGINT) " +
+      "AS waste, " +
+      s"CAST(sum((rnk % $AssignMod * 31 + bin % $AssignMod) " +
+      s"% $AssignMod) AS BIGINT) AS assign_sum " +
+      "FROM walk GROUP BY shard ORDER BY shard")
+
   /** Deterministic epoch-reshuffled training order
     * ([[Sampling.epochShuffle]]): per (epoch, shard) doc counts and a
     * Σ (rank·id) mod M order checksum — the checksum only matches if
@@ -4787,8 +4875,6 @@ object PipelineQueries {
     * `n_moved`-style decorrelation is visible in the data: the same
     * doc lands in different shards across epochs because the shard
     * salt includes the epoch. */
-  private val ShufShards = 4
-  private val ShufEpochs = 2
   private val sampleShuffle = Q("q_sample_shuffle",
     (s, d) => Sampling.epochShuffle(docs(s, d), "doc_id",
         ShufShards, ShufEpochs)
@@ -5940,5 +6026,6 @@ object PipelineQueries {
     statsRollup, statsCorr, statsWinsorize, statsMad, statsMi, statsKs,
     topkPerGroup,
     shardManifest, packSequences, packNoSplit, packLenBatch, packBpe,
-    mixUnimax, mixUnimaxRealize, sampleShuffle, sampleBudget)
+    mixUnimax, mixUnimaxRealize, sampleShuffle, sampleBudget,
+    pipelineTrainorder)
 }

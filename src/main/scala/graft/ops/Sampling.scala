@@ -341,29 +341,42 @@ object Sampling {
     * runs where the text lives and only (shard, id, n_tokens) —
     * 24 bytes/doc — ever shuffles. */
   def packNoSplitBy(df: DataFrame, idCol: String, tokCount: Column,
-                    window: Int, nShards: Int): DataFrame = {
+                    window: Int, nShards: Int): DataFrame =
+    packNoSplitOrdered(df,
+      pmod(TextAnalysis.tokenHash(col(idCol).cast("string")),
+        lit(nShards.toLong)),
+      col(idCol), tokCount, window, nShards)
+      .withColumnRenamed("ord", idCol)
+
+  /** The fully-general greedy walk: EXPLICIT shard and within-shard
+    * order columns — what a composed pipeline needs when the packing
+    * order is not id order (e.g. pack in [[epochShuffle]] rank order
+    * within the shuffle's own shards). One kernel, three entry
+    * points; output column for the order key is `ord`. */
+  def packNoSplitOrdered(df: DataFrame, shardCol: Column,
+                         orderCol: Column, tokCount: Column,
+                         window: Int, nShards: Int): DataFrame = {
     require(window > 0 && nShards > 0)
     val spark = df.sparkSession
     import spark.implicits._
     df.select(
-        pmod(TextAnalysis.tokenHash(col(idCol).cast("string")),
-          lit(nShards.toLong)).as("shard"),
-        col(idCol).cast("long").as("id"),
+        shardCol.cast("long").as("shard"),
+        orderCol.cast("long").as("ord"),
         tokCount.cast("long").as("n_tokens"))
       .repartition(nShards, col("shard"))
-      .sortWithinPartitions("shard", "id")
+      .sortWithinPartitions("shard", "ord")
       .as[(Long, Long, Long)]
       .mapPartitions { it =>
         var curShard = -1L; var bin = 0L; var fill = 0L
-        it.map { case (shard, id, n) =>
+        it.map { case (shard, ord, n) =>
           val t = math.min(n, window.toLong)
           if (shard != curShard) { curShard = shard; bin = 0L; fill = t }
           else if (fill + t <= window) fill += t
           else { bin += 1L; fill = t }
-          (shard, id, n, t, bin, n > window)
+          (shard, ord, n, t, bin, n > window)
         }
       }
-      .toDF("shard", idCol, "n_tokens", "t", "bin", "truncated")
+      .toDF("shard", "ord", "n_tokens", "t", "bin", "truncated")
   }
 
   /** Length-bucketed dynamic batching: docs group into length buckets
