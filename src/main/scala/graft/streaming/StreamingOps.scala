@@ -384,6 +384,34 @@ object StreamingOps {
     * the per-doc results are exactly [[graft.ops.NgramLm.perplexity]]
     * semantics. Blocks until the backlog drains; feeds each scored
     * micro-batch to `sink`. */
+  /** Streaming cluster assignment — [[graft.ops.Dedup
+    * .assignToClusters]] run per micro-batch against a FIXED archive
+    * (the foreachBatch composition, like [[streamingPerplexity]]):
+    * the archive's signatures, band rows, and cluster map are
+    * batch-static state the caller persists once per archive epoch;
+    * each micro-batch pays only its own probe joins. A doc's adoption
+    * depends only on (doc, archive), so stream == batch row-for-row
+    * under ANY slicing — no cross-batch state at all. Blocks until
+    * the backlog drains; returns the processed batch count. */
+  def assignToClustersStream(docs: DataFrame, archive: DataFrame,
+                             textCol: String, idCol: String,
+                             maxBucket: Int = 0,
+                             threshold: Double = 0.5)
+                            (sink: DataFrame => Unit): Long = {
+    val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.ops.Dedup.assignToClusters(batch, archive,
+          textCol, idCol, maxBucket, threshold))
+        nBatches.incrementAndGet()
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    nBatches.get()
+  }
+
   def streamingPerplexity(docs: DataFrame, textCol: String,
                           idCol: String, lm: graft.ops.NgramLm.Lm)
                          (sink: DataFrame => Unit): Long = {

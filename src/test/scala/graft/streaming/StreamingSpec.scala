@@ -659,6 +659,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("streaming cluster assignment against a fixed archive equals " +
+    "the batch assignment doc-for-doc under arbitrary slicing") {
+    import spark.implicits._
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val draw = graft.ops.Sampling.hashFraction(col("doc_id"))
+    val archive = d.where(draw < 0.8)
+    val batch = d.where(draw >= 0.8)
+    val want = graft.ops.Dedup
+      .assignToClusters(batch, archive, "text", "doc_id", maxBucket = 50)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2)))).toMap
+    val rows = batch.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("asn_stream").toFile
+    tmp.deleteOnExit()
+    val slices = rows.grouped((rows.length + 2) / 3).toSeq
+    slices.zipWithIndex.foreach { case (sl, i) =>
+      val p = new java.io.File(tmp, s"slice$i")
+      sl.toSeq.toDF("doc_id", "text").coalesce(1).write.parquet(p.toString)
+      p.listFiles().foreach(f =>
+        f.setLastModified(1700000000000L + i * 60000L))
+    }
+    val stream = spark.readStream
+      .schema(slices.head.toSeq.toDF("doc_id", "text").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/*")
+    val got = scala.collection.mutable.Map.empty[Long, (Long, Boolean)]
+    val nb = StreamingOps.assignToClustersStream(stream, archive,
+        "text", "doc_id", maxBucket = 50) { out =>
+      out.collect().foreach(r =>
+        got(r.getLong(0)) = (r.getLong(1), r.getBoolean(2)))
+    }
+    assert(nb >= 3, s"expected >= 3 micro-batches, got $nb")
+    assert(got.toMap == want, s"${got.size} vs ${want.size}")
+    assert(want.nonEmpty && want.values.exists(_._2),
+      "fixture should adopt at least one archive cluster")
+  }
+
   test("streaming unimax realization with pre-fitted factors equals " +
     "the batch realization (doc, epoch) for (doc, epoch)") {
     import spark.implicits._
