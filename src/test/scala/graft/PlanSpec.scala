@@ -347,4 +347,49 @@ class PlanSpec extends AnyFunSuite {
       "q_dedup_semantic: cartesian")
     assert(!semPlan.contains("Window"), "q_dedup_semantic: Window")
   }
+
+  test("round-9 ops keep their scale shapes: winnow is join-on-anchor " +
+    "only (no window, no cartesian over docs), shuffle/budget windows " +
+    "are key-partitioned, the budget table broadcasts, bottom-k's " +
+    "only window runs on the pair-signature grain") {
+    // winnow: kernel map → anchor explode → fp joins; a Window or a
+    // doc-grain cartesian would mean the selection left the row grain
+    val wn = SparkEntry.queries("q_dedup_winnow")(spark, sf)
+    wn.collect()
+    val wnPlan = wn.queryExecution.executedPlan.toString
+    assert(!wnPlan.contains("Window"), "q_dedup_winnow: Window in plan")
+    assert(!wnPlan.contains("CartesianProduct"), "q_dedup_winnow: cartesian")
+    // epoch shuffle: the rank window must carry its (epoch, shard)
+    // partition spec — never the corpus-collapse empty spec
+    val sh = SparkEntry.queries("q_sample_shuffle")(spark, sf)
+    sh.collect()
+    val shPlan = sh.queryExecution.executedPlan.toString
+    assert(shPlan.contains("Window"), "q_sample_shuffle: expected window")
+    assert(!shPlan.contains("windowspecdefinition()"),
+      "q_sample_shuffle: unpartitioned Window")
+    // budget selection: per-source sort window + the budget table as
+    // a BROADCAST join (it is domain-cardinality-sized by definition)
+    val bu = SparkEntry.queries("q_sample_budget")(spark, sf)
+    bu.collect()
+    val buPlan = bu.queryExecution.executedPlan.toString
+    assert(!buPlan.contains("windowspecdefinition()"),
+      "q_sample_budget: unpartitioned Window")
+    assert(buPlan.contains("BroadcastHashJoin") ||
+      buPlan.contains("BroadcastNestedLoopJoin"),
+      "q_sample_budget: budget table should broadcast")
+    assert(!buPlan.contains("CartesianProduct"), "q_sample_budget: cartesian")
+    // incremental cluster assignment: equi-joins only
+    val ic = SparkEntry.queries("q_dedup_incremental_clusters")(spark, sf)
+    ic.collect()
+    assert(!ic.queryExecution.executedPlan.toString
+      .contains("CartesianProduct"),
+      "q_dedup_incremental_clusters: cartesian")
+    // bottom-k overlap: the rank window partitions on the (ga, gb)
+    // pair key over the groups×k signature table
+    val bk = SparkEntry.queries("q_sketch_bottomk")(spark, sf)
+    bk.collect()
+    val bkPlan = bk.queryExecution.executedPlan.toString
+    assert(!bkPlan.contains("windowspecdefinition()"),
+      "q_sketch_bottomk: unpartitioned Window")
+  }
 }
