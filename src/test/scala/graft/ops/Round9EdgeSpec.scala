@@ -1,0 +1,85 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge contracts for the round-9 operators: dense shuffle ranks and
+  * cross-epoch decorrelation, exact epoch counts for saturated UniMax
+  * languages, bottom-k with no pairs, and cluster adoption through a
+  * diverted template bucket. */
+class Round9EdgeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  test("epochShuffle: ranks are dense 0..n-1 within every (epoch, " +
+    "shard); shard assignment decorrelates across epochs") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 400L).map(i => (i, s"doc $i")).toDF("id", "t")
+    val out = Sampling.epochShuffle(df, "id", nShards = 4, epochs = 2)
+      .select("id", "epoch", "shard", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 800)
+    // dense ranks per group
+    out.groupBy(r => (r._2, r._3)).foreach { case (g, rows) =>
+      val ranks = rows.map(_._4).sorted
+      assert(ranks.sameElements(0L until rows.length.toLong), s"group $g")
+    }
+    // decorrelation: a meaningful fraction of docs change shards
+    // between epochs (P[same] = 1/4 under independence; allow slack)
+    val byId = out.groupBy(_._1).map { case (_, rows) =>
+      rows.find(_._2 == 0L).get._3 == rows.find(_._2 == 1L).get._3
+    }
+    val sameFrac = byId.count(identity).toDouble / byId.size
+    assert(sameFrac < 0.45, s"shards too correlated across epochs: $sameFrac")
+  }
+
+  test("unimaxRealize: a language whose epoch cap binds emits EXACTLY " +
+    "epochCap copies of every doc (f lands on the integer, no draw)") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((1L, "a", "w1 w2 w3 w4 w5"), (2L, "a", "x1 x2 x3 x4 x5")) ++
+      (10L until 110L).map(i => (i, "b", (1 to 10).map(j => s"t${i}_$j").mkString(" ")))
+    val df = rows.toDF("id", "lang", "text")
+    val tok = size(split(col("text"), " ")).cast("long")
+    // budget = mass/2 = 505; cap_a = 30 <= headroom -> a saturates
+    val alloc = Sampling.unimaxAllocation(df, "lang", tok, 1L, 2L, 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    assert(alloc("a") == ((30L, true)), s"$alloc")
+    val out = Sampling.unimaxRealize(df, "id", "lang", tok, 1L, 2L, 3)
+      .where(col("lang") === "a")
+      .groupBy("id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L), s"$out")
+  }
+
+  test("bottomKOverlap: a single group yields zero pair rows, not an " +
+    "error or a self-pair") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 50L).map(i => ("only", i)).toDF("g", "k")
+    assert(Sketches.bottomKOverlap(df, col("g"), col("k"), 16).count() == 0L)
+  }
+
+  test("assignToClusters: an exact duplicate of a DIVERTED template " +
+    "family still adopts its cluster (group-edge rule); novel docs " +
+    "become their own singletons") {
+    val s = spark
+    import s.implicits._
+    // 8 identical docs -> every band bucket has 8 members > cap=3:
+    // pair path fully diverted, cluster exists via exact-sig edges
+    val template = "alpha beta gamma delta epsilon zeta eta theta"
+    val archive = (1L to 8L).map(i => (i, template)).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, template), // exact dup of the diverted family
+      (101L, "completely novel content nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.assignToClusters(batch, archive, "text", "doc_id",
+        maxBucket = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(got(100L) == ((1L, true)), s"${got(100L)}")
+    assert(got(101L) == ((101L, false)), s"${got(101L)}")
+  }
+}
