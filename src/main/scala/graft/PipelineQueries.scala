@@ -2081,6 +2081,46 @@ object PipelineQueries {
   /** Cross-document duplicated-n-gram rate (Lee et al. 2022 signal):
     * per-source average share of a doc's distinct trigrams occurring
     * in ≥ 2 docs, and the count of dup-heavy (≥ 0.5) docs. */
+  /** Vocabulary growth curve (Heaps-law saturation diagnostic): per
+    * source, the distinct-token count over the hash-ordered 25/50/
+    * 75/100% doc subsets — a source whose tail quartile still adds
+    * many new types is unsaturated (more data keeps paying); one
+    * whose curve flattens is template-heavy. Exact integer distinct
+    * counts on the vocab grain (the q_text_vocab shuffle shape); the
+    * tail share (v100−v75)/v100 is an exact integer ratio. */
+  private val vocabGrowth = Q("q_text_vocabgrowth",
+    (s, d) => {
+      val qrt = least(floor(Sampling.hashFraction(col("doc_id"))
+        * lit(4.0)).cast("int"), lit(3))
+      docs(s, d)
+        .select(col("source"), qrt.as("q"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(when(col("q") <= 0, col("tok"))).as("v25"),
+          countDistinct(when(col("q") <= 1, col("tok"))).as("v50"),
+          countDistinct(when(col("q") <= 2, col("tok"))).as("v75"),
+          countDistinct(col("tok")).as("v100"))
+        .select(col("source"), col("n_tokens"), col("v25"), col("v50"),
+          col("v75"), col("v100"),
+          round((col("v100") - col("v75")).cast("double") /
+            col("v100").cast("double"), 5).as("tail_share"))
+        .orderBy("source")
+    },
+    "WITH t AS (SELECT source, " +
+      s"least(CAST(floor(${Sampling.HashFractionSql("doc_id")} * 4.0) " +
+      "AS INT), 3) AS q, " +
+      "unnest(string_split(text, ' ')) AS tok FROM documents) " +
+      "SELECT source, count(*) AS n_tokens, " +
+      "count(DISTINCT CASE WHEN q <= 0 THEN tok END) AS v25, " +
+      "count(DISTINCT CASE WHEN q <= 1 THEN tok END) AS v50, " +
+      "count(DISTINCT CASE WHEN q <= 2 THEN tok END) AS v75, " +
+      "count(DISTINCT tok) AS v100, " +
+      "round(CAST(count(DISTINCT tok) - " +
+      "count(DISTINCT CASE WHEN q <= 2 THEN tok END) AS DOUBLE) / " +
+      "CAST(count(DISTINCT tok) AS DOUBLE), 5) AS tail_share " +
+      "FROM t GROUP BY source ORDER BY source")
+
   /** Top-V vocabulary: fingerprint-shuffled tf/df with a min-count
     * prune; the DuckDB side rebuilds the same hash pipeline so the
     * cutoff tie-break (tf desc, hash asc) is engine-identical. */
@@ -6005,7 +6045,7 @@ object PipelineQueries {
     embedKmeans, embedCoreset, embedCovariance, embedOutliers, embedDrift, gpRff,
     embedPq, embedIvfPq, embedRerank, embedSq8,
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,
-    textVocab, textClassifier, textChunks, textBpe, textFertility,
+    textVocab, vocabGrowth, textClassifier, textChunks, textBpe, textFertility,
     textEntropy, textC4, textHashEmbed,
     textScripts, textCalibration, textTopDups,
     textPerplexity, textPmi, textDistinctN, textBm25, textRrf, textPii,
