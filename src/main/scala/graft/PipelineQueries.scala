@@ -37,6 +37,12 @@ object PipelineQueries {
     * modern-pipeline composition (bias, len, stop, punct, wl). */
   private val ClsWeights = Array(-2.0, 1.5, 8.0, -3.0, 0.5)
 
+  /** Checksum modulus for rebuilt-text hashes (sum stays well under
+    * int64 even at sf100). Defined HERE, above every oracle string
+    * that splices it — oracle strings build eagerly at class init,
+    * so a later-defined val renders as 0 (the round-9 %0 trap). */
+  private val CleanSumMod = 1000000007L
+
   /** Chunking geometry shared by [[textChunks]] and [[pipelineModern]]
     * (declared before first use — object vals initialize in order). */
   private val ChunkWindow = 32
@@ -2081,6 +2087,70 @@ object PipelineQueries {
   /** Cross-document duplicated-n-gram rate (Lee et al. 2022 signal):
     * per-source average share of a doc's distinct trigrams occurring
     * in ≥ 2 docs, and the count of dup-heavy (≥ 0.5) docs. */
+  /** Fill-in-middle transformation (Bavarian et al. 2022): docs
+    * reorder to the PSM layout — `<PRE> prefix <SUF> suffix <MID>
+    * middle` — so an autoregressive model learns infilling; the two
+    * split points are salted hash draws on the doc id (deterministic,
+    * replayable, independent of every other sampler's draws). Docs
+    * under 4 tokens pass through untransformed. Pure per-row map —
+    * no shuffle, stream-safe; the transformed-text checksum pins the
+    * exact token layout of every emitted doc cross-engine. */
+  private val packFim = Q("q_pack_fim",
+    (s, d) => {
+      val ws = TextAnalysis.tokens(col("text"))
+      val n = size(ws)
+      def draw(salt: String) =
+        (pmod(TextAnalysis.tokenHash(
+          concat(col("doc_id").cast("string"), lit(salt))), (n - 1).cast("long"))
+          + lit(1L)).cast("int")
+      val d1 = draw("#fim1"); val d2 = draw("#fim2")
+      val lo = least(d1, d2); val hi = greatest(d1, d2)
+      // slice(arr, start1based, len)
+      val pre = slice(ws, lit(1), lo)
+      val mid = slice(ws, lo + 1, hi - lo)
+      val suf = slice(ws, hi + 1, n - hi)
+      val fim = concat_ws(" ", lit("<PRE>"), array_join(pre, " "),
+        lit("<SUF>"), array_join(suf, " "),
+        lit("<MID>"), array_join(mid, " "))
+      docs(s, d)
+        .select(col("source"), col("doc_id"), n.as("n"),
+          when(n >= 4, fim).otherwise(col("text")).as("t"),
+          when(n >= 4, hi - lo).otherwise(lit(0)).cast("long").as("midlen"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n") >= 4, 1L).otherwise(0L)).as("n_fim"),
+          sum(col("midlen")).as("mid_toks"),
+          sum(TextAnalysis.tokenHash(col("t")) % lit(CleanSumMod))
+            .as("fim_sum"))
+        .orderBy("source")
+    },
+    "WITH t AS (SELECT source, doc_id, string_split(text, ' ') AS ws, " +
+      "text, len(string_split(text, ' ')) AS n FROM documents), " +
+      "sp AS (SELECT source, doc_id, ws, text, n, " +
+      s"CAST(${TextAnalysis.TokenHashSql(
+        "CAST(doc_id AS VARCHAR) || '#fim1'")} % (n - 1) + 1 AS INT) " +
+      "AS d1, " +
+      s"CAST(${TextAnalysis.TokenHashSql(
+        "CAST(doc_id AS VARCHAR) || '#fim2'")} % (n - 1) + 1 AS INT) " +
+      "AS d2 FROM t WHERE n >= 4), " +
+      "f AS (SELECT source, doc_id, n, " +
+      "least(d1, d2) AS lo, greatest(d1, d2) AS hi, " +
+      // DuckDB returns NULL (not []) for an inverted-bound slice, so
+      // the empty-middle case needs coalesce to match Spark's ""
+      "'<PRE> ' || coalesce(array_to_string(ws[1:least(d1, d2)], ' '), '') || " +
+      "' <SUF> ' || coalesce(array_to_string(ws[greatest(d1, d2)+1:n], ' '), '') || " +
+      "' <MID> ' || coalesce(array_to_string(ws[least(d1, d2)+1:greatest(d1, d2)], ' '), '') " +
+      "AS fim FROM sp), " +
+      "u AS (SELECT source, n, hi - lo AS midlen, fim AS t2 FROM f " +
+      "UNION ALL SELECT source, n, 0 AS midlen, text AS t2 FROM t " +
+      "WHERE n < 4) " +
+      "SELECT source, count(*) AS n_docs, " +
+      "CAST(sum(CASE WHEN n >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_fim, " +
+      "CAST(sum(midlen) AS BIGINT) AS mid_toks, " +
+      s"CAST(sum(${TextAnalysis.TokenHashSql("t2")} % $CleanSumMod) " +
+      "AS BIGINT) AS fim_sum " +
+      "FROM u GROUP BY source ORDER BY source")
+
   /** Vocabulary growth curve (Heaps-law saturation diagnostic): per
     * source, the distinct-token count over the hash-ordered 25/50/
     * 75/100% doc subsets — a source whose tail quartile still adds
@@ -5014,9 +5084,6 @@ object PipelineQueries {
       "FROM e GROUP BY lang ORDER BY lang")
 
   private val SpanW = 4
-  /** Checksum modulus for rebuilt-text hashes (sum stays well under
-    * int64 even at sf100). */
-  private val CleanSumMod = 1000000007L
 
   /** DuckDB chunk-fingerprint fold over `hl` at 0-based chunk index
     * `c` — same (acc·31 + h) mod M chain as
@@ -6066,6 +6133,7 @@ object PipelineQueries {
     statsRollup, statsCorr, statsWinsorize, statsMad, statsMi, statsKs,
     topkPerGroup,
     shardManifest, packSequences, packNoSplit, packLenBatch, packBpe,
+    packFim,
     mixUnimax, mixUnimaxRealize, sampleShuffle, sampleBudget,
     pipelineTrainorder)
 }
