@@ -2151,6 +2151,93 @@ object PipelineQueries {
       "AS BIGINT) AS fim_sum " +
       "FROM u GROUP BY source ORDER BY source")
 
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4): each FULL
+    * [[ScB]]-token block loses one [[ScL]]-token span at a salted-
+    * hash offset — the span's first position becomes the block's
+    * sentinel `<Xb>`, the rest drop; the target is the sentinel-
+    * prefixed span contents in block order. One span per full block
+    * keeps spans non-overlapping and fully in range BY CONSTRUCTION
+    * (no cross-engine slice-edge cases); the trailing partial block
+    * is never corrupted. Pure per-row map, stream-safe; input and
+    * target checksums pin both emitted strings exactly. */
+  private val ScB = 20
+  private val ScL = 3
+  private val ScOffMod = ScB - ScL + 1
+  private val packSpanCorrupt = Q("q_pack_spancorrupt",
+    (s, d) => {
+      val ws = TextAnalysis.tokens(col("text"))
+      val n = size(ws)
+      val nfull = (n / ScB).cast("int")
+      def blockOf(i: org.apache.spark.sql.Column) = ((i - 1) / ScB).cast("long")
+      def offOf(b: org.apache.spark.sql.Column) = pmod(TextAnalysis.tokenHash(
+        concat(col("doc_id").cast("string"), lit("#sc#"),
+          b.cast("string"))), lit(ScOffMod.toLong)).cast("int")
+      val inputArr = transform(sequence(lit(1), n), i => {
+        val b = blockOf(i)
+        val off = offOf(b)
+        val pos = (i - 1) % ScB
+        when(b < nfull && pos === off,
+          concat(lit("<X"), b.cast("string"), lit(">")))
+          .when(b < nfull && pos > off && pos < off + ScL, lit(""))
+          .otherwise(element_at(ws, i))
+      })
+      val input = array_join(filter(inputArr, x => x =!= ""), " ")
+      val targetArr = transform(sequence(lit(0), nfull - 1), b => {
+        val off = offOf(b.cast("long"))
+        concat(lit("<X"), b.cast("string"), lit("> "),
+          array_join(slice(ws, b * ScB + off + 1, lit(ScL)), " "))
+      })
+      val target = array_join(targetArr, " ")
+      docs(s, d)
+        .select(col("source"), col("doc_id"), nfull.as("nf"),
+          when(nfull >= 1, input).otherwise(col("text")).as("inp"),
+          when(nfull >= 1, target).otherwise(lit("")).as("tgt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("nf") >= 1, 1L).otherwise(0L)).as("n_corrupted"),
+          sum(col("nf").cast("long") * ScL).as("masked_toks"),
+          sum(TextAnalysis.tokenHash(col("inp")) % lit(CleanSumMod))
+            .as("input_sum"),
+          sum(TextAnalysis.tokenHash(col("tgt")) % lit(CleanSumMod))
+            .as("target_sum"))
+        .orderBy("source")
+    }, {
+      val offSql = s"(${TextAnalysis.TokenHashSql(
+        "CAST(doc_id AS VARCHAR) || '#sc#' || CAST((i-1)//" + ScB +
+          " AS VARCHAR)")} % $ScOffMod)"
+      val offBSql = s"(${TextAnalysis.TokenHashSql(
+        "CAST(doc_id AS VARCHAR) || '#sc#' || CAST(b AS VARCHAR)")} " +
+        s"% $ScOffMod)"
+      "WITH t AS (SELECT source, doc_id, text, " +
+        "string_split(text, ' ') AS ws, " +
+        "len(string_split(text, ' ')) AS n, " +
+        s"len(string_split(text, ' ')) // $ScB AS nfull " +
+        "FROM documents), " +
+        "c AS (SELECT source, doc_id, nfull, " +
+        "CASE WHEN nfull >= 1 THEN array_to_string(list_filter(" +
+        s"[CASE WHEN (i-1)//$ScB < nfull AND (i-1)%$ScB = $offSql " +
+        s"THEN '<X' || CAST((i-1)//$ScB AS VARCHAR) || '>' " +
+        s"WHEN (i-1)//$ScB < nfull AND (i-1)%$ScB > $offSql " +
+        s"AND (i-1)%$ScB < $offSql + $ScL THEN '' " +
+        "ELSE ws[i] END for i in generate_series(1, n)], " +
+        "x -> x <> ''), ' ') ELSE text END AS inp, " +
+        "CASE WHEN nfull >= 1 THEN array_to_string(" +
+        "['<X' || CAST(b AS VARCHAR) || '> ' || " +
+        s"array_to_string(ws[b*$ScB+$offBSql+1:b*$ScB+$offBSql+$ScL], " +
+        "' ') for b in generate_series(0, nfull - 1)], ' ') " +
+        "ELSE '' END AS tgt " +
+        "FROM t) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN nfull >= 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_corrupted, " +
+        s"CAST(sum(nfull * $ScL) AS BIGINT) AS masked_toks, " +
+        s"CAST(sum(${TextAnalysis.TokenHashSql("inp")} % $CleanSumMod) " +
+        "AS BIGINT) AS input_sum, " +
+        s"CAST(sum(${TextAnalysis.TokenHashSql("tgt")} % $CleanSumMod) " +
+        "AS BIGINT) AS target_sum " +
+        "FROM c GROUP BY source ORDER BY source"
+    })
+
   /** Vocabulary growth curve (Heaps-law saturation diagnostic): per
     * source, the distinct-token count over the hash-ordered 25/50/
     * 75/100% doc subsets — a source whose tail quartile still adds
@@ -6133,7 +6220,7 @@ object PipelineQueries {
     statsRollup, statsCorr, statsWinsorize, statsMad, statsMi, statsKs,
     topkPerGroup,
     shardManifest, packSequences, packNoSplit, packLenBatch, packBpe,
-    packFim,
+    packFim, packSpanCorrupt,
     mixUnimax, mixUnimaxRealize, sampleShuffle, sampleBudget,
     pipelineTrainorder)
 }
