@@ -47,6 +47,7 @@ object ScaleProbe {
     "q_dedup_incremental_clusters" -> 10,
     "q_sample_budget" -> 10, "q_pipeline_trainorder" -> 10,
     "q_pack_fim" -> 10, "q_text_vocabgrowth" -> 10,
+    "q_pack_spancorrupt" -> 10,
     "q_embed_clusters" -> 4, "q_embed_pagerank" -> 4,
     "q_embed_labelprop" -> 4, "q_embed_top1" -> 4,
     "q_embed_kmeans" -> 4, "q_embed_ivfpq" -> 4)
