@@ -2238,6 +2238,56 @@ object PipelineQueries {
         "FROM c GROUP BY source ORDER BY source"
     })
 
+  /** Chat-template rendering with loss masks (the SFT layout step):
+    * each doc becomes a deterministic multi-turn conversation — a
+    * salted hash on the doc id picks 2 or 4 turns, token boundaries
+    * fall at floor(i·n/T), turns alternate `<|user|>`/`<|assistant|>`
+    * markers, and the doc closes with `<|eos|>`. The loss mask counts
+    * assistant-turn tokens only (the spans a trainer backpropagates
+    * through). Docs under 4 tokens render as a single unmasked user
+    * turn. Pure per-row map — no shuffle, stream-safe; the rendered-
+    * text checksum pins the exact byte layout of every conversation
+    * cross-engine, and masked_toks pins the mask geometry. */
+  private val packChat = Q("q_pack_chat",
+    (s, d) => {
+      val ch = Sampling.chatTemplate(col("text"), col("doc_id"))
+      docs(s, d)
+        .select(col("source"), ch.getField("t").as("t"),
+          ch.getField("masked").as("masked"),
+          ch.getField("rendered").as("r"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("t") > 1, 1L).otherwise(0L)).as("n_multi"),
+          sum(col("t").cast("long")).as("n_turns"),
+          sum(col("masked")).as("masked_toks"),
+          sum(TextAnalysis.tokenHash(col("r")) % lit(CleanSumMod))
+            .as("chat_sum"))
+        .orderBy("source")
+    }, {
+      val tSql = s"CASE WHEN n >= 4 THEN 2 * (${TextAnalysis.TokenHashSql(
+        "CAST(doc_id AS VARCHAR) || '#chat'")} % 2 + 1) ELSE 1 END"
+      "WITH t0 AS (SELECT source, doc_id, " +
+        "string_split(text, ' ') AS ws, " +
+        "len(string_split(text, ' ')) AS n FROM documents), " +
+        s"t AS (SELECT source, ws, n, $tSql AS tt FROM t0), " +
+        "c AS (SELECT source, tt, " +
+        "array_to_string([CASE WHEN i % 2 = 0 THEN '<|user|>' " +
+        "ELSE '<|assistant|>' END || ' ' || " +
+        "coalesce(array_to_string(ws[(i*n)//tt+1:((i+1)*n)//tt], ' '), '') " +
+        "for i in generate_series(0, tt - 1)], ' ') || ' <|eos|>' AS r, " +
+        "coalesce(list_sum([((i+1)*n)//tt - (i*n)//tt " +
+        "for i in generate_series(1, tt - 1, 2)]), 0) AS masked " +
+        "FROM t) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN tt > 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_multi, " +
+        "CAST(sum(tt) AS BIGINT) AS n_turns, " +
+        "CAST(sum(masked) AS BIGINT) AS masked_toks, " +
+        s"CAST(sum(${TextAnalysis.TokenHashSql("r")} % $CleanSumMod) " +
+        "AS BIGINT) AS chat_sum " +
+        "FROM c GROUP BY source ORDER BY source"
+    })
+
   /** Vocabulary growth curve (Heaps-law saturation diagnostic): per
     * source, the distinct-token count over the hash-ordered 25/50/
     * 75/100% doc subsets — a source whose tail quartile still adds
@@ -6220,7 +6270,7 @@ object PipelineQueries {
     statsRollup, statsCorr, statsWinsorize, statsMad, statsMi, statsKs,
     topkPerGroup,
     shardManifest, packSequences, packNoSplit, packLenBatch, packBpe,
-    packFim, packSpanCorrupt,
+    packFim, packSpanCorrupt, packChat,
     mixUnimax, mixUnimaxRealize, sampleShuffle, sampleBudget,
     pipelineTrainorder)
 }

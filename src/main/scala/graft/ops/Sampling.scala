@@ -563,4 +563,31 @@ object Sampling {
       .withColumn("rank", (row_number().over(w) - 1).cast("long"))
       .drop("__okey")
   }
+
+  /** Chat-template rendering with loss masks (the SFT layout step):
+    * a salted hash on the doc id picks 2 or 4 turns, token boundaries
+    * fall at floor(i·n/T), turns alternate `<|user|>`/`<|assistant|>`
+    * markers, and the doc closes with `<|eos|>`. Docs under 4 tokens
+    * render as a single unmasked user turn. Returns
+    * `struct(t INT, masked LONG, rendered STRING)` where `masked`
+    * counts assistant-turn tokens (the spans a trainer backpropagates
+    * through). Pure per-row expression — no shuffle, stream-safe. */
+  def chatTemplate(text: Column, docId: Column): Column = {
+    val ws = TextAnalysis.tokens(text)
+    val n = size(ws)
+    val t = when(n >= 4,
+      (pmod(TextAnalysis.tokenHash(
+        concat(docId.cast("string"), lit("#chat"))), lit(2L))
+        .cast("int") + 1) * 2).otherwise(1)
+    def bnd(i: Column) = floor(i.cast("double") * n / t).cast("int")
+    val parts = transform(sequence(lit(0), t - 1), i =>
+      concat(when(pmod(i, lit(2)) === 0, lit("<|user|>"))
+        .otherwise(lit("<|assistant|>")), lit(" "),
+        array_join(slice(ws, bnd(i) + 1, bnd(i + 1) - bnd(i)), " ")))
+    val rendered = concat(array_join(parts, " "), lit(" <|eos|>"))
+    val masked = aggregate(
+      filter(sequence(lit(0), t - 1), i => pmod(i, lit(2)) === 1),
+      lit(0L), (acc, i) => acc + (bnd(i + 1) - bnd(i)).cast("long"))
+    struct(t.as("t"), masked.as("masked"), rendered.as("rendered"))
+  }
 }

@@ -82,4 +82,45 @@ class Round9EdgeSpec extends AnyFunSuite {
     assert(got(100L) == ((1L, true)), s"${got(100L)}")
     assert(got(101L) == ((101L, false)), s"${got(101L)}")
   }
+
+  test("chatTemplate: markers strip back to the original text, masked " +
+    "+ unmasked = n, T ∈ {2,4} for n ≥ 4, and short docs render as a " +
+    "single unmasked user turn") {
+    val s = spark
+    import s.implicits._
+    val df = (Seq((1L, "a b"), (2L, ""), (3L, "x y z")) ++
+      (10L to 60L).map(i =>
+        (i, (1 to (i % 13 + 4).toInt).map(j => s"w${i}_$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), col("text"),
+        Sampling.chatTemplate(col("text"), col("doc_id")).as("c"))
+      .select(col("doc_id"), col("text"), col("c.t"), col("c.masked"),
+        col("c.rendered"))
+      .collect()
+    out.foreach { r =>
+      val (id, text, t, masked, rend) =
+        (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3),
+          r.getString(4))
+      val n = if (text.isEmpty) 1 else text.split(" ", -1).length
+      // roundtrip: dropping markers recovers the original tokens
+      val stripped = rend.split(" ", -1)
+        .filterNot(w => w == "<|user|>" || w == "<|assistant|>" || w == "<|eos|>")
+        .mkString(" ")
+      assert(stripped == text, s"doc $id roundtrip")
+      if (n >= 4) {
+        assert(t == 2 || t == 4, s"doc $id t=$t")
+        // every turn's marker present the right number of times
+        assert(rend.split(" ").count(_ == "<|user|>") == t / 2)
+        assert(rend.split(" ").count(_ == "<|assistant|>") == t / 2)
+        // mask partitions the tokens: assistant turns hold the rest
+        val userToks = (0 until t by 2).map(i =>
+          ((i + 1) * n) / t - (i * n) / t).sum
+        assert(masked + userToks == n, s"doc $id mask arithmetic")
+        assert(masked >= 1, s"doc $id has an empty assistant span")
+      } else {
+        assert(t == 1 && masked == 0L, s"doc $id short-doc contract")
+        assert(rend == s"<|user|> $text <|eos|>")
+      }
+    }
+  }
 }
