@@ -2288,6 +2288,81 @@ object PipelineQueries {
         "FROM c GROUP BY source ORDER BY source"
     })
 
+  /** Preference-pair construction (the DPO/RLHF data-prep step):
+    * within each (source, hash-bucket) the docs rank by an INTEGER
+    * quality proxy (distinct-token count, doc_id tiebreak — exact
+    * cross-engine, no float ordering hazard) and rank i pairs with
+    * rank m+1−i: chosen = the higher-quality doc, rejected = the
+    * lower, prompt = the chosen doc's first 8 tokens. The middle doc
+    * of an odd bucket stays unpaired. Scale shape: the window and the
+    * pair-merge both run on (source, bucket) — bucket count is the
+    * parallelism knob, sized to the corpus like nShards — and ONLY
+    * (source, bucket, id, q, two 40-bit digests) ever shuffle; texts
+    * and prompts hash PRE-shuffle, so pairing two docs never moves
+    * their bytes. Margin sum is an exact integer; the three digests
+    * pin pair membership and orientation. */
+  private val DpoB = 8L
+  private val packDpo = Q("q_pack_dpo",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ws = TextAnalysis.tokens(col("text"))
+      val t0 = docs(s, d).select(col("source"), col("doc_id"),
+        size(array_distinct(ws)).as("q"),
+        (TextAnalysis.tokenHash(col("text")) % lit(DigestMod)).as("h_text"),
+        (TextAnalysis.tokenHash(array_join(slice(ws, 1, 8), " "))
+          % lit(DigestMod)).as("h_prompt"),
+        pmod(TextAnalysis.tokenHash(
+          concat(col("doc_id").cast("string"), lit("#dpo"))), lit(DpoB))
+          .as("b"))
+      val w = Window.partitionBy("source", "b")
+      val rnk = row_number().over(
+        w.orderBy(col("q").desc, col("doc_id").asc))
+      val m = count(lit(1)).over(w)
+      val ranked = t0.select(col("source"), col("b"), col("q"),
+          col("h_text"), col("h_prompt"), rnk.as("rnk"), m.as("m"))
+        .where(col("rnk") * 2 =!= col("m") + 1)
+      val chosen = col("rnk") * 2 < col("m") + 1
+      ranked.groupBy(col("source"), col("b"),
+          least(col("rnk"), col("m") + 1 - col("rnk")).as("pid"))
+        .agg(max(when(chosen, col("q"))).as("qc"),
+          max(when(!chosen, col("q"))).as("qr"),
+          max(when(chosen, col("h_text"))).as("hc"),
+          max(when(!chosen, col("h_text"))).as("hr"),
+          max(when(chosen, col("h_prompt"))).as("hp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("qc") - col("qr")).as("margin_sum"),
+          sum(col("hc")).as("chosen_sum"),
+          sum(col("hr")).as("rejected_sum"),
+          sum(col("hp")).as("prompt_sum"))
+        .orderBy("source")
+    },
+    "WITH t AS (SELECT source, doc_id, " +
+      "len(list_distinct(string_split(text, ' '))) AS q, " +
+      s"${TextAnalysis.TokenHashSql("text")} % $DigestMod AS h_text, " +
+      s"${TextAnalysis.TokenHashSql(
+        "array_to_string(string_split(text, ' ')[1:8], ' ')")} " +
+      s"% $DigestMod AS h_prompt, " +
+      s"${TextAnalysis.TokenHashSql(
+        "CAST(doc_id AS VARCHAR) || '#dpo'")} % $DpoB AS b " +
+      "FROM documents), " +
+      "w AS (SELECT *, row_number() OVER (PARTITION BY source, b " +
+      "ORDER BY q DESC, doc_id ASC) AS rnk, " +
+      "count(*) OVER (PARTITION BY source, b) AS m FROM t), " +
+      "p AS (SELECT source, b, least(rnk, m + 1 - rnk) AS pid, " +
+      "max(CASE WHEN rnk * 2 < m + 1 THEN q END) AS qc, " +
+      "max(CASE WHEN rnk * 2 > m + 1 THEN q END) AS qr, " +
+      "max(CASE WHEN rnk * 2 < m + 1 THEN h_text END) AS hc, " +
+      "max(CASE WHEN rnk * 2 > m + 1 THEN h_text END) AS hr, " +
+      "max(CASE WHEN rnk * 2 < m + 1 THEN h_prompt END) AS hp " +
+      "FROM w WHERE rnk * 2 <> m + 1 GROUP BY source, b, pid) " +
+      "SELECT source, count(*) AS n_pairs, " +
+      "CAST(sum(qc - qr) AS BIGINT) AS margin_sum, " +
+      "CAST(sum(hc) AS BIGINT) AS chosen_sum, " +
+      "CAST(sum(hr) AS BIGINT) AS rejected_sum, " +
+      "CAST(sum(hp) AS BIGINT) AS prompt_sum " +
+      "FROM p GROUP BY source ORDER BY source")
+
   /** Vocabulary growth curve (Heaps-law saturation diagnostic): per
     * source, the distinct-token count over the hash-ordered 25/50/
     * 75/100% doc subsets — a source whose tail quartile still adds
@@ -6270,7 +6345,7 @@ object PipelineQueries {
     statsRollup, statsCorr, statsWinsorize, statsMad, statsMi, statsKs,
     topkPerGroup,
     shardManifest, packSequences, packNoSplit, packLenBatch, packBpe,
-    packFim, packSpanCorrupt, packChat,
+    packFim, packSpanCorrupt, packChat, packDpo,
     mixUnimax, mixUnimaxRealize, sampleShuffle, sampleBudget,
     pipelineTrainorder)
 }

@@ -83,6 +83,28 @@ class Round9EdgeSpec extends AnyFunSuite {
     assert(got(101L) == ((101L, false)), s"${got(101L)}")
   }
 
+  test("q_pack_dpo: pair count equals Σ floor(m/2) over (source, " +
+    "bucket) computed independently, and every margin is nonnegative " +
+    "(chosen is never the lower-quality doc)") {
+    val s = spark
+    val d = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("q_pack_dpo")(s, d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out.nonEmpty)
+    out.values.foreach { case (np, margin) =>
+      assert(np > 0 && margin >= 0L)
+    }
+    // independent pair count: bucket sizes via a straight groupBy
+    val expected = s.read.parquet(s"$d/documents.parquet")
+      .groupBy(col("source"), pmod(TextAnalysis.tokenHash(
+        concat(col("doc_id").cast("string"), lit("#dpo"))), lit(8L)).as("b"))
+      .agg(count(lit(1)).as("m"))
+      .groupBy("source").agg(sum(floor(col("m") / 2)).as("np"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.view.mapValues(_._1).toMap == expected)
+  }
+
   test("chatTemplate: markers strip back to the original text, masked " +
     "+ unmasked = n, T ∈ {2,4} for n ≥ 4, and short docs render as a " +
     "single unmasked user turn") {
