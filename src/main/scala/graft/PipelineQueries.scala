@@ -2363,6 +2363,47 @@ object PipelineQueries {
       "CAST(sum(hp) AS BIGINT) AS prompt_sum " +
       "FROM p GROUP BY source ORDER BY source")
 
+  /** Soft deduplication (SlimPajama/SoftDeDup-style loss weights):
+    * instead of DROPPING near-duplicates, every doc keeps weight
+    * 1/|cluster| from the MinHash-cluster closure — a cluster of k
+    * copies contributes one doc's worth of loss mass, but rare
+    * phrasing inside the family still gets gradient signal. Per
+    * source: docs, downweighted docs, effective doc mass Σ1/sz and
+    * effective token mass Σ n_tok/sz (the number a token-budget
+    * planner would consume). Reuses the verified O(log n)
+    * alternating-star closure; the weight join runs on the post-agg
+    * cluster grain (8-byte keys), texts never shuffle. */
+  private val dedupSoft = Q("q_dedup_soft",
+    (s, d) => {
+      val d0 = docs(s, d)
+      val cl = Dedup.minhashClusters(d0, "text", "doc_id",
+        maxBucket = MinhashCap)
+      val csz = cl.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      cl.join(csz, "cluster_id")
+        .join(d0.select(col("doc_id"), col("source"),
+          TextAnalysis.wordCount(col("text")).as("nt")), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("sz") > 1, 1L).otherwise(0L)).as("n_down"),
+          round(sum(lit(1.0) / col("sz")), 5).as("eff_docs"),
+          round(sum(col("nt").cast("double") / col("sz")), 5)
+            .as("eff_toks"))
+        .orderBy("source")
+    },
+    s"WITH RECURSIVE $closureCtes, " +
+      "csz AS (SELECT cluster_id, count(*) AS sz FROM comp " +
+      "GROUP BY cluster_id), " +
+      "j AS (SELECT d.source, csz.sz, " +
+      "length(d.text) - length(replace(d.text, ' ', '')) + 1 AS nt " +
+      "FROM comp JOIN csz USING (cluster_id) " +
+      "JOIN documents d ON d.doc_id = comp.node) " +
+      "SELECT source, count(*) AS n_docs, " +
+      "CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_down, " +
+      "round(sum(CAST(1 AS DOUBLE) / sz), 5) AS eff_docs, " +
+      "round(sum(CAST(nt AS DOUBLE) / sz), 5) AS eff_toks " +
+      "FROM j GROUP BY source ORDER BY source")
+
   /** Vocabulary growth curve (Heaps-law saturation diagnostic): per
     * source, the distinct-token count over the hash-ordered 25/50/
     * 75/100% doc subsets — a source whose tail quartile still adds
@@ -6345,7 +6386,7 @@ object PipelineQueries {
     statsRollup, statsCorr, statsWinsorize, statsMad, statsMi, statsKs,
     topkPerGroup,
     shardManifest, packSequences, packNoSplit, packLenBatch, packBpe,
-    packFim, packSpanCorrupt, packChat, packDpo,
+    packFim, packSpanCorrupt, packChat, packDpo, dedupSoft,
     mixUnimax, mixUnimaxRealize, sampleShuffle, sampleBudget,
     pipelineTrainorder)
 }

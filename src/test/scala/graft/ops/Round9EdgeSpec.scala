@@ -105,6 +105,17 @@ class Round9EdgeSpec extends AnyFunSuite {
     assert(out.view.mapValues(_._1).toMap == expected)
   }
 
+  test("q_dedup_soft: total effective doc mass equals the cluster " +
+    "count (Σ 1/sz over members telescopes to one per cluster)") {
+    val s = spark
+    val d = "/root/testdata/sf0.001"
+    val eff = graft.SparkEntry.queries("q_dedup_soft")(s, d)
+      .agg(sum(col("eff_docs"))).collect()(0).getDouble(0)
+    val nClusters = graft.SparkEntry.queries("q_dedup_clusters")(s, d)
+      .collect()(0).getAs[Long]("n_clusters")
+    assert(math.abs(eff - nClusters) < 1e-3, s"$eff vs $nClusters")
+  }
+
   test("chatTemplate: markers strip back to the original text, masked " +
     "+ unmasked = n, T ∈ {2,4} for n ≥ 4, and short docs render as a " +
     "single unmasked user turn") {
