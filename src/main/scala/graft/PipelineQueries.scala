@@ -6137,6 +6137,63 @@ object PipelineQueries {
       "FROM g JOIN cnts ca ON ca.source = g.sa " +
       "JOIN cnts cb ON cb.source = g.sb ORDER BY sa, sb")
 
+  /** KMV set algebra over source vocabularies
+    * ([[graft.ops.Sketches.kmvSetOps]]): union and intersection
+    * CARDINALITY estimates per source pair from the merged bottom-k's
+    * k-th order statistic — (k−1)·2⁶⁰/h_k — beside the exact
+    * vocab-grain truth (the calibration harness you run at sample
+    * scale to size k before trusting the sketch on the corpus). When
+    * the merged sketch holds the entire union the estimate is exact
+    * BY DEFINITION (k_used < k branch). Integer order statistics
+    * through identical double expressions: bit-exact cross-engine. */
+  private val sketchKmv = Q("q_sketch_kmv",
+    (s, d) => graft.ops.Sketches.kmvSetOps(
+        docs(s, d).select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok")),
+        col("source"), TextAnalysis.tokenHash(col("tok")), BkK)
+      .withColumnRenamed("ga", "sa").withColumnRenamed("gb", "sb")
+      .orderBy("sa", "sb"),
+    "WITH toks AS (SELECT source, " +
+      s"${TextAnalysis.TokenHashSql("tok")} AS h " +
+      "FROM (SELECT source, unnest(string_split(text, ' ')) AS tok " +
+      "FROM documents)), " +
+      "dh AS (SELECT DISTINCT source, h FROM toks), " +
+      "cnts AS (SELECT source, count(*) AS n_h FROM dh GROUP BY source), " +
+      "rk AS (SELECT source, h, row_number() OVER (PARTITION BY source " +
+      "ORDER BY h) AS rn FROM dh), " +
+      s"bkt AS (SELECT source, h FROM rk WHERE rn <= $BkK), " +
+      "prs AS (SELECT a.source AS sa, b.source AS sb FROM cnts a " +
+      "JOIN cnts b ON a.source < b.source), " +
+      "pu AS (SELECT prs.sa, prs.sb, bkt.h, 1 AS ia, 0 AS ib " +
+      "FROM prs JOIN bkt ON bkt.source = prs.sa " +
+      "UNION ALL SELECT prs.sa, prs.sb, bkt.h, 0 AS ia, 1 AS ib " +
+      "FROM prs JOIN bkt ON bkt.source = prs.sb), " +
+      "u AS (SELECT sa, sb, h, max(ia) AS ia, max(ib) AS ib FROM pu " +
+      "GROUP BY 1, 2, 3), " +
+      "w AS (SELECT sa, sb, h, ia, ib, row_number() OVER (PARTITION BY " +
+      "sa, sb ORDER BY h) AS rn FROM u), " +
+      "g AS (SELECT sa, sb, count(*) AS k_used, max(h) AS h_k, " +
+      "CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END) " +
+      s"AS BIGINT) AS n_inter_sig FROM w WHERE rn <= $BkK " +
+      "GROUP BY sa, sb), " +
+      "ex AS (SELECT a.source AS sa, b.source AS sb, " +
+      "count(*) AS exact_inter FROM dh a JOIN dh b " +
+      "ON a.h = b.h AND a.source < b.source GROUP BY 1, 2), " +
+      s"es AS (SELECT g.*, CASE WHEN g.k_used < $BkK " +
+      "THEN CAST(g.k_used AS DOUBLE) " +
+      s"ELSE CAST(g.k_used - 1 AS DOUBLE) * ${graft.ops.Sketches.KmvSpace} " +
+      "/ CAST(g.h_k AS DOUBLE) END AS eu FROM g) " +
+      "SELECT es.sa, es.sb, ca.n_h AS n_a, cb.n_h AS n_b, es.k_used, " +
+      "es.n_inter_sig, coalesce(ex.exact_inter, 0) AS exact_inter, " +
+      "ca.n_h + cb.n_h - coalesce(ex.exact_inter, 0) AS exact_union, " +
+      "round(es.eu, 5) AS est_union, " +
+      "round(es.eu * CAST(es.n_inter_sig AS DOUBLE) " +
+      "/ CAST(es.k_used AS DOUBLE), 5) AS est_inter " +
+      "FROM es JOIN cnts ca ON ca.source = es.sa " +
+      "JOIN cnts cb ON cb.source = es.sb " +
+      "LEFT JOIN ex ON ex.sa = es.sa AND ex.sb = es.sb " +
+      "ORDER BY es.sa, es.sb")
+
   /** Mutual information between two discretized document features
     * (length bucket × token-count bucket) — the feature-dependence
     * data card ("is this quality signal redundant with length?").
@@ -6371,7 +6428,7 @@ object PipelineQueries {
     textPerplexity, textPmi, textDistinctN, textBm25, textRrf, textPii,
     textContamination, sketchHll,
     sketchHllBy, sketchCms, sketchAms, sketchQuantile, sketchQuantileBy,
-    sketchHeavyHitters, sketchBottomK,
+    sketchHeavyHitters, sketchBottomK, sketchKmv,
     textDupNgrams, textNovelty, textDrift, textLineDedup,
     textLineDedupApply,
     textUrls,

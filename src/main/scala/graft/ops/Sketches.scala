@@ -499,4 +499,81 @@ object Sketches {
         round(col("n_inter").cast("double") /
           col("k_used").cast("double"), 5).as("est_jaccard"))
   }
+
+  /** Size of the 60-bit token-hash space — the KMV estimator's scale
+    * constant (2⁶⁰, exactly representable in a double). */
+  val KmvSpace: Double = 1152921504606846976.0
+
+  /** KMV (k-minimum-values) set algebra over group key sets: for
+    * every unordered group pair, the UNION cardinality estimate from
+    * the k-th order statistic of the merged sketch — |A∪B| ≈
+    * (k−1)·2⁶⁰/h_k — and the INTERSECTION estimate est_union·Ĵ
+    * (Beyer et al. 2007). When the merged sketch holds the whole
+    * union (k_used < k) the sketch IS the union and the estimate is
+    * exact by definition. Alongside the estimates: the EXACT
+    * intersection/union from a vocab-grain self-join — the truth
+    * harness that calibrates k before a production run (the
+    * q_dedup_lsh_recall discipline). All sketch arithmetic on exact
+    * integer hashes through identical double expressions, so both
+    * estimates are bit-exact cross-engine.
+    *
+    * Scale shape: distinct on the (group, key) grain → ONE
+    * O(k)-state [[TopK.topK]] aggregate per group → pair math on the
+    * groups×k signature table (model-sized). The exact columns join
+    * the vocab grain on fixed-width int keys — the harness's cost,
+    * not the estimator's; drop them at corpus scale. */
+  def kmvSetOps(df: DataFrame, group: Column, key: Column,
+                k: Int): DataFrame = {
+    require(k >= 2)
+    import org.apache.spark.sql.expressions.Window
+    val dh = df.select(group.as("__g"), key.cast("long").as("__h"))
+      .distinct()
+    val cnts = dh.groupBy("__g").agg(count(lit(1)).as("n_h"))
+    val bk = dh.groupBy("__g")
+      .agg(TopK.topK((-col("__h")).cast("double"), col("__h"), k)
+        .as("__tk"))
+      .select(col("__g"), explode(col("__tk")).as("__e"))
+      .select(col("__g"), col("__e.id").as("__h"))
+    val srcs = cnts.select("__g")
+    val pairs = srcs.select(col("__g").as("ga"))
+      .crossJoin(srcs.select(col("__g").as("gb")))
+      .where(col("ga") < col("gb"))
+    val pa = pairs.join(bk.withColumnRenamed("__g", "ga"), Seq("ga"))
+      .select(col("ga"), col("gb"), col("__h"),
+        lit(1).as("ia"), lit(0).as("ib"))
+    val pb = pairs.join(bk.withColumnRenamed("__g", "gb"), Seq("gb"))
+      .select(col("ga"), col("gb"), col("__h"),
+        lit(0).as("ia"), lit(1).as("ib"))
+    val u = pa.unionByName(pb).groupBy("ga", "gb", "__h")
+      .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+    val w = Window.partitionBy("ga", "gb").orderBy("__h")
+    val est = u.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .groupBy("ga", "gb")
+      .agg(count(lit(1)).as("k_used"),
+        max(col("__h")).as("h_k"),
+        sum(when(col("ia") === 1 && col("ib") === 1, 1L)
+          .otherwise(0L)).as("n_inter_sig"))
+    val exact = dh.as("a").join(dh.as("b"),
+        col("a.__h") === col("b.__h") && col("a.__g") < col("b.__g"))
+      .groupBy(col("a.__g").as("ga"), col("b.__g").as("gb"))
+      .agg(count(lit(1)).as("exact_inter"))
+    val estU = when(col("k_used") < k, col("k_used").cast("double"))
+      .otherwise((col("k_used") - 1).cast("double") * lit(KmvSpace)
+        / col("h_k").cast("double"))
+    est
+      .join(cnts.select(col("__g").as("ga"), col("n_h").as("n_a")),
+        Seq("ga"))
+      .join(cnts.select(col("__g").as("gb"), col("n_h").as("n_b")),
+        Seq("gb"))
+      .join(exact, Seq("ga", "gb"), "left")
+      .select(col("ga"), col("gb"), col("n_a"), col("n_b"),
+        col("k_used"), col("n_inter_sig"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"),
+        (col("n_a") + col("n_b")
+          - coalesce(col("exact_inter"), lit(0L))).as("exact_union"),
+        round(estU, 5).as("est_union"),
+        round(estU * col("n_inter_sig").cast("double")
+          / col("k_used").cast("double"), 5).as("est_inter"))
+  }
 }

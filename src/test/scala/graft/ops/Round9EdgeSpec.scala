@@ -116,6 +116,37 @@ class Round9EdgeSpec extends AnyFunSuite {
     assert(math.abs(eff - nClusters) < 1e-3, s"$eff vs $nClusters")
   }
 
+  test("kmvSetOps: a union that fits in k estimates EXACTLY (sketch = " +
+    "set); a union that overflows k estimates within the ±1/√k band") {
+    val s = spark
+    import s.implicits._
+    // groups: tiny (20 keys) ∪ tiny2 (20 keys, 10 shared) fits k=64;
+    // big1/big2: 4000 keys each, 2000 shared — overflows k
+    val rows =
+      (1L to 20L).map(i => ("tinyA", i)) ++
+      (11L to 30L).map(i => ("tinyB", i)) ++
+      (1L to 4000L).map(i => ("big1", i * 2654435761L % 1000003L)) ++
+      (2001L to 6000L).map(i => ("big2", i * 2654435761L % 1000003L))
+    val df = rows.toDF("g", "k")
+    val out = Sketches.kmvSetOps(df, col("g"),
+        // spread keys over the 60-bit space via the portable hash
+        graft.ops.TextAnalysis.tokenHash(col("k").cast("string")), 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val tiny = out(("tinyA", "tinyB"))
+    assert(tiny.getAs[Double]("est_union") ==
+      tiny.getAs[Long]("exact_union").toDouble)
+    assert(tiny.getAs[Double]("est_inter") ==
+      tiny.getAs[Long]("exact_inter").toDouble)
+    val big = out(("big1", "big2"))
+    val eu = big.getAs[Double]("est_union")
+    val xu = big.getAs[Long]("exact_union").toDouble
+    // 3σ ≈ 3/√64 = 37.5% relative error bound
+    assert(math.abs(eu - xu) / xu < 0.375, s"est_union $eu vs $xu")
+    val ei = big.getAs[Double]("est_inter")
+    val xi = big.getAs[Long]("exact_inter").toDouble
+    assert(math.abs(ei - xi) / xi < 0.5, s"est_inter $ei vs $xi")
+  }
+
   test("chatTemplate: markers strip back to the original text, masked " +
     "+ unmasked = n, T ∈ {2,4} for n ≥ 4, and short docs render as a " +
     "single unmasked user turn") {
