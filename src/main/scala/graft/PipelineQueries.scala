@@ -2404,6 +2404,70 @@ object PipelineQueries {
       "round(sum(CAST(nt AS DOUBLE) / sz), 5) AS eff_toks " +
       "FROM j GROUP BY source ORDER BY source")
 
+  /** Per-document keyword extraction: top-3 tokens by TF·IDF where
+    * idf is the INTEGER fixed point (N·2²⁰) div df — monotone in df,
+    * exact in both engines, no transcendental-ordering hazard (ln-idf
+    * would rank by a last-ulp-sensitive double). Tie-break on the
+    * token hash. Scale shape: tf on the (doc, hash) grain (20-byte
+    * rows, strings never shuffle), df from tf on the vocab grain,
+    * df joined back on the post-agg hash key, ONE O(3)-state TopK
+    * aggregate per doc (map-side partial, no rank window), source
+    * attached by id join at the end. The per-doc digest
+    * Σ rank·(hash mod 2⁴⁰) mod p pins keyword identity AND order. */
+  private val textKeywords = Q("q_text_keywords",
+    (s, d) => {
+      val d0 = docs(s, d)
+      val tf = d0.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"),
+          TextAnalysis.tokenHash(col("tok")).as("th"))
+        .agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy("th").agg(count(lit(1)).as("df"))
+      val nd = d0.agg(count(lit(1)).as("nd"))
+      val a = col("nd") * lit(1048576L)
+      val scored = tf.join(dfc, "th").crossJoin(nd)
+        .select(col("doc_id"), col("th"),
+          (col("tf") * ((a - pmod(a, col("df"))) / col("df"))
+            .cast("long")).as("score"))
+      val perdoc = scored.groupBy("doc_id")
+        .agg(graft.ops.TopK.topK(col("score").cast("double"),
+          col("th"), 3).as("tk"))
+        .select(col("doc_id"), posexplode(col("tk")).as(Seq("j", "e")))
+        .groupBy("doc_id")
+        .agg(pmod(sum((col("j") + 1)
+            * pmod(col("e.id"), lit(DigestMod))), lit(CleanSumMod))
+          .as("digest"),
+          max(when(col("j") === 0, col("e.score"))).cast("long")
+            .as("top1"))
+      perdoc.join(d0.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("digest")).as("kw_digest"),
+          sum(col("top1")).as("top1_sum"))
+        .orderBy("source")
+    },
+    "WITH tfh AS (SELECT doc_id, " +
+      s"${TextAnalysis.TokenHashSql("tok")} AS th, count(*) AS tf " +
+      "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+      "FROM documents) GROUP BY doc_id, th), " +
+      "dfc AS (SELECT th, count(*) AS df FROM tfh GROUP BY th), " +
+      "nd AS (SELECT count(*) AS nd FROM documents), " +
+      "sc AS (SELECT tfh.doc_id, tfh.th, " +
+      "tfh.tf * ((nd.nd * 1048576) // dfc.df) AS score " +
+      "FROM tfh JOIN dfc USING (th) CROSS JOIN nd), " +
+      "rk AS (SELECT doc_id, th, score, row_number() OVER " +
+      "(PARTITION BY doc_id ORDER BY score DESC, th ASC) AS rn " +
+      "FROM sc), " +
+      s"pd AS (SELECT doc_id, sum(rn * (th % $DigestMod)) " +
+      s"% $CleanSumMod AS digest, " +
+      "max(CASE WHEN rn = 1 THEN score END) AS top1 " +
+      "FROM rk WHERE rn <= 3 GROUP BY doc_id) " +
+      "SELECT d.source, count(*) AS n_docs, " +
+      "CAST(sum(pd.digest) AS BIGINT) AS kw_digest, " +
+      "CAST(sum(pd.top1) AS BIGINT) AS top1_sum " +
+      "FROM pd JOIN documents d USING (doc_id) " +
+      "GROUP BY d.source ORDER BY d.source")
+
   /** Vocabulary growth curve (Heaps-law saturation diagnostic): per
     * source, the distinct-token count over the hash-ordered 25/50/
     * 75/100% doc subsets — a source whose tail quartile still adds
@@ -6443,7 +6507,7 @@ object PipelineQueries {
     statsRollup, statsCorr, statsWinsorize, statsMad, statsMi, statsKs,
     topkPerGroup,
     shardManifest, packSequences, packNoSplit, packLenBatch, packBpe,
-    packFim, packSpanCorrupt, packChat, packDpo, dedupSoft,
+    packFim, packSpanCorrupt, packChat, packDpo, dedupSoft, textKeywords,
     mixUnimax, mixUnimaxRealize, sampleShuffle, sampleBudget,
     pipelineTrainorder)
 }
