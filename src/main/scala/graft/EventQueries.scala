@@ -485,8 +485,52 @@ object EventQueries {
         "FROM c GROUP BY event_type ORDER BY event_type"
     })
 
+  /** Hour-of-day seasonal decomposition + 3σ residual anomaly cells
+    * ([[Events.seasonalAnomalies]]): per type, the cell count, the
+    * anomalous-cell count, the seasonal amplitude (peak-hour minus
+    * trough-hour mean), and the anomalous cells' (day·24+hour)
+    * checksum. Every sum the test depends on is exact int64 (values
+    * quantized to µ-units at the event grain; squared residuals
+    * floor-quantized before summing), so the 3σ comparison is pure
+    * integer arithmetic — no order-dependent double anywhere. */
+  private val eventsSeasonal = Q("q_events_seasonal",
+    (s, d) => Events.seasonalAnomalies(events(s, d), "event_type",
+        "ts", "value")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_cells"),
+        sum(when(col("anom"), 1L).otherwise(0L)).as("n_anom"),
+        round((max(col("seas_mean")) - min(col("seas_mean")))
+          / lit(1000000.0), 5).as("amplitude"),
+        sum(when(col("anom"), col("day") * 24 + col("hour"))
+          .otherwise(0L)).as("anom_ck"))
+      .orderBy("event_type"),
+    "WITH e AS (SELECT event_type, epoch_ns(ts) AS tsn, " +
+      "CAST(floor(value * 1000000.0) AS BIGINT) AS vfx " +
+      "FROM events WHERE value IS NOT NULL), " +
+      "cells AS (SELECT event_type, tsn // 86400000000000 AS day, " +
+      "(tsn // 3600000000000) % 24 AS hour, " +
+      "count(*) AS cnt, sum(vfx) AS sfx FROM e GROUP BY 1, 2, 3), " +
+      "seas AS (SELECT event_type, hour, sum(cnt) AS scnt, " +
+      "sum(sfx) AS ssfx FROM cells GROUP BY 1, 2), " +
+      "r AS (SELECT c.event_type, c.day, c.hour, " +
+      "CAST(c.sfx AS DOUBLE) / c.cnt AS cm, " +
+      "CAST(s.ssfx AS DOUBLE) / s.scnt AS sm " +
+      "FROM cells c JOIN seas s USING (event_type, hour)), " +
+      "r2 AS (SELECT *, CAST(floor(((cm - sm) / 1000000.0) * " +
+      "((cm - sm) / 1000000.0) * 1000000.0) AS BIGINT) AS r2fx " +
+      "FROM r), " +
+      "dd AS (SELECT event_type, count(*) AS n_cells, " +
+      "sum(r2fx) AS sr2 FROM r2 GROUP BY 1) " +
+      "SELECT r2.event_type, max(dd.n_cells) AS n_cells, " +
+      "CAST(sum(CASE WHEN r2.r2fx * dd.n_cells > 9 * dd.sr2 " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS n_anom, " +
+      "round((max(r2.sm) - min(r2.sm)) / 1000000.0, 5) AS amplitude, " +
+      "CAST(sum(CASE WHEN r2.r2fx * dd.n_cells > 9 * dd.sr2 " +
+      "THEN r2.day * 24 + r2.hour ELSE 0 END) AS BIGINT) AS anom_ck " +
+      "FROM r2 JOIN dd USING (event_type) GROUP BY 1 ORDER BY 1")
+
   val all: Vector[Q] = Vector(eventsAsof, eventsSessionize, eventsProps,
     eventsRange, eventsZorder, eventsWindow, eventsFunnel,
     eventsRetention, eventsTransitions, eventsEwma, eventsCusum,
-    eventsDecayed, eventsPaths, eventsInterarrival)
+    eventsDecayed, eventsPaths, eventsInterarrival, eventsSeasonal)
 }

@@ -476,4 +476,59 @@ object Events {
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
+
+  /** Hour-of-day seasonal decomposition with residual anomaly cells
+    * (STL-lite for event streams): events aggregate to (type, day,
+    * hour-of-day) cells; the seasonal baseline is each (type, hour)'s
+    * mean over all days; a cell is anomalous when its squared
+    * residual exceeds 9× the type's mean squared residual (the 3σ
+    * rule on the cell grain).
+    *
+    * Determinism discipline: values quantize ONCE to integer
+    * micro-units at the event grain, so every sum is exact int64 and
+    * every mean is one correctly-rounded division of exact integers —
+    * the residuals are bit-identical cross-engine. Squared residuals
+    * FLOOR-QUANTIZE to int64 micro-units before summing (the decayed-
+    * mass discipline), so the anomaly test `r²_fx · n > 9 · Σ r²_fx`
+    * is pure integer comparison — no order-dependent double sum
+    * anywhere. Null values drop (the [[ewma]] normalization).
+    *
+    * Scale shape: one map-side-partial aggregate onto the bounded
+    * (type, day, hour) cell grain; baseline and variance are cell-
+    * grain rollups joined back on post-agg keys. Returns one row per
+    * cell: (typeCol, day, hour, cnt, cell_mean, seas_mean, r2_fx,
+    * anom). */
+  def seasonalAnomalies(df: DataFrame, typeCol: String, tsCol: String,
+                        valCol: String): DataFrame = {
+    val HourNs = 3600L * 1000000000L
+    val cells = df.where(col(valCol).isNotNull)
+      .select(col(typeCol),
+        expr(s"`$tsCol` div ${24 * HourNs}").as("day"),
+        pmod(expr(s"`$tsCol` div $HourNs"), lit(24L)).as("hour"),
+        floor(col(valCol).cast("double") * lit(1000000.0)).cast("long")
+          .as("vfx"))
+      .groupBy(typeCol, "day", "hour")
+      .agg(count(lit(1)).as("cnt"), sum(col("vfx")).as("sfx"))
+    val seas = cells.groupBy(typeCol, "hour")
+      .agg(sum(col("cnt")).as("scnt"), sum(col("sfx")).as("ssfx"))
+    val withR = cells.join(seas, Seq(typeCol, "hour"))
+      .withColumn("cell_mean",
+        col("sfx").cast("double") / col("cnt").cast("double"))
+      .withColumn("seas_mean",
+        col("ssfx").cast("double") / col("scnt").cast("double"))
+      // residual in VALUE units (µ-units / 1e6), squared, floor-
+      // quantized back to µ-units: ≤ (maxval)²·1e6 per cell, int64-
+      // safe summed over the bounded cell grain
+      .withColumn("r2_fx", floor(
+        ((col("cell_mean") - col("seas_mean")) / lit(1000000.0))
+          * ((col("cell_mean") - col("seas_mean")) / lit(1000000.0))
+          * lit(1000000.0)).cast("long"))
+    val disp = withR.groupBy(typeCol)
+      .agg(count(lit(1)).as("n_cells"), sum(col("r2_fx")).as("sum_r2"))
+    withR.join(disp, Seq(typeCol))
+      .withColumn("anom",
+        col("r2_fx") * col("n_cells") > lit(9L) * col("sum_r2"))
+      .select(col(typeCol), col("day"), col("hour"), col("cnt"),
+        col("cell_mean"), col("seas_mean"), col("r2_fx"), col("anom"))
+  }
 }
