@@ -1040,6 +1040,57 @@ object PipelineQueries {
       s"AS n_diverted FROM bsz WHERE bn > $EmbedCap) " +
       "SELECT agg.*, os.* FROM agg CROSS JOIN os")
 
+  /** Embedding-space benchmark contamination: flag corpus vectors
+    * whose max cosine against ANY eval-set vector exceeds τ — the
+    * semantic twin of n-gram decontamination (q_text_contamination),
+    * catching paraphrased eval leakage that token overlap misses.
+    * Eval membership is a deterministic id draw (vec_id ≡ 0 mod 101).
+    * Scale shape: the eval set is MODEL-SIZED by definition (a
+    * benchmark), so the scan is a broadcast nested-loop map over the
+    * corpus — no shuffle of corpus vectors, partial max per corpus
+    * row collapses before the label rollup. Flagged ids pinned by
+    * checksum. */
+  private val ContamTau = 0.35
+  private val embedContamination = Q("q_embed_contamination",
+    (s, d) => {
+      val e = embs(s, d).select(col("vec_id"), col("label"),
+        col("embedding"),
+        sqrt(Similarity.dot(col("embedding"), col("embedding")))
+          .as("nrm"))
+      val ev = e.where(pmod(col("vec_id"), lit(101L)) === 0)
+        .select(col("embedding").as("eemb"), col("nrm").as("enrm"))
+      val corpus = e.where(pmod(col("vec_id"), lit(101L)) =!= 0)
+      corpus.crossJoin(broadcast(ev))
+        .select(col("vec_id"), col("label"),
+          (Similarity.dot(col("embedding"), col("eemb"))
+            / (col("nrm") * col("enrm"))).as("cos"))
+        .groupBy("vec_id", "label")
+        .agg(max(col("cos")).as("mc"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_corpus"),
+          sum(when(col("mc") >= ContamTau, 1L).otherwise(0L))
+            .as("n_flagged"),
+          round(avg(col("mc")), 5).as("avg_maxcos"),
+          sum(when(col("mc") >= ContamTau, col("vec_id"))
+            .otherwise(0L)).as("flagged_ids"))
+        .orderBy("label")
+    },
+    "WITH e AS (SELECT vec_id, label, embedding AS emb, " +
+      s"sqrt(${dotSql("embedding", "embedding")}) AS nrm " +
+      "FROM embeddings), " +
+      "ev AS (SELECT emb, nrm FROM e WHERE vec_id % 101 = 0), " +
+      "c AS (SELECT * FROM e WHERE vec_id % 101 <> 0), " +
+      "m AS (SELECT c.vec_id, c.label, " +
+      s"max(${dotSql("c.emb", "ev.emb")} / (c.nrm * ev.nrm)) AS mc " +
+      "FROM c CROSS JOIN ev GROUP BY c.vec_id, c.label) " +
+      "SELECT label, count(*) AS n_corpus, " +
+      s"CAST(sum(CASE WHEN mc >= $ContamTau THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_flagged, " +
+      "round(avg(mc), 5) AS avg_maxcos, " +
+      s"CAST(sum(CASE WHEN mc >= $ContamTau THEN vec_id ELSE 0 END) " +
+      "AS BIGINT) AS flagged_ids " +
+      "FROM m GROUP BY label ORDER BY label")
+
   /** Int8 scalar quantization (SQ8): per-label code checksum (pins
     * every code exactly), reconstruction error, and decoded norm —
     * one map-only scan; the 4×-compression codec next to PQ's
@@ -6484,7 +6535,7 @@ object PipelineQueries {
     embedKnnGraph, embedPageRank, embedLabelProp, embedGraphStats,
     embedRp, embedRpAnn, embedIvf, embedIvfMp,
     embedKmeans, embedCoreset, embedCovariance, embedOutliers, embedDrift, gpRff,
-    embedPq, embedIvfPq, embedRerank, embedSq8,
+    embedPq, embedIvfPq, embedRerank, embedSq8, embedContamination,
     textLangid, textQuality, textTokens, textNormalize, textFingerprint,
     textVocab, vocabGrowth, textClassifier, textChunks, textBpe, textFertility,
     textEntropy, textC4, textHashEmbed,

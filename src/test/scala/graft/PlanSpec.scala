@@ -392,4 +392,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!bkPlan.contains("windowspecdefinition()"),
       "q_sketch_bottomk: unpartitioned Window")
   }
+
+  test("round-9b ops keep their scale shapes: chat render is a pure " +
+    "map (no window, no join), DPO pairing windows carry their " +
+    "(source, bucket) key, keyword extraction never plans a rank " +
+    "window, contamination broadcasts the eval side, KMV's only " +
+    "window runs on the pair-signature grain") {
+    val ch = SparkEntry.queries("q_pack_chat")(spark, sf)
+    ch.collect()
+    val chPlan = ch.queryExecution.executedPlan.toString
+    assert(!chPlan.contains("Window"), "q_pack_chat: Window in plan")
+    assert(!chPlan.contains("Join"), "q_pack_chat: join in plan")
+    val dpo = SparkEntry.queries("q_pack_dpo")(spark, sf)
+    dpo.collect()
+    val dpoPlan = dpo.queryExecution.executedPlan.toString
+    assert(dpoPlan.contains("Window"), "q_pack_dpo: expected window")
+    assert(!dpoPlan.contains("windowspecdefinition()"),
+      "q_pack_dpo: unpartitioned Window")
+    val kw = SparkEntry.queries("q_text_keywords")(spark, sf)
+    kw.collect()
+    val kwPlan = kw.queryExecution.executedPlan.toString
+    assert(!kwPlan.contains("Window"),
+      "q_text_keywords: rank window crept in (TopK agg is the shape)")
+    val ct = SparkEntry.queries("q_embed_contamination")(spark, sf)
+    ct.collect()
+    val ctPlan = ct.queryExecution.executedPlan.toString
+    assert(ctPlan.contains("BroadcastNestedLoopJoin"),
+      "q_embed_contamination: eval side should broadcast")
+    assert(!ctPlan.contains("SortMergeJoin"),
+      "q_embed_contamination: corpus-shuffling join")
+    val kmv = SparkEntry.queries("q_sketch_kmv")(spark, sf)
+    kmv.collect()
+    assert(!kmv.queryExecution.executedPlan.toString
+      .contains("windowspecdefinition()"),
+      "q_sketch_kmv: unpartitioned Window")
+  }
 }
