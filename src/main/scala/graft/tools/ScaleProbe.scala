@@ -50,7 +50,14 @@ object ScaleProbe {
     "q_pack_spancorrupt" -> 10,
     "q_embed_clusters" -> 4, "q_embed_pagerank" -> 4,
     "q_embed_labelprop" -> 4, "q_embed_top1" -> 4,
-    "q_embed_kmeans" -> 4, "q_embed_ivfpq" -> 4)
+    "q_embed_kmeans" -> 4, "q_embed_ivfpq" -> 4,
+    // round-9b additions: chat/DPO layouts, soft dedup, keyword
+    // extraction, KMV set algebra, seasonal cells, embedding
+    // contamination (corpus×eval both grow ⇒ quadratic nominal)
+    "q_pack_chat" -> 10, "q_pack_dpo" -> 10,
+    "q_dedup_soft" -> 10, "q_text_keywords" -> 10,
+    "q_sketch_kmv" -> 10, "q_events_seasonal" -> 10,
+    "q_embed_contamination" -> 16)
 
   def main(args: Array[String]): Unit = {
     val sfSmall = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -99,7 +106,11 @@ object ScaleProbe {
       if (!only.forall(_.contains(q))) None
       else if (skip.contains(q)) { println(s"$q SKIPPED: ${skip(q)}"); None }
       else {
-        val factor = if (nominal == 4) embFactor else docFactor
+        // nominal 4 = embeddings-linear, 16 = embeddings-quadratic
+        // (corpus×eval both grow), else documents/events-linear
+        val factor = if (nominal == 4) embFactor
+          else if (nominal == 16) embFactor * embFactor
+          else docFactor
         val tSmall = minOf2(q, sfSmall)
         val tBig = minOf2(q, sfBig)
         val ratio = tBig / tSmall
