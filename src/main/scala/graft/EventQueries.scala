@@ -529,8 +529,55 @@ object EventQueries {
       "THEN r2.day * 24 + r2.hour ELSE 0 END) AS BIGINT) AS anom_ck " +
       "FROM r2 JOIN dd USING (event_type) GROUP BY 1 ORDER BY 1")
 
+  /** Per-(event_type, day-window) interpolated value quantiles from
+    * grouped equi-width histograms — the rolling latency/value
+    * percentile board. The sketch state per window is ≤ nBuckets
+    * registers whatever the window population (the
+    * [[graft.ops.Sketches.histogramQuantilesBy]] shape: no per-window
+    * sort, no collect_list), so the op survives windows of any size;
+    * the final rollup runs on the window grain. p50/p90 are the same
+    * pure-IEEE interpolation formula on both engines. */
+  private val eventsRollQuantile = Q("q_events_rollquantile",
+    (s, d) => {
+      val base = events(s, d).select(col("event_type"),
+        expr(s"ts div $DayNanos").as("widx"),
+        col("value"))
+      graft.ops.Sketches.histogramQuantilesBy(base,
+          struct(col("event_type"), col("widx")), col("value"),
+          lo = 0.0, hi = 512.0, nBuckets = 64, qs = Seq(0.5, 0.9))
+        .select(col("grp.event_type").as("event_type"),
+          col("grp.widx").as("widx"), col("n"), col("p50"), col("p90"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(col("n")).as("n_events"),
+          round(avg(col("p50")), 5).as("avg_p50"),
+          round(max(col("p90")), 5).as("max_p90"),
+          sum(col("widx") * col("n")).as("widx_ck"))
+        .orderBy("event_type")
+    }, {
+      import graft.ops.Sketches.{BucketSql, QuantileSql}
+      s"WITH h AS (SELECT event_type, epoch_ns(ts) // $DayNanos AS widx, " +
+        s"${BucketSql("value", 0.0, 512.0, 64)} AS b FROM events), " +
+        "hist AS (SELECT event_type, widx, b, count(*) AS cnt FROM h " +
+        "GROUP BY 1, 2, 3), " +
+        "c AS (SELECT event_type, widx, b, cnt, sum(cnt) OVER " +
+        "(PARTITION BY event_type, widx ORDER BY b ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "sum(cnt) OVER (PARTITION BY event_type, widx) AS n FROM hist), " +
+        "w AS (SELECT event_type, widx, CAST(max(n) AS BIGINT) AS n, " +
+        s"${QuantileSql(0.5, 0.0, 512.0, 64)} AS p50, " +
+        s"${QuantileSql(0.9, 0.0, 512.0, 64)} AS p90 " +
+        "FROM c GROUP BY event_type, widx) " +
+        "SELECT event_type, count(*) AS n_windows, " +
+        "CAST(sum(n) AS BIGINT) AS n_events, " +
+        "round(avg(p50), 5) AS avg_p50, round(max(p90), 5) AS max_p90, " +
+        "CAST(sum(widx * n) AS BIGINT) AS widx_ck " +
+        "FROM w GROUP BY event_type ORDER BY event_type"
+    })
+
   val all: Vector[Q] = Vector(eventsAsof, eventsSessionize, eventsProps,
     eventsRange, eventsZorder, eventsWindow, eventsFunnel,
     eventsRetention, eventsTransitions, eventsEwma, eventsCusum,
-    eventsDecayed, eventsPaths, eventsInterarrival, eventsSeasonal)
+    eventsDecayed, eventsPaths, eventsInterarrival, eventsSeasonal,
+    eventsRollQuantile)
 }

@@ -2455,6 +2455,90 @@ object PipelineQueries {
       "round(sum(CAST(nt AS DOUBLE) / sz), 5) AS eff_toks " +
       "FROM j GROUP BY source ORDER BY source")
 
+  /** Edit-distance-verified near-dup pairs (block with MinHash LSH,
+    * verify with Levenshtein — the PPJoin-family "filter then verify"
+    * shape): candidates from the CAPPED band join, verification on a
+    * fixed 120-char document head so per-pair cost is a constant and
+    * the total is linear in the (cap-bounded) candidate count. Texts
+    * join back by 8-byte id AFTER pair generation — full documents
+    * never ride the band shuffle. Levenshtein is exact integer
+    * character-edit DP on both engines (ASCII corpus → unit parity),
+    * so counts, the rounded mean, and the verified-pair digest all pin
+    * bit-identically. */
+  private val EditPrefix = 120
+  private val EditTau = 20
+  private val dedupEditDist = Q("q_dedup_editdist",
+    (s, d) => {
+      val d0 = docs(s, d)
+      val pairs = Dedup.editVerifiedPairs(d0, "text", "doc_id",
+        MinhashCap, EditPrefix)
+      pairs
+        .join(d0.select(col("doc_id").as("id_a"), col("source")), "id_a")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_cand"),
+          sum(when(col("lev") <= EditTau, 1L).otherwise(0L)).as("n_dup"),
+          round(avg(col("lev").cast("double")), 5).as("avg_lev"),
+          sum(when(col("lev") <= EditTau,
+            pmod(col("id_a") * 131L + col("id_b"), lit(CleanSumMod)))
+            .otherwise(0L)).as("pair_digest"))
+        .orderBy("source")
+    },
+    s"WITH $minhashCtes, ${pairsSql(MinhashCap)}, " +
+      "lv AS (SELECT p.id_a, p.id_b, da.source, " +
+      s"levenshtein(substr(da.text, 1, $EditPrefix), " +
+      s"substr(db.text, 1, $EditPrefix)) AS lev " +
+      "FROM pairs p JOIN documents da ON p.id_a = da.doc_id " +
+      "JOIN documents db ON p.id_b = db.doc_id) " +
+      "SELECT source, count(*) AS n_cand, " +
+      s"CAST(sum(CASE WHEN lev <= $EditTau THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_dup, " +
+      "round(avg(CAST(lev AS DOUBLE)), 5) AS avg_lev, " +
+      s"CAST(sum(CASE WHEN lev <= $EditTau THEN " +
+      s"(id_a * 131 + id_b) % $CleanSumMod ELSE 0 END) AS BIGINT) " +
+      "AS pair_digest " +
+      "FROM lv GROUP BY source ORDER BY source")
+
+  /** Multi-pattern blocklist filter ([[graft.ops.Blocklist]]): ONE
+    * Aho–Corasick pass per document evaluates the whole pattern list —
+    * O(|text| + matches) per row, independent of pattern count, where
+    * the naive scan is O(|text|·|patterns|). Per-pattern semantics are
+    * leftmost non-overlapping occurrence counts, which is exactly what
+    * the oracle's `replace`-length trick computes, so the count matrix
+    * pins cross-engine. The digest weights counts by (pid+1) to pin
+    * WHICH pattern hit, not just how often. */
+  private val textBlocklist = Q("q_text_blocklist",
+    (s, d) => {
+      val c = graft.ops.Blocklist.matchCounts(col("text"))
+      val m = aggregate(col("c"), lit(0L), (a, v) => a + v)
+      val dg = aggregate(
+        zip_with(col("c"), sequence(lit(1), size(col("c"))),
+          (x, i) => x * i.cast("long")),
+        lit(0L), (a, v) => a + v)
+      docs(s, d).select(col("source"), c.as("c"))
+        .select(col("source"), m.as("m"), dg.as("dg"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("m") > 0, 1L).otherwise(0L)).as("n_blocked"),
+          sum(col("m")).as("n_matches"),
+          sum(col("dg")).as("digest"))
+        .orderBy("source")
+    }, {
+      val vals = graft.ops.BlocklistFns.Patterns.zipWithIndex
+        .map { case (p, i) => s"($i, '$p')" }.mkString(", ")
+      s"WITH pats AS (SELECT * FROM (VALUES $vals) AS t(pid, pat)), " +
+        "c AS (SELECT d.doc_id, d.source, p.pid, " +
+        "(length(d.text) - length(replace(d.text, p.pat, ''))) " +
+        "// length(p.pat) AS cnt FROM documents d CROSS JOIN pats p), " +
+        "pd AS (SELECT doc_id, source, sum(cnt) AS m, " +
+        "sum((pid + 1) * cnt) AS dg FROM c GROUP BY doc_id, source) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_blocked, " +
+        "CAST(sum(m) AS BIGINT) AS n_matches, " +
+        "CAST(sum(dg) AS BIGINT) AS digest " +
+        "FROM pd GROUP BY source ORDER BY source"
+    })
+
   /** Per-document keyword extraction: top-3 tokens by TF·IDF where
     * idf is the INTEGER fixed point (N·2²⁰) div df — monotone in df,
     * exact in both engines, no transcendental-ordering hazard (ln-idf
@@ -6384,6 +6468,63 @@ object PipelineQueries {
       "FROM sc JOIN ns USING (source) JOIN corp USING (b) " +
       "CROSS JOIN tot GROUP BY sc.source ORDER BY source")
 
+  /** χ² test of independence over the source × lang contingency table
+    * (the data-card "is language balanced across sources" row). Every
+    * per-cell term ((o·n − rt·ct)² / (rt·ct·n)) is pure IEEE
+    * arithmetic — multiply/subtract/divide are correctly rounded and
+    * therefore bit-identical across engines (no transcendental, so
+    * none of the libm-ulp hazard the MI/drift fixed points carry) —
+    * and the int64 fixed-point floor (2²⁰) makes the cross-engine SUM
+    * exact integers. Counts live on post-agg grains: cells ≤
+    * |sources|·|langs|, marginals smaller still — the only data-sized
+    * pass is the first groupBy. */
+  private val ChiFx = 1048576.0 // 2^20
+  private val statsChisq = Q("q_stats_chisq",
+    (s, d) => {
+      val o = docs(s, d).groupBy("source", "lang")
+        .agg(count(lit(1)).as("o"))
+      val rt = o.groupBy("source").agg(sum(col("o")).as("rt"))
+      val ct = o.groupBy("lang").agg(sum(col("o")).as("ct"))
+      val tot = o.agg(sum(col("o")).as("n"),
+        countDistinct(col("source")).as("r"),
+        countDistinct(col("lang")).as("c"))
+      val num = col("o").cast("double") * col("n").cast("double") -
+        col("rt").cast("double") * col("ct").cast("double")
+      val den = col("rt").cast("double") * col("ct").cast("double") *
+        col("n").cast("double")
+      o.join(rt, "source").join(ct, "lang").crossJoin(tot)
+        .select(col("n"), col("r"), col("c"),
+          floor(num * num / den * lit(ChiFx)).cast("long").as("fp"))
+        .groupBy("n", "r", "c")
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum(col("fp")).cast("double") / lit(ChiFx), 5)
+            .as("chisq"))
+        .select(col("n"), col("r"), col("c"),
+          ((col("r") - 1) * (col("c") - 1)).as("dof"),
+          col("n_cells"), col("chisq"))
+    },
+    "WITH o AS (SELECT source, lang, count(*) AS o FROM documents " +
+      "GROUP BY source, lang), " +
+      "rt AS (SELECT source, CAST(sum(o) AS BIGINT) AS rt FROM o " +
+      "GROUP BY source), " +
+      "ct AS (SELECT lang, CAST(sum(o) AS BIGINT) AS ct FROM o " +
+      "GROUP BY lang), " +
+      "tot AS (SELECT CAST(sum(o) AS BIGINT) AS n, " +
+      "count(DISTINCT source) AS r, count(DISTINCT lang) AS c FROM o), " +
+      "f AS (SELECT tot.n, tot.r, tot.c, " +
+      "CAST(floor((CAST(o.o AS DOUBLE) * CAST(tot.n AS DOUBLE) - " +
+      "CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)) * " +
+      "(CAST(o.o AS DOUBLE) * CAST(tot.n AS DOUBLE) - " +
+      "CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)) / " +
+      "(CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) * " +
+      s"CAST(tot.n AS DOUBLE)) * $ChiFx) AS BIGINT) AS fp " +
+      "FROM o JOIN rt USING (source) JOIN ct USING (lang) " +
+      "CROSS JOIN tot) " +
+      "SELECT n, r, c, (r - 1) * (c - 1) AS dof, " +
+      "count(*) AS n_cells, " +
+      s"round(CAST(sum(fp) AS DOUBLE) / $ChiFx, 5) AS chisq " +
+      "FROM f GROUP BY n, r, c")
+
   private val MiFx = 1073741824.0 // 2^30
   private val statsMi = Q("q_stats_mi",
     (s, d) => {
@@ -6559,6 +6700,7 @@ object PipelineQueries {
     topkPerGroup,
     shardManifest, packSequences, packNoSplit, packLenBatch, packBpe,
     packFim, packSpanCorrupt, packChat, packDpo, dedupSoft, textKeywords,
+    dedupEditDist, textBlocklist, statsChisq,
     mixUnimax, mixUnimaxRealize, sampleShuffle, sampleBudget,
     pipelineTrainorder)
 }

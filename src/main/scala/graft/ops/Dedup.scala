@@ -1162,6 +1162,33 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** LSH-blocked, edit-distance-verified near-dup pairs — the classic
+    * "block cheaply, verify exactly" shape of the similarity-join
+    * literature (cf. Xiao et al. 2008, PPJoin): candidates come from
+    * the CAPPED MinHash band join (template families divert, so the
+    * pair count is bounded by O(#buckets · maxBucket²) at any corpus
+    * size), and each surviving pair is verified with
+    * `levenshtein(head_a, head_b)` on a fixed `prefixLen`-char head.
+    * Per-pair verify cost is O(prefixLen²) = a constant, so total cost
+    * is linear in the candidate count; the verifier sees only the two
+    * bounded prefixes — joined back BY ID on 8-byte keys AFTER pair
+    * generation, so full texts never ride the band shuffle.
+    *
+    * Returns (id_a, id_b, est_jaccard, lev) with id_a < id_b. */
+  def editVerifiedPairs(df: DataFrame, textCol: String, idCol: String,
+                        maxBucket: Int, prefixLen: Int): DataFrame = {
+    val cand = minhashCandidates(df, textCol, idCol, maxBucket, NumBands)
+    val pfx = df.select(col(idCol),
+      substring(col(textCol), 1, prefixLen).as("__pfx"))
+    cand
+      .join(pfx.select(col(idCol).as("id_a"), col("__pfx").as("__pa")),
+        "id_a")
+      .join(pfx.select(col(idCol).as("id_b"), col("__pfx").as("__pb")),
+        "id_b")
+      .select(col("id_a"), col("id_b"), col("est_jaccard"),
+        levenshtein(col("__pa"), col("__pb")).as("lev"))
+  }
+
   /** Canonical selection: keep the BEST member of each duplicate
     * cluster rather than the min-id one — the production rule
     * ("longest/highest-quality copy wins"). `scoreCol` ranks members

@@ -57,7 +57,11 @@ object ScaleProbe {
     "q_pack_chat" -> 10, "q_pack_dpo" -> 10,
     "q_dedup_soft" -> 10, "q_text_keywords" -> 10,
     "q_sketch_kmv" -> 10, "q_events_seasonal" -> 10,
-    "q_embed_contamination" -> 16)
+    "q_embed_contamination" -> 16,
+    // round-9c: edit-verified dedup, AC blocklist, χ², windowed
+    // quantiles (events-linear)
+    "q_dedup_editdist" -> 10, "q_text_blocklist" -> 10,
+    "q_stats_chisq" -> 10, "q_events_rollquantile" -> 10)
 
   def main(args: Array[String]): Unit = {
     val sfSmall = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -427,4 +427,34 @@ class PlanSpec extends AnyFunSuite {
       .contains("windowspecdefinition()"),
       "q_sketch_kmv: unpartitioned Window")
   }
+
+  test("round-9c ops keep their scale shapes: blocklist is one " +
+    "codegen'd AC pass + partial agg (no join, no window), edit " +
+    "verification joins prefixes by id after pair generation, χ² " +
+    "marginals reuse the cell-grain exchange, windowed quantiles " +
+    "never plan a Window or per-row sort over the data") {
+    val bl = SparkEntry.queries("q_text_blocklist")(spark, sf)
+    bl.collect()
+    val blPlan = bl.queryExecution.executedPlan.toString
+    assert(!blPlan.contains("Window"), "q_text_blocklist: Window")
+    assert(!blPlan.contains("Join"), "q_text_blocklist: join in plan")
+    assert(blPlan.contains("blocklist_counts"),
+      "q_text_blocklist: AC kernel missing from plan")
+    val ed = SparkEntry.queries("q_dedup_editdist")(spark, sf)
+    ed.collect()
+    val edPlan = ed.queryExecution.executedPlan.toString
+    assert(!edPlan.contains("Window"), "q_dedup_editdist: Window")
+    assert(edPlan.contains("levenshtein"),
+      "q_dedup_editdist: verifier missing")
+    val chi = SparkEntry.queries("q_stats_chisq")(spark, sf)
+    chi.collect()
+    val chiPlan = chi.queryExecution.executedPlan.toString
+    assert(!chiPlan.contains("Window"), "q_stats_chisq: Window")
+    val rq = SparkEntry.queries("q_events_rollquantile")(spark, sf)
+    rq.collect()
+    val rqPlan = rq.queryExecution.executedPlan.toString
+    assert(!rqPlan.contains("Window"),
+      "q_events_rollquantile: Window over the data (the cum pass " +
+        "must be the packed-array fold)")
+  }
 }
