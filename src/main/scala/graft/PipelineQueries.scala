@@ -613,6 +613,41 @@ object PipelineQueries {
     * cross-engine — [[graft.ops.TopKAgg]]'s (cos desc, id asc) order
     * and the forward-order dot make the edge SET deterministic, so the
     * oracle rebuilds it with a rank window over the same buckets. */
+  /** Hard-negative mining ([[Similarity.hardNegatives]]): per anchor
+    * the top-3 most-similar DIFFERENT-label vectors from LSH bucket
+    * collisions — the contrastive-training batch-construction stage.
+    * Same determinism contract as the kNN graph ([[TopK]] orders
+    * (cos desc, id asc)), so the mined edge set is a pure function of
+    * the input and the oracle rebuilds it with a rank window over the
+    * same buckets. */
+  private val embedHardNeg = Q("q_embed_hardneg",
+    (s, d) => {
+      val hn = Similarity.hardNegatives(embs(s, d), "vec_id",
+        "embedding", "label", 3)
+      hn.select(col("id_a"), col("label_a"),
+          posexplode(col("topk")).as(Seq("rank", "e")))
+        .groupBy(col("label_a").as("label"))
+        .agg(countDistinct(col("id_a")).as("n_anchors"),
+          count(lit(1)).as("n_negs"),
+          round(avg(col("e.score")), 5).as("avg_cos"),
+          sum(col("id_a") * 131L + col("e.id") * 7L +
+            (col("rank") + 1)).as("checksum"))
+        .orderBy("label")
+    },
+    s"WITH e AS (SELECT vec_id, label, embedding AS emb, " +
+      s"(${bucketSql(8)}) AS bucket, " +
+      s"sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings), " +
+      "p AS (SELECT a.vec_id AS src, a.label AS label_a, " +
+      s"b.vec_id AS dst, ${dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm) " +
+      "AS cos FROM e a JOIN e b ON a.bucket = b.bucket " +
+      "AND a.vec_id <> b.vec_id AND a.label <> b.label), " +
+      "r AS (SELECT src, label_a, dst, cos, row_number() OVER " +
+      "(PARTITION BY src ORDER BY cos DESC, dst ASC) AS rnk FROM p) " +
+      "SELECT label_a AS label, count(DISTINCT src) AS n_anchors, " +
+      "count(*) AS n_negs, round(avg(cos), 5) AS avg_cos, " +
+      "CAST(sum(src * 131 + dst * 7 + rnk) AS BIGINT) AS checksum " +
+      "FROM r WHERE rnk <= 3 GROUP BY label_a ORDER BY label")
+
   private val embedKnnGraph = Q("q_embed_knngraph",
     (s, d) => {
       val g = Similarity.knnGraph(embs(s, d), "vec_id", "embedding", 3)
@@ -2539,6 +2574,109 @@ object PipelineQueries {
         "FROM pd GROUP BY source ORDER BY source"
     })
 
+  /** CCNet-style per-chunk LM filtering (Wenzek et al. 2020): train
+    * the bigram LM on the FULL corpus, score every disjoint 32-token
+    * chunk, keep chunks under the perplexity bar, and account for the
+    * kept mass per source — the "drop the boilerplate paragraphs,
+    * keep the prose" curation stage, at the chunk grain a trainer
+    * actually consumes.
+    *
+    * Scale shape: LM counts are two hash aggregates on 45-bit keys
+    * (the verified q_text_perplexity shape); chunk bigrams join the
+    * count tables many-to-one on post-agg keys; the keep decision is
+    * INTEGER (per-bigram −ln p floor-quantized to 2⁻³⁰, summed exactly,
+    * compared against τ_fx·n_bigrams) so no order-dependent double sum
+    * ever gates a chunk. Same documented last-ulp-ln caveat as
+    * q_stats_mi. Single-token chunks are unscoreable and dropped
+    * (counted as n_unscored). */
+  private val CcnetW = 32
+  private val CcnetCap = 4096L
+  private val CcnetFx = 1073741824.0 // 2^30
+  private val CcnetTauFx = 3639984880L // floor(3.39 * 2^30)
+  private val qualityCcnet = Q("q_quality_ccnet",
+    (s, d) => {
+      val d0 = docs(s, d)
+      val lm = NgramLm.train(d0, "text", "doc_id")
+      val ch = TextAnalysis.chunks(d0, "text", "doc_id", CcnetW, CcnetW,
+          keep = Seq("source"))
+        .select(col("source"), col("chunk"), col("n_tok"),
+          (col("doc_id") * lit(CcnetCap) + col("chunk_id")).as("cid"))
+      val fp = floor(-log((col("cb") + lit(1.0)) /
+        (col("cu") + lit(lm.vocab)).cast("double")) * lit(CcnetFx))
+        .cast("long")
+      val sc = NgramLm.bigramRows(ch, "chunk", "cid")
+        .join(lm.bigrams, Seq("b"), "left")
+        .join(lm.prefixes, Seq("w1"), "left")
+        .na.fill(0L, Seq("cb", "cu"))
+        .select(col("cid"), fp.as("fp"))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("nb"), sum(col("fp")).as("sfp"))
+      ch.join(sc, Seq("cid"), "left")
+        .select(col("source"), col("n_tok"), col("chunk"), col("nb"),
+          when(col("nb").isNotNull &&
+            col("sfp") <= lit(CcnetTauFx) * col("nb"), 1L)
+            .otherwise(0L).as("kept"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("nb").isNull, 1L).otherwise(0L)).as("n_unscored"),
+          sum(col("kept")).as("n_kept"),
+          sum(when(col("kept") === 1, col("n_tok")).otherwise(0L))
+            .as("kept_toks"),
+          sum(when(col("kept") === 1,
+            TextAnalysis.tokenHash(col("chunk")) % lit(DigestMod))
+            .otherwise(0L)).as("kept_ck"))
+        .orderBy("source")
+    }, {
+      val M = Dedup.NgramFpMod
+      s"WITH t AS (SELECT doc_id, source, string_split(text, ' ') " +
+        "AS toks FROM documents), " +
+        s"tl AS (SELECT [${TextAnalysis.TokenHashSql("w")} % $M " +
+        "for w in toks] AS hl FROM t), " +
+        "bg0 AS (SELECT unnest([{'w1': hl[i], " +
+        s"'b': (hl[i]*31 + hl[i+1]) % $M} " +
+        "for i in range(1, len(hl))]) AS u FROM tl), " +
+        "bg AS (SELECT u.w1 AS w1, u.b AS b FROM bg0), " +
+        "cb AS (SELECT b, count(*) AS cb FROM bg GROUP BY b), " +
+        "cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1), " +
+        "v AS (SELECT count(DISTINCT h) AS v FROM " +
+        "(SELECT unnest(hl) AS h FROM tl)), " +
+        "c AS (SELECT doc_id, source, toks, len(toks) AS n, " +
+        "unnest(range(0, CAST(floor((greatest(len(toks) - " +
+        s"$CcnetW, 0) + ${CcnetW - 1})::DOUBLE / $CcnetW.0) AS INT) " +
+        "+ 1)) AS chunk_id FROM t), " +
+        s"ch AS (SELECT source, doc_id*$CcnetCap + chunk_id AS cid, " +
+        s"array_to_string(list_slice(toks, chunk_id*$CcnetW + 1, " +
+        s"chunk_id*$CcnetW + $CcnetW), ' ') AS chunk, " +
+        s"least($CcnetW, n - chunk_id*$CcnetW) AS n_tok FROM c), " +
+        s"chl AS (SELECT cid, [${TextAnalysis.TokenHashSql("w")} % $M " +
+        "for w in string_split(chunk, ' ')] AS hl FROM ch), " +
+        "cbg0 AS (SELECT cid, unnest([{'w1': hl[i], " +
+        s"'b': (hl[i]*31 + hl[i+1]) % $M} " +
+        "for i in range(1, len(hl))]) AS u FROM chl " +
+        "WHERE len(hl) >= 2), " +
+        "cbg AS (SELECT cid, u.w1 AS w1, u.b AS b FROM cbg0), " +
+        "sc AS (SELECT cid, count(*) AS nb, " +
+        "sum(CAST(floor(-ln((COALESCE(cb.cb, 0) + 1.0) / " +
+        "CAST(COALESCE(cu.cu, 0) + v.v AS DOUBLE)) * " +
+        s"$CcnetFx) AS BIGINT)) AS sfp " +
+        "FROM cbg LEFT JOIN cb USING (b) LEFT JOIN cu USING (w1) " +
+        "CROSS JOIN v GROUP BY cid), " +
+        "k AS (SELECT ch.source, ch.n_tok, ch.chunk, sc.nb, " +
+        s"CASE WHEN sc.nb IS NOT NULL AND sc.sfp <= $CcnetTauFx * sc.nb " +
+        "THEN 1 ELSE 0 END AS kept " +
+        "FROM ch LEFT JOIN sc USING (cid)) " +
+        "SELECT source, count(*) AS n_chunks, " +
+        "CAST(sum(CASE WHEN nb IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_unscored, " +
+        "CAST(sum(kept) AS BIGINT) AS n_kept, " +
+        "CAST(sum(CASE WHEN kept = 1 THEN n_tok ELSE 0 END) AS BIGINT) " +
+        "AS kept_toks, " +
+        s"CAST(sum(CASE WHEN kept = 1 THEN " +
+        s"${TextAnalysis.TokenHashSql("chunk")} % $DigestMod " +
+        "ELSE 0 END) AS BIGINT) AS kept_ck " +
+        "FROM k GROUP BY source ORDER BY source"
+    })
+
   /** Per-document keyword extraction: top-3 tokens by TF·IDF where
     * idf is the INTEGER fixed point (N·2²⁰) div df — monotone in df,
     * exact in both engines, no transcendental-ordering hazard (ln-idf
@@ -2897,6 +3035,50 @@ object PipelineQueries {
       "round(avg(nll), 5) AS avg_nll, round(min(nll), 5) AS min_nll, " +
       "round(max(nll), 5) AS max_nll " +
       "FROM ppl GROUP BY source ORDER BY source")
+
+  /** Kneser–Ney-smoothed perplexity ([[NgramLm.kneserNeyPerplexity]]):
+    * the distinct-continuation smoother, per-source rolled up exactly
+    * like the add-one row — the pair quantifies how much the better
+    * smoother separates sources the add-one LM can't. KN discount
+    * written as `0.75` literally on both engines (exactly
+    * representable, no 1−x reconstruction hazard). */
+  private val textKneserNey = Q("q_text_kneserney",
+    (s, d) => {
+      val d0 = docs(s, d)
+      val ppl = NgramLm.kneserNeyPerplexity(d0, "text", "doc_id")
+      d0.select(col("doc_id"), col("source")).join(ppl, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bigrams")).as("n_bigrams"),
+          round(avg(col("nll")), 5).as("avg_nll"),
+          round(min(col("nll")), 5).as("min_nll"),
+          round(max(col("nll")), 5).as("max_nll"))
+        .orderBy("source")
+    }, {
+      val M = Dedup.NgramFpMod
+      s"WITH t AS (SELECT doc_id, source, " +
+        s"[${TextAnalysis.TokenHashSql("w")} % $M " +
+        "for w in string_split(text, ' ')] AS hl FROM documents), " +
+        "o0 AS (SELECT doc_id, source, unnest([{'w1': hl[i], " +
+        "'w2': hl[i+1]} for i in range(1, len(hl))]) AS u FROM t), " +
+        "o AS (SELECT doc_id, source, u.w1 AS w1, u.w2 AS w2 FROM o0), " +
+        "cvw AS (SELECT w1, w2, count(*) AS cvw FROM o GROUP BY w1, w2), " +
+        "cv AS (SELECT w1, CAST(sum(cvw) AS BIGINT) AS cv, " +
+        "count(*) AS n1v FROM cvw GROUP BY w1), " +
+        "cw AS (SELECT w2, count(*) AS n1w FROM cvw GROUP BY w2), " +
+        "nt AS (SELECT count(*) AS nt FROM cvw), " +
+        "ppl AS (SELECT doc_id, source, count(*) AS nb, " +
+        "avg(-ln(greatest(cvw.cvw - 0.75, 0.0) / CAST(cv.cv AS DOUBLE) " +
+        "+ 0.75 * CAST(cv.n1v AS DOUBLE) / CAST(cv.cv AS DOUBLE) * " +
+        "(CAST(cw.n1w AS DOUBLE) / CAST(nt.nt AS DOUBLE)))) AS nll " +
+        "FROM o JOIN cvw USING (w1, w2) JOIN cv USING (w1) " +
+        "JOIN cw USING (w2) CROSS JOIN nt GROUP BY doc_id, source) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(nb) AS BIGINT) AS n_bigrams, " +
+        "round(avg(nll), 5) AS avg_nll, round(min(nll), 5) AS min_nll, " +
+        "round(max(nll), 5) AS max_nll " +
+        "FROM ppl GROUP BY source ORDER BY source"
+    })
 
   /** BM25 keyword relevance over the corpus for a fixed query bag:
     * per-source stats over matched docs. Identical idf/tf formula
@@ -6701,6 +6883,7 @@ object PipelineQueries {
     shardManifest, packSequences, packNoSplit, packLenBatch, packBpe,
     packFim, packSpanCorrupt, packChat, packDpo, dedupSoft, textKeywords,
     dedupEditDist, textBlocklist, statsChisq,
+    qualityCcnet, textKneserNey, embedHardNeg,
     mixUnimax, mixUnimaxRealize, sampleShuffle, sampleBudget,
     pipelineTrainorder)
 }

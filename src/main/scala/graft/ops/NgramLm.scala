@@ -133,6 +133,50 @@ object NgramLm {
         col("pmi"))
   }
 
+  /** Per-doc perplexity under interpolated Kneser–Ney smoothing
+    * (Kneser & Ney 1995; Chen & Goodman 1999's interpolated form with
+    * a fixed discount D):
+    *
+    *   p_KN(w|v) = max(c(vw)−D, 0)/c(v·) + D·N₁₊(v·)/c(v·) · p_cont(w)
+    *   p_cont(w) = N₁₊(·w) / N₁₊(··)
+    *
+    * where the N₁₊ are DISTINCT-continuation counts off the bigram
+    * TYPE table — the "how many contexts has w followed" signal that
+    * makes KN the strongest count-based smoother. The better LM is a
+    * better boilerplate/quality scorer than add-one ([[perplexity]]).
+    *
+    * Scale shape: the type table is one hash aggregate on (w1, w2)
+    * 45-bit hash pairs; c(v·)/N₁₊(v·)/N₁₊(·w)/N₁₊(··) are rollups OF
+    * the type table (post-agg grains); scoring joins occurrences
+    * many-to-one on post-agg keys. Strings never shuffle. All counts
+    * integer ⇒ every probability is the identical pure-IEEE expression
+    * on any engine. Returns (idCol, n_bigrams, nll). */
+  def kneserNeyPerplexity(df: DataFrame, textCol: String, idCol: String,
+                          discount: Double = 0.75): DataFrame = {
+    val hl = Dedup.tokenHashList(col(textCol))
+    val occ = df.select(col(idCol), hl.as("__hl"))
+      .where(size(col("__hl")) >= 2)
+      .select(col(idCol), explode(
+        transform(slice(col("__hl"), lit(1), size(col("__hl")) - 1),
+          (h, i) => struct(h.as("w1"),
+            element_at(col("__hl"), i + lit(2)).as("w2")))).as("u"))
+      .select(col(idCol), col("u.w1").as("w1"), col("u.w2").as("w2"))
+    val cvw = occ.groupBy("w1", "w2").agg(count(lit(1)).as("cvw"))
+    val cv = cvw.groupBy("w1")
+      .agg(sum(col("cvw")).as("cv"), count(lit(1)).as("n1v"))
+    val cw = cvw.groupBy("w2").agg(count(lit(1)).as("n1w"))
+    val nt = cvw.agg(count(lit(1)).as("nt"))
+    val prob = greatest(col("cvw") - lit(discount), lit(0.0)) /
+      col("cv").cast("double") +
+      lit(discount) * col("n1v").cast("double") /
+        col("cv").cast("double") *
+        (col("n1w").cast("double") / col("nt").cast("double"))
+    occ.join(cvw, Seq("w1", "w2")).join(cv, "w1").join(cw, "w2")
+      .crossJoin(nt)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), avg(-log(prob)).as("nll"))
+  }
+
   /** Per-doc perplexity signal under add-one smoothing:
     * p(w₂|w₁) = (c(w₁w₂) + 1) / (c(w₁·) + V); returns
     * (idCol, n_bigrams, nll) with nll = avg −ln p over the doc's

@@ -61,7 +61,9 @@ object ScaleProbe {
     // round-9c: edit-verified dedup, AC blocklist, χ², windowed
     // quantiles (events-linear)
     "q_dedup_editdist" -> 10, "q_text_blocklist" -> 10,
-    "q_stats_chisq" -> 10, "q_events_rollquantile" -> 10)
+    "q_stats_chisq" -> 10, "q_events_rollquantile" -> 10,
+    "q_quality_ccnet" -> 10, "q_text_kneserney" -> 10,
+    "q_embed_hardneg" -> 4)
 
   def main(args: Array[String]): Unit = {
     val sfSmall = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

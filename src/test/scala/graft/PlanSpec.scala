@@ -456,5 +456,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!rqPlan.contains("Window"),
       "q_events_rollquantile: Window over the data (the cum pass " +
         "must be the packed-array fold)")
+    val cc = SparkEntry.queries("q_quality_ccnet")(spark, sf)
+    cc.collect()
+    assert(!cc.queryExecution.executedPlan.toString.contains("Window"),
+      "q_quality_ccnet: Window crept in (LM joins + integer gate " +
+        "are the shape)")
+    val kn = SparkEntry.queries("q_text_kneserney")(spark, sf)
+    kn.collect()
+    assert(!kn.queryExecution.executedPlan.toString.contains("Window"),
+      "q_text_kneserney: Window crept in")
+    val hnq = SparkEntry.queries("q_embed_hardneg")(spark, sf)
+    hnq.collect()
+    assert(!hnq.queryExecution.executedPlan.toString.contains("Window"),
+      "q_embed_hardneg: rank Window crept in (TopK agg is the shape)")
   }
 }
