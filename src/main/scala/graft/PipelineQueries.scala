@@ -418,6 +418,66 @@ object PipelineQueries {
     * all-pairs-per-source join was O(n² per source) — correct but a
     * scale-killer; candidates → exact-verify is how the operator is
     * meant to compose at 100 TB. */
+  /** Band-blocked hamming-ball dedup over the 60-bit SimHash
+    * ([[Dedup.hammingPairs64]]): 4×16-bit bands make the candidate
+    * join pigeonhole-complete for hamming ≤ 3, the bucket cap diverts
+    * template-family bands (the MinHash skew bound), and
+    * `bit_count(xor)` verifies — the signature-sketch tier of text
+    * near-dup detection, and byte-for-byte the machinery image
+    * aHash/pHash dedup runs on (PhashDedupSpec drives it over real
+    * decoded BMP/PNG pixels). Only 16-byte (id, sig) rows shuffle. */
+  private val HammingTau = 3
+  private val dedupHamming = Q("q_dedup_hamming",
+    (s, d) => {
+      val d0 = docs(s, d)
+      val sh = Dedup.simhash60(d0, "text", "doc_id")
+      val pairs = Dedup.hammingPairs64(sh, "simhash", "doc_id",
+        HammingTau, MinhashCap)
+      pairs
+        .join(d0.select(col("doc_id").as("id_a"), col("source")), "id_a")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("hamming") === 0, 1L).otherwise(0L)).as("n_exact"),
+          round(avg(col("hamming").cast("double")), 5).as("avg_h"),
+          sum(pmod(col("id_a") * 131L + col("id_b"), lit(CleanSumMod)))
+            .as("digest"))
+        .orderBy("source")
+    }, {
+      val bitSums = (0 until 60).map(b =>
+        s"sum(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS bs$b")
+        .mkString(", ")
+      val simExpr = (0 until 60).map(b =>
+        s"(CASE WHEN bs$b > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, (sim >> ${b * 16}) & 65535 AS key " +
+          "FROM sim").mkString(" UNION ALL ")
+      s"WITH $tokSql, " +
+        s"bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id), " +
+        s"sim AS (SELECT doc_id, $simExpr AS sim FROM bits), " +
+        s"bands AS ($bands), " +
+        "bsz AS (SELECT band, key, count(*) AS bn FROM bands " +
+        "GROUP BY band, key), " +
+        "el AS (SELECT b.doc_id, b.band, b.key FROM bands b " +
+        s"JOIN bsz USING (band, key) WHERE bsz.bn <= $MinhashCap), " +
+        "pr AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b " +
+        "FROM el x JOIN el y ON x.band = y.band AND x.key = y.key " +
+        "AND x.doc_id < y.doc_id), " +
+        "hv AS (SELECT id_a, id_b, " +
+        "bit_count(xor(sa.sim, sb.sim)) AS hamming " +
+        "FROM pr JOIN sim sa ON id_a = sa.doc_id " +
+        "JOIN sim sb ON id_b = sb.doc_id) " +
+        s"SELECT d.source, count(*) AS n_pairs, " +
+        "CAST(sum(CASE WHEN hamming = 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_exact, " +
+        "round(avg(CAST(hamming AS DOUBLE)), 5) AS avg_h, " +
+        s"CAST(sum((id_a * 131 + id_b) % $CleanSumMod) AS BIGINT) " +
+        "AS digest " +
+        s"FROM hv JOIN documents d ON hv.id_a = d.doc_id " +
+        s"WHERE hamming <= $HammingTau " +
+        "GROUP BY d.source ORDER BY d.source"
+    })
+
   private val dedupNgram = Q("q_dedup_ngram_jaccard",
     (s, d) => {
       val grams = docs(s, d).select(col("doc_id"),
@@ -3078,6 +3138,52 @@ object PipelineQueries {
         "round(avg(nll), 5) AS avg_nll, round(min(nll), 5) AS min_nll, " +
         "round(max(nll), 5) AS max_nll " +
         "FROM ppl GROUP BY source ORDER BY source"
+    })
+
+  /** Cross-source contamination matrix: pairwise 5-gram containment
+    * |fp(A) ∩ fp(B)| / |fp(A)| between every source pair — the "which
+    * sources republish each other" leakage board consulted before
+    * weighting a mixture. Scale shape: the data-sized pass is ONE
+    * distinct aggregate to the (source, fingerprint) grain; the self
+    * join runs on post-agg 45-bit keys where each fingerprint meets at
+    * most |sources| rows per side (the fan-out bound is the source
+    * count, never the corpus); the output is |sources|² rows. */
+  private val CrossN = 5
+  private val textCrossSource = Q("q_text_crosssource",
+    (s, d) => {
+      val fps = docs(s, d).select(col("source"),
+          explode(graft.ops.TextHashExpressions
+            .ngramFps(col("text"), CrossN)).as("g"))
+        .distinct()
+      val sz = fps.groupBy("source").agg(count(lit(1)).as("na"))
+      val shared = fps.as("a").join(fps.as("b"),
+          col("a.g") === col("b.g") &&
+            col("a.source") =!= col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      shared.join(sz.withColumnRenamed("source", "src_a"), "src_a")
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          round(col("n_shared").cast("double") / col("na").cast("double"),
+            5).as("containment"))
+        .orderBy("src_a", "src_b")
+    }, {
+      val M = Dedup.NgramFpMod
+      val chain = (1 until CrossN).foldLeft("hl[i]") { (acc, k) =>
+        s"($acc * 31 + hl[i+$k]) % $M"
+      }
+      s"WITH t AS (SELECT source, [${TextAnalysis.TokenHashSql("w")} " +
+        s"% $M for w in string_split(text, ' ')] AS hl FROM documents), " +
+        s"g0 AS (SELECT source, unnest(list_distinct([$chain " +
+        s"for i in range(1, len(hl) - ${CrossN - 2})])) AS g FROM t), " +
+        "fps AS (SELECT DISTINCT source, g FROM g0), " +
+        "sz AS (SELECT source, count(*) AS na FROM fps GROUP BY source), " +
+        "sh AS (SELECT a.source AS src_a, b.source AS src_b, " +
+        "count(*) AS n_shared FROM fps a JOIN fps b ON a.g = b.g " +
+        "AND a.source <> b.source GROUP BY 1, 2) " +
+        "SELECT src_a, src_b, n_shared, " +
+        "round(CAST(n_shared AS DOUBLE) / CAST(na AS DOUBLE), 5) " +
+        "AS containment " +
+        "FROM sh JOIN sz ON sz.source = sh.src_a ORDER BY src_a, src_b"
     })
 
   /** BM25 keyword relevance over the corpus for a fixed query bag:
@@ -6883,7 +6989,8 @@ object PipelineQueries {
     shardManifest, packSequences, packNoSplit, packLenBatch, packBpe,
     packFim, packSpanCorrupt, packChat, packDpo, dedupSoft, textKeywords,
     dedupEditDist, textBlocklist, statsChisq,
-    qualityCcnet, textKneserNey, embedHardNeg,
+    qualityCcnet, textKneserNey, embedHardNeg, dedupHamming,
+    textCrossSource,
     mixUnimax, mixUnimaxRealize, sampleShuffle, sampleBudget,
     pipelineTrainorder)
 }

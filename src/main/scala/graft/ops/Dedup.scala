@@ -1078,6 +1078,54 @@ object Dedup {
       .select(col(idCol),
         TextHashExpressions.simhash16(col(textCol)).as("simhash"))
 
+  /** 60-bit SimHash rows (id, simhash) — [[simhash16]]'s construction
+    * at the width band-blocked hamming dedup uses ([[hammingPairs64]]).
+    * One codegen'd pass per doc. */
+  def simhash60(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+      TextHashExpressions.simhash60(col(textCol)).as("simhash"))
+
+  /** Hamming-ball near-dup pairs over a ≤64-bit signature (60-bit
+    * SimHash text dedup, 64-bit aHash/pHash image dedup): band the
+    * signature into 4×16-bit exact-match keys — by pigeonhole any
+    * pair within hamming distance 3 agrees on at least one whole
+    * band — and verify candidates with `bit_count(xor) ≤ tau`. The
+    * candidate join runs on (band, key) like the MinHash band join;
+    * `maxBucket > 0` diverts template-family bands the same way
+    * ([[minhashCandidates]]'s skew bound), so pair cost stays
+    * O(#buckets · cap²) at any corpus size. Only (id, signature)
+    * rows shuffle — 16 bytes/doc. Returns (id_a, id_b, hamming),
+    * id_a < id_b, hamming ≤ tau. */
+  def hammingPairs64(df: DataFrame, hashCol: String, idCol: String,
+                     tau: Int, maxBucket: Int = 0): DataFrame = {
+    require(tau >= 0 && tau <= 3,
+      s"4x16-bit banding is pigeonhole-complete only for tau <= 3 (got $tau)")
+    val bandRows = df.select(col(idCol), col(hashCol),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        shiftrightunsigned(col(hashCol), b * 16)
+          .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+      .select(col(idCol), col(hashCol),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val eligible =
+      if (maxBucket <= 0) bandRows
+      else {
+        val sizes = bandRows.groupBy("band", "key")
+          .agg(count(lit(1)).as("__bn"))
+        bandRows.join(
+          sizes.where(col("__bn") <= maxBucket).select("band", "key"),
+          Seq("band", "key"))
+      }
+    eligible.as("x").join(eligible.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.key") === col("y.key") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        bit_count(col(s"x.$hashCol").bitwiseXOR(col(s"y.$hashCol")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= tau)
+  }
+
   /** Composable 16-aggregate form of [[simhash16]] (executable spec). */
   def simhash16Spec(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val hs = transform(array_distinct(TextAnalysis.tokens(col(textCol))),

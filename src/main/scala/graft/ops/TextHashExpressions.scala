@@ -370,6 +370,40 @@ object TextHashFns {
     sim
   }
 
+  /** 60-bit SimHash over the distinct token set — [[simhash16]]'s
+    * construction widened to every bit of the 60-bit token hash: the
+    * signature width band-blocked hamming dedup wants (4×16-bit bands
+    * ⇒ pigeonhole-complete for hamming ≤ 3). Same empty-doc contract
+    * and defensive sentinel as [[simhash16]]. */
+  def simhash60(text: UTF8String): Long = {
+    val toks = text.toString.split(" ", -1)
+    val seen = new java.util.HashSet[String]()
+    val bitSums = new Array[Int](60)
+    var any = false
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (seen.add(t)) {
+        any = true
+        val h = tokenHash60(t)
+        var b = 0
+        while (b < 60) {
+          if (((h >> b) & 1L) == 1L) bitSums(b) += 1 else bitSums(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) return -1L
+    var sim = 0L
+    var b = 0
+    while (b < 60) {
+      if (bitSums(b) > 0) sim |= (1L << b)
+      b += 1
+    }
+    sim
+  }
+
   /** Winnowing anchors in ONE pass (Schleimer et al. 2003): k-token
     * window fingerprints (the [[ngramFps]] chain WITHOUT the
     * distinct — winnowing needs every position), then a monotonic-
@@ -572,6 +606,18 @@ case class Simhash16Expr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Simhash16Expr =
     copy(c)
   override def prettyName: String = "simhash16"
+}
+
+case class Simhash60Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    TextHashFns.simhash60(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.TextHashFns.simhash60($c)")
+  override protected def withNewChildInternal(c: Expression): Simhash60Expr =
+    copy(c)
+  override def prettyName: String = "simhash60"
 }
 
 case class DsirBucketsExpr(child: Expression, m: Int)
@@ -795,6 +841,8 @@ object TextHashExpressions {
     bridge.toColumn(ScriptProfileExpr(bridge.toExpression(text)))
   def simhash16(text: Column): Column =
     bridge.toColumn(Simhash16Expr(bridge.toExpression(text)))
+  def simhash60(text: Column): Column =
+    bridge.toColumn(Simhash60Expr(bridge.toExpression(text)))
   def stopwordCounts(text: Column): Column =
     bridge.toColumn(StopwordCountsExpr(bridge.toExpression(text)))
   def substrRebuild(text: Column, starts: Column, k: Int): Column =

@@ -333,6 +333,71 @@ object StreamingOps {
         lit(minQuality)),
       textCol, idCol, eventTime, watermark)
 
+  /** Stateless streaming blocklist filter: ONE Aho–Corasick pass per
+    * incoming doc — the [[graft.ops.Blocklist]] automaton is a JVM
+    * plan constant, so this is a pure per-row map (no state, no
+    * shuffle, no watermark): the shape that keeps a banned-phrase
+    * stage at stream rate whatever the pattern count. Emits
+    * per-pattern counts, the total, and the blocked flag. */
+  def blocklistStream(docs: DataFrame, textCol: String,
+                      idCol: String): DataFrame = {
+    val m = aggregate(col("c"), lit(0L), (a, v) => a + v)
+    docs.select(col(idCol),
+        graft.ops.Blocklist.matchCounts(col(textCol)).as("c"))
+      .select(col(idCol), col("c"), m.as("n_matches"),
+        (m > 0).as("blocked"))
+  }
+
+  /** FIT→APPLY streaming CCNet chunk filter: the bigram LM fitted on
+    * the ARCHIVE rides as the static side of stream-static joins
+    * (persist both count tables); each incoming doc explodes to
+    * disjoint `window`-token chunks, every chunk bigram picks up its
+    * fitted counts BEFORE the one keyed aggregation (stream-static
+    * join then agg — the supported streaming shape; no post-agg
+    * join), and q_quality_ccnet's INTEGER gate (Σ floor(−ln p · fx) ≤
+    * τ_fx · n) marks keep/drop. Chunks with < 2 tokens have no
+    * bigrams and are dropped here (the batch query counts them as
+    * n_unscored). Returns (cid, n_tok, chunk_ck, nb, sfp, kept). */
+  def ccnetApplyStream(docs: DataFrame, textCol: String, idCol: String,
+                       lm: graft.ops.NgramLm.Lm, window: Int,
+                       tauFx: Long, fx: Double,
+                       chunkCap: Long = 4096L): DataFrame = {
+    val M = graft.ops.Dedup.NgramFpMod
+    // bigram rows CARRYING the per-chunk payload through the explode
+    // ([[graft.ops.NgramLm.bigramRows]]'s construction — a payload
+    // re-join here would be a stream-stream join, which streaming
+    // rightly refuses; the payload rides each bigram row instead and
+    // folds back via first() in the single aggregation)
+    val bg = graft.ops.TextAnalysis
+      .chunks(docs, textCol, idCol, window, window)
+      .select((col(idCol) * lit(chunkCap) + col("chunk_id")).as("cid"),
+        col("n_tok"),
+        graft.ops.TextAnalysis.tokenHash(col("chunk")).as("chunk_ck"),
+        graft.ops.Dedup.tokenHashList(col("chunk")).as("__hl"))
+      .where(size(col("__hl")) >= 2)
+      .select(col("cid"), col("n_tok"), col("chunk_ck"), explode(
+        transform(slice(col("__hl"), lit(1), size(col("__hl")) - 1),
+          (h, i) => struct(h.as("w1"),
+            ((h * lit(31L) + element_at(col("__hl"), i + lit(2))) %
+              lit(M)).as("b")))).as("u"))
+      .select(col("cid"), col("n_tok"), col("chunk_ck"),
+        col("u.w1").as("w1"), col("u.b").as("b"))
+    val fp = floor(-log((col("cb") + lit(1.0)) /
+      (col("cu") + lit(lm.vocab)).cast("double")) * lit(fx))
+      .cast("long")
+    bg
+      .join(lm.bigrams, Seq("b"), "left")
+      .join(lm.prefixes, Seq("w1"), "left")
+      .na.fill(0L, Seq("cb", "cu"))
+      .select(col("cid"), col("n_tok"), col("chunk_ck"), fp.as("fp"))
+      .groupBy("cid")
+      .agg(first(col("n_tok")).as("n_tok"),
+        first(col("chunk_ck")).as("chunk_ck"),
+        count(lit(1)).as("nb"), sum(col("fp")).as("sfp"))
+      .select(col("cid"), col("n_tok"), col("chunk_ck"), col("nb"),
+        col("sfp"), (col("sfp") <= lit(tauFx) * col("nb")).as("kept"))
+  }
+
   /** Bloom-prefiltered streaming ingest dedup: the archive's portable
     * [[graft.ops.Bloom]] filter is a plan constant, so the probe is a
     * STATELESS per-row map — rows whose signature key the filter

@@ -469,5 +469,15 @@ class PlanSpec extends AnyFunSuite {
     hnq.collect()
     assert(!hnq.queryExecution.executedPlan.toString.contains("Window"),
       "q_embed_hardneg: rank Window crept in (TopK agg is the shape)")
+    val hm = SparkEntry.queries("q_dedup_hamming")(spark, sf)
+    hm.collect()
+    val hmPlan = hm.queryExecution.executedPlan.toString
+    assert(!hmPlan.contains("Window"), "q_dedup_hamming: Window")
+    assert(hmPlan.contains("simhash60"),
+      "q_dedup_hamming: one-pass signature kernel missing")
+    val xs = SparkEntry.queries("q_text_crosssource")(spark, sf)
+    xs.collect()
+    assert(!xs.queryExecution.executedPlan.toString.contains("Window"),
+      "q_text_crosssource: Window crept in")
   }
 }

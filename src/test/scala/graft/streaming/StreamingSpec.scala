@@ -1001,6 +1001,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(got < total, "curation dropped nothing — threshold has no teeth")
   }
 
+  test("streaming blocklist: the stateless AC map equals the batch " +
+    "kernel row for row") {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val out = StreamingOps.blocklistStream(stream, "text", "doc_id")
+    StreamingOps.runToMemorySink(out, "blk")
+    val got = spark.table("blk")
+      .select(col("doc_id"), col("n_matches"), col("blocked"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    val want = StreamingOps.blocklistStream(
+        spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
+      .select(col("doc_id"), col("n_matches"), col("blocked"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    assert(got === want)
+    assert(want.exists(_._3), "no doc ever blocked — patterns dead")
+    assert(want.exists(!_._3), "every doc blocked — patterns too hot")
+  }
+
+  test("incremental CCNet: the LM fitted on the archive, applied to " +
+    "the stream, gates chunks bit-identically to the batch apply") {
+    val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
+    val lm = graft.ops.NgramLm.train(batchDocs, "text", "doc_id")
+    lm.bigrams.persist(); lm.prefixes.persist()
+    try {
+      val schema = batchDocs.schema
+      val stream = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val tauFx = 3639984880L
+      val fx = 1073741824.0
+      val out = StreamingOps.ccnetApplyStream(stream, "text", "doc_id",
+        lm, window = 32, tauFx = tauFx, fx = fx)
+      StreamingOps.runToMemorySink(out, "ccnet_stream",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      val got = spark.table("ccnet_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getBoolean(5))).toSet
+      val want = StreamingOps.ccnetApplyStream(batchDocs, "text",
+          "doc_id", lm, window = 32, tauFx = tauFx, fx = fx)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getBoolean(5))).toSet
+      assert(got === want)
+      assert(want.exists(_._6) && want.exists(!_._6),
+        "the gate never fired both ways — threshold has no teeth")
+    } finally {
+      lm.bigrams.unpersist(); lm.prefixes.unpersist()
+    }
+  }
+
   test("online ELBO: micro-batch training converges to the data mean") {
     import graft.core._
     import graft.data.DataSet
