@@ -2519,6 +2519,107 @@ object PipelineQueries {
     * planner would consume). Reuses the verified O(log n)
     * alternating-star closure; the weight join runs on the post-agg
     * cluster grain (8-byte keys), texts never shuffle. */
+  /** Post-training data-prep capstone — the stages an SFT corpus
+    * actually chains, each at its standalone operator's verified
+    * shape: Aho–Corasick blocklist DENSITY gate (one codegen'd pass;
+    * block when total banned-phrase hits ≥ BlkMax — production
+    * filters gate on density, an any-hit rule on a phrase list this
+    * hot would block 92% of the corpus) →
+    * quality floor (pure-IEEE score, so the threshold is
+    * engine-exact) → exact keep-first dedup (md5 group, min id) →
+    * chat-template render with loss masks. The manifest accounts for
+    * every document: n_in = blocked + lowq + dup + kept per source,
+    * and the rendered checksum + mask mass pin the surviving bytes
+    * and geometry. */
+  private val BlkMax = 8L
+  private val pipelinePosttrain = Q("q_pipeline_posttrain",
+    (s, d) => {
+      val blkTotal = aggregate(
+        graft.ops.Blocklist.matchCounts(col("text")),
+        lit(0L), (a, v) => a + v)
+      val withFlags = docs(s, d).select(col("doc_id"), col("source"),
+        col("text"), (blkTotal < BlkMax).as("clean"),
+        (TextAnalysis.qualityScore(col("text")) >= 0.5).as("hq"))
+      val pass = withFlags.where(col("clean") && col("hq"))
+      val keepIds = pass.groupBy(md5(col("text")))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val kept = pass.join(keepIds, "doc_id")
+      val ch = Sampling.chatTemplate(col("text"), col("doc_id"))
+      val rendered = kept.select(col("source"),
+          ch.getField("t").as("t"), ch.getField("masked").as("masked"),
+          ch.getField("rendered").as("r"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("t").cast("long")).as("n_turns"),
+          sum(col("masked")).as("masked_toks"),
+          sum(TextAnalysis.tokenHash(col("r")) % lit(CleanSumMod))
+            .as("chat_sum"))
+      withFlags.groupBy("source")
+        .agg(count(lit(1)).as("n_in"),
+          sum(when(!col("clean"), 1L).otherwise(0L)).as("n_blocked"),
+          sum(when(col("clean") && !col("hq"), 1L).otherwise(0L))
+            .as("n_lowq"))
+        .join(rendered, Seq("source"), "left")
+        .na.fill(0L, Seq("n_kept", "n_turns", "masked_toks", "chat_sum"))
+        .select(col("source"), col("n_in"), col("n_blocked"),
+          col("n_lowq"),
+          (col("n_in") - col("n_blocked") - col("n_lowq") -
+            col("n_kept")).as("n_dup"),
+          col("n_kept"), col("n_turns"), col("masked_toks"),
+          col("chat_sum"))
+        .orderBy("source")
+    }, {
+      val blkSum = graft.ops.BlocklistFns.Patterns.map(p =>
+        s"((length(text) - length(replace(text, '$p', ''))) " +
+          s"// ${p.length})").mkString(" + ")
+      val stopSum = TextAnalysis.LangPriority.map(stopSql).mkString(" + ")
+      val wc = "(length(text) - length(replace(text, ' ', '')) + 1)"
+      val punct = "len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::DOUBLE " +
+        "/ greatest(length(replace(text, ' ', ''))::DOUBLE, 1.0)"
+      val qs = "least(greatest(0.4*least(length(text)::DOUBLE / 200.0, " +
+        s"1.0) + 0.3*(1.0 - ($punct)) " +
+        s"+ 0.3*least((($stopSum)::DOUBLE / $wc::DOUBLE)*5.0, 1.0), " +
+        "0.0), 1.0)"
+      val tSql = s"CASE WHEN n >= 4 THEN 2 * (${TextAnalysis.TokenHashSql(
+        "CAST(doc_id AS VARCHAR) || '#chat'")} % 2 + 1) ELSE 1 END"
+      "WITH f0 AS (SELECT doc_id, source, text, " +
+        "string_split(text, ' ') AS ws FROM documents), " +
+        "f AS (SELECT doc_id, source, text, " +
+        s"(($blkSum) < $BlkMax) AS clean, ($qs >= 0.5) AS hq FROM f0), " +
+        "kk AS (SELECT f.* FROM f JOIN (SELECT min(doc_id) AS doc_id " +
+        "FROM f WHERE clean AND hq GROUP BY md5(text)) ki " +
+        "USING (doc_id)), " +
+        "t0 AS (SELECT source, doc_id, string_split(text, ' ') AS ws, " +
+        "len(string_split(text, ' ')) AS n FROM kk), " +
+        s"t AS (SELECT source, ws, n, $tSql AS tt FROM t0), " +
+        "c AS (SELECT source, tt, " +
+        "array_to_string([CASE WHEN i % 2 = 0 THEN '<|user|>' " +
+        "ELSE '<|assistant|>' END || ' ' || " +
+        "coalesce(array_to_string(ws[(i*n)//tt+1:((i+1)*n)//tt], ' '), '') " +
+        "for i in generate_series(0, tt - 1)], ' ') || ' <|eos|>' AS r, " +
+        "coalesce(list_sum([((i+1)*n)//tt - (i*n)//tt " +
+        "for i in generate_series(1, tt - 1, 2)]), 0) AS masked " +
+        "FROM t), " +
+        "r AS (SELECT source, count(*) AS n_kept, " +
+        "CAST(sum(tt) AS BIGINT) AS n_turns, " +
+        "CAST(sum(masked) AS BIGINT) AS masked_toks, " +
+        s"CAST(sum(${TextAnalysis.TokenHashSql("r")} % $CleanSumMod) " +
+        "AS BIGINT) AS chat_sum FROM c GROUP BY source), " +
+        "st AS (SELECT source, count(*) AS n_in, " +
+        "CAST(sum(CASE WHEN NOT clean THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_blocked, " +
+        "CAST(sum(CASE WHEN clean AND NOT hq THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_lowq FROM f GROUP BY source) " +
+        "SELECT st.source, st.n_in, st.n_blocked, st.n_lowq, " +
+        "st.n_in - st.n_blocked - st.n_lowq - coalesce(r.n_kept, 0) " +
+        "AS n_dup, " +
+        "coalesce(r.n_kept, 0) AS n_kept, " +
+        "coalesce(r.n_turns, 0) AS n_turns, " +
+        "coalesce(r.masked_toks, 0) AS masked_toks, " +
+        "coalesce(r.chat_sum, 0) AS chat_sum " +
+        "FROM st LEFT JOIN r USING (source) ORDER BY st.source"
+    })
+
   private val dedupSoft = Q("q_dedup_soft",
     (s, d) => {
       val d0 = docs(s, d)
@@ -6990,7 +7091,7 @@ object PipelineQueries {
     packFim, packSpanCorrupt, packChat, packDpo, dedupSoft, textKeywords,
     dedupEditDist, textBlocklist, statsChisq,
     qualityCcnet, textKneserNey, embedHardNeg, dedupHamming,
-    textCrossSource,
+    textCrossSource, pipelinePosttrain,
     mixUnimax, mixUnimaxRealize, sampleShuffle, sampleBudget,
     pipelineTrainorder)
 }
