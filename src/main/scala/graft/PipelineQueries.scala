@@ -673,6 +673,58 @@ object PipelineQueries {
     * cross-engine — [[graft.ops.TopKAgg]]'s (cos desc, id asc) order
     * and the forward-order dot make the edge SET deterministic, so the
     * oracle rebuilds it with a rank window over the same buckets. */
+  /** MMR diversity selection ([[Similarity.mmrSelect]]) with k = 4,
+    * λ = 0.7: the oracle replays the greedy loop as four unrolled
+    * CTE rounds (the q_embed_coreset discipline) — argmax ties to the
+    * lowest id, scores are the identical pure-IEEE expression, so the
+    * selected sequence pins exactly. */
+  private val MmrK = 4
+  private val embedMmr = Q("q_embed_mmr",
+    (s, d) => {
+      val sel = Similarity.mmrSelect(embs(s, d), "vec_id", "embedding",
+        MmrK, lam = 0.7, oneMinusLam = 0.3)
+      import s.implicits._
+      sel.toDF("rnk", "sel_id", "score")
+        .select(col("rnk").cast("long").as("rnk"), col("sel_id"),
+          round(col("score"), 5).as("score"))
+        .orderBy("rnk")
+    }, {
+      val sb = new StringBuilder(
+        "WITH e AS (SELECT vec_id, embedding AS emb, " +
+          s"sqrt(${dotSql("embedding", "embedding")}) AS nrm " +
+          "FROM embeddings), " +
+          "p AS (SELECT vec_id, emb, nrm FROM e ORDER BY vec_id " +
+          "LIMIT 1), " +
+          "r AS (SELECT e.vec_id, e.emb, e.nrm, " +
+          s"${dotSql("e.emb", "p.emb")} / (e.nrm * p.nrm) AS rel " +
+          "FROM e CROSS JOIN p), " +
+          "a0 AS (SELECT vec_id, emb, nrm, rel, " +
+          "CAST(NULL AS DOUBLE) AS ms FROM r), " +
+          "s0 AS (SELECT vec_id, emb, nrm, rel AS score FROM a0 " +
+          "ORDER BY rel DESC, vec_id ASC LIMIT 1), ")
+      for (i <- 1 until MmrK) {
+        val prev = s"a${i - 1}"
+        val sel = s"s${i - 1}"
+        val cosSel = s"${dotSql(s"$prev.emb", s"$sel.emb")} / " +
+          s"($prev.nrm * $sel.nrm)"
+        sb ++= s"a$i AS (SELECT $prev.vec_id, $prev.emb, $prev.nrm, " +
+          s"$prev.rel, CASE WHEN $prev.ms IS NULL THEN ($cosSel) " +
+          s"ELSE greatest($prev.ms, ($cosSel)) END AS ms " +
+          s"FROM $prev CROSS JOIN $sel " +
+          s"WHERE $prev.vec_id <> $sel.vec_id), "
+        sb ++= s"s$i AS (SELECT vec_id, emb, nrm, " +
+          s"0.7 * rel - 0.3 * ms AS score FROM a$i " +
+          "ORDER BY score DESC, vec_id ASC LIMIT 1), "
+      }
+      sb.setLength(sb.length - 2)
+      sb ++= " "
+      sb ++= (0 until MmrK)
+        .map(i => s"SELECT CAST($i AS BIGINT) AS rnk, " +
+          s"vec_id AS sel_id, round(score, 5) AS score FROM s$i")
+        .mkString("", " UNION ALL ", " ORDER BY rnk")
+      sb.toString
+    })
+
   /** Hard-negative mining ([[Similarity.hardNegatives]]): per anchor
     * the top-3 most-similar DIFFERENT-label vectors from LSH bucket
     * collisions — the contrastive-training batch-construction stage.
@@ -7091,7 +7143,7 @@ object PipelineQueries {
     packFim, packSpanCorrupt, packChat, packDpo, dedupSoft, textKeywords,
     dedupEditDist, textBlocklist, statsChisq,
     qualityCcnet, textKneserNey, embedHardNeg, dedupHamming,
-    textCrossSource, pipelinePosttrain,
+    textCrossSource, pipelinePosttrain, embedMmr,
     mixUnimax, mixUnimaxRealize, sampleShuffle, sampleBudget,
     pipelineTrainorder)
 }

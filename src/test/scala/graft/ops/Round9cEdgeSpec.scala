@@ -80,6 +80,56 @@ class Round9cEdgeSpec extends AnyFunSuite {
       3).count() === 0L)
   }
 
+  test("mmrSelect equals a driver-side reference MMR on real vectors " +
+    "and prefers diversity over the plain top-k") {
+    val e = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = Similarity.mmrSelect(e, "vec_id", "embedding", k = 4,
+      lam = 0.7, oneMinusLam = 0.3)
+    // reference: same greedy loop, naively on the driver
+    val vecs = e.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probe = vecs.head
+    var sel = List.empty[(Long, Array[Float])]
+    val want = (0 until 4).map { _ =>
+      val cands = vecs.filter(v => !sel.exists(_._1 == v._1))
+      val best = cands.map { case (id, v) =>
+        val rel = cos(v, probe._2)
+        val score = if (sel.isEmpty) rel
+          else 0.7 * rel - 0.3 * sel.map(s => cos(v, s._2)).max
+        (score, -id, id, v)
+      }.maxBy(t => (t._1, t._2))
+      sel = sel :+ ((best._3, best._4))
+      best._3
+    }
+    assert(got.map(_._2) === want)
+    assert(got.map(_._2).distinct.length === 4)
+    assert(got.head._2 === probe._1 && got.head._3 === 1.0)
+    // diversity: MMR's picks are at least as spread as cosine top-k
+    // to the probe (strictly more spread on real clustered vectors)
+    def spread(ids: Seq[Long]): Double = {
+      val vs = ids.map(i => vecs.find(_._1 == i).get._2)
+      val ps = for (i <- vs.indices; j <- i + 1 until vs.size)
+        yield cos(vs(i), vs(j))
+      ps.sum / ps.size
+    }
+    val topk = vecs.map(v => (cos(v._2, probe._2), -v._1, v._1))
+      .sorted.reverse.take(4).map(_._3)
+    assert(spread(got.map(_._2)) <= spread(topk) + 1e-12,
+      "MMR selected a LESS diverse set than plain top-k")
+  }
+
   test("ccnetApplyStream batch form: an archive-fitted LM applied to " +
     "an EMPTY batch yields an empty frame, not a throw") {
     val docsDf = spark.read
