@@ -2583,6 +2583,101 @@ object PipelineQueries {
     * every document: n_in = blocked + lowq + dup + kept per source,
     * and the rendered checksum + mask mass pin the surviving bytes
     * and geometry. */
+  /** Per-source data card — the one-table summary a dataset ships
+    * with, composing four verified sketch/rollup shapes into a single
+    * wide row per source: doc/token mass, exact-dup rate (md5
+    * distinct), mean quality (pure-IEEE score), HLL vocabulary
+    * estimate, histogram length quantiles, and the dominant language
+    * with its share (struct-argmax, ties to the lexicographically
+    * last language — deterministic cross-engine). Every component
+    * aggregates map-side to the source grain; the joins are
+    * one-row-per-source. */
+  private val pipelineDatacard = Q("q_pipeline_datacard",
+    (s, d) => {
+      val d0 = docs(s, d)
+      val base = d0.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.tokens(col("text"))).cast("long"))
+          .as("tokens"),
+        countDistinct(md5(col("text"))).as("n_unique"),
+        round(avg(TextAnalysis.qualityScore(col("text"))), 5)
+          .as("avg_q"))
+      val vocab = graft.ops.Sketches.hllCardinalityBy(
+          d0.select(col("source"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok")),
+          col("source"), col("tok"))
+        .select(col("grp").as("source"),
+          round(col("hll_estimate"), 5).as("vocab_est"))
+      val ql = graft.ops.Sketches.histogramQuantilesBy(d0,
+          col("source"), col("n_chars").cast("double"),
+          lo = 0.0, hi = 640.0, nBuckets = 64, qs = Seq(0.5, 0.9))
+        .select(col("grp").as("source"), col("p50"), col("p90"))
+      val langTop = d0.groupBy("source", "lang")
+        .agg(count(lit(1)).as("ln"))
+        .groupBy("source")
+        .agg(max(struct(col("ln"), col("lang"))).as("b"),
+          sum(col("ln")).as("nl"))
+        .select(col("source"), col("b.lang").as("lang_top"),
+          round(col("b.ln").cast("double") / col("nl").cast("double"),
+            5).as("lang_share"))
+      base.join(vocab, "source").join(ql, "source")
+        .join(langTop, "source")
+        .select(col("source"), col("n_docs"), col("tokens"),
+          round((col("n_docs") - col("n_unique")).cast("double") /
+            col("n_docs").cast("double"), 5).as("dup_rate"),
+          col("avg_q"), col("vocab_est"), col("p50"), col("p90"),
+          col("lang_top"), col("lang_share"))
+        .orderBy("source")
+    }, {
+      import graft.ops.Sketches.{BucketSql, QuantileSql}
+      val stopSum = TextAnalysis.LangPriority.map(stopSql).mkString(" + ")
+      val wc = "(length(text) - length(replace(text, ' ', '')) + 1)"
+      val punct = "len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::DOUBLE " +
+        "/ greatest(length(replace(text, ' ', ''))::DOUBLE, 1.0)"
+      val qs = "least(greatest(0.4*least(length(text)::DOUBLE / 200.0, " +
+        s"1.0) + 0.3*(1.0 - ($punct)) " +
+        s"+ 0.3*least((($stopSum)::DOUBLE / $wc::DOUBLE)*5.0, 1.0), " +
+        "0.0), 1.0)"
+      "WITH t AS (SELECT source, lang, text, n_chars, " +
+        "string_split(text, ' ') AS ws FROM documents), " +
+        "base AS (SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(len(ws)) AS BIGINT) AS tokens, " +
+        "count(DISTINCT md5(text)) AS n_unique, " +
+        s"round(avg($qs), 5) AS avg_q FROM t GROUP BY source), " +
+        "toks AS (SELECT source, unnest(string_split(text, ' ')) " +
+        "AS tok FROM documents), " +
+        "v AS (SELECT grp AS source, round(hll_estimate, 5) " +
+        "AS vocab_est FROM (" +
+        graft.ops.Sketches.hllSqlBy("toks", "source", "tok") + ")), " +
+        s"hh AS (SELECT source, ${BucketSql("n_chars", 0.0, 640.0, 64)} " +
+        "AS b FROM documents), " +
+        "hist AS (SELECT source, b, count(*) AS cnt FROM hh " +
+        "GROUP BY 1, 2), " +
+        "c AS (SELECT source, b, cnt, sum(cnt) OVER " +
+        "(PARTITION BY source ORDER BY b ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW) AS cum, " +
+        "sum(cnt) OVER (PARTITION BY source) AS n FROM hist), " +
+        "w AS (SELECT source, " +
+        s"${QuantileSql(0.5, 0.0, 640.0, 64)} AS p50, " +
+        s"${QuantileSql(0.9, 0.0, 640.0, 64)} AS p90 " +
+        "FROM c GROUP BY source), " +
+        "lt AS (SELECT source, lang, count(*) AS ln FROM documents " +
+        "GROUP BY 1, 2), " +
+        "ltr AS (SELECT source, lang, ln, " +
+        "sum(ln) OVER (PARTITION BY source) AS nl, " +
+        "row_number() OVER (PARTITION BY source " +
+        "ORDER BY ln DESC, lang DESC) AS rn FROM lt), " +
+        "ltop AS (SELECT source, lang AS lang_top, " +
+        "round(CAST(ln AS DOUBLE) / CAST(nl AS DOUBLE), 5) " +
+        "AS lang_share FROM ltr WHERE rn = 1) " +
+        "SELECT base.source, n_docs, tokens, " +
+        "round(CAST(n_docs - n_unique AS DOUBLE) / " +
+        "CAST(n_docs AS DOUBLE), 5) AS dup_rate, " +
+        "avg_q, vocab_est, p50, p90, lang_top, lang_share " +
+        "FROM base JOIN v USING (source) JOIN w USING (source) " +
+        "JOIN ltop USING (source) ORDER BY source"
+    })
+
   private val BlkMax = 8L
   private val pipelinePosttrain = Q("q_pipeline_posttrain",
     (s, d) => {
@@ -7143,7 +7238,7 @@ object PipelineQueries {
     packFim, packSpanCorrupt, packChat, packDpo, dedupSoft, textKeywords,
     dedupEditDist, textBlocklist, statsChisq,
     qualityCcnet, textKneserNey, embedHardNeg, dedupHamming,
-    textCrossSource, pipelinePosttrain, embedMmr,
+    textCrossSource, pipelinePosttrain, embedMmr, pipelineDatacard,
     mixUnimax, mixUnimaxRealize, sampleShuffle, sampleBudget,
     pipelineTrainorder)
 }

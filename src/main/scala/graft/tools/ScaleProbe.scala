@@ -65,7 +65,8 @@ object ScaleProbe {
     "q_quality_ccnet" -> 10, "q_text_kneserney" -> 10,
     "q_embed_hardneg" -> 4,
     "q_dedup_hamming" -> 10, "q_text_crosssource" -> 10,
-    "q_pipeline_posttrain" -> 10, "q_embed_mmr" -> 4)
+    "q_pipeline_posttrain" -> 10, "q_embed_mmr" -> 4,
+    "q_pipeline_datacard" -> 10)
 
   def main(args: Array[String]): Unit = {
     val sfSmall = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
