@@ -426,6 +426,19 @@ object PipelineQueries {
     * near-dup detection, and byte-for-byte the machinery image
     * aHash/pHash dedup runs on (PhashDedupSpec drives it over real
     * decoded BMP/PNG pixels). Only 16-byte (id, sig) rows shuffle. */
+  /** Shared 60-bit SimHash CTE chain (bits → sim) over the `h`
+    * (doc_id, th) relation from [[tokSql]] — the SQL twin of
+    * [[graft.ops.TextHashExpressions.simhash60]]. */
+  private val sim60Ctes: String = {
+    val bitSums = (0 until 60).map(b =>
+      s"sum(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS bs$b")
+      .mkString(", ")
+    val simExpr = (0 until 60).map(b =>
+      s"(CASE WHEN bs$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id), " +
+      s"sim AS (SELECT doc_id, $simExpr AS sim FROM bits)"
+  }
+
   private val HammingTau = 3
   private val dedupHamming = Q("q_dedup_hamming",
     (s, d) => {
@@ -443,18 +456,10 @@ object PipelineQueries {
             .as("digest"))
         .orderBy("source")
     }, {
-      val bitSums = (0 until 60).map(b =>
-        s"sum(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS bs$b")
-        .mkString(", ")
-      val simExpr = (0 until 60).map(b =>
-        s"(CASE WHEN bs$b > 0 THEN ${1L << b} ELSE 0 END)")
-        .mkString(" + ")
       val bands = (0 until 4).map(b =>
         s"SELECT doc_id, $b AS band, (sim >> ${b * 16}) & 65535 AS key " +
           "FROM sim").mkString(" UNION ALL ")
-      s"WITH $tokSql, " +
-        s"bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id), " +
-        s"sim AS (SELECT doc_id, $simExpr AS sim FROM bits), " +
+      s"WITH $tokSql, $sim60Ctes, " +
         s"bands AS ($bands), " +
         "bsz AS (SELECT band, key, count(*) AS bn FROM bands " +
         "GROUP BY band, key), " +
@@ -477,6 +482,84 @@ object PipelineQueries {
         s"WHERE hamming <= $HammingTau " +
         "GROUP BY d.source ORDER BY d.source"
     })
+
+  /** Recall/precision harness for the hamming dedup — the
+    * tune-before-a-corpus-run dial (the q_dedup_lsh_recall
+    * discipline, text side): over the capped MinHash candidate
+    * superset, ground truth = trigram Jaccard ≥ 0.5, flagged = 60-bit
+    * SimHash within hamming ≤ τ. Recall says how much real
+    * duplication the signature tier catches; precision says how much
+    * it over-flags — both exact integer ratios, guarded identically
+    * against empty denominators on both engines. */
+  private val HamRecallJ = 0.5
+  private val dedupHammingRecall = Q("q_dedup_hamming_recall",
+    (s, d) => {
+      val d0 = docs(s, d)
+      val cand = Dedup.minhashCandidates(d0, "text", "doc_id",
+        maxBucket = MinhashCap, numBands = Dedup.NumBands)
+        .select("id_a", "id_b")
+      val grams = d0.select(col("doc_id"),
+        array_distinct(Dedup.wordNgrams(col("text"), 3)).as("gr"))
+      val jcol = size(array_intersect(col("gr_a"), col("gr_b")))
+        .cast("double") /
+        size(array_union(col("gr_a"), col("gr_b"))).cast("double")
+      val truth = cand
+        .join(grams.select(col("doc_id").as("id_a"),
+          col("gr").as("gr_a")), "id_a")
+        .join(grams.select(col("doc_id").as("id_b"),
+          col("gr").as("gr_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          (jcol >= HamRecallJ).as("is_dup"))
+      val sh = Dedup.simhash60(d0, "text", "doc_id")
+      val flags = truth
+        .join(sh.select(col("doc_id").as("id_a"),
+          col("simhash").as("ha")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"),
+          col("simhash").as("hb")), "id_b")
+        .select(col("is_dup"),
+          (bit_count(col("ha").bitwiseXOR(col("hb"))) <= HammingTau)
+            .as("is_ham"))
+      flags
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_truth"),
+          sum(when(col("is_ham"), 1L).otherwise(0L)).as("n_flagged"),
+          sum(when(col("is_dup") && col("is_ham"), 1L).otherwise(0L))
+            .as("n_hit"))
+        .select(col("n_pairs"), col("n_truth"), col("n_flagged"),
+          col("n_hit"),
+          when(col("n_truth") > 0, round(col("n_hit").cast("double") /
+            col("n_truth").cast("double"), 5)).as("recall"),
+          when(col("n_flagged") > 0, round(col("n_hit").cast("double") /
+            col("n_flagged").cast("double"), 5)).as("prec"))
+    },
+    s"WITH $minhashCtes, ${pairsSql(MinhashCap)}, $sim60Ctes, " +
+      "g AS (SELECT doc_id, list_distinct(" +
+      "[ws[i] || '_' || ws[i+1] || '_' || ws[i+2] " +
+      "for i in range(1, len(ws) - 1)]) AS gr " +
+      "FROM (SELECT doc_id, string_split(text, ' ') AS ws " +
+      "FROM documents)), " +
+      "tr AS (SELECT id_a, id_b, " +
+      "(len(list_intersect(a.gr, b.gr))::DOUBLE / " +
+      s"len(list_distinct(list_concat(a.gr, b.gr)))::DOUBLE >= " +
+      s"$HamRecallJ) AS is_dup " +
+      "FROM pairs JOIN g a ON pairs.id_a = a.doc_id " +
+      "JOIN g b ON pairs.id_b = b.doc_id), " +
+      "hm AS (SELECT tr.is_dup, " +
+      s"(bit_count(xor(sa.sim, sb.sim)) <= $HammingTau) AS is_ham " +
+      "FROM tr JOIN sim sa ON tr.id_a = sa.doc_id " +
+      "JOIN sim sb ON tr.id_b = sb.doc_id) " +
+      "SELECT n_pairs, n_truth, n_flagged, n_hit, " +
+      "CASE WHEN n_truth > 0 THEN round(CAST(n_hit AS DOUBLE) / " +
+      "CAST(n_truth AS DOUBLE), 5) END AS recall, " +
+      "CASE WHEN n_flagged > 0 THEN round(CAST(n_hit AS DOUBLE) / " +
+      "CAST(n_flagged AS DOUBLE), 5) END AS prec " +
+      "FROM (SELECT count(*) AS n_pairs, " +
+      "CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_truth, " +
+      "CAST(sum(CASE WHEN is_ham THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_flagged, " +
+      "CAST(sum(CASE WHEN is_dup AND is_ham THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_hit FROM hm)")
 
   private val dedupNgram = Q("q_dedup_ngram_jaccard",
     (s, d) => {
@@ -3432,6 +3515,140 @@ object PipelineQueries {
         "round(CAST(n_shared AS DOUBLE) / CAST(na AS DOUBLE), 5) " +
         "AS containment " +
         "FROM sh JOIN sz ON sz.source = sh.src_a ORDER BY src_a, src_b"
+    })
+
+  /** Population stability index of the quality-score distribution,
+    * each source against the `src0` reference — the standard ML-ops
+    * drift gate ("has this source's quality profile moved"). Decile
+    * buckets cut on the pure-IEEE score (engine-exact), +1 smoothing
+    * over the FULL 10-bucket grid (absent cells materialized — a
+    * missing row would silently skip its smoothed term), per-cell
+    * (p−q)·ln(p/q) floor-quantized to 2⁻³⁰ int64 so the sum is exact
+    * (the q_stats_mi ln-ulp caveat applies). PSI(src0) ≡ 0 is a free
+    * self-check row. */
+  private val PsiRef = "src0"
+  private val PsiFx = 1073741824.0 // 2^30
+  private val statsPsi = Q("q_stats_psi",
+    (s, d) => {
+      val bCol = least(floor(TextAnalysis.qualityScore(col("text"))
+        * 10).cast("int"), lit(9))
+      val cells = docs(s, d).select(col("source"), bCol.as("b"))
+        .groupBy("source", "b").agg(count(lit(1)).as("c"))
+      val grid = cells.select("source").distinct()
+        .crossJoin(broadcast(s.range(0, 10)
+          .select(col("id").cast("int").as("b"))))
+      val full = grid.join(cells, Seq("source", "b"), "left")
+        .na.fill(0L, Seq("c"))
+      val ns = full.groupBy("source").agg(sum(col("c")).as("n"))
+      val withN = full.join(ns, "source")
+      val ref = withN.where(col("source") === PsiRef)
+        .select(col("b"), col("c").as("cr"), col("n").as("nr"))
+      val p = (col("c") + lit(1.0)) / (col("n") + lit(10)).cast("double")
+      val q = (col("cr") + lit(1.0)) /
+        (col("nr") + lit(10)).cast("double")
+      val fp = floor((p - q) * log(p / q) * lit(PsiFx)).cast("long")
+      withN.join(ref, "b")
+        .select(col("source"), col("n"), fp.as("fp"))
+        .groupBy("source", "n")
+        .agg(round(sum(col("fp")).cast("double") / lit(PsiFx), 5)
+          .as("psi"))
+        .select(col("source"), col("n").as("n_docs"), col("psi"))
+        .orderBy("source")
+    }, {
+      val stopSum = TextAnalysis.LangPriority.map(stopSql).mkString(" + ")
+      val wc = "(length(text) - length(replace(text, ' ', '')) + 1)"
+      val punct = "len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::DOUBLE " +
+        "/ greatest(length(replace(text, ' ', ''))::DOUBLE, 1.0)"
+      val qs = "least(greatest(0.4*least(length(text)::DOUBLE / 200.0, " +
+        s"1.0) + 0.3*(1.0 - ($punct)) " +
+        s"+ 0.3*least((($stopSum)::DOUBLE / $wc::DOUBLE)*5.0, 1.0), " +
+        "0.0), 1.0)"
+      "WITH t0 AS (SELECT source, text, string_split(text, ' ') AS ws " +
+        "FROM documents), " +
+        s"tb AS (SELECT source, least(CAST(floor(($qs) * 10) AS INT), " +
+        "9) AS b FROM t0), " +
+        "cells AS (SELECT source, b, count(*) AS c FROM tb " +
+        "GROUP BY 1, 2), " +
+        "grid AS (SELECT s.source, r.b FROM " +
+        "(SELECT DISTINCT source FROM documents) s CROSS JOIN " +
+        "(SELECT CAST(unnest(range(0, 10)) AS INT) AS b) r), " +
+        "fl AS (SELECT grid.source, grid.b, COALESCE(cells.c, 0) AS c " +
+        "FROM grid LEFT JOIN cells USING (source, b)), " +
+        "ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM fl " +
+        "GROUP BY source), " +
+        "wn AS (SELECT fl.source, fl.b, fl.c, ns.n FROM fl " +
+        "JOIN ns USING (source)), " +
+        s"ref AS (SELECT b, c AS cr, n AS nr FROM wn " +
+        s"WHERE source = '$PsiRef'), " +
+        "f AS (SELECT wn.source, wn.n, " +
+        "CAST(floor(((wn.c + 1.0) / CAST(wn.n + 10 AS DOUBLE) - " +
+        "(ref.cr + 1.0) / CAST(ref.nr + 10 AS DOUBLE)) * " +
+        "ln(((wn.c + 1.0) / CAST(wn.n + 10 AS DOUBLE)) / " +
+        "((ref.cr + 1.0) / CAST(ref.nr + 10 AS DOUBLE))) * " +
+        s"$PsiFx) AS BIGINT) AS fp FROM wn JOIN ref USING (b)) " +
+        "SELECT source, n AS n_docs, " +
+        s"round(CAST(sum(fp) AS DOUBLE) / $PsiFx, 5) AS psi " +
+        "FROM f GROUP BY source, n ORDER BY source"
+    })
+
+  /** Decontaminated eval split: hold out the top hash-fraction decile
+    * as eval CANDIDATES, then keep only candidates sharing NO 5-gram
+    * fingerprint with the train side — the contamination-safe
+    * held-out set (the q_text_contamination concern, applied at
+    * split time instead of audit time). Scale shape: fingerprints
+    * aggregate once to the distinct-fp grain; the leak check is a
+    * semi-join and the safe set an anti-join, both on post-agg 45-bit
+    * keys; sub-5-token docs carry no fingerprints and are safe by
+    * definition on both engines. */
+  private val EvalFrac = 0.9
+  private val sampleEvalsafe = Q("q_sample_evalsafe",
+    (s, d) => {
+      val d0 = docs(s, d)
+      val isEval = Sampling.hashFraction(col("doc_id")) >= EvalFrac
+      val fps = d0.select(col("doc_id"), isEval.as("ev"),
+        explode(graft.ops.TextHashExpressions
+          .ngramFps(col("text"), CrossN)).as("g"))
+      val trainFps = fps.where(!col("ev")).select("g").distinct()
+      val leaky = fps.where(col("ev"))
+        .join(trainFps, Seq("g"), "left_semi")
+        .select("doc_id").distinct()
+      val evalDocs = d0.where(isEval).select("doc_id", "source")
+      val safe = evalDocs.join(leaky, Seq("doc_id"), "left_anti")
+      evalDocs.groupBy("source").agg(count(lit(1)).as("n_eval"))
+        .join(safe.groupBy("source").agg(count(lit(1)).as("n_safe"),
+          sum(pmod(col("doc_id"), lit(CleanSumMod))).as("safe_digest")),
+          Seq("source"), "left")
+        .na.fill(0L, Seq("n_safe", "safe_digest"))
+        .select(col("source"), col("n_eval"),
+          (col("n_eval") - col("n_safe")).as("n_leaky"),
+          col("n_safe"), col("safe_digest"))
+        .orderBy("source")
+    }, {
+      val M = Dedup.NgramFpMod
+      val chain = (1 until CrossN).foldLeft("hl[i]") { (acc, k) =>
+        s"($acc * 31 + hl[i+$k]) % $M"
+      }
+      s"WITH t AS (SELECT doc_id, source, " +
+        s"(${Sampling.HashFractionSql("doc_id")} >= $EvalFrac) AS ev, " +
+        s"[${TextAnalysis.TokenHashSql("w")} % $M " +
+        "for w in string_split(text, ' ')] AS hl FROM documents), " +
+        s"fps AS (SELECT doc_id, ev, unnest(list_distinct([$chain " +
+        s"for i in range(1, len(hl) - ${CrossN - 2})])) AS g FROM t), " +
+        "tr AS (SELECT DISTINCT g FROM fps WHERE NOT ev), " +
+        "lk AS (SELECT DISTINCT doc_id FROM fps WHERE ev " +
+        "AND g IN (SELECT g FROM tr)), " +
+        "ed AS (SELECT doc_id, source FROM t WHERE ev), " +
+        "safe AS (SELECT ed.doc_id, ed.source FROM ed " +
+        "WHERE ed.doc_id NOT IN (SELECT doc_id FROM lk)), " +
+        "se AS (SELECT source, count(*) AS n_safe, " +
+        s"CAST(sum(doc_id % $CleanSumMod) AS BIGINT) AS safe_digest " +
+        "FROM safe GROUP BY source) " +
+        "SELECT ed.source, count(*) AS n_eval, " +
+        "count(*) - COALESCE(max(se.n_safe), 0) AS n_leaky, " +
+        "COALESCE(max(se.n_safe), 0) AS n_safe, " +
+        "COALESCE(max(se.safe_digest), 0) AS safe_digest " +
+        "FROM ed LEFT JOIN se USING (source) " +
+        "GROUP BY ed.source ORDER BY ed.source"
     })
 
   /** BM25 keyword relevance over the corpus for a fixed query bag:
@@ -7239,6 +7456,7 @@ object PipelineQueries {
     dedupEditDist, textBlocklist, statsChisq,
     qualityCcnet, textKneserNey, embedHardNeg, dedupHamming,
     textCrossSource, pipelinePosttrain, embedMmr, pipelineDatacard,
+    dedupHammingRecall, statsPsi, sampleEvalsafe,
     mixUnimax, mixUnimaxRealize, sampleShuffle, sampleBudget,
     pipelineTrainorder)
 }
