@@ -398,6 +398,26 @@ object StreamingOps {
         col("sfp"), (col("sfp") <= lit(tauFx) * col("nb")).as("kept"))
   }
 
+  /** Streaming eval decontamination (FIT→APPLY): the TRAIN side's
+    * distinct 5-gram fingerprints are fitted once on the archive and
+    * ride as the static side of a stream-static left-semi join
+    * (persist it); each incoming eval candidate explodes to its
+    * fingerprints, any hit marks the doc leaky, and the per-doc
+    * verdict folds back in ONE keyed aggregation (max of the hit
+    * flag). Stateless across triggers — the batch q_sample_evalsafe
+    * gate applied at ingest time. Returns (idCol, n_fps, leaky). */
+  def evalSafeStream(docs: DataFrame, textCol: String, idCol: String,
+                     trainFps: DataFrame, n: Int = 5): DataFrame =
+    docs
+      .select(col(idCol), explode_outer(
+        graft.ops.TextHashExpressions.ngramFps(col(textCol), n))
+        .as("g"))
+      .join(trainFps.select(col("g"), lit(1).as("__hit")), Seq("g"),
+        "left")
+      .groupBy(col(idCol))
+      .agg(count(col("g")).as("n_fps"),
+        (max(coalesce(col("__hit"), lit(0))) === 1).as("leaky"))
+
   /** Bloom-prefiltered streaming ingest dedup: the archive's portable
     * [[graft.ops.Bloom]] filter is a plan constant, so the probe is a
     * STATELESS per-row map — rows whose signature key the filter

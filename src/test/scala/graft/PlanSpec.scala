@@ -479,5 +479,22 @@ class PlanSpec extends AnyFunSuite {
     xs.collect()
     assert(!xs.queryExecution.executedPlan.toString.contains("Window"),
       "q_text_crosssource: Window crept in")
+    // data card: every sketch aggregates map-side; no Window anywhere
+    val dc = SparkEntry.queries("q_pipeline_datacard")(spark, sf)
+    dc.collect()
+    assert(!dc.queryExecution.executedPlan.toString.contains("Window"),
+      "q_pipeline_datacard: Window crept in (argmax must be the " +
+        "struct-max aggregate)")
+    val psi = SparkEntry.queries("q_stats_psi")(spark, sf)
+    psi.collect()
+    assert(!psi.queryExecution.executedPlan.toString.contains("Window"),
+      "q_stats_psi: Window crept in")
+    // eval decontamination: the leak check must plan as semi/anti
+    // joins, never materializing the (eval x train) pair set
+    val es = SparkEntry.queries("q_sample_evalsafe")(spark, sf)
+    es.collect()
+    val esPlan = es.queryExecution.executedPlan.toString
+    assert(esPlan.contains("LeftSemi") && esPlan.contains("LeftAnti"),
+      "q_sample_evalsafe: semi/anti shape lost")
   }
 }

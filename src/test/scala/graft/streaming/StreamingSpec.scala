@@ -1052,6 +1052,36 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming eval decontamination: the train-fp set fitted on " +
+    "the archive flags the same leaky docs as the batch gate") {
+    val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
+    val isEval = graft.ops.Sampling.hashFraction(col("doc_id")) >= 0.9
+    val trainFps = batchDocs.where(!isEval)
+      .select(explode(graft.ops.TextHashExpressions
+        .ngramFps(col("text"), 5)).as("g"))
+      .distinct().persist()
+    try {
+      trainFps.count()
+      val schema = batchDocs.schema
+      val stream = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .where(isEval)
+      val out = StreamingOps.evalSafeStream(stream, "text", "doc_id",
+        trainFps)
+      StreamingOps.runToMemorySink(out, "evalsafe",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      val got = spark.table("evalsafe")
+        .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+      val want = StreamingOps.evalSafeStream(batchDocs.where(isEval),
+          "text", "doc_id", trainFps)
+        .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+      assert(got === want)
+      assert(got.nonEmpty)
+      assert(got.values.exists(identity) || got.size < 50,
+        "no leak ever flagged on a corpus with template families")
+    } finally trainFps.unpersist()
+  }
+
   test("online ELBO: micro-batch training converges to the data mean") {
     import graft.core._
     import graft.data.DataSet
