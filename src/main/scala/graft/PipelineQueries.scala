@@ -4758,6 +4758,72 @@ object PipelineQueries {
       "for p in range(1, 65, 16)])) AS BIGINT) AS sum_fsc " +
       "FROM documents GROUP BY source ORDER BY source")
 
+  /** Image-dedup round-trip — the first multimodal op with a FULL
+    * oracle row through real pixel decode: per-doc parameters →
+    * deterministic 24-bpp BMP test pattern
+    * ([[Multimodal.bmpPatternColumn]]) → REAL ImageIO decode →
+    * aHash64 → exact-group dedup stats. Shared seeds plant identical
+    * images across docs, so the hash groups are the dedup signal. The
+    * oracle recomputes the 64-sample aHash from the pixel formulas
+    * (the q_multimodal_mp4 discipline) — a parser or hasher that
+    * mis-reads any pixel, sample coordinate, mean, or threshold
+    * breaks the hash sum. Pinned on the low 40 hash bits (bit 63
+    * would need unsigned int64 cross-engine). Bytes never shuffle;
+    * only (source, h40) reaches the aggregate. */
+  private val multimodalImageDedup = Q("q_multimodal_imagededup",
+    (s, d) => {
+      // seed = row-within-source index mod 40: doc_id ≡ const (mod
+      // |sources|) inside a source, so any affine doc_id mod collapses
+      // to 2 seeds per source; the div-20 index varies per source AND
+      // collides across sources — cross-source duplicate planting
+      val params = docs(s, d).select(col("doc_id"), col("source"),
+          pmod(floor(col("doc_id") / lit(20L)), lit(40L)).cast("int")
+            .as("seed"))
+        .withColumn("w",
+          (lit(8) * (pmod(col("seed"), lit(5)) + 2)).cast("int"))
+        .withColumn("h",
+          (lit(8) * (pmod(col("seed"), lit(7)) + 2)).cast("int"))
+      val imgs = Multimodal.bmpPatternColumn(params, "w", "h", "seed")
+      val hashed = Multimodal.imageHashColumn(imgs, "media")
+        .select(col("source"),
+          pmod(col("ahash64"), lit(DigestMod)).as("h40"))
+      // the planted duplicates span SOURCES, so the group structure
+      // only shows at the corpus grain — ride it along as constants
+      val global = hashed.agg(countDistinct(col("h40")).as("n_groups"),
+        (count(lit(1)) - countDistinct(col("h40"))).as("n_redundant"))
+      hashed.groupBy("source")
+        .agg(count(lit(1)).as("n_images"),
+          countDistinct(col("h40")).as("n_distinct"),
+          sum(col("h40")).as("hash_sum"))
+        .crossJoin(global)
+        .orderBy("source")
+    },
+    "WITH d0 AS (SELECT doc_id, source, " +
+      "CAST((doc_id // 20) % 40 AS INT) AS seed FROM documents), " +
+      "dd AS (SELECT doc_id, source, seed, 8 * (seed % 5 + 2) AS w, " +
+      "8 * (seed % 7 + 2) AS h FROM d0), " +
+      "pos AS (SELECT doc_id, source, seed, w, h, " +
+      "CAST(unnest(range(0, 64)) AS INT) AS i FROM dd), " +
+      "xy AS (SELECT doc_id, source, seed, i, " +
+      "least((i % 8) * w // 8 + w // 16, w - 1) AS x, " +
+      "least((i // 8) * h // 8 + h // 16, h - 1) AS y FROM pos), " +
+      "gr AS (SELECT doc_id, source, i, " +
+      "(seed*31 + x*7 + y*13) % 256 + (seed*17 + x*11 + y*5) % 256 + " +
+      "(seed*23 + x*3 + y*19) % 256 AS g FROM xy), " +
+      "st AS (SELECT doc_id, CAST(sum(g) AS BIGINT) // 64 AS m " +
+      "FROM gr GROUP BY doc_id), " +
+      "hh AS (SELECT gr.doc_id, gr.source, " +
+      "CAST(sum(CASE WHEN gr.g > st.m AND gr.i < 40 " +
+      "THEN (CAST(1 AS BIGINT) << gr.i) ELSE 0 END) AS BIGINT) AS h40 " +
+      "FROM gr JOIN st USING (doc_id) GROUP BY gr.doc_id, gr.source), " +
+      "g AS (SELECT count(DISTINCT h40) AS n_groups, " +
+      "count(*) - count(DISTINCT h40) AS n_redundant FROM hh) " +
+      "SELECT source, count(*) AS n_images, " +
+      "count(DISTINCT h40) AS n_distinct, " +
+      "CAST(sum(h40) AS BIGINT) AS hash_sum, " +
+      "max(g.n_groups) AS n_groups, max(g.n_redundant) AS n_redundant " +
+      "FROM hh CROSS JOIN g GROUP BY source ORDER BY source")
+
   /** MP4 container-metadata round-trip: per-doc parameters → minimal
     * ISO BMFF bytes ([[Multimodal.mp4BuildColumn]]) → box-walk parse
     * ([[Multimodal.mp4MetaColumn]]) → per-(source, codec) aggregates.
@@ -7456,7 +7522,7 @@ object PipelineQueries {
     dedupEditDist, textBlocklist, statsChisq,
     qualityCcnet, textKneserNey, embedHardNeg, dedupHamming,
     textCrossSource, pipelinePosttrain, embedMmr, pipelineDatacard,
-    dedupHammingRecall, statsPsi, sampleEvalsafe,
+    dedupHammingRecall, statsPsi, sampleEvalsafe, multimodalImageDedup,
     mixUnimax, mixUnimaxRealize, sampleShuffle, sampleBudget,
     pipelineTrainorder)
 }

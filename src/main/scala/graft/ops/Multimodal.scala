@@ -99,6 +99,46 @@ object Multimodal {
         Row(info.width, info.height, info.meanR, info.meanG,
           info.meanB)).orNull)
 
+  /** Deterministic 24-bpp BMP test-pattern builder — the in-plan image
+    * synthesizer for oracle queries (the q_multimodal_mp4 discipline:
+    * bytes are BUILT from row parameters, decoded by the REAL parser,
+    * and the oracle recomputes the aggregate from the same formulas).
+    * Pixel (x, y) of a (w, h, seed) pattern:
+    *   r = (seed·31 + x·7 + y·13) mod 256
+    *   g = (seed·17 + x·11 + y·5) mod 256
+    *   b = (seed·23 + x·3 + y·19) mod 256
+    * Batched partition-local map; bytes never shuffle. */
+  def bmpPatternColumn(df: DataFrame, wCol: String, hCol: String,
+                       seedCol: String,
+                       outCol: String = "media"): DataFrame = {
+    val schema = df.schema
+      .add(outCol, org.apache.spark.sql.types.BinaryType)
+    val wi = df.schema.fieldIndex(wCol)
+    val hi = df.schema.fieldIndex(hCol)
+    val si = df.schema.fieldIndex(seedCol)
+    mapBatched(df, schema) { it =>
+      it.map { row =>
+        val w = row.getInt(wi)
+        val h = row.getInt(hi)
+        val seed = row.getInt(si)
+        val rgb = new Array[Byte](3 * w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val i = 3 * (y * w + x)
+            rgb(i) = ((seed * 31 + x * 7 + y * 13) % 256).toByte
+            rgb(i + 1) = ((seed * 17 + x * 11 + y * 5) % 256).toByte
+            rgb(i + 2) = ((seed * 23 + x * 3 + y * 19) % 256).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Row.fromSeq(row.toSeq :+ Codecs.encodeBmp(w, h, rgb))
+      }
+    }
+  }
+
   /** Perceptual image hashes for near-dup detection: aHash64 (spatial
     * brightness pattern) and pHash64 (DCT spectral structure) per row,
     * null for undecodable bytes. The two-tier fingerprint feeds the
