@@ -7482,6 +7482,234 @@ object PipelineQueries {
       s"round(CAST(sum(f01) AS DOUBLE) / $MiFx, 5) AS kl_ref_cur " +
       "FROM f GROUP BY n0, n1, n_used")
 
+  // ------------------------------------------- governance / uncertainty
+
+  /** Right-to-be-forgotten propagation through the dedup closure — the
+    * operational op a deduplicated corpus needs when removal requests
+    * (opt-outs, takedowns) land AFTER dedup: dropping a cluster's
+    * canonical must PROMOTE the best surviving duplicate, or content
+    * still held by non-requested sources silently vanishes from the
+    * kept set. Removal list = doc_id ≡ 3 (mod 17). The promote pass is
+    * ONE struct-max hash aggregation over the cluster closure (no
+    * window): max(n_chars, −id) over all members vs over survivors —
+    * the canonical was removed iff the two differ. Scale: the closure
+    * is the verified O(log n) CC machinery
+    * ([[graft.ops.Dedup.minhashClusters]]); this adds a map-side-
+    * combined agg over ~24 B (cluster, id, chars, flag) rows and a
+    * final scalar fold — removal compliance costs one scan on top of
+    * the closure you already maintain. */
+  private val pipelineForget = Q("q_pipeline_forget",
+    (s, d) => {
+      val dd = docs(s, d)
+      val cl = Dedup.minhashClusters(dd, "text", "doc_id",
+        maxBucket = MinhashCap)
+      val j = cl.join(dd.select(col("doc_id"), col("n_chars")), "doc_id")
+        .withColumn("removed", pmod(col("doc_id"), lit(17L)) === lit(3L))
+      val best = j.groupBy("cluster_id").agg(
+        sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),
+        max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("ball"),
+        max(when(!col("removed"),
+          struct(col("n_chars"), (-col("doc_id")).as("nid")))).as("bsurv"))
+      best.agg(
+        sum(col("n_removed")).as("n_requested"),
+        sum(when(col("n_removed") > 0, 1L).otherwise(0L)).as("n_touched"),
+        sum(when(col("bsurv").isNull, 1L).otherwise(0L)).as("n_lost"),
+        sum(when(col("bsurv").isNotNull &&
+            !(col("bsurv") <=> col("ball")), 1L).otherwise(0L))
+          .as("n_promoted"),
+        sum(when(col("bsurv").isNotNull, 1L).otherwise(0L))
+          .as("n_kept_after"),
+        sum(-col("bsurv").getField("nid")).as("keep_id_sum_after"))
+    },
+    s"WITH RECURSIVE $closureCtes, " +
+      "j AS (SELECT comp.cluster_id, comp.node AS doc_id, d.n_chars, " +
+      "CASE WHEN comp.node % 17 = 3 THEN 1 ELSE 0 END AS removed " +
+      "FROM comp JOIN documents d ON comp.node = d.doc_id), " +
+      "rk AS (SELECT cluster_id, doc_id, n_chars, removed, " +
+      "row_number() OVER (PARTITION BY cluster_id " +
+      "ORDER BY n_chars DESC, doc_id ASC) AS rn_all, " +
+      "row_number() OVER (PARTITION BY cluster_id, removed " +
+      "ORDER BY n_chars DESC, doc_id ASC) AS rn_grp FROM j), " +
+      "cl AS (SELECT cluster_id, sum(removed) AS n_removed, " +
+      "max(CASE WHEN rn_all = 1 THEN removed END) AS keep_all_removed, " +
+      "max(CASE WHEN removed = 0 AND rn_grp = 1 THEN doc_id END) " +
+      "AS keep_surv FROM rk GROUP BY cluster_id) " +
+      "SELECT CAST(sum(n_removed) AS BIGINT) AS n_requested, " +
+      "CAST(sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_touched, " +
+      "CAST(sum(CASE WHEN keep_surv IS NULL THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_lost, " +
+      "CAST(sum(CASE WHEN keep_surv IS NOT NULL " +
+      "AND keep_all_removed = 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_promoted, " +
+      "CAST(sum(CASE WHEN keep_surv IS NOT NULL THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_kept_after, " +
+      "CAST(sum(keep_surv) AS BIGINT) AS keep_id_sum_after FROM cl")
+
+  /** Poisson-bootstrap replicate count / draw modulus / Poisson(1)
+    * inverse-CDF cutoffs at 2⁻²⁰ fixed point (floor(CDF(k)·2²⁰),
+    * computed at 50-digit precision; tail truncated at w=6, mass
+    * ~6e-4 of a ulp of M). Declared before first oracle use. */
+  private val BootB = 64
+  private val BootM = 1048576L
+  private val BootCuts: Array[Long] =
+    Array(385749L, 771499L, 964373L, 1028665L, 1044738L, 1047952L)
+
+  /** Per-source mean length with a percentile CI from B=64 POISSON
+    * bootstrap replicates — the bootstrap that survives 100 TB: the
+    * classic resample-n-with-replacement needs a global draw per
+    * replicate, but Poisson(1) weights are per-ROW independent
+    * (Chamandy et al., "Estimating Uncertainty for Massive Data
+    * Streams", Google TR 2012), so all 64 replicates fold into ONE
+    * scan whose ×64 row expansion feeds straight into a map-side
+    * partial agg — only 64·|sources| partial rows ever shuffle.
+    * Weights are drawn by integer comparison of a 60-bit md5 draw
+    * against fixed-point CDF cutoffs: zero float parsing, both
+    * engines compare the same integers. CI = order statistics 4/61
+    * of the 64 sorted replicate means (~5th/95th pct). */
+  private val statsBootstrap = Q("q_stats_bootstrap",
+    (s, d) => {
+      val dd = docs(s, d)
+      val pt = dd.groupBy("source").agg(count(lit(1)).as("n_docs"),
+        round(sum(col("n_chars")).cast("double") /
+          count(lit(1)).cast("double"), 5).as("mean_pt"))
+      val u = pmod(TextAnalysis.tokenHash(
+        concat(col("doc_id").cast("string"), lit(":"),
+          col("b").cast("string"))), lit(BootM))
+      val w = BootCuts.zipWithIndex.foldRight(lit(BootCuts.length)) {
+        case ((cut, k), acc) => when(col("u") < cut, lit(k)).otherwise(acc)
+      }
+      val rep = dd.select(col("doc_id"), col("source"), col("n_chars"),
+          explode(sequence(lit(0), lit(BootB - 1))).as("b"))
+        .withColumn("u", u).withColumn("w", w)
+      val means = rep.groupBy("source", "b")
+        .agg((sum((col("w") * col("n_chars")).cast("long")).cast("double") /
+          greatest(sum(col("w").cast("long")), lit(1L)).cast("double"))
+          .as("mean_b"))
+      val ci = means.groupBy("source")
+        .agg(sort_array(collect_list(col("mean_b"))).as("arr"))
+        .select(col("source"),
+          round(element_at(col("arr"), 4), 5).as("ci_lo"),
+          round(element_at(col("arr"), 61), 5).as("ci_hi"))
+      pt.join(ci, "source").orderBy("source")
+    }, {
+      val uSql = TextAnalysis.TokenHashSql(
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)") +
+        s" % $BootM"
+      val wSql = BootCuts.zipWithIndex.map { case (cut, k) =>
+        s"WHEN u < $cut THEN $k" }.mkString("CASE ", " ",
+        s" ELSE ${BootCuts.length} END")
+      s"WITH r AS (SELECT source, doc_id, n_chars, " +
+        "CAST(unnest(range(0, 64)) AS BIGINT) AS b FROM documents), " +
+        s"d AS (SELECT source, b, n_chars, $uSql AS u FROM r), " +
+        s"ww AS (SELECT source, b, n_chars, $wSql AS w FROM d), " +
+        "m AS (SELECT source, b, " +
+        "CAST(sum(w * n_chars) AS DOUBLE) / " +
+        "CAST(greatest(sum(w), 1) AS DOUBLE) AS mean_b " +
+        "FROM ww GROUP BY source, b), " +
+        "a AS (SELECT source, list(mean_b ORDER BY mean_b) AS arr " +
+        "FROM m GROUP BY source), " +
+        "p AS (SELECT source, count(*) AS n_docs, " +
+        "round(CAST(sum(n_chars) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 5) AS mean_pt " +
+        "FROM documents GROUP BY source) " +
+        "SELECT p.source AS source, n_docs, mean_pt, " +
+        "round(arr[4], 5) AS ci_lo, round(arr[61], 5) AS ci_hi " +
+        "FROM p JOIN a ON p.source = a.source ORDER BY source"
+    })
+
+  /** Fleiss' κ over three deterministic synthetic raters — the
+    * inter-annotator-agreement gate every labeling/quality-rating
+    * stage needs before its labels train a filter. Rater r buckets a
+    * doc by length (t = 0/1/2 at 200/400 chars) but flips to a wrong
+    * bucket when its md5 draw says so (~20%), so agreement is high
+    * but imperfect and κ is non-degenerate. All counts stay integer
+    * through the per-source aggregate; the κ ratio is evaluated with
+    * the same operation order in both engines. Scale: pure per-row
+    * expressions into one map-side-combined agg — no joins, no
+    * windows, rater columns never leave their partition. */
+  private val statsKappa = Q("q_stats_kappa",
+    (s, d) => {
+      val t = when(col("n_chars") < 200L, 0L)
+        .when(col("n_chars") < 400L, 1L).otherwise(2L)
+      def rater(r: Int): org.apache.spark.sql.Column = {
+        val h = pmod(TextAnalysis.tokenHash(
+          concat(col("doc_id").cast("string"), lit(s"#r$r"))), lit(10L))
+        when(h < 8L, col("t"))
+          .otherwise(pmod(col("t") + lit(1L) + pmod(h, lit(2L)), lit(3L)))
+      }
+      def nc(c: Int): org.apache.spark.sql.Column =
+        (0 until 3).map(r => when(col(s"c$r") === c, 1L).otherwise(0L))
+          .reduce(_ + _)
+      val scored = docs(s, d).withColumn("t", t)
+        .withColumn("c0", rater(0)).withColumn("c1", rater(1))
+        .withColumn("c2", rater(2))
+        .select(col("source") +: (0 until 3).map(c => nc(c).as(s"n$c")): _*)
+      val agg = scored.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n0") * col("n0") + col("n1") * col("n1") +
+          col("n2") * col("n2") - lit(3L)).as("s_pi"),
+        sum(col("n0")).as("m0"), sum(col("n1")).as("m1"),
+        sum(col("n2")).as("m2"))
+      val pbar = col("s_pi").cast("double") /
+        (col("n_docs") * lit(6L)).cast("double")
+      def pc(c: Int): org.apache.spark.sql.Column = col(s"m$c").cast("double") /
+        (col("n_docs") * lit(3L)).cast("double")
+      val pe = pc(0) * pc(0) + pc(1) * pc(1) + pc(2) * pc(2)
+      agg.select(col("source"), col("n_docs"),
+          round(pbar, 5).as("p_bar"), round(pe, 5).as("p_exp"),
+          round((pbar - pe) / greatest(lit(1.0) - pe, lit(0.000001)), 5)
+            .as("kappa"))
+        .orderBy("source")
+    }, {
+      def hSql(r: Int): String = TextAnalysis.TokenHashSql(
+        s"CAST(doc_id AS VARCHAR) || '#r$r'") + " % 10"
+      def cSql(r: Int): String =
+        s"CASE WHEN h$r < 8 THEN t ELSE (t + 1 + (h$r % 2)) % 3 END"
+      def ncSql(c: Int): String =
+        (0 until 3).map(r => s"(CASE WHEN c$r = $c THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+      "WITH t0 AS (SELECT source, doc_id, " +
+        "CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 400 THEN 1 " +
+        "ELSE 2 END AS t FROM documents), " +
+        s"h AS (SELECT source, t, ${hSql(0)} AS h0, ${hSql(1)} AS h1, " +
+        s"${hSql(2)} AS h2 FROM t0), " +
+        s"c AS (SELECT source, ${cSql(0)} AS c0, ${cSql(1)} AS c1, " +
+        s"${cSql(2)} AS c2 FROM h), " +
+        s"nn AS (SELECT source, ${ncSql(0)} AS n0, ${ncSql(1)} AS n1, " +
+        s"${ncSql(2)} AS n2 FROM c), " +
+        "a AS (SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(n0*n0 + n1*n1 + n2*n2 - 3) AS BIGINT) AS s_pi, " +
+        "CAST(sum(n0) AS BIGINT) AS m0, CAST(sum(n1) AS BIGINT) AS m1, " +
+        "CAST(sum(n2) AS BIGINT) AS m2 FROM nn GROUP BY source) " +
+        "SELECT source, n_docs, " +
+        "round(CAST(s_pi AS DOUBLE) / CAST(n_docs * 6 AS DOUBLE), 5) " +
+        "AS p_bar, " +
+        "round((CAST(m0 AS DOUBLE) / CAST(n_docs * 3 AS DOUBLE)) * " +
+        "(CAST(m0 AS DOUBLE) / CAST(n_docs * 3 AS DOUBLE)) + " +
+        "(CAST(m1 AS DOUBLE) / CAST(n_docs * 3 AS DOUBLE)) * " +
+        "(CAST(m1 AS DOUBLE) / CAST(n_docs * 3 AS DOUBLE)) + " +
+        "(CAST(m2 AS DOUBLE) / CAST(n_docs * 3 AS DOUBLE)) * " +
+        "(CAST(m2 AS DOUBLE) / CAST(n_docs * 3 AS DOUBLE)), 5) " +
+        "AS p_exp, " +
+        "round((CAST(s_pi AS DOUBLE) / CAST(n_docs * 6 AS DOUBLE) - " +
+        "((CAST(m0 AS DOUBLE) / CAST(n_docs * 3 AS DOUBLE)) * " +
+        "(CAST(m0 AS DOUBLE) / CAST(n_docs * 3 AS DOUBLE)) + " +
+        "(CAST(m1 AS DOUBLE) / CAST(n_docs * 3 AS DOUBLE)) * " +
+        "(CAST(m1 AS DOUBLE) / CAST(n_docs * 3 AS DOUBLE)) + " +
+        "(CAST(m2 AS DOUBLE) / CAST(n_docs * 3 AS DOUBLE)) * " +
+        "(CAST(m2 AS DOUBLE) / CAST(n_docs * 3 AS DOUBLE)))) / " +
+        "greatest(1.0 - " +
+        "((CAST(m0 AS DOUBLE) / CAST(n_docs * 3 AS DOUBLE)) * " +
+        "(CAST(m0 AS DOUBLE) / CAST(n_docs * 3 AS DOUBLE)) + " +
+        "(CAST(m1 AS DOUBLE) / CAST(n_docs * 3 AS DOUBLE)) * " +
+        "(CAST(m1 AS DOUBLE) / CAST(n_docs * 3 AS DOUBLE)) + " +
+        "(CAST(m2 AS DOUBLE) / CAST(n_docs * 3 AS DOUBLE)) * " +
+        "(CAST(m2 AS DOUBLE) / CAST(n_docs * 3 AS DOUBLE))), " +
+        "0.000001), 5) AS kappa " +
+        "FROM a ORDER BY source"
+    })
+
   // ---------------------------------------------------------------- export
 
   val all: Vector[Q] = Vector(
@@ -7524,5 +7752,5 @@ object PipelineQueries {
     textCrossSource, pipelinePosttrain, embedMmr, pipelineDatacard,
     dedupHammingRecall, statsPsi, sampleEvalsafe, multimodalImageDedup,
     mixUnimax, mixUnimaxRealize, sampleShuffle, sampleBudget,
-    pipelineTrainorder)
+    pipelineTrainorder, pipelineForget, statsBootstrap, statsKappa)
 }

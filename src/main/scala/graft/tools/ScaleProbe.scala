@@ -68,7 +68,9 @@ object ScaleProbe {
     "q_pipeline_posttrain" -> 10, "q_embed_mmr" -> 4,
     "q_pipeline_datacard" -> 10,
     "q_dedup_hamming_recall" -> 10, "q_stats_psi" -> 10,
-    "q_sample_evalsafe" -> 10, "q_multimodal_imagededup" -> 10)
+    "q_sample_evalsafe" -> 10, "q_multimodal_imagededup" -> 10,
+    "q_pipeline_forget" -> 10, "q_stats_bootstrap" -> 10,
+    "q_stats_kappa" -> 10)
 
   def main(args: Array[String]): Unit = {
     val sfSmall = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

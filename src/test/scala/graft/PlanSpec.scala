@@ -496,5 +496,27 @@ class PlanSpec extends AnyFunSuite {
     val esPlan = es.queryExecution.executedPlan.toString
     assert(esPlan.contains("LeftSemi") && esPlan.contains("LeftAnti"),
       "q_sample_evalsafe: semi/anti shape lost")
+    // forget-propagation: the promote pass must be the struct-max
+    // AGGREGATE over the closure, never a rank window
+    val fg = SparkEntry.queries("q_pipeline_forget")(spark, sf)
+    fg.collect()
+    assert(!fg.queryExecution.executedPlan.toString.contains("Window"),
+      "q_pipeline_forget: Window crept in (promotion must be the " +
+        "struct-max aggregate)")
+    // Poisson bootstrap: the x64 replicate explode must feed a
+    // partial (map-side) aggregate — only post-agg rows shuffle —
+    // and no window/sort touches the replicate grain
+    val bs = SparkEntry.queries("q_stats_bootstrap")(spark, sf)
+    bs.collect()
+    val bsPlan = bs.queryExecution.executedPlan.toString
+    assert(!bsPlan.contains("Window"), "q_stats_bootstrap: Window")
+    assert(bsPlan.contains("partial_"),
+      "q_stats_bootstrap: replicate agg lost its map-side partial " +
+        "(the x64 explode would shuffle data-sized)")
+    val kp = SparkEntry.queries("q_stats_kappa")(spark, sf)
+    kp.collect()
+    val kpPlan = kp.queryExecution.executedPlan.toString
+    assert(!kpPlan.contains("Window") && !kpPlan.contains("Join"),
+      "q_stats_kappa: must be one scan into one agg (no join/window)")
   }
 }
