@@ -7546,6 +7546,148 @@ object PipelineQueries {
       "AS BIGINT) AS n_kept_after, " +
       "CAST(sum(keep_surv) AS BIGINT) AS keep_id_sum_after FROM cl")
 
+  /** Audio-dedup round-trip — the audio twin of
+    * [[multimodalImageDedup]]: per-doc parameters → deterministic
+    * PCM16 test tone ([[Multimodal.wavPatternColumn]]) → REAL RIFF
+    * parse → 16-frame integer energy fingerprint
+    * ([[graft.ops.Codecs.audioFingerprint]]) → exact-group dedup
+    * stats. Shared seeds plant identical clips across docs AND
+    * sources; the oracle recomputes the fingerprint from the sample
+    * formula — a parser that mis-reads any sample, frame boundary,
+    * or the strict energy threshold breaks the fingerprint sum.
+    * n ≡ 0 (mod 16) by construction, so every sample lands in a
+    * frame. Bytes never shuffle; only (source, afp) aggregates. */
+  private val multimodalAudioDedup = Q("q_multimodal_audiodedup",
+    (s, d) => {
+      val params = docs(s, d).select(col("doc_id"), col("source"),
+          pmod(floor(col("doc_id") / lit(20L)), lit(32L)).cast("int")
+            .as("seed"))
+        .withColumn("n",
+          (lit(512) + lit(64) * pmod(col("seed"), lit(8))).cast("int"))
+      val clips = Multimodal.wavPatternColumn(params, "n", "seed")
+      val fps = Multimodal.audioFingerprintColumn(clips, "media")
+        .select(col("source"), col("afp"))
+      val global = fps.agg(countDistinct(col("afp")).as("n_groups"),
+        (count(lit(1)) - countDistinct(col("afp"))).as("n_redundant"))
+      fps.groupBy("source")
+        .agg(count(lit(1)).as("n_clips"),
+          countDistinct(col("afp")).as("n_distinct"),
+          sum(col("afp").cast("long")).as("fp_sum"))
+        .crossJoin(global)
+        .orderBy("source")
+    },
+    "WITH d0 AS (SELECT doc_id, source, " +
+      "CAST((doc_id // 20) % 32 AS INT) AS seed FROM documents), " +
+      "dd AS (SELECT doc_id, source, seed, " +
+      "512 + 64 * (seed % 8) AS n FROM d0), " +
+      "tt AS (SELECT doc_id, source, seed, n, " +
+      "CAST(unnest(range(0, n)) AS INT) AS t FROM dd), " +
+      "a AS (SELECT doc_id, source, t // (n // 16) AS f, " +
+      "abs(((seed*131 + t*t*7 + t*13) % 65536) - 32768) AS av " +
+      "FROM tt), " +
+      "fs AS (SELECT doc_id, source, f, CAST(sum(av) AS BIGINT) AS s " +
+      "FROM a GROUP BY doc_id, source, f), " +
+      "tot AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS tot FROM fs " +
+      "GROUP BY doc_id), " +
+      "fp AS (SELECT fs.doc_id, fs.source, " +
+      "CAST(sum(CASE WHEN fs.s * 16 > tot.tot THEN (1 << fs.f) " +
+      "ELSE 0 END) AS INT) AS afp " +
+      "FROM fs JOIN tot USING (doc_id) GROUP BY fs.doc_id, fs.source), " +
+      "g AS (SELECT count(DISTINCT afp) AS n_groups, " +
+      "count(*) - count(DISTINCT afp) AS n_redundant FROM fp) " +
+      "SELECT source, count(*) AS n_clips, " +
+      "count(DISTINCT afp) AS n_distinct, " +
+      "CAST(sum(afp) AS BIGINT) AS fp_sum, " +
+      "max(g.n_groups) AS n_groups, max(g.n_redundant) AS n_redundant " +
+      "FROM fp CROSS JOIN g GROUP BY source ORDER BY source")
+
+  /** Code-switch detection at the SEGMENT grain — doc-level langid
+    * (q_text_langid) calls a bilingual doc one language; this op
+    * segments each doc into 10-word windows, runs the SAME stopword
+    * langid per segment, and reports per-source mixing stats. The
+    * corpus is made genuinely code-switched by pairing each doc with
+    * its XOR-1 neighbor (a deterministic, SF-stable pairing — ~74%
+    * of pairs cross languages). Scale: the pairing is a self-join on
+    * a computed key (shuffle on 8-byte ids), segmentation + langid
+    * are per-row expressions feeding one map-side-combined two-level
+    * agg — segment strings never shuffle. */
+  private val textCodeswitch = Q("q_text_codeswitch",
+    (s, d) => {
+      val dd = docs(s, d)
+      val b = dd.select(col("doc_id").as("bid"), col("text").as("btext"))
+      val paired = dd.select(col("doc_id"), col("source"), col("text"))
+        .join(b, col("bid") === col("doc_id").bitwiseXOR(lit(1L)), "left")
+        .select(col("doc_id"), col("source"),
+          concat_ws(" ", col("text"), col("btext")).as("t2"))
+      val segs = paired
+        .withColumn("ws", split(col("t2"), " "))
+        .select(col("doc_id"), col("source"),
+          explode(expr("transform(sequence(0, " +
+            "cast(ceil(size(ws) / 10.0) as int) - 1), " +
+            "i -> array_join(slice(ws, i*10+1, 10), ' '))")).as("seg"))
+        .withColumn("pred", TextAnalysis.langId(col("seg")))
+      val perDoc = segs.groupBy("doc_id", "source", "pred")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("doc_id", "source")
+        .agg(sum(col("n")).as("n_segs"),
+          max(when(col("pred") =!= "und", col("n")).otherwise(0L))
+            .as("dom"),
+          countDistinct(when(col("pred") =!= "und", col("pred")))
+            .as("n_langs"),
+          sum((TextAnalysis.tokenHash(col("pred")) % lit(1000L)) *
+            col("n")).as("pin"))
+      perDoc.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_langs") >= 2, 1L).otherwise(0L)).as("n_mixed"),
+          sum(col("n_segs")).as("sum_segs"),
+          round(avg(col("dom").cast("double") /
+            col("n_segs").cast("double")), 5).as("avg_dom"),
+          sum(col("pin")).as("lang_pin"))
+        .orderBy("source")
+    }, {
+      def stopOn(lang: String): String = {
+        val lst = TextAnalysis.Stopwords(lang).map(w => s"'$w'")
+          .mkString(", ")
+        s"len(list_filter(sw, w -> list_contains([$lst], w)))"
+      }
+      val scores = TextAnalysis.LangPriority
+        .map(l => s"${stopOn(l)} AS s_$l").mkString(", ")
+      val maxS = TextAnalysis.LangPriority.map(l => s"s_$l")
+        .mkString(", ")
+      val cases = TextAnalysis.LangPriority.map(l =>
+        s"WHEN s_$l = m AND m > 0 THEN '$l'").mkString(" ")
+      "WITH p AS (SELECT a.doc_id, a.source, " +
+        "concat_ws(' ', a.text, b.text) AS t2 FROM documents a " +
+        "LEFT JOIN documents b ON b.doc_id = xor(a.doc_id, 1)), " +
+        "w AS (SELECT doc_id, source, string_split(t2, ' ') AS ws " +
+        "FROM p), " +
+        "sg AS (SELECT doc_id, source, " +
+        "unnest([ws[i*10+1 : i*10+10] " +
+        "for i in range(0, CAST(ceil(len(ws) / 10.0) AS INT))]) " +
+        "AS sw FROM w), " +
+        s"sc AS (SELECT doc_id, source, $scores FROM sg), " +
+        s"pr AS (SELECT doc_id, source, " +
+        s"CASE $cases ELSE 'und' END AS pred FROM " +
+        s"(SELECT *, greatest($maxS) AS m FROM sc)), " +
+        "pc AS (SELECT doc_id, source, pred, count(*) AS n FROM pr " +
+        "GROUP BY doc_id, source, pred), " +
+        "dstat AS (SELECT doc_id, source, " +
+        "CAST(sum(n) AS BIGINT) AS n_segs, " +
+        "max(CASE WHEN pred <> 'und' THEN n ELSE 0 END) AS dom, " +
+        "count(DISTINCT CASE WHEN pred <> 'und' THEN pred END) " +
+        "AS n_langs, " +
+        s"CAST(sum((${TextAnalysis.TokenHashSql("pred")} % 1000) * n) " +
+        "AS BIGINT) AS pin FROM pc GROUP BY doc_id, source) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN n_langs >= 2 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_mixed, " +
+        "CAST(sum(n_segs) AS BIGINT) AS sum_segs, " +
+        "round(avg(CAST(dom AS DOUBLE) / CAST(n_segs AS DOUBLE)), 5) " +
+        "AS avg_dom, " +
+        "CAST(sum(pin) AS BIGINT) AS lang_pin " +
+        "FROM dstat GROUP BY source ORDER BY source"
+    })
+
   /** Poisson-bootstrap replicate count / draw modulus / Poisson(1)
     * inverse-CDF cutoffs at 2⁻²⁰ fixed point (floor(CDF(k)·2²⁰),
     * computed at 50-digit precision; tail truncated at w=6, mass
@@ -7752,5 +7894,6 @@ object PipelineQueries {
     textCrossSource, pipelinePosttrain, embedMmr, pipelineDatacard,
     dedupHammingRecall, statsPsi, sampleEvalsafe, multimodalImageDedup,
     mixUnimax, mixUnimaxRealize, sampleShuffle, sampleBudget,
-    pipelineTrainorder, pipelineForget, statsBootstrap, statsKappa)
+    pipelineTrainorder, pipelineForget, statsBootstrap, statsKappa,
+    multimodalAudioDedup, textCodeswitch)
 }

@@ -91,6 +91,77 @@ object Codecs {
       math.sqrt(sumSq / nSamples), crossings.toDouble / (nFrames - 1).max(1)))
   }
 
+  /** Encode mono PCM16 samples as a minimal RIFF/WAVE file (44-byte
+    * header + little-endian data) — the audio twin of [[encodeBmp]],
+    * so oracle queries can BUILD audio from row parameters and drive
+    * the real parser over it. */
+  def encodeWavMono(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0)
+    val dataLen = 2 * samples.length
+    val out = new Array[Byte](44 + dataLen)
+    def put16(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+    }
+    def put32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    def tag(o: Int, s: String): Unit = {
+      var i = 0
+      while (i < 4) { out(o + i) = s.charAt(i).toByte; i += 1 }
+    }
+    tag(0, "RIFF"); put32(4, 36 + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); put32(16, 16); put16(20, 1); put16(22, 1)
+    put32(24, sampleRate); put32(28, sampleRate * 2)
+    put16(32, 2); put16(34, 16)
+    tag(36, "data"); put32(40, dataLen)
+    var t = 0
+    while (t < samples.length) {
+      put16(44 + 2 * t, samples(t) & 0xFFFF)
+      t += 1
+    }
+    out
+  }
+
+  /** Integer frame-energy audio fingerprint over channel 0 of a PCM16
+    * WAV: the first `frames`·⌊n/frames⌋ samples split into `frames`
+    * equal frames, bit f set iff frame f's Σ|sample| strictly exceeds
+    * the mean frame energy (framesum·frames > total — all-integer, no
+    * division, so an oracle can recompute it exactly from a sample
+    * formula). The audio analogue of the image aHash: robust to
+    * level-preserving re-encodes, cheap enough for a corpus pass. */
+  def audioFingerprint(b: Array[Byte], frames: Int = 16): Option[Int] =
+    wavLayout(b).map { case (_, ch, dataOff, dataLen) =>
+      val n = dataLen / 2 / ch
+      val per = n / frames
+      if (per == 0) 0
+      else {
+        val sums = new Array[Long](frames)
+        var f = 0
+        while (f < frames) {
+          var t = f * per
+          val end = (f + 1) * per
+          var s = 0L
+          while (t < end) {
+            s += math.abs(le16(b, dataOff + 2 * t * ch).toShort.toInt)
+            t += 1
+          }
+          sums(f) = s
+          f += 1
+        }
+        var tot = 0L
+        f = 0
+        while (f < frames) { tot += sums(f); f += 1 }
+        var fp = 0
+        f = 0
+        while (f < frames) {
+          if (sums(f) * frames > tot) fp |= (1 << f)
+          f += 1
+        }
+        fp
+      }
+    }
+
   /** Mono-mixed normalized samples of a PCM16 WAV (channel 0 only —
     * the tonal probes care about frequency content, not the mix). */
   private def samplesOf(b: Array[Byte]): Option[(Int, Array[Double])] =

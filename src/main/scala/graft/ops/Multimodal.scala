@@ -139,6 +139,55 @@ object Multimodal {
     }
   }
 
+  /** Deterministic PCM16 mono WAV test-tone builder — the audio twin
+    * of [[bmpPatternColumn]] (bytes BUILT from row parameters, decoded
+    * by the REAL RIFF parser, oracle recomputes from the formulas).
+    * Sample t of an (n, seed) pattern, at 8 kHz:
+    *   s(t) = ((seed·131 + t·t·7 + t·13) mod 65536) − 32768
+    * Batched partition-local map; bytes never shuffle. */
+  def wavPatternColumn(df: DataFrame, nCol: String, seedCol: String,
+                       outCol: String = "media"): DataFrame = {
+    val schema = df.schema
+      .add(outCol, org.apache.spark.sql.types.BinaryType)
+    val ni = df.schema.fieldIndex(nCol)
+    val si = df.schema.fieldIndex(seedCol)
+    mapBatched(df, schema) { it =>
+      it.map { row =>
+        val n = row.getInt(ni)
+        val seed = row.getInt(si)
+        val samples = new Array[Short](n)
+        var t = 0
+        while (t < n) {
+          samples(t) = (((seed * 131 + t * t * 7 + t * 13) % 65536)
+            - 32768).toShort
+          t += 1
+        }
+        Row.fromSeq(row.toSeq :+ Codecs.encodeWavMono(8000, samples))
+      }
+    }
+  }
+
+  /** Frame-energy audio fingerprint per row through the REAL WAV
+    * parser ([[Codecs.audioFingerprint]]): 16-bit integer signature,
+    * null for undecodable bytes — the dedup key for audio corpora.
+    * Batched map, bytes never shuffle, stream-safe. */
+  def audioFingerprintColumn(df: DataFrame, mediaCol: String,
+                             frames: Int = 16,
+                             blockSize: Int = 1024): DataFrame = {
+    val schema = df.schema
+      .add("afp", org.apache.spark.sql.types.IntegerType)
+    val idx = df.schema.fieldIndex(mediaCol)
+    mapBatched(df, schema) { it =>
+      it.grouped(blockSize).flatMap { rows =>
+        rows.iterator.map { row =>
+          val fp = Codecs.audioFingerprint(
+            row.getAs[Array[Byte]](idx), frames)
+          Row.fromSeq(row.toSeq :+ fp.map(Int.box).orNull)
+        }
+      }
+    }
+  }
+
   /** Perceptual image hashes for near-dup detection: aHash64 (spatial
     * brightness pattern) and pHash64 (DCT spectral structure) per row,
     * null for undecodable bytes. The two-tier fingerprint feeds the

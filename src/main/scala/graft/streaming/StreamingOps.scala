@@ -939,6 +939,31 @@ object StreamingOps {
     * memory sink and block until the backlog is processed — the local
     * smoke-test harness for streaming ops. Returns the sink table name.
     */
+  /** Streaming media dedup — the streaming twin of
+    * q_multimodal_imagededup / q_multimodal_audiodedup's group
+    * structure: hash the binary column with the REAL decoder
+    * (stream-safe batched map — bytes never shuffle, never enter
+    * state), then keep the first row per perceptual key within the
+    * watermark. State holds only (key, timestamp) markers, bounded by
+    * distinct media keys in the watermark window, never by stream
+    * length or media bytes. */
+  def mediaDedupStream(docs: DataFrame, mediaCol: String, kind: String,
+                       eventTime: String, watermark: String = "1 hour")
+      : DataFrame = {
+    val keyed = kind match {
+      case "image" => graft.ops.Multimodal.imageHashColumn(docs, mediaCol)
+        .withColumn("mkey", col("ahash64"))
+      case "audio" => graft.ops.Multimodal
+        .audioFingerprintColumn(docs, mediaCol)
+        .withColumn("mkey", col("afp").cast("long"))
+      case other => throw new IllegalArgumentException(
+        s"unknown media kind '$other' (image | audio)")
+    }
+    keyed.drop(mediaCol) // bytes must not enter the dedup state
+      .withWatermark(eventTime, watermark)
+      .dropDuplicatesWithinWatermark(Seq("mkey"))
+  }
+
   def runToMemorySink(out: DataFrame, name: String,
                       outputMode: OutputMode = OutputMode.Append()): String = {
     val q = out.writeStream.outputMode(outputMode)

@@ -518,5 +518,40 @@ class PlanSpec extends AnyFunSuite {
     val kpPlan = kp.queryExecution.executedPlan.toString
     assert(!kpPlan.contains("Window") && !kpPlan.contains("Join"),
       "q_stats_kappa: must be one scan into one agg (no join/window)")
+    // code-switch: segment explode feeds a partial agg; the XOR
+    // pairing is the only join
+    val cs = SparkEntry.queries("q_text_codeswitch")(spark, sf)
+    cs.collect()
+    val csPlan = cs.queryExecution.executedPlan.toString
+    assert(!csPlan.contains("Window"), "q_text_codeswitch: Window")
+    assert(csPlan.contains("partial_"),
+      "q_text_codeswitch: segment agg lost its map-side partial")
+    // audio dedup: media bytes must never reach an exchange — the
+    // fingerprint map runs before the first shuffle
+    val ad = SparkEntry.queries("q_multimodal_audiodedup")(spark, sf)
+    ad.collect()
+    // descend through AQE wrappers — exchanges live inside query stages
+    def allExchanges(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[Seq[String]] = {
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange
+            .ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      val here = p match {
+        case e: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeExec => Seq(e.child.schema.fieldNames.toSeq)
+        case _ => Nil
+      }
+      here ++ kids.flatMap(allExchanges)
+    }
+    val exchanges = allExchanges(ad.queryExecution.executedPlan)
+    assert(exchanges.nonEmpty &&
+      exchanges.forall(cols => !cols.contains("media")),
+      s"q_multimodal_audiodedup: media bytes crossed a shuffle: $exchanges")
   }
 }

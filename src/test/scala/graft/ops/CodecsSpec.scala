@@ -417,4 +417,41 @@ class CodecsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(metaNull(1L) && metaNull(3L) && !metaNull(2L))
   }
+
+  test("encodeWavMono roundtrips through decodeWav; audioFingerprint " +
+    "sets exactly the above-mean-energy frame bits and is 0 on " +
+    "constant amplitude (strict threshold)") {
+    // roundtrip: header fields and frame count survive the real parser
+    val samples = Array.tabulate[Short](320)(t => (t * 100 - 16000).toShort)
+    val wav = Codecs.encodeWavMono(8000, samples)
+    val info = Codecs.decodeWav(wav).get
+    assert(info.sampleRate == 8000 && info.channels == 1 &&
+      info.nFrames == 320L)
+    // constant |amplitude|: every framesum equals the mean -> no bit
+    // may pass the STRICT > threshold
+    val flat = Codecs.encodeWavMono(8000,
+      Array.fill[Short](160)(1000))
+    assert(Codecs.audioFingerprint(flat).contains(0))
+    // one loud frame among 16 quiet ones: exactly that bit set.
+    // 160 samples -> 10 per frame; frame 5 loud
+    val oneLoud = Array.tabulate[Short](160)(t =>
+      if (t / 10 == 5) 20000 else 10)
+    assert(Codecs.audioFingerprint(Codecs.encodeWavMono(8000, oneLoud))
+      .contains(1 << 5))
+    // trailing remainder samples (n not divisible by 16) are ignored:
+    // a loud REMAINDER tail must not flip any frame bit
+    val tailLoud = Array.tabulate[Short](165)(t =>
+      if (t >= 160) 30000 else if (t / 10 == 3) 20000 else 10)
+    assert(Codecs.audioFingerprint(Codecs.encodeWavMono(8000, tailLoud))
+      .contains(1 << 3))
+    // non-WAV bytes: None, clip shorter than 16 frames: defined 0
+    assert(Codecs.audioFingerprint("not audio".getBytes).isEmpty)
+    assert(Codecs.audioFingerprint(
+      Codecs.encodeWavMono(8000, Array.fill[Short](8)(5000))).contains(0))
+    // Int.MinValue-magnitude sample (-32768) must not overflow the
+    // abs fold
+    val extreme = Array.fill[Short](160)(-32768)
+    assert(Codecs.audioFingerprint(Codecs.encodeWavMono(8000, extreme))
+      .contains(0))
+  }
 }

@@ -1307,4 +1307,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_._3).toSeq == Seq(9L, 9L, 0L))
     assert(got.map(_._4).toSeq == Seq(true, true, false))
   }
+
+  test("streaming media dedup: the codec build+hash columns are " +
+    "stream-safe and the kept set equals the batch distinct-hash " +
+    "count, image and audio") {
+    import graft.ops.Multimodal
+    import org.apache.spark.sql.DataFrame
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    // the q_multimodal_imagededup parameterization, event-timed
+    def imgParams(df: DataFrame): DataFrame = df.select(col("doc_id"),
+        col("source"),
+        pmod(floor(col("doc_id") / lit(20L)), lit(40L)).cast("int")
+          .as("seed"))
+      .withColumn("w", (lit(8) * (pmod(col("seed"), lit(5)) + 2))
+        .cast("int"))
+      .withColumn("h", (lit(8) * (pmod(col("seed"), lit(7)) + 2))
+        .cast("int"))
+      .withColumn("event_ts",
+        timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    def audParams(df: DataFrame): DataFrame = df.select(col("doc_id"),
+        pmod(floor(col("doc_id") / lit(20L)), lit(32L)).cast("int")
+          .as("seed"))
+      .withColumn("n", (lit(512) + lit(64) * pmod(col("seed"), lit(8)))
+        .cast("int"))
+      .withColumn("event_ts",
+        timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
+
+    val imgOut = StreamingOps.mediaDedupStream(
+      Multimodal.bmpPatternColumn(imgParams(stream), "w", "h", "seed"),
+      "media", "image", "event_ts")
+    StreamingOps.runToMemorySink(imgOut, "media_dedup_img")
+    val gotImg = spark.table("media_dedup_img").count()
+    val batchImg = Multimodal.imageHashColumn(
+        Multimodal.bmpPatternColumn(imgParams(batchDocs), "w", "h",
+          "seed"), "media")
+      .select("ahash64").distinct().count()
+    assert(gotImg == batchImg && gotImg > 0,
+      s"image: stream kept $gotImg, batch distinct $batchImg")
+
+    val audOut = StreamingOps.mediaDedupStream(
+      Multimodal.wavPatternColumn(audParams(stream), "n", "seed"),
+      "media", "audio", "event_ts")
+    StreamingOps.runToMemorySink(audOut, "media_dedup_aud")
+    val gotAud = spark.table("media_dedup_aud").count()
+    val batchAud = Multimodal.audioFingerprintColumn(
+        Multimodal.wavPatternColumn(audParams(batchDocs), "n", "seed"),
+        "media")
+      .select("afp").distinct().count()
+    assert(gotAud == batchAud && gotAud > 0,
+      s"audio: stream kept $gotAud, batch distinct $batchAud")
+    // the binary column must NOT survive into the dedup output
+    assert(!spark.table("media_dedup_img").columns.contains("media"))
+  }
 }
