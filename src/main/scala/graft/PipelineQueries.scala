@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Dedup, Dsir, GraphRank, Multimodal, NgramLm, Pq, Ranking, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Dsir, GraphRank, Layout, Multimodal, NgramLm, Pq, Ranking, Sampling, Similarity, TextAnalysis}
 
 /** Oracle corpus for the beyond-reference training-data-pipeline
   * operators (dedup, similarity search, text analysis, multimodal) —
@@ -7688,6 +7688,178 @@ object PipelineQueries {
         "FROM dstat GROUP BY source ORDER BY source"
     })
 
+  /** Cross-modal pair dedup — docs carry a CAPTION (text key) and an
+    * optional IMAGE (perceptual key through REAL BMP decode); two
+    * docs are duplicates when EITHER key matches, so clusters are the
+    * connected components of the union edge set. This is the case
+    * per-modality dedup provably misses: a re-captioned image and a
+    * re-imaged caption chain A~B (caption) ~C (image) with A,C
+    * sharing nothing. Planting: caption block b = doc_id//6, image
+    * block ib = (doc_id+3)//6 (offset interleave ⇒ chains), every
+    * 5th image block imageless (breaker ⇒ bounded chains, ~≤36 docs
+    * — so the oracle's recursive closure stays linear). Scale shape:
+    * image bytes are built and hashed partition-local (never
+    * shuffle); both edge families are (long, long) star edges to the
+    * per-key min doc; the closure is the O(log n)
+    * large-star/small-star kernel; `n_bridged` pins that cross-modal
+    * chaining actually happened (clusters spanning ≥2 caption
+    * blocks exist only via image edges). */
+  private val multimodalPairDedup = Q("q_multimodal_pairdedup",
+    (s, d) => {
+      val base = docs(s, d).select(col("doc_id"),
+        floor((col("doc_id") + lit(3L)) / lit(6L)).cast("long").as("ib"),
+        floor(col("doc_id") / lit(6L)).cast("long").as("b"))
+      val cap = base.withColumn("cfp", TextAnalysis.tokenHash(
+        concat(lit("cap "), col("b").cast("string"))))
+      val cmin = cap.groupBy("cfp").agg(min(col("doc_id")).as("cm"))
+      val cedges = cap.join(cmin, "cfp")
+        .where(col("doc_id") =!= col("cm"))
+        .select(col("doc_id").as("id_a"), col("cm").as("id_b"))
+      val imgParams = base.where(pmod(col("ib"), lit(5L)) =!= 4L)
+        .select(col("doc_id"),
+          pmod(col("ib"), lit(251L)).cast("int").as("seed"),
+          (lit(8) * (pmod(col("ib"), lit(5L)) + 2)).cast("int").as("w"),
+          (lit(8) * (pmod(col("ib"), lit(7L)) + 2)).cast("int").as("h"))
+      val hashed = Multimodal.imageHashColumn(
+          Multimodal.bmpPatternColumn(imgParams, "w", "h", "seed"),
+          "media")
+        .select(col("doc_id"),
+          pmod(col("ahash64"), lit(DigestMod)).as("ikey"))
+      val imin = hashed.groupBy("ikey").agg(min(col("doc_id")).as("im"))
+      val iedges = hashed.join(imin, "ikey")
+        .where(col("doc_id") =!= col("im"))
+        .select(col("doc_id").as("id_a"), col("im").as("id_b"))
+      val cc = Dedup.connectedComponents(cedges.union(iedges),
+        "id_a", "id_b")
+      val labeled = base
+        .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"),
+          "left")
+        .select(col("doc_id"), col("b"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      val csz = labeled.groupBy("cluster_id")
+        .agg(count(lit(1)).as("sz"), countDistinct(col("b")).as("nb"))
+      labeled.agg(count(lit(1)).as("n_docs"),
+          sum(col("cluster_id")).as("id_sum"))
+        .crossJoin(hashed.agg(count(lit(1)).as("n_img")))
+        .crossJoin(csz.agg(count(lit(1)).as("n_clusters"),
+          max(col("sz")).as("max_cluster"),
+          sum(when(col("sz") > 1, col("sz") - 1L).otherwise(0L))
+            .as("n_redundant"),
+          sum(when(col("nb") > 1, 1L).otherwise(0L)).as("n_bridged")))
+    },
+    "WITH RECURSIVE base AS (SELECT doc_id, (doc_id + 3) // 6 AS ib, " +
+      "doc_id // 6 AS b FROM documents), " +
+      "cap AS (SELECT doc_id, b, " +
+      s"${TextAnalysis.TokenHashSql("'cap ' || CAST(b AS VARCHAR)")} " +
+      "AS cfp FROM base), " +
+      "cmin AS (SELECT cfp, min(doc_id) AS cm FROM cap GROUP BY cfp), " +
+      "cedges AS (SELECT c.doc_id AS id_a, cmin.cm AS id_b FROM cap c " +
+      "JOIN cmin USING (cfp) WHERE c.doc_id <> cmin.cm), " +
+      "img AS (SELECT doc_id, CAST(ib % 251 AS INT) AS seed, " +
+      "8 * (ib % 5 + 2) AS w, 8 * (ib % 7 + 2) AS h FROM base " +
+      "WHERE ib % 5 <> 4), " +
+      "pos AS (SELECT doc_id, seed, w, h, " +
+      "CAST(unnest(range(0, 64)) AS INT) AS i FROM img), " +
+      "xy AS (SELECT doc_id, seed, i, " +
+      "least((i % 8) * w // 8 + w // 16, w - 1) AS x, " +
+      "least((i // 8) * h // 8 + h // 16, h - 1) AS y FROM pos), " +
+      "gr AS (SELECT doc_id, i, " +
+      "(seed*31 + x*7 + y*13) % 256 + (seed*17 + x*11 + y*5) % 256 + " +
+      "(seed*23 + x*3 + y*19) % 256 AS g FROM xy), " +
+      "st AS (SELECT doc_id, CAST(sum(g) AS BIGINT) // 64 AS m " +
+      "FROM gr GROUP BY doc_id), " +
+      "hh AS (SELECT gr.doc_id, " +
+      "CAST(sum(CASE WHEN gr.g > st.m AND gr.i < 40 " +
+      "THEN (CAST(1 AS BIGINT) << gr.i) ELSE 0 END) AS BIGINT) AS ikey " +
+      "FROM gr JOIN st USING (doc_id) GROUP BY gr.doc_id), " +
+      "imin AS (SELECT ikey, min(doc_id) AS im FROM hh GROUP BY ikey), " +
+      "iedges AS (SELECT hh.doc_id AS id_a, imin.im AS id_b FROM hh " +
+      "JOIN imin USING (ikey) WHERE hh.doc_id <> imin.im), " +
+      "edges AS (SELECT id_a, id_b FROM cedges " +
+      "UNION SELECT id_a, id_b FROM iedges), " +
+      "sym AS (SELECT id_a AS u, id_b AS v FROM edges " +
+      "UNION SELECT id_b AS u, id_a AS v FROM edges), " +
+      "reach AS (SELECT doc_id AS node, doc_id AS r FROM base " +
+      "UNION SELECT sym.v AS node, reach.r FROM reach " +
+      "JOIN sym ON sym.u = reach.node), " +
+      "comp AS (SELECT node, min(r) AS cluster_id FROM reach " +
+      "GROUP BY node), " +
+      "csz AS (SELECT cluster_id, count(*) AS sz, " +
+      "count(DISTINCT node // 6) AS nb FROM comp GROUP BY cluster_id) " +
+      "SELECT (SELECT count(*) FROM comp) AS n_docs, " +
+      "(SELECT CAST(sum(cluster_id) AS BIGINT) FROM comp) AS id_sum, " +
+      "(SELECT count(*) FROM hh) AS n_img, " +
+      "(SELECT count(*) FROM csz) AS n_clusters, " +
+      "(SELECT max(sz) FROM csz) AS max_cluster, " +
+      "(SELECT CAST(sum(CASE WHEN sz > 1 THEN sz - 1 ELSE 0 END) " +
+      "AS BIGINT) FROM csz) AS n_redundant, " +
+      "(SELECT CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "FROM csz) AS n_bridged")
+
+  /** Rendezvous-vs-mod resharding — the stable-layout story for
+    * incremental ingest: HRW assignment ([[Layout.rendezvousShard]])
+    * at S=32 and S'=48 moves exactly the docs whose new argmax lands
+    * in the 16 added shards (`n_moved == n_into_new` by the prefix
+    * property — the surviving shards' scores are unchanged), an
+    * expected 1/3, while doc_id-mod resharding relabels ~2/3. Both
+    * schemes aggregate through one (scheme, shard) grain with
+    * map-side partials; per-row work is 160 model-sized md5s, no
+    * join anywhere. max/min shard loads pin HRW's balance. */
+  private val shardRendezvous = Q("q_shard_rendezvous",
+    (s, d) => {
+      val a = docs(s, d).select(col("doc_id"),
+        Layout.rendezvousShard(col("doc_id"), 48).as("h48"),
+        Layout.rendezvousShard(col("doc_id"), 32).as("h32"),
+        pmod(col("doc_id"), lit(48L)).cast("int").as("m48"),
+        pmod(col("doc_id"), lit(32L)).cast("int").as("m32"))
+      val ex = a.select(col("doc_id"), explode(array(
+          struct(lit("hrw").as("scheme"), col("h48").as("shard"),
+            (col("h48") =!= col("h32")).as("moved"),
+            (col("h48") >= 32).as("into_new")),
+          struct(lit("mod").as("scheme"), col("m48").as("shard"),
+            (col("m48") =!= col("m32")).as("moved"),
+            (col("m48") >= 32).as("into_new")))).as("r"))
+        .select(col("doc_id"), col("r.scheme"), col("r.shard"),
+          col("r.moved"), col("r.into_new"))
+      ex.groupBy("scheme", "shard")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("moved"), 1L).otherwise(0L)).as("mv"),
+          sum(when(col("into_new"), 1L).otherwise(0L)).as("inw"),
+          sum(col("shard").cast("long") *
+            pmod(col("doc_id"), lit(997L))).as("pn"))
+        .groupBy("scheme")
+        .agg(sum(col("n")).as("n_docs"), sum(col("mv")).as("n_moved"),
+          sum(col("inw")).as("n_into_new"), max(col("n")).as("max_load"),
+          min(col("n")).as("min_load"), sum(col("pn")).as("shard_pin"))
+        .orderBy("scheme")
+    },
+    "WITH ls AS (SELECT doc_id, " +
+      s"${Layout.RendezvousScoresSql("doc_id", 48)} AS l48, " +
+      s"${Layout.RendezvousScoresSql("doc_id", 32)} AS l32 " +
+      "FROM documents), " +
+      "asn AS (SELECT doc_id, " +
+      "CAST(list_position(l48, list_aggregate(l48, 'max')) - 1 AS INT) " +
+      "AS h48, " +
+      "CAST(list_position(l32, list_aggregate(l32, 'max')) - 1 AS INT) " +
+      "AS h32, CAST(doc_id % 48 AS INT) AS m48, " +
+      "CAST(doc_id % 32 AS INT) AS m32 FROM ls), " +
+      "ex AS (SELECT doc_id, 'hrw' AS scheme, h48 AS shard, " +
+      "h48 <> h32 AS moved, h48 >= 32 AS into_new FROM asn " +
+      "UNION ALL SELECT doc_id, 'mod', m48, m48 <> m32, m48 >= 32 " +
+      "FROM asn), " +
+      "l1 AS (SELECT scheme, shard, count(*) AS n, " +
+      "sum(CASE WHEN moved THEN 1 ELSE 0 END) AS mv, " +
+      "sum(CASE WHEN into_new THEN 1 ELSE 0 END) AS inw, " +
+      "sum(shard * (doc_id % 997)) AS pn FROM ex " +
+      "GROUP BY scheme, shard) " +
+      "SELECT scheme, CAST(sum(n) AS BIGINT) AS n_docs, " +
+      "CAST(sum(mv) AS BIGINT) AS n_moved, " +
+      "CAST(sum(inw) AS BIGINT) AS n_into_new, " +
+      "CAST(max(n) AS BIGINT) AS max_load, " +
+      "CAST(min(n) AS BIGINT) AS min_load, " +
+      "CAST(sum(pn) AS BIGINT) AS shard_pin " +
+      "FROM l1 GROUP BY scheme ORDER BY scheme")
+
   /** Poisson-bootstrap replicate count / draw modulus / Poisson(1)
     * inverse-CDF cutoffs at 2⁻²⁰ fixed point (floor(CDF(k)·2²⁰),
     * computed at 50-digit precision; tail truncated at w=6, mass
@@ -7895,5 +8067,6 @@ object PipelineQueries {
     dedupHammingRecall, statsPsi, sampleEvalsafe, multimodalImageDedup,
     mixUnimax, mixUnimaxRealize, sampleShuffle, sampleBudget,
     pipelineTrainorder, pipelineForget, statsBootstrap, statsKappa,
-    multimodalAudioDedup, textCodeswitch)
+    multimodalAudioDedup, textCodeswitch, multimodalPairDedup,
+    shardRendezvous)
 }

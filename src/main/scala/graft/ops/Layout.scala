@@ -65,4 +65,36 @@ object Layout {
       case None => df.repartition(files)
     }
   }
+
+  /** Rendezvous (highest-random-weight) shard of `id` among
+    * `nShards`: argmax over shards s of the portable 60-bit hash of
+    * "id:s" (Thaler & Ravishankar 1998). The property mod-sharding
+    * lacks: growing S → S' relabels ONLY the rows whose new argmax
+    * lands in the added shards — an expected (S'−S)/S' fraction —
+    * because the scores of the surviving shards are unchanged, so a
+    * shard-count bump on an incrementally-ingested 100 TB layout
+    * rewrites 1/3 of the files instead of ~all of them. Ties break to
+    * the first (lowest) shard in BOTH engines (array_position /
+    * list_position are first-match). Pure per-row expressions — no
+    * shuffle, no state. The score array is evaluated twice (once
+    * under array_max, once under array_position); that is a constant
+    * 2× on a model-sized (nShards) array, not the O(m²) HOF
+    * re-evaluation trap (no per-element lambda references the array). */
+  def rendezvousShard(id: Column, nShards: Int): Column = {
+    require(nShards >= 1, s"bad shard count $nShards")
+    val scores = transform(sequence(lit(0), lit(nShards - 1)),
+      s => TextAnalysis.tokenHash(
+        concat(id.cast("string"), lit(":"), s.cast("string"))))
+    (array_position(scores, array_max(scores)) - lit(1L)).cast("int")
+  }
+
+  /** DuckDB rendering of [[rendezvousShard]]'s score list (same bits;
+    * materialize it in a CTE, then the shard is
+    * `list_position(l, list_aggregate(l, 'max')) - 1` — 1-based
+    * first-match like Spark's array_position). */
+  def RendezvousScoresSql(idCol: String, nShards: Int): String = {
+    val h = TextAnalysis.TokenHashSql(
+      s"CAST($idCol AS VARCHAR) || ':' || CAST(s AS VARCHAR)")
+    s"[$h for s in range(0, $nShards)]"
+  }
 }

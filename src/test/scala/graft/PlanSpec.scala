@@ -530,28 +530,56 @@ class PlanSpec extends AnyFunSuite {
     // fingerprint map runs before the first shuffle
     val ad = SparkEntry.queries("q_multimodal_audiodedup")(spark, sf)
     ad.collect()
-    // descend through AQE wrappers — exchanges live inside query stages
-    def allExchanges(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[Seq[String]] = {
-      val kids = p match {
-        case a: org.apache.spark.sql.execution.adaptive
-            .AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          Seq(q.plan)
-        case r: org.apache.spark.sql.execution.exchange
-            .ReusedExchangeExec => Seq(r.child)
-        case other => other.children
-      }
-      val here = p match {
-        case e: org.apache.spark.sql.execution.exchange
-            .ShuffleExchangeExec => Seq(e.child.schema.fieldNames.toSeq)
-        case _ => Nil
-      }
-      here ++ kids.flatMap(allExchanges)
-    }
     val exchanges = allExchanges(ad.queryExecution.executedPlan)
     assert(exchanges.nonEmpty &&
       exchanges.forall(cols => !cols.contains("media")),
       s"q_multimodal_audiodedup: media bytes crossed a shuffle: $exchanges")
+  }
+
+  /** Input column lists of every shuffle exchange, descending through
+    * AQE wrappers (exchanges live inside materialized query stages
+    * after collect()). */
+  private def allExchanges(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[Seq[String]] = {
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange
+          .ReusedExchangeExec => Seq(r.child)
+      case other => other.children
+    }
+    val here = p match {
+      case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => Seq(e.child.schema.fieldNames.toSeq)
+      case _ => Nil
+    }
+    here ++ kids.flatMap(allExchanges)
+  }
+
+  test("round-9d ops keep their scale shapes: pair-dedup edges are " +
+    "(long, long) star edges with media bytes never crossing a " +
+    "shuffle, rendezvous sharding is one scan into a two-level " +
+    "map-side-combined agg with no join") {
+    val sf = "/root/testdata/sf0.001"
+    // cross-modal pair dedup: the BMP build + aHash run before the
+    // first exchange; every shuffled row is key/id-sized
+    val pd = SparkEntry.queries("q_multimodal_pairdedup")(spark, sf)
+    pd.collect()
+    val pdEx = allExchanges(pd.queryExecution.executedPlan)
+    assert(pdEx.nonEmpty && pdEx.forall(cols => !cols.contains("media")),
+      s"q_multimodal_pairdedup: media bytes crossed a shuffle: $pdEx")
+    assert(!pd.queryExecution.executedPlan.toString.contains("Window"),
+      "q_multimodal_pairdedup: Window")
+    // rendezvous resharding: per-row hashing, no join anywhere, and
+    // the (scheme, shard) agg keeps its map-side partial
+    val rv = SparkEntry.queries("q_shard_rendezvous")(spark, sf)
+    rv.collect()
+    val rvPlan = rv.queryExecution.executedPlan.toString
+    assert(!rvPlan.contains("Join"), "q_shard_rendezvous: Join")
+    assert(!rvPlan.contains("Window"), "q_shard_rendezvous: Window")
+    assert(rvPlan.contains("partial_"),
+      "q_shard_rendezvous: (scheme, shard) agg lost its map-side partial")
   }
 }

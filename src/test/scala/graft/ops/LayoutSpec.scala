@@ -98,4 +98,35 @@ class LayoutSpec extends AnyFunSuite {
       .collect().map(_.getLong(1))
     assert(counts.forall(c => c > 8000 && c < 32000), counts.toSeq)
   }
+
+  test("rendezvousShard: scala argmax oracle, prefix property (a doc " +
+    "moves under S->S' growth iff its new shard is an added one), and " +
+    "movement fraction near (S'-S)/S'") {
+    def hashRef(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def hrwRef(id: Long, n: Int): Int =
+      (0 until n).maxBy(s => (hashRef(s"$id:$s"), -s)) // first max wins
+    val ids = (0L until 2000L).toDF("id")
+    val got = ids.select(col("id"),
+        Layout.rendezvousShard(col("id"), 32).as("s32"),
+        Layout.rendezvousShard(col("id"), 48).as("s48"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    got.foreach { case (id, s32, s48) =>
+      assert(s32 == hrwRef(id, 32) && s48 == hrwRef(id, 48),
+        s"id=$id: got ($s32,$s48), want " +
+          s"(${hrwRef(id, 32)},${hrwRef(id, 48)})")
+    }
+    // prefix property: moved <=> new argmax landed in shards [32,48)
+    got.foreach { case (id, s32, s48) =>
+      assert((s48 != s32) == (s48 >= 32), s"prefix property broke at $id")
+    }
+    val moved = got.count { case (_, s32, s48) => s48 != s32 }
+    // expected 16/48 = 1/3; allow +-6 sigma of Binomial(2000, 1/3)
+    assert(math.abs(moved - 2000.0 / 3) < 6 * math.sqrt(2000 * (1.0 / 3) * (2.0 / 3)),
+      s"moved $moved of 2000, expected ~667")
+  }
 }
