@@ -7860,6 +7860,286 @@ object PipelineQueries {
       "CAST(sum(pn) AS BIGINT) AS shard_pin " +
       "FROM l1 GROUP BY scheme ORDER BY scheme")
 
+  /** Histogram range/resolution for the RHO excess-loss scores
+    * (declared before first oracle use — object vals initialize in
+    * order). The excess of two same-class LMs differing only in
+    * training subset is SMALL (measured [-0.11, 0.02] at sf0.01): a
+    * wide coarse histogram would interpolate p75 past the max and
+    * select nothing, so the range is tight and 256 buckets keep the
+    * threshold inside the populated mass. */
+  private val RhoLo = -0.25
+  private val RhoHi = 0.25
+  private val RhoBuckets = 256
+
+  /** RHO-style learnability selection (Lin et al. 2024 "Rho-1", also
+    * the DoReMi/DSIR family's "reference model" move): score every
+    * doc under a BASE bigram LM trained on the full corpus and a
+    * REFERENCE LM trained on the quality-floored clean subset; keep
+    * the top quartile by excess loss (nll_base − nll_ref) — docs the
+    * base model finds hard but the clean-corpus model finds easy,
+    * i.e. learnable signal rather than noise. Scale shape: two LM
+    * trainings are two hash aggregates each on 45-bit keys; scoring
+    * is the verified q_text_perplexity join shape (many-to-one on
+    * post-agg keys, unseen n-grams via left-join + fill); the p75
+    * threshold comes from the portable histogram sketch (≤ 64 rows)
+    * broadcast back — no window, no driver round-trip. The kept SET
+    * is pinned by id sums (flip odds per doc ~1e-10 from last-ulp ln
+    * differences — the accepted q_stats_mi discipline). */
+  private val sampleRho = Q("q_sample_rho",
+    (s, d) => {
+      val d0 = docs(s, d)
+      val clean = d0.where(TextAnalysis.qualityScore(col("text")) >= 0.7)
+      val lmBase = NgramLm.train(d0, "text", "doc_id")
+      val lmRef = NgramLm.train(clean, "text", "doc_id")
+      val nb = NgramLm.perplexity(d0, "text", "doc_id", lmBase)
+        .select(col("doc_id"), col("nll").as("nll_base"))
+      val nr = NgramLm.perplexity(d0, "text", "doc_id", lmRef)
+        .select(col("doc_id"), col("nll").as("nll_ref"))
+      val ex = d0.select("doc_id", "source")
+        .join(nb, "doc_id").join(nr, "doc_id")
+        .withColumn("excess", col("nll_base") - col("nll_ref"))
+      val qrow = graft.ops.Sketches.histogramQuantiles(ex,
+          col("excess"), lo = RhoLo, hi = RhoHi, nBuckets = RhoBuckets,
+          qs = Seq(0.75))
+        .select("p75")
+      ex.crossJoin(broadcast(qrow))
+        .where(col("excess") >= col("p75"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"),
+          round(avg(col("excess")), 5).as("avg_excess"),
+          round(min(col("p75")), 5).as("p75"))
+        .orderBy("source")
+    }, {
+      val M = Dedup.NgramFpMod
+      val stopSum = TextAnalysis.LangPriority.map(stopSql).mkString(" + ")
+      val wc = "(length(text) - length(replace(text, ' ', '')) + 1)"
+      val punct = "len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::DOUBLE " +
+        "/ greatest(length(replace(text, ' ', ''))::DOUBLE, 1.0)"
+      val qs = "least(greatest(0.4*least(length(text)::DOUBLE / 200.0, " +
+        s"1.0) + 0.3*(1.0 - ($punct)) " +
+        s"+ 0.3*least((($stopSum)::DOUBLE / $wc::DOUBLE)*5.0, 1.0), " +
+        "0.0), 1.0)"
+      "WITH t AS (SELECT doc_id, source, text, " +
+        "string_split(text, ' ') AS ws, " +
+        s"[${TextAnalysis.TokenHashSql("w")} % $M " +
+        "for w in string_split(text, ' ')] AS hl FROM documents), " +
+        s"clean AS (SELECT doc_id FROM t WHERE $qs >= 0.7), " +
+        "bg0 AS (SELECT doc_id, unnest([{'w1': hl[i], " +
+        s"'b': (hl[i]*31 + hl[i+1]) % $M} " +
+        "for i in range(1, len(hl))]) AS u FROM t), " +
+        "bg AS (SELECT doc_id, u.w1 AS w1, u.b AS b FROM bg0), " +
+        "cbB AS (SELECT b, count(*) AS cb FROM bg GROUP BY b), " +
+        "cuB AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1), " +
+        "vB AS (SELECT count(DISTINCT h) AS v FROM " +
+        "(SELECT unnest(hl) AS h FROM t)), " +
+        "bgR AS (SELECT bg.doc_id, bg.w1, bg.b FROM bg " +
+        "JOIN clean USING (doc_id)), " +
+        "cbR AS (SELECT b, count(*) AS cb FROM bgR GROUP BY b), " +
+        "cuR AS (SELECT w1, count(*) AS cu FROM bgR GROUP BY w1), " +
+        "vR AS (SELECT count(DISTINCT h) AS v FROM " +
+        "(SELECT unnest(hl) AS h FROM t JOIN clean USING (doc_id))), " +
+        "pb AS (SELECT doc_id, avg(-ln((cbB.cb + 1.0) / " +
+        "CAST(cuB.cu + vB.v AS DOUBLE))) AS nll_base " +
+        "FROM bg JOIN cbB USING (b) JOIN cuB USING (w1) " +
+        "CROSS JOIN vB GROUP BY doc_id), " +
+        "pr AS (SELECT bg.doc_id, avg(-ln((coalesce(cbR.cb, 0) + 1.0) " +
+        "/ CAST(coalesce(cuR.cu, 0) + vR.v AS DOUBLE))) AS nll_ref " +
+        "FROM bg LEFT JOIN cbR USING (b) LEFT JOIN cuR USING (w1) " +
+        "CROSS JOIN vR GROUP BY bg.doc_id), " +
+        "ex AS (SELECT t.doc_id, t.source, " +
+        "pb.nll_base - pr.nll_ref AS excess FROM t " +
+        "JOIN pb ON t.doc_id = pb.doc_id " +
+        "JOIN pr ON t.doc_id = pr.doc_id), " +
+        "h AS (SELECT " +
+        s"${graft.ops.Sketches.BucketSql("excess", RhoLo, RhoHi, RhoBuckets)} " +
+        "AS b FROM ex), " +
+        "hist AS (SELECT b, count(*) AS cnt FROM h GROUP BY b), " +
+        "c AS (SELECT b, cnt, sum(cnt) OVER (ORDER BY b ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "sum(cnt) OVER () AS n FROM hist), " +
+        "qq AS (SELECT " +
+        s"${graft.ops.Sketches.QuantileSql(0.75, RhoLo, RhoHi, RhoBuckets)} " +
+        "AS p75 FROM c) " +
+        "SELECT source, count(*) AS n_kept, " +
+        "CAST(sum(doc_id) AS BIGINT) AS id_sum, " +
+        "round(avg(excess), 5) AS avg_excess, " +
+        "round(min(p75), 5) AS p75 " +
+        "FROM ex CROSS JOIN qq WHERE excess >= p75 " +
+        "GROUP BY source ORDER BY source"
+    })
+
+  /** Tokenizer-upgrade cost: segment every word occurrence under the
+    * HALF vocabulary (first BpeRounds/2 merges) and the FULL one —
+    * the BPE merge list is ordered, so the smaller vocab is a PREFIX
+    * of the larger (one learn, two applies; no second training). The
+    * per-source deltas (pieces saved, words re-segmented, fertility
+    * drop) are exactly what a retokenization decision needs: how
+    * much shorter do sequences get, and what fraction of the corpus
+    * must be re-tokenized at all. `changed ⇔ fewer pieces` because
+    * every applied merge strictly reduces the piece count. Oracle
+    * replays learn→apply as CTE stages (the q_text_fertility
+    * discipline) and reads BOTH the round-3 and round-6 states of
+    * the SAME apply chain. */
+  private val textBpeDiff = Q("q_text_bpediff",
+    (s, d) => {
+      val d0 = docs(s, d)
+      val merges = graft.ops.Bpe.learn(d0, "text", BpeRounds)
+        .map(m => (m._2, m._3))
+      val half = merges.take(BpeRounds / 2)
+      val words = d0.select(col("source"),
+          explode(split(col("text"), " ")).as("tok"))
+        .where(col("tok") =!= "" &&
+          !col("tok").contains(graft.ops.Bpe.Delim))
+      words.select(col("source"),
+          size(graft.ops.Bpe.segment(col("tok"), half)).as("nph"),
+          size(graft.ops.Bpe.segment(col("tok"), merges)).as("npf"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("nph").cast("long")).as("pieces_half"),
+          sum(col("npf").cast("long")).as("pieces_full"),
+          sum(when(col("npf") < col("nph"), 1L).otherwise(0L))
+            .as("n_changed"),
+          round(avg(col("nph").cast("double")), 5).as("fert_half"),
+          round(avg(col("npf").cast("double")), 5).as("fert_full"))
+        .orderBy("source")
+    }, {
+      val D = graft.ops.Bpe.DelimSql
+      val halfR = BpeRounds / 2
+      val applies = (1 to BpeRounds).map { r =>
+        val prev = if (r == 1) "ws" else s"a${r - 1}"
+        val carry = if (r == halfR + 1) "seq AS seq3, "
+          else if (r > halfR + 1) "seq3, " else ""
+        s"a$r AS (SELECT source, ${carry}replace(replace(seq, " +
+          s"$D||a||$D||b||$D, $D||a||b||$D), " +
+          s"$D||a||$D||b||$D, $D||a||b||$D) AS seq " +
+          s"FROM $prev CROSS JOIN b$r)"
+      }.mkString(", ")
+      bpeLearnCtes +
+        ", w AS (SELECT source, tok FROM (SELECT source, " +
+        "unnest(string_split(text, ' ')) AS tok FROM documents) " +
+        s"WHERE tok <> '' AND NOT contains(tok, $D)), " +
+        s"ws AS (SELECT source, $D || " +
+        s"array_to_string(string_split(tok, ''), $D) || $D AS seq " +
+        s"FROM w), $applies, " +
+        s"p AS (SELECT source, " +
+        s"len(string_split(trim(seq3, $D), $D)) AS nph, " +
+        s"len(string_split(trim(seq, $D), $D)) AS npf " +
+        s"FROM a$BpeRounds) " +
+        "SELECT source, count(*) AS n_words, " +
+        "CAST(sum(nph) AS BIGINT) AS pieces_half, " +
+        "CAST(sum(npf) AS BIGINT) AS pieces_full, " +
+        "CAST(sum(CASE WHEN npf < nph THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_changed, " +
+        "round(avg(nph::DOUBLE), 5) AS fert_half, " +
+        "round(avg(npf::DOUBLE), 5) AS fert_full " +
+        "FROM p GROUP BY source ORDER BY source"
+    })
+
+  /** Filter-attrition attribution — the data-card Sankey numbers for
+    * the curation funnel: for each of four independently-verified
+    * gates (quality floor, min length, langid, templated-prefix
+    * dedup — first 10 normalized tokens, the boilerplate key that
+    * actually fires on this corpus where byte-exact dedup finds
+    * nothing), report
+    * `n_fail` (fails it at all), `n_first_fail` (the waterfall: its
+    * FIRST failing gate in pipeline order), and `n_only_fail` (the
+    * marginal: what dropping JUST this gate would regain — fails
+    * only it). First-fail sums to n_docs − n_kept by construction;
+    * only-fail ≤ fail shows gate overlap. Scale shape: one text
+    * scan computes all four predicates (the dedup flag is the min-id
+    * group join on the 40-char-bounded prefix key), the 4-way explode is
+    * constant-width, and everything lands in one map-side-combined
+    * (stage) aggregate — no window, text never shuffles. */
+  private val pipelineAttrition = Q("q_pipeline_attrition",
+    (s, d) => {
+      val d0 = docs(s, d)
+      // text-dependent predicates evaluate BEFORE the key join, so
+      // only (doc_id, k, 3 bits) shuffles — text stays in its scan
+      val keyed = d0.select(col("doc_id"),
+        array_join(slice(split(TextAnalysis.normalize(col("text")), " "),
+          1, 10), " ").as("k"),
+        (TextAnalysis.qualityScore(col("text")) >= 0.7).as("p1"),
+        (TextAnalysis.wordCount(col("text")) >= 25).as("p2"),
+        (TextAnalysis.langId(col("text")) =!= "und").as("p3"))
+      val gmin = keyed.groupBy("k").agg(min(col("doc_id")).as("km"))
+      val flags = keyed.join(gmin, "k").select(col("doc_id"),
+        col("p1"), col("p2"), col("p3"),
+        (col("doc_id") === col("km")).as("p4"))
+      val ex = flags.select(explode(array(
+          struct(lit(1).as("stage"), lit("quality").as("gate"),
+            (!col("p1")).as("f"), (!col("p1")).as("ff"),
+            (!col("p1") && col("p2") && col("p3") && col("p4")).as("fo")),
+          struct(lit(2).as("stage"), lit("length").as("gate"),
+            (!col("p2")).as("f"), (col("p1") && !col("p2")).as("ff"),
+            (col("p1") && !col("p2") && col("p3") && col("p4")).as("fo")),
+          struct(lit(3).as("stage"), lit("langid").as("gate"),
+            (!col("p3")).as("f"),
+            (col("p1") && col("p2") && !col("p3")).as("ff"),
+            (col("p1") && col("p2") && !col("p3") && col("p4")).as("fo")),
+          struct(lit(4).as("stage"), lit("dedup").as("gate"),
+            (!col("p4")).as("f"),
+            (col("p1") && col("p2") && col("p3") && !col("p4")).as("ff"),
+            (col("p1") && col("p2") && col("p3") && !col("p4")).as("fo"))))
+          .as("r"))
+        .select(col("r.stage"), col("r.gate"), col("r.f"), col("r.ff"),
+          col("r.fo"))
+      val global = flags.agg(count(lit(1)).as("n_docs"),
+        sum(when(col("p1") && col("p2") && col("p3") && col("p4"), 1L)
+          .otherwise(0L)).as("n_kept"))
+      ex.groupBy("stage", "gate")
+        .agg(sum(when(col("f"), 1L).otherwise(0L)).as("n_fail"),
+          sum(when(col("ff"), 1L).otherwise(0L)).as("n_first_fail"),
+          sum(when(col("fo"), 1L).otherwise(0L)).as("n_only_fail"))
+        .crossJoin(global)
+        .orderBy("stage")
+    }, {
+      val stopSum = TextAnalysis.LangPriority.map(stopSql).mkString(" + ")
+      val wc = "(length(text) - length(replace(text, ' ', '')) + 1)"
+      val punct = "len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::DOUBLE " +
+        "/ greatest(length(replace(text, ' ', ''))::DOUBLE, 1.0)"
+      val qs = "least(greatest(0.4*least(length(text)::DOUBLE / 200.0, " +
+        s"1.0) + 0.3*(1.0 - ($punct)) " +
+        s"+ 0.3*least((($stopSum)::DOUBLE / $wc::DOUBLE)*5.0, 1.0), " +
+        "0.0), 1.0)"
+      val scores = TextAnalysis.LangPriority.map(l => s"${stopSql(l)} AS s_$l")
+        .mkString(", ")
+      val maxS = TextAnalysis.LangPriority.map(l => s"s_$l").mkString(", ")
+      val cases = TextAnalysis.LangPriority.map(l =>
+        s"WHEN s_$l = m AND m > 0 THEN '$l'").mkString(" ")
+      "WITH t AS (SELECT doc_id, source, text, " +
+        "string_split(text, ' ') AS ws, array_to_string(" +
+        s"(string_split(${TextAnalysis.NormalizeSql("text")}, ' '))" +
+        "[1:10], ' ') AS k FROM documents), " +
+        "gm AS (SELECT k, min(doc_id) AS km FROM t GROUP BY k), " +
+        s"sc AS (SELECT doc_id, $scores FROM t), " +
+        s"pr AS (SELECT doc_id, CASE $cases ELSE 'und' END AS pred " +
+        s"FROM (SELECT doc_id, greatest($maxS) AS m, * FROM sc)), " +
+        s"fl AS (SELECT t.doc_id, $qs >= 0.7 AS p1, $wc >= 25 AS p2, " +
+        "pr.pred <> 'und' AS p3, t.doc_id = gm.km AS p4 FROM t " +
+        "JOIN gm USING (k) JOIN pr USING (doc_id)), " +
+        "g AS (SELECT count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_kept FROM fl), " +
+        "rows0 AS (" +
+        "SELECT 1 AS stage, 'quality' AS gate, NOT p1 AS f, " +
+        "NOT p1 AS ff, NOT p1 AND p2 AND p3 AND p4 AS fo FROM fl " +
+        "UNION ALL SELECT 2, 'length', NOT p2, p1 AND NOT p2, " +
+        "p1 AND NOT p2 AND p3 AND p4 FROM fl " +
+        "UNION ALL SELECT 3, 'langid', NOT p3, p1 AND p2 AND NOT p3, " +
+        "p1 AND p2 AND NOT p3 AND p4 FROM fl " +
+        "UNION ALL SELECT 4, 'dedup', NOT p4, " +
+        "p1 AND p2 AND p3 AND NOT p4, " +
+        "p1 AND p2 AND p3 AND NOT p4 FROM fl) " +
+        "SELECT stage, gate, " +
+        "CAST(sum(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS n_fail, " +
+        "CAST(sum(CASE WHEN ff THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_first_fail, " +
+        "CAST(sum(CASE WHEN fo THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_only_fail, max(g.n_docs) AS n_docs, " +
+        "max(g.n_kept) AS n_kept " +
+        "FROM rows0 CROSS JOIN g GROUP BY stage, gate ORDER BY stage"
+    })
+
   /** Poisson-bootstrap replicate count / draw modulus / Poisson(1)
     * inverse-CDF cutoffs at 2⁻²⁰ fixed point (floor(CDF(k)·2²⁰),
     * computed at 50-digit precision; tail truncated at w=6, mass
@@ -8068,5 +8348,5 @@ object PipelineQueries {
     mixUnimax, mixUnimaxRealize, sampleShuffle, sampleBudget,
     pipelineTrainorder, pipelineForget, statsBootstrap, statsKappa,
     multimodalAudioDedup, textCodeswitch, multimodalPairDedup,
-    shardRendezvous)
+    shardRendezvous, sampleRho, textBpeDiff, pipelineAttrition)
 }

@@ -581,5 +581,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!rvPlan.contains("Window"), "q_shard_rendezvous: Window")
     assert(rvPlan.contains("partial_"),
       "q_shard_rendezvous: (scheme, shard) agg lost its map-side partial")
+    // RHO selection: LM counts and scoring joins run on 45-bit keys;
+    // raw text never crosses an exchange, threshold is broadcast
+    val rho = SparkEntry.queries("q_sample_rho")(spark, sf)
+    rho.collect()
+    val rhoEx = allExchanges(rho.queryExecution.executedPlan)
+    assert(rhoEx.nonEmpty && rhoEx.forall(cols => !cols.contains("text")),
+      s"q_sample_rho: text crossed a shuffle: $rhoEx")
+    assert(!rho.queryExecution.executedPlan.toString.contains("Window"),
+      "q_sample_rho: Window")
+    // BPE diff: merges are plan literals -> one scan, no join/window
+    val bd = SparkEntry.queries("q_text_bpediff")(spark, sf)
+    bd.collect()
+    val bdPlan = bd.queryExecution.executedPlan.toString
+    assert(!bdPlan.contains("Join") && !bdPlan.contains("Window"),
+      "q_text_bpediff: segment+aggregate must not join or window")
+    assert(bdPlan.contains("partial_"),
+      "q_text_bpediff: per-source agg lost its map-side partial")
+    // attrition: predicates evaluate pre-join; text stays in its scan
+    val at = SparkEntry.queries("q_pipeline_attrition")(spark, sf)
+    at.collect()
+    val atEx = allExchanges(at.queryExecution.executedPlan)
+    assert(atEx.nonEmpty && atEx.forall(cols => !cols.contains("text")),
+      s"q_pipeline_attrition: text crossed a shuffle: $atEx")
+    assert(!at.queryExecution.executedPlan.toString.contains("Window"),
+      "q_pipeline_attrition: Window")
   }
 }
