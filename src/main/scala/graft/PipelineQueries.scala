@@ -8140,6 +8140,121 @@ object PipelineQueries {
         "FROM rows0 CROSS JOIN g GROUP BY stage, gate ORDER BY stage"
     })
 
+  /** Audio-quality gating through REAL decode: per-doc parameters →
+    * PCM16 clip with PLANTED silence stretches and clip spikes
+    * ([[Multimodal.wavQualityPatternColumn]]) → REAL RIFF parse into
+    * integer registers ([[graft.ops.Codecs.audioQualityStats]]) →
+    * integer-exact gates (silence ratio > 0.2 as n_silent·5 > n;
+    * clip rate > 0.005 as n_clipped·200 > n — no float thresholds
+    * anywhere). The planted rates straddle both gates (silence
+    * (0..5)/16, clips ~{1/89, 1/189, 1/289}), so the flag counts
+    * prove the gates discriminate. Oracle recomputes every register
+    * from the sample formula — a parser mis-reading any sample,
+    * frame boundary, or clip position breaks the sums. Bytes never
+    * shuffle; only registers aggregate. */
+  private val multimodalAudioQuality = Q("q_multimodal_audioquality",
+    (s, d) => {
+      val params = docs(s, d).select(col("doc_id"), col("source"),
+          pmod(floor(col("doc_id") / lit(10L)), lit(24L)).cast("int")
+            .as("seed"))
+        .withColumn("n",
+          (lit(512) + lit(64) * pmod(col("seed"), lit(8))).cast("int"))
+      val aq = Multimodal.audioQualityColumn(
+        Multimodal.wavQualityPatternColumn(params, "n", "seed"), "media")
+      aq.groupBy("source")
+        .agg(count(lit(1)).as("n_clips"),
+          sum(when(col("aq_silent") * 5 > col("aq_n"), 1L).otherwise(0L))
+            .as("n_flag_silence"),
+          sum(when(col("aq_clipped") * 200 > col("aq_n"), 1L)
+            .otherwise(0L)).as("n_flag_clip"),
+          sum(col("aq_silent")).as("sum_silent"),
+          sum(col("aq_clipped")).as("sum_clipped"),
+          sum(col("aq_peak")).as("sum_peak"),
+          sum(col("aq_sumabs")).as("sum_abs"))
+        .orderBy("source")
+    },
+    "WITH d0 AS (SELECT doc_id, source, " +
+      "CAST((doc_id // 10) % 24 AS INT) AS seed FROM documents), " +
+      "dd AS (SELECT doc_id, source, seed, " +
+      "512 + 64 * (seed % 8) AS n FROM d0), " +
+      "tt AS (SELECT doc_id, source, seed, n, " +
+      "CAST(unnest(range(0, n)) AS INT) AS t FROM dd), " +
+      "sv AS (SELECT doc_id, source, " +
+      "CASE WHEN t // (n // 16) < seed % 6 THEN 0 " +
+      "WHEN (t * 7 + seed) % (89 + 100 * (seed % 3)) = 0 THEN 32767 " +
+      "ELSE ((seed*131 + t*t*7 + t*13) % 32001) - 16000 END AS v " +
+      "FROM tt), " +
+      "aq AS (SELECT doc_id, source, count(*) AS ns, " +
+      "CAST(sum(CASE WHEN abs(v) <= 16 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS nsil, " +
+      "CAST(sum(CASE WHEN abs(v) >= 32767 THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS nclip, " +
+      "max(abs(v)) AS peak, CAST(sum(abs(v)) AS BIGINT) AS sabs " +
+      "FROM sv GROUP BY doc_id, source) " +
+      "SELECT source, count(*) AS n_clips, " +
+      "CAST(sum(CASE WHEN nsil * 5 > ns THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_flag_silence, " +
+      "CAST(sum(CASE WHEN nclip * 200 > ns THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_flag_clip, " +
+      "CAST(sum(nsil) AS BIGINT) AS sum_silent, " +
+      "CAST(sum(nclip) AS BIGINT) AS sum_clipped, " +
+      "CAST(sum(peak) AS BIGINT) AS sum_peak, " +
+      "CAST(sum(sabs) AS BIGINT) AS sum_abs " +
+      "FROM aq GROUP BY source ORDER BY source")
+
+  /** MinHash threshold sweep — the similarity-floor tuning curve from
+    * ONE LSH pass: for every candidate threshold τ = k/8
+    * (k = 4..8 agreeing signature components), the surviving pair
+    * count, covered-doc count, and covered-doc id checksum, WITHOUT
+    * re-running signatures or the bucket join per τ. Scale shape:
+    * the data-sized work (signatures → capped bucket join → scored
+    * pairs) happens once; the sweep is a ≤ 9-row agreement histogram
+    * plus a per-doc max-agreement aggregate, each joined to a 5-row
+    * level table — at 100 TB you tune τ from this ONE artifact
+    * instead of five corpus passes. Agreement counts are INTEGERS
+    * (est_jaccard·8) so level comparisons are exact. */
+  private val dedupThresholdSweep = Q("q_dedup_threshold_sweep",
+    (s, d) => {
+      val sigs = Dedup.minhashSignatures(docs(s, d), "text", "doc_id")
+      val pairs = Dedup.minhashCandidatesAndOversizeFromSigs(
+          sigs, "doc_id", MinhashCap)._1
+        .select(col("id_a"), col("id_b"),
+          (col("est_jaccard") * 8).cast("int").as("agree"))
+      val pa = pairs.groupBy("agree").agg(count(lit(1)).as("cnt"))
+      val dm = pairs.select(col("id_a").as("id"), col("agree"))
+        .union(pairs.select(col("id_b").as("id"), col("agree")))
+        .groupBy("id").agg(max(col("agree")).as("am"))
+      val lv = s.range(4, 9).select(col("id").cast("int").as("k"))
+      val np = lv.join(pa, pa("agree") >= lv("k"), "left")
+        .groupBy("k")
+        .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_pairs"))
+      val nd = lv.join(dm, dm("am") >= lv("k"), "left")
+        .groupBy("k")
+        .agg(count(col("id")).as("n_docs"),
+          coalesce(sum(col("id")), lit(0L)).as("id_sum"))
+      np.join(nd, "k")
+        .select(col("k"), (col("k") / lit(8.0)).as("tau"),
+          col("n_pairs"), col("n_docs"), col("id_sum"))
+        .orderBy("k")
+    },
+    s"WITH $minhashCtes, ${pairsSql(MinhashCap)}, " +
+      "scored AS (SELECT id_a, id_b, " +
+      s"($agreeSql) AS agree FROM pairs " +
+      "JOIN sigs sa ON id_a = sa.doc_id " +
+      "JOIN sigs sb ON id_b = sb.doc_id), " +
+      "pa AS (SELECT agree, count(*) AS cnt FROM scored GROUP BY agree), " +
+      "dm AS (SELECT id, max(agree) AS am FROM (" +
+      "SELECT id_a AS id, agree FROM scored " +
+      "UNION ALL SELECT id_b AS id, agree FROM scored) GROUP BY id), " +
+      "lv AS (SELECT CAST(unnest(range(4, 9)) AS INT) AS k), " +
+      "np AS (SELECT k, CAST(coalesce(sum(cnt), 0) AS BIGINT) " +
+      "AS n_pairs FROM lv LEFT JOIN pa ON pa.agree >= lv.k GROUP BY k), " +
+      "nd AS (SELECT k, CAST(count(dm.id) AS BIGINT) AS n_docs, " +
+      "CAST(coalesce(sum(dm.id), 0) AS BIGINT) AS id_sum " +
+      "FROM lv LEFT JOIN dm ON dm.am >= lv.k GROUP BY k) " +
+      "SELECT np.k AS k, np.k / 8.0 AS tau, n_pairs, n_docs, id_sum " +
+      "FROM np JOIN nd USING (k) ORDER BY k")
+
   /** Poisson-bootstrap replicate count / draw modulus / Poisson(1)
     * inverse-CDF cutoffs at 2⁻²⁰ fixed point (floor(CDF(k)·2²⁰),
     * computed at 50-digit precision; tail truncated at w=6, mass
@@ -8348,5 +8463,6 @@ object PipelineQueries {
     mixUnimax, mixUnimaxRealize, sampleShuffle, sampleBudget,
     pipelineTrainorder, pipelineForget, statsBootstrap, statsKappa,
     multimodalAudioDedup, textCodeswitch, multimodalPairDedup,
-    shardRendezvous, sampleRho, textBpeDiff, pipelineAttrition)
+    shardRendezvous, sampleRho, textBpeDiff, pipelineAttrition,
+    multimodalAudioQuality, dedupThresholdSweep)
 }

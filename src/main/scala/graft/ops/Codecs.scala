@@ -162,6 +162,33 @@ object Codecs {
       }
     }
 
+  /** Integer audio-quality registers over channel 0 of a PCM16 WAV:
+    * (n_samples, n_silent (|s| ≤ 16), n_clipped (|s| ≥ 32767), peak
+    * |s|, Σ|s|). All-integer — an oracle recomputes them exactly from
+    * a sample formula, and the gate comparisons downstream stay
+    * integer (n_silent·5 > n vs ratio > 0.2). abs(−32768) = 32768
+    * counts as clipped and can be the peak — deliberate (full-scale
+    * negative IS clipping). One pass, no allocation. */
+  def audioQualityStats(b: Array[Byte])
+      : Option[(Long, Long, Long, Int, Long)] =
+    wavLayout(b).map { case (_, ch, dataOff, dataLen) =>
+      val n = dataLen / 2 / ch
+      var i = 0
+      var silent = 0L
+      var clipped = 0L
+      var peak = 0
+      var sumAbs = 0L
+      while (i < n) {
+        val a = math.abs(le16(b, dataOff + 2 * i * ch).toShort.toInt)
+        if (a <= 16) silent += 1
+        if (a >= 32767) clipped += 1
+        if (a > peak) peak = a
+        sumAbs += a
+        i += 1
+      }
+      (n.toLong, silent, clipped, peak, sumAbs)
+    }
+
   /** Mono-mixed normalized samples of a PCM16 WAV (channel 0 only —
     * the tonal probes care about frequency content, not the mix). */
   private def samplesOf(b: Array[Byte]): Option[(Int, Array[Double])] =

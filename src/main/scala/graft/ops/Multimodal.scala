@@ -167,6 +167,77 @@ object Multimodal {
     }
   }
 
+  /** Deterministic PCM16 mono WAV QUALITY-pattern builder — the
+    * [[wavPatternColumn]] twin with planted defects for gate testing.
+    * Sample t of an (n, seed) clip (n ≡ 0 mod 16, per = n/16):
+    *   frame(t) = t / per
+    *   s(t) = 0                      if frame(t) < seed mod 6 (silence)
+    *        = 32767                  else if (t·7 + seed) mod
+    *                                   (89 + 100·(seed mod 3)) = 0 (clip)
+    *        = ((seed·131 + t²·7 + t·13) mod 32001) − 16000 otherwise
+    * so silence ratio (0..5)/16 straddles a 0.2 gate and clip rate
+    * ~{1/89, 1/189, 1/289} straddles a 0.005 gate. Batched
+    * partition-local map; bytes never shuffle. */
+  def wavQualityPatternColumn(df: DataFrame, nCol: String,
+                              seedCol: String,
+                              outCol: String = "media"): DataFrame = {
+    val schema = df.schema
+      .add(outCol, org.apache.spark.sql.types.BinaryType)
+    val ni = df.schema.fieldIndex(nCol)
+    val si = df.schema.fieldIndex(seedCol)
+    mapBatched(df, schema) { it =>
+      it.map { row =>
+        val n = row.getInt(ni)
+        val seed = row.getInt(si)
+        require(n >= 16 && n % 16 == 0,
+          s"quality pattern needs n divisible by 16, got $n")
+        val per = n / 16
+        val clipMod = 89 + 100 * (seed % 3)
+        val silFrames = seed % 6
+        val samples = new Array[Short](n)
+        var t = 0
+        while (t < n) {
+          samples(t) =
+            if (t / per < silFrames) 0
+            else if ((t * 7 + seed) % clipMod == 0) 32767
+            else (((seed * 131 + t * t * 7 + t * 13) % 32001) - 16000)
+              .toShort
+          t += 1
+        }
+        Row.fromSeq(row.toSeq :+ Codecs.encodeWavMono(8000, samples))
+      }
+    }
+  }
+
+  /** Audio-quality registers per row through the REAL WAV parser
+    * ([[Codecs.audioQualityStats]]) as flat integer columns
+    * (aq_n, aq_silent, aq_clipped, aq_peak, aq_sumabs), null for
+    * undecodable bytes. Batched map, bytes never shuffle. */
+  def audioQualityColumn(df: DataFrame, mediaCol: String,
+                         blockSize: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.types._
+    // aq_peak is LongType on purpose: Seq(n, sil, clip, peak, sa)
+    // unifies Int into Long via weak conformance, so the boxed value
+    // arriving at the encoder IS a Long
+    val schema = df.schema
+      .add("aq_n", LongType).add("aq_silent", LongType)
+      .add("aq_clipped", LongType).add("aq_peak", LongType)
+      .add("aq_sumabs", LongType)
+    val idx = df.schema.fieldIndex(mediaCol)
+    mapBatched(df, schema) { it =>
+      it.grouped(blockSize).flatMap { rows =>
+        rows.iterator.map { row =>
+          Codecs.audioQualityStats(row.getAs[Array[Byte]](idx)) match {
+            case Some((n, sil, clip, peak, sa)) =>
+              Row.fromSeq(row.toSeq ++ Seq(n, sil, clip, peak, sa))
+            case None =>
+              Row.fromSeq(row.toSeq ++ Seq(null, null, null, null, null))
+          }
+        }
+      }
+    }
+  }
+
   /** Frame-energy audio fingerprint per row through the REAL WAV
     * parser ([[Codecs.audioFingerprint]]): 16-bit integer signature,
     * null for undecodable bytes — the dedup key for audio corpora.

@@ -606,5 +606,18 @@ class PlanSpec extends AnyFunSuite {
       s"q_pipeline_attrition: text crossed a shuffle: $atEx")
     assert(!at.queryExecution.executedPlan.toString.contains("Window"),
       "q_pipeline_attrition: Window")
+    // audio quality: media bytes never reach an exchange; the gates
+    // aggregate registers only
+    val aq = SparkEntry.queries("q_multimodal_audioquality")(spark, sf)
+    aq.collect()
+    val aqEx = allExchanges(aq.queryExecution.executedPlan)
+    assert(aqEx.nonEmpty && aqEx.forall(cols => !cols.contains("media")),
+      s"q_multimodal_audioquality: media bytes crossed a shuffle: $aqEx")
+    // threshold sweep: no window (the cumulative runs on the <= 9-row
+    // agreement histogram via the 5-row level join, not a rank pass)
+    val ts = SparkEntry.queries("q_dedup_threshold_sweep")(spark, sf)
+    ts.collect()
+    assert(!ts.queryExecution.executedPlan.toString.contains("Window"),
+      "q_dedup_threshold_sweep: Window")
   }
 }

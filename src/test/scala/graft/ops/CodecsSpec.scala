@@ -454,4 +454,20 @@ class CodecsSpec extends AnyFunSuite {
     assert(Codecs.audioFingerprint(Codecs.encodeWavMono(8000, extreme))
       .contains(0))
   }
+
+  test("audioQualityStats counts silence (|s| <= 16 inclusive), " +
+    "clipping (|s| >= 32767, full-scale negative included), peak and " +
+    "sum-abs exactly") {
+    val samples = Array[Short](0, 16, 17, -16, -17, 32766, 32767,
+      -32767, -32768, 100)
+    val (n, sil, clip, peak, sa) = Codecs.audioQualityStats(
+      Codecs.encodeWavMono(8000, samples)).get
+    assert(n == 10L)
+    assert(sil == 3L, s"0, 16, -16 are silent; got $sil")   // boundary IN
+    assert(clip == 3L, s"32767, -32767, -32768 clip; got $clip")
+    assert(peak == 32768L)                                  // abs(-32768)
+    assert(sa == 0L + 16 + 17 + 16 + 17 + 32766 + 32767 + 32767 +
+      32768 + 100)
+    assert(Codecs.audioQualityStats("junk".getBytes).isEmpty)
+  }
 }
