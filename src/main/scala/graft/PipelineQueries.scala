@@ -8255,6 +8255,83 @@ object PipelineQueries {
       "SELECT np.k AS k, np.k / 8.0 AS tau, n_pairs, n_docs, id_sum " +
       "FROM np JOIN nd USING (k) ORDER BY k")
 
+  /** Eval budget for the largest-remainder quota allocation
+    * (declared before first oracle use). */
+  private val QuotaB = 200
+
+  /** Largest-remainder (Hamilton) quota allocation + realization:
+    * split a fixed eval budget of [[QuotaB]] docs across sources
+    * proportionally to CHAR mass (so remainders genuinely vary —
+    * doc counts are near-uniform on this corpus), award the floor
+    * quotas, then the leftover seats to the largest remainders
+    * (ties → source name) — all integer arithmetic, so the
+    * allocation is exact on any engine. Realization keeps each
+    * source's quota smallest hash draws via the bounded TopK
+    * aggregate (O(budget) state per group, never a data-grain rank
+    * window — the only row_number runs on the |sources|-row quota
+    * table, the UniMax post-agg-grain precedent). Kept sets pinned
+    * by id sums. */
+  private val sampleQuota = Q("q_sample_quota",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val d0 = docs(s, d)
+      val counts = d0.groupBy("source").agg(count(lit(1)).as("ns"),
+        sum(col("n_chars")).as("cs"))
+      val tot = counts.agg(sum(col("cs")).as("ct"))
+      val qbase = counts.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"($QuotaB * cs) div ct"))
+        .withColumn("rem", (lit(QuotaB.toLong) * col("cs")) % col("ct"))
+      val defRow = qbase
+        .agg((lit(QuotaB.toLong) - sum(col("base"))).as("deficit"))
+      val w = Window.orderBy(col("rem").desc, col("source").asc)
+      val quotas = qbase.crossJoin(broadcast(defRow))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("quota",
+          col("base") + when(col("rk") <= col("deficit"), 1L)
+            .otherwise(0L))
+        .select("source", "ns", "cs", "quota")
+      val top = d0.groupBy("source")
+        .agg(graft.ops.TopK.topK(-Sampling.hashFraction(col("doc_id")),
+          col("doc_id").cast("long"), QuotaB).as("__top"))
+        .select(col("source"), posexplode(col("__top")))
+        .select(col("source"), col("pos"), col("col.id").as("doc_id"))
+      val kept = top.join(quotas.select("source", "quota"), "source")
+        .where(col("pos") < col("quota"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("nk"), sum(col("doc_id")).as("isum"))
+      quotas.join(kept, Seq("source"), "left")
+        .select(col("source"), col("ns").as("n_docs"),
+          col("cs").as("chars"), col("quota"),
+          coalesce(col("nk"), lit(0L)).as("n_kept"),
+          coalesce(col("isum"), lit(0L)).as("id_sum"))
+        .orderBy("source")
+    },
+    "WITH c AS (SELECT source, count(*) AS ns, " +
+      "CAST(sum(n_chars) AS BIGINT) AS cs FROM documents " +
+      "GROUP BY source), " +
+      "t AS (SELECT CAST(sum(cs) AS BIGINT) AS ct FROM c), " +
+      s"qb AS (SELECT source, ns, cs, ($QuotaB * cs) // ct AS base, " +
+      s"($QuotaB * cs) % ct AS rem FROM c CROSS JOIN t), " +
+      s"df AS (SELECT $QuotaB - CAST(sum(base) AS BIGINT) AS deficit " +
+      "FROM qb), " +
+      "qt AS (SELECT source, ns, cs, base + (CASE WHEN " +
+      "row_number() OVER (ORDER BY rem DESC, source ASC) <= deficit " +
+      "THEN 1 ELSE 0 END) AS quota FROM qb CROSS JOIN df), " +
+      "rk AS (SELECT source, doc_id, row_number() OVER (" +
+      "PARTITION BY source ORDER BY " +
+      s"${Sampling.HashFractionSql("doc_id")} ASC, doc_id ASC) AS rn " +
+      "FROM documents), " +
+      "kept AS (SELECT rk.source, count(*) AS nk, " +
+      "CAST(sum(rk.doc_id) AS BIGINT) AS isum FROM rk " +
+      "JOIN qt USING (source) WHERE rk.rn <= qt.quota " +
+      "GROUP BY rk.source) " +
+      "SELECT qt.source AS source, qt.ns AS n_docs, qt.cs AS chars, " +
+      "CAST(qt.quota AS BIGINT) AS quota, " +
+      "CAST(coalesce(kept.nk, 0) AS BIGINT) AS n_kept, " +
+      "CAST(coalesce(kept.isum, 0) AS BIGINT) AS id_sum " +
+      "FROM qt LEFT JOIN kept ON qt.source = kept.source " +
+      "ORDER BY source")
+
   /** Poisson-bootstrap replicate count / draw modulus / Poisson(1)
     * inverse-CDF cutoffs at 2⁻²⁰ fixed point (floor(CDF(k)·2²⁰),
     * computed at 50-digit precision; tail truncated at w=6, mass
@@ -8464,5 +8541,5 @@ object PipelineQueries {
     pipelineTrainorder, pipelineForget, statsBootstrap, statsKappa,
     multimodalAudioDedup, textCodeswitch, multimodalPairDedup,
     shardRendezvous, sampleRho, textBpeDiff, pipelineAttrition,
-    multimodalAudioQuality, dedupThresholdSweep)
+    multimodalAudioQuality, dedupThresholdSweep, sampleQuota)
 }

@@ -947,6 +947,27 @@ object StreamingOps {
     * watermark. State holds only (key, timestamp) markers, bounded by
     * distinct media keys in the watermark window, never by stream
     * length or media bytes. */
+  /** Streaming admission pipeline — the ingest-side twin of
+    * q_pipeline_attrition's gate chain: the three STATELESS gates
+    * (quality floor, min length, langid) evaluate per-row, then
+    * watermarked keep-first dedup on the 10-token normalized-prefix
+    * key (templated boilerplate). State holds only (key, ts)
+    * markers for passers inside the watermark — bounded by distinct
+    * prefix keys, never stream length; text never enters state. */
+  def admissionStream(docs: DataFrame, textCol: String,
+                      eventTime: String,
+                      watermark: String = "1 hour"): DataFrame = {
+    import graft.ops.TextAnalysis
+    docs
+      .where(TextAnalysis.qualityScore(col(textCol)) >= 0.7 &&
+        TextAnalysis.wordCount(col(textCol)) >= 25 &&
+        TextAnalysis.langId(col(textCol)) =!= "und")
+      .withColumn("__k", array_join(slice(
+        split(TextAnalysis.normalize(col(textCol)), " "), 1, 10), " "))
+      .withWatermark(eventTime, watermark)
+      .dropDuplicatesWithinWatermark(Seq("__k"))
+  }
+
   def mediaDedupStream(docs: DataFrame, mediaCol: String, kind: String,
                        eventTime: String, watermark: String = "1 hour")
       : DataFrame = {

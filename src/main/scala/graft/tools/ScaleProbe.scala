@@ -74,7 +74,8 @@ object ScaleProbe {
     "q_text_codeswitch" -> 10, "q_multimodal_pairdedup" -> 10,
     "q_shard_rendezvous" -> 10, "q_sample_rho" -> 10,
     "q_text_bpediff" -> 10, "q_pipeline_attrition" -> 10,
-    "q_multimodal_audioquality" -> 10, "q_dedup_threshold_sweep" -> 10)
+    "q_multimodal_audioquality" -> 10, "q_dedup_threshold_sweep" -> 10,
+    "q_sample_quota" -> 10)
 
   def main(args: Array[String]): Unit = {
     val sfSmall = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -619,5 +619,36 @@ class PlanSpec extends AnyFunSuite {
     ts.collect()
     assert(!ts.queryExecution.executedPlan.toString.contains("Window"),
       "q_dedup_threshold_sweep: Window")
+    // quota: realization is the bounded TopK aggregate, never a
+    // data-grain rank — the only row_number runs on the post-agg
+    // |sources|-row quota table (text never shuffles either way)
+    val qu = SparkEntry.queries("q_sample_quota")(spark, sf)
+    qu.collect()
+    val quEx = allExchanges(qu.queryExecution.executedPlan)
+    assert(quEx.nonEmpty && quEx.forall(cols => !cols.contains("text")),
+      s"q_sample_quota: text crossed a shuffle: $quEx")
+    val quWindows = allWindows(qu.queryExecution.executedPlan)
+    assert(quWindows.nonEmpty &&
+      quWindows.forall(cols => !cols.contains("doc_id")),
+      s"q_sample_quota: a Window ran on the doc grain: $quWindows")
+  }
+
+  /** Input column lists of every WindowExec, AQE-aware (same descent
+    * as [[allExchanges]]). */
+  private def allWindows(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[Seq[String]] = {
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan)
+      case o => o.children
+    }
+    val here = p match {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        Seq(w.child.schema.fieldNames.toSeq)
+      case _ => Nil
+    }
+    here ++ kids.flatMap(allWindows)
   }
 }

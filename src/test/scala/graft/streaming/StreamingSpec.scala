@@ -1362,4 +1362,56 @@ class StreamingSpec extends AnyFunSuite {
     // the binary column must NOT survive into the dedup output
     assert(!spark.table("media_dedup_img").columns.contains("media"))
   }
+
+  test("streaming admission pipeline keeps batch's passer/key-dedup " +
+    "set; rendezvous sharding and audio-quality gates are stateless " +
+    "stream-safe maps, row-identical to batch") {
+    import graft.ops.{Layout, Multimodal, TextAnalysis}
+    import org.apache.spark.sql.DataFrame
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .withColumn("event_ts",
+        timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    val batch = spark.read.parquet(s"$dir/documents.parquet")
+
+    // admission: stream kept == distinct prefix keys among batch passers
+    val adm = StreamingOps.admissionStream(stream, "text", "event_ts")
+    StreamingOps.runToMemorySink(adm, "admission")
+    val gotKeys = spark.table("admission").select("__k").distinct()
+      .collect().map(_.getString(0)).toSet
+    val batchKeys = batch
+      .where(TextAnalysis.qualityScore(col("text")) >= 0.7 &&
+        TextAnalysis.wordCount(col("text")) >= 25 &&
+        TextAnalysis.langId(col("text")) =!= "und")
+      .select(array_join(slice(
+        split(TextAnalysis.normalize(col("text")), " "), 1, 10), " "))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(gotKeys == batchKeys && gotKeys.nonEmpty,
+      s"admission kept ${gotKeys.size} keys, batch ${batchKeys.size}")
+    assert(spark.table("admission").count() == batchKeys.size,
+      "stream must keep exactly one row per prefix key")
+
+    // stateless maps: stream rows == batch rows (by doc_id)
+    def aud(df: DataFrame): DataFrame = Multimodal.audioQualityColumn(
+      Multimodal.wavQualityPatternColumn(
+        df.select(col("doc_id"),
+          pmod(col("doc_id"), lit(24L)).cast("int").as("seed"))
+          .withColumn("n", (lit(512) + lit(64) *
+            pmod(col("seed"), lit(8))).cast("int")),
+        "n", "seed"), "media")
+      .select(col("doc_id"),
+        Layout.rendezvousShard(col("doc_id"), 48).as("h48"),
+        col("aq_silent"), col("aq_clipped"), col("aq_peak"))
+    val avStream = aud(stream)
+    StreamingOps.runToMemorySink(avStream, "stateless_maps")
+    val got = spark.table("stateless_maps").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val want = aud(batch).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got == want && got.nonEmpty,
+      s"stateless maps differ: ${got.size} vs ${want.size}")
+  }
 }
