@@ -8332,6 +8332,73 @@ object PipelineQueries {
       "FROM qt LEFT JOIN kept ON qt.source = kept.source " +
       "ORDER BY source")
 
+  /** k-core threshold / peel-round bound (declared before first
+    * oracle use). k=5 sits inside the undirected-3NN degree range
+    * [3, ~8], so the peel genuinely discriminates. */
+  private val KCoreK = 5
+  private val KCoreRounds = 12
+
+  /** k-core of the undirected kNN similarity graph
+    * ([[GraphRank.kCore]]) — the dup-farm/dense-region detector: a
+    * plain degree threshold misreports density because removing one
+    * low-degree node drops neighbors below k transitively; the peel
+    * fixpoint doesn't. Oracle unrolls the SAME bounded peel rounds
+    * as CTE stages (the PageRank/BPE discipline); extra rounds after
+    * convergence are no-ops, so Spark's early-stopping loop matches
+    * the fixed-round replay exactly, and `n_below` (survivors with
+    * deg < k) pins convergence honestly — 0 means the peel reached
+    * its fixpoint within the bound. */
+  private val embedKCore = Q("q_embed_kcore",
+    (s, d) => {
+      val g = Similarity.knnGraph(embs(s, d), "vec_id", "embedding", 3)
+        .select("src", "dst")
+      val core = GraphRank.kCore(g, "src", "dst", KCoreK, KCoreRounds)
+      val glob = core.agg(count(lit(1)).as("n_core"),
+        coalesce(sum(when(col("deg") < KCoreK, 1L).otherwise(0L)),
+          lit(0L)).as("n_below"))
+      core.join(embs(s, d).select(col("vec_id").as("node"),
+          col("label")), "node")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"),
+          sum(col("node")).as("id_sum"))
+        .crossJoin(glob)
+        .orderBy("label")
+    }, {
+      val rounds = (1 to KCoreRounds).map { r =>
+        val prev = s"g${r - 1}"
+        s"k$r AS MATERIALIZED (SELECT u FROM (SELECT u, count(*) AS d " +
+          s"FROM $prev GROUP BY u) WHERE d >= $KCoreK), " +
+          s"g$r AS MATERIALIZED (SELECT p.u, p.v FROM $prev p " +
+          s"JOIN k$r a ON p.u = a.u JOIN k$r b ON p.v = b.u)"
+      }.mkString(", ")
+      s"WITH e AS (SELECT vec_id, label, embedding AS emb, " +
+        s"(${bucketSql(8)}) AS bucket, " +
+        s"sqrt(${dotSql("embedding", "embedding")}) AS nrm " +
+        "FROM embeddings), " +
+        "p AS (SELECT a.vec_id AS src, b.vec_id AS dst, " +
+        s"${dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm) AS cos " +
+        "FROM e a JOIN e b ON a.bucket = b.bucket " +
+        "AND a.vec_id <> b.vec_id), " +
+        "r AS (SELECT src, dst, row_number() OVER " +
+        "(PARTITION BY src ORDER BY cos DESC, dst ASC) AS rk FROM p), " +
+        "gk AS (SELECT src, dst FROM r WHERE rk <= 3), " +
+        "g0 AS MATERIALIZED (SELECT u, v FROM " +
+        "(SELECT src AS u, dst AS v FROM gk " +
+        "UNION SELECT dst AS u, src AS v FROM gk) WHERE u <> v), " +
+        s"$rounds, " +
+        s"fin AS (SELECT u AS node, count(*) AS deg FROM g$KCoreRounds " +
+        "GROUP BY u), " +
+        "gstat AS (SELECT count(*) AS n_core, " +
+        "CAST(coalesce(sum(CASE WHEN deg < " + KCoreK +
+        " THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_below FROM fin) " +
+        "SELECT em.label AS label, count(*) AS n_nodes, " +
+        "CAST(sum(fin.deg) AS BIGINT) AS deg_sum, " +
+        "CAST(sum(fin.node) AS BIGINT) AS id_sum, " +
+        "max(gstat.n_core) AS n_core, max(gstat.n_below) AS n_below " +
+        "FROM fin JOIN embeddings em ON fin.node = em.vec_id " +
+        "CROSS JOIN gstat GROUP BY em.label ORDER BY em.label"
+    })
+
   /** Poisson-bootstrap replicate count / draw modulus / Poisson(1)
     * inverse-CDF cutoffs at 2⁻²⁰ fixed point (floor(CDF(k)·2²⁰),
     * computed at 50-digit precision; tail truncated at w=6, mass
@@ -8541,5 +8608,6 @@ object PipelineQueries {
     pipelineTrainorder, pipelineForget, statsBootstrap, statsKappa,
     multimodalAudioDedup, textCodeswitch, multimodalPairDedup,
     shardRendezvous, sampleRho, textBpeDiff, pipelineAttrition,
-    multimodalAudioQuality, dedupThresholdSweep, sampleQuota)
+    multimodalAudioQuality, dedupThresholdSweep, sampleQuota,
+    embedKCore)
 }

@@ -217,4 +217,53 @@ object GraphRank {
             col("n_wedges").cast("double"), 5))
           .otherwise(lit(0.0)).as("clustering"))
   }
+
+  /** k-core of the undirected graph (Seidman 1983): repeatedly peel
+    * nodes of degree < k until fixpoint — the dense-region detector
+    * (dup farms, template clusters) a degree threshold alone
+    * misreports, because removing a low-degree node can drop its
+    * neighbors below k transitively.
+    *
+    * Bounded-round with early stop: each round is one
+    * map-side-combined degree aggregate + two semi-joins on 8-byte
+    * node ids, state is materialized per round (eager
+    * localCheckpoint cuts the lineage, the CC-kernel discipline) and
+    * the loop exits when a round removes nothing. Once converged,
+    * further rounds are no-ops, so an oracle replaying EXACTLY
+    * `maxRounds` rounds matches whether or not the early stop fired
+    * — and if the graph needs more than `maxRounds`, both sides
+    * compute the same bounded-round residue (the survivors-with-
+    * deg<k count in the caller's output records it honestly).
+    *
+    * Returns (node, deg) of surviving nodes with their degree in the
+    * surviving subgraph. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, maxRounds: Int = 12): DataFrame = {
+    require(k >= 1 && maxRounds >= 1, s"bad k=$k rounds=$maxRounds")
+    val sym = edges
+      .select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .union(edges.select(col(dstCol).cast("long").as("u"),
+        col(srcCol).cast("long").as("v")))
+      .where(col("u") =!= col("v")).distinct()
+    var cur = sym.localCheckpoint()
+    var n = cur.count()
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val keep = cur.groupBy("u").agg(count(lit(1)).as("__d"))
+        .where(col("__d") >= k).select("u")
+      val next = cur.join(keep, "u")
+        .join(keep.withColumnRenamed("u", "v"), "v")
+        .select("u", "v")
+        .localCheckpoint()
+      val m = next.count()
+      converged = m == n
+      cur = next
+      n = m
+      round += 1
+    }
+    cur.groupBy("u").agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("u", "node")
+  }
 }

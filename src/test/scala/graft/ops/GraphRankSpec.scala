@@ -123,4 +123,43 @@ class GraphRankSpec extends AnyFunSuite {
     val after3 = runLp(chain, Seq((1L, 9)), 3)
     assert(Seq(2L, 3L, 4L).forall(after3(_)._1.contains(9)))
   }
+
+  private def runKCore(edges: Seq[(Long, Long)], k: Int,
+                       rounds: Int = 12): Map[Long, Long] =
+    GraphRank.kCore(edges.toDF("src", "dst"), "src", "dst", k, rounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+  private def clique(ns: Seq[Long]): Seq[(Long, Long)] =
+    for (a <- ns; b <- ns if a < b) yield (a, b)
+
+  test("kCore peels transitively: a path has an empty 2-core even " +
+    "though interior nodes start at degree 2") {
+    // 1-2-3-4-5: endpoints peel, then 2/4 drop below k, then 3 — a
+    // plain degree>=2 threshold would keep {2,3,4}
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(runKCore(path, 2) === Map.empty[Long, Long])
+  }
+
+  test("kCore keeps exactly the dense block: K5 plus a pendant " +
+    "chain survives at k=3 with in-core degrees") {
+    val g = clique(Seq(1L, 2L, 3L, 4L, 5L)) ++
+      Seq((5L, 6L), (6L, 7L), (7L, 8L))
+    val core = runKCore(g, 3)
+    assert(core === Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L,
+      5L -> 4L))
+  }
+
+  test("kCore early stop matches the bounded-round replay and is " +
+    "partition-invariant") {
+    val g = clique(Seq(1L, 2L, 3L, 4L)) ++
+      Seq((4L, 10L), (10L, 11L), (11L, 12L), (12L, 10L))
+    // triangle 10-11-12 survives k=2; converges in <12 rounds, and
+    // extra rounds are no-ops
+    assert(runKCore(g, 2, rounds = 3) === runKCore(g, 2, rounds = 12))
+    val a = GraphRank.kCore(g.toDF("src", "dst").repartition(7),
+        "src", "dst", 2, 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a === runKCore(g, 2))
+    assert(a.keySet === Set(1L, 2L, 3L, 4L, 10L, 11L, 12L))
+  }
 }
