@@ -6110,39 +6110,36 @@ object PipelineQueries {
     * while the running token sum fits the budget — the curation
     * step that turns a quality score into an actual selected corpus
     * under a size target. Budgets are integer (mass·2 div 5) and the
-    * running sum is integer, so the kept set is exact; the per-source
-    * sort window is the honest shape (selection under an ordered
-    * budget is sequential per domain — the packSequences argument:
-    * the parallelism axis is the domain count). */
+    * running sum is integer, so the kept set is exact. Round 10: the
+    * per-source sort window (parallelism = domain count — the one
+    * shape in the repo that fought the 100× curve, 18.8× at 100×)
+    * is replaced by [[Sampling.selectBudget]]'s histogram-threshold
+    * refinement: scan-and-aggregate passes find each source's
+    * (score, id) cut, and only the ≤ cap-doc boundary bucket is
+    * resolved by the exact running-sum window. Same kept set — the
+    * oracle SQL is unchanged. */
   private val ShufShards = 4
   private val ShufEpochs = 2
   private val SelBudgetNum = 2L
   private val SelBudgetDen = 5L
+  private def budgetScored(s: org.apache.spark.sql.SparkSession,
+                           d: String) =
+    graft.ops.QualityClassifier
+      .withFeatures(docs(s, d), "text")
+      .withColumn("score", graft.ops.QualityClassifier.score(ClsWeights))
+      .withColumn("nt",
+        size(TextAnalysis.tokens(col("text"))).cast("long"))
   private val sampleBudget = Q("q_sample_budget",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val scored = graft.ops.QualityClassifier
-        .withFeatures(docs(s, d), "text")
-        .withColumn("score", graft.ops.QualityClassifier.score(ClsWeights))
-        .withColumn("nt",
-          size(TextAnalysis.tokens(col("text"))).cast("long"))
-      val b = scored.groupBy("source")
-        .agg(expr(s"sum(nt) * $SelBudgetNum div $SelBudgetDen")
-          .as("budget"))
-      val w = Window.partitionBy("source")
-        .orderBy(col("score").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      scored.withColumn("cum", sum(col("nt")).over(w))
-        .join(broadcast(b), Seq("source"))
-        .where(col("cum") <= col("budget"))
+    (s, d) =>
+      Sampling.selectBudget(budgetScored(s, d), "source", "score",
+          "nt", "doc_id", SelBudgetNum, SelBudgetDen)
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"),
           sum(col("nt")).as("toks_kept"),
           max(col("budget")).as("budget"),
           round(min(col("score")), 5).as("min_score"),
           sum(col("doc_id")).as("id_sum"))
-        .orderBy("source")
-    },
+        .orderBy("source"),
     "WITH s AS (SELECT doc_id, source, " +
       "len(string_split(text, ' ')) AS nt, " +
       s"${graft.ops.QualityClassifier.ScoreSql(ClsWeights)} AS score " +
@@ -6173,21 +6170,8 @@ object PipelineQueries {
     * cross-engine. */
   private val pipelineTrainorder = Q("q_pipeline_trainorder",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val scored = graft.ops.QualityClassifier
-        .withFeatures(docs(s, d), "text")
-        .withColumn("score", graft.ops.QualityClassifier.score(ClsWeights))
-        .withColumn("nt",
-          size(TextAnalysis.tokens(col("text"))).cast("long"))
-      val b = scored.groupBy("source")
-        .agg(expr(s"sum(nt) * $SelBudgetNum div $SelBudgetDen")
-          .as("budget"))
-      val w = Window.partitionBy("source")
-        .orderBy(col("score").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val kept = scored.withColumn("cum", sum(col("nt")).over(w))
-        .join(broadcast(b), Seq("source"))
-        .where(col("cum") <= col("budget"))
+      val kept = Sampling.selectBudget(budgetScored(s, d), "source",
+          "score", "nt", "doc_id", SelBudgetNum, SelBudgetDen)
         .select("doc_id", "nt")
       val sh = Sampling.epochShuffle(kept.select("doc_id"), "doc_id",
           ShufShards, 1)

@@ -590,4 +590,260 @@ object Sampling {
       lit(0L), (acc, i) => acc + (bnd(i + 1) - bnd(i)).cast("long"))
     struct(t.as("t"), masked.as("masked"), rendered.as("rendered"))
   }
+
+  /** Scale-safe per-source token-budget selection (round-10): keep,
+    * within each source, the longest (score desc, id asc) prefix whose
+    * running token mass fits `floor(mass · num / den)` — WITHOUT a
+    * per-source sort over the data grain. The sort-window form is
+    * exact but its parallelism axis is the source count: at 100 TB
+    * with a handful of sources each domain funnels through one
+    * reducer (the round-9 100× probe measured it 4× worse than
+    * anything else, 18.8× at 100× input). This form finds each
+    * source's cut by iterative histogram refinement instead:
+    *
+    *  1. one aggregate for per-source mass/budget/score range;
+    *  2. per pass, docs inside each source's candidate interval are
+    *     bucketed against per-source boundary arrays (a broadcast
+    *     join + one map-side-combined aggregate; output is
+    *     sources × buckets — model-sized) and the driver walks the
+    *     histogram top-down to find the bucket containing the cut;
+    *  3. when a source's crossing bucket collapses to an exact score
+    *     tie, refinement switches to the id axis (ids are unique, so
+    *     integer refinement always converges);
+    *  4. the final boundary bucket (≤ `cap` docs per source) is
+    *     resolved exactly by the original running-sum window — over
+    *     the bounded boundary set only, never the data grain.
+    *
+    * Every pass is a scan + tiny aggregate: no data-sized shuffle, no
+    * per-source sequential stage; passes ≈ log_buckets(n/cap) (3 at
+    * 10¹¹ docs). The projected (source, score, nt, id) frame persists
+    * MEMORY_AND_DISK across passes — 4 narrow columns, spill-safe.
+    * Exactness: bucket membership and keep filters use the SAME
+    * driver-computed boundary literals and strict comparisons, so a
+    * doc is counted above the cut iff the final filter keeps it; the
+    * boundary window replays the reference running-sum semantics on
+    * the residue. Kept set is identical to the sort-window form
+    * (deterministic on (score, id)), pinned by SamplingSpec.
+    *
+    * Returns the kept rows as (srcCol, idCol, ntCol, scoreCol,
+    * budget). Requires non-negative nt and a numeric id. */
+  def selectBudget(df: DataFrame, srcCol: String, scoreCol: String,
+                   ntCol: String, idCol: String, num: Long, den: Long,
+                   buckets: Int = 128, cap: Long = 4096,
+                   maxPasses: Int = 12): DataFrame = {
+    require(num > 0 && den > 0 && buckets >= 2 && cap >= 1)
+    val spark = df.sparkSession
+    import org.apache.spark.sql.types._
+    val base = df.select(col(srcCol).cast("string").as("_sb_src"),
+        col(scoreCol).cast("double").as("_sb_score"),
+        col(ntCol).cast("long").as("_sb_nt"),
+        col(idCol).cast("long").as("_sb_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val init = base.groupBy("_sb_src").agg(
+      sum("_sb_nt").as("m"), count(lit(1)).as("c"),
+      min("_sb_score").as("mns"), max("_sb_score").as("mxs"),
+      min("_sb_id").as("mni"), max("_sb_id").as("mxi")).collect()
+
+    // finished per-source keep spec:
+    //   definite keep: score > hiKeep, or score == tie && id <= keepIdMax
+    //   boundary (window-resolved, <= cap docs): score in (bLo, bHi],
+    //     or score == tie && keepIdMax < id <= idHi; running sum <= rem
+    final case class Spec(src: String, budget: Long, rem: Long,
+      hiKeep: Double, tie: java.lang.Double, keepIdMax: java.lang.Long,
+      bLo: java.lang.Double, bHi: java.lang.Double, idHi: java.lang.Long)
+    // score-phase state: cut inside (lo, hi]; massAbove = sum nt over
+    // score > hi (all definite keeps so far)
+    final case class SState(src: String, budget: Long, massAbove: Long,
+      lo: Double, hi: Double)
+    // id-phase state: cut among score == tie ties inside id (idLo,
+    // idHi]; taken = mass of definite keeps (score > tie, plus id
+    // buckets already below the cut)
+    final case class IState(src: String, budget: Long, taken: Long,
+      tie: Double, idLo: Long, idHi: Long)
+
+    val specs = scala.collection.mutable.ArrayBuffer.empty[Spec]
+    var sAct = List.empty[SState]
+    var iAct = List.empty[IState]
+    init.foreach { r =>
+      val (src, mass, cnt) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val (mns, mxs) = (r.getDouble(3), r.getDouble(4))
+      val (mni, mxi) = (r.getLong(5), r.getLong(6))
+      val budget = mass / den * num + mass % den * num / den // overflow-safe floor(mass*num/den) for den*num < 2^63/mass%den… exact for positive args
+      if (budget >= mass) // whole source fits: keep all outright
+        specs += Spec(src, budget, 0L, Double.NegativeInfinity,
+          null, null, null, null, null)
+      else if (cnt <= cap) // small source: boundary IS the source
+        specs += Spec(src, budget, budget, Double.PositiveInfinity,
+          null, null, Double.NegativeInfinity, Double.PositiveInfinity,
+          null)
+      else if (mns == mxs) // one exact score: straight to the id axis
+        iAct ::= IState(src, budget, 0L, mns, mni - 1, mxi)
+      else sAct ::= SState(src, budget, 0L, math.nextDown(mns), mxs)
+    }
+
+    def bndD(lo: Double, hi: Double): Array[Double] =
+      (1 until buckets).map(k => lo + (hi - lo) * k / buckets).toArray
+    def bndL(lo: Long, hi: Long): Array[Long] =
+      (1 until buckets).map(k => lo + (hi - lo) / buckets * k +
+        (hi - lo) % buckets * k / buckets).toArray
+
+    // ---- score phase: shrink each source's (lo, hi] around the cut
+    var pass = 0
+    while (sAct.nonEmpty && pass < maxPasses) {
+      pass += 1
+      val st = spark.createDataFrame(
+        spark.sparkContext.parallelize(sAct.map(s =>
+          org.apache.spark.sql.Row(s.src, s.lo, s.hi,
+            bndD(s.lo, s.hi).toSeq)), 1),
+        StructType(Seq(StructField("_sb_src", StringType),
+          StructField("_lo", DoubleType), StructField("_hi", DoubleType),
+          StructField("_bnd", ArrayType(DoubleType)))))
+      val hist = base.join(broadcast(st), Seq("_sb_src"))
+        .where(col("_sb_score") > col("_lo") &&
+          col("_sb_score") <= col("_hi"))
+        .withColumn("_bk", size(filter(col("_bnd"),
+          b => col("_sb_score") > b)))
+        .groupBy("_sb_src", "_bk")
+        .agg(sum("_sb_nt").as("m"), count(lit(1)).as("c"),
+          min("_sb_score").as("mns"), max("_sb_score").as("mxs"),
+          min("_sb_id").as("mni"), max("_sb_id").as("mxi"))
+        .collect()
+        .groupBy(_.getString(0))
+      sAct = sAct.flatMap { s =>
+        val bnd = bndD(s.lo, s.hi)
+        val bkts = hist.getOrElse(s.src, Array.empty)
+          .map(r => r.getInt(1) -> r).toMap
+        def loOf(j: Int) = if (j == 0) s.lo else bnd(j - 1)
+        def hiOf(j: Int) = if (j == buckets - 1) s.hi else bnd(j)
+        var acc = s.massAbove
+        var j = buckets - 1
+        var crossed = -1
+        while (j >= 0 && crossed < 0) {
+          bkts.get(j) match {
+            case Some(r) if acc + r.getLong(2) > s.budget => crossed = j
+            case Some(r) => acc += r.getLong(2); j -= 1
+            case None => j -= 1
+          }
+        }
+        if (crossed < 0) {
+          // unreachable by invariant (massAbove + interval mass >
+          // budget); degrade safely to keep-everything-in-interval
+          specs += Spec(s.src, s.budget, 0L, s.lo, null, null, null,
+            null, null)
+          Nil
+        } else {
+          val r = bkts(crossed)
+          val (c, mns, mxs) = (r.getLong(3), r.getDouble(4),
+            r.getDouble(5))
+          val (jlo, jhi) = (loOf(crossed), hiOf(crossed))
+          val sub = bndD(jlo, jhi)
+          if (c <= cap || sub.distinct.length < 2 ||
+              sub.head <= jlo || sub.last >= jhi) {
+            // bounded (or sub-ulp-degenerate) boundary bucket: resolve
+            // by the exact window over (jlo, jhi]
+            specs += Spec(s.src, s.budget, s.budget - acc, jhi, null,
+              null, jlo, jhi, null)
+            Nil
+          } else if (mns == mxs) {
+            // exact score tie bigger than cap: refine on the id axis
+            iAct ::= IState(s.src, s.budget, acc, mns,
+              r.getLong(6) - 1, r.getLong(7))
+            Nil
+          } else Some(SState(s.src, s.budget, acc, jlo, jhi))
+        }
+      }
+    }
+    // pass cap exhausted: resolve residue intervals by exact window
+    sAct.foreach { s =>
+      specs += Spec(s.src, s.budget, s.budget - s.massAbove, s.hi, null,
+        null, s.lo, s.hi, null)
+    }
+
+    // ---- id phase: unique ids, integer refinement always converges
+    var ipass = 0
+    while (iAct.nonEmpty && ipass < 64) {
+      ipass += 1
+      val st = spark.createDataFrame(
+        spark.sparkContext.parallelize(iAct.map(s =>
+          org.apache.spark.sql.Row(s.src, s.tie, s.idLo, s.idHi,
+            bndL(s.idLo, s.idHi).toSeq)), 1),
+        StructType(Seq(StructField("_sb_src", StringType),
+          StructField("_tie", DoubleType), StructField("_ilo", LongType),
+          StructField("_ihi", LongType),
+          StructField("_bnd", ArrayType(LongType)))))
+      val hist = base.join(broadcast(st), Seq("_sb_src"))
+        .where(col("_sb_score") === col("_tie") &&
+          col("_sb_id") > col("_ilo") && col("_sb_id") <= col("_ihi"))
+        .withColumn("_bk", size(filter(col("_bnd"),
+          b => col("_sb_id") > b)))
+        .groupBy("_sb_src", "_bk")
+        .agg(sum("_sb_nt").as("m"), count(lit(1)).as("c"))
+        .collect()
+        .groupBy(_.getString(0))
+      iAct = iAct.flatMap { s =>
+        val bnd = bndL(s.idLo, s.idHi)
+        val bkts = hist.getOrElse(s.src, Array.empty)
+          .map(r => r.getInt(1) -> r).toMap
+        def loOf(j: Int) = if (j == 0) s.idLo else bnd(j - 1)
+        def hiOf(j: Int) = if (j == buckets - 1) s.idHi else bnd(j)
+        // ties are taken in id ASC order: walk buckets bottom-up
+        var acc = s.taken
+        var j = 0
+        var crossed = -1
+        while (j < buckets && crossed < 0) {
+          bkts.get(j) match {
+            case Some(r) if acc + r.getLong(2) > s.budget => crossed = j
+            case Some(r) => acc += r.getLong(2); j += 1
+            case None => j += 1
+          }
+        }
+        if (crossed < 0) { // unreachable by invariant; keep all ties
+          specs += Spec(s.src, s.budget, 0L, s.tie, s.tie, s.idHi,
+            null, null, null)
+          Nil
+        } else {
+          val c = bkts(crossed).getLong(3)
+          val (jlo, jhi) = (loOf(crossed), hiOf(crossed))
+          if (c <= cap)
+            // definite: score > tie, or tie && id <= jlo; boundary:
+            // tie && jlo < id <= jhi with the remaining budget
+            { specs += Spec(s.src, s.budget, s.budget - acc, s.tie,
+                s.tie, jlo, null, null, jhi); Nil }
+          else Some(IState(s.src, s.budget, acc, s.tie, jlo, jhi))
+        }
+      }
+    }
+
+    val specDf = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(specs.toList.map(s =>
+        org.apache.spark.sql.Row(s.src, s.budget, s.rem, s.hiKeep,
+          s.tie, s.keepIdMax, s.bLo, s.bHi, s.idHi)), 1),
+      StructType(Seq(StructField("_sb_src", StringType),
+        StructField("_budget", LongType), StructField("_rem", LongType),
+        StructField("_hik", DoubleType), StructField("_tie", DoubleType),
+        StructField("_kid", LongType), StructField("_blo", DoubleType),
+        StructField("_bhi", DoubleType),
+        StructField("_idhi", LongType)))))
+    val joined = base.join(specDf, Seq("_sb_src"))
+    val keepFull = joined.where(col("_sb_score") > col("_hik") ||
+      (col("_tie").isNotNull && col("_sb_score") === col("_tie") &&
+        col("_sb_id") <= col("_kid")))
+    val boundary = joined.where(
+      (col("_blo").isNotNull && col("_sb_score") > col("_blo") &&
+        col("_sb_score") <= col("_bhi")) ||
+      (col("_tie").isNotNull && col("_sb_score") === col("_tie") &&
+        col("_sb_id") > coalesce(col("_kid"), lit(Long.MinValue)) &&
+        col("_sb_id") <= col("_idhi")))
+    val w = Window.partitionBy("_sb_src")
+      .orderBy(col("_sb_score").desc, col("_sb_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundaryKept = boundary
+      .withColumn("_cum", sum(col("_sb_nt")).over(w))
+      .where(col("_cum") <= col("_rem"))
+    val outCols = Seq(col("_sb_src").as(srcCol),
+      col("_sb_id").as(idCol), col("_sb_nt").as(ntCol),
+      col("_sb_score").as(scoreCol), col("_budget").as("budget"))
+    keepFull.select(outCols: _*)
+      .unionByName(boundaryKept.select(outCols: _*))
+  }
 }

@@ -426,4 +426,83 @@ class SamplingSpec extends AnyFunSuite {
       "/root/testdata/sf0.001").collect()
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  /** Reference implementation of the budget prefix: per-source sort
+    * on (score desc, id asc), keep while running nt sum fits
+    * floor(mass·num/den). Used to pin selectBudget's refinement. */
+  private def budgetPrefixRef(rows: Seq[(String, Double, Long, Long)],
+                              num: Long, den: Long): Set[Long] =
+    rows.groupBy(_._1).flatMap { case (_, g) =>
+      val budget = g.map(_._3).sum * num / den
+      var cum = 0L
+      g.sortBy(r => (-r._2, r._4)).takeWhile { r =>
+        cum += r._3; cum <= budget
+      }.map(_._4)
+    }.toSet
+
+  private def runSelect(rows: Seq[(String, Double, Long, Long)],
+                        num: Long, den: Long, buckets: Int,
+                        cap: Long): Set[Long] =
+    Sampling.selectBudget(
+        rows.toDF("source", "score", "nt", "doc_id"),
+        "source", "score", "nt", "doc_id", num, den,
+        buckets = buckets, cap = cap)
+      .select("doc_id").as[Long].collect().toSet
+
+  test("selectBudget matches the sort-window prefix with refinement " +
+    "forced (tiny cap), across sources, ties, and zero-nt docs") {
+    // 3 sources x 200 docs; scores collide in blocks of 4 (forces the
+    // id axis inside a block when the cut lands there); a few nt=0
+    // docs; distinct per-source score offsets
+    val rows = for {
+      s <- 0 until 3; i <- 0 until 200
+    } yield (s"src$s", (i / 4).toDouble / 7.0 + s * 0.001,
+      if (i % 17 == 0) 0L else (i % 13 + 1).toLong,
+      (s * 1000 + i).toLong)
+    for ((num, den) <- Seq((2L, 5L), (1L, 3L), (9L, 10L), (1L, 1000L))) {
+      val got = runSelect(rows, num, den, buckets = 4, cap = 3)
+      val want = budgetPrefixRef(rows, num, den)
+      assert(got === want, s"num=$num den=$den")
+    }
+  }
+
+  test("selectBudget: one giant exact-score tie goes straight to id " +
+    "refinement and still matches") {
+    val rows = (0 until 500).map(i =>
+      ("only", 0.25, (i % 7 + 1).toLong, i.toLong))
+    val got = runSelect(rows, 1L, 2L, buckets = 4, cap = 3)
+    assert(got === budgetPrefixRef(rows, 1L, 2L))
+  }
+
+  test("selectBudget: budget >= mass keeps everything; large cap " +
+    "degenerates to the exact window") {
+    val rows = (0 until 50).map(i =>
+      (s"s${i % 2}", i.toDouble, 2L, i.toLong))
+    assert(runSelect(rows, 3L, 2L, 8, 4) === rows.map(_._4).toSet)
+    assert(runSelect(rows, 1L, 3L, 8, 100000) ===
+      budgetPrefixRef(rows, 1L, 3L))
+  }
+
+  test("selectBudget plan: the only sort/window sits on the bounded " +
+    "boundary branch, never the data grain") {
+    val rows = (0 until 400).map(i =>
+      ("s", i.toDouble / 3.0, 1L, i.toLong))
+    val kept = Sampling.selectBudget(
+      rows.toDF("source", "score", "nt", "doc_id"),
+      "source", "score", "nt", "doc_id", 1L, 2L, buckets = 4, cap = 3)
+    // optimized LOGICAL plan (the physical tree hides behind AQE):
+    // exactly one Window — the boundary running sum — whose input is
+    // the boundary-interval filter, and zero Sort nodes anywhere (a
+    // logical Sort would mean an orderBy over the data grain; the
+    // window's own sort is physical and bounded by the filter)
+    import org.apache.spark.sql.catalyst.plans.logical
+    val opt = kept.queryExecution.optimizedPlan
+    val windows = opt.collect { case w: logical.Window => w }
+    assert(windows.size === 1)
+    assert(opt.collect { case s: logical.Sort => s }.isEmpty,
+      "no orderBy over the data grain")
+    val below = windows.head.child.toString
+    assert(below.contains("_blo") || below.contains("_tie"),
+      "window must sit above the boundary-interval filter")
+  }
 }
