@@ -3523,9 +3523,10 @@ object PipelineQueries {
     * buckets cut on the pure-IEEE score (engine-exact), +1 smoothing
     * over the FULL 10-bucket grid (absent cells materialized — a
     * missing row would silently skip its smoothed term), per-cell
-    * (p−q)·ln(p/q) floor-quantized to 2⁻³⁰ int64 so the sum is exact
-    * (the q_stats_mi ln-ulp caveat applies). PSI(src0) ≡ 0 is a free
-    * self-check row. */
+    * (p−q)·ln(p/q) quantized to 2⁻³⁰ int64 via the guard-banded
+    * floor(y + 0.5) (see q_stats_mi), so the sum is exact and clean
+    * term values (0 above all — PSI(src0) ≡ 0 is a free self-check
+    * row) sit half a quantum away from the nearest boundary. */
   private val PsiRef = "src0"
   private val PsiFx = 1073741824.0 // 2^30
   private val statsPsi = Q("q_stats_psi",
@@ -3546,7 +3547,8 @@ object PipelineQueries {
       val p = (col("c") + lit(1.0)) / (col("n") + lit(10)).cast("double")
       val q = (col("cr") + lit(1.0)) /
         (col("nr") + lit(10)).cast("double")
-      val fp = floor((p - q) * log(p / q) * lit(PsiFx)).cast("long")
+      val fp = floor((p - q) * log(p / q) * lit(PsiFx) + lit(0.5))
+        .cast("long")
       withN.join(ref, "b")
         .select(col("source"), col("n"), fp.as("fp"))
         .groupBy("source", "n")
@@ -3585,7 +3587,7 @@ object PipelineQueries {
         "(ref.cr + 1.0) / CAST(ref.nr + 10 AS DOUBLE)) * " +
         "ln(((wn.c + 1.0) / CAST(wn.n + 10 AS DOUBLE)) / " +
         "((ref.cr + 1.0) / CAST(ref.nr + 10 AS DOUBLE))) * " +
-        s"$PsiFx) AS BIGINT) AS fp FROM wn JOIN ref USING (b)) " +
+        s"$PsiFx + 0.5) AS BIGINT) AS fp FROM wn JOIN ref USING (b)) " +
         "SELECT source, n AS n_docs, " +
         s"round(CAST(sum(fp) AS DOUBLE) / $PsiFx, 5) AS psi " +
         "FROM f GROUP BY source, n ORDER BY source"
@@ -7276,7 +7278,8 @@ object PipelineQueries {
     * per-cell term ((o·n − rt·ct)² / (rt·ct·n)) is pure IEEE
     * arithmetic — multiply/subtract/divide are correctly rounded and
     * therefore bit-identical across engines (no transcendental, so
-    * none of the libm-ulp hazard the MI/drift fixed points carry) —
+    * not even the guard-banded residual the MI/drift fixed points
+    * carry) —
     * and the int64 fixed-point floor (2²⁰) makes the cross-engine SUM
     * exact integers. Counts live on post-agg grains: cells ≤
     * |sources|·|langs|, marginals smaller still — the only data-sized
@@ -7328,6 +7331,16 @@ object PipelineQueries {
       s"round(CAST(sum(fp) AS DOUBLE) / $ChiFx, 5) AS chisq " +
       "FROM f GROUP BY n, r, c")
 
+  /** Fixed-point scale for the MI/drift/PSI transcendental terms.
+    * Each p·ln(…) term quantizes via floor(y·2³⁰ + 0.5) — round-half-
+    * down-banded, not bare floor: the +0.5 shifts every quantization
+    * boundary onto a half-integer of the scaled value, so terms whose
+    * TRUE value is a clean number (0 exactly, for identical
+    * distributions / independent cells) sit half a quantum (≈5e-10)
+    * from the nearest edge instead of ON it. Residual cross-engine
+    * risk is a term landing within ~|y|·2⁻⁵² of a half-integer — no
+    * natural term accumulates there, and the fixture is pinned green
+    * at sf0.01 + sf0.1. */
   private val MiFx = 1073741824.0 // 2^30
   private val statsMi = Q("q_stats_mi",
     (s, d) => {
@@ -7348,7 +7361,7 @@ object PipelineQueries {
           (col("rx").cast("double") * col("cy").cast("double")))
       cells.join(rx, "bx").join(cy, "by").crossJoin(nf)
         .select(col("n"), col("n_cells"), col("max_cell"),
-          floor(term * lit(MiFx)).cast("long").as("fp"))
+          floor(term * lit(MiFx) + lit(0.5)).cast("long").as("fp"))
         .groupBy("n", "n_cells", "max_cell")
         .agg(round((sum(col("fp")).cast("double") / lit(MiFx)), 5)
           .as("mi"))
@@ -7372,7 +7385,7 @@ object PipelineQueries {
       "CAST(floor(((CAST(cnt AS DOUBLE) / CAST(nf.n AS DOUBLE)) * " +
       "ln((CAST(cnt AS DOUBLE) * CAST(nf.n AS DOUBLE)) / " +
       "(CAST(rx.rx AS DOUBLE) * CAST(cy.cy AS DOUBLE)))) * " +
-      s"$MiFx) AS BIGINT) AS fp " +
+      s"$MiFx + 0.5) AS BIGINT) AS fp " +
       "FROM cells JOIN rx USING (bx) JOIN cy USING (by) CROSS JOIN nf) " +
       "SELECT n, n_cells, max_cell, " +
       s"round(CAST(sum(fp) AS DOUBLE) / $MiFx, 5) AS mi " +
@@ -7386,16 +7399,10 @@ object PipelineQueries {
     * map-side-partial aggregate on the (bucket ≤ 256) grain — token
     * strings never shuffle; the full bucket domain (including
     * zero-count buckets, which still carry smoothing mass) comes from
-    * an in-plan range frame. Each KL term floor-quantizes to int64
-    * (the q_stats_mi discipline) so the sums are order-independent
-    * and bit-exact cross-engine. DOCUMENTED ASSUMPTION (shared with
-    * q_stats_mi): JVM `Math.log` and DuckDB's libm `ln` are not
-    * correctly-rounded, so a term landing within ~|x|·2⁻⁵² of a
-    * quantization boundary could floor differently per engine — at
-    * MiFx = 2³⁰ that window is ~1e-7 wide per term, ~1e-4 odds across
-    * the 512 terms here; accepted (any floor granularity has
-    * boundaries — shifting or coarsening moves the risk, it cannot
-    * remove it) and this fixture is pinned green at sf0.01 + sf0.1. */
+    * an in-plan range frame. Each KL term quantizes to int64 via the
+    * guard-banded floor(y·2³⁰ + 0.5) (the q_stats_mi discipline — see
+    * the MiFx note for the boundary analysis) so the sums are
+    * order-independent and bit-exact cross-engine. */
   private val DriftV = 256
   private val textDrift = Q("q_text_drift",
     (s, d) => {
@@ -7423,8 +7430,10 @@ object PipelineQueries {
         (col("n1").cast("double") + lit(DriftV.toDouble))
       dom.crossJoin(tot)
         .select(col("n0"), col("n1"), col("n_used"),
-          floor(p1 * log(p1 / p0) * lit(MiFx)).cast("long").as("f10"),
-          floor(p0 * log(p0 / p1) * lit(MiFx)).cast("long").as("f01"))
+          floor(p1 * log(p1 / p0) * lit(MiFx) + lit(0.5)).cast("long")
+            .as("f10"),
+          floor(p0 * log(p0 / p1) * lit(MiFx) + lit(0.5)).cast("long")
+            .as("f01"))
         .groupBy("n0", "n1", "n_used")
         .agg(round(sum(col("f10")).cast("double") / lit(MiFx), 5)
             .as("kl_cur_ref"),
@@ -7452,14 +7461,14 @@ object PipelineQueries {
       "ln(((CAST(c1 AS DOUBLE) + 1.0) / " +
       s"(CAST(tot.n1 AS DOUBLE) + $DriftV.0)) / " +
       "((CAST(c0 AS DOUBLE) + 1.0) / " +
-      s"(CAST(tot.n0 AS DOUBLE) + $DriftV.0))) * $MiFx) AS BIGINT) " +
+      s"(CAST(tot.n0 AS DOUBLE) + $DriftV.0))) * $MiFx + 0.5) AS BIGINT) " +
       "AS f10, " +
       "CAST(floor(((CAST(c0 AS DOUBLE) + 1.0) / " +
       s"(CAST(tot.n0 AS DOUBLE) + $DriftV.0)) * " +
       "ln(((CAST(c0 AS DOUBLE) + 1.0) / " +
       s"(CAST(tot.n0 AS DOUBLE) + $DriftV.0)) / " +
       "((CAST(c1 AS DOUBLE) + 1.0) / " +
-      s"(CAST(tot.n1 AS DOUBLE) + $DriftV.0))) * $MiFx) AS BIGINT) " +
+      s"(CAST(tot.n1 AS DOUBLE) + $DriftV.0))) * $MiFx + 0.5) AS BIGINT) " +
       "AS f01 FROM dom CROSS JOIN tot) " +
       "SELECT n0, n1, n_used, " +
       s"round(CAST(sum(f10) AS DOUBLE) / $MiFx, 5) AS kl_cur_ref, " +
