@@ -4826,6 +4826,68 @@ object PipelineQueries {
       "max(g.n_groups) AS n_groups, max(g.n_redundant) AS n_redundant " +
       "FROM hh CROSS JOIN g GROUP BY source ORDER BY source")
 
+  /** VIDEO FRAME decode through the [[graft.ops.FrameDecoder]] seam —
+    * the round-10 upgrade that makes the round-9 stub real for one
+    * honest codec: per-doc parameters → 3-frame MJPEG MP4 with a REAL
+    * sample table ([[Multimodal.mjpegPatternColumn]]: real JPEG
+    * encode, real stsz/stsc/stco) → [[Multimodal.decodeColumn]]
+    * routing to the built-in [[graft.ops.FrameDecoder.Mjpeg]] (sample
+    * walk → ImageIO JPEG decode → per-frame aHash, folded to the
+    * 40-bit digest convention) → per-source aggregates. The oracle
+    * recomputes each frame's aHash from the block-pattern formula
+    * (first k of 64 aligned blocks white ⇒ hash = 2^k − 1, the
+    * q_multimodal_imagededup discipline): a decoder that mis-walks
+    * the sample table, mis-decodes a frame, or mis-hashes a pixel
+    * breaks the sums. Even-seed clips repeat frame 0 as frame 1, so
+    * `n_frame_dups` pins within-clip frame dedup through real decode.
+    * Bytes never shuffle; only (source, f0..f2) reach the agg. */
+  private val multimodalFrameDecode = Q("q_multimodal_framedecode",
+    (s, d) => {
+      val params = docs(s, d).select(col("doc_id"), col("source"),
+          pmod(col("doc_id"), lit(50L)).cast("int").as("seed"))
+        .withColumn("k0",
+          (pmod(col("seed") * 7 + 3, lit(32)) + 8).cast("int"))
+        .withColumn("k1",
+          (pmod(col("seed") * 7 + 3 + pmod(col("seed"), lit(2)) * 11,
+            lit(32)) + 8).cast("int"))
+        .withColumn("k2",
+          (pmod(col("seed") * 5 + 11, lit(32)) + 8).cast("int"))
+      val built = Multimodal.mjpegPatternColumn(params,
+        Seq("k0", "k1", "k2"))
+      Multimodal.decodeColumn(built, "media", "jpeg", featDim = 3)
+        .select(col("source"),
+          element_at(col("features"), 1).cast("long").as("f0"),
+          element_at(col("features"), 2).cast("long").as("f1"),
+          element_at(col("features"), 3).cast("long").as("f2"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_clips"),
+          sum(col("f0")).as("sum_f0"),
+          sum(col("f1")).as("sum_f1"),
+          sum(col("f2")).as("sum_f2"),
+          countDistinct(col("f0")).as("n_distinct_f0"),
+          sum(when(col("f0") === col("f1"), 1L).otherwise(0L))
+            .as("n_frame_dups"))
+        .orderBy("source")
+    },
+    "WITH p AS (SELECT doc_id, source, " +
+      "CAST(doc_id % 50 AS INT) AS seed FROM documents), " +
+      "k AS (SELECT source, " +
+      "(seed*7 + 3) % 32 + 8 AS k0, " +
+      "(seed*7 + 3 + (seed%2)*11) % 32 + 8 AS k1, " +
+      "(seed*5 + 11) % 32 + 8 AS k2 FROM p), " +
+      "f AS (SELECT source, " +
+      "(CAST(1 AS BIGINT) << k0) - 1 AS f0, " +
+      "(CAST(1 AS BIGINT) << k1) - 1 AS f1, " +
+      "(CAST(1 AS BIGINT) << k2) - 1 AS f2 FROM k) " +
+      "SELECT source, count(*) AS n_clips, " +
+      "CAST(sum(f0) AS BIGINT) AS sum_f0, " +
+      "CAST(sum(f1) AS BIGINT) AS sum_f1, " +
+      "CAST(sum(f2) AS BIGINT) AS sum_f2, " +
+      "count(DISTINCT f0) AS n_distinct_f0, " +
+      "CAST(sum(CASE WHEN f0 = f1 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_frame_dups " +
+      "FROM f GROUP BY source ORDER BY source")
+
   /** MP4 container-metadata round-trip: per-doc parameters → minimal
     * ISO BMFF bytes ([[Multimodal.mp4BuildColumn]]) → box-walk parse
     * ([[Multimodal.mp4MetaColumn]]) → per-(source, codec) aggregates.
@@ -8602,5 +8664,5 @@ object PipelineQueries {
     multimodalAudioDedup, textCodeswitch, multimodalPairDedup,
     shardRendezvous, sampleRho, textBpeDiff, pipelineAttrition,
     multimodalAudioQuality, dedupThresholdSweep, sampleQuota,
-    embedKCore)
+    embedKCore, multimodalFrameDecode)
 }

@@ -537,6 +537,44 @@ object Codecs {
     out
   }
 
+  /** REAL JPEG encode via the JDK's own ImageIO writer at an explicit
+    * quality (default 1.0 — quantization tables near-unity, so flat
+    * 8×8 blocks round-trip within a couple of code values; the MJPEG
+    * oracle's block patterns rely on that margin). Grayscale rgb
+    * triplets avoid chroma-subsampling shifts. Deterministic per
+    * payload: the writer is pure arithmetic on fixed tables. */
+  def encodeJpeg(w: Int, h: Int, rgb: Array[Byte],
+                 quality: Float = 1.0f): Array[Byte] = {
+    require(w > 0 && h > 0 && rgb.length == 3 * w * h)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = 3 * (y * w + x)
+        img.setRGB(x, y, ((rgb(i) & 0xff) << 16) |
+          ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(
+      javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null),
+        params)
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
   /** REAL compressed-image decode via the JDK's OWN codecs: the
     * `java.desktop` module ships ImageIO readers for JPEG, PNG, GIF
     * and BMP — no external library involved, so "this environment

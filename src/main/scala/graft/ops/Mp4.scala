@@ -232,4 +232,153 @@ object Mp4 {
       largesize = largeMdat)
     ftyp ++ moov ++ mdat
   }
+
+  // ------------------------------------------------------------------
+  // Sample table (round 10): the piece that turns "container
+  // metadata" into "frame access" — stsz/stsc/stco expansion per
+  // ISO/IEC 14496-12 §8.7, the input to real frame decode through
+  // the [[FrameDecoder]] seam (MJPEG rides this + ImageIO).
+  // ------------------------------------------------------------------
+
+  /** Per-sample (absoluteOffset, size) of the FIRST track carrying a
+    * complete stsz+stsc+stco/co64 sample table; None when the bytes
+    * hold none (metadata-only fixtures, non-MP4). Chunk c (1-based)
+    * takes samples-per-chunk from the last stsc entry with
+    * first_chunk <= c; samples pack back-to-back inside a chunk.
+    * Total on arbitrary bytes — malformed tables yield None, never a
+    * throw. */
+  def samples(b: Array[Byte]): Option[Vector[(Long, Long)]] = {
+    if (b == null || b.length < 16) return None
+    var sizes: Array[Long] = null
+    var chunkOffs: Array[Long] = null
+    var stsc: Array[(Long, Long)] = null // (first_chunk, samples/chunk)
+    def walk(from: Long, to: Long, depth: Int): Unit = {
+      if (depth > 8) return
+      boxes(b, from, to).foreach { case (typ, lo, hi) =>
+        typ match {
+          case t if Containers(t) => walk(lo, hi, depth + 1)
+          case "stsz" if hi - lo >= 12 && sizes == null =>
+            val fixed = be32(b, lo.toInt + 4)
+            val n = be32(b, lo.toInt + 8).toInt
+            if (fixed != 0) sizes = Array.fill(n)(fixed)
+            else if (lo + 12 + 4L * n <= hi)
+              sizes = Array.tabulate(n)(i => be32(b, lo.toInt + 12 + 4 * i))
+          case "stco" if hi - lo >= 8 && chunkOffs == null =>
+            val n = be32(b, lo.toInt + 4).toInt
+            if (lo + 8 + 4L * n <= hi)
+              chunkOffs = Array.tabulate(n)(i => be32(b, lo.toInt + 8 + 4 * i))
+          case "co64" if hi - lo >= 8 && chunkOffs == null =>
+            val n = be32(b, lo.toInt + 4).toInt
+            if (lo + 8 + 8L * n <= hi)
+              chunkOffs = Array.tabulate(n)(i => be64(b, lo.toInt + 8 + 8 * i))
+          case "stsc" if hi - lo >= 8 && stsc == null =>
+            val n = be32(b, lo.toInt + 4).toInt
+            if (lo + 8 + 12L * n <= hi)
+              stsc = Array.tabulate(n)(i => (be32(b, lo.toInt + 8 + 12 * i),
+                be32(b, lo.toInt + 12 + 12 * i)))
+          case _ => ()
+        }
+      }
+    }
+    try {
+      walk(0L, b.length.toLong, 0)
+      if (sizes == null || chunkOffs == null || stsc == null ||
+          sizes.isEmpty || chunkOffs.isEmpty || stsc.isEmpty) return None
+      val out = Vector.newBuilder[(Long, Long)]
+      var s = 0
+      var sci = 0
+      var c = 0
+      while (c < chunkOffs.length && s < sizes.length) {
+        while (sci + 1 < stsc.length && stsc(sci + 1)._1 <= c + 1) sci += 1
+        var off = chunkOffs(c)
+        var k = 0L
+        while (k < stsc(sci)._2 && s < sizes.length) {
+          if (off < 0 || off + sizes(s) > b.length) return None
+          out += ((off, sizes(s)))
+          off += sizes(s)
+          s += 1; k += 1
+        }
+        c += 1
+      }
+      val v = out.result()
+      if (v.isEmpty) None else Some(v)
+    } catch { case _: Exception => None }
+  }
+
+  /** Minimal MJPEG MP4: a single video track whose samples are the
+    * given JPEG payloads, with a REAL sample table (stts/stsc/stsz/
+    * stco) so [[samples]] can address every frame — the honest-codec
+    * upgrade path through the [[FrameDecoder]] seam (JPEG is the one
+    * video codec the JDK decodes natively). Sample-entry 4cc `jpeg`
+    * (12.1.3 visual sample entry), all samples in one chunk,
+    * `deltaTicks` per frame. */
+  def buildMjpeg(timescale: Long, deltaTicks: Long, width: Int,
+                 height: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty)
+    val durationTicks = deltaTicks * frames.length
+    val ftyp = box("ftyp", new Buf().cc("isom").u32(512L)
+      .cc("isom").cc("iso2").bytes)
+    def moovOf(mdatPayloadOff: Long): Array[Byte] = {
+      val mvhd = box("mvhd", {
+        val bb = new Buf().u32(0L).u32(0L).u32(0L)
+          .u32(timescale).u32(durationTicks)
+          .u32(0x00010000L).u16(0x0100).u16(0)
+        bb.u32(0L); bb.u32(0L)
+        Seq(0x10000L, 0L, 0L, 0L, 0x10000L, 0L, 0L, 0L, 0x40000000L)
+          .foreach(bb.u32)
+        (1 to 6).foreach(_ => bb.u32(0L))
+        bb.u32(2L)
+        bb.bytes
+      })
+      val tkhd = box("tkhd", {
+        val bb = new Buf().u32(7L).u32(0L).u32(0L).u32(1L).u32(0L)
+          .u32(durationTicks)
+        bb.u32(0L); bb.u32(0L)
+        bb.u16(0).u16(0).u16(0).u16(0)
+        Seq(0x10000L, 0L, 0L, 0L, 0x10000L, 0L, 0L, 0L, 0x40000000L)
+          .foreach(bb.u32)
+        bb.u32(width.toLong << 16).u32(height.toLong << 16)
+        bb.bytes
+      })
+      val mdhd = box("mdhd", new Buf().u32(0L).u32(0L).u32(0L)
+        .u32(timescale).u32(durationTicks).u16(0x55c4).u16(0).bytes)
+      val hdlr = box("hdlr", new Buf().u32(0L).u32(0L).cc("vide")
+        .u32(0L).u32(0L).u32(0L).u8(0).bytes)
+      val entry = {
+        val bb = new Buf().u32(86L).cc("jpeg")
+        (1 to 6).foreach(_ => bb.u8(0)); bb.u16(1)
+        bb.u16(0).u16(0); (1 to 3).foreach(_ => bb.u32(0L))
+        bb.u16(width).u16(height)
+        bb.u32(0x00480000L).u32(0x00480000L)
+        bb.u32(0L).u16(1)
+        (1 to 32).foreach(_ => bb.u8(0))
+        bb.u16(0x0018).u16(0xffff)
+        bb.bytes
+      }
+      val stsd = box("stsd", new Buf().u32(0L).u32(1L).raw(entry).bytes)
+      val stts = box("stts", new Buf().u32(0L).u32(1L)
+        .u32(frames.length.toLong).u32(deltaTicks).bytes)
+      val stsc = box("stsc", new Buf().u32(0L).u32(1L)
+        .u32(1L).u32(frames.length.toLong).u32(1L).bytes)
+      val stsz = box("stsz", {
+        val bb = new Buf().u32(0L).u32(0L).u32(frames.length.toLong)
+        frames.foreach(f => bb.u32(f.length.toLong))
+        bb.bytes
+      })
+      val stco = box("stco",
+        new Buf().u32(0L).u32(1L).u32(mdatPayloadOff).bytes)
+      val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+      val trak = box("trak", tkhd ++ mdia)
+      box("moov", mvhd ++ trak)
+    }
+    // stco needs the absolute mdat payload offset, which depends on
+    // moov's size but not its contents — two passes converge exactly
+    // (the offset field is fixed-width u32)
+    val moovLen = moovOf(0L).length
+    val moov = moovOf(ftyp.length.toLong + moovLen + 8L)
+    val mdat = box("mdat", frames.toArray.flatten)
+    ftyp ++ moov ++ mdat
+  }
 }

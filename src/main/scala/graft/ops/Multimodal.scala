@@ -139,6 +139,51 @@ object Multimodal {
     }
   }
 
+  /** Deterministic MJPEG MP4 test-clip builder — the VIDEO member of
+    * the pattern-builder family ([[bmpPatternColumn]] discipline:
+    * bytes BUILT from row parameters, decoded by the REAL codec
+    * path, oracle recomputes from the formulas). Frame f of a row is
+    * a 64×64 block pattern: the first k_f of the 64 8×8 blocks
+    * (row-major) are white, the rest black — encoded as a REAL JPEG
+    * ([[Codecs.encodeJpeg]], quality 1.0) and wrapped in a REAL MP4
+    * sample table ([[Mp4.buildMjpeg]]). Because the 8×8 pattern
+    * blocks align with JPEG's DCT blocks and the image is grayscale,
+    * each block round-trips within a few code values, leaving the
+    * per-frame aHash bit pattern (bits 0..k−1 set, i.e. 2^k − 1)
+    * predictable from k alone with ~95-gray-level margins — that
+    * formula is what the cross-engine oracle pins against the real
+    * decode. Requires 0 < k < 64. Batched partition-local map; bytes
+    * never shuffle. */
+  def mjpegPatternColumn(df: DataFrame, kCols: Seq[String],
+                         outCol: String = "media"): DataFrame = {
+    val schema = df.schema
+      .add(outCol, org.apache.spark.sql.types.BinaryType)
+    val kIdx = kCols.map(df.schema.fieldIndex)
+    mapBatched(df, schema) { it =>
+      it.map { row =>
+        val frames = kIdx.map { ki =>
+          val k = row.getInt(ki)
+          val rgb = new Array[Byte](3 * 64 * 64)
+          var y = 0
+          while (y < 64) {
+            var x = 0
+            while (x < 64) {
+              val block = (y / 8) * 8 + (x / 8)
+              val v: Byte = if (block < k) -1 /* 0xff */ else 0
+              val i = 3 * (y * 64 + x)
+              rgb(i) = v; rgb(i + 1) = v; rgb(i + 2) = v
+              x += 1
+            }
+            y += 1
+          }
+          Codecs.encodeJpeg(64, 64, rgb)
+        }
+        Row.fromSeq(row.toSeq :+
+          Mp4.buildMjpeg(90000L, 3000L, 64, 64, frames))
+      }
+    }
+  }
+
   /** Deterministic PCM16 mono WAV test-tone builder — the audio twin
     * of [[bmpPatternColumn]] (bytes BUILT from row parameters, decoded
     * by the REAL RIFF parser, oracle recomputes from the formulas).

@@ -75,7 +75,13 @@ object ScaleProbe {
     "q_shard_rendezvous" -> 10, "q_sample_rho" -> 10,
     "q_text_bpediff" -> 10, "q_pipeline_attrition" -> 10,
     "q_multimodal_audioquality" -> 10, "q_dedup_threshold_sweep" -> 10,
-    "q_sample_quota" -> 10)
+    "q_sample_quota" -> 10,
+    // round-10 additions: the 5 heavy post-quiesce-r9 ops (verdict
+    // ask #1) + MJPEG frame decode (linear real-decode cost: the
+    // honest expectation is ratio ≈ input factor, not sub-linear)
+    "q_embed_kcore" -> 4, "q_multimodal_pairdedup" -> 10,
+    "q_pipeline_attrition" -> 10,
+    "q_multimodal_framedecode" -> 10)
 
   def main(args: Array[String]): Unit = {
     val sfSmall = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -68,6 +68,65 @@ class FrameDecoderSpec extends AnyFunSuite {
     } finally FrameDecoder.unregister("fake264")
   }
 
+  test("MJPEG is a BUILT-IN real decoder: codec 'jpeg' routes to it " +
+    "out of the box, frames decode to pattern-predicted aHashes, and " +
+    "unregistering falls back to the stub (the round-9 seam promise)") {
+    val s = spark
+    import s.implicits._
+    // frame f of row r: first k blocks white -> aHash = 2^k - 1
+    val ks = Seq((1L, 9, 20, 33), (2L, 39, 8, 12))
+    val df = Multimodal.mjpegPatternColumn(
+      ks.toDF("id", "k0", "k1", "k2"), Seq("k0", "k1", "k2"))
+    val got = Multimodal.decodeColumn(df, "media", "jpeg", featDim = 4)
+      .select("id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    ks.foreach { case (id, k0, k1, k2) =>
+      val want = Seq(k0, k1, k2).map(k => ((1L << k) - 1).toDouble) :+
+        -1.0 // featDim 4 > 3 frames: sentinel slot
+      assert(got(id) == want, s"id=$id got=${got(id)}")
+    }
+    // the seam still routes: unregister -> stub arithmetic on the
+    // SAME bytes; re-register -> real frames again
+    val raw = df.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("media")).toMap
+    FrameDecoder.unregister("jpeg")
+    try {
+      val stubbed = Multimodal.decodeColumn(df, "media", "jpeg",
+          featDim = 4)
+        .select("id", "features").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      assert(stubbed(1L) == stubFeats(raw(1L), 4))
+    } finally FrameDecoder.register(FrameDecoder.Mjpeg)
+    val back = Multimodal.decodeColumn(df, "media", "jpeg", featDim = 1)
+      .select("id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(back(2L) == Seq(((1L << 39) - 1).toDouble))
+  }
+
+  test("Mp4.samples expands stsz/stsc/stco exactly (round-trips the " +
+    "MJPEG writer) and is None on metadata-only or non-MP4 bytes") {
+    val frames = Seq(Array.tabulate[Byte](100)(_.toByte),
+      Array.tabulate[Byte](57)(i => (i * 3).toByte),
+      Array.tabulate[Byte](212)(i => (i * 7).toByte))
+    val b = Mp4.buildMjpeg(90000L, 3000L, 64, 64, frames)
+    val ss = Mp4.samples(b).get
+    assert(ss.map(_._2) == Vector(100L, 57L, 212L))
+    ss.zip(frames).foreach { case ((off, len), f) =>
+      assert(java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(b, off.toInt, (off + len).toInt), f))
+    }
+    // offsets are contiguous within the single chunk
+    assert(ss(1)._1 == ss(0)._1 + 100 && ss(2)._1 == ss(1)._1 + 57)
+    // the metadata parser agrees the track is a 'jpeg' video track
+    val meta = Mp4.parseMeta(b).get
+    assert(meta.tracks.exists(t => t.codec == "jpeg"))
+    // no sample table -> None; garbage -> None
+    assert(Mp4.samples(Mp4.buildMinimal(1000, 5000, 64, 48, "avc1",
+      "vide", 100)).isEmpty)
+    assert(Mp4.samples(Array.tabulate[Byte](64)(_.toByte)).isEmpty)
+    assert(Mp4.samples(null).isEmpty)
+  }
+
   test("undecodable payload (decoder returns null) lands as a null " +
     "features entry, not a task failure") {
     val s = spark
