@@ -81,7 +81,10 @@ object BlocklistFns {
           queue += s
           var f = failArr(r)
           while (f != 0 && !gotoMaps(f).contains(c)) f = failArr(f)
-          failArr(s) = if (f != r) gotoMaps(f).getOrElse(c, 0) else 0
+          // f walked failure links from failArr(r), whose depth is
+          // strictly below r's (fail links strictly decrease depth),
+          // so f can never be r or s — the lookup is safe as-is
+          failArr(s) = gotoMaps(f).getOrElse(c, 0)
           // append the fail state's outputs (shared suffix matches)
           var o = outHead(failArr(s))
           while (o >= 0) { addOut(s, outPat(o)); o = outNext(o) }

@@ -257,7 +257,8 @@ object GraphRank {
         .join(keep.withColumnRenamed("u", "v"), "v")
         .select("u", "v")
         .localCheckpoint()
-      val m = next.count()
+      val m = next.count() // barrier: next is materialized, so the
+      cur.unpersist()      // prior round's checkpoint can release
       converged = m == n
       cur = next
       n = m

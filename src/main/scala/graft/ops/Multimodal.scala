@@ -739,9 +739,17 @@ object Multimodal {
       it.grouped(blockSize).flatMap { rows =>
         val payloads = rows.iterator
           .map(_.getAs[Array[Byte]](idx)).toArray
-        val feats = decoder.decodeBatch(payloads, featDim)
+        // the trait doc says implementations never throw, but the
+        // null contract is enforced HERE so a misbehaving third-party
+        // decoder degrades its batch to null features instead of
+        // killing the task (and a decoder returning the wrong arity
+        // degrades the same way rather than misaligning rows)
+        val feats = try {
+          val f = decoder.decodeBatch(payloads, featDim)
+          if (f == null || f.length != payloads.length) null else f
+        } catch { case _: Exception => null }
         rows.iterator.zipWithIndex.map { case (row, i) =>
-          val f = feats(i)
+          val f = if (feats == null) null else feats(i)
           Row.fromSeq(row.toSeq :+
             (if (f == null) null else (f.toSeq: Seq[Double])))
         }

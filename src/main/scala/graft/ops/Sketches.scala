@@ -456,16 +456,20 @@ object Sketches {
     * O(k)-state [[TopK.topK]] aggregate per group (map-side partial,
     * no sort); all pair math runs on the groups×k signature table,
     * model-sized by definition. */
-  def bottomKOverlap(df: DataFrame, group: Column, key: Column,
-                     k: Int): DataFrame = {
-    require(k >= 1)
+  /** Shared sketch construction for [[bottomKOverlap]]/[[kmvSetOps]]:
+    * distinct (group, hash) grain → per-group O(k)-state bottom-k
+    * signature ([[TopK.topK]] on −h; the (score desc, id asc)
+    * tie-break on the untruncated long restores exact h order where
+    * the double mantissa collides) → unordered group pairs → merged
+    * per-pair sketch truncated to the k smallest, ia/ib marking side
+    * membership. Returns (distinct grain, merged sketch rows,
+    * per-group distinct counts). */
+  private def bottomKMerged(df: DataFrame, group: Column, key: Column,
+                            k: Int): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val dh = df.select(group.as("__g"), key.cast("long").as("__h"))
       .distinct()
     val cnts = dh.groupBy("__g").agg(count(lit(1)).as("n_h"))
-    // score = -h as double is monotone in h; the (score desc, id asc)
-    // tie-break on the untruncated long id restores exact h order
-    // where the double mantissa collides
     val bk = dh.groupBy("__g")
       .agg(TopK.topK((-col("__h")).cast("double"), col("__h"), k)
         .as("__tk"))
@@ -484,8 +488,16 @@ object Sketches {
     val u = pa.unionByName(pb).groupBy("ga", "gb", "__h")
       .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
     val w = Window.partitionBy("ga", "gb").orderBy("__h")
-    u.withColumn("__rn", row_number().over(w))
+    val merged = u.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= k)
+    (dh, merged, cnts)
+  }
+
+  def bottomKOverlap(df: DataFrame, group: Column, key: Column,
+                     k: Int): DataFrame = {
+    require(k >= 1)
+    val (_, merged, cnts) = bottomKMerged(df, group, key, k)
+    merged
       .groupBy("ga", "gb")
       .agg(count(lit(1)).as("k_used"),
         sum(when(col("ia") === 1 && col("ib") === 1, 1L)
@@ -525,30 +537,8 @@ object Sketches {
   def kmvSetOps(df: DataFrame, group: Column, key: Column,
                 k: Int): DataFrame = {
     require(k >= 2)
-    import org.apache.spark.sql.expressions.Window
-    val dh = df.select(group.as("__g"), key.cast("long").as("__h"))
-      .distinct()
-    val cnts = dh.groupBy("__g").agg(count(lit(1)).as("n_h"))
-    val bk = dh.groupBy("__g")
-      .agg(TopK.topK((-col("__h")).cast("double"), col("__h"), k)
-        .as("__tk"))
-      .select(col("__g"), explode(col("__tk")).as("__e"))
-      .select(col("__g"), col("__e.id").as("__h"))
-    val srcs = cnts.select("__g")
-    val pairs = srcs.select(col("__g").as("ga"))
-      .crossJoin(srcs.select(col("__g").as("gb")))
-      .where(col("ga") < col("gb"))
-    val pa = pairs.join(bk.withColumnRenamed("__g", "ga"), Seq("ga"))
-      .select(col("ga"), col("gb"), col("__h"),
-        lit(1).as("ia"), lit(0).as("ib"))
-    val pb = pairs.join(bk.withColumnRenamed("__g", "gb"), Seq("gb"))
-      .select(col("ga"), col("gb"), col("__h"),
-        lit(0).as("ia"), lit(1).as("ib"))
-    val u = pa.unionByName(pb).groupBy("ga", "gb", "__h")
-      .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
-    val w = Window.partitionBy("ga", "gb").orderBy("__h")
-    val est = u.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= k)
+    val (dh, merged, cnts) = bottomKMerged(df, group, key, k)
+    val est = merged
       .groupBy("ga", "gb")
       .agg(count(lit(1)).as("k_used"),
         max(col("__h")).as("h_k"),

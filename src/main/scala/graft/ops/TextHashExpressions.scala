@@ -466,7 +466,18 @@ object TextHashFns {
     * 1). One JVM pass per row; the composable Column form walks
     * Catalyst's interpreted lambda per WORD (measured ~4× slower at
     * sf0.1 on q_pack_bpe). `pats`/`reps` are the pre-rendered
-    * ␟a␟b␟ → ␟ab␟ pairs, applied strictly in merge order. */
+    * ␟a␟b␟ → ␟ab␟ pairs, applied strictly in merge order.
+    *
+    * DOCUMENTED DEVIATION from canonical leftmost-greedy BPE apply:
+    * two non-overlapping replace passes resolve any run of ≤ 4
+    * consecutive overlapping occurrences, but a 3+-run like merge
+    * (a,a) on "a a a a a a" segments aa|a|aa|a here vs aa|aa|aa
+    * greedy. Both engines AND the DuckDB oracle share these replace
+    * semantics (that is the point — `String.replace` == Spark
+    * `replace` == DuckDB `replace`, so parity is exact), but piece
+    * counts can differ from a real tokenizer's on such runs; iterate
+    * the replace to fixpoint on all three sides if canonical greedy
+    * semantics are ever needed. */
   def bpePieceCount(text: UTF8String, pats: Array[String],
                     reps: Array[String]): Long = {
     val words = text.toString.split(" ", -1)
