@@ -267,4 +267,55 @@ object GraphRank {
     cur.groupBy("u").agg(count(lit(1)).as("deg"))
       .withColumnRenamed("u", "node")
   }
+
+  /** Converged k-core SNAPSHOT of a base graph — the persisted table
+    * a steady-state pipeline serves incremental arrivals against
+    * (see [[graft.streaming.StreamingOps.kCoreStalenessStream]]):
+    * every base node with its full undirected degree, whether it
+    * survived the k-core peel, and its surviving-subgraph degree.
+    * One [[kCore]] run + one degree aggregate. */
+  def coreSnapshot(edges: DataFrame, srcCol: String, dstCol: String,
+                   k: Int, maxRounds: Int = 12): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .union(edges.select(col(dstCol).cast("long").as("u"),
+        col(srcCol).cast("long").as("v")))
+      .where(col("u") =!= col("v")).distinct()
+    val baseDeg = sym.groupBy("u").agg(count(lit(1)).as("base_deg"))
+      .withColumnRenamed("u", "node")
+    val core = kCore(edges, srcCol, dstCol, k, maxRounds)
+    baseDeg.join(core, Seq("node"), "left")
+      .select(col("node"), col("base_deg"),
+        col("deg").isNotNull.as("in_core"),
+        coalesce(col("deg"), lit(0L)).as("core_deg"))
+  }
+
+  /** Batch form of the incremental k-core staleness check — "does
+    * this arrival batch change any node's core-ness materially":
+    * per node touched by a NEW edge, the cumulative arrival count
+    * against the persisted [[coreSnapshot]], and a `stale` flag for
+    * nodes that now NEED a recompute. Edges only arrive (append
+    * stream), so core membership can only GROW; the sound trigger is
+    * the degree upper bound: a non-core node whose full degree
+    * (base + arrivals) reaches k could enter the core — no false
+    * negatives (entering requires full degree ≥ k), and core nodes
+    * are never stale. The q_dedup_incremental discipline: the
+    * archive/snapshot is never re-joined against itself, only the
+    * batch grain touches it. Arrival edges are counted as given —
+    * dedup against the base is the ingest layer's contract. */
+  def kCoreStaleness(snapshot: DataFrame, newEdges: DataFrame,
+                     srcCol: String, dstCol: String, k: Int): DataFrame = {
+    val ends = newEdges.select(col(srcCol).cast("long").as("node"))
+      .unionByName(newEdges.select(col(dstCol).cast("long").as("node")))
+    val arrivals = ends.groupBy("node").agg(count(lit(1)).as("arrivals"))
+    arrivals.join(snapshot, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("in_core"), lit(false)).as("in_core"),
+        coalesce(col("core_deg"), lit(0L)).as("core_deg"),
+        coalesce(col("base_deg"), lit(0L)).as("base_deg"),
+        col("arrivals"))
+      .withColumn("stale", !col("in_core") &&
+        col("base_deg") + col("arrivals") >= k)
+  }
 }

@@ -985,6 +985,58 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(Seq("mkey"))
   }
 
+  final case class CoreStale(node: Long, in_core: Boolean,
+                             core_deg: Long, base_deg: Long,
+                             arrivals: Long, stale: Boolean)
+
+  /** Incremental k-core staleness — the streaming twin of
+    * [[graft.ops.GraphRank.kCoreStaleness]] (the
+    * q_dedup_incremental_clusters discipline applied to the graph
+    * family, round-9 verdict ask #7): the converged
+    * [[graft.ops.GraphRank.coreSnapshot]] is the persisted STATIC
+    * side; arriving edge batches stream-static-join it (the snapshot
+    * is never re-joined against itself), and per-node cumulative
+    * arrival counters live in keyed state (sharded by node id —
+    * bounded by touched-node cardinality, never stream length). A
+    * node goes `stale` when its degree upper bound (base + arrivals)
+    * reaches k while it is outside the core — edges only arrive, so
+    * core membership only grows and this trigger has no false
+    * negatives. Each trigger emits the touched nodes' updated rows;
+    * `arrivals` is monotone, so the max-arrivals row per node is the
+    * final state and equals the batch form on the full arrival set
+    * row for row (StreamingSpec pins it under a 3-way batch split). */
+  def kCoreStalenessStream(newEdges: DataFrame, snapshot: DataFrame,
+                           srcCol: String, dstCol: String, k: Int)
+      : Dataset[CoreStale] = {
+    import newEdges.sparkSession.implicits._
+    val ends = newEdges.select(col(srcCol).cast("long").as("node"))
+      .unionByName(newEdges.select(col(dstCol).cast("long").as("node")))
+    val snap = snapshot.select(col("node").cast("long").as("node"),
+      col("in_core"), col("core_deg").cast("long").as("core_deg"),
+      col("base_deg").cast("long").as("base_deg"))
+    val joined = ends.join(snap, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("in_core"), lit(false)).as("in_core"),
+        coalesce(col("core_deg"), lit(0L)).as("core_deg"),
+        coalesce(col("base_deg"), lit(0L)).as("base_deg"))
+      .as[(Long, Boolean, Long, Long)]
+    joined.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (node: Long, rows: Iterator[(Long, Boolean, Long, Long)],
+         state: GroupState[Long]) =>
+          var arr = state.getOption.getOrElse(0L)
+          var inCore = false
+          var coreDeg = 0L
+          var baseDeg = 0L
+          rows.foreach { r =>
+            inCore = r._2; coreDeg = r._3; baseDeg = r._4; arr += 1
+          }
+          state.update(arr)
+          CoreStale(node, inCore, coreDeg, baseDeg, arr,
+            !inCore && baseDeg + arr >= k)
+      }
+  }
+
   def runToMemorySink(out: DataFrame, name: String,
                       outputMode: OutputMode = OutputMode.Append()): String = {
     val q = out.writeStream.outputMode(outputMode)

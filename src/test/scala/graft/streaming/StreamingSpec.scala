@@ -1414,4 +1414,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty,
       s"stateless maps differ: ${got.size} vs ${want.size}")
   }
+
+  test("incremental k-core staleness: arrivals streamed against the " +
+    "persisted core snapshot match the batch form row for row, and " +
+    "the stale flag fires exactly when the degree bound reaches k") {
+    import graft.ops.GraphRank
+    val s = spark
+    import s.implicits._
+    val k = 3
+    // base graph: a 6-clique (its 3-core) + a path 10-11-12 (peeled)
+    val clique = for (a <- 0 to 5; b <- 0 to 5 if a < b)
+      yield (a.toLong, b.toLong)
+    val base = (clique ++ Seq((10L, 11L), (11L, 12L)))
+      .toDF("src", "dst")
+    val snapshot = GraphRank.coreSnapshot(base, "src", "dst", k)
+      .persist() // the static side a steady-state pipeline serves
+    val snap = snapshot.collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(2), r.getLong(1))).toMap
+    assert(snap(0L)._1 && !snap(10L)._1 && snap(10L)._2 == 1L)
+    // arrivals across 3 micro-batches: node 10 (base_deg 1) gains 3
+    // edges -> stale from arrival 2 on; node 20 (unseen) gains 3 ->
+    // stale at 3; core node 0 gains 1 -> never stale
+    val batches = Seq(
+      Seq((10L, 20L), (0L, 30L)),
+      Seq((10L, 21L), (20L, 21L)),
+      Seq((10L, 22L), (20L, 22L)))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("kcore_stream").toFile
+    tmp.deleteOnExit()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val p = new java.io.File(tmp, s"slice$i")
+      b.toDF("src", "dst").coalesce(1).write.parquet(p.toString)
+      p.listFiles().foreach(f =>
+        f.setLastModified(1700000000000L + i * 60000L))
+    }
+    val stream = spark.readStream
+      .schema(batches.head.toDF("src", "dst").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/*")
+    val out = StreamingOps.kCoreStalenessStream(stream, snapshot,
+      "src", "dst", k).toDF()
+    StreamingOps.runToMemorySink(out, "kcore_stream",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    // arrivals is monotone: the max-arrivals row per node IS the
+    // final state, independent of sink row order
+    val got = spark.table("kcore_stream").collect()
+      .map(r => (r.getLong(0), (r.getBoolean(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .groupBy(_._1).map { case (n, rs) => n -> rs.map(_._2).maxBy(_._4) }
+    val want = GraphRank.kCoreStaleness(snapshot,
+        batches.flatten.toDF("src", "dst"), "src", "dst", k)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(got == want && got.nonEmpty,
+      s"stream != batch: $got vs $want")
+    // the staleness semantics themselves
+    assert(got(10L)._5, "peeled node with bound >= k must be stale")
+    assert(got(20L)._5, "new node reaching k arrivals must be stale")
+    assert(!got(0L)._5 && got(0L)._1, "core nodes are never stale")
+    assert(!got(30L)._5 && got(30L)._4 == 1L)
+    // mid-stream trigger point: node 10 emitted a non-stale row at
+    // arrival 1 (1 + 1 < 3) and a stale row by arrival 2
+    val n10 = spark.table("kcore_stream").collect()
+      .filter(_.getLong(0) == 10L)
+      .map(r => r.getLong(4) -> r.getBoolean(5)).toMap
+    assert(n10(1L) == false && n10(2L) == true && n10(3L) == true)
+    snapshot.unpersist()
+  }
 }
