@@ -8618,6 +8618,262 @@ object PipelineQueries {
         "FROM a ORDER BY source"
     })
 
+  /** Bitext-mining margin threshold / neighborhood size / fixed-point
+    * scale (declared before first oracle use). */
+  private val BitextK = 3
+  private val BitextTau = 1.02
+  private val BitextFx = 1048576.0 // 2^20
+
+  /** Margin-based bitext candidate mining ([[Similarity.bitextMine]],
+    * Artetxe & Schwenk 2019 — the LASER/CCMatrix parallel-corpus
+    * recipe): label halves stand in for the two languages, each
+    * side-0 vector is paired with its best cross-side LSH-bucket
+    * neighbor, and the pair is scored by the ratio margin
+    * cos/((avgK_a+avgK_b)/2) — the hubness correction a plain cosine
+    * threshold lacks. Margins quantize via the guard-banded
+    * floor(m·2²⁰ + 0.5) before summing (the MiFx discipline); the
+    * k-neighbor averages fold in TopK's fixed (cos desc, id asc)
+    * order, mirrored by ordered-list sums in the oracle, so margins
+    * are bit-exact cross-engine. Bucketed, never all-pairs; both
+    * averages are O(k)-state aggregates — no data-grain window. */
+  private val embedBitext = Q("q_embed_bitext",
+    (s, d) => {
+      val e = embs(s, d).withColumn("side",
+        when(col("label") < 5, 0).otherwise(1))
+      val mined = Similarity.bitextMine(e, "vec_id", "embedding",
+        "side", BitextK)
+      val la = embs(s, d).select(col("vec_id").as("id_a"),
+        col("label").as("label_a"))
+      mined.join(la, "id_a")
+        .select(col("label_a"),
+          floor(col("margin") * lit(BitextFx) + lit(0.5)).cast("long")
+            .as("mfp"),
+          (col("margin") > lit(BitextTau)).as("is_mined"),
+          col("id_a"), col("id_b"))
+        .groupBy("label_a")
+        .agg(count(lit(1)).as("n_cand"),
+          sum(when(col("is_mined"), 1L).otherwise(0L)).as("n_mined"),
+          round(sum(col("mfp")).cast("double") / lit(BitextFx), 5)
+            .as("margin_sum"),
+          sum(when(col("is_mined"), col("id_a") + col("id_b"))
+            .otherwise(0L)).as("mined_ids"))
+        .orderBy("label_a")
+    },
+    "WITH e AS (SELECT vec_id, label, " +
+      "CASE WHEN label < 5 THEN 0 ELSE 1 END AS side, " +
+      "embedding AS emb, " +
+      s"(${bucketSql(8)}) AS bucket, " +
+      s"sqrt(${dotSql("embedding", "embedding")}) AS nrm " +
+      "FROM embeddings), " +
+      "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+      s"${dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm) AS cos " +
+      "FROM e a JOIN e b ON a.bucket = b.bucket " +
+      "AND a.side = 0 AND b.side = 1), " +
+      // ordered-list sums replicate TopK's fold order exactly
+      s"aa AS (SELECT id_a, list_sum(" +
+      s"list(cos ORDER BY cos DESC, id_b ASC)[1:$BitextK]) / " +
+      s"least(count(*), $BitextK) AS avg_a FROM p GROUP BY id_a), " +
+      s"bb AS (SELECT id_b, list_sum(" +
+      s"list(cos ORDER BY cos DESC, id_a ASC)[1:$BitextK]) / " +
+      s"least(count(*), $BitextK) AS avg_b FROM p GROUP BY id_b), " +
+      "rb AS (SELECT id_a, id_b, cos FROM (SELECT id_a, id_b, cos, " +
+      "row_number() OVER (PARTITION BY id_a " +
+      "ORDER BY cos DESC, id_b ASC) AS rn FROM p) WHERE rn = 1), " +
+      "m AS (SELECT rb.id_a, rb.id_b, " +
+      "rb.cos / ((aa.avg_a + bb.avg_b) / 2.0) AS margin " +
+      "FROM rb JOIN aa USING (id_a) JOIN bb USING (id_b)), " +
+      "f AS (SELECT em.label AS label_a, m.id_a, m.id_b, " +
+      s"CAST(floor(m.margin * $BitextFx + 0.5) AS BIGINT) AS mfp, " +
+      s"m.margin > $BitextTau AS is_mined " +
+      "FROM m JOIN embeddings em ON m.id_a = em.vec_id) " +
+      "SELECT label_a, count(*) AS n_cand, " +
+      "CAST(sum(CASE WHEN is_mined THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_mined, " +
+      s"round(CAST(sum(mfp) AS DOUBLE) / $BitextFx, 5) AS margin_sum, " +
+      "CAST(sum(CASE WHEN is_mined THEN id_a + id_b ELSE 0 END) " +
+      "AS BIGINT) AS mined_ids " +
+      "FROM f GROUP BY label_a ORDER BY label_a")
+
+  /** k-anonymity suppression accounting (governance: can this corpus
+    * slice be released keyed by quasi-identifiers?): docs group by
+    * the quasi-identifier (lang, source, length-bucket); groups
+    * smaller than K would re-identify and are SUPPRESSED; one
+    * generalization step (coarsen the length bucket 4×) rescues the
+    * suppressed docs whose coarsened group reaches K — the standard
+    * generalize-then-suppress ladder, here as pure aggregates. Scale
+    * shape: two hash aggregates on the quasi grain + one semi-join
+    * back; integers end to end. */
+  private val KanonK = 5
+  private val pipelineKanon = Q("q_pipeline_kanon",
+    (s, d) => {
+      val q0 = docs(s, d).select(col("doc_id"), col("source"),
+        col("lang"), (col("n_chars").cast("long") / lit(128L))
+          .cast("long").as("lb"))
+      val g = q0.groupBy("source", "lang", "lb")
+        .agg(count(lit(1)).as("cnt"))
+      val withG = q0.join(g, Seq("source", "lang", "lb"))
+      val supp = withG.where(col("cnt") < KanonK)
+        .withColumn("lb2", (col("lb") / lit(4L)).cast("long"))
+      val g2 = supp.groupBy("source", "lang", "lb2")
+        .agg(count(lit(1)).as("cnt2"))
+      val supp2 = supp.join(g2, Seq("source", "lang", "lb2"))
+      val perSrcGroups = g.groupBy("source")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("cnt") < KanonK, 1L).otherwise(0L))
+            .as("n_small_groups"))
+      val perSrcDocs = withG.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("cnt") < KanonK, 1L).otherwise(0L))
+            .as("n_suppressed"))
+      val perSrcResc = supp2.groupBy("source")
+        .agg(sum(when(col("cnt2") >= KanonK, 1L).otherwise(0L))
+            .as("n_rescued"),
+          sum(when(col("cnt2") < KanonK, col("doc_id")).otherwise(0L))
+            .as("lost_ids"))
+      perSrcGroups.join(perSrcDocs, "source")
+        .join(perSrcResc, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_groups"),
+          col("n_small_groups"), col("n_suppressed"),
+          coalesce(col("n_rescued"), lit(0L)).as("n_rescued"),
+          coalesce(col("lost_ids"), lit(0L)).as("lost_ids"))
+        .orderBy("source")
+    },
+    "WITH q0 AS (SELECT doc_id, source, lang, " +
+      "n_chars // 128 AS lb FROM documents), " +
+      "g AS (SELECT source, lang, lb, count(*) AS cnt FROM q0 " +
+      "GROUP BY 1, 2, 3), " +
+      "wg AS (SELECT q0.*, g.cnt FROM q0 JOIN g " +
+      "USING (source, lang, lb)), " +
+      s"supp AS (SELECT *, lb // 4 AS lb2 FROM wg WHERE cnt < $KanonK), " +
+      "g2 AS (SELECT source, lang, lb2, count(*) AS cnt2 FROM supp " +
+      "GROUP BY 1, 2, 3), " +
+      "s2 AS (SELECT supp.*, g2.cnt2 FROM supp JOIN g2 " +
+      "USING (source, lang, lb2)), " +
+      "pg AS (SELECT source, count(*) AS n_groups, " +
+      s"CAST(sum(CASE WHEN cnt < $KanonK THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_small_groups FROM g GROUP BY source), " +
+      "pd AS (SELECT source, count(*) AS n_docs, " +
+      s"CAST(sum(CASE WHEN cnt < $KanonK THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_suppressed FROM wg GROUP BY source), " +
+      "pr AS (SELECT source, " +
+      s"CAST(sum(CASE WHEN cnt2 >= $KanonK THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_rescued, " +
+      s"CAST(sum(CASE WHEN cnt2 < $KanonK THEN doc_id ELSE 0 END) " +
+      "AS BIGINT) AS lost_ids FROM s2 GROUP BY source) " +
+      "SELECT pg.source AS source, pd.n_docs, pg.n_groups, " +
+      "pg.n_small_groups, pd.n_suppressed, " +
+      "CAST(coalesce(pr.n_rescued, 0) AS BIGINT) AS n_rescued, " +
+      "CAST(coalesce(pr.lost_ids, 0) AS BIGINT) AS lost_ids " +
+      "FROM pg JOIN pd USING (source) LEFT JOIN pr USING (source) " +
+      "ORDER BY source")
+
+  /** Difficulty-curriculum training order: docs bin by an integer
+    * difficulty proxy (length quartile — short = easy), shard by the
+    * salted epoch-shuffle hash, and order (bin asc, hash, id) WITHIN
+    * each shard — easy-first curriculum with hash-decorrelated order
+    * inside each difficulty band, parallel across shards (the
+    * q_sample_shuffle scale shape; the per-shard window is the
+    * packing argument: a training ORDER is sequential per shard by
+    * definition). The (pos, id) checksum pins every doc's exact
+    * position; Σ pos·bin is the monotonicity witness (minimal ⇔
+    * easy-first). */
+  private val CurrShards = 4
+  private val sampleCurriculum = Q("q_sample_curriculum",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val q0 = docs(s, d).select(col("doc_id"),
+        least(col("n_chars").cast("long") / lit(256L), lit(3L))
+          .cast("long").as("bin"),
+        pmod(TextAnalysis.tokenHash(
+          concat(col("doc_id").cast("string"), lit("#cur#0"))),
+          lit(CurrShards.toLong)).as("shard"),
+        TextAnalysis.tokenHash(
+          concat(col("doc_id").cast("string"), lit("#crd#0"))).as("okey"))
+      val w = Window.partitionBy("shard")
+        .orderBy(col("bin").asc, col("okey").asc, col("doc_id").asc)
+      q0.withColumn("pos", row_number().over(w).cast("long") - 1)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("bin")).as("bin_sum"),
+          sum(col("pos") * col("bin")).as("pos_bin_sum"),
+          sum((col("pos") % AssignMod * 31 + col("doc_id") % AssignMod)
+            % AssignMod).as("order_sum"))
+        .orderBy("shard")
+    },
+    "WITH q0 AS (SELECT doc_id, " +
+      "least(n_chars // 256, 3) AS bin, " +
+      s"${TextAnalysis.TokenHashSql(
+        "CAST(doc_id AS VARCHAR) || '#cur#0'")} % $CurrShards AS shard, " +
+      s"${TextAnalysis.TokenHashSql(
+        "CAST(doc_id AS VARCHAR) || '#crd#0'")} AS okey " +
+      "FROM documents), " +
+      "r AS (SELECT shard, bin, doc_id, row_number() OVER (" +
+      "PARTITION BY shard ORDER BY bin ASC, okey ASC, doc_id ASC) - 1 " +
+      "AS pos FROM q0) " +
+      "SELECT shard, count(*) AS n_docs, " +
+      "CAST(sum(bin) AS BIGINT) AS bin_sum, " +
+      "CAST(sum(pos * bin) AS BIGINT) AS pos_bin_sum, " +
+      s"CAST(sum((pos % $AssignMod * 31 + doc_id % $AssignMod) " +
+      s"% $AssignMod) AS BIGINT) AS order_sum " +
+      "FROM r GROUP BY shard ORDER BY shard")
+
+  /** Clip-level video dedup through REAL frame decode — the
+    * q_multimodal_imagededup discipline one level up the media
+    * stack: parameter-built MJPEG clips (seed mod 25 plants identical
+    * clips within and across sources) → [[Multimodal.decodeColumn]]
+    * through the built-in MJPEG decoder (sample walk → JPEG decode →
+    * per-frame aHash) → clip signature = weighted frame-hash fold →
+    * exact-group dedup stats. The oracle recomputes each frame hash
+    * from the block formula (2^k − 1), so the dedup groups only
+    * match if every frame of every clip decoded correctly. Bytes
+    * never shuffle; only (source, sig) reaches the aggregates. */
+  private val multimodalVideoDedup = Q("q_multimodal_videodedup",
+    (s, d) => {
+      val params = docs(s, d).select(col("doc_id"), col("source"),
+          pmod(col("doc_id"), lit(25L)).cast("int").as("seed"))
+        .withColumn("k0",
+          (pmod(col("seed") * 7 + 5, lit(32)) + 8).cast("int"))
+        .withColumn("k1",
+          (pmod(col("seed") * 11 + 2, lit(32)) + 8).cast("int"))
+        .withColumn("k2",
+          (pmod(col("seed") * 3 + 17, lit(32)) + 8).cast("int"))
+      val built = Multimodal.mjpegPatternColumn(params,
+        Seq("k0", "k1", "k2"))
+      val sig = Multimodal.decodeColumn(built, "media", "jpeg",
+          featDim = 3)
+        .select(col("source"),
+          pmod(element_at(col("features"), 1).cast("long") * 31 +
+            element_at(col("features"), 2).cast("long") * 17 +
+            element_at(col("features"), 3).cast("long") * 13,
+            lit(DigestMod)).as("sig"))
+      val global = sig.agg(countDistinct(col("sig")).as("n_groups"),
+        (count(lit(1)) - countDistinct(col("sig"))).as("n_redundant"))
+      sig.groupBy("source")
+        .agg(count(lit(1)).as("n_clips"),
+          countDistinct(col("sig")).as("n_distinct"),
+          sum(col("sig")).as("sig_sum"))
+        .crossJoin(global)
+        .orderBy("source")
+    },
+    "WITH p AS (SELECT doc_id, source, " +
+      "CAST(doc_id % 25 AS INT) AS seed FROM documents), " +
+      "k AS (SELECT source, " +
+      "(seed*7 + 5) % 32 + 8 AS k0, " +
+      "(seed*11 + 2) % 32 + 8 AS k1, " +
+      "(seed*3 + 17) % 32 + 8 AS k2 FROM p), " +
+      "sg AS (SELECT source, " +
+      "(((CAST(1 AS BIGINT) << k0) - 1) * 31 + " +
+      "((CAST(1 AS BIGINT) << k1) - 1) * 17 + " +
+      s"((CAST(1 AS BIGINT) << k2) - 1) * 13) % $DigestMod AS sig " +
+      "FROM k), " +
+      "g AS (SELECT count(DISTINCT sig) AS n_groups, " +
+      "count(*) - count(DISTINCT sig) AS n_redundant FROM sg) " +
+      "SELECT source, count(*) AS n_clips, " +
+      "count(DISTINCT sig) AS n_distinct, " +
+      "CAST(sum(sig) AS BIGINT) AS sig_sum, " +
+      "max(g.n_groups) AS n_groups, max(g.n_redundant) AS n_redundant " +
+      "FROM sg CROSS JOIN g GROUP BY source ORDER BY source")
+
   // ---------------------------------------------------------------- export
 
   val all: Vector[Q] = Vector(
@@ -8664,5 +8920,6 @@ object PipelineQueries {
     multimodalAudioDedup, textCodeswitch, multimodalPairDedup,
     shardRendezvous, sampleRho, textBpeDiff, pipelineAttrition,
     multimodalAudioQuality, dedupThresholdSweep, sampleQuota,
-    embedKCore, multimodalFrameDecode)
+    embedKCore, multimodalFrameDecode, embedBitext, pipelineKanon,
+    sampleCurriculum, multimodalVideoDedup)
 }

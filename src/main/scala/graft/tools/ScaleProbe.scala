@@ -81,7 +81,9 @@ object ScaleProbe {
     // honest expectation is ratio ≈ input factor, not sub-linear)
     "q_embed_kcore" -> 4, "q_multimodal_pairdedup" -> 10,
     "q_pipeline_attrition" -> 10,
-    "q_multimodal_framedecode" -> 10)
+    "q_multimodal_framedecode" -> 10,
+    "q_embed_bitext" -> 4, "q_pipeline_kanon" -> 10,
+    "q_sample_curriculum" -> 10, "q_multimodal_videodedup" -> 10)
 
   def main(args: Array[String]): Unit = {
     val sfSmall = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -118,4 +118,48 @@ class SimilarityEdgeSpec extends AnyFunSuite {
     }
     assert(both.count(_.isNullAt(1)) == 1)
   }
+
+  test("bitextMine: the ratio margin suppresses hubs (a vector close " +
+    "to EVERYTHING margins ~1; a genuinely aligned pair margins high) " +
+    "and the mining is deterministic") {
+    val s = spark
+    import s.implicits._
+    // 64-d crowd sharing a dominant lean direction (dim 0, weight 3 —
+    // so every sign-hyperplane bucket agrees and the bucket join sees
+    // all cross pairs): x0 (side 0) is EXACTLY y0 (side 1) — a true
+    // translation pair; x1..x3 only ever match at crowd similarity.
+    // The ratio margin separates them: the aligned pair scores
+    // 1/avgK > 1, the crowd pairs score cos below their own kNN
+    // average (< 1) — the hubness suppression a raw cosine threshold
+    // lacks (all the cosines here are a close .9 vs 1.0).
+    def unit(main: Int): Seq[Double] = {
+      val v = Array.fill(64)(0.0)
+      v(main) = 1.0
+      v(0) += 3.0
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n).toSeq
+    }
+    val rows = Seq(
+      (0L, unit(5), 0),
+      (1L, unit(1), 0), (2L, unit(2), 0), (3L, unit(3), 0),
+      (10L, unit(5), 1), // y0 == x0 exactly
+      (11L, unit(4), 1))
+      .toDF("vec_id", "embedding", "side")
+    val mined = Similarity.bitextMine(rows, "vec_id", "embedding",
+      "side", k = 2, nBits = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(5))).toMap
+    // the true pair: best match is the exact copy, margin 1/.95 ≈ 1.05
+    assert(mined(0L)._1 == 10L && mined(0L)._2 > 1.03, s"$mined")
+    // crowd vectors: cos .9 below their own kNN average -> margin < 1
+    Seq(1L, 2L, 3L).foreach { x =>
+      assert(mined(x)._2 < 1.0,
+        s"crowd pair must margin below 1: $mined")
+    }
+    val again = Similarity.bitextMine(rows, "vec_id", "embedding",
+      "side", k = 2, nBits = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(5))).toMap
+    assert(again == mined)
+  }
 }
