@@ -8874,6 +8874,115 @@ object PipelineQueries {
       "max(g.n_groups) AS n_groups, max(g.n_redundant) AS n_redundant " +
       "FROM sg CROSS JOIN g GROUP BY source ORDER BY source")
 
+  /** JSONL ingest — the LLM-corpus interchange format: documents
+    * rendered as JSON lines (with ~1% planted truncation-corrupted
+    * lines), parsed back field-by-field with corrupt lines surfacing
+    * as NULLs instead of task failures (Spark `get_json_object`
+    * returns null on malformed input; the oracle guards with
+    * `json_valid`). Grouping is on the EXTRACTED source — a parser
+    * that mis-reads any field (id, source, lang, text) moves rows
+    * between groups or breaks the digests. Map-only over the corpus;
+    * one aggregate. Fixture text is [a-z ]-only, so the in-plan JSON
+    * builder needs no escaping (asserted upstream of the fixtures). */
+  private val sourceJsonl = Q("q_source_jsonl",
+    (s, d) => {
+      val line = concat(lit("{\"id\": "), col("doc_id"),
+        lit(", \"src\": \""), col("source"),
+        lit("\", \"lang\": \""), col("lang"),
+        lit("\", \"text\": \""), col("text"), lit("\"}"))
+      val withLine = docs(s, d).select(
+        when(pmod(col("doc_id"), lit(97L)) === 0,
+          substring(line, 1, 10)).otherwise(line).as("line"))
+      val parsed = withLine.select(
+        get_json_object(col("line"), "$.id").cast("long").as("jid"),
+        get_json_object(col("line"), "$.src").as("jsrc"),
+        get_json_object(col("line"), "$.lang").as("jlang"),
+        get_json_object(col("line"), "$.text").as("jtext"))
+      val bad = parsed.agg(
+        sum(when(col("jsrc").isNull, 1L).otherwise(0L)).as("n_corrupt"))
+      parsed.where(col("jsrc").isNotNull)
+        .groupBy(col("jsrc").as("source"))
+        .agg(count(lit(1)).as("n_ok"),
+          sum(col("jid")).as("id_sum"),
+          countDistinct(col("jlang")).as("n_langs"),
+          sum(length(col("jtext")).cast("long")).as("chars"),
+          sum(TextAnalysis.tokenHash(col("jtext")) % lit(DigestMod))
+            .as("text_digest"))
+        .crossJoin(bad)
+        .orderBy("source")
+    },
+    "WITH l AS (SELECT CASE WHEN doc_id % 97 = 0 " +
+      "THEN substr(line, 1, 10) ELSE line END AS line FROM (" +
+      "SELECT doc_id, '{\"id\": ' || doc_id || ', \"src\": \"' || " +
+      "source || '\", \"lang\": \"' || lang || '\", \"text\": \"' || " +
+      "text || '\"}' AS line FROM documents)), " +
+      "p AS (SELECT CASE WHEN json_valid(line) THEN " +
+      "CAST(json_extract(line, '$.id') AS BIGINT) END AS jid, " +
+      "CASE WHEN json_valid(line) THEN " +
+      "json_extract_string(line, '$.src') END AS jsrc, " +
+      "CASE WHEN json_valid(line) THEN " +
+      "json_extract_string(line, '$.lang') END AS jlang, " +
+      "CASE WHEN json_valid(line) THEN " +
+      "json_extract_string(line, '$.text') END AS jtext FROM l), " +
+      "bad AS (SELECT CAST(sum(CASE WHEN jsrc IS NULL THEN 1 ELSE 0 " +
+      "END) AS BIGINT) AS n_corrupt FROM p) " +
+      "SELECT jsrc AS source, count(*) AS n_ok, " +
+      "CAST(sum(jid) AS BIGINT) AS id_sum, " +
+      "count(DISTINCT jlang) AS n_langs, " +
+      "CAST(sum(length(jtext)) AS BIGINT) AS chars, " +
+      s"CAST(sum(${TextAnalysis.TokenHashSql("jtext")} % $DigestMod) " +
+      "AS BIGINT) AS text_digest, bad.n_corrupt AS n_corrupt " +
+      "FROM p CROSS JOIN bad WHERE jsrc IS NOT NULL " +
+      "GROUP BY jsrc, bad.n_corrupt ORDER BY source")
+
+  /** Deterministic differentially-private-STYLE histogram release
+    * (governance, completing the kanon/forget family): per-(source,
+    * lang) doc counts with Laplace(1/ε) noise drawn by inverse CDF
+    * from the deterministic md5 hash draw — the release SHAPE of a
+    * DP count query (sensitivity-1 histogram, ε = 1), replayable
+    * cross-engine because the "randomness" is the portable hash. The
+    * ln is guard-band quantized (floor(x·2²⁰ + 0.5), the MiFx
+    * discipline) so noisy sums are exact integers. NOT a privacy
+    * mechanism (deterministic noise is not DP!) — the oracle-testable
+    * twin of one: swap the hash draw for a CSPRNG and the release
+    * math, sensitivity accounting, and plan shape stay. */
+  private val DpFx = 1048576.0 // 2^20
+  private val pipelineDpRelease = Q("q_pipeline_dprelease",
+    (s, d) => {
+      val cells = docs(s, d).groupBy("source", "lang")
+        .agg(count(lit(1)).as("c"))
+      val u = Sampling.hashFraction(
+        concat(col("source"), lit("#dp#"), col("lang")))
+      val u2 = greatest(lit(1.0) - lit(2.0) * abs(u - lit(0.5)),
+        lit(1e-18))
+      val x = (when(u >= 0.5, lit(1.0)).otherwise(lit(-1.0))) *
+        (-log(u2))
+      val withN = cells
+        .withColumn("xfp", floor(x * lit(DpFx) + lit(0.5)).cast("long"))
+      withN.groupBy("source")
+        .agg(count(lit(1)).as("n_cells"),
+          round((sum(col("c")).cast("double") * lit(DpFx) +
+            sum(col("xfp")).cast("double")) / lit(DpFx), 5)
+            .as("noisy_total"),
+          round(sum(abs(col("xfp"))).cast("double") / lit(DpFx), 5)
+            .as("noise_mass"))
+        .orderBy("source")
+    }, {
+      val u = Sampling.HashFractionSql("source || '#dp#' || lang")
+      "WITH cells AS (SELECT source, lang, count(*) AS c " +
+        "FROM documents GROUP BY 1, 2), " +
+        s"n AS (SELECT source, c, CAST(floor((CASE WHEN $u >= 0.5 " +
+        "THEN 1.0 ELSE -1.0 END) * " +
+        s"(-ln(greatest(1.0 - 2.0 * abs($u - 0.5), 1e-18))) " +
+        s"* $DpFx + 0.5) AS BIGINT) AS xfp FROM cells) " +
+        "SELECT source, count(*) AS n_cells, " +
+        s"round((CAST(sum(c) AS DOUBLE) * $DpFx + " +
+        s"CAST(sum(xfp) AS DOUBLE)) / $DpFx, 5) AS noisy_total, " +
+        s"round(CAST(sum(abs(xfp)) AS DOUBLE) / $DpFx, 5) " +
+        "AS noise_mass " +
+        "FROM n GROUP BY source ORDER BY source"
+    })
+
   // ---------------------------------------------------------------- export
 
   val all: Vector[Q] = Vector(
@@ -8921,5 +9030,6 @@ object PipelineQueries {
     shardRendezvous, sampleRho, textBpeDiff, pipelineAttrition,
     multimodalAudioQuality, dedupThresholdSweep, sampleQuota,
     embedKCore, multimodalFrameDecode, embedBitext, pipelineKanon,
-    sampleCurriculum, multimodalVideoDedup)
+    sampleCurriculum, multimodalVideoDedup, sourceJsonl,
+    pipelineDpRelease)
 }

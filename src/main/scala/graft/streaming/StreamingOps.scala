@@ -985,6 +985,31 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(Seq("mkey"))
   }
 
+  /** Steady-state bitext mining: arriving side-0 vectors mine against
+    * the persisted [[graft.ops.Similarity.bitextArchive]] index (the
+    * LASER deployment shape — target-side neighborhood statistics are
+    * baked into the index, queries only compute their own). Each
+    * side-0 row's margin depends only on itself and the static
+    * archive, so the stream is batch-split invariant: union of
+    * micro-batch outputs == the batch [[graft.ops.Similarity
+    * .bitextMineAgainst]] row for row (StreamingSpec). */
+  def bitextMineStream(side0: DataFrame, archive: DataFrame,
+                       idCol: String, embCol: String, k: Int,
+                       nBits: Int = 8)(sink: DataFrame => Unit): Long = {
+    val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = side0.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.ops.Similarity.bitextMineAgainst(batch, archive,
+          idCol, embCol, k, nBits))
+        nBatches.incrementAndGet()
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    nBatches.get()
+  }
+
   final case class CoreStale(node: Long, in_core: Boolean,
                              core_deg: Long, base_deg: Long,
                              arrivals: Long, stale: Boolean)

@@ -1415,6 +1415,55 @@ class StreamingSpec extends AnyFunSuite {
       s"stateless maps differ: ${got.size} vs ${want.size}")
   }
 
+  test("steady-state bitext mining: side-0 arrivals mined against the " +
+    "persisted archive match the batch form row for row under a " +
+    "3-way split") {
+    import graft.ops.Similarity
+    val s = spark
+    import s.implicits._
+    val embsDf = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("side", when(col("label") < 5, 0).otherwise(1))
+    val archive = Similarity.bitextArchive(embsDf, "vec_id",
+      "embedding", "side", k = 3).persist()
+    archive.count()
+    val side0 = embsDf.where(col("side") === 0)
+      .select("vec_id", "embedding")
+    val want = Similarity.bitextMineAgainst(side0, archive,
+        "vec_id", "embedding", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(5))).toMap
+    assert(want.nonEmpty)
+    // stream the same side-0 rows in 3 file-slices
+    val rows = side0.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1)))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("bitext_stream").toFile
+    tmp.deleteOnExit()
+    rows.grouped((rows.length + 2) / 3).zipWithIndex.foreach {
+      case (sl, i) =>
+        val p = new java.io.File(tmp, s"slice$i")
+        sl.toSeq.toDF("vec_id", "embedding").coalesce(1)
+          .write.parquet(p.toString)
+        p.listFiles().foreach(f =>
+          f.setLastModified(1700000000000L + i * 60000L))
+    }
+    val stream = spark.readStream
+      .schema(side0.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/*")
+    val got = scala.collection.mutable.Map.empty[Long,
+      (Long, Double, Double)]
+    val n = StreamingOps.bitextMineStream(stream, archive,
+      "vec_id", "embedding", k = 3) { out =>
+      out.collect().foreach(r =>
+        got(r.getLong(0)) = (r.getLong(1), r.getDouble(2),
+          r.getDouble(5)))
+    }
+    assert(n >= 3, s"expected >=3 micro-batches, got $n")
+    assert(got.toMap == want, s"${got.size} vs ${want.size}")
+    archive.unpersist()
+  }
+
   test("incremental k-core staleness: arrivals streamed against the " +
     "persisted core snapshot match the batch form row for row, and " +
     "the stale flag fires exactly when the degree bound reaches k") {
