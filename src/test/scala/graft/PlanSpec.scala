@@ -635,6 +635,43 @@ class PlanSpec extends AnyFunSuite {
 
   /** Input column lists of every WindowExec, AQE-aware (same descent
     * as [[allExchanges]]). */
+  test("round-10 ops keep their scale shapes: video/frame decode " +
+    "keeps media bytes out of every shuffle, bitext mining plans no " +
+    "window over the data grain, jsonl ingest is map + aggregate " +
+    "with no join on the data side, curriculum windows only by " +
+    "shard") {
+    val sf = "/root/testdata/sf0.001"
+    for (q <- Seq("q_multimodal_framedecode", "q_multimodal_videodedup")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val ex = allExchanges(df.queryExecution.executedPlan)
+      assert(ex.nonEmpty && ex.forall(cols => !cols.contains("media")),
+        s"$q: media bytes crossed a shuffle: $ex")
+      assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+        s"$q: Window")
+    }
+    val bt = SparkEntry.queries("q_embed_bitext")(spark, sf)
+    bt.collect()
+    assert(allWindows(bt.queryExecution.executedPlan).isEmpty,
+      "q_embed_bitext: window over the data grain (the kNN averages " +
+        "must stay O(k)-state TopK aggregates)")
+    val ex = allExchanges(bt.queryExecution.executedPlan)
+    assert(ex.nonEmpty && ex.forall(cols => !cols.contains("embedding")
+        && !cols.contains("emb_a") && !cols.contains("emb_b")),
+      s"q_embed_bitext: raw vectors crossed a shuffle: $ex")
+    val js = SparkEntry.queries("q_source_jsonl")(spark, sf)
+    js.collect()
+    val jsPlan = js.queryExecution.executedPlan.toString
+    assert(!jsPlan.contains("Window"), "q_source_jsonl: Window")
+    assert(jsPlan.contains("partial_"),
+      "q_source_jsonl: per-source agg lost its map-side partial")
+    val cu = SparkEntry.queries("q_sample_curriculum")(spark, sf)
+    cu.collect()
+    val ws = allWindows(cu.queryExecution.executedPlan)
+    assert(ws.nonEmpty && ws.forall(cols => cols.contains("shard")),
+      s"q_sample_curriculum: window not on the shard grain: $ws")
+  }
+
   private def allWindows(p: org.apache.spark.sql.execution.SparkPlan)
       : Seq[Seq[String]] = {
     val kids = p match {
