@@ -8983,6 +8983,83 @@ object PipelineQueries {
         "FROM n GROUP BY source ORDER BY source"
     })
 
+  /** Packing-policy audit: the same corpus packed by one-pass
+    * next-fit in ARRIVAL order vs next-fit-DECREASING (length-sorted)
+    * order — both through the identical
+    * [[Sampling.packNoSplitOrdered]] O(1)-state kernel, differing
+    * only in the order key (NFD's is (window+1−t)·2⁴⁰ + id — unique,
+    * so the walk order is total and replayable). `waste_delta`
+    * (arrival − NFD) measures what the ordering policy is worth —
+    * and on this corpus it is NEGATIVE: sorting descending HURTS a
+    * next-fit packer (two near-window docs can never share a bin, so
+    * the front of the sorted stream strands a gap per bin, while
+    * arrival order interleaves big and small). That is the audit's
+    * point — "sort by length" is folk wisdom from FIRST-fit-
+    * decreasing, and a one-pass packer needs the measurement, not
+    * the folklore. The oracle replays BOTH walks as recursive CTEs
+    * (the q_pipeline_trainorder discipline), so every bin boundary
+    * of both schemes is pinned. */
+  private val packAudit = Q("q_pack_audit",
+    (s, d) => {
+      val base = docs(s, d).select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"),
+        pmod(TextAnalysis.tokenHash(
+          concat(col("doc_id").cast("string"), lit("#pk#0"))),
+          lit(4L)).as("shard"))
+      def walk(ord: org.apache.spark.sql.Column, scheme: String) =
+        Sampling.packNoSplitOrdered(base, col("shard"), ord,
+            col("nt"), PackWindow, 4)
+          .groupBy("shard")
+          .agg((max(col("bin")) + 1).as(s"${scheme}_bins"),
+            ((max(col("bin")) + 1) * PackWindow - sum(col("t")))
+              .as(s"${scheme}_waste"),
+            sum((col("ord") % AssignMod * 31 + col("bin") % AssignMod)
+              % AssignMod).as(s"${scheme}_assign"))
+      val t = least(col("nt"), lit(PackWindow.toLong))
+      val arr = walk(col("doc_id"), "arrival")
+      val nfd = walk((lit(PackWindow.toLong + 1) - t) *
+        lit(1L << 40) + col("doc_id"), "nfd")
+      arr.join(nfd, "shard")
+        .withColumn("waste_delta",
+          col("arrival_waste") - col("nfd_waste"))
+        .orderBy("shard")
+    }, {
+      def walkSql(ordExpr: String, tag: String) =
+        s"rk_$tag AS MATERIALIZED (SELECT shard, tt, ord, " +
+          "row_number() OVER (PARTITION BY shard ORDER BY ord) AS rn " +
+          s"FROM (SELECT shard, tt, $ordExpr AS ord FROM b)), " +
+          s"walk_$tag AS (" +
+          "SELECT shard, rn, ord, tt, CAST(0 AS BIGINT) AS bin, " +
+          s"tt AS fill FROM rk_$tag WHERE rn = 1 " +
+          "UNION ALL " +
+          s"SELECT r.shard, r.rn, r.ord, r.tt, " +
+          s"CASE WHEN w.fill + r.tt <= $PackWindow THEN w.bin " +
+          "ELSE w.bin + 1 END, " +
+          s"CASE WHEN w.fill + r.tt <= $PackWindow " +
+          "THEN w.fill + r.tt ELSE r.tt END " +
+          s"FROM walk_$tag w JOIN rk_$tag r ON r.shard = w.shard " +
+          "AND r.rn = w.rn + 1), " +
+          s"agg_$tag AS (SELECT shard, " +
+          s"CAST(max(bin) + 1 AS BIGINT) AS ${tag}_bins, " +
+          s"CAST((max(bin) + 1) * $PackWindow - sum(tt) AS BIGINT) " +
+          s"AS ${tag}_waste, " +
+          s"CAST(sum((ord % $AssignMod * 31 + bin % $AssignMod) " +
+          s"% $AssignMod) AS BIGINT) AS ${tag}_assign " +
+          s"FROM walk_$tag GROUP BY shard)"
+      "WITH RECURSIVE b AS MATERIALIZED (SELECT doc_id, " +
+        s"least(len(string_split(text, ' ')), $PackWindow) AS tt, " +
+        s"${TextAnalysis.TokenHashSql(
+          "CAST(doc_id AS VARCHAR) || '#pk#0'")} % 4 AS shard " +
+        "FROM documents), " +
+        walkSql("doc_id", "arrival") + ", " +
+        walkSql(s"(${PackWindow + 1} - tt) * ${1L << 40} + doc_id",
+          "nfd") + " " +
+        "SELECT shard, arrival_bins, arrival_waste, arrival_assign, " +
+        "nfd_bins, nfd_waste, nfd_assign, " +
+        "arrival_waste - nfd_waste AS waste_delta " +
+        "FROM agg_arrival JOIN agg_nfd USING (shard) ORDER BY shard"
+    })
+
   // ---------------------------------------------------------------- export
 
   val all: Vector[Q] = Vector(
@@ -9031,5 +9108,5 @@ object PipelineQueries {
     multimodalAudioQuality, dedupThresholdSweep, sampleQuota,
     embedKCore, multimodalFrameDecode, embedBitext, pipelineKanon,
     sampleCurriculum, multimodalVideoDedup, sourceJsonl,
-    pipelineDpRelease)
+    pipelineDpRelease, packAudit)
 }
