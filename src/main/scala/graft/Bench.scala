@@ -217,9 +217,17 @@ object Bench {
     // reports cumulative movement of the common set vs best-ever.
     // Pure compare logic lives in tools.BenchCompare (BenchGuardSpec).
     import graft.tools.BenchCompare
+    // minima are only comparable at the SAME scale factor: the first
+    // best-table seeding merged a round-6 sf0.001 artifact and six
+    // queries' "best-ever" became physically unreachable at sf0.1
+    // (flagging reproducible quiet-machine runs as contended) — so
+    // every artifact must match this run's sf to participate
     def readTimes(path: String): Map[String, Double] = try {
-      BenchCompare.parseQueryTimes(new String(
-        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))))
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)))
+      if (txt.contains("\"sf\":\"" + sfDir + "\""))
+        BenchCompare.parseQueryTimes(txt)
+      else Map.empty
     } catch { case _: Throwable => Map.empty }
     val lastFull = readTimes("BENCH_FULL.json")
     // seed from the last full artifact when the best table is absent
@@ -305,9 +313,9 @@ object Bench {
       val best = BenchCompare.mergeBest(prior, timedMap)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_BEST.json"),
-        best.toSeq.sortBy(_._1)
+        s"""{"sf":"$sfDir","queries":""" + best.toSeq.sortBy(_._1)
           .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-          .mkString("{", ",", "}"))
+          .mkString("{", ",", "}") + "}")
     }
     // printed line: elbo segments + slowest queries, char-budgeted so
     // the whole JSON (plus sbt's [success] trailer) fits the driver's

@@ -5701,13 +5701,18 @@ object PipelineQueries {
     * feeds weighting or mixing). Both bounds come from the SAME
     * portable histogram sketch pass and broadcast back as a one-row
     * frame — identical integer registers ⇒ identical interpolated
-    * bounds ⇒ exact clipped sums cross-engine. */
+    * bounds ⇒ exact clipped sums cross-engine. The scored projection
+    * persists MEMORY_AND_DISK (the selectBudget doctrine: 3 narrow
+    * columns, spill-safe at any scale) so the classifier features
+    * compute ONCE instead of once under the sketch pass and again
+    * under the clip pass. */
   private val statsWinsorize = Q("q_stats_winsorize",
     (s, d) => {
       val scored = graft.ops.QualityClassifier
         .withFeatures(docs(s, d), "text")
         .withColumn("score", graft.ops.QualityClassifier.score(ClsWeights))
         .select("doc_id", "source", "score")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bounds = graft.ops.Sketches.histogramQuantiles(scored,
         col("score"), lo = 0.0, hi = 1.0, nBuckets = 64,
         qs = Seq(0.1, 0.9)).select("p10", "p90")
