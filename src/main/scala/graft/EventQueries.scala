@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.Events
+import graft.ops.{Events, TextAnalysis}
 
 /** Oracle corpus for the event-stream operators ([[graft.ops.Events]]):
   * as-of join and gap-based sessionization over the `events` table.
@@ -575,9 +575,104 @@ object EventQueries {
         "FROM w GROUP BY event_type ORDER BY event_type"
     })
 
+  /** Experiment-window midpoint (the 30-day fixture splits into a
+    * pre-period covariate window and a post-period metric window),
+    * in epoch-nanos. */
+  private val CupedMidNanos: Long = java.time.LocalDateTime
+    .of(2024, 1, 16, 0, 0, 0)
+    .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+
+  /** CUPED variance reduction (Deng et al., WSDM 2013 — the standard
+    * A/B-test sensitivity boost): users hash-split into two arms, the
+    * PRE-period spend total is the covariate X for the POST-period
+    * metric Y, θ = cov(X,Y)/var(X) fitted on all users, and each
+    * arm's adjusted mean is mean(Y) − θ·(mean(X) − mean(X)_global).
+    * Exactness discipline: per-user X/Y are integer cents totals
+    * (exact hash-agg sums), the cross-moments Σx/Σy/Σx²/Σxy/Σy² are
+    * exact int64 on the user grain, and every downstream double (θ,
+    * adjusted means, the ρ² variance-reduction factor) is a CLOSED
+    * FORM over those integer sums — no double ever sums across rows,
+    * so both engines agree bit-for-bit. Scale shape: two map-side-
+    * combined hash aggregates (events → users → moments), the moment
+    * row broadcast back to the arm grain. */
+  private val eventsCuped = Q("q_events_cuped",
+    (s, d) => {
+      val ev = events(s, d)
+      val users = ev.groupBy(col("user_id"),
+          pmod(TextAnalysis.tokenHash(
+            concat(col("user_id").cast("string"), lit("#ab"))),
+            lit(2L)).as("arm"))
+        .agg(sum(when(col("ts") < CupedMidNanos,
+            round(col("value") * 100).cast("long")).otherwise(0L))
+          .as("x"),
+          sum(when(col("ts") >= CupedMidNanos,
+            round(col("value") * 100).cast("long")).otherwise(0L))
+          .as("y"))
+      val mom = users.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      val nD = col("n").cast("double")
+      val theta = (nD * col("sxy") - col("sx") * col("sy")) /
+        (nD * col("sxx") - col("sx") * col("sx"))
+      val varred = (nD * col("sxy") - col("sx") * col("sy")) *
+        (nD * col("sxy") - col("sx") * col("sy")) /
+        ((nD * col("sxx") - col("sx") * col("sx")) *
+          (nD * col("syy") - col("sy") * col("sy")))
+      val glob = mom.select(theta.as("theta"), varred.as("varred"),
+        (col("sx").cast("double") / nD).as("mx_g"))
+      users.groupBy("arm")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("x")).as("ax"), sum(col("y")).as("ay"))
+        .crossJoin(broadcast(glob))
+        .select(col("arm"), col("n_users"),
+          round(col("ay").cast("double") /
+            col("n_users").cast("double") / 100.0, 5).as("mean_y"),
+          round((col("ay").cast("double") /
+            col("n_users").cast("double") -
+            col("theta") * (col("ax").cast("double") /
+              col("n_users").cast("double") - col("mx_g"))) / 100.0, 5)
+            .as("mean_cuped"),
+          round(col("theta"), 5).as("theta"),
+          round(col("varred"), 5).as("var_reduction"))
+        .orderBy("arm")
+    },
+    "WITH u AS (SELECT user_id, " +
+      s"${TextAnalysis.TokenHashSql(
+        "CAST(user_id AS VARCHAR) || '#ab'")} % 2 AS arm, " +
+      "CAST(sum(CASE WHEN epoch_ns(ts) < " + CupedMidNanos +
+      " THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) " +
+      "AS x, " +
+      "CAST(sum(CASE WHEN epoch_ns(ts) >= " + CupedMidNanos +
+      " THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) " +
+      "AS y FROM events GROUP BY 1, 2), " +
+      "m AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, " +
+      "CAST(sum(y) AS BIGINT) AS sy, " +
+      "CAST(sum(x * x) AS BIGINT) AS sxx, " +
+      "CAST(sum(x * y) AS BIGINT) AS sxy, " +
+      "CAST(sum(y * y) AS BIGINT) AS syy FROM u), " +
+      "g AS (SELECT (CAST(n AS DOUBLE) * sxy - " +
+      "CAST(sx AS DOUBLE) * sy) / (CAST(n AS DOUBLE) * sxx - " +
+      "CAST(sx AS DOUBLE) * sx) AS theta, " +
+      "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) * " +
+      "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / " +
+      "((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * " +
+      "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS varred, " +
+      "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx_g FROM m) " +
+      "SELECT arm, count(*) AS n_users, " +
+      "round(CAST(sum(y) AS DOUBLE) / count(*) / 100.0, 5) AS mean_y, " +
+      "round((CAST(sum(y) AS DOUBLE) / count(*) - g.theta * " +
+      "(CAST(sum(x) AS DOUBLE) / count(*) - g.mx_g)) / 100.0, 5) " +
+      "AS mean_cuped, " +
+      "round(max(g.theta), 5) AS theta, " +
+      "round(max(g.varred), 5) AS var_reduction " +
+      "FROM u CROSS JOIN g GROUP BY arm, g.theta, g.mx_g " +
+      "ORDER BY arm")
+
   val all: Vector[Q] = Vector(eventsAsof, eventsSessionize, eventsProps,
     eventsRange, eventsZorder, eventsWindow, eventsFunnel,
     eventsRetention, eventsTransitions, eventsEwma, eventsCusum,
     eventsDecayed, eventsPaths, eventsInterarrival, eventsSeasonal,
-    eventsRollQuantile)
+    eventsRollQuantile, eventsCuped)
 }

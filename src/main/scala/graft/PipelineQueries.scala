@@ -61,17 +61,31 @@ object PipelineQueries {
   private val pipelineModern = Q("q_pipeline_modern",
     (s, d) => {
       val d0 = docs(s, d)
+      // persisted narrow projection: the classifier features all
+      // reference text2, and Catalyst's CollapseProject would inline
+      // the 5-regex scrub chain into EVERY feature expression (the
+      // documented ngram-fingerprint trap — measured 2.9 s of a 3.4 s
+      // query re-scrubbing ~10× per row); the persist is the barrier
+      // that makes the scrub compute once per row, spill-safe at
+      // scale (3 columns, the selectBudget doctrine)
       val scrubbed = d0.select(col("doc_id"), col("source"),
         TextAnalysis.scrubPii(col("text")).as("text2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val scored = graft.ops.QualityClassifier
         .withFeatures(scrubbed, "text2")
         .withColumn("score", graft.ops.QualityClassifier.score(ClsWeights))
         .where(col("score") >= ModernFloor)
         .select("doc_id", "source")
       // kept ids carry the floor AND the cap, so survivors re-derive
-      // only the scrubbed text — the scoring chain is evaluated once
+      // only the scrubbed text — the scoring chain is evaluated once,
+      // and the second scrub runs AFTER the id join (Catalyst keeps a
+      // projection where you wrote it, so joining the pre-scrubbed
+      // frame re-scrubbed every doc; joining raw docs first scrubs
+      // only the ~cap·|sources| survivors)
       val ids = Sampling.domainCapIds(scored, "doc_id", "source", ModernCap)
-      val capped = scrubbed.join(ids, "doc_id")
+      val capped = d0.join(ids, "doc_id")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.scrubPii(col("text")).as("text2"))
       TextAnalysis.chunks(capped, "text2", "doc_id",
           ChunkWindow, ChunkStride, keep = Seq("source"))
         .groupBy("source")
