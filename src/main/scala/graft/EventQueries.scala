@@ -670,9 +670,65 @@ object EventQueries {
       "FROM u CROSS JOIN g GROUP BY arm, g.theta, g.mx_g " +
       "ORDER BY arm")
 
+  /** Fixed point for the SRM chi-square (2²⁰, the q_stats_chisq
+    * discipline — no transcendental anywhere, so the sums are exact
+    * without even a guard band). */
+  private val SrmFx = 1048576.0
+
+  /** Sample-ratio-mismatch gate (the production A/B sanity check —
+    * Fabijan et al. 2019 report ~6% of experiments fail it): the
+    * same deterministic arm hash as q_events_cuped, a 50/50 expected
+    * split, and the one-degree chi-square statistic
+    * Σ (observed − expected)²/expected over the two arms — plus the
+    * per-arm event and user tallies a triage reads first. A biased
+    * assignment hash, a lost logging pipeline, or a filter applied
+    * after randomization all surface here before any metric is
+    * trusted. Integer counts end to end; the statistic is a closed
+    * form over them, fixed-point quantized (no ln — exact without a
+    * guard band). One map-side-combined aggregate. */
+  private val eventsSrm = Q("q_events_srm",
+    (s, d) => {
+      val ev = events(s, d).select(col("user_id"),
+        pmod(TextAnalysis.tokenHash(
+          concat(col("user_id").cast("string"), lit("#ab"))),
+          lit(2L)).as("arm"))
+      val arms = ev.groupBy("arm")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+      val tot = arms.agg(sum(col("n_users")).as("nu"),
+        sum(when(col("arm") === 0, col("n_users")).otherwise(0L))
+          .as("n0"))
+      arms.crossJoin(broadcast(tot))
+        .select(col("arm"), col("n_events"), col("n_users"),
+          round((col("n0").cast("double") / col("nu").cast("double")),
+            5).as("arm0_share"),
+          round(floor(
+            ((col("n0").cast("double") - col("nu").cast("double") / 2.0)
+              * (col("n0").cast("double") - col("nu").cast("double")
+                / 2.0) * 4.0 / col("nu").cast("double")) * lit(SrmFx)
+              + lit(0.5)).cast("long").cast("double") / lit(SrmFx), 5)
+            .as("srm_chisq"))
+        .orderBy("arm")
+    },
+    "WITH e AS (SELECT user_id, " +
+      s"${TextAnalysis.TokenHashSql(
+        "CAST(user_id AS VARCHAR) || '#ab'")} % 2 AS arm FROM events), " +
+      "a AS (SELECT arm, count(*) AS n_events, " +
+      "count(DISTINCT user_id) AS n_users FROM e GROUP BY arm), " +
+      "t AS (SELECT CAST(sum(n_users) AS BIGINT) AS nu, " +
+      "CAST(sum(CASE WHEN arm = 0 THEN n_users ELSE 0 END) AS BIGINT) " +
+      "AS n0 FROM a) " +
+      "SELECT arm, n_events, n_users, " +
+      "round(CAST(n0 AS DOUBLE) / CAST(nu AS DOUBLE), 5) AS arm0_share, " +
+      "round(CAST(CAST(floor(((CAST(n0 AS DOUBLE) - " +
+      "CAST(nu AS DOUBLE) / 2.0) * (CAST(n0 AS DOUBLE) - " +
+      "CAST(nu AS DOUBLE) / 2.0) * 4.0 / CAST(nu AS DOUBLE)) * " +
+      s"$SrmFx + 0.5) AS BIGINT) AS DOUBLE) / $SrmFx, 5) AS srm_chisq " +
+      "FROM a CROSS JOIN t ORDER BY arm")
+
   val all: Vector[Q] = Vector(eventsAsof, eventsSessionize, eventsProps,
     eventsRange, eventsZorder, eventsWindow, eventsFunnel,
     eventsRetention, eventsTransitions, eventsEwma, eventsCusum,
     eventsDecayed, eventsPaths, eventsInterarrival, eventsSeasonal,
-    eventsRollQuantile, eventsCuped)
+    eventsRollQuantile, eventsCuped, eventsSrm)
 }

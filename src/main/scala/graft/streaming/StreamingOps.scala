@@ -1010,6 +1010,34 @@ object StreamingOps {
     nBatches.get()
   }
 
+  final case class AbUser(user: Long, arm: Long, x: Long, y: Long)
+
+  /** Streaming experiment monitoring — the incremental twin of
+    * q_events_cuped's user-grain registers: per-user (arm, pre-period
+    * cents x, post-period cents y) accumulate in keyed state as
+    * events arrive (two int64 counters per user — bounded by user
+    * cardinality, never stream length), each trigger emitting the
+    * touched users' updated rows. The registers are EXACT integer
+    * sums, so accumulation over any micro-batch split equals the
+    * batch aggregate bit for bit, and x+y is monotone — the
+    * max-(x+y) row per user is the final state, from which θ/CUPED/
+    * SRM compute exactly as in batch (StreamingSpec pins the final
+    * user table against the batch aggregate row for row). Input
+    * rows: (user_id, arm, xDelta, yDelta) cents. */
+  def abRegistersStream(rows: Dataset[(Long, Long, Long, Long)])
+      : Dataset[AbUser] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          var (arm, x, y) = state.getOption.getOrElse((-1L, 0L, 0L))
+          it.foreach { case (_, a, dx, dy) => arm = a; x += dx; y += dy }
+          state.update((arm, x, y))
+          AbUser(user, arm, x, y)
+      }
+  }
+
   final case class CoreStale(node: Long, in_core: Boolean,
                              core_deg: Long, base_deg: Long,
                              arrivals: Long, stale: Boolean)

@@ -1415,6 +1415,57 @@ class StreamingSpec extends AnyFunSuite {
       s"stateless maps differ: ${got.size} vs ${want.size}")
   }
 
+  test("streaming experiment monitoring: per-user A/B registers " +
+    "accumulated across micro-batches equal the batch user aggregate " +
+    "bit for bit") {
+    import graft.ops.{Events, TextAnalysis}
+    val s = spark
+    import s.implicits._
+    val midNs = java.time.LocalDateTime.of(2024, 1, 16, 0, 0, 0)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    val ev = Events.load(spark, s"$dir/events.parquet")
+      .select(col("user_id"),
+        pmod(TextAnalysis.tokenHash(
+          concat(col("user_id").cast("string"), lit("#ab"))),
+          lit(2L)).as("arm"),
+        when(col("ts") < midNs, round(col("value") * 100).cast("long"))
+          .otherwise(0L).as("dx"),
+        when(col("ts") >= midNs, round(col("value") * 100).cast("long"))
+          .otherwise(0L).as("dy"))
+    val want = ev.groupBy("user_id", "arm")
+      .agg(sum("dx").as("x"), sum("dy").as("y"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val rows = ev.as[(Long, Long, Long, Long)].collect()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("ab_stream").toFile
+    tmp.deleteOnExit()
+    rows.grouped((rows.length + 2) / 3).zipWithIndex.foreach {
+      case (sl, i) =>
+        val p = new java.io.File(tmp, s"slice$i")
+        sl.toSeq.toDF("user_id", "arm", "dx", "dy").coalesce(1)
+          .write.parquet(p.toString)
+        p.listFiles().foreach(f =>
+          f.setLastModified(1700000000000L + i * 60000L))
+    }
+    val stream = spark.readStream
+      .schema(rows.toSeq.toDF("user_id", "arm", "dx", "dy").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/*")
+      .as[(Long, Long, Long, Long)]
+    val out = StreamingOps.abRegistersStream(stream).toDF()
+    StreamingOps.runToMemorySink(out, "ab_stream",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    // x+y is monotone: the max-(x+y) row per user is the final state
+    val got = spark.table("ab_stream").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3))))
+      .groupBy(_._1)
+      .map { case (u, rs) => u -> rs.map(_._2).maxBy(t => t._2 + t._3) }
+    assert(got.toMap == want && got.nonEmpty,
+      s"${got.size} vs ${want.size} users")
+  }
+
   test("steady-state bitext mining: side-0 arrivals mined against the " +
     "persisted archive match the batch form row for row under a " +
     "3-way split") {
