@@ -223,11 +223,9 @@ object Bench {
     // (flagging reproducible quiet-machine runs as contended) — so
     // every artifact must match this run's sf to participate
     def readTimes(path: String): Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(path)))
-      if (txt.contains("\"sf\":\"" + sfDir + "\""))
-        BenchCompare.parseQueryTimes(txt)
-      else Map.empty
+      BenchCompare.parseQueryTimesForSf(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))),
+        sfDir)
     } catch { case _: Throwable => Map.empty }
     val lastFull = readTimes("BENCH_FULL.json")
     // seed from the last full artifact when the best table is absent

@@ -22,6 +22,17 @@ object BenchCompare {
     "\"(q_[a-z0-9_]+)\":([0-9]+\\.[0-9]+)".r.findAllMatchIn(txt)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
 
+  /** [[parseQueryTimes]] gated on the artifact's scale factor:
+    * minima are only comparable at the SAME sf (the round-10 lesson —
+    * the first seeding merged an sf0.001 artifact and six queries'
+    * "best-ever" became physically unreachable at sf0.1, flagging
+    * reproducible quiet-machine runs as contended). An artifact
+    * whose `"sf"` field differs contributes nothing. */
+  def parseQueryTimesForSf(txt: String, sfDir: String)
+      : Map[String, Double] =
+    if (txt.contains("\"sf\":\"" + sfDir + "\"")) parseQueryTimes(txt)
+    else Map.empty
+
   /** Per-query minimum of the prior best table and the current run;
     * queries new to either side pass through. Monotone: for any key
     * present in both, the result is <= both inputs. */

@@ -52,4 +52,23 @@ class BenchGuardSpec extends AnyFunSuite {
       Set.empty)
     assert(b === 0.0 && n === 0.0 && pct === 0.0)
   }
+
+  test("cross-sf artifacts contribute nothing to the minima (the " +
+    "round-10 seeding lesson: an sf0.001 artifact made six sf0.1 " +
+    "best-evers physically unreachable)") {
+    val small = """{"sf":"/root/testdata/sf0.001","queries":{"q_a":0.010}}"""
+    val right = """{"sf":"/root/testdata/sf0.1","queries":{"q_a":0.800}}"""
+    val sf = "/root/testdata/sf0.1"
+    assert(BenchCompare.parseQueryTimesForSf(small, sf).isEmpty)
+    assert(BenchCompare.parseQueryTimesForSf(right, sf) ===
+      Map("q_a" -> 0.8))
+    // merged guard: with the gate, a 1.2s quiet run is NOT contended
+    val best = BenchCompare.mergeBest(
+      BenchCompare.parseQueryTimesForSf(small, sf),
+      BenchCompare.parseQueryTimesForSf(right, sf))
+    assert(!BenchCompare.isContended(1.2, best("q_a")))
+    // without it, the 0.01 sf0.001 time would flag everything
+    assert(BenchCompare.isContended(1.2,
+      BenchCompare.parseQueryTimes(small)("q_a")))
+  }
 }
