@@ -726,9 +726,86 @@ object EventQueries {
       s"$SrmFx + 0.5) AS BIGINT) AS DOUBLE) / $SrmFx, 5) AS srm_chisq " +
       "FROM a CROSS JOIN t ORDER BY arm")
 
+  /** Two-sided z-quantiles for α = .05 / power = .80, as shared
+    * LITERALS (both engines consume the same decimal text, so the
+    * closed forms below are bit-identical; the constants are the
+    * textbook 1.959964/0.841621). */
+  private val ZAlpha = "1.959964"
+  private val ZBeta = "0.841621"
+
+  /** Minimum detectable effect / power sizing for the experiment
+    * family (the third leg beside q_events_cuped and q_events_srm):
+    * with the post-period metric's user-grain variance from exact
+    * int64 moment sums, the classic two-sample MDE at α=.05,
+    * power=.80 is (z_α/2 + z_β)·√(2·var/n̄) with n̄ the per-arm user
+    * count — reported absolute (cents → currency) and relative to
+    * the metric mean, plus the n required to detect a 1% lift. Every
+    * double is a closed form over exact integer sums (the CUPED
+    * discipline): sqrt of a deterministic double is deterministic,
+    * nothing sums doubles across rows. One user aggregate + one
+    * moment row. */
+  private val eventsPower = Q("q_events_power",
+    (s, d) => {
+      val ev = events(s, d)
+      val users = ev.groupBy(col("user_id"),
+          pmod(TextAnalysis.tokenHash(
+            concat(col("user_id").cast("string"), lit("#ab"))),
+            lit(2L)).as("arm"))
+        .agg(sum(when(col("ts") >= CupedMidNanos,
+            round(col("value") * 100).cast("long")).otherwise(0L))
+          .as("y"))
+      val mom = users.agg(count(lit(1)).as("n"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("syy"))
+      val nD = col("n").cast("double")
+      val meanY = col("sy").cast("double") / nD
+      val varY = (nD * col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double")) /
+        (nD * (nD - 1.0))
+      val zSum = expr(s"$ZAlpha + $ZBeta")
+      val perArm = nD / 2.0
+      val mde = zSum * sqrt(lit(2.0) * varY / perArm)
+      val nFor1Pct = lit(2.0) * zSum * zSum * varY /
+        ((meanY * lit(0.01)) * (meanY * lit(0.01)))
+      mom.select(col("n").as("n_users"), col("n0").as("n_arm0"),
+        round(meanY / 100.0, 5).as("mean_y"),
+        round(sqrt(varY) / 100.0, 5).as("sd_y"),
+        round(mde / 100.0, 5).as("mde_abs"),
+        round(mde / meanY, 5).as("mde_rel"),
+        ceil(nFor1Pct).cast("long").as("n_per_arm_for_1pct"))
+    },
+    "WITH u AS (SELECT user_id, " +
+      s"${TextAnalysis.TokenHashSql(
+        "CAST(user_id AS VARCHAR) || '#ab'")} % 2 AS arm, " +
+      "CAST(sum(CASE WHEN epoch_ns(ts) >= " + CupedMidNanos +
+      " THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) " +
+      "AS y FROM events GROUP BY 1, 2), " +
+      "m AS (SELECT count(*) AS n, " +
+      "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, " +
+      "CAST(sum(y) AS BIGINT) AS sy, " +
+      "CAST(sum(y * y) AS BIGINT) AS syy FROM u), " +
+      "f AS (SELECT n, n0, " +
+      "CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y, " +
+      "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) / " +
+      "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var_y " +
+      "FROM m) " +
+      "SELECT n AS n_users, n0 AS n_arm0, " +
+      "round(mean_y / 100.0, 5) AS mean_y, " +
+      "round(sqrt(var_y) / 100.0, 5) AS sd_y, " +
+      s"round(($ZAlpha + $ZBeta) * " +
+      "sqrt(2.0 * var_y / (CAST(n AS DOUBLE) / 2.0)) / 100.0, 5) " +
+      "AS mde_abs, " +
+      s"round(($ZAlpha + $ZBeta) * " +
+      "sqrt(2.0 * var_y / (CAST(n AS DOUBLE) / 2.0)) / mean_y, 5) " +
+      "AS mde_rel, " +
+      s"CAST(ceil(2.0 * ($ZAlpha + $ZBeta) * ($ZAlpha + $ZBeta) * " +
+      "var_y / ((mean_y * 0.01) * (mean_y * 0.01))) AS BIGINT) " +
+      "AS n_per_arm_for_1pct FROM f")
+
   val all: Vector[Q] = Vector(eventsAsof, eventsSessionize, eventsProps,
     eventsRange, eventsZorder, eventsWindow, eventsFunnel,
     eventsRetention, eventsTransitions, eventsEwma, eventsCusum,
     eventsDecayed, eventsPaths, eventsInterarrival, eventsSeasonal,
-    eventsRollQuantile, eventsCuped, eventsSrm)
+    eventsRollQuantile, eventsCuped, eventsSrm, eventsPower)
 }

@@ -86,7 +86,7 @@ object ScaleProbe {
     "q_sample_curriculum" -> 10, "q_multimodal_videodedup" -> 10,
     "q_source_jsonl" -> 10, "q_pipeline_dprelease" -> 10,
     "q_pack_audit" -> 10, "q_events_cuped" -> 10,
-    "q_events_srm" -> 10)
+    "q_events_srm" -> 10, "q_events_power" -> 10)
 
   def main(args: Array[String]): Unit = {
     val sfSmall = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
