@@ -222,15 +222,22 @@ object Bench {
     // queries' "best-ever" became physically unreachable at sf0.1
     // (flagging reproducible quiet-machine runs as contended) — so
     // every artifact must match this run's sf to participate
-    def readTimes(path: String): Map[String, Double] = try {
-      BenchCompare.parseQueryTimesForSf(new String(
-        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))),
-        sfDir)
-    } catch { case _: Throwable => Map.empty }
-    val lastFull = readTimes("BENCH_FULL.json")
-    // seed from the last full artifact when the best table is absent
+    def readFile(path: String): String = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)))
+    } catch { case _: Throwable => "" }
+    val lastFull =
+      BenchCompare.parseQueryTimesForSf(readFile("BENCH_FULL.json"), sfDir)
+    // v2 table: per-sf sections, each query a bounded observation
+    // history (round-11: the write is sf-merged so a run at another
+    // sf can no longer discard this sf's accumulated baselines)
+    val allSfs = BenchCompare.parseAllSfs(readFile("BENCH_BEST.json"))
+    val hist0 = allSfs.getOrElse(sfDir, Map.empty)
+    // seed queries absent from the table from the last full artifact
+    val hist = BenchCompare.appendObs(hist0,
+      lastFull.filter { case (k, _) => !hist0.contains(k) })
     val prior: Map[String, Double] =
-      BenchCompare.mergeBest(readTimes("BENCH_BEST.json"), lastFull)
+      hist.map { case (k, v) => k -> BenchCompare.bestOf(v) }
     val contended =
       scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val results = SparkEntry.queries
@@ -263,6 +270,11 @@ object Bench {
       } catch { case e: Throwable =>
         errors(name) = e.getClass.getSimpleName
         0.0
+      } finally {
+        // release builder-persisted frames (CacheRegistry) so cached
+        // blocks don't accumulate across the 227-query run and skew
+        // later queries' timings
+        graft.core.CacheRegistry.drain()
       }
       name -> t
     }
@@ -296,24 +308,26 @@ object Bench {
       .map { case (k, (now, p)) =>
         "\"" + k + "\":{\"now\":" + fmt(now) + ",\"prior\":" + fmt(p) + "}" }
       .mkString("{", ",", "}")
-    // cumulative-drift report vs best-ever (round-10 de-ratchet):
-    // contended keys excluded (already reported), >5% is the signal
+    // cumulative-drift report vs the MEDIAN baseline with per-query
+    // noise flags (round-11 noise model): contended keys excluded
+    // (already reported); >5% vs a typical committed run is the
+    // signal, and "flagged" lists queries beyond best + 2*spread
     val timedMap = timed.map { case (k, v) => (k, v) }.toMap
-    val (driftBest, driftNow, driftPct) =
-      BenchCompare.drift(prior, timedMap, contended.keySet.toSet)
-    val driftJson = s""""drift":{"common_total_best":${fmt(driftBest)},"common_total_now":${fmt(driftNow)},"pct":${fmt(driftPct)},"over_5pct":${driftPct > 0.05}}"""
+    val dr = BenchCompare.drift(hist, timedMap, contended.keySet.toSet)
+    val flaggedJson = dr.flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val driftJson = s""""drift":{"common_total_baseline":${fmt(dr.baselineTotal)},"common_total_now":${fmt(dr.nowTotal)},"pct":${fmt(dr.pct)},"over_5pct":${dr.pct > 0.05},"flagged":$flaggedJson}"""
     if (benchOnly.isEmpty) {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_FULL.json"),
         s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${timed.size},"n_errors":${errors.size},"n_contended":${contended.size},"errors":$errJson,"contended":$contJson,$driftJson,"queries":$fullQs,$rates}""")
-      // monotone best-ever merge — contention can only inflate times,
-      // so folding ANY full run into the minima is safe
-      val best = BenchCompare.mergeBest(prior, timedMap)
+      // append only non-contended observations (contended times would
+      // inflate the median/spread the guard reads), merge ONLY this
+      // sf's section — other sfs' histories are preserved verbatim
+      val updated = BenchCompare.appendObs(hist,
+        timedMap -- contended.keySet)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_BEST.json"),
-        s"""{"sf":"$sfDir","queries":""" + best.toSeq.sortBy(_._1)
-          .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-          .mkString("{", ",", "}") + "}")
+        BenchCompare.renderAllSfs(allSfs + (sfDir -> updated)))
     }
     // printed line: elbo segments + slowest queries, char-budgeted so
     // the whole JSON (plus sbt's [success] trailer) fits the driver's

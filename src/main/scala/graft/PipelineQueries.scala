@@ -68,9 +68,10 @@ object PipelineQueries {
       // query re-scrubbing ~10× per row); the persist is the barrier
       // that makes the scrub compute once per row, spill-safe at
       // scale (3 columns, the selectBudget doctrine)
-      val scrubbed = d0.select(col("doc_id"), col("source"),
-        TextAnalysis.scrubPii(col("text")).as("text2"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val scrubbed = graft.core.CacheRegistry.track(
+        d0.select(col("doc_id"), col("source"),
+          TextAnalysis.scrubPii(col("text")).as("text2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val scored = graft.ops.QualityClassifier
         .withFeatures(scrubbed, "text2")
         .withColumn("score", graft.ops.QualityClassifier.score(ClsWeights))
@@ -5722,11 +5723,12 @@ object PipelineQueries {
     * under the clip pass. */
   private val statsWinsorize = Q("q_stats_winsorize",
     (s, d) => {
-      val scored = graft.ops.QualityClassifier
+      val scored = graft.core.CacheRegistry.track(
+        graft.ops.QualityClassifier
         .withFeatures(docs(s, d), "text")
         .withColumn("score", graft.ops.QualityClassifier.score(ClsWeights))
         .select("doc_id", "source", "score")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val bounds = graft.ops.Sketches.histogramQuantiles(scored,
         col("score"), lo = 0.0, hi = 1.0, nBuckets = 64,
         qs = Seq(0.1, 0.9)).select("p10", "p90")
@@ -8128,13 +8130,20 @@ object PipelineQueries {
     (s, d) => {
       val d0 = docs(s, d)
       // text-dependent predicates evaluate BEFORE the key join, so
-      // only (doc_id, k, 3 bits) shuffles — text stays in its scan
-      val keyed = d0.select(col("doc_id"),
-        array_join(slice(split(TextAnalysis.normalize(col("text")), " "),
-          1, 10), " ").as("k"),
-        (TextAnalysis.qualityScore(col("text")) >= 0.7).as("p1"),
-        (TextAnalysis.wordCount(col("text")) >= 25).as("p2"),
-        (TextAnalysis.langId(col("text")) =!= "und").as("p3"))
+      // only (doc_id, k, 3 bits) shuffles — text stays in its scan;
+      // persisted (5 narrow columns, spill-safe) because the frame
+      // feeds BOTH the gmin group-by and the flags join, and each of
+      // the two downstream consumers (ex, global) rebuilds that join
+      // — without the barrier the normalize/quality/langid chain ran
+      // in every scan (the round-10 double-scan finding)
+      val keyed = graft.core.CacheRegistry.track(
+        d0.select(col("doc_id"),
+          array_join(slice(split(TextAnalysis.normalize(col("text")), " "),
+            1, 10), " ").as("k"),
+          (TextAnalysis.qualityScore(col("text")) >= 0.7).as("p1"),
+          (TextAnalysis.wordCount(col("text")) >= 25).as("p2"),
+          (TextAnalysis.langId(col("text")) =!= "und").as("p3"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val gmin = keyed.groupBy("k").agg(min(col("doc_id")).as("km"))
       val flags = keyed.join(gmin, "k").select(col("doc_id"),
         col("p1"), col("p2"), col("p3"),

@@ -64,6 +64,13 @@ object Verify {
       ExecutionContext.fromExecutorService(pool)
     val futs = todo.map { case (name, fn) =>
       Future {
+        // NO CacheRegistry.drain() here: under the 4-way dump
+        // concurrency a drain in one future races a sibling mid-query
+        // (observed once: an unpersist landing between a builder's
+        // persist and its consuming job emptied q_stats_winsorize's
+        // output). The dump JVM exits right after, so leaked cache
+        // blocks cost nothing; only the SERIAL harnesses (Bench,
+        // ScaleProbe) drain per query.
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>

@@ -69,10 +69,15 @@ object FrameDecoder {
     * perceptual [[Codecs.aHash64]] folded to the repo's 40-bit digest
     * convention (exactly representable in the Double slot; downstream
     * dedup compares by equality, where 40 bits keep collision odds
-    * negligible). Slots past the last frame read -1.0; a payload with
-    * no sample table (or no decodable frame at all) is null per the
-    * [[FrameDecoder]] contract. MP3/H.264 stay stubbed — this is the
-    * honest-codec upgrade, not a fake one. */
+    * negligible). Slots past the last frame read -1.0 — that sentinel
+    * means exactly "clip shorter than featDim frames". A payload with
+    * no sample table, no decodable frame, or ANY in-range frame that
+    * fails JPEG decode is null per the [[FrameDecoder]] contract
+    * (all-frames-or-nothing): leaving -1.0 in a failed mid-clip slot
+    * would make distinct corrupt clips hash-equal in downstream clip
+    * signatures (q_multimodal_videodedup folds every slot) instead of
+    * surfacing the decode failure. MP3/H.264 stay stubbed — this is
+    * the honest-codec upgrade, not a fake one. */
   object Mjpeg extends FrameDecoder {
     private val Fold = (1L << 40) - 1
     override def codecs: Set[String] = Set("jpeg", "mjpeg")
@@ -85,17 +90,19 @@ object FrameDecoder {
             case Some(ss) =>
               val feats = Array.fill(featDim)(-1.0)
               var any = false
+              var failed = false
               var j = 0
-              while (j < featDim && j < ss.length) {
+              while (j < featDim && j < ss.length && !failed) {
                 val (off, len) = ss(j)
                 val frame = java.util.Arrays.copyOfRange(bytes,
                   off.toInt, (off + len).toInt)
-                Codecs.aHash64(frame).foreach { h =>
-                  feats(j) = (h & Fold).toDouble; any = true
+                Codecs.aHash64(frame) match {
+                  case Some(h) => feats(j) = (h & Fold).toDouble; any = true
+                  case None    => failed = true
                 }
                 j += 1
               }
-              if (any) feats else null
+              if (any && !failed) feats else null
           }
         } catch { case _: Exception => null }
       }

@@ -634,11 +634,15 @@ object Sampling {
     require(num > 0 && den > 0 && buckets >= 2 && cap >= 1)
     val spark = df.sparkSession
     import org.apache.spark.sql.types._
-    val base = df.select(col(srcCol).cast("string").as("_sb_src"),
+    // tracked, not unpersisted here: the returned frame reads base
+    // lazily, so release happens at the harness drain after the
+    // consumer materializes (core.CacheRegistry)
+    val base = graft.core.CacheRegistry.track(
+      df.select(col(srcCol).cast("string").as("_sb_src"),
         col(scoreCol).cast("double").as("_sb_score"),
         col(ntCol).cast("long").as("_sb_nt"),
         col(idCol).cast("long").as("_sb_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val init = base.groupBy("_sb_src").agg(
       sum("_sb_nt").as("m"), count(lit(1)).as("c"),
       min("_sb_score").as("mns"), max("_sb_score").as("mxs"),

@@ -79,8 +79,7 @@ object ScaleProbe {
     // round-10 additions: the 5 heavy post-quiesce-r9 ops (verdict
     // ask #1) + MJPEG frame decode (linear real-decode cost: the
     // honest expectation is ratio ≈ input factor, not sub-linear)
-    "q_embed_kcore" -> 4, "q_multimodal_pairdedup" -> 10,
-    "q_pipeline_attrition" -> 10,
+    "q_embed_kcore" -> 4,
     "q_multimodal_framedecode" -> 10,
     "q_embed_bitext" -> 4, "q_pipeline_kanon" -> 10,
     "q_sample_curriculum" -> 10, "q_multimodal_videodedup" -> 10,
@@ -122,11 +121,13 @@ object ScaleProbe {
     try graft.SparkEntry.queries("q_dens_gaussian")(spark, sfSmall).count()
     catch { case _: Throwable => () }
 
-    def minOf2(q: String, dir: String): Double = (1 to 2).map { _ =>
-      val t0 = System.nanoTime()
-      graft.SparkEntry.queries(q)(spark, dir).count()
-      (System.nanoTime() - t0) / 1e9
-    }.min
+    def minOf2(q: String, dir: String): Double = try {
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(q)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    } finally graft.core.CacheRegistry.drain()
 
     // dev loop: SPARK_GRAFT_PROBE_ONLY=q_a,q_b probes just those
     val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")

@@ -103,6 +103,31 @@ class FrameDecoderSpec extends AnyFunSuite {
     assert(back(2L) == Seq(((1L << 39) - 1).toDouble))
   }
 
+  test("a corrupt MID-CLIP frame nulls the whole payload instead of " +
+    "leaving the -1.0 absent-frame sentinel in its slot (distinct " +
+    "corrupt clips must not hash-equal in clip signatures)") {
+    def jpeg(shade: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(shade, shade, shade))
+      g.fillRect(0, 0, 8, 8); g.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    val garbage = Array.tabulate[Byte](64)(i => (i * 13 + 7).toByte)
+    val good = Mp4.buildMjpeg(90000L, 3000L, 8, 8,
+      Seq(jpeg(255), jpeg(0)))
+    val corrupt = Mp4.buildMjpeg(90000L, 3000L, 8, 8,
+      Seq(jpeg(255), garbage, jpeg(0)))
+    val out = FrameDecoder.Mjpeg.decodeBatch(Array(good, corrupt), 4)
+    // control: decodes, with the absent-frame sentinel past frame 2
+    assert(out(0) != null && out(0)(3) == -1.0)
+    // corrupt mid-frame: whole payload null, never a -1.0 slot
+    assert(out(1) == null)
+  }
+
   test("Mp4.samples expands stsz/stsc/stco exactly (round-trips the " +
     "MJPEG writer) and is None on metadata-only or non-MP4 bytes") {
     val frames = Seq(Array.tabulate[Byte](100)(_.toByte),
