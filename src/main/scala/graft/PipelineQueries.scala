@@ -975,8 +975,12 @@ object PipelineQueries {
       val xx = graft.ops.VecExpressions
         .dot(col("embedding"), col("embedding"))
       embs(s, d)
+        // computeOnce pins the self-dot in this projection: the
+        // xx > 0 filter otherwise sinks below it and re-runs the dot
+        // in a Filter (PlanAudit r11)
         .select(col("label"),
-          Similarity.jlProject(col("embedding"), m).as("y"), xx.as("xx"))
+          Similarity.jlProject(col("embedding"), m).as("y"),
+          graft.ops.PlanHints.computeOnce(xx).as("xx"))
         .where(col("xx") > 0)
         .select(col("label"),
           ((graft.ops.VecExpressions.dot(col("y"), col("y")) /
@@ -1019,9 +1023,15 @@ object PipelineQueries {
     (s, d) => {
       val m = Similarity.signProjection(EmbDim, RpK)
       val e = embs(s, d)
-      val base = e.select(col("vec_id"), col("label"), col("embedding"),
-        Similarity.lshBucket(
-          Similarity.jlProject(col("embedding"), m), 8).as("bucket"))
+      // null-filter + KnownNotNull so the bucket join key is
+      // non-nullable — otherwise the inferred IsNotNull re-runs the
+      // project+hash kernel in a pushed-down Filter (PlanAudit r11)
+      val base = e.where(col("embedding").isNotNull)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          Similarity.lshBucket(
+            Similarity.jlProject(
+              graft.ops.PlanHints.knownNotNull(col("embedding")), m), 8)
+            .as("bucket"))
       def top1(pairs: DataFrame): DataFrame = pairs
         .groupBy(col("src"))
         .agg(max(struct(col("cos"), (-col("dst")).as("nd"))).as("__m"))
@@ -4484,7 +4494,11 @@ object PipelineQueries {
       val sem = d0.select(col("doc_id"),
           aggregate(zip_with(cnt, typedLit(qc.toSeq), (a, b) => a * b),
             lit(0L), (acc, v) => acc + v).as("__dot"),
-          aggregate(cnt, lit(0L), (acc, x) => acc + x * x).as("__ss"))
+          graft.ops.PlanHints.computeOnce(
+            aggregate(cnt, lit(0L), (acc, x) => acc + x * x)).as("__ss"))
+        // __ss is computeOnce-pinned: a pushable __ss > 0 would sink
+        // below the projection and re-run the hash-embed fold in a
+        // Filter (PlanAudit r11)
         .where(col("__ss") > 0)
         .select(col("doc_id"),
           round(col("__dot").cast("double") /
@@ -4902,6 +4916,111 @@ object PipelineQueries {
       "CAST(sum(CASE WHEN f0 = f1 THEN 1 ELSE 0 END) AS BIGINT) " +
       "AS n_frame_dups " +
       "FROM f GROUP BY source ORDER BY source")
+
+  /** AVI container-metadata round-trip (round-11 honest-codec
+    * widening): per-doc parameters → minimal RIFF AVI bytes
+    * ([[Multimodal.aviBuildColumn]], DIB or RLE8 by id parity) →
+    * chunk-walk parse ([[Multimodal.aviMetaColumn]]) → per-(source,
+    * codec) aggregates. The oracle recomputes every aggregate from
+    * the parameter formulas, so a writer or parser that mis-reads
+    * any little-endian header field — avih frame counts, strf
+    * bpp/compression, integer-division duration — breaks the hash.
+    * Bytes never shuffle; only the parsed struct reaches the agg. */
+  private val multimodalAvi = Q("q_multimodal_avi",
+    (s, d) => {
+      val src = docs(s, d).select(col("doc_id"), col("source"),
+        (lit(16) * (pmod(col("doc_id"), lit(13)) + 1)).cast("int").as("w"),
+        (lit(16) * (pmod(col("doc_id"), lit(9)) + 1)).cast("int").as("h"),
+        (lit(20000L) + pmod(col("doc_id"), lit(7)) * 5000L).as("us"),
+        (pmod(col("doc_id"), lit(4)) + 2).cast("int").as("nf"),
+        pmod(col("doc_id"), lit(2)).cast("int").as("rle"))
+      val built = Multimodal.aviBuildColumn(src, "w", "h", "us", "nf",
+        "rle")
+      Multimodal.aviMetaColumn(built, "media")
+        .groupBy(col("source"), col("avi.codec").as("codec"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("avi.width").cast("long")).as("sum_w"),
+          sum(col("avi.height").cast("long")).as("sum_h"),
+          sum(col("avi.n_frames")).as("sum_frames"),
+          sum(col("avi.duration_ms")).as("sum_dur_ms"),
+          sum(col("avi.bpp").cast("long")).as("sum_bpp"))
+        .orderBy("source", "codec")
+    },
+    "WITH p AS (SELECT doc_id, source, " +
+      "CASE doc_id % 2 WHEN 0 THEN 'dib' ELSE 'mrle' END AS codec, " +
+      "16 * ((doc_id % 13) + 1) AS w, 16 * ((doc_id % 9) + 1) AS h, " +
+      "20000 + (doc_id % 7) * 5000 AS us, (doc_id % 4) + 2 AS nf, " +
+      "CASE doc_id % 2 WHEN 0 THEN 24 ELSE 8 END AS bpp " +
+      "FROM documents) " +
+      "SELECT source, codec, count(*) AS n, " +
+      "CAST(sum(w) AS BIGINT) AS sum_w, " +
+      "CAST(sum(h) AS BIGINT) AS sum_h, " +
+      "CAST(sum(nf) AS BIGINT) AS sum_frames, " +
+      "CAST(sum(nf * us // 1000) AS BIGINT) AS sum_dur_ms, " +
+      "CAST(sum(bpp) AS BIGINT) AS sum_bpp " +
+      "FROM p GROUP BY source, codec ORDER BY source, codec")
+
+  /** AVI FRAME decode through the [[graft.ops.FrameDecoder]] seam —
+    * the second honest codec family after MJPEG: per-doc parameters
+    * → 3-frame 32×32 block-pattern clips carried as raw DIB for even
+    * ids and Microsoft RLE8 for odd ids
+    * ([[Multimodal.aviPatternColumn]]) → the built-in
+    * [[graft.ops.FrameDecoder.AviFrames]] (movi chunk walk →
+    * BMP re-wrap → ImageIO pixel decode, including the RLE8
+    * run/escape state machine → per-frame aHash) → per-(source,
+    * codec) aggregates. Both encodings must produce IDENTICAL
+    * features (same pixels), so grouping by codec pins the RLE8
+    * decoder against the raw path; even seeds repeat frame 0 as
+    * frame 1 (`n_frame_dups` — within-clip dedup through real
+    * decode). Bytes never shuffle. */
+  private val multimodalAviDecode = Q("q_multimodal_avidecode",
+    (s, d) => {
+      val params = docs(s, d).select(col("doc_id"), col("source"),
+          pmod(col("doc_id"), lit(50L)).cast("int").as("seed"),
+          pmod(col("doc_id"), lit(2L)).cast("int").as("rle"))
+        .withColumn("k0",
+          (pmod(col("seed") * 11 + 5, lit(32)) + 8).cast("int"))
+        .withColumn("k1",
+          (pmod(col("seed") * 11 + 5 + pmod(col("seed"), lit(2)) * 13,
+            lit(32)) + 8).cast("int"))
+        .withColumn("k2",
+          (pmod(col("seed") * 3 + 17, lit(32)) + 8).cast("int"))
+      val built = Multimodal.aviPatternColumn(params,
+        Seq("k0", "k1", "k2"), "rle")
+      Multimodal.decodeColumn(built, "media", "avi", featDim = 3)
+        .select(col("source"), col("rle"),
+          element_at(col("features"), 1).cast("long").as("f0"),
+          element_at(col("features"), 2).cast("long").as("f1"),
+          element_at(col("features"), 3).cast("long").as("f2"))
+        .groupBy(col("source"), col("rle"))
+        .agg(count(lit(1)).as("n_clips"),
+          sum(col("f0")).as("sum_f0"),
+          sum(col("f1")).as("sum_f1"),
+          sum(col("f2")).as("sum_f2"),
+          countDistinct(col("f0")).as("n_distinct_f0"),
+          sum(when(col("f0") === col("f1"), 1L).otherwise(0L))
+            .as("n_frame_dups"))
+        .orderBy("source", "rle")
+    },
+    "WITH p AS (SELECT doc_id, source, " +
+      "CAST(doc_id % 50 AS INT) AS seed, " +
+      "CAST(doc_id % 2 AS INT) AS rle FROM documents), " +
+      "k AS (SELECT source, rle, " +
+      "(seed*11 + 5) % 32 + 8 AS k0, " +
+      "(seed*11 + 5 + (seed%2)*13) % 32 + 8 AS k1, " +
+      "(seed*3 + 17) % 32 + 8 AS k2 FROM p), " +
+      "f AS (SELECT source, rle, " +
+      "(CAST(1 AS BIGINT) << k0) - 1 AS f0, " +
+      "(CAST(1 AS BIGINT) << k1) - 1 AS f1, " +
+      "(CAST(1 AS BIGINT) << k2) - 1 AS f2 FROM k) " +
+      "SELECT source, rle, count(*) AS n_clips, " +
+      "CAST(sum(f0) AS BIGINT) AS sum_f0, " +
+      "CAST(sum(f1) AS BIGINT) AS sum_f1, " +
+      "CAST(sum(f2) AS BIGINT) AS sum_f2, " +
+      "count(DISTINCT f0) AS n_distinct_f0, " +
+      "CAST(sum(CASE WHEN f0 = f1 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_frame_dups " +
+      "FROM f GROUP BY source, rle ORDER BY source, rle")
 
   /** MP4 container-metadata round-trip: per-doc parameters → minimal
     * ISO BMFF bytes ([[Multimodal.mp4BuildColumn]]) → box-walk parse
@@ -5795,10 +5914,16 @@ object PipelineQueries {
     * identical integer registers, so the kept set is exact. */
   private val sampleTopQuantile = Q("q_sample_topquantile",
     (s, d) => {
-      val scored = graft.ops.QualityClassifier
+      // persisted (3 narrow columns, the winsorize/selectBudget
+      // doctrine): the scored frame feeds BOTH the sketch pass and
+      // the keep filter — unpersisted, the classifier chain runs
+      // twice per row (PlanAudit r11)
+      val scored = graft.core.CacheRegistry.track(
+        graft.ops.QualityClassifier
         .withFeatures(docs(s, d), "text")
         .withColumn("score", graft.ops.QualityClassifier.score(ClsWeights))
         .select("doc_id", "source", "score")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val qrow = graft.ops.Sketches.histogramQuantiles(scored,
         col("score"), lo = 0.0, hi = 1.0, nBuckets = 64, qs = Seq(0.75))
         .select("p75")
@@ -5834,10 +5959,14 @@ object PipelineQueries {
     * sketch broadcast back; kept sets pinned by id sums. */
   private val sampleTopQuantileBy = Q("q_sample_topquantile_by",
     (s, d) => {
-      val scored = graft.ops.QualityClassifier
+      // persisted for the same two-consumer reason as
+      // q_sample_topquantile (grouped sketch + keep filter)
+      val scored = graft.core.CacheRegistry.track(
+        graft.ops.QualityClassifier
         .withFeatures(docs(s, d), "text")
         .withColumn("score", graft.ops.QualityClassifier.score(ClsWeights))
         .select("doc_id", "source", "score")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       Sampling.topQuantileByGroup(scored, "source", "score",
           q = 0.75, lo = 0.0, hi = 1.0, nBuckets = 64)
         .groupBy("source")
@@ -6614,8 +6743,16 @@ object PipelineQueries {
     * checksum pins the exact collision set cross-engine. */
   private val dedupWinnow = Q("q_dedup_winnow",
     (s, d) => {
-      val anc = Dedup.winnowAnchors(docs(s, d), "text", "doc_id",
-        SubstrK, WinnowW, keep = Seq("source"))
+      // persisted (id, source, n_windows, anchors — anchors are
+      // ~m/w longs per doc, far narrower than text): the frame feeds
+      // BOTH the explode/count branch and the per-source rollup, and
+      // unpersisted the winnowing kernel runs twice per row, plus a
+      // third time inside InferFiltersFromGenerate's size guard
+      // (PlanAudit r11)
+      val anc = graft.core.CacheRegistry.track(
+        Dedup.winnowAnchors(docs(s, d), "text", "doc_id",
+          SubstrK, WinnowW, keep = Seq("source"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val e = anc.select(col("doc_id"), col("source"),
         explode(col("anchors")).as("fp"))
       val st = e.groupBy("fp").agg(count(lit(1)).as("nocc"))
@@ -9136,5 +9273,5 @@ object PipelineQueries {
     multimodalAudioQuality, dedupThresholdSweep, sampleQuota,
     embedKCore, multimodalFrameDecode, embedBitext, pipelineKanon,
     sampleCurriculum, multimodalVideoDedup, sourceJsonl,
-    pipelineDpRelease, packAudit)
+    pipelineDpRelease, packAudit, multimodalAvi, multimodalAviDecode)
 }

@@ -7,11 +7,21 @@ package graft.ops
   * sample array, and uncompressed 24-bpp BMP is header math plus padded
   * BGR rows. Decoding them for real upgrades the multimodal path from
   * "stub everywhere" to "real decode for codec-less formats, stub only
-  * for compressed codecs (JPEG/MP3/H.264) pending native libraries".
+  * for compressed codecs pending native libraries".
   * Everything is deterministic byte arithmetic — partition-layout
   * independent by construction and exercisable with synthesized media
   * in tests.
-  */
+  *
+  * THE CODEC BOUNDARY (declared permanent for this corpus): real
+  * frame/sample decode covers every format the JDK can honestly
+  * decode — WAV-PCM, BMP, PNG, JPEG, GIF stills via ImageIO;
+  * MJPEG-in-MP4 frames ([[FrameDecoder.Mjpeg]], round 10); AVI
+  * DIB/RLE8 frames ([[FrameDecoder.AviFrames]] via [[Avi]], round
+  * 11). MP3 audio frames and H.264 video frames stay metadata-real
+  * ([[Mp3]]/[[Avc]] bitstream headers) but frame-decode-STUBBED: the
+  * JDK ships neither codec and reimplementing them is out of scope.
+  * The [[FrameDecoder]] registry is the seam a JNI/FFmpeg decoder
+  * registers into without touching any query's shape. */
 object Codecs {
 
   final case class WavInfo(sampleRate: Int, channels: Int, nFrames: Long,

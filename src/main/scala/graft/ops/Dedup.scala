@@ -66,11 +66,18 @@ object Dedup {
     * is unreachable for non-null input (x mod P < P). */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         keep: Seq[String] = Nil): DataFrame = {
+    // each sig column is KnownNotNull (the kernel array always has
+    // NumPerms entries for non-null text, and text is filtered and
+    // marked below): sig columns serve as equi-join keys in the
+    // incremental/bloom forms, and a NULLABLE key makes
+    // InferFiltersFromConstraints push isnotnull(element_at(kernel))
+    // below this projection — kernel 2x per row (PlanAudit r11)
     val sigCols = (0 until NumPerms).map(i =>
-      element_at(col("__mh"), i + 1).as(s"sig$i"))
+      PlanHints.knownNotNull(element_at(col("__mh"), i + 1)).as(s"sig$i"))
     df.where(col(textCol).isNotNull)
       .select((col(idCol) +: keep.map(col)) :+
-        TextHashExpressions.minhashSigs(col(textCol)).as("__mh"): _*)
+        TextHashExpressions.minhashSigs(
+          PlanHints.knownNotNull(col(textCol))).as("__mh"): _*)
       .select((col(idCol) +: keep.map(col)) ++ sigCols: _*)
   }
 
@@ -458,9 +465,14 @@ object Dedup {
       bits: Array[Long], textCol: String, idCol: String,
       mBits: Int, kHashes: Int): DataFrame = {
     val sigCols = (0 until NumPerms).map(i => s"sig$i")
+    // the bloom test is computeOnce-pinned: each branch's membership
+    // predicate would otherwise sink below the signature projection
+    // and fold the whole sig kernel into a Filter — kernel 2x per
+    // row per branch on top of the documented two-branch recompute
+    // (PlanAudit r11)
     val batch = minhashSignatures(newDf, textCol, idCol)
-      .withColumn("bloom_new",
-        !Bloom.mightContain(bits, sigKey(), mBits, kHashes))
+      .withColumn("bloom_new", PlanHints.computeOnce(
+        !Bloom.mightContain(bits, sigKey(), mBits, kHashes)))
     val definite = batch.where(col("bloom_new"))
     val maybe = batch.where(!col("bloom_new"))
       .join(corpusSigs, sigCols, "left_anti")
@@ -490,9 +502,14 @@ object Dedup {
     // hashing per doc (measured 120s → ~1s at sf0.1)
     val grams = TextHashExpressions.ngramFps(col(textCol), n)
     val bg = benchmark.select(explode(grams).as("g")).distinct()
+    // the gram projection is computeOnce-pinned:
+    // InferFiltersFromGenerate derives `size(__gs) > 0 AND
+    // isnotnull(__gs)` under the explode and pushes it through a
+    // plain projection, re-running the gram kernel in a Filter
+    // (PlanAudit r11). The explicit size guard is gone for the same
+    // reason — explode drops empty/null arrays by itself.
     val cg = corpus
-      .select(col(idCol), grams.as("__gs"))
-      .where(size(col("__gs")) > 0)
+      .select(col(idCol), PlanHints.computeOnce(grams).as("__gs"))
       .select(col(idCol), size(col("__gs")).cast("long").as("n_grams"),
         explode(col("__gs")).as("g"))
     cg.join(broadcast(bg.withColumn("__hit", lit(1))), Seq("g"), "left")
@@ -1076,14 +1093,22 @@ object Dedup {
     // twice per row); non-null text always yields a value in [0, 2^16)
     df.where(col(textCol).isNotNull)
       .select(col(idCol),
-        TextHashExpressions.simhash16(col(textCol)).as("simhash"))
+        TextHashExpressions.simhash16(
+          PlanHints.knownNotNull(col(textCol))).as("simhash"))
 
   /** 60-bit SimHash rows (id, simhash) — [[simhash16]]'s construction
     * at the width band-blocked hamming dedup uses ([[hammingPairs64]]).
     * One codegen'd pass per doc. */
   def simhash60(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol),
-      TextHashExpressions.simhash60(col(textCol)).as("simhash"))
+    // null-filter + KnownNotNull as in [[simhash16]], and additionally
+    // against join-key IsNotNull inference: band keys derived from a
+    // NULLABLE simhash make InferFiltersFromConstraints push
+    // isnotnull(simhash60(text)) below this projection — kernel 2x
+    // per row (PlanAudit r11)
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol),
+        TextHashExpressions.simhash60(
+          PlanHints.knownNotNull(col(textCol))).as("simhash"))
 
   /** Hamming-ball near-dup pairs over a ≤64-bit signature (60-bit
     * SimHash text dedup, 64-bit aHash/pHash image dedup): band the

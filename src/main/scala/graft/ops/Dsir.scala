@@ -90,8 +90,12 @@ object Dsir {
   def importanceWeights(df: DataFrame, textCol: String,
                         ratios: Array[Double]): DataFrame = {
     require(ratios.length == NumBuckets, s"need $NumBuckets ratios")
-    df.withColumn("__w", TextHashExpressions.dsirWeight(col(textCol),
-        NumBuckets, ratios.toSeq))
+    // the weight kernel is computeOnce-pinned: n_feats > 0 would
+    // otherwise sink below the projection and re-run the kernel in a
+    // Filter (PlanAudit r11)
+    df.withColumn("__w", PlanHints.computeOnce(
+        TextHashExpressions.dsirWeight(col(textCol),
+          NumBuckets, ratios.toSeq)))
       .withColumn("log_w", col("__w.log_w"))
       .withColumn("n_feats", col("__w.n_feats"))
       .where(col("n_feats") > 0)

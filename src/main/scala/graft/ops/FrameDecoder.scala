@@ -108,6 +108,58 @@ object FrameDecoder {
       }
   }
 
+  /** REAL frame decode for the AVI container's JVM-decodable codecs:
+    * uncompressed DIB ('00db', BI_RGB) and Microsoft RLE8 ('00dc',
+    * BI_RLE8 — [[Avi]] header). Each movi frame chunk re-wraps as a
+    * standalone BMP ([[Avi.frameToBmp]]) so ImageIO's BMP reader
+    * performs the pixel decode — including the RLE8 run/escape state
+    * machine — and frame j's slot carries its [[Codecs.aHash64]]
+    * folded to the 40-bit digest convention, exactly the [[Mjpeg]]
+    * contract: -1.0 only for "clip shorter than featDim frames",
+    * null for no-parse / no-frames / ANY in-range frame that fails
+    * decode (all-frames-or-nothing). */
+  object AviFrames extends FrameDecoder {
+    private val Fold = (1L << 40) - 1
+    override def codecs: Set[String] = Set("avi", "dib", "mrle")
+    override def decodeBatch(payloads: Array[Array[Byte]],
+                             featDim: Int): Array[Array[Double]] =
+      payloads.map { bytes =>
+        try {
+          (Avi.parseMeta(bytes), Avi.frames(bytes)) match {
+            case (Some(info), Some(fs)) =>
+              val feats = Array.fill(featDim)(-1.0)
+              var any = false
+              var failed = false
+              var j = 0
+              while (j < featDim && j < fs.length && !failed) {
+                val (off, len) = fs(j)
+                val frame = java.util.Arrays.copyOfRange(bytes,
+                  off, off + len)
+                // strict per-codec frame validation BEFORE the pixel
+                // decode: ImageIO's BMP reader is lenient (a truncated
+                // RLE8 stream silently fills the rest with palette 0),
+                // which would let a corrupt frame masquerade as black —
+                // the contract is null for the whole clip instead
+                val valid = info.compression match {
+                  case 0L => frame.length ==
+                    Avi.dibRasterSize(info.width, info.height, info.bpp)
+                  case 1L => Avi.rle8Valid(frame, info.width, info.height)
+                  case _  => true // unknown codec: let ImageIO judge
+                }
+                if (!valid) failed = true
+                else Codecs.aHash64(Avi.frameToBmp(info, frame)) match {
+                  case Some(h) => feats(j) = (h & Fold).toDouble; any = true
+                  case None    => failed = true
+                }
+                j += 1
+              }
+              if (any && !failed) feats else null
+            case _ => null
+          }
+        } catch { case _: Exception => null }
+      }
+  }
+
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, FrameDecoder]()
 
@@ -129,4 +181,5 @@ object FrameDecoder {
   // built-in registrations: JDK-only decoders ship enabled (the seam
   // stays open — a later registration for the same codec wins)
   register(Mjpeg)
+  register(AviFrames)
 }

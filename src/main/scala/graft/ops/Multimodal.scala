@@ -184,6 +184,89 @@ object Multimodal {
     }
   }
 
+  val AviMetaType: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("us_per_frame", LongType),
+    StructField("n_frames", LongType),
+    StructField("codec", StringType),
+    StructField("bpp", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  /** AVI container metadata ([[Avi.parseMeta]]) as a typed struct
+    * column; null for non-AVI bytes. */
+  def aviMetaColumn(df: DataFrame, mediaCol: String,
+                    outCol: String = "avi",
+                    blockSize: Int = 1024): DataFrame =
+    parsedColumn(df, mediaCol, outCol, AviMetaType, blockSize)(b =>
+      Avi.parseMeta(b).map { m =>
+        Row(m.width, m.height, m.usPerFrame, m.nFrames, m.codec,
+          m.bpp, m.durationMs)
+      }.orNull)
+
+  /** Synthesize a minimal AVI per row from parameter columns (frame
+    * payloads are tiny opaque stubs — this is the fixture side of
+    * [[aviMetaColumn]]'s container round-trip; REAL frames come from
+    * [[aviPatternColumn]]). rleCol ≠ 0 selects BI_RLE8/'mrle'. */
+  def aviBuildColumn(df: DataFrame, wCol: String, hCol: String,
+                     usCol: String, nFramesCol: String, rleCol: String,
+                     outCol: String = "media"): DataFrame = {
+    val schema = df.schema.add(outCol, BinaryType)
+    val is = Seq(wCol, hCol, usCol, nFramesCol, rleCol)
+      .map(df.schema.fieldIndex)
+    mapBatched(df, schema) { it =>
+      it.map { row =>
+        val n = row.getInt(is(3))
+        val frames = (0 until n).map(j => Array[Byte](j.toByte, 0, 0, 1))
+        Row.fromSeq(row.toSeq :+ Avi.buildAvi(row.getInt(is(0)),
+          row.getInt(is(1)), row.getLong(is(2)), frames,
+          if (row.getInt(is(4)) != 0) 1 else 0))
+      }
+    }
+  }
+
+  /** Deterministic AVI test-clip builder — [[mjpegPatternColumn]]'s
+    * RIFF sibling for the round-11 honest-codec widening. Frame f of
+    * a row is a 32×32 block pattern (first k_f of the 64 4×4-px
+    * blocks white, rest black) carried as EITHER a raw 24-bpp DIB
+    * frame (rle = 0, [[Avi.encodeDib24]]) or a Microsoft RLE8 frame
+    * (rle = 1, [[Avi.encodeRle8]] + gray palette) inside a REAL AVI
+    * container ([[Avi.buildAvi]]). Both encodings decode to the SAME
+    * pixels, so per-frame aHash = 2^k − 1 independent of codec — the
+    * formula the cross-engine oracle pins, with the codec axis
+    * proving the RLE8 state machine against the raw path. Requires
+    * 0 < k < 64. Batched partition-local map; bytes never shuffle. */
+  def aviPatternColumn(df: DataFrame, kCols: Seq[String], rleCol: String,
+                       outCol: String = "media"): DataFrame = {
+    val schema = df.schema
+      .add(outCol, org.apache.spark.sql.types.BinaryType)
+    val kIdx = kCols.map(df.schema.fieldIndex)
+    val rleIdx = df.schema.fieldIndex(rleCol)
+    mapBatched(df, schema) { it =>
+      it.map { row =>
+        val rle = row.getInt(rleIdx) != 0
+        val frames = kIdx.map { ki =>
+          val k = row.getInt(ki)
+          val gray = new Array[Byte](32 * 32)
+          var y = 0
+          while (y < 32) {
+            var x = 0
+            while (x < 32) {
+              val block = (y / 4) * 8 + (x / 4)
+              gray(y * 32 + x) = if (block < k) -1 /* 0xff */ else 0
+              x += 1
+            }
+            y += 1
+          }
+          if (rle) Avi.encodeRle8(32, 32, gray)
+          else Avi.encodeDib24(32, 32, gray)
+        }
+        Row.fromSeq(row.toSeq :+
+          Avi.buildAvi(32, 32, 40000L, frames, if (rle) 1 else 0))
+      }
+    }
+  }
+
   /** Deterministic PCM16 mono WAV test-tone builder — the audio twin
     * of [[bmpPatternColumn]] (bytes BUILT from row parameters, decoded
     * by the REAL RIFF parser, oracle recomputes from the formulas).

@@ -358,10 +358,20 @@ object Sketches {
     // An Expression child is evaluated exactly once by construction.
     val b = graft.functions.MathExpressions.histBucket(
       x.cast("double"), lo, w, nBuckets)
+    // the null-bucket register must drop AFTER the aggregate: a
+    // bucket-only predicate gets pushed below the agg and through
+    // the projection by Catalyst, re-evaluating the HistBucket
+    // kernel in a separate Filter operator — 2x per row with an
+    // expensive derived x (the round-7 winsorize regression,
+    // re-found by the round-11 PlanAudit). Referencing the
+    // aggregated cnt makes the predicate non-pushable (references
+    // are not a subset of the grouping keys) while `cnt < 0` is
+    // vacuously false on count(1) output, so semantics are
+    // unchanged and the filter runs over ≤ nBuckets+1 rows.
     df.select(group.as("grp"), b.as("bucket"))
       .groupBy("grp", "bucket")
       .agg(count(lit(1)).as("cnt"))
-      .where(col("bucket").isNotNull)
+      .where(col("bucket").isNotNull || col("cnt") < 0L)
   }
 
   /** Per-group interpolated quantiles — [[histogramQuantiles]] with a

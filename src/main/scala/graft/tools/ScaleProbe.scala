@@ -85,7 +85,14 @@ object ScaleProbe {
     "q_sample_curriculum" -> 10, "q_multimodal_videodedup" -> 10,
     "q_source_jsonl" -> 10, "q_pipeline_dprelease" -> 10,
     "q_pack_audit" -> 10, "q_events_cuped" -> 10,
-    "q_events_srm" -> 10, "q_events_power" -> 10)
+    "q_events_srm" -> 10, "q_events_power" -> 10,
+    // round-11: AVI honest-codec family (real-decode linear cost,
+    // like framedecode: honest expectation ≈ input factor)
+    "q_multimodal_avi" -> 10, "q_multimodal_avidecode" -> 10,
+    // round-11: the remaining >1s-at-sf0.1 queries that had no
+    // scaling row (verdict ask #5 — every >1s query gets probed)
+    "q_sample_topquantile_by" -> 10, "q_text_perplexity" -> 10,
+    "q_text_fertility" -> 10)
 
   def main(args: Array[String]): Unit = {
     val sfSmall = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
