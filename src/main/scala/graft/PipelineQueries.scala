@@ -2949,6 +2949,221 @@ object PipelineQueries {
       "AS pair_digest " +
       "FROM lv GROUP BY source ORDER BY source")
 
+  /** Entity resolution on the CUSTOMER table ([[graft.ops.Entity]]):
+    * the structured-record linkage shape (same customer entered
+    * twice with a typo'd key). Fixture side (the multimodal
+    * pattern-builder doctrine — derive dirty records in-plan from
+    * deterministic formulas, resolve with the REAL operator, oracle
+    * recomputes everything): each customer yields its clean record
+    * plus a dirty twin whose digit key carries (custkey mod 3) one
+    * of {exact copy, single substitution, single deletion}, with
+    * every 7th customer overridden to a DOUBLE substitution — the
+    * negative control that must stay unresolved (lev 2 > τ=1).
+    * Resolution = deletion-1 neighborhood blocking (FastSS — 100%
+    * recall at τ=1 by construction, bucket sizes O(match group)) ×
+    * (nation, segment) equality prior → `levenshtein ≤ 1` verify on
+    * candidates only → large-star/small-star closure. The oracle
+    * replays the typo formulas, the neighborhood explode, the same
+    * verify, and a recursive min-label closure, so per-record entity
+    * labels pin bit-for-bit (digest) — including any accidental
+    * cross-customer merges (adjacent keys in the same nation+segment
+    * are genuine lev-1 pairs; both engines must agree on them). */
+  /** Shared oracle CTE chain for the entity-resolution family: typo
+    * fixture (base→d1→d2) → two records per customer (recs) → keys
+    * (rk) → deletion-neighborhood blocking (dk) → candidates → lev
+    * verify → recursive min-label closure → per-record labels
+    * `lab(rid, name, key, nat, seg, entity)`. Callers must open with
+    * WITH RECURSIVE. d1/d2 also pre-compute the arrival-typo column
+    * (`subp2`) the incremental query's fixture uses. */
+  private val entityCtes: String =
+    "base AS (SELECT c_custkey AS k, c_name, " +
+      "c_nationkey AS nat, c_mktsegment AS seg, " +
+      "substr(c_name, 10, 9) AS dg, " +
+      "CAST(c_custkey % 9 AS INT) AS p0, " +
+      "CAST((c_custkey % 9 + 3) % 9 AS INT) AS p1, " +
+      "CAST((c_custkey % 9 + 5) % 9 AS INT) AS p2 FROM customer), " +
+      "d1 AS (SELECT *, substr(dg, 1, p0) || " +
+      "CAST((CAST(substr(dg, p0 + 1, 1) AS INT) + 1) % 10 AS VARCHAR) " +
+      "|| substr(dg, p0 + 2) AS sub0, " +
+      "substr(dg, 1, p0) || substr(dg, p0 + 2) AS del0 FROM base), " +
+      "d2 AS (SELECT *, substr(sub0, 1, p1) || " +
+      "CAST((CAST(substr(sub0, p1 + 1, 1) AS INT) + 1) % 10 AS VARCHAR) " +
+      "|| substr(sub0, p1 + 2) AS sub01, " +
+      "substr(dg, 1, p2) || " +
+      "CAST((CAST(substr(dg, p2 + 1, 1) AS INT) + 1) % 10 AS VARCHAR) " +
+      "|| substr(dg, p2 + 2) AS subp2 FROM d1), " +
+      "recs AS (SELECT k * 2 AS rid, c_name AS name, nat, seg " +
+      "FROM base UNION ALL SELECT k * 2 + 1, 'Customer#' || " +
+      "CASE WHEN k % 7 = 0 THEN sub01 WHEN k % 3 = 1 THEN sub0 " +
+      "WHEN k % 3 = 2 THEN del0 ELSE dg END, nat, seg FROM d2), " +
+      "rk AS (SELECT rid, name, nat, seg, substr(name, 10, 10) AS key " +
+      "FROM recs), " +
+      "dk AS (SELECT rid, nat, seg, unnest(list_prepend(key, " +
+      "[substr(key, 1, i - 1) || substr(key, i + 1) " +
+      "for i in range(1, length(key) + 1)])) AS bk FROM rk), " +
+      "cand AS (SELECT DISTINCT a.rid AS id_a, b.rid AS id_b " +
+      "FROM dk a JOIN dk b ON a.bk = b.bk AND a.nat = b.nat " +
+      "AND a.seg = b.seg AND a.rid < b.rid), " +
+      "ver AS (SELECT id_a, id_b FROM cand " +
+      "JOIN rk ra ON id_a = ra.rid JOIN rk rb ON id_b = rb.rid " +
+      "WHERE levenshtein(ra.name, rb.name) <= 1), " +
+      "sym AS (SELECT id_a AS u, id_b AS v FROM ver " +
+      "UNION SELECT id_b, id_a FROM ver), " +
+      "reach AS (SELECT rid AS node, rid AS r FROM rk " +
+      "UNION SELECT sym.v AS node, reach.r FROM reach " +
+      "JOIN sym ON sym.u = reach.node), " +
+      "comp AS (SELECT node, min(r) AS entity FROM reach " +
+      "GROUP BY node), " +
+      "lab AS (SELECT rk.rid, rk.name, rk.key, rk.nat, rk.seg, " +
+      "comp.entity FROM rk JOIN comp ON rk.rid = comp.node)"
+
+  private val dedupEntity = Q("q_dedup_entity",
+    (s, d) => {
+      val base = s.read.parquet(s"$d/customer.parquet")
+        .select(col("c_custkey").as("k"), col("c_name"),
+          col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+          substring(col("c_name"), 10, 9).as("dg"),
+          (col("c_custkey") % 9).cast("int").as("p0"),
+          ((col("c_custkey") % 9 + 3) % 9).cast("int").as("p1"))
+      def subAt(dgc: org.apache.spark.sql.Column, p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(dgc.substr(lit(1), p),
+          ((dgc.substr(p + 1, lit(1)).cast("int") + 1) % 10)
+            .cast("string"),
+          dgc.substr(p + 2, lit(9)))
+      def delAt(dgc: org.apache.spark.sql.Column, p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(dgc.substr(lit(1), p), dgc.substr(p + 2, lit(9)))
+      val sub0 = subAt(col("dg"), col("p0"))
+      val dirtyDigits = when(col("k") % 7 === 0, subAt(sub0, col("p1")))
+        .when(col("k") % 3 === 1, sub0)
+        .when(col("k") % 3 === 2, delAt(col("dg"), col("p0")))
+        .otherwise(col("dg"))
+      val clean = base.select((col("k") * 2).as("rid"),
+        col("c_name").as("name"), col("nat"), col("seg"))
+      val dirty = base.select((col("k") * 2 + 1).as("rid"),
+        concat(lit("Customer#"), dirtyDigits).as("name"),
+        col("nat"), col("seg"))
+      val rec = clean.unionByName(dirty)
+        .withColumn("key", substring(col("name"), 10, 10))
+      val resolved = graft.ops.Entity.resolve(rec, "rid", "key",
+        "name", Seq("nat", "seg"), tau = 1)
+      val pe = resolved.groupBy(col("seg"), col("entity"))
+        .agg(count(lit(1)).as("sz"),
+          sum(pmod(col("entity") * 131L + col("rid"),
+            lit(CleanSumMod))).as("dsum"))
+      pe.groupBy("seg")
+        .agg(sum(col("sz")).as("n_records"),
+          count(lit(1)).as("n_entities"),
+          max(col("sz")).as("max_entity"),
+          sum(when(col("sz") > 1, col("sz") - 1L).otherwise(0L))
+            .as("n_merged"),
+          sum(col("dsum")).as("entity_digest"))
+        .orderBy("seg")
+    },
+    s"WITH RECURSIVE $entityCtes, " +
+      "pe AS (SELECT seg, entity, count(*) AS sz, " +
+      s"sum((entity * 131 + rid) % $CleanSumMod) AS dsum " +
+      "FROM lab GROUP BY seg, entity) " +
+      "SELECT seg, CAST(sum(sz) AS BIGINT) AS n_records, " +
+      "count(*) AS n_entities, CAST(max(sz) AS BIGINT) AS max_entity, " +
+      "CAST(sum(CASE WHEN sz > 1 THEN sz - 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_merged, CAST(sum(dsum) AS BIGINT) AS entity_digest " +
+      "FROM pe GROUP BY seg ORDER BY seg")
+
+  /** Steady-state entity resolution ([[graft.ops.Entity
+    * .resolveAgainst]]): arrivals probe the RESOLVED archive's
+    * deletion-neighborhood index ([[graft.ops.Entity.archiveIndex]])
+    * and take the minimum verified archive entity, or stay fresh —
+    * the archive never self-joins again (the incremental-dedup
+    * discipline), and each arrival's label depends only on itself
+    * and the static index, so the same plan runs on a streaming
+    * frame (stream-static left join + keyed aggregate; see
+    * EntitySpec's batch-split invariance row). Fixture: every 5th
+    * customer sends a THIRD record typo'd at a fresh position
+    * (matches its archived entity through either archived twin);
+    * every (5k+3)rd sends a record whose key leads with 'XX' — lev
+    * ≥ 2 from every all-digit archive key, the must-stay-fresh
+    * control. The oracle replays the archive closure (shared CTEs),
+    * the index explode, and the probe, pinning every arrival's
+    * entity in the digest. */
+  private val dedupEntityIncremental = Q("q_dedup_entity_incremental",
+    (s, d) => {
+      val base = s.read.parquet(s"$d/customer.parquet")
+        .select(col("c_custkey").as("k"), col("c_name"),
+          col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+          substring(col("c_name"), 10, 9).as("dg"),
+          (col("c_custkey") % 9).cast("int").as("p0"),
+          ((col("c_custkey") % 9 + 3) % 9).cast("int").as("p1"),
+          ((col("c_custkey") % 9 + 5) % 9).cast("int").as("p2"))
+      def subAt(dgc: org.apache.spark.sql.Column,
+                p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(dgc.substr(lit(1), p),
+          ((dgc.substr(p + 1, lit(1)).cast("int") + 1) % 10)
+            .cast("string"),
+          dgc.substr(p + 2, lit(9)))
+      def delAt(dgc: org.apache.spark.sql.Column,
+                p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(dgc.substr(lit(1), p), dgc.substr(p + 2, lit(9)))
+      val sub0 = subAt(col("dg"), col("p0"))
+      val dirtyDigits = when(col("k") % 7 === 0, subAt(sub0, col("p1")))
+        .when(col("k") % 3 === 1, sub0)
+        .when(col("k") % 3 === 2, delAt(col("dg"), col("p0")))
+        .otherwise(col("dg"))
+      val rec = base.select((col("k") * 2).as("rid"),
+          col("c_name").as("name"), col("nat"), col("seg"))
+        .unionByName(base.select((col("k") * 2 + 1).as("rid"),
+          concat(lit("Customer#"), dirtyDigits).as("name"),
+          col("nat"), col("seg")))
+        .withColumn("key", substring(col("name"), 10, 10))
+      val resolved = graft.ops.Entity.resolve(rec, "rid", "key",
+        "name", Seq("nat", "seg"), tau = 1)
+      val index = graft.ops.Entity.archiveIndex(resolved, "key",
+        "name", Seq("nat", "seg"))
+      val arrivals = base
+        .where(col("k") % 5 === 0 || col("k") % 5 === 3)
+        .select((col("k") * 2 + 1000000000L).as("rid"),
+          concat(lit("Customer#"),
+            when(col("k") % 5 === 0, subAt(col("dg"), col("p2")))
+              .otherwise(concat(lit("XX"),
+                col("dg").substr(lit(3), lit(9))))).as("name"),
+          col("nat"), col("seg"))
+        .withColumn("key", substring(col("name"), 10, 10))
+      graft.ops.Entity.resolveAgainst(index, arrivals, "rid", "key",
+          "name", Seq("nat", "seg"), tau = 1, keep = Seq("seg"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n_arrivals"),
+          sum(when(col("entity") =!= col("rid"), 1L).otherwise(0L))
+            .as("n_matched"),
+          sum(pmod(col("entity") * 131L + col("rid"),
+            lit(CleanSumMod))).as("arrival_digest"))
+        .orderBy("seg")
+    },
+    s"WITH RECURSIVE $entityCtes, " +
+      "arr AS (SELECT k * 2 + 1000000000 AS rid, 'Customer#' || " +
+      "CASE WHEN k % 5 = 0 THEN subp2 " +
+      "ELSE 'XX' || substr(dg, 3) END AS name, nat, seg FROM d2 " +
+      "WHERE k % 5 = 0 OR k % 5 = 3), " +
+      "ark AS (SELECT rid, name, nat, seg, " +
+      "substr(name, 10, 10) AS key FROM arr), " +
+      "idx AS (SELECT nat, seg, name, entity, " +
+      "unnest(list_prepend(key, [substr(key, 1, i - 1) || " +
+      "substr(key, i + 1) for i in range(1, length(key) + 1)])) " +
+      "AS bk FROM lab), " +
+      "adk AS (SELECT rid, name, nat, seg, " +
+      "unnest(list_prepend(key, [substr(key, 1, i - 1) || " +
+      "substr(key, i + 1) for i in range(1, length(key) + 1)])) " +
+      "AS bk FROM ark), " +
+      "probe AS (SELECT a.rid, a.seg, " +
+      "min(CASE WHEN levenshtein(a.name, i.name) <= 1 " +
+      "THEN i.entity END) AS m FROM adk a LEFT JOIN idx i " +
+      "ON a.bk = i.bk AND a.nat = i.nat AND a.seg = i.seg " +
+      "GROUP BY a.rid, a.seg) " +
+      "SELECT seg, count(*) AS n_arrivals, " +
+      "CAST(sum(CASE WHEN m IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_matched, " +
+      s"CAST(sum((coalesce(m, rid) * 131 + rid) % $CleanSumMod) " +
+      "AS BIGINT) AS arrival_digest " +
+      "FROM probe GROUP BY seg ORDER BY seg")
+
   /** Multi-pattern blocklist filter ([[graft.ops.Blocklist]]): ONE
     * Aho–Corasick pass per document evaluates the whole pattern list —
     * O(|text| + matches) per row, independent of pattern count, where
@@ -9273,5 +9488,6 @@ object PipelineQueries {
     multimodalAudioQuality, dedupThresholdSweep, sampleQuota,
     embedKCore, multimodalFrameDecode, embedBitext, pipelineKanon,
     sampleCurriculum, multimodalVideoDedup, sourceJsonl,
-    pipelineDpRelease, packAudit, multimodalAvi, multimodalAviDecode)
+    pipelineDpRelease, packAudit, multimodalAvi, multimodalAviDecode,
+    dedupEntity, dedupEntityIncremental)
 }

@@ -92,7 +92,10 @@ object ScaleProbe {
     // round-11: the remaining >1s-at-sf0.1 queries that had no
     // scaling row (verdict ask #5 — every >1s query gets probed)
     "q_sample_topquantile_by" -> 10, "q_text_perplexity" -> 10,
-    "q_text_fertility" -> 10)
+    "q_text_fertility" -> 10,
+    // round-11: entity resolution (customer-linear: L+1 blocking
+    // keys per record, near-unique buckets)
+    "q_dedup_entity" -> 10, "q_dedup_entity_incremental" -> 10)
 
   def main(args: Array[String]): Unit = {
     val sfSmall = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -1,0 +1,123 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Entity resolution ([[Entity]]): the FastSS deletion-neighborhood
+  * recall guarantee at τ = 1, the block-column prior, the negative
+  * control (distance-2 records stay unresolved), and transitive
+  * chaining. */
+class EntitySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import scala.jdk.CollectionConverters._
+
+  test("deletionKeys emits the key plus every single-char deletion " +
+    "in position order") {
+    val s = spark
+    import s.implicits._
+    val got = Seq("abc").toDF("k")
+      .select(Entity.deletionKeys(col("k")).as("d"))
+      .head().getSeq[String](0)
+    assert(got == Seq("abc", "bc", "ac", "ab"))
+    // single char: the key and the empty deletion
+    val one = Seq("x").toDF("k")
+      .select(Entity.deletionKeys(col("k")).as("d"))
+      .head().getSeq[String](0)
+    assert(one == Seq("x", ""))
+  }
+
+  test("candidatePairs recall is exactly 100% for lev<=1 key pairs " +
+    "(equal, deletion, substitution, insertion) and the block prior " +
+    "separates otherwise-identical keys") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "12345", "A"), (2L, "12345", "A"),  // equal keys
+      (3L, "1234", "A"),                        // deletion of 1
+      (4L, "12945", "A"),                       // substitution of 1
+      (5L, "912345", "A"),                      // insertion into 1
+      (6L, "99999", "A"),                       // unrelated
+      (7L, "12345", "B")                        // same key, other block
+    ).toDF("rid", "key", "blk")
+    val pairs = Entity.candidatePairs(df, "rid", "key", Seq("blk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every true lev<=1 neighbor of rid 1 is a candidate
+    assert(Set((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).subsetOf(pairs))
+    // the cross-block twin is not
+    assert(!pairs.exists { case (a, b) => a == 7L || b == 7L })
+    // the unrelated key is not
+    assert(!pairs.exists { case (a, b) => a == 6L || b == 6L })
+  }
+
+  test("resolve merges lev<=1 records transitively, leaves the " +
+    "distance-2 negative control alone, and labels every record") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      // chain: 10-11 (sub), 11-12 (sub) — one entity via closure
+      (10L, "77123", "n77123", "A"),
+      (11L, "77124", "n77124", "A"),
+      (12L, "77125", "n77125", "A"),
+      // negative control: lev 2 from everything
+      (13L, "77888", "n77888", "A"),
+      // singleton in its own block
+      (14L, "77123", "n77123", "B")
+    ).toDF("rid", "key", "name", "blk")
+    val got = Entity.resolve(df, "rid", "key", "name", Seq("blk"))
+      .select("rid", "entity").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(10L) == 10L && got(11L) == 10L && got(12L) == 10L)
+    assert(got(13L) == 13L)
+    assert(got(14L) == 14L)
+    assert(got.size == 5)
+  }
+
+  test("resolveAgainst: arrivals link to the archive index (typo'd, " +
+    "exact) or stay fresh, and the assignment is batch-split " +
+    "invariant (the steady-state / streaming contract)") {
+    val s = spark
+    import s.implicits._
+    val archive = Seq(
+      (10L, "77123", "n77123", "A"),
+      (11L, "77124", "n77124", "A"),  // merges with 10 (lev 1)
+      (20L, "88888", "n88888", "A")
+    ).toDF("rid", "key", "name", "blk")
+    val resolved = Entity.resolve(archive, "rid", "key", "name",
+      Seq("blk"))
+    val index = Entity.archiveIndex(resolved, "key", "name", Seq("blk"))
+    val arrivals = Seq(
+      (100L, "77125", "n77125", "A"),  // lev 1 of 11 -> entity 10
+      (101L, "88888", "n88888", "A"),  // exact match of 20
+      (102L, "77125", "n77125", "B"),  // right key, wrong block
+      (103L, "55555", "n55555", "A")   // fresh
+    ).toDF("rid", "key", "name", "blk")
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      Entity.resolveAgainst(index, df, "rid", "key", "name",
+        Seq("blk")).select("rid", "entity").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = assign(arrivals)
+    assert(got == Map(100L -> 10L, 101L -> 20L, 102L -> 102L,
+      103L -> 103L))
+    // batch-split invariance: each half assigned alone == together
+    val half1 = assign(arrivals.where(col("rid") <= 101L))
+    val half2 = assign(arrivals.where(col("rid") > 101L))
+    assert(half1 ++ half2 == got)
+  }
+
+  test("verification gates the blocking: names more than tau apart " +
+    "never merge even when keys collide") {
+    val s = spark
+    import s.implicits._
+    // same key (candidate for sure), names lev 5 apart
+    val df = Seq(
+      (1L, "55555", "alphaaaa", "A"),
+      (2L, "55555", "omegazzz", "A")
+    ).toDF("rid", "key", "name", "blk")
+    val got = Entity.resolve(df, "rid", "key", "name", Seq("blk"))
+      .select("rid", "entity").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 1L && got(2L) == 2L)
+  }
+}
