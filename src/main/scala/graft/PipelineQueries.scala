@@ -3164,6 +3164,34 @@ object PipelineQueries {
       "AS BIGINT) AS arrival_digest " +
       "FROM probe GROUP BY seg ORDER BY seg")
 
+  /** Scan-free parquet-footer metadata query
+    * ([[graft.ops.ParquetMeta]]): count / min / max / null-count of
+    * `documents.doc_id` computed ENTIRELY from row-group footer
+    * statistics — no data page is read — against the oracle's full
+    * scan. Metadata == data is the exact correctness property a
+    * manifest/catalog answer needs at 100 TB (where this is a
+    * seconds-vs-cluster-hours distinction). `n_nostats` pins that
+    * every row group actually carried statistics (a group without
+    * stats makes the metadata answer unknowable, and min/max over
+    * nulls would silently understate — the guard turns that into a
+    * visible mismatch). */
+  private val sourceParquetMeta = Q("q_source_parquetmeta",
+    (s, d) => {
+      val rg = graft.ops.ParquetMeta.rowGroupStats(s,
+        s"$d/documents.parquet", "doc_id")
+      rg.agg(
+        sum(col("n_rows")).as("total_rows"),
+        min(col("min_v")).as("min_id"),
+        max(col("max_v")).as("max_id"),
+        sum(col("n_nulls")).as("null_ids"),
+        sum(when(col("min_v").isNull || col("max_v").isNull, 1L)
+          .otherwise(0L)).as("n_nostats"))
+    },
+    "SELECT count(*) AS total_rows, min(doc_id) AS min_id, " +
+      "max(doc_id) AS max_id, " +
+      "CAST(count(*) - count(doc_id) AS BIGINT) AS null_ids, " +
+      "CAST(0 AS BIGINT) AS n_nostats FROM documents")
+
   /** Multi-pattern blocklist filter ([[graft.ops.Blocklist]]): ONE
     * Aho–Corasick pass per document evaluates the whole pattern list —
     * O(|text| + matches) per row, independent of pattern count, where
@@ -9489,5 +9517,5 @@ object PipelineQueries {
     embedKCore, multimodalFrameDecode, embedBitext, pipelineKanon,
     sampleCurriculum, multimodalVideoDedup, sourceJsonl,
     pipelineDpRelease, packAudit, multimodalAvi, multimodalAviDecode,
-    dedupEntity, dedupEntityIncremental)
+    dedupEntity, dedupEntityIncremental, sourceParquetMeta)
 }

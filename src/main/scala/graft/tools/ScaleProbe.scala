@@ -95,7 +95,10 @@ object ScaleProbe {
     "q_text_fertility" -> 10,
     // round-11: entity resolution (customer-linear: L+1 blocking
     // keys per record, near-unique buckets)
-    "q_dedup_entity" -> 10, "q_dedup_entity_incremental" -> 10)
+    "q_dedup_entity" -> 10, "q_dedup_entity_incremental" -> 10,
+    // round-11: footer-only metadata (cost scales with FILE count,
+    // not data volume — the honest expectation is far sub-linear)
+    "q_source_parquetmeta" -> 10)
 
   def main(args: Array[String]): Unit = {
     val sfSmall = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
