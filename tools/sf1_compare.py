@@ -71,10 +71,20 @@ for name in sorted(sqls, key=prio):
         bad += 1
         print('ERR', name, str(ex)[:120], flush=True)
 
-out = {'scale': 'sf1 (10x sf0.1, GenScale)', 'data': data,
-       'compared': done, 'failed': bad,
-       'skipped': sum(1 for r in results.values() if 'skipped' in r),
-       'queries': results}
+# MERGE into the existing artifact (same lesson as the round-11
+# BENCH_BEST sf-keying fix: a subset run must never discard rows a
+# previous run accumulated)
+try:
+    out = json.load(open('CORRECTNESS_sf1_local.json'))
+except Exception:
+    out = {'scale': 'sf1 (10x sf0.1, GenScale)', 'data': data,
+           'queries': {}}
+out['queries'].update(results)
+out['queries'] = dict(sorted(out['queries'].items()))
+out['compared'] = sum(1 for r in out['queries'].values() if 'rows' in r)
+out['failed'] = sum(1 for r in out['queries'].values()
+                    if 'rows' in r and not r['match'])
+out['skipped'] = sum(1 for r in out['queries'].values() if 'skipped' in r)
 json.dump(out, open('CORRECTNESS_sf1_local.json', 'w'), indent=1)
 print(f'{done - bad}/{done} matched '
       f'({out["skipped"]} budget-skipped)', flush=True)
