@@ -1010,6 +1010,32 @@ object StreamingOps {
     nBatches.get()
   }
 
+  /** Steady-state entity resolution: arriving records resolve
+    * against the persisted [[graft.ops.Entity.archiveIndex]]
+    * (deletion-neighborhood blocking + levenshtein verify against
+    * the static index only — the archive never self-joins). Each
+    * arrival's entity label depends only on itself and the index, so
+    * the union of micro-batch outputs == the batch
+    * [[graft.ops.Entity.resolveAgainst]] row for row
+    * (StreamingSpec). */
+  def entityResolveStream(arrivals: DataFrame, index: DataFrame,
+      idCol: String, keyCol: String, nameCol: String,
+      blockCols: Seq[String], tau: Int = 1, keep: Seq[String] = Nil)
+      (sink: DataFrame => Unit): Long = {
+    val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = arrivals.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.ops.Entity.resolveAgainst(index, batch, idCol,
+          keyCol, nameCol, blockCols, tau, keep))
+        nBatches.incrementAndGet()
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    nBatches.get()
+  }
+
   final case class AbUser(user: Long, arm: Long, x: Long, y: Long)
 
   /** Streaming experiment monitoring — the incremental twin of

@@ -1515,6 +1515,62 @@ class StreamingSpec extends AnyFunSuite {
     archive.unpersist()
   }
 
+  test("steady-state entity resolution: arriving records resolved " +
+    "against the persisted archive index match the batch form row " +
+    "for row under a 3-way split") {
+    import graft.ops.Entity
+    val s = spark
+    import s.implicits._
+    val archive = Seq(
+      (10L, "77123", "n77123", "A"),
+      (11L, "77124", "n77124", "A"), // merges with 10 (lev 1)
+      (20L, "88888", "n88888", "A"),
+      (30L, "55555", "n55555", "B")
+    ).toDF("rid", "key", "name", "blk")
+    val resolved = Entity.resolve(archive, "rid", "key", "name",
+      Seq("blk"))
+    val index = Entity.archiveIndex(resolved, "key", "name",
+      Seq("blk")).persist()
+    index.count()
+    val arrivals = Seq(
+      (100L, "77125", "n77125", "A"), // lev 1 of 11 -> entity 10
+      (101L, "88888", "n88888", "A"), // exact match of 20
+      (102L, "77125", "n77125", "B"), // right key, wrong block
+      (103L, "55556", "n55556", "B"), // lev 1 of 30 in block B
+      (104L, "99999", "n99999", "A"), // fresh
+      (105L, "7712", "n7712", "A")    // deletion of 77123/77124
+    ).toDF("rid", "key", "name", "blk")
+    val want = Entity.resolveAgainst(index, arrivals, "rid", "key",
+        "name", Seq("blk")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(want == Map(100L -> 10L, 101L -> 20L, 102L -> 102L,
+      103L -> 30L, 104L -> 104L, 105L -> 10L))
+    val rows = arrivals.collect().map(r => (r.getLong(0),
+      r.getString(1), r.getString(2), r.getString(3)))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("entity_stream").toFile
+    tmp.deleteOnExit()
+    rows.grouped(2).zipWithIndex.foreach { case (sl, i) =>
+      val p = new java.io.File(tmp, s"slice$i")
+      sl.toSeq.toDF("rid", "key", "name", "blk").coalesce(1)
+        .write.parquet(p.toString)
+      p.listFiles().foreach(f =>
+        f.setLastModified(1700000000000L + i * 60000L))
+    }
+    val stream = spark.readStream
+      .schema(arrivals.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/*")
+    val got = scala.collection.mutable.Map.empty[Long, Long]
+    val n = graft.streaming.StreamingOps.entityResolveStream(
+      stream, index, "rid", "key", "name", Seq("blk")) { out =>
+      out.collect().foreach(r => got(r.getLong(0)) = r.getLong(1))
+    }
+    assert(n >= 3, s"expected >=3 micro-batches, got $n")
+    assert(got.toMap == want, s"$got vs $want")
+    index.unpersist()
+  }
+
   test("incremental k-core staleness: arrivals streamed against the " +
     "persisted core snapshot match the batch form row for row, and " +
     "the stale flag fires exactly when the degree bound reaches k") {
