@@ -3164,6 +3164,88 @@ object PipelineQueries {
       "AS BIGINT) AS arrival_digest " +
       "FROM probe GROUP BY seg ORDER BY seg")
 
+  /** Entity-resolution quality harness (the q_dedup_lsh_recall
+    * discipline applied to record linkage): the fixture KNOWS the
+    * ground truth — every clean/dirty twin with ≤ 1 planted edit is
+    * an intended match, every double-substitution twin is not — so
+    * recall is measurable, not asserted. The FastSS blocking
+    * guarantee (a lev ≤ 1 pair ALWAYS shares a deletion-neighborhood
+    * key) plus the exact verify make intended-pair recall exactly
+    * 100%, and the oracle COMPUTES that from its own replay rather
+    * than trusting it. `n_accidental` counts double-edit twins that
+    * still ended up co-entity — reachable only through transitive
+    * chains via third records, a real phenomenon both engines must
+    * agree on, not an error. */
+  private val dedupEntityQuality = Q("q_dedup_entity_quality",
+    (s, d) => {
+      val base = s.read.parquet(s"$d/customer.parquet")
+        .select(col("c_custkey").as("k"), col("c_name"),
+          col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+          substring(col("c_name"), 10, 9).as("dg"),
+          (col("c_custkey") % 9).cast("int").as("p0"),
+          ((col("c_custkey") % 9 + 3) % 9).cast("int").as("p1"))
+      def subAt(dgc: org.apache.spark.sql.Column,
+                p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(dgc.substr(lit(1), p),
+          ((dgc.substr(p + 1, lit(1)).cast("int") + 1) % 10)
+            .cast("string"),
+          dgc.substr(p + 2, lit(9)))
+      def delAt(dgc: org.apache.spark.sql.Column,
+                p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(dgc.substr(lit(1), p), dgc.substr(p + 2, lit(9)))
+      val sub0 = subAt(col("dg"), col("p0"))
+      val dirtyDigits = when(col("k") % 7 === 0, subAt(sub0, col("p1")))
+        .when(col("k") % 3 === 1, sub0)
+        .when(col("k") % 3 === 2, delAt(col("dg"), col("p0")))
+        .otherwise(col("dg"))
+      val rec = base.select((col("k") * 2).as("rid"),
+          col("c_name").as("name"), col("nat"), col("seg"))
+        .unionByName(base.select((col("k") * 2 + 1).as("rid"),
+          concat(lit("Customer#"), dirtyDigits).as("name"),
+          col("nat"), col("seg")))
+        .withColumn("key", substring(col("name"), 10, 10))
+      // persisted narrow (rid, entity) map: it feeds BOTH the clean-
+      // and dirty-side joins — unpersisted, the whole blocking +
+      // verify chain upstream of the closure would run twice
+      val resolved = graft.core.CacheRegistry.track(
+        graft.ops.Entity.resolve(rec, "rid", "key",
+          "name", Seq("nat", "seg"), tau = 1)
+        .select("rid", "entity")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val pairs = base.select(col("k"),
+          (col("k") % 7 =!= 0).as("intended"))
+        .join(resolved.select(col("rid").as("__ra"),
+          col("entity").as("ea")), col("__ra") === col("k") * 2)
+        .join(resolved.select(col("rid").as("__rb"),
+          col("entity").as("eb")), col("__rb") === col("k") * 2 + 1)
+        .withColumn("merged", col("ea") === col("eb"))
+      pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("intended"), 1L).otherwise(0L)).as("n_intended"),
+        sum(when(col("intended") && col("merged"), 1L).otherwise(0L))
+          .as("n_merged_intended"),
+        round(sum(when(col("intended") && col("merged"), 100.0)
+            .otherwise(0.0)) /
+          sum(when(col("intended"), 1L).otherwise(0L)), 5)
+          .as("recall_pct"),
+        sum(when(!col("intended") && col("merged"), 1L).otherwise(0L))
+          .as("n_accidental"))
+    },
+    s"WITH RECURSIVE $entityCtes, " +
+      "pl AS (SELECT b.k, " +
+      "CASE WHEN b.k % 7 = 0 THEN 0 ELSE 1 END AS intended, " +
+      "la.entity AS ea, lb.entity AS eb FROM base b " +
+      "JOIN lab la ON la.rid = b.k * 2 " +
+      "JOIN lab lb ON lb.rid = b.k * 2 + 1) " +
+      "SELECT count(*) AS n_pairs, " +
+      "CAST(sum(intended) AS BIGINT) AS n_intended, " +
+      "CAST(sum(CASE WHEN intended = 1 AND ea = eb THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_merged_intended, " +
+      "round(sum(CASE WHEN intended = 1 AND ea = eb THEN 100.0 " +
+      "ELSE 0.0 END) / sum(intended), 5) AS recall_pct, " +
+      "CAST(sum(CASE WHEN intended = 0 AND ea = eb THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_accidental FROM pl")
+
   /** Scan-free parquet-footer metadata query
     * ([[graft.ops.ParquetMeta]]): count / min / max / null-count of
     * `documents.doc_id` computed ENTIRELY from row-group footer
@@ -9517,5 +9599,6 @@ object PipelineQueries {
     embedKCore, multimodalFrameDecode, embedBitext, pipelineKanon,
     sampleCurriculum, multimodalVideoDedup, sourceJsonl,
     pipelineDpRelease, packAudit, multimodalAvi, multimodalAviDecode,
-    dedupEntity, dedupEntityIncremental, sourceParquetMeta)
+    dedupEntity, dedupEntityIncremental, sourceParquetMeta,
+    dedupEntityQuality)
 }

@@ -96,6 +96,7 @@ object ScaleProbe {
     // round-11: entity resolution (customer-linear: L+1 blocking
     // keys per record, near-unique buckets)
     "q_dedup_entity" -> 10, "q_dedup_entity_incremental" -> 10,
+    "q_dedup_entity_quality" -> 10,
     // round-11: footer-only metadata (cost scales with FILE count,
     // not data volume — the honest expectation is far sub-linear)
     "q_source_parquetmeta" -> 10)
