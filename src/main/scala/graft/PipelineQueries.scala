@@ -4400,6 +4400,64 @@ object PipelineQueries {
         "SELECT agg.*, cs.* FROM agg CROSS JOIN cs"
     })
 
+  /** AMS join-size estimation ([[graft.ops.Sketches.amsJoinSize]],
+    * AGMS 1999): the equi-join cardinality |A ⋈ B| = Σ_k fA(k)·fB(k)
+    * estimated from the inner product of the two sides' AMS sketches
+    * — two linear scans, ≤ depth×width integer cells per side, no
+    * join executed. THE planner question at 100 TB (broadcast vs
+    * shuffle vs skew plan), answered before paying for the join.
+    * Fixture: lineitem-by-supplier vs its high-quantity slice — both
+    * sides genuine multisets, so the answer is not just |A|. The
+    * oracle rebuilds both sketches cell for cell from the shared
+    * hash constants, takes the same median-of-inner-products, AND
+    * computes the exact join count; estimate, exact, and their ratio
+    * all pin bit-exactly (integer cells, one terminal division). */
+  private val statsJoinSize = Q("q_stats_joinsize",
+    (s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val a = li.select(col("l_suppkey").as("k"))
+      val b = li.where(col("l_quantity") > 30.0)
+        .select(col("l_suppkey").as("k"))
+      val skA = graft.ops.Sketches.amsBuild(a, col("k"))
+      val skB = graft.ops.Sketches.amsBuild(b, col("k"))
+      val est = graft.ops.Sketches.amsJoinSize(skA, skB)
+      val exact = a.join(b, "k").agg(count(lit(1)).as("exact_join"))
+      est.crossJoin(exact)
+        .select(col("ams_join"), col("exact_join"),
+          round(col("ams_join") / col("exact_join").cast("double"), 5)
+            .as("ratio"))
+    }, {
+      val P = Dedup.P
+      val W = 64
+      def pairList = (0 until 4).map(r =>
+        s"{'r': $r, 'p': ((${Dedup.MinhashAs(r)} * hp + " +
+          s"${Dedup.MinhashBs(r)}) % $P) % $W, " +
+          s"'s': 1 - 2 * (((${Dedup.MinhashAs(4 + r)} * hp + " +
+          s"${Dedup.MinhashBs(4 + r)}) % $P) % 2)}").mkString(", ")
+      val hashK = TextAnalysis.TokenHashSql("k::VARCHAR")
+      s"WITH a AS (SELECT l_suppkey AS k FROM lineitem), " +
+        "b AS (SELECT l_suppkey AS k FROM lineitem " +
+        "WHERE l_quantity > 30.0), " +
+        s"ha AS (SELECT $hashK % $P AS hp FROM a), " +
+        s"hb AS (SELECT $hashK % $P AS hp FROM b), " +
+        s"occa AS (SELECT unnest([$pairList]) AS u FROM ha), " +
+        s"occb AS (SELECT unnest([$pairList]) AS u FROM hb), " +
+        "ska AS (SELECT u.r AS r, u.p AS p, " +
+        "CAST(sum(u.s) AS BIGINT) AS ca FROM occa GROUP BY 1, 2), " +
+        "skb AS (SELECT u.r AS r, u.p AS p, " +
+        "CAST(sum(u.s) AS BIGINT) AS cb FROM occb GROUP BY 1, 2), " +
+        "ip AS (SELECT ska.r, CAST(sum(ca * cb) AS BIGINT) AS ip " +
+        "FROM ska JOIN skb ON ska.r = skb.r AND ska.p = skb.p " +
+        "GROUP BY ska.r), " +
+        "m AS (SELECT list_sort(list(ip)) AS arr FROM ip), " +
+        "ex AS (SELECT count(*) AS exact_join FROM a JOIN b USING (k)) " +
+        "SELECT CAST(arr[2] + arr[3] AS DOUBLE) / 2.0 AS ams_join, " +
+        "ex.exact_join AS exact_join, " +
+        "round((CAST(arr[2] + arr[3] AS DOUBLE) / 2.0) / " +
+        "CAST(ex.exact_join AS DOUBLE), 5) AS ratio " +
+        "FROM m CROSS JOIN ex"
+    })
+
   /** AMS / Count sketch F2 estimation
     * ([[graft.ops.Sketches.amsBuild]]/[[graft.ops.Sketches.amsF2]]):
     * signed cells from the same universal-hash family as CMS (upper
@@ -9600,5 +9658,5 @@ object PipelineQueries {
     sampleCurriculum, multimodalVideoDedup, sourceJsonl,
     pipelineDpRelease, packAudit, multimodalAvi, multimodalAviDecode,
     dedupEntity, dedupEntityIncremental, sourceParquetMeta,
-    dedupEntityQuality)
+    dedupEntityQuality, statsJoinSize)
 }

@@ -268,6 +268,31 @@ object Sketches {
         element_at(col("a"), depth / 2 + 1)) / lit(2.0)).as("ams_f2"))
   }
 
+  /** Equi-join cardinality estimate from TWO AMS sketches built with
+    * the same (depth, width, hash family): the per-row inner product
+    * Σ_p cellA(r,p)·cellB(r,p) is an unbiased estimator of
+    * Σ_k fA(k)·fB(k) — the exact size of A ⋈ B on the key — per
+    * Alon, Gibbons, Matias & Szegedy 1999. This is the
+    * planner-grade question at 100 TB: whether a join output is
+    * broadcastable, shuffle-sized, or a skew blow-up, answered from
+    * two LINEAR SCANS (each sketch is ≤ depth×width integer cells)
+    * without paying for the join. Median over the depth rows,
+    * matching [[amsF2]]'s estimator discipline; cells absent on
+    * either side contribute zero product (inner join on (r, p)).
+    * All-integer inner products — engine-exact. */
+  def amsJoinSize(skA: DataFrame, skB: DataFrame,
+                  depth: Int = 4): DataFrame = {
+    val j = skA.select(col("r"), col("p"), col("cell").as("__ca"))
+      .join(skB.select(col("r"), col("p"), col("cell").as("__cb")),
+        Seq("r", "p"))
+    val rowEst = j.groupBy("r")
+      .agg(sum(col("__ca") * col("__cb")).as("ip"))
+    rowEst.agg(sort_array(collect_list(col("ip"))).as("a"))
+      .where(size(col("a")) > 0)
+      .select(((element_at(col("a"), (depth + 1) / 2) +
+        element_at(col("a"), depth / 2 + 1)) / lit(2.0)).as("ams_join"))
+  }
+
   // ---------------------------------------------- histogram quantiles
 
   /** Equi-width histogram of `x` over [lo, hi): bucket = clamped

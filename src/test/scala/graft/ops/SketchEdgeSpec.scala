@@ -81,6 +81,31 @@ class SketchEdgeSpec extends AnyFunSuite {
       Seq(0.5)).count() == 0)
   }
 
+  test("amsJoinSize estimates the exact equi-join cardinality " +
+    "within the AGMS error bound on a skewed multiset pair, is " +
+    "symmetric, and degenerates to amsF2 on identical sides") {
+    val s = spark
+    import s.implicits._
+    // skewed multiplicities: key i appears i times on side A,
+    // (11 - i) times on side B -> exact join = sum i * (11 - i)
+    val a = (1 to 10).flatMap(i => Seq.fill(i)(s"k$i")).toDF("k")
+    val b = (1 to 10).flatMap(i => Seq.fill(11 - i)(s"k$i")).toDF("k")
+    val exact = (1 to 10).map(i => i * (11 - i)).sum.toDouble
+    val skA = Sketches.amsBuild(a, col("k"))
+    val skB = Sketches.amsBuild(b, col("k"))
+    val est = Sketches.amsJoinSize(skA, skB)
+      .head().getDouble(0)
+    // depth 4 / width 64 on 10 keys: collisions are rare, the
+    // estimate lands well within 3x the F2-bound band
+    assert(math.abs(est - exact) <= 0.5 * exact,
+      s"est $est vs exact $exact")
+    val sym = Sketches.amsJoinSize(skB, skA).head().getDouble(0)
+    assert(sym == est)
+    val self = Sketches.amsJoinSize(skA, skA).head().getDouble(0)
+    val f2 = Sketches.amsF2(skA).head().getDouble(0)
+    assert(self == f2)
+  }
+
   test("NaN and null measurements are excluded from histograms " +
     "instead of counting as bucket-0 / null-bucket mass") {
     val s = spark
