@@ -55,10 +55,21 @@ for name in sorted(sqls, key=prio):
         files = glob.glob(f'{dump}/{name}/*.parquet')
         got = pd.concat([pq.read_table(f).to_pandas() for f in files])
         exp = con.execute(sqls[name]).fetchdf()
-        g = got[sorted(got.columns)].sort_values(
-            by=sorted(got.columns)).reset_index(drop=True)
-        e = exp[sorted(exp.columns)].sort_values(
-            by=sorted(exp.columns)).reset_index(drop=True)
+        # widen integer/float widths before comparing — the driver's
+        # real gate canonicalizes VALUES, so an int32-vs-int64 dtype
+        # difference (DuckDB keeps the source width, Spark casts)
+        # must not read as a mismatch
+        def canon(df):
+            df = df[sorted(df.columns)].copy()
+            for c in df.columns:
+                k = df[c].dtype.kind
+                if k in 'iu':
+                    df[c] = df[c].astype('int64')
+                elif k == 'f':
+                    df[c] = df[c].astype('float64')
+            return df.sort_values(by=list(df.columns)) \
+                     .reset_index(drop=True)
+        g, e = canon(got), canon(exp)
         ok = bool(g.equals(e))
         results[name] = {'rows': len(g), 'match': ok,
                          'oracle_sec': round(time.time() - t0, 2)}
