@@ -4408,9 +4408,15 @@ object PipelineQueries {
     * shuffle vs skew plan), answered before paying for the join.
     * Fixture: lineitem-by-supplier vs its high-quantity slice — both
     * sides genuine multisets, so the answer is not just |A|. The
-    * oracle rebuilds both sketches cell for cell from the shared
-    * hash constants, takes the same median-of-inner-products, AND
-    * computes the exact join count; estimate, exact, and their ratio
+    * exact calibration companion uses the identity |A ⋈ B| =
+    * Σ_k cntA(k)·cntB(k): two KEY-GRAIN count aggregates and a
+    * distinct-key-grain join — the row-level join whose size the
+    * sketch predicts is NEVER executed (a ~10⁸-row intermediate at
+    * sf0.1, unbounded at corpus scale), yet the companion stays
+    * bit-exact at every gate scale. The oracle rebuilds both
+    * sketches cell for cell from the shared hash constants, takes
+    * the same zero-filled median-of-inner-products, AND computes the
+    * same key-grain exact count; estimate, exact, and their ratio
     * all pin bit-exactly (integer cells, one terminal division). */
   private val statsJoinSize = Q("q_stats_joinsize",
     (s, d) => {
@@ -4421,7 +4427,10 @@ object PipelineQueries {
       val skA = graft.ops.Sketches.amsBuild(a, col("k"))
       val skB = graft.ops.Sketches.amsBuild(b, col("k"))
       val est = graft.ops.Sketches.amsJoinSize(skA, skB)
-      val exact = a.join(b, "k").agg(count(lit(1)).as("exact_join"))
+      val ca = a.groupBy("k").agg(count(lit(1)).as("__na"))
+      val cb = b.groupBy("k").agg(count(lit(1)).as("__nb"))
+      val exact = ca.join(cb, "k")
+        .agg(sum(col("__na") * col("__nb")).as("exact_join"))
       est.crossJoin(exact)
         .select(col("ams_join"), col("exact_join"),
           round(col("ams_join") / col("exact_join").cast("double"), 5)
@@ -4449,8 +4458,11 @@ object PipelineQueries {
         "ip AS (SELECT ska.r, CAST(sum(ca * cb) AS BIGINT) AS ip " +
         "FROM ska JOIN skb ON ska.r = skb.r AND ska.p = skb.p " +
         "GROUP BY ska.r), " +
-        "m AS (SELECT list_sort(list(ip)) AS arr FROM ip), " +
-        "ex AS (SELECT count(*) AS exact_join FROM a JOIN b USING (k)) " +
+        "m AS (SELECT list_sort(list(CAST(COALESCE(ip.ip, 0) AS BIGINT)))" +
+        " AS arr FROM range(4) t(r) LEFT JOIN ip USING (r)), " +
+        "ex AS (SELECT CAST(sum(na * nb) AS BIGINT) AS exact_join FROM " +
+        "(SELECT k, count(*) AS na FROM a GROUP BY k) ca JOIN " +
+        "(SELECT k, count(*) AS nb FROM b GROUP BY k) cb USING (k)) " +
         "SELECT CAST(arr[2] + arr[3] AS DOUBLE) / 2.0 AS ams_join, " +
         "ex.exact_join AS exact_join, " +
         "round((CAST(arr[2] + arr[3] AS DOUBLE) / 2.0) / " +

@@ -11,11 +11,21 @@ import org.apache.spark.sql.Dataset
   * Left alone, those blocks accumulate across a 227-query bench run
   * and skew later timings — the very contention the guard flags.
   *
-  * Builders register such frames via [[track]]; harness mains
-  * (Bench, Verify, ScaleProbe) call [[drain]] after each query's
-  * action completes. Ops that consume their persist within their own
-  * builder (CC iteration, ELBO minibatch epochs) keep their local
-  * unpersist calls and stay out of the registry. */
+  * Builders register such frames via [[track]]; the timing harness
+  * mains (Bench, ScaleProbe) call [[drain]] after each query's
+  * action completes. Verify deliberately does NOT drain — its 4-way
+  * concurrent dump means a drain for one query could unpersist a
+  * frame another in-flight query still reads. Ops that consume
+  * their persist within their own builder (CC iteration, ELBO
+  * minibatch epochs) keep their local unpersist calls and stay out
+  * of the registry.
+  *
+  * NON-HARNESS CALLERS MUST DRAIN: the queue is static and grows
+  * unbounded for any long-lived session that keeps invoking
+  * track()-using builders (Sampling.selectBudget / topQuantile,
+  * Dedup.winnow, …) without calling [[drain]] between query
+  * materializations — each tracked frame pins a Dataset reference
+  * and its cached blocks until drained. */
 object CacheRegistry {
   private val frames =
     new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()

@@ -1098,7 +1098,9 @@ object Dedup {
 
   /** 60-bit SimHash rows (id, simhash) — [[simhash16]]'s construction
     * at the width band-blocked hamming dedup uses ([[hammingPairs64]]).
-    * One codegen'd pass per doc. */
+    * One codegen'd pass per doc. CONTRACT: null-text rows are
+    * DROPPED (no signature exists for them), so the output has one
+    * row per NON-NULL input text, not per input row. */
   def simhash60(df: DataFrame, textCol: String, idCol: String): DataFrame =
     // null-filter + KnownNotNull as in [[simhash16]], and additionally
     // against join-key IsNotNull inference: band keys derived from a

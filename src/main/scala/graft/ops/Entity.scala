@@ -127,7 +127,7 @@ object Entity {
         col(nameCol),
         explode(deletionKeys(
           PlanHints.knownNotNull(col(keyCol)))).as("__bk")): _*)
-    keyed.join(index, blockCols :+ "__bk", "left")
+    val probed = keyed.join(index, blockCols :+ "__bk", "left")
       .withColumn("__hit",
         when(levenshtein(col(nameCol), col("__arch_name")) <= tau,
           col("__arch_entity")))
@@ -136,5 +136,13 @@ object Entity {
       .withColumn("entity",
         coalesce(col("__m"), col(idCol).cast("long")))
       .drop("__m")
+    // null-key arrivals can't probe the index but must still appear
+    // in the output as their own entity — the batch resolve()
+    // contract (its left join + coalesce path labels them id). A
+    // stateless filter+project union keeps the plan streaming-legal.
+    val nullKey = arrivals.where(col(keyCol).isNull)
+      .select((col(idCol) +: keep.map(col)) :+
+        col(idCol).cast("long").as("entity"): _*)
+    probed.unionByName(nullKey)
   }
 }

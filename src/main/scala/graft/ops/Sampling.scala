@@ -626,7 +626,13 @@ object Sampling {
     * (deterministic on (score, id)), pinned by SamplingSpec.
     *
     * Returns the kept rows as (srcCol, idCol, ntCol, scoreCol,
-    * budget). Requires non-negative nt and a numeric id. */
+    * budget). Requires non-negative nt and a numeric id.
+    *
+    * The persisted projection is registered with
+    * [[graft.core.CacheRegistry]] because the RETURNED frame still
+    * reads it lazily — long-lived callers must call
+    * `CacheRegistry.drain()` after materializing the result, or the
+    * cached blocks accumulate for the session's lifetime. */
   def selectBudget(df: DataFrame, srcCol: String, scoreCol: String,
                    ntCol: String, idCol: String, num: Long, den: Long,
                    buckets: Int = 128, cap: Long = 4096,

@@ -278,8 +278,15 @@ object Sketches {
     * two LINEAR SCANS (each sketch is ≤ depth×width integer cells)
     * without paying for the join. Median over the depth rows,
     * matching [[amsF2]]'s estimator discipline; cells absent on
-    * either side contribute zero product (inner join on (r, p)).
-    * All-integer inner products — engine-exact. */
+    * either side contribute zero product (inner join on (r, p)),
+    * and depth rows with NO overlapping cells at all (small or
+    * disjoint key sets) are zero-FILLED against a 0..depth−1 spine
+    * before the median — without the fill those rows would vanish
+    * from the order statistics, silently misaligning the median (or
+    * throwing under ANSI element_at once fewer than depth/2+1 rows
+    * survive). Two fully disjoint sketches therefore estimate 0.0,
+    * the correct answer, rather than erroring. All-integer inner
+    * products — engine-exact. */
   def amsJoinSize(skA: DataFrame, skB: DataFrame,
                   depth: Int = 4): DataFrame = {
     val j = skA.select(col("r"), col("p"), col("cell").as("__ca"))
@@ -287,8 +294,10 @@ object Sketches {
         Seq("r", "p"))
     val rowEst = j.groupBy("r")
       .agg(sum(col("__ca") * col("__cb")).as("ip"))
-    rowEst.agg(sort_array(collect_list(col("ip"))).as("a"))
-      .where(size(col("a")) > 0)
+    rowEst.agg(map_from_entries(
+        collect_list(struct(col("r"), col("ip")))).as("m"))
+      .select(sort_array(transform(sequence(lit(0), lit(depth - 1)),
+        r => coalesce(try_element_at(col("m"), r), lit(0L)))).as("a"))
       .select(((element_at(col("a"), (depth + 1) / 2) +
         element_at(col("a"), depth / 2 + 1)) / lit(2.0)).as("ams_join"))
   }

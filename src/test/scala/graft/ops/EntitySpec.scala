@@ -106,6 +106,31 @@ class EntitySpec extends AnyFunSuite {
     assert(half1 ++ half2 == got)
   }
 
+  test("resolveAgainst keeps null-key arrivals as their own entity " +
+    "(batch resolve parity) instead of dropping them") {
+    val s = spark
+    import s.implicits._
+    val archive = Seq((10L, "77123", "n77123", "A"))
+      .toDF("rid", "key", "name", "blk")
+    val resolved = Entity.resolve(archive, "rid", "key", "name",
+      Seq("blk"))
+    val index = Entity.archiveIndex(resolved, "key", "name", Seq("blk"))
+    val arrivals = Seq(
+      (100L, Option("77124"), "n77124", "A"),  // links to 10
+      (101L, None: Option[String], "nNull", "A")  // null key
+    ).toDF("rid", "key", "name", "blk")
+    val got = Entity.resolveAgainst(index, arrivals, "rid", "key",
+        "name", Seq("blk"), keep = Seq("blk"))
+      .select("rid", "entity", "blk").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got == Map(100L -> ((10L, "A")), 101L -> ((101L, "A"))))
+    // batch parity: resolve() labels the same null-key record 101
+    val batch = Entity.resolve(arrivals, "rid", "key", "name",
+        Seq("blk")).select("rid", "entity").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch(101L) == 101L)
+  }
+
   test("verification gates the blocking: names more than tau apart " +
     "never merge even when keys collide") {
     val s = spark

@@ -106,6 +106,29 @@ class SketchEdgeSpec extends AnyFunSuite {
     assert(self == f2)
   }
 
+  test("amsJoinSize zero-fills depth rows with no overlapping cells: " +
+    "disjoint key sets estimate 0.0 instead of misaligning the " +
+    "median or throwing under ANSI element_at") {
+    val s = spark
+    import s.implicits._
+    // disjoint singletons: every (r, p) cell pair misses, so the
+    // inner join on (r, p) yields NO depth rows at all
+    val skA = Sketches.amsBuild(Seq("only_a").toDF("k"), col("k"))
+    val skB = Sketches.amsBuild(Seq("only_b").toDF("k"), col("k"))
+    val est = Sketches.amsJoinSize(skA, skB).collect()
+    assert(est.length == 1 && est(0).getDouble(0) == 0.0, est.toSeq)
+    // partial overlap small enough that some depth rows can still
+    // miss: the median must come from a FULL depth-length array
+    // (exactly depth elements after the zero-fill)
+    val skC = Sketches.amsBuild(Seq("shared", "only_c").toDF("k"),
+      col("k"))
+    val skD = Sketches.amsBuild(Seq("shared").toDF("k"), col("k"))
+    val cd = Sketches.amsJoinSize(skC, skD).head().getDouble(0)
+    // |C join D| = 1; with depth 4 / width 64 on 2 keys the unbiased
+    // per-row products are in {-1, 0, 1, 2}: the median is bounded
+    assert(cd >= -1.0 && cd <= 2.0, cd)
+  }
+
   test("NaN and null measurements are excluded from histograms " +
     "instead of counting as bucket-0 / null-bucket mass") {
     val s = spark

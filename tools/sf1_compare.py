@@ -90,7 +90,13 @@ try:
 except Exception:
     out = {'scale': 'sf1 (10x sf0.1, GenScale)', 'data': data,
            'queries': {}}
-out['queries'].update(results)
+# a budget-skip must not clobber a real comparison row a previous
+# run accumulated — only write 'skipped' when the key is absent
+for k, v in results.items():
+    if 'skipped' in v and k in out['queries'] \
+            and 'skipped' not in out['queries'][k]:
+        continue
+    out['queries'][k] = v
 out['queries'] = dict(sorted(out['queries'].items()))
 out['compared'] = sum(1 for r in out['queries'].values() if 'rows' in r)
 out['failed'] = sum(1 for r in out['queries'].values()
