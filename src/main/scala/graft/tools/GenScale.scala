@@ -102,6 +102,33 @@ object GenScale {
         col("lbl").as("label"))
   }
 
+  /** TPC-H-shaped customer table at arbitrary scale — the
+    * dirty-record SOURCE for the entity-resolution family's scaling
+    * probes (round-11 verdict ask #1: the entity fixture derives
+    * in-plan from customer, which the copy-through path leaves
+    * UNSCALED, making its 10×/100× rows vacuous). Schema and
+    * formats match /root/testdata customer exactly: sequential
+    * c_custkey from 0, c_name = 'Customer#' + 9 zero-padded digits
+    * (the typo formulas substring positions 10..18), 25 nations, 5
+    * market segments — so the (nation, segment) block prior keeps
+    * the same selectivity shape as the fixture and FastSS bucket
+    * sizes can be probed against a corpus that actually grows. */
+  def customers(spark: SparkSession, n: Long): DataFrame = {
+    val segs = array(Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+      "HOUSEHOLD", "MACHINERY").map(lit): _*)
+    spark.range(0, n, 1, 32).toDF("c_custkey")
+      .select(col("c_custkey"),
+        concat(lit("Customer#"),
+          lpad(col("c_custkey").cast("string"), 9, "0")).as("c_name"),
+        pmod(xxhash64(col("c_custkey"), lit(3)), lit(25))
+          .cast("int").as("c_nationkey"),
+        round(u01(9, col("c_custkey")) * lit(11000.0) - lit(1000.0), 2)
+          .as("c_acctbal"),
+        element_at(segs,
+          (pmod(xxhash64(col("c_custkey"), lit(15)), lit(5)) + lit(1))
+            .cast("int")).as("c_mktsegment"))
+  }
+
   def events(spark: SparkSession, n: Long, nUsers: Long): DataFrame = {
     val startUs = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
       .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
@@ -130,6 +157,12 @@ object GenScale {
     val outDir = if (args.nonEmpty) args(0) else "/tmp/sfdata/sf1"
     val srcDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val mult = if (args.length > 2) args(2).toInt else 10
+    // 4th arg: customer growth factor. 0 (default) = copy the
+    // unscaled table through (the historical behavior every
+    // non-entity probe artifact was measured against); > 0 =
+    // synthesize 15000×custMult rows so the entity-resolution
+    // probes measure a fixture that actually grows
+    val custMult = if (args.length > 3) args(3).toInt else 0
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -146,10 +179,14 @@ object GenScale {
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     events(spark, 100000L * mult, 1500L * mult)
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    if (custMult > 0)
+      customers(spark, 15000L * custMult)
+        .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
     // pass the unscaled star-schema tables through so every
     // SparkEntry query resolves against the dir
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem")) {
+    for (t <- Seq("region", "nation", "supplier", "part",
+        "orders", "lineitem") ++
+        (if (custMult > 0) Nil else Seq("customer"))) {
       val from = java.nio.file.Paths.get(s"$srcDir/$t.parquet")
       val to = java.nio.file.Paths.get(s"$outDir/$t.parquet")
       java.nio.file.Files.copy(from, to,
