@@ -3246,6 +3246,120 @@ object PipelineQueries {
       "CAST(sum(CASE WHEN intended = 0 AND ea = eb THEN 1 ELSE 0 END) " +
       "AS BIGINT) AS n_accidental FROM pl")
 
+  /** τ = 2 entity resolution ([[graft.ops.Entity.resolve]] with
+    * deletion-2 blocking — FastSS at k = 2, Bocek 2007): real
+    * dirty-key corpora carry 2-edit typos, and the deletion-≤2
+    * neighborhood (1 + L + L(L−1)/2 keys per record, O(L²) but
+    * bounded for short keys) keeps the 100%-recall-by-construction
+    * guarantee at lev ≤ 2 — the double-substitution twins that are
+    * the τ=1 harness's negative control become INTENDED matches
+    * here, so every planted clean/dirty pair (lev ∈ {0, 1, 2}) must
+    * co-entity: n_pairs_linked == n_pairs is the measured recall
+    * line, computed by both engines rather than asserted. Adjacent
+    * customer keys within lev 2 in the same (nation, segment) block
+    * also merge — genuine transitive chains both engines must agree
+    * on, pinned by the digest. The oracle replays the deletion-2
+    * neighborhood (nested list comprehension), the lev ≤ 2 verify,
+    * and the recursive min-label closure; sym2 is MATERIALIZED so
+    * the recursion doesn't re-derive the candidate join per step. */
+  private val dedupEntityTau2 = Q("q_dedup_entity_tau2",
+    (s, d) => {
+      val base = s.read.parquet(s"$d/customer.parquet")
+        .select(col("c_custkey").as("k"), col("c_name"),
+          col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+          substring(col("c_name"), 10, 9).as("dg"),
+          (col("c_custkey") % 9).cast("int").as("p0"),
+          ((col("c_custkey") % 9 + 3) % 9).cast("int").as("p1"))
+      def subAt(dgc: org.apache.spark.sql.Column,
+                p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(dgc.substr(lit(1), p),
+          ((dgc.substr(p + 1, lit(1)).cast("int") + 1) % 10)
+            .cast("string"),
+          dgc.substr(p + 2, lit(9)))
+      def delAt(dgc: org.apache.spark.sql.Column,
+                p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(dgc.substr(lit(1), p), dgc.substr(p + 2, lit(9)))
+      val sub0 = subAt(col("dg"), col("p0"))
+      val dirtyDigits = when(col("k") % 7 === 0, subAt(sub0, col("p1")))
+        .when(col("k") % 3 === 1, sub0)
+        .when(col("k") % 3 === 2, delAt(col("dg"), col("p0")))
+        .otherwise(col("dg"))
+      val rec = base.select((col("k") * 2).as("rid"),
+          col("c_name").as("name"), col("nat"), col("seg"))
+        .unionByName(base.select((col("k") * 2 + 1).as("rid"),
+          concat(lit("Customer#"), dirtyDigits).as("name"),
+          col("nat"), col("seg")))
+        .withColumn("key", substring(col("name"), 10, 10))
+      // narrow (rid, seg, entity) persists: it feeds BOTH the
+      // entity-size stats and the planted-pair recall aggregate —
+      // unpersisted, the deletion-2 blocking + verify + closure
+      // chain would run twice (the quality-harness discipline)
+      val resolved = graft.core.CacheRegistry.track(
+        graft.ops.Entity.resolve(rec, "rid", "key",
+          "name", Seq("nat", "seg"), tau = 2)
+        .select("rid", "seg", "entity")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val pe = resolved.groupBy(col("seg"), col("entity"))
+        .agg(count(lit(1)).as("sz"),
+          sum(pmod(col("entity") * 131L + col("rid"),
+            lit(CleanSumMod))).as("dsum"))
+      val segstats = pe.groupBy("seg")
+        .agg(sum(col("sz")).as("n_records"),
+          count(lit(1)).as("n_entities"),
+          sum(when(col("sz") > 1, col("sz") - 1L).otherwise(0L))
+            .as("n_merged"),
+          sum(col("dsum")).as("entity_digest"))
+      val pairstats = resolved
+        .withColumn("cid", floor(col("rid") / lit(2)))
+        .groupBy(col("seg"), col("cid"))
+        .agg((min(col("entity")) === max(col("entity"))).as("linked"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("linked"), 1L).otherwise(0L))
+            .as("n_pairs_linked"))
+      segstats.join(pairstats, "seg").orderBy("seg")
+    },
+    s"WITH RECURSIVE $entityCtes, " +
+      "dk2 AS (SELECT rid, nat, seg, unnest(list_distinct(" +
+      "list_prepend(key, " +
+      "[substr(key, 1, i - 1) || substr(key, i + 1) " +
+      "for i in range(1, length(key) + 1)] || " +
+      "flatten([[substr(key, 1, i - 1) || " +
+      "substr(key, i + 1, j - i - 1) || substr(key, j + 1) " +
+      "for j in range(i + 1, length(key) + 1)] " +
+      "for i in range(1, length(key))])))) AS bk FROM rk), " +
+      "cand2 AS (SELECT DISTINCT a.rid AS id_a, b.rid AS id_b " +
+      "FROM dk2 a JOIN dk2 b ON a.bk = b.bk AND a.nat = b.nat " +
+      "AND a.seg = b.seg AND a.rid < b.rid), " +
+      "ver2 AS (SELECT id_a, id_b FROM cand2 " +
+      "JOIN rk ra ON id_a = ra.rid JOIN rk rb ON id_b = rb.rid " +
+      "WHERE levenshtein(ra.name, rb.name) <= 2), " +
+      "sym2 AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM ver2 " +
+      "UNION SELECT id_b, id_a FROM ver2), " +
+      "reach2 AS (SELECT rid AS node, rid AS r FROM rk " +
+      "UNION SELECT sym2.v AS node, reach2.r FROM reach2 " +
+      "JOIN sym2 ON sym2.u = reach2.node), " +
+      "comp2 AS (SELECT node, min(r) AS entity FROM reach2 " +
+      "GROUP BY node), " +
+      "lab2 AS (SELECT rk.rid, rk.seg, comp2.entity FROM rk " +
+      "JOIN comp2 ON rk.rid = comp2.node), " +
+      "pe AS (SELECT seg, entity, count(*) AS sz, " +
+      s"sum((entity * 131 + rid) % $CleanSumMod) AS dsum " +
+      "FROM lab2 GROUP BY seg, entity), " +
+      "ss AS (SELECT seg, CAST(sum(sz) AS BIGINT) AS n_records, " +
+      "count(*) AS n_entities, " +
+      "CAST(sum(CASE WHEN sz > 1 THEN sz - 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_merged, CAST(sum(dsum) AS BIGINT) AS entity_digest " +
+      "FROM pe GROUP BY seg), " +
+      "pr AS (SELECT seg, rid // 2 AS cid, min(entity) AS mn, " +
+      "max(entity) AS mx FROM lab2 GROUP BY seg, cid), " +
+      "ps AS (SELECT seg, count(*) AS n_pairs, " +
+      "CAST(sum(CASE WHEN mn = mx THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_pairs_linked FROM pr GROUP BY seg) " +
+      "SELECT ss.seg, ss.n_records, ss.n_entities, ss.n_merged, " +
+      "ss.entity_digest, ps.n_pairs, ps.n_pairs_linked " +
+      "FROM ss JOIN ps USING (seg) ORDER BY seg")
+
   /** Scan-free parquet-footer metadata query
     * ([[graft.ops.ParquetMeta]]): count / min / max / null-count of
     * `documents.doc_id` computed ENTIRELY from row-group footer
@@ -5416,6 +5530,65 @@ object PipelineQueries {
       "CAST(sum(CASE WHEN f0 = f1 THEN 1 ELSE 0 END) AS BIGINT) " +
       "AS n_frame_dups " +
       "FROM f GROUP BY source, rle ORDER BY source, rle")
+
+  /** Animated-GIF FRAME decode through the [[graft.ops.FrameDecoder]]
+    * seam — the THIRD honest codec family (after MJPEG and AVI
+    * DIB/RLE8), proving the registry is a real extension point, not
+    * a two-off: per-doc parameters → 3-frame 32×32 block-pattern
+    * clips encoded by the JDK GIF writer's real LZW path
+    * ([[graft.ops.Multimodal.gifPatternColumn]]) → the built-in
+    * [[graft.ops.FrameDecoder.GifFrames]] (image-descriptor walk →
+    * ImageIO LZW decode → per-frame aHash) → per-source aggregates.
+    * Even seeds repeat frame 0 as frame 1 (`n_frame_dups` —
+    * within-clip dedup through real decode). The oracle recomputes
+    * every feature from the 2^k − 1 block-pattern formula. Bytes
+    * never shuffle; only (source, f0..f2) reach the agg. */
+  private val multimodalGifDecode = Q("q_multimodal_gifdecode",
+    (s, d) => {
+      val params = docs(s, d).select(col("doc_id"), col("source"),
+          pmod(col("doc_id"), lit(50L)).cast("int").as("seed"))
+        .withColumn("k0",
+          (pmod(col("seed") * 13 + 7, lit(32)) + 8).cast("int"))
+        .withColumn("k1",
+          (pmod(col("seed") * 13 + 7 + pmod(col("seed"), lit(2)) * 9,
+            lit(32)) + 8).cast("int"))
+        .withColumn("k2",
+          (pmod(col("seed") * 7 + 19, lit(32)) + 8).cast("int"))
+      val built = Multimodal.gifPatternColumn(params,
+        Seq("k0", "k1", "k2"))
+      Multimodal.decodeColumn(built, "media", "gif", featDim = 3)
+        .select(col("source"),
+          element_at(col("features"), 1).cast("long").as("f0"),
+          element_at(col("features"), 2).cast("long").as("f1"),
+          element_at(col("features"), 3).cast("long").as("f2"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_clips"),
+          sum(col("f0")).as("sum_f0"),
+          sum(col("f1")).as("sum_f1"),
+          sum(col("f2")).as("sum_f2"),
+          countDistinct(col("f0")).as("n_distinct_f0"),
+          sum(when(col("f0") === col("f1"), 1L).otherwise(0L))
+            .as("n_frame_dups"))
+        .orderBy("source")
+    },
+    "WITH p AS (SELECT doc_id, source, " +
+      "CAST(doc_id % 50 AS INT) AS seed FROM documents), " +
+      "k AS (SELECT source, " +
+      "(seed*13 + 7) % 32 + 8 AS k0, " +
+      "(seed*13 + 7 + (seed%2)*9) % 32 + 8 AS k1, " +
+      "(seed*7 + 19) % 32 + 8 AS k2 FROM p), " +
+      "f AS (SELECT source, " +
+      "(CAST(1 AS BIGINT) << k0) - 1 AS f0, " +
+      "(CAST(1 AS BIGINT) << k1) - 1 AS f1, " +
+      "(CAST(1 AS BIGINT) << k2) - 1 AS f2 FROM k) " +
+      "SELECT source, count(*) AS n_clips, " +
+      "CAST(sum(f0) AS BIGINT) AS sum_f0, " +
+      "CAST(sum(f1) AS BIGINT) AS sum_f1, " +
+      "CAST(sum(f2) AS BIGINT) AS sum_f2, " +
+      "count(DISTINCT f0) AS n_distinct_f0, " +
+      "CAST(sum(CASE WHEN f0 = f1 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_frame_dups " +
+      "FROM f GROUP BY source ORDER BY source")
 
   /** MP4 container-metadata round-trip: per-doc parameters → minimal
     * ISO BMFF bytes ([[Multimodal.mp4BuildColumn]]) → box-walk parse
@@ -9670,5 +9843,6 @@ object PipelineQueries {
     sampleCurriculum, multimodalVideoDedup, sourceJsonl,
     pipelineDpRelease, packAudit, multimodalAvi, multimodalAviDecode,
     dedupEntity, dedupEntityIncremental, sourceParquetMeta,
-    dedupEntityQuality, statsJoinSize)
+    dedupEntityQuality, statsJoinSize, dedupEntityTau2,
+    multimodalGifDecode)
 }

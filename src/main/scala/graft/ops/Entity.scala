@@ -30,21 +30,42 @@ import org.apache.spark.sql.functions._
   * only neighborhood keys do. */
 object Entity {
 
-  /** The deletion-1 neighborhood of `key` as an array column:
-    * the key itself plus every single-character deletion, in
-    * position order. */
-  def deletionKeys(key: Column): Column =
-    concat(array(key),
-      transform(sequence(lit(1), length(key)), i =>
-        concat(key.substr(lit(1), i - 1),
-          key.substr(i + 1, length(key)))))
+  /** The deletion-≤k neighborhood of `key` as an array column
+    * (k ∈ {1, 2}): the key itself, every single-character deletion
+    * in position order, and for k = 2 every two-character deletion
+    * (positions i < j), deduplicated. The FastSS guarantee
+    * generalizes: if lev(u, v) ≤ k, deleting from u the positions
+    * its alignment edits as sub/del and from v the positions edited
+    * as sub/ins leaves the common subsequence — a member of BOTH
+    * deletion-≤k neighborhoods — so blocking recall at τ = k is
+    * 100% by construction. Key count is 1 + L + L(L−1)/2 for k = 2
+    * (O(L²), 56 variants for a 10-char key — still bounded for the
+    * short-key shape this family targets). */
+  def deletionKeys(key: Column, k: Int = 1): Column = {
+    require(k >= 1 && k <= 2, s"deletion neighborhood depth $k not in [1, 2]")
+    val L = length(key)
+    val d1 = transform(sequence(lit(1), L), i =>
+      concat(key.substr(lit(1), i - 1), key.substr(i + 1, L)))
+    if (k == 1) concat(array(key), d1)
+    else {
+      // guard: sequence(1, 0) would DESCEND ([1, 0]) for L < 2
+      val d2 = when(L >= 2, flatten(
+        transform(sequence(lit(1), L - 1), i =>
+          transform(sequence(i + 1, L), j =>
+            concat(key.substr(lit(1), i - 1),
+              key.substr(i + 1, j - i - 1),
+              key.substr(j + 1, L))))))
+        .otherwise(array().cast("array<string>"))
+      array_distinct(concat(array(key), d1, d2))
+    }
+  }
 
-  /** Candidate pairs (id_a < id_b) whose keys share a deletion-1
+  /** Candidate pairs (id_a < id_b) whose keys share a deletion-≤k
     * neighborhood member AND agree exactly on every `blockCols`
     * column — the cheap structured-equality prior (nation, segment,
     * zip…) that keeps buckets small and candidates plausible. */
   def candidatePairs(df: DataFrame, idCol: String, keyCol: String,
-                     blockCols: Seq[String]): DataFrame = {
+                     blockCols: Seq[String], k: Int = 1): DataFrame = {
     // explicit null filter + KnownNotNull: the exploded key serves
     // as a join key, and a nullable kernel input would re-run the
     // neighborhood build in an inferred pushed-down IsNotNull
@@ -52,7 +73,7 @@ object Entity {
     val keyed = df.where(col(keyCol).isNotNull)
       .select((col(idCol) +: blockCols.map(col)) :+
         explode(deletionKeys(
-          PlanHints.knownNotNull(col(keyCol)))).as("__bk"): _*)
+          PlanHints.knownNotNull(col(keyCol)), k)).as("__bk"): _*)
     val joinCols = blockCols :+ "__bk"
     val a = keyed.toDF(keyed.columns.map {
       case c if c == idCol => "__ida" case c => c }: _*)
@@ -64,17 +85,19 @@ object Entity {
       .distinct()
   }
 
-  /** Resolve records into entities: deletion-neighborhood blocking,
-    * `levenshtein(name_a, name_b) <= tau` verification (τ must be ≤
-    * 1 for the blocking recall guarantee; larger τ still verifies
-    * but only over distance-1-blocked candidates), transitive
-    * closure, entity id = min record id of the component. Every
-    * record appears in the output — unmatched records are their own
-    * entity. Returns the input plus an `entity` column. */
+  /** Resolve records into entities: deletion-neighborhood blocking
+    * at depth min(τ, 2), `levenshtein(name_a, name_b) <= tau`
+    * verification (the blocking recall guarantee holds for τ ≤ 2;
+    * τ > 2 still verifies but only over distance-2-blocked
+    * candidates), transitive closure, entity id = min record id of
+    * the component. Every record appears in the output — unmatched
+    * records are their own entity. Returns the input plus an
+    * `entity` column. */
   def resolve(df: DataFrame, idCol: String, keyCol: String,
               nameCol: String, blockCols: Seq[String],
               tau: Int = 1): DataFrame = {
-    val cand = candidatePairs(df, idCol, keyCol, blockCols)
+    val cand = candidatePairs(df, idCol, keyCol, blockCols,
+      math.min(math.max(tau, 1), 2))
     val names = df.select(col(idCol), col(nameCol))
     val verified = cand
       .join(names.select(col(idCol).as("id_a"),
@@ -98,11 +121,12 @@ object Entity {
     * neighborhood key) carrying the block columns, the record's name
     * (for the verify), and its entity label. */
   def archiveIndex(resolved: DataFrame, keyCol: String,
-                   nameCol: String, blockCols: Seq[String]): DataFrame =
+                   nameCol: String, blockCols: Seq[String],
+                   k: Int = 1): DataFrame =
     resolved.where(col(keyCol).isNotNull)
       .select(blockCols.map(col) ++ Seq(
         explode(deletionKeys(
-          PlanHints.knownNotNull(col(keyCol)))).as("__bk"),
+          PlanHints.knownNotNull(col(keyCol)), k)).as("__bk"),
         col(nameCol).as("__arch_name"),
         col("entity").as("__arch_entity")): _*)
 
@@ -117,7 +141,10 @@ object Entity {
     * documented by the incremental dedup family). `keep` columns
     * ride the grouping key (single-row grain per id, so grouping by
     * them is free) — there is no join-back, which is what keeps the
-    * same plan legal under streaming. */
+    * same plan legal under streaming. The arrival side explodes at
+    * depth min(τ, 2); the τ ≤ 2 recall guarantee additionally
+    * requires the [[archiveIndex]] to have been built with the SAME
+    * depth (alignment deletions split across the two sides). */
   def resolveAgainst(index: DataFrame, arrivals: DataFrame,
                      idCol: String, keyCol: String, nameCol: String,
                      blockCols: Seq[String], tau: Int = 1,
@@ -126,7 +153,8 @@ object Entity {
       .select((col(idCol) +: (blockCols ++ keep).distinct.map(col)) ++ Seq(
         col(nameCol),
         explode(deletionKeys(
-          PlanHints.knownNotNull(col(keyCol)))).as("__bk")): _*)
+          PlanHints.knownNotNull(col(keyCol)),
+          math.min(math.max(tau, 1), 2))).as("__bk")): _*)
     val probed = keyed.join(index, blockCols :+ "__bk", "left")
       .withColumn("__hit",
         when(levenshtein(col(nameCol), col("__arch_name")) <= tau,

@@ -160,6 +160,38 @@ object FrameDecoder {
       }
   }
 
+  /** REAL frame decode for animated GIF — the JDK's ImageIO carries
+    * a native GIF (LZW) decoder, and [[Gif.readFrames]] walks the
+    * image descriptors in storage order. Frame j's slot carries its
+    * [[Codecs.aHash64Of]] folded to the 40-bit digest convention,
+    * exactly the [[Mjpeg]]/[[AviFrames]] contract: -1.0 only for
+    * "clip shorter than featDim frames", null for not-a-GIF /
+    * zero frames / ANY in-range frame that fails decode
+    * (all-frames-or-nothing; [[Gif.readFrames]] throws on an
+    * in-range decode failure and never touches out-of-range
+    * frames). */
+  object GifFrames extends FrameDecoder {
+    private val Fold = (1L << 40) - 1
+    override def codecs: Set[String] = Set("gif")
+    override def decodeBatch(payloads: Array[Array[Byte]],
+                             featDim: Int): Array[Array[Double]] =
+      payloads.map { bytes =>
+        try {
+          Gif.readFrames(bytes, featDim) match {
+            case Some((n, fs)) if n > 0 && fs.nonEmpty =>
+              val feats = Array.fill(featDim)(-1.0)
+              var j = 0
+              while (j < featDim && j < fs.length) {
+                feats(j) = (Codecs.aHash64Of(fs(j)) & Fold).toDouble
+                j += 1
+              }
+              feats
+            case _ => null
+          }
+        } catch { case _: Exception => null }
+      }
+  }
+
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, FrameDecoder]()
 
@@ -182,4 +214,5 @@ object FrameDecoder {
   // stays open — a later registration for the same codec wins)
   register(Mjpeg)
   register(AviFrames)
+  register(GifFrames)
 }

@@ -267,6 +267,43 @@ object Multimodal {
     }
   }
 
+  /** Deterministic animated-GIF test-clip builder —
+    * [[mjpegPatternColumn]]'s GIF89a sibling for the round-12
+    * honest-codec widening. Frame f of a row is the same 32×32
+    * block pattern as [[aviPatternColumn]] (first k_f of the 64
+    * 4×4-px blocks white, rest black), encoded through the JDK GIF
+    * writer's REAL LZW path ([[Gif.encodeAnimated]]). Black/white
+    * survives palettization exactly, so per-frame aHash = 2^k − 1 —
+    * the formula the cross-engine oracle pins against the real
+    * decode. Requires 0 < k < 64. Batched partition-local map;
+    * bytes never shuffle. */
+  def gifPatternColumn(df: DataFrame, kCols: Seq[String],
+                       outCol: String = "media"): DataFrame = {
+    val schema = df.schema
+      .add(outCol, org.apache.spark.sql.types.BinaryType)
+    val kIdx = kCols.map(df.schema.fieldIndex)
+    mapBatched(df, schema) { it =>
+      it.map { row =>
+        val frames = kIdx.map { ki =>
+          val k = row.getInt(ki)
+          val gray = new Array[Byte](32 * 32)
+          var y = 0
+          while (y < 32) {
+            var x = 0
+            while (x < 32) {
+              val block = (y / 4) * 8 + (x / 4)
+              gray(y * 32 + x) = if (block < k) -1 /* 0xff */ else 0
+              x += 1
+            }
+            y += 1
+          }
+          gray
+        }
+        Row.fromSeq(row.toSeq :+ Gif.encodeAnimated(32, 32, frames))
+      }
+    }
+  }
+
   /** Deterministic PCM16 mono WAV test-tone builder — the audio twin
     * of [[bmpPatternColumn]] (bytes BUILT from row parameters, decoded
     * by the REAL RIFF parser, oracle recomputes from the formulas).

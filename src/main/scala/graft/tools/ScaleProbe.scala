@@ -97,6 +97,13 @@ object ScaleProbe {
     // keys per record, near-unique buckets)
     "q_dedup_entity" -> 10, "q_dedup_entity_incremental" -> 10,
     "q_dedup_entity_quality" -> 10,
+    // round-12: deletion-2 blocking (O(L^2) keys per record; buckets
+    // stay near-unique under the block prior, so the honest
+    // expectation is customer-linear like the tau=1 family)
+    "q_dedup_entity_tau2" -> 10,
+    // round-12: GIF frame decode (real LZW decode per frame — the
+    // honest expectation is ratio ~ input factor, like framedecode)
+    "q_multimodal_gifdecode" -> 10,
     // round-11: footer-only metadata (cost scales with FILE count,
     // not data volume — the honest expectation is far sub-linear)
     "q_source_parquetmeta" -> 10)

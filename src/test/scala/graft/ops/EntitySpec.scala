@@ -106,6 +106,77 @@ class EntitySpec extends AnyFunSuite {
     assert(half1 ++ half2 == got)
   }
 
+  test("deletionKeys k=2 emits the deduplicated deletion-<=2 " +
+    "neighborhood, and short keys don't trip the descending-sequence " +
+    "edge") {
+    val s = spark
+    import s.implicits._
+    val got = Seq("abc").toDF("k")
+      .select(Entity.deletionKeys(col("k"), 2).as("d"))
+      .head().getSeq[String](0).toSet
+    assert(got == Set("abc", "bc", "ac", "ab", "c", "b", "a"))
+    // L=1: the i<j double-deletion set is empty, not a crash
+    val one = Seq("x").toDF("k")
+      .select(Entity.deletionKeys(col("k"), 2).as("d"))
+      .head().getSeq[String](0).toSet
+    assert(one == Set("x", ""))
+  }
+
+  test("tau=2 resolve: every lev<=2 pair shape (sub+sub, sub+del, " +
+    "del+del, ins+ins) merges — the deletion-2 blocking guarantee — " +
+    "while the lev-3 control stays unresolved") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "1234567", "n1234567", "A"),
+      (2L, "1934867", "n1934867", "A"),   // sub at 2 + sub at 5
+      (3L, "123457", "n123457", "A"),     // del 6 + sub? no: del only -> lev 1
+      (4L, "13457", "n13457", "A"),       // del 2 + del 6 (lev 2 from 1)
+      (5L, "991234567", "n991234567", "A"), // ins+ins (lev 2 from 1)
+      (6L, "1204567", "n1204567", "A"),   // sub at 3 (lev 1)
+      (7L, "9934967", "n9934967", "A")    // lev 3 from 1 - control
+    ).toDF("rid", "key", "name", "blk")
+    val got = Entity.resolve(df, "rid", "key", "name", Seq("blk"),
+        tau = 2)
+      .select("rid", "entity").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(2L) == 1L, s"sub+sub: $got")
+    assert(got(4L) == 1L, s"del+del: $got")
+    assert(got(5L) == 1L, s"ins+ins: $got")
+    assert(got(3L) == 1L && got(6L) == 1L, s"lev1 still merge: $got")
+    // rid 7 is lev 3 from rid 1 but lev 2 from rid 2, so it
+    // legitimately chains into the component — the negative control
+    // must be a key far from EVERY member:
+    val far = Seq((8L, "5550001", "n5550001", "A")).toDF("rid", "key",
+      "name", "blk")
+    val got2 = Entity.resolve(df.unionByName(far), "rid", "key",
+        "name", Seq("blk"), tau = 2)
+      .select("rid", "entity").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2(8L) == 8L, s"far key must stay its own entity: $got2")
+  }
+
+  test("resolveAgainst at tau=2 with a depth-2 index links a " +
+    "double-substitution arrival the tau=1 path misses") {
+    val s = spark
+    import s.implicits._
+    val archive = Seq((10L, "1234567", "n1234567", "A"))
+      .toDF("rid", "key", "name", "blk")
+    val resolved = Entity.resolve(archive, "rid", "key", "name",
+      Seq("blk"), tau = 2)
+    val index2 = Entity.archiveIndex(resolved, "key", "name",
+      Seq("blk"), k = 2)
+    val index1 = Entity.archiveIndex(resolved, "key", "name",
+      Seq("blk"), k = 1)
+    val arrivals = Seq((100L, "1934867", "n1934867", "A"))
+      .toDF("rid", "key", "name", "blk")  // sub+sub: lev 2
+    def ent(idx: org.apache.spark.sql.DataFrame, tau: Int) =
+      Entity.resolveAgainst(idx, arrivals, "rid", "key", "name",
+        Seq("blk"), tau = tau).select("entity").head().getLong(0)
+    assert(ent(index2, 2) == 10L)   // depth-2 both sides: linked
+    assert(ent(index1, 1) == 100L)  // tau=1 path: stays fresh
+  }
+
   test("resolveAgainst keeps null-key arrivals as their own entity " +
     "(batch resolve parity) instead of dropping them") {
     val s = spark

@@ -103,6 +103,41 @@ class FrameDecoderSpec extends AnyFunSuite {
     assert(back(2L) == Seq(((1L << 39) - 1).toDouble))
   }
 
+  test("GIF is a BUILT-IN real decoder: codec 'gif' routes to it out " +
+    "of the box, animated frames decode to pattern-predicted aHashes " +
+    "through the JDK LZW path, and the registry is now 3 codecs deep") {
+    val s = spark
+    import s.implicits._
+    val ks = Seq((1L, 9, 20, 33), (2L, 39, 8, 12))
+    val df = Multimodal.gifPatternColumn(
+      ks.toDF("id", "k0", "k1", "k2"), Seq("k0", "k1", "k2"))
+    val got = Multimodal.decodeColumn(df, "media", "gif", featDim = 4)
+      .select("id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    ks.foreach { case (id, k0, k1, k2) =>
+      val want = Seq(k0, k1, k2).map(k => ((1L << k) - 1).toDouble) :+
+        -1.0 // featDim 4 > 3 frames: sentinel slot
+      assert(got(id) == want, s"id=$id got=${got(id)}")
+    }
+    // all three built-ins resolve to distinct real decoders
+    assert(FrameDecoder.forCodec("gif") eq FrameDecoder.GifFrames)
+    assert(FrameDecoder.forCodec("jpeg") eq FrameDecoder.Mjpeg)
+    assert(FrameDecoder.forCodec("avi") eq FrameDecoder.AviFrames)
+    // non-GIF bytes and a mid-stream truncation both land null
+    val raw = df.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("media")).toMap
+    val truncated = java.util.Arrays.copyOf(raw(1L), raw(1L).length / 2)
+    val out = FrameDecoder.GifFrames.decodeBatch(
+      Array(Array[Byte](1, 2, 3), truncated), 3)
+    assert(out(0) == null)
+    assert(out(1) == null, "truncated GIF must be all-or-nothing null")
+    // out-of-range frames are never decoded: featDim 2 reads only
+    // the first 2 of 3 frames, hashes still formula-exact
+    val two = FrameDecoder.GifFrames.decodeBatch(Array(raw(2L)), 2)
+    assert(two(0).toSeq ==
+      Seq(((1L << 39) - 1).toDouble, ((1L << 8) - 1).toDouble))
+  }
+
   test("a corrupt MID-CLIP frame nulls the whole payload instead of " +
     "leaving the -1.0 absent-frame sentinel in its slot (distinct " +
     "corrupt clips must not hash-equal in clip signatures)") {
