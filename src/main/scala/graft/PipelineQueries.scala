@@ -4851,6 +4851,125 @@ object PipelineQueries {
     head + rounds
   }
 
+  /** Unigram-LM (SentencePiece-style) tokenizer induction
+    * ([[graft.ops.UnigramLm]], Kudo 2018) — the BPE sibling a modern
+    * pipeline actually ships: substring-seeded piece inventory →
+    * hard-EM rounds (Viterbi-segment every word under piece probs,
+    * re-estimate counts from the best segmentations) → prune to the
+    * target vocabulary → segment. The corpus is touched once (word
+    * table); every round is one codegen'd Viterbi map over the
+    * VOCABULARY plus two aggregates, with only model-sized driver
+    * round-trips (the [[graft.ops.Bpe]] rounds-over-vocab
+    * discipline). Cross-engine float determinism: piece prob = one
+    * IEEE division of exact ints, segmentation scores multiply
+    * LEFT-TO-RIGHT on both engines (the DP extension IS the left
+    * fold), ties break by the reversed-interior-cut rule the DP's
+    * ascending->= scan and the oracle's (score DESC, rkey ASC)
+    * enumeration both realize — so per-word segmentations, the
+    * order-sensitive digest, fertility, and the EM count trajectory
+    * all pin bit-exactly. The oracle replays seed, both EM rounds,
+    * the char floor, and the prune with enumeration Viterbi
+    * (2^(L−1) masks per word — exponential, but it runs on the
+    * VOCABULARY at gate scale; the Spark side is the O(L·maxLen)
+    * DP). */
+  private val textUnigramLm = Q("q_text_unigramlm",
+    (s, d) => graft.ops.UnigramLm.trainDf(docs(s, d), "text"),
+    {
+      val M = graft.ops.UnigramLm.DigestMod
+      val maxL = graft.ops.UnigramLm.MaxPieceLen
+      val seedN = graft.ops.UnigramLm.SeedSize
+      val vocN = graft.ops.UnigramLm.VocabTarget
+      val D = graft.ops.Bpe.DelimSql
+      val h = TextAnalysis.TokenHashSql("pieces[k]")
+      def segRound(n: Int, model: String, tot: String): String =
+        s"msk$n AS (SELECT tok, freq, " +
+          "unnest(range(0, 1 << (length(tok) - 1))) AS mask FROM wt), " +
+          s"pz$n AS (SELECT tok, freq, mask, " +
+          "[CAST(i AS INT) for i in range(1, length(tok)) " +
+          "if ((mask >> (i - 1)) & 1) = 1] AS cuts, " +
+          "array_to_string([lpad(CAST(i AS VARCHAR), 2, '0') " +
+          "for i in range(length(tok) - 1, 0, -1) " +
+          "if ((mask >> (i - 1)) & 1) = 1], '') AS rkey " +
+          s"FROM msk$n), " +
+          s"sg$n AS (SELECT tok, freq, mask, rkey, " +
+          "[substr(tok, (list_prepend(0, cuts))[k] + 1, " +
+          "(list_concat(cuts, [length(tok)]))[k] - " +
+          "(list_prepend(0, cuts))[k]) " +
+          "for k in range(1, len(cuts) + 2)] AS pieces FROM pz$n), "
+            .replace("$n", n.toString) +
+          s"sc$n AS (SELECT tok, freq, mask, rkey, pieces, 0 AS k, " +
+          s"CAST(1.0 AS DOUBLE) AS s FROM sg$n UNION ALL " +
+          "SELECT r.tok, r.freq, r.mask, r.rkey, r.pieces, r.k + 1, " +
+          "r.s * (CAST(coalesce(m.cnt, 0) AS DOUBLE) / " +
+          s"(SELECT CAST(t AS DOUBLE) FROM $tot)) " +
+          s"FROM sc$n r LEFT JOIN $model m " +
+          "ON m.piece = r.pieces[r.k + 1] " +
+          "WHERE r.k < len(r.pieces)), " +
+          s"best$n AS MATERIALIZED (SELECT tok, freq, pieces FROM (" +
+          "SELECT tok, freq, pieces, row_number() OVER (" +
+          "PARTITION BY tok ORDER BY s DESC, rkey ASC) AS rn " +
+          s"FROM sc$n WHERE k = len(pieces)) WHERE rn = 1)"
+      def stats(n: Int, model: String): String =
+        s"st$n AS (SELECT $n AS round, " +
+          s"(SELECT CAST(count(*) AS INT) FROM $model) AS n_model, " +
+          "(SELECT count(DISTINCT piece) FROM (" +
+          s"SELECT unnest(pieces) AS piece FROM best$n)) " +
+          "AS n_pieces_used, " +
+          "(SELECT CAST(sum(freq * len(pieces)) AS BIGINT) " +
+          s"FROM best$n) AS piece_instances, " +
+          "(SELECT CAST(sum(freq * len(pieces)) AS DOUBLE) / " +
+          s"CAST(sum(freq) AS DOUBLE) FROM best$n) AS avg_pieces, " +
+          s"(SELECT CAST(sum(freq * list_sum([(k * ($h % $M)) % $M " +
+          "for k in range(1, len(pieces) + 1)])) AS BIGINT) " +
+          s"% $M FROM best$n) AS seg_digest)"
+      "WITH RECURSIVE " +
+        "wt AS MATERIALIZED (SELECT tok, count(*) AS freq FROM (" +
+        "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
+        s"WHERE length(tok) > 0 AND NOT contains(tok, $D) " +
+        "GROUP BY tok), " +
+        "chars AS MATERIALIZED (SELECT DISTINCT unnest(" +
+        "[substr(tok, i, 1) for i in range(1, length(tok) + 1)]) " +
+        "AS piece FROM wt), " +
+        "subs AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt " +
+        "FROM (SELECT freq, unnest(flatten([[substr(tok, i, l) " +
+        s"for l in range(1, least($maxL, length(tok) - i + 1) + 1)] " +
+        "for i in range(1, length(tok) + 1)])) AS piece FROM wt) " +
+        "GROUP BY piece), " +
+        s"top48 AS (SELECT piece, cnt FROM subs ORDER BY cnt DESC, " +
+        s"piece ASC LIMIT $seedN), " +
+        "model1 AS MATERIALIZED (SELECT piece, cnt FROM top48 " +
+        "UNION ALL SELECT s.piece, s.cnt FROM subs s WHERE " +
+        "length(s.piece) = 1 AND s.piece NOT IN " +
+        "(SELECT piece FROM top48)), " +
+        "tot1 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM model1), " +
+        segRound(1, "model1", "tot1") + ", " + stats(1, "model1") + ", " +
+        "cnt2 AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt " +
+        "FROM (SELECT freq, unnest(pieces) AS piece FROM best1) " +
+        "GROUP BY piece), " +
+        "model2 AS MATERIALIZED (SELECT piece, cnt FROM cnt2 " +
+        "UNION ALL SELECT c.piece, CAST(1 AS BIGINT) FROM chars c " +
+        "WHERE c.piece NOT IN (SELECT piece FROM cnt2)), " +
+        "tot2 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM model2), " +
+        segRound(2, "model2", "tot2") + ", " + stats(2, "model2") + ", " +
+        "cnt3 AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt " +
+        "FROM (SELECT freq, unnest(pieces) AS piece FROM best2) " +
+        "GROUP BY piece), " +
+        "m3src AS MATERIALIZED (SELECT piece, cnt FROM cnt3 " +
+        "UNION ALL SELECT c.piece, CAST(1 AS BIGINT) FROM chars c " +
+        "WHERE c.piece NOT IN (SELECT piece FROM cnt3)), " +
+        "kept AS (SELECT piece, cnt FROM (SELECT piece, cnt, " +
+        "row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn " +
+        s"FROM m3src) WHERE rn <= $vocN), " +
+        "model3 AS MATERIALIZED (SELECT piece, cnt FROM kept " +
+        "UNION ALL SELECT m.piece, m.cnt FROM m3src m JOIN chars c " +
+        "ON c.piece = m.piece WHERE m.piece NOT IN " +
+        "(SELECT piece FROM kept)), " +
+        "tot3 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM model3), " +
+        segRound(3, "model3", "tot3") + ", " + stats(3, "model3") + " " +
+        "SELECT * FROM st1 UNION ALL SELECT * FROM st2 " +
+        "UNION ALL SELECT * FROM st3 ORDER BY round"
+    })
+
   private val textBpe = Q("q_text_bpe",
     (s, d) => graft.ops.Bpe.learnDf(docs(s, d), "text", BpeRounds),
     {
@@ -9844,5 +9963,5 @@ object PipelineQueries {
     pipelineDpRelease, packAudit, multimodalAvi, multimodalAviDecode,
     dedupEntity, dedupEntityIncremental, sourceParquetMeta,
     dedupEntityQuality, statsJoinSize, dedupEntityTau2,
-    multimodalGifDecode)
+    multimodalGifDecode, textUnigramLm)
 }

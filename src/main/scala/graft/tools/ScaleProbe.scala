@@ -104,6 +104,10 @@ object ScaleProbe {
     // round-12: GIF frame decode (real LZW decode per frame — the
     // honest expectation is ratio ~ input factor, like framedecode)
     "q_multimodal_gifdecode" -> 10,
+    // round-12: unigram-LM induction (corpus touched once for the
+    // word table; EM rounds run over the vocabulary — the q_text_bpe
+    // far-sub-linear expectation)
+    "q_text_unigramlm" -> 10,
     // round-11: footer-only metadata (cost scales with FILE count,
     // not data volume — the honest expectation is far sub-linear)
     "q_source_parquetmeta" -> 10)
