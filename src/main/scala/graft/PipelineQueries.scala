@@ -2949,6 +2949,87 @@ object PipelineQueries {
       "AS pair_digest " +
       "FROM lv GROUP BY source ORDER BY source")
 
+  /** Content-defined chunking dedup ([[graft.ops.Cdc]] — LBFS 2001 /
+    * FastCDC 2016): chunk boundaries where a 16-char window hash
+    * hits 0 mod D, min/max enforced, so identical regions chunk
+    * identically regardless of offset — the storage-level dedup
+    * shape that catches SHIFTED duplicates exact-hash dedup
+    * fundamentally misses. Output: per-source chunk counts, the
+    * distinct-chunk mass, and the dedup ratio (distinct chars /
+    * total chars — the storage a CDC store saves on this corpus,
+    * where ~0.3% of docs are exact-dup pairs and every chunk of a
+    * dup doc collides with its twin). Everything up to the
+    * (source, fp, len) grain is a pure per-row map — text never
+    * shuffles; the oracle replays the window hash (per-position
+    * list comprehension — the window sum needs no rolling state),
+    * the min/max walk (recursive CTE), chunk extraction, and the
+    * md5 fingerprints, pinning every count, the ratio division, and
+    * the digest bit-exactly. */
+  private val dedupCdc = Q("q_dedup_cdc",
+    (s, d) => {
+      val ch = graft.ops.Cdc.chunks(docs(s, d), "text", Seq("source"))
+      ch.groupBy("source", "fp", "len")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("source")
+        .agg(sum(col("n")).as("n_chunks"),
+          sum(col("n") * col("len")).as("total_chars"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("len")).as("distinct_chars"),
+          sum(col("n") * pmod(col("fp"), lit(graft.ops.Cdc.M)))
+            .as("__dg"))
+        .select(col("source"), col("n_chunks"), col("total_chars"),
+          col("n_distinct"), col("distinct_chars"),
+          (col("distinct_chars").cast("double") /
+            col("total_chars").cast("double")).as("dedup_ratio"),
+          pmod(col("__dg"), lit(graft.ops.Cdc.M)).as("fp_digest"))
+        .orderBy("source")
+    }, {
+      val M = graft.ops.Cdc.M
+      val Dd = graft.ops.Cdc.D
+      val W = graft.ops.Cdc.W
+      val minC = graft.ops.Cdc.MinC
+      val maxC = graft.ops.Cdc.MaxC
+      val pows = graft.ops.Cdc.BPow.mkString("[", ", ", "]")
+      val fpSql = TextAnalysis.TokenHashSql("chunk")
+      "WITH RECURSIVE c AS (SELECT doc_id, source, text, " +
+        "length(text) AS n FROM documents WHERE text IS NOT NULL " +
+        "AND length(text) > 0), " +
+        "cd AS MATERIALIZED (SELECT doc_id, source, text, n, " +
+        s"CASE WHEN n >= $W THEN [CAST(i AS INT) " +
+        s"for i in range($W, n + 1) if (list_sum(" +
+        s"[(CAST(ascii(substr(text, i - j, 1)) AS BIGINT) * " +
+        s"($pows)[j + 1]) % $M " +
+        s"for j in range(0, $W)]) % $M) % $Dd = 0] " +
+        "ELSE CAST([] AS INT[]) END AS cands FROM c), " +
+        "walk AS (SELECT doc_id, source, text, n, cands, 0 AS cur, " +
+        "CAST([] AS INT[]) AS bs FROM cd " +
+        "UNION ALL SELECT w.doc_id, w.source, w.text, w.n, w.cands, " +
+        s"coalesce(list_min([c for c in w.cands if c >= w.cur + $minC " +
+        s"and c < least(w.cur + $maxC, w.n)]), " +
+        s"least(w.cur + $maxC, w.n)), " +
+        "list_append(w.bs, " +
+        s"coalesce(list_min([c for c in w.cands if c >= w.cur + $minC " +
+        s"and c < least(w.cur + $maxC, w.n)]), " +
+        s"least(w.cur + $maxC, w.n))) " +
+        "FROM walk w WHERE w.cur < w.n), " +
+        "fin AS (SELECT doc_id, source, text, bs FROM walk " +
+        "WHERE cur = n), " +
+        "ch AS (SELECT source, unnest([substr(text, " +
+        "(list_prepend(0, bs))[k] + 1, " +
+        "bs[k] - (list_prepend(0, bs))[k]) " +
+        "for k in range(1, len(bs) + 1)]) AS chunk FROM fin), " +
+        s"pg AS (SELECT source, $fpSql AS fp, length(chunk) AS len, " +
+        "count(*) AS cnt FROM ch GROUP BY 1, 2, 3) " +
+        "SELECT source, CAST(sum(cnt) AS BIGINT) AS n_chunks, " +
+        "CAST(sum(cnt * len) AS BIGINT) AS total_chars, " +
+        "count(*) AS n_distinct, " +
+        "CAST(sum(len) AS BIGINT) AS distinct_chars, " +
+        "CAST(sum(len) AS DOUBLE) / CAST(sum(cnt * len) AS DOUBLE) " +
+        "AS dedup_ratio, " +
+        s"CAST(sum(cnt * (fp % $M)) AS BIGINT) % $M AS fp_digest " +
+        "FROM pg GROUP BY source ORDER BY source"
+    })
+
   /** Entity resolution on the CUSTOMER table ([[graft.ops.Entity]]):
     * the structured-record linkage shape (same customer entered
     * twice with a typo'd key). Fixture side (the multimodal
@@ -9963,5 +10044,5 @@ object PipelineQueries {
     pipelineDpRelease, packAudit, multimodalAvi, multimodalAviDecode,
     dedupEntity, dedupEntityIncremental, sourceParquetMeta,
     dedupEntityQuality, statsJoinSize, dedupEntityTau2,
-    multimodalGifDecode, textUnigramLm)
+    multimodalGifDecode, textUnigramLm, dedupCdc)
 }

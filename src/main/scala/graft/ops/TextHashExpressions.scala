@@ -50,6 +50,66 @@ object TextHashFns {
     (h << 4) | ((dig(7) & 0xf0L) >> 4)
   }
 
+  /** Fused content-defined chunking ([[Cdc]]'s production kernel):
+    * one pass computes the rolling window hash (identical residues
+    * mod M to the per-position window sum the column spec and the
+    * SQL oracle use — the roll subtracts c·B^W and re-reduces, all
+    * exact int64), collects candidate boundaries, runs the min/max
+    * walk with an ascending pointer, and fingerprints each chunk
+    * with [[tokenHash60]]. Returns array<struct<len int, fp long>>.
+    * Codepoint-indexed, matching the column spec's
+    * substr/length/ascii semantics on ASCII corpora (CdcSpec pins
+    * kernel == column spec). The composable column form is
+    * O(n·W) interpreted HOF work per doc — this is the same
+    * fused-kernel discipline as winnowing. */
+  def cdcChunks(text: UTF8String): GenericArrayData = {
+    val s = text.toString
+    val cp = s.codePoints().toArray
+    val n = cp.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val W = Cdc.W
+    val M = Cdc.M
+    val D = Cdc.D
+    val minC = Cdc.MinC
+    val maxC = Cdc.MaxC
+    // candidate boundary positions (1-based), ascending
+    val cands = new java.util.ArrayList[Integer]()
+    if (n >= W) {
+      val bW = Cdc.BPow(W - 1) * Cdc.B % M // B^W mod M
+      // direct window sum at position W, then roll
+      var h = 0L
+      var j = 0
+      while (j < W) {
+        h = (h + cp(W - 1 - j).toLong * Cdc.BPow(j)) % M
+        j += 1
+      }
+      if (h % D == 0) cands.add(W)
+      var i = W + 1
+      while (i <= n) {
+        h = ((h * Cdc.B + cp(i - 1)) % M + M -
+          cp(i - 1 - W).toLong * bW % M) % M
+        if (h % D == 0) cands.add(i)
+        i += 1
+      }
+    }
+    // min/max walk with an ascending candidate pointer
+    val out = new java.util.ArrayList[Any]()
+    var cur = 0
+    var ci = 0
+    while (cur < n) {
+      val hi = math.min(cur + maxC, n)
+      while (ci < cands.size() && cands.get(ci) < cur + minC) ci += 1
+      val next =
+        if (ci < cands.size() && cands.get(ci) < hi) cands.get(ci).toInt
+        else hi
+      val chunk = new String(cp, cur, next - cur)
+      out.add(new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](next - cur, tokenHash60(chunk))))
+      cur = next
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** MinHash signature array (size [[Dedup.NumPerms]]) over the
     * DISTINCT token set; all entries == [[Dedup.P]] iff the text has
     * no tokens (P is unreachable as a real signature: x mod P < P). */
@@ -818,6 +878,24 @@ case class SubstrRebuildExpr(left: Expression, right: Expression, k: Int)
   override def prettyName: String = "substr_rebuild"
 }
 
+/** Fused content-defined chunking ([[TextHashFns.cdcChunks]]) —
+  * array<struct<len int, fp long>> per doc; one compiled pass
+  * replaces the O(n·W) interpreted HOF column spec. */
+case class CdcChunksExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("len", IntegerType, nullable = false),
+    StructField("fp", LongType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextHashFns.cdcChunks(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.TextHashFns.cdcChunks($c)")
+  override protected def withNewChildInternal(
+      c: Expression): CdcChunksExpr = copy(child = c)
+  override def prettyName: String = "cdc_chunks"
+}
+
 case class NgramFpsExpr(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1, s"n=$n")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -863,4 +941,7 @@ object TextHashExpressions {
     bridge.toColumn(BpePieceCountExpr(bridge.toExpression(text), merges))
   def winnowAnchors(text: Column, k: Int, w: Int): Column =
     bridge.toColumn(WinnowAnchorsExpr(bridge.toExpression(text), k, w))
+
+  def cdcChunks(text: Column): Column =
+    bridge.toColumn(CdcChunksExpr(bridge.toExpression(text)))
 }

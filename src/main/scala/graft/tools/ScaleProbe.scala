@@ -108,6 +108,9 @@ object ScaleProbe {
     // word table; EM rounds run over the vocabulary — the q_text_bpe
     // far-sub-linear expectation)
     "q_text_unigramlm" -> 10,
+    // round-12: content-defined chunking (O(W) window hash per char,
+    // pure map to the chunk grain — docs-linear expectation)
+    "q_dedup_cdc" -> 10,
     // round-11: footer-only metadata (cost scales with FILE count,
     // not data volume — the honest expectation is far sub-linear)
     "q_source_parquetmeta" -> 10)

@@ -1571,6 +1571,115 @@ class StreamingSpec extends AnyFunSuite {
     index.unpersist()
   }
 
+  test("tau=2 steady-state entity resolution: a double-substitution " +
+    "arrival links through the depth-2 index on a stream exactly as " +
+    "in batch") {
+    import graft.ops.Entity
+    val s = spark
+    import s.implicits._
+    val archive = Seq((10L, "1234567", "n1234567", "A"))
+      .toDF("rid", "key", "name", "blk")
+    val resolved = Entity.resolve(archive, "rid", "key", "name",
+      Seq("blk"), tau = 2)
+    val index = Entity.archiveIndex(resolved, "key", "name",
+      Seq("blk"), k = 2).persist()
+    index.count()
+    val arrivals = Seq(
+      (100L, "1934867", "n1934867", "A"),  // sub+sub: lev 2 -> 10
+      (101L, "1234567", "n1234567", "B"),  // wrong block: fresh
+      (102L, "9994567", "n9994567", "A")   // lev 3: fresh
+    ).toDF("rid", "key", "name", "blk")
+    val want = Entity.resolveAgainst(index, arrivals, "rid", "key",
+        "name", Seq("blk"), tau = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(want == Map(100L -> 10L, 101L -> 101L, 102L -> 102L))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("entity_tau2_stream").toFile
+    tmp.deleteOnExit()
+    arrivals.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getString(3)))
+      .grouped(2).zipWithIndex.foreach { case (sl, i) =>
+        val p = new java.io.File(tmp, s"slice$i")
+        sl.toSeq.toDF("rid", "key", "name", "blk").coalesce(1)
+          .write.parquet(p.toString)
+        p.listFiles().foreach(f =>
+          f.setLastModified(1700000000000L + i * 60000L))
+      }
+    val stream = spark.readStream.schema(arrivals.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/*")
+    val got = scala.collection.mutable.Map.empty[Long, Long]
+    val n = graft.streaming.StreamingOps.entityResolveStream(
+      stream, index, "rid", "key", "name", Seq("blk"), tau = 2) { out =>
+      out.collect().foreach(r => got(r.getLong(0)) = r.getLong(1))
+    }
+    assert(n >= 2, s"expected >=2 micro-batches, got $n")
+    assert(got.toMap == want, s"$got vs $want")
+    index.unpersist()
+  }
+
+  test("unigram-LM segmentation is a PURE MAP: the identical " +
+    "segmented() plan runs directly on a streaming frame (no " +
+    "foreachBatch) and matches batch piece for piece") {
+    import graft.ops.UnigramLm
+    val s = spark
+    import s.implicits._
+    val model = Seq("a" -> 2L, "b" -> 2L, "c" -> 2L, "d" -> 2L,
+      "ab" -> 9L, "cd" -> 9L, "abc" -> 4L)
+    val words = Seq(("abcd", 3L), ("abab", 2L), ("d", 1L),
+      ("abcab", 4L))
+    val batch = UnigramLm.segmented(words.toDF("tok", "freq"), model)
+      .select("tok", "pieces").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(batch("abcd") == Seq("ab", "cd"))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("unigram_stream").toFile
+    tmp.deleteOnExit()
+    words.toDF("tok", "freq").coalesce(1).write
+      .parquet(new java.io.File(tmp, "w").toString)
+    val stream = spark.readStream
+      .schema(words.toDF("tok", "freq").schema)
+      .parquet(s"$tmp/*")
+    graft.streaming.StreamingOps.runToMemorySink(
+      UnigramLm.segmented(stream, model).select("tok", "pieces"),
+      "unigram_seg")
+    val got = spark.table("unigram_seg").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(got == batch, s"$got vs $batch")
+  }
+
+  test("content-defined chunking is a PURE MAP: the identical " +
+    "Cdc.chunks plan runs directly on a streaming frame and matches " +
+    "batch chunk for chunk") {
+    import graft.ops.Cdc
+    val s = spark
+    import s.implicits._
+    def mk(seed: Int, n: Int): String = {
+      val sb = new StringBuilder
+      var h = seed.toLong
+      while (sb.length < n) {
+        h = h * 6364136223846793005L + 1442695040888963407L
+        sb.append(('a' + math.floorMod(h >>> 33, 26L).toInt).toChar)
+      }
+      sb.toString.take(n)
+    }
+    val docs = Seq((1L, mk(9, 800)), (2L, mk(10, 450)), (3L, "tiny"))
+    val batch = Cdc.chunks(docs.toDF("id", "txt"), "txt", Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    val tmp = java.nio.file.Files
+      .createTempDirectory("cdc_stream").toFile
+    tmp.deleteOnExit()
+    docs.toDF("id", "txt").coalesce(1).write
+      .parquet(new java.io.File(tmp, "d").toString)
+    val stream = spark.readStream
+      .schema(docs.toDF("id", "txt").schema).parquet(s"$tmp/*")
+    graft.streaming.StreamingOps.runToMemorySink(
+      Cdc.chunks(stream, "txt", Seq("id")), "cdc_chunks")
+    val got = spark.table("cdc_chunks").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == batch, s"$got vs $batch")
+  }
+
   test("incremental k-core staleness: arrivals streamed against the " +
     "persisted core snapshot match the batch form row for row, and " +
     "the stale flag fires exactly when the degree bound reaches k") {
