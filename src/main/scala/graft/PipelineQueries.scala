@@ -2949,6 +2949,49 @@ object PipelineQueries {
       "AS pair_digest " +
       "FROM lv GROUP BY source ORDER BY source")
 
+  /** Shared oracle CTE chain for the CDC family: docs → per-position
+    * window-hash candidates (stateless comprehension) → recursive
+    * min/max walk → chunk extraction → `cfp(doc_id, source, fp,
+    * len)`. Callers must open with WITH RECURSIVE. */
+  private val cdcCtes: String = {
+    val M = graft.ops.Cdc.M
+    val Dd = graft.ops.Cdc.D
+    val W = graft.ops.Cdc.W
+    val minC = graft.ops.Cdc.MinC
+    val maxC = graft.ops.Cdc.MaxC
+    val pows = graft.ops.Cdc.BPow.mkString("[", ", ", "]")
+    val fpSql = TextAnalysis.TokenHashSql("chunk")
+    "c AS (SELECT doc_id, source, text, " +
+      "length(text) AS n FROM documents WHERE text IS NOT NULL " +
+      "AND length(text) > 0), " +
+      "cd AS MATERIALIZED (SELECT doc_id, source, text, n, " +
+      s"CASE WHEN n >= $W THEN [CAST(i AS INT) " +
+      s"for i in range($W, n + 1) if (list_sum(" +
+      s"[(CAST(ascii(substr(text, i - j, 1)) AS BIGINT) * " +
+      s"($pows)[j + 1]) % $M " +
+      s"for j in range(0, $W)]) % $M) % $Dd = 0] " +
+      "ELSE CAST([] AS INT[]) END AS cands FROM c), " +
+      "walk AS (SELECT doc_id, source, text, n, cands, 0 AS cur, " +
+      "CAST([] AS INT[]) AS bs FROM cd " +
+      "UNION ALL SELECT w.doc_id, w.source, w.text, w.n, w.cands, " +
+      s"coalesce(list_min([c for c in w.cands if c >= w.cur + $minC " +
+      s"and c < least(w.cur + $maxC, w.n)]), " +
+      s"least(w.cur + $maxC, w.n)), " +
+      "list_append(w.bs, " +
+      s"coalesce(list_min([c for c in w.cands if c >= w.cur + $minC " +
+      s"and c < least(w.cur + $maxC, w.n)]), " +
+      s"least(w.cur + $maxC, w.n))) " +
+      "FROM walk w WHERE w.cur < w.n), " +
+      "fin AS (SELECT doc_id, source, text, bs FROM walk " +
+      "WHERE cur = n), " +
+      "chx AS (SELECT doc_id, source, unnest([substr(text, " +
+      "(list_prepend(0, bs))[k] + 1, " +
+      "bs[k] - (list_prepend(0, bs))[k]) " +
+      "for k in range(1, len(bs) + 1)]) AS chunk FROM fin), " +
+      s"cfp AS (SELECT doc_id, source, $fpSql AS fp, " +
+      "length(chunk) AS len FROM chx)"
+  }
+
   /** Content-defined chunking dedup ([[graft.ops.Cdc]] — LBFS 2001 /
     * FastCDC 2016): chunk boundaries where a 16-char window hash
     * hits 0 mod D, min/max enforced, so identical regions chunk
@@ -2985,41 +3028,9 @@ object PipelineQueries {
         .orderBy("source")
     }, {
       val M = graft.ops.Cdc.M
-      val Dd = graft.ops.Cdc.D
-      val W = graft.ops.Cdc.W
-      val minC = graft.ops.Cdc.MinC
-      val maxC = graft.ops.Cdc.MaxC
-      val pows = graft.ops.Cdc.BPow.mkString("[", ", ", "]")
-      val fpSql = TextAnalysis.TokenHashSql("chunk")
-      "WITH RECURSIVE c AS (SELECT doc_id, source, text, " +
-        "length(text) AS n FROM documents WHERE text IS NOT NULL " +
-        "AND length(text) > 0), " +
-        "cd AS MATERIALIZED (SELECT doc_id, source, text, n, " +
-        s"CASE WHEN n >= $W THEN [CAST(i AS INT) " +
-        s"for i in range($W, n + 1) if (list_sum(" +
-        s"[(CAST(ascii(substr(text, i - j, 1)) AS BIGINT) * " +
-        s"($pows)[j + 1]) % $M " +
-        s"for j in range(0, $W)]) % $M) % $Dd = 0] " +
-        "ELSE CAST([] AS INT[]) END AS cands FROM c), " +
-        "walk AS (SELECT doc_id, source, text, n, cands, 0 AS cur, " +
-        "CAST([] AS INT[]) AS bs FROM cd " +
-        "UNION ALL SELECT w.doc_id, w.source, w.text, w.n, w.cands, " +
-        s"coalesce(list_min([c for c in w.cands if c >= w.cur + $minC " +
-        s"and c < least(w.cur + $maxC, w.n)]), " +
-        s"least(w.cur + $maxC, w.n)), " +
-        "list_append(w.bs, " +
-        s"coalesce(list_min([c for c in w.cands if c >= w.cur + $minC " +
-        s"and c < least(w.cur + $maxC, w.n)]), " +
-        s"least(w.cur + $maxC, w.n))) " +
-        "FROM walk w WHERE w.cur < w.n), " +
-        "fin AS (SELECT doc_id, source, text, bs FROM walk " +
-        "WHERE cur = n), " +
-        "ch AS (SELECT source, unnest([substr(text, " +
-        "(list_prepend(0, bs))[k] + 1, " +
-        "bs[k] - (list_prepend(0, bs))[k]) " +
-        "for k in range(1, len(bs) + 1)]) AS chunk FROM fin), " +
-        s"pg AS (SELECT source, $fpSql AS fp, length(chunk) AS len, " +
-        "count(*) AS cnt FROM ch GROUP BY 1, 2, 3) " +
+      s"WITH RECURSIVE $cdcCtes, " +
+        "pg AS (SELECT source, fp, len, " +
+        "count(*) AS cnt FROM cfp GROUP BY 1, 2, 3) " +
         "SELECT source, CAST(sum(cnt) AS BIGINT) AS n_chunks, " +
         "CAST(sum(cnt * len) AS BIGINT) AS total_chars, " +
         "count(*) AS n_distinct, " +
@@ -3028,6 +3039,62 @@ object PipelineQueries {
         "AS dedup_ratio, " +
         s"CAST(sum(cnt * (fp % $M)) AS BIGINT) % $M AS fp_digest " +
         "FROM pg GROUP BY source ORDER BY source"
+    })
+
+  /** CDC near-dup pairs ([[graft.ops.Cdc.pairs]]): the application
+    * form — docs whose chunk sets overlap at containment ≥ θ on the
+    * smaller side, from an fp-equality join with hot chunks
+    * (df > maxDf) diverted from pair generation (the capped-LSH
+    * skew bound; diverted chunks still count toward doc SIZE, so
+    * containment is conservative). Fixture: the documents corpus
+    * carries ~0.3% exact text-copy pairs (chunk sets match
+    * completely → containment exactly 1.0, counted by n_full) plus
+    * genuine partial overlaps among short docs whose few chunks
+    * repeat under the bounded vocabulary — a real phenomenon both
+    * engines must agree on; the digest pins every (id_a, id_b). */
+  private val dedupCdcPairs = Q("q_dedup_cdc_pairs",
+    (s, d) => {
+      val ch = graft.ops.Cdc.chunks(
+        docs(s, d).select("doc_id", "text"), "text", Seq("doc_id"))
+      val p = graft.ops.Cdc.pairs(ch, "doc_id", theta = 0.5, maxDf = 64)
+      p.agg(count(lit(1)).as("n_pairs"),
+          sum(col("n_shared")).as("sum_shared"),
+          sum(least(col("n_a"), col("n_b"))).as("sum_minsize"),
+          sum(when(col("containment") >= 1.0, 1L).otherwise(0L))
+            .as("n_full"),
+          sum(pmod(col("id_a") * 131L + col("id_b"),
+            lit(CleanSumMod))).as("pair_digest"))
+        .select(col("n_pairs"), col("sum_shared"), col("sum_minsize"),
+          (col("sum_shared").cast("double") /
+            col("sum_minsize").cast("double")).as("macro_containment"),
+          col("n_full"), col("pair_digest"))
+    }, {
+      s"WITH RECURSIVE $cdcCtes, " +
+        "cf AS (SELECT DISTINCT doc_id, fp FROM cfp), " +
+        "sz AS (SELECT doc_id, count(*) AS nc FROM cf GROUP BY doc_id), " +
+        "hot AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM cf " +
+        "GROUP BY fp) WHERE df > 64), " +
+        "cold AS (SELECT doc_id, fp FROM cf " +
+        "WHERE fp NOT IN (SELECT fp FROM hot)), " +
+        "sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "count(*) AS n_shared FROM cold a JOIN cold b " +
+        "ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "pr AS (SELECT sh.id_a, sh.id_b, sh.n_shared, " +
+        "sa.nc AS n_a, sb.nc AS n_b, " +
+        "CAST(sh.n_shared AS DOUBLE) / " +
+        "CAST(least(sa.nc, sb.nc) AS DOUBLE) AS containment " +
+        "FROM sh JOIN sz sa ON sa.doc_id = sh.id_a " +
+        "JOIN sz sb ON sb.doc_id = sh.id_b), " +
+        "fl AS (SELECT * FROM pr WHERE containment >= 0.5) " +
+        "SELECT count(*) AS n_pairs, " +
+        "CAST(sum(n_shared) AS BIGINT) AS sum_shared, " +
+        "CAST(sum(least(n_a, n_b)) AS BIGINT) AS sum_minsize, " +
+        "CAST(sum(n_shared) AS DOUBLE) / " +
+        "CAST(sum(least(n_a, n_b)) AS DOUBLE) AS macro_containment, " +
+        "CAST(sum(CASE WHEN containment >= 1.0 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_full, " +
+        s"CAST(sum((id_a * 131 + id_b) % $CleanSumMod) AS BIGINT) " +
+        "AS pair_digest FROM fl"
     })
 
   /** Entity resolution on the CUSTOMER table ([[graft.ops.Entity]]):
@@ -10044,5 +10111,5 @@ object PipelineQueries {
     pipelineDpRelease, packAudit, multimodalAvi, multimodalAviDecode,
     dedupEntity, dedupEntityIncremental, sourceParquetMeta,
     dedupEntityQuality, statsJoinSize, dedupEntityTau2,
-    multimodalGifDecode, textUnigramLm, dedupCdc)
+    multimodalGifDecode, textUnigramLm, dedupCdc, dedupCdcPairs)
 }

@@ -115,6 +115,41 @@ object Cdc {
         col("__c.len").as("len"), col("__c.fp").as("fp")): _*)
   }
 
+  /** Chunk-overlap near-dup pairs (id_a < id_b): docs whose chunk
+    * SETS overlap with containment ≥ `theta` on the smaller side —
+    * the CDC application form (storage dedup finds the shifted
+    * near-dups, this reports them at the document grain). Chunk
+    * fingerprints occurring in more than `maxDf` docs are diverted
+    * from pair generation (a boilerplate chunk shared by B docs
+    * would emit B²/2 pairs in one task — the capped-LSH skew
+    * discipline; diverted chunks still count toward each doc's SIZE,
+    * making containment conservative, never inflated). Scale shape:
+    * distinct (id, fp) grain → hot-fp anti-join → fp-equality
+    * self-join bounded by O(#fps · maxDf²) → pair-grain aggregate;
+    * text never appears. */
+  def pairs(chunked: DataFrame, idCol: String,
+            theta: Double, maxDf: Int): DataFrame = {
+    val cf = chunked.select(col(idCol), col("fp")).distinct()
+    val sizes = cf.groupBy(idCol).agg(count(lit(1)).as("__nc"))
+    val hot = cf.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDf).select("fp")
+    val cold = cf.join(hot, Seq("fp"), "left_anti")
+    val shared = cold.select(col(idCol).as("id_a"), col("fp"))
+      .join(cold.select(col(idCol).as("id_b"), col("fp")), "fp")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col(idCol).as("id_a"), col("__nc").as("n_a")),
+        "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("__nc").as("n_b")),
+        "id_b")
+      .withColumn("containment",
+        col("n_shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"))
+      .where(col("containment") >= theta)
+      .select("id_a", "id_b", "n_shared", "n_a", "n_b", "containment")
+  }
+
   /** The composable COLUMN-FORM spec of [[chunks]] (test-only:
     * candidates → walk → extract, each stage computeOnce-pinned;
     * `fp` is [[TextAnalysis.tokenHash]] of the chunk text). Kept as

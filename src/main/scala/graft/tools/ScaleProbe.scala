@@ -109,8 +109,9 @@ object ScaleProbe {
     // far-sub-linear expectation)
     "q_text_unigramlm" -> 10,
     // round-12: content-defined chunking (O(W) window hash per char,
-    // pure map to the chunk grain — docs-linear expectation)
-    "q_dedup_cdc" -> 10,
+    // pure map to the chunk grain — docs-linear expectation); the
+    // pair form adds the capped fp-equality join
+    "q_dedup_cdc" -> 10, "q_dedup_cdc_pairs" -> 10,
     // round-11: footer-only metadata (cost scales with FILE count,
     // not data volume — the honest expectation is far sub-linear)
     "q_source_parquetmeta" -> 10)
