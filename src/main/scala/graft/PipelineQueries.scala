@@ -5590,7 +5590,8 @@ object PipelineQueries {
           (lit(8) * (pmod(col("seed"), lit(5)) + 2)).cast("int"))
         .withColumn("h",
           (lit(8) * (pmod(col("seed"), lit(7)) + 2)).cast("int"))
-      val imgs = Multimodal.bmpPatternColumn(params, "w", "h", "seed")
+      val imgs = Multimodal.bmpPatternColumn(
+        Multimodal.spreadParams(params, "doc_id"), "w", "h", "seed")
       val hashed = Multimodal.imageHashColumn(imgs, "media")
         .select(col("source"),
           pmod(col("ahash64"), lit(DigestMod)).as("h40"))
@@ -5657,7 +5658,8 @@ object PipelineQueries {
             lit(32)) + 8).cast("int"))
         .withColumn("k2",
           (pmod(col("seed") * 5 + 11, lit(32)) + 8).cast("int"))
-      val built = Multimodal.mjpegPatternColumn(params,
+      val built = Multimodal.mjpegPatternColumn(
+        Multimodal.spreadParams(params, "doc_id"),
         Seq("k0", "k1", "k2"))
       Multimodal.decodeColumn(built, "media", "jpeg", featDim = 3)
         .select(col("source"),
@@ -5710,7 +5712,8 @@ object PipelineQueries {
         (lit(20000L) + pmod(col("doc_id"), lit(7)) * 5000L).as("us"),
         (pmod(col("doc_id"), lit(4)) + 2).cast("int").as("nf"),
         pmod(col("doc_id"), lit(2)).cast("int").as("rle"))
-      val built = Multimodal.aviBuildColumn(src, "w", "h", "us", "nf",
+      val built = Multimodal.aviBuildColumn(
+        Multimodal.spreadParams(src, "doc_id"), "w", "h", "us", "nf",
         "rle")
       Multimodal.aviMetaColumn(built, "media")
         .groupBy(col("source"), col("avi.codec").as("codec"))
@@ -5761,7 +5764,8 @@ object PipelineQueries {
             lit(32)) + 8).cast("int"))
         .withColumn("k2",
           (pmod(col("seed") * 3 + 17, lit(32)) + 8).cast("int"))
-      val built = Multimodal.aviPatternColumn(params,
+      val built = Multimodal.aviPatternColumn(
+        Multimodal.spreadParams(params, "doc_id"),
         Seq("k0", "k1", "k2"), "rle")
       Multimodal.decodeColumn(built, "media", "avi", featDim = 3)
         .select(col("source"), col("rle"),
@@ -5821,7 +5825,8 @@ object PipelineQueries {
             lit(32)) + 8).cast("int"))
         .withColumn("k2",
           (pmod(col("seed") * 7 + 19, lit(32)) + 8).cast("int"))
-      val built = Multimodal.gifPatternColumn(params,
+      val built = Multimodal.gifPatternColumn(
+        Multimodal.spreadParams(params, "doc_id"),
         Seq("k0", "k1", "k2"))
       Multimodal.decodeColumn(built, "media", "gif", featDim = 3)
         .select(col("source"),
@@ -5857,6 +5862,56 @@ object PipelineQueries {
       "AS n_frame_dups " +
       "FROM f GROUP BY source ORDER BY source")
 
+  /** GIF container-metadata round-trip (the meta/decode split the
+    * AVI family has, applied to GIF): per-doc parameters → animated
+    * GIF with per-frame Graphic Control Extension delays and the
+    * NETSCAPE2.0 loop extension ([[graft.ops.Multimodal
+    * .gifBuildColumn]] through the JDK writer's real LZW +
+    * metadata-tree path) → byte-level block-stream walk
+    * ([[graft.ops.Gif.parseMeta]] — header, logical screen
+    * descriptor, GCE delays, application extension, image
+    * descriptors with their sub-block structure, NO pixel decode) →
+    * per-(source, loop) aggregates. The oracle recomputes every
+    * aggregate from the parameter formulas, so a writer or parser
+    * mis-reading any LE16 field — dims, delay, loop count — or
+    * mis-walking the sub-block structure breaks the sums. Bytes
+    * never shuffle. */
+  private val multimodalGifMeta = Q("q_multimodal_gifmeta",
+    (s, d) => {
+      val src = docs(s, d).select(col("doc_id"), col("source"),
+        (lit(8) * (pmod(col("doc_id"), lit(13)) + 1)).cast("int").as("w"),
+        (lit(8) * (pmod(col("doc_id"), lit(9)) + 1)).cast("int").as("h"),
+        (pmod(col("doc_id"), lit(4)) + 2).cast("int").as("nf"),
+        (pmod(col("doc_id"), lit(11)) + 4).cast("int").as("dly"),
+        pmod(col("doc_id"), lit(3)).cast("int").as("lp"))
+      val built = Multimodal.gifBuildColumn(
+        Multimodal.spreadParams(src, "doc_id"), "w", "h", "nf",
+        "dly", "lp")
+      Multimodal.gifMetaColumn(built, "media")
+        .groupBy(col("source"), col("gif.loop").as("loop"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("gif.width").cast("long")).as("sum_w"),
+          sum(col("gif.height").cast("long")).as("sum_h"),
+          sum(col("gif.n_frames").cast("long")).as("sum_frames"),
+          sum(col("gif.n_gce").cast("long")).as("sum_gce"),
+          sum(col("gif.duration_ms")).as("sum_dur_ms"),
+          sum(when(col("gif.version") === "89a", 1L).otherwise(0L))
+            .as("n_v89"))
+        .orderBy("source", "loop")
+    },
+    "WITH p AS (SELECT doc_id, source, " +
+      "8 * ((doc_id % 13) + 1) AS w, 8 * ((doc_id % 9) + 1) AS h, " +
+      "(doc_id % 4) + 2 AS nf, (doc_id % 11) + 4 AS dly, " +
+      "CAST(doc_id % 3 AS INT) AS lp FROM documents) " +
+      "SELECT source, lp AS loop, count(*) AS n, " +
+      "CAST(sum(w) AS BIGINT) AS sum_w, " +
+      "CAST(sum(h) AS BIGINT) AS sum_h, " +
+      "CAST(sum(nf) AS BIGINT) AS sum_frames, " +
+      "CAST(sum(nf) AS BIGINT) AS sum_gce, " +
+      "CAST(sum(nf * dly * 10) AS BIGINT) AS sum_dur_ms, " +
+      "count(*) AS n_v89 " +
+      "FROM p GROUP BY source, lp ORDER BY source, lp")
+
   /** MP4 container-metadata round-trip: per-doc parameters → minimal
     * ISO BMFF bytes ([[Multimodal.mp4BuildColumn]]) → box-walk parse
     * ([[Multimodal.mp4MetaColumn]]) → per-(source, codec) aggregates.
@@ -5875,7 +5930,8 @@ object PipelineQueries {
         element_at(array(lit("avc1"), lit("hev1"), lit("vp09")),
           (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("codec"),
         length(col("text")).cast("int").as("mdat"))
-      val built = Multimodal.mp4BuildColumn(src, "dur_ms", "w", "h",
+      val built = Multimodal.mp4BuildColumn(
+        Multimodal.spreadParams(src, "doc_id"), "dur_ms", "w", "h",
         "codec", "mdat")
       Multimodal.mp4MetaColumn(built, "media")
         .groupBy(col("source"), col("mp4.codec").as("codec"))
@@ -5922,7 +5978,8 @@ object PipelineQueries {
         (pmod(col("doc_id"), lit(5)) === 0).as("mono"),
         when(pmod(col("doc_id"), lit(4)) === 0, 2).otherwise(0)
           .cast("int").as("vbr"))
-      val built = Multimodal.mp3BuildColumn(src, "mpeg1", "br", "sr",
+      val built = Multimodal.mp3BuildColumn(
+        Multimodal.spreadParams(src, "doc_id"), "mpeg1", "br", "sr",
         "nf", "mono", "vbr")
       Multimodal.mp3MetaColumn(built, "media")
         .groupBy(col("source"), col("mp3.version").as("version"))
@@ -8612,7 +8669,8 @@ object PipelineQueries {
             .as("seed"))
         .withColumn("n",
           (lit(512) + lit(64) * pmod(col("seed"), lit(8))).cast("int"))
-      val clips = Multimodal.wavPatternColumn(params, "n", "seed")
+      val clips = Multimodal.wavPatternColumn(
+          Multimodal.spreadParams(params, "doc_id"), "n", "seed")
       val fps = Multimodal.audioFingerprintColumn(clips, "media")
         .select(col("source"), col("afp"))
       val global = fps.agg(countDistinct(col("afp")).as("n_groups"),
@@ -8769,7 +8827,8 @@ object PipelineQueries {
           (lit(8) * (pmod(col("ib"), lit(5L)) + 2)).cast("int").as("w"),
           (lit(8) * (pmod(col("ib"), lit(7L)) + 2)).cast("int").as("h"))
       val hashed = Multimodal.imageHashColumn(
-          Multimodal.bmpPatternColumn(imgParams, "w", "h", "seed"),
+          Multimodal.bmpPatternColumn(
+            Multimodal.spreadParams(imgParams, "doc_id"), "w", "h", "seed"),
           "media")
         .select(col("doc_id"),
           pmod(col("ahash64"), lit(DigestMod)).as("ikey"))
@@ -9215,7 +9274,8 @@ object PipelineQueries {
         .withColumn("n",
           (lit(512) + lit(64) * pmod(col("seed"), lit(8))).cast("int"))
       val aq = Multimodal.audioQualityColumn(
-        Multimodal.wavQualityPatternColumn(params, "n", "seed"), "media")
+        Multimodal.wavQualityPatternColumn(
+          Multimodal.spreadParams(params, "doc_id"), "n", "seed"), "media")
       aq.groupBy("source")
         .agg(count(lit(1)).as("n_clips"),
           sum(when(col("aq_silent") * 5 > col("aq_n"), 1L).otherwise(0L))
@@ -9837,7 +9897,8 @@ object PipelineQueries {
           (pmod(col("seed") * 11 + 2, lit(32)) + 8).cast("int"))
         .withColumn("k2",
           (pmod(col("seed") * 3 + 17, lit(32)) + 8).cast("int"))
-      val built = Multimodal.mjpegPatternColumn(params,
+      val built = Multimodal.mjpegPatternColumn(
+        Multimodal.spreadParams(params, "doc_id"),
         Seq("k0", "k1", "k2"))
       val sig = Multimodal.decodeColumn(built, "media", "jpeg",
           featDim = 3)
@@ -10111,5 +10172,6 @@ object PipelineQueries {
     pipelineDpRelease, packAudit, multimodalAvi, multimodalAviDecode,
     dedupEntity, dedupEntityIncremental, sourceParquetMeta,
     dedupEntityQuality, statsJoinSize, dedupEntityTau2,
-    multimodalGifDecode, textUnigramLm, dedupCdc, dedupCdcPairs)
+    multimodalGifDecode, textUnigramLm, dedupCdc, dedupCdcPairs,
+    multimodalGifMeta)
 }

@@ -112,6 +112,8 @@ object ScaleProbe {
     // pure map to the chunk grain — docs-linear expectation); the
     // pair form adds the capped fp-equality join
     "q_dedup_cdc" -> 10, "q_dedup_cdc_pairs" -> 10,
+    // round-12: GIF container metadata (builder + byte walk, linear)
+    "q_multimodal_gifmeta" -> 10,
     // round-11: footer-only metadata (cost scales with FILE count,
     // not data volume — the honest expectation is far sub-linear)
     "q_source_parquetmeta" -> 10)
