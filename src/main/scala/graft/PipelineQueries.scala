@@ -5712,8 +5712,7 @@ object PipelineQueries {
         (lit(20000L) + pmod(col("doc_id"), lit(7)) * 5000L).as("us"),
         (pmod(col("doc_id"), lit(4)) + 2).cast("int").as("nf"),
         pmod(col("doc_id"), lit(2)).cast("int").as("rle"))
-      val built = Multimodal.aviBuildColumn(
-        Multimodal.spreadParams(src, "doc_id"), "w", "h", "us", "nf",
+      val built = Multimodal.aviBuildColumn(src, "w", "h", "us", "nf",
         "rle")
       Multimodal.aviMetaColumn(built, "media")
         .groupBy(col("source"), col("avi.codec").as("codec"))
@@ -5930,8 +5929,7 @@ object PipelineQueries {
         element_at(array(lit("avc1"), lit("hev1"), lit("vp09")),
           (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("codec"),
         length(col("text")).cast("int").as("mdat"))
-      val built = Multimodal.mp4BuildColumn(
-        Multimodal.spreadParams(src, "doc_id"), "dur_ms", "w", "h",
+      val built = Multimodal.mp4BuildColumn(src, "dur_ms", "w", "h",
         "codec", "mdat")
       Multimodal.mp4MetaColumn(built, "media")
         .groupBy(col("source"), col("mp4.codec").as("codec"))
@@ -5978,8 +5976,7 @@ object PipelineQueries {
         (pmod(col("doc_id"), lit(5)) === 0).as("mono"),
         when(pmod(col("doc_id"), lit(4)) === 0, 2).otherwise(0)
           .cast("int").as("vbr"))
-      val built = Multimodal.mp3BuildColumn(
-        Multimodal.spreadParams(src, "doc_id"), "mpeg1", "br", "sr",
+      val built = Multimodal.mp3BuildColumn(src, "mpeg1", "br", "sr",
         "nf", "mono", "vbr")
       Multimodal.mp3MetaColumn(built, "media")
         .groupBy(col("source"), col("mp3.version").as("version"))
@@ -8669,8 +8666,7 @@ object PipelineQueries {
             .as("seed"))
         .withColumn("n",
           (lit(512) + lit(64) * pmod(col("seed"), lit(8))).cast("int"))
-      val clips = Multimodal.wavPatternColumn(
-          Multimodal.spreadParams(params, "doc_id"), "n", "seed")
+      val clips = Multimodal.wavPatternColumn(params, "n", "seed")
       val fps = Multimodal.audioFingerprintColumn(clips, "media")
         .select(col("source"), col("afp"))
       val global = fps.agg(countDistinct(col("afp")).as("n_groups"),
@@ -9274,8 +9270,7 @@ object PipelineQueries {
         .withColumn("n",
           (lit(512) + lit(64) * pmod(col("seed"), lit(8))).cast("int"))
       val aq = Multimodal.audioQualityColumn(
-        Multimodal.wavQualityPatternColumn(
-          Multimodal.spreadParams(params, "doc_id"), "n", "seed"), "media")
+        Multimodal.wavQualityPatternColumn(params, "n", "seed"), "media")
       aq.groupBy("source")
         .agg(count(lit(1)).as("n_clips"),
           sum(when(col("aq_silent") * 5 > col("aq_n"), 1L).otherwise(0L))

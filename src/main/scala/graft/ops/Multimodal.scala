@@ -313,7 +313,12 @@ object Multimodal {
     * is the IDENTITY — no shuffle is added at corpus scale, where
     * scans arrive many-partitioned. Only the parameter columns ride
     * the exchange; media bytes are built AFTER it, so the
-    * bytes-never-shuffle invariant is untouched. */
+    * bytes-never-shuffle invariant is untouched. Use it only where
+    * the per-row codec work dominates the exchange (the ≥1s
+    * fixtures: pattern JPEG/BMP/GIF build + decode chains) —
+    * sub-second byte-assembler fixtures (mp3/mp4/avi headers, WAV
+    * tones) measured ~0.1s SLOWER with the added exchange and keep
+    * the direct path. */
   def spreadParams(df: DataFrame, keyCol: String): DataFrame = {
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
     if (df.rdd.getNumPartitions >= target) df

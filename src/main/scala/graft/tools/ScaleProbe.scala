@@ -114,6 +114,9 @@ object ScaleProbe {
     "q_dedup_cdc" -> 10, "q_dedup_cdc_pairs" -> 10,
     // round-12: GIF container metadata (builder + byte walk, linear)
     "q_multimodal_gifmeta" -> 10,
+    // round-12: joinsize re-probed after the key-grain exact rewrite
+    // (lineitem is unscaled in the grown dirs — honest ratio ~1)
+    "q_stats_joinsize" -> 10,
     // round-11: footer-only metadata (cost scales with FILE count,
     // not data volume — the honest expectation is far sub-linear)
     "q_source_parquetmeta" -> 10)
