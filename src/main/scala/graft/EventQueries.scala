@@ -174,6 +174,75 @@ object EventQueries {
         "FROM events GROUP BY event_type ORDER BY event_type"
     })
 
+  /** Hilbert-curve layout beside Z-order ([[graft.ops.Layout
+    * .hilbertValue]], the codegen'd xy2d walk): the same (user, day)
+    * grid as q_layout_zorder, indexed by BOTH curves, with the
+    * locality property MEASURED — walk each curve's occupied cells in
+    * index order and sum the grid (Manhattan) jump between
+    * consecutive cells. Consecutive Hilbert positions are always
+    * grid-adjacent, so Hilbert's total jump is structurally smaller
+    * than Z's quadrant-seam hops — the reason file min/max ranges
+    * come out tighter under Hilbert clustering. The walk runs on the
+    * OCCUPIED-CELL grain (≤ 2^12 rows by construction — a bounded
+    * post-agg window, the eventPaths precedent); the per-event index
+    * checksum pins every row's curve assignment at corpus grain. One
+    * map pass + one cell aggregate; no data-sized window. */
+  private val HilbertBits = 8
+  private val eventsHilbert = Q("q_layout_hilbert",
+    (s, d) => {
+      val day = expr("ts div 86400000000000").bitwiseAND(lit(31L))
+      val u = col("user_id").bitwiseAND(lit(127L))
+      val cells = events(s, d)
+        .select(u.as("u"), day.as("day"))
+        .groupBy("u", "day").agg(count(lit(1)).as("n"))
+        .select(col("u"), col("day"), col("n"),
+          graft.ops.Layout.hilbertValue(col("u"), col("day"),
+            HilbertBits).as("hix"),
+          graft.ops.Layout.zValue(col("u"), col("day"),
+            HilbertBits).as("zix"))
+      val curves = cells.select(lit("hilbert").as("curve"),
+          col("hix").as("ix"), col("u"), col("day"), col("n"))
+        .unionByName(cells.select(lit("z").as("curve"),
+          col("zix").as("ix"), col("u"), col("day"), col("n")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("curve").orderBy("ix")
+      curves
+        .select(col("curve"), col("ix"), col("n"),
+          (abs(col("u") - lag("u", 1).over(w)) +
+            abs(col("day") - lag("day", 1).over(w))).as("jump"))
+        .groupBy("curve")
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("jump")).as("sum_jump"),
+          max(col("jump")).as("max_jump"),
+          (sum(col("jump")).cast("double") /
+            (count(lit(1)) - 1).cast("double")).as("avg_jump"),
+          sum(col("n") * col("ix")).as("ix_checksum"))
+        .orderBy("curve")
+    }, {
+      val z = graft.ops.Layout.ZValueSql("u", "day", HilbertBits)
+      "WITH ce AS (SELECT u, day, count(*) AS n FROM (" +
+        "SELECT (user_id & 127) AS u, " +
+        "((epoch_ns(ts) // 86400000000000) & 31) AS day FROM events) " +
+        "GROUP BY u, day), " +
+        "cz AS (SELECT u, day, n, u AS hx0, day AS hy0 FROM ce), " +
+        graft.ops.Layout.HilbertCtesSql("cz", HilbertBits) + ", " +
+        s"ix AS (SELECT u, day, n, hd$HilbertBits AS hix, $z AS zix " +
+        s"FROM h$HilbertBits), " +
+        "cu AS (SELECT 'hilbert' AS curve, hix AS ix, u, day, n FROM ix " +
+        "UNION ALL SELECT 'z' AS curve, zix AS ix, u, day, n FROM ix), " +
+        "wj AS (SELECT curve, ix, n, " +
+        "abs(u - lag(u) OVER (PARTITION BY curve ORDER BY ix)) + " +
+        "abs(day - lag(day) OVER (PARTITION BY curve ORDER BY ix)) " +
+        "AS jump FROM cu) " +
+        "SELECT curve, count(*) AS n_cells, " +
+        "CAST(sum(jump) AS BIGINT) AS sum_jump, " +
+        "CAST(max(jump) AS BIGINT) AS max_jump, " +
+        "CAST(sum(jump) AS DOUBLE) / CAST(count(*) - 1 AS DOUBLE) " +
+        "AS avg_jump, " +
+        "CAST(sum(n * ix) AS BIGINT) AS ix_checksum " +
+        "FROM wj GROUP BY curve ORDER BY curve"
+    })
+
   /** One day in nanos — the tumbling-window width. */
   private val DayNanos = 86400000000000L
 
@@ -804,7 +873,7 @@ object EventQueries {
       "AS n_per_arm_for_1pct FROM f")
 
   val all: Vector[Q] = Vector(eventsAsof, eventsSessionize, eventsProps,
-    eventsRange, eventsZorder, eventsWindow, eventsFunnel,
+    eventsRange, eventsZorder, eventsHilbert, eventsWindow, eventsFunnel,
     eventsRetention, eventsTransitions, eventsEwma, eventsCusum,
     eventsDecayed, eventsPaths, eventsInterarrival, eventsSeasonal,
     eventsRollQuantile, eventsCuped, eventsSrm, eventsPower)

@@ -5180,6 +5180,178 @@ object PipelineQueries {
         "AS n_single FROM p GROUP BY source ORDER BY source"
     })
 
+  private val WpRounds = 6
+
+  /** Shared WordPiece learning CTEs (w0/ws0 + sy_r/p_r/b_r/ws_r per
+    * round) — likelihood-scored merges as CTE stages, reused by the
+    * merge-table and MaxMatch-apply oracles. No leading WITH (the
+    * apply oracle opens WITH RECURSIVE). ws_r and b_r are
+    * MATERIALIZED: ws_{r−1} is referenced THREE times per round
+    * (symbol counts, pair counts, the next replace), and DuckDB's
+    * default CTE inlining turns that into a 3^rounds blowup
+    * (measured: >120 s at sf0.001 inlined, <1 s materialized — the
+    * cdcCtes lesson). */
+  private def wpLearnCtes: String = {
+    val D = graft.ops.Bpe.DelimSql
+    val MK = graft.ops.WordPiece.MarkSql
+    val head =
+      "w0 AS MATERIALIZED (SELECT tok, count(*) AS freq FROM (" +
+        "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
+        s"WHERE tok <> '' AND NOT contains(tok, $D) " +
+        s"AND NOT contains(tok, $MK) GROUP BY tok), " +
+        s"ws0 AS MATERIALIZED (SELECT tok, freq, $D || array_to_string(" +
+        s"[CASE WHEN i = 1 THEN l[i] ELSE $MK || l[i] END " +
+        s"for i in range(1, len(l) + 1)], $D) || $D AS seq FROM (" +
+        "SELECT tok, freq, string_split(tok, '') AS l FROM w0))"
+    val rounds = (1 to WpRounds).map { r =>
+      val prev = s"ws${r - 1}"
+      s"sy$r AS (SELECT s, sum(freq) AS sc FROM (SELECT freq, " +
+        s"unnest(string_split(trim(seq, $D), $D)) AS s FROM $prev) " +
+        "GROUP BY s), " +
+        s"p$r AS (SELECT u.a AS a, u.b AS b, sum(freq) AS c FROM (" +
+        "SELECT freq, unnest([{'a': l[i], 'b': l[i+1]} " +
+        "for i in range(1, len(l))]) AS u FROM (" +
+        s"SELECT freq, string_split(trim(seq, $D), $D) AS l " +
+        s"FROM $prev)) GROUP BY 1, 2), " +
+        s"b$r AS MATERIALIZED (SELECT a, b, c, sa.sc AS ca, sb.sc AS cb " +
+        s"FROM p$r " +
+        s"JOIN sy$r sa ON sa.s = p$r.a " +
+        s"JOIN sy$r sb ON sb.s = p$r.b " +
+        "ORDER BY CAST(c AS DOUBLE) / CAST(ca * cb AS DOUBLE) DESC, " +
+        "a ASC, b ASC LIMIT 1), " +
+        s"ws$r AS MATERIALIZED (SELECT tok, freq, replace(replace(seq, " +
+        s"$D||a||$D||b||$D, $D||a||substr(b, 2)||$D), " +
+        s"$D||a||$D||b||$D, $D||a||substr(b, 2)||$D) AS seq " +
+        s"FROM $prev CROSS JOIN b$r)"
+    }.mkString(", ", ", ", " ")
+    head + rounds
+  }
+
+  /** WordPiece tokenizer induction ([[graft.ops.WordPiece]], Schuster
+    * & Nakajima 2012 — the BERT tokenizer, completing the tokenizer
+    * family beside BPE and unigram-LM): merges scored by the
+    * likelihood ratio count(ab)/(count(a)·count(b)) instead of the
+    * raw pair count. Same rounds-over-vocabulary scale shape as
+    * [[graft.ops.Bpe]] (the corpus is touched once; each round is a
+    * symbol aggregate + a pair aggregate + a two-key model-sized
+    * join + a one-row driver argmax). Counts are exact integers; the
+    * score is ONE IEEE division of exact ints — identical on both
+    * engines; ties break (a, b) under binary collation. */
+  private val textWordPiece = Q("q_text_wordpiece",
+    (s, d) => graft.ops.WordPiece.learnDf(docs(s, d), "text", WpRounds),
+    {
+      val MK = graft.ops.WordPiece.MarkSql
+      val union = (1 to WpRounds).map { r =>
+        s"SELECT $r AS round, replace(a, $MK, '##') AS a, " +
+          s"replace(b, $MK, '##') AS b, " +
+          s"replace(a || substr(b, 2), $MK, '##') AS merged, " +
+          "CAST(c AS BIGINT) AS pair_count, " +
+          "CAST(ca AS BIGINT) AS cnt_a, CAST(cb AS BIGINT) AS cnt_b, " +
+          s"CAST(c AS DOUBLE) / CAST(ca * cb AS DOUBLE) AS score " +
+          s"FROM b$r"
+      }.mkString(" UNION ALL ")
+      "WITH " + wpLearnCtes + s" SELECT * FROM ($union) ORDER BY round"
+    })
+
+  /** WordPiece MaxMatch apply — greedy longest-match-first
+    * segmentation against the learned vocabulary (initial alphabet +
+    * merges), with BERT's whole-word-[UNK] semantics: per-source word
+    * counts, UNK counts, piece mass, fertility over matched words,
+    * and a position-weighted piece digest that pins the identity AND
+    * position of every chosen piece cross-engine. The Spark side is a
+    * pure per-row map over a literal vocabulary (stream-safe, no
+    * shuffle of text — the tokenizer-serving shape); the oracle
+    * replays MaxMatch as a recursive CTE whose step picks max(len)
+    * over prefix-matching vocab entries — greedy longest match needs
+    * only the LENGTH, so the chosen piece is re-derived from the word
+    * itself. Fertility is one IEEE division of exact ints. */
+  private val textWordPieceApply = Q("q_text_wordpiece_apply",
+    (s, d) => {
+      val d0 = docs(s, d)
+      val (_, vh) = graft.ops.WordPiece.learnWithVocab(d0, "text", WpRounds)
+      val words = d0.select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .where(col("tok") =!= "" &&
+          !col("tok").contains(graft.ops.Bpe.Delim) &&
+          !col("tok").contains(graft.ops.WordPiece.Mark))
+      // computeOnce: the agg expressions read 3 fields of m, and a
+      // collapsed projection would re-run the MaxMatch fold per field
+      words.select(col("source"), graft.ops.PlanHints.computeOnce(
+          graft.ops.WordPiece.maxMatch(col("tok"), vh)).as("m"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_words"),
+          sum(when(col("m.unk"), 1L).otherwise(0L)).as("n_unk"),
+          sum(when(!col("m.unk"), col("m.np").cast("long"))
+            .otherwise(0L)).as("n_pieces"),
+          sum(when(!col("m.unk"), col("m.dg")).otherwise(0L)).as("__dg"))
+        .select(col("source"), col("n_words"), col("n_unk"),
+          col("n_pieces"),
+          (col("n_pieces").cast("double") /
+            (col("n_words") - col("n_unk")).cast("double"))
+            .as("fertility"),
+          pmod(col("__dg"), lit(graft.ops.WordPiece.DigestMod))
+            .as("seg_digest"))
+        .orderBy("source")
+    }, {
+      val D = graft.ops.Bpe.DelimSql
+      val MK = graft.ops.WordPiece.MarkSql
+      val MOD = graft.ops.WordPiece.DigestMod
+      val mergeUnion = (1 to WpRounds).map { r =>
+        s"SELECT a || substr(b, 2) AS raw FROM b$r"
+      }.mkString(" UNION ALL ")
+      val pieceHash = TextAnalysis.TokenHashSql(
+        s"CASE WHEN pos > 1 THEN $MK || substr(tok, pos, bl) " +
+          "ELSE substr(tok, pos, bl) END")
+      s"WITH RECURSIVE $wpLearnCtes, " +
+        "ali AS (SELECT substr(tok, 1, 1) AS surface, FALSE AS marked " +
+        "FROM w0 UNION ALL SELECT unnest(string_split(tok, '')[2:]), " +
+        "TRUE FROM w0), " +
+        s"mgv AS (SELECT CASE WHEN starts_with(raw, $MK) " +
+        "THEN substr(raw, 2) ELSE raw END AS surface, " +
+        s"starts_with(raw, $MK) AS marked FROM ($mergeUnion)), " +
+        "voc AS (SELECT DISTINCT surface, marked FROM " +
+        "(SELECT * FROM ali UNION ALL SELECT * FROM mgv)), " +
+        "vst AS MATERIALIZED (SELECT surface, marked, " +
+        "length(surface) AS len FROM voc), " +
+        // the vocab rides the recursion as ONE list value: a
+        // correlated scalar subquery inside the recursive term
+        // silently yields NULL against this CTE chain (DuckDB 1.0,
+        // reproduced minimal vs real), so the lookup is a pure list
+        // comprehension over the packed vocab instead
+        "vl AS MATERIALIZED (SELECT list(struct_pack(surface := surface, " +
+        "marked := marked, len := len)) AS vs FROM vst), " +
+        "wt AS MATERIALIZED (SELECT source, tok, count(*) AS freq FROM (" +
+        "SELECT source, unnest(string_split(text, ' ')) AS tok " +
+        s"FROM documents) WHERE tok <> '' AND NOT contains(tok, $D) " +
+        s"AND NOT contains(tok, $MK) GROUP BY 1, 2), " +
+        "st AS (SELECT source, tok, freq, 1 AS pos, 0 AS np, " +
+        "FALSE AS unk, CAST(0 AS BIGINT) AS dg FROM wt " +
+        "UNION ALL SELECT source, tok, freq, " +
+        "CASE WHEN bl IS NULL THEN pos ELSE pos + bl END, " +
+        "CASE WHEN bl IS NULL THEN np ELSE np + 1 END, " +
+        "bl IS NULL, " +
+        "CASE WHEN bl IS NULL THEN dg ELSE " +
+        s"(dg + (np + 1) * (($pieceHash) % $MOD)) % $MOD END " +
+        "FROM (SELECT s.*, list_max([x.len for x in vl.vs " +
+        "if x.marked = (s.pos > 1) " +
+        "and x.surface = substr(s.tok, s.pos, x.len)]) AS bl " +
+        "FROM st s CROSS JOIN vl " +
+        "WHERE NOT s.unk AND s.pos <= length(s.tok))), " +
+        "fin AS (SELECT source, tok, freq, np, unk, dg FROM st " +
+        "WHERE unk OR pos > length(tok)) " +
+        "SELECT source, CAST(sum(freq) AS BIGINT) AS n_words, " +
+        "CAST(sum(CASE WHEN unk THEN freq ELSE 0 END) AS BIGINT) " +
+        "AS n_unk, " +
+        "CAST(sum(CASE WHEN unk THEN 0 ELSE freq * np END) AS BIGINT) " +
+        "AS n_pieces, " +
+        "CAST(sum(CASE WHEN unk THEN 0 ELSE freq * np END) AS DOUBLE) " +
+        "/ CAST(sum(freq) - sum(CASE WHEN unk THEN freq ELSE 0 END) " +
+        "AS DOUBLE) AS fertility, " +
+        "CAST(sum(CASE WHEN unk THEN 0 ELSE freq * dg END) AS BIGINT) " +
+        s"% $MOD AS seg_digest " +
+        "FROM fin GROUP BY source ORDER BY source"
+    })
+
   /** Character-class entropy (gibberish/boilerplate signal): per-doc
     * Shannon entropy over 28 case-folded character classes — exact
     * integer counts feed the same −Σ p·ln p on both engines. One
@@ -6382,6 +6554,74 @@ object PipelineQueries {
       "CAST(sum(chan) AS BIGINT) AS sum_chan, " +
       "CAST(sum(bps) AS BIGINT) AS sum_bps " +
       "FROM q GROUP BY source, rate ORDER BY source, rate")
+
+  /** Real FLAC FRAME decode ([[graft.ops.Flac.decode]] — the
+    * lossless-audio codec through the media family's honest-decode
+    * discipline): clips BUILT from parameter formulas through the
+    * REAL encoder (frame headers, CRC-8/CRC-16, CONSTANT + VERBATIM
+    * + FIXED-order-2-with-Rice subframes), decoded by the verifying
+    * walk, and — because FLAC is lossless — every decoded register
+    * (sample sum/min/max, a position-weighted digest, and the
+    * per-kind frame counts) pinned by the oracle straight from the
+    * signal formula without touching a byte. The sawtooth's order-2
+    * residuals are 0 away from wraps, so frame kinds are a pure
+    * function of block roles (block 0 verbatim, b ≡ 3 (mod 4)
+    * constant, rest fixed). Bytes never shuffle; samples never leave
+    * the decode kernel (only registers reach the aggregate). */
+  private val FlacDigestMod = 999999937L
+  private val multimodalFlacDecode = Q("q_multimodal_flacdecode",
+    (s, d) => {
+      val params = docs(s, d).select(col("doc_id"), col("source"),
+          pmod(floor(col("doc_id") / lit(20L)), lit(32L)).cast("int")
+            .as("seed"))
+        .withColumn("n",
+          (lit(200) + lit(64) * pmod(col("seed"), lit(8))).cast("int"))
+      val clips = Multimodal.flacPatternColumn(params, "n", "seed")
+      val dec = Multimodal.flacAudioColumn(clips, "media", FlacDigestMod)
+      dec.groupBy("source")
+        .agg(count(lit(1)).as("n_clips"),
+          sum(when(col("fa").isNull, 1L).otherwise(0L)).as("n_bad"),
+          sum(col("fa.n_frames").cast("long")).as("n_frames"),
+          sum(col("fa.n_const").cast("long")).as("n_const"),
+          sum(col("fa.n_verbatim").cast("long")).as("n_verbatim"),
+          sum(col("fa.n_fixed").cast("long")).as("n_fixed"),
+          sum(col("fa.n_samples").cast("long")).as("n_samples"),
+          sum(col("fa.sum_s")).as("sum_s"),
+          min(col("fa.min_s")).as("min_s"),
+          max(col("fa.max_s")).as("max_s"),
+          pmod(sum(col("fa.dg")), lit(FlacDigestMod)).as("dg"))
+        .orderBy("source")
+    },
+    "WITH p AS (SELECT doc_id, source, " +
+      "CAST((doc_id // 20) % 32 AS INT) AS seed FROM documents), " +
+      "pp AS (SELECT doc_id, source, seed, " +
+      "200 + 64 * (seed % 8) AS n, " +
+      "(200 + 64 * (seed % 8) + 63) // 64 AS nf, " +
+      "(seed * 977) % 4096 - 2048 AS cval FROM p), " +
+      "tt AS (SELECT doc_id, source, seed, n, cval, " +
+      "CAST(unnest(range(0, n)) AS INT) AS t FROM pp), " +
+      "v AS (SELECT doc_id, source, t, " +
+      "CASE WHEN t // 64 > 0 AND (t // 64) % 4 = 3 THEN cval " +
+      "ELSE (seed * 97 + t * 31) % 4096 - 2048 END AS s FROM tt), " +
+      "cl AS (SELECT doc_id, any_value(source) AS source, " +
+      "CAST(sum(s) AS BIGINT) AS sum_s, min(s) AS min_s, " +
+      "max(s) AS max_s, " +
+      s"CAST(sum((t + 1) * (s + 32768)) AS BIGINT) % $FlacDigestMod " +
+      "AS dg, count(*) AS n_samples FROM v GROUP BY doc_id), " +
+      "fr AS (SELECT doc_id, nf, " +
+      "greatest(0, (nf - 4) // 4 + 1) AS n_const FROM pp) " +
+      "SELECT cl.source, count(*) AS n_clips, " +
+      "CAST(0 AS BIGINT) AS n_bad, " +
+      "CAST(sum(fr.nf) AS BIGINT) AS n_frames, " +
+      "CAST(sum(fr.n_const) AS BIGINT) AS n_const, " +
+      "CAST(count(*) AS BIGINT) AS n_verbatim, " +
+      "CAST(sum(fr.nf - 1 - fr.n_const) AS BIGINT) AS n_fixed, " +
+      "CAST(sum(cl.n_samples) AS BIGINT) AS n_samples, " +
+      "CAST(sum(cl.sum_s) AS BIGINT) AS sum_s, " +
+      "min(cl.min_s) AS min_s, max(cl.max_s) AS max_s, " +
+      s"CAST(sum(cl.dg) AS BIGINT) % $FlacDigestMod AS dg " +
+      "FROM cl JOIN fr USING (doc_id) " +
+      "GROUP BY cl.source ORDER BY cl.source")
 
   /** The FULL crawl-ingestion pipeline in one plan: docs → template
     * HTML pages (escaped body, nav/script/style/comment noise) →
@@ -10168,5 +10408,6 @@ object PipelineQueries {
     dedupEntity, dedupEntityIncremental, sourceParquetMeta,
     dedupEntityQuality, statsJoinSize, dedupEntityTau2,
     multimodalGifDecode, textUnigramLm, dedupCdc, dedupCdcPairs,
-    multimodalGifMeta)
+    multimodalGifMeta, textWordPiece, textWordPieceApply,
+    multimodalFlacDecode)
 }

@@ -1,7 +1,55 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** JVM kernels for [[Layout]]'s codegen'd expressions. */
+object LayoutFns {
+
+  /** Hilbert-curve index of (x, y) on the order-`order` curve (the
+    * classic xy2d walk: per level, quadrant digit (3·rx)⊕ry, then
+    * reflect+swap into the sub-square's frame). Inputs must be in
+    * [0, 2^order). Distance-1 steps along the curve are ALWAYS
+    * distance-1 in the grid — the locality property Z-order lacks at
+    * quadrant seams. */
+  def hilbert(x0: Long, y0: Long, order: Int): Long = {
+    var x = x0; var y = y0; var d = 0L
+    var s = 1L << (order - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+}
+
+/** Codegen'd Hilbert index: a native loop beats the unrolled Column
+  * form, whose (x, y, d) state expressions would triple in size per
+  * level (3^order nodes — HOF-free but unshareable across levels). */
+case class HilbertIndex(left: Expression, right: Expression, order: Int)
+  extends BinaryExpression {
+  require(order >= 1 && order <= 31, s"bad hilbert order $order")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(x: Any, y: Any): Any =
+    LayoutFns.hilbert(x.asInstanceOf[Long], y.asInstanceOf[Long], order)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) =>
+      s"graft.ops.LayoutFns.hilbert($x, $y, $order)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): HilbertIndex = copy(left = l, right = r)
+  override def prettyName: String = "hilbert_index"
+}
 
 /** At-rest layout operators: Z-order (Morton) clustering, the
   * standard multi-dimensional sort for file/row-group skipping — a
@@ -33,6 +81,46 @@ object Layout {
       s"((($a >> $i) & 1) * ${1L << (2 * i)} + " +
         s"((($b >> $i) & 1)) * ${1L << (2 * i + 1)})"
     }.mkString("(", " + ", ")")
+  }
+
+  /** Hilbert index of two non-negative long columns on the
+    * order-`bits` curve ([[LayoutFns.hilbert]], codegen'd). Total on
+    * [0, 2^bits)² like [[zValue]], but consecutive curve positions
+    * are ALWAYS grid-adjacent — the locality that makes file min/max
+    * ranges tighter than Z-order's quadrant-seam jumps. */
+  def hilbertValue(a: Column, b: Column, bits: Int): Column =
+    bridge.toColumn(HilbertIndex(
+      bridge.toExpression(a.cast("long")),
+      bridge.toExpression(b.cast("long")), bits))
+
+  /** DuckDB rendering of the same walk, as CHAINED CTE stages (the
+    * per-level (x, y, d) state rotates, so a single expression would
+    * grow 3^bits nodes — stages keep it linear). Returns the CTE list
+    * `h1 AS (...), …, h<bits> AS (...)`; `fromCte` must expose
+    * columns `hx0`/`hy0` plus whatever should ride along, and the
+    * final stage `h<bits>` carries the index as `hd<bits>`. Column
+    * names are per-level (hx1, hx2, …) — an alias reusing the input
+    * column's name would be shadowed by DuckDB's lateral alias
+    * binding within the same SELECT. Level i handles bit
+    * s = 2^(bits−i). */
+  def HilbertCtesSql(fromCte: String, bits: Int): String = {
+    require(bits >= 1 && bits <= 31, s"bad bit width $bits")
+    (1 to bits).map { i =>
+      val s = 1L << (bits - i)
+      val prev = if (i == 1) fromCte else s"h${i - 1}"
+      val (px, py) = (s"hx${i - 1}", s"hy${i - 1}")
+      val d0 = if (i == 1) "CAST(0 AS BIGINT)" else s"hd${i - 1}"
+      val rx = s"CASE WHEN ($px & $s) > 0 THEN 1 ELSE 0 END"
+      val ry = s"CASE WHEN ($py & $s) > 0 THEN 1 ELSE 0 END"
+      s"h$i AS (SELECT * EXCLUDE ($px, $py" +
+        s"${if (i == 1) "" else s", hd${i - 1}"}), " +
+        s"CASE WHEN ($ry) = 0 THEN (CASE WHEN ($rx) = 1 " +
+        s"THEN ${s - 1} - $py ELSE $py END) ELSE $px END AS hx$i, " +
+        s"CASE WHEN ($ry) = 0 THEN (CASE WHEN ($rx) = 1 " +
+        s"THEN ${s - 1} - $px ELSE $px END) ELSE $py END AS hy$i, " +
+        s"$d0 + ${s * s} * xor(3 * ($rx), $ry) AS hd$i " +
+        s"FROM $prev)"
+    }.mkString(", ")
   }
 
   /** Repartition-by-range on the Z-value — the write-side layout op:

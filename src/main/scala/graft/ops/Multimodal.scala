@@ -753,6 +753,77 @@ object Multimodal {
         Row(m.sampleRateHz, m.channels,
           m.bitsPerSample, m.totalSamples, m.durationMs)).orNull)
 
+  /** Deterministic mono 16-bit FLAC clip builder — the lossless twin
+    * of [[wavPatternColumn]] (bytes BUILT from row parameters through
+    * the REAL encoder, [[Flac.encode]], so the stream carries real
+    * frame headers, CRC-8/CRC-16, and CONSTANT/VERBATIM/FIXED+Rice
+    * subframes). Block b = t / 64 of an (n, seed) clip at 8 kHz:
+    *   s(t) = (seed·977 mod 4096) − 2048        if b > 0 ∧ b ≡ 3 (mod 4)
+    *        = ((seed·97 + t·31) mod 4096) − 2048 otherwise (sawtooth)
+    * — the sawtooth's order-2 residuals are 0 away from wraps, so
+    * every non-constant block past the first encodes FIXED+Rice
+    * (block 0 is VERBATIM by the encoder's plan), and the oracle can
+    * count frame kinds from block roles alone. */
+  def flacPatternColumn(df: DataFrame, nCol: String, seedCol: String,
+                        outCol: String = "media"): DataFrame = {
+    val schema = df.schema.add(outCol, BinaryType)
+    val ni = df.schema.fieldIndex(nCol)
+    val si = df.schema.fieldIndex(seedCol)
+    mapBatched(df, schema) { it =>
+      it.map { row =>
+        val n = row.getInt(ni)
+        val seed = row.getInt(si)
+        val cval = (seed * 977) % 4096 - 2048
+        val samples = new Array[Int](n)
+        var t = 0
+        while (t < n) {
+          val b = t / 64
+          samples(t) =
+            if (b > 0 && b % 4 == 3) cval
+            else (seed * 97 + t * 31) % 4096 - 2048
+          t += 1
+        }
+        Row.fromSeq(row.toSeq :+ Flac.encode(8000, samples))
+      }
+    }
+  }
+
+  val FlacAudioType: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType),
+    StructField("n_samples", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("n_const", IntegerType),
+    StructField("n_verbatim", IntegerType),
+    StructField("n_fixed", IntegerType),
+    StructField("sum_s", LongType),
+    StructField("min_s", IntegerType),
+    StructField("max_s", IntegerType),
+    StructField("dg", LongType)))
+
+  /** REAL FLAC frame decode ([[Flac.decode]] — CRC-verified constant/
+    * verbatim/fixed+Rice walk): appends a [[FlacAudioType]] register
+    * struct, null for undecodable bytes (all-frames-or-nothing). The
+    * decoded samples never leave the kernel — sum, min, max, and the
+    * position-weighted digest Σ (t+1)·(s(t)+32768) mod `digestMod`
+    * are folded per clip, so only model-sized registers shuffle. */
+  def flacAudioColumn(df: DataFrame, mediaCol: String, digestMod: Long,
+                      outCol: String = "fa",
+                      blockSize: Int = 1024): DataFrame =
+    parsedColumn(df, mediaCol, outCol, FlacAudioType, blockSize)(b =>
+      Flac.decode(b).map { a =>
+        var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+        var dg = 0L
+        var t = 0
+        while (t < a.samples.length) {
+          val s = a.samples(t)
+          sum += s; if (s < mn) mn = s; if (s > mx) mx = s
+          dg = (dg + (t + 1).toLong * (s + 32768L)) % digestMod
+          t += 1
+        }
+        Row(a.info.sampleRateHz, a.samples.length, a.nFrames,
+          a.nConstant, a.nVerbatim, a.nFixed, sum, mn, mx, dg)
+      }.orNull)
+
   /** Assemble per-group .warc.gz FILES (fixture side): one row per
     * group with the member-per-record gzip bytes ([[Warc.buildFile]]).
     * The group's docs are collected into ONE file — the shard grain

@@ -119,7 +119,18 @@ object ScaleProbe {
     "q_stats_joinsize" -> 10,
     // round-11: footer-only metadata (cost scales with FILE count,
     // not data volume — the honest expectation is far sub-linear)
-    "q_source_parquetmeta" -> 10)
+    "q_source_parquetmeta" -> 10,
+    // round-12b: WordPiece learn (rounds over the vocabulary — the
+    // q_text_bpe far-sub-linear expectation) and MaxMatch apply
+    // (pure map over occurrences — docs-linear)
+    "q_text_wordpiece" -> 10, "q_text_wordpiece_apply" -> 10,
+    // round-12b: Hilbert layout (events-linear map + bounded cell
+    // walk; the cell grid is FIXED-size, so far sub-linear past the
+    // map cost)
+    "q_layout_hilbert" -> 10,
+    // round-12b: FLAC frame decode (real codec work per clip, like
+    // framedecode — honest expectation ≈ input factor)
+    "q_multimodal_flacdecode" -> 10)
 
   def main(args: Array[String]): Unit = {
     val sfSmall = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -31,4 +31,53 @@ class FlacSpec extends AnyFunSuite {
     assert(Flac.parseMeta(core.take(20)).isEmpty)
     assert(Flac.parseMeta(null).isEmpty)
   }
+
+  test("frame decode is lossless across all three subframe kinds " +
+    "(constant / verbatim / fixed+Rice), including a short last frame") {
+    // block 0: noisy (verbatim — encoder forces block 0 verbatim);
+    // block 1: sawtooth (fixed order 2, Rice); block 2: constant;
+    // block 3 (short, 8 samples): sawtooth (fixed)
+    val rnd = new scala.util.Random(3)
+    val s = new Array[Int](64 * 3 + 8)
+    (0 until 64).foreach(t => s(t) = rnd.nextInt(65536) - 32768)
+    (64 until 128).foreach(t => s(t) = (t * 31) % 4096 - 2048)
+    (128 until 192).foreach(t => s(t) = -1234)
+    (192 until 200).foreach(t => s(t) = (t * 31) % 4096 - 2048)
+    val bytes = Flac.encode(8000, s)
+    val a = Flac.decode(bytes).get
+    assert(a.samples.toSeq == s.toSeq, "lossless round-trip")
+    assert(a.nFrames == 4 && a.nConstant == 1 && a.nVerbatim >= 1,
+      s"frames=${a.nFrames} const=${a.nConstant} verb=${a.nVerbatim} " +
+        s"fixed=${a.nFixed}")
+    assert(a.nVerbatim + a.nConstant + a.nFixed == 4)
+    assert(a.info.sampleRateHz == 8000 && a.info.totalSamples == 200)
+  }
+
+  test("Rice path really runs: a smooth signal with occasional jumps " +
+    "encodes FIXED and survives, and big quotients work") {
+    val s = Array.tabulate(256)(t => (t * 31) % 4096 - 2048)
+    val a = Flac.decode(Flac.encode(8000, s)).get
+    assert(a.samples.toSeq == s.toSeq)
+    assert(a.nFixed >= 2, s"fixed=${a.nFixed} of ${a.nFrames}")
+    // encoded smaller than raw 16-bit PCM (the point of the codec)
+    assert(Flac.encode(8000, s).length < 42 + 256 * 2 + 4 * 16,
+      "fixed+Rice should beat raw")
+  }
+
+  test("corruption anywhere -> None (CRC-8, CRC-16, sync, truncation " +
+    "— the all-frames-or-nothing contract)") {
+    val s = Array.tabulate(200)(t => (t * 31) % 4096 - 2048)
+    val good = Flac.encode(8000, s)
+    assert(Flac.decode(good).isDefined)
+    // flip one byte in every region: header, mid-frame, trailer
+    for (ix <- Seq(45, good.length / 2, good.length - 1)) {
+      val bad = good.clone(); bad(ix) = (bad(ix) ^ 0x5a).toByte
+      assert(Flac.decode(bad).isEmpty, s"corrupt @$ix must fail")
+    }
+    assert(Flac.decode(good.take(good.length - 3)).isEmpty, "truncated")
+    assert(Flac.decode("fLaC".getBytes).isEmpty)
+    // stereo / 24-bit STREAMINFO -> declared-unsupported None
+    assert(Flac.decode(Flac.buildStreamInfo(8000, 2, 16, 100L)).isEmpty)
+    assert(Flac.decode(Flac.buildStreamInfo(8000, 1, 24, 100L)).isEmpty)
+  }
 }

@@ -129,4 +129,54 @@ class LayoutSpec extends AnyFunSuite {
     assert(math.abs(moved - 2000.0 / 3) < 6 * math.sqrt(2000 * (1.0 / 3) * (2.0 / 3)),
       s"moved $moved of 2000, expected ~667")
   }
+
+  test("hilbertValue is a bijection on the grid whose consecutive " +
+    "curve positions are ALWAYS grid-adjacent (the property Z lacks), " +
+    "and the expression matches the JVM kernel") {
+    val bits = 4
+    val n = 1L << bits
+    val pairs = for (a <- 0L until n; b <- 0L until n) yield (a, b)
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        Layout.hilbertValue(col("a"), col("b"), bits).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    pairs.foreach { case (a, b) =>
+      assert(got((a, b)) == LayoutFns.hilbert(a, b, bits), s"h($a,$b)")
+    }
+    // bijection onto [0, n^2)
+    assert(got.values.toSet == (0L until n * n).toSet)
+    // adjacency: d -> d+1 always moves exactly one grid step
+    val byIdx = got.map(_.swap)
+    (0L until n * n - 1).foreach { d =>
+      val (x1, y1) = byIdx(d); val (x2, y2) = byIdx(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve jump at d=$d: ($x1,$y1)->($x2,$y2)")
+    }
+    // ... while Z-order jumps at quadrant seams (sanity of the claim
+    // the q_layout_hilbert query measures)
+    val zIdx = pairs.map { case (a, b) =>
+      (0 until bits).map(i => (((a >> i) & 1L) << (2 * i)) |
+        (((b >> i) & 1L) << (2 * i + 1))).sum -> (a, b) }.toMap
+    val zJumps = (0L until n * n - 1).map { d =>
+      val (x1, y1) = zIdx(d); val (x2, y2) = zIdx(d + 1)
+      math.abs(x1 - x2) + math.abs(y1 - y2)
+    }
+    assert(zJumps.max > 1, "z-order should have seam jumps > 1")
+  }
+
+  test("hilbert curve covers nested orders consistently at the " +
+    "first quadrant (order-k curve restricted to the low quarter is " +
+    "the order-(k-1) walk, possibly reflected — spot anchor values)") {
+    // anchor the canonical order-1 walk: (0,0)=0 (0,1)=1 (1,1)=2 (1,0)=3
+    assert(LayoutFns.hilbert(0, 0, 1) == 0L)
+    assert(LayoutFns.hilbert(0, 1, 1) == 1L)
+    assert(LayoutFns.hilbert(1, 1, 1) == 2L)
+    assert(LayoutFns.hilbert(1, 0, 1) == 3L)
+    // null propagates (BinaryExpression null-safe contract)
+    val r = Seq((Some(1L), None: Option[Long])).toDF("a", "b")
+      .select(Layout.hilbertValue(col("a"), col("b"), 4).as("h"))
+      .head()
+    assert(r.isNullAt(0))
+  }
 }
