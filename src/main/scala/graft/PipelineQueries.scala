@@ -3217,6 +3217,84 @@ object PipelineQueries {
       "AS n_merged, CAST(sum(dsum) AS BIGINT) AS entity_digest " +
       "FROM pe GROUP BY seg ORDER BY seg")
 
+  /** Jaro–Winkler similarity grading over the entity family's typo
+    * fixture ([[graft.ops.StringSim.jaroWinklerCol]] — the classic
+    * record-linkage comparator, Winkler 1990): the SAME planted
+    * clean/dirty name pairs q_dedup_entity resolves with a hard
+    * Levenshtein budget, here GRADED by the similarity a linkage
+    * scorer would threshold (prefix-boosted, so the shared
+    * "Customer#" head lifts every pair — exactly why real linkage
+    * pipelines pair JW with blocking). The kernel is codegen'd and
+    * bit-exact to DuckDB's `jaro_winkler_similarity` (RapidFuzz
+    * semantics: empty → 0, window = max(len)/2 − 1, boost only above
+    * 0.7 — fuzz-verified on 28k pairs at dev time, hash-pinned per
+    * row here). Scores are floor-quantized to 1e-6 BEFORE any
+    * aggregate (identical doubles ⇒ identical quanta; integer sums
+    * are order-independent). One map pass + one aggregate; names
+    * never shuffle. */
+  private val dedupJaroWinkler = Q("q_dedup_jarowinkler",
+    (s, d) => {
+      val base = s.read.parquet(s"$d/customer.parquet")
+        .select(col("c_custkey").as("k"), col("c_name"),
+          col("c_mktsegment").as("seg"),
+          substring(col("c_name"), 10, 9).as("dg"),
+          (col("c_custkey") % 9).cast("int").as("p0"),
+          ((col("c_custkey") % 9 + 3) % 9).cast("int").as("p1"))
+      def subAt(dgc: org.apache.spark.sql.Column,
+                p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(dgc.substr(lit(1), p),
+          ((dgc.substr(p + 1, lit(1)).cast("int") + 1) % 10)
+            .cast("string"),
+          dgc.substr(p + 2, lit(9)))
+      def delAt(dgc: org.apache.spark.sql.Column,
+                p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(dgc.substr(lit(1), p), dgc.substr(p + 2, lit(9)))
+      val sub0 = subAt(col("dg"), col("p0"))
+      val dirtyDigits = when(col("k") % 7 === 0, subAt(sub0, col("p1")))
+        .when(col("k") % 3 === 1, sub0)
+        .when(col("k") % 3 === 2, delAt(col("dg"), col("p0")))
+        .otherwise(col("dg"))
+      val pairs = base.select(col("seg"), col("c_name").as("clean"),
+        concat(lit("Customer#"), dirtyDigits).as("dirty"))
+      // computeOnce: four aggregate expressions read jwq, and a
+      // collapsed projection would re-run the JW kernel per read
+      pairs
+        .select(col("seg"),
+          graft.ops.PlanHints.computeOnce(floor(
+            graft.ops.StringSim.jaroWinklerCol(col("clean"), col("dirty"))
+              * lit(1000000.0) + lit(0.5))).as("jwq"),
+          levenshtein(col("clean"), col("dirty")).as("lev"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("jwq") === 1000000L, 1L).otherwise(0L))
+            .as("n_exact"),
+          sum(when(col("jwq") >= 950000L, 1L).otherwise(0L))
+            .as("n_ge95"),
+          sum(when(col("jwq") >= 900000L, 1L).otherwise(0L))
+            .as("n_ge90"),
+          sum(col("jwq")).as("jw_qsum"),
+          min(col("jwq")).as("jw_qmin"),
+          sum(col("lev").cast("long")).as("lev_sum"))
+        .orderBy("seg")
+    },
+    s"WITH RECURSIVE $entityCtes, " +
+      "prs AS (SELECT k, seg, c_name AS clean, 'Customer#' || " +
+      "CASE WHEN k % 7 = 0 THEN sub01 WHEN k % 3 = 1 THEN sub0 " +
+      "WHEN k % 3 = 2 THEN del0 ELSE dg END AS dirty FROM d2), " +
+      "q AS (SELECT seg, CAST(floor(" +
+      "jaro_winkler_similarity(clean, dirty) * 1000000.0 + 0.5) " +
+      "AS BIGINT) AS jwq, levenshtein(clean, dirty) AS lev FROM prs) " +
+      "SELECT seg, count(*) AS n_pairs, " +
+      "CAST(sum(CASE WHEN jwq = 1000000 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_exact, " +
+      "CAST(sum(CASE WHEN jwq >= 950000 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_ge95, " +
+      "CAST(sum(CASE WHEN jwq >= 900000 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_ge90, " +
+      "CAST(sum(jwq) AS BIGINT) AS jw_qsum, min(jwq) AS jw_qmin, " +
+      "CAST(sum(lev) AS BIGINT) AS lev_sum " +
+      "FROM q GROUP BY seg ORDER BY seg")
+
   /** Steady-state entity resolution ([[graft.ops.Entity
     * .resolveAgainst]]): arrivals probe the RESOLVED archive's
     * deletion-neighborhood index ([[graft.ops.Entity.archiveIndex]])
@@ -6622,6 +6700,88 @@ object PipelineQueries {
       s"CAST(sum(cl.dg) AS BIGINT) % $FlacDigestMod AS dg " +
       "FROM cl JOIN fr USING (doc_id) " +
       "GROUP BY cl.source ORDER BY cl.source")
+
+  /** Real IMA-ADPCM decode ([[graft.ops.Adpcm]] — the LOSSY audio
+    * codec beside FLAC's lossless leg): clips built from the standard
+    * audio formula through the REAL 4-bit encoder (WAV fmt 0x11,
+    * per-block predictor/index headers, nibble stream), decoded by
+    * the RIFF walk + state machine. Lossy means decode(encode(s)) ≠ s
+    * — so the oracle pins the DECODER STATE MACHINE itself: encoder
+    * and decoder share one predictor/step-index recurrence (the
+    * encoder predicts from its own decoded output, the IMA design),
+    * and the per-block header reset makes that recurrence 64 steps
+    * per block with blocks parallel — a recursive-CTE replay
+    * reproduces every decoded sample, quantization error included,
+    * byte-free. Registers only (sum/min/max/position digest) reach
+    * the aggregate; bytes and samples never shuffle. */
+  private val multimodalAdpcm = Q("q_multimodal_adpcm",
+    (s, d) => {
+      val params = docs(s, d).select(col("doc_id"), col("source"),
+          pmod(floor(col("doc_id") / lit(20L)), lit(32L)).cast("int")
+            .as("seed"))
+        .withColumn("n", (lit(graft.ops.Adpcm.SamplesPerBlock) *
+          (lit(2) + pmod(col("seed"), lit(6)))).cast("int"))
+      val clips = Multimodal.adpcmPatternColumn(params, "n", "seed")
+      val dec = Multimodal.adpcmAudioColumn(clips, "media", FlacDigestMod)
+      dec.groupBy("source")
+        .agg(count(lit(1)).as("n_clips"),
+          sum(when(col("ad").isNull, 1L).otherwise(0L)).as("n_bad"),
+          sum(col("ad.n_blocks").cast("long")).as("n_blocks"),
+          sum(col("ad.n_samples").cast("long")).as("n_samples"),
+          sum(col("ad.sum_d")).as("sum_d"),
+          min(col("ad.min_d")).as("min_d"),
+          max(col("ad.max_d")).as("max_d"),
+          pmod(sum(col("ad.dg")), lit(FlacDigestMod)).as("dg"))
+        .orderBy("source")
+    }, {
+      val st = graft.ops.Adpcm.StepTableSql
+      val ix = graft.ops.Adpcm.IndexTableSql
+      "WITH RECURSIVE " +
+        "p AS (SELECT doc_id, source, " +
+        "CAST((doc_id // 20) % 32 AS INT) AS seed FROM documents), " +
+        "pp AS MATERIALIZED (SELECT doc_id, source, seed, " +
+        "2 + (seed % 6) AS k FROM p), " +
+        "blk AS MATERIALIZED (SELECT doc_id, seed, " +
+        "CAST(unnest(range(0, k)) AS INT) AS b FROM pp), " +
+        "rec AS (" +
+        "SELECT doc_id, seed, b, 0 AS tl, " +
+        "(seed*131 + (b*65)*(b*65)*7 + (b*65)*13) % 65536 - 32768 " +
+        "AS pred, 0 AS idx FROM blk " +
+        "UNION ALL SELECT doc_id, seed, b, tl + 1, " +
+        "greatest(-32768, least(32767, CASE WHEN df < 0 " +
+        "THEN pred - delta ELSE pred + delta END)) AS pred, " +
+        s"greatest(0, least(88, idx + ($ix)[c4*4 + c2*2 + c1 + 1])) " +
+        "AS idx FROM (" +
+        "SELECT *, (stp // 8) + c4 * stp + c2 * (stp // 2) + " +
+        "c1 * (stp // 4) AS delta FROM (" +
+        "SELECT *, CASE WHEN r2 >= stp // 4 THEN 1 ELSE 0 END AS c1 " +
+        "FROM (SELECT *, CASE WHEN r1 >= stp // 2 THEN 1 ELSE 0 END " +
+        "AS c2, r1 - CASE WHEN r1 >= stp // 2 THEN stp // 2 " +
+        "ELSE 0 END AS r2 FROM (" +
+        "SELECT *, CASE WHEN ad0 >= stp THEN 1 ELSE 0 END AS c4, " +
+        "ad0 - CASE WHEN ad0 >= stp THEN stp ELSE 0 END AS r1 FROM (" +
+        "SELECT r.doc_id, r.seed, r.b, r.tl, r.pred, r.idx, " +
+        s"($st)[r.idx + 1] AS stp, " +
+        "((r.seed*131 + (r.b*65 + r.tl + 1)*(r.b*65 + r.tl + 1)*7 + " +
+        "(r.b*65 + r.tl + 1)*13) % 65536 - 32768) - r.pred AS df, " +
+        "abs(((r.seed*131 + (r.b*65 + r.tl + 1)*(r.b*65 + r.tl + 1)*7 " +
+        "+ (r.b*65 + r.tl + 1)*13) % 65536 - 32768) - r.pred) AS ad0 " +
+        "FROM rec r WHERE r.tl < 64))))) ), " +
+        "cl AS (SELECT doc_id, CAST(sum(pred) AS BIGINT) AS sum_d, " +
+        "min(pred) AS min_d, max(pred) AS max_d, " +
+        "count(*) AS n_samples, " +
+        "CAST(sum((b*65 + tl + 1) * (pred + 32768)) AS BIGINT) " +
+        s"% $FlacDigestMod AS dg FROM rec GROUP BY doc_id) " +
+        "SELECT pp.source, count(*) AS n_clips, " +
+        "CAST(0 AS BIGINT) AS n_bad, " +
+        "CAST(sum(pp.k) AS BIGINT) AS n_blocks, " +
+        "CAST(sum(cl.n_samples) AS BIGINT) AS n_samples, " +
+        "CAST(sum(cl.sum_d) AS BIGINT) AS sum_d, " +
+        "min(cl.min_d) AS min_d, max(cl.max_d) AS max_d, " +
+        s"CAST(sum(cl.dg) AS BIGINT) % $FlacDigestMod AS dg " +
+        "FROM cl JOIN pp USING (doc_id) " +
+        "GROUP BY pp.source ORDER BY pp.source"
+    })
 
   /** The FULL crawl-ingestion pipeline in one plan: docs → template
     * HTML pages (escaped body, nav/script/style/comment noise) →
@@ -10409,5 +10569,5 @@ object PipelineQueries {
     dedupEntityQuality, statsJoinSize, dedupEntityTau2,
     multimodalGifDecode, textUnigramLm, dedupCdc, dedupCdcPairs,
     multimodalGifMeta, textWordPiece, textWordPieceApply,
-    multimodalFlacDecode)
+    multimodalFlacDecode, multimodalAdpcm, dedupJaroWinkler)
 }

@@ -824,6 +824,63 @@ object Multimodal {
           a.nConstant, a.nVerbatim, a.nFixed, sum, mn, mx, dg)
       }.orNull)
 
+  /** Deterministic IMA-ADPCM clip builder — the LOSSY twin of
+    * [[flacPatternColumn]]: samples from the standard audio formula
+    * s(t) = ((seed·131 + t²·7 + t·13) mod 65536) − 32768, encoded
+    * through the REAL 4-bit codec ([[Adpcm.encode]] — WAV fmt 0x11,
+    * per-block headers, nibble stream). `n` must be a multiple of
+    * [[Adpcm.SamplesPerBlock]]. */
+  def adpcmPatternColumn(df: DataFrame, nCol: String, seedCol: String,
+                         outCol: String = "media"): DataFrame = {
+    val schema = df.schema.add(outCol, BinaryType)
+    val ni = df.schema.fieldIndex(nCol)
+    val si = df.schema.fieldIndex(seedCol)
+    mapBatched(df, schema) { it =>
+      it.map { row =>
+        val n = row.getInt(ni)
+        val seed = row.getInt(si)
+        val samples = new Array[Int](n)
+        var t = 0
+        while (t < n) {
+          samples(t) = (seed * 131 + t * t * 7 + t * 13) % 65536 - 32768
+          t += 1
+        }
+        Row.fromSeq(row.toSeq :+ Adpcm.encode(8000, samples))
+      }
+    }
+  }
+
+  val AdpcmAudioType: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType),
+    StructField("n_samples", IntegerType),
+    StructField("n_blocks", IntegerType),
+    StructField("sum_d", LongType),
+    StructField("min_d", IntegerType),
+    StructField("max_d", IntegerType),
+    StructField("dg", LongType)))
+
+  /** REAL IMA-ADPCM decode ([[Adpcm.decode]] — RIFF walk + the 4-bit
+    * state machine): appends an [[AdpcmAudioType]] register struct,
+    * null for undecodable bytes. Decoded samples never leave the
+    * kernel — sum/min/max and the position-weighted digest
+    * Σ (t+1)·(d(t)+32768) mod `digestMod` fold per clip. */
+  def adpcmAudioColumn(df: DataFrame, mediaCol: String, digestMod: Long,
+                       outCol: String = "ad",
+                       blockSize: Int = 1024): DataFrame =
+    parsedColumn(df, mediaCol, outCol, AdpcmAudioType, blockSize)(b =>
+      Adpcm.decode(b).map { a =>
+        var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+        var dg = 0L
+        var t = 0
+        while (t < a.samples.length) {
+          val s = a.samples(t)
+          sum += s; if (s < mn) mn = s; if (s > mx) mx = s
+          dg = (dg + (t + 1).toLong * (s + 32768L)) % digestMod
+          t += 1
+        }
+        Row(a.sampleRateHz, a.samples.length, a.nBlocks, sum, mn, mx, dg)
+      }.orNull)
+
   /** Assemble per-group .warc.gz FILES (fixture side): one row per
     * group with the member-per-record gzip bytes ([[Warc.buildFile]]).
     * The group's docs are collected into ONE file — the shard grain

@@ -130,7 +130,13 @@ object ScaleProbe {
     "q_layout_hilbert" -> 10,
     // round-12b: FLAC frame decode (real codec work per clip, like
     // framedecode — honest expectation ≈ input factor)
-    "q_multimodal_flacdecode" -> 10)
+    "q_multimodal_flacdecode" -> 10,
+    // round-12b: IMA-ADPCM round trip (4-bit state machine per
+    // sample, pure map — docs-linear)
+    "q_multimodal_adpcm" -> 10,
+    // round-12b: Jaro-Winkler grading (pure map over customer pairs;
+    // customer is UNSCALED in grown dirs — honest ratio ~1)
+    "q_dedup_jarowinkler" -> 10)
 
   def main(args: Array[String]): Unit = {
     val sfSmall = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -1680,6 +1680,95 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch, s"$got vs $batch")
   }
 
+  test("WordPiece MaxMatch is a PURE MAP: the identical maxMatch " +
+    "plan runs directly on a streaming frame (the tokenizer-serving " +
+    "shape) and matches batch piece count, UNK flag, and digest") {
+    import graft.ops.WordPiece
+    val s = spark
+    import s.implicits._
+    val MK = WordPiece.Mark
+    val vocab = Map("a" -> 11L, "ab" -> 12L, MK + "b" -> 13L,
+      MK + "c" -> 14L, MK + "bc" -> 15L, "abc" -> 16L)
+    val words = Seq("abc", "abcb", "ba", "a", "abcbc")
+    def plan(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("tok"), WordPiece.maxMatch(col("tok"), vocab).as("m"))
+      .select(col("tok"), col("m.np"), col("m.unk"), col("m.dg"))
+    val batch = plan(words.toDF("tok")).collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getBoolean(2),
+        r.getLong(3))).toMap
+    assert(batch("ba")._2, "word-initial-only 'b' must UNK")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("wp_stream").toFile
+    tmp.deleteOnExit()
+    words.toDF("tok").coalesce(1).write
+      .parquet(new java.io.File(tmp, "w").toString)
+    val stream = spark.readStream
+      .schema(words.toDF("tok").schema).parquet(s"$tmp/*")
+    graft.streaming.StreamingOps.runToMemorySink(plan(stream), "wp_seg")
+    val got = spark.table("wp_seg").collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getBoolean(2),
+        r.getLong(3))).toMap
+    assert(got == batch, s"$got vs $batch")
+  }
+
+  test("FLAC build + frame decode are stream-safe: the identical " +
+    "flacPatternColumn -> flacAudioColumn plan runs directly on a " +
+    "streaming frame and matches batch register for register") {
+    val s = spark
+    import s.implicits._
+    val params = Seq((1L, 3, 200), (2L, 9, 264), (3L, 17, 328))
+      .toDF("id", "seed", "n")
+    def plan(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Multimodal.flacAudioColumn(
+          graft.ops.Multimodal.flacPatternColumn(df, "n", "seed"),
+          "media", 999999937L)
+        .select(col("id"), col("fa.n_frames"), col("fa.n_const"),
+          col("fa.n_fixed"), col("fa.sum_s"), col("fa.dg"))
+    val batch = plan(params).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(batch.size == 3 && batch.values.forall(_.head != null))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("flac_stream").toFile
+    tmp.deleteOnExit()
+    params.coalesce(1).write
+      .parquet(new java.io.File(tmp, "p").toString)
+    val stream = spark.readStream.schema(params.schema)
+      .parquet(s"$tmp/*")
+    graft.streaming.StreamingOps.runToMemorySink(plan(stream), "flac_regs")
+    val got = spark.table("flac_regs").collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(got == batch, s"$got vs $batch")
+  }
+
+  test("ADPCM build + decode are stream-safe: the identical " +
+    "adpcmPatternColumn -> adpcmAudioColumn plan runs directly on a " +
+    "streaming frame and matches batch register for register") {
+    val s = spark
+    import s.implicits._
+    val params = Seq((1L, 5, 65 * 2), (2L, 11, 65 * 3))
+      .toDF("id", "seed", "n")
+    def plan(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Multimodal.adpcmAudioColumn(
+          graft.ops.Multimodal.adpcmPatternColumn(df, "n", "seed"),
+          "media", 999999937L)
+        .select(col("id"), col("ad.n_blocks"), col("ad.sum_d"),
+          col("ad.dg"))
+    val batch = plan(params).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(batch.size == 2 && batch.values.forall(_.head != null))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("adpcm_stream").toFile
+    tmp.deleteOnExit()
+    params.coalesce(1).write
+      .parquet(new java.io.File(tmp, "p").toString)
+    val stream = spark.readStream.schema(params.schema)
+      .parquet(s"$tmp/*")
+    graft.streaming.StreamingOps.runToMemorySink(plan(stream), "ad_regs")
+    val got = spark.table("ad_regs").collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(got == batch, s"$got vs $batch")
+  }
+
   test("incremental k-core staleness: arrivals streamed against the " +
     "persisted core snapshot match the batch form row for row, and " +
     "the stale flag fires exactly when the degree bound reaches k") {
