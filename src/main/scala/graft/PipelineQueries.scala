@@ -2390,6 +2390,108 @@ object PipelineQueries {
         "(SELECT bit_xor(word) FROM words) AS words_xor"
     })
 
+  /** Sharded Bloom point-lookup index ([[graft.ops.Bloom.shardIndex]]
+    * / [[graft.ops.Bloom.probeShards]]) — the equality-predicate
+    * sibling of the parquet-footer min/max stats: "which of the
+    * corpus's shards/files can contain key K" answered from a tiny
+    * relational index table instead of a scan. Shards are the
+    * rendezvous assignment (the layout the engine already ships);
+    * probes are a planted present set (every one MUST hit its true
+    * shard — the zero-false-negative contract, pinned as n_missed=0)
+    * and an offset absent set (only false positives — the measured
+    * pruning rate). Both the index build (explode + bit_or onto the
+    * shards × words grain) and the probe (one join + keyed count
+    * equality) are fully relational — the oracle reproduces the
+    * exact bits, candidates, and the one IEEE fp-rate division. */
+  private val BloomIdxM = 8192
+  private val BloomIdxK = 5
+  private val BloomIdxShards = 12
+  private val shardBloomIndex = Q("q_shard_bloomindex",
+    (s, d) => {
+      val dd = docs(s, d).select(col("doc_id"))
+      val sharded = dd.withColumn("shard",
+        graft.ops.Layout.rendezvousShard(col("doc_id"), BloomIdxShards))
+      val index = graft.ops.Bloom.shardIndex(sharded, "shard", "doc_id",
+        BloomIdxM, BloomIdxK)
+      val present = dd.where(col("doc_id") % 17 === 3)
+        .select(col("doc_id").as("k"))
+      val probes = present.withColumn("cls", lit("present"))
+        .unionByName(present.select(
+          (col("k") + lit(1000000000000L)).as("k"),
+          lit("absent").as("cls")))
+      val cand = graft.ops.Bloom.probeShards(index,
+          probes.select(col("k")), "k", BloomIdxM, BloomIdxK)
+        .join(probes, col("key") === col("k"))
+        .select(col("key"), col("shard"), col("cls"))
+      val truth = sharded.join(present, col("doc_id") === col("k"))
+        .select(col("doc_id").as("tk"), col("shard").as("tshard"))
+      val agg = probes.groupBy("cls").agg(count(lit(1)).as("n_probes"))
+      val ca = cand.groupBy("cls").agg(count(lit(1)).as("n_cand"))
+      val tj = cand.join(truth,
+          col("key") === col("tk") && col("shard") === col("tshard"))
+        .groupBy("cls").agg(count(lit(1)).as("n_true"))
+      val tt = truth.agg(count(lit(1)).as("n_truth"))
+        .withColumn("cls", lit("present"))
+      agg.join(ca, Seq("cls"), "left").join(tj, Seq("cls"), "left")
+        .join(tt, Seq("cls"), "left")
+        .select(col("cls"), col("n_probes"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand_pairs"),
+          coalesce(col("n_true"), lit(0L)).as("n_true_pairs"),
+          (coalesce(col("n_truth"), lit(0L)) -
+            coalesce(col("n_true"), lit(0L))).as("n_missed"),
+          ((coalesce(col("n_cand"), lit(0L)) -
+            coalesce(col("n_true"), lit(0L))).cast("double") /
+            (col("n_probes") * lit(BloomIdxShards.toLong) -
+              coalesce(col("n_true"), lit(0L))).cast("double"))
+            .as("fp_rate"))
+        .orderBy("cls")
+    }, {
+      val m = BloomIdxM
+      def probes(k: String) = (0 until BloomIdxK).map(j =>
+        s"(($k % $m) + $j * (1 + $k % ${m - 1})) % $m").mkString(", ")
+      val scores = graft.ops.Layout.RendezvousScoresSql("doc_id",
+        BloomIdxShards)
+      s"WITH sh AS MATERIALIZED (SELECT doc_id, " +
+        "CAST(list_position(l, list_aggregate(l, 'max')) - 1 AS INT) " +
+        s"AS shard FROM (SELECT doc_id, $scores AS l FROM " +
+        "(SELECT doc_id FROM documents))), " +
+        "pos AS (SELECT shard, " +
+        s"unnest([${probes("doc_id")}]) AS p FROM sh), " +
+        "idx AS MATERIALIZED (SELECT shard, p // 60 AS w, " +
+        "bit_or(CAST(pow(2, p % 60) AS BIGINT)) AS word FROM pos " +
+        "GROUP BY shard, p // 60), " +
+        "pr AS MATERIALIZED (SELECT doc_id AS k, 'present' AS cls " +
+        "FROM documents WHERE doc_id % 17 = 3 " +
+        "UNION ALL SELECT doc_id + 1000000000000, 'absent' " +
+        "FROM documents WHERE doc_id % 17 = 3), " +
+        s"pp AS (SELECT k, cls, " +
+        s"unnest(list_distinct([${probes("k")}])) AS p FROM pr), " +
+        "pn AS (SELECT k, count(DISTINCT p) AS np FROM pp GROUP BY k), " +
+        "hit AS (SELECT pp.k, pp.cls, idx.shard, " +
+        "count(DISTINCT pp.p) AS nh FROM pp JOIN idx " +
+        "ON idx.w = pp.p // 60 " +
+        "AND (idx.word & CAST(pow(2, pp.p % 60) AS BIGINT)) <> 0 " +
+        "GROUP BY pp.k, pp.cls, idx.shard), " +
+        "cand AS MATERIALIZED (SELECT hit.k, hit.cls, hit.shard " +
+        "FROM hit JOIN pn ON pn.k = hit.k AND hit.nh = pn.np), " +
+        "tr AS MATERIALIZED (SELECT sh.doc_id AS tk, sh.shard AS tshard " +
+        "FROM sh WHERE sh.doc_id % 17 = 3), " +
+        "agg AS (SELECT cls, count(*) AS n_probes FROM pr GROUP BY cls), " +
+        "ca AS (SELECT cls, count(*) AS n_cand FROM cand GROUP BY cls), " +
+        "tj AS (SELECT c.cls, count(*) AS n_true FROM cand c " +
+        "JOIN tr ON tr.tk = c.k AND tr.tshard = c.shard GROUP BY c.cls), " +
+        "tt AS (SELECT 'present' AS cls, count(*) AS n_truth FROM tr) " +
+        "SELECT agg.cls, agg.n_probes, " +
+        "coalesce(ca.n_cand, 0) AS n_cand_pairs, " +
+        "coalesce(tj.n_true, 0) AS n_true_pairs, " +
+        "coalesce(tt.n_truth, 0) - coalesce(tj.n_true, 0) AS n_missed, " +
+        "CAST(coalesce(ca.n_cand, 0) - coalesce(tj.n_true, 0) AS DOUBLE) " +
+        s"/ CAST(agg.n_probes * $BloomIdxShards - " +
+        "coalesce(tj.n_true, 0) AS DOUBLE) AS fp_rate " +
+        "FROM agg LEFT JOIN ca USING (cls) LEFT JOIN tj USING (cls) " +
+        "LEFT JOIN tt USING (cls) ORDER BY cls"
+    })
+
   /** Cross-document duplicated-n-gram rate (Lee et al. 2022 signal):
     * per-source average share of a doc's distinct trigrams occurring
     * in ≥ 2 docs, and the count of dup-heavy (≥ 0.5) docs. */
@@ -10569,5 +10671,6 @@ object PipelineQueries {
     dedupEntityQuality, statsJoinSize, dedupEntityTau2,
     multimodalGifDecode, textUnigramLm, dedupCdc, dedupCdcPairs,
     multimodalGifMeta, textWordPiece, textWordPieceApply,
-    multimodalFlacDecode, multimodalAdpcm, dedupJaroWinkler)
+    multimodalFlacDecode, multimodalAdpcm, dedupJaroWinkler,
+    shardBloomIndex)
 }

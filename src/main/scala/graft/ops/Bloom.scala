@@ -77,6 +77,49 @@ object Bloom {
     bits
   }
 
+  /** Sharded Bloom index as a TABLE — one row per (shard, word
+    * index, 60-bit word): the file/shard-skipping index for POINT
+    * lookups at catalog scale (the equality-predicate sibling of the
+    * parquet-footer min/max stats, which only serve ranges). Fully
+    * relational: no driver state, no broadcast — it builds as one
+    * explode + bit_or aggregate (map-side partial onto the
+    * shards × mBits/60 grain) and probes as a join, so the index
+    * itself persists as a tiny table any engine reproduces
+    * bit-for-bit from the key sets. */
+  def shardIndex(df: DataFrame, shardCol: String, keyCol: String,
+                 mBits: Int, kHashes: Int): DataFrame = {
+    val posArr = array(positions(col(keyCol), mBits, kHashes): _*)
+    df.select(col(shardCol).as("shard"), explode(posArr).as("p"))
+      .select(col("shard"), wordIdx(col("p")).as("w"),
+        mask(col("p")).as("m"))
+      .groupBy("shard", "w").agg(expr("bit_or(m)").as("word"))
+  }
+
+  /** Candidate shards per probe key against a [[shardIndex]]:
+    * (key, shard) pairs where EVERY probe position hits the shard's
+    * words — no false negatives by construction (a present key's
+    * positions are all set in its shard), false positives bounded by
+    * the per-shard load and measured by the caller. Probe = explode
+    * k (deduplicated) positions, one join on the word index, and a
+    * keyed count-equality — bounded fan-out (≤ k rows per shard per
+    * probe), no shuffle of anything data-sized. */
+  def probeShards(index: DataFrame, probes: DataFrame, keyCol: String,
+                  mBits: Int, kHashes: Int): DataFrame = {
+    val arr = array_distinct(array(positions(col(keyCol), mBits,
+      kHashes): _*))
+    probes
+      .select(col(keyCol).as("key"), size(arr).as("np"),
+        explode(arr).as("p"))
+      .select(col("key"), col("np"), col("p"),
+        wordIdx(col("p")).as("w"), mask(col("p")).as("m"))
+      .join(index, "w")
+      .where(col("word").bitwiseAND(col("m")) =!= lit(0L))
+      .groupBy(col("key"), col("shard"), col("np"))
+      .agg(count_distinct(col("p")).as("nh"))
+      .where(col("nh") === col("np").cast("long"))
+      .select("key", "shard")
+  }
+
   /** Membership probe: true ⇒ maybe present, false ⇒ DEFINITELY
     * absent. Native codegen'd kernel — the key child is evaluated
     * exactly ONCE per row. The composable column form

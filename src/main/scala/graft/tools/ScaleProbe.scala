@@ -136,7 +136,10 @@ object ScaleProbe {
     "q_multimodal_adpcm" -> 10,
     // round-12b: Jaro-Winkler grading (pure map over customer pairs;
     // customer is UNSCALED in grown dirs — honest ratio ~1)
-    "q_dedup_jarowinkler" -> 10)
+    "q_dedup_jarowinkler" -> 10,
+    // round-12b: sharded bloom index (build: docs-linear explode +
+    // bounded-grain agg; probe: bounded fan-out join — docs-linear)
+    "q_shard_bloomindex" -> 10)
 
   def main(args: Array[String]): Unit = {
     val sfSmall = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

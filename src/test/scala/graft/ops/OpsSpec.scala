@@ -1100,6 +1100,45 @@ class OpsSpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("sharded Bloom index: zero false negatives per shard, the " +
+    "table bits equal per-shard Bloom.build arrays, and absent keys " +
+    "only ever produce false positives") {
+    val m = 1 << 10 // small filter so fps actually occur
+    val kh = 5
+    val n = 1200
+    val keyed = (0L until n.toLong)
+      .map(i => ((i * 2654435761L) % (1L << 45), (i % 8).toInt))
+      .toDF("k", "shard")
+    val index = Bloom.shardIndex(keyed, "shard", "k", m, kh).cache()
+    // table bits == the monolithic build of each shard's key set
+    val words = index.collect()
+      .map(r => (r.getInt(0), r.getLong(1).toInt) -> r.getLong(2)).toMap
+    (0 until 8).foreach { sh =>
+      val bits = Bloom.build(keyed.where(col("shard") === sh), "k", m, kh)
+      bits.zipWithIndex.foreach { case (w, i) =>
+        assert(words.getOrElse((sh, i), 0L) == w, s"shard $sh word $i")
+      }
+    }
+    val present = keyed.select(col("k"), col("shard").as("true_shard"))
+    val cand = Bloom.probeShards(index, keyed.select("k"), "k", m, kh)
+    val candSet = cand.collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    // no false negatives: every (key, true shard) is a candidate
+    present.collect().foreach { r =>
+      assert(candSet((r.getLong(0), r.getInt(1))),
+        s"missed true shard for ${r.getLong(0)}")
+    }
+    // absent keys: candidates are pure false positives, and at this
+    // deliberately tiny m there are SOME (the measuring regime) but
+    // far fewer than the 8x all-shards worst case
+    val absent = (0L until n.toLong)
+      .map(i => (i * 40503L + 11L) % (1L << 45)).toDF("k")
+    val fps = Bloom.probeShards(index, absent, "k", m, kh).count()
+    assert(fps > 0, "tiny filter should show measurable fps")
+    assert(fps < n.toLong * 8 / 4, s"fp pairs $fps out of ${n * 8}")
+    index.unpersist()
+  }
+
   test("contamination flags a planted benchmark leak at rate 1.0 and " +
     "clean synthetic docs at 0.0") {
     val bench = Seq(
