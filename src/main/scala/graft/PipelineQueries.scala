@@ -3225,7 +3225,10 @@ object PipelineQueries {
     * `lab(rid, name, key, nat, seg, entity)`. Callers must open with
     * WITH RECURSIVE. d1/d2 also pre-compute the arrival-typo column
     * (`subp2`) the incremental query's fixture uses. */
-  private val entityCtes: String =
+  /** [[entityCtes]] with a caller-chosen verify predicate over the
+    * candidate names (ra.name / rb.name in scope) — the SQL twin of
+    * [[graft.ops.Entity.resolveWith]]. */
+  private def entityCtesWith(verifySql: String): String =
     "base AS (SELECT c_custkey AS k, c_name, " +
       "c_nationkey AS nat, c_mktsegment AS seg, " +
       "substr(c_name, 10, 9) AS dg, " +
@@ -3256,7 +3259,7 @@ object PipelineQueries {
       "AND a.seg = b.seg AND a.rid < b.rid), " +
       "ver AS (SELECT id_a, id_b FROM cand " +
       "JOIN rk ra ON id_a = ra.rid JOIN rk rb ON id_b = rb.rid " +
-      "WHERE levenshtein(ra.name, rb.name) <= 1), " +
+      s"WHERE $verifySql), " +
       "sym AS (SELECT id_a AS u, id_b AS v FROM ver " +
       "UNION SELECT id_b, id_a FROM ver), " +
       "reach AS (SELECT rid AS node, rid AS r FROM rk " +
@@ -3266,6 +3269,9 @@ object PipelineQueries {
       "GROUP BY node), " +
       "lab AS (SELECT rk.rid, rk.name, rk.key, rk.nat, rk.seg, " +
       "comp.entity FROM rk JOIN comp ON rk.rid = comp.node)"
+
+  private val entityCtes: String =
+    entityCtesWith("levenshtein(ra.name, rb.name) <= 1")
 
   private val dedupEntity = Q("q_dedup_entity",
     (s, d) => {
@@ -3396,6 +3402,75 @@ object PipelineQueries {
       "CAST(sum(jwq) AS BIGINT) AS jw_qsum, min(jwq) AS jw_qmin, " +
       "CAST(sum(lev) AS BIGINT) AS lev_sum " +
       "FROM q GROUP BY seg ORDER BY seg")
+
+  /** Entity resolution with a GRADED verify ([[graft.ops.Entity
+    * .resolveWith]] + [[graft.ops.StringSim.jaroWinklerCol]] ≥ 0.97):
+    * the same deletion-1 blocking and closure as q_dedup_entity, but
+    * candidates are accepted by the Jaro–Winkler score instead of a
+    * hard edit budget — the form real linkage pipelines ship (cheap
+    * structural blocking, similarity-thresholded scoring). On this
+    * fixture the 0.97 bar admits single-substitution and deletion
+    * twins (~0.978 / ~0.989 on 18-char names with the shared
+    * "Cust" prefix boost) while leaving most double-substitution
+    * accidentals below it — a DIFFERENT entity partition from the
+    * τ = 1 resolver, pinned row for row by the oracle replaying the
+    * same blocking + its own jaro_winkler_similarity + closure. */
+  private val dedupEntityJw = Q("q_dedup_entity_jw",
+    (s, d) => {
+      val base = s.read.parquet(s"$d/customer.parquet")
+        .select(col("c_custkey").as("k"), col("c_name"),
+          col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+          substring(col("c_name"), 10, 9).as("dg"),
+          (col("c_custkey") % 9).cast("int").as("p0"),
+          ((col("c_custkey") % 9 + 3) % 9).cast("int").as("p1"))
+      def subAt(dgc: org.apache.spark.sql.Column,
+                p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(dgc.substr(lit(1), p),
+          ((dgc.substr(p + 1, lit(1)).cast("int") + 1) % 10)
+            .cast("string"),
+          dgc.substr(p + 2, lit(9)))
+      def delAt(dgc: org.apache.spark.sql.Column,
+                p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(dgc.substr(lit(1), p), dgc.substr(p + 2, lit(9)))
+      val sub0 = subAt(col("dg"), col("p0"))
+      val dirtyDigits = when(col("k") % 7 === 0, subAt(sub0, col("p1")))
+        .when(col("k") % 3 === 1, sub0)
+        .when(col("k") % 3 === 2, delAt(col("dg"), col("p0")))
+        .otherwise(col("dg"))
+      val clean = base.select((col("k") * 2).as("rid"),
+        col("c_name").as("name"), col("nat"), col("seg"))
+      val dirty = base.select((col("k") * 2 + 1).as("rid"),
+        concat(lit("Customer#"), dirtyDigits).as("name"),
+        col("nat"), col("seg"))
+      val rec = clean.unionByName(dirty)
+        .withColumn("key", substring(col("name"), 10, 10))
+      val resolved = graft.ops.Entity.resolveWith(rec, "rid", "key",
+        "name", Seq("nat", "seg"), blockK = 1,
+        (a, b) => graft.ops.StringSim.jaroWinklerCol(a, b) >= lit(0.97))
+      val pe = resolved.groupBy(col("seg"), col("entity"))
+        .agg(count(lit(1)).as("sz"),
+          sum(pmod(col("entity") * 131L + col("rid"),
+            lit(CleanSumMod))).as("dsum"))
+      pe.groupBy("seg")
+        .agg(sum(col("sz")).as("n_records"),
+          count(lit(1)).as("n_entities"),
+          max(col("sz")).as("max_entity"),
+          sum(when(col("sz") > 1, col("sz") - 1L).otherwise(0L))
+            .as("n_merged"),
+          sum(col("dsum")).as("entity_digest"))
+        .orderBy("seg")
+    },
+    "WITH RECURSIVE " +
+      entityCtesWith(
+        "jaro_winkler_similarity(ra.name, rb.name) >= 0.97") + ", " +
+      "pe AS (SELECT seg, entity, count(*) AS sz, " +
+      s"sum((entity * 131 + rid) % $CleanSumMod) AS dsum " +
+      "FROM lab GROUP BY seg, entity) " +
+      "SELECT seg, CAST(sum(sz) AS BIGINT) AS n_records, " +
+      "count(*) AS n_entities, CAST(max(sz) AS BIGINT) AS max_entity, " +
+      "CAST(sum(CASE WHEN sz > 1 THEN sz - 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_merged, CAST(sum(dsum) AS BIGINT) AS entity_digest " +
+      "FROM pe GROUP BY seg ORDER BY seg")
 
   /** Steady-state entity resolution ([[graft.ops.Entity
     * .resolveAgainst]]): arrivals probe the RESOLVED archive's
@@ -4590,6 +4665,106 @@ object PipelineQueries {
         "CAST(sum(dg) AS BIGINT) AS clean_digest " +
         "FROM c GROUP BY source ORDER BY source"
     })
+
+  /** Luhn-validated card-number detection
+    * ([[graft.ops.TextAnalysis.digitRuns]] +
+    * [[graft.ops.TextAnalysis.luhnValid]], ISO/IEC 7812) — the PII
+    * family's PRECISION upgrade: the regex scrub treats every long
+    * digit run as sensitive, but a run that fails the Luhn checksum
+    * is a serial number or a hash, not a card (~90% of random runs
+    * fail). The fixture plants, per doc, a formula-derived 16-digit
+    * number with its CORRECT check digit (doc_id ≡ 0 mod 3), an
+    * off-by-one check digit (≡ 1), or a 12-digit run below the
+    * candidate floor (≡ 2) — so detection counts are a pure function
+    * of the plant classes, and the valid-doc digest pins WHICH docs
+    * carry real card shapes. Maximal-run candidate semantics on both
+    * engines (regexp_extract_all('[0-9]+') + length filter); the
+    * checksum fold is exact integer arithmetic. One map pass + one
+    * aggregate; text never shuffles. */
+  private val textLuhn = Q("q_text_luhn",
+    (s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("source"),
+          col("text"))
+        .withColumn("__dl", graft.ops.PlanHints.computeOnce(
+          transform(sequence(lit(0), lit(14)), i =>
+            pmod(col("doc_id") * (lit(3) + i * lit(2)) + i * lit(7),
+              lit(10)).cast("int"))))
+      val sSum = aggregate(sequence(lit(1), lit(15)), lit(0),
+        (acc, j) => {
+          val dd = element_at(col("__dl"), j)
+          acc + (when(pmod(j, lit(2)) === 1,
+            when(dd * 2 > 9, dd * 2 - 9).otherwise(dd * 2))
+            .otherwise(dd))
+        })
+      val chk = pmod(lit(10) - pmod(sSum, lit(10)), lit(10))
+      val base15 = array_join(col("__dl"), "")
+      val run = when(pmod(col("doc_id"), lit(3)) === 2,
+          array_join(slice(col("__dl"), 1, 12), ""))
+        .when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(base15, chk.cast("string")))
+        .otherwise(concat(base15,
+          pmod(chk + 1, lit(10)).cast("string")))
+      val t2 = base.select(col("doc_id"), col("source"),
+        concat_ws(" ", col("text"), run).as("text2"))
+      val lv = t2.select(col("source"), col("doc_id"),
+          explode(TextAnalysis.digitRuns(col("text2"), 13, 19)).as("r"))
+        .select(col("source"), col("doc_id"),
+          length(col("r")).as("L"),
+          TextAnalysis.luhnValid(col("r")).as("ok"))
+      val ps = lv.groupBy("source")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_valid"),
+          sum(col("L").cast("long")).as("sum_len"),
+          sum(when(col("ok"), pmod(col("doc_id"), lit(CleanSumMod)))
+            .otherwise(0L)).as("valid_docsum"))
+      t2.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .join(ps, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_valid"), lit(0L)).as("n_valid"),
+          coalesce(col("sum_len"), lit(0L)).as("sum_len"),
+          coalesce(col("valid_docsum"), lit(0L)).as("valid_docsum"))
+        .orderBy("source")
+    },
+    "WITH b AS (SELECT doc_id, source, text, " +
+      "[CAST((doc_id * (3 + 2*i) + 7*i) % 10 AS INT) " +
+      "for i in range(0, 15)] AS dl FROM documents), " +
+      "s1 AS (SELECT *, list_sum([CASE WHEN (i % 2) = 1 THEN " +
+      "(CASE WHEN 2*dl[i] > 9 THEN 2*dl[i] - 9 ELSE 2*dl[i] END) " +
+      "ELSE dl[i] END for i in range(1, 16)]) AS ss FROM b), " +
+      "s2 AS (SELECT *, (10 - ss % 10) % 10 AS chk FROM s1), " +
+      "t2 AS (SELECT doc_id, source, text || ' ' || " +
+      "CASE WHEN doc_id % 3 = 2 THEN " +
+      "array_to_string(dl[1:12], '') " +
+      "WHEN doc_id % 3 = 0 THEN array_to_string(dl, '') || " +
+      "CAST(chk AS VARCHAR) " +
+      "ELSE array_to_string(dl, '') || " +
+      "CAST((chk + 1) % 10 AS VARCHAR) END AS text2 FROM s2), " +
+      "runs AS (SELECT doc_id, source, " +
+      "unnest(regexp_extract_all(text2, '[0-9]+')) AS r FROM t2), " +
+      "cand AS (SELECT doc_id, source, r, length(r) AS L FROM runs " +
+      "WHERE length(r) >= 13 AND length(r) <= 19), " +
+      "lv AS (SELECT doc_id, source, L, " +
+      "CASE WHEN list_sum([CASE WHEN ((length(r) - i) % 2) = 1 THEN " +
+      "(CASE WHEN 2*CAST(rl[i] AS INT) > 9 " +
+      "THEN 2*CAST(rl[i] AS INT) - 9 ELSE 2*CAST(rl[i] AS INT) END) " +
+      "ELSE CAST(rl[i] AS INT) END " +
+      "for i in range(1, length(r) + 1)]) % 10 = 0 " +
+      "THEN 1 ELSE 0 END AS ok FROM " +
+      "(SELECT *, string_split(r, '') AS rl FROM cand)), " +
+      "nd AS (SELECT source, count(*) AS n_docs FROM documents " +
+      "GROUP BY source), " +
+      "ps AS (SELECT source, count(*) AS n_candidates, " +
+      "CAST(sum(ok) AS BIGINT) AS n_valid, " +
+      "CAST(sum(L) AS BIGINT) AS sum_len, " +
+      s"CAST(sum(CASE WHEN ok = 1 THEN doc_id % $CleanSumMod " +
+      "ELSE 0 END) AS BIGINT) AS valid_docsum FROM lv GROUP BY source) " +
+      "SELECT nd.source, nd.n_docs, " +
+      "coalesce(ps.n_candidates, 0) AS n_candidates, " +
+      "coalesce(ps.n_valid, 0) AS n_valid, " +
+      "coalesce(ps.sum_len, 0) AS sum_len, " +
+      "coalesce(ps.valid_docsum, 0) AS valid_docsum " +
+      "FROM nd LEFT JOIN ps USING (source) ORDER BY nd.source")
 
   private val textPii = Q("q_text_pii",
     (s, d) => {
@@ -10672,5 +10847,5 @@ object PipelineQueries {
     multimodalGifDecode, textUnigramLm, dedupCdc, dedupCdcPairs,
     multimodalGifMeta, textWordPiece, textWordPieceApply,
     multimodalFlacDecode, multimodalAdpcm, dedupJaroWinkler,
-    shardBloomIndex)
+    shardBloomIndex, dedupEntityJw, textLuhn)
 }

@@ -95,16 +95,33 @@ object Entity {
     * `entity` column. */
   def resolve(df: DataFrame, idCol: String, keyCol: String,
               nameCol: String, blockCols: Seq[String],
-              tau: Int = 1): DataFrame = {
-    val cand = candidatePairs(df, idCol, keyCol, blockCols,
-      math.min(math.max(tau, 1), 2))
+              tau: Int = 1): DataFrame =
+    resolveWith(df, idCol, keyCol, nameCol, blockCols,
+      math.min(math.max(tau, 1), 2),
+      (a, b) => levenshtein(a, b) <= tau)
+
+  /** [[resolve]] with a caller-supplied verify predicate over the two
+    * candidate names — the graded-comparator form (e.g. Jaro–Winkler
+    * ≥ θ, [[StringSim.jaroWinklerCol]]): blocking stays the
+    * deletion-`blockK` neighborhood, so the 100%-recall-by-
+    * construction guarantee applies to the CANDIDATE set at
+    * Levenshtein ≤ blockK; a similarity verify then accepts or
+    * rejects candidates on its own scale (real linkage pipelines
+    * compose exactly this way — cheap structural blocking, graded
+    * scoring). Verify sees only candidate pairs; closure and
+    * labeling are unchanged. */
+  def resolveWith(df: DataFrame, idCol: String, keyCol: String,
+                  nameCol: String, blockCols: Seq[String],
+                  blockK: Int,
+                  verify: (Column, Column) => Column): DataFrame = {
+    val cand = candidatePairs(df, idCol, keyCol, blockCols, blockK)
     val names = df.select(col(idCol), col(nameCol))
     val verified = cand
       .join(names.select(col(idCol).as("id_a"),
         col(nameCol).as("__na")), "id_a")
       .join(names.select(col(idCol).as("id_b"),
         col(nameCol).as("__nb")), "id_b")
-      .where(levenshtein(col("__na"), col("__nb")) <= tau)
+      .where(verify(col("__na"), col("__nb")))
       .select("id_a", "id_b")
     val comp = Dedup.connectedComponents(verified, "id_a", "id_b")
     df.join(comp.select(col("node").as(idCol), col("component")),

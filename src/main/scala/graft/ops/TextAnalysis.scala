@@ -276,6 +276,35 @@ object TextAnalysis {
     * the structured numeric forms (phone, IP) claim their spans
     * before the generic digit-run sweep. Pure codegen'd string ops —
     * a map-only pass at any scale, stream-safe. */
+  /** Maximal digit runs of `text` with length in [minLen, maxLen] —
+    * the card-number candidate extractor (maximal-run semantics, so
+    * a 20-digit run is NOT a 19-digit candidate; identical to the
+    * oracle's regexp_extract_all + length filter). */
+  def digitRuns(text: Column, minLen: Int, maxLen: Int): Column =
+    filter(call_function("regexp_extract_all", text, lit("[0-9]+"),
+        lit(0)),
+      r => length(r) >= minLen && length(r) <= maxLen)
+
+  /** Luhn checksum validity of a digit-run string (ISO/IEC 7812 —
+    * the check every real payment-card number passes): from the
+    * right, every second digit doubles (minus 9 past 9), and the sum
+    * must be ≡ 0 (mod 10). The PII discipline's precision upgrade: a
+    * 16-digit run that FAILS Luhn is a serial number or a hash, not
+    * a card — scrubbing on the regex alone over-redacts ~90% of
+    * random digit runs. Pure integer column arithmetic, identical in
+    * any engine. */
+  def luhnValid(run: Column): Column = {
+    val ds = array_remove(split(run, ""), "")
+    val n = size(ds)
+    val s = aggregate(sequence(lit(1), n), lit(0), (acc, i) => {
+      val d = element_at(ds, i).cast("int")
+      val dd = when(pmod(n - i, lit(2)) === 1,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      acc + dd
+    })
+    pmod(s, lit(10)) === 0
+  }
+
   def scrubPii(text: Column): Column =
     regexp_replace(
       regexp_replace(

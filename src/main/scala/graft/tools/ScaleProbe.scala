@@ -139,7 +139,12 @@ object ScaleProbe {
     "q_dedup_jarowinkler" -> 10,
     // round-12b: sharded bloom index (build: docs-linear explode +
     // bounded-grain agg; probe: bounded fan-out join — docs-linear)
-    "q_shard_bloomindex" -> 10)
+    "q_shard_bloomindex" -> 10,
+    // round-12b: graded-verify entity resolution (customer-based,
+    // unscaled in grown dirs — honest ratio ~1, like jarowinkler)
+    "q_dedup_entity_jw" -> 10,
+    // round-12b: Luhn card detection (pure map + one agg, docs-linear)
+    "q_text_luhn" -> 10)
 
   def main(args: Array[String]): Unit = {
     val sfSmall = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

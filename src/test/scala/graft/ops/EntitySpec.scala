@@ -216,4 +216,38 @@ class EntitySpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got(1L) == 1L && got(2L) == 2L)
   }
+
+  test("resolveWith + Jaro-Winkler >= 0.97: single-sub and deletion " +
+    "twins link, a double-substitution twin stays separate (the " +
+    "graded verify distinguishing what a tau=2 budget lumps)") {
+    val s = spark
+    import s.implicits._
+    // 18-char names on a shared prefix, same blocking key family
+    val df = Seq(
+      (1L, "1234567890", "Customer#123456789", "A"), // clean
+      (2L, "1234567891", "Customer#123456781", "A"), // 1 sub  -> link
+      (3L, "123456789",  "Customer#12345678",  "A"), // 1 del  -> link
+      (4L, "1234567899", "Customer#123456799", "A"), // 1 sub  -> link
+      // 2 subs with NO transposition credit (a swap-like double sub
+      // like 12<->74 scores ~0.966-0.989 through jaro's transposition
+      // term and WOULD link — correct comparator behavior, wrong
+      // negative control)
+      (5L, "1204067890", "Customer#120406789", "A")  // 2 subs -> apart
+    ).toDF("rid", "key", "name", "blk")
+    val got = Entity.resolveWith(df, "rid", "key", "name", Seq("blk"),
+        blockK = 2,
+        (a, b) => StringSim.jaroWinklerCol(a, b) >= lit(0.97))
+      .select("rid", "entity").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(2L) == got(1L), s"sub twin: $got")
+    assert(got(3L) == got(1L), s"del twin: $got")
+    assert(got(4L) == got(1L), s"sub twin 2: $got")
+    assert(got(5L) != got(1L), s"double-sub must stay apart: $got")
+    // the hard tau=2 budget WOULD lump the double-sub twin
+    val tau2 = Entity.resolve(df, "rid", "key", "name", Seq("blk"),
+        tau = 2)
+      .select("rid", "entity").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tau2(5L) == tau2(1L), s"tau=2 lumps: $tau2")
+  }
 }

@@ -1139,6 +1139,30 @@ class OpsSpec extends AnyFunSuite {
     index.unpersist()
   }
 
+  test("luhnValid accepts real card-shaped numbers and rejects " +
+    "off-by-one check digits; digitRuns keeps maximal-run semantics") {
+    // 4532015112830366 is a canonical Luhn-valid test number
+    val rows = Seq(
+      ("4532015112830366", true),
+      ("4532015112830367", false), // off-by-one check digit
+      ("79927398713", true), // the classic Luhn example (11 digits)
+      ("79927398710", false),
+      ("0000000000000000", true) // all zeros sums to 0
+    ).toDF("r", "want")
+    val got = rows.select(col("r"), col("want"),
+        TextAnalysis.luhnValid(col("r")).as("ok")).collect()
+    got.foreach(r => assert(r.getBoolean(2) == r.getBoolean(1),
+      s"luhn(${r.getString(0)})"))
+    // maximal runs: a 20-digit run is NOT a 13..19 candidate; runs
+    // split by non-digits are separate candidates
+    val t = Seq("x 45320151128303669999 y 4532015112830366 12 " +
+      "1234567890123").toDF("text")
+    val runs = t.select(
+        TextAnalysis.digitRuns(col("text"), 13, 19).as("rs"))
+      .head().getSeq[String](0)
+    assert(runs == Seq("4532015112830366", "1234567890123"), s"$runs")
+  }
+
   test("contamination flags a planted benchmark leak at rate 1.0 and " +
     "clean synthetic docs at 0.0") {
     val bench = Seq(
