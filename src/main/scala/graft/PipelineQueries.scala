@@ -3444,9 +3444,14 @@ object PipelineQueries {
         col("nat"), col("seg"))
       val rec = clean.unionByName(dirty)
         .withColumn("key", substring(col("name"), 10, 10))
+      // floor-quantize the score BEFORE thresholding (the
+      // q_dedup_jarowinkler discipline): the accept decision then
+      // depends on the 1e-6 quantum, not the last ulp of two
+      // independent JW implementations at the threshold boundary
       val resolved = graft.ops.Entity.resolveWith(rec, "rid", "key",
         "name", Seq("nat", "seg"), blockK = 1,
-        (a, b) => graft.ops.StringSim.jaroWinklerCol(a, b) >= lit(0.97))
+        (a, b) => floor(graft.ops.StringSim.jaroWinklerCol(a, b)
+          * lit(1000000.0) + lit(0.5)) >= lit(970000L))
       val pe = resolved.groupBy(col("seg"), col("entity"))
         .agg(count(lit(1)).as("sz"),
           sum(pmod(col("entity") * 131L + col("rid"),
@@ -3461,8 +3466,8 @@ object PipelineQueries {
         .orderBy("seg")
     },
     "WITH RECURSIVE " +
-      entityCtesWith(
-        "jaro_winkler_similarity(ra.name, rb.name) >= 0.97") + ", " +
+      entityCtesWith("floor(jaro_winkler_similarity(ra.name, rb.name)" +
+        " * 1000000.0 + 0.5) >= 970000") + ", " +
       "pe AS (SELECT seg, entity, count(*) AS sz, " +
       s"sum((entity * 131 + rid) % $CleanSumMod) AS dsum " +
       "FROM lab GROUP BY seg, entity) " +

@@ -96,7 +96,10 @@ object Adpcm {
     val nBlocks = samples.length / SamplesPerBlock
     val dataLen = nBlocks * BlockAlign
     val out = new java.io.ByteArrayOutputStream()
-    out.write("RIFF".getBytes); le32(out, 4 + 26 + 12 + 8 + dataLen)
+    // RIFF size = bytes after this field: "WAVE" (4) + fmt chunk
+    // (8-byte header + 20-byte body = 28) + fact (12) + data header
+    // (8) + payload
+    out.write("RIFF".getBytes); le32(out, 4 + 28 + 12 + 8 + dataLen)
     out.write("WAVE".getBytes)
     out.write("fmt ".getBytes); le32(out, 20)
     le16(out, 0x11); le16(out, 1) // IMA ADPCM, mono

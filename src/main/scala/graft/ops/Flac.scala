@@ -232,12 +232,13 @@ object Flac {
       if ((b(fs + 4) & 0x80) != 0) return None
       var p = fs + 5
       val blockLen = bsCode match {
+        case 1 => 192
         case 6 => val v = (b(p) & 0xff) + 1; p += 1; v
         case 7 => val v = (((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)) + 1
           p += 2; v
         case c if c >= 2 && c <= 5 => 576 << (c - 2)
         case c if c >= 8 => 256 << (c - 8)
-        case _ => return None
+        case _ => return None // 0 is reserved
       }
       if (crc8(b, fs, p) != (b(p) & 0xff)) return None
       p += 1
@@ -306,6 +307,9 @@ object Flac {
       frames += 1
       o = end + 2L
     }
+    // all-frames-or-nothing: trailing bytes after the final frame are
+    // corruption (appended garbage), not a decodable stream
+    if (o != b.length) return None
     Some(FlacAudio(info, out, frames, nC, nV, nF))
   }
 

@@ -73,4 +73,15 @@ class AdpcmSpec extends AnyFunSuite {
     assert(Adpcm.decode(badIdx).isEmpty, "index > 88 must fail")
     assert(Adpcm.decode(null).isEmpty)
   }
+
+  test("RIFF chunk size declares the true file length (external WAV " +
+    "tools trust it): size field == bytes.length - 8") {
+    for (blocks <- Seq(1, 2, 5)) {
+      val b = Adpcm.encode(8000, sig(7, 65 * blocks))
+      val declared = (b(4) & 0xffL) | ((b(5) & 0xffL) << 8) |
+        ((b(6) & 0xffL) << 16) | ((b(7) & 0xffL) << 24)
+      assert(declared == b.length - 8,
+        s"RIFF size $declared vs ${b.length - 8} at $blocks blocks")
+    }
+  }
 }

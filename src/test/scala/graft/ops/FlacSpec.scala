@@ -76,8 +76,39 @@ class FlacSpec extends AnyFunSuite {
     }
     assert(Flac.decode(good.take(good.length - 3)).isEmpty, "truncated")
     assert(Flac.decode("fLaC".getBytes).isEmpty)
-    // stereo / 24-bit STREAMINFO -> declared-unsupported None
+    // stereo STREAMINFO with no channel support in frames -> None
     assert(Flac.decode(Flac.buildStreamInfo(8000, 2, 16, 100L)).isEmpty)
-    assert(Flac.decode(Flac.buildStreamInfo(8000, 1, 24, 100L)).isEmpty)
+    assert(Flac.decode(Flac.buildStreamInfo(8000, 1, 12, 100L)).isEmpty)
+  }
+
+  test("trailing bytes after the final frame -> None (appended " +
+    "garbage violates all-frames-or-nothing)") {
+    val s = Array.tabulate(200)(t => (t * 31) % 4096 - 2048)
+    val good = Flac.encode(8000, s)
+    assert(Flac.decode(good).isDefined)
+    assert(Flac.decode(good ++ Array[Byte](0)).isEmpty)
+    assert(Flac.decode(good ++ "junk".getBytes).isEmpty)
+  }
+
+  test("blocksize code 1 (fixed 192-sample blocks) decodes") {
+    // encode one 192-sample frame (explicit 8-bit blocksize, code 6),
+    // then rewrite the header to the spec's code-1 shorthand: drop
+    // the explicit blocksize byte, recompute CRC-8 and CRC-16
+    val s = Array.tabulate(192)(t => (t * 31) % 4096 - 2048)
+    val enc = Flac.encode(8000, s, blockSize = 192)
+    val meta = enc.take(42) // magic + STREAMINFO block
+    val frame = enc.drop(42)
+    assert((frame(2) & 0xf0) == 0x60 && (frame(5) & 0xff) == 191)
+    val head = Array[Byte](0xff.toByte, 0xf8.toByte, 0x10.toByte,
+      0x08.toByte, 0x00, 0)
+    head(5) = Flac.crc8(head, 0, 5).toByte
+    val body = frame.slice(7, frame.length - 2)
+    val nf = head ++ body
+    val c16 = Flac.crc16(nf, 0, nf.length)
+    val out = meta ++ nf ++
+      Array[Byte]((c16 >> 8).toByte, (c16 & 0xff).toByte)
+    val a = Flac.decode(out).get
+    assert(a.samples.toSeq == s.toSeq, "code-1 blocksize lossless")
+    assert(a.nFrames == 1)
   }
 }
