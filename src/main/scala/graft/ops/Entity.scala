@@ -85,6 +85,67 @@ object Entity {
       .distinct()
   }
 
+  /** Candidate pairs at lev ≤ 2 via SPLIT-NEIGHBORHOOD blocking —
+    * the same 100%-recall contract as `candidatePairs(k = 2)` at a
+    * fraction of its join cost. The full deletion-≤2 self-join
+    * explodes 1 + L + L(L−1)/2 keys per record on BOTH sides; this
+    * form keeps the O(L²) explode on the probe side only and joins
+    * it against an O(L) deletion-≤1 index, plus a tiny 3-segment
+    * equality join for the one case that split misses.
+    *
+    * Completeness (FastSS alignment argument, per witnessing
+    * alignment with e_sub + e_del + e_ins ≤ 2): deleting the edited
+    * positions leaves a common string in D_du(u) ∩ D_dv(v) with
+    * du = e_sub + e_del, dv = e_sub + e_ins. Every edit combination
+    * except two substitutions lands at dv ≤ 1 (or du ≤ 1 by
+    * symmetry), so the asymmetric D≤2 ⋈ D≤1 self-join — each record
+    * plays both roles — catches it. Two substitutions mean equal
+    * length and ≤ 2 differing positions (hamming ≤ 2): splitting
+    * both keys into 3 position-aligned segments, the pigeonhole
+    * leaves ≥ 1 segment identical at the same index, so the
+    * (length, segment-index, segment) equality join catches exactly
+    * that case. Union + DISTINCT; the verify filters false
+    * positives as always.
+    *
+    * Scale: shuffled rows drop from 2·O(L²) to O(L²) + O(L) + 3 per
+    * record, and — the real win — per-colliding-key join products
+    * drop from O(L²)·O(L²) to O(L²)·O(L). Segment buckets are keyed
+    * by (block columns, length, index, L/3-char segment), near-
+    * unique for realistic keys. */
+  def candidatePairsSplit2(df: DataFrame, idCol: String, keyCol: String,
+                           blockCols: Seq[String]): DataFrame = {
+    val keyed = df.where(col(keyCol).isNotNull)
+      .select((col(idCol) +: blockCols.map(col)) :+
+        PlanHints.knownNotNull(col(keyCol)).as("__key"): _*)
+    val joinCols = blockCols :+ "__bk"
+    val probe = keyed.select((col(idCol).as("__ida") +:
+      blockCols.map(col)) :+
+      explode(deletionKeys(col("__key"), 2)).as("__bk"): _*)
+    val index = keyed.select((col(idCol).as("__idb") +:
+      blockCols.map(col)) :+
+      explode(deletionKeys(col("__key"), 1)).as("__bk"): _*)
+    val delPairs = probe.join(index, joinCols)
+      .where(col("__ida") =!= col("__idb"))
+      .select(least(col("__ida"), col("__idb")).as("id_a"),
+        greatest(col("__ida"), col("__idb")).as("id_b"))
+    val L = length(col("__key"))
+    val c1 = (L / lit(3)).cast("int")
+    val c2 = (L * lit(2) / lit(3)).cast("int")
+    val segs = keyed.select((col(idCol) +: blockCols.map(col)) ++ Seq(
+      L.as("__len"),
+      posexplode(array(
+        col("__key").substr(lit(1), c1),
+        col("__key").substr(c1 + 1, c2 - c1),
+        col("__key").substr(c2 + 1, L - c2))).as(Seq("__sx", "__sg"))): _*)
+    val segJoin = blockCols ++ Seq("__len", "__sx", "__sg")
+    val a2 = segs.select(col(idCol).as("__ida") +: segJoin.map(col): _*)
+    val b2 = segs.select(col(idCol).as("__idb") +: segJoin.map(col): _*)
+    val hamPairs = a2.join(b2, segJoin)
+      .where(col("__ida") < col("__idb"))
+      .select(col("__ida").as("id_a"), col("__idb").as("id_b"))
+    delPairs.unionByName(hamPairs).distinct()
+  }
+
   /** Resolve records into entities: deletion-neighborhood blocking
     * at depth min(τ, 2), `levenshtein(name_a, name_b) <= tau`
     * verification (the blocking recall guarantee holds for τ ≤ 2;
@@ -114,7 +175,9 @@ object Entity {
                   nameCol: String, blockCols: Seq[String],
                   blockK: Int,
                   verify: (Column, Column) => Column): DataFrame = {
-    val cand = candidatePairs(df, idCol, keyCol, blockCols, blockK)
+    val cand =
+      if (blockK == 2) candidatePairsSplit2(df, idCol, keyCol, blockCols)
+      else candidatePairs(df, idCol, keyCol, blockCols, blockK)
     val names = df.select(col(idCol), col(nameCol))
     val verified = cand
       .join(names.select(col(idCol).as("id_a"),

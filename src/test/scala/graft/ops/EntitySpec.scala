@@ -156,6 +156,45 @@ class EntitySpec extends AnyFunSuite {
     assert(got2(8L) == 8L, s"far key must stay its own entity: $got2")
   }
 
+  test("candidatePairsSplit2 is complete: on a random corpus its " +
+    "candidate set contains EVERY lev<=2 pair the brute-force cross " +
+    "join finds (the D<=2 x D<=1 + 3-segment pigeonhole argument)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(41)
+    // random base keys over a 4-char alphabet (dense lev<=2 space)
+    // plus planted 1- and 2-edit variants of each shape
+    def rk(n: Int) = (1 to n).map(_ => "abcd"(rnd.nextInt(4))).mkString
+    val bases = (0 until 40).map(_ => rk(1 + rnd.nextInt(8)))
+    def mut(k: String): String = if (k.isEmpty) "a" else {
+      val p = rnd.nextInt(k.length)
+      rnd.nextInt(3) match {
+        case 0 => k.updated(p, "abcd"(rnd.nextInt(4))) // sub
+        case 1 => k.take(p) + k.drop(p + 1)            // del
+        case _ => k.take(p) + "abcd"(rnd.nextInt(4)) + k.drop(p) // ins
+      }
+    }
+    val keys = (bases ++ bases.map(mut) ++ bases.map(k => mut(mut(k))))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k, "B") }
+    val df = keys.toDF("rid", "key", "blk")
+    val truth = df.as("a").join(df.as("b"),
+        col("a.rid") < col("b.rid") &&
+          levenshtein(col("a.key"), col("b.key")) <= 2)
+      .select(col("a.rid").as("x"), col("b.rid").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Entity.candidatePairsSplit2(df, "rid", "key", Seq("blk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = truth -- cand
+    assert(missed.isEmpty, s"split blocking missed ${missed.size} " +
+      s"lev<=2 pairs of ${truth.size}: ${missed.take(5)}")
+    // and the full-neighborhood form agrees after the verify: same
+    // verified pair set, hence same resolve() partition
+    val full = Entity.candidatePairs(df, "rid", "key", Seq("blk"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((truth -- full).isEmpty)
+    assert((cand & truth) == (full & truth))
+  }
+
   test("resolveAgainst at tau=2 with a depth-2 index links a " +
     "double-substitution arrival the tau=1 path misses") {
     val s = spark
