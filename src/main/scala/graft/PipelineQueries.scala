@@ -3837,6 +3837,117 @@ object PipelineQueries {
         "FROM pd GROUP BY source ORDER BY source"
     })
 
+  /** License / copyright-notice detection + per-license data card
+    * ([[graft.ops.License]] — the code-corpus curation stage the
+    * Stack/RedPajama-style pipelines run on every repo file): SPDX
+    * identifiers and distinctive notice lines detected in ONE
+    * Aho–Corasick pass per document (the q_text_blocklist kernel
+    * discipline, O(|text| + matches) independent of pattern count),
+    * classified by fixed priority — SPDX tag > notice prose, two
+    * different SPDX tags = conflict, bare copyright = copyright-only
+    * — into a per-(source, license) manifest with a digest-pinned
+    * doc set. The fixture plants every branch: each SPDX tag, each
+    * notice family, a tag+notice agreement, a tag+notice
+    * DISAGREEMENT (copy-pasted header signal, flagged not mislabeled),
+    * a copyright-only line, unlicensed docs, and a sparse second-tag
+    * conflict stripe (doc_id % 101 == 7). The oracle replays the
+    * header formula, per-pattern replace-trick counts, and the
+    * priority CASE; n_matches pins the full count matrix, doc_digest
+    * pins WHICH docs landed in each license bucket. Scale: per-row
+    * codegen'd kernel + one map-side-combined aggregate; no joins,
+    * no shuffle of text. */
+  private val textLicense = Q("q_text_license",
+    (s, d) => {
+      val hdr = element_at(array(
+        lit("SPDX-License-Identifier: MIT"),
+        lit("SPDX-License-Identifier: Apache-2.0"),
+        lit("SPDX-License-Identifier: GPL-3.0-or-later"),
+        lit("SPDX-License-Identifier: BSD-3-Clause\nRedistribution " +
+          "and use in source and binary forms"),
+        lit("Licensed under the Apache License, Version 2.0"),
+        lit("Copyright (c) 2024 Example Corp.\nPermission is hereby " +
+          "granted, free of charge"),
+        lit("This program is free software: GNU General Public License"),
+        lit("Redistribution and use in source and binary forms"),
+        lit("Creative Commons Attribution 4.0 International"),
+        lit("SPDX-License-Identifier: MIT\nGNU General Public License"),
+        lit("")),
+        (pmod(col("doc_id"), lit(11)) + 1).cast("int"))
+      val extra = when(pmod(col("doc_id"), lit(101)) === 7,
+        lit("\nSPDX-License-Identifier: Apache-2.0")).otherwise(lit(""))
+      val d0 = docs(s, d).select(col("doc_id"), col("source"),
+        concat(hdr, extra, lit("\n"), col("text")).as("t"))
+      // computeOnce: label/disagree/total all read the counts array —
+      // collapsed, the AC kernel would re-run per reference
+      val perDoc = d0
+        .select(col("doc_id"), col("source"),
+          graft.ops.PlanHints.computeOnce(
+            graft.ops.License.matchCounts(col("t"))).as("c"))
+        .select(col("doc_id"), col("source"),
+          graft.ops.License.label(col("c")).as("license"),
+          when(graft.ops.License.spdxNoticeDisagree(col("c")), 1L)
+            .otherwise(0L).as("disagree"),
+          aggregate(col("c"), lit(0L), (a, v) => a + v).as("m"))
+      perDoc.groupBy("source", "license")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("disagree")).as("n_disagree"),
+          sum(col("m")).as("n_matches"),
+          sum(pmod(col("doc_id") * 131L + 7L, lit(CleanSumMod)))
+            .as("doc_digest"))
+        .orderBy("source", "license")
+    }, {
+      val cdefs = graft.ops.LicenseFns.Patterns.zipWithIndex.map {
+        case (p, i) =>
+          s"(length(t) - length(replace(t, '$p', ''))) // ${p.length} " +
+            s"AS c$i"
+      }.mkString(", ")
+      val spdxCnt = (0 to 3).map(i =>
+        s"CASE WHEN c$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+      val total = (0 to 10).map(i => s"c$i").mkString(" + ")
+      "WITH h AS (SELECT doc_id, source, " +
+        "['SPDX-License-Identifier: MIT', " +
+        "'SPDX-License-Identifier: Apache-2.0', " +
+        "'SPDX-License-Identifier: GPL-3.0-or-later', " +
+        "'SPDX-License-Identifier: BSD-3-Clause' || chr(10) || " +
+        "'Redistribution and use in source and binary forms', " +
+        "'Licensed under the Apache License, Version 2.0', " +
+        "'Copyright (c) 2024 Example Corp.' || chr(10) || " +
+        "'Permission is hereby granted, free of charge', " +
+        "'This program is free software: GNU General Public License', " +
+        "'Redistribution and use in source and binary forms', " +
+        "'Creative Commons Attribution 4.0 International', " +
+        "'SPDX-License-Identifier: MIT' || chr(10) || " +
+        "'GNU General Public License', " +
+        "''][CAST(doc_id % 11 AS INT) + 1] || " +
+        "CASE WHEN doc_id % 101 = 7 THEN chr(10) || " +
+        "'SPDX-License-Identifier: Apache-2.0' ELSE '' END || " +
+        "chr(10) || text AS t FROM documents), " +
+        s"pc AS (SELECT doc_id, source, $cdefs FROM h), " +
+        "lab AS (SELECT doc_id, source, " +
+        s"CASE WHEN ($spdxCnt) >= 2 THEN 'conflict' " +
+        "WHEN c0 > 0 THEN 'mit' WHEN c1 > 0 THEN 'apache-2.0' " +
+        "WHEN c2 > 0 THEN 'gpl-3.0-or-later' " +
+        "WHEN c3 > 0 THEN 'bsd-3-clause' " +
+        "WHEN c4 > 0 THEN 'apache-2.0' WHEN c5 > 0 THEN 'mit' " +
+        "WHEN c6 > 0 THEN 'gpl' WHEN c7 > 0 THEN 'bsd' " +
+        "WHEN c8 > 0 THEN 'cc-by' " +
+        "WHEN c9 > 0 OR c10 > 0 THEN 'copyright-only' " +
+        "ELSE 'none' END AS license, " +
+        s"CASE WHEN ($spdxCnt) = 1 AND (" +
+        "(c0 > 0 AND (c4 > 0 OR c6 > 0 OR c7 > 0 OR c8 > 0)) OR " +
+        "(c1 > 0 AND (c5 > 0 OR c6 > 0 OR c7 > 0 OR c8 > 0)) OR " +
+        "(c2 > 0 AND (c4 > 0 OR c5 > 0 OR c7 > 0 OR c8 > 0)) OR " +
+        "(c3 > 0 AND (c4 > 0 OR c5 > 0 OR c6 > 0 OR c8 > 0))) " +
+        "THEN 1 ELSE 0 END AS disagree, " +
+        s"$total AS m FROM pc) " +
+        "SELECT source, license, count(*) AS n_docs, " +
+        "CAST(sum(disagree) AS BIGINT) AS n_disagree, " +
+        "CAST(sum(m) AS BIGINT) AS n_matches, " +
+        s"CAST(sum((doc_id * 131 + 7) % $CleanSumMod) AS BIGINT) " +
+        "AS doc_digest " +
+        "FROM lab GROUP BY source, license ORDER BY source, license"
+    })
+
   /** CCNet-style per-chunk LM filtering (Wenzek et al. 2020): train
     * the bigram LM on the FULL corpus, score every disjoint 32-token
     * chunk, keep chunks under the perplexity bar, and account for the
@@ -10852,5 +10963,5 @@ object PipelineQueries {
     multimodalGifDecode, textUnigramLm, dedupCdc, dedupCdcPairs,
     multimodalGifMeta, textWordPiece, textWordPieceApply,
     multimodalFlacDecode, multimodalAdpcm, dedupJaroWinkler,
-    shardBloomIndex, dedupEntityJw, textLuhn)
+    shardBloomIndex, dedupEntityJw, textLuhn, textLicense)
 }

@@ -156,3 +156,98 @@ object Blocklist {
   def matchCounts(text: Column): Column =
     bridge.toColumn(BlocklistCountsExpr(bridge.toExpression(text)))
 }
+
+/** License / copyright-notice detection — the code-corpus curation
+  * stage (the Stack / RedPajama-style pipelines run it on every repo
+  * file before training): SPDX identifiers and distinctive notice
+  * lines through the SAME one-pass Aho–Corasick machinery as the
+  * blocklist, then a fixed-priority classification into a per-file
+  * license label feeding a per-source license manifest (data card).
+  *
+  * Priority: an explicit SPDX tag beats notice prose (it is the
+  * machine-readable ground truth); two DIFFERENT SPDX tags in one
+  * file are a `conflict`; a notice line alone classifies by the
+  * notice; a bare copyright line with no license grant is
+  * `copyright-only`; nothing at all is `none`. A disagreement flag
+  * marks files whose single SPDX tag coexists with a notice from a
+  * different license family — the real-world signal that a header
+  * was copy-pasted without updating the tag. */
+object LicenseFns {
+  /** Pattern ids 0-3: SPDX tags; 4-8: notice lines (Apache / MIT /
+    * GPL / BSD / CC-BY); 9-10: bare copyright markers. The shared
+    * "SPDX-License-Identifier: " prefix keeps the trie walk on the
+    * shared-prefix path; "GNU General Public License" inside a
+    * longer notice exercises the fail-link outputs. */
+  val Patterns: Array[String] = Array(
+    "SPDX-License-Identifier: MIT",
+    "SPDX-License-Identifier: Apache-2.0",
+    "SPDX-License-Identifier: GPL-3.0-or-later",
+    "SPDX-License-Identifier: BSD-3-Clause",
+    "Licensed under the Apache License, Version 2.0",
+    "Permission is hereby granted, free of charge",
+    "GNU General Public License",
+    "Redistribution and use in source and binary forms",
+    "Creative Commons Attribution",
+    "All rights reserved",
+    "Copyright (c)")
+
+  lazy val automaton = new BlocklistFns.Automaton(Patterns)
+
+  def counts(text: UTF8String): GenericArrayData =
+    new GenericArrayData(automaton.countsOf(text.toString))
+}
+
+/** Per-pattern non-overlapping match counts (aligned with
+  * [[LicenseFns.Patterns]]) — one codegen'd AC pass per row. */
+case class LicenseCountsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    LicenseFns.counts(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.LicenseFns.counts($c)")
+  override protected def withNewChildInternal(c: Expression)
+      : LicenseCountsExpr = copy(c)
+  override def prettyName: String = "license_counts"
+}
+
+object License {
+  import org.apache.spark.sql.functions._
+
+  /** Column of per-pattern counts for `text`. */
+  def matchCounts(text: Column): Column =
+    bridge.toColumn(LicenseCountsExpr(bridge.toExpression(text)))
+
+  private def hit(c: Column, pid: Int): Column =
+    element_at(c, pid + 1) > 0L
+
+  /** Number of DISTINCT SPDX tags present. */
+  def spdxCount(c: Column): Column =
+    (0 to 3).map(p => when(hit(c, p), 1).otherwise(0)).reduce(_ + _)
+
+  /** Fixed-priority license label from a [[matchCounts]] array. */
+  def label(c: Column): Column =
+    when(spdxCount(c) >= 2, "conflict")
+      .when(hit(c, 0), "mit")
+      .when(hit(c, 1), "apache-2.0")
+      .when(hit(c, 2), "gpl-3.0-or-later")
+      .when(hit(c, 3), "bsd-3-clause")
+      .when(hit(c, 4), "apache-2.0")
+      .when(hit(c, 5), "mit")
+      .when(hit(c, 6), "gpl")
+      .when(hit(c, 7), "bsd")
+      .when(hit(c, 8), "cc-by")
+      .when(hit(c, 9) || hit(c, 10), "copyright-only")
+      .otherwise(lit("none"))
+
+  /** True when exactly one SPDX tag coexists with a notice line from
+    * a DIFFERENT license family (tag families: 0 = MIT, 1 = Apache,
+    * 2 = GPL, 3 = BSD; notice families: 4 = Apache, 5 = MIT,
+    * 6 = GPL, 7 = BSD, 8 = CC). */
+  def spdxNoticeDisagree(c: Column): Column =
+    spdxCount(c) === 1 && (
+      (hit(c, 0) && (hit(c, 4) || hit(c, 6) || hit(c, 7) || hit(c, 8))) ||
+      (hit(c, 1) && (hit(c, 5) || hit(c, 6) || hit(c, 7) || hit(c, 8))) ||
+      (hit(c, 2) && (hit(c, 4) || hit(c, 5) || hit(c, 7) || hit(c, 8))) ||
+      (hit(c, 3) && (hit(c, 4) || hit(c, 5) || hit(c, 6) || hit(c, 8))))
+}
