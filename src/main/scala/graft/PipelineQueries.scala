@@ -7176,6 +7176,68 @@ object PipelineQueries {
         "GROUP BY pp.source ORDER BY pp.source"
     })
 
+  /** STEREO + LPC FLAC decode ([[graft.ops.Flac.encodeStereo]] /
+    * [[graft.ops.Flac.decode]] — the round-13 widening of the FLAC
+    * subset): two phase-independent sawtooth channels through the
+    * REAL encoder with Levinson–Durbin LPC analysis and all FOUR
+    * channel assignments cycling per block (independent, left/side,
+    * side/right, mid/side — side channels at 17 bits), decoded by
+    * the verifying walk. Losslessness is the pin: every interleaved
+    * sample's position-weighted digest, sum, min, max, frame count,
+    * and the subframes-per-frame invariant (2 per stereo frame) come
+    * straight from the channel formulas, byte-free — so the LPC
+    * coefficient path, the 17-bit side reads, and every
+    * decorrelation reconstruction must be exact for the digest to
+    * match. Bytes never shuffle; registers only. */
+  private val multimodalFlacStereo = Q("q_multimodal_flacstereo",
+    (s, d) => {
+      val params = docs(s, d).select(col("doc_id"), col("source"),
+          pmod(floor(col("doc_id") / lit(20L)), lit(32L)).cast("int")
+            .as("seed"))
+        .withColumn("n",
+          (lit(192) + lit(64) * pmod(col("seed"), lit(4))).cast("int"))
+      val clips = Multimodal.flacStereoPatternColumn(params, "n", "seed")
+      val dec = Multimodal.flacAudioColumn(clips, "media", FlacDigestMod)
+      dec.groupBy("source")
+        .agg(count(lit(1)).as("n_clips"),
+          sum(when(col("fa").isNull, 1L).otherwise(0L)).as("n_bad"),
+          sum(col("fa.n_frames").cast("long")).as("n_frames"),
+          sum((col("fa.n_const") + col("fa.n_verbatim") +
+            col("fa.n_fixed") + col("fa.n_lpc")).cast("long"))
+            .as("n_subframes"),
+          sum(col("fa.n_samples").cast("long")).as("n_samples"),
+          sum(col("fa.sum_s")).as("sum_s"),
+          min(col("fa.min_s")).as("min_s"),
+          max(col("fa.max_s")).as("max_s"),
+          pmod(sum(col("fa.dg")), lit(FlacDigestMod)).as("dg"))
+        .orderBy("source")
+    },
+    "WITH p AS (SELECT doc_id, source, " +
+      "CAST((doc_id // 20) % 32 AS INT) AS seed FROM documents), " +
+      "pp AS (SELECT doc_id, source, seed, " +
+      "192 + 64 * (seed % 4) AS n FROM p), " +
+      "tt AS (SELECT doc_id, source, seed, n, " +
+      "CAST(unnest(range(0, n)) AS INT) AS t FROM pp), " +
+      "v AS (SELECT doc_id, source, t, " +
+      "(seed * 97 + t * 31) % 4096 - 2048 AS l, " +
+      "(seed * 61 + t * 29) % 4096 - 2048 AS r FROM tt), " +
+      "cl AS (SELECT doc_id, any_value(source) AS source, " +
+      "count(*) AS nu, CAST(sum(l + r) AS BIGINT) AS sum_s, " +
+      "least(min(l), min(r)) AS min_s, " +
+      "greatest(max(l), max(r)) AS max_s, " +
+      "CAST(sum((2*t + 1) * (l + 32768) + (2*t + 2) * (r + 32768)) " +
+      s"AS BIGINT) % $FlacDigestMod AS dg FROM v GROUP BY doc_id) " +
+      "SELECT cl.source, count(*) AS n_clips, " +
+      "CAST(0 AS BIGINT) AS n_bad, " +
+      "CAST(sum(pp.n // 64) AS BIGINT) AS n_frames, " +
+      "CAST(sum(2 * (pp.n // 64)) AS BIGINT) AS n_subframes, " +
+      "CAST(sum(2 * cl.nu) AS BIGINT) AS n_samples, " +
+      "CAST(sum(cl.sum_s) AS BIGINT) AS sum_s, " +
+      "min(cl.min_s) AS min_s, max(cl.max_s) AS max_s, " +
+      s"CAST(sum(cl.dg) AS BIGINT) % $FlacDigestMod AS dg " +
+      "FROM cl JOIN pp USING (doc_id) " +
+      "GROUP BY cl.source ORDER BY cl.source")
+
   /** The FULL crawl-ingestion pipeline in one plan: docs → template
     * HTML pages (escaped body, nav/script/style/comment noise) →
     * per-(source, shard) .warc.gz files → gzip-member record walk →
@@ -10963,5 +11025,6 @@ object PipelineQueries {
     multimodalGifDecode, textUnigramLm, dedupCdc, dedupCdcPairs,
     multimodalGifMeta, textWordPiece, textWordPieceApply,
     multimodalFlacDecode, multimodalAdpcm, dedupJaroWinkler,
-    shardBloomIndex, dedupEntityJw, textLuhn, textLicense)
+    shardBloomIndex, dedupEntityJw, textLuhn, textLicense,
+    multimodalFlacStereo)
 }

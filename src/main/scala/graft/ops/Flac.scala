@@ -2,17 +2,24 @@ package graft.ops
 
 /** Pure-JVM FLAC: STREAMINFO metadata (the lossless-audio leg of the
   * media-metadata family) plus REAL frame-level encode/decode of the
-  * mono 16-bit subset — CONSTANT, VERBATIM, and FIXED-predictor
-  * subframes with Rice-coded residuals, CRC-8 frame headers and
-  * CRC-16 frame trailers, all per RFC 9639 (§8.2 STREAMINFO, §9
-  * frames, §9.2.7 Rice coding). FLAC is lossless, so decode(encode(s))
-  * == s bit-for-bit — the oracle property the flacdecode query pins
-  * against the signal formula without ever touching bytes.
+  * 16-bit subset — CONSTANT, VERBATIM, FIXED-predictor, and LPC
+  * subframes with Rice-coded residuals, mono and stereo (independent,
+  * left/side, right/side, mid/side channel decorrelation, the side
+  * channel at 17 bits), CRC-8 frame headers and CRC-16 frame
+  * trailers, all per RFC 9639 (§8.2 STREAMINFO, §9 frames, §9.2.7
+  * Rice coding, §10.2 interchannel decorrelation). FLAC is lossless,
+  * so decode(encode(s)) == s bit-for-bit — the oracle property the
+  * flacdecode queries pin against the signal formula without ever
+  * touching bytes. The LPC encoder computes real coefficients
+  * (windowless autocorrelation → Levinson–Durbin → precision-12
+  * quantization); losslessness never depends on their quality
+  * because residuals are taken against the same integer predictor
+  * the decoder runs.
   *
-  * Boundary (declared): LPC subframes, stereo decorrelation, and
-  * bps ≠ 16 are not decoded (→ None) — the [[FrameDecoder]] registry
-  * discipline: a real subset decoder with the unsupported branches
-  * explicit, not a fixture-only parser. Metadata parse
+  * Boundary (declared): bps ≠ 16, > 2 channels, wasted bits, and the
+  * Rice escape code are not decoded (→ None) — the [[FrameDecoder]]
+  * registry discipline: a real subset decoder with the unsupported
+  * branches explicit, not a fixture-only parser. Metadata parse
   * ([[Flac.parseMeta]]) remains total on garbage. */
 object Flac {
 
@@ -94,6 +101,9 @@ object Flac {
   case object SfConstant extends SubframeKind
   case object SfVerbatim extends SubframeKind
   final case class SfFixed(order: Int, riceK: Int) extends SubframeKind
+  final case class SfLpc(order: Int, precision: Int, shift: Int,
+                         coefs: Array[Long], riceK: Int)
+    extends SubframeKind
 
   /** Encode mono 16-bit samples as a real FLAC stream, one frame per
     * `blockSize` samples (fixed-blocksize strategy; the last frame
@@ -123,32 +133,229 @@ object Flac {
       head(6) = crc8(head, 0, 6).toByte
       val bw = new BitWriter
       head.foreach(b => bw.write(b & 0xffL, 8))
-      val kind = planSubframe(samples, from, len)
-      kind match {
-        case SfConstant =>
-          bw.write(0x00L, 8) // pad|type 000000|wasted 0
-          bw.write(samples(from).toLong & 0xffffL, 16)
-        case SfVerbatim =>
-          bw.write(0x02L, 8) // type 000001
-          var t = 0
-          while (t < len) {
-            bw.write(samples(from + t).toLong & 0xffffL, 16); t += 1 }
-        case SfFixed(order, k) =>
-          bw.write((0x08L | order.toLong) << 1, 8) // type 001ooo
-          var t = 0
-          while (t < order) {
-            bw.write(samples(from + t).toLong & 0xffffL, 16); t += 1 }
-          bw.write(0L, 2) // residual method 00: 4-bit Rice
-          bw.write(0L, 4) // partition order 0 -> one partition
-          bw.write(k.toLong, 4)
-          t = order
-          while (t < len) {
-            val m = zigzag(fixedResidual(samples, from, t, order))
-            bw.writeUnary((m >> k).toInt)
-            bw.write(m & ((1L << k) - 1), k)
-            t += 1
-          }
+      writeSubframe(bw, samples, from, len, 16,
+        planSubframe(samples, from, len))
+      val frame = bw.bytes
+      val c16 = crc16(frame, 0, frame.length)
+      out.write(frame)
+      out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  private def writeSubframe(bw: BitWriter, s: Array[Int], from: Int,
+                            len: Int, bits: Int,
+                            kind: SubframeKind): Unit = {
+    val mask = (1L << bits) - 1
+    kind match {
+      case SfConstant =>
+        bw.write(0x00L, 8) // pad|type 000000|wasted 0
+        bw.write(s(from).toLong & mask, bits)
+      case SfVerbatim =>
+        bw.write(0x02L, 8) // type 000001
+        var t = 0
+        while (t < len) { bw.write(s(from + t).toLong & mask, bits)
+          t += 1 }
+      case SfFixed(order, k) =>
+        bw.write((0x08L | order.toLong) << 1, 8) // type 001ooo
+        var t = 0
+        while (t < order) { bw.write(s(from + t).toLong & mask, bits)
+          t += 1 }
+        bw.write(0L, 2) // residual method 00: 4-bit Rice
+        bw.write(0L, 4) // partition order 0 -> one partition
+        bw.write(k.toLong, 4)
+        t = order
+        while (t < len) {
+          val m = zigzag(fixedResidual(s, from, t, order))
+          bw.writeUnary((m >> k).toInt)
+          bw.write(m & ((1L << k) - 1), k)
+          t += 1
+        }
+      case SfLpc(order, prec, shift, coefs, k) =>
+        bw.write((0x20L | (order - 1).toLong) << 1, 8) // type 1ooooo
+        var t = 0
+        while (t < order) { bw.write(s(from + t).toLong & mask, bits)
+          t += 1 }
+        bw.write((prec - 1).toLong, 4)
+        bw.write(shift.toLong, 5) // non-negative by construction
+        coefs.foreach(c => bw.write(c & ((1L << prec) - 1), prec))
+        bw.write(0L, 2) // residual method 00: 4-bit Rice
+        bw.write(0L, 4) // partition order 0
+        bw.write(k.toLong, 4)
+        t = order
+        while (t < len) {
+          val m = zigzag(s(from + t).toLong -
+            lpcPredict(s, from, t, coefs, shift))
+          bw.writeUnary((m >> k).toInt)
+          bw.write(m & ((1L << k) - 1), k)
+          t += 1
+        }
+    }
+  }
+
+  private def lpcPredict(s: Array[Int], from: Int, t: Int,
+                         coefs: Array[Long], shift: Int): Long = {
+    var acc = 0L
+    var j = 0
+    while (j < coefs.length) {
+      acc += coefs(j) * s(from + t - 1 - j); j += 1
+    }
+    acc >> shift
+  }
+
+  /** Real LPC analysis for one block: windowless autocorrelation →
+    * Levinson–Durbin → precision-bit quantization with a
+    * non-negative 5-bit shift (RFC 9639 §9.2.5). Falls back to the
+    * CONSTANT/VERBATIM/FIXED plan when the block is degenerate or
+    * the Rice quotients would blow up — losslessness never depends
+    * on the analysis, only the residual/predictor agreement. */
+  private def planLpcSubframe(s: Array[Int], from: Int, len: Int,
+                              order: Int, precision: Int): SubframeKind = {
+    var const = true
+    var t = 1
+    while (const && t < len) { const = s(from + t) == s(from); t += 1 }
+    if (const) return SfConstant
+    if (len <= 2 * order + 1) return planSubframe(s, from, len)
+    // autocorrelation (doubles, fixed order -> deterministic)
+    val r = new Array[Double](order + 1)
+    var k = 0
+    while (k <= order) {
+      var acc = 0.0
+      var i = k
+      while (i < len) { acc += s(from + i).toDouble * s(from + i - k)
+        i += 1 }
+      r(k) = acc
+      k += 1
+    }
+    if (r(0) <= 0.0) return planSubframe(s, from, len)
+    // Levinson-Durbin recursion
+    val a = new Array[Double](order + 1)
+    var err = r(0)
+    var m = 1
+    while (m <= order) {
+      var acc = r(m)
+      var j = 1
+      while (j < m) { acc -= a(j) * r(m - j); j += 1 }
+      if (err <= 0.0) return planSubframe(s, from, len)
+      val kk = acc / err
+      // in-place update with the symmetric pair trick
+      j = 1
+      while (j <= m / 2) {
+        val tmp = a(j) - kk * a(m - j)
+        a(m - j) = a(m - j) - kk * a(j)
+        a(j) = tmp
+        j += 1
       }
+      a(m) = kk
+      err *= (1.0 - kk * kk)
+      m += 1
+    }
+    var cmax = 0.0
+    m = 1
+    while (m <= order) { cmax = math.max(cmax, math.abs(a(m))); m += 1 }
+    if (cmax == 0.0 || cmax.isNaN || cmax.isInfinite)
+      return planSubframe(s, from, len)
+    val shift = math.min(15,
+      math.max(0, precision - 2 - Math.getExponent(cmax)))
+    val lo = -(1L << (precision - 1)); val hi = (1L << (precision - 1)) - 1
+    val coefs = Array.tabulate(order)(j => math.max(lo,
+      math.min(hi, Math.round(a(j + 1) * (1L << shift)))))
+    // Rice parameter from the mean zigzag residual, blowup-guarded
+    var sum = 0L; var maxm = 0L
+    t = order
+    while (t < len) {
+      val mm = zigzag(s(from + t).toLong - lpcPredict(s, from, t, coefs, shift))
+      sum += mm; if (mm > maxm) maxm = mm
+      t += 1
+    }
+    val mean = sum / math.max(1, len - order)
+    val rk = math.min(14, 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, mean)).toInt)
+    if ((maxm >> rk) > 48) planSubframe(s, from, len)
+    else SfLpc(order, precision, shift, coefs, rk)
+  }
+
+  /** Encode mono 16-bit samples with REAL LPC subframes (Levinson–
+    * Durbin analysis at `order`, precision-12 quantized coefficients)
+    * where the analysis holds, CONSTANT for flat blocks, and the
+    * FIXED/VERBATIM plan as fallback. Same framing contract as
+    * [[encode]]. */
+  def encodeLpc(sampleRateHz: Int, samples: Array[Int],
+                blockSize: Int = 64, order: Int = 4): Array[Byte] = {
+    require(blockSize >= 8 && blockSize <= 256, s"bad block size $blockSize")
+    require(order >= 1 && order <= 8, s"bad LPC order $order")
+    require(samples.forall(s => s >= -32768 && s <= 32767), "not 16-bit")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(buildStreamInfo(sampleRateHz, 1, 16, samples.length.toLong,
+      blockSize))
+    val nf = (samples.length + blockSize - 1) / blockSize
+    var f = 0
+    while (f < nf) {
+      val from = f * blockSize
+      val len = math.min(blockSize, samples.length - from)
+      require(f < 128, s"frame number $f needs multi-byte UTF-8")
+      val head = Array[Byte](0xff.toByte, 0xf8.toByte, 0x60.toByte,
+        0x08.toByte, f.toByte, (len - 1).toByte, 0)
+      head(6) = crc8(head, 0, 6).toByte
+      val bw = new BitWriter
+      head.foreach(b => bw.write(b & 0xffL, 8))
+      writeSubframe(bw, samples, from, len, 16,
+        planLpcSubframe(samples, from, len, order, 12))
+      val frame = bw.bytes
+      val c16 = crc16(frame, 0, frame.length)
+      out.write(frame)
+      out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Encode a 16-bit STEREO pair as a real FLAC stream, cycling the
+    * four channel assignments per block — independent, left/side,
+    * right/side, mid/side (RFC 9639 §10.2; block b uses assignment
+    * b mod 4) — so every decorrelation path is on the wire. The side
+    * channel is 17-bit as the spec requires. Subframes follow the
+    * [[encode]] plan per channel (LPC when `useLpc`). */
+  def encodeStereo(sampleRateHz: Int, left: Array[Int], right: Array[Int],
+                   blockSize: Int = 64, useLpc: Boolean = false): Array[Byte] = {
+    require(blockSize >= 8 && blockSize <= 256, s"bad block size $blockSize")
+    require(left.length == right.length, "channel length mismatch")
+    require(left.forall(s => s >= -32768 && s <= 32767) &&
+      right.forall(s => s >= -32768 && s <= 32767), "not 16-bit")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(buildStreamInfo(sampleRateHz, 2, 16, left.length.toLong,
+      blockSize))
+    def plan(s: Array[Int], from: Int, len: Int): SubframeKind =
+      if (useLpc) planLpcSubframe(s, from, len, 4, 12)
+      else planSubframe(s, from, len)
+    val side = Array.tabulate(left.length)(t => left(t) - right(t))
+    val mid = Array.tabulate(left.length)(t => (left(t) + right(t)) >> 1)
+    val nf = (left.length + blockSize - 1) / blockSize
+    var f = 0
+    while (f < nf) {
+      val from = f * blockSize
+      val len = math.min(blockSize, left.length - from)
+      require(f < 128, s"frame number $f needs multi-byte UTF-8")
+      val chanCode = (f % 4) match {
+        case 0 => 1  // independent L, R
+        case 1 => 8  // left/side
+        case 2 => 9  // side/right
+        case _ => 10 // mid/side
+      }
+      val (ch0, ch1, b0, b1) = chanCode match {
+        case 1 => (left, right, 16, 16)
+        case 8 => (left, side, 16, 17)
+        case 9 => (side, right, 17, 16)
+        case _ => (mid, side, 16, 17)
+      }
+      val head = Array[Byte](0xff.toByte, 0xf8.toByte, 0x60.toByte,
+        ((chanCode << 4) | 0x08).toByte, f.toByte, (len - 1).toByte, 0)
+      head(6) = crc8(head, 0, 6).toByte
+      val bw = new BitWriter
+      head.foreach(b => bw.write(b & 0xffL, 8))
+      writeSubframe(bw, ch0, from, len, b0, plan(ch0, from, len))
+      writeSubframe(bw, ch1, from, len, b1, plan(ch1, from, len))
       val frame = bw.bytes
       val c16 = crc16(frame, 0, frame.length)
       out.write(frame)
@@ -187,24 +394,114 @@ object Flac {
   }
 
   /** Decoded stream: registers the flacdecode query pins (samples
-    * stay in the kernel — only these aggregates ever shuffle). */
+    * stay in the kernel — only these aggregates ever shuffle).
+    * `samples` is channel-interleaved for stereo; the subframe-kind
+    * counts count SUBFRAMES (== frames for mono). */
   final case class FlacAudio(info: FlacInfo, samples: Array[Int],
                              nFrames: Int, nConstant: Int,
-                             nVerbatim: Int, nFixed: Int)
+                             nVerbatim: Int, nFixed: Int,
+                             nLpc: Int = 0)
 
-  /** Decode a mono 16-bit FLAC stream written by any spec-conforming
-    * encoder using CONSTANT / VERBATIM / FIXED subframes (Rice
-    * method 0, any partition order whose partitions divide evenly).
-    * Verifies sync, header CRC-8, and frame CRC-16; any violation,
-    * truncation, sample-count mismatch with STREAMINFO, or an
-    * unsupported branch (LPC, stereo, bps ≠ 16, Rice escape) returns
-    * None — the all-frames-or-nothing corrupt-media contract. */
+  /** One decoded subframe into `out` (Long workspace — 17-bit side
+    * channels and LPC accumulators need headroom); returns the kind
+    * tag 0/1/2/3 = constant/verbatim/fixed/lpc, or -1 on any
+    * malformation. */
+  private def decodeSubframe(br: BitReader, out: Array[Long], n: Int,
+                             bits: Int): Int = {
+    def sext(v: Long): Long = (v << (64 - bits)) >> (64 - bits)
+    val lo = -(1L << (bits - 1)); val hi = (1L << (bits - 1)) - 1
+    val sfHead = br.read(8)
+    if ((sfHead & 0x80L) != 0 || (sfHead & 1L) != 0) return -1
+    val typ = ((sfHead >> 1) & 0x3f).toInt
+    def residuals(order: Int, pred: Int => Long): Boolean = {
+      if (br.read(2) != 0L) return false // only Rice 4-bit method
+      val po = br.read(4).toInt
+      val nPart = 1 << po
+      // partitions must divide the block; first partition drops warmup
+      if (n % nPart != 0 || n / nPart <= order) return false
+      var part = 0
+      var t = order
+      while (part < nPart) {
+        val k = br.read(4).toInt
+        if (k == 15) return false // escape unsupported
+        val partEnd = (part + 1) * (n / nPart)
+        while (t < partEnd) {
+          val q = br.readUnary()
+          val m = (q.toLong << k) | br.read(k)
+          val v = pred(t) + unzigzag(m)
+          if (v < lo || v > hi || br.fail) return false
+          out(t) = v
+          t += 1
+        }
+        part += 1
+      }
+      true
+    }
+    if (typ == 0) { // CONSTANT
+      val v = sext(br.read(bits))
+      var t = 0
+      while (t < n) { out(t) = v; t += 1 }
+      0
+    } else if (typ == 1) { // VERBATIM
+      var t = 0
+      while (t < n) { out(t) = sext(br.read(bits)); t += 1 }
+      1
+    } else if ((typ & 0x38) == 0x08 && (typ & 0x07) <= 4) { // FIXED
+      val order = typ & 0x07
+      if (order > n) return -1
+      var t = 0
+      while (t < order) { out(t) = sext(br.read(bits)); t += 1 }
+      val ok = residuals(order, t => order match {
+        case 0 => 0L
+        case 1 => out(t - 1)
+        case 2 => 2L * out(t - 1) - out(t - 2)
+        case 3 => 3L * out(t - 1) - 3L * out(t - 2) + out(t - 3)
+        case _ => 4L * out(t - 1) - 6L * out(t - 2) +
+          4L * out(t - 3) - out(t - 4)
+      })
+      if (ok) 2 else -1
+    } else if ((typ & 0x20) != 0) { // LPC, order-1 in low 5 bits
+      val order = (typ & 0x1f) + 1
+      if (order > n) return -1
+      var t = 0
+      while (t < order) { out(t) = sext(br.read(bits)); t += 1 }
+      val prec = br.read(4).toInt + 1
+      if (prec == 16) return -1 // 0b1111 is invalid
+      val shift = ((br.read(5) << 59) >> 59).toInt
+      if (shift < 0) return -1 // negative shift is reserved
+      val coefs = new Array[Long](order)
+      var j = 0
+      while (j < order) {
+        coefs(j) = (br.read(prec) << (64 - prec)) >> (64 - prec); j += 1 }
+      val ok = residuals(order, t => {
+        var acc = 0L
+        var i = 0
+        while (i < order) { acc += coefs(i) * out(t - 1 - i); i += 1 }
+        acc >> shift
+      })
+      if (ok) 3 else -1
+    } else -1 // reserved type
+  }
+
+  /** Decode a 16-bit mono or stereo FLAC stream written by any
+    * spec-conforming encoder using CONSTANT / VERBATIM / FIXED / LPC
+    * subframes (Rice method 0, any partition order whose partitions
+    * divide evenly) and any channel assignment (independent,
+    * left/side, right/side, mid/side — side channels at bps+1 per
+    * the spec). Verifies sync, header CRC-8, and frame CRC-16; any
+    * violation, truncation, trailing garbage, sample-count mismatch
+    * with STREAMINFO, or an unsupported branch (bps ≠ 16, > 2
+    * channels, wasted bits, Rice escape) returns None — the
+    * all-frames-or-nothing corrupt-media contract. Stereo output is
+    * interleaved L,R. */
   def decode(b: Array[Byte]): Option[FlacAudio] = {
     val info = parseMeta(b) match {
-      case Some(i) if i.channels == 1 && i.bitsPerSample == 16 &&
-        i.totalSamples > 0 && i.totalSamples <= (1 << 24) => i
+      case Some(i) if (i.channels == 1 || i.channels == 2) &&
+        i.bitsPerSample == 16 && i.totalSamples > 0 &&
+        i.totalSamples * i.channels <= (1 << 24) => i
       case _ => return None
     }
+    val nCh = info.channels
     // frame region starts after the last metadata block
     var o = 4L
     var last = false
@@ -216,10 +513,13 @@ object Flac {
         (b(oi + 3) & 0xff)
       o = oi + 4L + len
     }
-    val out = new Array[Int](info.totalSamples.toInt)
-    var filled = 0
-    var nC = 0; var nV = 0; var nF = 0; var frames = 0
-    while (filled < out.length) {
+    val total = info.totalSamples.toInt
+    val out = new Array[Int](total * nCh)
+    var filled = 0 // per-channel (interchannel) samples decoded
+    var nC = 0; var nV = 0; var nF = 0; var nL = 0; var frames = 0
+    var ch0 = new Array[Long](256)
+    var ch1 = new Array[Long](256)
+    while (filled < total) {
       val fs = o.toInt
       if (fs + 7 > b.length) return None
       if ((b(fs) & 0xff) != 0xff || (b(fs + 1) & 0xfe) != 0xf8) return None
@@ -227,7 +527,12 @@ object Flac {
       val rateCode = b(fs + 2) & 0x0f
       val chanCode = (b(fs + 3) & 0xf0) >> 4
       val sizeCode = (b(fs + 3) & 0x0e) >> 1
-      if (chanCode != 0 || sizeCode != 4 || rateCode != 0) return None
+      if (sizeCode != 4 || rateCode != 0) return None
+      val stereoMode =
+        if (nCh == 1 && chanCode == 0) 0
+        else if (nCh == 2 &&
+          (chanCode == 1 || (chanCode >= 8 && chanCode <= 10))) chanCode
+        else return None
       // UTF-8 coded number: accept 1-byte (our subset writes < 128)
       if ((b(fs + 4) & 0x80) != 0) return None
       var p = fs + 5
@@ -240,64 +545,56 @@ object Flac {
         case c if c >= 8 => 256 << (c - 8)
         case _ => return None // 0 is reserved
       }
+      if (blockLen > 65536) return None
+      if (ch0.length < blockLen) {
+        ch0 = new Array[Long](blockLen); ch1 = new Array[Long](blockLen)
+      }
       if (crc8(b, fs, p) != (b(p) & 0xff)) return None
       p += 1
-      val n = math.min(blockLen, out.length - filled)
+      val n = math.min(blockLen, total - filled)
       if (n != blockLen) return None // short non-final frame
       val br = new BitReader(b, p.toLong * 8)
-      val sfHead = br.read(8)
-      if ((sfHead & 0x80L) != 0 || (sfHead & 1L) != 0) return None
-      val typ = ((sfHead >> 1) & 0x3f).toInt
-      if (typ == 0) { // CONSTANT
-        val v = (br.read(16) << 48 >> 48).toInt
-        var t = 0
-        while (t < n) { out(filled + t) = v; t += 1 }
-        nC += 1
-      } else if (typ == 1) { // VERBATIM
-        var t = 0
-        while (t < n) {
-          out(filled + t) = (br.read(16) << 48 >> 48).toInt; t += 1 }
-        nV += 1
-      } else if ((typ & 0x38) == 0x08) { // FIXED, order in low 3 bits
-        val order = typ & 0x07
-        if (order > 4 || order > n) return None
-        var t = 0
-        while (t < order) {
-          out(filled + t) = (br.read(16) << 48 >> 48).toInt; t += 1 }
-        if (br.read(2) != 0L) return None // only Rice 4-bit method
-        val po = br.read(4).toInt
-        val nPart = 1 << po
-        // partitions must divide the block; first partition drops warmup
-        if (blockLen % nPart != 0 || blockLen / nPart <= order) return None
-        var part = 0
-        t = order
-        while (part < nPart) {
-          val k = br.read(4).toInt
-          if (k == 15) return None // escape unsupported
-          val partEnd = (part + 1) * (blockLen / nPart)
-          while (t < partEnd) {
-            val q = br.readUnary()
-            val m = (q.toLong << k) | br.read(k)
-            val r = unzigzag(m)
-            val pred = order match {
-              case 0 => 0L
-              case 1 => out(filled + t - 1).toLong
-              case 2 => 2L * out(filled + t - 1) - out(filled + t - 2)
-              case 3 => 3L * out(filled + t - 1) - 3L * out(filled + t - 2) +
-                out(filled + t - 3)
-              case 4 => 4L * out(filled + t - 1) - 6L * out(filled + t - 2) +
-                4L * out(filled + t - 3) - out(filled + t - 4)
-            }
-            val v = pred + r
-            if (v < -32768 || v > 32767) return None
-            out(filled + t) = v.toInt
-            t += 1
-          }
-          part += 1
+      var c = 0
+      while (c < nCh) {
+        val side = (stereoMode == 8 && c == 1) ||
+          (stereoMode == 9 && c == 0) || (stereoMode == 10 && c == 1)
+        val kind = decodeSubframe(br, if (c == 0) ch0 else ch1, n,
+          if (side) 17 else 16)
+        kind match {
+          case 0 => nC += 1
+          case 1 => nV += 1
+          case 2 => nF += 1
+          case 3 => nL += 1
+          case _ => return None
         }
-        nF += 1
-      } else return None // LPC or reserved
+        c += 1
+      }
       if (br.fail) return None
+      var t = 0
+      if (nCh == 1) {
+        while (t < n) {
+          val v = ch0(t)
+          if (v < -32768 || v > 32767) return None
+          out(filled + t) = v.toInt
+          t += 1
+        }
+      } else {
+        while (t < n) {
+          val (l, r) = stereoMode match {
+            case 1 => (ch0(t), ch1(t))
+            case 8 => (ch0(t), ch0(t) - ch1(t))
+            case 9 => (ch1(t) + ch0(t), ch1(t))
+            case _ =>
+              val lr = (ch0(t) << 1) | (ch1(t) & 1L)
+              ((lr + ch1(t)) >> 1, (lr - ch1(t)) >> 1)
+          }
+          if (l < -32768 || l > 32767 || r < -32768 || r > 32767)
+            return None
+          out((filled + t) * 2) = l.toInt
+          out((filled + t) * 2 + 1) = r.toInt
+          t += 1
+        }
+      }
       br.alignByte()
       val end = (br.pos >> 3).toInt
       if (end + 2 > b.length) return None
@@ -310,7 +607,7 @@ object Flac {
     // all-frames-or-nothing: trailing bytes after the final frame are
     // corruption (appended garbage), not a decodable stream
     if (o != b.length) return None
-    Some(FlacAudio(info, out, frames, nC, nV, nF))
+    Some(FlacAudio(info, out, frames, nC, nV, nF, nL))
   }
 
   final case class FlacInfo(sampleRateHz: Int, channels: Int,

@@ -788,6 +788,31 @@ object Multimodal {
     }
   }
 
+  /** Deterministic STEREO FLAC clip builder ([[Flac.encodeStereo]]
+    * with LPC analysis on): two phase-independent sawtooth channels
+    *   l(t) = ((seed·97 + t·31) mod 4096) − 2048
+    *   r(t) = ((seed·61 + t·29) mod 4096) − 2048
+    * at 8 kHz, 64-sample blocks cycling all four channel assignments
+    * (independent / left-side / side-right / mid-side), so every
+    * decorrelation path and the 17-bit side width are on the wire.
+    * `n` (per-channel) must be a multiple of 64. */
+  def flacStereoPatternColumn(df: DataFrame, nCol: String, seedCol: String,
+                              outCol: String = "media"): DataFrame = {
+    val schema = df.schema.add(outCol, BinaryType)
+    val ni = df.schema.fieldIndex(nCol)
+    val si = df.schema.fieldIndex(seedCol)
+    mapBatched(df, schema) { it =>
+      it.map { row =>
+        val n = row.getInt(ni)
+        val seed = row.getInt(si)
+        val l = Array.tabulate(n)(t => (seed * 97 + t * 31) % 4096 - 2048)
+        val r = Array.tabulate(n)(t => (seed * 61 + t * 29) % 4096 - 2048)
+        Row.fromSeq(row.toSeq :+
+          Flac.encodeStereo(8000, l, r, useLpc = true))
+      }
+    }
+  }
+
   val FlacAudioType: StructType = StructType(Seq(
     StructField("sample_rate", IntegerType),
     StructField("n_samples", IntegerType),
@@ -795,6 +820,7 @@ object Multimodal {
     StructField("n_const", IntegerType),
     StructField("n_verbatim", IntegerType),
     StructField("n_fixed", IntegerType),
+    StructField("n_lpc", IntegerType),
     StructField("sum_s", LongType),
     StructField("min_s", IntegerType),
     StructField("max_s", IntegerType),
@@ -821,7 +847,7 @@ object Multimodal {
           t += 1
         }
         Row(a.info.sampleRateHz, a.samples.length, a.nFrames,
-          a.nConstant, a.nVerbatim, a.nFixed, sum, mn, mx, dg)
+          a.nConstant, a.nVerbatim, a.nFixed, a.nLpc, sum, mn, mx, dg)
       }.orNull)
 
   /** Deterministic IMA-ADPCM clip builder — the LOSSY twin of

@@ -81,6 +81,54 @@ class FlacSpec extends AnyFunSuite {
     assert(Flac.decode(Flac.buildStreamInfo(8000, 1, 12, 100L)).isEmpty)
   }
 
+  test("LPC round-trip: Levinson-Durbin analysis encodes real LPC " +
+    "subframes and decode is bit-lossless") {
+    // correlated AR-ish integer signal: LPC should model it well
+    val s = new Array[Int](256)
+    s(0) = 1000; s(1) = 980
+    (2 until 256).foreach(t =>
+      s(t) = ((s(t - 1) * 15 - s(t - 2) * 7) / 8 + (t * 37) % 64 - 32)
+        .max(-32768).min(32767))
+    val bytes = Flac.encodeLpc(8000, s)
+    val a = Flac.decode(bytes).get
+    assert(a.samples.toSeq == s.toSeq, "LPC lossless round-trip")
+    assert(a.nLpc >= 1, s"expected LPC subframes, got const=" +
+      s"${a.nConstant} verb=${a.nVerbatim} fixed=${a.nFixed} lpc=${a.nLpc}")
+    // and the LPC stream should beat raw PCM (the point of LPC)
+    assert(bytes.length < 42 + 256 * 2, "LPC should compress")
+  }
+
+  test("stereo round-trip: all four channel assignments (independent, " +
+    "left/side, side/right, mid/side) decode losslessly, side at 17 bit") {
+    val n = 64 * 8 // 8 blocks -> each assignment twice
+    val l = Array.tabulate(n)(t => (t * 31) % 4096 - 2048)
+    // right far from left so the side channel really exercises
+    // 17-bit values (l - r spans beyond 16-bit when they oppose)
+    val r = Array.tabulate(n)(t => -((t * 53) % 60000 - 30000))
+    for (useLpc <- Seq(false, true)) {
+      val bytes = Flac.encodeStereo(8000, l, r, useLpc = useLpc)
+      val a = Flac.decode(bytes).get
+      assert(a.info.channels == 2 && a.nFrames == 8)
+      val gotL = (0 until n).map(t => a.samples(2 * t))
+      val gotR = (0 until n).map(t => a.samples(2 * t + 1))
+      assert(gotL == l.toSeq, s"left (useLpc=$useLpc)")
+      assert(gotR == r.toSeq, s"right (useLpc=$useLpc)")
+    }
+  }
+
+  test("stereo corruption -> None (CRC still gates every frame)") {
+    val n = 64 * 4
+    val l = Array.tabulate(n)(t => (t * 31) % 4096 - 2048)
+    val r = Array.tabulate(n)(t => (t * 17) % 4096 - 2048)
+    val good = Flac.encodeStereo(8000, l, r)
+    assert(Flac.decode(good).isDefined)
+    for (ix <- Seq(45, good.length / 2, good.length - 1)) {
+      val bad = good.clone(); bad(ix) = (bad(ix) ^ 0x5a).toByte
+      assert(Flac.decode(bad).isEmpty, s"corrupt @$ix must fail")
+    }
+    assert(Flac.decode(good ++ Array[Byte](7)).isEmpty, "trailing")
+  }
+
   test("trailing bytes after the final frame -> None (appended " +
     "garbage violates all-frames-or-nothing)") {
     val s = Array.tabulate(200)(t => (t * 31) % 4096 - 2048)
