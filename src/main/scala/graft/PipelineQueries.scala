@@ -7238,6 +7238,80 @@ object PipelineQueries {
       "FROM cl JOIN pp USING (doc_id) " +
       "GROUP BY cl.source ORDER BY cl.source")
 
+  /** Cross-codec audio NEAR-dup by MFCC clip features
+    * ([[graft.ops.Codecs.mfccClip]] over REAL FLAC and IMA-ADPCM
+    * decode — the audio leg of the near-dup family): each doc's clip
+    * is a 3-tone set chosen injectively by group (doc_id/20 mod 32)
+    * with per-doc amplitudes and phases, so group members share
+    * CONTENT but not bytes, and alternate codecs (even → FLAC, odd
+    * → lossy ADPCM). Features: amplitude-invariant MFCC (c0 dropped,
+    * energy-floor gated so lossy noise in silent bands reads as
+    * floor on both sides) plus the top-3 mel-band key RECOVERED from
+    * the audio — the blocking key, so candidates never go all-pairs:
+    * same-key join, cosine ≥ 0.8 verify on candidates only,
+    * transitive closure. The oracle predicts the whole partition
+    * combinatorially from the injective tone-set map (planted
+    * margins: within-group cosine ≥ 0.85 across codecs and the full
+    * amp/phase class space, spec-pinned;
+    * cross-group pairs are never candidates because their recovered
+    * keys differ) — n_crosscodec pins that every group linked its
+    * FLAC and ADPCM members THROUGH the codecs. Bytes and samples
+    * never shuffle; only the feature struct does. */
+  private val multimodalAudioSim = Q("q_multimodal_audiosim",
+    (s, d) => {
+      val params = docs(s, d).select(col("doc_id"), col("source"))
+      val clips = Multimodal.audioSimPatternColumn(params, "doc_id")
+      // persisted narrow feature frame: it feeds both join sides and
+      // the label/aggregate chain — unpersisted, the decode + FFT
+      // kernel would run three times
+      val feat = graft.core.CacheRegistry.track(
+        Multimodal.audioMfccColumn(clips, "media")
+          .select(col("doc_id"), col("am.codec").as("codec"),
+            col("am.top_key").as("tk"), col("am.mfcc").as("m"),
+            col("am").isNull.as("bad"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val a = feat.where(!col("bad")).select(col("doc_id").as("id_a"),
+        col("tk"), col("m").as("ma"))
+      val b = feat.where(!col("bad")).select(col("doc_id").as("id_b"),
+        col("tk"), col("m").as("mb"))
+      val pairs = a.join(b, Seq("tk"))
+        .where(col("id_a") < col("id_b") &&
+          Similarity.cosine(col("ma"), col("mb")) >= lit(0.8))
+        .select("id_a", "id_b")
+      val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val lab = feat
+        .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"),
+          "left")
+        .withColumn("grp", coalesce(col("component"), col("doc_id")))
+      val cs = lab.groupBy("grp").agg(count(lit(1)).as("sz"),
+        countDistinct(col("codec")).as("ncodec"))
+      lab.agg(count(lit(1)).as("n_clips"),
+          sum(when(col("bad"), 1L).otherwise(0L)).as("n_bad"),
+          sum(when(col("codec") === "flac", 1L).otherwise(0L))
+            .as("n_flac"),
+          sum(when(col("codec") === "adpcm", 1L).otherwise(0L))
+            .as("n_adpcm"),
+          sum(col("grp")).as("id_sum"))
+        .crossJoin(cs.agg(count(lit(1)).as("n_groups"),
+          max(col("sz")).as("max_group"),
+          sum(col("sz") - 1L).as("n_redundant"),
+          sum(when(col("ncodec") === 2, 1L).otherwise(0L))
+            .as("n_crosscodec")))
+    },
+    "WITH g AS (SELECT doc_id, (doc_id // 20) % 32 AS grp, " +
+      "doc_id % 2 AS par FROM documents), " +
+      "c AS (SELECT grp, min(doc_id) AS comp, count(*) AS sz, " +
+      "count(DISTINCT par) AS np FROM g GROUP BY grp) " +
+      "SELECT (SELECT count(*) FROM g) AS n_clips, " +
+      "CAST(0 AS BIGINT) AS n_bad, " +
+      "(SELECT count(*) FROM g WHERE par = 0) AS n_flac, " +
+      "(SELECT count(*) FROM g WHERE par = 1) AS n_adpcm, " +
+      "(SELECT CAST(sum(comp * sz) AS BIGINT) FROM c) AS id_sum, " +
+      "(SELECT count(*) FROM c) AS n_groups, " +
+      "(SELECT CAST(max(sz) AS BIGINT) FROM c) AS max_group, " +
+      "(SELECT CAST(sum(sz - 1) AS BIGINT) FROM c) AS n_redundant, " +
+      "(SELECT count(*) FROM c WHERE np = 2) AS n_crosscodec")
+
   /** The FULL crawl-ingestion pipeline in one plan: docs → template
     * HTML pages (escaped body, nav/script/style/comment noise) →
     * per-(source, shard) .warc.gz files → gzip-member record walk →
@@ -11026,5 +11100,5 @@ object PipelineQueries {
     multimodalGifMeta, textWordPiece, textWordPieceApply,
     multimodalFlacDecode, multimodalAdpcm, dedupJaroWinkler,
     shardBloomIndex, dedupEntityJw, textLuhn, textLicense,
-    multimodalFlacStereo)
+    multimodalFlacStereo, multimodalAudioSim)
 }

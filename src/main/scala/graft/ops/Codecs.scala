@@ -330,6 +330,94 @@ object Codecs {
     }
   }
 
+  /** HTK mel scale: mel(f) = 2595·log10(1 + f/700). */
+  def hzToMel(f: Double): Double = 2595.0 * math.log10(1.0 + f / 700.0)
+  def melToHz(m: Double): Double =
+    700.0 * (math.pow(10.0, m / 2595.0) - 1.0)
+
+  /** Clip-level MFCC features over RAW samples (already-decoded
+    * audio — FLAC/ADPCM/WAV all feed this): frames of `nFft` every
+    * `hop`, radix-2 [[fft]] → one-sided power spectrum → `nMel`
+    * triangular mel filters over [0, sr/2] → clip-mean log energies
+    * → DCT-II coefficients 1..`nCoef` (c0 dropped, so a uniform
+    * gain change shifts all log energies by a constant that the
+    * dropped c0 absorbs — the classic amplitude invariance).
+    * Also returns the indices of the `nTop` highest-energy mel
+    * bands (ascending) — a deterministic coarse key for blocking
+    * near-dup candidates, recovered from the audio itself. None for
+    * clips shorter than one frame. Deterministic doubles (fixed
+    * operation order). */
+  def mfccClip(samples: Array[Int], sr: Int, nFft: Int = 256,
+               hop: Int = 128, nMel: Int = 14, nCoef: Int = 8,
+               nTop: Int = 3,
+               floorE: Double = 1e9): Option[(Array[Int], Array[Double])] = {
+    require(nFft >= 2 && (nFft & (nFft - 1)) == 0, s"nFft $nFft not 2^k")
+    require(hop > 0 && nMel >= 2 && nCoef >= 1 && nCoef < nMel)
+    require(nTop >= 1 && nTop <= nMel)
+    val n = samples.length
+    if (n < nFft) return None
+    val nFrames = (n - nFft) / hop + 1
+    // triangular mel filterbank edges: nMel+2 points equally spaced
+    // in mel between 0 and sr/2, mapped back to FFT bin space
+    val melMax = hzToMel(sr / 2.0)
+    val edgeBin = Array.tabulate(nMel + 2)(k =>
+      melToHz(melMax * k / (nMel + 1)) * nFft / sr)
+    val logmel = new Array[Double](nMel)
+    val re = new Array[Double](nFft)
+    val im = new Array[Double](nFft)
+    val pow = new Array[Double](nFft / 2)
+    var fi = 0
+    while (fi < nFrames) {
+      var i = 0
+      while (i < nFft) { re(i) = samples(fi * hop + i).toDouble
+        im(i) = 0.0; i += 1 }
+      fft(re, im)
+      i = 0
+      while (i < nFft / 2) {
+        pow(i) = (re(i) * re(i) + im(i) * im(i)) / nFft; i += 1 }
+      var b = 0
+      while (b < nMel) {
+        val lo = edgeBin(b); val mid = edgeBin(b + 1); val hi = edgeBin(b + 2)
+        var e = 0.0
+        var k = math.max(1, math.ceil(lo).toInt)
+        while (k < nFft / 2 && k <= hi) {
+          val w =
+            if (k <= mid) (k - lo) / math.max(1e-12, mid - lo)
+            else (hi - k) / math.max(1e-12, hi - mid)
+          if (w > 0) e += w * pow(k)
+          k += 1
+        }
+        // absolute energy floor (noise gate): bands below the floor
+        // read as the floor on BOTH sides of a lossy/lossless pair,
+        // so codec noise in otherwise-silent bands cannot dominate
+        // the cosine (a full-scale tone band reads ~1e12 here; the 1e9
+        // default sits ~30 dB below that and well above lossy-codec
+        // noise bands)
+        logmel(b) += math.log(floorE + e)
+        b += 1
+      }
+      fi += 1
+    }
+    var b = 0
+    while (b < nMel) { logmel(b) /= nFrames; b += 1 }
+    // top-nTop bands by mean log energy (desc value, asc index tie)
+    val top = logmel.zipWithIndex
+      .sortBy { case (v, i) => (-v, i) }
+      .take(nTop).map(_._2).sorted
+    // DCT-II, orthonormal, coefficients 1..nCoef
+    val mfcc = Array.tabulate(nCoef) { k0 =>
+      val k = k0 + 1
+      var acc = 0.0
+      var i = 0
+      while (i < nMel) {
+        acc += logmel(i) * math.cos(math.Pi * k * (2 * i + 1) / (2.0 * nMel))
+        i += 1
+      }
+      acc * math.sqrt(2.0 / nMel)
+    }
+    Some((top, mfcc))
+  }
+
   /** 64-bit perceptual average-hash (aHash) of any ImageIO-decodable
     * image: nearest-neighbor resample to 8×8, per-cell grayscale,
     * bit i set iff cell i is brighter than the image's own mean —

@@ -907,6 +907,84 @@ object Multimodal {
         Row(a.sampleRateHz, a.samples.length, a.nBlocks, sum, mn, mx, dg)
       }.orNull)
 
+  /** Deterministic tone-set audio clips for the cross-codec near-dup
+    * family: group g = (doc_id / 20) mod 32 selects an INJECTIVE
+    * 3-band tone set over 14 mel bands — t1 = g mod 4,
+    * t2 = 4 + (g/4) mod 4, t3 = 8 + (g/16) mod 2 — and the clip is
+    * the sum of three sines at those bands' mel-center frequencies,
+    * with per-doc amplitudes (3000 + 250·((doc_id + j) mod 4), a ±2 dB per-tone mix spread) and
+    * phases (2π·((7·doc_id + 3j) mod 8)/8) so clips within a group
+    * share CONTENT but not bytes. Even doc_ids encode FLAC (1024
+    * samples), odd IMA-ADPCM (1040 = 16×65) — the cross-codec twin
+    * pair the MFCC features must see through. */
+  def audioSimPatternColumn(df: DataFrame, idCol: String,
+                            outCol: String = "media"): DataFrame = {
+    val schema = df.schema.add(outCol, BinaryType)
+    val ii = df.schema.fieldIndex(idCol)
+    val melMax = Codecs.hzToMel(4000.0)
+    mapBatched(df, schema) { it =>
+      it.map { row =>
+        val id = row.getLong(ii)
+        val g = ((id / 20) % 32).toInt
+        val bands = Array(g % 4, 4 + (g / 4) % 4, 8 + (g / 16) % 2)
+        val freqs = bands.map(b => Codecs.melToHz(melMax * (b + 1) / 15.0))
+        val amps = Array.tabulate(3)(j => 3000.0 + 250.0 * ((id + j) % 4))
+        val phis = Array.tabulate(3)(j =>
+          2.0 * math.Pi * ((7 * id + 3 * j) % 8) / 8.0)
+        val n = if (id % 2 == 0) 1024 else 1040
+        val s = Array.tabulate(n) { t =>
+          var v = 0.0
+          var j = 0
+          while (j < 3) {
+            v += amps(j) * math.sin(
+              2.0 * math.Pi * freqs(j) * t / 8000.0 + phis(j))
+            j += 1
+          }
+          math.max(-32768, math.min(32767, math.round(v).toInt))
+        }
+        val bytes =
+          if (id % 2 == 0) Flac.encode(8000, s)
+          else Adpcm.encode(8000, s)
+        Row.fromSeq(row.toSeq :+ bytes)
+      }
+    }
+  }
+
+  val AudioMfccType: StructType = StructType(Seq(
+    StructField("codec", StringType),
+    StructField("top_key", LongType),
+    StructField("mfcc", ArrayType(DoubleType, containsNull = false))))
+
+  /** MFCC clip features over REAL decode ([[Codecs.mfccClip]]): the
+    * bytes are sniffed (fLaC → [[Flac.decode]], RIFF → [[Adpcm
+    * .decode]]), the decoded samples stay in the kernel, and only
+    * the model-sized feature struct leaves: codec tag, the packed
+    * top-3 mel band key (the deterministic blocking key recovered
+    * from the audio itself), and the amplitude-invariant MFCC
+    * vector (coefficients 1..8 over 14 mel bands). Null for
+    * undecodable or too-short clips. */
+  def audioMfccColumn(df: DataFrame, mediaCol: String,
+                      outCol: String = "am",
+                      blockSize: Int = 1024): DataFrame =
+    parsedColumn(df, mediaCol, outCol, AudioMfccType, blockSize) { b =>
+      val decoded: Option[(String, Int, Array[Int])] =
+        if (b == null || b.length < 4) None
+        else if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' &&
+          b(3) == 'C')
+          Flac.decode(b).filter(_.info.channels == 1)
+            .map(a => ("flac", a.info.sampleRateHz, a.samples))
+        else if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' &&
+          b(2) == 'F' && b(3) == 'F')
+          Adpcm.decode(b).map(a => ("adpcm", a.sampleRateHz, a.samples))
+        else None
+      decoded.flatMap { case (codec, sr, samples) =>
+        Codecs.mfccClip(samples, sr).map { case (top, mfcc) =>
+          Row(codec, top.foldLeft(0L)((k, b2) => k * 16 + b2),
+            mfcc.toSeq)
+        }
+      }.orNull
+    }
+
   /** Assemble per-group .warc.gz FILES (fixture side): one row per
     * group with the member-per-record gzip bytes ([[Warc.buildFile]]).
     * The group's docs are collected into ONE file — the shard grain

@@ -470,4 +470,75 @@ class CodecsSpec extends AnyFunSuite {
       32768 + 100)
     assert(Codecs.audioQualityStats("junk".getBytes).isEmpty)
   }
+
+  // ------------------------------------------------------------ MFCC
+
+  /** The q_multimodal_audiosim fixture formula, replayed
+    * independently: tone set from group g, per-doc amp/phase. */
+  private def toneClip(id: Long): (Array[Int], Array[Int]) = {
+    val melMax = Codecs.hzToMel(4000.0)
+    val g = ((id / 20) % 32).toInt
+    val bands = Array(g % 4, 4 + (g / 4) % 4, 8 + (g / 16) % 2)
+    val freqs = bands.map(b => Codecs.melToHz(melMax * (b + 1) / 15.0))
+    val amps = Array.tabulate(3)(j => 3000.0 + 250.0 * ((id + j) % 4))
+    val phis = Array.tabulate(3)(j =>
+      2.0 * math.Pi * ((7 * id + 3 * j) % 8) / 8.0)
+    val n = if (id % 2 == 0) 1024 else 1040
+    (bands, Array.tabulate(n) { t =>
+      var v = 0.0
+      var j = 0
+      while (j < 3) {
+        v += amps(j) * math.sin(
+          2.0 * math.Pi * freqs(j) * t / 8000.0 + phis(j))
+        j += 1
+      }
+      math.max(-32768, math.min(32767, math.round(v).toInt))
+    })
+  }
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    a.indices.foreach { i =>
+      d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+    d / math.sqrt(na * nb)
+  }
+
+  test("mfccClip drops c0: a uniform gain change leaves the " +
+    "coefficient vector (nearly) unchanged") {
+    val (_, s) = toneClip(40L)
+    val half = s.map(v => v / 2)
+    val (t1, m1) = Codecs.mfccClip(s, 8000).get
+    val (t2, m2) = Codecs.mfccClip(half, 8000).get
+    assert(t1.toSeq == t2.toSeq, "top bands survive gain change")
+    assert(cos(m1, m2) > 0.999, s"gain invariance: ${cos(m1, m2)}")
+  }
+
+  test("audiosim margins hold through REAL FLAC and ADPCM round " +
+    "trips: top-3 key == planted tone set for every clip, " +
+    "within-group MFCC cosine >= 0.85") {
+    // every group g (0..31) x its COMPLETE feature-class space: the
+    // fixture's features depend on doc_id only through (group,
+    // doc_id mod 8) — amp class (mod 4), phase class (mod 8), codec
+    // (mod 2) — so 8 members per group cover every distinct vector
+    val feats = (0 until 32).flatMap { g =>
+      (0 until 8).map { k =>
+        val id = 20L * g + k
+        val (bands, s) = toneClip(id)
+        val decoded =
+          if (id % 2 == 0) Flac.decode(Flac.encode(8000, s)).get.samples
+          else Adpcm.decode(Adpcm.encode(8000, s)).get.samples
+        val (top, mfcc) = Codecs.mfccClip(decoded, 8000).get
+        assert(top.toSeq == bands.toSeq.sorted,
+          s"id=$id g=$g: top ${top.toSeq} != planted ${bands.toSeq}")
+        (g, mfcc)
+      }
+    }
+    val byG = feats.groupBy(_._1)
+    var minWithin = 1.0
+    byG.values.foreach { ms =>
+      for (i <- ms.indices; j <- i + 1 until ms.size)
+        minWithin = math.min(minWithin, cos(ms(i)._2, ms(j)._2))
+    }
+    assert(minWithin >= 0.85, s"min within-group cosine $minWithin")
+  }
 }
