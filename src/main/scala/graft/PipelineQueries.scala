@@ -9577,6 +9577,128 @@ object PipelineQueries {
       "AS BIGINT) AS n_kept_after, " +
       "CAST(sum(keep_surv) AS BIGINT) AS keep_id_sum_after FROM cl")
 
+  /** Opt-out / takedown compliance at the URL grain, composed with
+    * forget-propagation (the q_pipeline_forget closure): a takedown
+    * list of canonical (host[, path]) entries — host-wide or exact-
+    * path — matches each doc's PRIMARY url (the q_text_urls formula;
+    * hosts canonicalized by stripping a leading "www."), and removal
+    * propagates to the doc's WHOLE minhash near-dup cluster, the
+    * GDPR/robots-compliance semantics a real pipeline must honor (a
+    * takedown that leaves the near-duplicate copies is not a
+    * takedown). The takedown list is a broadcast table (model-sized
+    * joins, corpus never re-shuffles on it). Pins: per-source direct
+    * and propagated removal counts, the removed-doc digest (both
+    * engines must agree doc-for-doc on URL match AND cluster
+    * closure), n_clusters_touched, and n_straddle — clusters left
+    * with both removed and kept members — which must be 0 BY
+    * MEASUREMENT on both engines, not by assumption. */
+  private val pipelineOptout = Q("q_pipeline_optout",
+    (s, d) => {
+      import s.implicits._
+      val dd = docs(s, d)
+      val d0 = dd.select(col("doc_id"), col("source"),
+        concat(col("text"), lit(" see https://"),
+          when(pmod(col("doc_id"), lit(4)) === 0, lit("www."))
+            .otherwise(lit("")),
+          lit("h"), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".example.com/p/"),
+          pmod(col("doc_id"), lit(59)).cast("string")).as("t"))
+      val prim = d0.select(col("doc_id"), col("source"),
+          regexp_extract(col("t"), TextAnalysis.UrlRe, 0).as("first"))
+        .select(col("doc_id"), col("source"),
+          regexp_replace(TextAnalysis.urlHost(col("first")),
+            "^www\\.", "").as("chost"),
+          regexp_extract(col("first"), "https?://[^/ ]+(/[^ ]*)", 1)
+            .as("pth"))
+      // exact-path entries (td_path "" would opt out a whole host —
+      // with this corpus's ~6 giant near-dup families that removes
+      // everything, so the fixture stays at the path grain; the
+      // /p/37 entry matches a doc_id ≡ 0 (mod 4) doc, whose url
+      // carries the "www." prefix the canonicalization must strip)
+      val takedown = Seq(("h3.example.com", "/p/17"),
+        ("h5.example.com", "/p/29"),
+        ("h5.example.com", "/p/37")).toDF("td_host", "td_path")
+      val direct = prim.join(broadcast(takedown),
+          col("chost") === col("td_host") &&
+            (col("td_path") === "" || col("td_path") === col("pth")),
+          "left")
+        .groupBy("doc_id", "source")
+        .agg(max(when(col("td_host").isNotNull, 1L).otherwise(0L))
+          .as("direct"))
+      val cl = Dedup.minhashClusters(dd, "text", "doc_id",
+        maxBucket = MinhashCap)
+      // persisted narrow (doc, cluster, direct-flag) frame: it feeds
+      // the cluster-removal aggregate AND the label join — without
+      // it the whole minhash chain upstream would run twice
+      val j = graft.core.CacheRegistry.track(
+        cl.join(direct, "doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val crm = j.groupBy("cluster_id")
+        .agg(max(col("direct")).as("removed"))
+      val lab = graft.core.CacheRegistry.track(
+        j.join(crm, "cluster_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val perSource = lab.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("direct")).as("n_direct"),
+          sum(col("removed")).as("n_removed"),
+          (sum(col("removed")) - sum(col("direct"))).as("n_propagated"),
+          (count(lit(1)) - sum(col("removed"))).as("n_kept"),
+          sum(when(col("removed") === 1L,
+            pmod(col("doc_id") * 131L + 7L, lit(CleanSumMod)))
+            .otherwise(0L)).as("removed_digest"))
+      val gl = lab.groupBy("cluster_id")
+        .agg(countDistinct(col("removed")).as("nv"),
+          max(col("removed")).as("rm"))
+        .agg(sum(when(col("nv") > 1, 1L).otherwise(0L)).as("n_straddle"),
+          sum(when(col("rm") === 1L, 1L).otherwise(0L))
+            .as("n_clusters_touched"))
+      perSource.crossJoin(gl).orderBy("source")
+    },
+    s"WITH RECURSIVE $closureCtes, " +
+      "du AS (SELECT doc_id, source, text || ' see https://' || " +
+      "CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END || 'h' || " +
+      "CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/' || " +
+      "CAST(doc_id % 59 AS VARCHAR) AS t FROM documents), " +
+      "p0 AS (SELECT doc_id, source, " +
+      s"regexp_extract(t, '${TextAnalysis.UrlRe}', 0) AS f FROM du), " +
+      "pr AS (SELECT doc_id, source, " +
+      s"regexp_replace(${TextAnalysis.UrlHostSql("f")}, " +
+      "'^www\\.', '') AS chost, " +
+      "regexp_extract(f, 'https?://[^/ ]+(/[^ ]*)', 1) AS pth " +
+      "FROM p0), " +
+      "td AS (SELECT * FROM (VALUES ('h3.example.com', '/p/17'), " +
+      "('h5.example.com', '/p/29'), ('h5.example.com', '/p/37')) " +
+      "t(h, p)), " +
+      "dir AS (SELECT pr.doc_id, pr.source, " +
+      "max(CASE WHEN td.h IS NOT NULL THEN 1 ELSE 0 END) AS direct " +
+      "FROM pr LEFT JOIN td ON pr.chost = td.h " +
+      "AND (td.p = '' OR td.p = pr.pth) GROUP BY pr.doc_id, pr.source), " +
+      "crm AS (SELECT comp.cluster_id, max(dir.direct) AS removed " +
+      "FROM comp JOIN dir ON comp.node = dir.doc_id " +
+      "GROUP BY comp.cluster_id), " +
+      "fin AS (SELECT dir.doc_id, dir.source, dir.direct, " +
+      "crm.removed, comp.cluster_id FROM dir " +
+      "JOIN comp ON comp.node = dir.doc_id " +
+      "JOIN crm USING (cluster_id)), " +
+      "st AS (SELECT CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_straddle, " +
+      "CAST(sum(CASE WHEN rm = 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_clusters_touched FROM (SELECT cluster_id, " +
+      "count(DISTINCT removed) AS nv, max(removed) AS rm FROM fin " +
+      "GROUP BY cluster_id)) " +
+      "SELECT source, count(*) AS n_docs, " +
+      "CAST(sum(direct) AS BIGINT) AS n_direct, " +
+      "CAST(sum(removed) AS BIGINT) AS n_removed, " +
+      "CAST(sum(removed) - sum(direct) AS BIGINT) AS n_propagated, " +
+      "CAST(count(*) - sum(removed) AS BIGINT) AS n_kept, " +
+      "CAST(sum(CASE WHEN removed = 1 THEN " +
+      s"(doc_id * 131 + 7) % $CleanSumMod ELSE 0 END) AS BIGINT) " +
+      "AS removed_digest, " +
+      "(SELECT n_straddle FROM st) AS n_straddle, " +
+      "(SELECT n_clusters_touched FROM st) AS n_clusters_touched " +
+      "FROM fin GROUP BY source ORDER BY source")
+
   /** Audio-dedup round-trip — the audio twin of
     * [[multimodalImageDedup]]: per-doc parameters → deterministic
     * PCM16 test tone ([[Multimodal.wavPatternColumn]]) → REAL RIFF
@@ -11100,5 +11222,5 @@ object PipelineQueries {
     multimodalGifMeta, textWordPiece, textWordPieceApply,
     multimodalFlacDecode, multimodalAdpcm, dedupJaroWinkler,
     shardBloomIndex, dedupEntityJw, textLuhn, textLicense,
-    multimodalFlacStereo, multimodalAudioSim)
+    multimodalFlacStereo, multimodalAudioSim, pipelineOptout)
 }
