@@ -144,7 +144,21 @@ object ScaleProbe {
     // unscaled in grown dirs — honest ratio ~1, like jarowinkler)
     "q_dedup_entity_jw" -> 10,
     // round-12b: Luhn card detection (pure map + one agg, docs-linear)
-    "q_text_luhn" -> 10)
+    "q_text_luhn" -> 10,
+    // round-13: license detection (one codegen'd AC pass per doc +
+    // one agg — docs-linear)
+    "q_text_license" -> 10,
+    // round-13: stereo+LPC FLAC decode (real codec work per clip,
+    // like flacdecode — honest expectation ≈ input factor)
+    "q_multimodal_flacstereo" -> 10,
+    // round-13: MFCC audio near-dup (FFT per clip is the dominant
+    // cost — docs-linear; the same-key candidate join is bounded by
+    // near-dup family size)
+    "q_multimodal_audiosim" -> 10,
+    // round-13: opt-out propagation (the minhash-cluster chain —
+    // same shape/caps as q_pipeline_forget — plus a broadcast
+    // takedown join; docs-linear with the capped pair join)
+    "q_pipeline_optout" -> 10)
 
   def main(args: Array[String]): Unit = {
     val sfSmall = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

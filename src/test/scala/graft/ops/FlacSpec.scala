@@ -76,7 +76,8 @@ class FlacSpec extends AnyFunSuite {
     }
     assert(Flac.decode(good.take(good.length - 3)).isEmpty, "truncated")
     assert(Flac.decode("fLaC".getBytes).isEmpty)
-    // stereo STREAMINFO with no channel support in frames -> None
+    // a STREAMINFO that promises samples but carries no frames is
+    // truncation; 12-bit is outside the declared bps boundary
     assert(Flac.decode(Flac.buildStreamInfo(8000, 2, 16, 100L)).isEmpty)
     assert(Flac.decode(Flac.buildStreamInfo(8000, 1, 12, 100L)).isEmpty)
   }
