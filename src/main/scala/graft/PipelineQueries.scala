@@ -11167,6 +11167,243 @@ object PipelineQueries {
         "FROM agg_arrival JOIN agg_nfd USING (shard) ORDER BY shard"
     })
 
+  /** ZIP repo-export ingestion round-trip: docs → per-(source, shard)
+    * ZIP archives (real local headers + central directory + EOCD,
+    * member-per-doc, even ids through the JDK's real Deflater, odd
+    * ids stored — [[Multimodal.zipBuildFiles]]) → central-directory
+    * walk + inflate + CRC-32 verify ([[graft.ops.Archive.parseZip]])
+    * → per-source aggregates. The member-text checksum pins the full
+    * decompress path cross-engine (a Deflater/Inflater mismatch or a
+    * data-offset slip breaks the hash); n_ok pins the CRC check; the
+    * byte sum pins declared-vs-actual sizes. Bytes never shuffle —
+    * archives are built after the group agg and flattened
+    * partition-locally. */
+  private val sourceZip = Q("q_source_zip",
+    (s, d) => {
+      val src = docs(s, d).select(col("doc_id"), col("source"),
+        pmod(col("doc_id"), lit(5)).as("shard"), col("text"))
+      val files = Multimodal.zipBuildFiles(src, Seq("source", "shard"),
+        "doc_id", "text")
+      Multimodal.archiveMembersColumn(files, "media", "zip")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_members"),
+          countDistinct(col("shard")).as("n_archives"),
+          sum(col("n_member_bytes")).as("sum_bytes"),
+          sum(when(col("member_ok"), 1L).otherwise(0L)).as("n_ok"),
+          sum(when(col("member_deflated"), 1L).otherwise(0L))
+            .as("n_deflated"),
+          sum(length(col("member_name")).cast("long")).as("sum_name_len"),
+          sum(TextAnalysis.tokenHash(col("member_text")) % lit(DigestMod))
+            .as("checksum"))
+        .orderBy("source")
+    },
+    "SELECT source, count(*) AS n_members, " +
+      "count(DISTINCT doc_id % 5) AS n_archives, " +
+      "CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes, " +
+      "count(*) AS n_ok, " +
+      "CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_deflated, " +
+      "CAST(sum(5 + length(CAST(doc_id AS VARCHAR))) AS BIGINT) " +
+      "AS sum_name_len, " +
+      s"CAST(sum(${TextAnalysis.TokenHashSql("text")} % $DigestMod) " +
+      "AS BIGINT) AS checksum " +
+      "FROM documents GROUP BY source ORDER BY source")
+
+  /** POSIX-ustar .tar.gz ingestion round-trip: docs → per-(source,
+    * shard) tarballs (512-byte headers with real octal checksums,
+    * planted per-member mtimes, gzip framing —
+    * [[Multimodal.tarBuildFiles]]) → gunzip + header walk + checksum
+    * verify ([[graft.ops.Archive.parseTar]]) → per-source aggregates.
+    * The mtime sum pins the octal field parse; the text checksum pins
+    * 512-block padding arithmetic (an off-by-one block step shears
+    * every subsequent member). Same never-shuffle-bytes shape as
+    * [[sourceZip]]. */
+  private val sourceTar = Q("q_source_tar",
+    (s, d) => {
+      val src = docs(s, d).select(col("doc_id"), col("source"),
+        pmod(col("doc_id"), lit(4)).as("shard"), col("text"))
+      val files = Multimodal.tarBuildFiles(src, Seq("source", "shard"),
+        "doc_id", "text")
+      Multimodal.archiveMembersColumn(files, "media", "tar")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_members"),
+          countDistinct(col("shard")).as("n_archives"),
+          sum(col("n_member_bytes")).as("sum_bytes"),
+          sum(when(col("member_ok"), 1L).otherwise(0L)).as("n_ok"),
+          sum(col("member_mtime")).as("sum_mtime"),
+          sum(TextAnalysis.tokenHash(col("member_text")) % lit(DigestMod))
+            .as("checksum"))
+        .orderBy("source")
+    },
+    "SELECT source, count(*) AS n_members, " +
+      "count(DISTINCT doc_id % 4) AS n_archives, " +
+      "CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes, " +
+      "count(*) AS n_ok, " +
+      "CAST(sum(1700000000 + doc_id % 1000) AS BIGINT) AS sum_mtime, " +
+      s"CAST(sum(${TextAnalysis.TokenHashSql("text")} % $DigestMod) " +
+      "AS BIGINT) AS checksum " +
+      "FROM documents GROUP BY source ORDER BY source")
+
+  /** EXIF metadata round-trip: per-doc camera parameters → a real
+    * 8×8 JPEG carrying a canonical EXIF APP1 (both TIFF byte orders,
+    * IFD0 + Exif IFD + optional GPS IFD with 3-rational DMS
+    * coordinates — [[Multimodal.exifBuildColumn]]) → marker walk +
+    * IFD pointer chase ([[graft.ops.Exif.parse]]) → per-(source,
+    * orientation) aggregates. The signed-millidegree lat/lon sums pin
+    * the RATIONAL decode and the N/S/E/W sign convention exactly
+    * (writer layout (deg, min·60/1000, 0) is integer-exact both
+    * ways); n_bigend pins the MM byte-order path against the II one;
+    * the year sums pin ASCII tag extraction through the Exif-IFD
+    * pointer. Bytes never shuffle. */
+  private val multimodalExif = Q("q_multimodal_exif",
+    (s, d) => {
+      val src = docs(s, d).select(col("doc_id"), col("source"),
+        concat(lit("Maker"), pmod(col("doc_id"), lit(5))).as("mk"),
+        concat(lit("M"), pmod(col("doc_id"), lit(7))).as("md"),
+        (pmod(col("doc_id"), lit(8)) + 1).cast("int").as("orient"),
+        (lit(2000) + pmod(col("doc_id"), lit(20))).cast("int").as("yr"),
+        (pmod(col("doc_id") * 31, lit(180001L)) - 90000L).as("lat"),
+        (pmod(col("doc_id") * 53, lit(360001L)) - 180000L).as("lon"),
+        (pmod(col("doc_id"), lit(3)) =!= 0).as("gps"),
+        (pmod(col("doc_id"), lit(5)) === 0).as("be"))
+      val built = Multimodal.exifBuildColumn(src, "mk", "md", "orient",
+        "yr", "lat", "lon", "gps", "be")
+      Multimodal.exifMetaColumn(built, "media")
+        .groupBy(col("source"), col("exif.orientation").as("orientation"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("exif.has_gps"), 1L).otherwise(0L)).as("n_gps"),
+          sum(coalesce(col("exif.lat_milli"), lit(0L))).as("sum_lat"),
+          sum(coalesce(col("exif.lon_milli"), lit(0L))).as("sum_lon"),
+          sum(when(col("exif.big_endian"), 1L).otherwise(0L))
+            .as("n_bigend"),
+          sum(col("exif.year").cast("long")).as("sum_year"),
+          sum(col("exif.year_original").cast("long")).as("sum_year_orig"),
+          countDistinct(col("exif.make")).as("n_makes"))
+        .orderBy("source", "orientation")
+    },
+    "WITH p AS (SELECT doc_id, source, " +
+      "CAST(doc_id % 8 + 1 AS INTEGER) AS orient, " +
+      "2000 + doc_id % 20 AS yr, " +
+      "(doc_id * 31) % 180001 - 90000 AS lat, " +
+      "(doc_id * 53) % 360001 - 180000 AS lon, " +
+      "doc_id % 3 <> 0 AS gps, doc_id % 5 = 0 AS be, " +
+      "doc_id % 5 AS mk FROM documents) " +
+      "SELECT source, orient AS orientation, count(*) AS n, " +
+      "CAST(sum(CASE WHEN gps THEN 1 ELSE 0 END) AS BIGINT) AS n_gps, " +
+      "CAST(sum(CASE WHEN gps THEN lat ELSE 0 END) AS BIGINT) AS sum_lat, " +
+      "CAST(sum(CASE WHEN gps THEN lon ELSE 0 END) AS BIGINT) AS sum_lon, " +
+      "CAST(sum(CASE WHEN be THEN 1 ELSE 0 END) AS BIGINT) AS n_bigend, " +
+      "CAST(sum(yr) AS BIGINT) AS sum_year, " +
+      "CAST(sum(yr + 1) AS BIGINT) AS sum_year_orig, " +
+      "count(DISTINCT mk) AS n_makes " +
+      "FROM p GROUP BY source, orient ORDER BY source, orientation")
+
+  /** The privacy op on top of the EXIF round-trip: GPS-coordinate
+    * STRIPPING ([[graft.ops.Exif.stripGps]] — parse, reserialize the
+    * APP1 without the GPS IFD, splice). The stripped file re-parses
+    * with every non-location field intact (sum_year_after), zero GPS
+    * (n_gps_after), the non-APP1 bytes — scan data, quant tables —
+    * byte-identical (n_scan_same = n), and the byte saving is the
+    * EXACT canonical GPS block size (114 = 12-byte IFD0 pointer entry
+    * + 54-byte 4-entry GPS IFD + 48 bytes of rationals; pinned in
+    * ExifSpec against the writer). A curation pipeline runs exactly
+    * this pass before archiving crawled images. */
+  private val multimodalExifStrip = Q("q_multimodal_exifstrip",
+    (s, d) => {
+      val src = docs(s, d).select(col("doc_id"), col("source"),
+        concat(lit("Maker"), pmod(col("doc_id"), lit(5))).as("mk"),
+        concat(lit("M"), pmod(col("doc_id"), lit(7))).as("md"),
+        (pmod(col("doc_id"), lit(8)) + 1).cast("int").as("orient"),
+        (lit(2000) + pmod(col("doc_id"), lit(20))).cast("int").as("yr"),
+        (pmod(col("doc_id") * 31, lit(180001L)) - 90000L).as("lat"),
+        (pmod(col("doc_id") * 53, lit(360001L)) - 180000L).as("lon"),
+        (pmod(col("doc_id"), lit(3)) =!= 0).as("gps"),
+        (pmod(col("doc_id"), lit(5)) === 0).as("be"))
+      val built = Multimodal.exifBuildColumn(src, "mk", "md", "orient",
+        "yr", "lat", "lon", "gps", "be")
+      val stripped = Multimodal.exifStripColumn(built, "media")
+      Multimodal.exifMetaColumn(stripped, "media")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("exif.has_gps"), 1L).otherwise(0L))
+            .as("n_gps_after"),
+          sum(col("removed").cast("long")).as("sum_removed"),
+          sum(when(col("scan_same"), 1L).otherwise(0L)).as("n_scan_same"),
+          sum(col("exif.year").cast("long")).as("sum_year_after"),
+          sum(col("exif.orientation").cast("long")).as("sum_orient_after"))
+        .orderBy("source")
+    },
+    "WITH p AS (SELECT doc_id, source, doc_id % 8 + 1 AS orient, " +
+      "2000 + doc_id % 20 AS yr, doc_id % 3 <> 0 AS gps " +
+      "FROM documents) " +
+      "SELECT source, count(*) AS n, " +
+      "CAST(0 AS BIGINT) AS n_gps_after, " +
+      "CAST(sum(CASE WHEN gps THEN 114 ELSE 0 END) AS BIGINT) " +
+      "AS sum_removed, " +
+      "count(*) AS n_scan_same, " +
+      "CAST(sum(yr) AS BIGINT) AS sum_year_after, " +
+      "CAST(sum(orient) AS BIGINT) AS sum_orient_after " +
+      "FROM p GROUP BY source ORDER BY source")
+
+  /** ID3v2.3 provenance-tag round-trip ON TOP of a real Layer-III
+    * stream: per-doc title/artist/album/year → a real tag
+    * ([[graft.ops.Id3.buildTag]], UTF-16 titles every 4th doc) glued
+    * to valid MP3 frames → BOTH parsers over the same bytes
+    * ([[Multimodal.id3MetaColumn]] reads the tag,
+    * [[Multimodal.mp3MetaColumn]] must still find the audio frames
+    * PAST it — the skip-vs-read interop pin). The title-length sum
+    * breaks if the UTF-16 BOM path mis-decodes; the tag-byte sum
+    * pins the v2.3 plain-size frame arithmetic (the classic
+    * syncsafe-confusion bug); the mp3 frame sum pins the tag-skip in
+    * the audio walk. Bytes never shuffle. */
+  private val multimodalId3 = Q("q_multimodal_id3",
+    (s, d) => {
+      val src = docs(s, d).select(col("doc_id"), col("source"),
+        concat(lit("T"), pmod(col("doc_id") * 13, lit(997))).as("title"),
+        concat(lit("A"), pmod(col("doc_id"), lit(7))).as("artist"),
+        concat(lit("AL"), pmod(col("doc_id"), lit(5))).as("album"),
+        (lit(1970) + pmod(col("doc_id"), lit(50))).cast("int").as("yr"),
+        (pmod(col("doc_id"), lit(4)) === 0).as("u16"),
+        (pmod(col("doc_id"), lit(2)) === 0).as("mpeg1"),
+        (lit(1) + pmod(col("doc_id"), lit(5))).cast("int").as("nf"))
+      val built = Multimodal.id3BuildColumn(src, "title", "artist",
+        "album", "yr", "u16", "mpeg1", "nf")
+      val withTag = Multimodal.id3MetaColumn(built, "media")
+      Multimodal.mp3MetaColumn(withTag, "media")
+        .groupBy(col("source"), col("id3.artist").as("artist"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("id3.year").cast("long")).as("sum_year"),
+          sum(length(col("id3.title")).cast("long")).as("sum_title_len"),
+          sum(col("id3.n_utf16").cast("long")).as("n_utf16"),
+          countDistinct(col("id3.album")).as("n_albums"),
+          sum(col("id3.tag_bytes").cast("long")).as("sum_tag_bytes"),
+          sum(col("id3.n_frames").cast("long")).as("sum_tag_frames"),
+          sum(col("mp3.n_frames")).as("sum_mp3_frames"))
+        .orderBy("source", "artist")
+    },
+    "WITH p AS (SELECT doc_id, source, " +
+      "1 + length(CAST((doc_id * 13) % 997 AS VARCHAR)) AS tl, " +
+      "'A' || CAST(doc_id % 7 AS VARCHAR) AS artist, " +
+      "CAST(doc_id % 5 AS VARCHAR) AS alb, " +
+      "1970 + doc_id % 50 AS yr, " +
+      "doc_id % 4 = 0 AS u16, " +
+      "1 + doc_id % 5 AS nf FROM documents), " +
+      "q AS (SELECT source, artist, alb, yr, tl, nf, " +
+      "CASE WHEN u16 THEN 1 ELSE 0 END AS n16, " +
+      // TIT2: 10 hdr + enc byte + (BOM 2 + 2·len | len); TPE1 11+2;
+      // TALB 11+2+len(alb); TYER 11+4; tag header 10
+      "10 + (CASE WHEN u16 THEN 13 + 2 * tl ELSE 11 + tl END) " +
+      "+ 13 + (13 + length(alb)) + 15 AS tagb FROM p) " +
+      "SELECT source, artist, count(*) AS n, " +
+      "CAST(sum(yr) AS BIGINT) AS sum_year, " +
+      "CAST(sum(tl) AS BIGINT) AS sum_title_len, " +
+      "CAST(sum(n16) AS BIGINT) AS n_utf16, " +
+      "count(DISTINCT alb) AS n_albums, " +
+      "CAST(sum(tagb) AS BIGINT) AS sum_tag_bytes, " +
+      "CAST(count(*) * 4 AS BIGINT) AS sum_tag_frames, " +
+      "CAST(sum(nf) AS BIGINT) AS sum_mp3_frames " +
+      "FROM q GROUP BY source, artist ORDER BY source, artist")
+
   // ---------------------------------------------------------------- export
 
   val all: Vector[Q] = Vector(
@@ -11222,5 +11459,7 @@ object PipelineQueries {
     multimodalGifMeta, textWordPiece, textWordPieceApply,
     multimodalFlacDecode, multimodalAdpcm, dedupJaroWinkler,
     shardBloomIndex, dedupEntityJw, textLuhn, textLicense,
-    multimodalFlacStereo, multimodalAudioSim, pipelineOptout)
+    multimodalFlacStereo, multimodalAudioSim, pipelineOptout,
+    sourceZip, sourceTar, multimodalExif, multimodalExifStrip,
+    multimodalId3)
 }

@@ -702,6 +702,49 @@ object Multimodal {
     }
   }
 
+  val Id3InfoType: StructType = StructType(Seq(
+    StructField("title", StringType),
+    StructField("artist", StringType),
+    StructField("album", StringType),
+    StructField("year", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("n_utf16", IntegerType, nullable = false),
+    StructField("tag_bytes", IntegerType, nullable = false)))
+
+  /** Prepend a REAL ID3v2.3 tag ([[Id3.buildTag]] — TIT2/TPE1/TALB/
+    * TYER, `utf16Col` selecting the UTF-16 title encoding) to a valid
+    * Layer-III frame run ([[Mp3.buildFrames]]), so one media column
+    * carries both the provenance tag and the audio stream the
+    * existing [[mp3MetaColumn]] walk must still find past it. */
+  def id3BuildColumn(df: DataFrame, titleCol: String, artistCol: String,
+                     albumCol: String, yearCol: String, utf16Col: String,
+                     mpeg1Col: String, nFramesCol: String,
+                     outCol: String = "media"): DataFrame = {
+    val schema = df.schema.add(outCol, BinaryType)
+    val is = Seq(titleCol, artistCol, albumCol, yearCol, utf16Col,
+      mpeg1Col, nFramesCol).map(df.schema.fieldIndex)
+    mapBatched(df, schema) { it =>
+      it.map { row =>
+        val tag = Id3.buildTag(row.getString(is(0)), row.getString(is(1)),
+          row.getString(is(2)), row.getInt(is(3)), row.getBoolean(is(4)))
+        val audio = Mp3.buildFrames(row.getBoolean(is(5)), brIdx = 5,
+          srIdx = 0, nFrames = row.getInt(is(6)))
+        Row.fromSeq(row.toSeq :+ (tag ++ audio))
+      }
+    }
+  }
+
+  /** ID3v2.3 tag metadata per row ([[Id3.parse]]; null when no tag).
+    * Batched partition-local, stream-safe; bytes never shuffle. */
+  def id3MetaColumn(df: DataFrame, mediaCol: String,
+                    outCol: String = "id3",
+                    blockSize: Int = 1024): DataFrame =
+    parsedColumn(df, mediaCol, outCol, Id3InfoType, blockSize)(b =>
+      Id3.parse(b).map { t =>
+        Row(t.title, t.artist, t.album, t.year, t.nFrames, t.nUtf16,
+          t.tagBytes)
+      }.orNull)
+
   /** MPEG audio frame-header metadata per row ([[Mp3.parseMeta]] —
     * version, sample rate, nominal bitrate, channel count, exact
     * frame count and integer-exact duration, VBR flag), null for
@@ -1038,6 +1081,164 @@ object Multimodal {
           Row.fromSeq(parent ++ Seq(r.warcType, r.targetUri, r.recordId,
             r.contentType, r.contentLength, r.httpStatus,
             r.body.length.toLong, r.bodyText))
+        }
+      }
+    }
+  }
+
+  /** Group docs into per-group ZIP archives ([[Archive.buildZip]]) —
+    * the fixture side of the repo-export ingestion round-trip. Member
+    * i is `d<id>.txt` with the doc text as UTF-8 bytes; members with
+    * even ids ride method 8 (real Deflater), odd ids method 0
+    * (store). Same grouped-build shape as [[warcBuildFiles]]: only
+    * group keys shuffle, archive bytes are assembled after the agg. */
+  def zipBuildFiles(df: DataFrame, groupCols: Seq[String], idCol: String,
+                    textCol: String, outCol: String = "media"): DataFrame =
+    archiveBuildFiles(df, groupCols, idCol, textCol, outCol) { docs =>
+      Archive.buildZip(docs.map { case (id, text) =>
+        (s"d$id.txt", text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }, i => docs(i)._1 % 2 == 0)
+    }
+
+  /** Group docs into per-group .tar.gz archives
+    * ([[Archive.buildTarGz]]); member i is `d<id>.txt` with a planted
+    * mtime of 1700000000 + id % 1000 the parser reads back. */
+  def tarBuildFiles(df: DataFrame, groupCols: Seq[String], idCol: String,
+                    textCol: String, outCol: String = "media"): DataFrame =
+    archiveBuildFiles(df, groupCols, idCol, textCol, outCol) { docs =>
+      Archive.buildTarGz(docs.map { case (id, text) =>
+        (s"d$id.txt", text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }, i => 1700000000L + docs(i)._1 % 1000)
+    }
+
+  private def archiveBuildFiles(df: DataFrame, groupCols: Seq[String],
+                                idCol: String, textCol: String,
+                                outCol: String)(
+      build: Vector[(Long, String)] => Array[Byte]): DataFrame = {
+    val grouped = df.groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"),
+        col(textCol).as("text")))).as("_docs"))
+    val schema = StructType(grouped.schema.fields.filterNot(_.name == "_docs"))
+      .add(outCol, BinaryType)
+    val di = grouped.schema.fieldIndex("_docs")
+    mapBatched(grouped, schema) { it =>
+      it.map { row =>
+        val docs = row.getSeq[Row](di)
+          .map(r => (r.getLong(0), r.getString(1))).toVector
+        Row.fromSeq(row.toSeq.patch(di, Nil, 1) :+ build(docs))
+      }
+    }
+  }
+
+  val ExifInfoType: StructType = StructType(Seq(
+    StructField("big_endian", BooleanType, nullable = false),
+    StructField("make", StringType),
+    StructField("model", StringType),
+    StructField("orientation", IntegerType, nullable = false),
+    StructField("year", IntegerType, nullable = false),
+    StructField("year_original", IntegerType, nullable = false),
+    StructField("has_gps", BooleanType, nullable = false),
+    StructField("lat_milli", LongType),
+    StructField("lon_milli", LongType)))
+
+  /** Build a tiny real JPEG (one shared 8×8 base per partition — the
+    * pixels don't vary, the metadata does) carrying a canonical EXIF
+    * APP1 from parameter columns ([[Exif.tiffBytes]]/[[Exif.withExif]]).
+    * `latCol`/`lonCol` are signed millidegrees; gps is omitted when
+    * `hasGpsCol` is false. `bigEndianCol` selects MM vs II TIFF
+    * order, so the parse path proves both. */
+  def exifBuildColumn(df: DataFrame, makeCol: String, modelCol: String,
+                      orientCol: String, yearCol: String, latCol: String,
+                      lonCol: String, hasGpsCol: String,
+                      bigEndianCol: String,
+                      outCol: String = "media"): DataFrame = {
+    val schema = df.schema.add(outCol, BinaryType)
+    val is = Seq(makeCol, modelCol, orientCol, yearCol, latCol, lonCol,
+      hasGpsCol, bigEndianCol).map(df.schema.fieldIndex)
+    mapBatched(df, schema) { it =>
+      lazy val base = Codecs.encodeJpeg(8, 8, Array.fill(8 * 8 * 3)(96.toByte))
+      it.map { row =>
+        val year = row.getInt(is(3))
+        val gps = if (row.getBoolean(is(6)))
+          Some((row.getLong(is(4)), row.getLong(is(5)))) else None
+        val tiff = Exif.tiffBytes(row.getBoolean(is(7)),
+          row.getString(is(0)), row.getString(is(1)), row.getInt(is(2)),
+          f"$year%04d:01:01 00:00:00", f"${year + 1}%04d:06:15 12:00:00",
+          gps)
+        Row.fromSeq(row.toSeq :+ Exif.withExif(base, tiff))
+      }
+    }
+  }
+
+  /** Parse the EXIF APP1 ([[Exif.parse]]) into an [[ExifInfoType]]
+    * struct (null when absent); years are parsed from the DateTime /
+    * DateTimeOriginal prefixes so the agg side stays integer. */
+  def exifMetaColumn(df: DataFrame, mediaCol: String,
+                     outCol: String = "exif",
+                     blockSize: Int = 1024): DataFrame =
+    parsedColumn(df, mediaCol, outCol, ExifInfoType, blockSize)(b =>
+      Exif.parse(b).map { e =>
+        def yr(s: String): Int =
+          if (s.length >= 4 && s.take(4).forall(_.isDigit)) s.take(4).toInt
+          else 0
+        Row(e.bigEndian, e.make, e.model, e.orientation, yr(e.dateTime),
+          yr(e.dateTimeOriginal), e.hasGps, e.gpsLatMilli.orNull,
+          e.gpsLonMilli.orNull)
+      }.orNull)
+
+  /** GPS strip ([[Exif.stripGps]]): replaces the media bytes with the
+    * location-scrubbed form and appends `removed` (bytes dropped; 0
+    * when no GPS) and `scan_same` (the non-APP1 bytes — scan data,
+    * quant tables, everything image-affecting — are byte-identical
+    * before/after, the "pixels untouched" guarantee as a column). */
+  def exifStripColumn(df: DataFrame, mediaCol: String,
+                      removedCol: String = "removed",
+                      scanSameCol: String = "scan_same"): DataFrame = {
+    val schema = StructType(df.schema.fields.map(f =>
+      if (f.name == mediaCol) f.copy(dataType = BinaryType) else f))
+      .add(removedCol, IntegerType, nullable = false)
+      .add(scanSameCol, BooleanType, nullable = false)
+    val mi = df.schema.fieldIndex(mediaCol)
+    mapBatched(df, schema) { it =>
+      it.map { row =>
+        val b = row.getAs[Array[Byte]](mi)
+        val (cleaned, removed) = Exif.stripGps(b)
+        val same = java.util.Arrays.equals(Exif.dropApp1(b),
+          Exif.dropApp1(cleaned))
+        Row.fromSeq(row.toSeq.updated(mi, cleaned) ++ Seq(removed, same))
+      }
+    }
+  }
+
+  val ArchiveMemberType: StructType = StructType(Seq(
+    StructField("member_name", StringType),
+    StructField("n_member_bytes", LongType),
+    StructField("member_deflated", BooleanType),
+    StructField("member_mtime", LongType),
+    StructField("member_ok", BooleanType),
+    StructField("member_text", StringType)))
+
+  /** Flatten ZIP (`format = "zip"`) or tar/tar.gz (`"tar"`) archives
+    * into one row per member ([[Archive.parseZip]]/[[Archive.parseTar]]):
+    * parent columns minus the bytes, plus name/size/method/mtime/
+    * checksum-ok/text. Partition-local flatMap — an archive's members
+    * never leave its partition, nothing archive-sized touches the
+    * driver. This is the repo-corpus ingestion shape:
+    * `spark.read.format("binaryFile")` → this → a documents table. */
+  def archiveMembersColumn(df: DataFrame, mediaCol: String,
+                           format: String): DataFrame = {
+    val mi = df.schema.fieldIndex(mediaCol)
+    val keep = df.schema.fields.indices.filterNot(_ == mi)
+    val schema = StructType(keep.map(df.schema.fields) ++ ArchiveMemberType.fields)
+    val isZip = format == "zip"
+    mapBatched(df, schema) { it =>
+      it.flatMap { row =>
+        val parent = keep.map(row.get)
+        val b = row.getAs[Array[Byte]](mi)
+        val ms = if (isZip) Archive.parseZip(b) else Archive.parseTar(b)
+        ms.iterator.map { m =>
+          Row.fromSeq(parent ++ Seq(m.name, m.body.length.toLong,
+            m.deflated, m.mtime, m.ok, m.text))
         }
       }
     }
