@@ -11404,6 +11404,79 @@ object PipelineQueries {
       "CAST(sum(nf) AS BIGINT) AS sum_mp3_frames " +
       "FROM q GROUP BY source, artist ORDER BY source, artist")
 
+  /** Scene-cut detection over REAL frame decode — the video-curation
+    * segmentation pass (shot boundaries via perceptual-hash distance
+    * between consecutive frames, the pHash flavor of FFmpeg's
+    * scdet): 6-frame AVI clips (DIB24 + RLE8 codecs,
+    * [[Multimodal.aviPatternColumn]]) with a planted luma jump at a
+    * per-clip cut position under ±1-block frame-to-frame drift →
+    * real decode → per-frame 64-bit aHash → consecutive Hamming
+    * distances via codegen'd `zip_with`/`bit_count` → threshold →
+    * per-clip cut count + first cut position. The oracle replays the
+    * block-pattern hash distances (|k_j − k_{j−1}| between prefix
+    * masks) from the parameter formulas, so a decoder that blurs a
+    * frame, an off-by-one in the frame walk, or a wrong Hamming
+    * kernel all break the hash. Arrays stay in whole-stage codegen;
+    * bytes never shuffle. */
+  private val multimodalSceneCut = Q("q_multimodal_scenecut",
+    (s, d) => {
+      val params = docs(s, d).select(col("doc_id"), col("source"),
+          pmod(col("doc_id"), lit(60L)).cast("int").as("seed"),
+          pmod(col("doc_id"), lit(2L)).cast("int").as("rle"))
+        .withColumn("base",
+          (pmod(col("seed") * 5 + 11, lit(12)) + 8).cast("int"))
+      val withKs = (0 until 6).foldLeft(params) { (df, j) =>
+        df.withColumn(s"k$j",
+          (col("base") + lit(j % 2) +
+            when(pmod(col("seed"), lit(3)) === 0 &&
+              lit(j) >= pmod(col("seed"), lit(4)) + 1, 16)
+              .otherwise(0)).cast("int"))
+      }
+      val built = Multimodal.aviPatternColumn(
+        Multimodal.spreadParams(withKs, "doc_id"),
+        (0 until 6).map(j => s"k$j"), "rle")
+      val dec = Multimodal.decodeColumn(built, "media", "avi", featDim = 6)
+      val f = transform(col("features"), x => x.cast("long"))
+      val diffs = zip_with(slice(f, 1, 5), slice(f, 2, 5),
+        (a, b) => bit_count(a.bitwiseXOR(b)))
+      dec.select(col("source"), col("rle"), diffs.as("dh"))
+        .select(col("source"), col("rle"),
+          size(filter(col("dh"), x => x >= 10)).as("cuts"),
+          coalesce(array_position(
+            transform(col("dh"), x => x >= 10), lit(true)), lit(0L))
+            .cast("int").as("first_pos"),
+          aggregate(col("dh"), lit(0), (acc, x) => acc + x).as("d_total"))
+        .groupBy("source", "rle")
+        .agg(count(lit(1)).as("n_clips"),
+          sum(col("cuts").cast("long")).as("sum_cuts"),
+          sum(when(col("cuts") > 0, 1L).otherwise(0L)).as("n_cut_clips"),
+          sum(col("first_pos").cast("long")).as("sum_first_pos"),
+          sum(col("d_total").cast("long")).as("sum_hamming"))
+        .orderBy("source", "rle")
+    },
+    "WITH p AS (SELECT doc_id, source, " +
+      "CAST(doc_id % 60 AS INT) AS seed, " +
+      "CAST(doc_id % 2 AS INT) AS rle FROM documents), " +
+      "q AS (SELECT doc_id, source, rle, seed % 3 = 0 AS cut, " +
+      "seed % 4 + 1 AS cp FROM p), " +
+      "dj AS (SELECT doc_id, source, rle, r.j, " +
+      "abs((r.j % 2) - ((r.j - 1) % 2) " +
+      "+ (CASE WHEN cut AND r.j >= cp THEN 16 ELSE 0 END) " +
+      "- (CASE WHEN cut AND r.j - 1 >= cp THEN 16 ELSE 0 END)) AS d " +
+      "FROM q CROSS JOIN (SELECT unnest(range(1, 6)) AS j) r), " +
+      "clip AS (SELECT doc_id, source, rle, " +
+      "sum(CASE WHEN d >= 10 THEN 1 ELSE 0 END) AS cuts, " +
+      "coalesce(min(CASE WHEN d >= 10 THEN j END), 0) AS first_pos, " +
+      "sum(d) AS d_total " +
+      "FROM dj GROUP BY doc_id, source, rle) " +
+      "SELECT source, rle, count(*) AS n_clips, " +
+      "CAST(sum(cuts) AS BIGINT) AS sum_cuts, " +
+      "CAST(sum(CASE WHEN cuts > 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_cut_clips, " +
+      "CAST(sum(first_pos) AS BIGINT) AS sum_first_pos, " +
+      "CAST(sum(d_total) AS BIGINT) AS sum_hamming " +
+      "FROM clip GROUP BY source, rle ORDER BY source, rle")
+
   // ---------------------------------------------------------------- export
 
   val all: Vector[Q] = Vector(
@@ -11461,5 +11534,5 @@ object PipelineQueries {
     shardBloomIndex, dedupEntityJw, textLuhn, textLicense,
     multimodalFlacStereo, multimodalAudioSim, pipelineOptout,
     sourceZip, sourceTar, multimodalExif, multimodalExifStrip,
-    multimodalId3)
+    multimodalId3, multimodalSceneCut)
 }
