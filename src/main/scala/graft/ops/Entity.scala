@@ -60,6 +60,17 @@ object Entity {
     }
   }
 
+  /** 64-bit fingerprints of the deletion-neighborhood keys: blocking
+    * joins carry HASHES, not strings — the dedup-family shuffle
+    * doctrine (measured 5.7 → 3.4 s on the τ=2 blocking join at
+    * sf0.1). A hash collision adds a spurious candidate pair that
+    * the verify predicate then rejects (levenshtein for [[resolve]],
+    * the graded comparator for [[resolveWith]]), so results are
+    * unchanged up to the same 2⁻⁶⁴ collision trade every
+    * fingerprint-carrying operator in the repo already makes. */
+  private def hashedKeys(key: Column, k: Int): Column =
+    transform(deletionKeys(key, k), s => xxhash64(s))
+
   /** Candidate pairs (id_a < id_b) whose keys share a deletion-≤k
     * neighborhood member AND agree exactly on every `blockCols`
     * column — the cheap structured-equality prior (nation, segment,
@@ -72,7 +83,7 @@ object Entity {
     // filter (the PlanAudit r11 pattern)
     val keyed = df.where(col(keyCol).isNotNull)
       .select((col(idCol) +: blockCols.map(col)) :+
-        explode(deletionKeys(
+        explode(hashedKeys(
           PlanHints.knownNotNull(col(keyCol)), k)).as("__bk"): _*)
     val joinCols = blockCols :+ "__bk"
     val a = keyed.toDF(keyed.columns.map {
@@ -90,8 +101,8 @@ object Entity {
     * fraction of its join cost. The full deletion-≤2 self-join
     * explodes 1 + L + L(L−1)/2 keys per record on BOTH sides; this
     * form keeps the O(L²) explode on the probe side only and joins
-    * it against an O(L) deletion-≤1 index, plus a tiny 3-segment
-    * equality join for the one case that split misses.
+    * it against an O(L) deletion-≤1 index, plus a position-pair-
+    * tagged equality join for the one case that split misses.
     *
     * Completeness (FastSS alignment argument, per witnessing
     * alignment with e_sub + e_del + e_ins ≤ 2): deleting the edited
@@ -100,18 +111,20 @@ object Entity {
     * except two substitutions lands at dv ≤ 1 (or du ≤ 1 by
     * symmetry), so the asymmetric D≤2 ⋈ D≤1 self-join — each record
     * plays both roles — catches it. Two substitutions mean equal
-    * length and ≤ 2 differing positions (hamming ≤ 2): splitting
-    * both keys into 3 position-aligned segments, the pigeonhole
-    * leaves ≥ 1 segment identical at the same index, so the
-    * (length, segment-index, segment) equality join catches exactly
-    * that case. Union + DISTINCT; the verify filters false
-    * positives as always.
+    * length and ≤ 2 differing positions: the position-pair-tagged
+    * deletion join below catches exactly that case (take (i, j) =
+    * the two differing positions — or any pair containing them —
+    * and both records emit the identical (i, j, remainder) tag).
+    * Union + DISTINCT; the verify filters false positives as
+    * always.
     *
-    * Scale: shuffled rows drop from 2·O(L²) to O(L²) + O(L) + 3 per
-    * record, and — the real win — per-colliding-key join products
-    * drop from O(L²)·O(L²) to O(L²)·O(L). Segment buckets are keyed
-    * by (block columns, length, index, L/3-char segment), near-
-    * unique for realistic keys. */
+    * Scale: per-colliding-key join products drop from
+    * O(L²)·O(L²) to O(L²)·O(L) on the asymmetric path, and the
+    * tagged path's collisions ARE the true hamming-≤2 pairs by
+    * construction — no low-entropy-bucket quadratic term at all
+    * (the r13 segment-pigeonhole draft measured 2.2M products for
+    * 81k candidates on leading-zero digit keys; tags remove the
+    * cross-record false positives entirely). */
   def candidatePairsSplit2(df: DataFrame, idCol: String, keyCol: String,
                            blockCols: Seq[String]): DataFrame = {
     val keyed = df.where(col(keyCol).isNotNull)
@@ -120,27 +133,45 @@ object Entity {
     val joinCols = blockCols :+ "__bk"
     val probe = keyed.select((col(idCol).as("__ida") +:
       blockCols.map(col)) :+
-      explode(deletionKeys(col("__key"), 2)).as("__bk"): _*)
+      explode(hashedKeys(col("__key"), 2)).as("__bk"): _*)
     val index = keyed.select((col(idCol).as("__idb") +:
       blockCols.map(col)) :+
-      explode(deletionKeys(col("__key"), 1)).as("__bk"): _*)
+      explode(hashedKeys(col("__key"), 1)).as("__bk"): _*)
     val delPairs = probe.join(index, joinCols)
       .where(col("__ida") =!= col("__idb"))
       .select(least(col("__ida"), col("__idb")).as("id_a"),
         greatest(col("__ida"), col("__idb")).as("id_b"))
+    // two-substitution (hamming-2, equal-length) case: POSITION-PAIR-
+    // TAGGED deletion keys — both sides emit (i, j, key minus
+    // positions i and j) for every i < j, so records collide on a
+    // tag IFF they agree at every position outside {i, j}, i.e. the
+    // join's false-positive set is empty by construction (vs. the
+    // 3-segment pigeonhole, whose low-entropy buckets — think digit
+    // keys with leading-zero runs, where a third of every key in a
+    // block is "000" — go quadratic in the block size: measured
+    // 2.2M pre-distinct products vs 81k real candidates at sf0.1).
+    // Exact-duplicate keys collide on all C(L,2) tags; DISTINCT
+    // collapses them, a LINEAR overhead. The C(L,2) explode matches
+    // the probe side's existing O(L²) bound for short keys.
+    // primitive join key, not a struct: a struct-typed equi-join key
+    // drops the join out of the codegen'd hash path (measured 10.5 s
+    // vs 6.4 s on the struct form at sf0.1) — fold the (i, j) tag
+    // into the prefix of the key string instead
     val L = length(col("__key"))
-    val c1 = (L / lit(3)).cast("int")
-    val c2 = (L * lit(2) / lit(3)).cast("int")
-    val segs = keyed.select((col(idCol) +: blockCols.map(col)) ++ Seq(
+    val tagged = keyed.select((col(idCol) +: blockCols.map(col)) ++ Seq(
       L.as("__len"),
-      posexplode(array(
-        col("__key").substr(lit(1), c1),
-        col("__key").substr(c1 + 1, c2 - c1),
-        col("__key").substr(c2 + 1, L - c2))).as(Seq("__sx", "__sg"))): _*)
-    val segJoin = blockCols ++ Seq("__len", "__sx", "__sg")
-    val a2 = segs.select(col(idCol).as("__ida") +: segJoin.map(col): _*)
-    val b2 = segs.select(col(idCol).as("__idb") +: segJoin.map(col): _*)
-    val hamPairs = a2.join(b2, segJoin)
+      explode(when(L >= 2, flatten(
+        transform(sequence(lit(1), L - 1), i =>
+          transform(sequence(i + 1, L), j =>
+            xxhash64(i, j,
+              concat(col("__key").substr(lit(1), i - 1),
+                col("__key").substr(i + 1, j - i - 1),
+                col("__key").substr(j + 1, L - j)))))))
+        .otherwise(array().cast("array<bigint>"))).as("__pj")): _*)
+    val tagJoin = blockCols ++ Seq("__len", "__pj")
+    val a2 = tagged.select(col(idCol).as("__ida") +: tagJoin.map(col): _*)
+    val b2 = tagged.select(col(idCol).as("__idb") +: tagJoin.map(col): _*)
+    val hamPairs = a2.join(b2, tagJoin)
       .where(col("__ida") < col("__idb"))
       .select(col("__ida").as("id_a"), col("__idb").as("id_b"))
     delPairs.unionByName(hamPairs).distinct()
@@ -205,7 +236,7 @@ object Entity {
                    k: Int = 1): DataFrame =
     resolved.where(col(keyCol).isNotNull)
       .select(blockCols.map(col) ++ Seq(
-        explode(deletionKeys(
+        explode(hashedKeys(
           PlanHints.knownNotNull(col(keyCol)), k)).as("__bk"),
         col(nameCol).as("__arch_name"),
         col("entity").as("__arch_entity")): _*)
@@ -232,7 +263,7 @@ object Entity {
     val keyed = arrivals.where(col(keyCol).isNotNull)
       .select((col(idCol) +: (blockCols ++ keep).distinct.map(col)) ++ Seq(
         col(nameCol),
-        explode(deletionKeys(
+        explode(hashedKeys(
           PlanHints.knownNotNull(col(keyCol)),
           math.min(math.max(tau, 1), 2))).as("__bk")): _*)
     val probed = keyed.join(index, blockCols :+ "__bk", "left")
