@@ -11477,6 +11477,37 @@ object PipelineQueries {
       "CAST(sum(d_total) AS BIGINT) AS sum_hamming " +
       "FROM clip GROUP BY source, rle ORDER BY source, rle")
 
+  /** Magic-byte format sniffing over a MIXED media corpus — the
+    * routing pass every crawled-blob pipeline runs before choosing a
+    * decoder (Content-Type lies; bytes don't): 14 formats, each row
+    * built by the repo's REAL encoder for its format
+    * ([[Multimodal.sniffBuildColumn]]) → [[graft.ops.Sniff.detect]]
+    * (prefix/structure checks in a pinned priority order, RIFF
+    * fourcc + WAV-codec-id discrimination, strict-UTF-8 text vs
+    * binary) → per-(source, fmt) counts with a doc-id sum pinning
+    * the per-ROW label assignment, not just the histogram. A sniffer
+    * that confuses PCM WAV with IMA-ADPCM WAV, misses the ustar
+    * offset-257 magic, or lets a NUL-carrying blob pass as text
+    * breaks the hash. Bytes never shuffle. */
+  private val multimodalSniff = Q("q_multimodal_sniff",
+    (s, d) => {
+      val names = Seq("jpeg", "png", "gif", "bmp", "wav", "adpcm-wav",
+        "flac", "mp3", "mp4", "zip", "gzip", "tar", "text", "binary")
+      val src = docs(s, d).select(col("doc_id"), col("source"),
+        pmod(col("doc_id"), lit(14)).cast("int").as("sel"), col("text"))
+      val built = Multimodal.sniffBuildColumn(
+        Multimodal.spreadParams(src, "doc_id"), "sel", "text")
+      Multimodal.sniffColumn(built, "media")
+        .groupBy("source", "fmt")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_doc"))
+        .orderBy("source", "fmt")
+    },
+    "SELECT source, ['jpeg', 'png', 'gif', 'bmp', 'wav', 'adpcm-wav', " +
+      "'flac', 'mp3', 'mp4', 'zip', 'gzip', 'tar', 'text', 'binary']" +
+      "[CAST(doc_id % 14 AS INT) + 1] AS fmt, " +
+      "count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_doc " +
+      "FROM documents GROUP BY source, fmt ORDER BY source, fmt")
+
   // ---------------------------------------------------------------- export
 
   val all: Vector[Q] = Vector(
@@ -11534,5 +11565,5 @@ object PipelineQueries {
     shardBloomIndex, dedupEntityJw, textLuhn, textLicense,
     multimodalFlacStereo, multimodalAudioSim, pipelineOptout,
     sourceZip, sourceTar, multimodalExif, multimodalExifStrip,
-    multimodalId3, multimodalSceneCut)
+    multimodalId3, multimodalSceneCut, multimodalSniff)
 }

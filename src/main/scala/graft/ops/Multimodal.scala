@@ -1210,6 +1210,65 @@ object Multimodal {
     }
   }
 
+  /** Mixed-format media fixture for the sniffing round-trip: per row
+    * build REAL bytes of the format selected by `selCol` (0..13 →
+    * jpeg png gif bmp wav adpcm-wav flac mp3 mp4 zip gzip tar text
+    * binary), each through the repo's own encoder for that format.
+    * Text-carrying formats embed the doc text so sizes vary. */
+  def sniffBuildColumn(df: DataFrame, selCol: String, textCol: String,
+                       outCol: String = "media"): DataFrame = {
+    val schema = df.schema.add(outCol, BinaryType)
+    val si = df.schema.fieldIndex(selCol)
+    val ti = df.schema.fieldIndex(textCol)
+    mapBatched(df, schema) { it =>
+      lazy val gray = Array.tabulate[Byte](8 * 8)(i => (i * 4 - 128).toByte)
+      lazy val rgb = Array.tabulate[Byte](8 * 8 * 3)(i => (i - 96).toByte)
+      lazy val pcm = Array.tabulate(130)(t => (t * 211) % 8192 - 4096)
+      lazy val pcmS = pcm.map(_.toShort)
+      it.map { row =>
+        val text = row.getString(ti)
+        val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val media = (row.getInt(si): @unchecked) match {
+          case 0 => Codecs.encodeJpeg(8, 8, rgb)
+          case 1 => Codecs.encodeImage(8, 8, rgb, "png")
+          case 2 => Gif.encodeAnimated(8, 8, Seq(gray))
+          case 3 => Codecs.encodeBmp(8, 8, rgb)
+          case 4 => Codecs.encodeWavMono(8000, pcmS)
+          case 5 => Adpcm.encode(8000, pcm)
+          case 6 => Flac.encode(8000, pcm)
+          case 7 => Mp3.buildFrames(mpeg1 = true, brIdx = 5, srIdx = 0,
+            nFrames = 2)
+          case 8 => Mp4.buildMinimal(1000L, 2000L, 16, 16, "avc1",
+            "vide", 32)
+          case 9 => Archive.buildZip(Seq(("d.txt", tb)), _ => true)
+          case 10 =>
+            val bos = new java.io.ByteArrayOutputStream(tb.length / 2 + 32)
+            val g = new java.util.zip.GZIPOutputStream(bos)
+            g.write(tb); g.close()
+            bos.toByteArray
+          case 11 => Warc.gunzipAll(
+            Archive.buildTarGz(Seq(("d.txt", tb)), _ => 7L))
+          case 12 => tb
+          case 13 => Array.tabulate[Byte](24)(i => (i % 7).toByte)
+        }
+        Row.fromSeq(row.toSeq :+ media)
+      }
+    }
+  }
+
+  /** Format label per row ([[Sniff.detect]]): the magic-byte router a
+    * blob pipeline runs before choosing a decoder. Batched
+    * partition-local; bytes never shuffle. */
+  def sniffColumn(df: DataFrame, mediaCol: String,
+                  outCol: String = "fmt"): DataFrame = {
+    val schema = df.schema.add(outCol, StringType)
+    val mi = df.schema.fieldIndex(mediaCol)
+    mapBatched(df, schema) { it =>
+      it.map(row =>
+        Row.fromSeq(row.toSeq :+ Sniff.detect(row.getAs[Array[Byte]](mi))))
+    }
+  }
+
   val ArchiveMemberType: StructType = StructType(Seq(
     StructField("member_name", StringType),
     StructField("n_member_bytes", LongType),
