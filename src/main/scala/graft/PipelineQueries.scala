@@ -11508,6 +11508,75 @@ object PipelineQueries {
       "count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_doc " +
       "FROM documents GROUP BY source, fmt ORDER BY source, fmt")
 
+  /** robots.txt crawl compliance (RFC 9309) — the stage upstream of
+    * every web corpus: per-host robots files (REAL text, parsed by
+    * [[graft.ops.Robots.parse]] with a per-partition memo) × the URL
+    * table → longest-match Allow/Disallow decisions with `*`
+    * wildcards, the `$` end anchor, specific-agent group precedence
+    * over `*`, and Crawl-delay extraction. The oracle is a
+    * hand-derived truth table over the (host-rule, path) grid — an
+    * INDEPENDENT application of the RFC's precedence rules, so a
+    * matcher that gets tie-breaking, anchor semantics, or group
+    * selection wrong breaks the hash (the doc-id sum pins per-ROW
+    * decisions). Fixture axes: pattern-length precedence (Allow /a$
+    * vs Disallow /a), a wildcard disallow on the /tmp subtree, and a
+    * specific-agent group shadowing the star group entirely. */
+  private val sourceRobots = Q("q_source_robots",
+    (s, d) => {
+      val h = pmod(col("doc_id"), lit(8)).cast("int")
+      val robots = concat(
+        lit("# fixture\nUser-agent: *\nDisallow: /private\n" +
+          "Allow: /private/ok\n"),
+        when(pmod(col("h"), lit(3)) === 0, "Disallow: /tmp/*\n")
+          .otherwise(""),
+        when(pmod(col("h"), lit(2)) === 0, "Allow: /a$\nDisallow: /a\n")
+          .otherwise(""),
+        concat(lit("Crawl-delay: "), col("h"), lit("\n")),
+        when(pmod(col("h"), lit(4)) === 0,
+          "\nUser-agent: graftbot\nDisallow: /b\n").otherwise(""))
+      val src = docs(s, d)
+        .select(col("doc_id"), col("source"), h.as("h"),
+          pmod(col("doc_id") * 3, lit(5)).cast("int").as("pidx"))
+        .withColumn("path", element_at(array(lit("/a"), lit("/private/x"),
+          lit("/private/ok/y"), lit("/tmp/z"), lit("/b")),
+          col("pidx") + 1))
+        .withColumn("robots", robots)
+      graft.ops.Robots.decisionColumn(src, "robots", "path", "graftbot")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
+          sum(when(!col("allowed"), 1L).otherwise(0L)).as("n_blocked"),
+          sum(col("crawl_delay").cast("long")).as("sum_delay"),
+          sum(when(col("allowed"), col("doc_id")).otherwise(0L))
+            .as("sum_doc_allowed"))
+        .orderBy("source")
+    },
+    "WITH p AS (SELECT doc_id, source, " +
+      "CAST(doc_id % 8 AS INT) AS h, " +
+      "CAST((doc_id * 3) % 5 AS INT) AS pidx FROM documents), " +
+      // the RFC truth table, derived by hand from the planted rules:
+      // specific graftbot group (h%4=0) shadows *: only /b blocked;
+      // otherwise /private/x blocked (longest match Disallow
+      // /private), /private/ok/y allowed (Allow len 11 > 8),
+      // /tmp/z blocked iff the wildcard rule exists (h%3=0),
+      // /a allowed always (Allow /a$ len 3 beats Disallow /a len 2
+      // when present; no match otherwise), /b allowed under *
+      "q AS (SELECT doc_id, source, " +
+      "CASE WHEN h % 4 = 0 THEN pidx <> 4 " +
+      "WHEN pidx = 1 THEN FALSE " +
+      "WHEN pidx = 3 THEN h % 3 <> 0 " +
+      "ELSE TRUE END AS allowed, " +
+      "CASE WHEN h % 4 = 0 THEN 0 ELSE h END AS delay FROM p) " +
+      "SELECT source, count(*) AS n, " +
+      "CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_allowed, " +
+      "CAST(sum(CASE WHEN allowed THEN 0 ELSE 1 END) AS BIGINT) " +
+      "AS n_blocked, " +
+      "CAST(sum(delay) AS BIGINT) AS sum_delay, " +
+      "CAST(sum(CASE WHEN allowed THEN doc_id ELSE 0 END) AS BIGINT) " +
+      "AS sum_doc_allowed " +
+      "FROM q GROUP BY source ORDER BY source")
+
   // ---------------------------------------------------------------- export
 
   val all: Vector[Q] = Vector(
@@ -11565,5 +11634,5 @@ object PipelineQueries {
     shardBloomIndex, dedupEntityJw, textLuhn, textLicense,
     multimodalFlacStereo, multimodalAudioSim, pipelineOptout,
     sourceZip, sourceTar, multimodalExif, multimodalExifStrip,
-    multimodalId3, multimodalSceneCut, multimodalSniff)
+    multimodalId3, multimodalSceneCut, multimodalSniff, sourceRobots)
 }
