@@ -11577,6 +11577,63 @@ object PipelineQueries {
       "AS sum_doc_allowed " +
       "FROM q GROUP BY source ORDER BY source")
 
+  /** Mojibake detection + repair ([[graft.ops.Mojibake]] — the ftfy/
+    * CCNet encoding-damage pass): docs planted with three damage
+    * shapes — single Latin-1 misdecode of a 2-byte char ("Ã©"),
+    * misdecode spelling C1 control chars (the em-dash case, whose
+    * middle bytes land in U+0080-U+009F), and DOUBLE-encoded text
+    * needing two inversion passes — plus clean rows that must pass
+    * untouched. The oracle constructs both the planted and the
+    * expected-repaired strings directly and checksums the repaired
+    * text, so a repair that over-fires on clean text, under-iterates
+    * on double encoding, or mangles a byte anywhere breaks the hash;
+    * per-pass counts pin the iteration depth. Pure per-row byte
+    * work; strings never shuffle. */
+  private val textMojibake = Q("q_text_mojibake",
+    (s, d) => {
+      val m = pmod(col("doc_id"), lit(4)).cast("int")
+      val suffix = when(m === 1, lit(" cafÃ©"))
+        .when(m === 2, lit(" xâ"))
+        .when(m === 3, lit(" dÃÂ©"))
+        .otherwise(lit(""))
+      val src = docs(s, d).select(col("doc_id"), col("source"),
+        concat(col("text"), suffix).as("planted"))
+      graft.ops.Mojibake.fixColumn(src, "planted")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("moji_passes") === 0, 1L).otherwise(0L))
+            .as("n_clean"),
+          sum(when(col("moji_passes") === 1, 1L).otherwise(0L))
+            .as("n_pass1"),
+          sum(when(col("moji_passes") === 2, 1L).otherwise(0L))
+            .as("n_pass2"),
+          sum((length(col("planted")) - length(col("fixed")))
+            .cast("long")).as("sum_delta"),
+          sum(TextAnalysis.tokenHash(col("fixed")) % lit(DigestMod))
+            .as("checksum"))
+        .orderBy("source")
+    },
+    "WITH p AS (SELECT doc_id, source, CAST(doc_id % 4 AS INT) AS m, " +
+      "text || CASE CAST(doc_id % 4 AS INT) " +
+      "WHEN 1 THEN ' cafÃ©' " +
+      "WHEN 2 THEN ' xâ' " +
+      "WHEN 3 THEN ' dÃÂ©' " +
+      "ELSE '' END AS planted, " +
+      "text || CASE CAST(doc_id % 4 AS INT) " +
+      "WHEN 1 THEN ' café' " +
+      "WHEN 2 THEN ' x—' " +
+      "WHEN 3 THEN ' dé' " +
+      "ELSE '' END AS fixed FROM documents) " +
+      "SELECT source, count(*) AS n, " +
+      "CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean, " +
+      "CAST(sum(CASE WHEN m IN (1, 2) THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_pass1, " +
+      "CAST(sum(CASE WHEN m = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass2, " +
+      "CAST(sum(length(planted) - length(fixed)) AS BIGINT) AS sum_delta, " +
+      s"CAST(sum(${TextAnalysis.TokenHashSql("fixed")} % $DigestMod) " +
+      "AS BIGINT) AS checksum " +
+      "FROM p GROUP BY source ORDER BY source")
+
   // ---------------------------------------------------------------- export
 
   val all: Vector[Q] = Vector(
@@ -11634,5 +11691,6 @@ object PipelineQueries {
     shardBloomIndex, dedupEntityJw, textLuhn, textLicense,
     multimodalFlacStereo, multimodalAudioSim, pipelineOptout,
     sourceZip, sourceTar, multimodalExif, multimodalExifStrip,
-    multimodalId3, multimodalSceneCut, multimodalSniff, sourceRobots)
+    multimodalId3, multimodalSceneCut, multimodalSniff, sourceRobots,
+    textMojibake)
 }

@@ -65,6 +65,37 @@ object Sniff {
     if (validUtf8(b)) "text" else "binary"
   }
 
+  /** Structural UTF-8 validity alone (RFC 3629: no overlongs, no
+    * surrogates, ≤ U+10FFFF) — the building block [[Mojibake]] needs,
+    * where control bytes are fine as long as the sequences are. */
+  def structuralUtf8(b: Array[Byte]): Boolean = {
+    var i = 0
+    val n = b.length
+    while (i < n) {
+      val c = b(i) & 0xff
+      if (c < 0x80) i += 1
+      else if (c < 0xc2) return false
+      else if (c < 0xe0) {
+        if (i + 1 >= n || (b(i + 1) & 0xc0) != 0x80) return false
+        i += 2
+      } else if (c < 0xf0) {
+        if (i + 2 >= n || (b(i + 1) & 0xc0) != 0x80 ||
+          (b(i + 2) & 0xc0) != 0x80) return false
+        val cp = ((c & 0x0f) << 12) | ((b(i + 1) & 0x3f) << 6) | (b(i + 2) & 0x3f)
+        if (cp < 0x800 || (cp >= 0xd800 && cp <= 0xdfff)) return false
+        i += 3
+      } else if (c < 0xf5) {
+        if (i + 3 >= n || (b(i + 1) & 0xc0) != 0x80 ||
+          (b(i + 2) & 0xc0) != 0x80 || (b(i + 3) & 0xc0) != 0x80) return false
+        val cp = ((c & 0x07) << 18) | ((b(i + 1) & 0x3f) << 12) |
+          ((b(i + 2) & 0x3f) << 6) | (b(i + 3) & 0x3f)
+        if (cp < 0x10000 || cp > 0x10ffff) return false
+        i += 4
+      } else return false
+    }
+    true
+  }
+
   /** Strict UTF-8 validation (RFC 3629: no overlongs, no surrogates,
     * ≤ U+10FFFF) with a no-NUL, mostly-printable requirement — the
     * text-vs-binary discriminator curation actually wants (a blob of
