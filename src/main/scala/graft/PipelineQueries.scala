@@ -11634,6 +11634,143 @@ object PipelineQueries {
       "AS BIGINT) AS checksum " +
       "FROM p GROUP BY source ORDER BY source")
 
+  /** The COMPLIANCE FUNNEL a web/code corpus actually runs, composed
+    * from this round's verified stages in pipeline order: robots.txt
+    * gate ([[graft.ops.Robots]] — RFC 9309 longest-match per host) →
+    * license gate ([[graft.ops.License]] — only permissive labels
+    * survive; copyleft, conflicts, unlicensed and notice-only drop)
+    * → takedown gate (broadcast exact-path list). Each stage's block
+    * count is measured AT ITS FUNNEL POSITION (a doc robots already
+    * blocked doesn't recount under license), and the kept-doc digest
+    * pins the final set doc-for-doc. The oracle recomposes all three
+    * stages independently — the robots truth table, the
+    * pattern-count license replay, the takedown predicate — so a
+    * drift in any stage OR in the funnel order breaks the hash. */
+  private val pipelineCompliance = Q("q_pipeline_compliance",
+    (s, d) => {
+      val hdr = element_at(array(
+        lit("SPDX-License-Identifier: MIT"),
+        lit("SPDX-License-Identifier: Apache-2.0"),
+        lit("SPDX-License-Identifier: GPL-3.0-or-later"),
+        lit("SPDX-License-Identifier: BSD-3-Clause\nRedistribution " +
+          "and use in source and binary forms"),
+        lit("Licensed under the Apache License, Version 2.0"),
+        lit("Copyright (c) 2024 Example Corp.\nPermission is hereby " +
+          "granted, free of charge"),
+        lit("This program is free software: GNU General Public License"),
+        lit("Redistribution and use in source and binary forms"),
+        lit("Creative Commons Attribution 4.0 International"),
+        lit("SPDX-License-Identifier: MIT\nGNU General Public License"),
+        lit("")),
+        (pmod(col("doc_id"), lit(11)) + 1).cast("int"))
+      val robotsTxt = concat(
+        lit("# fixture\nUser-agent: *\nDisallow: /private\n" +
+          "Allow: /private/ok\n"),
+        when(pmod(col("h"), lit(3)) === 0, "Disallow: /tmp/*\n")
+          .otherwise(""),
+        when(pmod(col("h"), lit(2)) === 0, "Allow: /a$\nDisallow: /a\n")
+          .otherwise(""),
+        when(pmod(col("h"), lit(4)) === 0,
+          "\nUser-agent: graftbot\nDisallow: /b\n").otherwise(""))
+      val src = docs(s, d).select(col("doc_id"), col("source"),
+          pmod(col("doc_id"), lit(8)).cast("int").as("h"),
+          pmod(col("doc_id") * 3, lit(5)).cast("int").as("pidx"),
+          concat(hdr, lit("\n"), col("text")).as("t"))
+        .withColumn("path", element_at(array(lit("/a"), lit("/private/x"),
+          lit("/private/ok/y"), lit("/tmp/z"), lit("/b")),
+          col("pidx") + 1))
+        .withColumn("robots", robotsTxt)
+      val gated = graft.ops.Robots
+        .decisionColumn(src, "robots", "path", "graftbot")
+        .select(col("doc_id"), col("source"), col("h"), col("pidx"),
+          col("allowed"),
+          graft.ops.License.label(graft.ops.PlanHints.computeOnce(
+            graft.ops.License.matchCounts(col("t")))).as("license"))
+      val permissive = Seq("mit", "apache-2.0", "bsd-3-clause", "bsd",
+        "cc-by")
+      import s.implicits._
+      val takedown = Seq((3, 0), (5, 2)).toDF("td_h", "td_p")
+      val flags = gated.join(broadcast(takedown),
+          col("h") === col("td_h") && col("pidx") === col("td_p"), "left")
+        .select(col("doc_id"), col("source"), col("allowed"),
+          col("license").isin(permissive.map(lit): _*).as("lic_ok"),
+          col("td_h").isNotNull.as("td"))
+      flags.groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(when(!col("allowed"), 1L).otherwise(0L))
+            .as("n_robots_blocked"),
+          sum(when(col("allowed") && !col("lic_ok"), 1L).otherwise(0L))
+            .as("n_license_blocked"),
+          sum(when(col("allowed") && col("lic_ok") && col("td"), 1L)
+            .otherwise(0L)).as("n_takedown_blocked"),
+          sum(when(col("allowed") && col("lic_ok") && !col("td"), 1L)
+            .otherwise(0L)).as("n_kept"),
+          sum(when(col("allowed") && col("lic_ok") && !col("td"),
+            pmod(col("doc_id") * 131L + 7L, lit(CleanSumMod)))
+            .otherwise(0L)).as("kept_digest"))
+        .orderBy("source")
+    }, {
+      val cdefs = graft.ops.LicenseFns.Patterns.zipWithIndex.map {
+        case (p, i) =>
+          s"(length(t) - length(replace(t, '$p', ''))) // ${p.length} " +
+            s"AS c$i"
+      }.mkString(", ")
+      val spdxCnt = (0 to 3).map(i =>
+        s"CASE WHEN c$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+      "WITH h AS (SELECT doc_id, source, " +
+        "CAST(doc_id % 8 AS INT) AS hh, " +
+        "CAST((doc_id * 3) % 5 AS INT) AS pidx, " +
+        "['SPDX-License-Identifier: MIT', " +
+        "'SPDX-License-Identifier: Apache-2.0', " +
+        "'SPDX-License-Identifier: GPL-3.0-or-later', " +
+        "'SPDX-License-Identifier: BSD-3-Clause' || chr(10) || " +
+        "'Redistribution and use in source and binary forms', " +
+        "'Licensed under the Apache License, Version 2.0', " +
+        "'Copyright (c) 2024 Example Corp.' || chr(10) || " +
+        "'Permission is hereby granted, free of charge', " +
+        "'This program is free software: GNU General Public License', " +
+        "'Redistribution and use in source and binary forms', " +
+        "'Creative Commons Attribution 4.0 International', " +
+        "'SPDX-License-Identifier: MIT' || chr(10) || " +
+        "'GNU General Public License', " +
+        "''][CAST(doc_id % 11 AS INT) + 1] || " +
+        "chr(10) || text AS t FROM documents), " +
+        s"pc AS (SELECT doc_id, source, hh, pidx, $cdefs FROM h), " +
+        "lab AS (SELECT doc_id, source, hh, pidx, " +
+        s"CASE WHEN ($spdxCnt) >= 2 THEN 'conflict' " +
+        "WHEN c0 > 0 THEN 'mit' WHEN c1 > 0 THEN 'apache-2.0' " +
+        "WHEN c2 > 0 THEN 'gpl-3.0-or-later' " +
+        "WHEN c3 > 0 THEN 'bsd-3-clause' " +
+        "WHEN c4 > 0 THEN 'apache-2.0' WHEN c5 > 0 THEN 'mit' " +
+        "WHEN c6 > 0 THEN 'gpl' WHEN c7 > 0 THEN 'bsd' " +
+        "WHEN c8 > 0 THEN 'cc-by' " +
+        "WHEN c9 > 0 OR c10 > 0 THEN 'copyright-only' " +
+        "ELSE 'none' END AS license FROM pc), " +
+        "fl AS (SELECT doc_id, source, " +
+        // the q_source_robots truth table, specific group first
+        "CASE WHEN hh % 4 = 0 THEN pidx <> 4 " +
+        "WHEN pidx = 1 THEN FALSE " +
+        "WHEN pidx = 3 THEN hh % 3 <> 0 " +
+        "ELSE TRUE END AS allowed, " +
+        "license IN ('mit', 'apache-2.0', 'bsd-3-clause', 'bsd', " +
+        "'cc-by') AS lic_ok, " +
+        "(hh = 3 AND pidx = 0) OR (hh = 5 AND pidx = 2) AS td " +
+        "FROM lab) " +
+        "SELECT source, count(*) AS n, " +
+        "CAST(sum(CASE WHEN NOT allowed THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_robots_blocked, " +
+        "CAST(sum(CASE WHEN allowed AND NOT lic_ok THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_license_blocked, " +
+        "CAST(sum(CASE WHEN allowed AND lic_ok AND td THEN 1 ELSE 0 " +
+        "END) AS BIGINT) AS n_takedown_blocked, " +
+        "CAST(sum(CASE WHEN allowed AND lic_ok AND NOT td THEN 1 " +
+        "ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "CAST(sum(CASE WHEN allowed AND lic_ok AND NOT td THEN " +
+        s"(doc_id * 131 + 7) % $CleanSumMod ELSE 0 END) AS BIGINT) " +
+        "AS kept_digest " +
+        "FROM fl GROUP BY source ORDER BY source"
+    })
+
   // ---------------------------------------------------------------- export
 
   val all: Vector[Q] = Vector(
@@ -11692,5 +11829,5 @@ object PipelineQueries {
     multimodalFlacStereo, multimodalAudioSim, pipelineOptout,
     sourceZip, sourceTar, multimodalExif, multimodalExifStrip,
     multimodalId3, multimodalSceneCut, multimodalSniff, sourceRobots,
-    textMojibake)
+    textMojibake, pipelineCompliance)
 }
