@@ -158,7 +158,12 @@ object ScaleProbe {
     // round-13: opt-out propagation (the minhash-cluster chain —
     // same shape/caps as q_pipeline_forget — plus a broadcast
     // takedown join; docs-linear with the capped pair join)
-    "q_pipeline_optout" -> 10)
+    "q_pipeline_optout" -> 10,
+    // round-13b: scene-cut over real 6-frame AVI decode (real-decode
+    // linear cost like framedecode — honest expectation ≈ input
+    // factor) and the 14-encoder sniff fixture (builder-dominated,
+    // docs-linear)
+    "q_multimodal_scenecut" -> 10, "q_multimodal_sniff" -> 10)
 
   def main(args: Array[String]): Unit = {
     val sfSmall = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
