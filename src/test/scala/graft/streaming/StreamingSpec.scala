@@ -1836,4 +1836,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(n10(1L) == false && n10(2L) == true && n10(3L) == true)
     snapshot.unpersist()
   }
+
+  test("round-13 compliance/curation ops are PURE MAPS: sniff, " +
+    "mojibake repair, and robots decisions run the identical plan " +
+    "on a streaming frame and match batch row for row") {
+    import graft.ops.{Multimodal, Mojibake, Robots}
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, 0, "plain ascii", "/a"),
+      (2L, 4, "caf\u00c3\u00a9 moji", "/private/x"),
+      (3L, 9, "\u00c3\u0083\u00c2\u00a9 double", "/private/ok/y"),
+      (4L, 12, "clean caf\u00e9", "/tmp/z"),
+      (5L, 13, "x", "/b"))
+    val robotsTxt = "User-agent: *\nDisallow: /private\n" +
+      "Allow: /private/ok\nDisallow: /tmp/*\n"
+    def pipeline(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val built = Multimodal.sniffBuildColumn(df, "sel", "t")
+      val sniffed = Multimodal.sniffColumn(built, "media")
+      val fixed = Mojibake.fixColumn(sniffed, "t")
+      Robots.decisionColumn(fixed.withColumn("robots", lit(robotsTxt)),
+          "robots", "path", "c")
+        .select("id", "fmt", "fixed", "moji_passes", "allowed")
+    }
+    val src = rows.toDF("id", "sel", "t", "path")
+    val batch = pipeline(src).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2),
+        r.getInt(3), r.getBoolean(4))).toMap
+    assert(batch(2L)._2 == "caf\u00e9 moji" && batch(2L)._3 == 1)
+    assert(batch(3L)._3 == 2 && !batch(2L)._4 && batch(3L)._4)
+    assert(batch(1L)._1 == "jpeg" && batch(5L)._1 == "binary")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("r13_stream").toFile
+    tmp.deleteOnExit()
+    src.coalesce(1).write.parquet(new java.io.File(tmp, "d").toString)
+    val stream = spark.readStream.schema(src.schema).parquet(s"$tmp/*")
+    graft.streaming.StreamingOps.runToMemorySink(
+      pipeline(stream), "r13_ops")
+    val got = spark.table("r13_ops").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2),
+        r.getInt(3), r.getBoolean(4))).toMap
+    assert(got == batch, s"$got vs $batch")
+  }
+
 }
