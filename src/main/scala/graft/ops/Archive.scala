@@ -104,29 +104,43 @@ object Archive {
       b(e + 2) == 0x05 && b(e + 3) == 0x06)) e -= 1
     if (e < lo) return Vector.empty
     val nEntries = le16(b, e + 10)
-    var o = le32(b, e + 16).toInt
+    // All archive offsets walk as Longs: a crafted 32-bit EOCD/central
+    // directory/local-header offset must fail a bounds check, never wrap
+    // negative and index — the members recovered so far are returned
+    // instead of throwing (totality contract on garbage archives).
+    var o = le32(b, e + 16)
     val out = Vector.newBuilder[Member]
     var i = 0
-    while (i < nEntries && o + 46 <= b.length && le32(b, o) == 0x02014b50L) {
-      val method = le16(b, o + 10)
-      val crc = le32(b, o + 16)
-      val compSize = le32(b, o + 20).toInt
-      val uncompSize = le32(b, o + 24).toInt
-      val nameLen = le16(b, o + 28)
-      val extraLen = le16(b, o + 30)
-      val commentLen = le16(b, o + 32)
-      val lhOff = le32(b, o + 42).toInt
+    while (i < nEntries && o + 46 <= b.length && le32(b, o.toInt) == 0x02014b50L) {
+      val oi = o.toInt
+      val method = le16(b, oi + 10)
+      val crc = le32(b, oi + 16)
+      val compSizeL = le32(b, oi + 20)
+      val uncompSize = le32(b, oi + 24).toInt
+      val nameLen = le16(b, oi + 28)
+      val extraLen = le16(b, oi + 30)
+      val commentLen = le16(b, oi + 32)
+      val lhOffL = le32(b, oi + 42)
       if (o + 46 + nameLen > b.length) return out.result()
-      val name = new String(b, o + 46, nameLen, UTF_8)
+      val name = new String(b, oi + 46, nameLen, UTF_8)
       // local header: its OWN name/extra lengths govern the data offset
       val member =
-        if (lhOff + 30 > b.length || le32(b, lhOff) != 0x04034b50L)
+        if (lhOffL + 30 > b.length || le32(b, lhOffL.toInt) != 0x04034b50L)
           Member(name, Array.emptyByteArray, deflated = false, 0L, ok = false)
         else {
-          val dataOff = lhOff + 30 + le16(b, lhOff + 26) + le16(b, lhOff + 28)
-          if (dataOff + compSize > b.length || compSize < 0 || uncompSize < 0)
+          val lhOff = lhOffL.toInt
+          val dataOffL = lhOff.toLong + 30 +
+            le16(b, lhOff + 26) + le16(b, lhOff + 28)
+          // 1032:1 is DEFLATE's theoretical max expansion — a declared
+          // uncompressed size beyond it cannot verify, so reject BEFORE
+          // the inflate buffer allocation (zip-bomb / crafted-CD guard)
+          if (dataOffL + compSizeL > b.length || uncompSize < 0 ||
+            uncompSize > compSizeL * 1032L + 64)
             Member(name, Array.emptyByteArray, deflated = false, 0L, ok = false)
-          else method match {
+          else {
+            val dataOff = dataOffL.toInt
+            val compSize = compSizeL.toInt
+            method match {
             case 0 =>
               val body = java.util.Arrays.copyOfRange(b, dataOff, dataOff + compSize)
               val c = new CRC32(); c.update(body)
@@ -166,10 +180,11 @@ object Archive {
               }
             case _ =>
               Member(name, Array.emptyByteArray, deflated = false, 0L, ok = false)
+            }
           }
         }
       out += member
-      o += 46 + nameLen + extraLen + commentLen
+      o += 46L + nameLen + extraLen + commentLen
       i += 1
     }
     out.result()

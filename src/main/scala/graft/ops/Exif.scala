@@ -190,8 +190,11 @@ object Exif {
   // ------------------------------------------------------------ parser
 
   private final class R(b: Array[Byte], origin: Int, bigEndian: Boolean) {
+    // Long arithmetic: a crafted offset/count near Int.MaxValue (e.g. an
+    // ASCII tag declaring cnt 0x7FFFFFF0) must wrap-proof fail, not pass
+    // the check and AIOOBE in the read — parse/stripGps stay total.
     def ok(o: Int, n: Int): Boolean =
-      o >= 0 && origin + o + n <= b.length && origin + o >= 0
+      o >= 0 && n >= 0 && origin.toLong + o + n <= b.length
     def u16(o: Int): Int = {
       val i = origin + o
       if (bigEndian) ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
@@ -220,7 +223,9 @@ object Exif {
       val tag = r.u16(eo)
       val tpe = r.u16(eo + 2)
       val cnt = r.u32(eo + 4).toInt
-      val size = TypeSize.getOrElse(tpe, 0) * cnt
+      // Long product: a crafted 32-bit count must not wrap the size
+      // into the 1..4 inline range and misroute the value offset
+      val size = TypeSize.getOrElse(tpe, 0).toLong * cnt
       val vo = if (size > 0 && size <= 4) eo + 8 else r.u32(eo + 8).toInt
       tag -> (vo, tpe, cnt)
     }.toMap)
@@ -307,7 +312,17 @@ object Exif {
 
   /** Strip GPS: parse, then reserialize the canonical APP1 with the
     * GPS IFD removed (scan data byte-identical). Returns the new
-    * bytes and the byte count removed (0 when no EXIF GPS present). */
+    * bytes and the byte count removed (0 when no EXIF GPS present).
+    *
+    * The reserialization is deliberately LOSSY beyond the canonical
+    * fields (Make/Model/Orientation/DateTime/DateTimeOriginal): any
+    * other IFD0/Exif-IFD tags — exposure, ISO, maker notes, thumbnail
+    * IFD — are dropped rather than carried through unparsed. That errs
+    * in the privacy-safe direction (an unparsed maker note can itself
+    * embed GPS), at the cost of metadata fidelity on real-world JPEGs;
+    * the "every non-location field intact" property is exact only for
+    * APP1s limited to the canonical field set (e.g. this repo's own
+    * writer). */
   def stripGps(jpeg: Array[Byte]): (Array[Byte], Int) =
     parse(jpeg) match {
       case Some(info) if info.hasGps =>

@@ -147,7 +147,10 @@ object Robots {
         val txt = row.getString(ri)
         val groups = memo.getOrElseUpdate(if (txt == null) "" else txt,
           parse(txt))
-        val (ok, delay) = decide(groups, agent, row.getString(pi))
+        // null path → "" (matches the null-robots handling above):
+        // decide's prefix matcher must never see a null
+        val p = row.getString(pi)
+        val (ok, delay) = decide(groups, agent, if (p == null) "" else p)
         Row.fromSeq(row.toSeq ++ Seq(ok, delay))
       }
     }(org.apache.spark.sql.Encoders.row(schema))

@@ -36,16 +36,18 @@ object Sniff {
       if (ascii(b, 8, "WAVE")) {
         // fmt tag discriminates PCM WAV from IMA-ADPCM WAV: walk to
         // the fmt chunk and read the 16-bit codec id
-        var o = 12
+        var o = 12L // Long walk: a crafted chunk size near Int.MaxValue
+        //            must not wrap the cursor negative (totality contract)
         while (o + 8 <= b.length) {
-          val sz = (b(o + 4) & 0xff) | ((b(o + 5) & 0xff) << 8) |
-            ((b(o + 6) & 0xff) << 16) | ((b(o + 7) & 0xff) << 24)
-          if (ascii(b, o, "fmt ") && o + 10 <= b.length) {
-            val codec = (b(o + 8) & 0xff) | ((b(o + 9) & 0xff) << 8)
+          val oi = o.toInt
+          val sz = (b(oi + 4) & 0xff) | ((b(oi + 5) & 0xff) << 8) |
+            ((b(oi + 6) & 0xff) << 16) | ((b(oi + 7) & 0xff) << 24)
+          if (ascii(b, oi, "fmt ") && o + 10 <= b.length) {
+            val codec = (b(oi + 8) & 0xff) | ((b(oi + 9) & 0xff) << 8)
             return if (codec == 0x11) "adpcm-wav" else "wav"
           }
           if (sz < 0) return "wav"
-          o += 8 + sz + (sz & 1)
+          o += 8L + sz + (sz & 1)
         }
         return "wav"
       }
