@@ -67,9 +67,18 @@ object Entity {
     * the verify predicate then rejects (levenshtein for [[resolve]],
     * the graded comparator for [[resolveWith]]), so results are
     * unchanged up to the same 2⁻⁶⁴ collision trade every
-    * fingerprint-carrying operator in the repo already makes. */
+    * fingerprint-carrying operator in the repo already makes.
+    * Since r14 this is the native [[EntityKeyFns]] kernel (one tight
+    * loop in whole-stage codegen; hash-parity with the former
+    * `transform(deletionKeys(key, k), xxhash64)` column form pinned
+    * by EntitySpec) — the interpreted HOF chain was the τ=2 plan's
+    * single biggest stage at 2.8 s/30k records. The kernel also
+    * deduplicates the k = 1 stream (the column form didn't):
+    * duplicate variants only ever produced duplicate candidate rows
+    * for the DISTINCT to collapse, so pairs are unchanged. */
   private def hashedKeys(key: Column, k: Int): Column =
-    transform(deletionKeys(key, k), s => xxhash64(s))
+    EntityKeyExpressions.keyHashesCol(key,
+      if (k == 1) EntityKeyFns.D1 else EntityKeyFns.D2)
 
   /** Candidate pairs (id_a < id_b) whose keys share a deletion-≤k
     * neighborhood member AND agree exactly on every `blockCols`
@@ -127,54 +136,47 @@ object Entity {
     * cross-record false positives entirely). */
   def candidatePairsSplit2(df: DataFrame, idCol: String, keyCol: String,
                            blockCols: Seq[String]): DataFrame = {
+    // Probe side = D≤2 deletion hashes + position-pair tags; index
+    // side = D≤1 deletion hashes + tags — both emitted by the native
+    // [[EntityKeyFns]] kernel (r14: the interpreted HOF explode was
+    // the plan's single biggest stage at 2.8 s/30k records; the
+    // kernel assembles variant bytes in a reused scratch buffer
+    // inside whole-stage codegen). Tags ride the SAME hash column as
+    // deletion keys: a cross-kind collision adds a spurious
+    // candidate the verify rejects — the usual 2⁻⁶⁴ trade.
+    // Deep×deep bucket products never form: the index explode simply
+    // doesn't emit depth-2 keys (on low-entropy keys the deep
+    // buckets are the ones that grow with corpus size).
+    // Join keys stay primitive (blockCols, bigint hash): a
+    // struct-typed equi-join key drops the join out of the codegen'd
+    // hash path (measured 10.5 s vs 6.4 s at sf0.1); the (i, j) tag
+    // folds into the hash args instead. Tag completeness: records
+    // collide on tag (i, j, remainder) IFF they agree at every
+    // position outside {i, j} — equal remainder strings force equal
+    // key lengths, so no separate length key is needed — i.e. the
+    // tag join's false-positive set is empty by construction (vs.
+    // the 3-segment pigeonhole, whose low-entropy buckets go
+    // quadratic: measured 2.2M pre-distinct products for 81k real
+    // candidates on leading-zero digit keys at sf0.1). Exact-dup
+    // keys collide on all C(L,2) tags; DISTINCT collapses them, a
+    // LINEAR overhead matching the probe side's O(L²) bound.
+    val joinCols = blockCols :+ "__bk"
     val keyed = df.where(col(keyCol).isNotNull)
       .select((col(idCol) +: blockCols.map(col)) :+
         PlanHints.knownNotNull(col(keyCol)).as("__key"): _*)
-    val joinCols = blockCols :+ "__bk"
     val probe = keyed.select((col(idCol).as("__ida") +:
       blockCols.map(col)) :+
-      explode(hashedKeys(col("__key"), 2)).as("__bk"): _*)
+      explode(EntityKeyExpressions.keyHashesCol(
+        col("__key"), EntityKeyFns.Probe2)).as("__bk"): _*)
     val index = keyed.select((col(idCol).as("__idb") +:
       blockCols.map(col)) :+
-      explode(hashedKeys(col("__key"), 1)).as("__bk"): _*)
-    val delPairs = probe.join(index, joinCols)
+      explode(EntityKeyExpressions.keyHashesCol(
+        col("__key"), EntityKeyFns.Index2)).as("__bk"): _*)
+    probe.join(index, joinCols)
       .where(col("__ida") =!= col("__idb"))
       .select(least(col("__ida"), col("__idb")).as("id_a"),
         greatest(col("__ida"), col("__idb")).as("id_b"))
-    // two-substitution (hamming-2, equal-length) case: POSITION-PAIR-
-    // TAGGED deletion keys — both sides emit (i, j, key minus
-    // positions i and j) for every i < j, so records collide on a
-    // tag IFF they agree at every position outside {i, j}, i.e. the
-    // join's false-positive set is empty by construction (vs. the
-    // 3-segment pigeonhole, whose low-entropy buckets — think digit
-    // keys with leading-zero runs, where a third of every key in a
-    // block is "000" — go quadratic in the block size: measured
-    // 2.2M pre-distinct products vs 81k real candidates at sf0.1).
-    // Exact-duplicate keys collide on all C(L,2) tags; DISTINCT
-    // collapses them, a LINEAR overhead. The C(L,2) explode matches
-    // the probe side's existing O(L²) bound for short keys.
-    // primitive join key, not a struct: a struct-typed equi-join key
-    // drops the join out of the codegen'd hash path (measured 10.5 s
-    // vs 6.4 s on the struct form at sf0.1) — fold the (i, j) tag
-    // into the prefix of the key string instead
-    val L = length(col("__key"))
-    val tagged = keyed.select((col(idCol) +: blockCols.map(col)) ++ Seq(
-      L.as("__len"),
-      explode(when(L >= 2, flatten(
-        transform(sequence(lit(1), L - 1), i =>
-          transform(sequence(i + 1, L), j =>
-            xxhash64(i, j,
-              concat(col("__key").substr(lit(1), i - 1),
-                col("__key").substr(i + 1, j - i - 1),
-                col("__key").substr(j + 1, L - j)))))))
-        .otherwise(array().cast("array<bigint>"))).as("__pj")): _*)
-    val tagJoin = blockCols ++ Seq("__len", "__pj")
-    val a2 = tagged.select(col(idCol).as("__ida") +: tagJoin.map(col): _*)
-    val b2 = tagged.select(col(idCol).as("__idb") +: tagJoin.map(col): _*)
-    val hamPairs = a2.join(b2, tagJoin)
-      .where(col("__ida") < col("__idb"))
-      .select(col("__ida").as("id_a"), col("__idb").as("id_b"))
-    delPairs.unionByName(hamPairs).distinct()
+      .distinct()
   }
 
   /** Resolve records into entities: deletion-neighborhood blocking
@@ -279,6 +281,83 @@ object Entity {
     // in the output as their own entity — the batch resolve()
     // contract (its left join + coalesce path labels them id). A
     // stateless filter+project union keeps the plan streaming-legal.
+    val nullKey = arrivals.where(col(keyCol).isNull)
+      .select((col(idCol) +: keep.map(col)) :+
+        col(idCol).cast("long").as("entity"): _*)
+    probed.unionByName(nullKey)
+  }
+
+  /** SPLIT steady-state index for τ = 2 — the thin form: one row per
+    * (record, D≤1 deletion hash ∪ position-pair tag hash) carrying
+    * ONLY (block columns, hash, record id); names live once per
+    * record in [[archiveRecords]] and the probe fetches them per
+    * candidate. What this buys, measured honestly: the RUNTIME row
+    * bytes — what the stream-static probe join shuffles and holds in
+    * its hash table — drop >40% vs [[archiveIndex]](k = 2), whose
+    * every neighborhood row carries the full name string
+    * (EntitySpec's UnsafeRow measurement). Parquet-on-disk is
+    * roughly a wash: dictionary encoding stores each repeated name
+    * once either way, and on LOW-entropy keys the full form can even
+    * win rows (D≤2 variants deduplicate, the C(L,2) tags by
+    * construction cannot — distinct (i, j) hash apart). Every match
+    * — tag matches included — still passes the same lev ≤ τ NAME
+    * verify as the batch [[resolve]] (tag collisions are hamming-≤2
+    * KEY pairs by construction, but the batch contract verifies
+    * names, and key-closeness does not bound name distance in
+    * general). Recall contract: arrival D≤2+tags ⋈ archive D≤1+tags
+    * is exactly [[candidatePairsSplit2]]'s split, so lev ≤ 2
+    * arrival-archive pairs always share a hash — and the candidate
+    * set matches the BATCH blocking more tightly than
+    * archiveIndex(k = 2) does (D≤2 ⋈ D≤2 admits key pairs up to
+    * lev 4 that the name verify must then reject). */
+  def archiveIndexSplit2(resolved: DataFrame, idCol: String,
+                         keyCol: String,
+                         blockCols: Seq[String]): DataFrame =
+    resolved.where(col(keyCol).isNotNull)
+      .select(blockCols.map(col) ++ Seq(
+        explode(EntityKeyExpressions.keyHashesCol(
+          PlanHints.knownNotNull(col(keyCol)),
+          EntityKeyFns.Index2)).as("__bk"),
+        col(idCol).cast("long").as("__arch_rid")): _*)
+
+  /** The per-record companion of [[archiveIndexSplit2]]: one row per
+    * archive record — (record id, name, entity). O(n), the small
+    * side; candidates join it to fetch the verify name and label. */
+  def archiveRecords(resolved: DataFrame, idCol: String,
+                     nameCol: String): DataFrame =
+    resolved.select(col(idCol).cast("long").as("__arch_rid"),
+      col(nameCol).as("__arch_name"), col("entity").as("__arch_entity"))
+
+  /** τ = 2 steady state over the split index: arrivals explode at
+    * D≤2+tags (the probe role), left-join the thin
+    * [[archiveIndexSplit2]] on (blocks, hash), fetch (name, entity)
+    * from [[archiveRecords]], verify lev ≤ τ on names, and take the
+    * minimum verified archive entity — else the arrival's own id.
+    * Same batch-split-invariance contract as [[resolveAgainst]]
+    * (each arrival's label depends on itself and the static frames
+    * alone): two stream-static left joins + one keyed aggregate +
+    * the stateless null-key union. */
+  def resolveAgainstSplit2(index: DataFrame, records: DataFrame,
+                           arrivals: DataFrame, idCol: String,
+                           keyCol: String, nameCol: String,
+                           blockCols: Seq[String], tau: Int = 2,
+                           keep: Seq[String] = Nil): DataFrame = {
+    val keyed = arrivals.where(col(keyCol).isNotNull)
+      .select((col(idCol) +: (blockCols ++ keep).distinct.map(col)) ++ Seq(
+        col(nameCol),
+        explode(EntityKeyExpressions.keyHashesCol(
+          PlanHints.knownNotNull(col(keyCol)),
+          EntityKeyFns.Probe2)).as("__bk")): _*)
+    val probed = keyed.join(index, blockCols :+ "__bk", "left")
+      .join(records, Seq("__arch_rid"), "left")
+      .withColumn("__hit",
+        when(levenshtein(col(nameCol), col("__arch_name")) <= tau,
+          col("__arch_entity")))
+      .groupBy(col(idCol) +: keep.map(col): _*)
+      .agg(min(col("__hit")).as("__m"))
+      .withColumn("entity",
+        coalesce(col("__m"), col(idCol).cast("long")))
+      .drop("__m")
     val nullKey = arrivals.where(col(keyCol).isNull)
       .select((col(idCol) +: keep.map(col)) :+
         col(idCol).cast("long").as("entity"): _*)

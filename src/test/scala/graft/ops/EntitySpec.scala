@@ -289,4 +289,129 @@ class EntitySpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(tau2(5L) == tau2(1L), s"tau=2 lumps: $tau2")
   }
+
+  test("EntityKeyFns kernel hashes match the column-form xxhash64 of " +
+    "deletionKeys exactly (D1/D2 sets), and Probe2/Index2 add the " +
+    "position-pair tags — ASCII fast path and non-ASCII slow path") {
+    val s = spark
+    import s.implicits._
+    val keys = Seq("1234567890", "aa", "a", "", "0000000123",
+      "caf\u00e9-k\u00e9y", "\u00e9\u00e9", "xyxyxy")
+    val df = keys.toDF("k")
+    def kernel(mode: Int) = df.select(col("k"),
+        EntityKeyExpressions.keyHashesCol(col("k"), mode).as("h"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    // column form: xxhash64 over the string deletion neighborhood
+    def hof(k: Int) = df.select(col("k"),
+        transform(Entity.deletionKeys(col("k"), k),
+          v => xxhash64(v)).as("h"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    // tag hashes: xxhash64(i, j, key minus positions i and j), 1-based
+    val tagHof = df.select(col("k"),
+        when(length(col("k")) >= 2, flatten(
+          transform(sequence(lit(1), length(col("k")) - 1), i =>
+            transform(sequence(i + 1, length(col("k"))), j =>
+              xxhash64(i, j,
+                concat(col("k").substr(lit(1), i - 1),
+                  col("k").substr(i + 1, j - i - 1),
+                  col("k").substr(j + 1, length(col("k")) - j)))))))
+          .otherwise(array().cast("array<bigint>")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    val d1k = kernel(EntityKeyFns.D1); val d2k = kernel(EntityKeyFns.D2)
+    val p2 = kernel(EntityKeyFns.Probe2); val i2 = kernel(EntityKeyFns.Index2)
+    val d1c = hof(1); val d2c = hof(2)
+    keys.foreach { k =>
+      assert(d1k(k) == d1c(k), s"D1 mismatch for '$k'")
+      assert(d2k(k) == d2c(k), s"D2 mismatch for '$k'")
+      assert(p2(k) == (d2c(k) ++ tagHof(k)), s"Probe2 mismatch for '$k'")
+      assert(i2(k) == (d1c(k) ++ tagHof(k)), s"Index2 mismatch for '$k'")
+    }
+  }
+
+  test("split steady state at tau=2: thin index + records table links " +
+    "every lev<=2 arrival shape, name-far/key-close arrivals are " +
+    "gated by the verify, null keys survive, and the assignment is " +
+    "batch-split invariant") {
+    val s = spark
+    import s.implicits._
+    val archive = Seq(
+      (10L, "1234567", "n1234567", "A"),
+      (20L, "7654321", "zzzzzzzzzzzz", "A"))  // name unrelated to key
+      .toDF("rid", "key", "name", "blk")
+    val resolved = Entity.resolve(archive, "rid", "key", "name",
+      Seq("blk"), tau = 2)
+    val index = Entity.archiveIndexSplit2(resolved, "rid", "key", Seq("blk"))
+    val records = Entity.archiveRecords(resolved, "rid", "name")
+    // the thin index carries NO name column — the byte win is structural
+    assert(index.columns.toSet == Set("blk", "__bk", "__arch_rid"))
+    val arrivals = Seq(
+      (100L, Option("1934867"), "n1934867", "A"), // sub+sub: links to 10
+      (101L, Option("123456"), "n123456", "A"),   // deletion: links to 10
+      (102L, Option("7654391"), "n7654391", "A"), // key close to 20, name far: stays fresh
+      (103L, Option("9999999"), "n9999999", "A"), // unrelated: fresh
+      (104L, None: Option[String], "nNull", "A")  // null key: own entity
+    ).toDF("rid", "key", "name", "blk")
+    def run(arr: org.apache.spark.sql.DataFrame) =
+      Entity.resolveAgainstSplit2(index, records, arr, "rid", "key",
+          "name", Seq("blk"), tau = 2)
+        .select("rid", "entity").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run(arrivals)
+    assert(got == Map(100L -> 10L, 101L -> 10L, 102L -> 102L,
+      103L -> 103L, 104L -> 104L), s"got $got")
+    // batch-split invariance: half-and-half == whole
+    val h1 = run(arrivals.where(col("rid") % 2 === 0))
+    val h2 = run(arrivals.where(col("rid") % 2 === 1))
+    assert((h1 ++ h2) == got)
+  }
+
+  test("split tau=2 index persists measurably fewer bytes than the " +
+    "full-depth archiveIndex(k=2) at the same recall contract") {
+    val s = spark
+    import s.implicits._
+    // realistic record width: the verify name is a full record string
+    // (name + address + city), not a 19-char synthetic — the split
+    // form's byte win scales with the name bytes the tag rows shed
+    val archive = (0 until 500).map { i =>
+      val k = f"${i * 7919 % 10000000000L}%010d"
+      (i.toLong, k,
+        s"Customer $k, ${i % 997} Elm Street Apt ${i % 53}, " +
+          s"Springfield ${i % 89}, sector ${i * 31 % 1009}",
+        s"B${i % 5}")
+    }.toDF("rid", "key", "name", "blk")
+    val resolved = Entity.resolve(archive, "rid", "key", "name",
+      Seq("blk"), tau = 2)
+    val full = Entity.archiveIndex(resolved, "key", "name", Seq("blk"), k = 2)
+    val split = Entity.archiveIndexSplit2(resolved, "rid", "key", Seq("blk"))
+    val recs = Entity.archiveRecords(resolved, "rid", "name")
+    // measure the RUNTIME row bytes (UnsafeRow) — what actually rides
+    // the stream-static join's shuffle and hash table at probe time.
+    // (Parquet-on-disk is a wash: dictionary encoding stores each
+    // repeated name once either way; the join representation doesn't.)
+    def rowBytes(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.mapPartitions(it => Iterator.single(
+        it.map(_.asInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.UnsafeRow]
+          .getSizeInBytes.toLong).sum)).collect().sum
+    val fullB = rowBytes(full)
+    val splitB = rowBytes(split) + rowBytes(recs)
+    assert(splitB < fullB * 6 / 10,
+      s"split index $splitB runtime bytes should be <60% of full $fullB")
+    // and the probe answers match the full-depth path, label for label
+    val arrivals = archive.select((col("rid") + 10000L).as("rid"),
+      concat(col("key").substr(lit(1), lit(4)), lit("9"),
+        col("key").substr(lit(6), lit(5))).as("key"),
+      concat(lit("X"), col("name").substr(lit(2), lit(10000))).as("name"),
+      col("blk"))
+    val viaFull = Entity.resolveAgainst(
+        Entity.archiveIndex(resolved, "key", "name", Seq("blk"), k = 2),
+        arrivals, "rid", "key", "name", Seq("blk"), tau = 2)
+      .select("rid", "entity").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaSplit = Entity.resolveAgainstSplit2(split, recs, arrivals,
+        "rid", "key", "name", Seq("blk"), tau = 2)
+      .select("rid", "entity").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSplit == viaFull)
+  }
 }
