@@ -11244,6 +11244,60 @@ object PipelineQueries {
       "AS BIGINT) AS checksum " +
       "FROM documents GROUP BY source ORDER BY source")
 
+  /** XML dump ingestion round-trip (the Wikipedia/StackExchange
+    * container — the one major public corpus format the source family
+    * lacked after WARC/ZIP/tar/JSONL): docs → per-(source, shard)
+    * MediaWiki-style dumps with siteinfo header, per-page
+    * title/ns/id/redirect and revision id/timestamp/contributor/text
+    * ([[graft.ops.Xml.buildDump]], every title carrying a raw '&' so
+    * entity escaping is exercised on every page) → streaming StAX
+    * record walk ([[graft.ops.Xml.parseDump]], DTD/external entities
+    * disabled) → per-source aggregates. The text checksum pins the
+    * escape/unescape round-trip; sum_ts pins the timestamp field
+    * through the revision scope (a flat-walk parser that confuses
+    * page id with revision id breaks sum_rev); the oracle recomputes
+    * every field from the build formulas — the q_source_zip
+    * discipline. Dump bytes never shuffle (built after the group agg,
+    * parsed partition-locally). */
+  private val sourceXml = Q("q_source_xml",
+    (s, d) => {
+      val src = docs(s, d).select(col("doc_id"), col("source"),
+        pmod(col("doc_id"), lit(6)).as("shard"), col("text"))
+      val files = Multimodal.xmlBuildFiles(src, Seq("source", "shard"),
+        "doc_id", "text")
+      Multimodal.xmlPagesColumn(files, "media")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_pages"),
+          countDistinct(col("shard")).as("n_dumps"),
+          sum(when(col("page_ok"), 1L).otherwise(0L)).as("n_ok"),
+          sum(col("page_ns").cast("long")).as("sum_ns"),
+          sum(col("rev_id")).as("sum_rev"),
+          sum(substring(col("rev_ts"), 9, 2).cast("long") +
+            substring(col("rev_ts"), 12, 2).cast("long")).as("sum_ts"),
+          sum(when(col("is_redirect"), 1L).otherwise(0L)).as("n_redirects"),
+          sum(length(col("page_title")).cast("long")).as("sum_title_len"),
+          sum(length(col("contributor")).cast("long")).as("sum_user_len"),
+          sum(TextAnalysis.tokenHash(col("page_text")) % lit(DigestMod))
+            .as("checksum"))
+        .orderBy("source")
+    },
+    "SELECT source, count(*) AS n_pages, " +
+      "count(DISTINCT doc_id % 6) AS n_dumps, " +
+      "count(*) AS n_ok, " +
+      "CAST(sum(CASE doc_id % 3 WHEN 2 THEN 10 ELSE doc_id % 3 END) " +
+      "AS BIGINT) AS sum_ns, " +
+      "CAST(sum(doc_id * 7 + 3) AS BIGINT) AS sum_rev, " +
+      "CAST(sum(doc_id % 28 + 1 + doc_id % 24) AS BIGINT) AS sum_ts, " +
+      "CAST(sum(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_redirects, " +
+      "CAST(sum(2 + length(CAST(doc_id AS VARCHAR))) AS BIGINT) " +
+      "AS sum_title_len, " +
+      "CAST(sum(5 + length(CAST(doc_id % 50 AS VARCHAR))) AS BIGINT) " +
+      "AS sum_user_len, " +
+      s"CAST(sum(${TextAnalysis.TokenHashSql("text")} % $DigestMod) " +
+      "AS BIGINT) AS checksum " +
+      "FROM documents GROUP BY source ORDER BY source")
+
   /** EXIF metadata round-trip: per-doc camera parameters → a real
     * 8×8 JPEG carrying a canonical EXIF APP1 (both TIFF byte orders,
     * IFD0 + Exif IFD + optional GPS IFD with 3-rational DMS
@@ -11827,7 +11881,7 @@ object PipelineQueries {
     multimodalFlacDecode, multimodalAdpcm, dedupJaroWinkler,
     shardBloomIndex, dedupEntityJw, textLuhn, textLicense,
     multimodalFlacStereo, multimodalAudioSim, pipelineOptout,
-    sourceZip, sourceTar, multimodalExif, multimodalExifStrip,
+    sourceZip, sourceTar, sourceXml, multimodalExif, multimodalExifStrip,
     multimodalId3, multimodalSceneCut, multimodalSniff, sourceRobots,
     textMojibake, pipelineCompliance)
 }

@@ -1111,6 +1111,52 @@ object Multimodal {
       }, i => 1700000000L + docs(i)._1 % 1000)
     }
 
+  /** Group docs into per-group MediaWiki-style XML dumps
+    * ([[Xml.buildDump]]); page fields derive from (id, text) by the
+    * formulas the q_source_xml oracle replays: title `P&<id>`
+    * (entity escaping exercised on every page), ns id%3→{0,1,10},
+    * revision id·7+3, timestamp day id%28+1 / hour id%24,
+    * contributor `user_<id%50>`, redirect on id%11 = 0. */
+  def xmlBuildFiles(df: DataFrame, groupCols: Seq[String], idCol: String,
+                    textCol: String, outCol: String = "media"): DataFrame =
+    archiveBuildFiles(df, groupCols, idCol, textCol, outCol) { docs =>
+      Xml.buildDump(docs.map { case (id, text) =>
+        Xml.Page(id, (id % 3) match { case 2 => 10 case m => m.toInt },
+          s"P&$id", id * 7 + 3,
+          f"2024-01-${id % 28 + 1}%02dT${id % 24}%02d:00:00Z",
+          s"user_${id % 50}", text, redirect = id % 11 == 0, ok = true)
+      })
+    }
+
+  val XmlPageType: StructType = StructType(Seq(
+    StructField("page_id", LongType, nullable = false),
+    StructField("page_ns", IntegerType, nullable = false),
+    StructField("page_title", StringType),
+    StructField("rev_id", LongType, nullable = false),
+    StructField("rev_ts", StringType),
+    StructField("contributor", StringType),
+    StructField("page_text", StringType),
+    StructField("is_redirect", BooleanType, nullable = false),
+    StructField("page_ok", BooleanType, nullable = false)))
+
+  /** XML dump → page rows ([[Xml.parseDump]] streaming StAX walk):
+    * the per-page twin of [[archiveMembersColumn]] — partition-local
+    * flatMap, dump bytes never shuffle. */
+  def xmlPagesColumn(df: DataFrame, mediaCol: String): DataFrame = {
+    val mi = df.schema.fieldIndex(mediaCol)
+    val keep = df.schema.fields.indices.filterNot(_ == mi)
+    val schema = StructType(keep.map(df.schema.fields) ++ XmlPageType.fields)
+    mapBatched(df, schema) { it =>
+      it.flatMap { row =>
+        val parent = keep.map(row.get)
+        Xml.parseDump(row.getAs[Array[Byte]](mi)).iterator.map { p =>
+          Row.fromSeq(parent ++ Seq(p.id, p.ns, p.title, p.revId,
+            p.timestamp, p.contributor, p.text, p.redirect, p.ok))
+        }
+      }
+    }
+  }
+
   private def archiveBuildFiles(df: DataFrame, groupCols: Seq[String],
                                 idCol: String, textCol: String,
                                 outCol: String)(

@@ -163,7 +163,10 @@ object ScaleProbe {
     // linear cost like framedecode — honest expectation ≈ input
     // factor) and the 14-encoder sniff fixture (builder-dominated,
     // docs-linear)
-    "q_multimodal_scenecut" -> 10, "q_multimodal_sniff" -> 10)
+    "q_multimodal_scenecut" -> 10, "q_multimodal_sniff" -> 10,
+    // round-14: XML dump ingestion (builder + StAX record walk, both
+    // partition-local — docs-linear expectation like zip/tar)
+    "q_source_xml" -> 10)
 
   def main(args: Array[String]): Unit = {
     val sfSmall = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
