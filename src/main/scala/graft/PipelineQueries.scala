@@ -7094,6 +7094,71 @@ object PipelineQueries {
       "FROM cl JOIN fr USING (doc_id) " +
       "GROUP BY cl.source ORDER BY cl.source")
 
+  /** bps-grid + wasted-bits FLAC decode ([[graft.ops.Flac]] widened
+    * to the full 8/12/16/20/24-bit streamable subset, r14): clips
+    * cycle sample width by doc id and carry w ∈ {0, 1, 2} wasted bits
+    * (samples built pre-scaled by 2^w — the upscaled-ADC shape real
+    * encoders extract), even seeds through the LPC planner, odd
+    * through FIXED. The oracle replays the signal formula
+    * s(t) = (((seed·97 + t·31) mod 2^(bps−1−w)) − 2^(bps−2−w)) · 2^w
+    * sample-exactly — a wasted-header slip or a width-dependent
+    * decode bug shears the digest; sum_bps pins STREAMINFO through
+    * the decode; n_bad = 0 pins the all-frames contract at every
+    * width. Bytes never shuffle, registers do. */
+  private val multimodalFlacBps = Q("q_multimodal_flacbps",
+    (s, d) => {
+      val params = docs(s, d).select(col("doc_id"), col("source"),
+          pmod(floor(col("doc_id") / lit(20L)), lit(32L)).cast("int")
+            .as("seed"),
+          (pmod(col("doc_id"), lit(5L)) * 4 + 8).cast("int").as("bps"),
+          pmod(col("doc_id"), lit(3L)).cast("int").as("w"))
+        .withColumn("n",
+          (lit(200) + lit(64) * pmod(col("seed"), lit(5))).cast("int"))
+      val clips = Multimodal.flacBpsPatternColumn(params, "n", "seed",
+        "bps", "w")
+      val dec = Multimodal.flacAudioColumn(clips, "media", FlacDigestMod)
+      dec.groupBy("source")
+        .agg(count(lit(1)).as("n_clips"),
+          sum(when(col("fa").isNull, 1L).otherwise(0L)).as("n_bad"),
+          sum(col("fa.n_frames").cast("long")).as("n_frames"),
+          sum(col("fa.bps").cast("long")).as("sum_bps"),
+          sum(col("fa.n_samples").cast("long")).as("n_samples"),
+          sum(col("fa.sum_s")).as("sum_s"),
+          min(col("fa.min_s")).as("min_s"),
+          max(col("fa.max_s")).as("max_s"),
+          pmod(sum(col("fa.dg")), lit(FlacDigestMod)).as("dg"))
+        .orderBy("source")
+    },
+    "WITH p AS (SELECT doc_id, source, " +
+      "CAST((doc_id // 20) % 32 AS INT) AS seed, " +
+      "CAST(8 + 4 * (doc_id % 5) AS INT) AS bps, " +
+      "CAST(doc_id % 3 AS INT) AS w FROM documents), " +
+      "pp AS (SELECT doc_id, source, seed, bps, w, " +
+      "200 + 64 * (seed % 5) AS n, " +
+      "(1 << (bps - 1 - w)) AS amp FROM p), " +
+      "tt AS (SELECT doc_id, source, seed, bps, w, n, amp, " +
+      "CAST(unnest(range(0, n)) AS INT) AS t FROM pp), " +
+      "v AS (SELECT doc_id, source, t, " +
+      "CAST(((seed * 97 + t * 31) % amp - amp // 2) * (1 << w) AS INT) " +
+      "AS s FROM tt), " +
+      "cl AS (SELECT doc_id, any_value(source) AS source, " +
+      "CAST(sum(s) AS BIGINT) AS sum_s, min(s) AS min_s, " +
+      "max(s) AS max_s, " +
+      s"CAST(sum(CAST(t + 1 AS BIGINT) * (s + 32768)) AS BIGINT) " +
+      s"% $FlacDigestMod AS dgc, " +
+      "count(*) AS n_samples FROM v GROUP BY doc_id) " +
+      "SELECT cl.source, count(*) AS n_clips, " +
+      "CAST(0 AS BIGINT) AS n_bad, " +
+      "CAST(sum((pp.n + 63) // 64) AS BIGINT) AS n_frames, " +
+      "CAST(sum(pp.bps) AS BIGINT) AS sum_bps, " +
+      "CAST(sum(cl.n_samples) AS BIGINT) AS n_samples, " +
+      "CAST(sum(cl.sum_s) AS BIGINT) AS sum_s, " +
+      "min(cl.min_s) AS min_s, max(cl.max_s) AS max_s, " +
+      s"((CAST(sum(cl.dgc) AS BIGINT) % $FlacDigestMod) " +
+      s"+ $FlacDigestMod) % $FlacDigestMod AS dg " +
+      "FROM cl JOIN pp USING (doc_id) " +
+      "GROUP BY cl.source ORDER BY cl.source")
+
   /** Real IMA-ADPCM decode ([[graft.ops.Adpcm]] — the LOSSY audio
     * codec beside FLAC's lossless leg): clips built from the standard
     * audio formula through the REAL 4-bit encoder (WAV fmt 0x11,
@@ -11881,7 +11946,8 @@ object PipelineQueries {
     multimodalFlacDecode, multimodalAdpcm, dedupJaroWinkler,
     shardBloomIndex, dedupEntityJw, textLuhn, textLicense,
     multimodalFlacStereo, multimodalAudioSim, pipelineOptout,
-    sourceZip, sourceTar, sourceXml, multimodalExif, multimodalExifStrip,
+    sourceZip, sourceTar, sourceXml, multimodalFlacBps,
+    multimodalExif, multimodalExifStrip,
     multimodalId3, multimodalSceneCut, multimodalSniff, sourceRobots,
     textMojibake, pipelineCompliance)
 }

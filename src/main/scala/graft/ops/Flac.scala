@@ -2,12 +2,14 @@ package graft.ops
 
 /** Pure-JVM FLAC: STREAMINFO metadata (the lossless-audio leg of the
   * media-metadata family) plus REAL frame-level encode/decode of the
-  * 16-bit subset — CONSTANT, VERBATIM, FIXED-predictor, and LPC
-  * subframes with Rice-coded residuals, mono and stereo (independent,
-  * left/side, right/side, mid/side channel decorrelation, the side
-  * channel at 17 bits), CRC-8 frame headers and CRC-16 frame
-  * trailers, all per RFC 9639 (§8.2 STREAMINFO, §9 frames, §9.2.7
-  * Rice coding, §10.2 interchannel decorrelation). FLAC is lossless,
+  * 8/12/16/20/24-bit subset — CONSTANT, VERBATIM, FIXED-predictor,
+  * and LPC subframes with Rice-coded residuals, wasted-bits
+  * extraction (upscaled sources encode at their true width, RFC 9639
+  * §9.2.2), mono and stereo (independent, left/side, right/side,
+  * mid/side channel decorrelation, the side channel at bps+1 bits),
+  * CRC-8 frame headers and CRC-16 frame trailers, all per RFC 9639
+  * (§8.2 STREAMINFO, §9 frames, §9.2.7 Rice coding, §10.2
+  * interchannel decorrelation). FLAC is lossless,
   * so decode(encode(s)) == s bit-for-bit — the oracle property the
   * flacdecode queries pin against the signal formula without ever
   * touching bytes. The LPC encoder computes real coefficients
@@ -16,11 +18,13 @@ package graft.ops
   * because residuals are taken against the same integer predictor
   * the decoder runs.
   *
-  * Boundary (declared): bps ≠ 16, > 2 channels, wasted bits, and the
-  * Rice escape code are not decoded (→ None) — the [[FrameDecoder]]
-  * registry discipline: a real subset decoder with the unsupported
-  * branches explicit, not a fixture-only parser. Metadata parse
-  * ([[Flac.parseMeta]]) remains total on garbage. */
+  * Boundary (declared): bps outside {8, 12, 16, 20, 24} (the
+  * streamable-subset grid the frame-header size code expresses
+  * directly), > 2 channels, and the Rice escape code are not decoded
+  * (→ None) — the [[FrameDecoder]] registry discipline: a real
+  * subset decoder with the unsupported branches explicit, not a
+  * fixture-only parser. Metadata parse ([[Flac.parseMeta]]) remains
+  * total on garbage. */
 object Flac {
 
   /** Big-endian bit writer (FLAC packs all fields MSB-first). */
@@ -116,11 +120,13 @@ object Flac {
     * STREAMINFO, UTF-8-coded frame number, CRC-8; frames end
     * byte-aligned with CRC-16. */
   def encode(sampleRateHz: Int, samples: Array[Int],
-             blockSize: Int = 64): Array[Byte] = {
+             blockSize: Int = 64, bps: Int = 16): Array[Byte] = {
     require(blockSize >= 8 && blockSize <= 256, s"bad block size $blockSize")
-    require(samples.forall(s => s >= -32768 && s <= 32767), "not 16-bit")
+    val szc = sizeCodeOf(bps)
+    val (lo, hi) = (-(1 << (bps - 1)), (1 << (bps - 1)) - 1)
+    require(samples.forall(s => s >= lo && s <= hi), s"not $bps-bit")
     val out = new java.io.ByteArrayOutputStream()
-    out.write(buildStreamInfo(sampleRateHz, 1, 16, samples.length.toLong,
+    out.write(buildStreamInfo(sampleRateHz, 1, bps, samples.length.toLong,
       blockSize))
     val nf = (samples.length + blockSize - 1) / blockSize
     var f = 0
@@ -129,11 +135,11 @@ object Flac {
       val len = math.min(blockSize, samples.length - from)
       require(f < 128, s"frame number $f needs multi-byte UTF-8")
       val head = Array[Byte](0xff.toByte, 0xf8.toByte, 0x60.toByte,
-        0x08.toByte, f.toByte, (len - 1).toByte, 0)
+        (szc << 1).toByte, f.toByte, (len - 1).toByte, 0)
       head(6) = crc8(head, 0, 6).toByte
       val bw = new BitWriter
       head.foreach(b => bw.write(b & 0xffL, 8))
-      writeSubframe(bw, samples, from, len, 16,
+      writeSubframeAuto(bw, samples, from, len, bps,
         planSubframe(samples, from, len))
       val frame = bw.bytes
       val c16 = crc16(frame, 0, frame.length)
@@ -146,19 +152,26 @@ object Flac {
 
   private def writeSubframe(bw: BitWriter, s: Array[Int], from: Int,
                             len: Int, bits: Int,
-                            kind: SubframeKind): Unit = {
+                            kind: SubframeKind, wasted: Int = 0): Unit = {
     val mask = (1L << bits) - 1
+    // subframe header: pad(1) | type(6) | wasted flag(1), then the
+    // wasted count minus one in unary (RFC 9639 §9.2.2); `bits` is
+    // the EFFECTIVE width (caller already subtracted `wasted`)
+    def hdr(typ: Long): Unit = {
+      bw.write((typ << 1) | (if (wasted > 0) 1L else 0L), 8)
+      if (wasted > 0) bw.writeUnary(wasted - 1)
+    }
     kind match {
       case SfConstant =>
-        bw.write(0x00L, 8) // pad|type 000000|wasted 0
+        hdr(0x00L)
         bw.write(s(from).toLong & mask, bits)
       case SfVerbatim =>
-        bw.write(0x02L, 8) // type 000001
+        hdr(0x01L)
         var t = 0
         while (t < len) { bw.write(s(from + t).toLong & mask, bits)
           t += 1 }
       case SfFixed(order, k) =>
-        bw.write((0x08L | order.toLong) << 1, 8) // type 001ooo
+        hdr(0x08L | order.toLong) // type 001ooo
         var t = 0
         while (t < order) { bw.write(s(from + t).toLong & mask, bits)
           t += 1 }
@@ -173,7 +186,7 @@ object Flac {
           t += 1
         }
       case SfLpc(order, prec, shift, coefs, k) =>
-        bw.write((0x20L | (order - 1).toLong) << 1, 8) // type 1ooooo
+        hdr(0x20L | (order - 1).toLong) // type 1ooooo
         var t = 0
         while (t < order) { bw.write(s(from + t).toLong & mask, bits)
           t += 1 }
@@ -191,6 +204,48 @@ object Flac {
           bw.write(m & ((1L << k) - 1), k)
           t += 1
         }
+    }
+  }
+
+  /** Frame-header sample-size code (RFC 9639 §9.1.3) for the bps
+    * subset this codec speaks. */
+  private def sizeCodeOf(bps: Int): Int = bps match {
+    case 8 => 1; case 12 => 2; case 16 => 4; case 20 => 5; case 24 => 6
+    case _ => throw new IllegalArgumentException(s"unsupported bps $bps")
+  }
+
+  /** Common trailing-zero width of a block (0 for an all-zero block —
+    * that's CONSTANT anyway), capped so at least one significant bit
+    * remains: the wasted-bits count real encoders extract from
+    * upscaled sources (e.g. 12-bit ADC samples shipped as 16-bit). */
+  private def wastedBits(s: Array[Int], from: Int, len: Int,
+                         bits: Int): Int = {
+    var or = 0
+    var t = 0
+    while (t < len) { or |= s(from + t); t += 1 }
+    if (or == 0) 0
+    else math.min(java.lang.Integer.numberOfTrailingZeros(or), bits - 1)
+  }
+
+  /** [[writeSubframe]] with wasted-bit extraction: when every sample
+    * in the block shares `w` trailing zero bits, shift down and
+    * encode at width `bits − w` with the wasted header (RFC 9639
+    * §9.2.2). The plan (kind, Rice k, LPC coefs) is computed by the
+    * caller on the ORIGINAL values — kinds are shift-invariant,
+    * k is merely conservative for the smaller residuals, and the
+    * LPC analysis is scale-invariant; residuals are recomputed from
+    * the shifted values inside [[writeSubframe]], so losslessness
+    * never depends on the plan's provenance. */
+  private def writeSubframeAuto(bw: BitWriter, s: Array[Int], from: Int,
+                                len: Int, bits: Int,
+                                kind: SubframeKind): Unit = {
+    val w = wastedBits(s, from, len, bits)
+    if (w == 0) writeSubframe(bw, s, from, len, bits, kind)
+    else {
+      val t = new Array[Int](len)
+      var i = 0
+      while (i < len) { t(i) = s(from + i) >> w; i += 1 }
+      writeSubframe(bw, t, 0, len, bits - w, kind, w)
     }
   }
 
@@ -282,12 +337,15 @@ object Flac {
     * FIXED/VERBATIM plan as fallback. Same framing contract as
     * [[encode]]. */
   def encodeLpc(sampleRateHz: Int, samples: Array[Int],
-                blockSize: Int = 64, order: Int = 4): Array[Byte] = {
+                blockSize: Int = 64, order: Int = 4,
+                bps: Int = 16): Array[Byte] = {
     require(blockSize >= 8 && blockSize <= 256, s"bad block size $blockSize")
     require(order >= 1 && order <= 8, s"bad LPC order $order")
-    require(samples.forall(s => s >= -32768 && s <= 32767), "not 16-bit")
+    val szc = sizeCodeOf(bps)
+    val (lo, hi) = (-(1 << (bps - 1)), (1 << (bps - 1)) - 1)
+    require(samples.forall(s => s >= lo && s <= hi), s"not $bps-bit")
     val out = new java.io.ByteArrayOutputStream()
-    out.write(buildStreamInfo(sampleRateHz, 1, 16, samples.length.toLong,
+    out.write(buildStreamInfo(sampleRateHz, 1, bps, samples.length.toLong,
       blockSize))
     val nf = (samples.length + blockSize - 1) / blockSize
     var f = 0
@@ -296,11 +354,11 @@ object Flac {
       val len = math.min(blockSize, samples.length - from)
       require(f < 128, s"frame number $f needs multi-byte UTF-8")
       val head = Array[Byte](0xff.toByte, 0xf8.toByte, 0x60.toByte,
-        0x08.toByte, f.toByte, (len - 1).toByte, 0)
+        (szc << 1).toByte, f.toByte, (len - 1).toByte, 0)
       head(6) = crc8(head, 0, 6).toByte
       val bw = new BitWriter
       head.foreach(b => bw.write(b & 0xffL, 8))
-      writeSubframe(bw, samples, from, len, 16,
+      writeSubframeAuto(bw, samples, from, len, bps,
         planLpcSubframe(samples, from, len, order, 12))
       val frame = bw.bytes
       val c16 = crc16(frame, 0, frame.length)
@@ -318,13 +376,16 @@ object Flac {
     * channel is 17-bit as the spec requires. Subframes follow the
     * [[encode]] plan per channel (LPC when `useLpc`). */
   def encodeStereo(sampleRateHz: Int, left: Array[Int], right: Array[Int],
-                   blockSize: Int = 64, useLpc: Boolean = false): Array[Byte] = {
+                   blockSize: Int = 64, useLpc: Boolean = false,
+                   bps: Int = 16): Array[Byte] = {
     require(blockSize >= 8 && blockSize <= 256, s"bad block size $blockSize")
     require(left.length == right.length, "channel length mismatch")
-    require(left.forall(s => s >= -32768 && s <= 32767) &&
-      right.forall(s => s >= -32768 && s <= 32767), "not 16-bit")
+    val szc = sizeCodeOf(bps)
+    val (slo, shi) = (-(1 << (bps - 1)), (1 << (bps - 1)) - 1)
+    require(left.forall(s => s >= slo && s <= shi) &&
+      right.forall(s => s >= slo && s <= shi), s"not $bps-bit")
     val out = new java.io.ByteArrayOutputStream()
-    out.write(buildStreamInfo(sampleRateHz, 2, 16, left.length.toLong,
+    out.write(buildStreamInfo(sampleRateHz, 2, bps, left.length.toLong,
       blockSize))
     def plan(s: Array[Int], from: Int, len: Int): SubframeKind =
       if (useLpc) planLpcSubframe(s, from, len, 4, 12)
@@ -344,18 +405,18 @@ object Flac {
         case _ => 10 // mid/side
       }
       val (ch0, ch1, b0, b1) = chanCode match {
-        case 1 => (left, right, 16, 16)
-        case 8 => (left, side, 16, 17)
-        case 9 => (side, right, 17, 16)
-        case _ => (mid, side, 16, 17)
+        case 1 => (left, right, bps, bps)
+        case 8 => (left, side, bps, bps + 1)
+        case 9 => (side, right, bps + 1, bps)
+        case _ => (mid, side, bps, bps + 1)
       }
       val head = Array[Byte](0xff.toByte, 0xf8.toByte, 0x60.toByte,
-        ((chanCode << 4) | 0x08).toByte, f.toByte, (len - 1).toByte, 0)
+        ((chanCode << 4) | (szc << 1)).toByte, f.toByte, (len - 1).toByte, 0)
       head(6) = crc8(head, 0, 6).toByte
       val bw = new BitWriter
       head.foreach(b => bw.write(b & 0xffL, 8))
-      writeSubframe(bw, ch0, from, len, b0, plan(ch0, from, len))
-      writeSubframe(bw, ch1, from, len, b1, plan(ch1, from, len))
+      writeSubframeAuto(bw, ch0, from, len, b0, plan(ch0, from, len))
+      writeSubframeAuto(bw, ch1, from, len, b1, plan(ch1, from, len))
       val frame = bw.bytes
       val c16 = crc16(frame, 0, frame.length)
       out.write(frame)
@@ -407,11 +468,21 @@ object Flac {
     * tag 0/1/2/3 = constant/verbatim/fixed/lpc, or -1 on any
     * malformation. */
   private def decodeSubframe(br: BitReader, out: Array[Long], n: Int,
-                             bits: Int): Int = {
+                             width: Int): Int = {
+    val sfHead = br.read(8)
+    if ((sfHead & 0x80L) != 0) return -1
+    // wasted bits (RFC 9639 §9.2.2): flag bit, then count-1 in unary;
+    // the subframe decodes at the reduced width and every sample is
+    // shifted back up at the end
+    val wasted = if ((sfHead & 1L) != 0) br.readUnary() + 1 else 0
+    val bits = width - wasted
+    if (bits <= 0 || br.fail) return -1
     def sext(v: Long): Long = (v << (64 - bits)) >> (64 - bits)
     val lo = -(1L << (bits - 1)); val hi = (1L << (bits - 1)) - 1
-    val sfHead = br.read(8)
-    if ((sfHead & 0x80L) != 0 || (sfHead & 1L) != 0) return -1
+    def shiftUp(): Unit = if (wasted > 0) {
+      var t = 0
+      while (t < n) { out(t) = out(t) << wasted; t += 1 }
+    }
     val typ = ((sfHead >> 1) & 0x3f).toInt
     def residuals(order: Int, pred: Int => Long): Boolean = {
       if (br.read(2) != 0L) return false // only Rice 4-bit method
@@ -441,11 +512,11 @@ object Flac {
       val v = sext(br.read(bits))
       var t = 0
       while (t < n) { out(t) = v; t += 1 }
-      0
+      shiftUp(); 0
     } else if (typ == 1) { // VERBATIM
       var t = 0
       while (t < n) { out(t) = sext(br.read(bits)); t += 1 }
-      1
+      shiftUp(); 1
     } else if ((typ & 0x38) == 0x08 && (typ & 0x07) <= 4) { // FIXED
       val order = typ & 0x07
       if (order > n) return -1
@@ -459,7 +530,7 @@ object Flac {
         case _ => 4L * out(t - 1) - 6L * out(t - 2) +
           4L * out(t - 3) - out(t - 4)
       })
-      if (ok) 2 else -1
+      if (ok) { shiftUp(); 2 } else -1
     } else if ((typ & 0x20) != 0) { // LPC, order-1 in low 5 bits
       val order = (typ & 0x1f) + 1
       if (order > n) return -1
@@ -479,29 +550,33 @@ object Flac {
         while (i < order) { acc += coefs(i) * out(t - 1 - i); i += 1 }
         acc >> shift
       })
-      if (ok) 3 else -1
+      if (ok) { shiftUp(); 3 } else -1
     } else -1 // reserved type
   }
 
-  /** Decode a 16-bit mono or stereo FLAC stream written by any
-    * spec-conforming encoder using CONSTANT / VERBATIM / FIXED / LPC
-    * subframes (Rice method 0, any partition order whose partitions
-    * divide evenly) and any channel assignment (independent,
-    * left/side, right/side, mid/side — side channels at bps+1 per
-    * the spec). Verifies sync, header CRC-8, and frame CRC-16; any
-    * violation, truncation, trailing garbage, sample-count mismatch
-    * with STREAMINFO, or an unsupported branch (bps ≠ 16, > 2
-    * channels, wasted bits, Rice escape) returns None — the
-    * all-frames-or-nothing corrupt-media contract. Stereo output is
-    * interleaved L,R. */
+  /** Decode an 8/12/16/20/24-bit mono or stereo FLAC stream written
+    * by any spec-conforming encoder using CONSTANT / VERBATIM /
+    * FIXED / LPC subframes (Rice method 0, any partition order whose
+    * partitions divide evenly), wasted bits, and any channel
+    * assignment (independent, left/side, right/side, mid/side — side
+    * channels at bps+1 per the spec). Verifies sync, header CRC-8,
+    * and frame CRC-16; any violation, truncation, trailing garbage,
+    * sample-count mismatch with STREAMINFO, or an unsupported branch
+    * (bps outside the grid, > 2 channels, Rice escape) returns None —
+    * the all-frames-or-nothing corrupt-media contract. Stereo output
+    * is interleaved L,R. */
   def decode(b: Array[Byte]): Option[FlacAudio] = {
     val info = parseMeta(b) match {
       case Some(i) if (i.channels == 1 || i.channels == 2) &&
-        i.bitsPerSample == 16 && i.totalSamples > 0 &&
+        Set(8, 12, 16, 20, 24).contains(i.bitsPerSample) &&
+        i.totalSamples > 0 &&
         i.totalSamples * i.channels <= (1 << 24) => i
       case _ => return None
     }
     val nCh = info.channels
+    val bps = info.bitsPerSample
+    val szc = sizeCodeOf(bps)
+    val sampLo = -(1L << (bps - 1)); val sampHi = (1L << (bps - 1)) - 1
     // frame region starts after the last metadata block
     var o = 4L
     var last = false
@@ -527,7 +602,7 @@ object Flac {
       val rateCode = b(fs + 2) & 0x0f
       val chanCode = (b(fs + 3) & 0xf0) >> 4
       val sizeCode = (b(fs + 3) & 0x0e) >> 1
-      if (sizeCode != 4 || rateCode != 0) return None
+      if (sizeCode != szc || rateCode != 0) return None
       val stereoMode =
         if (nCh == 1 && chanCode == 0) 0
         else if (nCh == 2 &&
@@ -559,7 +634,7 @@ object Flac {
         val side = (stereoMode == 8 && c == 1) ||
           (stereoMode == 9 && c == 0) || (stereoMode == 10 && c == 1)
         val kind = decodeSubframe(br, if (c == 0) ch0 else ch1, n,
-          if (side) 17 else 16)
+          if (side) bps + 1 else bps)
         kind match {
           case 0 => nC += 1
           case 1 => nV += 1
@@ -574,7 +649,7 @@ object Flac {
       if (nCh == 1) {
         while (t < n) {
           val v = ch0(t)
-          if (v < -32768 || v > 32767) return None
+          if (v < sampLo || v > sampHi) return None
           out(filled + t) = v.toInt
           t += 1
         }
@@ -588,7 +663,7 @@ object Flac {
               val lr = (ch0(t) << 1) | (ch1(t) & 1L)
               ((lr + ch1(t)) >> 1, (lr - ch1(t)) >> 1)
           }
-          if (l < -32768 || l > 32767 || r < -32768 || r > 32767)
+          if (l < sampLo || l > sampHi || r < sampLo || r > sampHi)
             return None
           out((filled + t) * 2) = l.toInt
           out((filled + t) * 2 + 1) = r.toInt

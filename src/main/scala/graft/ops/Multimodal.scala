@@ -856,8 +856,44 @@ object Multimodal {
     }
   }
 
+  /** Deterministic bps-grid FLAC clip builder — [[flacPatternColumn]]
+    * widened to the full 8/12/16/20/24-bit subset with wasted-bit
+    * extraction on the wire. Per (n, seed, bps, w) row the samples
+    * are s(t) = (((seed·97 + t·31) mod A) − A/2) · 2^w with
+    * A = 2^(bps−1−w) — every sample carries exactly w trailing zero
+    * bits (t ≡ seed (mod A) positions may carry more; the encoder's
+    * per-block OR-fold finds the true common width, which the
+    * decoder undoes bit-exactly either way). Even seeds encode
+    * through the LPC planner, odd through the FIXED one — both paths
+    * on the wire at every width. */
+  def flacBpsPatternColumn(df: DataFrame, nCol: String, seedCol: String,
+                           bpsCol: String, wCol: String,
+                           outCol: String = "media"): DataFrame = {
+    val schema = df.schema.add(outCol, BinaryType)
+    val is = Seq(nCol, seedCol, bpsCol, wCol).map(df.schema.fieldIndex)
+    mapBatched(df, schema) { it =>
+      it.map { row =>
+        val n = row.getInt(is(0))
+        val seed = row.getInt(is(1))
+        val bps = row.getInt(is(2))
+        val w = row.getInt(is(3))
+        val amp = 1 << (bps - 1 - w)
+        val samples = new Array[Int](n)
+        var t = 0
+        while (t < n) {
+          samples(t) = ((seed * 97 + t * 31) % amp - amp / 2) << w
+          t += 1
+        }
+        Row.fromSeq(row.toSeq :+ (if (seed % 2 == 0)
+          Flac.encodeLpc(8000, samples, 64, 4, bps)
+        else Flac.encode(8000, samples, 64, bps)))
+      }
+    }
+  }
+
   val FlacAudioType: StructType = StructType(Seq(
     StructField("sample_rate", IntegerType),
+    StructField("bps", IntegerType),
     StructField("n_samples", IntegerType),
     StructField("n_frames", IntegerType),
     StructField("n_const", IntegerType),
@@ -889,8 +925,9 @@ object Multimodal {
           dg = (dg + (t + 1).toLong * (s + 32768L)) % digestMod
           t += 1
         }
-        Row(a.info.sampleRateHz, a.samples.length, a.nFrames,
-          a.nConstant, a.nVerbatim, a.nFixed, a.nLpc, sum, mn, mx, dg)
+        Row(a.info.sampleRateHz, a.info.bitsPerSample, a.samples.length,
+          a.nFrames, a.nConstant, a.nVerbatim, a.nFixed, a.nLpc,
+          sum, mn, mx, dg)
       }.orNull)
 
   /** Deterministic IMA-ADPCM clip builder — the LOSSY twin of

@@ -166,7 +166,10 @@ object ScaleProbe {
     "q_multimodal_scenecut" -> 10, "q_multimodal_sniff" -> 10,
     // round-14: XML dump ingestion (builder + StAX record walk, both
     // partition-local — docs-linear expectation like zip/tar)
-    "q_source_xml" -> 10)
+    "q_source_xml" -> 10,
+    // round-14: bps-grid + wasted-bits FLAC decode (real codec work
+    // per clip like flacdecode — honest expectation ≈ input factor)
+    "q_multimodal_flacbps" -> 10)
 
   def main(args: Array[String]): Unit = {
     val sfSmall = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

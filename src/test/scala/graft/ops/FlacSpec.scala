@@ -160,4 +160,58 @@ class FlacSpec extends AnyFunSuite {
     assert(a.samples.toSeq == s.toSeq, "code-1 blocksize lossless")
     assert(a.nFrames == 1)
   }
+
+  test("bps grid round-trip: 8/12/16/20/24-bit mono (plain + LPC) and " +
+    "stereo streams decode losslessly, STREAMINFO bps pinned") {
+    val rnd = new scala.util.Random(14)
+    for (bps <- Seq(8, 12, 16, 20, 24)) {
+      val amp = (1 << (bps - 1)) - 1
+      val n = 200
+      val mono = Array.tabulate(n)(t =>
+        (math.sin(t / 7.0) * (amp / 2)).toInt + rnd.nextInt(17) - 8)
+      val a = Flac.decode(Flac.encode(8000, mono, 64, bps)).get
+      assert(a.info.bitsPerSample == bps && a.samples.toSeq == mono.toSeq,
+        s"mono bps=$bps")
+      val b = Flac.decode(Flac.encodeLpc(8000, mono, 64, 4, bps)).get
+      assert(b.samples.toSeq == mono.toSeq, s"lpc bps=$bps")
+      assert(b.nLpc > 0, s"lpc subframes present at bps=$bps")
+      val left = mono
+      val right = Array.tabulate(n)(t => -mono(t) / 2 + rnd.nextInt(9) - 4)
+      val st = Flac.decode(
+        Flac.encodeStereo(8000, left, right, 64, useLpc = true, bps)).get
+      assert(st.info.channels == 2 && st.info.bitsPerSample == bps)
+      assert(st.samples.grouped(2).map(_(0)).toSeq == left.toSeq &&
+        st.samples.grouped(2).map(_(1)).toSeq == right.toSeq,
+        s"stereo bps=$bps")
+    }
+  }
+
+  test("wasted bits: upscaled sources ride the wire at reduced width, " +
+    "decode losslessly, and the stream is genuinely smaller") {
+    val rnd = new scala.util.Random(9)
+    val n = 192
+    val base = Array.tabulate(n)(t =>
+      (math.sin(t / 5.0) * 900).toInt + rnd.nextInt(33) - 16)
+    // 16-bit samples that are all multiples of 16 (4 wasted bits):
+    // a 12-bit ADC shipped as 16-bit — the canonical wasted case
+    val up = base.map(_ * 16)
+    val enc = Flac.encode(8000, up, 64)
+    val a = Flac.decode(enc).get
+    assert(a.samples.toSeq == up.toSeq, "wasted-bit mono lossless")
+    // the same signal WITHOUT common trailing zeros costs more bits
+    val noisy = up.zipWithIndex.map { case (v, i) => v + (i % 2) }
+    assert(enc.length < Flac.encode(8000, noisy, 64).length)
+    // stereo + LPC with per-channel wasted bits (right channel only)
+    val left = base
+    val right = base.map(_ * 8)
+    val st = Flac.decode(
+      Flac.encodeStereo(8000, left, right, 64, useLpc = true)).get
+    assert(st.samples.grouped(2).map(_(0)).toSeq == left.toSeq &&
+      st.samples.grouped(2).map(_(1)).toSeq == right.toSeq,
+      "per-channel wasted stereo lossless")
+    // 24-bit + wasted combined
+    val up24 = base.map(_ * 1024)
+    val c = Flac.decode(Flac.encode(8000, up24, 64, 24)).get
+    assert(c.samples.toSeq == up24.toSeq, "24-bit wasted lossless")
+  }
 }
