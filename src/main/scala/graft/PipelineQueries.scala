@@ -7426,6 +7426,100 @@ object PipelineQueries {
       s"CAST(sum(${TextAnalysis.TokenHashSql("cleaned")} % $DigestMod) " +
       "AS BIGINT) AS checksum FROM c GROUP BY source ORDER BY source")
 
+  /** Robots-GATED crawl ingestion (r14 — real crawls gate at fetch
+    * time, not post-hoc): the [[pipelineIngest]] chain with
+    * [[graft.ops.Robots.decisionColumn]] composed BEFORE the WARC
+    * build, so disallowed pages never enter the archive. Per-host
+    * robots files and the URL paths reuse the q_source_robots
+    * fixture axes (specific-agent shadowing, longest-match ties, the
+    * /tmp wildcard); the oracle recomposes the RFC truth table with
+    * the extraction formula — the checksum covers ONLY archived
+    * pages, so a gate that leaks one disallowed page (or drops one
+    * allowed page) into the .warc.gz breaks the hash. Grain is
+    * (source, host): the per-host block counts a polite crawler
+    * reports. Page bytes never leave their partition. */
+  private val pipelineIngestRobots = Q("q_pipeline_ingest_robots",
+    (s, d) => {
+      val d0 = docs(s, d).select(col("doc_id"), col("source"),
+          pmod(col("doc_id"), lit(8)).as("shard"),
+          concat(lit("Doc "), col("doc_id").cast("string")).as("title"),
+          col("text"))
+        .withColumn("h", pmod(col("doc_id"), lit(8)).cast("int"))
+        .withColumn("pidx", pmod(col("doc_id") * 3, lit(5)).cast("int"))
+        .withColumn("path", element_at(array(lit("/a"), lit("/private/x"),
+          lit("/private/ok/y"), lit("/tmp/z"), lit("/b")),
+          col("pidx") + 1))
+        .withColumn("robots", concat(
+          lit("# fixture\nUser-agent: *\nDisallow: /private\n" +
+            "Allow: /private/ok\n"),
+          when(pmod(col("h"), lit(3)) === 0, "Disallow: /tmp/*\n")
+            .otherwise(""),
+          when(pmod(col("h"), lit(2)) === 0, "Allow: /a$\nDisallow: /a\n")
+            .otherwise(""),
+          concat(lit("Crawl-delay: "), col("h"), lit("\n")),
+          when(pmod(col("h"), lit(4)) === 0,
+            "\nUser-agent: graftbot\nDisallow: /b\n").otherwise("")))
+      val gated = graft.ops.Robots.decisionColumn(d0, "robots", "path",
+        "graftbot")
+      val gate = gated.groupBy("source", "h")
+        .agg(count(lit(1)).as("n_pages"),
+          sum(when(!col("allowed"), 1L).otherwise(0L)).as("n_blocked"),
+          sum(when(!col("allowed"), col("doc_id")).otherwise(0L))
+            .as("sum_doc_blocked"))
+      val pages = Multimodal.htmlBuildColumn(
+        gated.where(col("allowed")), "title", "text", Seq("Home", "About"))
+      val withUri = pages.select(col("doc_id"), col("source"), col("h"),
+        col("shard"),
+        concat(lit("https://h"), col("h"), lit(".example.com"),
+          col("path"), lit("/"), col("doc_id").cast("string")).as("uri"),
+        col("html"))
+      val files = Multimodal.warcBuildFiles(withUri,
+        Seq("source", "h", "shard"), "uri", "doc_id", "html")
+      val recs = Multimodal.warcRecordsColumn(files, "media")
+        .where(col("warc_type") === "response")
+      val arch = Multimodal.htmlTextColumn(recs, "body_text", "cleaned")
+        .groupBy("source", "h")
+        .agg(count(lit(1)).as("n_archived"),
+          sum(length(col("cleaned")).cast("long")).as("sum_len"),
+          sum(TextAnalysis.tokenHash(col("cleaned")) % lit(DigestMod))
+            .as("checksum"))
+      gate.join(arch, Seq("source", "h"), "left")
+        .select(col("source"), col("h").as("host"), col("n_pages"),
+          col("n_blocked"),
+          coalesce(col("n_archived"), lit(0L)).as("n_archived"),
+          col("sum_doc_blocked"),
+          coalesce(col("sum_len"), lit(0L)).as("sum_len"),
+          coalesce(col("checksum"), lit(0L)).as("checksum"))
+        .orderBy("source", "host")
+    },
+    "WITH p AS (SELECT doc_id, source, CAST(doc_id % 8 AS INT) AS h, " +
+      "CAST((doc_id * 3) % 5 AS INT) AS pidx, " +
+      "trim(regexp_replace(replace(text, chr(10), ' '), " +
+      "'[ \\t\\r]+', ' ', 'g')) AS body FROM documents), " +
+      // same hand-derived RFC truth table as q_source_robots
+      "q AS (SELECT *, CASE WHEN h % 4 = 0 THEN pidx <> 4 " +
+      "WHEN pidx = 1 THEN FALSE " +
+      "WHEN pidx = 3 THEN h % 3 <> 0 " +
+      "ELSE TRUE END AS allowed FROM p), " +
+      "c AS (SELECT doc_id, source, h, allowed, " +
+      "'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || 'Home' || " +
+      "chr(10) || 'About' || chr(10) || " +
+      "CASE WHEN body = '' THEN '' ELSE body || chr(10) END || " +
+      "'&copy; example inc' AS cleaned FROM q) " +
+      "SELECT source, h AS host, count(*) AS n_pages, " +
+      "CAST(sum(CASE WHEN allowed THEN 0 ELSE 1 END) AS BIGINT) " +
+      "AS n_blocked, " +
+      "CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_archived, " +
+      "CAST(sum(CASE WHEN allowed THEN 0 ELSE doc_id END) AS BIGINT) " +
+      "AS sum_doc_blocked, " +
+      "CAST(sum(CASE WHEN allowed THEN length(cleaned) ELSE 0 END) " +
+      "AS BIGINT) AS sum_len, " +
+      s"CAST(sum(CASE WHEN allowed THEN " +
+      s"${TextAnalysis.TokenHashSql("cleaned")} % $DigestMod " +
+      "ELSE 0 END) AS BIGINT) AS checksum " +
+      "FROM c GROUP BY source, h ORDER BY source, host")
+
   // ------------------------------------------- sampling / packing / rewrite
 
   /** Per-source keep rates for the stratified-sample oracle (domain
@@ -11917,7 +12011,8 @@ object PipelineQueries {
     textUrls,
     qualityGopher, multimodalMeta,
     multimodalMp4, multimodalMp3, multimodalAvc, multimodalFlac,
-    sourceWarc, sourceMarkdown, pipelineIngest, curation, trainMix,
+    sourceWarc, sourceMarkdown, pipelineIngest, pipelineIngestRobots,
+    curation, trainMix,
     pipelineModern, pipelineDiff, pipelineSelect,
     sampleStratified, sampleTemperature, sampleRepeat, sampleFixedN,
     sampleGroupSplit, sampleKfold, embedMatryoshka, textZipf, sampleDoremi,

@@ -169,7 +169,10 @@ object ScaleProbe {
     "q_source_xml" -> 10,
     // round-14: bps-grid + wasted-bits FLAC decode (real codec work
     // per clip like flacdecode — honest expectation ≈ input factor)
-    "q_multimodal_flacbps" -> 10)
+    "q_multimodal_flacbps" -> 10,
+    // round-14: robots-gated ingest (the pipelineIngest chain with a
+    // map-only gate in front — docs-linear like ingest itself)
+    "q_pipeline_ingest_robots" -> 10)
 
   def main(args: Array[String]): Unit = {
     val sfSmall = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -1880,4 +1880,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch, s"$got vs $batch")
   }
 
+
+  test("round-14 XML dump page walk is a PURE MAP: xmlPagesColumn runs " +
+    "the identical plan on a streaming frame and matches batch row " +
+    "for row") {
+    import graft.ops.{Multimodal, Xml}
+    val s = spark
+    import s.implicits._
+    val dumps = Seq(
+      (100L, Xml.buildDump(Seq(
+        Xml.Page(1L, 0, "P&1", 10L, "2024-01-02T03:00:00Z", "u1",
+          "alpha body", redirect = false, ok = true),
+        Xml.Page(2L, 10, "P&2", 17L, "2024-01-03T04:00:00Z", "u2",
+          "beta < body >", redirect = true, ok = true)))),
+      (200L, Xml.buildDump(Seq(
+        Xml.Page(3L, 1, "P&3", 24L, "2024-01-04T05:00:00Z", "u3",
+          "", redirect = false, ok = true)))))
+    def pipeline(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      Multimodal.xmlPagesColumn(df, "media")
+        .select("gid", "page_id", "page_title", "rev_id", "page_text",
+          "is_redirect", "page_ok")
+    val src = dumps.toDF("gid", "media")
+    val batch = pipeline(src).collect()
+      .map(r => r.getLong(1) -> (r.getString(2), r.getLong(3),
+        r.getString(4), r.getBoolean(5))).toMap
+    assert(batch(2L) == (("P&2", 17L, "beta < body >", true)))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("r14_stream").toFile
+    tmp.deleteOnExit()
+    src.coalesce(1).write.parquet(new java.io.File(tmp, "d").toString)
+    val stream = spark.readStream.schema(src.schema).parquet(s"$tmp/*")
+    graft.streaming.StreamingOps.runToMemorySink(
+      pipeline(stream), "r14_xml")
+    val got = spark.table("r14_xml").collect()
+      .map(r => r.getLong(1) -> (r.getString(2), r.getLong(3),
+        r.getString(4), r.getBoolean(5))).toMap
+    assert(got == batch, s"$got vs $batch")
+  }
 }
