@@ -3768,6 +3768,158 @@ object PipelineQueries {
       "ss.entity_digest, ps.n_pairs, ps.n_pairs_linked " +
       "FROM ss JOIN ps USING (seg) ORDER BY seg")
 
+  /** τ = 2 INCREMENTAL entity resolution over the SPLIT steady-state
+    * index (r14 — [[graft.ops.Entity.archiveIndexSplit2]] +
+    * [[graft.ops.Entity.archiveRecords]] +
+    * [[graft.ops.Entity.resolveAgainstSplit2]]): the archive resolves
+    * once at τ = 2, persists the THIN (blocks, hash, rid) index at
+    * D≤1 ∪ position-pair tags, and arrivals probe at D≤2 ∪ tags,
+    * fetching names per candidate for the same lev ≤ 2 NAME verify
+    * as the batch path. Fixture: every 5th customer sends a
+    * DOUBLE-SUBSTITUTION record — linkable only through the
+    * hamming-2 tag path, which a D-key-only probe would miss — and
+    * every (5k+3)rd an 'XXX'-prefixed control at lev ≥ 3 from every
+    * all-digit archive key (each X needs its own edit), the
+    * must-stay-fresh line. The oracle replays the τ = 2 archive
+    * closure, the split key streams (kind-prefixed strings standing
+    * in for the kernel hashes), and the probe's min-verified-entity
+    * aggregate; the digest pins every arrival's label. */
+  private val dedupEntityIncrementalTau2 = Q("q_dedup_entity_incremental_tau2",
+    (s, d) => {
+      val base = s.read.parquet(s"$d/customer.parquet")
+        .select(col("c_custkey").as("k"), col("c_name"),
+          col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+          substring(col("c_name"), 10, 9).as("dg"),
+          (col("c_custkey") % 9).cast("int").as("p0"),
+          ((col("c_custkey") % 9 + 3) % 9).cast("int").as("p1"),
+          ((col("c_custkey") % 9 + 5) % 9).cast("int").as("p2"),
+          ((col("c_custkey") % 9 + 7) % 9).cast("int").as("p3"))
+      def subAt(dgc: org.apache.spark.sql.Column,
+                p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(dgc.substr(lit(1), p),
+          ((dgc.substr(p + 1, lit(1)).cast("int") + 1) % 10)
+            .cast("string"),
+          dgc.substr(p + 2, lit(9)))
+      def delAt(dgc: org.apache.spark.sql.Column,
+                p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(dgc.substr(lit(1), p), dgc.substr(p + 2, lit(9)))
+      val sub0 = subAt(col("dg"), col("p0"))
+      val dirtyDigits = when(col("k") % 7 === 0, subAt(sub0, col("p1")))
+        .when(col("k") % 3 === 1, sub0)
+        .when(col("k") % 3 === 2, delAt(col("dg"), col("p0")))
+        .otherwise(col("dg"))
+      val rec = base.select((col("k") * 2).as("rid"),
+          col("c_name").as("name"), col("nat"), col("seg"))
+        .unionByName(base.select((col("k") * 2 + 1).as("rid"),
+          concat(lit("Customer#"), dirtyDigits).as("name"),
+          col("nat"), col("seg")))
+        .withColumn("key", substring(col("name"), 10, 10))
+      val resolved = graft.ops.Entity.resolve(rec, "rid", "key",
+        "name", Seq("nat", "seg"), tau = 2)
+      val index = graft.ops.Entity.archiveIndexSplit2(resolved, "rid",
+        "key", Seq("nat", "seg"))
+      val records = graft.ops.Entity.archiveRecords(resolved, "rid", "name")
+      val arrivals = base
+        .where(col("k") % 5 === 0 || col("k") % 5 === 3)
+        .select((col("k") * 2 + 1000000000L).as("rid"),
+          concat(lit("Customer#"),
+            when(col("k") % 5 === 0,
+              subAt(subAt(col("dg"), col("p2")), col("p3")))
+              .otherwise(concat(lit("XXX"),
+                col("dg").substr(lit(4), lit(9))))).as("name"),
+          col("nat"), col("seg"))
+        .withColumn("key", substring(col("name"), 10, 10))
+      graft.ops.Entity.resolveAgainstSplit2(index, records, arrivals,
+          "rid", "key", "name", Seq("nat", "seg"), tau = 2,
+          keep = Seq("seg"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n_arrivals"),
+          sum(when(col("entity") =!= col("rid"), 1L).otherwise(0L))
+            .as("n_matched"),
+          sum(pmod(col("entity") * 131L + col("rid"),
+            lit(CleanSumMod))).as("arrival_digest"))
+        .orderBy("seg")
+    },
+    s"WITH RECURSIVE $entityCtes, " +
+      "dk2 AS (SELECT rid, nat, seg, unnest(list_distinct(" +
+      "list_prepend(key, " +
+      "[substr(key, 1, i - 1) || substr(key, i + 1) " +
+      "for i in range(1, length(key) + 1)] || " +
+      "flatten([[substr(key, 1, i - 1) || " +
+      "substr(key, i + 1, j - i - 1) || substr(key, j + 1) " +
+      "for j in range(i + 1, length(key) + 1)] " +
+      "for i in range(1, length(key))])))) AS bk FROM rk), " +
+      "cand2 AS (SELECT DISTINCT a.rid AS id_a, b.rid AS id_b " +
+      "FROM dk2 a JOIN dk2 b ON a.bk = b.bk AND a.nat = b.nat " +
+      "AND a.seg = b.seg AND a.rid < b.rid), " +
+      "ver2 AS (SELECT id_a, id_b FROM cand2 " +
+      "JOIN rk ra ON id_a = ra.rid JOIN rk rb ON id_b = rb.rid " +
+      "WHERE levenshtein(ra.name, rb.name) <= 2), " +
+      "sym2 AS (SELECT id_a AS u, id_b AS v FROM ver2 " +
+      "UNION SELECT id_b, id_a FROM ver2), " +
+      "reach2 AS (SELECT rid AS node, rid AS r FROM rk " +
+      "UNION SELECT sym2.v AS node, reach2.r FROM reach2 " +
+      "JOIN sym2 ON sym2.u = reach2.node), " +
+      "comp2 AS (SELECT node, min(r) AS entity FROM reach2 " +
+      "GROUP BY node), " +
+      "alab AS (SELECT rk.rid, rk.name, rk.key, rk.nat, rk.seg, " +
+      "comp2.entity FROM rk JOIN comp2 ON rk.rid = comp2.node), " +
+      // arrivals: double-sub at (p2, p3) or the XXX control
+      "aa AS (SELECT k, nat, seg, dg, " +
+      "CAST((k % 9 + 7) % 9 AS INT) AS p3, " +
+      "substr(dg, 1, p2) || " +
+      "CAST((CAST(substr(dg, p2 + 1, 1) AS INT) + 1) % 10 AS VARCHAR) " +
+      "|| substr(dg, p2 + 2) AS s1 FROM base), " +
+      "ab AS (SELECT k, nat, seg, dg, " +
+      "substr(s1, 1, p3) || " +
+      "CAST((CAST(substr(s1, p3 + 1, 1) AS INT) + 1) % 10 AS VARCHAR) " +
+      "|| substr(s1, p3 + 2) AS s2 FROM aa), " +
+      "ark AS (SELECT k * 2 + 1000000000 AS rid, nat, seg, " +
+      "'Customer#' || CASE WHEN k % 5 = 0 THEN s2 " +
+      "ELSE 'XXX' || substr(dg, 4) END AS name FROM ab " +
+      "WHERE k % 5 = 0 OR k % 5 = 3), " +
+      "ark2 AS (SELECT *, substr(name, 10, 10) AS key FROM ark), " +
+      // split key streams: 'd:'-prefixed deletion keys, 't:'-prefixed
+      // position-pair tags (string stand-ins for the kernel hashes)
+      "apk AS (" +
+      "SELECT rid, nat, seg, name, 'd:' || unnest(list_distinct(" +
+      "list_prepend(key, " +
+      "[substr(key, 1, i - 1) || substr(key, i + 1) " +
+      "for i in range(1, length(key) + 1)] || " +
+      "flatten([[substr(key, 1, i - 1) || " +
+      "substr(key, i + 1, j - i - 1) || substr(key, j + 1) " +
+      "for j in range(i + 1, length(key) + 1)] " +
+      "for i in range(1, length(key))])))) AS bk FROM ark2 " +
+      "UNION ALL " +
+      "SELECT rid, nat, seg, name, unnest(" +
+      "flatten([['t:' || i || ':' || j || ':' || " +
+      "substr(key, 1, i - 1) || substr(key, i + 1, j - i - 1) || " +
+      "substr(key, j + 1) " +
+      "for j in range(i + 1, length(key) + 1)] " +
+      "for i in range(1, length(key))])) AS bk FROM ark2), " +
+      "aik AS (" +
+      "SELECT nat, seg, name, entity, 'd:' || unnest(list_distinct(" +
+      "list_prepend(key, [substr(key, 1, i - 1) || substr(key, i + 1) " +
+      "for i in range(1, length(key) + 1)]))) AS bk FROM alab " +
+      "UNION ALL " +
+      "SELECT nat, seg, name, entity, unnest(" +
+      "flatten([['t:' || i || ':' || j || ':' || " +
+      "substr(key, 1, i - 1) || substr(key, i + 1, j - i - 1) || " +
+      "substr(key, j + 1) " +
+      "for j in range(i + 1, length(key) + 1)] " +
+      "for i in range(1, length(key))])) AS bk FROM alab), " +
+      "probe AS (SELECT a.rid, a.seg, " +
+      "min(CASE WHEN levenshtein(a.name, i.name) <= 2 " +
+      "THEN i.entity END) AS m FROM apk a LEFT JOIN aik i " +
+      "ON a.bk = i.bk AND a.nat = i.nat AND a.seg = i.seg " +
+      "GROUP BY a.rid, a.seg) " +
+      "SELECT seg, count(*) AS n_arrivals, " +
+      "CAST(sum(CASE WHEN m IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_matched, " +
+      s"CAST(sum((coalesce(m, rid) * 131 + rid) % $CleanSumMod) " +
+      "AS BIGINT) AS arrival_digest " +
+      "FROM probe GROUP BY seg ORDER BY seg")
+
   /** Scan-free parquet-footer metadata query
     * ([[graft.ops.ParquetMeta]]): count / min / max / null-count of
     * `documents.doc_id` computed ENTIRELY from row-group footer
@@ -12034,7 +12186,7 @@ object PipelineQueries {
     embedKCore, multimodalFrameDecode, embedBitext, pipelineKanon,
     sampleCurriculum, multimodalVideoDedup, sourceJsonl,
     pipelineDpRelease, packAudit, multimodalAvi, multimodalAviDecode,
-    dedupEntity, dedupEntityIncremental, sourceParquetMeta,
+    dedupEntity, dedupEntityIncremental, dedupEntityIncrementalTau2, sourceParquetMeta,
     dedupEntityQuality, statsJoinSize, dedupEntityTau2,
     multimodalGifDecode, textUnigramLm, dedupCdc, dedupCdcPairs,
     multimodalGifMeta, textWordPiece, textWordPieceApply,

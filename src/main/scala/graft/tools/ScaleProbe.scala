@@ -172,7 +172,11 @@ object ScaleProbe {
     "q_multimodal_flacbps" -> 10,
     // round-14: robots-gated ingest (the pipelineIngest chain with a
     // map-only gate in front — docs-linear like ingest itself)
-    "q_pipeline_ingest_robots" -> 10)
+    "q_pipeline_ingest_robots" -> 10,
+    // round-14: tau=2 split steady state (customer-based, unscaled in
+    // grown dirs — honest ratio ~1 like entity_jw; the 100x evidence
+    // lives in SCALING_r14_entity100x_tau2)
+    "q_dedup_entity_incremental_tau2" -> 10)
 
   def main(args: Array[String]): Unit = {
     val sfSmall = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
