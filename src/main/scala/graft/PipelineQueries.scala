@@ -7311,6 +7311,68 @@ object PipelineQueries {
       "FROM cl JOIN pp USING (doc_id) " +
       "GROUP BY cl.source ORDER BY cl.source")
 
+  /** SURROUND FLAC decode ([[graft.ops.Flac.encodeMulti]] — r14
+    * closes the >2-channel notch: RFC 9639's only surround assignment
+    * is N independent subframes, chanCode = N − 1): clips cycle 3-8
+    * channels by doc id, even seeds through the LPC planner. The
+    * oracle replays the per-channel signal formula at the INTERLEAVED
+    * position grain (p = t·nch + c), so a decoder that transposes,
+    * drops, or reorders a channel shears the digest; sum_nch pins
+    * STREAMINFO channel count through the decode; n_bad = 0 pins the
+    * all-frames contract at every width. Bytes never shuffle. */
+  private val multimodalFlacMulti = Q("q_multimodal_flacmulti",
+    (s, d) => {
+      val params = docs(s, d).select(col("doc_id"), col("source"),
+          pmod(floor(col("doc_id") / lit(20L)), lit(32L)).cast("int")
+            .as("seed"),
+          (pmod(col("doc_id"), lit(6L)) + 3).cast("int").as("nch"))
+        .withColumn("n",
+          (lit(192) + lit(64) * pmod(col("seed"), lit(3))).cast("int"))
+      val clips = Multimodal.flacMultiPatternColumn(params, "n", "seed",
+        "nch")
+      val dec = Multimodal.flacAudioColumn(clips, "media", FlacDigestMod)
+      dec.groupBy("source")
+        .agg(count(lit(1)).as("n_clips"),
+          sum(when(col("fa").isNull, 1L).otherwise(0L)).as("n_bad"),
+          sum(col("fa.n_frames").cast("long")).as("n_frames"),
+          sum(col("fa.n_ch").cast("long")).as("sum_nch"),
+          sum(col("fa.n_samples").cast("long")).as("n_samples"),
+          sum(col("fa.sum_s")).as("sum_s"),
+          min(col("fa.min_s")).as("min_s"),
+          max(col("fa.max_s")).as("max_s"),
+          pmod(sum(col("fa.dg")), lit(FlacDigestMod)).as("dg"))
+        .orderBy("source")
+    },
+    "WITH p AS (SELECT doc_id, source, " +
+      "CAST((doc_id // 20) % 32 AS INT) AS seed, " +
+      "CAST(doc_id % 6 + 3 AS INT) AS nch FROM documents), " +
+      "pp AS (SELECT doc_id, source, seed, nch, " +
+      "192 + 64 * (seed % 3) AS n FROM p), " +
+      "tt AS (SELECT doc_id, source, seed, nch, n, " +
+      "CAST(unnest(range(0, n)) AS INT) AS t FROM pp), " +
+      "tc AS (SELECT doc_id, source, seed, nch, t, " +
+      "CAST(unnest(range(0, nch)) AS INT) AS c FROM tt), " +
+      "v AS (SELECT doc_id, source, t * nch + c AS pos, " +
+      "CAST((seed * 97 + c * 41 + t * 31) % 4096 - 2048 AS INT) AS s " +
+      "FROM tc), " +
+      "cl AS (SELECT doc_id, any_value(source) AS source, " +
+      "CAST(sum(s) AS BIGINT) AS sum_s, min(s) AS min_s, " +
+      "max(s) AS max_s, " +
+      s"CAST(sum(CAST(pos + 1 AS BIGINT) * (s + 32768)) AS BIGINT) " +
+      s"% $FlacDigestMod AS dgc, " +
+      "count(*) AS n_samples FROM v GROUP BY doc_id) " +
+      "SELECT cl.source, count(*) AS n_clips, " +
+      "CAST(0 AS BIGINT) AS n_bad, " +
+      "CAST(sum((pp.n + 63) // 64) AS BIGINT) AS n_frames, " +
+      "CAST(sum(pp.nch) AS BIGINT) AS sum_nch, " +
+      "CAST(sum(cl.n_samples) AS BIGINT) AS n_samples, " +
+      "CAST(sum(cl.sum_s) AS BIGINT) AS sum_s, " +
+      "min(cl.min_s) AS min_s, max(cl.max_s) AS max_s, " +
+      s"((CAST(sum(cl.dgc) AS BIGINT) % $FlacDigestMod) " +
+      s"+ $FlacDigestMod) % $FlacDigestMod AS dg " +
+      "FROM cl JOIN pp USING (doc_id) " +
+      "GROUP BY cl.source ORDER BY cl.source")
+
   /** Real IMA-ADPCM decode ([[graft.ops.Adpcm]] — the LOSSY audio
     * codec beside FLAC's lossless leg): clips built from the standard
     * audio formula through the REAL 4-bit encoder (WAV fmt 0x11,
@@ -12193,7 +12255,7 @@ object PipelineQueries {
     multimodalFlacDecode, multimodalAdpcm, dedupJaroWinkler,
     shardBloomIndex, dedupEntityJw, textLuhn, textLicense,
     multimodalFlacStereo, multimodalAudioSim, pipelineOptout,
-    sourceZip, sourceTar, sourceXml, multimodalFlacBps,
+    sourceZip, sourceTar, sourceXml, multimodalFlacBps, multimodalFlacMulti,
     multimodalExif, multimodalExifStrip,
     multimodalId3, multimodalSceneCut, multimodalSniff, sourceRobots,
     textMojibake, pipelineCompliance)

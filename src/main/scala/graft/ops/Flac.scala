@@ -20,11 +20,15 @@ package graft.ops
   *
   * Boundary (declared): bps outside {8, 12, 16, 20, 24} (the
   * streamable-subset grid the frame-header size code expresses
-  * directly), > 2 channels, and the Rice escape code are not decoded
-  * (→ None) — the [[FrameDecoder]] registry discipline: a real
-  * subset decoder with the unsupported branches explicit, not a
-  * fixture-only parser. Metadata parse ([[Flac.parseMeta]]) remains
-  * total on garbage. */
+  * directly) is not decoded (→ None) — the [[FrameDecoder]] registry
+  * discipline: a real subset decoder with the unsupported branches
+  * explicit, not a fixture-only parser. r14 closed the former
+  * >2-channel and Rice-escape notches: 3-8 channels decode as
+  * independent subframes (the spec's only surround assignment) and
+  * escape partitions (§9.2.7.2) decode raw-width residuals, with the
+  * encoder emitting them on quotient blowup instead of the old
+  * whole-subframe VERBATIM fallback. Metadata parse
+  * ([[Flac.parseMeta]]) remains total on garbage. */
 object Flac {
 
   /** Big-endian bit writer (FLAC packs all fields MSB-first). */
@@ -105,6 +109,12 @@ object Flac {
   case object SfConstant extends SubframeKind
   case object SfVerbatim extends SubframeKind
   final case class SfFixed(order: Int, riceK: Int) extends SubframeKind
+  /** FIXED subframe whose one partition uses the Rice ESCAPE code
+    * (RFC 9639 §9.2.7.2): parameter 0b1111, then a 5-bit width, then
+    * the residuals raw two's-complement — the spec's answer to
+    * quotient blowup, replacing the old VERBATIM fallback. */
+  final case class SfFixedEscape(order: Int, width: Int)
+    extends SubframeKind
   final case class SfLpc(order: Int, precision: Int, shift: Int,
                          coefs: Array[Long], riceK: Int)
     extends SubframeKind
@@ -183,6 +193,21 @@ object Flac {
           val m = zigzag(fixedResidual(s, from, t, order))
           bw.writeUnary((m >> k).toInt)
           bw.write(m & ((1L << k) - 1), k)
+          t += 1
+        }
+      case SfFixedEscape(order, w) =>
+        hdr(0x08L | order.toLong) // type 001ooo
+        var t = 0
+        while (t < order) { bw.write(s(from + t).toLong & mask, bits)
+          t += 1 }
+        bw.write(0L, 2) // residual method 00: 4-bit Rice
+        bw.write(0L, 4) // partition order 0 -> one partition
+        bw.write(15L, 4) // ESCAPE parameter
+        bw.write(w.toLong, 5)
+        t = order
+        while (t < len) {
+          val r = fixedResidual(s, from, t, order)
+          if (w > 0) bw.write(r & ((1L << w) - 1), w)
           t += 1
         }
       case SfLpc(order, prec, shift, coefs, k) =>
@@ -426,6 +451,55 @@ object Flac {
     out.toByteArray
   }
 
+  /** Encode an N-channel (1 ≤ N ≤ 8) clip with INDEPENDENT
+    * subframes per channel — RFC 9639's only assignment beyond
+    * stereo (decorrelation is a two-channel concept; surround FLAC
+    * is N independent subframes per frame, chanCode = N − 1). Same
+    * framing/bps/wasted-bit contract as [[encode]]; per-channel
+    * plans (LPC when `useLpc`). Output of [[decode]] interleaves
+    * c0, c1, …, cN−1 per sample time. */
+  def encodeMulti(sampleRateHz: Int, channels: Seq[Array[Int]],
+                  blockSize: Int = 64, useLpc: Boolean = false,
+                  bps: Int = 16): Array[Byte] = {
+    require(channels.nonEmpty && channels.size <= 8,
+      s"channel count ${channels.size} not in [1, 8]")
+    require(blockSize >= 8 && blockSize <= 256, s"bad block size $blockSize")
+    val n0 = channels.head.length
+    require(channels.forall(_.length == n0), "channel length mismatch")
+    val szc = sizeCodeOf(bps)
+    val (lo, hi) = (-(1 << (bps - 1)), (1 << (bps - 1)) - 1)
+    channels.foreach(ch =>
+      require(ch.forall(s => s >= lo && s <= hi), s"not $bps-bit"))
+    val nCh = channels.size
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(buildStreamInfo(sampleRateHz, nCh, bps, n0.toLong,
+      blockSize))
+    def plan(ch: Array[Int], from: Int, len: Int): SubframeKind =
+      if (useLpc) planLpcSubframe(ch, from, len, 4, 12)
+      else planSubframe(ch, from, len)
+    val nf = (n0 + blockSize - 1) / blockSize
+    var f = 0
+    while (f < nf) {
+      val from = f * blockSize
+      val len = math.min(blockSize, n0 - from)
+      require(f < 128, s"frame number $f needs multi-byte UTF-8")
+      val head = Array[Byte](0xff.toByte, 0xf8.toByte, 0x60.toByte,
+        (((nCh - 1) << 4) | (szc << 1)).toByte, f.toByte,
+        (len - 1).toByte, 0)
+      head(6) = crc8(head, 0, 6).toByte
+      val bw = new BitWriter
+      head.foreach(b => bw.write(b & 0xffL, 8))
+      channels.foreach(ch =>
+        writeSubframeAuto(bw, ch, from, len, bps, plan(ch, from, len)))
+      val frame = bw.bytes
+      val c16 = crc16(frame, 0, frame.length)
+      out.write(frame)
+      out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
+      f += 1
+    }
+    out.toByteArray
+  }
+
   private def fixedResidual(s: Array[Int], from: Int, t: Int,
                             order: Int): Long = order match {
     case 0 => s(from + t).toLong
@@ -440,18 +514,28 @@ object Flac {
     while (const && t < len) { const = s(from + t) == s(from); t += 1 }
     if (const) return SfConstant
     if (from == 0 || len <= 2) return SfVerbatim
-    // mean-zigzag Rice parameter, capped; blown-up quotients -> verbatim
+    // mean-zigzag Rice parameter, capped; blown-up quotients take the
+    // spec's ESCAPE partition (raw residuals at a fixed width) rather
+    // than the old whole-subframe VERBATIM fallback
     var sum = 0L; var maxm = 0L
+    var maxAbs = 0L
     t = 2
     while (t < len) {
-      val m = zigzag(fixedResidual(s, from, t, 2))
+      val r = fixedResidual(s, from, t, 2)
+      val m = zigzag(r)
       sum += m; if (m > maxm) maxm = m
+      val a = math.abs(r); if (a > maxAbs) maxAbs = a
       t += 1
     }
     val mean = sum / math.max(1, len - 2)
     val k = math.min(14, 64 - java.lang.Long.numberOfLeadingZeros(
       math.max(1L, mean)).toInt)
-    if ((maxm >> k) > 48) SfVerbatim else SfFixed(2, k)
+    if ((maxm >> k) > 48) {
+      // signed width for the largest |residual| (+1 for the sign)
+      val w = 65 - java.lang.Long.numberOfLeadingZeros(
+        math.max(1L, maxAbs)).toInt
+      SfFixedEscape(2, math.min(31, w))
+    } else SfFixed(2, k)
   }
 
   /** Decoded stream: registers the flacdecode query pins (samples
@@ -494,15 +578,28 @@ object Flac {
       var t = order
       while (part < nPart) {
         val k = br.read(4).toInt
-        if (k == 15) return false // escape unsupported
         val partEnd = (part + 1) * (n / nPart)
-        while (t < partEnd) {
-          val q = br.readUnary()
-          val m = (q.toLong << k) | br.read(k)
-          val v = pred(t) + unzigzag(m)
-          if (v < lo || v > hi || br.fail) return false
-          out(t) = v
-          t += 1
+        if (k == 15) {
+          // ESCAPE partition (RFC 9639 §9.2.7.2): 5-bit width, then
+          // raw two's-complement residuals (width 0 = all zero)
+          val w = br.read(5).toInt
+          while (t < partEnd) {
+            val r = if (w == 0) 0L
+              else (br.read(w) << (64 - w)) >> (64 - w)
+            val v = pred(t) + r
+            if (v < lo || v > hi || br.fail) return false
+            out(t) = v
+            t += 1
+          }
+        } else {
+          while (t < partEnd) {
+            val q = br.readUnary()
+            val m = (q.toLong << k) | br.read(k)
+            val v = pred(t) + unzigzag(m)
+            if (v < lo || v > hi || br.fail) return false
+            out(t) = v
+            t += 1
+          }
         }
         part += 1
       }
@@ -562,12 +659,12 @@ object Flac {
     * channels at bps+1 per the spec). Verifies sync, header CRC-8,
     * and frame CRC-16; any violation, truncation, trailing garbage,
     * sample-count mismatch with STREAMINFO, or an unsupported branch
-    * (bps outside the grid, > 2 channels, Rice escape) returns None —
-    * the all-frames-or-nothing corrupt-media contract. Stereo output
-    * is interleaved L,R. */
+    * (bps outside the grid, > 8 channels) returns None — the
+    * all-frames-or-nothing corrupt-media contract. Multi-channel
+    * output is interleaved c0..cN-1 per sample time (stereo: L,R). */
   def decode(b: Array[Byte]): Option[FlacAudio] = {
     val info = parseMeta(b) match {
-      case Some(i) if (i.channels == 1 || i.channels == 2) &&
+      case Some(i) if i.channels >= 1 && i.channels <= 8 &&
         Set(8, 12, 16, 20, 24).contains(i.bitsPerSample) &&
         i.totalSamples > 0 &&
         i.totalSamples * i.channels <= (1 << 24) => i
@@ -592,8 +689,7 @@ object Flac {
     val out = new Array[Int](total * nCh)
     var filled = 0 // per-channel (interchannel) samples decoded
     var nC = 0; var nV = 0; var nF = 0; var nL = 0; var frames = 0
-    var ch0 = new Array[Long](256)
-    var ch1 = new Array[Long](256)
+    val chans = Array.fill(nCh)(new Array[Long](256))
     while (filled < total) {
       val fs = o.toInt
       if (fs + 7 > b.length) return None
@@ -603,10 +699,13 @@ object Flac {
       val chanCode = (b(fs + 3) & 0xf0) >> 4
       val sizeCode = (b(fs + 3) & 0x0e) >> 1
       if (sizeCode != szc || rateCode != 0) return None
+      // nCh >= 3: only the independent assignment exists in the spec
+      // (decorrelation is a stereo-only concept, chanCode = nCh - 1)
       val stereoMode =
         if (nCh == 1 && chanCode == 0) 0
         else if (nCh == 2 &&
           (chanCode == 1 || (chanCode >= 8 && chanCode <= 10))) chanCode
+        else if (nCh >= 3 && chanCode == nCh - 1) chanCode
         else return None
       // UTF-8 coded number: accept 1-byte (our subset writes < 128)
       if ((b(fs + 4) & 0x80) != 0) return None
@@ -621,8 +720,9 @@ object Flac {
         case _ => return None // 0 is reserved
       }
       if (blockLen > 65536) return None
-      if (ch0.length < blockLen) {
-        ch0 = new Array[Long](blockLen); ch1 = new Array[Long](blockLen)
+      if (chans(0).length < blockLen) {
+        var ci = 0
+        while (ci < nCh) { chans(ci) = new Array[Long](blockLen); ci += 1 }
       }
       if (crc8(b, fs, p) != (b(p) & 0xff)) return None
       p += 1
@@ -631,9 +731,9 @@ object Flac {
       val br = new BitReader(b, p.toLong * 8)
       var c = 0
       while (c < nCh) {
-        val side = (stereoMode == 8 && c == 1) ||
-          (stereoMode == 9 && c == 0) || (stereoMode == 10 && c == 1)
-        val kind = decodeSubframe(br, if (c == 0) ch0 else ch1, n,
+        val side = nCh == 2 && ((stereoMode == 8 && c == 1) ||
+          (stereoMode == 9 && c == 0) || (stereoMode == 10 && c == 1))
+        val kind = decodeSubframe(br, chans(c), n,
           if (side) bps + 1 else bps)
         kind match {
           case 0 => nC += 1
@@ -648,12 +748,13 @@ object Flac {
       var t = 0
       if (nCh == 1) {
         while (t < n) {
-          val v = ch0(t)
+          val v = chans(0)(t)
           if (v < sampLo || v > sampHi) return None
           out(filled + t) = v.toInt
           t += 1
         }
-      } else {
+      } else if (nCh == 2) {
+        val ch0 = chans(0); val ch1 = chans(1)
         while (t < n) {
           val (l, r) = stereoMode match {
             case 1 => (ch0(t), ch1(t))
@@ -667,6 +768,17 @@ object Flac {
             return None
           out((filled + t) * 2) = l.toInt
           out((filled + t) * 2 + 1) = r.toInt
+          t += 1
+        }
+      } else {
+        while (t < n) {
+          var c = 0
+          while (c < nCh) {
+            val v = chans(c)(t)
+            if (v < sampLo || v > sampHi) return None
+            out((filled + t) * nCh + c) = v.toInt
+            c += 1
+          }
           t += 1
         }
       }

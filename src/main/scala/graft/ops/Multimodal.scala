@@ -891,9 +891,33 @@ object Multimodal {
     }
   }
 
+  /** Deterministic SURROUND FLAC clip builder ([[Flac.encodeMulti]] —
+    * N independent channels, the spec's only >2-channel assignment):
+    * channel c of an (n, seed, nch) clip is
+    * s_c(t) = ((seed·97 + c·41 + t·31) mod 4096) − 2048, even seeds
+    * through the LPC planner. */
+  def flacMultiPatternColumn(df: DataFrame, nCol: String, seedCol: String,
+                             nchCol: String,
+                             outCol: String = "media"): DataFrame = {
+    val schema = df.schema.add(outCol, BinaryType)
+    val is = Seq(nCol, seedCol, nchCol).map(df.schema.fieldIndex)
+    mapBatched(df, schema) { it =>
+      it.map { row =>
+        val n = row.getInt(is(0))
+        val seed = row.getInt(is(1))
+        val nch = row.getInt(is(2))
+        val chans = Seq.tabulate(nch)(c => Array.tabulate(n)(t =>
+          (seed * 97 + c * 41 + t * 31) % 4096 - 2048))
+        Row.fromSeq(row.toSeq :+
+          Flac.encodeMulti(8000, chans, 64, useLpc = seed % 2 == 0))
+      }
+    }
+  }
+
   val FlacAudioType: StructType = StructType(Seq(
     StructField("sample_rate", IntegerType),
     StructField("bps", IntegerType),
+    StructField("n_ch", IntegerType),
     StructField("n_samples", IntegerType),
     StructField("n_frames", IntegerType),
     StructField("n_const", IntegerType),
@@ -925,7 +949,8 @@ object Multimodal {
           dg = (dg + (t + 1).toLong * (s + 32768L)) % digestMod
           t += 1
         }
-        Row(a.info.sampleRateHz, a.info.bitsPerSample, a.samples.length,
+        Row(a.info.sampleRateHz, a.info.bitsPerSample, a.info.channels,
+          a.samples.length,
           a.nFrames, a.nConstant, a.nVerbatim, a.nFixed, a.nLpc,
           sum, mn, mx, dg)
       }.orNull)

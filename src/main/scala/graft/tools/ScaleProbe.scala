@@ -176,7 +176,10 @@ object ScaleProbe {
     // round-14: tau=2 split steady state (customer-based, unscaled in
     // grown dirs — honest ratio ~1 like entity_jw; the 100x evidence
     // lives in SCALING_r14_entity100x_tau2)
-    "q_dedup_entity_incremental_tau2" -> 10)
+    "q_dedup_entity_incremental_tau2" -> 10,
+    // round-14b: surround FLAC decode (real codec work per clip —
+    // honest expectation ≈ input factor like the flac family)
+    "q_multimodal_flacmulti" -> 10)
 
   def main(args: Array[String]): Unit = {
     val sfSmall = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -214,4 +214,48 @@ class FlacSpec extends AnyFunSuite {
     val c = Flac.decode(Flac.encode(8000, up24, 64, 24)).get
     assert(c.samples.toSeq == up24.toSeq, "24-bit wasted lossless")
   }
+
+  test("multi-channel (3..8) independent subframes round-trip " +
+    "losslessly, interleaved c0..cN-1, across bps") {
+    val rnd = new scala.util.Random(21)
+    for (nch <- Seq(3, 4, 6, 8); bps <- Seq(16, 24)) {
+      val amp = (1 << (bps - 1)) - 1
+      val n = 192
+      val chans = Seq.tabulate(nch)(c => Array.tabulate(n)(t =>
+        (math.sin((t + c * 13) / 6.0) * (amp / 3)).toInt +
+          rnd.nextInt(21) - 10))
+      val a = Flac.decode(Flac.encodeMulti(8000, chans, 64,
+        useLpc = nch % 2 == 0, bps = bps)).get
+      assert(a.info.channels == nch && a.info.bitsPerSample == bps)
+      assert(a.samples.length == n * nch)
+      for (c <- 0 until nch)
+        assert((0 until n).forall(t => a.samples(t * nch + c) ==
+          chans(c)(t)), s"channel $c nch=$nch bps=$bps")
+    }
+  }
+
+  test("Rice escape partitions: quotient-blowup blocks ride the wire " +
+    "as raw-width residuals and decode losslessly") {
+    val rnd = new scala.util.Random(33)
+    // one huge outlier per block makes the mean-k quotient blow up:
+    // the planner must take the ESCAPE path, not whole-block verbatim
+    val n = 256
+    val s0 = Array.tabulate(n)(t =>
+      if (t % 64 == 37) 30000 * (if (t % 128 == 37) 1 else -1)
+      else (t % 7) - 3 + rnd.nextInt(3))
+    val enc = Flac.encode(8000, s0, 64)
+    val a = Flac.decode(enc).get
+    assert(a.samples.toSeq == s0.toSeq, "escape lossless")
+    // block 0 is verbatim by rule; later blocks with the outlier must
+    // be FIXED (escape is a fixed-subframe residual coding), not
+    // verbatim — the counts pin that the escape path actually fired
+    assert(a.nVerbatim == 1 && a.nFixed >= 3,
+      s"verbatim=${a.nVerbatim} fixed=${a.nFixed}")
+    // escape + multichannel + wasted combined
+    val chans = Seq.tabulate(3)(c => s0.map(v => (v / 4) * 4 + c * 0))
+    val b = Flac.decode(Flac.encodeMulti(8000, chans, 64)).get
+    for (c <- 0 until 3)
+      assert((0 until n).forall(t => b.samples(t * 3 + c) ==
+        chans(c)(t)))
+  }
 }
