@@ -11617,6 +11617,73 @@ object PipelineQueries {
       "AS BIGINT) AS checksum " +
       "FROM documents GROUP BY source ORDER BY source")
 
+  /** WARC REVISIT dedup round-trip (r14 — Common Crawl's crawl-time
+    * storage dedup: a page whose payload digest was already captured
+    * is stored as a REVISIT record, digest + reference, no payload):
+    * every doc writes a digest-carrying response; every (4k+3)rd doc
+    * ALSO recurs as a revisit of its own capture
+    * ([[graft.ops.Warc.buildFileRevisit]]); the reader resolves
+    * revisits back to text through one digest join
+    * ([[graft.ops.Multimodal.warcResolveRevisits]]). The checksum
+    * covers responses AND resolved revisits, so a resolution that
+    * joins the wrong capture — or fails to resolve — shears it;
+    * bytes_saved is the payload the revisit layout did not re-store,
+    * and n_resolved == n_revisits pins zero dangling references.
+    * Record bytes never shuffle; the digest join moves only
+    * (digest, text) pairs at the duplicate grain. */
+  private val sourceWarcRevisit = Q("q_source_warc_revisit",
+    (s, d) => {
+      val d0 = docs(s, d).select(col("doc_id"), col("source"),
+        pmod(col("doc_id"), lit(6)).as("shard"), col("text"))
+      val primary = d0.select(col("doc_id"), col("source"), col("shard"),
+        concat(lit("https://crawl.example.com/"), col("source"),
+          lit("/"), col("doc_id").cast("string")).as("uri"),
+        col("text"),
+        lit(null).cast("string").as("rref"))
+      val dups = d0.where(pmod(col("doc_id"), lit(4)) === 3)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("source"),
+          col("shard"),
+          concat(lit("https://crawl.example.com/"), col("source"),
+            lit("/"), col("doc_id").cast("string"), lit("?v2")).as("uri"),
+          col("text"),
+          col("doc_id").cast("string").as("rref"))
+      val files = Multimodal.warcBuildFilesRevisit(
+        primary.unionByName(dups), Seq("source", "shard"),
+        "uri", "doc_id", "text", "rref")
+      val recs = Multimodal.warcRecordsColumn(files, "media")
+        .where(col("warc_type") =!= "warcinfo")
+      Multimodal.warcResolveRevisits(recs)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("warc_type") === "response", 1L).otherwise(0L))
+            .as("n_responses"),
+          sum(when(col("warc_type") === "revisit", 1L).otherwise(0L))
+            .as("n_revisits"),
+          sum(when(col("warc_type") === "revisit" &&
+            col("body_text").isNotNull, 1L).otherwise(0L))
+            .as("n_resolved"),
+          sum(when(col("warc_type") === "revisit", col("n_body_bytes"))
+            .otherwise(0L)).as("bytes_saved"),
+          sum(TextAnalysis.tokenHash(col("body_text")) % lit(DigestMod))
+            .as("checksum"))
+        .orderBy("source")
+    },
+    "SELECT source, " +
+      "CAST(count(*) + sum(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_records, " +
+      "count(*) AS n_responses, " +
+      "CAST(sum(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_revisits, " +
+      "CAST(sum(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_resolved, " +
+      "CAST(sum(CASE WHEN doc_id % 4 = 3 THEN strlen(text) ELSE 0 END) " +
+      "AS BIGINT) AS bytes_saved, " +
+      s"CAST(sum(${TextAnalysis.TokenHashSql("text")} % $DigestMod " +
+      s"+ CASE WHEN doc_id % 4 = 3 THEN " +
+      s"${TextAnalysis.TokenHashSql("text")} % $DigestMod ELSE 0 END) " +
+      "AS BIGINT) AS checksum " +
+      "FROM documents GROUP BY source ORDER BY source")
+
   /** XML dump ingestion round-trip (the Wikipedia/StackExchange
     * container — the one major public corpus format the source family
     * lacked after WARC/ZIP/tar/JSONL): docs → per-(source, shard)
@@ -12255,7 +12322,8 @@ object PipelineQueries {
     multimodalFlacDecode, multimodalAdpcm, dedupJaroWinkler,
     shardBloomIndex, dedupEntityJw, textLuhn, textLicense,
     multimodalFlacStereo, multimodalAudioSim, pipelineOptout,
-    sourceZip, sourceTar, sourceXml, multimodalFlacBps, multimodalFlacMulti,
+    sourceZip, sourceTar, sourceXml, sourceWarcRevisit,
+    multimodalFlacBps, multimodalFlacMulti,
     multimodalExif, multimodalExifStrip,
     multimodalId3, multimodalSceneCut, multimodalSniff, sourceRobots,
     textMojibake, pipelineCompliance)

@@ -1123,7 +1123,9 @@ object Multimodal {
     StructField("content_length", LongType),
     StructField("http_status", IntegerType),
     StructField("n_body_bytes", LongType),
-    StructField("body_text", StringType)))
+    StructField("body_text", StringType),
+    StructField("refers_to", StringType),
+    StructField("payload_digest", StringType)))
 
   /** Flatten WARC files into one row per record ([[Warc.parseAll]]):
     * the parent row's columns minus the bytes, plus the record
@@ -1142,10 +1144,56 @@ object Multimodal {
         Warc.parseAll(row.getAs[Array[Byte]](mi)).iterator.map { r =>
           Row.fromSeq(parent ++ Seq(r.warcType, r.targetUri, r.recordId,
             r.contentType, r.contentLength, r.httpStatus,
-            r.body.length.toLong, r.bodyText))
+            r.body.length.toLong, r.bodyText, r.refersTo,
+            r.payloadDigest))
         }
       }
     }
+  }
+
+  /** [[warcBuildFiles]] with crawl-time dedup: rows whose
+    * `revisitOfCol` is non-null write as REVISIT records (digest +
+    * reference, empty payload — the Common Crawl storage-dedup
+    * layout); the rest as digest-carrying responses. */
+  def warcBuildFilesRevisit(df: DataFrame, groupCols: Seq[String],
+                            uriCol: String, idCol: String,
+                            textCol: String, revisitOfCol: String,
+                            outCol: String = "media"): DataFrame = {
+    val grouped = df.groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"),
+        col(uriCol).as("uri"), col(textCol).as("text"),
+        col(revisitOfCol).as("ref")))).as("_docs"))
+    val schema = StructType(grouped.schema.fields.filterNot(_.name == "_docs"))
+      .add(outCol, BinaryType)
+    val di = grouped.schema.fieldIndex("_docs")
+    mapBatched(grouped, schema) { it =>
+      it.map { row =>
+        val docs = row.getSeq[Row](di).map(r =>
+          (r.getString(1), r.get(0).toString, r.getString(2),
+            Option(r.get(3)).map(_.toString)))
+        Row.fromSeq(row.toSeq.patch(di, Nil, 1) :+
+          Warc.buildFileRevisit(docs))
+      }
+    }
+  }
+
+  /** Resolve REVISIT records against the responses' payload digests:
+    * responses pass through; each revisit gets the body text (and
+    * byte count) of a response carrying the same digest, or stays
+    * null when no capture matches (a dangling reference surfaces,
+    * never silently drops). One hash join on the digest — the
+    * resolution a WARC reader runs to materialize a deduped crawl. */
+  def warcResolveRevisits(recs: DataFrame): DataFrame = {
+    val resp = recs.where(col("warc_type") === "response")
+    val lookup = resp
+      .where(col("payload_digest") =!= lit(""))
+      .select(col("payload_digest"), col("body_text"),
+        col("n_body_bytes"))
+      .dropDuplicates("payload_digest")
+    val rev = recs.where(col("warc_type") === "revisit")
+      .drop("body_text", "n_body_bytes")
+      .join(lookup, Seq("payload_digest"), "left")
+    rev.select(resp.columns.map(col): _*).unionByName(resp)
   }
 
   /** Group docs into per-group ZIP archives ([[Archive.buildZip]]) —

@@ -32,7 +32,9 @@ object Warc {
   final case class WarcRecord(warcType: String, targetUri: String,
                               recordId: String, contentType: String,
                               contentLength: Long, httpStatus: Int,
-                              body: Array[Byte]) {
+                              body: Array[Byte],
+                              refersTo: String = "",
+                              payloadDigest: String = "") {
     def bodyText: String = new String(body, UTF_8)
   }
 
@@ -139,7 +141,9 @@ object Warc {
               out += WarcRecord(warcType,
                 hs.getOrElse("warc-target-uri", ""),
                 hs.getOrElse("warc-record-id", ""),
-                hs.getOrElse("content-type", ""), len, status, body)
+                hs.getOrElse("content-type", ""), len, status, body,
+                hs.getOrElse("warc-refers-to", ""),
+                hs.getOrElse("warc-payload-digest", ""))
               o = bodyAt + len.toInt
             }
         }
@@ -161,16 +165,71 @@ object Warc {
   }
 
   private def record(warcType: String, uri: String, id: String,
-                     contentType: String, payload: Array[Byte]): Array[Byte] = {
+                     contentType: String, payload: Array[Byte],
+                     extraHeaders: Seq[(String, String)] = Nil): Array[Byte] = {
     val h = new StringBuilder()
       .append("WARC/1.0\r\n")
       .append(s"WARC-Type: $warcType\r\n")
       .append(if (uri.nonEmpty) s"WARC-Target-URI: $uri\r\n" else "")
       .append(s"WARC-Record-ID: <urn:uuid:$id>\r\n")
+    extraHeaders.foreach { case (k, v) => h.append(s"$k: $v\r\n") }
+    val hb = h
       .append(s"Content-Type: $contentType\r\n")
       .append(s"Content-Length: ${payload.length}\r\n\r\n")
       .toString.getBytes(ISO_8859_1)
-    h ++ payload ++ "\r\n\r\n".getBytes(ISO_8859_1)
+    hb ++ payload ++ "\r\n\r\n".getBytes(ISO_8859_1)
+  }
+
+  /** Deterministic payload digest of a page text: the repo's 60-bit
+    * token hash rendered as the digest header value (stands in for
+    * WARC's sha1-base32 — what matters is that response and revisit
+    * records of identical payloads carry the SAME value, which is
+    * all the resolution join uses). */
+  def payloadDigest(text: String): String =
+    "graft:" + java.lang.Long.toHexString(TextHashFns.tokenHash60(text))
+
+  /** Response record carrying WARC-Payload-Digest — the form a
+    * dedup-at-crawl-time writer emits, so later revisits can point
+    * at it. Byte layout otherwise identical to [[responseRecord]]. */
+  def responseRecordDigest(uri: String, id: String,
+                           text: String): Array[Byte] = {
+    val entity = text.getBytes(UTF_8)
+    val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      s"Content-Length: ${entity.length}\r\n\r\n").getBytes(ISO_8859_1) ++
+      entity
+    record("response", uri, id, "application/http; msgtype=response",
+      http, Seq("WARC-Payload-Digest" -> payloadDigest(text)))
+  }
+
+  /** REVISIT record (WARC 1.1 §6.7.2, the identical-payload-digest
+    * profile — Common Crawl's crawl-time dedup): no payload, just the
+    * digest of (and a reference to) the earlier capture. Storage cost
+    * is the header block alone, whatever the page size. */
+  def revisitRecord(uri: String, id: String, refersTo: String,
+                    digest: String): Array[Byte] =
+    record("revisit", uri, id, "application/http; msgtype=response",
+      Array.emptyByteArray, Seq(
+        "WARC-Refers-To" -> s"<urn:uuid:$refersTo>",
+        "WARC-Payload-Digest" -> digest,
+        "WARC-Profile" ->
+          "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"))
+
+  /** A .warc.gz with crawl-time dedup: docs whose `revisitOf` is set
+    * write as REVISIT records (digest + reference, empty payload);
+    * the rest as digest-carrying responses. */
+  def buildFileRevisit(docs: Seq[(String, String, String, Option[String])],
+                       gzip: Boolean = true): Array[Byte] = {
+    val info = record("warcinfo", "", "warcinfo-0",
+      "application/warc-fields",
+      "software: graft-warc-writer/1.0\r\n".getBytes(ISO_8859_1))
+    val members = info +: docs.map {
+      case (uri, id, text, Some(ref)) =>
+        revisitRecord(uri, id, ref, payloadDigest(text))
+      case (uri, id, text, None) =>
+        responseRecordDigest(uri, id, text)
+    }
+    if (gzip) members.map(gzipMember).reduce(_ ++ _)
+    else members.reduce(_ ++ _)
   }
 
   /** One response record: WARC headers wrapping an HTTP/1.1 200

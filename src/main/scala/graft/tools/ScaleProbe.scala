@@ -179,7 +179,10 @@ object ScaleProbe {
     "q_dedup_entity_incremental_tau2" -> 10,
     // round-14b: surround FLAC decode (real codec work per clip —
     // honest expectation ≈ input factor like the flac family)
-    "q_multimodal_flacmulti" -> 10)
+    "q_multimodal_flacmulti" -> 10,
+    // round-14b: WARC revisit dedup (build + record walk + one digest
+    // join at the duplicate grain — docs-linear like q_source_warc)
+    "q_source_warc_revisit" -> 10)
 
   def main(args: Array[String]): Unit = {
     val sfSmall = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

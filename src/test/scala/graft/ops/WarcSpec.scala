@@ -67,4 +67,37 @@ class WarcSpec extends AnyFunSuite {
     val nInfo = recs.where($"warc_type" === "warcinfo").count()
     assert(nInfo == files.count())
   }
+
+  test("revisit records: digest-identical payloads resolve through " +
+    "the reference, dangling digests surface null, storage shrinks") {
+    // high-entropy body: an internally-repetitive page would gzip to
+    // nothing on its own and hide the revisit layout's storage win
+    val rnd = new scala.util.Random(7)
+    val text = Seq.fill(120)(rnd.alphanumeric.take(5).mkString)
+      .mkString(" ")
+    val f = Warc.buildFileRevisit(Seq(
+      ("https://x/a", "1", text, None),
+      ("https://x/a?v2", "2", text, Some("1")),
+      ("https://x/b", "3", "other body", None),
+      // dangling: digest of a never-captured payload
+      ("https://x/c?v2", "4", "never captured", Some("9"))))
+    val rs = Warc.parseAll(f).filter(_.warcType != "warcinfo")
+    assert(rs.map(_.warcType) ==
+      List("response", "revisit", "response", "revisit"))
+    val byId = rs.map(r => r.recordId -> r).toMap
+    // revisit 2 carries the SAME digest as response 1 and no payload
+    assert(byId("<urn:uuid:2>").payloadDigest ==
+      byId("<urn:uuid:1>").payloadDigest)
+    assert(byId("<urn:uuid:2>").body.isEmpty)
+    assert(byId("<urn:uuid:2>").refersTo == "<urn:uuid:1>")
+    // the revisit layout genuinely stores less than re-capturing
+    val full = Warc.buildFile(Seq(
+      ("https://x/a", "1", text), ("https://x/a?v2", "2", text),
+      ("https://x/b", "3", "other body"),
+      ("https://x/c?v2", "4", "never captured")))
+    assert(f.length < full.length)
+    // dangling digest does not match any response
+    assert(!rs.exists(r => r.warcType == "response" &&
+      r.payloadDigest == byId("<urn:uuid:4>").payloadDigest))
+  }
 }
