@@ -11986,9 +11986,10 @@ object PipelineQueries {
   private val multimodalSniff = Q("q_multimodal_sniff",
     (s, d) => {
       val names = Seq("jpeg", "png", "gif", "bmp", "wav", "adpcm-wav",
-        "flac", "mp3", "mp4", "zip", "gzip", "tar", "text", "binary")
+        "flac", "mp3", "mp4", "zip", "gzip", "tar", "text", "binary",
+        "xml")
       val src = docs(s, d).select(col("doc_id"), col("source"),
-        pmod(col("doc_id"), lit(14)).cast("int").as("sel"), col("text"))
+        pmod(col("doc_id"), lit(15)).cast("int").as("sel"), col("text"))
       val built = Multimodal.sniffBuildColumn(
         Multimodal.spreadParams(src, "doc_id"), "sel", "text")
       Multimodal.sniffColumn(built, "media")
@@ -11997,8 +11998,8 @@ object PipelineQueries {
         .orderBy("source", "fmt")
     },
     "SELECT source, ['jpeg', 'png', 'gif', 'bmp', 'wav', 'adpcm-wav', " +
-      "'flac', 'mp3', 'mp4', 'zip', 'gzip', 'tar', 'text', 'binary']" +
-      "[CAST(doc_id % 14 AS INT) + 1] AS fmt, " +
+      "'flac', 'mp3', 'mp4', 'zip', 'gzip', 'tar', 'text', 'binary', " +
+      "'xml'][CAST(doc_id % 15 AS INT) + 1] AS fmt, " +
       "count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_doc " +
       "FROM documents GROUP BY source, fmt ORDER BY source, fmt")
 

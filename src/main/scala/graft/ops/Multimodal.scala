@@ -1406,6 +1406,9 @@ object Multimodal {
             Archive.buildTarGz(Seq(("d.txt", tb)), _ => 7L))
           case 12 => tb
           case 13 => Array.tabulate[Byte](24)(i => (i % 7).toByte)
+          case 14 => Xml.buildDump(Seq(Xml.Page(1L, 0, "P&1", 10L,
+            "2024-01-01T00:00:00Z", "u", text, redirect = false,
+            ok = true)))
         }
         Row.fromSeq(row.toSeq :+ media)
       }
