@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Dedup, Dsir, GraphRank, Layout, Multimodal, NgramLm, Pq, Ranking, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Dsir, GraphRank, Layout, Multimodal, NgramLm, Pq, Ranking, Robots, Sampling, Similarity, TextAnalysis, Url}
 
 /** Oracle corpus for the beyond-reference training-data-pipeline
   * operators (dedup, similarity search, text analysis, multimodal) —
@@ -12266,6 +12266,113 @@ object PipelineQueries {
         "FROM fl GROUP BY source ORDER BY source"
     })
 
+  /** The canonical form both messy spellings
+    * ([[Multimodal.messyUrl1]]/[[Multimodal.messyUrl2]]) reduce to —
+    * the DuckDB side of the URL-canonicalization contract, rebuilt
+    * directly from doc_id. */
+  private val CanonUrlSql: String =
+    "'http' || CASE WHEN doc_id % 2 = 1 THEN 's' ELSE '' END || " +
+      "'://example' || (doc_id % 20) || '.com' || " +
+      "CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END || " +
+      "'/a/c' || (doc_id % 5) || '/foo/page' || doc_id || '%2Fx' || " +
+      "CASE WHEN doc_id % 4 = 0 THEN '?q=' || doc_id || '&x=A' " +
+      "ELSE '' END"
+
+  /** URL canonicalization (RFC 3986 section 6) as the frontier-dedup
+    * primitive: every doc's page URL arrives in TWO deliberately
+    * messy spellings (case games, default/zero-padded ports, '..'
+    * and '%2E' dot-segments, decodable and reserved percent-escapes,
+    * fragments — [[Multimodal.messyUrl1]]/[[messyUrl2]]), and
+    * [[graft.ops.Url.canonicalize]] must reduce both to the EXACT
+    * canonical string the oracle rebuilds from doc_id — the checksum
+    * hashes it, so one wrong normalization step fails every row.
+    * distinct-canonical halving the listed count is the frontier
+    * dedup itself. Map-only + one aggregate; strings never ride a
+    * shuffle wider than the final group-by. */
+  private val textUrlCanon = Q("q_text_urlcanon",
+    (s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("source"))
+      val withUrl = Multimodal.messyUrlsColumn(base, "doc_id")
+      Url.canonicalColumn(withUrl, "url")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("canonical_url")).as("n_frontier"),
+          sum(length(col("canonical_url")).cast("long")).as("sum_len"),
+          sum(TextAnalysis.tokenHash(col("canonical_url")) %
+            lit(DigestMod)).as("checksum"))
+        .orderBy("source")
+    },
+    s"WITH c AS (SELECT source, $CanonUrlSql AS cu FROM documents) " +
+      "SELECT source, CAST(2 * count(*) AS BIGINT) AS n_urls, " +
+      "count(*) AS n_frontier, " +
+      "CAST(2 * sum(length(cu)) AS BIGINT) AS sum_len, " +
+      s"CAST(2 * sum(${TextAnalysis.TokenHashSql("cu")} % $DigestMod) " +
+      "AS BIGINT) AS checksum " +
+      "FROM c GROUP BY source ORDER BY source")
+
+  /** Crawl-frontier construction end-to-end — the discovery-side
+    * composition a real crawl runs BEFORE [[pipelineIngest]] fetches
+    * anything: per-(source, shard) sitemaps.org `<urlset>` files
+    * (the repo's own writer, entity-escaped '&' on every id%4==0
+    * query string) → streaming StAX entry walk → URL
+    * canonicalization → distinct-canonical frontier dedup (each URL
+    * listed twice in messy spellings) → per-host RFC 9309 robots
+    * gate on the canonical path. The host index recovers from the
+    * PARSED host string (regexp), robots text derives per host, and
+    * the truth table collapses to doc_id % 5 = 4 blocked (the
+    * host/path congruence); lastmod/changefreq/priority pin the
+    * sitemap field walk, the allowed-only checksum pins
+    * canonicalization through the whole chain. Sitemap bytes never
+    * shuffle; per-distinct-robots parse memo. */
+  private val pipelineFrontier = Q("q_pipeline_frontier",
+    (s, d) => {
+      val src = docs(s, d).select(col("doc_id"), col("source"),
+        pmod(col("doc_id"), lit(4)).as("shard"), col("text"))
+      val files = Multimodal.sitemapBuildFiles(src, Seq("source", "shard"),
+        "doc_id", "text")
+      val entries = Multimodal.sitemapEntriesColumn(files, "media")
+      val canon = Url.canonicalColumn(entries, "loc")
+      val split = Url.splitColumn(canon, "canonical_url")
+      val hostIdx = regexp_extract(col("url_host"),
+        "example([0-9]+)\\.com", 1).cast("long")
+      val withRobots = split.withColumn("robots_txt",
+        concat(lit("User-agent: *\nDisallow: /a/c"),
+          pmod(hostIdx * 2 + 1, lit(5)), lit("/")))
+      val gated = Robots.decisionColumn(withRobots, "robots_txt",
+        "url_path", "graftbot")
+      gated.groupBy("source")
+        .agg(count(lit(1)).as("n_listed"),
+          countDistinct(col("shard")).as("n_sitemaps"),
+          countDistinct(col("canonical_url")).as("n_frontier"),
+          countDistinct(when(col("allowed"), col("canonical_url")))
+            .as("n_allowed"),
+          countDistinct(when(!col("allowed"), col("canonical_url")))
+            .as("n_blocked"),
+          sum(substring(col("lastmod"), 9, 2).cast("long")).as("sum_day"),
+          sum(col("priority10").cast("long")).as("sum_prio10"),
+          sum(length(col("changefreq")).cast("long")).as("sum_freq_len"),
+          sum(when(col("allowed"),
+            TextAnalysis.tokenHash(col("canonical_url")) % lit(DigestMod))
+            .otherwise(0L)).as("checksum"))
+        .orderBy("source")
+    },
+    s"WITH c AS (SELECT doc_id, source, $CanonUrlSql AS cu " +
+      "FROM documents) " +
+      "SELECT source, CAST(2 * count(*) AS BIGINT) AS n_listed, " +
+      "count(DISTINCT doc_id % 4) AS n_sitemaps, " +
+      "count(*) AS n_frontier, " +
+      "CAST(sum(CASE WHEN doc_id % 5 <> 4 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_allowed, " +
+      "CAST(sum(CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_blocked, " +
+      "CAST(2 * sum(doc_id % 28 + 1) AS BIGINT) AS sum_day, " +
+      "CAST(2 * sum(doc_id % 10) AS BIGINT) AS sum_prio10, " +
+      "CAST(2 * sum(5 + doc_id % 3) AS BIGINT) AS sum_freq_len, " +
+      "CAST(2 * sum(CASE WHEN doc_id % 5 <> 4 THEN " +
+      s"${TextAnalysis.TokenHashSql("cu")} % $DigestMod ELSE 0 END) " +
+      "AS BIGINT) AS checksum " +
+      "FROM c GROUP BY source ORDER BY source")
+
   // ---------------------------------------------------------------- export
 
   val all: Vector[Q] = Vector(
@@ -12327,5 +12434,5 @@ object PipelineQueries {
     multimodalFlacBps, multimodalFlacMulti,
     multimodalExif, multimodalExifStrip,
     multimodalId3, multimodalSceneCut, multimodalSniff, sourceRobots,
-    textMojibake, pipelineCompliance)
+    textMojibake, pipelineCompliance, textUrlCanon, pipelineFrontier)
 }

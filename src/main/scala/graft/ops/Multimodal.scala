@@ -1267,6 +1267,98 @@ object Multimodal {
     }
   }
 
+  /** Two deliberately-messy spellings of each doc's page URL — the
+    * frontier-dedup fixture. Variant 1 piles on every normalization
+    * the canonicalizer claims: uppercase scheme/host, explicit
+    * default port (or one with a leading zero), '..' and
+    * percent-encoded '.' dot-segments, lowercase reserved and
+    * decodable unreserved escapes, a fragment. Variant 2 is a
+    * DIFFERENT spelling (trailing host dot, other dot-segment mix)
+    * of the SAME canonical URL, so distinct-canonical halves the
+    * listed count. Both reduce to
+    * `http(s)://example{id%20}.com[:8080]/a/c{id%5}/foo/page{id}%2Fx[?q={id}&x=A]`
+    * — the formula the DuckDB oracle rebuilds directly. */
+  def messyUrl1(id: Long): String = {
+    val https = id % 2 == 1
+    val scheme = if (https) "hTtPs" else "HTTP"
+    val port = (id % 3) match {
+      case 0 => if (https) ":443" else ":80"
+      case 1 => ":08080"
+      case _ => ""
+    }
+    val q = if (id % 4 == 0) s"?q=$id&x=%41" else ""
+    s"$scheme://ExAmple${id % 20}.CoM$port/a/b${id % 7}/../c${id % 5}" +
+      s"/%2E/f%6fo/page$id%2fx$q#s$id"
+  }
+
+  def messyUrl2(id: Long): String = {
+    val scheme = if (id % 2 == 1) "https" else "http"
+    val port = if (id % 3 == 1) ":8080" else ""
+    val q = if (id % 4 == 0) s"?q=$id&x=A" else ""
+    s"$scheme://example${id % 20}.COM.$port/a/x/../c${id % 5}/foo/./page$id%2Fx$q"
+  }
+
+  /** Both messy spellings as rows — 2 rows per input, `(…, outCol)`.
+    * Partition-local flatMap, stream-safe. */
+  def messyUrlsColumn(df: DataFrame, idCol: String,
+                      outCol: String = "url"): DataFrame = {
+    val ii = df.schema.fieldIndex(idCol)
+    val schema = df.schema.add(outCol, StringType)
+    mapBatched(df, schema) { it =>
+      it.flatMap { row =>
+        val id = row.getLong(ii)
+        Iterator(Row.fromSeq(row.toSeq :+ messyUrl1(id)),
+          Row.fromSeq(row.toSeq :+ messyUrl2(id)))
+      }
+    }
+  }
+
+  /** Per-group sitemaps.org `<urlset>` blobs ([[Sitemaps.buildUrlset]]):
+    * each doc lists BOTH messy spellings of its URL with
+    * lastmod/changefreq/priority derived from the id (the oracle's
+    * formulas). The '&' in every id%4==0 query string exercises XML
+    * entity escaping through the round-trip. */
+  def sitemapBuildFiles(df: DataFrame, groupCols: Seq[String], idCol: String,
+                        textCol: String, outCol: String = "media"): DataFrame =
+    archiveBuildFiles(df, groupCols, idCol, textCol, outCol) { docs =>
+      Sitemaps.buildUrlset(docs.flatMap { case (id, _) =>
+        val lastmod = f"2024-01-${id % 28 + 1}%02d"
+        val freq = (id % 3) match {
+          case 0 => "daily" case 1 => "weekly" case _ => "monthly"
+        }
+        Seq(Sitemaps.Entry(messyUrl1(id), lastmod, freq, (id % 10).toInt,
+            ok = true),
+          Sitemaps.Entry(messyUrl2(id), lastmod, freq, (id % 10).toInt,
+            ok = true))
+      })
+    }
+
+  val SitemapEntryType: StructType = StructType(Seq(
+    StructField("loc", StringType),
+    StructField("lastmod", StringType),
+    StructField("changefreq", StringType),
+    StructField("priority10", IntegerType, nullable = false),
+    StructField("entry_ok", BooleanType, nullable = false)))
+
+  /** Sitemap blob → `<url>` entry rows ([[Sitemaps.parseUrlset]]
+    * streaming StAX walk) — partition-local flatMap, bytes never
+    * shuffle. */
+  def sitemapEntriesColumn(df: DataFrame, mediaCol: String): DataFrame = {
+    val mi = df.schema.fieldIndex(mediaCol)
+    val keep = df.schema.fields.indices.filterNot(_ == mi)
+    val schema = StructType(keep.map(df.schema.fields) ++
+      SitemapEntryType.fields)
+    mapBatched(df, schema) { it =>
+      it.flatMap { row =>
+        val parent = keep.map(row.get)
+        Sitemaps.parseUrlset(row.getAs[Array[Byte]](mi)).iterator.map { e =>
+          Row.fromSeq(parent ++ Seq(e.loc, e.lastmod, e.changefreq,
+            e.priority10, e.ok))
+        }
+      }
+    }
+  }
+
   private def archiveBuildFiles(df: DataFrame, groupCols: Seq[String],
                                 idCol: String, textCol: String,
                                 outCol: String)(
