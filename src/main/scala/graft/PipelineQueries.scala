@@ -11738,6 +11738,70 @@ object PipelineQueries {
       "AS BIGINT) AS checksum " +
       "FROM documents GROUP BY source ORDER BY source")
 
+  /** PDF text-extraction round-trip (papers/reports/books — the
+    * biggest unstructured-corpus format a pipeline ingests after
+    * HTML): docs → one real PDF each ([[graft.ops.Pdf.build]]:
+    * correct xref byte offsets, FlateDecode and raw content streams,
+    * direct and indirect /Length, Tj and TJ-array show operators,
+    * escaped literal strings; multi-page docs with doc_id % 4 = 0
+    * written as TRUE incremental updates — second xref section,
+    * /Prev chain, pages root rewritten newest-wins) → full reader
+    * walk ([[graft.ops.Pdf.parse]]: startxref → xref chain → page
+    * tree → content decode → text-operator scan) → per-source
+    * aggregates. The checksum pins extracted text exactly (page 1 is
+    * the doc text verbatim; extra pages rebuilt from the
+    * [[graft.ops.Multimodal.pdfBuildColumn]] formulas); sum_size
+    * pins object numbering through the trailer /Size; n_updated pins
+    * the /Prev walk — a reader that ignores the chain loses the
+    * catalog and extracts nothing. Bytes never shuffle. */
+  private val sourcePdf = Q("q_source_pdf",
+    (s, d) => {
+      val src = docs(s, d).select(col("doc_id"), col("source"), col("text"),
+        pmod(col("doc_id"), lit(3)).cast("int").as("extra"),
+        (pmod(col("doc_id"), lit(2)) === 0).as("flate"),
+        (pmod(col("doc_id"), lit(5)) === 0).as("ind"),
+        (pmod(col("doc_id"), lit(4)) === 0).as("incr"))
+      val built = Multimodal.pdfBuildColumn(src, "doc_id", "text",
+        "extra", "flate", "ind", "incr")
+      Multimodal.pdfPagesColumn(built, "media")
+        .groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_pages"),
+          sum(when(col("pdf_ok") && col("page_idx") === 0, 1L)
+            .otherwise(0L)).as("n_ok"),
+          sum(when(col("page_flate"), 1L).otherwise(0L)).as("n_flate"),
+          sum(when(col("page_idx") === 0, col("pdf_size").cast("long"))
+            .otherwise(0L)).as("sum_size"),
+          sum(when(col("pdf_updated") && col("page_idx") === 0, 1L)
+            .otherwise(0L)).as("n_updated"),
+          sum(TextAnalysis.tokenHash(col("page_text")) % lit(DigestMod))
+            .as("checksum"))
+        .orderBy("source")
+    },
+    {
+      val e2 = "'Doc ' || CAST(doc_id AS VARCHAR) || ' page 2' || " +
+        "chr(10) || 'k(v)=\\' || CAST(doc_id AS VARCHAR)"
+      val e3 = "'Doc ' || CAST(doc_id AS VARCHAR) || ' page 3' || " +
+        "chr(10) || 'k(v)=\\' || CAST(doc_id AS VARCHAR)"
+      "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(1 + doc_id % 3) AS BIGINT) AS n_pages, " +
+        "count(*) AS n_ok, " +
+        "CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 3 " +
+        "ELSE 0 END) AS BIGINT) AS n_flate, " +
+        "CAST(sum(4 + (1 + doc_id % 3) * " +
+        "(CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 2 END)) AS BIGINT) " +
+        "AS sum_size, " +
+        "CAST(sum(CASE WHEN doc_id % 4 = 0 AND doc_id % 3 <> 0 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_updated, " +
+        s"CAST(sum(${TextAnalysis.TokenHashSql("text")} % $DigestMod " +
+        s"+ CASE WHEN doc_id % 3 >= 1 THEN " +
+        s"${TextAnalysis.TokenHashSql(e2)} % $DigestMod ELSE 0 END " +
+        s"+ CASE WHEN doc_id % 3 = 2 THEN " +
+        s"${TextAnalysis.TokenHashSql(e3)} % $DigestMod ELSE 0 END) " +
+        "AS BIGINT) AS checksum " +
+        "FROM documents GROUP BY source ORDER BY source"
+    })
+
   /** EXIF metadata round-trip: per-doc camera parameters → a real
     * 8×8 JPEG carrying a canonical EXIF APP1 (both TIFF byte orders,
     * IFD0 + Exif IFD + optional GPS IFD with 3-rational DMS
@@ -12434,5 +12498,6 @@ object PipelineQueries {
     multimodalFlacBps, multimodalFlacMulti,
     multimodalExif, multimodalExifStrip,
     multimodalId3, multimodalSceneCut, multimodalSniff, sourceRobots,
-    textMojibake, pipelineCompliance, textUrlCanon, pipelineFrontier)
+    textMojibake, pipelineCompliance, textUrlCanon, pipelineFrontier,
+    sourcePdf)
 }

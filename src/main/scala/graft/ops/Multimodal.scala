@@ -1267,6 +1267,74 @@ object Multimodal {
     }
   }
 
+  /** Per-doc PDF build ([[Pdf.build]] / [[Pdf.appendUpdate]]): page 1
+    * carries the doc text verbatim (one text block — round-trips the
+    * literal-string escaping exactly); each of `extraCol` additional
+    * pages j = 2.. carries the two formula blocks
+    * `Doc <id> page <j>` / `k(v)=\<id>` (parens + backslash exercise
+    * the escape path on every extra page; the q_source_pdf oracle
+    * rebuilds the extracted text from these formulas). `flateCol`
+    * selects FlateDecode vs raw content streams, `indirectCol` an
+    * indirect integer /Length object, and `incrementalCol` writes the
+    * extra pages as a REAL incremental update (second xref section +
+    * /Prev chain, pages root rewritten newest-wins) instead of a
+    * single generation. */
+  def pdfBuildColumn(df: DataFrame, idCol: String, textCol: String,
+                     extraCol: String, flateCol: String,
+                     indirectCol: String, incrementalCol: String,
+                     outCol: String = "media"): DataFrame = {
+    val schema = df.schema.add(outCol, BinaryType)
+    val is = Seq(idCol, textCol, extraCol, flateCol, indirectCol,
+      incrementalCol).map(df.schema.fieldIndex)
+    mapBatched(df, schema) { it =>
+      it.map { row =>
+        val id = row.getLong(is(0))
+        val flate = row.getBoolean(is(3))
+        val ind = row.getBoolean(is(4))
+        val pages = Pdf.PageSpec(Vector(row.getString(is(1))), flate, ind) +:
+          (2 to row.getInt(is(2)) + 1).toVector.map(j =>
+            Pdf.PageSpec(Vector(s"Doc $id page $j", s"k(v)=\\$id"),
+              flate, ind))
+        val bytes =
+          if (row.getBoolean(is(5)) && pages.length > 1)
+            Pdf.appendUpdate(Pdf.build(pages.take(1)), pages.drop(1))
+          else Pdf.build(pages)
+        Row.fromSeq(row.toSeq :+ bytes)
+      }
+    }
+  }
+
+  val PdfPageType: StructType = StructType(Seq(
+    StructField("page_idx", IntegerType, nullable = false),
+    StructField("page_text", StringType),
+    StructField("page_flate", BooleanType, nullable = false),
+    StructField("pdf_pages", IntegerType, nullable = false),
+    StructField("pdf_size", IntegerType, nullable = false),
+    StructField("pdf_updated", BooleanType, nullable = false),
+    StructField("pdf_ok", BooleanType, nullable = false)))
+
+  /** PDF → page rows ([[Pdf.parse]]: startxref → xref chain → page
+    * tree → content decode → text-operator scan). Partition-local
+    * flatMap; document bytes never shuffle; a damaged doc contributes
+    * the pages recovered before the damage (possibly none). Doc-level
+    * fields (`pdf_pages`/`pdf_size`/`pdf_updated`/`pdf_ok`) repeat on
+    * every page row — aggregate them gated on `page_idx = 0`. */
+  def pdfPagesColumn(df: DataFrame, mediaCol: String): DataFrame = {
+    val mi = df.schema.fieldIndex(mediaCol)
+    val keep = df.schema.fields.indices.filterNot(_ == mi)
+    val schema = StructType(keep.map(df.schema.fields) ++ PdfPageType.fields)
+    mapBatched(df, schema) { it =>
+      it.flatMap { row =>
+        val parent = keep.map(row.get)
+        val doc = Pdf.parse(row.getAs[Array[Byte]](mi))
+        doc.pages.iterator.zipWithIndex.map { case (p, i) =>
+          Row.fromSeq(parent ++ Seq(i, p.text, p.flate, doc.pages.length,
+            doc.size, doc.updated, doc.ok))
+        }
+      }
+    }
+  }
+
   /** Two deliberately-messy spellings of each doc's page URL — the
     * frontier-dedup fixture. Variant 1 piles on every normalization
     * the canonicalizer claims: uppercase scheme/host, explicit

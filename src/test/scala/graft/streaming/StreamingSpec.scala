@@ -1918,4 +1918,39 @@ class StreamingSpec extends AnyFunSuite {
         r.getString(4), r.getBoolean(5))).toMap
     assert(got == batch, s"$got vs $batch")
   }
+
+  test("round-14 PDF page walk is a PURE MAP: pdfPagesColumn runs the " +
+    "identical plan on a streaming frame and matches batch row for " +
+    "row — incremental-update docs included") {
+    import graft.ops.{Multimodal, Pdf}
+    val s = spark
+    import s.implicits._
+    def p(blocks: String*) =
+      Pdf.PageSpec(blocks.toVector, flate = true, indirectLength = false)
+    val docs = Seq(
+      (100L, Pdf.build(Seq(p("alpha body"), p("two words", "second")))),
+      (200L, Pdf.appendUpdate(Pdf.build(Seq(p("base page"))),
+        Seq(p("appended page")))))
+    def pipeline(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      Multimodal.pdfPagesColumn(df, "media")
+        .select("gid", "page_idx", "page_text", "pdf_updated", "pdf_ok")
+    val src = docs.toDF("gid", "media")
+    val batch = pipeline(src).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(2), r.getBoolean(3), r.getBoolean(4))).toMap
+    assert(batch((200L, 1)) == (("appended page", true, true)))
+    assert(batch((100L, 1)) == (("two words\nsecond", false, true)))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("r14_pdf_stream").toFile
+    tmp.deleteOnExit()
+    src.coalesce(1).write.parquet(new java.io.File(tmp, "d").toString)
+    val stream = spark.readStream.schema(src.schema).parquet(s"$tmp/*")
+    graft.streaming.StreamingOps.runToMemorySink(
+      pipeline(stream), "r14_pdf")
+    val got = spark.table("r14_pdf").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(2), r.getBoolean(3), r.getBoolean(4))).toMap
+    assert(got == batch, s"$got vs $batch")
+  }
 }
