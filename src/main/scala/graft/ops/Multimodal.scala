@@ -1527,10 +1527,10 @@ object Multimodal {
   }
 
   /** Mixed-format media fixture for the sniffing round-trip: per row
-    * build REAL bytes of the format selected by `selCol` (0..13 →
+    * build REAL bytes of the format selected by `selCol` (0..15 →
     * jpeg png gif bmp wav adpcm-wav flac mp3 mp4 zip gzip tar text
-    * binary), each through the repo's own encoder for that format.
-    * Text-carrying formats embed the doc text so sizes vary. */
+    * binary xml pdf), each through the repo's own encoder for that
+    * format. Text-carrying formats embed the doc text so sizes vary. */
   def sniffBuildColumn(df: DataFrame, selCol: String, textCol: String,
                        outCol: String = "media"): DataFrame = {
     val schema = df.schema.add(outCol, BinaryType)
@@ -1569,6 +1569,8 @@ object Multimodal {
           case 14 => Xml.buildDump(Seq(Xml.Page(1L, 0, "P&1", 10L,
             "2024-01-01T00:00:00Z", "u", text, redirect = false,
             ok = true)))
+          case 15 => Pdf.build(Seq(Pdf.PageSpec(Vector(text),
+            flate = true, indirectLength = false)))
         }
         Row.fromSeq(row.toSeq :+ media)
       }

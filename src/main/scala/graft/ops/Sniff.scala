@@ -25,7 +25,8 @@ object Sniff {
       s.indices.forall(i => (b(at + i) & 0xff) == s.charAt(i).toInt)
 
   /** Detect the format of `b`; one of jpeg/png/gif/bmp/wav/avi/
-    * adpcm-wav/flac/mp3/mp4/zip/gzip/tar/warc/xml/text/binary/empty. */
+    * adpcm-wav/flac/mp3/mp4/zip/gzip/tar/warc/xml/pdf/text/binary/
+    * empty. */
   def detect(b: Array[Byte]): String = {
     if (b == null || b.length == 0) return "empty"
     if (has(b, 0, 0xff, 0xd8, 0xff)) return "jpeg"
@@ -65,6 +66,7 @@ object Sniff {
     if (ascii(b, 257, "ustar")) return "tar"
     if (ascii(b, 0, "WARC/")) return "warc"
     if (ascii(b, 0, "<?xml")) return "xml"
+    if (ascii(b, 0, "%PDF-")) return "pdf"
     if (validUtf8(b)) "text" else "binary"
   }
 

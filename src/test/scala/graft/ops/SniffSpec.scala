@@ -38,6 +38,15 @@ class SniffSpec extends AnyFunSuite {
       Seq(("a", "x".getBytes(UTF_8))), _ => 0L))) == "tar")
     assert(Sniff.detect("plain text, naturally".getBytes(UTF_8)) == "text")
     assert(Sniff.detect("unicode: ÿ — ✓".getBytes(UTF_8)) == "text")
+    assert(Sniff.detect(Xml.buildDump(Seq(Xml.Page(1L, 0, "T", 10L,
+      "2024-01-01T00:00:00Z", "u", "b", redirect = false,
+      ok = true)))) == "xml")
+    // PDF routes on %PDF- BEFORE the UTF-8 text fallback: a raw
+    // (uncompressed-stream) PDF is often valid UTF-8 end to end
+    assert(Sniff.detect(Pdf.build(Seq(Pdf.PageSpec(Vector("ascii body"),
+      flate = false, indirectLength = false)))) == "pdf")
+    assert(Sniff.detect(Pdf.build(Seq(Pdf.PageSpec(Vector("x"),
+      flate = true, indirectLength = true)))) == "pdf")
   }
 
   test("discrimination edges: NUL or invalid UTF-8 is binary, control " +
