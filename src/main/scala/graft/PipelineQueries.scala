@@ -11802,6 +11802,74 @@ object PipelineQueries {
         "FROM documents GROUP BY source ORDER BY source"
     })
 
+  /** mbox/MIME mail-archive round-trip (mailing-list corpora ship
+    * decades of traffic this way): docs → per-(source, shard) mboxrd
+    * files ([[graft.ops.Mbox.build]]: RFC 4155 `From ` separators
+    * with `>From ` body stuffing — and `=46`-escaped line-initial
+    * `From ` under quoted-printable — RFC 5322 folded headers, RFC
+    * 2047 split encoded-word subjects that must rejoin without a
+    * space, 7bit/QP/base64 transfer encodings, multipart/mixed with
+    * a base64 attachment) → separator split + header unfold + MIME
+    * walk ([[graft.ops.Mbox.parse]]) → per-source aggregates. The
+    * body checksum pins byte-exact transfer decode across all three
+    * codings; sum_subject_len pins encoded-word rejoin (one stray
+    * space breaks it); sum_att_digest pins attachment base64 decode
+    * content, not just length; sum_ts pins header extraction through
+    * the unfold. File bytes never shuffle. */
+  private val sourceMbox = Q("q_source_mbox",
+    (s, d) => {
+      val src = docs(s, d).select(col("doc_id"), col("source"),
+        pmod(col("doc_id"), lit(6)).as("shard"), col("text"))
+      val files = Multimodal.mboxBuildFiles(src, Seq("source", "shard"),
+        "doc_id", "text")
+      val dt = split(col("msg_date"), " ")
+      Multimodal.mboxMessagesColumn(files, "media")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_msgs"),
+          countDistinct(col("shard")).as("n_files"),
+          sum(when(col("msg_ok"), 1L).otherwise(0L)).as("n_ok"),
+          sum(when(col("cte") === "quoted-printable", 1L).otherwise(0L))
+            .as("n_qp"),
+          sum(when(col("cte") === "base64", 1L).otherwise(0L)).as("n_b64"),
+          sum(when(col("n_parts") === 2, 1L).otherwise(0L))
+            .as("n_multipart"),
+          sum(col("n_to").cast("long")).as("sum_to"),
+          sum(length(col("subject")).cast("long")).as("sum_subject_len"),
+          sum(length(col("msg_from")).cast("long")).as("sum_from_len"),
+          sum(element_at(dt, 2).cast("long") +
+            substring(element_at(dt, 5), 1, 2).cast("long")).as("sum_ts"),
+          sum(col("att_bytes").cast("long")).as("sum_att"),
+          sum(col("att_digest")).as("sum_att_digest"),
+          sum(TextAnalysis.tokenHash(col("body")) % lit(DigestMod))
+            .as("checksum"))
+        .orderBy("source")
+    },
+    "SELECT source, count(*) AS n_msgs, " +
+      "count(DISTINCT doc_id % 6) AS n_files, " +
+      "count(*) AS n_ok, " +
+      "CAST(sum(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_qp, " +
+      "CAST(sum(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_b64, " +
+      "CAST(sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_multipart, " +
+      "CAST(2 * count(*) AS BIGINT) AS sum_to, " +
+      "CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 7 ELSE 8 END " +
+      "+ length(CAST(doc_id AS VARCHAR))) AS BIGINT) " +
+      "AS sum_subject_len, " +
+      "CAST(sum(16 + length(CAST(doc_id % 50 AS VARCHAR)) " +
+      "+ length(CAST(doc_id % 20 AS VARCHAR))) AS BIGINT) " +
+      "AS sum_from_len, " +
+      "CAST(sum(doc_id % 28 + 1 + doc_id % 24) AS BIGINT) AS sum_ts, " +
+      "CAST(sum(CASE WHEN doc_id % 4 = 0 THEN doc_id % 100 + 10 " +
+      "ELSE 0 END) AS BIGINT) AS sum_att, " +
+      "CAST(sum(CASE WHEN doc_id % 4 = 0 THEN " +
+      "(doc_id % 100 + 10) * (doc_id % 100 + 9) / 2 ELSE 0 END) " +
+      "AS BIGINT) AS sum_att_digest, " +
+      s"CAST(sum(${TextAnalysis.TokenHashSql("text")} % $DigestMod) " +
+      "AS BIGINT) AS checksum " +
+      "FROM documents GROUP BY source ORDER BY source")
+
   /** EXIF metadata round-trip: per-doc camera parameters → a real
     * 8×8 JPEG carrying a canonical EXIF APP1 (both TIFF byte orders,
     * IFD0 + Exif IFD + optional GPS IFD with 3-rational DMS
@@ -12499,5 +12567,5 @@ object PipelineQueries {
     multimodalExif, multimodalExifStrip,
     multimodalId3, multimodalSceneCut, multimodalSniff, sourceRobots,
     textMojibake, pipelineCompliance, textUrlCanon, pipelineFrontier,
-    sourcePdf)
+    sourcePdf, sourceMbox)
 }

@@ -1267,6 +1267,69 @@ object Multimodal {
     }
   }
 
+  /** Group docs into per-group mboxrd mail archives ([[Mbox.build]]);
+    * message fields derive from (id, text) by the formulas the
+    * q_source_mbox oracle replays: from `user<id%50>@example<id%20>
+    * .com`, a FOLDED two-address To list, subject `Re: doc <id>` —
+    * or, when id%3 = 0, `Résumé <id>` as two adjacent RFC 2047
+    * B-encoded words across a fold (they must rejoin without a
+    * space), date day id%28+1 / hour id%24, transfer encoding id%3
+    * → {7bit (From-stuffed), quoted-printable, base64}, and for
+    * id%4 = 0 a multipart/mixed attachment of id%100+10 bytes
+    * 0,1,2,.. (unsigned sum = L(L−1)/2, the closed form the oracle
+    * uses). The body is the doc text verbatim whatever the coding. */
+  def mboxBuildFiles(df: DataFrame, groupCols: Seq[String], idCol: String,
+                     textCol: String, outCol: String = "media"): DataFrame =
+    archiveBuildFiles(df, groupCols, idCol, textCol, outCol) { docs =>
+      Mbox.build(docs.map { case (id, text) =>
+        Mbox.MsgSpec(s"user${id % 50}@example${id % 20}.com",
+          Vector("list@example.org", s"cc${id % 9}@example.net"),
+          if (id % 3 == 0) s"Résumé $id" else s"Re: doc $id",
+          encodeSubject = id % 3 == 0,
+          s"Thu, ${id % 28 + 1} Feb 2024 " + f"${id % 24}%02d:00:00 +0000",
+          s"<m$id@x>", (id % 3).toInt, text,
+          if (id % 4 == 0)
+            Some(Array.tabulate((id % 100 + 10).toInt)(i => i.toByte))
+          else None)
+      })
+    }
+
+  val MboxMsgType: StructType = StructType(Seq(
+    StructField("msg_from", StringType),
+    StructField("n_to", IntegerType, nullable = false),
+    StructField("subject", StringType),
+    StructField("msg_date", StringType),
+    StructField("msg_id", StringType),
+    StructField("cte", StringType),
+    StructField("body", StringType),
+    StructField("n_parts", IntegerType, nullable = false),
+    StructField("att_bytes", IntegerType, nullable = false),
+    StructField("att_digest", LongType, nullable = false),
+    StructField("msg_ok", BooleanType, nullable = false)))
+
+  /** mbox archive → message rows ([[Mbox.parse]]: separator split,
+    * header unfold, encoded-word decode, MIME walk, transfer decode).
+    * Partition-local flatMap; archive bytes never shuffle.
+    * `att_digest` is the unsigned byte sum of the decoded attachment
+    * — pins the base64 attachment path, not just its length. */
+  def mboxMessagesColumn(df: DataFrame, mediaCol: String): DataFrame = {
+    val mi = df.schema.fieldIndex(mediaCol)
+    val keep = df.schema.fields.indices.filterNot(_ == mi)
+    val schema = StructType(keep.map(df.schema.fields) ++ MboxMsgType.fields)
+    mapBatched(df, schema) { it =>
+      it.flatMap { row =>
+        val parent = keep.map(row.get)
+        Mbox.parse(row.getAs[Array[Byte]](mi)).iterator.map { m =>
+          var dig = 0L
+          m.attachment.foreach(b => dig += (b & 0xff))
+          Row.fromSeq(parent ++ Seq(m.from, m.to.length, m.subject,
+            m.date, m.msgId, m.cte, m.body, m.nParts,
+            m.attachment.length, dig, m.ok))
+        }
+      }
+    }
+  }
+
   /** Per-doc PDF build ([[Pdf.build]] / [[Pdf.appendUpdate]]): page 1
     * carries the doc text verbatim (one text block — round-trips the
     * literal-string escaping exactly); each of `extraCol` additional

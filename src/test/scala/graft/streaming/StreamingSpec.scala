@@ -1953,4 +1953,48 @@ class StreamingSpec extends AnyFunSuite {
         (r.getString(2), r.getBoolean(3), r.getBoolean(4))).toMap
     assert(got == batch, s"$got vs $batch")
   }
+
+  test("round-14 mbox message walk is a PURE MAP: mboxMessagesColumn " +
+    "runs the identical plan on a streaming frame and matches batch " +
+    "row for row — QP bodies and multipart attachments included") {
+    import graft.ops.{Multimodal, Mbox}
+    val s = spark
+    import s.implicits._
+    val files = Seq(
+      (100L, Mbox.build(Seq(
+        Mbox.MsgSpec("a@x", Vector("l@y"), "café subj", true,
+          "Thu, 2 Feb 2024 03:00:00 +0000", "<m1@x>", 1,
+          "qp body é\nFrom line", None),
+        Mbox.MsgSpec("b@x", Vector("l@y", "c@z"), "plain", false,
+          "Thu, 3 Feb 2024 04:00:00 +0000", "<m2@x>", 0,
+          "seven bit", Some(Array[Byte](5, 6, 7)))))),
+      (200L, Mbox.build(Seq(
+        Mbox.MsgSpec("c@x", Vector("l@y"), "b64", false,
+          "Thu, 4 Feb 2024 05:00:00 +0000", "<m3@x>", 2,
+          "base64 中文", None)))))
+    def pipeline(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      Multimodal.mboxMessagesColumn(df, "media")
+        .select("gid", "msg_id", "subject", "body", "n_parts",
+          "att_digest", "msg_ok")
+    val src = files.toDF("gid", "media")
+    val batch = pipeline(src).collect()
+      .map(r => r.getString(1) -> (r.getString(2), r.getString(3),
+        r.getInt(4), r.getLong(5), r.getBoolean(6))).toMap
+    assert(batch("<m1@x>") ==
+      (("café subj", "qp body é\nFrom line", 1, 0L, true)))
+    assert(batch("<m2@x>") == (("plain", "seven bit", 2, 18L, true)))
+    assert(batch("<m3@x>")._2 == "base64 中文")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("r14_mbox_stream").toFile
+    tmp.deleteOnExit()
+    src.coalesce(1).write.parquet(new java.io.File(tmp, "d").toString)
+    val stream = spark.readStream.schema(src.schema).parquet(s"$tmp/*")
+    graft.streaming.StreamingOps.runToMemorySink(
+      pipeline(stream), "r14_mbox")
+    val got = spark.table("r14_mbox").collect()
+      .map(r => r.getString(1) -> (r.getString(2), r.getString(3),
+        r.getInt(4), r.getLong(5), r.getBoolean(6))).toMap
+    assert(got == batch, s"$got vs $batch")
+  }
 }
