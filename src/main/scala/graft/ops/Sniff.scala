@@ -25,8 +25,8 @@ object Sniff {
       s.indices.forall(i => (b(at + i) & 0xff) == s.charAt(i).toInt)
 
   /** Detect the format of `b`; one of jpeg/png/gif/bmp/wav/avi/
-    * adpcm-wav/flac/mp3/mp4/zip/gzip/tar/warc/xml/pdf/text/binary/
-    * empty. */
+    * adpcm-wav/flac/mp3/mp4/zip/gzip/tar/warc/xml/pdf/mbox/text/
+    * binary/empty. */
   def detect(b: Array[Byte]): String = {
     if (b == null || b.length == 0) return "empty"
     if (has(b, 0, 0xff, 0xd8, 0xff)) return "jpeg"
@@ -67,6 +67,17 @@ object Sniff {
     if (ascii(b, 0, "WARC/")) return "warc"
     if (ascii(b, 0, "<?xml")) return "xml"
     if (ascii(b, 0, "%PDF-")) return "pdf"
+    // mboxrd: the RFC 4155 envelope line plus an RFC 5322 From:
+    // header nearby — the structural pair keeps ordinary prose that
+    // merely starts with "From " out of the mailbox route
+    if (ascii(b, 0, "From ")) {
+      val win = math.min(b.length - 6, 1024)
+      var i = 0
+      while (i < win) {
+        if (b(i) == '\n' && ascii(b, i + 1, "From: ")) return "mbox"
+        i += 1
+      }
+    }
     if (validUtf8(b)) "text" else "binary"
   }
 

@@ -47,6 +47,13 @@ class SniffSpec extends AnyFunSuite {
       flate = false, indirectLength = false)))) == "pdf")
     assert(Sniff.detect(Pdf.build(Seq(Pdf.PageSpec(Vector("x"),
       flate = true, indirectLength = true)))) == "pdf")
+    assert(Sniff.detect(Mbox.build(Seq(Mbox.MsgSpec("a@b", Vector("l@x"),
+      "s", encodeSubject = false, "d", "<m@x>", 0, "body",
+      None)))) == "mbox")
+    // prose that merely starts with "From " stays text: the mbox
+    // route needs the paired From: header
+    assert(Sniff.detect("From here to there, a story.\nChapter 1."
+      .getBytes(UTF_8)) == "text")
   }
 
   test("discrimination edges: NUL or invalid UTF-8 is binary, control " +
