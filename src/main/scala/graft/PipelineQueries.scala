@@ -11745,24 +11745,29 @@ object PipelineQueries {
     * direct and indirect /Length, Tj and TJ-array show operators,
     * escaped literal strings; multi-page docs with doc_id % 4 = 0
     * written as TRUE incremental updates — second xref section,
-    * /Prev chain, pages root rewritten newest-wins) → full reader
-    * walk ([[graft.ops.Pdf.parse]]: startxref → xref chain → page
-    * tree → content decode → text-operator scan) → per-source
-    * aggregates. The checksum pins extracted text exactly (page 1 is
-    * the doc text verbatim; extra pages rebuilt from the
+    * /Prev chain, pages root rewritten newest-wins; docs with
+    * doc_id % 7 = 0 in the PDF 1.5 form — cross-reference STREAM
+    * under the PNG Up predictor plus an object stream holding every
+    * dict object) → full reader walk ([[graft.ops.Pdf.parse]]:
+    * startxref → xref chain of either section kind → page tree →
+    * content decode → text-operator scan) → per-source aggregates.
+    * The checksum pins extracted text exactly (page 1 is the doc
+    * text verbatim; extra pages rebuilt from the
     * [[graft.ops.Multimodal.pdfBuildColumn]] formulas); sum_size
-    * pins object numbering through the trailer /Size; n_updated pins
-    * the /Prev walk — a reader that ignores the chain loses the
-    * catalog and extracts nothing. Bytes never shuffle. */
+    * pins object numbering through the trailer /Size in BOTH forms;
+    * n_updated pins the /Prev walk; n_xstream pins 1.5 detection —
+    * a reader that can't decode the predictor or the object stream
+    * loses every seventh document. Bytes never shuffle. */
   private val sourcePdf = Q("q_source_pdf",
     (s, d) => {
       val src = docs(s, d).select(col("doc_id"), col("source"), col("text"),
         pmod(col("doc_id"), lit(3)).cast("int").as("extra"),
         (pmod(col("doc_id"), lit(2)) === 0).as("flate"),
         (pmod(col("doc_id"), lit(5)) === 0).as("ind"),
-        (pmod(col("doc_id"), lit(4)) === 0).as("incr"))
+        (pmod(col("doc_id"), lit(4)) === 0).as("incr"),
+        (pmod(col("doc_id"), lit(7)) === 0).as("xs"))
       val built = Multimodal.pdfBuildColumn(src, "doc_id", "text",
-        "extra", "flate", "ind", "incr")
+        "extra", "flate", "ind", "incr", "xs")
       Multimodal.pdfPagesColumn(built, "media")
         .groupBy("source")
         .agg(countDistinct(col("doc_id")).as("n_docs"),
@@ -11774,6 +11779,8 @@ object PipelineQueries {
             .otherwise(0L)).as("sum_size"),
           sum(when(col("pdf_updated") && col("page_idx") === 0, 1L)
             .otherwise(0L)).as("n_updated"),
+          sum(when(col("pdf_xstream") && col("page_idx") === 0, 1L)
+            .otherwise(0L)).as("n_xstream"),
           sum(TextAnalysis.tokenHash(col("page_text")) % lit(DigestMod))
             .as("checksum"))
         .orderBy("source")
@@ -11788,11 +11795,15 @@ object PipelineQueries {
         "count(*) AS n_ok, " +
         "CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 3 " +
         "ELSE 0 END) AS BIGINT) AS n_flate, " +
-        "CAST(sum(4 + (1 + doc_id % 3) * " +
+        "CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 6 ELSE 4 END " +
+        "+ (1 + doc_id % 3) * " +
         "(CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 2 END)) AS BIGINT) " +
         "AS sum_size, " +
         "CAST(sum(CASE WHEN doc_id % 4 = 0 AND doc_id % 3 <> 0 " +
-        "THEN 1 ELSE 0 END) AS BIGINT) AS n_updated, " +
+        "AND doc_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_updated, " +
+        "CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_xstream, " +
         s"CAST(sum(${TextAnalysis.TokenHashSql("text")} % $DigestMod " +
         s"+ CASE WHEN doc_id % 3 >= 1 THEN " +
         s"${TextAnalysis.TokenHashSql(e2)} % $DigestMod ELSE 0 END " +

@@ -1341,14 +1341,18 @@ object Multimodal {
     * indirect integer /Length object, and `incrementalCol` writes the
     * extra pages as a REAL incremental update (second xref section +
     * /Prev chain, pages root rewritten newest-wins) instead of a
-    * single generation. */
+    * single generation. `xstreamCol` selects the PDF 1.5 form
+    * ([[Pdf.buildXrefStream]]: cross-reference stream under the PNG
+    * Up predictor + object stream) and takes precedence over the
+    * incremental flag. */
   def pdfBuildColumn(df: DataFrame, idCol: String, textCol: String,
                      extraCol: String, flateCol: String,
                      indirectCol: String, incrementalCol: String,
+                     xstreamCol: String,
                      outCol: String = "media"): DataFrame = {
     val schema = df.schema.add(outCol, BinaryType)
     val is = Seq(idCol, textCol, extraCol, flateCol, indirectCol,
-      incrementalCol).map(df.schema.fieldIndex)
+      incrementalCol, xstreamCol).map(df.schema.fieldIndex)
     mapBatched(df, schema) { it =>
       it.map { row =>
         val id = row.getLong(is(0))
@@ -1359,7 +1363,8 @@ object Multimodal {
             Pdf.PageSpec(Vector(s"Doc $id page $j", s"k(v)=\\$id"),
               flate, ind))
         val bytes =
-          if (row.getBoolean(is(5)) && pages.length > 1)
+          if (row.getBoolean(is(6))) Pdf.buildXrefStream(pages)
+          else if (row.getBoolean(is(5)) && pages.length > 1)
             Pdf.appendUpdate(Pdf.build(pages.take(1)), pages.drop(1))
           else Pdf.build(pages)
         Row.fromSeq(row.toSeq :+ bytes)
@@ -1374,6 +1379,7 @@ object Multimodal {
     StructField("pdf_pages", IntegerType, nullable = false),
     StructField("pdf_size", IntegerType, nullable = false),
     StructField("pdf_updated", BooleanType, nullable = false),
+    StructField("pdf_xstream", BooleanType, nullable = false),
     StructField("pdf_ok", BooleanType, nullable = false)))
 
   /** PDF → page rows ([[Pdf.parse]]: startxref → xref chain → page
@@ -1392,7 +1398,7 @@ object Multimodal {
         val doc = Pdf.parse(row.getAs[Array[Byte]](mi))
         doc.pages.iterator.zipWithIndex.map { case (p, i) =>
           Row.fromSeq(parent ++ Seq(i, p.text, p.flate, doc.pages.length,
-            doc.size, doc.updated, doc.ok))
+            doc.size, doc.updated, doc.xrefStream, doc.ok))
         }
       }
     }

@@ -47,9 +47,11 @@ object Pdf {
   /** `size` = trailer /Size (object count + 1); `ok` = xref + root +
     * page tree all resolved; `updated` = the newest trailer carries
     * /Prev, i.e. the file was incrementally updated and the reader
-    * walked an xref chain. */
+    * walked an xref chain; `xrefStream` = at least one section in
+    * the chain was a PDF 1.5 cross-reference stream. */
   final case class Doc(pages: Vector[Page], size: Int, ok: Boolean,
-                       updated: Boolean = false)
+                       updated: Boolean = false,
+                       xrefStream: Boolean = false)
 
   // ------------------------------------------------------------ write
 
@@ -97,6 +99,16 @@ object Pdf {
     out.toByteArray
   }
 
+  /** Rendered (and, per the spec, possibly deflated) content stream
+    * bytes for one page. */
+  private def renderContentData(p: PageSpec): Array[Byte] = {
+    val c = new ByteArrayOutputStream(256)
+    p.blocks.zipWithIndex.foreach { case (b, i) =>
+      c.write(renderBlock(b, 720 - 16 * i))
+    }
+    if (p.flate) deflate(c.toByteArray) else c.toByteArray
+  }
+
   private def deflate(b: Array[Byte]): Array[Byte] = {
     val d = new Deflater(Deflater.DEFAULT_COMPRESSION)
     d.setInput(b); d.finish()
@@ -119,14 +131,7 @@ object Pdf {
     def begin(n: Int): Unit = {
       register(n, out.size().toLong); w(s"$n 0 obj\n")
     }
-    val content = {
-      val c = new ByteArrayOutputStream(256)
-      p.blocks.zipWithIndex.foreach { case (b, i) =>
-        c.write(renderBlock(b, 720 - 16 * i))
-      }
-      c.toByteArray
-    }
-    val data = if (p.flate) deflate(content) else content
+    val data = renderContentData(p)
     val contentNum = pageNum + 1
     begin(pageNum)
     w("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
@@ -144,6 +149,66 @@ object Pdf {
       begin(contentNum + 1); w(s"${data.length}\nendobj\n")
       3
     } else 2
+  }
+
+  /** PNG Up (predictor 12) filtering for a cross-reference stream:
+    * each `cols`-byte row becomes tag byte 2 + (row − previous row).
+    * What every mainstream 1.5 writer applies before Flate. */
+  private def pngUp(data: Array[Byte], cols: Int): Array[Byte] = {
+    val nRows = data.length / cols
+    val out = new Array[Byte]((cols + 1) * nRows)
+    var r = 0
+    while (r < nRows) {
+      out(r * (cols + 1)) = 2
+      var c = 0
+      while (c < cols) {
+        val cur = data(r * cols + c) & 0xff
+        val up = if (r == 0) 0 else data((r - 1) * cols + c) & 0xff
+        out(r * (cols + 1) + 1 + c) = ((cur - up) & 0xff).toByte
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Inverse of the PNG row predictors (tags 0–4, 1-byte samples) —
+    * a conforming reader must accept any of them whatever the writer
+    * used. Returns the reconstructed rows, tags stripped. */
+  private def pngUnpredict(data: Array[Byte], cols: Int): Array[Byte] = {
+    if (cols <= 0) return Array.emptyByteArray
+    val nRows = data.length / (cols + 1)
+    val out = new Array[Byte](cols * nRows)
+    var r = 0
+    while (r < nRows) {
+      val tag = data(r * (cols + 1)) & 0xff
+      var c = 0
+      while (c < cols) {
+        val x = data(r * (cols + 1) + 1 + c) & 0xff
+        val left = if (c == 0) 0 else out(r * cols + c - 1) & 0xff
+        val up = if (r == 0) 0 else out((r - 1) * cols + c) & 0xff
+        val ul = if (r == 0 || c == 0) 0
+        else out((r - 1) * cols + c - 1) & 0xff
+        val rec = tag match {
+          case 0 => x
+          case 1 => x + left
+          case 2 => x + up
+          case 3 => x + (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            x + (if (pa <= pb && pa <= pc) left
+            else if (pb <= pc) up else ul)
+          case _ => x
+        }
+        out(r * cols + c) = (rec & 0xff).toByte
+        c += 1
+      }
+      r += 1
+    }
+    out
   }
 
   /** A complete single-generation PDF 1.4 with a correct xref table.
@@ -234,6 +299,96 @@ object Pdf {
     offsets.foreach { case (_, o) => w(f"$o%010d 00000 n \n") }
     w(s"trailer\n<< /Size $next /Root 1 0 R /Prev ${r.firstXrefAt} " +
       s">>\nstartxref\n$xrefPos\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** A complete PDF 1.5 document — the layout virtually every
+    * post-2005 writer emits: dict objects (catalog, pages root, font,
+    * page dicts, indirect /Length ints) packed into ONE object
+    * stream (/Type /ObjStm), content streams top-level, and a
+    * CROSS-REFERENCE STREAM (/Type /XRef, W [1 3 1], FlateDecode
+    * under the PNG Up predictor) in place of the classic table, with
+    * its dict doubling as the trailer. Same object numbering as
+    * [[build]] so the two forms share the /Size arithmetic modulo
+    * the two extra container objects. */
+  def buildXrefStream(pages: Seq[PageSpec]): Array[Byte] = {
+    val per = pages.map(p => if (p.indirectLength) 3 else 2)
+    val pageNums = pages.indices.map(i => 4 + per.take(i).sum)
+    val objStmNum = 4 + per.sum
+    val xrefNum = objStmNum + 1
+    val packed = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    packed += ((1, "<< /Type /Catalog /Pages 2 0 R >>"))
+    packed += ((2, "<< /Type /Pages /Kids [" +
+      pageNums.map(n => s"$n 0 R").mkString(" ") +
+      s"] /Count ${pages.length} >>"))
+    packed += ((3,
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"))
+    val out = new ByteArrayOutputStream(1024)
+    def w(s: String): Unit = out.write(s.getBytes(UTF_8))
+    val offsets = scala.collection.mutable.HashMap.empty[Int, Long]
+    w("%PDF-1.5\n")
+    pages.zipWithIndex.foreach { case (p, i) =>
+      val pageNum = pageNums(i)
+      val contentNum = pageNum + 1
+      packed += ((pageNum,
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+          "/Resources << /Font << /F1 3 0 R >> >> " +
+          s"/Contents $contentNum 0 R >>"))
+      val data = renderContentData(p)
+      offsets(contentNum) = out.size().toLong
+      val lenPart =
+        if (p.indirectLength) s"/Length ${contentNum + 1} 0 R"
+        else s"/Length ${data.length}"
+      val filterPart = if (p.flate) " /Filter /FlateDecode" else ""
+      w(s"$contentNum 0 obj\n<< $lenPart$filterPart >>\nstream\n")
+      out.write(data)
+      w("\nendstream\nendobj\n")
+      if (p.indirectLength)
+        packed += ((contentNum + 1, s"${data.length}"))
+    }
+    // object stream: "num offset" pair header, then the serialized
+    // objects; /Length is DIRECT (it must bootstrap the reader)
+    val stmBody = new ByteArrayOutputStream(256)
+    val header = new StringBuilder
+    packed.foreach { case (n, s) =>
+      header.append(n).append(' ').append(stmBody.size()).append(' ')
+      stmBody.write(s.getBytes(UTF_8)); stmBody.write('\n')
+    }
+    val hb = header.toString.getBytes(UTF_8)
+    val stmData = deflate(hb ++ stmBody.toByteArray)
+    offsets(objStmNum) = out.size().toLong
+    w(s"$objStmNum 0 obj\n<< /Type /ObjStm /N ${packed.length} " +
+      s"/First ${hb.length} /Filter /FlateDecode " +
+      s"/Length ${stmData.length} >>\nstream\n")
+    out.write(stmData)
+    w("\nendstream\nendobj\n")
+    val xrefPos = out.size().toLong
+    val cols = 5 // W = [1 3 1]
+    val rows = new ByteArrayOutputStream((xrefNum + 1) * cols)
+    def row(t: Int, f2: Long, f3: Int): Unit = {
+      rows.write(t)
+      rows.write(((f2 >> 16) & 0xff).toInt)
+      rows.write(((f2 >> 8) & 0xff).toInt)
+      rows.write((f2 & 0xff).toInt)
+      rows.write(f3 & 0xff)
+    }
+    val packedIdx = packed.zipWithIndex
+      .map { case ((n, _), i) => n -> i }.toMap
+    (0 to xrefNum).foreach { n =>
+      if (n == 0) row(0, 0L, 255)
+      else packedIdx.get(n) match {
+        case Some(i) => row(2, objStmNum.toLong, i)
+        case None => row(1, offsets.getOrElse(n, 0L), 0)
+      }
+    }
+    val xData = deflate(pngUp(rows.toByteArray, cols))
+    w(s"$xrefNum 0 obj\n<< /Type /XRef /Size ${xrefNum + 1} /W [1 3 1] " +
+      "/Root 1 0 R /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 12 /Columns $cols >> " +
+      s"/Length ${xData.length} >>\nstream\n")
+    out.write(xData)
+    w("\nendstream\nendobj\n")
+    w(s"startxref\n$xrefPos\n%%EOF\n")
     out.toByteArray
   }
 
@@ -431,9 +586,17 @@ object Pdf {
 
   private final class Reader(b: Array[Byte]) {
     private val table = scala.collection.mutable.HashMap.empty[Int, Long]
+    /** Type-2 entries from a cross-reference stream: object N lives
+      * at index `idx` inside object stream `stm`. */
+    private val inStream =
+      scala.collection.mutable.HashMap.empty[Int, (Int, Int)]
     private val memo = scala.collection.mutable.HashMap.empty[Int, V]
+    private val loadedStms = scala.collection.mutable.HashSet.empty[Int]
     var trailer: Map[String, V] = Map.empty
     var xrefOk = false
+    /** True when any section in the chain was a PDF 1.5
+      * cross-reference STREAM rather than a classic table. */
+    var sawXrefStream = false
     /** Byte offset the tail `startxref` pointed at (the NEWEST xref
       * section) — what an incremental update must chain to via /Prev. */
     var firstXrefAt: Long = -1L
@@ -462,11 +625,17 @@ object Pdf {
       }
     }
 
-    /** Parses one xref table + trailer at `off`; returns /Prev offset
-      * or -1. Earlier sections in the chain win (newest first). */
+    /** Parses one xref section at `off` — a classic `xref` table OR a
+      * PDF 1.5 cross-reference stream — and returns the /Prev offset
+      * or -1. Earlier sections in the chain win (newest first), which
+      * also makes hybrid chains (a classic incremental update over a
+      * stream-xref base, or vice versa) just work. */
     private def loadSection(off: Int): Long = {
       val lx = new Lexer(b, off)
-      if (lx.keyword() != "xref") return -1L
+      val save = lx.pos
+      if (lx.keyword() != "xref") { lx.pos = save
+        return loadStreamSection(off)
+      }
       var going = true
       while (going) {
         val save = lx.pos
@@ -495,6 +664,62 @@ object Pdf {
       if (lx.keyword() != "trailer") return -1L
       lx.value(0) match {
         case VDict(d) =>
+          if (trailer.isEmpty) trailer = d
+          d.get("Prev") match {
+            case Some(n: VNum) => n.toLong
+            case _ => -1L
+          }
+        case _ => -1L
+      }
+    }
+
+    /** Parses a PDF 1.5 cross-reference STREAM at `off`: /W field
+      * widths, optional /Index subsections, type-1 (offset) and
+      * type-2 (object-stream member) entries, the stream dict doubling
+      * as the trailer. Returns /Prev or -1. */
+    private def loadStreamSection(off: Int): Long = {
+      objectAt(off, 0) match {
+        case VStream(d, raw) if d.get("Type").contains(VName("XRef")) =>
+          val ws = d.get("W") match {
+            case Some(VArr(a)) =>
+              a.collect { case n: VNum => n.toLong.toInt }
+            case _ => return -1L
+          }
+          if (ws.length < 3 || ws.exists(w => w < 0 || w > 8)) return -1L
+          val data = decodeStream(d, raw)
+          val size = d.get("Size") match {
+            case Some(n: VNum) => n.toLong.toInt
+            case _ => 0
+          }
+          val index: Vector[(Int, Int)] = d.get("Index") match {
+            case Some(VArr(a)) =>
+              a.collect { case n: VNum => n.toLong.toInt }
+                .grouped(2).collect { case Seq(s, c) => (s, c) }.toVector
+            case _ => Vector((0, size))
+          }
+          val rowW = ws.sum
+          var p = 0
+          def field(w: Int): Long = {
+            var v = 0L; var k = 0
+            while (k < w) { v = (v << 8) | (data(p) & 0xff); p += 1; k += 1 }
+            v
+          }
+          index.foreach { case (start, count) =>
+            var i = 0
+            while (i < count && rowW > 0 && p + rowW <= data.length) {
+              val t = if (ws(0) == 0) 1L else field(ws(0))
+              val f2 = field(ws(1))
+              val f3 = field(ws(2))
+              val objNum = start + i
+              if (!table.contains(objNum) && !inStream.contains(objNum)) {
+                if (t == 1L && f2 >= 0 && f2 < b.length)
+                  table(objNum) = f2
+                else if (t == 2L) inStream(objNum) = (f2.toInt, f3.toInt)
+              }
+              i += 1
+            }
+          }
+          sawXrefStream = true
           if (trailer.isEmpty) trailer = d
           d.get("Prev") match {
             case Some(n: VNum) => n.toLong
@@ -535,43 +760,118 @@ object Pdf {
       }
     }
 
+    /** Parse the `N G obj` at byte offset `off`. */
+    private def objectAt(off: Int, depth: Int): V = {
+      val lx = new Lexer(b, off)
+      (lx.tryLong(), lx.tryLong()) match {
+        case (Some(_), Some(_)) =>
+          if (lx.keyword() != "obj") VOther
+          else {
+            val v = lx.value(0)
+            v match {
+              case VDict(d) =>
+                // stream?
+                val save = lx.pos
+                if (lx.keyword() == "stream") {
+                  if (lx.ok && lx.peek == '\r') lx.pos += 1
+                  if (lx.ok && lx.peek == '\n') lx.pos += 1
+                  val len = resolve(d.getOrElse("Length", VOther),
+                    depth + 1) match {
+                    case n: VNum => n.toLong
+                    case _ => -1L
+                  }
+                  val start = lx.pos.toLong
+                  if (len >= 0 && start + len <= b.length)
+                    VStream(d, java.util.Arrays.copyOfRange(
+                      b, start.toInt, (start + len).toInt))
+                  else VOther
+                } else { lx.pos = save; v }
+              case other => other
+            }
+          }
+        case _ => VOther
+      }
+    }
+
+    /** Filter chain for a cross-reference or object stream:
+      * FlateDecode, then the PNG predictor when /DecodeParms asks. */
+    private def decodeStream(d: Map[String, V], raw: Array[Byte])
+        : Array[Byte] = {
+      val data = d.get("Filter") match {
+        case Some(VName("FlateDecode")) => inflate(raw)
+        case Some(VArr(fs)) if fs.contains(VName("FlateDecode")) =>
+          inflate(raw)
+        case _ => raw
+      }
+      d.get("DecodeParms") match {
+        case Some(VDict(p)) =>
+          val pred = p.get("Predictor") match {
+            case Some(n: VNum) => n.toLong.toInt
+            case _ => 1
+          }
+          val cols = p.get("Columns") match {
+            case Some(n: VNum) => n.toLong.toInt
+            case _ => 1
+          }
+          if (pred >= 10) pngUnpredict(data, cols) else data
+        case _ => data
+      }
+    }
+
+    /** Decode one /Type /ObjStm and memoize every object the xref
+      * assigned to it (newest-wins: an object a NEWER section placed
+      * elsewhere is not overwritten). */
+    private def loadObjStm(stm: Int, depth: Int): Unit = {
+      if (depth > 16 || !loadedStms.add(stm)) return
+      fetch(stm, depth + 1) match {
+        case VStream(d, raw)
+          if d.get("Type").contains(VName("ObjStm")) =>
+          val data = decodeStream(d, raw)
+          val n = d.get("N") match {
+            case Some(x: VNum) => x.toLong.toInt
+            case _ => 0
+          }
+          val first = d.get("First") match {
+            case Some(x: VNum) => x.toLong.toInt
+            case _ => 0
+          }
+          val hdr = new Lexer(data, 0)
+          var i = 0
+          while (i < n) {
+            (hdr.tryLong(), hdr.tryLong()) match {
+              case (Some(num), Some(off)) =>
+                val at = first + off
+                val objNum = num.toInt
+                if (at >= 0 && at < data.length &&
+                  !memo.contains(objNum) &&
+                  inStream.get(objNum).exists(_._1 == stm))
+                  memo(objNum) = new Lexer(data, at.toInt).value(0)
+              case _ => i = n
+            }
+            i += 1
+          }
+        case _ => ()
+      }
+    }
+
     def fetch(num: Int, depth: Int = 0): V = {
       if (depth > 16) return VOther
-      memo.getOrElseUpdate(num, {
-        table.get(num) match {
-          case None => VOther
-          case Some(off) =>
-            val lx = new Lexer(b, off.toInt)
-            (lx.tryLong(), lx.tryLong()) match {
-              case (Some(_), Some(_)) =>
-                if (lx.keyword() != "obj") VOther
-                else {
-                  val v = lx.value(0)
-                  v match {
-                    case VDict(d) =>
-                      // stream?
-                      val save = lx.pos
-                      if (lx.keyword() == "stream") {
-                        if (lx.ok && lx.peek == '\r') lx.pos += 1
-                        if (lx.ok && lx.peek == '\n') lx.pos += 1
-                        val len = resolve(d.getOrElse("Length", VOther),
-                          depth + 1) match {
-                          case n: VNum => n.toLong
-                          case _ => -1L
-                        }
-                        val start = lx.pos.toLong
-                        if (len >= 0 && start + len <= b.length)
-                          VStream(d, java.util.Arrays.copyOfRange(
-                            b, start.toInt, (start + len).toInt))
-                        else VOther
-                      } else { lx.pos = save; v }
-                    case other => other
-                  }
-                }
-              case _ => VOther
-            }
-        }
-      })
+      memo.get(num) match {
+        case Some(v) => v
+        case None =>
+          val v = table.get(num) match {
+            case Some(off) => objectAt(off.toInt, depth)
+            case None =>
+              inStream.get(num) match {
+                case Some((stm, _)) =>
+                  loadObjStm(stm, depth)
+                  memo.getOrElse(num, VOther)
+                case None => VOther
+              }
+          }
+          memo(num) = v
+          v
+      }
     }
 
     def resolve(v: V, depth: Int = 0): V = v match {
@@ -741,7 +1041,8 @@ object Pdf {
       pagesRef.foreach(walk(_, 0))
       val ps = pages.result()
       Doc(ps, size, ok = r.trailer.nonEmpty && ps.nonEmpty,
-        updated = r.trailer.contains("Prev"))
+        updated = r.trailer.contains("Prev"),
+        xrefStream = r.sawXrefStream)
     } catch {
       case _: RuntimeException => Doc(Vector.empty, 0, ok = false)
     }

@@ -69,6 +69,36 @@ class PdfSpec extends AnyFunSuite {
       Vector("page one body"))
   }
 
+  test("PDF 1.5: cross-reference stream + object stream round-trips " +
+    "across the flate x indirectLength grid, size formula holds") {
+    for (flate <- Seq(false, true); ind <- Seq(false, true)) {
+      val pages = Seq(
+        spec("xref stream page café")(flate, ind),
+        spec("two words here", "block two")(flate, ind))
+      val doc = Pdf.parse(Pdf.buildXrefStream(pages))
+      assert(doc.ok && doc.xrefStream && !doc.updated,
+        s"flate=$flate ind=$ind")
+      assert(doc.pages.map(_.text) ==
+        Vector("xref stream page café", "two words here\nblock two"))
+      // 3 shared dicts + per-page objects + ObjStm + XRef stream
+      assert(doc.size == 6 + 2 * (if (ind) 3 else 2))
+    }
+    // the classic form never reports a stream xref
+    assert(!Pdf.parse(Pdf.build(Seq(spec("x")()))).xrefStream)
+  }
+
+  test("hybrid chain: a classic incremental update over a 1.5 " +
+    "stream-xref base walks both section kinds newest-first") {
+    val base = Pdf.buildXrefStream(Seq(spec("stream base page")(
+      flate = true)))
+    val upd = Pdf.appendUpdate(base, Seq(spec("classic update page")()))
+    assert(java.util.Arrays.equals(upd.take(base.length), base))
+    val doc = Pdf.parse(upd)
+    assert(doc.ok && doc.updated && doc.xrefStream)
+    assert(doc.pages.map(_.text) ==
+      Vector("stream base page", "classic update page"))
+  }
+
   test("content-stream operator coverage: ' and \" prefix a newline, " +
     "hex strings decode, stray operators are skipped") {
     val content = ("BT (first) Tj (second) ' <414243> Tj " +
@@ -78,17 +108,21 @@ class PdfSpec extends AnyFunSuite {
 
   test("total on damage: truncations, byte corruption, garbage, " +
     "empty and null never throw") {
-    val good = Pdf.build(Seq(spec("alpha beta")(flate = true),
-      spec("gamma")(ind = true)))
-    for (k <- 0 until good.length by math.max(1, good.length / 41)) {
-      val doc = Pdf.parse(good.take(k)) // never throws
-      assert(doc.pages.length <= 2)
-    }
     val rnd = new scala.util.Random(7)
-    for (_ <- 0 until 200) {
-      val b = good.clone()
-      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
-      Pdf.parse(b) // never throws; any recovered prefix is fine
+    for (good <- Seq(
+      Pdf.build(Seq(spec("alpha beta")(flate = true),
+        spec("gamma")(ind = true))),
+      Pdf.buildXrefStream(Seq(spec("alpha beta")(flate = true),
+        spec("gamma")(ind = true))))) {
+      for (k <- 0 until good.length by math.max(1, good.length / 41)) {
+        val doc = Pdf.parse(good.take(k)) // never throws
+        assert(doc.pages.length <= 2)
+      }
+      for (_ <- 0 until 200) {
+        val b = good.clone()
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+        Pdf.parse(b) // never throws; any recovered prefix is fine
+      }
     }
     for (_ <- 0 until 50) {
       val junk = Array.fill(rnd.nextInt(300))(rnd.nextInt(256).toByte)
