@@ -11881,6 +11881,56 @@ object PipelineQueries {
       "AS BIGINT) AS checksum " +
       "FROM documents GROUP BY source ORDER BY source")
 
+  /** SRT/WebVTT subtitle ingestion (the video-text alignment format
+    * captioned-clip corpora ship next to the frames): docs → one
+    * real subtitle track each ([[graft.ops.Multimodal
+    * .subtitleBuildColumn]] — even ids SubRip with comma timecodes,
+    * odd ids WebVTT with NOTE blocks, cue ids, settings, and `<i>`
+    * markup) → format-sniffed parse ([[graft.ops.Subtitles.parse]])
+    * → per-source aggregates. sum_start/sum_dur pin
+    * millisecond-exact timecode decode in BOTH separators; the text
+    * checksum is format-invariant because the parser must strip VTT
+    * inline markup — one surviving tag breaks the hash. Bytes never
+    * shuffle. */
+  private val sourceSubtitles = Q("q_source_subtitles",
+    (s, d) => {
+      val src = docs(s, d).select(col("doc_id"), col("source"))
+      val built = Multimodal.subtitleBuildColumn(src, "doc_id")
+      Multimodal.subtitleCuesColumn(built, "media")
+        .groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_cues"),
+          sum(when(col("sub_vtt"), 1L).otherwise(0L)).as("n_vtt"),
+          sum(col("start_ms")).as("sum_start"),
+          sum(col("end_ms") - col("start_ms")).as("sum_dur"),
+          sum(TextAnalysis.tokenHash(col("cue_text")) % lit(DigestMod))
+            .as("checksum"))
+        .orderBy("source")
+    },
+    {
+      def terms(expr: Int => String): String =
+        (0 until 5).map { i =>
+          val guard = if (i < 2) "" else s"CASE WHEN doc_id % 4 >= ${i - 1} THEN "
+          val close = if (i < 2) "" else " ELSE 0 END"
+          s"$guard${expr(i)}$close"
+        }.mkString(" + ")
+      val startSum = terms(i => s"((doc_id * 97) % 100000 + ${i * 4000})")
+      val durSum = terms(i => s"(1500 + (doc_id + $i) % 2000)")
+      val ckSum = terms { i =>
+        val txt = s"'Cue ' || CAST(doc_id AS VARCHAR) || ' n ${i + 1}' " +
+          s"|| chr(10) || 'w ' || CAST((doc_id + $i) % 7 AS VARCHAR)"
+        s"(${TextAnalysis.TokenHashSql(txt)} % $DigestMod)"
+      }
+      "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(doc_id % 4 + 2) AS BIGINT) AS n_cues, " +
+        "CAST(sum(CASE WHEN doc_id % 2 = 1 THEN doc_id % 4 + 2 " +
+        "ELSE 0 END) AS BIGINT) AS n_vtt, " +
+        s"CAST(sum($startSum) AS BIGINT) AS sum_start, " +
+        s"CAST(sum($durSum) AS BIGINT) AS sum_dur, " +
+        s"CAST(sum($ckSum) AS BIGINT) AS checksum " +
+        "FROM documents GROUP BY source ORDER BY source"
+    })
+
   /** EXIF metadata round-trip: per-doc camera parameters → a real
     * 8×8 JPEG carrying a canonical EXIF APP1 (both TIFF byte orders,
     * IFD0 + Exif IFD + optional GPS IFD with 3-rational DMS
@@ -12578,5 +12628,5 @@ object PipelineQueries {
     multimodalExif, multimodalExifStrip,
     multimodalId3, multimodalSceneCut, multimodalSniff, sourceRobots,
     textMojibake, pipelineCompliance, textUrlCanon, pipelineFrontier,
-    sourcePdf, sourceMbox)
+    sourcePdf, sourceMbox, sourceSubtitles)
 }

@@ -1330,6 +1330,64 @@ object Multimodal {
     }
   }
 
+  /** Per-doc subtitle track ([[Subtitles.buildSrt]]/[[Subtitles
+    * .buildVtt]]): id%4+2 cues whose times and text derive from the
+    * doc id by the formulas the q_source_subtitles oracle replays —
+    * cue i starts at (id·97)%100000 + i·4000 ms and runs 1500 +
+    * (id+i)%2000 ms with two-line text `Cue <id> n <i+1>` /
+    * `w <(id+i)%7>`. Odd ids ship WebVTT (NOTE blocks when id%3 = 0,
+    * `<i>` markup on cues with (id+i)%3 = 0 — stripped on parse, so
+    * the text checksum is format-invariant), even ids SubRip. */
+  def subtitleBuildColumn(df: DataFrame, idCol: String,
+                          outCol: String = "media"): DataFrame = {
+    val schema = df.schema.add(outCol, BinaryType)
+    val ii = df.schema.fieldIndex(idCol)
+    mapBatched(df, schema) { it =>
+      it.map { row =>
+        val id = row.getLong(ii)
+        val cues = Vector.tabulate((id % 4 + 2).toInt) { i =>
+          val start = id * 97 % 100000 + i * 4000
+          Subtitles.Cue(start, start + 1500 + (id + i) % 2000,
+            s"Cue $id n ${i + 1}\nw ${(id + i) % 7}")
+        }
+        val bytes =
+          if (id % 2 == 1)
+            Subtitles.buildVtt(cues, notes = id % 3 == 0,
+              i => (id + i) % 3 == 0)
+          else Subtitles.buildSrt(cues)
+        Row.fromSeq(row.toSeq :+ bytes)
+      }
+    }
+  }
+
+  val SubtitleCueType: StructType = StructType(Seq(
+    StructField("cue_idx", IntegerType, nullable = false),
+    StructField("start_ms", LongType, nullable = false),
+    StructField("end_ms", LongType, nullable = false),
+    StructField("cue_text", StringType),
+    StructField("sub_vtt", BooleanType, nullable = false)))
+
+  /** Subtitle track → cue rows ([[Subtitles.parse]], either format
+    * by magic). Partition-local flatMap; track bytes never shuffle. */
+  def subtitleCuesColumn(df: DataFrame, mediaCol: String): DataFrame = {
+    val mi = df.schema.fieldIndex(mediaCol)
+    val keep = df.schema.fields.indices.filterNot(_ == mi)
+    val schema = StructType(keep.map(df.schema.fields) ++
+      SubtitleCueType.fields)
+    mapBatched(df, schema) { it =>
+      it.flatMap { row =>
+        val parent = keep.map(row.get)
+        val b = row.getAs[Array[Byte]](mi)
+        val vtt = b != null && b.length >= 6 &&
+          new String(b, 0, 6, java.nio.charset.StandardCharsets.UTF_8)
+            .startsWith("WEBVTT")
+        Subtitles.parse(b).iterator.zipWithIndex.map { case (c, i) =>
+          Row.fromSeq(parent ++ Seq(i, c.startMs, c.endMs, c.text, vtt))
+        }
+      }
+    }
+  }
+
   /** Per-doc PDF build ([[Pdf.build]] / [[Pdf.appendUpdate]]): page 1
     * carries the doc text verbatim (one text block — round-trips the
     * literal-string escaping exactly); each of `extraCol` additional

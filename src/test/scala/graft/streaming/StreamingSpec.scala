@@ -1997,4 +1997,43 @@ class StreamingSpec extends AnyFunSuite {
         r.getInt(4), r.getLong(5), r.getBoolean(6))).toMap
     assert(got == batch, s"$got vs $batch")
   }
+
+  test("round-14 subtitle cue walk is a PURE MAP: subtitleCuesColumn " +
+    "runs the identical plan on a streaming frame and matches batch " +
+    "row for row — both formats, markup stripped") {
+    import graft.ops.{Multimodal, Subtitles}
+    val s = spark
+    import s.implicits._
+    val tracks = Seq(
+      (100L, Subtitles.buildSrt(Seq(
+        Subtitles.Cue(1000L, 2500L, "srt cue one"),
+        Subtitles.Cue(4000L, 6000L, "two\nlines")))),
+      (200L, Subtitles.buildVtt(Seq(
+        Subtitles.Cue(500L, 900L, "vtt cue é")), notes = true,
+        italic = _ => true)))
+    def pipeline(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      Multimodal.subtitleCuesColumn(df, "media")
+        .select("gid", "cue_idx", "start_ms", "end_ms", "cue_text",
+          "sub_vtt")
+    val src = tracks.toDF("gid", "media")
+    val batch = pipeline(src).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4),
+          r.getBoolean(5))).toMap
+    assert(batch((200L, 0)) == ((500L, 900L, "vtt cue é", true)))
+    assert(batch((100L, 1)) == ((4000L, 6000L, "two\nlines", false)))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("r14_sub_stream").toFile
+    tmp.deleteOnExit()
+    src.coalesce(1).write.parquet(new java.io.File(tmp, "d").toString)
+    val stream = spark.readStream.schema(src.schema).parquet(s"$tmp/*")
+    graft.streaming.StreamingOps.runToMemorySink(
+      pipeline(stream), "r14_sub")
+    val got = spark.table("r14_sub").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4),
+          r.getBoolean(5))).toMap
+    assert(got == batch, s"$got vs $batch")
+  }
 }
