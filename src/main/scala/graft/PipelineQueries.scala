@@ -12164,6 +12164,89 @@ object PipelineQueries {
       "CAST(sum(d_total) AS BIGINT) AS sum_hamming " +
       "FROM clip GROUP BY source, rle ORDER BY source, rle")
 
+  /** Subtitle–video alignment (the multimodal composition a
+    * captioned-clip pipeline actually runs): per doc, the REAL AVI
+    * scene-cut chain (pattern build → frame decode → hamming diffs →
+    * first cut position, exactly q_multimodal_scenecut's machinery)
+    * AND the REAL subtitle chain (track build → format-sniffed parse)
+    * — then, map-only on the same row (no join: both derive from the
+    * doc), count the cues whose [start, end] interval spans the
+    * detected cut at 20 s/frame and checksum their text. Either
+    * side drifting — a missed cut, a wrong first_pos, a
+    * millisecond-off cue time, an unstripped tag — breaks n_aligned
+    * or the aligned checksum. Video bytes are dropped before the cue
+    * explode; nothing heavy shuffles. */
+  private val multimodalSubAlign = Q("q_multimodal_subalign",
+    (s, d) => {
+      val params = docs(s, d).select(col("doc_id"), col("source"),
+          pmod(col("doc_id"), lit(60L)).cast("int").as("seed"),
+          pmod(col("doc_id"), lit(2L)).cast("int").as("rle"))
+        .withColumn("base",
+          (pmod(col("seed") * 5 + 11, lit(12)) + 8).cast("int"))
+      val withKs = (0 until 6).foldLeft(params) { (df, j) =>
+        df.withColumn(s"k$j",
+          (col("base") + lit(j % 2) +
+            when(pmod(col("seed"), lit(3)) === 0 &&
+              lit(j) >= pmod(col("seed"), lit(4)) + 1, 16)
+              .otherwise(0)).cast("int"))
+      }
+      val built = Multimodal.aviPatternColumn(
+        Multimodal.spreadParams(withKs, "doc_id"),
+        (0 until 6).map(j => s"k$j"), "rle")
+      val dec = Multimodal.decodeColumn(built, "media", "avi", featDim = 6)
+      val f = transform(col("features"), x => x.cast("long"))
+      val diffs = zip_with(slice(f, 1, 5), slice(f, 2, 5),
+        (a, b) => bit_count(a.bitwiseXOR(b)))
+      val clip = dec.select(col("doc_id"), col("source"),
+        coalesce(array_position(
+          transform(diffs, x => x >= 10), lit(true)), lit(0L))
+          .as("first_pos"))
+      val cues = Multimodal.subtitleCuesColumn(
+        Multimodal.subtitleBuildColumn(clip, "doc_id", "subs"), "subs")
+      val t = col("first_pos") * lit(20000L)
+      val aligned = col("first_pos") > 0 &&
+        col("start_ms") < t && t <= col("end_ms")
+      cues.groupBy("source")
+        .agg(count(lit(1)).as("n_cues"),
+          countDistinct(when(col("first_pos") > 0, col("doc_id")))
+            .as("n_cut_clips"),
+          sum(when(aligned, 1L).otherwise(0L)).as("n_aligned"),
+          sum(when(aligned,
+            TextAnalysis.tokenHash(col("cue_text")) % lit(DigestMod))
+            .otherwise(0L)).as("aligned_ck"))
+        .orderBy("source")
+    },
+    {
+      val fp = "(CASE WHEN (doc_id % 60) % 3 = 0 " +
+        "THEN (doc_id % 60) % 4 + 1 ELSE 0 END)"
+      def terms(expr: Int => String): String =
+        (0 until 5).map { i =>
+          val guard = if (i < 2) s"CASE WHEN 1 = 1 THEN "
+          else s"CASE WHEN doc_id % 4 >= ${i - 1} THEN "
+          s"$guard${expr(i)} ELSE 0 END"
+        }.mkString(" + ")
+      def alignGuard(i: Int): String = {
+        val st = s"((doc_id * 97) % 100000 + ${i * 4000})"
+        val en = s"($st + 1500 + (doc_id + $i) % 2000)"
+        s"CASE WHEN $fp > 0 AND $st < $fp * 20000 " +
+          s"AND $fp * 20000 <= $en THEN "
+      }
+      val nAligned = terms(i => s"(${alignGuard(i)}1 ELSE 0 END)")
+      val ckAligned = terms { i =>
+        val txt = s"'Cue ' || CAST(doc_id AS VARCHAR) || ' n ${i + 1}' " +
+          s"|| chr(10) || 'w ' || CAST((doc_id + $i) % 7 AS VARCHAR)"
+        s"(${alignGuard(i)}${TextAnalysis.TokenHashSql(txt)} " +
+          s"% $DigestMod ELSE 0 END)"
+      }
+      "SELECT source, " +
+        "CAST(sum(doc_id % 4 + 2) AS BIGINT) AS n_cues, " +
+        s"CAST(sum(CASE WHEN (doc_id % 60) % 3 = 0 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_cut_clips, " +
+        s"CAST(sum($nAligned) AS BIGINT) AS n_aligned, " +
+        s"CAST(sum($ckAligned) AS BIGINT) AS aligned_ck " +
+        "FROM documents GROUP BY source ORDER BY source"
+    })
+
   /** Magic-byte format sniffing over a MIXED media corpus — the
     * routing pass every crawled-blob pipeline runs before choosing a
     * decoder (Content-Type lies; bytes don't): 17 formats, each row
@@ -12628,5 +12711,5 @@ object PipelineQueries {
     multimodalExif, multimodalExifStrip,
     multimodalId3, multimodalSceneCut, multimodalSniff, sourceRobots,
     textMojibake, pipelineCompliance, textUrlCanon, pipelineFrontier,
-    sourcePdf, sourceMbox, sourceSubtitles)
+    sourcePdf, sourceMbox, sourceSubtitles, multimodalSubAlign)
 }
