@@ -12249,7 +12249,7 @@ object PipelineQueries {
 
   /** Magic-byte format sniffing over a MIXED media corpus — the
     * routing pass every crawled-blob pipeline runs before choosing a
-    * decoder (Content-Type lies; bytes don't): 17 formats, each row
+    * decoder (Content-Type lies; bytes don't): 19 formats, each row
     * built by the repo's REAL encoder for its format
     * ([[Multimodal.sniffBuildColumn]]) → [[graft.ops.Sniff.detect]]
     * (prefix/structure checks in a pinned priority order, RIFF
@@ -12263,9 +12263,9 @@ object PipelineQueries {
     (s, d) => {
       val names = Seq("jpeg", "png", "gif", "bmp", "wav", "adpcm-wav",
         "flac", "mp3", "mp4", "zip", "gzip", "tar", "text", "binary",
-        "xml", "pdf", "mbox")
+        "xml", "pdf", "mbox", "vtt", "srt")
       val src = docs(s, d).select(col("doc_id"), col("source"),
-        pmod(col("doc_id"), lit(17)).cast("int").as("sel"), col("text"))
+        pmod(col("doc_id"), lit(19)).cast("int").as("sel"), col("text"))
       val built = Multimodal.sniffBuildColumn(
         Multimodal.spreadParams(src, "doc_id"), "sel", "text")
       Multimodal.sniffColumn(built, "media")
@@ -12275,7 +12275,8 @@ object PipelineQueries {
     },
     "SELECT source, ['jpeg', 'png', 'gif', 'bmp', 'wav', 'adpcm-wav', " +
       "'flac', 'mp3', 'mp4', 'zip', 'gzip', 'tar', 'text', 'binary', " +
-      "'xml', 'pdf', 'mbox'][CAST(doc_id % 17 AS INT) + 1] AS fmt, " +
+      "'xml', 'pdf', 'mbox', 'vtt', 'srt']" +
+      "[CAST(doc_id % 19 AS INT) + 1] AS fmt, " +
       "count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_doc " +
       "FROM documents GROUP BY source, fmt ORDER BY source, fmt")
 

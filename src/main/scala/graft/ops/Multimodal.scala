@@ -1654,11 +1654,11 @@ object Multimodal {
   }
 
   /** Mixed-format media fixture for the sniffing round-trip: per row
-    * build REAL bytes of the format selected by `selCol` (0..16 →
+    * build REAL bytes of the format selected by `selCol` (0..18 →
     * jpeg png gif bmp wav adpcm-wav flac mp3 mp4 zip gzip tar text
-    * binary xml pdf mbox), each through the repo's own encoder for
-    * that format. Text-carrying formats embed the doc text so sizes
-    * vary. */
+    * binary xml pdf mbox vtt srt), each through the repo's own
+    * encoder for that format. Text-carrying formats embed the doc
+    * text so sizes vary. */
   def sniffBuildColumn(df: DataFrame, selCol: String, textCol: String,
                        outCol: String = "media"): DataFrame = {
     val schema = df.schema.add(outCol, BinaryType)
@@ -1702,6 +1702,10 @@ object Multimodal {
           case 16 => Mbox.build(Seq(Mbox.MsgSpec("a@example.com",
             Vector("l@example.org"), "s", encodeSubject = false,
             "Thu, 1 Feb 2024 00:00:00 +0000", "<m@x>", 0, text, None)))
+          case 17 => Subtitles.buildVtt(Seq(
+            Subtitles.Cue(0L, 1500L, text)), notes = false, _ => false)
+          case 18 => Subtitles.buildSrt(Seq(
+            Subtitles.Cue(0L, 1500L, text)))
         }
         Row.fromSeq(row.toSeq :+ media)
       }

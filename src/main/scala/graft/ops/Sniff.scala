@@ -25,8 +25,8 @@ object Sniff {
       s.indices.forall(i => (b(at + i) & 0xff) == s.charAt(i).toInt)
 
   /** Detect the format of `b`; one of jpeg/png/gif/bmp/wav/avi/
-    * adpcm-wav/flac/mp3/mp4/zip/gzip/tar/warc/xml/pdf/mbox/text/
-    * binary/empty. */
+    * adpcm-wav/flac/mp3/mp4/zip/gzip/tar/warc/xml/pdf/vtt/srt/mbox/
+    * text/binary/empty. */
   def detect(b: Array[Byte]): String = {
     if (b == null || b.length == 0) return "empty"
     if (has(b, 0, 0xff, 0xd8, 0xff)) return "jpeg"
@@ -67,6 +67,16 @@ object Sniff {
     if (ascii(b, 0, "WARC/")) return "warc"
     if (ascii(b, 0, "<?xml")) return "xml"
     if (ascii(b, 0, "%PDF-")) return "pdf"
+    if (ascii(b, 0, "WEBVTT")) return "vtt"
+    // SubRip has no magic: a bare counter line followed by a comma
+    // timecode line is its structural signature
+    if (b.length >= 32 && b(0) >= '0' && b(0) <= '9') {
+      var i = 0
+      while (i < 16 && b(i) >= '0' && b(i) <= '9') i += 1
+      if (i < 16 && b(i) == '\n' &&
+        ascii(b, i + 3, ":") && ascii(b, i + 6, ":") &&
+        ascii(b, i + 9, ",") && ascii(b, i + 13, " --> ")) return "srt"
+    }
     // mboxrd: the RFC 4155 envelope line plus an RFC 5322 From:
     // header nearby — the structural pair keeps ordinary prose that
     // merely starts with "From " out of the mailbox route

@@ -54,6 +54,14 @@ class SniffSpec extends AnyFunSuite {
     // route needs the paired From: header
     assert(Sniff.detect("From here to there, a story.\nChapter 1."
       .getBytes(UTF_8)) == "text")
+    assert(Sniff.detect(Subtitles.buildVtt(Seq(Subtitles.Cue(0L, 900L,
+      "c")), notes = false, _ => false)) == "vtt")
+    assert(Sniff.detect(Subtitles.buildSrt(Seq(Subtitles.Cue(0L, 900L,
+      "c")))) == "srt")
+    // a numbered list is NOT SubRip: the counter line must be
+    // followed by a comma timecode
+    assert(Sniff.detect("1\nfirst item\n2\nsecond item\n"
+      .getBytes(UTF_8)) == "text")
   }
 
   test("discrimination edges: NUL or invalid UTF-8 is binary, control " +
