@@ -11881,6 +11881,43 @@ object PipelineQueries {
       "AS BIGINT) AS checksum " +
       "FROM documents GROUP BY source ORDER BY source")
 
+  /** Mailing-list thread reconstruction (the curation grain for list
+    * corpora is the THREAD, not the message): the mbox fixture's
+    * reply structure — threads of five, each reply carrying
+    * In-Reply-To and the full References chain folded one id per
+    * continuation line — parsed back through
+    * [[graft.ops.Mbox.parse]], thread root = first References entry
+    * (own id at the root), depth = chain length, root id recovered
+    * by regex from the parsed header. sum_root pins the EXACT root
+    * message-id string through the multi-line unfold: one lost or
+    * reordered continuation line and the wrong id parses out. */
+  private val sourceMboxThreads = Q("q_source_mbox_threads",
+    (s, d) => {
+      val src = docs(s, d).select(col("doc_id"), col("source"),
+        pmod(col("doc_id"), lit(6)).as("shard"), col("text"))
+      val files = Multimodal.mboxBuildFiles(src, Seq("source", "shard"),
+        "doc_id", "text")
+      Multimodal.mboxMessagesColumn(files, "media")
+        .withColumn("root_id",
+          regexp_extract(col("thread_root"), "<m(\\d+)@x>", 1)
+            .cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_msgs"),
+          countDistinct(col("root_id")).as("n_threads"),
+          sum(when(col("in_reply_to") =!= "", 1L).otherwise(0L))
+            .as("n_replies"),
+          sum(col("n_refs").cast("long")).as("sum_depth"),
+          sum(col("root_id")).as("sum_root"))
+        .orderBy("source")
+    },
+    "SELECT source, count(*) AS n_msgs, " +
+      "count(DISTINCT doc_id - doc_id % 5) AS n_threads, " +
+      "CAST(sum(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_replies, " +
+      "CAST(sum(doc_id % 5) AS BIGINT) AS sum_depth, " +
+      "CAST(sum(doc_id - doc_id % 5) AS BIGINT) AS sum_root " +
+      "FROM documents GROUP BY source ORDER BY source")
+
   /** SRT/WebVTT subtitle ingestion (the video-text alignment format
     * captioned-clip corpora ship next to the frames): docs → one
     * real subtitle track each ([[graft.ops.Multimodal
@@ -12712,5 +12749,6 @@ object PipelineQueries {
     multimodalExif, multimodalExifStrip,
     multimodalId3, multimodalSceneCut, multimodalSniff, sourceRobots,
     textMojibake, pipelineCompliance, textUrlCanon, pipelineFrontier,
-    sourcePdf, sourceMbox, sourceSubtitles, multimodalSubAlign)
+    sourcePdf, sourceMbox, sourceSubtitles, multimodalSubAlign,
+    sourceMboxThreads)
 }

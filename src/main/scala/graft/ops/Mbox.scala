@@ -35,14 +35,18 @@ object Mbox {
                            subject: String, encodeSubject: Boolean,
                            date: String, msgId: String, enc: Int,
                            body: String,
-                           attachment: Option[Array[Byte]])
+                           attachment: Option[Array[Byte]],
+                           replyTo: Option[String] = None,
+                           references: Vector[String] = Vector.empty)
 
   /** One parsed message. `cte` is the body part's transfer encoding;
     * `nParts` is 1 for single-part, attachment bytes are decoded. */
   final case class Msg(from: String, to: Vector[String], subject: String,
                        date: String, msgId: String, cte: String,
                        body: String, nParts: Int,
-                       attachment: Array[Byte], ok: Boolean)
+                       attachment: Array[Byte], ok: Boolean,
+                       inReplyTo: String = "",
+                       references: Vector[String] = Vector.empty)
 
   // ------------------------------------------------------------ write
 
@@ -144,6 +148,15 @@ object Mbox {
       sb.append("Subject: ").append(subj).append('\n')
       sb.append("Date: ").append(m.date).append('\n')
       sb.append("Message-ID: ").append(m.msgId).append('\n')
+      m.replyTo.foreach(r =>
+        sb.append("In-Reply-To: ").append(r).append('\n'))
+      if (m.references.nonEmpty) {
+        // the References chain folds one id per continuation line —
+        // the RFC 5322 layout threading clients emit
+        sb.append("References: ").append(m.references.head)
+        m.references.drop(1).foreach(r => sb.append("\n ").append(r))
+        sb.append('\n')
+      }
       sb.append("MIME-Version: 1.0\n")
       val cte = m.enc match {
         case 1 => "quoted-printable"
@@ -259,6 +272,9 @@ object Mbox {
     val body0 = lines.drop(blank + 1).mkString("\n")
     val to = h("to").split(",").map(_.trim).filter(_.nonEmpty).toVector
     val subject = decodeWords(h("subject"))
+    val irt = h("in-reply-to")
+    val refs = h("references").split("\\s+")
+      .filter(_.nonEmpty).toVector
     val ct = h("content-type")
     val cteTop = h("content-transfer-encoding").toLowerCase match {
       case "" => "7bit"
@@ -268,7 +284,8 @@ object Mbox {
       val bm = """boundary="?([^";]+)"?""".r.findFirstMatchIn(ct)
       bm match {
         case None => Some(Msg(from0, to, subject, h("date"),
-          h("message-id"), "", "", 0, Array.emptyByteArray, ok = false))
+          h("message-id"), "", "", 0, Array.emptyByteArray, ok = false,
+          irt, refs))
         case Some(b) =>
           val bnd = b.group(1)
           val segs = body0.split(
@@ -299,12 +316,12 @@ object Mbox {
             textPart.map(_._2).getOrElse(""),
             textPart.map(p => decodeBody(p._2, p._3)).getOrElse(""),
             parts.length, att,
-            ok = closed && textPart.nonEmpty))
+            ok = closed && textPart.nonEmpty, irt, refs))
       }
     } else {
       Some(Msg(from0, to, subject, h("date"), h("message-id"), cteTop,
         decodeBody(cteTop, body0), 1, Array.emptyByteArray,
-        ok = h("message-id").nonEmpty))
+        ok = h("message-id").nonEmpty, irt, refs))
     }
   }
 

@@ -1290,7 +1290,14 @@ object Multimodal {
           s"<m$id@x>", (id % 3).toInt, text,
           if (id % 4 == 0)
             Some(Array.tabulate((id % 100 + 10).toInt)(i => i.toByte))
-          else None)
+          else None,
+          // reply structure: ids form threads of 5 — id%5 = 0 is the
+          // root, every reply carries In-Reply-To (its predecessor)
+          // and the full folded References chain back to the root
+          replyTo = if (id % 5 > 0) Some(s"<m${id - 1}@x>") else None,
+          references = if (id % 5 > 0)
+            (id - id % 5 until id).map(k => s"<m$k@x>").toVector
+          else Vector.empty)
       })
     }
 
@@ -1305,6 +1312,9 @@ object Multimodal {
     StructField("n_parts", IntegerType, nullable = false),
     StructField("att_bytes", IntegerType, nullable = false),
     StructField("att_digest", LongType, nullable = false),
+    StructField("in_reply_to", StringType),
+    StructField("n_refs", IntegerType, nullable = false),
+    StructField("thread_root", StringType),
     StructField("msg_ok", BooleanType, nullable = false)))
 
   /** mbox archive → message rows ([[Mbox.parse]]: separator split,
@@ -1324,7 +1334,8 @@ object Multimodal {
           m.attachment.foreach(b => dig += (b & 0xff))
           Row.fromSeq(parent ++ Seq(m.from, m.to.length, m.subject,
             m.date, m.msgId, m.cte, m.body, m.nParts,
-            m.attachment.length, dig, m.ok))
+            m.attachment.length, dig, m.inReplyTo, m.references.length,
+            m.references.headOption.getOrElse(m.msgId), m.ok))
         }
       }
     }

@@ -97,6 +97,22 @@ class MboxSpec extends AnyFunSuite {
     assert(got(1).body == "after" && got(1).nParts == 1)
   }
 
+  test("In-Reply-To and the folded References chain round-trip; " +
+    "roots carry neither header") {
+    val root = mk(10, "root body")
+    val reply = mk(12, "reply body").copy(
+      replyTo = Some("<m11@x>"),
+      references = Vector("<m10@x>", "<m11@x>"))
+    val got = Mbox.parse(Mbox.build(Seq(root, reply)))
+    assert(got.size == 2)
+    assert(got(0).inReplyTo.isEmpty && got(0).references.isEmpty)
+    assert(got(1).inReplyTo == "<m11@x>")
+    assert(got(1).references == Vector("<m10@x>", "<m11@x>"))
+    // the raw bytes really fold the chain one id per line
+    val raw = new String(Mbox.build(Seq(reply)), UTF_8)
+    assert(raw.contains("References: <m10@x>\n <m11@x>"))
+  }
+
   test("quoted-printable encoder discipline: lines stay under 76 " +
     "chars, trailing whitespace encoded, decode is inverse") {
     val s = ("x" * 200) + " \n" + ("café " * 40).trim + " "
