@@ -11918,6 +11918,56 @@ object PipelineQueries {
       "CAST(sum(doc_id - doc_id % 5) AS BIGINT) AS sum_root " +
       "FROM documents GROUP BY source ORDER BY source")
 
+  /** EPUB ingestion (books — the highest-quality long-form corpus):
+    * docs → one real OCF container each ([[graft.ops.Epub.build]]:
+    * stored-first mimetype, container.xml, OPF with dc:title +
+    * manifest + spine, XHTML chapters with escaped entities; odd ids
+    * carry a spine in REVERSE of archive order) → full reader walk
+    * ([[graft.ops.Epub.parse]]: CRC-checked zip → container → OPF →
+    * spine-ordered [[graft.ops.Html.extractText]]) → per-source
+    * aggregates. The book-text checksum concatenates chapters in
+    * SPINE order, so a zip-order reader breaks half the corpus; the
+    * entity round-trip is pinned in every chapter. Bytes never
+    * shuffle. */
+  private val sourceEpub = Q("q_source_epub",
+    (s, d) => {
+      val src = docs(s, d).select(col("doc_id"), col("source"))
+      val built = Multimodal.epubBuildColumn(src, "doc_id")
+      Multimodal.epubBookColumn(built, "media")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_books"),
+          sum(when(col("book_ok"), 1L).otherwise(0L)).as("n_ok"),
+          sum(col("n_chapters").cast("long")).as("n_chapters"),
+          sum(length(col("book_title")).cast("long"))
+            .as("sum_title_len"),
+          sum(TextAnalysis.tokenHash(col("book_text")) % lit(DigestMod))
+            .as("checksum"))
+        .orderBy("source")
+    },
+    {
+      def chSql(i: Int): String =
+        s"'Chapter $i of book ' || CAST(doc_id AS VARCHAR) || " +
+          s"chr(10) || 'a & b < c #' || CAST(doc_id AS VARCHAR) || ' v$i'"
+      def bookSql(n: Int, rev: Boolean): String = {
+        val idx = if (rev) n to 1 by -1 else 1 to n
+        idx.map(chSql).mkString(" || chr(10) || ")
+      }
+      val bookText = "CASE CAST(doc_id % 3 AS INT) " +
+        (0 until 3).map { m =>
+          val n = m + 2
+          s"WHEN $m THEN (CASE WHEN doc_id % 2 = 1 " +
+            s"THEN ${bookSql(n, rev = true)} " +
+            s"ELSE ${bookSql(n, rev = false)} END)"
+        }.mkString(" ") + " END"
+      "SELECT source, count(*) AS n_books, count(*) AS n_ok, " +
+        "CAST(sum(doc_id % 3 + 2) AS BIGINT) AS n_chapters, " +
+        "CAST(sum(5 + length(CAST(doc_id AS VARCHAR))) AS BIGINT) " +
+        "AS sum_title_len, " +
+        s"CAST(sum(${TextAnalysis.TokenHashSql(s"($bookText)")} " +
+        s"% $DigestMod) AS BIGINT) AS checksum " +
+        "FROM documents GROUP BY source ORDER BY source"
+    })
+
   /** SRT/WebVTT subtitle ingestion (the video-text alignment format
     * captioned-clip corpora ship next to the frames): docs → one
     * real subtitle track each ([[graft.ops.Multimodal
@@ -12286,7 +12336,7 @@ object PipelineQueries {
 
   /** Magic-byte format sniffing over a MIXED media corpus — the
     * routing pass every crawled-blob pipeline runs before choosing a
-    * decoder (Content-Type lies; bytes don't): 19 formats, each row
+    * decoder (Content-Type lies; bytes don't): 20 formats, each row
     * built by the repo's REAL encoder for its format
     * ([[Multimodal.sniffBuildColumn]]) → [[graft.ops.Sniff.detect]]
     * (prefix/structure checks in a pinned priority order, RIFF
@@ -12300,9 +12350,9 @@ object PipelineQueries {
     (s, d) => {
       val names = Seq("jpeg", "png", "gif", "bmp", "wav", "adpcm-wav",
         "flac", "mp3", "mp4", "zip", "gzip", "tar", "text", "binary",
-        "xml", "pdf", "mbox", "vtt", "srt")
+        "xml", "pdf", "mbox", "vtt", "srt", "epub")
       val src = docs(s, d).select(col("doc_id"), col("source"),
-        pmod(col("doc_id"), lit(19)).cast("int").as("sel"), col("text"))
+        pmod(col("doc_id"), lit(20)).cast("int").as("sel"), col("text"))
       val built = Multimodal.sniffBuildColumn(
         Multimodal.spreadParams(src, "doc_id"), "sel", "text")
       Multimodal.sniffColumn(built, "media")
@@ -12312,8 +12362,8 @@ object PipelineQueries {
     },
     "SELECT source, ['jpeg', 'png', 'gif', 'bmp', 'wav', 'adpcm-wav', " +
       "'flac', 'mp3', 'mp4', 'zip', 'gzip', 'tar', 'text', 'binary', " +
-      "'xml', 'pdf', 'mbox', 'vtt', 'srt']" +
-      "[CAST(doc_id % 19 AS INT) + 1] AS fmt, " +
+      "'xml', 'pdf', 'mbox', 'vtt', 'srt', 'epub']" +
+      "[CAST(doc_id % 20 AS INT) + 1] AS fmt, " +
       "count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_doc " +
       "FROM documents GROUP BY source, fmt ORDER BY source, fmt")
 
@@ -12750,5 +12800,5 @@ object PipelineQueries {
     multimodalId3, multimodalSceneCut, multimodalSniff, sourceRobots,
     textMojibake, pipelineCompliance, textUrlCanon, pipelineFrontier,
     sourcePdf, sourceMbox, sourceSubtitles, multimodalSubAlign,
-    sourceMboxThreads)
+    sourceMboxThreads, sourceEpub)
 }

@@ -1341,6 +1341,54 @@ object Multimodal {
     }
   }
 
+  /** Per-doc EPUB ([[Epub.build]]): id%3+2 chapters of two formula
+    * lines each (the second carries raw `&`/`<`/`>` so the XHTML
+    * escape → entity-decode round-trip is exercised in every
+    * chapter), dc:title `Book <id>`, and — for odd ids — a spine
+    * listed in REVERSE of archive order, so a reader that walks zip
+    * order instead of the spine reverses half the corpus. */
+  def epubBuildColumn(df: DataFrame, idCol: String,
+                      outCol: String = "media"): DataFrame = {
+    val schema = df.schema.add(outCol, BinaryType)
+    val ii = df.schema.fieldIndex(idCol)
+    mapBatched(df, schema) { it =>
+      it.map { row =>
+        val id = row.getLong(ii)
+        val n = (id % 3 + 2).toInt
+        val chapters = (1 to n).map(i => Seq(
+          s"Chapter $i of book $id", s"a & b < c #$id v$i"))
+        val order = if (id % 2 == 1) (n - 1) to 0 by -1 else 0 until n
+        Row.fromSeq(row.toSeq :+
+          Epub.build(s"Book $id", chapters, order))
+      }
+    }
+  }
+
+  val EpubBookType: StructType = StructType(Seq(
+    StructField("book_title", StringType),
+    StructField("n_chapters", IntegerType, nullable = false),
+    StructField("book_text", StringType),
+    StructField("book_ok", BooleanType, nullable = false)))
+
+  /** EPUB → one book row ([[Epub.parse]]: OCF zip walk → container →
+    * OPF → spine-ordered chapter extraction): `book_text` is the
+    * chapters joined with newlines IN SPINE ORDER. Partition-local;
+    * container bytes never shuffle. */
+  def epubBookColumn(df: DataFrame, mediaCol: String): DataFrame = {
+    val mi = df.schema.fieldIndex(mediaCol)
+    val keep = df.schema.fields.indices.filterNot(_ == mi)
+    val schema = StructType(keep.map(df.schema.fields) ++
+      EpubBookType.fields)
+    mapBatched(df, schema) { it =>
+      it.map { row =>
+        val parent = keep.map(row.get)
+        val bk = Epub.parse(row.getAs[Array[Byte]](mi))
+        Row.fromSeq(parent ++ Seq(bk.title, bk.chapters.length,
+          bk.chapters.mkString("\n"), bk.ok))
+      }
+    }
+  }
+
   /** Per-doc subtitle track ([[Subtitles.buildSrt]]/[[Subtitles
     * .buildVtt]]): id%4+2 cues whose times and text derive from the
     * doc id by the formulas the q_source_subtitles oracle replays —
@@ -1665,9 +1713,9 @@ object Multimodal {
   }
 
   /** Mixed-format media fixture for the sniffing round-trip: per row
-    * build REAL bytes of the format selected by `selCol` (0..18 →
+    * build REAL bytes of the format selected by `selCol` (0..19 →
     * jpeg png gif bmp wav adpcm-wav flac mp3 mp4 zip gzip tar text
-    * binary xml pdf mbox vtt srt), each through the repo's own
+    * binary xml pdf mbox vtt srt epub), each through the repo's own
     * encoder for that format. Text-carrying formats embed the doc
     * text so sizes vary. */
   def sniffBuildColumn(df: DataFrame, selCol: String, textCol: String,
@@ -1717,6 +1765,7 @@ object Multimodal {
             Subtitles.Cue(0L, 1500L, text)), notes = false, _ => false)
           case 18 => Subtitles.buildSrt(Seq(
             Subtitles.Cue(0L, 1500L, text)))
+          case 19 => Epub.build("B", Seq(Seq(text)), Seq(0))
         }
         Row.fromSeq(row.toSeq :+ media)
       }

@@ -25,8 +25,8 @@ object Sniff {
       s.indices.forall(i => (b(at + i) & 0xff) == s.charAt(i).toInt)
 
   /** Detect the format of `b`; one of jpeg/png/gif/bmp/wav/avi/
-    * adpcm-wav/flac/mp3/mp4/zip/gzip/tar/warc/xml/pdf/vtt/srt/mbox/
-    * text/binary/empty. */
+    * adpcm-wav/flac/mp3/mp4/zip/epub/gzip/tar/warc/xml/pdf/vtt/srt/
+    * mbox/text/binary/empty. */
   def detect(b: Array[Byte]): String = {
     if (b == null || b.length == 0) return "empty"
     if (has(b, 0, 0xff, 0xd8, 0xff)) return "jpeg"
@@ -61,7 +61,14 @@ object Sniff {
     if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0 &&
       (b(1) & 0x06) != 0) return "mp3"
     if (has(b, 0, 0x50, 0x4b, 0x03, 0x04) ||
-      has(b, 0, 0x50, 0x4b, 0x05, 0x06)) return "zip"
+      has(b, 0, 0x50, 0x4b, 0x05, 0x06)) {
+      // OCF convention: an EPUB's first member is a STORED "mimetype"
+      // whose name sits at offset 30 and content right after — the
+      // fixed-offset check real sniffers use
+      if (ascii(b, 30, "mimetype") &&
+        ascii(b, 38, "application/epub+zip")) return "epub"
+      return "zip"
+    }
     if (has(b, 0, 0x1f, 0x8b)) return "gzip"
     if (ascii(b, 257, "ustar")) return "tar"
     if (ascii(b, 0, "WARC/")) return "warc"

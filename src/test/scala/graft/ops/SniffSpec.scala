@@ -62,6 +62,13 @@ class SniffSpec extends AnyFunSuite {
     // followed by a comma timecode
     assert(Sniff.detect("1\nfirst item\n2\nsecond item\n"
       .getBytes(UTF_8)) == "text")
+    assert(Sniff.detect(Epub.build("B", Seq(Seq("x")), Seq(0))) == "epub")
+    // an ordinary zip (even one containing a file CALLED mimetype
+    // later) stays zip: the OCF check is offset-exact
+    assert(Sniff.detect(Archive.buildZip(Seq(
+      ("a.txt", "x".getBytes(UTF_8)),
+      ("mimetype", "application/epub+zip".getBytes(UTF_8))),
+      _ => false)) == "zip")
   }
 
   test("discrimination edges: NUL or invalid UTF-8 is binary, control " +
