@@ -12367,6 +12367,50 @@ object PipelineQueries {
       "count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_doc " +
       "FROM documents GROUP BY source, fmt ORDER BY source, fmt")
 
+  /** Sniff → route → extract (the full mixed-corpus ingest story:
+    * 20-format blobs, each routed by MAGIC BYTES to its format's
+    * real extractor — [[graft.ops.Multimodal.routeExtractColumn]]).
+    * The ten text-bearing formats (raw text, gzip, zip and tar
+    * members, XML dump pages, PDF pages, mbox bodies, VTT/SRT cues,
+    * EPUB chapters) must each recover the EXACT embedded doc text —
+    * n_exact compares extracted == original per row, so one format's
+    * decode drifting by a byte (a lost newline, an undecoded entity,
+    * an unstripped tag, a wrong spine walk) shows up as a count
+    * deficit before the checksum even looks; the ten media/binary
+    * formats must route to null. Per-row switch, bytes never
+    * shuffle. */
+  private val pipelineExtract = Q("q_pipeline_extract",
+    (s, d) => {
+      val src = docs(s, d).select(col("doc_id"), col("source"),
+        pmod(col("doc_id"), lit(20)).cast("int").as("sel"), col("text"))
+      val built = Multimodal.sniffBuildColumn(
+        Multimodal.spreadParams(src, "doc_id"), "sel", "text")
+      Multimodal.routeExtractColumn(
+          Multimodal.sniffColumn(built, "media"), "fmt", "media")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("extracted").isNotNull, 1L).otherwise(0L))
+            .as("n_extracted"),
+          sum(when(col("extracted") === col("text"), 1L).otherwise(0L))
+            .as("n_exact"),
+          sum(when(col("extracted").isNotNull,
+            TextAnalysis.tokenHash(col("extracted")) % lit(DigestMod))
+            .otherwise(0L)).as("checksum"))
+        .orderBy("source")
+    },
+    {
+      val sels = "(9, 10, 11, 12, 14, 15, 16, 17, 18, 19)"
+      "SELECT source, count(*) AS n_docs, " +
+        s"CAST(sum(CASE WHEN doc_id % 20 IN $sels THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_extracted, " +
+        s"CAST(sum(CASE WHEN doc_id % 20 IN $sels THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_exact, " +
+        s"CAST(sum(CASE WHEN doc_id % 20 IN $sels THEN " +
+        s"${TextAnalysis.TokenHashSql("text")} % $DigestMod " +
+        "ELSE 0 END) AS BIGINT) AS checksum " +
+        "FROM documents GROUP BY source ORDER BY source"
+    })
+
   /** robots.txt crawl compliance (RFC 9309) — the stage upstream of
     * every web corpus: per-host robots files (REAL text, parsed by
     * [[graft.ops.Robots.parse]] with a per-partition memo) × the URL
@@ -12800,5 +12844,5 @@ object PipelineQueries {
     multimodalId3, multimodalSceneCut, multimodalSniff, sourceRobots,
     textMojibake, pipelineCompliance, textUrlCanon, pipelineFrontier,
     sourcePdf, sourceMbox, sourceSubtitles, multimodalSubAlign,
-    sourceMboxThreads, sourceEpub)
+    sourceMboxThreads, sourceEpub, pipelineExtract)
 }

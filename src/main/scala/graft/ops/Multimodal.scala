@@ -1772,6 +1772,43 @@ object Multimodal {
     }
   }
 
+  /** Route each blob to ITS sniffed format's text extractor — the
+    * stage after [[Sniff.detect]] in a real mixed-corpus ingest:
+    * text/gzip decode in place, zip/tar members extract, XML dumps
+    * walk to page text, PDFs to page text, mbox to bodies, subtitle
+    * tracks to cue text, EPUBs to spine-ordered chapters; media and
+    * binary blobs yield null (they go to the codec pipelines, not
+    * the text one). Per-row partition-local switch; bytes never
+    * shuffle. */
+  def routeExtractColumn(df: DataFrame, fmtCol: String, mediaCol: String,
+                         outCol: String = "extracted"): DataFrame = {
+    val schema = df.schema.add(outCol, StringType)
+    val fi = df.schema.fieldIndex(fmtCol)
+    val mi = df.schema.fieldIndex(mediaCol)
+    mapBatched(df, schema) { it =>
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      it.map { row =>
+        val b = row.getAs[Array[Byte]](mi)
+        val t: String = row.getString(fi) match {
+          case "text" => new String(b, utf8)
+          case "xml" => Xml.parseDump(b).map(_.text).mkString("\n")
+          case "pdf" => Pdf.parse(b).pages.map(_.text).mkString("\n")
+          case "mbox" => Mbox.parse(b).map(_.body).mkString("\n")
+          case "vtt" | "srt" =>
+            Subtitles.parse(b).map(_.text).mkString("\n")
+          case "epub" => Epub.parse(b).chapters.mkString("\n")
+          case "zip" =>
+            Archive.parseZip(b).filter(_.ok).map(_.text).mkString("\n")
+          case "gzip" => new String(Warc.gunzipAll(b), utf8)
+          case "tar" =>
+            Archive.parseTar(b).filter(_.ok).map(_.text).mkString("\n")
+          case _ => null
+        }
+        Row.fromSeq(row.toSeq :+ t)
+      }
+    }
+  }
+
   /** Format label per row ([[Sniff.detect]]): the magic-byte router a
     * blob pipeline runs before choosing a decoder. Batched
     * partition-local; bytes never shuffle. */

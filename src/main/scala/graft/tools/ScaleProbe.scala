@@ -182,7 +182,22 @@ object ScaleProbe {
     "q_multimodal_flacmulti" -> 10,
     // round-14b: WARC revisit dedup (build + record walk + one digest
     // join at the duplicate grain — docs-linear like q_source_warc)
-    "q_source_warc_revisit" -> 10)
+    "q_source_warc_revisit" -> 10,
+    // round-14b: URL canonicalization (pure per-row map) and the
+    // sitemap-driven frontier (build + StAX walk + distinct-canonical
+    // + per-host robots gate — docs-linear, memoized robots parse)
+    "q_text_urlcanon" -> 10, "q_pipeline_frontier" -> 10,
+    // round-14b: the new source family — PDF (xref/objstm walk +
+    // inflate per doc), mbox (separator split + MIME decode),
+    // subtitles (line walk), EPUB (zip + StAX + extract), threads
+    // (header parse + regex) — all builder/parser partition-local,
+    // docs-linear expectation like zip/tar/xml
+    "q_source_pdf" -> 10, "q_source_mbox" -> 10,
+    "q_source_subtitles" -> 10, "q_source_epub" -> 10,
+    "q_source_mbox_threads" -> 10,
+    // round-14b: subtitle-video alignment (scenecut's real decode +
+    // subtitle parse, map-only compose — decode-linear like scenecut)
+    "q_multimodal_subalign" -> 10)
 
   def main(args: Array[String]): Unit = {
     val sfSmall = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
