@@ -197,7 +197,10 @@ object ScaleProbe {
     "q_source_mbox_threads" -> 10,
     // round-14b: subtitle-video alignment (scenecut's real decode +
     // subtitle parse, map-only compose — decode-linear like scenecut)
-    "q_multimodal_subalign" -> 10)
+    "q_multimodal_subalign" -> 10,
+    // round-14b: sniff-route-extract (20 builders + per-row extractor
+    // switch — builder-dominated and docs-linear like the sniff query)
+    "q_pipeline_extract" -> 10)
 
   def main(args: Array[String]): Unit = {
     val sfSmall = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
