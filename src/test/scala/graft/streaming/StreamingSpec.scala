@@ -2036,4 +2036,39 @@ class StreamingSpec extends AnyFunSuite {
           r.getBoolean(5))).toMap
     assert(got == batch, s"$got vs $batch")
   }
+
+  test("round-14 epub walk and sniff-route-extract are PURE MAPS: " +
+    "identical plans on a streaming frame, batch-identical rows") {
+    import graft.ops.{Multimodal, Epub, Pdf}
+    val s = spark
+    import s.implicits._
+    val blobs = Seq(
+      (1L, Epub.build("Book S", Seq(Seq("alpha line"), Seq("beta & x")),
+        Seq(1, 0))),
+      (2L, Pdf.build(Seq(Pdf.PageSpec(Vector("pdf text here"),
+        flate = true, indirectLength = false)))),
+      (3L, "plain stream text".getBytes(java.nio.charset
+        .StandardCharsets.UTF_8)))
+    def pipeline(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      Multimodal.routeExtractColumn(
+        Multimodal.sniffColumn(df, "media"), "fmt", "media")
+        .select("gid", "fmt", "extracted")
+    val src = blobs.toDF("gid", "media")
+    val batch = pipeline(src).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(batch(1L) == (("epub", "beta & x\nalpha line"))) // spine order
+    assert(batch(2L) == (("pdf", "pdf text here")))
+    assert(batch(3L) == (("text", "plain stream text")))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("r14_rx_stream").toFile
+    tmp.deleteOnExit()
+    src.coalesce(1).write.parquet(new java.io.File(tmp, "d").toString)
+    val stream = spark.readStream.schema(src.schema).parquet(s"$tmp/*")
+    graft.streaming.StreamingOps.runToMemorySink(
+      pipeline(stream), "r14_rx")
+    val got = spark.table("r14_rx").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got == batch, s"$got vs $batch")
+  }
 }
