@@ -11968,6 +11968,80 @@ object PipelineQueries {
         "FROM documents GROUP BY source ORDER BY source"
     })
 
+  /** Unified-diff round-trip (the commit grain of a code corpus: a
+    * repository-history pipeline stores base blobs + patches and
+    * must re-materialize files and count churn): per doc, a 12-line
+    * fixture file around the doc text → REAL LCS diff against its
+    * formula-mutated successor ([[graft.ops.UnifiedDiff.build]]:
+    * replace at the head, conditional insert + delete past a 7-line
+    * context gap so hunk GROUPING is exercised, not just the edit
+    * script) → REAL re-apply with context verification
+    * ([[graft.ops.UnifiedDiff.apply]]) → per-source churn stats.
+    * n_exact compares the re-materialized file to the target text
+    * per row — a misplaced hunk or off-by-one offset fails the count
+    * before the checksum looks; n_hunks pins the context-merge rule
+    * (the two edit clusters sit 8 context lines apart, past the
+    * 2·context=6 merge window). Map-only; patches never shuffle. */
+  private val sourcePatch = Q("q_source_patch",
+    (s, d) => {
+      val id = col("doc_id")
+      val ctx = (1 to 7).map(j =>
+        concat(lit(s"ctx $j "), pmod(id, lit(5)).cast("string")))
+      val oldLines: Seq[org.apache.spark.sql.Column] =
+        (concat(lit("fn start "), id.cast("string")) +:
+          concat(lit("alpha "), pmod(id, lit(7)).cast("string")) +:
+          ctx) ++ Seq(col("text"),
+          concat(lit("beta "), pmod(id * 3, lit(11)).cast("string")),
+          concat(lit("fn end "), id.cast("string")))
+      // concat_ws skips nulls: the conditional lines vanish cleanly
+      val newLines: Seq[org.apache.spark.sql.Column] =
+        (concat(lit("fn start "), id.cast("string")) +:
+          concat(lit("ALPHA "), pmod(id, lit(7)).cast("string"),
+            lit(" v2")) +: ctx) ++ Seq(col("text"),
+          when(pmod(id, lit(3)) === 0,
+            concat(lit("inserted "), pmod(id, lit(13)).cast("string"))),
+          when(pmod(id, lit(2)) =!= 0,
+            concat(lit("beta "), pmod(id * 3, lit(11)).cast("string"))),
+          concat(lit("fn end "), id.cast("string")))
+      val src = docs(s, d).select(id, col("source"), col("text"))
+        .withColumn("old_t", concat_ws("\n", oldLines: _*))
+        .withColumn("new_t", concat_ws("\n", newLines: _*))
+      graft.ops.UnifiedDiff.diffApplyColumn(src, "old_t", "new_t")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("patched") === col("new_t"), 1L).otherwise(0L))
+            .as("n_exact"),
+          sum(col("n_hunks").cast("long")).as("n_hunks"),
+          sum(col("n_adds").cast("long")).as("n_adds"),
+          sum(col("n_dels").cast("long")).as("n_dels"),
+          sum(TextAnalysis.tokenHash(col("patched")) % lit(DigestMod))
+            .as("checksum"))
+        .orderBy("source")
+    },
+    {
+      val nl = " || chr(10) || "
+      val ctx = (1 to 7).map(j =>
+        s"'ctx $j ' || CAST(doc_id % 5 AS VARCHAR)").mkString(nl)
+      val ins = "CASE WHEN doc_id % 3 = 0 THEN 'inserted ' || " +
+        "CAST(doc_id % 13 AS VARCHAR) || chr(10) ELSE '' END"
+      val beta = "CASE WHEN doc_id % 2 <> 0 THEN 'beta ' || " +
+        "CAST((doc_id * 3) % 11 AS VARCHAR) || chr(10) ELSE '' END"
+      val newText = "'fn start ' || CAST(doc_id AS VARCHAR)" + nl +
+        "'ALPHA ' || CAST(doc_id % 7 AS VARCHAR) || ' v2'" + nl +
+        ctx + nl + "text || chr(10) || " + ins + " || " + beta +
+        " || 'fn end ' || CAST(doc_id AS VARCHAR)"
+      "SELECT source, count(*) AS n_docs, count(*) AS n_exact, " +
+        "CAST(sum(1 + CASE WHEN doc_id % 2 = 0 OR doc_id % 3 = 0 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_hunks, " +
+        "CAST(sum(1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_adds, " +
+        "CAST(sum(1 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_dels, " +
+        s"CAST(sum(${TextAnalysis.TokenHashSql(s"($newText)")} " +
+        s"% $DigestMod) AS BIGINT) AS checksum " +
+        "FROM documents GROUP BY source ORDER BY source"
+    })
+
   /** SRT/WebVTT subtitle ingestion (the video-text alignment format
     * captioned-clip corpora ship next to the frames): docs → one
     * real subtitle track each ([[graft.ops.Multimodal
@@ -12844,5 +12918,5 @@ object PipelineQueries {
     multimodalId3, multimodalSceneCut, multimodalSniff, sourceRobots,
     textMojibake, pipelineCompliance, textUrlCanon, pipelineFrontier,
     sourcePdf, sourceMbox, sourceSubtitles, multimodalSubAlign,
-    sourceMboxThreads, sourceEpub, pipelineExtract)
+    sourceMboxThreads, sourceEpub, pipelineExtract, sourcePatch)
 }
