@@ -18,6 +18,14 @@ object PipelineQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+  /** Persist + register a frame consumed by 2+ subplans (released by
+    * CacheRegistry.drain at end of query): the r14 optimization
+    * round's duplicated-subtree fix — without the barrier every
+    * consumer re-runs the whole build (q_sample_rho's plan scanned
+    * documents.parquet 28 times; guide §7.2 / §5 caching). */
+  private def pin(df: DataFrame): DataFrame =
+    graft.core.CacheRegistry.track(df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -4122,6 +4130,16 @@ object PipelineQueries {
   private val qualityCcnet = Q("q_quality_ccnet",
     (s, d) => {
       val d0 = docs(s, d)
+      // pinned hash lists (train's three subplans shared one tokenize
+      // pass) + pinned chunk frame (read by the scoring subplan AND
+      // the final keep join — unpinned, the chunker ran twice)
+      // UNPINNED throughout (measured, r14 optimization round): the
+      // training side is only 3 passes here and scoring runs on the
+      // CHUNK grain, so a pinned hash-list frame saved less than its
+      // materialization cost (0.93 s pinned vs 0.73 s not), and
+      // pinning the chunk STRINGS was worse still (1.18 s) — payload
+      // frames don't earn a barrier, only narrow reused hash frames
+      // with 4+ consumers do (cf. q_text_perplexity, q_sample_rho).
       val lm = NgramLm.train(d0, "text", "doc_id")
       val ch = TextAnalysis.chunks(d0, "text", "doc_id", CcnetW, CcnetW,
           keep = Seq("source"))
@@ -4530,9 +4548,13 @@ object PipelineQueries {
   private val textPerplexity = Q("q_text_perplexity",
     (s, d) => {
       val d0 = docs(s, d)
-      val lm = NgramLm.train(d0, "text", "doc_id")
-      val ppl = NgramLm.perplexity(d0, "text", "doc_id", lm)
-      d0.select(col("doc_id"), col("source")).join(ppl, "doc_id")
+      // ONE tokenize pass: train, scoring and the source join all
+      // read the pinned hash-list frame (was 12 parquet scans)
+      val hl = pin(NgramLm.hashListFrame(d0, "text", "doc_id",
+        keep = Seq("source")))
+      val lm = NgramLm.trainFromHl(hl, "doc_id")
+      val ppl = NgramLm.perplexityFromHl(hl, "doc_id", lm)
+      hl.select(col("doc_id"), col("source")).join(ppl, "doc_id")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_bigrams")).as("n_bigrams"),
@@ -4571,8 +4593,14 @@ object PipelineQueries {
   private val textKneserNey = Q("q_text_kneserney",
     (s, d) => {
       val d0 = docs(s, d)
-      val ppl = NgramLm.kneserNeyPerplexity(d0, "text", "doc_id")
-      d0.select(col("doc_id"), col("source")).join(ppl, "doc_id")
+      // ONE tokenize pass (pinned hash lists) + pinned bigram TYPE
+      // table (read by the scoring join and all three rollups) —
+      // was 12 parquet scans / 30 exchanges
+      val hl = pin(NgramLm.hashListFrame(d0, "text", "doc_id",
+        keep = Seq("source")))
+      val ppl = NgramLm.kneserNeyPerplexityFromHl(hl, "doc_id",
+        cache = pin)
+      hl.select(col("doc_id"), col("source")).join(ppl, "doc_id")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_bigrams")).as("n_bigrams"),
@@ -9306,9 +9334,21 @@ object PipelineQueries {
   private val sampleDoremi = Q("q_sample_doremi",
     (s, d) => {
       val d0 = docs(s, d)
-      val lm = NgramLm.train(d0, "text", "doc_id")
-      val ppl = NgramLm.perplexity(d0, "text", "doc_id", lm)
-      val st = d0.select(col("doc_id"), col("source")).join(ppl, "doc_id")
+      // ONE tokenize pass (pinned hash lists) and a pinned per-source
+      // summary: st is source-grain (a handful of rows) but feeds
+      // mn/tot/w/z/rates/kept — unpinned, every one of those re-ran
+      // the whole LM train+score chain (the r14 plan audit measured
+      // 74 parquet scans / 162 exchanges on this query)
+      val hl = pin(NgramLm.hashListFrame(d0, "text", "doc_id",
+        keep = Seq("source")))
+      val lm = NgramLm.trainFromHl(hl, "doc_id")
+      val ppl = NgramLm.perplexityFromHl(hl, "doc_id", lm)
+      // st itself stays UNPINNED: its repeated consumers (mn/tot/w/z)
+      // are identical aggregate subtrees that ReuseExchange already
+      // deduplicates at runtime — pinning it was measured SLOWER
+      // (3.1 s vs 2.0 s isolated; the barrier cost more than it saved)
+      val st = hl.select(col("doc_id"), col("source"))
+        .join(ppl, "doc_id")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), round(avg(col("nll")), 5).as("nll"))
       val mn = st.agg(min(col("nll")).as("mn"))
@@ -9327,7 +9367,7 @@ object PipelineQueries {
               (col("w").cast("double") / col("z").cast("double")) /
               col("n_docs").cast("double")), 5)
             .as("rate"))
-      val kept = d0.select(col("doc_id"), col("source"))
+      val kept = hl.select(col("doc_id"), col("source"))
         .join(broadcast(rates.select("source", "rate")), "source")
         .where(Sampling.hashFraction(col("doc_id")) < col("rate"))
         .groupBy("source")
@@ -9433,10 +9473,13 @@ object PipelineQueries {
   private val HhDen = 200L
   private val sketchHeavyHitters = Q("q_sketch_heavyhitters",
     (s, d) => {
-      val toks = docs(s, d)
+      // pinned token-hash frame: the sketch build, the total count,
+      // the distinct-estimate pass and the exact candidate count all
+      // read it (was 14 parquet scans — four tokenize passes)
+      val toks = pin(docs(s, d)
         .select(explode(graft.ops.TextAnalysis.tokens(col("text")))
           .as("tok"))
-        .select(graft.ops.TextAnalysis.tokenHash(col("tok")).as("th"))
+        .select(graft.ops.TextAnalysis.tokenHash(col("tok")).as("th")))
       val sketch = graft.ops.Sketches.cmsBuild(toks, col("th"))
       val thr = toks.agg(count(lit(1)).as("tot"))
         .select(col("tot"), expr(s"tot div $HhDen").as("thr"))
@@ -10415,16 +10458,27 @@ object PipelineQueries {
   private val sampleRho = Q("q_sample_rho",
     (s, d) => {
       val d0 = docs(s, d)
-      val clean = d0.where(TextAnalysis.qualityScore(col("text")) >= 0.7)
-      val lmBase = NgramLm.train(d0, "text", "doc_id")
-      val lmRef = NgramLm.train(clean, "text", "doc_id")
-      val nb = NgramLm.perplexity(d0, "text", "doc_id", lmBase)
+      // ONE tokenize+quality pass: the pinned frame carries the hash
+      // lists plus the clean-subset flag; both LM trainings, both
+      // scorings and the source join derive from it (the unpinned
+      // plan scanned documents.parquet 28 times — every train/score
+      // subplan re-tokenized the corpus, and the quality regex ran
+      // once per ref-LM subplan)
+      val hl = pin(d0.select(col("doc_id"), col("source"),
+        Dedup.tokenHashList(col("text")).as("__hl"),
+        (TextAnalysis.qualityScore(col("text")) >= 0.7).as("__clean")))
+      val lmBase = NgramLm.trainFromHl(hl, "doc_id")
+      val lmRef = NgramLm.trainFromHl(hl.where(col("__clean")), "doc_id")
+      val nb = NgramLm.perplexityFromHl(hl, "doc_id", lmBase)
         .select(col("doc_id"), col("nll").as("nll_base"))
-      val nr = NgramLm.perplexity(d0, "text", "doc_id", lmRef)
+      val nr = NgramLm.perplexityFromHl(hl, "doc_id", lmRef)
         .select(col("doc_id"), col("nll").as("nll_ref"))
-      val ex = d0.select("doc_id", "source")
+      // doc-grain excess frame, read twice (threshold sketch + the
+      // final keep aggregate) — pin it or the whole LM chain above
+      // runs twice
+      val ex = pin(hl.select("doc_id", "source")
         .join(nb, "doc_id").join(nr, "doc_id")
-        .withColumn("excess", col("nll_base") - col("nll_ref"))
+        .withColumn("excess", col("nll_base") - col("nll_ref")))
       val qrow = graft.ops.Sketches.histogramQuantiles(ex,
           col("excess"), lo = RhoLo, hi = RhoHi, nBuckets = RhoBuckets,
           qs = Seq(0.75))

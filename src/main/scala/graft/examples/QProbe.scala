@@ -13,8 +13,10 @@ object QProbe {
     args.foreach { q =>
       for (i <- 1 to 3) {
         val t0 = System.nanoTime()
-        graft.SparkEntry.queries(q)(spark, sfDir).count()
-        println(f"$q run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        try {
+          graft.SparkEntry.queries(q)(spark, sfDir).count()
+          println(f"$q run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        } finally graft.core.CacheRegistry.drain()
       }
     }
     spark.stop()

@@ -26,21 +26,35 @@ object NgramLm {
 
   private val M = Dedup.NgramFpMod
 
-  /** One row per bigram occurrence: (idCol, w1, b) with w1 = prefix
-    * token hash and b = 45-bit bigram fingerprint
-    * ((w1·31 + w2) mod M). Docs with fewer than 2 tokens contribute
-    * nothing. Pure map (tokenize + fold per row → explode). */
-  def bigramRows(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val hl = Dedup.tokenHashList(col(textCol))
-    df.select(col(idCol), hl.as("__hl"))
-      .where(size(col("__hl")) >= 2)
+  /** Token-hash-list frame: (keep..., idCol, __hl) — the ONE
+    * tokenize+hash pass over the corpus. Multi-use LM queries persist
+    * an instance of this frame and derive training, scoring and vocab
+    * from it via the `FromHl` forms below, so the corpus is scanned
+    * once instead of once per subplan (optimization guide §1.2/§2.4:
+    * remove passes/shuffles — the r14 plan audit measured
+    * q_sample_rho at 28 parquet scans of the same documents table
+    * from exactly this duplication). */
+  def hashListFrame(df: DataFrame, textCol: String, idCol: String,
+                    keep: Seq[String] = Nil): DataFrame =
+    df.select((col(idCol) +: keep.map(col)) :+
+      Dedup.tokenHashList(col(textCol)).as("__hl"): _*)
+
+  /** [[bigramRows]] over a pre-built [[hashListFrame]]. */
+  def bigramRowsFromHl(hl: DataFrame, idCol: String): DataFrame =
+    hl.where(size(col("__hl")) >= 2)
       .select(col(idCol), explode(
         transform(slice(col("__hl"), lit(1), size(col("__hl")) - 1),
           (h, i) => struct(h.as("w1"),
             ((h * lit(31L) + element_at(col("__hl"), i + lit(2))) % lit(M))
               .as("b")))).as("u"))
       .select(col(idCol), col("u.w1").as("w1"), col("u.b").as("b"))
-  }
+
+  /** One row per bigram occurrence: (idCol, w1, b) with w1 = prefix
+    * token hash and b = 45-bit bigram fingerprint
+    * ((w1·31 + w2) mod M). Docs with fewer than 2 tokens contribute
+    * nothing. Pure map (tokenize + fold per row → explode). */
+  def bigramRows(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    bigramRowsFromHl(hashListFrame(df, textCol, idCol), idCol)
 
   /** A trained bigram LM: per-bigram counts (b, cb), per-prefix
     * counts (w1, cu), and the corpus vocabulary size (distinct token
@@ -48,17 +62,23 @@ object NgramLm {
     * persist them when scoring repeatedly. */
   final case class Lm(bigrams: DataFrame, prefixes: DataFrame, vocab: Long)
 
-  /** Train on a corpus: two hash aggregates over the bigram rows plus
-    * one distinct-count action for the vocabulary. */
-  def train(df: DataFrame, textCol: String, idCol: String): Lm = {
-    val bg = bigramRows(df, textCol, idCol)
+  /** [[train]] over a pre-built (ideally persisted) [[hashListFrame]]:
+    * the two count aggregates and the vocabulary action all read the
+    * frame instead of re-tokenizing the corpus. */
+  def trainFromHl(hl: DataFrame, idCol: String): Lm = {
+    val bg = bigramRowsFromHl(hl, idCol)
     val bigrams = bg.groupBy("b").agg(count(lit(1)).as("cb"))
     val prefixes = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
-    val vocab = df
-      .select(explode(Dedup.tokenHashList(col(textCol))).as("h"))
+    val vocab = hl
+      .select(explode(col("__hl")).as("h"))
       .agg(countDistinct(col("h"))).head().getLong(0)
     Lm(bigrams, prefixes, vocab)
   }
+
+  /** Train on a corpus: two hash aggregates over the bigram rows plus
+    * one distinct-count action for the vocabulary. */
+  def train(df: DataFrame, textCol: String, idCol: String): Lm =
+    trainFromHl(hashListFrame(df, textCol, idCol), idCol)
 
   /** Top-k collocations by pointwise mutual information (Church &
     * Hanks 1990): pairs of ADJACENT tokens whose co-occurrence count
@@ -80,7 +100,8 @@ object NgramLm {
     * Returns (rank, spelling, cp, pmi) for the k winners, ranked
     * (pmi desc, fingerprint asc). */
   def pmiCollocations(df: DataFrame, textCol: String, idCol: String,
-                      minCount: Int = 5, k: Int = 10): DataFrame = {
+                      minCount: Int = 5, k: Int = 10,
+                      cache: DataFrame => DataFrame = identity): DataFrame = {
     val hl = Dedup.tokenHashList(col(textCol))
     val pairs = df.select(hl.as("__hl"))
       .where(size(col("__hl")) >= 2)
@@ -89,9 +110,15 @@ object NgramLm {
           (h, i) => struct(h.as("w1"),
             element_at(col("__hl"), i + lit(2)).as("w2")))).as("u"))
       .select(col("u.w1").as("w1"), col("u.w2").as("w2"))
-    val cpair = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cp"))
-    val ctok = df.select(explode(Dedup.tokenHashList(col(textCol))).as("h"))
-      .groupBy("h").agg(count(lit(1)).as("ct"))
+    // `cache` wraps the two count tables (both vocab-sized): cpair
+    // feeds N and the scored chain, ctok joins twice — uncached, each
+    // consumer re-runs the corpus tokenize+aggregate subtree (guide
+    // §7.2 duplicated-subtree pattern; measured 18 parquet scans of
+    // documents in the r14 q_text_pmi plan)
+    val cpair = cache(pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cp")))
+    val ctok = cache(
+      df.select(explode(Dedup.tokenHashList(col(textCol))).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("ct")))
     val nf = cpair.agg(sum(col("cp")).as("nn"))
     val scored = cpair.where(col("cp") >= minCount)
       .join(ctok.select(col("h").as("w1"), col("ct").as("c1")), "w1")
@@ -152,16 +179,31 @@ object NgramLm {
     * integer ⇒ every probability is the identical pure-IEEE expression
     * on any engine. Returns (idCol, n_bigrams, nll). */
   def kneserNeyPerplexity(df: DataFrame, textCol: String, idCol: String,
-                          discount: Double = 0.75): DataFrame = {
-    val hl = Dedup.tokenHashList(col(textCol))
-    val occ = df.select(col(idCol), hl.as("__hl"))
+                          discount: Double = 0.75,
+                          cache: DataFrame => DataFrame = identity)
+      : DataFrame =
+    kneserNeyPerplexityFromHl(
+      hashListFrame(df, textCol, idCol), idCol, discount, cache)
+
+  /** [[kneserNeyPerplexity]] over a pre-built [[hashListFrame]].
+    * `cache` is applied to the bigram TYPE table, which four subplans
+    * read (the scoring join and the c(v·)/N₁₊ rollups): pass a
+    * persist hook (e.g. `f => CacheRegistry.track(f.persist())`) so
+    * the type aggregate — itself a full pass over the occurrence rows
+    * — runs once instead of four times. The table is vocab-sized
+    * (distinct bigram TYPES), orders of magnitude below the corpus. */
+  def kneserNeyPerplexityFromHl(hl: DataFrame, idCol: String,
+                                discount: Double = 0.75,
+                                cache: DataFrame => DataFrame = identity)
+      : DataFrame = {
+    val occ = hl
       .where(size(col("__hl")) >= 2)
       .select(col(idCol), explode(
         transform(slice(col("__hl"), lit(1), size(col("__hl")) - 1),
           (h, i) => struct(h.as("w1"),
             element_at(col("__hl"), i + lit(2)).as("w2")))).as("u"))
       .select(col(idCol), col("u.w1").as("w1"), col("u.w2").as("w2"))
-    val cvw = occ.groupBy("w1", "w2").agg(count(lit(1)).as("cvw"))
+    val cvw = cache(occ.groupBy("w1", "w2").agg(count(lit(1)).as("cvw")))
     val cv = cvw.groupBy("w1")
       .agg(sum(col("cvw")).as("cv"), count(lit(1)).as("n1v"))
     val cw = cvw.groupBy("w2").agg(count(lit(1)).as("n1w"))
@@ -184,8 +226,12 @@ object NgramLm {
     * via the left joins, so every doc with ≥ 2 tokens gets a finite
     * score; perplexity = exp(nll). */
   def perplexity(df: DataFrame, textCol: String, idCol: String,
-                 lm: Lm): DataFrame = {
-    val bg = bigramRows(df, textCol, idCol)
+                 lm: Lm): DataFrame =
+    perplexityFromHl(hashListFrame(df, textCol, idCol), idCol, lm)
+
+  /** [[perplexity]] over a pre-built [[hashListFrame]]. */
+  def perplexityFromHl(hl: DataFrame, idCol: String, lm: Lm): DataFrame = {
+    val bg = bigramRowsFromHl(hl, idCol)
     val nll: Column = -log((col("cb") + lit(1.0)) /
       (col("cu") + lit(lm.vocab)).cast("double"))
     bg.join(lm.bigrams, Seq("b"), "left")
