@@ -662,7 +662,8 @@ object Dedup {
     * edge list and are absent — callers re-add singletons (see
     * [[minhashClusters]]). */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50,
+                          edgesDistinct: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     // fail fast on non-integral ids: cast("long") of a string/uuid id
@@ -680,11 +681,19 @@ object Dedup {
     }
     // canonicalize once: the caller's edge pipeline (e.g. the whole
     // LSH candidate generation) runs exactly once, into a persisted
-    // pair RDD the loop iterates on
-    val canon = edges
+    // pair RDD the loop iterates on. `edgesDistinct = true` declares
+    // the input already pair-distinct (one row per unordered pair —
+    // e.g. Entity's verified candidates, DISTINCT upstream of the
+    // verify join) and skips the dedup SHUFFLE here — the orientation
+    // map and self-loop filter stay, they are free narrow ops. A
+    // caller that sets it on a non-distinct edge set only wastes loop
+    // work (duplicate edges contract identically), never changes the
+    // components.
+    val canon0 = edges
       .select(greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
         least(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
-      .where(col("u") =!= col("v")).distinct()
+      .where(col("u") =!= col("v"))
+    val canon = (if (edgesDistinct) canon0 else canon0.distinct())
       .as[(Long, Long)].rdd
     val p = new org.apache.spark.HashPartitioner(
       math.max(canon.getNumPartitions, 1))

@@ -99,6 +99,12 @@ object Entity {
       case c if c == idCol => "__ida" case c => c }: _*)
     val b = keyed.select(col(idCol).as("__idb") +:
       joinCols.map(col): _*)
+    // deliberately SORT-MERGE (guide §3.1, measured r14): a
+    // shuffle_hash hint here read 3-4x SLOWER (jw 3.8 → 12 s,
+    // quality 4.0 → 11 s isolated at sf0.1) — the low-entropy digit
+    // keys concentrate the deletion-variant hashes, and the SHJ
+    // build side's hot-key chains degrade where sort-merge's run
+    // handling does not.
     a.join(b, joinCols)
       .where(col("__ida") < col("__idb"))
       .select(col("__ida").as("id_a"), col("__idb").as("id_b"))
@@ -172,6 +178,10 @@ object Entity {
       blockCols.map(col)) :+
       explode(EntityKeyExpressions.keyHashesCol(
         col("__key"), EntityKeyFns.Index2)).as("__bk"): _*)
+    // deliberately SORT-MERGE: a shuffle_hash hint was tried in the
+    // r14 optimization round and read slower/noisier — the same
+    // hot-key SHJ build degradation candidatePairs documents (the
+    // C(L,2) tag hashes of exact-dup families are the hot keys here).
     probe.join(index, joinCols)
       .where(col("__ida") =!= col("__idb"))
       .select(least(col("__ida"), col("__idb")).as("id_a"),
@@ -219,7 +229,11 @@ object Entity {
         col(nameCol).as("__nb")), "id_b")
       .where(verify(col("__na"), col("__nb")))
       .select("id_a", "id_b")
-    val comp = Dedup.connectedComponents(verified, "id_a", "id_b")
+    // verified is pair-distinct by construction (candidatePairs*
+    // DISTINCT → many-to-one name joins → filter), so the closure
+    // skips its canonicalization shuffle (r14 optimization round)
+    val comp = Dedup.connectedComponents(verified, "id_a", "id_b",
+      edgesDistinct = true)
     df.join(comp.select(col("node").as(idCol), col("component")),
         Seq(idCol), "left")
       .withColumn("entity",
