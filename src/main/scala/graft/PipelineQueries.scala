@@ -6415,9 +6415,12 @@ object PipelineQueries {
           (lit(8) * (pmod(col("seed"), lit(7)) + 2)).cast("int"))
       val imgs = Multimodal.bmpPatternColumn(
         Multimodal.spreadParams(params, "doc_id"), "w", "h", "seed")
-      val hashed = Multimodal.imageHashColumn(imgs, "media")
+      // pinned: the global and per-source aggregates are DIFFERENT
+      // subtrees, so without the barrier the BMP build + decode +
+      // hash kernel ran twice (r14 optimization round)
+      val hashed = pin(Multimodal.imageHashColumn(imgs, "media")
         .select(col("source"),
-          pmod(col("ahash64"), lit(DigestMod)).as("h40"))
+          pmod(col("ahash64"), lit(DigestMod)).as("h40")))
       // the planted duplicates span SOURCES, so the group structure
       // only shows at the corpus grain — ride it along as constants
       val global = hashed.agg(countDistinct(col("h40")).as("n_groups"),
@@ -10134,6 +10137,10 @@ object PipelineQueries {
         .withColumn("n",
           (lit(512) + lit(64) * pmod(col("seed"), lit(8))).cast("int"))
       val clips = Multimodal.wavPatternColumn(params, "n", "seed")
+      // deliberately UNPINNED (r14 optimization round): the WAV
+      // fingerprint kernel on these short clips is cheaper than a
+      // persist barrier (0.36 s unpinned vs 0.59 s pinned isolated) —
+      // unlike the image/MJPEG decode twins, where the pin wins 2-3x
       val fps = Multimodal.audioFingerprintColumn(clips, "media")
         .select(col("source"), col("afp"))
       val global = fps.agg(countDistinct(col("afp")).as("n_groups"),
@@ -10289,12 +10296,15 @@ object PipelineQueries {
           pmod(col("ib"), lit(251L)).cast("int").as("seed"),
           (lit(8) * (pmod(col("ib"), lit(5L)) + 2)).cast("int").as("w"),
           (lit(8) * (pmod(col("ib"), lit(7L)) + 2)).cast("int").as("h"))
-      val hashed = Multimodal.imageHashColumn(
+      // pinned: three consumers (per-key min, the edge join-back and
+      // the final n_img count) — unpinned, the BMP build + decode +
+      // hash kernel ran three times (r14 optimization round)
+      val hashed = pin(Multimodal.imageHashColumn(
           Multimodal.bmpPatternColumn(
             Multimodal.spreadParams(imgParams, "doc_id"), "w", "h", "seed"),
           "media")
         .select(col("doc_id"),
-          pmod(col("ahash64"), lit(DigestMod)).as("ikey"))
+          pmod(col("ahash64"), lit(DigestMod)).as("ikey")))
       val imin = hashed.groupBy("ikey").agg(min(col("doc_id")).as("im"))
       val iedges = hashed.join(imin, "ikey")
         .where(col("doc_id") =!= col("im"))
@@ -11373,13 +11383,16 @@ object PipelineQueries {
       val built = Multimodal.mjpegPatternColumn(
         Multimodal.spreadParams(params, "doc_id"),
         Seq("k0", "k1", "k2"))
-      val sig = Multimodal.decodeColumn(built, "media", "jpeg",
+      // pinned: global + per-source aggregates are different
+      // subtrees — unpinned, the MJPEG encode + frame decode kernel
+      // ran twice (r14 optimization round)
+      val sig = pin(Multimodal.decodeColumn(built, "media", "jpeg",
           featDim = 3)
         .select(col("source"),
           pmod(element_at(col("features"), 1).cast("long") * 31 +
             element_at(col("features"), 2).cast("long") * 17 +
             element_at(col("features"), 3).cast("long") * 13,
-            lit(DigestMod)).as("sig"))
+            lit(DigestMod)).as("sig")))
       val global = sig.agg(countDistinct(col("sig")).as("n_groups"),
         (count(lit(1)) - countDistinct(col("sig"))).as("n_redundant"))
       sig.groupBy("source")
