@@ -640,7 +640,8 @@ object PipelineQueries {
       val all = docs(s, d).select("doc_id", "text")
         .unionByName(ContainRows.toDF("doc_id", "text"))
       val pairs = Dedup.containmentPairs(all, "text", "doc_id",
-        n = 3, maxDf = ContainMaxDf, minShared = ContainMinShared)
+        n = 3, maxDf = ContainMaxDf, minShared = ContainMinShared,
+        cache = pin)
       val txt = all.select(col("doc_id"), col("text"))
       val scored = pairs
         .join(txt.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
@@ -2278,7 +2279,7 @@ object PipelineQueries {
       val archive = d0.where(draw < 0.8)
       val batch = d0.where(draw >= 0.8)
       val asn = Dedup.assignToClusters(batch, archive, "text", "doc_id",
-        MinhashCap)
+        MinhashCap, cache = pin)
       asn.agg(count(lit(1)).as("n_new"),
         sum(when(col("adopted"), 1L).otherwise(0L)).as("n_adopted"),
         countDistinct(when(col("adopted"), col("cluster_id")))
@@ -3822,8 +3823,14 @@ object PipelineQueries {
           concat(lit("Customer#"), dirtyDigits).as("name"),
           col("nat"), col("seg")))
         .withColumn("key", substring(col("name"), 10, 10))
-      val resolved = graft.ops.Entity.resolve(rec, "rid", "key",
+      // pinned: the resolved archive feeds BOTH the split index and
+      // the records table — unpinned, each consumer re-runs the rec
+      // build + closure join-back (the closure itself is materialized
+      // inside connectedComponents, so this pin buys the join-back
+      // and parquet re-scans, not the closure)
+      val resolved = pin(graft.ops.Entity.resolve(rec, "rid", "key",
         "name", Seq("nat", "seg"), tau = 2)
+        .select("rid", "name", "nat", "seg", "key", "entity"))
       val index = graft.ops.Entity.archiveIndexSplit2(resolved, "rid",
         "key", Seq("nat", "seg"))
       val records = graft.ops.Entity.archiveRecords(resolved, "rid", "name")
@@ -4332,7 +4339,8 @@ object PipelineQueries {
   private val VocabTopV = 25
   private val textVocab = Q("q_text_vocab",
     (s, d) => TextAnalysis.vocabulary(docs(s, d), "doc_id", "text",
-      VocabMinCount, VocabTopV).orderBy(col("tf").desc, col("token")),
+      VocabMinCount, VocabTopV, cache = pin)
+      .orderBy(col("tf").desc, col("token")),
     "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
       "FROM documents), " +
       s"h AS (SELECT doc_id, tok, ${TextAnalysis.TokenHashSql("tok")} " +
@@ -5258,6 +5266,12 @@ object PipelineQueries {
       // native one-pass kernel (per-doc DISTINCT grams) — the
       // composable fold re-runs the md5 transform per window when
       // Catalyst collapses the projections (quadratic per doc)
+      // deliberately UNPINNED (r14 optimization round): the gram
+      // frame has four consumers on paper, but they are identical
+      // subtrees that ReuseExchange already deduplicates at runtime —
+      // a MEMORY_AND_DISK pin measured SLOWER (1.33 vs 0.97 s
+      // isolated min-of-3 at sf0.1), the barrier costing more than
+      // the passes it saves (the q_sample_doremi st-frame precedent)
       val grams = d0.select(explode(
         graft.ops.TextHashExpressions.ngramFps(col("text"), 3)).as("g"))
       val sketch = graft.ops.Sketches.cmsBuild(grams, col("g"))

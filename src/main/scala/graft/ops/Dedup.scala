@@ -357,11 +357,19 @@ object Dedup {
     * equi-join; shuffles carry band keys + 8-long signatures. */
   def assignToClusters(newDf: DataFrame, archive: DataFrame,
       textCol: String, idCol: String, maxBucket: Int = 0,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      cache: DataFrame => DataFrame = identity): DataFrame = {
+    // `cache` wraps the two signature frames: the archive kernel
+    // feeds its band rows, the exact-signature join AND the cluster
+    // closure, the batch kernel its band rows, the exact join and
+    // the final id list — uncached each consumer re-runs the
+    // tokenize+minhash kernel (pass a persist hook for batch
+    // queries; identity keeps the per-micro-batch streaming form
+    // unchanged, where the closure still persists its own pass)
     val sigCols = (0 until NumPerms).map(i => s"sig$i")
-    val aSigs = minhashSignatures(archive, textCol, idCol)
-    val nSigs = minhashSignatures(newDf, textCol, idCol)
-    val aCl = minhashClusters(archive, textCol, idCol, maxBucket)
+    val aSigs = cache(minhashSignatures(archive, textCol, idCol))
+    val nSigs = cache(minhashSignatures(newDf, textCol, idCol))
+    val aCl = minhashClustersFromSigs(aSigs, idCol, maxBucket)
     val aBands = bandRowsFromSigs(aSigs, idCol, NumBands)
     val nBands = bandRowsFromSigs(nSigs, idCol, NumBands)
     val sizes = aBands.groupBy("band", "band_key")
@@ -753,12 +761,30 @@ object Dedup {
   def minhashClusters(df: DataFrame, textCol: String, idCol: String,
                       maxBucket: Int, numBands: Int = NumBands,
                       minJaccard: Double = 0.5,
-                      maxIter: Int = 50): DataFrame = {
+                      maxIter: Int = 50): DataFrame =
+    minhashClustersFromSigs(minhashSignatures(df, textCol, idCol),
+      idCol, maxBucket, numBands, minJaccard, maxIter)
+
+  /** [[minhashClusters]] over a PRE-COMPUTED signature frame — lets a
+    * caller that already holds (and has persisted) the signatures
+    * avoid re-running the tokenize+minhash kernel for the cluster
+    * closure (r14: [[assignToClusters]] was paying the archive kernel
+    * once for its own band/exact joins and AGAIN inside this
+    * closure). Persists the input only if the caller has not
+    * (persist() returns the same object, so unpersisting a frame the
+    * caller cached would silently evict THEIR cache) and releases
+    * exactly what it persisted. */
+  def minhashClustersFromSigs(sigsIn: DataFrame, idCol: String,
+                              maxBucket: Int, numBands: Int = NumBands,
+                              minJaccard: Double = 0.5,
+                              maxIter: Int = 50): DataFrame = {
     // one tokenize+hash pass, cached across the three consumers
     // (candidate pairs, group edges, final id list); the iterative CC
     // inside runs actions eagerly, so the cache pays off immediately
     // and is dropped before returning the (lazy) result
-    val sigs = minhashSignatures(df, textCol, idCol).persist()
+    val owns = sigsIn.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE
+    val sigs = if (owns) sigsIn.persist() else sigsIn
     val sigNames = (0 until NumPerms).map(i => s"sig$i")
     val candEdges = minhashCandidatesAndOversizeFromSigs(
         sigs, idCol, maxBucket, numBands)._1
@@ -773,7 +799,7 @@ object Dedup {
       maxIter)
     // ids snapshot so unpersist cannot force a later full recompute
     val ids = sigs.select(col(idCol)).localCheckpoint()
-    sigs.unpersist()
+    if (owns) sigs.unpersist()
     ids.join(cc.withColumnRenamed("node", idCol), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("component"), col(idCol).cast("long")).as("cluster_id"))
@@ -1230,10 +1256,15 @@ object Dedup {
     * re-score, candidates-only like every verify stage here. */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
                        n: Int = 3, maxDf: Int = 20,
-                       minShared: Int = 2): DataFrame = {
+                       minShared: Int = 2,
+                       cache: DataFrame => DataFrame = identity): DataFrame = {
     require(maxDf >= 2 && minShared >= 1, s"bad ($maxDf, $minShared)")
-    val grams = df.select(col(idCol),
-      explode(TextHashExpressions.ngramFps(col(textCol), n)).as("g"))
+    // `cache` wraps the gram explode, which the df-count aggregate and
+    // BOTH sides of the rare-gram self-join consume — uncached the
+    // n-gram kernel re-tokenizes the corpus once per consumer (pass a
+    // persist hook for multi-use batch queries; identity for streams)
+    val grams = cache(df.select(col(idCol),
+      explode(TextHashExpressions.ngramFps(col(textCol), n)).as("g")))
     val dfreq = grams.groupBy("g").agg(count(lit(1)).as("__df"))
     val rare = grams.join(
       dfreq.where(col("__df") >= 2 && col("__df") <= maxDf), "g")

@@ -343,11 +343,16 @@ object TextAnalysis {
     * shuffled bytes are 16/row vs full token text, the same trade
     * [[Dedup]] makes for n-gram fingerprints. */
   def vocabulary(df: DataFrame, idCol: String, textCol: String,
-                 minCount: Long, topV: Int): DataFrame = {
+                 minCount: Long, topV: Int,
+                 cache: DataFrame => DataFrame = identity): DataFrame = {
     require(topV > 0, s"bad vocabulary size $topV")
-    val hashed = df.select(col(idCol).as("__id"),
+    // `cache` wraps the token-hash explode, which BOTH the tf/df
+    // aggregate chain and the top-V spelling join consume — uncached
+    // the md5 token kernel runs over the corpus twice (pass a persist
+    // hook for batch queries; identity keeps streams legal)
+    val hashed = cache(df.select(col(idCol).as("__id"),
         explode(tokens(col(textCol))).as("__tok"))
-      .select(col("__id"), col("__tok"), tokenHash(col("__tok")).as("__th"))
+      .select(col("__id"), col("__tok"), tokenHash(col("__tok")).as("__th")))
     val perDoc = hashed.groupBy("__th", "__id")
       .agg(count(lit(1)).as("__c"))
     val byTerm = perDoc.groupBy("__th")
