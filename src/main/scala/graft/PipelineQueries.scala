@@ -280,6 +280,11 @@ object PipelineQueries {
     (s, d) => {
       val cl = Dedup.minhashClusters(docs(s, d), "text", "doc_id",
         maxBucket = MinhashCap)
+      // deliberately UNPINNED (r14 optimization round): the split
+      // frame's two consumers re-join the id snapshot against the
+      // ALREADY-MATERIALIZED closure map — a pin measured neutral
+      // (2.76 vs 2.70 s isolated min-of-6 at sf0.1), so the barrier
+      // buys nothing
       val sp = Sampling.groupSplit(cl, "cluster_id", 0.1, 0.1)
       val straddle = sp.groupBy("cluster_id")
         .agg(countDistinct(col("split")).as("ns"))
