@@ -1,0 +1,81 @@
+package graft.examples
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A/B harness for the CC loop's partitioner width at the 100×
+  * entity fixture (r14 optimization round, guide §2.4): builds the
+  * τ=2 verified edge set exactly as Entity.resolveWith does and
+  * snapshots it to parquet ONCE (edge construction excluded from the
+  * timing); each invocation then reads the snapshot and times ONLY
+  * Dedup.connectedComponents over it. One timed closure per JVM (the
+  * loop's per-round fixpoint caches are released by ContextCleaner,
+  * which a back-to-back in-JVM rerun races against at this scale).
+  * VERDICT of the r14 experiment this harness supported: the
+  * inherited width (edge frame's arrival partitioning) is right at
+  * every measured point and the count-driven resize was REJECTED —
+  * 32M edges / 3M components closed in 112.1 s at width 32 here,
+  * while narrowing the sf0.1 entity closures (140k edges, arrival
+  * width 32) to a count-derived width 1 measured SLOWER end to end
+  * (q_dedup_entity_tau2 8.53 vs 7.19 s, _jw 4.95 vs 3.87 s isolated
+  * min-of-3, same regime); the minhash-family closures arrive
+  * through a DISTINCT whose AQE coalescing already right-sizes them
+  * (1 partition / 9,775 edges at sf0.1, 4 / 500,902 at 100× docs —
+  * see [[CcParts]]). */
+object CcWidthAB {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val snap = sys.env.getOrElse("CC_EDGE_SNAP", "/tmp/ccab_edges.parquet")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(snap).exists()) {
+      val base = spark.read.parquet(s"$sfDir/customer.parquet")
+        .select(col("c_custkey").as("k"), col("c_name"),
+          col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+          substring(col("c_name"), 10, 9).as("dg"),
+          (col("c_custkey") % 9).cast("int").as("p0"),
+          ((col("c_custkey") % 9 + 3) % 9).cast("int").as("p1"))
+      def subAt(dgc: Column, p: Column): Column =
+        concat(dgc.substr(lit(1), p),
+          ((dgc.substr(p + 1, lit(1)).cast("int") + 1) % 10).cast("string"),
+          dgc.substr(p + 2, lit(9)))
+      def delAt(dgc: Column, p: Column): Column =
+        concat(dgc.substr(lit(1), p), dgc.substr(p + 2, lit(9)))
+      val sub0 = subAt(col("dg"), col("p0"))
+      val dirtyDigits = when(col("k") % 7 === 0, subAt(sub0, col("p1")))
+        .when(col("k") % 3 === 1, sub0)
+        .when(col("k") % 3 === 2, delAt(col("dg"), col("p0")))
+        .otherwise(col("dg"))
+      val rec = base.select((col("k") * 2).as("rid"),
+          col("c_name").as("name"), col("nat"), col("seg"))
+        .unionByName(base.select((col("k") * 2 + 1).as("rid"),
+          concat(lit("Customer#"), dirtyDigits).as("name"),
+          col("nat"), col("seg")))
+        .withColumn("key", substring(col("name"), 10, 10))
+      val cand = graft.ops.Entity.candidatePairsSplit2(
+        rec, "rid", "key", Seq("nat", "seg"))
+      val names = rec.select(col("rid"), col("name"))
+      cand
+        .join(names.select(col("rid").as("id_a"), col("name").as("__na")),
+          "id_a")
+        .join(names.select(col("rid").as("id_b"), col("name").as("__nb")),
+          "id_b")
+        .where(levenshtein(col("__na"), col("__nb")) <= 2)
+        .select("id_a", "id_b")
+        .write.mode("overwrite").parquet(snap)
+      println(s"wrote edge snapshot $snap")
+    }
+
+    val edges = spark.read.parquet(snap).where(col("id_a").isNotNull)
+    println(s"edge input parts=${edges.rdd.getNumPartitions}")
+    val t0 = System.nanoTime()
+    val n = graft.ops.Dedup.connectedComponents(edges,
+      "id_a", "id_b", edgesDistinct = true).count()
+    println(f"cc timed: ${(System.nanoTime() - t0) / 1e9}%.3f s (rows=$n)")
+    spark.stop()
+  }
+}
