@@ -475,6 +475,12 @@ object Codecs {
       {
         val (w, h) = (img.getWidth, img.getHeight)
         val n = 32
+        // ONE bulk getRGB for the whole frame (r14 optimization
+        // round): the per-pixel getRGB virtual call + color-model
+        // conversion dominated this hash — the bulk call performs
+        // the SAME per-pixel conversion (identical ints by the
+        // BufferedImage contract), minus w×h call overheads
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
         // box-filtered grayscale: average r+g+b over each cell's block
         // (integer sums — exact), block bounds [c·d/n, (c+1)·d/n)
         val gray = new Array[Double](n * n)
@@ -491,7 +497,7 @@ object Codecs {
             while (y < y1) {
               var x = x0
               while (x < x1) {
-                val p = img.getRGB(x, y)
+                val p = px(y * w + x)
                 s += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
                 x += 1
               }
@@ -635,6 +641,34 @@ object Codecs {
     out
   }
 
+  /** Build a TYPE_INT_RGB image from rgb triplets by writing the
+    * backing int raster directly (r14 optimization round): the
+    * per-pixel `setRGB` virtual call + DirectColorModel conversion
+    * was the dominant cost of the in-plan image BUILDERS (4096 calls
+    * per 64×64 frame, ~150k frames per multimodal bench query). For
+    * TYPE_INT_RGB, `setRGB(x, y, v)` stores exactly `v & 0xFFFFFF`
+    * in the int buffer — the direct fill below writes the identical
+    * ints (each built from three masked bytes, alpha bits zero), so
+    * every downstream encode is byte-identical (CodecsSpec pins the
+    * round-trips). */
+  private def intRgbImage(w: Int, h: Int,
+                          rgb: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val buf = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
+    var p = 0
+    var i = 0
+    val n = w * h
+    while (p < n) {
+      buf(p) = ((rgb(i) & 0xff) << 16) |
+        ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff)
+      p += 1
+      i += 3
+    }
+    img
+  }
+
   /** REAL JPEG encode via the JDK's own ImageIO writer at an explicit
     * quality (default 1.0 — quantization tables near-unity, so flat
     * 8×8 blocks round-trip within a couple of code values; the MJPEG
@@ -644,19 +678,7 @@ object Codecs {
   def encodeJpeg(w: Int, h: Int, rgb: Array[Byte],
                  quality: Float = 1.0f): Array[Byte] = {
     require(w > 0 && h > 0 && rgb.length == 3 * w * h)
-    val img = new java.awt.image.BufferedImage(w, h,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val i = 3 * (y * w + x)
-        img.setRGB(x, y, ((rgb(i) & 0xff) << 16) |
-          ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff))
-        x += 1
-      }
-      y += 1
-    }
+    val img = intRgbImage(w, h, rgb)
     val writer = javax.imageio.ImageIO
       .getImageWritersByFormatName("jpeg").next()
     val params = writer.getDefaultWriteParam
@@ -688,11 +710,15 @@ object Codecs {
         val w = img.getWidth
         val h = img.getHeight
         var sr = 0L; var sg = 0L; var sb = 0L
+        // per-row bulk getRGB (r14 optimization round): identical
+        // ints to the per-pixel call, minus w call overheads per row
+        val row = new Array[Int](w)
         var y = 0
         while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
           var x = 0
           while (x < w) {
-            val p = img.getRGB(x, y)
+            val p = row(x)
             sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
             x += 1
           }
@@ -709,19 +735,7 @@ object Codecs {
   def encodeImage(w: Int, h: Int, rgb: Array[Byte],
                   format: String): Array[Byte] = {
     require(w > 0 && h > 0 && rgb.length == 3 * w * h)
-    val img = new java.awt.image.BufferedImage(w, h,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val i = 3 * (y * w + x)
-        img.setRGB(x, y, ((rgb(i) & 0xff) << 16) |
-          ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff))
-        x += 1
-      }
-      y += 1
-    }
+    val img = intRgbImage(w, h, rgb)
     val bos = new java.io.ByteArrayOutputStream()
     require(javax.imageio.ImageIO.write(img, format, bos),
       s"no ImageIO writer for '$format'")
@@ -742,12 +756,20 @@ object Codecs {
         val (w, h) = (img.getWidth, img.getHeight)
         val out = new java.awt.image.BufferedImage(w2, h2,
           java.awt.image.BufferedImage.TYPE_INT_RGB)
+        // bulk row reads + direct raster writes (r14 optimization
+        // round): getRGB row values are identical to the per-pixel
+        // call, and for TYPE_INT_RGB `setRGB(v)` stores exactly
+        // v & 0xFFFFFF — same ints, same PNG bytes out
+        val obuf = out.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferInt].getData
+        val srow = new Array[Int](w)
         var y = 0
         while (y < h2) {
           val sy = (y.toLong * h / h2).toInt
+          img.getRGB(0, sy, w, 1, srow, 0, w)
           var x = 0
           while (x < w2) {
-            out.setRGB(x, y, img.getRGB((x.toLong * w / w2).toInt, sy))
+            obuf(y * w2 + x) = srow((x.toLong * w / w2).toInt) & 0xffffff
             x += 1
           }
           y += 1
