@@ -944,4 +944,93 @@ object TextHashExpressions {
 
   def cdcChunks(text: Column): Column =
     bridge.toColumn(CdcChunksExpr(bridge.toExpression(text)))
+
+  def wordPieceMaxMatch(tok: Column, vocab: Map[String, Long],
+                        mod: Long): Column =
+    bridge.toColumn(WordPieceMaxMatchExpr(bridge.toExpression(tok),
+      vocab, mod))
+}
+
+/** Static kernel for [[WordPieceMaxMatchExpr]] (r14 optimization
+  * round): greedy longest-match-first WordPiece segmentation of one
+  * token in ONE tight loop inside whole-stage codegen. The former
+  * column form — an `aggregate` fold over character positions with a
+  * nested `transform` + inner `aggregate` per step — evaluated
+  * through Catalyst's interpreted lambda machinery, rebuilding the
+  * candidate array (substr + map lookup per candidate length) per
+  * position; that interpreted walk was the entire apply-pass cost of
+  * q_text_wordpiece_apply. Exact parity with the spec form is pinned
+  * by WordPieceSpec: substrings via the same UTF8String.substringSQL
+  * that Column.substr lowers to, lookups against the same
+  * (Mark-prefixed) piece strings, the same descending-length
+  * first-match rule, the same BERT whole-word-UNK semantics, and the
+  * same position-weighted digest fold pmod(dg + np·h, mod). */
+object WordPieceFns {
+  def maxMatch(tok: UTF8String,
+               vocab: java.util.HashMap[UTF8String, java.lang.Long],
+               maxLen: Int, mod: Long, mark: UTF8String): InternalRow = {
+    val len = tok.numChars()
+    var pos = 1
+    var np = 0
+    var unk = false
+    var dg = 0L
+    while (pos <= len && !unk) {
+      var l = math.min(maxLen, len - pos + 1)
+      var matched = false
+      while (l >= 1 && !matched) {
+        val sub = tok.substringSQL(pos, l)
+        val key = if (pos > 1) UTF8String.concat(mark, sub) else sub
+        val h = vocab.get(key)
+        if (h != null) {
+          np += 1
+          dg = java.lang.Math.floorMod(dg + np.toLong * h.longValue(), mod)
+          pos += l
+          matched = true
+        } else l -= 1
+      }
+      if (!matched) unk = true
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](np, unk, dg))
+  }
+}
+
+/** Greedy MaxMatch segmentation state of one token against a LITERAL
+  * vocabulary — struct (np, unk, dg), the native kernel behind
+  * [[WordPiece.maxMatch]] (the composable HOF form survives as
+  * `WordPiece.maxMatchSpec`, its executable spec). */
+case class WordPieceMaxMatchExpr(child: Expression,
+                                 vocab: Map[String, Long], mod: Long)
+    extends UnaryExpression {
+  require(vocab.nonEmpty, "empty vocabulary")
+  // the HOF spec derives the candidate-length ceiling from the RAW
+  // surface length (mark stripped) — same formula here
+  @transient private lazy val maxLen = vocab.keys.map(s =>
+    if (s.startsWith(WordPiece.Mark)) s.length - 1 else s.length).max
+  @transient private lazy val packed = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](
+      vocab.size * 2)
+    vocab.foreach { case (k, v) =>
+      m.put(UTF8String.fromString(k), java.lang.Long.valueOf(v)) }
+    m
+  }
+  @transient private lazy val markU8 = UTF8String.fromString(WordPiece.Mark)
+  override def dataType: DataType = StructType(Seq(
+    StructField("np", IntegerType, nullable = false),
+    StructField("unk", BooleanType, nullable = false),
+    StructField("dg", LongType, nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    WordPieceFns.maxMatch(v.asInstanceOf[UTF8String], packed, maxLen,
+      mod, markU8)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val vRef = ctx.addReferenceObj("wpVocab", packed, "java.util.HashMap")
+    val mRef = ctx.addReferenceObj("wpMark", markU8,
+      "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ops.WordPieceFns.maxMatch($c, $vRef, $maxLen, ${mod}L, $mRef)")
+  }
+  override protected def withNewChildInternal(
+      c: Expression): WordPieceMaxMatchExpr = copy(child = c)
+  override def prettyName: String = "wordpiece_maxmatch"
 }

@@ -189,7 +189,17 @@ object WordPiece {
     * lookup never re-evaluates inside the picking lambda (the
     * [[UnigramLm]] cands pattern). */
   def maxMatch(tok: Column, vocab: Map[String, Long],
-               mod: Long = DigestMod): Column = {
+               mod: Long = DigestMod): Column =
+    // native one-pass kernel (r14 optimization round — the
+    // interpreted HOF fold below was the entire apply-pass cost);
+    // WordPieceSpec pins kernel == spec over the learned vocab and
+    // the edge cases (empty, UNK-forcing, mark-length boundaries)
+    TextHashExpressions.wordPieceMaxMatch(tok, vocab, mod)
+
+  /** The composable higher-order-function form of [[maxMatch]] — its
+    * executable spec (kernel parity pinned by WordPieceSpec). */
+  def maxMatchSpec(tok: Column, vocab: Map[String, Long],
+                   mod: Long = DigestMod): Column = {
     require(vocab.nonEmpty, "empty vocabulary")
     val maxLen = vocab.keys.map(s =>
       if (s.startsWith(Mark)) s.length - 1 else s.length).max

@@ -133,6 +133,26 @@ class WordPieceSpec extends AnyFunSuite {
     assert(got.values.forall(!_._2))
   }
 
+  test("native maxMatch kernel == HOF spec on edge cases: empty, " +
+    "UNK-forcing, boundary lengths, multi-byte chars") {
+    val s = spark
+    import s.implicits._
+    val vocab = Map("a" -> 11L, "ab" -> 22L, MK + "b" -> 33L,
+      MK + "bc" -> 44L, "abc" -> 55L, "é" -> 66L, MK + "é" -> 77L,
+      "x" -> 88L)
+    val toks = Seq("", "a", "ab", "abc", "abcb", "abcbc", "ba", "zzz",
+      "aab", "é", "éé", "aé", "xa", "x", "abcbcbcbcbc",
+      "a" * 40, "abq")
+    val df = toks.toDF("tok").select(col("tok"),
+      WordPiece.maxMatch(col("tok"), vocab).as("k"),
+      WordPiece.maxMatchSpec(col("tok"), vocab).as("s"))
+    df.collect().foreach { r =>
+      assert(r.getStruct(1) == r.getStruct(2),
+        s"token <${r.getString(0)}>: kernel ${r.getStruct(1)} vs " +
+          s"spec ${r.getStruct(2)}")
+    }
+  }
+
   test("learn early-stops when no pair remains") {
     val s = spark
     import s.implicits._
