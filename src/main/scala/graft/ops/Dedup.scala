@@ -852,8 +852,18 @@ object Dedup {
     * (tokenize → hash → window-fold → distinct in one loop). */
   def dupNgramRate(df: DataFrame, textCol: String, idCol: String,
                    n: Int = 3): DataFrame = {
-    val grams = df.select(col(idCol),
-      explode(TextHashExpressions.ngramFps(col(textCol), n)).as("g"))
+    // persisted narrow (id, fingerprint) frame (r14 optimization
+    // round): the explode feeds the df-count aggregate AND the
+    // join-back, and the two consumers are different subtrees
+    // (partial-agg vs raw rows below their exchanges), so without
+    // the pin the tokenize+md5 kernel — the whole cost of the scan —
+    // runs twice. Unlike noveltyRate the join-back itself is
+    // irreducible: which docs hold a duplicated gram is per-pair
+    // information the df aggregate does not carry.
+    val grams = graft.core.CacheRegistry.track(
+      df.select(col(idCol),
+        explode(TextHashExpressions.ngramFps(col(textCol), n)).as("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val docFreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
     grams.join(docFreq, "g")
       .groupBy(col(idCol))
@@ -871,21 +881,34 @@ object Dedup {
     * wholly original text. Exact duplicates of an earlier doc score
     * exactly 0.
     *
-    * Same 100 TB shape as [[dupNgramRate]]: one fingerprint-kernel
-    * scan, explode 8-byte longs (text never shuffles), ONE min-id
-    * hash aggregate (map-side partial), join back on the fingerprint,
-    * re-aggregate per doc. Docs with fewer than `n` tokens have no
-    * grams and are dropped. */
+    * 100 TB shape (rewritten in the r14 optimization round): ONE
+    * fingerprint-kernel scan — the exploded (id, fingerprint) frame
+    * (two longs per gram; text never shuffles) is persisted
+    * ([[graft.core.CacheRegistry]]-tracked) and read by both
+    * aggregates — and NO gram-level join-back: since fingerprints are
+    * distinct per doc, a doc's novel-gram count is exactly how many
+    * per-gram minima equal its id, i.e. a re-aggregation of the
+    * min-id table by holder. The previous form re-ran the kernel for
+    * a second scan and shuffled every gram again through a
+    * grams ⋈ first-holder join for information the aggregate already
+    * carried; the remaining join is doc-level. Counts are the same
+    * integers, so the rate doubles are bit-identical. Docs with fewer
+    * than `n` tokens have no grams and are dropped. */
   def noveltyRate(df: DataFrame, textCol: String, idCol: String,
                   n: Int = 3): DataFrame = {
-    val grams = df.select(col(idCol),
-      explode(TextHashExpressions.ngramFps(col(textCol), n)).as("g"))
-    val firstHolder = grams.groupBy("g").agg(min(col(idCol)).as("first_id"))
-    grams.join(firstHolder, "g")
-      .groupBy(col(idCol))
-      .agg((sum(when(col("first_id") === col(idCol), 1L).otherwise(0L))
-        .cast("double") / count(lit(1)).cast("double")).as("novel_rate"),
-        count(lit(1)).as("n_grams"))
+    val grams = graft.core.CacheRegistry.track(
+      df.select(col(idCol),
+        explode(TextHashExpressions.ngramFps(col(textCol), n)).as("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val novel = grams.groupBy("g").agg(min(col(idCol)).as("first_id"))
+      .groupBy("first_id").agg(count(lit(1)).as("__novel"))
+    grams.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"))
+      .join(novel, col(idCol) === col("first_id"), "left")
+      .select(col(idCol),
+        (coalesce(col("__novel"), lit(0L)).cast("double") /
+          col("n_grams").cast("double")).as("novel_rate"),
+        col("n_grams"))
   }
 
   /** Fingerprints of NON-OVERLAPPING `w`-token chunks over a
