@@ -24,6 +24,14 @@ package graft.ops
   * registers into without touching any query's shape. */
 object Codecs {
 
+  // Disable ImageIO's disk-backed stream cache (see the matching
+  // note in [[Gif]]): ImageIO.read(InputStream) and
+  // createImageOutputStream otherwise create + delete a temp file
+  // per decode/encode — ~150k filesystem round-trips per multimodal
+  // bench query whose latency tracks host filesystem state, not the
+  // codec work. Memory-cached streams produce bit-identical output.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class WavInfo(sampleRate: Int, channels: Int, nFrames: Long,
                            rms: Double, zeroCrossRate: Double)
 

@@ -19,6 +19,17 @@ import javax.imageio.{IIOImage, ImageIO}
   * rasters. Format: GIF89a (CompuServe spec, public). */
 object Gif {
 
+  // ImageIO's default stream cache is DISK-backed: every
+  // createImageInputStream/createImageOutputStream call creates,
+  // writes, and deletes a temp file in java.io.tmpdir — one per
+  // frame decode/encode, ~150k per multimodal bench query, and the
+  // latency of each depends on filesystem state (r14 optimization
+  // round: the decode query family swung 2–3× between host regimes
+  // on identical code). Memory-cached streams are semantically
+  // identical (the cache only provides seekability); outputs are
+  // bit-for-bit the same.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Frame count plus the first min(count, maxFrames) frames of a
     * GIF stream, decoded in storage order. None for bytes that are
     * not a GIF stream at all; a decode failure on an IN-RANGE frame
