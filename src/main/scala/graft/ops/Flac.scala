@@ -32,15 +32,22 @@ package graft.ops
 object Flac {
 
   /** Big-endian bit writer (FLAC packs all fields MSB-first). */
-  private final class BitWriter {
+  private[ops] final class BitWriter {
     private val buf = new java.io.ByteArrayOutputStream()
     private var acc = 0; private var n = 0
     def write(v: Long, bits: Int): Unit = {
-      var b = bits - 1
-      while (b >= 0) {
-        acc = (acc << 1) | ((v >> b) & 1L).toInt; n += 1
+      // byte-at-a-time MSB-first packing (r14 optimization round):
+      // same bit stream as the former 1-bit-per-iteration loop —
+      // each chunk is the next `take` bits of v, high bits first —
+      // at ~one iteration per output byte instead of per bit.
+      var rem = bits
+      while (rem > 0) {
+        val take = { val space = 8 - n; if (rem < space) rem else space }
+        acc = (acc << take) |
+          ((v >>> (rem - take)) & ((1L << take) - 1L)).toInt
+        n += take
+        rem -= take
         if (n == 8) { buf.write(acc & 0xff); acc = 0; n = 0 }
-        b -= 1
       }
     }
     /** Rice/unary quotient: q zero-bits then a terminating 1
@@ -51,25 +58,54 @@ object Flac {
   }
 
   /** Big-endian bit reader; [[fail]] flags any out-of-bounds read. */
-  private final class BitReader(b: Array[Byte], var pos: Long) {
+  private[ops] final class BitReader(b: Array[Byte], var pos: Long) {
     var fail = false
     def read(bits: Int): Long = {
-      var v = 0L; var i = 0
-      while (i < bits) {
+      // byte-at-a-time MSB-first extraction (r14 optimization
+      // round): identical bit semantics to the former
+      // 1-bit-per-iteration loop — each chunk is the next `take`
+      // bits of the stream, appended high-first — at ~one iteration
+      // per byte touched. On out-of-bounds the same observable state
+      // results: fail set, 0 returned, pos stopped at the end of the
+      // last whole byte (the old loop could only run out at a byte
+      // boundary, and every decode path discards results on fail).
+      var v = 0L; var rem = bits
+      while (rem > 0) {
         val byteIx = (pos >> 3).toInt
         if (byteIx >= b.length) { fail = true; return 0L }
-        v = (v << 1) | ((b(byteIx) >> (7 - (pos & 7L).toInt)) & 1)
-        pos += 1; i += 1
+        val avail = 8 - (pos & 7L).toInt
+        val take = if (rem < avail) rem else avail
+        v = (v << take) |
+          (((b(byteIx) & 0xff) >>> (avail - take)) & ((1 << take) - 1))
+        pos += take; rem -= take
       }
       v
     }
     def readUnary(): Int = {
+      // byte-at-a-time zero-run scan (r14 optimization round): skips
+      // whole zero bytes and finds the terminating 1 via
+      // numberOfLeadingZeros instead of one read(1) call per bit.
+      // Same quotient and final pos (first bit after the 1); the
+      // garbage guard trips at byte rather than bit granularity, but
+      // past 2^20 the only observable outcome either way is
+      // fail=true and a discarded frame.
       var q = 0
-      while (!fail && read(1) == 0L) {
-        q += 1
-        if (q > (1 << 20)) { fail = true; return 0 } // garbage guard
+      while (true) {
+        val byteIx = (pos >> 3).toInt
+        if (byteIx >= b.length) { fail = true; return 0 }
+        val off = (pos & 7L).toInt
+        val cur = (b(byteIx) & 0xff) & (0xff >>> off)
+        if (cur == 0) {
+          q += 8 - off; pos += 8 - off
+          if (q > (1 << 20)) { fail = true; return 0 } // garbage guard
+        } else {
+          val zeros = (java.lang.Integer.numberOfLeadingZeros(cur) - 24) - off
+          q += zeros; pos += zeros + 1
+          if (q > (1 << 20)) { fail = true; return 0 } // garbage guard
+          return q
+        }
       }
-      q
+      0 // unreachable
     }
     def alignByte(): Unit = pos = (pos + 7) & ~7L
   }

@@ -258,4 +258,61 @@ class FlacSpec extends AnyFunSuite {
       assert((0 until n).forall(t => b.samples(t * 3 + c) ==
         chans(c)(t)))
   }
+
+  test("bit I/O parity: the byte-batched BitWriter/BitReader match a " +
+    "bit-by-bit reference on seeded random field sequences, and " +
+    "truncation mid-field/mid-unary sets fail without throwing") {
+    // reference writer: the pre-r14 1-bit-per-iteration semantics
+    final class RefWriter {
+      val buf = new java.io.ByteArrayOutputStream()
+      var acc = 0; var n = 0
+      def write(v: Long, bits: Int): Unit = {
+        var b = bits - 1
+        while (b >= 0) {
+          acc = (acc << 1) | ((v >> b) & 1L).toInt; n += 1
+          if (n == 8) { buf.write(acc & 0xff); acc = 0; n = 0 }
+          b -= 1
+        }
+      }
+      def bytes: Array[Byte] = { if (n != 0) write(0L, 8 - n); buf.toByteArray }
+    }
+    val rnd = new scala.util.Random(0xF1ac)
+    // ops: Left((value, width)) = fixed field, Right(q) = unary run
+    val ops = Vector.tabulate(4000) { _ =>
+      if (rnd.nextInt(4) == 0) Right(rnd.nextInt(40))
+      else {
+        val w = 1 + rnd.nextInt(33)
+        Left((rnd.nextLong() >>> (64 - w), w))
+      }
+    }
+    val bw = new Flac.BitWriter
+    val rw = new RefWriter
+    ops.foreach {
+      case Left((v, w)) => bw.write(v, w); rw.write(v, w)
+      case Right(q)     => bw.writeUnary(q); rw.write(0L, q); rw.write(1L, 1)
+    }
+    val bytes = bw.bytes
+    assert(bytes.toSeq == rw.bytes.toSeq, "writer streams diverge")
+    // read back: every field and quotient round-trips, pos advances
+    // exactly field-width (or q+1) bits
+    val br = new Flac.BitReader(bytes, 0L)
+    ops.foreach {
+      case Left((v, w)) =>
+        val p0 = br.pos
+        assert(br.read(w) == v && br.pos == p0 + w && !br.fail)
+      case Right(q) =>
+        val p0 = br.pos
+        assert(br.readUnary() == q && br.pos == p0 + q + 1 && !br.fail)
+    }
+    // truncation totality: reading past the end fails cleanly from
+    // any bit offset, with pos parked at the end of the whole bytes
+    for (off <- 0 to 7) {
+      val short = bytes.take(3)
+      val r1 = new Flac.BitReader(short, off.toLong)
+      r1.read(64); assert(r1.fail && r1.pos <= 24L)
+      val zeros = Array[Byte](0, 0)  // unary run that never terminates
+      val r2 = new Flac.BitReader(zeros, off.toLong)
+      assert(r2.readUnary() == 0 && r2.fail)
+    }
+  }
 }
