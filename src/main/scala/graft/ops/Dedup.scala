@@ -594,6 +594,116 @@ object Dedup {
       .mapPartitions(_.map(_._1), preservesPartitioning = true)
   }
 
+  /** Open-addressed primitive long→long parent table for
+    * [[localContract]] — one entry per distinct node in a partition,
+    * no boxing (a java.util.HashMap[Long, Long] would box every key
+    * and value; at ~1M nodes/partition that is GC pressure the loop's
+    * own combiner maps never pay). Power-of-two capacity, linear
+    * probing, Long.MinValue as the empty sentinel with a dedicated
+    * scalar slot so the sentinel VALUE is still a legal key. */
+  private final class LongLongMap(initialCapacity: Int) {
+    private var cap = Integer.highestOneBit(
+      math.max(16, initialCapacity * 2) - 1) << 1
+    private var keys = Array.fill(cap)(Long.MinValue)
+    private var vals = new Array[Long](cap)
+    private var n = 0
+    private var hasMin = false
+    private var minVal = 0L
+    private def idx(k: Long): Int = {
+      var i = (mix64(k) & (cap - 1)).toInt
+      while (keys(i) != Long.MinValue && keys(i) != k)
+        i = (i + 1) & (cap - 1)
+      i
+    }
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals
+      cap <<= 1
+      keys = Array.fill(cap)(Long.MinValue)
+      vals = new Array[Long](cap)
+      var i = 0
+      while (i < ok.length) {
+        if (ok(i) != Long.MinValue) { val j = idx(ok(i)); keys(j) = ok(i); vals(j) = ov(i) }
+        i += 1
+      }
+    }
+    /** parent(k), defaulting to k itself (absent = self-root). */
+    def getOrSelf(k: Long): Long =
+      if (k == Long.MinValue) { if (hasMin) minVal else k }
+      else { val i = idx(k); if (keys(i) == Long.MinValue) k else vals(i) }
+    def put(k: Long, v: Long): Unit =
+      if (k == Long.MinValue) { hasMin = true; minVal = v }
+      else {
+        val i = idx(k)
+        if (keys(i) == Long.MinValue) {
+          keys(i) = k; vals(i) = v; n += 1
+          if (n * 3 > cap * 2) grow()
+        } else vals(i) = v
+      }
+    /** Iterate all present entries' KEYS (values may be mutated by the
+      * caller during iteration — open addressing never relocates an
+      * existing key on value update). */
+    def foreachKey(f: Long => Unit): Unit = {
+      var i = 0
+      while (i < keys.length) {
+        if (keys(i) != Long.MinValue) f(keys(i)); i += 1
+      }
+      if (hasMin) f(Long.MinValue)
+    }
+  }
+
+  /** Partition-local union-find contraction — round 0 of
+    * [[connectedComponents]] (r14 optimization round; guide §2.1/§2.4
+    * remove shuffles and rounds outright): each partition folds its
+    * edges through a union-by-min union-find (path-compressed) and
+    * emits ONE (node, local-root) star edge per non-root node, in one
+    * NARROW mapPartitions. Effects: every within-partition chain
+    * collapses before the first star round (fewer fixpoint rounds —
+    * measured 5 → 3 on the τ=2 entity edge set at sf0.1), and the
+    * output is pair-distinct and canonically oriented (root = the
+    * local MINIMUM, so node > root always) by construction, making
+    * the non-distinct callers' input-dedup SHUFFLE unnecessary.
+    *
+    * Components are preserved EXACTLY: a union only ever joins the
+    * two endpoints of a real input edge, so each local tree is a
+    * connected subset of the input graph, and every input edge (u, v)
+    * is represented in the output by the path u → root ← v. Every
+    * node appearing in an input edge appears in the output (each
+    * local tree has ≥ 2 nodes — map entries only exist for edge
+    * endpoints — so its root survives as some child's target).
+    *
+    * Memory: the parent table holds one primitive entry per DISTINCT
+    * node in the partition — the same order as the per-round
+    * reduceByKey combiner maps the star loop already builds. */
+  private def localContract(e: org.apache.spark.rdd.RDD[(Long, Long)])
+      : org.apache.spark.rdd.RDD[(Long, Long)] =
+    e.mapPartitions { it =>
+      val parent = new LongLongMap(1 << 12)
+      def find(x: Long): Long = {
+        var r = x
+        var pr = parent.getOrSelf(r)
+        while (pr != r) { r = pr; pr = parent.getOrSelf(r) }
+        var c = x
+        while (c != r) { val nx = parent.getOrSelf(c); parent.put(c, r); c = nx }
+        r
+      }
+      it.foreach { case (u, v) =>
+        val ru = find(u); val rv = find(v)
+        if (ru != rv) {
+          if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+        }
+        // ensure both endpoints exist as entries so emission sees them
+        // (find() never inserts); self-rooted entries are free
+        if (parent.getOrSelf(u) == u) parent.put(u, u)
+        if (parent.getOrSelf(v) == v) parent.put(v, v)
+      }
+      val out = Vector.newBuilder[(Long, Long)]
+      parent.foreachKey { x =>
+        val r = find(x)
+        if (r != x) out += ((x, r))
+      }
+      out.result().iterator
+    }
+
   /** Large-star round: connect every node to the minimum of its
     * (symmetrized) neighborhood ∪ itself, keeping only edges to
     * strictly larger neighbors. After the one symmetrize shuffle,
@@ -669,9 +779,19 @@ object Dedup {
     * must be integral (cast to long). Isolated nodes never enter the
     * edge list and are absent — callers re-add singletons (see
     * [[minhashClusters]]). */
+  /** [[connectedComponents]] with per-round stderr timing — probe
+    * mains only (examples/CcRounds); the query paths use the quiet
+    * form. */
+  def ccInstrumented(edges: DataFrame, aCol: String, bCol: String,
+                     maxIter: Int = 50,
+                     edgesDistinct: Boolean = false): DataFrame =
+    connectedComponents(edges, aCol, bCol, maxIter, edgesDistinct,
+      verbose = true)
+
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 50,
-                          edgesDistinct: Boolean = false): DataFrame = {
+                          edgesDistinct: Boolean = false,
+                          verbose: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     // fail fast on non-integral ids: cast("long") of a string/uuid id
@@ -689,31 +809,35 @@ object Dedup {
     }
     // canonicalize once: the caller's edge pipeline (e.g. the whole
     // LSH candidate generation) runs exactly once, into a persisted
-    // pair RDD the loop iterates on. `edgesDistinct = true` declares
-    // the input already pair-distinct (one row per unordered pair —
-    // e.g. Entity's verified candidates, DISTINCT upstream of the
-    // verify join) and skips the dedup SHUFFLE here — the orientation
-    // map and self-loop filter stay, they are free narrow ops. A
-    // caller that sets it on a non-distinct edge set only wastes loop
-    // work (duplicate edges contract identically), never changes the
-    // components.
+    // pair RDD the loop iterates on. Round 0 is [[localContract]]
+    // (r14 optimization round): a NARROW partition-local union-find
+    // that collapses within-partition chains before the first star
+    // round AND emits a pair-distinct canonical edge set — so the
+    // input-dedup shuffle the non-distinct callers used to pay here
+    // is gone entirely. `edgesDistinct` no longer changes the plan
+    // (the contraction dedups any input implicitly); it is kept for
+    // caller-API stability and as documentation of the input shape.
     val canon0 = edges
       .select(greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
         least(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
       .where(col("u") =!= col("v"))
-    val canon = (if (edgesDistinct) canon0 else canon0.distinct())
-      .as[(Long, Long)].rdd
+    val canon = localContract(canon0.as[(Long, Long)].rdd)
     val p = new org.apache.spark.HashPartitioner(
       math.max(canon.getNumPartitions, 1))
     var e = canon.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var sig = edgeSignature(e) // materializes the canonical input
+    if (verbose) System.err.println(s"[cc] round 0 (contract): edges ${sig._1}")
     var done = sig._1 == 0L
     var it = 0
     var toRelease = List.empty[org.apache.spark.rdd.RDD[_]]
     while (!done && it < maxIter) {
+      val tR = System.nanoTime()
       val next = smallStar(largeStar(e, p), p)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nextSig = edgeSignature(next) // materializes this round
+      if (verbose) System.err.println(
+        f"[cc] round ${it + 1}: ${(System.nanoTime() - tR) / 1e9}%.3f s, " +
+          s"edges ${nextSig._1}")
       // the previous round's edge set is now dead (released lazily,
       // after `next` is safely materialized; the intra-round sym/o
       // frames are never persisted — they flow straight through)

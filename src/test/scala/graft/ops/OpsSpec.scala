@@ -1472,6 +1472,38 @@ class OpsSpec extends AnyFunSuite {
     assert((100L to 140L).forall(got(_) == 100L))
   }
 
+  test("connectedComponents localContract round 0: duplicate edges, " +
+    "cross-partition chains, sentinel-extreme ids and edgesDistinct " +
+    "on a non-distinct input all land on the union-find oracle") {
+    // chain spread one-edge-per-partition (repartition(16) on 15
+    // edges): the partition-local union-find sees NO local structure
+    // and must leave all collapsing to the star rounds
+    val chain = (0L until 15L).map(i => (i, i + 1L))
+    // heavy duplication (every edge 7×, both orientations) with NO
+    // upstream distinct — the contraction is the only dedup left
+    val dups = (1 to 7).flatMap(_ =>
+      Seq((20L, 21L), (21L, 20L), (21L, 22L), (22L, 21L)))
+    // Long.MinValue is the parent table's EMPTY sentinel; it must
+    // still work as a real node id (dedicated scalar slot)
+    val extreme = Seq((Long.MinValue, 30L), (30L, 31L),
+      (Long.MaxValue, 40L))
+    val edges = chain ++ dups ++ extreme
+    val expect = unionFind(edges)
+    val got = Dedup.connectedComponents(
+        edges.toDF("a", "b").repartition(16), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect, s"diff: ${(got.toSet diff expect.toSet).take(5)} " +
+      s"/ ${(expect.toSet diff got.toSet).take(5)}")
+    assert(got(31L) == Long.MinValue) // min-id root through the sentinel
+    // edgesDistinct=true on a NON-distinct input: documented as
+    // harmless (the contraction dedups any input implicitly)
+    val got2 = Dedup.connectedComponents(
+        edges.toDF("a", "b").repartition(16), "a", "b",
+        edgesDistinct = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == expect)
+  }
+
   test("minhashClusters collapses transitive near-dup chains that " +
     "pairwise grouping cannot") {
     val base = spark.read
