@@ -55,14 +55,27 @@ object CcRounds {
     val edges = verified.persist()
     println(s"edges: ${edges.count()}")
 
-    for (i <- 1 to 3) {
+    // A/B the two loop bodies (r15): union-find contraction round vs
+    // the large-star/small-star pair, alternating so neither form owns
+    // the warm JVM; the component MAP must agree exactly between forms
+    val impls = Seq("contract", "star", "contract", "star",
+      "contract", "star")
+    var starHash: Long = Long.MinValue
+    impls.zipWithIndex.foreach { case (impl, i) =>
+      sys.props("graft.cc.loop") = impl
       val t0 = System.nanoTime()
       val comp = graft.ops.Dedup.ccInstrumented(edges, "id_a", "id_b")
-      println(f"cc call$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      println(f"cc[$impl] call$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
       val t1 = System.nanoTime()
+      val h = comp.select(xxhash64(col("node"), col("component")).as("hh"))
+        .agg(expr("bit_xor(hh)")).collect()(0).getLong(0)
       val n = comp.count()
-      println(f"joinback$i: ${(System.nanoTime() - t1) / 1e9}%.3f s (n=$n)")
+      println(f"joinback$i: ${(System.nanoTime() - t1) / 1e9}%.3f s " +
+        s"(n=$n, maphash=$h)")
+      if (starHash == Long.MinValue) starHash = h
+      else require(h == starHash, s"component maps differ: $h vs $starHash")
     }
+    sys.props.remove("graft.cc.loop")
     spark.stop()
   }
 }

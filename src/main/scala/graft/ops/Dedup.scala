@@ -649,6 +649,20 @@ object Dedup {
       }
       if (hasMin) f(Long.MinValue)
     }
+    /** LAZY iterator over entries whose value differs from their key
+      * (r15, ADVICE: the previous Vector-of-boxed-tuples emission
+      * buffered a whole partition's output). Caller must have fully
+      * value-compressed the table first and must not insert while the
+      * iterator is live (value updates are safe — slots never move). */
+    def nonSelfIterator: Iterator[(Long, Long)] = {
+      val slots = Iterator.range(0, cap).collect {
+        case i if keys(i) != Long.MinValue && vals(i) != keys(i) =>
+          (keys(i), vals(i))
+      }
+      if (hasMin && minVal != Long.MinValue)
+        slots ++ Iterator((Long.MinValue, minVal))
+      else slots
+    }
   }
 
   /** Partition-local union-find contraction — round 0 of
@@ -657,11 +671,15 @@ object Dedup {
     * edges through a union-by-min union-find (path-compressed) and
     * emits ONE (node, local-root) star edge per non-root node, in one
     * NARROW mapPartitions. Effects: every within-partition chain
-    * collapses before the first star round (fewer fixpoint rounds —
-    * measured 5 → 3 on the τ=2 entity edge set at sf0.1), and the
-    * output is pair-distinct and canonically oriented (root = the
-    * local MINIMUM, so node > root always) by construction, making
-    * the non-distinct callers' input-dedup SHUFFLE unnecessary.
+    * collapses before the first star round (round COUNT is unchanged
+    * on the τ=2 entity fixture — its chains are cross-partition; the
+    * measured wins are the removed input-distinct shuffle and the
+    * cheaper round-0 materialization), and the output is PER-PARTITION
+    * pair-distinct and canonically oriented (root = the local MINIMUM,
+    * so node > root always) by construction, making the non-distinct
+    * callers' input-dedup SHUFFLE unnecessary (duplicate edges that
+    * land in different partitions emit the same (node, local-root)
+    * pair once per partition; the first keyed round dedups those).
     *
     * Components are preserved EXACTLY: a union only ever joins the
     * two endpoints of a real input edge, so each local tree is a
@@ -696,13 +714,54 @@ object Dedup {
         if (parent.getOrSelf(u) == u) parent.put(u, u)
         if (parent.getOrSelf(v) == v) parent.put(v, v)
       }
-      val out = Vector.newBuilder[(Long, Long)]
-      parent.foreachKey { x =>
-        val r = find(x)
-        if (r != x) out += ((x, r))
-      }
-      out.result().iterator
+      // full value compression first (value-only updates — slots never
+      // move), then emit LAZILY straight off the table (r15, ADVICE:
+      // the Vector-of-boxed-tuples emission buffered the whole
+      // partition's output and defeated pipelining)
+      parent.foreachKey { x => find(x); () }
+      parent.nonSelfIterator
     }
+
+  /** One union-find contraction round (r15 optimization round, guide
+    * §2.1/§2.4): symmetrize so every node's FULL current neighborhood
+    * is co-located at its hash partition, fold each partition through
+    * the same union-find as [[localContract]], emit (node, local-root)
+    * stars, exact-dedup. Replaces one largeStar+smallStar pair (3
+    * keyed shuffles) with 2: when the input already rides the loop
+    * partitioner (every round ≥ 2) only the REVERSED copies move — a
+    * partitioner-aware union keeps the forward copies in place — vs
+    * the star pair's full 2|E| sym exchange plus two dedups.
+    *
+    * Correctness: a union only ever joins the two endpoints of a real
+    * current edge, so connectivity is preserved exactly; output is
+    * canonically oriented (root = local min < node) and per-partition
+    * distinct, with the keyed dedup making it globally exact for the
+    * convergence signature. Per round it performs a SUPERSET of both
+    * stars' unions at each node's home partition (largeStar: every
+    * neighbor joins min(N(u) ∪ u); smallStar: smaller neighbors join
+    * the min — both are unions among {u} ∪ N(u), all co-located here)
+    * plus any transitive chaining the partition happens to hold.
+    * Fixpoint: a star forest reproduces itself exactly (the root's
+    * partition sees all children and re-emits them; a child's
+    * partition sees only its root), and any chain or multi-parent
+    * node strictly contracts (its home partition unions the whole
+    * neighborhood to one root), so signature equality detects exactly
+    * the star-forest fixpoint, as for the star rounds. */
+  private def contractRound(e: org.apache.spark.rdd.RDD[(Long, Long)],
+                            p: org.apache.spark.Partitioner)
+      : org.apache.spark.rdd.RDD[(Long, Long)] = {
+    val sym = e.partitioner match {
+      case Some(ep) if ep == p =>
+        // forward copies are already at part(u); shuffle only the
+        // reversed copies, partitioned by the SAME instance so the
+        // union is partitioner-aware (one co-located partition per
+        // index, no re-exchange of the forward half)
+        e.union(e.map { case (u, v) => (v, u) }.partitionBy(ep))
+      case _ =>
+        e.flatMap { case (u, v) => Iterator((u, v), (v, u)) }.partitionBy(p)
+    }
+    distinctPairsByKey(localContract(sym), p)
+  }
 
   /** Large-star round: connect every node to the minimum of its
     * (symmetrized) neighborhood ∪ itself, keeping only edges to
@@ -830,9 +889,14 @@ object Dedup {
     var done = sig._1 == 0L
     var it = 0
     var toRelease = List.empty[org.apache.spark.rdd.RDD[_]]
+    // A/B switch for the r15 round-body experiment: -Dgraft.cc.loop=star
+    // restores the large-star/small-star pair (3 keyed shuffles/round)
+    // in place of the union-find contraction round (2).
+    val starLoop = sys.props.get("graft.cc.loop").contains("star")
     while (!done && it < maxIter) {
       val tR = System.nanoTime()
-      val next = smallStar(largeStar(e, p), p)
+      val next = (if (starLoop) smallStar(largeStar(e, p), p)
+                  else contractRound(e, p))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nextSig = edgeSignature(next) // materializes this round
       if (verbose) System.err.println(
