@@ -32,6 +32,59 @@ object Codecs {
   // codec work. Memory-cached streams produce bit-identical output.
   javax.imageio.ImageIO.setUseCache(false)
 
+  // Per-thread cached ImageReader/ImageWriter instances (r15
+  // optimization round, guide §4 per-task setup cost): ImageIO.read /
+  // getImageWritersByFormatName allocate a FRESH reader/writer (plus
+  // its color-converter state) through a registry scan on every call —
+  // ~150k allocations per multimodal bench query whose only job is one
+  // 64×64 frame. The format is dispatched on the payload's magic bytes
+  // and the cached instance is reset() between uses (reset restores
+  // construction state, so pixels/bytes are identical to a fresh
+  // instance of the same registry-selected class); unknown magic falls
+  // back to the stock ImageIO.read path. Thread-confined by
+  // ThreadLocal, so no sharing; one instance per (executor thread,
+  // format) is the steady state.
+  private val readerCache =
+    new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageReader]] {
+      override def initialValue() =
+        new java.util.HashMap[String, javax.imageio.ImageReader]()
+    }
+  private val writerCache =
+    new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageWriter]] {
+      override def initialValue() =
+        new java.util.HashMap[String, javax.imageio.ImageWriter]()
+    }
+  private def cachedReader(fmt: String): javax.imageio.ImageReader = {
+    val cache = readerCache.get()
+    var r = cache.get(fmt)
+    if (r == null) {
+      val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+      if (it.hasNext) { r = it.next(); cache.put(fmt, r) }
+    }
+    r
+  }
+  private[ops] def cachedWriter(fmt: String): javax.imageio.ImageWriter = {
+    val cache = writerCache.get()
+    var w = cache.get(fmt)
+    if (w == null) {
+      val it = javax.imageio.ImageIO.getImageWritersByFormatName(fmt)
+      if (it.hasNext) { w = it.next(); cache.put(fmt, w) }
+    }
+    w
+  }
+  /** Magic-byte format sniff for the four JDK-decodable still formats;
+    * null for anything else (fall back to the registry scan). The same
+    * prefixes the readers' own canDecodeInput probes check. */
+  private def imageFormatOf(b: Array[Byte]): String =
+    if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+      "jpeg"
+    else if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+      b(2) == 'N' && b(3) == 'G') "png"
+    else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8') "gif"
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+    else null
+
   final case class WavInfo(sampleRate: Int, channels: Int, nFrames: Long,
                            rms: Double, zeroCrossRate: Double)
 
@@ -438,9 +491,27 @@ object Codecs {
     * decode shared by both perceptual hashes — decoding is the
     * dominant cost, so two-tier hashing must not run it twice. */
   def readImage(b: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    try Option(
-      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
-    catch { case _: Exception => None }
+    try {
+      val r = imageFormatOf(b) match {
+        case null => null
+        case fmt => cachedReader(fmt)
+      }
+      if (r == null)
+        // unknown magic or no registered reader: the stock path (a
+        // registry scan per call) judges the bytes exactly as before
+        Option(
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+      else {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(b))
+        try {
+          // same (seekForwardOnly=true, ignoreMetadata=true) input mode
+          // and same read(0, defaultParam) call ImageIO.read performs
+          r.setInput(iis, true, true)
+          Option(r.read(0, r.getDefaultReadParam))
+        } finally { r.reset(); iis.close() }
+      }
+    } catch { case _: Exception => None }
 
   def aHash64(b: Array[Byte]): Option[Long] = readImage(b).map(aHash64Of)
 
@@ -687,8 +758,9 @@ object Codecs {
                  quality: Float = 1.0f): Array[Byte] = {
     require(w > 0 && h > 0 && rgb.length == 3 * w * h)
     val img = intRgbImage(w, h, rgb)
-    val writer = javax.imageio.ImageIO
-      .getImageWritersByFormatName("jpeg").next()
+    // per-thread cached writer, reset (not disposed) after use — same
+    // writer class, same explicit-quality param, identical bytes
+    val writer = cachedWriter("jpeg")
     val params = writer.getDefaultWriteParam
     params.setCompressionMode(
       javax.imageio.ImageWriteParam.MODE_EXPLICIT)
@@ -699,7 +771,7 @@ object Codecs {
       writer.setOutput(ios)
       writer.write(null, new javax.imageio.IIOImage(img, null, null),
         params)
-    } finally { ios.close(); writer.dispose() }
+    } finally { ios.close(); writer.reset() }
     bos.toByteArray
   }
 
@@ -712,7 +784,9 @@ object Codecs {
     * (ImageIO never touches a display). */
   def decodeImage(b: Array[Byte]): Option[BmpInfo] =
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      // readImage = the same decode through the per-thread cached
+      // reader (identical pixels); null-image and throw both → None
+      val img = readImage(b).orNull
       if (img == null) None
       else {
         val w = img.getWidth
@@ -750,6 +824,21 @@ object Codecs {
     bos.toByteArray
   }
 
+  /** PNG-encode through the per-thread cached writer — the same
+    * default-param write(null, IIOImage, null) call ImageIO.write
+    * issues for a TYPE_INT_RGB image, minus the per-call registry
+    * scan + writer allocation. Identical bytes (PNG encode is a pure
+    * function of pixels + default param). */
+  private def writePng(img: java.awt.image.BufferedImage,
+                       bos: java.io.ByteArrayOutputStream): Unit = {
+    val writer = cachedWriter("png")
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), null)
+    } finally { ios.close(); writer.reset() }
+  }
+
   /** REAL compressed-image resize: ImageIO decode → nearest-neighbor
     * downsample (the same index math as [[resizeBmp]], so a planted
     * pattern lands on the same source pixels) → PNG re-encode
@@ -758,7 +847,7 @@ object Codecs {
   def resizeImage(b: Array[Byte], w2: Int, h2: Int): Option[Array[Byte]] = {
     require(w2 > 0 && h2 > 0)
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      val img = readImage(b).orNull
       if (img == null) None
       else {
         val (w, h) = (img.getWidth, img.getHeight)
@@ -783,7 +872,7 @@ object Codecs {
           y += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(out, "png", bos)
+        writePng(out, bos)
         Some(bos.toByteArray)
       }
     } catch { case _: Exception => None }
