@@ -9365,22 +9365,34 @@ object PipelineQueries {
         keep = Seq("source")))
       val lm = NgramLm.trainFromHl(hl, "doc_id")
       val ppl = NgramLm.perplexityFromHl(hl, "doc_id", lm)
-      // st itself stays UNPINNED: its repeated consumers (mn/tot/w/z)
-      // are identical aggregate subtrees that ReuseExchange already
-      // deduplicates at runtime — pinning it was measured SLOWER
-      // (3.1 s vs 2.0 s isolated; the barrier cost more than it saved)
+      // r15 (guide §7.2): the global mn/tot/z summaries are WINDOWED
+      // over ONE st subtree instead of crossJoin-ed one-row aggregate
+      // branches. The five aggregate consumers (mn/tot/w/z/rates) each
+      // re-planned the whole LM chain statically — the r14 plan audit
+      // measured 38 parquet scans / 162 Exchanges; ReuseExchange
+      // deduped them at runtime but that reuse is fragile under AQE
+      // re-optimization. The window frame is the SOURCE grain (a
+      // handful of rows by definition), so the single-partition
+      // exchange is bounded, like unimaxAllocation's. Same arithmetic,
+      // same rounding, bit-identical rows (oracle re-verified).
+      // Pinning st instead was measured SLOWER in r14 (3.1 vs 2.0 s —
+      // the barrier cost more than the reuse saved) and is still the
+      // rejected alternative.
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy().rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
       val st = hl.select(col("doc_id"), col("source"))
         .join(ppl, "doc_id")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), round(avg(col("nll")), 5).as("nll"))
-      val mn = st.agg(min(col("nll")).as("mn"))
-      val tot = st.agg(sum(col("n_docs")).as("n_total"))
-      val w = st.crossJoin(mn)
-        .select(col("source"), col("n_docs"), col("nll"),
-          floor(exp(col("nll") - col("mn")) *
-            lit(DoremiWScale.toDouble)).cast("long").as("w"))
-      val z = w.agg(sum(col("w")).as("z"))
-      val rates = w.crossJoin(z).crossJoin(tot)
+      val w = st
+        .withColumn("mn", min(col("nll")).over(wAll))
+        .withColumn("n_total", sum(col("n_docs")).over(wAll))
+        .withColumn("w", floor(exp(col("nll") - col("mn")) *
+          lit(DoremiWScale.toDouble)).cast("long"))
+      val rates = w
+        .withColumn("z", sum(col("w")).over(wAll))
         .select(col("source"), col("n_docs"), col("nll"),
           round(col("w").cast("double") / col("z").cast("double"), 5)
             .as("q"),

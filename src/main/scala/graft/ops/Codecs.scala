@@ -54,7 +54,7 @@ object Codecs {
       override def initialValue() =
         new java.util.HashMap[String, javax.imageio.ImageWriter]()
     }
-  private def cachedReader(fmt: String): javax.imageio.ImageReader = {
+  private[ops] def cachedReader(fmt: String): javax.imageio.ImageReader = {
     val cache = readerCache.get()
     var r = cache.get(fmt)
     if (r == null) {

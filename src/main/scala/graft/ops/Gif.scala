@@ -43,14 +43,17 @@ object Gif {
       b(0) != 'G' || b(1) != 'I' || b(2) != 'F') return None
     val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(b))
     try {
-      val it = ImageIO.getImageReaders(iis)
-      if (!it.hasNext) return None
-      val r = it.next()
+      // per-thread cached GIF reader (r15, same rationale as
+      // [[Codecs.cachedReader]]): the magic bytes are already verified
+      // above, so the registry sniff the stock path ran per clip is
+      // redundant; reset (not dispose) restores construction state
+      val r = Codecs.cachedReader("gif")
+      if (r == null) return None
       try {
         r.setInput(iis)
         val n = r.getNumImages(true)
         Some((n, (0 until math.min(n, maxFrames)).map(r.read(_))))
-      } finally r.dispose()
+      } finally r.reset()
     } finally iis.close()
   }
 
@@ -66,7 +69,7 @@ object Gif {
     * model). */
   def encodeAnimated(w: Int, h: Int, frames: Seq[Array[Byte]],
                      delayCs: Int = 0, loop: Int = -1): Array[Byte] = {
-    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val writer = Codecs.cachedWriter("gif") // reset (not disposed) below
     val baos = new ByteArrayOutputStream()
     val ios = ImageIO.createImageOutputStream(baos)
     try {
@@ -108,7 +111,7 @@ object Gif {
         writer.writeToSequence(new IIOImage(img, null, meta), param)
       }
       writer.endWriteSequence()
-    } finally { writer.dispose(); ios.close() }
+    } finally { writer.reset(); ios.close() }
     baos.toByteArray
   }
 
