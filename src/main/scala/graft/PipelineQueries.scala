@@ -26,6 +26,23 @@ object PipelineQueries {
   private def pin(df: DataFrame): DataFrame =
     graft.core.CacheRegistry.track(df.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  /** SCALE-ADAPTIVE pin (r15, guide §1.2/§5): persist a multi-consumer
+    * frame only when the source relation is big enough that re-running
+    * its subtree per consumer costs more than the materialization
+    * barrier. Measured crossover on q_text_pmi (PmiAB, min-of-3
+    * alternating): at sf0.1 (0.6 MB docs) ReuseExchange reuse beats
+    * the pin 2.1 vs 2.7 s; at the 100× fixture (58 MB) the pin wins
+    * 9.4 vs 11.9 s — runtime exchange reuse stops covering the count
+    * tables once AQE re-plans the bigger subtrees. Threshold is
+    * env-parameterised with a local default (32 MB of source parquet)
+    * that keeps the sf0.1 bench regime unchanged; at warehouse scale
+    * every corpus is far above it, which is the direction the 100×
+    * measurement says is right. */
+  private val PinAboveBytes: Long = sys.env
+    .getOrElse("SPARK_GRAFT_PIN_ABOVE_BYTES", (32L << 20).toString).toLong
+  private def pinIfBig(src: DataFrame)(df: DataFrame): DataFrame =
+    if (src.queryExecution.optimizedPlan.stats.sizeInBytes >
+      BigInt(PinAboveBytes)) pin(df) else df
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -4482,10 +4499,16 @@ object PipelineQueries {
     * recovered post-selection via the broadcast winner probe — so
     * the ranked list matches verbatim. */
   private val textPmi = Q("q_text_pmi",
-    (s, d) => NgramLm.pmiCollocations(docs(s, d), "text", "doc_id")
-      .select(col("rank"), col("spelling"), col("cp"),
-        round(col("pmi"), 5).as("pmi"))
-      .orderBy("rank"),
+    (s, d) => {
+      val d0 = docs(s, d)
+      // scale-adaptive count-table pin — see [[pinIfBig]]: identity at
+      // bench scale (reuse wins there), persisted above the crossover
+      NgramLm.pmiCollocations(d0, "text", "doc_id",
+          cache = pinIfBig(d0))
+        .select(col("rank"), col("spelling"), col("cp"),
+          round(col("pmi"), 5).as("pmi"))
+        .orderBy("rank")
+    },
     {
       val M = Dedup.NgramFpMod
       s"WITH t AS (SELECT string_split(text, ' ') AS ws, " +
