@@ -74,7 +74,7 @@ object CcWidthAB {
     println(s"edge input parts=${edges.rdd.getNumPartitions}")
     val t0 = System.nanoTime()
     val n = graft.ops.Dedup.connectedComponents(edges,
-      "id_a", "id_b", edgesDistinct = true).count()
+      "id_a", "id_b").count()
     println(f"cc timed: ${(System.nanoTime() - t0) / 1e9}%.3f s (rows=$n)")
     spark.stop()
   }

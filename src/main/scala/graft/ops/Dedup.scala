@@ -842,14 +842,11 @@ object Dedup {
     * mains only (examples/CcRounds); the query paths use the quiet
     * form. */
   def ccInstrumented(edges: DataFrame, aCol: String, bCol: String,
-                     maxIter: Int = 50,
-                     edgesDistinct: Boolean = false): DataFrame =
-    connectedComponents(edges, aCol, bCol, maxIter, edgesDistinct,
-      verbose = true)
+                     maxIter: Int = 50): DataFrame =
+    connectedComponents(edges, aCol, bCol, maxIter, verbose = true)
 
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 50,
-                          edgesDistinct: Boolean = false,
                           verbose: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
@@ -871,11 +868,13 @@ object Dedup {
     // pair RDD the loop iterates on. Round 0 is [[localContract]]
     // (r14 optimization round): a NARROW partition-local union-find
     // that collapses within-partition chains before the first star
-    // round AND emits a pair-distinct canonical edge set — so the
-    // input-dedup shuffle the non-distinct callers used to pay here
-    // is gone entirely. `edgesDistinct` no longer changes the plan
-    // (the contraction dedups any input implicitly); it is kept for
-    // caller-API stability and as documentation of the input shape.
+    // round AND emits a per-partition pair-distinct canonical edge
+    // set — so the input-dedup shuffle the non-distinct callers used
+    // to pay here is gone entirely. (The r14 `edgesDistinct` hint was
+    // RETIRED in r15: the contraction dedups any input implicitly, so
+    // the flag changed nothing — a dead parameter, per the r14
+    // verdict. No caller may re-add a .distinct() above this input;
+    // OpsSpec pins the duplicate-edge behavior.)
     val canon0 = edges
       .select(greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
         least(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))

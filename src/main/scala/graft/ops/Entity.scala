@@ -230,10 +230,10 @@ object Entity {
       .where(verify(col("__na"), col("__nb")))
       .select("id_a", "id_b")
     // verified is pair-distinct by construction (candidatePairs*
-    // DISTINCT → many-to-one name joins → filter), so the closure
-    // skips its canonicalization shuffle (r14 optimization round)
-    val comp = Dedup.connectedComponents(verified, "id_a", "id_b",
-      edgesDistinct = true)
+    // DISTINCT → many-to-one name joins → filter); the closure's
+    // round-0 contraction needs no dedup shuffle either way (the r14
+    // edgesDistinct hint was retired in r15 as a dead parameter)
+    val comp = Dedup.connectedComponents(verified, "id_a", "id_b")
     df.join(comp.select(col("node").as(idCol), col("component")),
         Seq(idCol), "left")
       .withColumn("entity",
