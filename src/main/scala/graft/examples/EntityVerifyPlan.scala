@@ -39,20 +39,30 @@ object EntityVerifyPlan {
     // delta measured only ~6% inside noisy regimes (129 vs 137 s
     // min-of-3) — not worth losing the small-scale broadcast
     // (entity_verify_join_shj_rejected.txt is the hinted plan).
+    // r15: mirror resolveWith's size-gated shuffle_hash hint (the
+    // quiesced 100x A/B in VerifyJoinAB reads SHJ ~5% faster once the
+    // name side is past broadcast; below the gate the plan here shows
+    // the broadcast the gate preserves)
+    val gate = sys.env
+      .getOrElse("SPARK_GRAFT_SHJ_ABOVE_BYTES", (16L << 20).toString).toLong
+    val nameSide =
+      if (names.queryExecution.optimizedPlan.stats.sizeInBytes >
+        BigInt(gate)) names.hint("shuffle_hash")
+      else names
     val verified = cand
-      .join(names.select(col("rid").as("id_a"), col("name").as("__na")),
+      .join(nameSide.select(col("rid").as("id_a"), col("name").as("__na")),
         "id_a")
-      .join(names.select(col("rid").as("id_b"), col("name").as("__nb")),
+      .join(nameSide.select(col("rid").as("id_b"), col("name").as("__nb")),
         "id_b")
       .where(levenshtein(col("__na"), col("__nb")) <= 2)
       .select("id_a", "id_b")
     val txt = verified.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
-    val dir = java.nio.file.Paths.get("plans/r14")
+    val dir = java.nio.file.Paths.get("plans/r15")
     java.nio.file.Files.createDirectories(dir)
     java.nio.file.Files.writeString(
       dir.resolve(s"entity_verify_join_$suffix.txt"), txt)
-    println(s"wrote plans/r14/entity_verify_join_$suffix.txt")
+    println(s"wrote plans/r15/entity_verify_join_$suffix.txt")
     spark.stop()
   }
 }

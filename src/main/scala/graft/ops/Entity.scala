@@ -30,6 +30,14 @@ import org.apache.spark.sql.functions._
   * only neighborhood keys do. */
 object Entity {
 
+  /** Size gate for the scale-adaptive verify-join hint in
+    * [[resolveWith]]: name-side relations whose optimizedPlan stats
+    * exceed this get a shuffle_hash hint (see the note at the join).
+    * Env-parameterised with a local default ABOVE the auto-broadcast
+    * ceiling, so bench-scale plans are untouched. */
+  private val ShjAboveBytes: Long = sys.env
+    .getOrElse("SPARK_GRAFT_SHJ_ABOVE_BYTES", (16L << 20).toString).toLong
+
   /** The deletion-≤k neighborhood of `key` as an array column
     * (k ∈ {1, 2}): the key itself, every single-character deletion
     * in position order, and for k = 2 every two-character deletion
@@ -221,7 +229,22 @@ object Entity {
     val cand =
       if (blockK == 2) candidatePairsSplit2(df, idCol, keyCol, blockCols)
       else candidatePairs(df, idCol, keyCol, blockCols, blockK)
-    val names = df.select(col(idCol), col(nameCol))
+    val names0 = df.select(col(idCol), col(nameCol))
+    // SCALE-ADAPTIVE verify-join strategy (r15, guide §3.1): below the
+    // gate the planner broadcasts the name side (the right call — and
+    // what a forced hint would destroy, the r14 rejection); above it
+    // the contest is SMJ vs SHJ on the O(pairs) side, and a quiesced
+    // 100× A/B (VerifyJoinAB, committed log) reads SHJ consistently
+    // ~5% faster (58.4/60.5/64.1 vs 61.6/62.5/70.7 s min-of-3
+    // alternating) — the hash build keys on the UNIQUE record id, so
+    // the hot-key SHJ degradation of the blocking joins cannot occur,
+    // and the pairs side skips both SMJ sorts. Default gate 16 MB
+    // (above the 10 MB auto-broadcast ceiling, under the 100×
+    // fixture's 24.8 MB name stats), env-parameterised.
+    val names =
+      if (names0.queryExecution.optimizedPlan.stats.sizeInBytes >
+        BigInt(ShjAboveBytes)) names0.hint("shuffle_hash")
+      else names0
     val verified = cand
       .join(names.select(col(idCol).as("id_a"),
         col(nameCol).as("__na")), "id_a")
